@@ -1,0 +1,180 @@
+package graft.catalog
+
+import graft.format._
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Commit outcome used by the optimistic-concurrency retry loop. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** The catalog: resolves table names to metadata locations and performs the
+  * atomic pointer swap that gives every write ACID semantics (reference:
+  * docs/04-catalog-systems.md:5-23, docs/08-acid-transactions.md:16-28,
+  * docs/01-table-format-architecture.md:52-57).
+  *
+  * Layout: `<warehouse>/<namespace>/<table>/metadata/vN.metadata.json` with a
+  * `version-hint.text` pointer holding N. Commit protocol:
+  *
+  *   1. data + manifest files are already written (immutable, uniquely named)
+  *   2. serialize vN+1.metadata.json with create-exclusive semantics —
+  *      if another writer got there first the create fails = CAS failure
+  *   3. advance version-hint.text (atomic rename)
+  *
+  * A JVM-level lock per table serializes in-process committers; the
+  * create-exclusive metadata write is the cross-process guard. On CAS failure
+  * callers re-read the new base and retry (docs/08:53-69). Dropped tables are
+  * tombstoned (renamed pointer), enabling UNDROP (docs/01:80).
+  *
+  * On a real deployment the warehouse path is an object-store prefix and this
+  * class is backed by a catalog service's CAS; the protocol is unchanged.
+  */
+class GraftCatalog(val warehouse: String) {
+  private val locks = new ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+
+  /** External volumes: named storage roots (docs/01:174-180). */
+  private val volumes = new ConcurrentHashMap[String, String]()
+  def createExternalVolume(name: String, basePath: String): Unit =
+    volumes.put(name, basePath)
+  def volume(name: String): Option[String] = Option(volumes.get(name))
+
+  def tableDir(name: String): String = {
+    val parts = name.split('.')
+    Paths.get(warehouse, parts: _*).toString
+  }
+  private def metaDir(name: String) = Paths.get(tableDir(name), "metadata")
+  private def hintPath(name: String) = metaDir(name).resolve("version-hint.text")
+
+  def tableExists(name: String): Boolean = Files.exists(hintPath(name))
+
+  def listTables(namespace: String): Seq[String] = {
+    val ns = Paths.get(warehouse, namespace.split('.'): _*)
+    if (!Files.exists(ns)) return Nil
+    val s = Files.list(ns)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("metadata").resolve("version-hint.text")))
+        .map(p => s"$namespace.${p.getFileName}")
+        .toVector.sorted
+    } finally s.close()
+  }
+
+  def createTable(
+      name: String,
+      schema: StructType,
+      partitionBy: Seq[(String, Transform)] = Nil,
+      properties: Map[String, String] = Map.empty,
+      externalVolume: Option[String] = None,
+      baseLocation: Option[String] = None): GraftTable = lockFor(name).synchronized {
+    require(!tableExists(name), s"table $name already exists")
+    val root = (externalVolume.flatMap(volume), baseLocation) match {
+      case (Some(vol), Some(base)) => Paths.get(vol, base).toString
+      case (Some(vol), None) => Paths.get(vol, name.replace('.', '/')).toString
+      case _ => tableDir(name)
+    }
+    val (schemaWithIds, lastCol) = GraftSchema.assignIds(schema, 0)
+    val byName = schemaWithIds.fields.map(f => f.name -> f).toMap
+    val specFields = partitionBy.map { case (colName, tr) =>
+      val f = byName.getOrElse(colName, sys.error(s"unknown partition source column $colName"))
+      val suffix = tr match {
+        case Transform.Identity => ""
+        case t => "_" + t.name.takeWhile(_ != '[')
+      }
+      PartitionField(GraftSchema.fieldId(f), s"$colName$suffix", tr)
+    }
+    val spec = PartitionSpec(0, specFields)
+    val meta = TableMetadata(
+      formatVersion = 1,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = root,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = lastCol,
+      schemas = Map(0 -> schemaWithIds),
+      currentSchemaId = 0,
+      specs = Map(0 -> spec),
+      defaultSpecId = 0,
+      lastSequenceNumber = 0L,
+      snapshots = Nil,
+      currentSnapshotId = None,
+      refs = Map.empty,
+      properties = properties,
+      statementLog = Nil)
+    GraftUtil.writeStringExclusive(
+      Paths.get(root, "metadata", "v1.metadata.json"), MetaJson.metadataToJson(meta))
+    GraftUtil.writeStringAtomic(Paths.get(root, "metadata", "version-hint.text"), "1")
+    if (root != tableDir(name)) {
+      // catalog-linked entry pointing at an external volume location
+      GraftUtil.writeStringAtomic(hintPath(name).getParent.resolve("location.text"), root)
+      GraftUtil.writeStringAtomic(hintPath(name), "1")
+    }
+    new GraftTable(this, name)
+  }
+
+  /** Resolve the table root (may live on an external volume). */
+  def resolveRoot(name: String): String = {
+    val loc = metaDir(name).resolve("location.text")
+    if (Files.exists(loc)) GraftUtil.readString(loc).trim else tableDir(name)
+  }
+
+  def currentVersion(name: String): Int = {
+    val root = resolveRoot(name)
+    GraftUtil.readString(Paths.get(root, "metadata", "version-hint.text")).trim.toInt
+  }
+
+  def loadMetadata(name: String): (Int, TableMetadata) = {
+    val root = resolveRoot(name)
+    val v = currentVersion(name)
+    val json = GraftUtil.readString(Paths.get(root, "metadata", s"v$v.metadata.json"))
+    (v, MetaJson.metadataFromJson(json))
+  }
+
+  def loadTable(name: String): GraftTable = {
+    require(tableExists(name), s"table $name does not exist")
+    new GraftTable(this, name)
+  }
+
+  /** Atomic CAS commit. Throws [[CommitConflictException]] when the table
+    * advanced past `expectedVersion` (caller retries per docs/08:53-69).
+    */
+  def commit(name: String, expectedVersion: Int, newMeta: TableMetadata): Int =
+    lockFor(name).synchronized {
+      val root = resolveRoot(name)
+      val cur = currentVersion(name)
+      if (cur != expectedVersion)
+        throw new CommitConflictException(
+          s"$name: expected v$expectedVersion but table is at v$cur")
+      val next = expectedVersion + 1
+      val target = Paths.get(root, "metadata", s"v$next.metadata.json")
+      try GraftUtil.writeStringExclusive(target,
+        MetaJson.metadataToJson(newMeta.copy(lastUpdatedMs = System.currentTimeMillis())))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(s"$name: v$next already exists (lost CAS race)")
+      }
+      GraftUtil.writeStringAtomic(Paths.get(root, "metadata", "version-hint.text"), next.toString)
+      next
+    }
+
+  /** DROP with tombstone so UNDROP can recover (docs/01:80). */
+  def dropTable(name: String): Unit = lockFor(name).synchronized {
+    require(tableExists(name), s"table $name does not exist")
+    Files.move(hintPath(name), metaDir(name).resolve("version-hint.dropped"))
+  }
+
+  def undropTable(name: String): GraftTable = lockFor(name).synchronized {
+    val tomb = metaDir(name).resolve("version-hint.dropped")
+    require(Files.exists(tomb), s"table $name has no dropped tombstone")
+    Files.move(tomb, hintPath(name))
+    new GraftTable(this, name)
+  }
+
+  /** Re-read the pointer (ALTER ... REFRESH, docs/11:174-183). A no-op for a
+    * filesystem catalog — provided for API parity with external catalogs.
+    */
+  def refresh(name: String): Int = currentVersion(name)
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators (SURVEY.md §2.9; BASELINE.json north
+  * star): deduplication (exact / bag-of-words / MinHash / SimHash),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (language ID, quality scoring, token counting, fingerprinting) and a
+  * multimodal binary-column pipeline — all over `documents` / `embeddings`.
+  *
+  * Cross-engine determinism: every hash is md5 (identical in Spark and
+  * DuckDB); float work is either exact (sign tests, integer-ish sums) or
+  * surfaced only through rankings with large gaps. Everything is a pure
+  * DataFrame pipeline — no UDFs, no collect — so each op scales by
+  * partitioning alone (the 100 TB path is the same plan over more tasks).
+  */
+object Extensions {
+
+  /** whitespace tokens with empties dropped (shared by both engines). */
+  private val toks = "filter(split(text, ' '), x -> x != '')"
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // X1: exact dedup — hash-groupBy on content; survivors keep min doc_id.
+    // At 100 TB this is ONE shuffle on a 128-bit key; group state is tiny.
+    ("x_dedup_exact",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("copies") > 1)
+          .orderBy("content_hash"),
+      """SELECT md5(text) AS content_hash, count(*) AS copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
+
+    // X2a: near-dup via normalized bag-of-words (order/multiplicity
+    // insensitive = token-set Jaccard == 1 buckets).
+    ("x_dedup_bow",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("bow_sig", expr(s"md5(array_join(array_sort(array_distinct($toks)), ' '))"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), countDistinct(col("bow_sig")).as("distinct_bow"))
+          .orderBy("lang"),
+      s"""SELECT lang, count(*) AS docs,
+        |  count(DISTINCT md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))) AS distinct_bow
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2b: MinHash signatures — k=4 permutations simulated by seeded md5;
+    // docs sharing all 4 minima are near-dup candidates. The band-bucket
+    // join at scale is a shuffle on the signature (LSH).
+    ("x_dedup_minhash",
+      (s: SparkSession, d: String) => {
+        val sig = (1 to 4).map(i =>
+          expr(s"array_min(transform(array_distinct($toks), t -> md5(concat('$i', t))))"))
+          .reduce((a, b) => concat(a, b))
+        Tables.documents(s, d)
+          .withColumn("minhash_sig", md5(sig))
+          .groupBy("minhash_sig")
+          .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("keep_id"))
+          .filter(col("bucket_size") > 1)
+          .orderBy("minhash_sig")
+      },
+      s"""WITH sigs AS (
+        |  SELECT doc_id, md5(
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('1' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('2' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('3' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('4' || t)))) AS minhash_sig
+        |  FROM documents)
+        |SELECT minhash_sig, count(*) AS bucket_size, min(doc_id) AS keep_id
+        |FROM sigs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
+
+    // X2c: SimHash — 16 hex-position majority votes over token md5s; near
+    // dups differ in few bits. Here: signature cardinality per lang.
+    ("x_dedup_simhash",
+      (s: SparkSession, d: String) => {
+        val bits = (1 to 16).map(p =>
+          expr(s"IF(aggregate($toks, 0, (acc, t) -> acc + IF(substring(md5(t), $p, 1) >= '8', 1, -1)) >= 0, '1', '0')"))
+        Tables.documents(s, d)
+          .withColumn("simhash", concat(bits: _*))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), countDistinct(col("simhash")).as("distinct_simhash"))
+          .orderBy("lang")
+      },
+      { val bit = (p: Int) =>
+          s"CASE WHEN list_sum(list_transform($toksSql, t -> CASE WHEN substring(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+        s"""SELECT lang, count(*) AS docs,
+          |  count(DISTINCT ${(1 to 16).map(bit).mkString(" || ")}) AS distinct_simhash
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin }),
+
+    // X3a: top-k cosine similarity search, brute force (the exact baseline).
+    // Query vector broadcast; one pass over embeddings; ranks compared (the
+    // doubles themselves never surface, so float noise cannot flip the hash).
+    ("x_sim_topk",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        val dot = expr("aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val nE = expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        val nQ = expr("sqrt(aggregate(q, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        import org.apache.spark.sql.expressions.Window
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim", dot / (nE * nQ))
+          .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("rank", "vec_id")
+          .orderBy("rank")
+      },
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+        |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
+
+    // X3b: LSH bucketing for ANN — 8 sign-hyperplane bits partition the
+    // space; at 100 TB the search probes one bucket (a partition), not the
+    // corpus. Sign tests are float-exact, so buckets match bit-for-bit.
+    ("x_sim_lsh_buckets",
+      (s: SparkSession, d: String) =>
+        Tables.embeddings(s, d)
+          .withColumn("bucket", expr("concat_ws('', transform(slice(embedding, 1, 8), x -> IF(x >= CAST(0.0 AS FLOAT), '1', '0')))"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("vectors"), min(col("vec_id")).as("min_vec_id"))
+          .orderBy("bucket"),
+      """SELECT array_to_string(list_transform(embedding[1:8],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+        |  count(*) AS vectors, min(vec_id) AS min_vec_id
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4a: token counting — whitespace + a BPE-ish regex segmentation —
+    // and exact average via decimal-free integer sums.
+    ("x_text_stats",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("ws_tokens", expr(s"size($toks)").cast("long"))
+          .withColumn("bpe_tokens", expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]+', 0))").cast("long"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("ws_tokens")).as("total_ws_tokens"),
+            sum(col("bpe_tokens")).as("total_bpe_tokens"),
+            (sum(col("ws_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "source"),
+      s"""SELECT lang, source, count(*) AS docs,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(SUM(len($toksSql)) AS DOUBLE) / count(*) AS avg_tokens,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // X4b: corpus token frequencies (explode -> two-phase hash agg; the
+    // classic word-count shape that map-side combines at scale).
+    ("x_token_frequencies",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(explode(expr(toks)).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(20),
+      s"""SELECT token, count(*) AS freq
+        |FROM (SELECT unnest($toksSql) AS token FROM documents)
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin),
+
+    // X4c: language ID — n-gram/stopword marker heuristic (deterministic,
+    // mirrored in the oracle) scored against the labeled lang column.
+    ("x_lang_id",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("t", expr(toks))
+          .withColumn("predicted",
+            when(array_contains(col("t"), "the") && array_contains(col("t"), "a"), "en")
+              .when(array_contains(col("t"), "the"), "en-weak")
+              .otherwise("other"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("docs"))
+          .orderBy("lang", "predicted"),
+      s"""SELECT lang,
+        |  CASE WHEN list_contains($toksSql, 'the') AND list_contains($toksSql, 'a') THEN 'en'
+        |       WHEN list_contains($toksSql, 'the') THEN 'en-weak'
+        |       ELSE 'other' END AS predicted,
+        |  count(*) AS docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // X4d: quality scoring + filter — token-count bounds and stopword ratio
+    // (exact integer/ratio math both sides).
+    ("x_quality_filter",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("t", expr(toks))
+          .withColumn("n_tokens", size(col("t")).cast("long"))
+          .withColumn("stop_ratio",
+            expr("size(filter(t, x -> x IN ('the', 'a', 'data', 'value')))").cast("double") / col("n_tokens"))
+          .withColumn("passes",
+            col("n_tokens").between(10, 500) && col("stop_ratio") < 0.3)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum(when(col("passes"), 1L).otherwise(0L)).as("passing"))
+          .orderBy("lang"),
+      s"""WITH scored AS (
+        |  SELECT lang, len($toksSql) AS n_tokens,
+        |    CAST(len(list_filter($toksSql, x -> x IN ('the', 'a', 'data', 'value'))) AS DOUBLE)
+        |      / len($toksSql) AS stop_ratio
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 500 AND stop_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS passing
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4e: document fingerprinting — content-hash dup ratio per source.
+    ("x_fingerprint",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            countDistinct(md5(col("text"))).as("distinct_fp"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+          .orderBy("source"),
+      """SELECT source, count(*) AS docs,
+        |  count(DISTINCT md5(text)) AS distinct_fp,
+        |  count(*) - count(DISTINCT md5(text)) AS dup_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X5: multimodal columns — text treated as an opaque binary blob with
+    // typed metadata; "decode" is a deterministic byte-level feature
+    // (first-byte + length + content digest), the real pipeline shape for
+    // image/audio blobs (decode libs are stubbed; plumbing is real).
+    ("x_multimodal_blobs",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .withColumn("meta", struct(
+            octet_length(col("text")).cast("long").as("byte_len"),
+            sha2(col("text"), 256).as("digest"),
+            ascii(col("text")).cast("long").as("first_byte")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("meta.byte_len")).as("total_bytes"),
+            countDistinct(col("meta.digest")).as("distinct_blobs"),
+            sum(col("meta.first_byte")).as("first_byte_sum"))
+          .orderBy("source"),
+      """SELECT source, count(*) AS n_blobs,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT sha256(text)) AS distinct_blobs,
+        |  CAST(SUM(ascii(text)) AS BIGINT) AS first_byte_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

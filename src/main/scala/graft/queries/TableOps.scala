@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, Transform}
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.time.LocalDateTime
+
+/** The Graft-table capability surface (SURVEY.md §2.1-§2.6, §2.8) exercised
+  * end-to-end as oracle-checkable queries: each entry builds a fresh Graft
+  * table from the raw parquet test data, applies table operations (append /
+  * DELETE / UPDATE / MERGE / time travel / rollback / MOR / compaction /
+  * schema evolution / streaming ingest), and returns the final table state —
+  * whose contents a plain-SQL oracle over the same raw parquet reproduces.
+  *
+  * Every table is built in a fresh temp warehouse per invocation, so queries
+  * are independent and re-runnable.
+  */
+object TableOps {
+
+  private val Split = LocalDateTime.of(2024, 1, 15, 0, 0) // mid-range of events.ts
+
+  private def newCatalog(): GraftCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    new GraftCatalog(wh)
+  }
+
+  /** events table partitioned with hidden partitioning day(ts) + identity
+    * (reference docs/07-partitioning.md:59-69, the docs' running example).
+    */
+  private def eventsTable(s: SparkSession, d: String,
+                          partitioned: Boolean = true,
+                          props: Map[String, String] = Map.empty): GraftTable = {
+    val df = Tables.events(s, d)
+    val cat = newCatalog()
+    val t = cat.createTable("db.events", df.schema,
+      partitionBy = if (partitioned) Seq("ts" -> Transform.Day, "event_type" -> Transform.Identity) else Nil,
+      properties = props)
+    t.append(s, df)
+    t
+  }
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def aggByType(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  private val aggByTypeSqlFrom =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM %s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // D2 + W1 + S1: create partitioned table, append, full snapshot scan.
+    ("g_create_append_scan",
+      (s: SparkSession, d: String) => aggByType(eventsTable(s, d).toDF(s)),
+      aggByTypeSqlFrom.format("events")),
+
+    // S2 + S3: hidden-partition pruning — filter on the SOURCE column ts;
+    // the planner derives day(ts) partition values and reads only that day's
+    // files (docs/07:25-40, docs/09:17-44). `pruned` certifies it actually
+    // skipped files, not just filtered rows.
+    ("g_partition_pruned_scan",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        val sc = t.scan(
+          Predicate.GtEq("ts", LocalDateTime.of(2024, 1, 15, 0, 0)),
+          Predicate.Lt("ts", LocalDateTime.of(2024, 1, 16, 0, 0)))
+        val m = sc.metrics
+        aggByType(sc.toDF(s)).withColumn("pruned", lit(m.filesScanned < m.filesTotal))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS pruned
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // W3: copy-on-write DELETE (docs/08:99-110) — only candidate files are
+    // rewritten; survivors carried forward by manifest reference.
+    ("g_cow_delete",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        aggByType(t.toDF(s))
+      },
+      aggByTypeSqlFrom.format("(SELECT * FROM events WHERE event_type <> 'click')")),
+
+    // W6: UPDATE ... SET ... WHERE (docs/08:119-130).
+    ("g_update",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        t.update(s, Map("value" -> (col("value") * 2)), Seq(Predicate.Eq("event_type", "view")))
+        aggByType(t.toDF(s))
+      },
+      aggByTypeSqlFrom.format(
+        "(SELECT event_id, ts, user_id, event_type, CASE WHEN event_type = 'view' THEN value * 2 ELSE value END AS value, props FROM events)")),
+
+    // W7 + Q12: MERGE INTO — the docs/12:107-126 silver→gold upsert. The
+    // target is seeded with zeroed counts for the first half of the month;
+    // the MERGE updates those and inserts the rest; final state == the full
+    // aggregate, proving both branches fired.
+    ("g_merge_upsert",
+      (s: SparkSession, d: String) => {
+        val e = Tables.events(s, d)
+        val agg = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+        val cat = newCatalog()
+        val gold = cat.createTable("db.gold", StructType(Seq(
+          StructField("day", DateType), StructField("event_type", StringType),
+          StructField("cnt", LongType), StructField("total", DoubleType))))
+        val seed = agg.filter(col("day") < lit("2024-01-15"))
+          .withColumn("cnt", lit(0L)).withColumn("total", lit(0.0))
+        gold.append(s, seed)
+        gold.merge(s, agg, Seq("day" -> "day", "event_type" -> "event_type"),
+          whenMatchedUpdate = Map("cnt" -> col("s.cnt"), "total" -> col("s.total")))
+        gold.toDF(s).orderBy("day", "event_type")
+      },
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // S8/S11: time travel — two appends, read the FIRST snapshot
+    // (docs/05:60-80); the second append must be invisible.
+    ("g_time_travel",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_tt", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        val snap1 = t.meta.currentSnapshotId.get
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        aggByType(t.atSnapshot(snap1).toDF(s))
+      },
+      aggByTypeSqlFrom.format("(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15')")),
+
+    // S11: ROLLBACK — delete then roll back to the pre-delete snapshot; the
+    // table reads as if the delete never happened (docs/05:151-160), while
+    // history keeps all three commits.
+    ("g_rollback",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        val before = t.meta.currentSnapshotId.get
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        t.rollbackTo(before)
+        aggByType(t.toDF(s))
+          .withColumn("commit_count", lit(t.meta.snapshots.size.toLong))
+      },
+      aggByTypeSqlFrom.format("events")
+        .replace("AS sum_value", "AS sum_value,\n  CAST(3 AS BIGINT) AS commit_count")),
+
+    // W4 + S4: merge-on-read DELETE — position-delete files are written and
+    // anti-joined at read (docs/08:104-116); `used_delete_files` certifies
+    // the MOR path (not a COW rewrite) served the query.
+    ("g_mor_delete",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, props = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.delete(s, Seq(Predicate.Eq("event_type", "purchase")))
+        val sc = t.scan()
+        aggByType(sc.toDF(s)).withColumn("used_delete_files", lit(sc.deleteFiles.nonEmpty))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS used_delete_files
+        |FROM events WHERE event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // O1: compaction — many small appends + MOR deletes fold into few
+    // target-size files (docs/10:20-49); contents identical, delete files
+    // gone, file count reduced.
+    ("g_compact",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_c", df.schema,
+          properties = Map("enable-iceberg-merge-on-read" -> "true"))
+        (0 until 3).foreach(i => t.append(s, df.filter(col("event_id") % 3 === i)))
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        val filesBefore = t.scan().dataFiles.size
+        t.compact(s, targetFileSizeBytes = Some(128L * 1024 * 1024))
+        val after = t.scan()
+        aggByType(after.toDF(s))
+          .withColumn("files_reduced", lit(after.dataFiles.size < filesBefore))
+          .withColumn("deletes_folded", lit(after.deleteFiles.isEmpty))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS files_reduced, true AS deletes_folded
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // D6-D9: schema evolution — widen + rename + add, all metadata-only;
+    // files written under the old schema stay readable by column-ID
+    // resolution (docs/06:75-90).
+    ("g_schema_evolution",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id").cast("int").as("user_id"),
+            col("event_type"), col("value"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_ev", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.widenColumn("user_id", LongType)     // int -> long (docs/06:46-51)
+        t.renameColumn("value", "amount")      // ID stable (docs/06:40-42)
+        t.addColumn("note", StringType)        // new ID; old files read NULL
+        val batch2 = df.filter(col("ts") >= lit(Split))
+          .withColumnRenamed("value", "amount")
+          .withColumn("user_id", col("user_id").cast("long"))
+          .withColumn("note", lit("b2"))
+        t.append(s, batch2)
+        t.toDF(s)
+          .groupBy(coalesce(col("note"), lit("pre-evolution")).as("note"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+            dsum(col("amount")).as("amount_sum"))
+          .orderBy("note")
+      },
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'pre-evolution' ELSE 'b2' END AS note,
+        |  count(*) AS n, count(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // M1: snapshot history as a table (docs/05:75-80) — operations and
+    // running totals for an append→delete sequence.
+    ("g_snapshot_history",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        t.snapshotsDF(s)
+          .select(col("snapshot_id").as("seq"), col("operation"),
+            element_at(col("summary"), "total-records").cast("long").as("total_records"))
+          .orderBy("seq")
+      },
+      """SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+        |  (SELECT count(*) FROM events) AS total_records
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'delete',
+        |  (SELECT count(*) FROM events WHERE event_type <> 'click')
+        |ORDER BY 1""".stripMargin),
+
+    // W9: streaming ingestion — Structured Streaming foreachBatch append,
+    // each micro-batch one Iceberg-style commit (docs/11:44-52, docs/08:154).
+    ("g_stream_ingest",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        df.repartition(4).write.mode("overwrite").parquet(stage)
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_stream", df.schema)
+        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) => t.append(s, batch); () }
+          .option("checkpointLocation", s"$stage-ckpt")
+          .start()
+        q.awaitTermination()
+        aggByType(t.toDF(s))
+          .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
+      },
+      aggByTypeSqlFrom.format("events")
+        .replace("AS sum_value", "AS sum_value,\n  true AS multi_commit"))
+  )
+}

@@ -1,0 +1,261 @@
+package graft.table
+
+import graft.format._
+import graft.io.ParquetStats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import java.nio.file.Paths
+
+/** Row-level DML over immutable files: DELETE / UPDATE / MERGE as
+  * copy-on-write file rewrites (reference docs/08-acid-transactions.md:99-141)
+  * or, for DELETE, merge-on-read position-delete files (docs/08:104-116,
+  * 171-177) when `enable-iceberg-merge-on-read` is set (docs/08:112-116).
+  *
+  * Scale design: the unit of rewrite is the *candidate file*, found by
+  * driver-side stats pruning — a DELETE touching one partition rewrites that
+  * partition's files only, never the table (docs/08:101-103 "identifies which
+  * data files contain affected rows"). The rewrite itself is one distributed
+  * Spark job over exactly the candidate files.
+  */
+trait GraftDml { self: GraftTable =>
+
+  /** DELETE FROM ... WHERE: COW (default) or MOR per table property. */
+  def delete(spark: SparkSession, predicates: Seq[Predicate],
+             statementId: Option[String] = None): Snapshot = {
+    val mor = meta.property(TableProperties.MergeOnRead, "false").toBoolean
+    if (mor) deleteMor(spark, predicates, statementId)
+    else deleteCow(spark, predicates, statementId)
+  }
+
+  /** UPDATE ... SET ... WHERE: rewrite candidate files applying `set` to the
+    * matching rows (docs/08:119-130 — "delete + insert in one transaction";
+    * with COW both halves collapse into one rewrite).
+    * `set` maps column name -> expression over the current row's columns.
+    */
+  def update(spark: SparkSession, set: Map[String, Column], predicates: Seq[Predicate],
+             statementId: Option[String] = None): Snapshot = {
+    val predCol = Predicate.all(predicates).toColumn
+    rewriteCandidates(spark, predicates, "update", statementId) { rows =>
+      val fields = meta.currentSchema.fields
+      rows.select(fields.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => when(predCol, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+  }
+
+  private def deleteCow(spark: SparkSession, predicates: Seq[Predicate],
+                        statementId: Option[String]): Snapshot = {
+    val predCol = Predicate.all(predicates).toColumn
+    rewriteCandidates(spark, predicates, "delete", statementId) { rows =>
+      rows.filter(!coalesce(predCol, lit(false)))
+    }
+  }
+
+  /** Shared COW core: find candidate files by stats pruning, transform their
+    * (delete-merged, schema-resolved) rows, write replacements, commit a
+    * snapshot where candidates are swapped for the rewrite output. Non-
+    * candidate manifests are carried forward untouched — metadata-only reuse.
+    */
+  private def rewriteCandidates(
+      spark: SparkSession, predicates: Seq[Predicate], operation: String,
+      statementId: Option[String])(transform: DataFrame => DataFrame): Snapshot = {
+    val (_, m0) = load()
+    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, predicates)
+    val candidates = scan0.dataFiles
+    if (candidates.isEmpty)
+      return commitSnapshot(operation, statementId, Map("rewritten-data-files" -> "0")) { m =>
+        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      }
+    val candidatePaths = candidates.map(_.path).toSet
+    val rows = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
+    val rewritten = transform(rows)
+    val newFiles = GraftWriter.write(spark, rewritten, m0, m0.currentSchemaId, m0.defaultSpecId)
+    val newManifests = if (newFiles.isEmpty) Nil else Seq(writeManifest(m0, newFiles))
+
+    commitSnapshot(operation, statementId, Map(
+      "rewritten-data-files" -> candidates.size.toString,
+      "added-data-files" -> newFiles.size.toString)) { m =>
+      replaceFiles(m, candidatePaths, newManifests,
+        // conflict rule (docs/08:71-78): if a concurrent commit removed any of
+        // our candidate files, this rewrite's base is stale — abort the CAS
+        // retry and surface the conflict instead of silently resurrecting rows.
+        requireAllLive = true)
+    }
+  }
+
+  /** Build the manifest set for a snapshot that replaces `removedPaths` with
+    * `newManifests`. Untouched manifests are reused by path (no IO); touched
+    * ones are rewritten minus the removed files. Position-delete manifests are
+    * carried forward: delete rows keyed by (file_path, pos) can only match
+    * files that still exist, so entries pointing at replaced files are inert
+    * (compaction garbage-collects them, docs/10:30-36).
+    */
+  private[table] def replaceFiles(
+      m: TableMetadata, removedPaths: Set[String], newManifests: Seq[ManifestMeta],
+      requireAllLive: Boolean): Seq[ManifestMeta] = {
+    val existing = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+    if (requireAllLive) {
+      val live = existing.filter(_.content == "data").flatMap(readManifest(m, _)).map(_.path).toSet
+      val gone = removedPaths.diff(live)
+      if (gone.nonEmpty)
+        throw new graft.catalog.CommitConflictException(
+          s"$name: ${gone.size} candidate file(s) concurrently rewritten (e.g. ${gone.head})")
+    }
+    val kept = existing.flatMap { mf =>
+      if (mf.content != "data") Some(mf)
+      else {
+        val files = readManifest(m, mf)
+        if (!files.exists(f => removedPaths.contains(f.path))) Some(mf) // reuse as-is
+        else {
+          val remaining = files.filterNot(f => removedPaths.contains(f.path))
+          if (remaining.isEmpty) None else Some(writeManifest(m, remaining))
+        }
+      }
+    }
+    kept ++ newManifests
+  }
+
+  // -------------------------------------------------------------------
+  // Merge-on-read DELETE (docs/08:104-116): write position-delete files
+  // instead of rewriting data; readers anti-join them (GraftScan).
+  // -------------------------------------------------------------------
+
+  /** Position-delete file schema (docs/08:171-177). Fields carry reserved
+    * column IDs (outside any user schema's range) so footer-stats collection
+    * treats them like any other tracked column.
+    */
+  private[table] val DeleteFileSchema = StructType(Seq(
+    GraftSchema.withId(StructField("file_path", StringType, nullable = false), 2000000001),
+    GraftSchema.withId(StructField("pos", LongType, nullable = false), 2000000002)))
+
+  private def deleteMor(spark: SparkSession, predicates: Seq[Predicate],
+                        statementId: Option[String]): Snapshot = {
+    val (_, m0) = load()
+    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, predicates)
+    val candidates = scan0.dataFiles
+    if (candidates.isEmpty)
+      return commitSnapshot("delete", statementId, Map("added-delete-files" -> "0")) { m =>
+        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      }
+    val predCol = Predicate.all(predicates).toColumn
+    val matches = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = true)
+      .filter(predCol)
+      .select(col("_gf_file").as("file_path"), col("_gf_pos").as("pos"))
+    // sort by (file, pos) so a reader could range-skip; small files are fine —
+    // the <10% delete-ratio health bound (docs/10:123) keeps this side tiny
+    val writeDir = Paths.get(m0.location, "data", "deletes-" + java.util.UUID.randomUUID()).toString
+    matches.sortWithinPartitions("file_path", "pos").write.parquet(writeDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val delFiles = GraftUtil.listFilesRecursively(Paths.get(writeDir), ".parquet").map { p =>
+      val (rows, size, _) = ParquetStats.read(p.toString, DeleteFileSchema, conf)
+      DataFile(GraftUtil.relativize(m0.location, p.toString), "position-deletes",
+        Map.empty, rows, size, m0.currentSchemaId, m0.defaultSpecId, Map.empty)
+    }.filter(_.recordCount > 0)
+    val delManifests = if (delFiles.isEmpty) Nil else Seq(writeManifest(m0, delFiles, "position-deletes"))
+    commitSnapshot("delete", statementId, Map(
+      "added-delete-files" -> delFiles.size.toString,
+      "deleted-records" -> delFiles.map(_.recordCount).sum.toString)) { m =>
+      m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil) ++ delManifests
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // MERGE INTO (docs/08:132-141, docs/12:107-126)
+  // -------------------------------------------------------------------
+
+  /** MERGE INTO this USING source ON (target.k = source.k ...)
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET ...
+    *   WHEN MATCHED AND cond THEN DELETE
+    *   WHEN NOT MATCHED THEN INSERT ...
+    *
+    * `onKeys` are (targetColumn, sourceColumn) equality pairs. Expressions in
+    * conditions/assignments reference the target row as `t.<col>` and the
+    * source row as `s.<col>`.
+    *
+    * Plan (single transaction, docs/08:139-141): candidate files are found by
+    * pushing the *source key bounds* through stats pruning, so a MERGE whose
+    * source touches one day rewrites one day. Candidate rows full-outer-join
+    * the source on the keys; each joined row routes to exactly one branch;
+    * survivors + inserts are rewritten, candidates replaced, in one commit.
+    */
+  def merge(
+      spark: SparkSession,
+      source: DataFrame,
+      onKeys: Seq[(String, String)],
+      whenMatchedUpdate: Map[String, Column] = Map.empty,
+      whenMatchedUpdateCond: Option[Column] = None,
+      whenMatchedDelete: Option[Column] = None,
+      whenNotMatchedInsert: Option[Map[String, Column]] = None,
+      insertWhenNotMatched: Boolean = true,
+      statementId: Option[String] = None): Snapshot = {
+    require(onKeys.nonEmpty, "MERGE requires at least one ON key")
+    val (_, m0) = load()
+    val schema = m0.currentSchema
+
+    // candidate detection: per target key column, [min,max] of the source keys
+    val srcCached = source.cache()
+    val boundsRow = srcCached.agg(
+      onKeys.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.head,
+      onKeys.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.tail: _*).head()
+    val keyPreds: Seq[Predicate] = onKeys.zipWithIndex.flatMap { case ((t, _), i) =>
+      val lo = boundsRow.get(2 * i); val hi = boundsRow.get(2 * i + 1)
+      val dt = schema.fields.find(_.name == t).map(_.dataType)
+      if (lo == null || hi == null || dt.forall(d => !Canonical.supports(d))) Nil
+      else Seq(Predicate.GtEq(t, lo), Predicate.LtEq(t, hi))
+    }
+
+    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, keyPreds)
+    val candidates = scan0.dataFiles
+    val candidatePaths = candidates.map(_.path).toSet
+    val tRows = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
+      .withColumn("_t_present", lit(true)).alias("t")
+    val sRows = srcCached.withColumn("_s_present", lit(true)).alias("s")
+    val joinCond = onKeys.map { case (t, s) => col(s"t.$t") === col(s"s.$s") }.reduce(_ && _)
+    val joined = tRows.join(sRows, joinCond, "full_outer")
+
+    val matched = col("_t_present").isNotNull && col("_s_present").isNotNull
+    val tOnly = col("_t_present").isNotNull && col("_s_present").isNull
+    val sOnly = col("_t_present").isNull && col("_s_present").isNotNull
+    val delCond = whenMatchedDelete.getOrElse(lit(false))
+    val updCond =
+      if (whenMatchedUpdate.isEmpty) lit(false) else whenMatchedUpdateCond.getOrElse(lit(true))
+
+    val outFields = schema.fields
+    val keptOrUpdated = outFields.map { f =>
+      val target = col(s"t.${f.name}")
+      val updated = whenMatchedUpdate.get(f.name).map(_.cast(f.dataType)).getOrElse(target)
+      when(matched && updCond, updated).otherwise(target).as(f.name)
+    }
+    val insertExprs = outFields.map { f =>
+      whenNotMatchedInsert match {
+        case Some(m) => m.get(f.name).map(_.cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        case None => // default: insert source columns matching target names
+          (if (srcCached.columns.contains(f.name)) col(s"s.${f.name}").cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+      }
+    }
+
+    val survivors = joined
+      .filter(tOnly || (matched && !coalesce(delCond, lit(false))))
+      .select(keptOrUpdated: _*)
+    val inserts =
+      if (insertWhenNotMatched) joined.filter(sOnly).select(insertExprs: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
+    val result = survivors.unionByName(inserts)
+
+    val newFiles = GraftWriter.write(spark, result, m0, m0.currentSchemaId, m0.defaultSpecId)
+    val newManifests = if (newFiles.isEmpty) Nil else Seq(writeManifest(m0, newFiles))
+    try {
+      commitSnapshot("merge", statementId, Map(
+        "rewritten-data-files" -> candidates.size.toString,
+        "added-data-files" -> newFiles.size.toString)) { m =>
+        replaceFiles(m, candidatePaths, newManifests, requireAllLive = true)
+      }
+    } finally srcCached.unpersist()
+  }
+}

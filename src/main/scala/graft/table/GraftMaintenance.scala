@@ -1,0 +1,192 @@
+package graft.table
+
+import graft.format._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Table-health snapshot driving "when to maintain" decisions
+  * (reference docs/10-maintenance-operations.md:113-139).
+  */
+case class TableHealth(
+    dataFileCount: Long,
+    avgFileSizeBytes: Long,
+    snapshotCount: Int,
+    manifestCount: Int,
+    deleteFileCount: Long,
+    deleteRatio: Double,
+    totalRecords: Long,
+    totalBytes: Long) {
+  /** The reference's thresholds (docs/10:119-123). */
+  def needsCompaction: Boolean = (avgFileSizeBytes < 100L * 1024 * 1024 && dataFileCount > 1) ||
+    deleteRatio > 0.10
+  def needsSnapshotExpiry: Boolean = snapshotCount > 100
+  def needsManifestRewrite: Boolean = manifestCount > 100
+}
+
+/** Maintenance operators (reference docs/10): compaction, manifest rewrite,
+  * snapshot expiry, orphan removal — each is itself a snapshot-producing (or
+  * metadata-only) commit, so maintenance is transactional like any DML.
+  */
+trait GraftMaintenance { self: GraftTable =>
+
+  /** ALTER TABLE ... COMPACT (docs/10:20-49, docs/09:129-154): merge small
+    * files into ~target-size files; applies outstanding position deletes
+    * (docs/01:107 "compaction restores read performance" for MOR); optional
+    * `where` restricts to matching partitions/files. If CLUSTER BY is set the
+    * rewrite is range-partitioned + sorted to tighten min/max bounds (D12,
+    * docs/09:156-168).
+    */
+  def compact(spark: SparkSession, targetFileSizeBytes: Option[Long] = None,
+              where: Seq[Predicate] = Nil, statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, where)
+    val candidates = scan0.dataFiles
+    if (candidates.isEmpty)
+      return commitSnapshot("replace", statementId, Map("compacted-data-files" -> "0")) { m =>
+        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      }
+    val target = targetFileSizeBytes
+      .orElse(m0.properties.get(TableProperties.TargetFileSize).map(_.toLong))
+      .getOrElse(128L * 1024 * 1024) // docs/10:40-41 example target
+    val totalBytes = candidates.map(_.fileSizeBytes).sum
+    val totalRows = candidates.map(_.recordCount).sum.max(1L)
+    val rowBytes = (totalBytes / totalRows).max(1L)
+
+    val rows = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
+    // observed row width feeds future writes' maxRecordsPerFile estimate
+    val m1 = m0.copy(properties = m0.properties +
+      ("write.estimated-row-size-bytes" -> rowBytes.toString) +
+      (TableProperties.TargetFileSize -> target.toString))
+    val numFiles = math.max(1L, totalBytes / target).toInt
+    val arranged = if (m0.defaultSpec.isPartitioned) rows else rows.repartition(numFiles)
+    val newFiles = GraftWriter.write(spark, arranged, m1, m0.currentSchemaId, m0.defaultSpecId)
+    val newManifests = if (newFiles.isEmpty) Nil else Seq(writeManifest(m0, newFiles))
+    val candidatePaths = candidates.map(_.path).toSet
+    val compactedAll = where.isEmpty
+
+    val snap = commitSnapshot("replace", statementId, Map(
+      "compacted-data-files" -> candidates.size.toString,
+      "added-data-files" -> newFiles.size.toString)) { m =>
+      val kept = replaceFiles(m, candidatePaths, newManifests, requireAllLive = true)
+      // deletes were folded into the rewrite; drop delete manifests when the
+      // whole table was compacted (their rows now reference only dead paths)
+      if (compactedAll) kept.filter(_.content == "data") else kept
+    }
+    // persist the observed row width so future writes size files correctly
+    setProperty("write.estimated-row-size-bytes", rowBytes.toString)
+    snap
+  }
+
+  /** ALTER TABLE ... REWRITE MANIFESTS (docs/10:80-95): consolidate many small
+    * manifests into ~one per partition spec — metadata-only, no data IO.
+    */
+  def rewriteManifests(statementId: Option[String] = None): Snapshot =
+    commitSnapshot("replace", statementId, Map("manifests-rewritten" -> "true")) { m =>
+      val existing = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      val (dataMfs, delMfs) = existing.partition(_.content == "data")
+      val regrouped = dataMfs.flatMap(readManifest(m, _))
+        .groupBy(_.specId).toSeq.sortBy(_._1)
+        .map { case (_, files) => writeManifest(m, files) }
+      regrouped ++ delMfs
+    }
+
+  /** EXPIRE SNAPSHOTS (docs/05-snapshots-time-travel.md:101-119, docs/10:53-78):
+    * drop snapshots older than `olderThanMs` (always retaining the current one,
+    * ref targets, and the newest `retainLast`), then physically delete
+    * manifest lists / manifests / data files no longer reachable from any
+    * retained snapshot. Irreversible; bounds time travel (docs/10:76).
+    */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): (Int, Int) = {
+    var removedSnaps = 0
+    var removedFiles = 0
+    commitMetadata() { m =>
+      val byAge = m.snapshots.sortBy(_.sequenceNumber)
+      val keepIds = (byAge.filter(_.timestampMs > olderThanMs).map(_.snapshotId) ++
+        byAge.takeRight(math.max(1, retainLast)).map(_.snapshotId) ++
+        m.currentSnapshotId.toSeq ++ m.refs.values).toSet
+      val (kept, expired) = m.snapshots.partition(s => keepIds.contains(s.snapshotId))
+      removedSnaps = expired.size
+      if (expired.isEmpty) m
+      else {
+        // reachability: every metadata/data path referenced by kept snapshots
+        def reach(ss: Seq[Snapshot]): (Set[String], Set[String]) = {
+          val mls = ss.map(_.manifestListPath).toSet
+          val mfs = ss.flatMap(s => readManifestList(m, s))
+          (mls ++ mfs.map(_.path).toSet,
+            mfs.flatMap(readManifest(m, _)).map(_.path).toSet)
+        }
+        val (keptMeta, keptData) = reach(kept)
+        val (expMeta, expData) = reach(expired)
+        val doomed = (expMeta -- keptMeta) ++ (expData -- keptData)
+        doomed.foreach { rel =>
+          if (Files.deleteIfExists(Paths.get(GraftUtil.resolve(m.location, rel)))) removedFiles += 1
+        }
+        m.copy(snapshots = kept,
+          statementLog = m.statementLog.filter { case (_, sid) => keepIds.contains(sid) })
+      }
+    }
+    (removedSnaps, removedFiles)
+  }
+
+  /** Expire per the DATA_RETENTION_TIME_IN_DAYS property (docs/05:88-95;
+    * default 1 day, docs/01:155).
+    */
+  def expirePerRetention(): (Int, Int) = {
+    val days = meta.property(TableProperties.RetentionDays, "1").toDouble
+    expireSnapshots(System.currentTimeMillis() - (days * 86400000L).toLong)
+  }
+
+  /** REMOVE ORPHAN FILES (docs/10:97-111): files under the table location
+    * referenced by NO snapshot — leftovers of failed/aborted writes. Only
+    * files older than `olderThanMs` are removed (docs/10:107 recommends a
+    * safety window so in-flight commits aren't clobbered).
+    */
+  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val (_, m) = load()
+    val referenced: Set[String] =
+      m.snapshots.flatMap { s =>
+        val mfs = readManifestList(m, s)
+        s.manifestListPath +: (mfs.map(_.path) ++ mfs.flatMap(readManifest(m, _)).map(_.path))
+      }.toSet ++ Set("metadata/version-hint.text")
+    val root = Paths.get(m.location)
+    val all = GraftUtil.listFilesRecursively(root.resolve("data"), "") ++
+      GraftUtil.listFilesRecursively(root.resolve("metadata"), "")
+        .filterNot(_.getFileName.toString.matches("v\\d+\\.metadata\\.json|version-hint.*"))
+    val orphans = all.filter { p =>
+      val rel = GraftUtil.relativize(m.location, p.toString)
+      !referenced.contains(rel) && Files.getLastModifiedTime(p).toMillis < olderThanMs
+    }
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.map(p => GraftUtil.relativize(m.location, p.toString))
+  }
+
+  /** O6: current health vs the reference's thresholds (docs/10:113-139). */
+  def health(): TableHealth = {
+    val m = meta
+    val mfs = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+    val (dataMfs, delMfs) = mfs.partition(_.content == "data")
+    val dataFiles = dataMfs.map(_.fileCount.toLong).sum
+    val delFiles = delMfs.map(_.fileCount.toLong).sum
+    val bytes = dataMfs.flatMap(readManifest(m, _)).map(_.fileSizeBytes).sum
+    TableHealth(
+      dataFileCount = dataFiles,
+      avgFileSizeBytes = if (dataFiles == 0) 0 else bytes / dataFiles,
+      snapshotCount = m.snapshots.size,
+      manifestCount = mfs.size,
+      deleteFileCount = delFiles,
+      deleteRatio = if (dataFiles == 0) 0.0 else delFiles.toDouble / dataFiles,
+      totalRecords = dataMfs.map(_.recordCount).sum,
+      totalBytes = bytes)
+  }
+
+  /** O5 auto-maintenance: run what health says is needed (docs/01:149-168). */
+  def maintain(spark: SparkSession): TableHealth = {
+    val h = health()
+    if (h.needsCompaction) compact(spark)
+    if (h.needsManifestRewrite) rewriteManifests()
+    if (h.needsSnapshotExpiry) expirePerRetention()
+    removeOrphanFiles(System.currentTimeMillis() - 3600_000L)
+    health()
+  }
+}

@@ -1,0 +1,243 @@
+package graft.table
+
+import graft.format._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Paths
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Per-scan planning metrics — the engine-side source for QUERY_HISTORY-style
+  * pruning observability (reference docs/09-query-performance.md:90-99,
+  * 180-194: partitions_scanned vs partitions_total, bytes_scanned).
+  */
+case class ScanMetrics(
+    table: String,
+    snapshotId: Long,
+    predicate: String,
+    manifestsTotal: Int,
+    manifestsScanned: Int,
+    filesTotal: Long,
+    filesScanned: Long,
+    partitionsTotal: Long,
+    partitionsScanned: Long,
+    bytesTotal: Long,
+    bytesScanned: Long,
+    rowsInScannedFiles: Long,
+    timestampMs: Long)
+
+/** In-process QUERY_HISTORY (docs/09:180-194). */
+object QueryHistory {
+  private val entries = new ConcurrentLinkedQueue[ScanMetrics]()
+  def record(m: ScanMetrics): Unit = entries.add(m)
+  def clear(): Unit = entries.clear()
+  def all: Seq[ScanMetrics] = entries.asScala.toVector
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    all.toDF()
+  }
+}
+
+/** A snapshot-pinned scan: two-phase driver-side pruning (manifest partition
+  * summaries, then per-file partition tuples + column min/max stats) followed
+  * by a parquet DataFrame over exactly the surviving files (reference
+  * docs/09:17-44 phases 1-2; phase 3 row-group pruning is delegated to
+  * Spark's parquet reader via pushed filters, docs/09:46-55).
+  *
+  * Snapshot isolation is structural: the scan holds one immutable snapshot,
+  * so concurrent commits cannot affect it (docs/08:30-49).
+  */
+class GraftScan(
+    val table: GraftTable,
+    val meta: TableMetadata,
+    val snapshot: Option[Snapshot],
+    val predicates: Seq[Predicate]) {
+
+  def withFilter(more: Predicate*): GraftScan =
+    new GraftScan(table, meta, snapshot, predicates ++ more)
+
+  private def readManifestList(s: Snapshot): Seq[ManifestMeta] =
+    MetaJson.manifestListFromJson(
+      GraftUtil.readString(Paths.get(GraftUtil.resolve(meta.location, s.manifestListPath))))
+
+  private def readManifest(m: ManifestMeta): Seq[DataFile] =
+    MetaJson.manifestFromJson(
+      GraftUtil.readString(Paths.get(GraftUtil.resolve(meta.location, m.path))))
+
+  /** Look up the source field for a partition field, preferring `schemaId`. */
+  private def sourceField(sourceId: Int, schemaId: Int): Option[StructField] =
+    meta.schemas.get(schemaId).flatMap(s => s.fields.find(f => GraftSchema.fieldId(f) == sourceId))
+      .orElse(meta.schemas.values.flatMap(_.fields).find(f => GraftSchema.fieldId(f) == sourceId))
+
+  private val pred = Predicate.all(predicates)
+
+  /** Phase-1 context from a manifest's partition summaries. */
+  private def manifestCtx(mf: ManifestMeta): Predicate.PruneContext = {
+    val spec = meta.specs.getOrElse(mf.specId, PartitionSpec.unpartitioned)
+    val schema = meta.currentSchema
+    Predicate.PruneContext(
+      schema,
+      _ => None,
+      colName => spec.fields.flatMap { pf =>
+        for {
+          src <- sourceField(pf.sourceId, meta.currentSchemaId) if src.name == colName
+          summary <- mf.partitionSummaries.get(pf.name)
+        } yield {
+          val outDt = pf.transform.resultType(src.dataType)
+          val lo = summary.lower.map(Canonical.fromJsonString(outDt, _))
+          val hi = summary.upper.map(Canonical.fromJsonString(outDt, _))
+          val nulls: Option[Long] = if (summary.containsNull) None else Some(0L)
+          (pf.transform, Predicate.Bounds(lo, hi, nulls, None))
+        }
+      })
+  }
+
+  /** Phase-2 context from one file's partition tuple + column stats. */
+  private def fileCtx(f: DataFile): Predicate.PruneContext = {
+    val spec = meta.specs.getOrElse(f.specId, PartitionSpec.unpartitioned)
+    val schema = meta.currentSchema
+    val writeSchema = meta.schemas.getOrElse(f.schemaId, schema)
+    Predicate.PruneContext(
+      schema,
+      colName => schema.fields.find(_.name == colName).flatMap { cur =>
+        val id = GraftSchema.fieldId(cur)
+        f.stats.get(id).map { st =>
+          Predicate.Bounds(
+            st.min.map(Canonical.fromJsonString(cur.dataType, _)),
+            st.max.map(Canonical.fromJsonString(cur.dataType, _)),
+            st.nullCount,
+            Some(f.recordCount))
+        }
+      },
+      colName => spec.fields.flatMap { pf =>
+        for {
+          src <- sourceField(pf.sourceId, f.schemaId) if src.name == colName
+          stored <- f.partition.get(pf.name)
+        } yield {
+          val outDt = pf.transform.resultType(src.dataType)
+          stored match {
+            case Some(s) =>
+              val v = Canonical.fromJsonString(outDt, s)
+              (pf.transform, Predicate.Bounds(Some(v), Some(v), Some(0L), Some(f.recordCount)))
+            case None => // null partition value
+              (pf.transform,
+                Predicate.Bounds(None, None, Some(f.recordCount.max(1L)), Some(f.recordCount.max(1L))))
+          }
+        }
+      })
+  }
+
+  /** @return (surviving data files, all position-delete files, metrics) */
+  lazy val plan: (Seq[DataFile], Seq[DataFile], ScanMetrics) = {
+    snapshot match {
+      case None =>
+        val m = ScanMetrics(table.name, -1L, pred.toString, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+          System.currentTimeMillis())
+        (Nil, Nil, m)
+      case Some(s) =>
+        val manifests = readManifestList(s)
+        val (dataMfs, delMfs) = manifests.partition(_.content == "data")
+        // phase 1: manifest pruning via partition summaries
+        val survivingMfs = dataMfs.filter(mf => Predicate.mayMatch(pred, manifestCtx(mf)))
+        // phase 2: file pruning via partition tuples + column stats
+        val candidates = survivingMfs.flatMap(readManifest)
+        val files = candidates.filter(f => Predicate.mayMatch(pred, fileCtx(f)))
+        val deletes = delMfs.flatMap(readManifest)
+
+        val allFilesCount = dataMfs.map(_.fileCount.toLong).sum
+        val prunedMfFiles = allFilesCount - candidates.size
+        val partitionsOf = (fs: Seq[DataFile]) => fs.map(_.partition).distinct.size.toLong
+        val m = ScanMetrics(
+          table.name, s.snapshotId, pred.toString,
+          manifestsTotal = dataMfs.size,
+          manifestsScanned = survivingMfs.size,
+          filesTotal = allFilesCount,
+          filesScanned = files.size.toLong,
+          partitionsTotal = partitionsOf(candidates), // best effort: within surviving manifests
+          partitionsScanned = partitionsOf(files),
+          bytesTotal = candidates.map(_.fileSizeBytes).sum,
+          bytesScanned = files.map(_.fileSizeBytes).sum,
+          rowsInScannedFiles = files.map(_.recordCount).sum,
+          timestampMs = System.currentTimeMillis())
+        QueryHistory.record(m)
+        (files, deletes, m)
+    }
+  }
+
+  def dataFiles: Seq[DataFile] = plan._1
+  def deleteFiles: Seq[DataFile] = plan._2
+  def metrics: ScanMetrics = plan._3
+
+  /** Build the DataFrame. `withFileMeta=true` adds `_gf_file`/`_gf_pos`
+    * columns (used internally by COW/MOR rewrites).
+    */
+  def toDF(spark: SparkSession, withFileMeta: Boolean = false): DataFrame = {
+    val (files, deletes, _) = plan
+    val df = materialize(spark, files, deletes, withFileMeta)
+    predicates.foldLeft(df)((d, p) => d.filter(p.toColumn))
+  }
+
+  /** Materialize an explicit file set of this snapshot (resolved to the
+    * current schema, position deletes applied) — the COW/MOR rewrite entry
+    * point used by DML, which needs candidate files only.
+    */
+  private[table] def materialize(spark: SparkSession, files: Seq[DataFile],
+                                 deletes: Seq[DataFile], withFileMeta: Boolean): DataFrame = {
+    val current = meta.currentSchema
+    val df0 = readResolved(spark, files, withFileMeta || deletes.nonEmpty)
+    val merged =
+      if (deletes.nonEmpty) {
+        // MOR read merge: data rows minus position deletes (docs/08:104-116).
+        // The delete side is broadcast: bounded by the <10% delete-ratio
+        // health target (docs/10:123) it stays small relative to data.
+        val delPaths = deletes.map(d => GraftUtil.resolve(meta.location, d.path))
+        val delDF = spark.read.parquet(delPaths: _*)
+          .select(col("file_path").as("_gd_file"), col("pos").as("_gd_pos"))
+        df0.join(broadcast(delDF),
+          df0("_gf_file") === delDF("_gd_file") && df0("_gf_pos") === delDF("_gd_pos"),
+          "left_anti")
+      } else df0
+    if (withFileMeta)
+      merged.select((current.fieldNames.map(col) :+ col("_gf_file") :+ col("_gf_pos")): _*)
+    else merged.select(current.fieldNames.map(col): _*)
+  }
+
+  /** Read files grouped by write-schema, resolving each group to the current
+    * schema by column ID (docs/06-schema-evolution.md:75-90): renamed columns
+    * are re-aliased, widened types cast, added columns appear as NULL in
+    * files written before the add. This is the custom read-path resolution
+    * Spark's by-name parquet merging cannot provide.
+    */
+  private def readResolved(spark: SparkSession, files: Seq[DataFile],
+                           fileMeta: Boolean): DataFrame = {
+    val current = meta.currentSchema
+    val outSchema =
+      if (fileMeta) StructType(current.fields :+
+        StructField("_gf_file", StringType) :+ StructField("_gf_pos", LongType))
+      else current
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    val groups = files.groupBy(_.schemaId)
+    val dfs = groups.toSeq.sortBy(_._1).map { case (schemaId, fs) =>
+      val writeSchema = meta.schemas.getOrElse(schemaId, current)
+      val paths = fs.map(f => GraftUtil.resolve(meta.location, f.path))
+      val raw = spark.read.schema(writeSchema).parquet(paths: _*)
+      val byId = GraftSchema.idToField(writeSchema)
+      val cols = current.fields.map { cur =>
+        val id = GraftSchema.fieldId(cur)
+        byId.get(id) match {
+          case Some(w) => col(w.name).cast(cur.dataType).as(cur.name)
+          case None => lit(null).cast(cur.dataType).as(cur.name) // added after this file
+        }
+      }
+      val metaCols =
+        if (fileMeta) Seq(col("_metadata.file_path").as("_gf_file"),
+          col("_metadata.row_index").as("_gf_pos"))
+        else Nil
+      raw.select(cols ++ metaCols: _*)
+    }
+    dfs.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,248 @@
+package graft.table
+
+import graft.catalog.{CommitConflictException, GraftCatalog}
+import graft.format._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Paths
+
+/** A Graft table: the user-facing handle over the metadata tree.
+  *
+  * Handles are stateless — every operation loads the current metadata
+  * pointer, giving each query snapshot isolation for free (reference
+  * docs/08-acid-transactions.md:30-49: a query binds to one snapshot at
+  * start; immutable files do the rest) and making handles safe to share.
+  */
+class GraftTable(val catalog: GraftCatalog, val name: String)
+    extends GraftDml with GraftMaintenance with GraftEvolution with GraftMetaTables {
+
+  def load(): (Int, TableMetadata) = catalog.loadMetadata(name)
+  def meta: TableMetadata = load()._2
+  def schema: org.apache.spark.sql.types.StructType = meta.currentSchema
+  def location: String = meta.location
+  def properties: Map[String, String] = meta.properties
+
+  // -------------------------------------------------------------------
+  // Scans + time travel (docs/05-snapshots-time-travel.md:60-80)
+  // -------------------------------------------------------------------
+
+  def scan(predicates: Predicate*): GraftScan = {
+    val m = meta
+    new GraftScan(this, m, m.currentSnapshot, predicates)
+  }
+
+  def toDF(spark: SparkSession, predicates: Predicate*): DataFrame =
+    scan(predicates: _*).toDF(spark)
+
+  /** AT(SNAPSHOT_ID => id) — also resolves branch/tag refs (docs/05:141-171). */
+  def atSnapshot(id: Long, predicates: Predicate*): GraftScan = {
+    val m = meta
+    val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
+    new GraftScan(this, m, Some(snap), predicates)
+  }
+
+  def atRef(ref: String, predicates: Predicate*): GraftScan = {
+    val m = meta
+    val id = m.refs.getOrElse(ref, sys.error(s"unknown ref $ref"))
+    atSnapshot(id, predicates: _*)
+  }
+
+  /** AT(TIMESTAMP => ts): latest snapshot with timestamp <= ts (docs/05:60-64). */
+  def asOf(timestampMs: Long, predicates: Predicate*): GraftScan = {
+    val m = meta
+    val snap = m.snapshots.filter(_.timestampMs <= timestampMs)
+      .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
+    new GraftScan(this, m, snap, predicates)
+  }
+
+  /** AT(OFFSET => -seconds) (docs/05:65-67). */
+  def atOffset(offsetSeconds: Long, predicates: Predicate*): GraftScan =
+    asOf(System.currentTimeMillis() + offsetSeconds * 1000L, predicates: _*)
+
+  /** BEFORE(STATEMENT => id): state just before the statement's commit
+    * (docs/05:69-72).
+    */
+  def before(statementId: String, predicates: Predicate*): GraftScan = {
+    val m = meta
+    val snapId = m.statementLog.find(_._1 == statementId)
+      .getOrElse(sys.error(s"unknown statement $statementId"))._2
+    val snap = m.snapshot(snapId).getOrElse(sys.error(s"snapshot $snapId expired"))
+    new GraftScan(this, m, snap.parentId.flatMap(m.snapshot), predicates)
+  }
+
+  // -------------------------------------------------------------------
+  // Commit machinery (docs/08:16-28 atomic commit; 53-78 OCC retry)
+  // -------------------------------------------------------------------
+
+  private[table] def metadataDir: String = Paths.get(location, "metadata").toString
+
+  private[table] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestMeta] =
+    MetaJson.manifestListFromJson(
+      GraftUtil.readString(Paths.get(GraftUtil.resolve(m.location, s.manifestListPath))))
+
+  private[table] def readManifest(m: TableMetadata, mf: ManifestMeta): Seq[DataFile] =
+    MetaJson.manifestFromJson(
+      GraftUtil.readString(Paths.get(GraftUtil.resolve(m.location, mf.path))))
+
+  /** Write one manifest file + compute its partition summaries (docs/03:77-109). */
+  private[table] def writeManifest(m: TableMetadata, files: Seq[DataFile],
+                                   content: String = "data"): ManifestMeta = {
+    require(files.nonEmpty, "manifest must not be empty")
+    val relPath = s"metadata/manifest-${java.util.UUID.randomUUID()}.json"
+    GraftUtil.writeStringAtomic(
+      Paths.get(GraftUtil.resolve(m.location, relPath)), MetaJson.manifestToJson(files))
+    val specId = files.head.specId
+    val spec = m.specs.getOrElse(specId, PartitionSpec.unpartitioned)
+    val summaries = spec.fields.map { pf =>
+      val srcDt = m.schemas.values.flatMap(_.fields)
+        .find(f => GraftSchema.fieldId(f) == pf.sourceId).map(_.dataType)
+      val outDt = srcDt.map(pf.transform.resultType)
+      val vals = files.flatMap(_.partition.get(pf.name))
+      val nonNull = vals.flatten
+      val canon = outDt.map(dt => nonNull.map(Canonical.fromJsonString(dt, _))).getOrElse(Nil)
+      val lower = canon.reduceOption((a, b) => if (Canonical.compare(a, b) <= 0) a else b)
+      val upper = canon.reduceOption((a, b) => if (Canonical.compare(a, b) >= 0) a else b)
+      pf.name -> FieldSummary(
+        lower.zip(outDt).map { case (v, dt) => Canonical.toJsonString(dt, v) }.headOption,
+        upper.zip(outDt).map { case (v, dt) => Canonical.toJsonString(dt, v) }.headOption,
+        containsNull = vals.exists(_.isEmpty))
+    }.toMap
+    ManifestMeta(relPath, content, files.size, files.map(_.recordCount).sum, specId, summaries)
+  }
+
+  private[table] def writeManifestList(m: TableMetadata, snapshotId: Long,
+                                       manifests: Seq[ManifestMeta]): String = {
+    val relPath = s"metadata/snap-$snapshotId-${java.util.UUID.randomUUID()}.manifest-list.json"
+    GraftUtil.writeStringAtomic(
+      Paths.get(GraftUtil.resolve(m.location, relPath)), MetaJson.manifestListToJson(manifests))
+    relPath
+  }
+
+  /** Assemble + commit a snapshot from a full manifest set. Retries CAS
+    * conflicts by re-running `manifestsFor` against the fresh base
+    * (docs/08:55-69); `manifestsFor` may throw CommitConflictException to
+    * abort (e.g. a COW rewrite whose source files were concurrently removed).
+    */
+  private[table] def commitSnapshot(
+      operation: String,
+      statementId: Option[String],
+      extraSummary: Map[String, String] = Map.empty,
+      maxAttempts: Int = 5)(
+      manifestsFor: TableMetadata => Seq[ManifestMeta]): Snapshot = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val (v, m) = load()
+      val manifests = manifestsFor(m)
+      val snapId = m.lastSequenceNumber + 1
+      val dataMfs = manifests.filter(_.content == "data")
+      val mlPath = writeManifestList(m, snapId, manifests)
+      val stmt = statementId.getOrElse(java.util.UUID.randomUUID().toString)
+      val snap = Snapshot(
+        snapshotId = snapId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = snapId,
+        timestampMs = System.currentTimeMillis(),
+        operation = operation,
+        summary = extraSummary ++ Map(
+          "statement-id" -> stmt,
+          "total-data-files" -> dataMfs.map(_.fileCount.toLong).sum.toString,
+          "total-records" -> dataMfs.map(_.recordCount).sum.toString,
+          "total-delete-files" ->
+            manifests.filter(_.content == "position-deletes").map(_.fileCount.toLong).sum.toString),
+        manifestListPath = mlPath,
+        schemaId = m.currentSchemaId,
+        specId = m.defaultSpecId)
+      val next = m.copy(
+        lastSequenceNumber = snapId,
+        snapshots = m.snapshots :+ snap,
+        currentSnapshotId = Some(snapId),
+        statementLog = m.statementLog :+ (stmt -> snapId))
+      try {
+        catalog.commit(name, v, next)
+        return snap
+      } catch {
+        case e: CommitConflictException if attempt < maxAttempts => // retry from new base
+        case e: CommitConflictException =>
+          throw new CommitConflictException(s"$name: giving up after $attempt attempts: ${e.getMessage}")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Commit a metadata-only change (schema evolution, properties, refs). */
+  private[table] def commitMetadata(maxAttempts: Int = 5)(
+      f: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val (v, m) = load()
+      val next = f(m)
+      try { catalog.commit(name, v, next); return next }
+      catch { case e: CommitConflictException if attempt < maxAttempts => }
+    }
+    sys.error("unreachable")
+  }
+
+  // -------------------------------------------------------------------
+  // Writes
+  // -------------------------------------------------------------------
+
+  /** INSERT INTO ... (append): write files once, commit with retry — disjoint
+    * appends always succeed (docs/08:83-96).
+    */
+  def append(spark: SparkSession, df: DataFrame, statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val newFiles = GraftWriter.write(spark, df, m0, m0.currentSchemaId, m0.defaultSpecId)
+    if (newFiles.isEmpty) {
+      // empty input: still a (no-op) snapshot so the statement is recorded
+      return commitSnapshot("append", statementId,
+        Map("added-data-files" -> "0", "added-records" -> "0")) { m =>
+        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      }
+    }
+    val newManifest = writeManifest(m0, newFiles)
+    commitSnapshot("append", statementId, Map(
+      "added-data-files" -> newFiles.size.toString,
+      "added-records" -> newFiles.map(_.recordCount).sum.toString)) { m =>
+      m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil) :+ newManifest
+    }
+  }
+
+  /** INSERT OVERWRITE semantics: replace the whole table content. */
+  def overwrite(spark: SparkSession, df: DataFrame, statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val newFiles = GraftWriter.write(spark, df, m0, m0.currentSchemaId, m0.defaultSpecId)
+    val manifests = if (newFiles.isEmpty) Nil else Seq(writeManifest(m0, newFiles))
+    commitSnapshot("overwrite", statementId, Map(
+      "added-data-files" -> newFiles.size.toString,
+      "added-records" -> newFiles.map(_.recordCount).sum.toString))(_ => manifests)
+  }
+
+  /** Live data files of the current (or given) snapshot. */
+  def liveFiles(m: TableMetadata, s: Option[Snapshot]): Seq[DataFile] =
+    s.map(sn => readManifestList(m, sn).filter(_.content == "data").flatMap(readManifest(m, _)))
+      .getOrElse(Nil)
+
+  /** ROLLBACK: new snapshot whose content is an old snapshot's manifest list
+    * (docs/05:151-160) — history is preserved, the rollback is itself a commit.
+    */
+  def rollbackTo(snapshotId: Long, statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val target = m0.snapshot(snapshotId).getOrElse(sys.error(s"snapshot $snapshotId not found"))
+    commitSnapshot("rollback", statementId,
+      Map("rolled-back-to" -> snapshotId.toString)) { m => readManifestList(m, target) }
+  }
+
+  /** Branch/tag refs (docs/05:141-149). */
+  def setRef(refName: String, snapshotId: Long): TableMetadata =
+    commitMetadata() { m =>
+      require(m.snapshot(snapshotId).isDefined, s"snapshot $snapshotId not found")
+      m.copy(refs = m.refs + (refName -> snapshotId))
+    }
+
+  def setProperty(key: String, value: String): TableMetadata =
+    commitMetadata()(m => m.copy(properties = m.properties + (key -> value)))
+
+  def removeProperty(key: String): TableMetadata =
+    commitMetadata()(m => m.copy(properties = m.properties - key))
+}

@@ -1,0 +1,133 @@
+package graft.table
+
+import graft.format._
+import graft.io.ParquetStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Paths
+
+/** Data-plane writer: turns a DataFrame into immutable parquet data files +
+  * their manifest entries (reference: docs/08-acid-transactions.md:25 step 1).
+  *
+  * Scale design:
+  *   - data files are written by executors via the normal parquet sink
+  *     (whole-stage codegen, vectorized writers);
+  *   - rows are clustered to their partition with ONE hash shuffle on the
+  *     derived partition columns, so each partition value is produced by a
+  *     single task -> no small-file explosion (docs/09:129-137). With AQE on,
+  *     skewed partitions are split at runtime;
+  *   - optional range-clustering (ALTER ... CLUSTER BY, docs/09:156-168)
+  *     replaces the hash shuffle with repartitionByRange + sortWithinPartitions
+  *     to tighten min/max bounds for data skipping;
+  *   - file sizes are bounded with maxRecordsPerFile derived from the
+  *     table's TARGET_FILE_SIZE property (docs/02:90-95) and an estimated
+  *     row width;
+  *   - per-file stats come from parquet footers (driver, KB-sized reads) —
+  *     never from re-scanning the written data.
+  */
+object GraftWriter {
+
+  private val PartPrefix = "_gp_"
+
+  /** Write `df` under `<root>/data/<uuid>/` partitioned per `spec`; returns
+    * manifest entries for the new files.
+    */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      meta: TableMetadata,
+      schemaId: Int,
+      specId: Int,
+      cluster: Boolean = true): Seq[DataFile] = {
+    val schema = meta.schemas(schemaId)
+    val spec = meta.specs(specId)
+    val idToField = GraftSchema.idToField(schema)
+    val root = meta.location
+    val writeDir = Paths.get(root, "data", java.util.UUID.randomUUID().toString).toString
+
+    // align to the table schema (order + types); timestamps written as micros
+    // so footer stats decode deterministically
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
+    val partCols = spec.fields.map { pf =>
+      val src = idToField(pf.sourceId)
+      pf.transform.toColumn(col(src.name), src.dataType).as(PartPrefix + pf.name)
+    }
+    val partNames = spec.fields.map(pf => PartPrefix + pf.name)
+
+    val clusterBy = meta.property(TableProperties.ClusterBy, "").split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+    val withParts = aligned.select(col("*") +: partCols: _*)
+    val arranged =
+      if (clusterBy.nonEmpty)
+        withParts.repartitionByRange((partNames.map(col) ++ clusterBy.map(col)): _*)
+          .sortWithinPartitions((partNames ++ clusterBy).map(col): _*)
+      else if (spec.isPartitioned && cluster)
+        withParts.repartition(partNames.map(col): _*)
+      else withParts
+
+    var writer = arranged.write.mode("append")
+    maxRecordsPerFile(meta).foreach(n => writer = writer.option("maxRecordsPerFile", n))
+    if (spec.isPartitioned) writer = writer.partitionBy(partNames: _*)
+    writer.parquet(writeDir)
+
+    collectDataFiles(spark, writeDir, meta, schemaId, specId)
+  }
+
+  /** TARGET_FILE_SIZE -> maxRecordsPerFile using an estimated row width.
+    * The estimate is a table property (set by compaction after observing real
+    * files) falling back to a conservative 256 B/row.
+    */
+  private def maxRecordsPerFile(meta: TableMetadata): Option[Long] = {
+    meta.properties.get(TableProperties.TargetFileSize).map { s =>
+      val target = s.toLong
+      val rowBytes = meta.property("write.estimated-row-size-bytes", "256").toLong
+      math.max(1000L, target / math.max(1L, rowBytes))
+    }
+  }
+
+  /** Enumerate freshly written files, parse their partition tuples from the
+    * directory layout, and read footer stats.
+    */
+  def collectDataFiles(
+      spark: SparkSession,
+      writeDir: String,
+      meta: TableMetadata,
+      schemaId: Int,
+      specId: Int): Seq[DataFile] = {
+    val schema = meta.schemas(schemaId)
+    val spec = meta.specs(specId)
+    val idToField = GraftSchema.idToField(schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = GraftUtil.listFilesRecursively(Paths.get(writeDir), ".parquet")
+
+    files.map { p =>
+      val rel = GraftUtil.relativize(meta.location, p.toString)
+      // partition tuple from dir segments "_gp_<name>=<value>"
+      val segs = Paths.get(writeDir).relativize(p).iterator()
+      val kvs = scala.collection.mutable.Map[String, String]()
+      segs.forEachRemaining { seg =>
+        val s = seg.toString
+        val i = s.indexOf('=')
+        if (i > 0 && s.startsWith(PartPrefix)) kvs(s.substring(PartPrefix.length, i)) = s.substring(i + 1)
+      }
+      val partition: Map[String, Option[String]] = spec.fields.map { pf =>
+        val raw = kvs.get(pf.name)
+        val v: Option[String] = raw match {
+          case None => None
+          case Some("__HIVE_DEFAULT_PARTITION__") => None
+          case Some(enc) =>
+            val srcDt = idToField(pf.sourceId).dataType
+            val parsed = pf.transform.parse(srcDt, GraftUtil.unescapePathName(enc))
+            Some(Canonical.toJsonString(pf.transform.resultType(srcDt), parsed))
+        }
+        pf.name -> v
+      }.toMap
+      val (rows, size, stats) = ParquetStats.read(p.toString, schema, conf)
+      DataFile(rel, "data", partition, rows, size, schemaId, specId, stats)
+    }
+  }
+}

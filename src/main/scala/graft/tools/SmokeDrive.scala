@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, Transform}
+import graft.table.QueryHistory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end smoke driver over the public API: builds a Graft table from the
+  * sf0.001 events parquet, exercises append / delete / update / merge /
+  * time-travel / schema evolution / MOR / compaction / metadata tables, and
+  * prints observable results at each step. Run:
+  *   sbt "runMain graft.tools.SmokeDrive"
+  */
+object SmokeDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    println(s"warehouse: $wh")
+    val cat = new GraftCatalog(wh)
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+
+    // D2: partitioned create (hidden partitioning: day(ts))
+    val t = cat.createTable("db.events", events.schema,
+      partitionBy = Seq("ts" -> Transform.Day, "event_type" -> Transform.Identity))
+    // W1 append
+    t.append(spark, events)
+    println(s"rows after append: ${t.toDF(spark).count()} (expect 1000)")
+
+    // S2/S3 pruning: filter on source column ts -> day partitions pruned
+    QueryHistory.clear()
+    val day1 = t.toDF(spark, Predicate.GtEq("ts", java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      Predicate.Lt("ts", java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+    println(s"rows on 2024-01-15: ${day1.count()}")
+    val met = QueryHistory.all.last
+    println(s"pruning: files ${met.filesScanned}/${met.filesTotal}, manifests ${met.manifestsScanned}/${met.manifestsTotal}")
+
+    // W3 COW delete
+    t.delete(spark, Seq(Predicate.Eq("event_type", "click")))
+    println(s"rows after COW delete of clicks: ${t.toDF(spark).count()}")
+    println(s"clicks remaining: ${t.toDF(spark).filter(col("event_type") === "click").count()} (expect 0)")
+
+    // W6 update
+    t.update(spark, Map("value" -> (col("value") * 2)), Seq(Predicate.Eq("event_type", "view")))
+    println(s"sum(value) views after 2x update: ${t.toDF(spark).filter(col("event_type") === "view").agg(sum("value")).head.getDouble(0)}")
+
+    // time travel S8/S11
+    val snaps = t.meta.snapshots
+    println(s"snapshots: ${snaps.map(s => s"${s.snapshotId}:${s.operation}").mkString(", ")}")
+    val afterAppend = t.atSnapshot(snaps.head.snapshotId).toDF(spark).count()
+    println(s"time travel to first snapshot: $afterAppend rows (expect 1000)")
+
+    // W7 merge: upsert aggregated daily counts into a second table
+    val gold = cat.createTable("db.gold",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))))
+    val agg = t.toDF(spark).groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    gold.append(spark, agg.limit(10)) // seed partial
+    gold.merge(spark, agg, Seq("day" -> "day", "event_type" -> "event_type"),
+      whenMatchedUpdate = Map("cnt" -> col("s.cnt")))
+    println(s"gold rows after merge: ${gold.toDF(spark).count()} vs agg rows ${agg.count()}")
+
+    // schema evolution D6-D9
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    t.renameColumn("value", "amount")
+    t.widenColumn("user_id", org.apache.spark.sql.types.LongType)
+    val evolved = t.toDF(spark)
+    println(s"evolved schema: ${evolved.columns.mkString(",")}")
+    println(s"old files readable post-evolution: ${evolved.count()} rows; null notes: ${evolved.filter(col("note").isNull).count()}")
+
+    // MOR delete W4 + S4
+    t.setProperty("enable-iceberg-merge-on-read", "true")
+    val before = t.toDF(spark).count()
+    t.delete(spark, Seq(Predicate.Eq("event_type", "purchase")))
+    val after = t.toDF(spark).count()
+    println(s"MOR delete purchases: $before -> $after; delete files: ${t.scan().deleteFiles.size}")
+
+    // O1 compaction folds MOR deletes
+    t.compact(spark)
+    println(s"after compact: ${t.toDF(spark).count()} rows; delete files now: ${t.scan().deleteFiles.size}")
+    println(s"health: ${t.health()}")
+
+    // metadata tables M1/M3
+    println("snapshotsDF:")
+    t.snapshotsDF(spark).select("snapshot_id", "operation").show(100, false)
+    println(s"filesDF count: ${t.filesDF(spark).count()}")
+
+    // rollback + refs
+    t.setRef("pre-compact", snaps.head.snapshotId)
+    println(s"ref read: ${t.atRef("pre-compact").toDF(spark).count()} (expect 1000)")
+
+    spark.stop()
+    println("SMOKE OK")
+  }
+}
