@@ -1,0 +1,212 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, Transform}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end table-format behavior against the reference's worked examples:
+  * snapshot lineage (docs/05:8-15), isolation (docs/05:126-135, docs/08:35-45),
+  * DML semantics (docs/08), COW ≡ MOR (docs/08:104-116), expiration
+  * invariants (docs/05:115-119), concurrent commits (docs/08:57-69).
+  */
+class GraftTableSpec extends SparkSpec {
+
+  private def mkDf(rows: Seq[(Long, String, Double)]): DataFrame =
+    spark.createDataFrame(
+      rows.map { case (a, b, c) => Row(a, b, c) }.asJava,
+      StructType(Seq(
+        StructField("id", LongType), StructField("cat", StringType),
+        StructField("v", DoubleType))))
+
+  private val base = Seq(
+    (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0), (5L, "c", 5.0))
+
+  private def newTable(name: String, partitioned: Boolean = false,
+                       props: Map[String, String] = Map.empty): GraftTable = {
+    val cat = new GraftCatalog(tempWarehouse())
+    cat.createTable(s"db.$name", mkDf(Nil).schema,
+      partitionBy = if (partitioned) Seq("cat" -> Transform.Identity) else Nil,
+      properties = props)
+  }
+
+  private def contents(t: GraftTable): Set[(Long, String, Double)] =
+    t.toDF(spark).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("append then scan returns exactly the appended rows") {
+    val t = newTable("t_append")
+    t.append(spark, mkDf(base))
+    assert(contents(t) == base.toSet)
+  }
+
+  test("snapshot isolation: an open scan is unaffected by later commits (docs/08:30-49)") {
+    val t = newTable("t_iso")
+    t.append(spark, mkDf(base))
+    val scanBefore = t.scan() // binds to snapshot 1
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")))
+    assert(scanBefore.toDF(spark).count() == 5) // still sees pre-delete state
+    assert(t.toDF(spark).count() == 3)
+  }
+
+  test("COW delete rewrites only candidate files (docs/08:99-110)") {
+    val t = newTable("t_cow", partitioned = true)
+    t.append(spark, mkDf(base))
+    val filesBefore = t.scan().dataFiles.map(_.path).toSet
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")))
+    val filesAfter = t.scan().dataFiles.map(_.path).toSet
+    // files for cat=b and cat=c must be carried forward untouched
+    val untouched = filesBefore.filter(p => p.contains("cat=b") || p.contains("cat=c"))
+    assert(untouched.subsetOf(filesAfter))
+    assert(contents(t) == base.filterNot(_._2 == "a").toSet)
+  }
+
+  test("UPDATE applies expressions to matching rows only (docs/08:119-130)") {
+    val t = newTable("t_upd")
+    t.append(spark, mkDf(base))
+    t.update(spark, Map("v" -> (col("v") * 10)), Seq(Predicate.Eq("cat", "b")))
+    assert(contents(t) == Set(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 30.0), (4L, "b", 40.0), (5L, "c", 5.0)))
+  }
+
+  test("MERGE routes matched-update / matched-delete / not-matched-insert (docs/08:132-141)") {
+    val t = newTable("t_merge")
+    t.append(spark, mkDf(base))
+    val source = mkDf(Seq((2L, "a", 200.0), (5L, "c", 500.0), (9L, "z", 9.0)))
+    t.merge(spark, source, Seq("id" -> "id"),
+      whenMatchedUpdate = Map("v" -> col("s.v")),
+      whenMatchedDelete = Some(col("s.cat") === "c"))
+    assert(contents(t) == Set(
+      (1L, "a", 1.0), (2L, "a", 200.0), (3L, "b", 3.0), (4L, "b", 4.0), (9L, "z", 9.0)))
+  }
+
+  test("COW and MOR deletes yield identical table contents (docs/08:104-116)") {
+    val cow = newTable("t_cmp_cow")
+    val mor = newTable("t_cmp_mor", props = Map("enable-iceberg-merge-on-read" -> "true"))
+    for (t <- Seq(cow, mor)) {
+      t.append(spark, mkDf(base))
+      t.delete(spark, Seq(Predicate.Gt("v", 2.5), Predicate.Lt("v", 4.5)))
+    }
+    assert(contents(cow) == contents(mor))
+    assert(mor.scan().deleteFiles.nonEmpty)  // MOR really wrote delete files
+    assert(cow.scan().deleteFiles.isEmpty)   // COW really rewrote
+  }
+
+  test("MOR delete then compact folds deletes and preserves contents (docs/01:107)") {
+    val t = newTable("t_mor_c", props = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mkDf(base))
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")))
+    val before = contents(t)
+    t.compact(spark)
+    assert(contents(t) == before)
+    assert(t.scan().deleteFiles.isEmpty)
+  }
+
+  test("time travel: every snapshot re-reads its exact historical state (docs/05:60-80)") {
+    val t = newTable("t_tt")
+    t.append(spark, mkDf(base.take(2)))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(spark, mkDf(base.drop(2)))
+    val s2 = t.meta.currentSnapshotId.get
+    t.delete(spark, Seq(Predicate.Eq("id", 1L)))
+    assert(t.atSnapshot(s1).toDF(spark).count() == 2)
+    assert(t.atSnapshot(s2).toDF(spark).count() == 5)
+    assert(t.toDF(spark).count() == 4)
+  }
+
+  test("rollback restores old content as a NEW commit; history preserved (docs/05:151-160)") {
+    val t = newTable("t_rb")
+    t.append(spark, mkDf(base))
+    val s1 = t.meta.currentSnapshotId.get
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")))
+    t.rollbackTo(s1)
+    assert(contents(t) == base.toSet)
+    assert(t.meta.snapshots.size == 3)
+  }
+
+  test("BEFORE(STATEMENT) reads the state prior to a given commit (docs/05:69-72)") {
+    val t = newTable("t_stmt")
+    t.append(spark, mkDf(base), statementId = Some("stmt-1"))
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")), statementId = Some("stmt-2"))
+    assert(t.before("stmt-2").toDF(spark).count() == 5)
+  }
+
+  test("concurrent appends all succeed via OCC retry (docs/08:57-69)") {
+    val t = newTable("t_conc")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        t.append(spark, mkDf(Seq((i.toLong, s"t$i", i.toDouble))))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.toDF(spark).count() == 4)
+    assert(t.meta.snapshots.size == 4)
+  }
+
+  test("expire snapshots: expired history unreachable, current preserved, files GC'd (docs/05:101-119)") {
+    val t = newTable("t_exp")
+    t.append(spark, mkDf(base.take(2)))
+    val s1 = t.meta.currentSnapshotId.get
+    t.overwrite(spark, mkDf(base.drop(2))) // orphan the first files logically
+    val (removedSnaps, removedFiles) = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(removedSnaps == 1)
+    assert(removedFiles > 0)
+    assert(t.toDF(spark).count() == 3)               // current intact
+    intercept[RuntimeException](t.atSnapshot(s1))    // time travel now fails
+  }
+
+  test("remove orphan files deletes only unreferenced files (docs/10:97-111)") {
+    val t = newTable("t_orph")
+    t.append(spark, mkDf(base))
+    // plant an orphan in the data dir
+    val orphan = java.nio.file.Paths.get(t.location, "data", "orphan.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(removed.exists(_.endsWith("orphan.parquet")))
+    assert(t.toDF(spark).count() == 5) // table intact
+  }
+
+  test("UNDROP recovers a dropped table (docs/01:80)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_drop", mkDf(Nil).schema)
+    t.append(spark, mkDf(base))
+    cat.dropTable("db.t_drop")
+    assert(!cat.tableExists("db.t_drop"))
+    val recovered = cat.undropTable("db.t_drop")
+    assert(recovered.toDF(spark).count() == 5)
+  }
+
+  test("health metrics + rewriteManifests consolidate planning metadata (docs/10)") {
+    val t = newTable("t_health")
+    (1 to 4).foreach(_ => t.append(spark, mkDf(base)))
+    val h1 = t.health()
+    assert(h1.dataFileCount >= 4 && h1.snapshotCount == 4)
+    val mfsBefore = t.manifestsDF(spark).count()
+    t.rewriteManifests()
+    assert(t.manifestsDF(spark).count() <= mfsBefore)
+    assert(t.toDF(spark).count() == 20)
+  }
+
+  test("hidden partition pruning scans only the matching partition's files (docs/07:132-144)") {
+    val t = newTable("t_prune", partitioned = true)
+    t.append(spark, mkDf(base))
+    val sc = t.scan(Predicate.Eq("cat", "a"))
+    val m = sc.metrics
+    assert(m.filesScanned < m.filesTotal)
+    assert(sc.toDF(spark).count() == 2)
+  }
+
+  test("partitioned writes honor bucket + truncate transforms end-to-end") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_bucket", mkDf(Nil).schema,
+      partitionBy = Seq("id" -> Transform.Bucket(4), "cat" -> Transform.Truncate(1)))
+    t.append(spark, mkDf(base))
+    assert(contents(t) == base.toSet)
+    val sc = t.scan(Predicate.Eq("id", 3L))
+    assert(sc.metrics.filesScanned < sc.metrics.filesTotal) // bucket equality pruned
+    assert(sc.toDF(spark).collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+}
