@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable text-analysis column functions for LLM-data pipelines
+  * (SURVEY.md §2.9 X1/X2/X4). All are composed from codegen'd Spark
+  * built-ins (no UDFs): at 100 TB each stays inside WholeStageCodegen and
+  * the only shuffles are the aggregations the caller adds.
+  *
+  * Hashing is md5 throughout — deterministic and portable across engines,
+  * which is what makes signature-based dedup reproducible between runs and
+  * verifiable against external oracles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), c => c =!= "")
+
+  /** BPE-ish segmentation: word runs + punctuation runs. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]+"), lit(0))
+
+  /** Exact-dedup content fingerprint. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Order/multiplicity-insensitive content signature: md5 of the sorted
+    * distinct token set. Groups token-set-identical docs (Jaccard == 1).
+    */
+  def bagOfWordsSignature(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** MinHash signature with k seeded hash functions: the per-seed minimum of
+    * md5(seed || token) over the distinct token set, collapsed to one md5.
+    * Docs sharing the full signature are near-dup candidates; at scale the
+    * signature is the LSH shuffle key.
+    */
+  def minhashSignature(text: Column, k: Int = 4): Column = {
+    require(k >= 1)
+    val minima = (1 to k).map(i =>
+      array_min(transform(array_distinct(tokens(text)), t => md5(concat(lit(i.toString), t)))))
+    md5(minima.reduce(concat(_, _)))
+  }
+
+  /** SimHash over `bits` hex positions of per-token md5s: majority vote per
+    * position; near-dups differ in few bits. Returns a '0'/'1' string.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 32)
+    val bitCols = (1 to bits).map { p =>
+      val vote = aggregate(tokens(text), lit(0),
+        (acc, t) => acc + when(substring(md5(t), p, 1) >= "8", 1).otherwise(-1))
+      when(vote >= 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Stopword ratio given an inline stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, c => c.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Marker-based language-ID heuristic: first matching marker set wins.
+    * `markers` = (lang, tokens that indicate it), checked in order.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])], default: String = "und"): Column = {
+    val t = tokens(text)
+    markers.foldRight(lit(default): Column) { case ((lang, words), els) =>
+      val hit = words.map(w => array_contains(t, w)).reduce(_ && _)
+      when(hit, lang).otherwise(els)
+    }
+  }
+
+  /** Quality gate: token-count bounds + stopword-ratio cap. */
+  def qualityPass(text: Column, minTokens: Long, maxTokens: Long,
+                  stopwords: Seq[String], maxStopRatio: Double): Column =
+    tokenCount(text).between(minTokens, maxTokens) &&
+      stopwordRatio(text, stopwords) < maxStopRatio
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-vector functions for similarity search (SURVEY.md §2.9 X3):
+  * higher-order-function math over `array<float>` columns — stays in
+  * WholeStageCodegen, no UDFs, no driver round-trips.
+  *
+  * Accumulation is in DOUBLE (floats are cast element-wise) so results are
+  * deterministic left-fold sums regardless of Tungsten layout.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosineSimilarity(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast("double") - y.cast("double"); diff * diff
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** Sign-hyperplane LSH bucket over the first `bits` dimensions: a cheap,
+    * exact-arithmetic space partition. At 100 TB this is the partition key —
+    * an ANN probe touches one bucket, not the corpus.
+    */
+  def lshBucket(a: Column, bits: Int = 8): Column =
+    concat_ws("", transform(slice(a, 1, bits),
+      x => when(x >= lit(0.0f), "1").otherwise("0")))
+
+  /** Brute-force exact top-k by cosine against a single query vector (the
+    * correctness baseline; O(n·d) one pass, query broadcast).
+    *
+    * @param df         table with (idCol, vecCol)
+    * @param queryVec   1-row DataFrame with a `q` array column
+    * @return (rank, idCol, sim) rows, rank 1..k
+    */
+  def bruteForceTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val sim = cosineSimilarity(col(vecCol), col("q"))
+    df.crossJoin(broadcast(queryVec))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("sim"))
+  }
+
+  /** LSH-accelerated ANN top-k: restrict the scan to the query's sign bucket
+    * (the scale path; falls back to fewer than k results when the bucket is
+    * small — callers widen `bits` down / probe neighbor buckets as needed).
+    */
+  def lshTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+    val q = queryVec.withColumn("_qbucket", lshBucket(col("q"), bits))
+    val sim = cosineSimilarity(col(vecCol), col("q"))
+    bucketed.join(broadcast(q), col("_bucket") === col("_qbucket"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("sim"))
+  }
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Extensions {
 
-  /** whitespace tokens with empties dropped (shared by both engines). */
-  private val toks = "filter(split(text, ' '), x -> x != '')"
+  /** DuckDB-side whitespace tokens with empties dropped (mirrors
+    * [[graft.functions.TextFunctions.tokens]]).
+    */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -28,7 +30,7 @@ object Extensions {
     ("x_dedup_exact",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .groupBy(md5(col("text")).as("content_hash"))
+          .groupBy(TF.fingerprint(col("text")).as("content_hash"))
           .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
           .filter(col("copies") > 1)
           .orderBy("content_hash"),
@@ -40,7 +42,7 @@ object Extensions {
     ("x_dedup_bow",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .withColumn("bow_sig", expr(s"md5(array_join(array_sort(array_distinct($toks)), ' '))"))
+          .withColumn("bow_sig", TF.bagOfWordsSignature(col("text")))
           .groupBy("lang")
           .agg(count(lit(1)).as("docs"), countDistinct(col("bow_sig")).as("distinct_bow"))
           .orderBy("lang"),
@@ -53,11 +55,8 @@ object Extensions {
     // join at scale is a shuffle on the signature (LSH).
     ("x_dedup_minhash",
       (s: SparkSession, d: String) => {
-        val sig = (1 to 4).map(i =>
-          expr(s"array_min(transform(array_distinct($toks), t -> md5(concat('$i', t))))"))
-          .reduce((a, b) => concat(a, b))
         Tables.documents(s, d)
-          .withColumn("minhash_sig", md5(sig))
+          .withColumn("minhash_sig", TF.minhashSignature(col("text"), k = 4))
           .groupBy("minhash_sig")
           .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("keep_id"))
           .filter(col("bucket_size") > 1)
@@ -77,10 +76,8 @@ object Extensions {
     // dups differ in few bits. Here: signature cardinality per lang.
     ("x_dedup_simhash",
       (s: SparkSession, d: String) => {
-        val bits = (1 to 16).map(p =>
-          expr(s"IF(aggregate($toks, 0, (acc, t) -> acc + IF(substring(md5(t), $p, 1) >= '8', 1, -1)) >= 0, '1', '0')"))
         Tables.documents(s, d)
-          .withColumn("simhash", concat(bits: _*))
+          .withColumn("simhash", TF.simhash(col("text"), bits = 16))
           .groupBy("lang")
           .agg(count(lit(1)).as("docs"), countDistinct(col("simhash")).as("distinct_simhash"))
           .orderBy("lang")
@@ -98,15 +95,7 @@ object Extensions {
       (s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
-        val dot = expr("aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
-        val nE = expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-        val nQ = expr("sqrt(aggregate(q, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-        import org.apache.spark.sql.expressions.Window
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0)
-          .withColumn("sim", dot / (nE * nQ))
-          .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-          .filter(col("rank") <= 10)
+        VF.bruteForceTopK(e.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
           .select("rank", "vec_id")
           .orderBy("rank")
       },
@@ -123,7 +112,7 @@ object Extensions {
     ("x_sim_lsh_buckets",
       (s: SparkSession, d: String) =>
         Tables.embeddings(s, d)
-          .withColumn("bucket", expr("concat_ws('', transform(slice(embedding, 1, 8), x -> IF(x >= CAST(0.0 AS FLOAT), '1', '0')))"))
+          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
           .groupBy("bucket")
           .agg(count(lit(1)).as("vectors"), min(col("vec_id")).as("min_vec_id"))
           .orderBy("bucket"),
@@ -137,8 +126,8 @@ object Extensions {
     ("x_text_stats",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .withColumn("ws_tokens", expr(s"size($toks)").cast("long"))
-          .withColumn("bpe_tokens", expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]+', 0))").cast("long"))
+          .withColumn("ws_tokens", TF.tokenCount(col("text")))
+          .withColumn("bpe_tokens", size(TF.bpeTokens(col("text"))).cast("long"))
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("docs"),
             sum(col("ws_tokens")).as("total_ws_tokens"),
@@ -158,7 +147,7 @@ object Extensions {
     ("x_token_frequencies",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .select(explode(expr(toks)).as("token"))
+          .select(explode(TF.tokens(col("text"))).as("token"))
           .groupBy("token")
           .agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("token"))
@@ -172,11 +161,8 @@ object Extensions {
     ("x_lang_id",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .withColumn("t", expr(toks))
-          .withColumn("predicted",
-            when(array_contains(col("t"), "the") && array_contains(col("t"), "a"), "en")
-              .when(array_contains(col("t"), "the"), "en-weak")
-              .otherwise("other"))
+          .withColumn("predicted", TF.langId(col("text"),
+            Seq("en" -> Seq("the", "a"), "en-weak" -> Seq("the")), default = "other"))
           .groupBy("lang", "predicted")
           .agg(count(lit(1)).as("docs"))
           .orderBy("lang", "predicted"),
@@ -192,12 +178,8 @@ object Extensions {
     ("x_quality_filter",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
-          .withColumn("t", expr(toks))
-          .withColumn("n_tokens", size(col("t")).cast("long"))
-          .withColumn("stop_ratio",
-            expr("size(filter(t, x -> x IN ('the', 'a', 'data', 'value')))").cast("double") / col("n_tokens"))
-          .withColumn("passes",
-            col("n_tokens").between(10, 500) && col("stop_ratio") < 0.3)
+          .withColumn("passes", TF.qualityPass(col("text"), 10, 500,
+            Seq("the", "a", "data", "value"), 0.3))
           .groupBy("lang")
           .agg(count(lit(1)).as("docs"), sum(when(col("passes"), 1L).otherwise(0L)).as("passing"))
           .orderBy("lang"),
@@ -216,8 +198,8 @@ object Extensions {
         Tables.documents(s, d)
           .groupBy("source")
           .agg(count(lit(1)).as("docs"),
-            countDistinct(md5(col("text"))).as("distinct_fp"),
-            (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+            countDistinct(TF.fingerprint(col("text"))).as("distinct_fp"),
+            (count(lit(1)) - countDistinct(TF.fingerprint(col("text")))).as("dup_docs"))
           .orderBy("source"),
       """SELECT source, count(*) AS docs,
         |  count(DISTINCT md5(text)) AS distinct_fp,

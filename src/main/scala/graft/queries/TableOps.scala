@@ -253,12 +253,7 @@ object TableOps {
         val cat = newCatalog()
         val t = cat.createTable("db.events_stream", df.schema)
         val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
-        val q = stream.writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) => t.append(s, batch); () }
-          .option("checkpointLocation", s"$stage-ckpt")
-          .start()
-        q.awaitTermination()
+        graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
         aggByType(t.toDF(s))
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
       },

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Streaming ingestion into Graft tables (SURVEY.md §2.8, W9; reference
+  * docs/11-multi-engine-compatibility.md:44-52, docs/12:211-236).
+  *
+  * The reference's streaming model is continuous small-batch appends — each
+  * micro-batch is one atomic Iceberg commit ("each DML = one commit",
+  * docs/08:154). Structured Streaming's `foreachBatch` maps onto that
+  * exactly: the sink below turns every micro-batch into one `table.append`
+  * snapshot, giving exactly-once-per-batch table commits with streaming
+  * file sizes governed by the table's TARGET_FILE_SIZE property
+  * (docs/02:84-87 recommends 64-128 MB for streaming ingest).
+  */
+object GraftSink {
+
+  /** Attach a Graft-table sink to a streaming DataFrame. Caller starts it:
+    * {{{
+    * GraftSink.appendTo(table, spark, stream)
+    *   .trigger(Trigger.ProcessingTime("30 seconds"))
+    *   .start()
+    * }}}
+    */
+  def appendTo(table: GraftTable, spark: SparkSession,
+               stream: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      table.append(spark, batch, statementId = Some(s"stream-batch-$batchId"))
+      ()
+    }
+
+  /** Drain all currently-available input into the table (test/backfill mode):
+    * one commit per micro-batch, returns after the last batch.
+    */
+  def ingestAvailable(table: GraftTable, spark: SparkSession, stream: DataFrame,
+                      checkpoint: String): StreamingQuery = {
+    val q = appendTo(table, spark, stream)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Incremental bronze→silver transform keyed on a high-watermark column
+    * (docs/12:94-104): returns source rows strictly newer than the target's
+    * current max. Exact-once under replays because the watermark is read
+    * from the committed target snapshot.
+    */
+  def incrementalNewRows(spark: SparkSession, source: DataFrame,
+                         target: GraftTable, watermarkCol: String): DataFrame = {
+    val wmRow = target.toDF(spark).agg(max(col(watermarkCol)).as("wm")).head()
+    if (wmRow.isNullAt(0)) source
+    else source.filter(col(watermarkCol) > lit(wmRow.get(0)))
+  }
+}

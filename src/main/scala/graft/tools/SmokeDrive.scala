@@ -99,6 +99,38 @@ object SmokeDrive {
     t.setRef("pre-compact", snaps.head.snapshotId)
     println(s"ref read: ${t.atRef("pre-compact").toDF(spark).count()} (expect 1000)")
 
+    // D15 views, D4/D5 routing, D16 tasks, S7 cache
+    val views = new graft.catalog.GraftViews(cat)
+    views.createView("db.gold_view", "SELECT count(*) AS n FROM gold", Seq("db.gold"))
+    println(s"view rows: ${views.view(spark, "db.gold_view").head.getLong(0)} (expect ${gold.toDF(spark).count()})")
+    val router = new graft.catalog.CatalogRouter(cat)
+    val ext = new graft.catalog.GraftCatalog(java.nio.file.Files.createTempDirectory("graft-ext").toString)
+    router.linkNamespace("ext", ext)
+    ext.createTable("ext.mirror", gold.schema).append(spark, gold.toDF(spark))
+    println(s"routed ext.mirror rows: ${router.loadTable("ext.mirror").toDF(spark).count()}")
+    val reg = new graft.catalog.TaskRegistry
+    reg.createTask("db.maint", "USING CRON 0 2 * * *") { t.maintain(spark); () }
+    reg.execute("db.maint")
+    println(s"task executed; table still has ${t.toDF(spark).count()} rows")
+    val cacheApi = new graft.catalog.ResultCache
+    cacheApi.cached(t.toDF(spark).filter(col("event_type") === "view"))
+    cacheApi.cached(t.toDF(spark).filter(col("event_type") === "view"))
+    println(s"result cache entries: ${cacheApi.size} (expect 1)")
+
+    // functions surface: dedup signatures + similarity search
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigCounts = docs.select(
+      countDistinct(TF.fingerprint(col("text"))).as("fp"),
+      countDistinct(TF.bagOfWordsSignature(col("text"))).as("bow"),
+      countDistinct(TF.minhashSignature(col("text"))).as("mh")).head
+    println(s"distinct signatures fp/bow/mh: ${sigCounts.getLong(0)}/${sigCounts.getLong(1)}/${sigCounts.getLong(2)} of ${docs.count()}")
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val top3 = VF.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 3)
+      .select("vec_id").collect().map(_.getLong(0)).mkString(",")
+    println(s"top-3 neighbors of vec 0: $top3")
+
     spark.stop()
     println("SMOKE OK")
   }

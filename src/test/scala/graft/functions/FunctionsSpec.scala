@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+
+  test("dedup signatures: exact vs bag-of-words vs minhash vs simhash semantics") {
+    val df = docs(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),        // exact dup of 1
+      (3L, "fox brown quick the"),        // token-set dup of 1, different order
+      (4L, "a completely different text"))
+    val sigs = df.select(
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.bagOfWordsSignature(col("text")).as("bow"),
+      TextFunctions.minhashSignature(col("text")).as("mh"),
+      TextFunctions.simhash(col("text")).as("sh")).collect()
+    assert(sigs(0).getString(0) == sigs(1).getString(0)) // exact dup same fp
+    assert(sigs(0).getString(0) != sigs(2).getString(0)) // reorder changes fp
+    assert(Set(0, 1, 2).map(sigs(_).getString(1)).size == 1) // bow ignores order
+    assert(sigs(3).getString(1) != sigs(0).getString(1))
+    assert(Set(0, 1, 2).map(sigs(_).getString(2)).size == 1) // minhash on token set
+    assert(sigs(0).getString(3).length == 16 && sigs(0).getString(3).forall(c => c == '0' || c == '1'))
+  }
+
+  test("token counting + quality gates") {
+    val df = docs((1L, "the a the data data x"), (2L, ("word " * 600).trim))
+    val out = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.stopwordRatio(col("text"), Seq("the", "a", "data")),
+      TextFunctions.qualityPass(col("text"), 2, 500, Seq("the", "a", "data"), 0.5)).collect()
+    assert(out(0).getLong(0) == 6L)
+    assert(math.abs(out(0).getDouble(1) - 5.0 / 6.0) < 1e-12)
+    assert(!out(0).getBoolean(2)) // stop ratio too high
+    assert(out(1).getLong(0) == 600L)
+    assert(!out(1).getBoolean(2)) // too long
+  }
+
+  test("cosine math: known vectors") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal
+      Row(Seq(1.0f, 1.0f), Seq(2.0f, 2.0f)),   // parallel
+      Row(Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).asJava, schema)
+    val out = df.select(
+      VectorFunctions.cosineSimilarity(col("a"), col("b")),
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      VectorFunctions.euclideanDistance(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - 5.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(3)) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("LSH top-k agrees with brute force when the bucket holds the true neighbors") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // all positive first-8-dims -> single bucket; neighbors of q = (1,1,...)
+    val rows = (1L to 20L).map { i =>
+      Row(i, (1 to 8).map(j => (1.0f + (i % 7) * 0.1f * j)).toSeq)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val q = spark.createDataFrame(
+      Seq(Row(Seq.fill(8)(1.0f))).asJava,
+      StructType(Seq(StructField("q", ArrayType(FloatType)))))
+    val brute = VectorFunctions.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .select("rank", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lsh = VectorFunctions.lshTopK(df, q, "vec_id", "embedding", 5)
+      .select("rank", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(brute == lsh)
+    assert(brute.map(_._1) == (1L to 5L))
+  }
+
+  test("langId marker precedence") {
+    val df = docs((1L, "the a dog"), (2L, "the dog"), (3L, "dog"))
+    val out = df.select(TextFunctions.langId(col("text"),
+      Seq("en" -> Seq("the", "a"), "en-weak" -> Seq("the")), "other")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("en", "en-weak", "other"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.format.Transform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.jdk.CollectionConverters._
+
+/** The reference's flagship composite pipeline (docs/12-lakehouse-patterns.md:
+  * 55-126): streaming ingest into bronze, incremental high-watermark
+  * bronze→silver transform, aggregated silver→gold MERGE. Run twice to prove
+  * incrementality and upsert idempotency.
+  */
+class MedallionSpec extends SparkSpec {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def batch(ids: Range, day: Int): DataFrame =
+    spark.createDataFrame(ids.map { i =>
+      Row(i.toLong, java.time.LocalDateTime.of(2024, 1, day, i % 24, 0),
+        (i % 5).toLong, if (i % 2 == 0) "view" else "click", i.toDouble)
+    }.asJava, eventSchema)
+
+  test("bronze -> silver -> gold, incrementally, twice") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val bronze = cat.createTable("lake.bronze", eventSchema,
+      partitionBy = Seq("ts" -> Transform.Day))
+    val silver = cat.createTable("lake.silver", eventSchema)
+    val gold = cat.createTable("lake.gold", StructType(Seq(
+      StructField("day", DateType), StructField("event_type", StringType),
+      StructField("cnt", LongType))))
+
+    def runPipeline(): Unit = {
+      // bronze -> silver: only rows newer than silver's watermark (docs/12:94-104)
+      val fresh = GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts")
+        .filter(col("event_type").isin("view", "click")) // cleansing step
+      silver.append(spark, fresh)
+      // silver -> gold: aggregated MERGE upsert (docs/12:107-126)
+      val agg = silver.toDF(spark)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      gold.merge(spark, agg, Seq("day" -> "day", "event_type" -> "event_type"),
+        whenMatchedUpdate = Map("cnt" -> col("s.cnt")))
+    }
+
+    // day 1 arrives via streaming ingest
+    val stage = java.nio.file.Files.createTempDirectory("medallion").toString
+    batch(0 until 48, day = 1).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    GraftSink.ingestAvailable(bronze, spark, stream, s"$stage-ckpt")
+    runPipeline()
+    assert(silver.toDF(spark).count() == 48)
+    val g1 = gold.toDF(spark).collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(g1 == Set(("2024-01-01", "view", 24L), ("2024-01-01", "click", 24L)))
+
+    // day 2 arrives as a batch append; pipeline reruns incrementally
+    bronze.append(spark, batch(100 until 130, day = 2))
+    runPipeline()
+    assert(silver.toDF(spark).count() == 78) // day-1 rows NOT re-ingested
+    val g2 = gold.toDF(spark).collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(g2 == Set(
+      ("2024-01-01", "view", 24L), ("2024-01-01", "click", 24L),
+      ("2024-01-02", "view", 15L), ("2024-01-02", "click", 15L)))
+
+    // bronze carries full history: one commit per micro-batch + one batch append
+    assert(bronze.meta.snapshots.size >= 2)
+  }
+}
