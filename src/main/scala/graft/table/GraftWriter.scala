@@ -104,7 +104,11 @@ object GraftWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = GraftUtil.listFilesRecursively(Paths.get(writeDir), ".parquet")
 
-    files.map { p =>
+    // Footer stats are KB-sized reads but latency-bound: collect them in
+    // parallel on the driver (a partitioned append can produce hundreds of
+    // files; serial reads would serialize the commit path).
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { p =>
       val rel = GraftUtil.relativize(meta.location, p.toString)
       // partition tuple from dir segments "_gp_<name>=<value>"
       val segs = Paths.get(writeDir).relativize(p).iterator()
@@ -128,6 +132,6 @@ object GraftWriter {
       }.toMap
       val (rows, size, stats) = ParquetStats.read(p.toString, schema, conf)
       DataFile(rel, "data", partition, rows, size, schemaId, specId, stats)
-    }
+    }.seq
   }
 }
