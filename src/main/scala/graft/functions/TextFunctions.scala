@@ -59,6 +59,27 @@ object TextFunctions {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** k-token shingles ("n-grams of tokens"), the unit for n-gram Jaccard
+    * near-dup detection. Returns an array of space-joined k-grams.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    require(k >= 1)
+    val t = tokens(text)
+    when(size(t) < k, array())
+      .otherwise(transform(sequence(lit(1), size(t) - (k - 1)),
+        i => array_join(slice(t, i, lit(k)), " ")))
+  }
+
+  /** Exact token-set Jaccard similarity between two texts: |A∩B| / |A∪B|.
+    * Integer set sizes + one double division — bit-identical across engines.
+    */
+  def jaccardTokens(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a))
+    val tb = array_distinct(tokens(b))
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb))
+  }
+
   /** Stopword ratio given an inline stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

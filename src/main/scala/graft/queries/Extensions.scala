@@ -192,14 +192,48 @@ object Extensions {
         |  CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 500 AND stop_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS passing
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X2d: n-gram/token-set Jaccard near-dup pairs — candidate pairs come
+    // from the MinHash LSH buckets (never the n² cross join; at 100 TB the
+    // self-join shuffles on the signature so each bucket joins locally),
+    // then exact Jaccard filters them. Set sizes are ints, the division is
+    // one double op — bit-identical across engines.
+    ("x_neardup_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("sig", TF.minhashSignature(col("text"), k = 4))
+          .select("doc_id", "text", "sig")
+        val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+        val b = docs.select(col("sig").as("sig_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+        a.join(b, col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", TF.jaccardTokens(col("text_a"), col("text_b")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH sigs AS (
+        |  SELECT doc_id, text, md5(
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('1' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('2' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('3' || t))) ||
+        |    list_min(list_transform(list_distinct($toksSql), t -> md5('4' || t)))) AS sig,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+
     // X4e: document fingerprinting — content-hash dup ratio per source.
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
         Tables.documents(s, d)
           .groupBy("source")
           .agg(count(lit(1)).as("docs"),
-            countDistinct(TF.fingerprint(col("text"))).as("distinct_fp"),
-            (count(lit(1)) - countDistinct(TF.fingerprint(col("text")))).as("dup_docs"))
+            countDistinct(TF.fingerprint(col("text"))).as("distinct_fp"))
+          .withColumn("dup_docs", col("docs") - col("distinct_fp"))
           .orderBy("source"),
       """SELECT source, count(*) AS docs,
         |  count(DISTINCT md5(text)) AS distinct_fp,

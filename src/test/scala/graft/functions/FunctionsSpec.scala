@@ -83,6 +83,17 @@ class FunctionsSpec extends SparkSpec {
     assert(brute.map(_._1) == (1L to 5L))
   }
 
+  test("shingles + token-set Jaccard") {
+    val df = docs((1L, "a b c d"), (2L, "b c d e"), (3L, "x"))
+    val sh = df.select(TextFunctions.shingles(col("text"), 2)).collect()
+    assert(sh(0).getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(sh(2).getSeq[String](0) == Nil) // shorter than k
+    val pair = df.filter(col("id") === 1).crossJoin(
+      df.filter(col("id") === 2).select(col("text").as("other")))
+    val j = pair.select(TextFunctions.jaccardTokens(col("text"), col("other"))).head.getDouble(0)
+    assert(math.abs(j - 3.0 / 5.0) < 1e-15) // {b,c,d} of {a,b,c,d,e}
+  }
+
   test("langId marker precedence") {
     val df = docs((1L, "the a dog"), (2L, "the dog"), (3L, "dog"))
     val out = df.select(TextFunctions.langId(col("text"),
