@@ -131,6 +131,9 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // driver contract: entry() must return >0 rows on sf0.001
+    println(s"entry rows: ${graft.SparkEntry.entry(spark).count()} (expect >0)")
+
     spark.stop()
     println("SMOKE OK")
   }
