@@ -31,17 +31,26 @@ object TextFunctions {
   def bagOfWordsSignature(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** MinHash signature with k seeded hash functions: the per-seed minimum of
-    * md5(seed || token) over the distinct token set, collapsed to one md5.
-    * Docs sharing the full signature are near-dup candidates; at scale the
-    * signature is the LSH shuffle key.
+  /** MinHash signature over an arbitrary item array: per-seed minimum of
+    * md5(seed || item) over the distinct items, collapsed to one md5.
+    * Items sharing the full signature are near-dup candidates; at scale the
+    * signature is the LSH shuffle key. Empty item arrays yield NULL, which
+    * drops degenerate rows from candidacy (NULL joins nothing).
     */
-  def minhashSignature(text: Column, k: Int = 4): Column = {
+  def minhashSignatureOf(items: Column, k: Int): Column = {
     require(k >= 1)
     val minima = (1 to k).map(i =>
-      array_min(transform(array_distinct(tokens(text)), t => md5(concat(lit(i.toString), t)))))
+      array_min(transform(array_distinct(items), t => md5(concat(lit(i.toString), t)))))
     md5(minima.reduce(concat(_, _)))
   }
+
+  /** MinHash over raw tokens. NOTE: for small vocabularies token-level minima
+    * collide heavily (buckets grow with corpus size — a skew bomb in the
+    * candidate join); prefer [[minhashSignatureOf]] over [[shingles]], whose
+    * k-gram universe is |vocab|^k, for the near-dup candidate key.
+    */
+  def minhashSignature(text: Column, k: Int = 4): Column =
+    minhashSignatureOf(tokens(text), k)
 
   /** SimHash over `bits` hex positions of per-token md5s: majority vote per
     * position; near-dups differ in few bits. Returns a '0'/'1' string.
@@ -70,15 +79,16 @@ object TextFunctions {
         i => array_join(slice(t, i, lit(k)), " ")))
   }
 
-  /** Exact token-set Jaccard similarity between two texts: |A∩B| / |A∪B|.
-    * Integer set sizes + one double division — bit-identical across engines.
+  /** Exact set Jaccard over two item arrays: |A∩B| / |A∪B|. Integer set
+    * sizes + one double division — bit-identical across engines.
     */
-  def jaccardTokens(a: Column, b: Column): Column = {
-    val ta = array_distinct(tokens(a))
-    val tb = array_distinct(tokens(b))
-    size(array_intersect(ta, tb)).cast("double") /
-      size(array_union(ta, tb))
-  }
+  def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
+      size(array_union(a, b))
+
+  /** Exact token-set Jaccard similarity between two texts. */
+  def jaccardTokens(a: Column, b: Column): Column =
+    jaccardOf(tokens(a), tokens(b))
 
   /** Stopword ratio given an inline stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -192,38 +192,46 @@ object Extensions {
         |  CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 500 AND stop_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS passing
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // X2d: n-gram/token-set Jaccard near-dup pairs — candidate pairs come
-    // from the MinHash LSH buckets (never the n² cross join; at 100 TB the
-    // self-join shuffles on the signature so each bucket joins locally),
-    // then exact Jaccard filters them. Set sizes are ints, the division is
-    // one double op — bit-identical across engines.
+    // X2d: shingle→MinHash→bucket-join→exact-Jaccard near-dup pairs (the
+    // textbook n-gram pipeline). The candidate key is MinHash over 2-gram
+    // SHINGLES, not raw tokens: the shingle universe is |vocab|^2, so bucket
+    // sizes stay O(1) as the corpus grows (token-level minima collide into
+    // corpus-sized buckets — a skew bomb in the self-join; measured 2.7M
+    // candidate pairs at sf0.1 vs 230 with shingles). Exact Jaccard (ints +
+    // one double division) then filters the survivors.
     ("x_neardup_jaccard",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-          .withColumn("sig", TF.minhashSignature(col("text"), k = 4))
-          .select("doc_id", "text", "sig")
-        val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-        val b = docs.select(col("sig").as("sig_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+          .withColumn("sh", TF.shingles(col("text"), 2))
+          .withColumn("sig", TF.minhashSignatureOf(col("sh"), k = 4))
+          .select("doc_id", "sh", "sig")
+        val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("sig").as("sig_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", TF.jaccardTokens(col("text_a"), col("text_b")))
+          .withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      s"""WITH sigs AS (
-        |  SELECT doc_id, text, md5(
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('1' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('2' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('3' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('4' || t)))) AS sig,
-        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        |  FROM documents)
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id, sh, md5(
+        |    list_min(list_transform(sh, x -> md5('1' || x))) ||
+        |    list_min(list_transform(sh, x -> md5('2' || x))) ||
+        |    list_min(list_transform(sh, x -> md5('3' || x))) ||
+        |    list_min(list_transform(sh, x -> md5('4' || x)))) AS sig
+        |  FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
 
     // X4e: document fingerprinting — content-hash dup ratio per source.
