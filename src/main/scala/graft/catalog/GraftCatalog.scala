@@ -77,7 +77,8 @@ class GraftCatalog(val warehouse: String) {
       case (Some(vol), None) => Paths.get(vol, name.replace('.', '/')).toString
       case _ => tableDir(name)
     }
-    val (schemaWithIds, lastCol) = GraftSchema.assignIds(schema, 0)
+    val (schemaWithIds, lastCol) = GraftSchema.assignIds(
+      GraftSchema.deepNullable(schema).asInstanceOf[StructType], 0)
     val byName = schemaWithIds.fields.map(f => f.name -> f).toMap
     val specFields = partitionBy.map { case (colName, tr) =>
       val f = byName.getOrElse(colName, sys.error(s"unknown partition source column $colName"))

@@ -29,6 +29,21 @@ object GraftSchema {
   def withId(f: StructField, id: Int): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata).putLong(IdKey, id.toLong).build())
 
+  /** Normalize a schema to nullable at every nesting level. Table columns
+    * are optional-by-default (Iceberg semantics); this also keeps the
+    * read-path cast legal — parquet reads surface as nullable, and Spark
+    * refuses to cast a nullable struct field onto a NOT NULL target.
+    */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(keyType = deepNullable(m.keyType), valueType = deepNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   /** Assign fresh IDs to fields that do not have one yet. Returns the new
     * schema and the new last-column-id.
     */

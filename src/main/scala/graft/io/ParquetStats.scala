@@ -68,13 +68,46 @@ object ParquetStats {
 
       val stats = acc.collect { case (name, (lo, hi, nulls)) if !statless.contains(name) =>
         val f = nameToField(name)
+        val (lo2, hi2) = truncateBounds(f.dataType, lo, hi)
         GraftSchema.fieldId(f) -> ColStats(
-          lo.map(v => Canonical.toJsonString(f.dataType, v)),
-          hi.map(v => Canonical.toJsonString(f.dataType, v)),
+          lo2.map(v => Canonical.toJsonString(f.dataType, v)),
+          hi2.map(v => Canonical.toJsonString(f.dataType, v)),
           nulls)
       }
       (rows, size, stats)
     } finally reader.close()
+  }
+
+  /** Max stored length for string bounds (matches Iceberg's
+    * write.metadata.metrics default of truncate(16)): manifests must stay
+    * KB-sized even when columns hold document-length text, or the metadata
+    * plane stops being cheap at scale. Truncation must stay SOUND:
+    * lower bounds truncate down for free; upper bounds get their last kept
+    * char incremented so the truncated value still upper-bounds the data.
+    */
+  private val MaxStringBound = 16
+
+  private[io] def truncateBounds(dt: DataType, lo: Option[Any], hi: Option[Any])
+      : (Option[Any], Option[Any]) = dt match {
+    case _: StringType =>
+      val lo2 = lo.map { v =>
+        val s = v.asInstanceOf[String]
+        if (s.length <= MaxStringBound) s else s.substring(0, MaxStringBound)
+      }
+      val hi2 = hi.flatMap { v =>
+        val s = v.asInstanceOf[String]
+        if (s.length <= MaxStringBound) Some(s)
+        else {
+          // increment the last char that can be incremented; drop the rest
+          val t = s.substring(0, MaxStringBound).toCharArray
+          var i = t.length - 1
+          while (i >= 0 && t(i) == Char.MaxValue) i -= 1
+          if (i < 0) Some(s) // cannot form a sound truncated upper bound: keep full
+          else Some(new String(t, 0, i) + (t(i) + 1).toChar)
+        }
+      }
+      (lo2, hi2)
+    case _ => (lo, hi)
   }
 
   private def minOpt(a: Option[Any], b: Option[Any]): Option[Any] = (a, b) match {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column pipeline (SURVEY.md §2.9 X5): images/audio/video travel
+  * as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract steps are exchangeable batch transforms over those
+  * columns.
+  *
+  * The actual codec step is STUBBED — this environment ships no image/audio
+  * libraries — behind [[stubDecode]], a deterministic fake with the real
+  * pipeline shape: same schema contract, same per-row batch transform
+  * position a codec would occupy. Swapping in a real decoder means replacing
+  * ONE Column expression (or, for native libs, one `mapPartitions` over the
+  * blob column); every upstream/downstream stage — blob storage in Graft
+  * tables (binary is a first-class type, SURVEY §1.3), partitioning,
+  * pruning, aggregation — is unchanged and is what these helpers exercise.
+  */
+object Multimodal {
+
+  /** The typed metadata contract carried beside every blob. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("digest", StringType)))
+
+  /** Wrap a source column as (blob, meta): the ingest step. */
+  def asBlob(content: Column, mediaType: String): Column =
+    struct(
+      encode(content, "UTF-8").as("blob"),
+      struct(
+        lit(mediaType).as("media_type"),
+        octet_length(content).cast("long").as("byte_len"),
+        sha2(content, 256).as("digest")).as("meta"))
+
+  /** STUB decode: deterministic fake features standing in for a codec.
+    * Real implementation note: an image decoder would map blob -> struct
+    * (width, height, channels, features array); this fake derives the same
+    * shape from blob bytes so downstream stages are fully testable.
+    */
+  def stubDecode(blob: Column): Column = struct(
+    (crc32(blob) % 1920).cast("int").as("width"),
+    (crc32(blob) % 1080).cast("int").as("height"),
+    lit(3).as("channels"),
+    transform(sequence(lit(1), lit(8)),
+      i => (crc32(blob) % (i * 255)).cast("float")).as("features"))
+
+  /** Resize step (stub): recompute metadata as a real resize would. */
+  def stubResize(decoded: Column, maxWidth: Int): Column = struct(
+    least(decoded("width"), lit(maxWidth)).as("width"),
+    when(decoded("width") > maxWidth,
+      (decoded("height") * maxWidth / decoded("width")).cast("int"))
+      .otherwise(decoded("height")).as("height"),
+    decoded("channels").as("channels"),
+    decoded("features").as("features"))
+
+  /** Frame-sample step (stub for video): pick every `stride`-th feature. */
+  def stubFrameSample(decoded: Column, stride: Int): Column =
+    filter(decoded("features"), (_, i) => i % stride === 0)
+
+  /** Full ingest pipeline over a text-ish source column: blob + meta +
+    * decoded features, ready to append into a Graft table.
+    */
+  def ingest(df: DataFrame, contentCol: String, mediaType: String): DataFrame =
+    df.withColumn("media", asBlob(col(contentCol), mediaType))
+      .withColumn("decoded", stubDecode(col("media.blob")))
+}

@@ -140,8 +140,14 @@ class GraftScan(
         val (dataMfs, delMfs) = manifests.partition(_.content == "data")
         // phase 1: manifest pruning via partition summaries
         val survivingMfs = dataMfs.filter(mf => Predicate.mayMatch(pred, manifestCtx(mf)))
-        // phase 2: file pruning via partition tuples + column stats
-        val candidates = survivingMfs.flatMap(readManifest)
+        // phase 2: file pruning via partition tuples + column stats.
+        // Manifests are independent KB-sized JSON files: read them in
+        // parallel (a large table has many; serial reads would make driver
+        // planning latency O(manifests)).
+        val candidates = {
+          import scala.collection.parallel.CollectionConverters._
+          survivingMfs.par.flatMap(readManifest).seq
+        }
         val files = candidates.filter(f => Predicate.mayMatch(pred, fileCtx(f)))
         val deletes = delMfs.flatMap(readManifest)
 

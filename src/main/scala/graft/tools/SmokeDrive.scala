@@ -131,6 +131,14 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // multimodal blob pipeline through a Graft table round trip
+    val staged = graft.operators.Multimodal.ingest(docs.limit(50), "text", "text/plain")
+      .select(col("doc_id"), col("media.blob").as("blob"), col("media.meta").as("meta"), col("decoded"))
+    val mediaT = cat.createTable("db.media", staged.schema)
+    mediaT.append(spark, staged)
+    val mm = mediaT.toDF(spark).agg(count(lit(1)), sum(col("meta.byte_len"))).head
+    println(s"multimodal blobs stored: ${mm.getLong(0)} rows, ${mm.getLong(1)} bytes")
+
     // driver contract: entry() must return >0 rows on sf0.001
     println(s"entry rows: ${graft.SparkEntry.entry(spark).count()} (expect >0)")
 
