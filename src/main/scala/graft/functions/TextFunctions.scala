@@ -38,9 +38,13 @@ object TextFunctions {
     * drops degenerate rows from candidacy (NULL joins nothing).
     */
   def minhashSignatureOf(items: Column, k: Int): Column = {
-    require(k >= 1)
-    val minima = (1 to k).map(i =>
-      array_min(transform(array_distinct(items), t => md5(concat(lit(i.toString), t)))))
+    require(k >= 1 && k <= 4, "md5 yields 4 independent 8-hex slices")
+    // one md5 per item; the k "independent" hash functions are disjoint
+    // 8-hex-char slices of the digest (4x fewer hashes than seeded md5s —
+    // the hash is the hot loop at corpus scale).
+    val hashes = transform(array_distinct(items), t => md5(t))
+    val minima = (0 until k).map(i =>
+      array_min(transform(hashes, h => substring(h, 1 + i * 8, 8))))
     md5(minima.reduce(concat(_, _)))
   }
 

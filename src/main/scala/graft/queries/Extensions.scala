@@ -62,13 +62,16 @@ object Extensions {
           .filter(col("bucket_size") > 1)
           .orderBy("minhash_sig")
       },
-      s"""WITH sigs AS (
+      s"""WITH hashes AS (
+        |  SELECT doc_id, list_transform(list_distinct($toksSql), t -> md5(t)) AS h
+        |  FROM documents),
+        |sigs AS (
         |  SELECT doc_id, md5(
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('1' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('2' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('3' || t))) ||
-        |    list_min(list_transform(list_distinct($toksSql), t -> md5('4' || t)))) AS minhash_sig
-        |  FROM documents)
+        |    list_min(list_transform(h, x -> substring(x, 1, 8))) ||
+        |    list_min(list_transform(h, x -> substring(x, 9, 8))) ||
+        |    list_min(list_transform(h, x -> substring(x, 17, 8))) ||
+        |    list_min(list_transform(h, x -> substring(x, 25, 8)))) AS minhash_sig
+        |  FROM hashes)
         |SELECT minhash_sig, count(*) AS bucket_size, min(doc_id) AS keep_id
         |FROM sigs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
 
@@ -205,6 +208,7 @@ object Extensions {
           .withColumn("sh", TF.shingles(col("text"), 2))
           .withColumn("sig", TF.minhashSignatureOf(col("sh"), k = 4))
           .select("doc_id", "sh", "sig")
+          .persist() // both sides of the self-join reuse one signature pass
         val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = docs.select(col("sig").as("sig_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
@@ -221,10 +225,10 @@ object Extensions {
         |  FROM toks),
         |sigs AS (
         |  SELECT doc_id, sh, md5(
-        |    list_min(list_transform(sh, x -> md5('1' || x))) ||
-        |    list_min(list_transform(sh, x -> md5('2' || x))) ||
-        |    list_min(list_transform(sh, x -> md5('3' || x))) ||
-        |    list_min(list_transform(sh, x -> md5('4' || x)))) AS sig
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 9, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 17, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 25, 8)))) AS sig
         |  FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
