@@ -178,4 +178,19 @@ class GraftCatalog(val warehouse: String) {
     * filesystem catalog — provided for API parity with external catalogs.
     */
   def refresh(name: String): Int = currentVersion(name)
+
+  /** Register every table of a namespace as a Spark temp view (snapshot
+    * taken at registration), enabling plain `spark.sql` over Graft tables.
+    * NOTE: the SQL path reads the registered snapshot's full file list —
+    * parquet row-group pruning still applies via pushed filters, but the
+    * driver-side manifest pruning phases are only exercised through
+    * `GraftTable.scan(predicates)`. Re-register to pick up new commits.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession, namespace: String): Seq[String] = {
+    val names = listTables(namespace)
+    names.foreach { n =>
+      loadTable(n).toDF(spark).createOrReplaceTempView(n.split('.').last)
+    }
+    names
+  }
 }

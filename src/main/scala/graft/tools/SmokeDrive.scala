@@ -131,6 +131,11 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // SQL surface: register the namespace, query with spark.sql
+    cat.registerAll(spark, "db")
+    val sqlN = spark.sql("SELECT count(*) AS n FROM gold").head.getLong(0)
+    println(s"spark.sql over registered graft table: $sqlN rows (expect ${gold.toDF(spark).count()})")
+
     // multimodal blob pipeline through a Graft table round trip
     val staged = graft.operators.Multimodal.ingest(docs.limit(50), "text", "text/plain")
       .select(col("doc_id"), col("media.blob").as("blob"), col("media.meta").as("meta"), col("decoded"))

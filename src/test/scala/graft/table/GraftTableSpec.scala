@@ -145,6 +145,44 @@ class GraftTableSpec extends SparkSpec {
     assert(t.meta.snapshots.size == 4)
   }
 
+  test("conflict guard: a rewrite whose candidate files vanished must abort, not resurrect rows (docs/08:71-78)") {
+    val t = newTable("t_conf")
+    t.append(spark, mkDf(base))
+    val (_, m0) = t.load()
+    val live = t.scan().dataFiles.map(_.path).toSet
+    // all candidates still live -> guard passes
+    t.replaceFiles(m0, live.take(1), Nil, requireAllLive = true)
+    // a concurrent overwrite replaces every file; the stale rewrite must abort
+    t.overwrite(spark, mkDf(base))
+    val (_, m1) = t.load()
+    intercept[graft.catalog.CommitConflictException] {
+      t.replaceFiles(m1, live.take(1), Nil, requireAllLive = true)
+    }
+  }
+
+  test("AT(OFFSET) resolves a relative-time snapshot (docs/05:65-67)") {
+    val t = newTable("t_off")
+    t.append(spark, mkDf(base.take(2)))
+    t.append(spark, mkDf(base.drop(2)))
+    assert(t.atOffset(0).toDF(spark).count() == 5)   // "now" = current snapshot
+    val firstTs = t.meta.snapshots.head.timestampMs
+    val secondTs = t.meta.snapshots.last.timestampMs
+    if (secondTs > firstTs) { // only deterministic when the commits got distinct timestamps
+      val offsetSec = -((System.currentTimeMillis() - firstTs) / 1000 + 1).max(1L)
+      assert(t.atOffset(offsetSec).toDF(spark).count() <= 2)
+    }
+  }
+
+  test("spark.sql over registered Graft tables (SQL surface)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("sqlns.facts", mkDf(Nil).schema)
+    t.append(spark, mkDf(base))
+    cat.registerAll(spark, "sqlns")
+    val out = spark.sql("SELECT cat, count(*) AS n FROM facts GROUP BY cat ORDER BY cat").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
   test("expire snapshots: expired history unreachable, current preserved, files GC'd (docs/05:101-119)") {
     val t = newTable("t_exp")
     t.append(spark, mkDf(base.take(2)))
