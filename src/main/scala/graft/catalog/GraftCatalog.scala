@@ -116,6 +116,20 @@ class GraftCatalog(val warehouse: String) {
     new GraftTable(this, name)
   }
 
+  /** CREATE TABLE AS SELECT (W2, docs/04:147): create + initial append in
+    * one call; the data lands as the table's first snapshot.
+    */
+  def createTableAs(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[(String, Transform)] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = createTable(name, df.schema, partitionBy, properties)
+    t.append(spark, df, statementId = Some(s"ctas-$name"))
+    t
+  }
+
   /** Resolve the table root (may live on an external volume). */
   def resolveRoot(name: String): String = {
     val loc = metaDir(name).resolve("location.text")

@@ -131,6 +131,17 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // CTAS + scale helpers: salted skew join and approx-distinct
+    val ctas = cat.createTableAs(spark, "db.events_ctas", t.toDF(spark).limit(100))
+    println(s"CTAS table rows: ${ctas.toDF(spark).count()} (expect 100)")
+    import graft.functions.ScaleFunctions
+    val dim = t.toDF(spark).select(col("event_type")).distinct()
+      .withColumn("label", concat(lit("type:"), col("event_type")))
+    val salted = ScaleFunctions.saltedJoin(t.toDF(spark), dim, "event_type", col("event_id"), 8)
+    println(s"salted join rows: ${salted.count()} (expect ${t.toDF(spark).count()})")
+    val ad = t.toDF(spark).agg(ScaleFunctions.approxDistinct(col("user_id"))).head.getLong(0)
+    println(s"approx distinct users: $ad")
+
     // SQL surface: register the namespace, query with spark.sql
     cat.registerAll(spark, "db")
     val sqlN = spark.sql("SELECT count(*) AS n FROM gold").head.getLong(0)

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class ScaleFunctionsSpec extends SparkSpec {
+
+  private val factSchema = StructType(Seq(
+    StructField("k", LongType), StructField("id", LongType)))
+  private val dimSchema = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType)))
+
+  test("salted join == plain join (inner and left), including skewed keys") {
+    // key 1 is 90% of the fact side — the classic skew shape
+    val fact = spark.createDataFrame(
+      ((1 to 90).map(i => Row(1L, i.toLong)) ++ (1 to 10).map(i => Row(2L, (100 + i).toLong))).asJava,
+      factSchema)
+    val dim = spark.createDataFrame(
+      Seq(Row(1L, "hot"), Row(3L, "unmatched")).asJava, dimSchema)
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+        .select("k", "id", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      val salted = ScaleFunctions.saltedJoin(fact, dim, "k", col("id"), 8, jt)
+        .select("k", "id", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("approx distinct lands within rsd of exact") {
+    val df = spark.range(0, 20000).select((col("id") % 5000).as("v"))
+    val approx = df.agg(ScaleFunctions.approxDistinct(col("v"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - 5000) < 5000 * 0.1, s"approx=$approx")
+  }
+
+  test("hash sample is deterministic and roughly proportional") {
+    val df = spark.range(0, 10000).toDF("id")
+    val a = ScaleFunctions.hashSample(df, col("id"), 0.25).count()
+    val b = ScaleFunctions.hashSample(df, col("id"), 0.25).count()
+    assert(a == b) // repeatable
+    assert(a > 2000 && a < 3000, s"got $a of 10000 at fraction 0.25")
+  }
+
+  test("CTAS: create-table-as-select lands data as the first snapshot") {
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val t = cat.createTableAs(spark, "db.ctas", df)
+    assert(t.toDF(spark).count() == 100)
+    assert(t.meta.snapshots.size == 1)
+    assert(t.meta.snapshots.head.operation == "append")
+  }
+}

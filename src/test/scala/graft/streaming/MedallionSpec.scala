@@ -71,4 +71,25 @@ class MedallionSpec extends SparkSpec {
     // bronze carries full history: one commit per micro-batch + one batch append
     assert(bronze.meta.snapshots.size >= 2)
   }
+
+  test("watermarked windowed aggregation over a stream (beyond-reference superset)") {
+    val stage = java.nio.file.Files.createTempDirectory("winagg").toString
+    batch(0 until 48, day = 3).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(eventSchema).parquet(stage)
+    val windowed = stream
+      .withColumn("ts", col("ts").cast("timestamp")) // watermarks need TIMESTAMP, not NTZ
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = windowed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .option("checkpointLocation", s"$stage-ckpt")
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT event_type, sum(n) FROM win_counts GROUP BY 1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("view" -> 24L, "click" -> 24L))
+    assert(spark.sql("SELECT count(*) FROM win_counts").head.getLong(0) == 8) // 4 windows x 2 types
+  }
 }
