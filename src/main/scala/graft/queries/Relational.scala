@@ -247,6 +247,24 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS inactive_customers
         |FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Skew-salted join (SURVEY §4 "salting for skew"): the salted plan must
+    // produce exactly the plain join's result — the oracle is the unsalted
+    // SQL join, so correctness of the salt/explode/drop dance is hash-checked.
+    ("q13_salted_join",
+      (s: SparkSession, d: String) => {
+        val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d).withColumnRenamed("s_suppkey", "l_suppkey")
+        graft.functions.ScaleFunctions
+          .saltedJoin(l, sup, "l_suppkey", col("l_orderkey"), 8)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("items"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy("s_name")
+      },
+      """SELECT s_name, count(*) AS items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
