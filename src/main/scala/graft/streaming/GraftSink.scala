@@ -20,24 +20,30 @@ object GraftSink {
 
   /** Attach a Graft-table sink to a streaming DataFrame. Caller starts it:
     * {{{
-    * GraftSink.appendTo(table, spark, stream)
+    * GraftSink.appendTo(table, spark, stream, sinkId = "orders-ingest")
     *   .trigger(Trigger.ProcessingTime("30 seconds"))
     *   .start()
     * }}}
+    * Commits carry `statementId = <sinkId>-batch-<id>`, so a micro-batch
+    * replayed by checkpoint recovery is a no-op (exactly-once into the
+    * table). `sinkId` must be stable across restarts AND unique per sink —
+    * use the checkpoint location (or a name derived from it); two streams
+    * writing the same table with the same sinkId would wrongly dedupe.
     */
-  def appendTo(table: GraftTable, spark: SparkSession,
-               stream: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+  def appendTo(table: GraftTable, spark: SparkSession, stream: DataFrame,
+               sinkId: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      table.append(spark, batch, statementId = Some(s"stream-batch-$batchId"))
+      table.append(spark, batch, statementId = Some(s"$sinkId-batch-$batchId"))
       ()
     }
 
   /** Drain all currently-available input into the table (test/backfill mode):
-    * one commit per micro-batch, returns after the last batch.
+    * one commit per micro-batch, returns after the last batch. The
+    * checkpoint path doubles as the sink identity.
     */
   def ingestAvailable(table: GraftTable, spark: SparkSession, stream: DataFrame,
                       checkpoint: String): StreamingQuery = {
-    val q = appendTo(table, spark, stream)
+    val q = appendTo(table, spark, stream, sinkId = checkpoint)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .start()

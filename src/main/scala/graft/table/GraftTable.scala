@@ -132,6 +132,15 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     while (true) {
       attempt += 1
       val (v, m) = load()
+      // Idempotent replay: a statement that already committed (streaming
+      // micro-batch retried by the checkpoint machinery, docs/08:154 "each
+      // DML = one commit") returns its snapshot instead of double-applying.
+      statementId.foreach { stmt =>
+        m.statementLog.find(_._1 == stmt).foreach { case (_, sid) =>
+          return m.snapshot(sid).getOrElse(
+            sys.error(s"statement $stmt committed snapshot $sid which has been expired"))
+        }
+      }
       val manifests = manifestsFor(m)
       val snapId = m.lastSequenceNumber + 1
       val dataMfs = manifests.filter(_.content == "data")

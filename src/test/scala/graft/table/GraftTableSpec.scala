@@ -133,6 +133,18 @@ class GraftTableSpec extends SparkSpec {
     assert(t.before("stmt-2").toDF(spark).count() == 5)
   }
 
+  test("replayed statement IDs are idempotent (streaming micro-batch retry safety)") {
+    val t = newTable("t_idem")
+    val s1 = t.append(spark, mkDf(base), statementId = Some("batch-7"))
+    val s2 = t.append(spark, mkDf(base), statementId = Some("batch-7")) // replay
+    assert(s1.snapshotId == s2.snapshotId)
+    assert(t.toDF(spark).count() == 5, "replayed batch must not double-append")
+    assert(t.meta.snapshots.size == 1)
+    // a different statement still commits
+    t.append(spark, mkDf(base), statementId = Some("batch-8"))
+    assert(t.toDF(spark).count() == 10)
+  }
+
   test("concurrent appends all succeed via OCC retry (docs/08:57-69)") {
     val t = newTable("t_conc")
     val threads = (1 to 4).map { i =>
