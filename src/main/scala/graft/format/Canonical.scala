@@ -127,7 +127,14 @@ object Canonical {
     case other => sys.error(s"no canonical form for $other")
   }
 
-  /** Total order within one canonical space. */
+  /** Total order within one canonical space.
+    *
+    * Strings compare by UNSIGNED UTF-8 BYTES, not Java's UTF-16 code units:
+    * parquet writes string min/max under byte order, and the two orders
+    * disagree for supplementary characters (e.g. U+1F600 sorts below U+FF61
+    * in UTF-16 but above it in UTF-8) — comparing bounds under a different
+    * order than the one they were computed in would make pruning UNSOUND.
+    */
   def compare(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
@@ -135,8 +142,33 @@ object Canonical {
     case (x: Long, y: Int) => java.lang.Long.compare(x, y.toLong)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => compareUtf8(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case _ => sys.error(s"incomparable canonical values: $a vs $b")
+  }
+
+  private def compareUtf8(x: String, y: String): Int = {
+    // fast path: ASCII-only strings order identically under both schemes
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var ascii = true
+    while (i < n && ascii) {
+      val cx = x.charAt(i); val cy = y.charAt(i)
+      if (cx < 0x80 && cy < 0x80) {
+        if (cx != cy) return Character.compare(cx, cy)
+        i += 1
+      } else ascii = false
+    }
+    if (ascii) return Integer.compare(x.length, y.length)
+    val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var j = 0
+    val m = math.min(bx.length, by.length)
+    while (j < m) {
+      val c = Integer.compare(bx(j) & 0xff, by(j) & 0xff)
+      if (c != 0) return c
+      j += 1
+    }
+    Integer.compare(bx.length, by.length)
   }
 }

@@ -202,9 +202,11 @@ object Predicate {
         if (vs.exists(_.isEmpty)) true
         else vs.flatten.exists(v => cmpLo(v).forall(_ <= 0) && cmpHi(v).forall(_ >= 0))
       case StartsWith(_, prefix) =>
-        // lower <= prefix-extended-max and upper >= prefix
-        val loOk = b.lower.forall(lo => lo.asInstanceOf[String].take(prefix.length) <= prefix)
-        val hiOk = b.upper.forall(hi => hi.asInstanceOf[String] >= prefix)
+        // lower <= prefix-extended-max and upper >= prefix (UTF-8 byte order,
+        // the order the bounds were computed in — see Canonical.compare)
+        val loOk = b.lower.forall(lo =>
+          Canonical.compare(lo.asInstanceOf[String].take(prefix.length), prefix) <= 0)
+        val hiOk = b.upper.forall(hi => Canonical.compare(hi, prefix) >= 0)
         loOk && hiOk
     }
   }

@@ -90,20 +90,26 @@ object ParquetStats {
   private[io] def truncateBounds(dt: DataType, lo: Option[Any], hi: Option[Any])
       : (Option[Any], Option[Any]) = dt match {
     case _: StringType =>
+      // Truncation is only performed on ASCII prefixes, where char-level
+      // operations and the UTF-8 byte order used for pruning agree; bounds
+      // with non-ASCII prefixes are stored in full (rare, still correct).
+      def asciiPrefix(s: String): Boolean =
+        s.length <= MaxStringBound || s.substring(0, MaxStringBound + 1).forall(_ < 0x7f)
       val lo2 = lo.map { v =>
         val s = v.asInstanceOf[String]
-        if (s.length <= MaxStringBound) s else s.substring(0, MaxStringBound)
+        if (s.length <= MaxStringBound || !asciiPrefix(s)) s
+        else s.substring(0, MaxStringBound)
       }
-      val hi2 = hi.flatMap { v =>
+      val hi2 = hi.map { v =>
         val s = v.asInstanceOf[String]
-        if (s.length <= MaxStringBound) Some(s)
+        if (s.length <= MaxStringBound || !asciiPrefix(s)) s
         else {
           // increment the last char that can be incremented; drop the rest
           val t = s.substring(0, MaxStringBound).toCharArray
           var i = t.length - 1
-          while (i >= 0 && t(i) == Char.MaxValue) i -= 1
-          if (i < 0) Some(s) // cannot form a sound truncated upper bound: keep full
-          else Some(new String(t, 0, i) + (t(i) + 1).toChar)
+          while (i >= 0 && t(i) >= 0x7e) i -= 1
+          if (i < 0) s // cannot form a sound truncated upper bound: keep full
+          else new String(t, 0, i) + (t(i) + 1).toChar
         }
       }
       (lo2, hi2)

@@ -23,6 +23,28 @@ class ParquetStatsSpec extends SparkSpec {
     assert(ParquetStats.truncateBounds(LongType, Some(1L), Some(2L)) == (Some(1L), Some(2L)))
   }
 
+  test("string pruning is sound for supplementary characters (UTF-8 vs UTF-16 order)") {
+    // U+1F600 (surrogate pair) sorts BELOW U+FF61 in UTF-16 code units but
+    // ABOVE it in UTF-8 bytes — parquet bounds use byte order, so a UTF-16
+    // comparator would prune a file that contains the matching row.
+    val emoji = new String(Character.toChars(0x1F600))
+    val halfwidth = "｡"
+    assert(emoji.compareTo(halfwidth) < 0, "test premise: UTF-16 orders differently")
+    assert(graft.format.Canonical.compare(emoji, halfwidth) > 0, "canonical = byte order")
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.uni", schema)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L, halfwidth), Row(2L, emoji)).asJava, schema))
+    for (needle <- Seq(halfwidth, emoji)) {
+      val got = t.scan(Predicate.Eq("s", needle)).toDF(spark).count()
+      assert(got == 1, s"lost row for ${needle.codePoints().toArray.toSeq}")
+    }
+    assert(t.scan(Predicate.Gt("s", halfwidth)).toDF(spark).count() == 1) // the emoji row
+  }
+
   test("pruning stays sound with truncated long-string bounds end-to-end") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("body", StringType)))
