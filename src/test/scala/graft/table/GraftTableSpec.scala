@@ -249,6 +249,20 @@ class GraftTableSpec extends SparkSpec {
     assert(sc.toDF(spark).count() == 2)
   }
 
+  test("identity partition values with path-hostile characters round-trip") {
+    val t = newTable("t_esc", partitioned = true)
+    val hostile = Seq(
+      (1L, "a/b", 1.0), (2L, "c d", 2.0), (3L, "x=y", 3.0), (4L, "100%", 4.0))
+    t.append(spark, mkDf(hostile))
+    assert(contents(t) == hostile.toSet)
+    // pruning still works on the escaped values
+    for ((_, cat, _) <- hostile) {
+      val sc = t.scan(Predicate.Eq("cat", cat))
+      assert(sc.toDF(spark).collect().map(_.getString(1)).toSeq == Seq(cat))
+      assert(sc.metrics.filesScanned < sc.metrics.filesTotal, s"no pruning for '$cat'")
+    }
+  }
+
   test("partitioned writes honor bucket + truncate transforms end-to-end") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.t_bucket", mkDf(Nil).schema,
