@@ -131,6 +131,13 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // DataSource integration: spark.read/write.format("graft")
+    gold.toDF(spark).write.format("graft").option("warehouse", wh).option("table", "db.gold_copy").save()
+    val viaSource = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "db.gold_copy").load()
+      .filter(col("cnt") > 0).count()
+    println(s"format(graft) round trip: $viaSource rows with cnt>0")
+
     // CTAS + scale helpers: salted skew join and approx-distinct
     val ctas = cat.createTableAs(spark, "db.events_ctas", t.toDF(spark).limit(100))
     println(s"CTAS table rows: ${ctas.toDF(spark).count()} (expect 100)")
