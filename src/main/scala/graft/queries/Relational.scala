@@ -265,6 +265,23 @@ object Relational {
       """SELECT s_name, count(*) AS items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Q9 via Spark 4's native VARIANT type (SURVEY §1.3): parse once into a
+    // variant, path-extract with variant_get — the engine-native analogue of
+    // Snowflake's payload:field::type (docs/12:98-102). Same oracle as the
+    // string-path q7, proving the two extraction routes agree.
+    ("q14_variant_type",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .withColumn("v", parse_json(col("props")))
+          .withColumn("k", variant_get(col("v"), "$.k", "int"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("k_mod"),
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

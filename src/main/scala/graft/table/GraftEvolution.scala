@@ -72,6 +72,30 @@ trait GraftEvolution { self: GraftTable =>
       StructType(schema.fields.map(x => if (x.name == name) x.copy(dataType = to) else x))
     }
 
+  /** Partition evolution (docs/07-partitioning.md:117-129): install a new
+    * default partition spec WITHOUT rewriting data. Files written under the
+    * old spec keep their spec ID — the scanner prunes each file under the
+    * spec it was written with — while new writes use the new spec. This is
+    * the operation that lets a table move from day() to hour() partitioning
+    * as volume grows, with both epochs queryable through one scan.
+    */
+  def evolvePartitionSpec(partitionBy: Seq[(String, Transform)]): TableMetadata =
+    commitMetadata() { m =>
+      val schema = m.currentSchema
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      val fields = partitionBy.map { case (colName, tr) =>
+        val f = byName.getOrElse(colName, sys.error(s"unknown partition source column $colName"))
+        val suffix = tr match {
+          case Transform.Identity => ""
+          case t => "_" + t.name.takeWhile(_ != '[')
+        }
+        PartitionField(GraftSchema.fieldId(f), s"$colName$suffix", tr)
+      }
+      val newSpecId = m.specs.keys.max + 1
+      m.copy(specs = m.specs + (newSpecId -> PartitionSpec(newSpecId, fields)),
+        defaultSpecId = newSpecId)
+    }
+
   /** required -> optional is always allowed; the reverse is not (docs/06:17). */
   def makeOptional(name: String): TableMetadata =
     evolve { (_, schema) =>

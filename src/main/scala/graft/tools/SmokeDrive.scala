@@ -131,6 +131,13 @@ object SmokeDrive {
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
 
+    // partition evolution: new default spec, both epochs scan together
+    val evo = cat.createTableAs(spark, "db.events_pevo",
+      events.limit(200), partitionBy = Seq("ts" -> Transform.Day))
+    evo.evolvePartitionSpec(Seq("event_type" -> Transform.Identity))
+    evo.append(spark, events.limit(300).except(events.limit(200)))
+    println(s"partition evolution: ${evo.toDF(spark).count()} rows across ${evo.meta.specs.size} specs")
+
     // DataSource integration: spark.read/write.format("graft")
     gold.toDF(spark).write.format("graft").option("warehouse", wh).option("table", "db.gold_copy").save()
     val viaSource = spark.read.format("graft")

@@ -65,6 +65,33 @@ class EvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException](e.widenColumn("l", IntegerType))
   }
 
+  test("partition evolution: old and new spec epochs coexist and both prune (docs/07:117-129)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType),
+      StructField("kind", StringType)))
+    val mkE = (rows: Seq[(Long, String, String)]) => spark.createDataFrame(
+      rows.map { case (a, b, c) => Row(a, b, c) }.asJava, schema)
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.pevo", schema,
+      partitionBy = Seq("day" -> graft.format.Transform.Identity))
+    t.append(spark, mkE(Seq((1L, "d1", "x"), (2L, "d2", "y"))))
+    t.evolvePartitionSpec(Seq("kind" -> graft.format.Transform.Identity))
+    t.append(spark, mkE(Seq((3L, "d3", "x"), (4L, "d4", "y"))))
+
+    assert(t.toDF(spark).count() == 4) // both epochs scan together
+    assert(t.meta.specs.size == 2 && t.meta.defaultSpecId == 1)
+
+    // old-epoch files prune by day partition; new-epoch by day STATS
+    val byDay = t.scan(graft.format.Predicate.Eq("day", "d1"))
+    assert(byDay.toDF(spark).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(byDay.metrics.filesScanned < byDay.metrics.filesTotal)
+
+    // new-epoch files prune by kind partition; old-epoch by kind stats
+    val byKind = t.scan(graft.format.Predicate.Eq("kind", "x"))
+    assert(byKind.toDF(spark).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(byKind.metrics.filesScanned < byKind.metrics.filesTotal)
+  }
+
   test("rename keeps filters working on renamed columns over old files") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.ev_ren", mk(Nil).schema)
