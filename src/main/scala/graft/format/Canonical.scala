@@ -81,7 +81,9 @@ object Canonical {
 
   def toMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
-      t.getTime / 1000L * 1000000L + (t.getNanos / 1000L) % 1000000L
+      // floorDiv: plain division truncates toward zero, which mis-converts
+      // pre-epoch timestamps with fractional seconds (-0.5s would become +0.5s)
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
     case i: Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
     case l: LocalDateTime => l.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
       l.getNano / 1000L

@@ -161,7 +161,7 @@ object Predicate {
       }
       case StartsWith(c, prefix) => tr match {
         case Transform.Truncate(w) =>
-          leafMayMatchBounds(StartsWith(c, prefix.take(w)), outDt, b)
+          leafMayMatchBounds(StartsWith(c, Transform.takeCodePoints(prefix, w)), outDt, b)
         case _ => true
       }
       case _ => true // NotEq through a non-identity transform: cannot prune

@@ -63,10 +63,12 @@ object Transform {
       case _: BooleanType => s.toBoolean
       case other => s
     }
-    def resultType(srcType: DataType): DataType = srcType match {
-      case _: TimestampType | _: TimestampNTZType => StringType
-      case t => t
-    }
+    // Output space == source canonical space for EVERY type. (Timestamps are
+    // formatted only for the directory NAME; `parse` maps the name back to
+    // canonical micros. resultType=StringType here once made stored bounds
+    // Strings while predicates canonicalized to Long — an incomparable-values
+    // crash on any filtered scan of an identity-timestamp partition.)
+    def resultType(srcType: DataType): DataType = srcType
   }
 
   case object Year extends Transform {
@@ -100,12 +102,13 @@ object Transform {
     }
 
   private def p2(i: Int) = f"$i%02d"
+  private def p4(i: Int) = f"$i%04d" // match date_format's yyyy padding (years < 1000)
   val Month: Transform = fmtTransform("month", "yyyy-MM",
-    d => s"${d.getYear}-${p2(d.getMonthValue)}")
+    d => s"${p4(d.getYear)}-${p2(d.getMonthValue)}")
   val Day: Transform = fmtTransform("day", "yyyy-MM-dd",
-    d => s"${d.getYear}-${p2(d.getMonthValue)}-${p2(d.getDayOfMonth)}")
+    d => s"${p4(d.getYear)}-${p2(d.getMonthValue)}-${p2(d.getDayOfMonth)}")
   val Hour: Transform = fmtTransform("hour", "yyyy-MM-dd-HH",
-    d => s"${d.getYear}-${p2(d.getMonthValue)}-${p2(d.getDayOfMonth)}-${p2(d.getHour)}")
+    d => s"${p4(d.getYear)}-${p2(d.getMonthValue)}-${p2(d.getDayOfMonth)}-${p2(d.getHour)}")
 
   /** Bucket by murmur3 hash, consistent between the Spark-side `hash()`
     * function and the driver-side evaluation (both are Murmur3_x86_32 with
@@ -113,7 +116,11 @@ object Transform {
     */
   case class Bucket(n: Int) extends Transform {
     val name = s"bucket[$n]"
-    def toColumn(src: Column, srcType: DataType): Column = pmod(hash(src), lit(n)).cast(LongType)
+    // NULL must land in the null partition, not bucket hash(null)%n —
+    // Spark's hash(NULL) is the seed (42), which would record the file as
+    // containsNull=false and let IS NULL predicates prune it unsoundly.
+    def toColumn(src: Column, srcType: DataType): Column =
+      when(src.isNotNull, pmod(hash(src), lit(n)).cast(LongType))
     def apply(srcType: DataType, v: Any): Option[Any] = {
       val h: Option[Int] = srcType match {
         case _: IntegerType | _: ShortType | _: ByteType =>
@@ -144,7 +151,9 @@ object Transform {
       case _ => (src - pmod(src, lit(w))).cast(LongType)
     }
     def apply(srcType: DataType, v: Any): Option[Any] = srcType match {
-      case _: StringType => Some(v.asInstanceOf[String].take(w))
+      // count CODE POINTS like Spark's substring, not UTF-16 code units —
+      // String.take would split/shorten differently on supplementary chars
+      case _: StringType => Some(takeCodePoints(v.asInstanceOf[String], w))
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
         val l = v.asInstanceOf[Long]; Some(l - Math.floorMod(l, w.toLong))
       case _ => None
@@ -158,6 +167,11 @@ object Transform {
       case _: StringType => StringType
       case _ => LongType
     }
+  }
+
+  private[format] def takeCodePoints(s: String, w: Int): String = {
+    val end = s.offsetByCodePoints(0, math.min(w, s.codePointCount(0, s.length)))
+    s.substring(0, end)
   }
 
   def fromString(s: String): Transform = s match {

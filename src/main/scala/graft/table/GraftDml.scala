@@ -71,6 +71,7 @@ trait GraftDml { self: GraftTable =>
         m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
       }
     val candidatePaths = candidates.map(_.path).toSet
+    val seenDeletePaths = scan0.deleteFiles.map(_.path).toSet
     val rows = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
     val rewritten = transform(rows)
     val newFiles = GraftWriter.write(spark, rewritten, m0, m0.currentSchemaId, m0.defaultSpecId)
@@ -80,10 +81,11 @@ trait GraftDml { self: GraftTable =>
       "rewritten-data-files" -> candidates.size.toString,
       "added-data-files" -> newFiles.size.toString)) { m =>
       replaceFiles(m, candidatePaths, newManifests,
-        // conflict rule (docs/08:71-78): if a concurrent commit removed any of
-        // our candidate files, this rewrite's base is stale — abort the CAS
-        // retry and surface the conflict instead of silently resurrecting rows.
-        requireAllLive = true)
+        // conflict rules (docs/08:71-78): if a concurrent commit removed any
+        // candidate file the base is stale, and if concurrent position-deletes
+        // appeared this rewrite would silently undo them — both abort.
+        requireAllLive = true,
+        expectedDeletePaths = Some(seenDeletePaths))
     }
   }
 
@@ -96,7 +98,8 @@ trait GraftDml { self: GraftTable =>
     */
   private[table] def replaceFiles(
       m: TableMetadata, removedPaths: Set[String], newManifests: Seq[ManifestMeta],
-      requireAllLive: Boolean): Seq[ManifestMeta] = {
+      requireAllLive: Boolean,
+      expectedDeletePaths: Option[Set[String]] = None): Seq[ManifestMeta] = {
     val existing = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
     if (requireAllLive) {
       val live = existing.filter(_.content == "data").flatMap(readManifest(m, _)).map(_.path).toSet
@@ -104,6 +107,19 @@ trait GraftDml { self: GraftTable =>
       if (gone.nonEmpty)
         throw new graft.catalog.CommitConflictException(
           s"$name: ${gone.size} candidate file(s) concurrently rewritten (e.g. ${gone.head})")
+    }
+    // Conflict rule for rewrites that folded position-deletes into data
+    // (docs/08:71-78 "overlapping deletes re-validate"): if delete files
+    // appeared since this rewrite's scan, committing would silently undo
+    // them (the rewritten rows no longer match the new deletes' file paths).
+    expectedDeletePaths.foreach { expected =>
+      val currentDeletes = existing.filter(_.content == "position-deletes")
+        .flatMap(readManifest(m, _)).map(_.path).toSet
+      val added = currentDeletes.diff(expected)
+      if (added.nonEmpty)
+        throw new graft.catalog.CommitConflictException(
+          s"$name: ${added.size} position-delete file(s) committed concurrently with this " +
+            s"rewrite (e.g. ${added.head}); retrying would lose those deletes")
     }
     val kept = existing.flatMap { mf =>
       if (mf.content != "data") Some(mf)
@@ -156,10 +172,21 @@ trait GraftDml { self: GraftTable =>
         Map.empty, rows, size, m0.currentSchemaId, m0.defaultSpecId, Map.empty)
     }.filter(_.recordCount > 0)
     val delManifests = if (delFiles.isEmpty) Nil else Seq(writeManifest(m0, delFiles, "position-deletes"))
+    val candidatePaths = candidates.map(_.path).toSet
     commitSnapshot("delete", statementId, Map(
       "added-delete-files" -> delFiles.size.toString,
       "deleted-records" -> delFiles.map(_.recordCount).sum.toString)) { m =>
-      m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil) ++ delManifests
+      val existing = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      // conflict rule: our position-deletes reference candidate files by
+      // path; if a concurrent rewrite replaced any of them, committing would
+      // make those deletes inert — the DELETE would silently vanish.
+      val live = existing.filter(_.content == "data").flatMap(readManifest(m, _)).map(_.path).toSet
+      val gone = candidatePaths.diff(live)
+      if (gone.nonEmpty)
+        throw new graft.catalog.CommitConflictException(
+          s"$name: ${gone.size} file(s) this MOR delete targets were concurrently " +
+            s"rewritten (e.g. ${gone.head})")
+      existing ++ delManifests
     }
   }
 
@@ -251,10 +278,12 @@ trait GraftDml { self: GraftTable =>
     val newFiles = GraftWriter.write(spark, result, m0, m0.currentSchemaId, m0.defaultSpecId)
     val newManifests = if (newFiles.isEmpty) Nil else Seq(writeManifest(m0, newFiles))
     try {
+      val seenDeletePaths = scan0.deleteFiles.map(_.path).toSet
       commitSnapshot("merge", statementId, Map(
         "rewritten-data-files" -> candidates.size.toString,
         "added-data-files" -> newFiles.size.toString)) { m =>
-        replaceFiles(m, candidatePaths, newManifests, requireAllLive = true)
+        replaceFiles(m, candidatePaths, newManifests, requireAllLive = true,
+          expectedDeletePaths = Some(seenDeletePaths))
       }
     } finally srcCached.unpersist()
   }

@@ -65,10 +65,12 @@ trait GraftMaintenance { self: GraftTable =>
     val candidatePaths = candidates.map(_.path).toSet
     val compactedAll = where.isEmpty
 
+    val seenDeletePaths = scan0.deleteFiles.map(_.path).toSet
     val snap = commitSnapshot("replace", statementId, Map(
       "compacted-data-files" -> candidates.size.toString,
       "added-data-files" -> newFiles.size.toString)) { m =>
-      val kept = replaceFiles(m, candidatePaths, newManifests, requireAllLive = true)
+      val kept = replaceFiles(m, candidatePaths, newManifests, requireAllLive = true,
+        expectedDeletePaths = Some(seenDeletePaths))
       // deletes were folded into the rewrite; drop delete manifests when the
       // whole table was compacted (their rows now reference only dead paths)
       if (compactedAll) kept.filter(_.content == "data") else kept
@@ -98,9 +100,15 @@ trait GraftMaintenance { self: GraftTable =>
     * retained snapshot. Irreversible; bounds time travel (docs/10:76).
     */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): (Int, Int) = {
+    // Physical deletion happens ONLY after the metadata commit lands: the
+    // commit closure can rerun on CAS retry (and a concurrent rollback could
+    // resurrect a snapshot we were about to expire), so deleting inside it
+    // could leave committed metadata pointing at deleted files.
     var removedSnaps = 0
-    var removedFiles = 0
+    var doomed = Set.empty[String]
+    var location = ""
     commitMetadata() { m =>
+      removedSnaps = 0; doomed = Set.empty; location = m.location // reset per attempt
       val byAge = m.snapshots.sortBy(_.sequenceNumber)
       val keepIds = (byAge.filter(_.timestampMs > olderThanMs).map(_.snapshotId) ++
         byAge.takeRight(math.max(1, retainLast)).map(_.snapshotId) ++
@@ -118,13 +126,14 @@ trait GraftMaintenance { self: GraftTable =>
         }
         val (keptMeta, keptData) = reach(kept)
         val (expMeta, expData) = reach(expired)
-        val doomed = (expMeta -- keptMeta) ++ (expData -- keptData)
-        doomed.foreach { rel =>
-          if (Files.deleteIfExists(Paths.get(GraftUtil.resolve(m.location, rel)))) removedFiles += 1
-        }
+        doomed = (expMeta -- keptMeta) ++ (expData -- keptData)
         m.copy(snapshots = kept,
           statementLog = m.statementLog.filter { case (_, sid) => keepIds.contains(sid) })
       }
+    }
+    var removedFiles = 0
+    doomed.foreach { rel =>
+      if (Files.deleteIfExists(Paths.get(GraftUtil.resolve(location, rel)))) removedFiles += 1
     }
     (removedSnaps, removedFiles)
   }

@@ -46,8 +46,27 @@ object GraftWriter {
     val root = meta.location
     val writeDir = Paths.get(root, "data", java.util.UUID.randomUUID().toString).toString
 
+    // Session-timezone guard: write-time time transforms on TimestampType
+    // (instant) columns derive partition values through the session zone,
+    // while plan-time pruning derives them in UTC — a non-UTC session would
+    // silently mis-prune. TimestampNTZ sources are zone-free and exempt.
+    val hasLtzTimeTransform = spec.fields.exists { pf =>
+      val isTime = pf.transform match {
+        case Transform.Identity | _: Transform.Bucket | _: Transform.Truncate => false
+        case _ => true
+      }
+      isTime && idToField(pf.sourceId).dataType.isInstanceOf[TimestampType]
+    }
+    if (hasLtzTimeTransform) {
+      val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"time-transform partitioning on a TIMESTAMP (instant) column requires " +
+          s"spark.sql.session.timeZone=UTC (got $tz); use TIMESTAMP_NTZ or set UTC")
+    }
+
     // align to the table schema (order + types); timestamps written as micros
-    // so footer stats decode deterministically
+    // so footer stats decode deterministically (restore the session value after)
+    val prevOutputTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
 
@@ -69,10 +88,18 @@ object GraftWriter {
         withParts.repartition(partNames.map(col): _*)
       else withParts
 
-    var writer = arranged.write.mode("append")
-    maxRecordsPerFile(meta).foreach(n => writer = writer.option("maxRecordsPerFile", n))
-    if (spec.isPartitioned) writer = writer.partitionBy(partNames: _*)
-    writer.parquet(writeDir)
+    try {
+      var writer = arranged.write.mode("append")
+      maxRecordsPerFile(meta).foreach(n => writer = writer.option("maxRecordsPerFile", n))
+      if (spec.isPartitioned) writer = writer.partitionBy(partNames: _*)
+      writer.parquet(writeDir)
+    } finally {
+      // don't leak the writer's timestamp encoding into the caller's session
+      prevOutputTs match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
 
     collectDataFiles(spark, writeDir, meta, schemaId, specId)
   }
@@ -116,7 +143,10 @@ object GraftWriter {
       segs.forEachRemaining { seg =>
         val s = seg.toString
         val i = s.indexOf('=')
-        if (i > 0 && s.startsWith(PartPrefix)) kvs(s.substring(PartPrefix.length, i)) = s.substring(i + 1)
+        // unescape the KEY too: Spark Hive-escapes both sides of k=v, so a
+        // partition column named "a b" appears as _gp_a%20b=... in the path
+        if (i > 0 && s.startsWith(PartPrefix))
+          kvs(GraftUtil.unescapePathName(s.substring(PartPrefix.length, i))) = s.substring(i + 1)
       }
       val partition: Map[String, Option[String]] = spec.fields.map { pf =>
         val raw = kvs.get(pf.name)

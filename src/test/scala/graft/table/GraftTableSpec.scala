@@ -249,6 +249,38 @@ class GraftTableSpec extends SparkSpec {
     assert(sc.toDF(spark).count() == 2)
   }
 
+  test("identity partitioning on a timestamp column: filtered scans work and prune") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampNTZType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.id_ts", schema,
+      partitionBy = Seq("ts" -> Transform.Identity))
+    val mkT = (rows: Seq[(Long, String)]) => spark.createDataFrame(
+      rows.map { case (i, s) => Row(i, java.time.LocalDateTime.parse(s)) }.asJava, schema)
+    t.append(spark, mkT(Seq(
+      (1L, "2024-01-01T10:00:00"), (2L, "2024-06-15T12:30:00"))))
+    // was: "incomparable canonical values" crash (String bounds vs Long literal)
+    val sc = t.scan(Predicate.Eq("ts", java.time.LocalDateTime.parse("2024-06-15T12:30:00")))
+    assert(sc.toDF(spark).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sc.metrics.filesScanned < sc.metrics.filesTotal)
+    val range = t.scan(Predicate.Lt("ts", java.time.LocalDateTime.parse("2024-02-01T00:00:00")))
+    assert(range.toDF(spark).count() == 1)
+  }
+
+  test("bucket partitioning sends NULL keys to the null partition; IS NULL scans find them") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.bnull", schema,
+      partitionBy = Seq("k" -> Transform.Bucket(4)))
+    t.append(spark, spark.createDataFrame(Seq(
+      Row(1L, "x"), Row(2L, null), Row(3L, "y"), Row(4L, null)).asJava, schema))
+    // was: NULLs hashed to bucket 42%n and IS NULL pruned them away
+    assert(t.toDF(spark, Predicate.IsNull("k")).collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    assert(t.toDF(spark, Predicate.NotNull("k")).count() == 2)
+    assert(t.toDF(spark, Predicate.Eq("k", "x")).count() == 1)
+  }
+
   test("identity partition values with path-hostile characters round-trip") {
     val t = newTable("t_esc", partitioned = true)
     val hostile = Seq(
