@@ -188,7 +188,7 @@ class GraftScan(
     * current schema, position deletes applied) — the COW/MOR rewrite entry
     * point used by DML, which needs candidate files only.
     */
-  private[table] def materialize(spark: SparkSession, files: Seq[DataFile],
+  private[graft] def materialize(spark: SparkSession, files: Seq[DataFile],
                                  deletes: Seq[DataFile], withFileMeta: Boolean): DataFrame = {
     val current = meta.currentSchema
     val df0 = readResolved(spark, files, withFileMeta || deletes.nonEmpty)

@@ -138,6 +138,11 @@ object SmokeDrive {
     evo.append(spark, events.limit(300).except(events.limit(200)))
     println(s"partition evolution: ${evo.toDF(spark).count()} rows across ${evo.meta.specs.size} specs")
 
+    // incremental consumption: snapshot-diff changelog
+    val firstSnap = evo.meta.snapshots.head.snapshotId
+    val changed = graft.streaming.GraftStreamSource.changesSince(spark, evo, Some(firstSnap)).count()
+    println(s"changesSince(first snapshot): $changed rows (expect 100)")
+
     // DataSource integration: spark.read/write.format("graft")
     gold.toDF(spark).write.format("graft").option("warehouse", wh).option("table", "db.gold_copy").save()
     val viaSource = spark.read.format("graft")
