@@ -14,9 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftStreamSource {
 
-  /** Structured-Streaming source over a table's data directory: each newly
-    * committed data file becomes streamable input (file-source semantics,
-    * exactly-once per checkpoint).
+  /** Structured-Streaming source over a table's data directory: each new
+    * data file becomes streamable input (file-source semantics, exactly-once
+    * per checkpoint).
+    *
+    * LIMITS of directory watching (use [[changesSince]] when they matter):
+    * files are observed at WRITE time, before the commit — rows from a
+    * write whose commit ultimately fails CAS retry are still delivered; and
+    * files are read under the CURRENT schema by name, so the stream must not
+    * span schema evolution (no ID-based resolution on this path). MOR
+    * position-delete files live outside data/ and are never picked up.
     */
   def appendsStream(spark: SparkSession, table: GraftTable): DataFrame =
     spark.readStream
@@ -34,18 +41,15 @@ object GraftStreamSource {
                    fromSnapshotId: Option[Long],
                    toSnapshotId: Option[Long] = None): DataFrame = {
     val m = table.meta
-    def filesAt(sid: Option[Long]): Set[String] = sid match {
-      case None => Set.empty
+    def filesAt(sid: Option[Long]): Seq[graft.format.DataFile] = sid match {
+      case None => Nil
       case Some(id) =>
-        val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found"))
-        table.liveFiles(m, Some(snap)).map(_.path).toSet
+        val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
+        table.liveFiles(m, Some(snap))
     }
     val toSid = toSnapshotId.orElse(m.currentSnapshotId)
-    val before = filesAt(fromSnapshotId)
-    val after = toSid.map(id => m.snapshot(id).map(s =>
-        table.liveFiles(m, Some(s))).getOrElse(sys.error(s"snapshot $id not found")))
-      .getOrElse(Nil)
-    val added = after.filterNot(f => before.contains(f.path))
+    val before = filesAt(fromSnapshotId).map(_.path).toSet
+    val added = filesAt(toSid).filterNot(f => before.contains(f.path))
     val sc = new graft.table.GraftScan(table, m, toSid.flatMap(m.snapshot), Nil)
     sc.materialize(spark, added, Nil, withFileMeta = false)
   }

@@ -101,8 +101,13 @@ trait GraftDml { self: GraftTable =>
       requireAllLive: Boolean,
       expectedDeletePaths: Option[Set[String]] = None): Seq[ManifestMeta] = {
     val existing = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+    // read each manifest exactly once per attempt; the liveness check, the
+    // delete-conflict check, and the kept-loop all consume this map
+    val contents: Map[String, Seq[DataFile]] =
+      existing.map(mf => mf.path -> readManifest(m, mf)).toMap
+    def filesOf(mf: ManifestMeta): Seq[DataFile] = contents(mf.path)
     if (requireAllLive) {
-      val live = existing.filter(_.content == "data").flatMap(readManifest(m, _)).map(_.path).toSet
+      val live = existing.filter(_.content == "data").flatMap(filesOf).map(_.path).toSet
       val gone = removedPaths.diff(live)
       if (gone.nonEmpty)
         throw new graft.catalog.CommitConflictException(
@@ -114,7 +119,7 @@ trait GraftDml { self: GraftTable =>
     // them (the rewritten rows no longer match the new deletes' file paths).
     expectedDeletePaths.foreach { expected =>
       val currentDeletes = existing.filter(_.content == "position-deletes")
-        .flatMap(readManifest(m, _)).map(_.path).toSet
+        .flatMap(filesOf).map(_.path).toSet
       val added = currentDeletes.diff(expected)
       if (added.nonEmpty)
         throw new graft.catalog.CommitConflictException(
@@ -124,7 +129,7 @@ trait GraftDml { self: GraftTable =>
     val kept = existing.flatMap { mf =>
       if (mf.content != "data") Some(mf)
       else {
-        val files = readManifest(m, mf)
+        val files = filesOf(mf)
         if (!files.exists(f => removedPaths.contains(f.path))) Some(mf) // reuse as-is
         else {
           val remaining = files.filterNot(f => removedPaths.contains(f.path))
@@ -162,8 +167,10 @@ trait GraftDml { self: GraftTable =>
       .filter(predCol)
       .select(col("_gf_file").as("file_path"), col("_gf_pos").as("pos"))
     // sort by (file, pos) so a reader could range-skip; small files are fine —
-    // the <10% delete-ratio health bound (docs/10:123) keeps this side tiny
-    val writeDir = Paths.get(m0.location, "data", "deletes-" + java.util.UUID.randomUUID()).toString
+    // the <10% delete-ratio health bound (docs/10:123) keeps this side tiny.
+    // Delete files live OUTSIDE data/ so directory-watching readers
+    // (GraftStreamSource.appendsStream) never ingest them as data rows.
+    val writeDir = Paths.get(m0.location, "deletes", java.util.UUID.randomUUID().toString).toString
     matches.sortWithinPartitions("file_path", "pos").write.parquet(writeDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val delFiles = GraftUtil.listFilesRecursively(Paths.get(writeDir), ".parquet").map { p =>

@@ -160,6 +160,7 @@ trait GraftMaintenance { self: GraftTable =>
       }.toSet ++ Set("metadata/version-hint.text")
     val root = Paths.get(m.location)
     val all = GraftUtil.listFilesRecursively(root.resolve("data"), "") ++
+      GraftUtil.listFilesRecursively(root.resolve("deletes"), "") ++
       GraftUtil.listFilesRecursively(root.resolve("metadata"), "")
         .filterNot(_.getFileName.toString.matches("v\\d+\\.metadata\\.json|version-hint.*"))
     val orphans = all.filter { p =>

@@ -46,22 +46,28 @@ object GraftWriter {
     val root = meta.location
     val writeDir = Paths.get(root, "data", java.util.UUID.randomUUID().toString).toString
 
-    // Session-timezone guard: write-time time transforms on TimestampType
-    // (instant) columns derive partition values through the session zone,
-    // while plan-time pruning derives them in UTC — a non-UTC session would
-    // silently mis-prune. TimestampNTZ sources are zone-free and exempt.
+    // Session-timezone guard: every formatting transform on a TimestampType
+    // (instant) column — Year/Month/Day/Hour AND Identity, whose directory
+    // name is date_format'd — derives the partition value through the
+    // session zone, while plan-time pruning derives it in UTC; a non-UTC
+    // session would silently mis-prune. TimestampNTZ sources are zone-free
+    // and exempt; Bucket hashes raw micros (zone-free).
     val hasLtzTimeTransform = spec.fields.exists { pf =>
-      val isTime = pf.transform match {
-        case Transform.Identity | _: Transform.Bucket | _: Transform.Truncate => false
+      val zoneSensitive = pf.transform match {
+        case _: Transform.Bucket => false
         case _ => true
       }
-      isTime && idToField(pf.sourceId).dataType.isInstanceOf[TimestampType]
+      zoneSensitive && idToField(pf.sourceId).dataType.isInstanceOf[TimestampType]
     }
     if (hasLtzTimeTransform) {
       val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
-      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
-        s"time-transform partitioning on a TIMESTAMP (instant) column requires " +
-          s"spark.sql.session.timeZone=UTC (got $tz); use TIMESTAMP_NTZ or set UTC")
+      val zeroOffset = try {
+        val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: Exception => false }
+      require(zeroOffset,
+        s"time/identity-transform partitioning on a TIMESTAMP (instant) column requires " +
+          s"a UTC session (spark.sql.session.timeZone=$tz); use TIMESTAMP_NTZ or set UTC")
     }
 
     // align to the table schema (order + types); timestamps written as micros
