@@ -157,6 +157,19 @@ class GraftTableSpec extends SparkSpec {
     assert(t.meta.snapshots.size == 4)
   }
 
+  test("conflict guard: concurrent position-deletes abort a folding rewrite (docs/08:71-78)") {
+    val t = newTable("t_conf_del", props = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mkDf(base))
+    val (_, m0) = t.load()
+    val seenDeletes = t.scan().deleteFiles.map(_.path).toSet // empty at scan time
+    t.delete(spark, Seq(Predicate.Eq("cat", "a"))) // concurrent MOR delete lands
+    val (_, m1) = t.load()
+    intercept[graft.catalog.CommitConflictException] {
+      t.replaceFiles(m1, t.scan().dataFiles.map(_.path).toSet, Nil,
+        requireAllLive = true, expectedDeletePaths = Some(seenDeletes))
+    }
+  }
+
   test("conflict guard: a rewrite whose candidate files vanished must abort, not resurrect rows (docs/08:71-78)") {
     val t = newTable("t_conf")
     t.append(spark, mkDf(base))
