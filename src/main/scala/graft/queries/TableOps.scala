@@ -126,6 +126,28 @@ object TableOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // W7 through S4: MERGE reading a MOR table with outstanding position
+    // deletes — the rewrite must see delete-merged rows (docs/08:104-116),
+    // fold them, and upsert on top.
+    ("g_merge_over_mor",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false,
+          props = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.delete(s, Seq(Predicate.Eq("event_type", "error"))) // MOR position deletes
+        val source = Tables.events(s, d)
+          .filter(col("event_type") === "signup")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), (col("value") * 0 + 1.0).as("value"), col("props"))
+        t.merge(s, source, Seq("event_id" -> "event_id"),
+          whenMatchedUpdate = Map("value" -> col("s.value")),
+          insertWhenNotMatched = false)
+        aggByType(t.toDF(s))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN 1.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // S8/S11: time travel — two appends, read the FIRST snapshot
     // (docs/05:60-80); the second append must be invisible.
     ("g_time_travel",

@@ -28,11 +28,13 @@ class RandomOpsSpec extends SparkSpec {
   private def read(t: GraftTable): Set[(Long, String, Long)] =
     t.toDF(spark).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
-  test("random op sequences: table == model, history immutable (seeded)") {
-    val rnd = new Random(4242)
+  for (partitioned <- Seq(false, true))
+  test(s"random op sequences (partitioned=$partitioned): table == model, history immutable") {
+    val rnd = new Random(if (partitioned) 77 else 4242)
     val cat = new GraftCatalog(tempWarehouse())
     val mor = rnd.nextBoolean()
-    val t = cat.createTable("db.rand", schema,
+    val t = cat.createTable(s"db.rand_$partitioned", schema,
+      partitionBy = if (partitioned) Seq("grp" -> graft.format.Transform.Identity) else Nil,
       properties = Map("enable-iceberg-merge-on-read" -> mor.toString))
     var model = Set.empty[(Long, String, Long)]
     var nextId = 0L
