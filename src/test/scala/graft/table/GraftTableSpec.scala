@@ -145,6 +145,19 @@ class GraftTableSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 10)
   }
 
+  test("concurrent DISJOINT deletes both succeed via retry revalidation (docs/08:71-78)") {
+    val t = newTable("t_disj", partitioned = true)
+    t.append(spark, mkDf(base))
+    val threads = Seq("a", "b").map { g =>
+      new Thread(() => t.delete(spark, Seq(Predicate.Eq("cat", g))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // both deletes applied: only cat=c remains; one of the two must have
+    // gone through the CAS-retry + revalidation path
+    assert(contents(t) == base.filter(_._2 == "c").toSet)
+    assert(t.meta.snapshots.size == 3)
+  }
+
   test("concurrent appends all succeed via OCC retry (docs/08:57-69)") {
     val t = newTable("t_conc")
     val threads = (1 to 4).map { i =>
