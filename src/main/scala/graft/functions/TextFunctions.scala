@@ -56,6 +56,29 @@ object TextFunctions {
   def minhashSignature(text: Column, k: Int = 4): Column =
     minhashSignatureOf(tokens(text), k)
 
+  /** Banded MinHash (the OR-of-ANDs LSH construction): `bands` signatures,
+    * each the md5 of `rowsPerBand` per-band digest slices. Docs sharing ANY
+    * band signature are candidates — recall rises with `bands`, precision
+    * with `rowsPerBand` (the classic S-curve). Returns an array; candidate
+    * generation is `explode` + self-join on (band_index, band_sig):
+    * {{{
+    * df.select($"id", posexplode(minhashBands($"text", 4, 2)))  // -> pos, col
+    *   .join(other side on pos + col)
+    * }}}
+    * Band hashes come from md5(band || item) so bands are independent.
+    */
+  def minhashBands(items: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 4)
+    val distinct = array_distinct(items)
+    val bandSigs = (0 until bands).map { b =>
+      val hashes = transform(distinct, t => md5(concat(lit(s"band$b:"), t)))
+      val minima = (0 until rowsPerBand).map(i =>
+        array_min(transform(hashes, h => substring(h, 1 + i * 8, 8))))
+      md5(minima.reduce(concat(_, _)))
+    }
+    array(bandSigs: _*)
+  }
+
   /** SimHash over `bits` hex positions of per-token md5s: majority vote per
     * position; near-dups differ in few bits. Returns a '0'/'1' string.
     */

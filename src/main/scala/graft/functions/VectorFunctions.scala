@@ -53,6 +53,43 @@ object VectorFunctions {
       .select(col("rank"), col(idCol), col("sim"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `centroids`
+    * (a small broadcast list — at scale, k-means centroids; any fixed,
+    * deterministic set works), then search only the query's cell(s).
+    *
+    * `ivfAssign` is the index-build step (one pass, one new column to
+    * partition/bucket the table by); [[ivfTopK]] probes `nprobe` nearest
+    * cells — the recall/latency knob of every IVF index.
+    */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    require(centroids.nonEmpty)
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(euclideanDistance(vec, lit(c.toArray)).as("d"), lit(i).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  def ivfTopK(df: DataFrame, queryVec: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val assigned = df.withColumn("_cell", ivfAssign(col(vecCol), centroids))
+    // the query's nprobe nearest cells, as an exploded (broadcastable) list
+    val qCells = queryVec.select(col("q"), posexplode(array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(euclideanDistance(col("q"), lit(c.toArray)).as("d"), lit(i).as("cell"))
+      }: _*)))
+      .select(col("q"), col("col.d"), col("col.cell").as("_cell"))
+      .orderBy("d").limit(nprobe)
+      .select("q", "_cell")
+    val sim = cosineSimilarity(col(vecCol), col("q"))
+    assigned.join(broadcast(qCells), "_cell")
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("sim"))
+  }
+
   /** LSH-accelerated ANN top-k: restrict the scan to the query's sign bucket
     * (the scale path; falls back to fewer than k results when the bucket is
     * small — callers widen `bits` down / probe neighbor buckets as needed).

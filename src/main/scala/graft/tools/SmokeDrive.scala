@@ -130,6 +130,11 @@ object SmokeDrive {
     val top3 = VF.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 3)
       .select("vec_id").collect().map(_.getLong(0)).mkString(",")
     println(s"top-3 neighbors of vec 0: $top3")
+    val centroids = emb.orderBy("vec_id").limit(4).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val ivf3 = VF.ivfTopK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 3,
+      centroids, nprobe = 4).select("vec_id").collect().map(_.getLong(0)).mkString(",")
+    println(s"IVF(full-probe) top-3: $ivf3 (expect $top3)")
 
     // partition evolution: new default spec, both epochs scan together
     val evo = cat.createTableAs(spark, "db.events_pevo",

@@ -94,6 +94,47 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(j - 3.0 / 5.0) < 1e-15) // {b,c,d} of {a,b,c,d,e}
   }
 
+  test("banded MinHash: near-dups share a band; distinct docs don't collide on all bands") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // 5/7 token overlap with 1
+      (3L, "one two three four five six"))
+    val rows = df.select(col("id"),
+      TextFunctions.minhashBands(TextFunctions.tokens(col("text")), bands = 6, rowsPerBand = 1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1).length == 6)
+    // OR-construction: similar docs share at least one of the 6 single-row bands
+    assert(rows(1).zip(rows(2)).exists { case (a, b) => a == b },
+      "near-dup pair should collide in some band")
+    assert(!rows(1).zip(rows(3)).forall { case (a, b) => a == b },
+      "disjoint docs must not collide in every band")
+  }
+
+  test("IVF top-k equals brute force with full probing; cell assignment is nearest-centroid") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // two clusters around (0,0) and (10,10)
+    val rows = (1L to 10L).map(i => Row(i, Seq((i % 5).toFloat * 0.1f, (i % 3).toFloat * 0.1f))) ++
+      (11L to 20L).map(i => Row(i, Seq(10f + (i % 5) * 0.1f, 10f + (i % 3) * 0.1f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val centroids = Seq(Seq(0f, 0f), Seq(10f, 10f))
+    val q = spark.createDataFrame(Seq(Row(Seq(10.1f, 10.1f))).asJava,
+      StructType(Seq(StructField("q", ArrayType(FloatType)))))
+
+    val cells = df.select(VectorFunctions.ivfAssign(col("embedding"), centroids)).collect()
+      .map(_.getInt(0))
+    assert(cells.take(10).forall(_ == 0) && cells.drop(10).forall(_ == 1))
+
+    val brute = VectorFunctions.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ivf1 = VectorFunctions.ivfTopK(df, q, "vec_id", "embedding", 5, centroids, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ivfAll = VectorFunctions.ivfTopK(df, q, "vec_id", "embedding", 5, centroids,
+      nprobe = centroids.size).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)              // full probe == exact
+    assert(ivf1.forall(_ >= 11L))        // single probe stays in the query's cluster
+  }
+
   test("langId marker precedence") {
     val df = docs((1L, "the a dog"), (2L, "the dog"), (3L, "dog"))
     val out = df.select(TextFunctions.langId(col("text"),
