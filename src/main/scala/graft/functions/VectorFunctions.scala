@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Embedding-vector functions for similarity search (SURVEY.md §2.9 X3):
   * higher-order-function math over `array<float>` columns — stays in
@@ -35,6 +34,21 @@ object VectorFunctions {
     concat_ws("", transform(slice(a, 1, bits),
       x => when(x >= lit(0.0f), "1").otherwise("0")))
 
+  /** Distributed top-k ranking without a global window: `orderBy.limit(k)`
+    * plans TakeOrderedAndProject (each partition keeps k rows, the driver
+    * merges k·numPartitions), then rank is derived over the k surviving rows
+    * in one single-partition sorted pass — no WindowExec, no corpus-wide
+    * single-partition shuffle.
+    */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .coalesce(1)
+      .sortWithinPartitions(col("sim").desc, col(idCol))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
+      .select(col("rank"), col(idCol), col("sim"))
+
   /** Brute-force exact top-k by cosine against a single query vector (the
     * correctness baseline; O(n·d) one pass, query broadcast).
     *
@@ -45,12 +59,7 @@ object VectorFunctions {
   def bruteForceTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val sim = cosineSimilarity(col(vecCol), col("q"))
-    df.crossJoin(broadcast(queryVec))
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col(idCol), col("sim"))
+    rankTopK(df.crossJoin(broadcast(queryVec)).withColumn("sim", sim), idCol, k)
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`
@@ -82,12 +91,8 @@ object VectorFunctions {
       .orderBy("d").limit(nprobe)
       .select("q", "_cell")
     val sim = cosineSimilarity(col(vecCol), col("q"))
-    assigned.join(broadcast(qCells), "_cell")
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col(idCol), col("sim"))
+    rankTopK(assigned.join(broadcast(qCells), "_cell").withColumn("sim", sim),
+      idCol, k)
   }
 
   /** LSH-accelerated ANN top-k: restrict the scan to the query's sign bucket
@@ -99,11 +104,7 @@ object VectorFunctions {
     val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), bits))
     val q = queryVec.withColumn("_qbucket", lshBucket(col("q"), bits))
     val sim = cosineSimilarity(col(vecCol), col("q"))
-    bucketed.join(broadcast(q), col("_bucket") === col("_qbucket"))
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col(idCol), col("sim"))
+    rankTopK(bucketed.join(broadcast(q), col("_bucket") === col("_qbucket"))
+      .withColumn("sim", sim), idCol, k)
   }
 }
