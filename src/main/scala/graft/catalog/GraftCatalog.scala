@@ -169,7 +169,17 @@ class GraftCatalog(val warehouse: String) {
         MetaJson.metadataToJson(newMeta.copy(lastUpdatedMs = System.currentTimeMillis())))
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflictException(s"$name: v$next already exists (lost CAS race)")
+          // vN+1 exists but the hint still says N: a committer crashed between
+          // the exclusive metadata write and the hint advance. The exclusive
+          // write publishes via atomic rename, so the existing file is a
+          // complete, valid metadata — the CAS winner for vN+1. Adopt it by
+          // completing its hint advance (idempotent if its writer is merely
+          // slow), then conflict so the caller re-reads the new base. Without
+          // this, every later committer would fail the same create forever.
+          GraftUtil.writeStringAtomic(
+            Paths.get(root, "metadata", "version-hint.text"), next.toString)
+          throw new CommitConflictException(
+            s"$name: v$next already exists (lost CAS race); hint advanced to v$next")
       }
       GraftUtil.writeStringAtomic(Paths.get(root, "metadata", "version-hint.text"), next.toString)
       next

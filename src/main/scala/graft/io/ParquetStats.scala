@@ -154,11 +154,12 @@ object ParquetStats {
               toMicros(st.genericGetMax.asInstanceOf[Long])))
           case _ => None
         }
-      case (FLOAT, _: FloatType | _: DoubleType) =>
-        Some((st.genericGetMin.asInstanceOf[Float].toDouble,
-          st.genericGetMax.asInstanceOf[Float].toDouble))
-      case (DOUBLE, _: DoubleType) =>
-        Some((st.genericGetMin.asInstanceOf[Double], st.genericGetMax.asInstanceOf[Double]))
+      // Float/double: NO bounds, ever. Parquet footer min/max exclude NaN
+      // (or are polluted by it depending on writer), while the engine orders
+      // NaN above every value — a file [1.0, NaN] with stored max=1.0 would
+      // be unsoundly pruned for `x > 5`. Iceberg tracks nan_value_counts for
+      // this; we take the simpler sound position: FP columns are unprunable.
+      case (FLOAT | DOUBLE, _) => None
       case (BOOLEAN, _: BooleanType) =>
         Some((st.genericGetMin.asInstanceOf[Boolean], st.genericGetMax.asInstanceOf[Boolean]))
       case (BINARY, _: StringType) =>

@@ -245,8 +245,28 @@ trait GraftDml { self: GraftTable =>
     val scan0 = new GraftScan(this, m0, m0.currentSnapshot, keyPreds)
     val candidates = scan0.dataFiles
     val candidatePaths = candidates.map(_.path).toSet
-    val tRows = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
-      .withColumn("_t_present", lit(true)).alias("t")
+    val tRowsBase = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = false)
+
+    // ANSI MERGE nondeterminism guard (docs/12:107-126): a target row matched
+    // by more than one source row must raise, not silently duplicate via the
+    // join. Cheap two-step: duplicate ON-key tuples in the source (map-side
+    // combined agg, usually empty) and only then a semi-join against the
+    // bounds-pruned candidates to see whether any duplicate actually matches.
+    val dupKeys = srcCached.groupBy(onKeys.map { case (_, s) => col(s) }: _*)
+      .agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1).drop("_cnt")
+    if (dupKeys.take(1).nonEmpty) {
+      val dk = dupKeys.alias("dk")
+      val clashCond = onKeys.map { case (t, s) => col(s"ck.$t") === col(s"dk.$s") }.reduce(_ && _)
+      val clash = tRowsBase.alias("ck").join(broadcast(dk), clashCond, "left_semi")
+      if (clash.take(1).nonEmpty) {
+        srcCached.unpersist()
+        throw new IllegalArgumentException(
+          s"$name: MERGE source has duplicate ON-key rows matching a target row; " +
+            "result would be nondeterministic — dedupe the source on the ON keys")
+      }
+    }
+
+    val tRows = tRowsBase.withColumn("_t_present", lit(true)).alias("t")
     val sRows = srcCached.withColumn("_s_present", lit(true)).alias("s")
     val joinCond = onKeys.map { case (t, s) => col(s"t.$t") === col(s"s.$s") }.reduce(_ && _)
     val joined = tRows.join(sRows, joinCond, "full_outer")

@@ -148,10 +148,14 @@ trait GraftMaintenance { self: GraftTable =>
 
   /** REMOVE ORPHAN FILES (docs/10:97-111): files under the table location
     * referenced by NO snapshot — leftovers of failed/aborted writes. Only
-    * files older than `olderThanMs` are removed (docs/10:107 recommends a
-    * safety window so in-flight commits aren't clobbered).
+    * files older than `olderThanMs` are removed; the default cutoff is
+    * now minus 24h (docs/10:107's safety window) because an in-flight
+    * write's data files exist on disk BEFORE its commit references them —
+    * a cutoff of "now" would delete them and let the commit land pointing
+    * at nothing.
     */
-  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis()): Seq[String] = {
+  def removeOrphanFiles(
+      olderThanMs: Long = System.currentTimeMillis() - 24L * 3600_000L): Seq[String] = {
     val (_, m) = load()
     val referenced: Set[String] =
       m.snapshots.flatMap { s =>

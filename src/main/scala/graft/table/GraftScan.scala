@@ -27,6 +27,13 @@ case class ScanMetrics(
     rowsInScannedFiles: Long,
     timestampMs: Long)
 
+object GraftScan {
+  /** Above this manifest-recorded delete-file byte total, MOR reads fall back
+    * from a broadcast anti-join to a shuffled one (see materialize).
+    */
+  val MorBroadcastMaxBytes: Long = 64L * 1024 * 1024
+}
+
 /** In-process QUERY_HISTORY (docs/09:180-194). */
 object QueryHistory {
   private val entries = new ConcurrentLinkedQueue[ScanMetrics]()
@@ -195,13 +202,31 @@ class GraftScan(
     val merged =
       if (deletes.nonEmpty) {
         // MOR read merge: data rows minus position deletes (docs/08:104-116).
-        // The delete side is broadcast: bounded by the <10% delete-ratio
-        // health target (docs/10:123) it stays small relative to data.
         val delPaths = deletes.map(d => GraftUtil.resolve(meta.location, d.path))
-        val delDF = spark.read.parquet(delPaths: _*)
+        val delAll = spark.read.parquet(delPaths: _*)
           .select(col("file_path").as("_gd_file"), col("pos").as("_gd_pos"))
-        df0.join(broadcast(delDF),
-          df0("_gf_file") === delDF("_gd_file") && df0("_gf_pos") === delDF("_gd_pos"),
+        // Prune delete rows to THIS scan's data files: deletes accumulate
+        // table-wide, but only rows keyed by a candidate file's path can
+        // match the anti-join. (`_metadata.file_path` is a URI — normalize
+        // the scheme before comparing with resolved filesystem paths.)
+        // Skipped for very large file lists, where the InSet literal itself
+        // would bloat the plan.
+        val delDF =
+          if (files.size <= 10000) {
+            val cand = files.map(f => GraftUtil.resolve(meta.location, f.path))
+            delAll.filter(
+              regexp_replace(col("_gd_file"), "^file:/+", "/").isin(cand: _*))
+          } else delAll
+        // The <10% delete-ratio health target (docs/10:123) is advisory, not
+        // a guarantee: broadcast only when the manifest-recorded delete bytes
+        // are small; otherwise let Spark shuffle the anti-join — 10% of a
+        // 100 TB table is not a broadcast.
+        val delBytes = deletes.map(_.fileSizeBytes).sum
+        val maxBroadcast = spark.conf.getOption("graft.mor.broadcast-max-bytes")
+          .map(_.toLong).getOrElse(GraftScan.MorBroadcastMaxBytes)
+        val delSide = if (delBytes <= maxBroadcast) broadcast(delDF) else delDF
+        df0.join(delSide,
+          df0("_gf_file") === delSide("_gd_file") && df0("_gf_pos") === delSide("_gd_pos"),
           "left_anti")
       } else df0
     if (withFileMeta)

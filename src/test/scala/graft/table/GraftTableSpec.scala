@@ -331,4 +331,63 @@ class GraftTableSpec extends SparkSpec {
     assert(sc.metrics.filesScanned < sc.metrics.filesTotal) // bucket equality pruned
     assert(sc.toDF(spark).collect().map(_.getLong(0)).toSet == Set(3L))
   }
+
+  test("MERGE rejects a source with duplicate ON keys matching a target row (ANSI nondeterminism)") {
+    val t = newTable("t_merge_dup")
+    t.append(spark, mkDf(base))
+    val dupMatched = mkDf(Seq((2L, "a", 200.0), (2L, "a", 201.0), (9L, "z", 9.0)))
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(spark, dupMatched, Seq("id" -> "id"),
+        whenMatchedUpdate = Map("v" -> col("s.v")))
+    }
+    assert(ex.getMessage.contains("duplicate ON-key"))
+    assert(contents(t) == base.toSet) // nothing committed
+
+    // duplicates that match NO target row are legal: each inserts
+    val dupUnmatched = mkDf(Seq((9L, "z", 9.0), (9L, "z", 9.5)))
+    t.merge(spark, dupUnmatched, Seq("id" -> "id"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    assert(t.toDF(spark).filter(col("id") === 9L).count() == 2)
+  }
+
+  test("MOR read falls back to a shuffled anti-join above the broadcast threshold") {
+    val cow = newTable("t_big_cow")
+    val mor = newTable("t_big_mor", props = Map("enable-iceberg-merge-on-read" -> "true"))
+    spark.conf.set("graft.mor.broadcast-max-bytes", "0") // drop the broadcast hint
+    // also silence Spark's own size-based auto-broadcast so the plan shows
+    // what the guard alone dictates (at real scale the delete side would
+    // exceed that threshold too)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (t <- Seq(cow, mor)) {
+        t.append(spark, mkDf(base))
+        t.delete(spark, Seq(Predicate.Gt("v", 2.5), Predicate.Lt("v", 4.5)))
+      }
+      assert(mor.scan().deleteFiles.nonEmpty)
+      assert(contents(cow) == contents(mor))
+      // the plan really is shuffle-based: no broadcast exchange on the delete side
+      val plan = mor.toDF(spark).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"expected shuffled anti-join:\n$plan")
+    } finally {
+      spark.conf.unset("graft.mor.broadcast-max-bytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("commit self-heals an orphan vN+1 left by a crash before the hint advance") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_wedge", mkDf(Nil).schema)
+    t.append(spark, mkDf(base.take(2)))
+    // simulate a committer that wrote vN+1.metadata.json and died: copy the
+    // current metadata forward without touching version-hint.text
+    val root = cat.resolveRoot("db.t_wedge")
+    val v = cat.currentVersion("db.t_wedge")
+    val cur = java.nio.file.Paths.get(root, "metadata", s"v$v.metadata.json")
+    val orphan = java.nio.file.Paths.get(root, "metadata", s"v${v + 1}.metadata.json")
+    java.nio.file.Files.copy(cur, orphan)
+    // a later writer must not wedge: the orphan is adopted and the write lands
+    t.append(spark, mkDf(base.drop(2)))
+    assert(contents(t) == base.toSet)
+    assert(cat.currentVersion("db.t_wedge") > v + 1)
+  }
 }
