@@ -91,7 +91,13 @@ object GraftWriter {
         withParts.repartitionByRange((partNames.map(col) ++ clusterBy.map(col)): _*)
           .sortWithinPartitions((partNames ++ clusterBy).map(col): _*)
       else if (spec.isPartitioned && cluster)
-        withParts.repartition(partNames.map(col): _*)
+        // REBALANCE, not repartition: a hard hash shuffle pins each partition
+        // value to ONE reducer, so a hot partition (one day of a large
+        // stream) serializes through a single task. AQE's rebalance both
+        // splits reducer partitions above the advisory size (several tasks
+        // may write the same hot partition value) and coalesces small ones
+        // (no small-file explosion for cold values).
+        withParts.hint("rebalance", partNames.map(col): _*)
       else withParts
 
     try {

@@ -374,6 +374,20 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("skewed partitioned write: a hot partition value fans out to multiple files") {
+    val t = newTable("t_skew", partitioned = true)
+    // one dominant partition value; a per-value hash shuffle would push all
+    // of it through a single task -> a single file
+    val hot = (1 to 50000).map(i => (i.toLong, "hot", i.toDouble)) ++
+      Seq((100001L, "cold", 1.0))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try t.append(spark, mkDf(hot))
+    finally spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val hotFiles = t.scan().dataFiles.filter(_.path.contains("cat=hot"))
+    assert(hotFiles.size > 1, s"hot partition wrote ${hotFiles.size} file(s); skew not split")
+    assert(contents(t) == hot.toSet)
+  }
+
   test("commit self-heals an orphan vN+1 left by a crash before the hint advance") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.t_wedge", mkDf(Nil).schema)
