@@ -204,17 +204,23 @@ object Extensions {
     // one double division) then filters the survivors.
     ("x_neardup_jaccard",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
+        // one signature pass, one shuffle: bucket docs by signature and
+        // generate pairs bucket-locally (bucket sizes are O(1) with shingle
+        // keys, so the collect_list state is bounded) — no cached self-join.
+        val sigs = Tables.documents(s, d)
           .withColumn("sh", TF.shingles(col("text"), 2))
           .withColumn("sig", TF.minhashSignatureOf(col("sh"), k = 4))
           .select("doc_id", "sh", "sig")
-          .persist() // both sides of the self-join reuse one signature pass
-        val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("sig").as("sig_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.join(b, col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
+        sigs.filter(col("sig").isNotNull)
+          .groupBy("sig")
+          .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+          .filter(size(col("members")) > 1)
+          .select(explode(col("members")).as("a"), col("members"))
+          .select(col("a"), explode(col("members")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jaccard", TF.jaccardOf(col("a.sh"), col("b.sh")))
           .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       s"""WITH toks AS (
@@ -236,6 +242,53 @@ object Extensions {
         |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X2e: banded MinHash (OR-of-ANDs LSH): 4 bands x 2 rows — docs sharing
+    // ANY band signature are candidates, so recall exceeds the single AND-only
+    // k=4 signature (the classic S-curve tradeoff); exact Jaccard then
+    // verifies. Candidate generation is explode + equi-join on (band, sig) —
+    // a shuffle, never all-pairs.
+    ("x_neardup_banded",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("sh", TF.shingles(col("text"), 2))
+          .withColumn("bands", TF.minhashBands(col("sh"), bands = 4, rowsPerBand = 2))
+          .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band", "sig")))
+          .filter(col("sig").isNotNull)
+        val a = docs.select(col("band"), col("sig"),
+          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("band").as("band_b"), col("sig").as("sig_b"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+            col("doc_a") < col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b") // a pair may collide in >1 band
+          .withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.3)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM toks),
+        |bands AS (
+        |  SELECT doc_id, sh, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5('band' || b || ':' || x), 1, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5('band' || b || ':' || x), 9, 8)))) AS sig
+        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b)
+        |  WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
         |ORDER BY 1, 2""".stripMargin),
 
     // X4e: document fingerprinting — content-hash dup ratio per source.

@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.format.{Predicate, Transform}
+import graft.queries.TableOps.{Split, aggByType, aggByTypeSqlFrom, dsum, eventsTable, newCatalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+/** Oracle-gated maintenance / metadata / lifecycle operators (SURVEY.md §2:
+  * O2-O6, M2-M3, S10, S12, T2, D7, D9, D12, D17, refs) in the g_compact
+  * style: each query builds a Graft table, runs the operator, and returns
+  * final table state plus invariant flags a plain-SQL oracle reproduces —
+  * so the driver's DuckDB gate, not just ScalaTest, certifies them.
+  */
+object MaintenanceOps {
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // O3: EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78) — history is
+    // bounded to the current snapshot, time travel to the expired snapshot
+    // fails, and the files only it referenced are physically deleted.
+    ("g_expire_snapshots",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false)
+        val snap1 = t.meta.currentSnapshotId.get
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        val curFiles = t.scan().dataFiles.map(_.path).toSet
+        val doomed = t.atSnapshot(snap1).dataFiles.map(_.path)
+          .filterNot(curFiles)
+          .map(rel => Paths.get(graft.format.GraftUtil.resolve(t.location, rel)))
+        t.expireSnapshots(System.currentTimeMillis() + 1000)
+        val ttFails =
+          try { t.atSnapshot(snap1); false } catch { case _: RuntimeException => true }
+        aggByType(t.toDF(s))
+          .withColumn("history_bounded", lit(t.meta.snapshots.size == 1))
+          .withColumn("expired_unreachable", lit(ttFails))
+          .withColumn("files_gc", lit(doomed.nonEmpty && doomed.forall(p => !Files.exists(p))))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS history_bounded, true AS expired_unreachable, true AS files_gc
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // O4: REMOVE ORPHAN FILES (docs/10:97-111) — a planted unreferenced file
+    // is removed, nothing referenced is touched (contents unchanged).
+    ("g_remove_orphans",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false)
+        val orphan = Paths.get(t.location, "data", "orphan-plant.parquet")
+        Files.write(orphan, Array[Byte](0x4f, 0x52, 0x50))
+        val removed = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+        aggByType(t.toDF(s))
+          .withColumn("orphan_removed",
+            lit(removed.exists(_.endsWith("orphan-plant.parquet")) && !Files.exists(orphan)))
+          .withColumn("nothing_else_removed", lit(removed.size == 1))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS orphan_removed, true AS nothing_else_removed")),
+
+    // S12: UNDROP (docs/01:80) — drop tombstones the pointer, undrop
+    // restores it, contents fully intact.
+    ("g_undrop",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTableAs(s, "db.ev_undrop", df)
+        cat.dropTable("db.ev_undrop")
+        val gone = !cat.tableExists("db.ev_undrop")
+        val t2 = cat.undropTable("db.ev_undrop")
+        aggByType(t2.toDF(s)).withColumn("was_dropped", lit(gone))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS was_dropped")),
+
+    // S11 refs: a named ref pins a snapshot (docs/05:141-171) — the branch
+    // read returns the pinned state while main sees later appends.
+    ("g_branch_ref",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_branch", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.setRef("audit", t.meta.currentSnapshotId.get)
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        aggByType(t.atRef("audit").toDF(s))
+          .withColumn("main_rows", lit(t.toDF(s).count()))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  (SELECT count(*) FROM events) AS main_rows
+        |FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // D17: partition evolution (docs/07 spec evolution) — epoch 1 partitioned
+    // by identity(event_type), epoch 2 by day(ts); a filter on either
+    // dimension still prunes files (old epoch via partition tuples, the
+    // other epoch via column stats).
+    ("g_partition_evolution",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_pe", df.schema,
+          partitionBy = Seq("event_type" -> Transform.Identity))
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.evolvePartitionSpec(Seq("ts" -> Transform.Day))
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        val scType = t.scan(Predicate.Eq("event_type", "click"))
+        scType.toDF(s).count() // plan + record metrics
+        val scDay = t.scan(
+          Predicate.GtEq("ts", LocalDateTime.of(2024, 1, 20, 0, 0)),
+          Predicate.Lt("ts", LocalDateTime.of(2024, 1, 21, 0, 0)))
+        scDay.toDF(s).count()
+        aggByType(t.toDF(s))
+          .withColumn("type_filter_pruned",
+            lit(scType.metrics.filesScanned < scType.metrics.filesTotal))
+          .withColumn("day_filter_pruned",
+            lit(scDay.metrics.filesScanned < scDay.metrics.filesTotal))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS type_filter_pruned, true AS day_filter_pruned")),
+
+    // O5 + O6: health metrics drive auto-maintenance (docs/10:113-139,
+    // docs/01:149-168) — small files + MOR deletes flag compaction; after
+    // maintain() the table is healthy and the delete files are folded.
+    ("g_health_maintain",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_health", df.schema,
+          properties = Map("enable-iceberg-merge-on-read" -> "true"))
+        (0 until 3).foreach(i => t.append(s, df.filter(col("event_id") % 3 === i)))
+        t.delete(s, Seq(Predicate.Eq("event_type", "error")))
+        val h0 = t.health()
+        t.maintain(s)
+        val h1 = t.health()
+        aggByType(t.toDF(s))
+          .withColumn("needed_compaction", lit(h0.needsCompaction))
+          .withColumn("deletes_present_before", lit(h0.deleteFileCount > 0))
+          .withColumn("healthy_after", lit(h1.deleteFileCount == 0 && !h1.needsCompaction))
+          .withColumn("records_tracked", lit(h1.totalRecords))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS needed_compaction, true AS deletes_present_before,
+        |  true AS healthy_after,
+        |  (SELECT count(*) FROM events WHERE event_type <> 'error') AS records_tracked
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // T2: optimistic concurrency — two concurrent appends both land through
+    // CAS + retry (docs/08:57-69); nothing is lost, exactly two commits.
+    ("g_occ_concurrent",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_occ", df.schema)
+        val halves = Seq(df.filter(col("event_id") % 2 === 0), df.filter(col("event_id") % 2 === 1))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = halves.map(h => new Thread(() =>
+          try t.append(s, h) catch { case e: Throwable => errs.add(e) }))
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        aggByType(t.toDF(s)).withColumn("commits", lit(t.meta.snapshots.size.toLong))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  CAST(2 AS BIGINT) AS commits")),
+
+    // M2 + M3: manifests/files metadata tables agree with each other and
+    // with the data (docs/03:176-180) after an append + COW delete.
+    ("g_meta_tables",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d)
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        val files = t.filesDF(s).filter(col("content") === "data")
+        val mans = t.manifestsDF(s).filter(col("content") === "data")
+        val filesRecords = files.agg(sum("record_count")).head.getLong(0)
+        val manRecords = mans.agg(sum("record_count")).head.getLong(0)
+        val countsAgree = files.count() == mans.agg(sum("file_count")).head.getLong(0)
+        s.range(1).select(
+          lit(filesRecords).as("files_records"),
+          lit(manRecords).as("manifest_records"),
+          lit(countsAgree).as("counts_agree"))
+      },
+      """SELECT (SELECT count(*) FROM events WHERE event_type <> 'click') AS files_records,
+        |  (SELECT count(*) FROM events WHERE event_type <> 'click') AS manifest_records,
+        |  true AS counts_agree""".stripMargin),
+
+    // O2: REWRITE MANIFESTS (docs/10:80-95) — 3 appends' manifests collapse
+    // to one, metadata-only, contents unchanged.
+    ("g_rewrite_manifests",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_rm", df.schema)
+        (0 until 3).foreach(i => t.append(s, df.filter(col("event_id") % 3 === i)))
+        val before = t.manifestsDF(s).count()
+        t.rewriteManifests()
+        val after = t.manifestsDF(s).count()
+        aggByType(t.toDF(s))
+          .withColumn("manifests_consolidated", lit(after < before && after == 1))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS manifests_consolidated")),
+
+    // D7: DROP COLUMN retires the field ID (docs/06:53-58) — re-adding a
+    // column with the same name must NOT resurrect old files' values.
+    ("g_drop_column",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d).select(
+          col("event_id"), col("ts"), col("event_type"), col("props"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_drop", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.dropColumn("props")
+        t.addColumn("props", StringType)
+        t.append(s, df.filter(col("ts") >= lit(Split)).withColumn("props", lit("fresh")))
+        t.toDF(s)
+          .groupBy(coalesce(col("props"), lit("retired")).as("props_state"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("props_state")
+      },
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'retired' ELSE 'fresh' END AS props_state,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // D9: type widening matrix (docs/06:138-151) — int->long and
+    // decimal(10,2)->decimal(18,2); files written pre-widen read correctly,
+    // post-widen rows exceed the old types' ranges.
+    ("g_widen_matrix",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d).select(
+          col("event_id"), col("ts"),
+          col("user_id").cast("int").as("user_id"),
+          col("value").cast("decimal(10,2)").as("value"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_widen", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.widenColumn("user_id", LongType)
+        t.widenColumn("value", DecimalType(18, 2))
+        t.append(s, df.filter(col("ts") >= lit(Split))
+          .withColumn("user_id", col("user_id").cast("long") + 5000000000L)
+          .withColumn("value", col("value").cast("decimal(18,2)")))
+        t.toDF(s).agg(
+          count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_sum"),
+          sum(col("value")).cast("double").as("value_sum"))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN CAST(user_id AS BIGINT)
+        |                ELSE CAST(user_id AS BIGINT) + 5000000000 END) AS BIGINT) AS user_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum
+        |FROM events""".stripMargin),
+
+    // S10: BEFORE(STATEMENT) (docs/05:69-72) reads the state just before a
+    // named commit; AT(TIMESTAMP) pinned between the commits agrees.
+    ("g_before_statement",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false)
+        val midMs = System.currentTimeMillis()
+        Thread.sleep(5)
+        t.delete(s, Seq(Predicate.Eq("event_type", "view")), statementId = Some("del-view"))
+        val beforeScan = t.before("del-view")
+        val agrees = t.asOf(midMs).snapshot.map(_.snapshotId) ==
+          beforeScan.snapshot.map(_.snapshotId)
+        aggByType(beforeScan.toDF(s)).withColumn("asof_agrees", lit(agrees))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS asof_agrees")),
+
+    // D12: CLUSTER BY (docs/09:156-168) — a range-clustered compaction makes
+    // a key-range scan prune files that an unclustered layout could not.
+    ("g_cluster_by",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.li_cluster", li.schema)
+        t.append(s, li)
+        t.setProperty("cluster-by", "l_orderkey")
+        t.compact(s, targetFileSizeBytes = Some(1024))
+        val sc = t.scan(Predicate.Lt("l_orderkey", 10L))
+        sc.toDF(s).count()
+        sc.toDF(s)
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("range_pruned",
+            lit(sc.metrics.filesTotal > 1 && sc.metrics.filesScanned < sc.metrics.filesTotal))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  true AS range_pruned
+        |FROM lineitem WHERE l_orderkey < 10""".stripMargin)
+  )
+}

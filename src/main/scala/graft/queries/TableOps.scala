@@ -20,9 +20,9 @@ import java.time.LocalDateTime
   */
 object TableOps {
 
-  private val Split = LocalDateTime.of(2024, 1, 15, 0, 0) // mid-range of events.ts
+  private[queries] val Split = LocalDateTime.of(2024, 1, 15, 0, 0) // mid-range of events.ts
 
-  private def newCatalog(): GraftCatalog = {
+  private[queries] def newCatalog(): GraftCatalog = {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     new GraftCatalog(wh)
   }
@@ -30,7 +30,7 @@ object TableOps {
   /** events table partitioned with hidden partitioning day(ts) + identity
     * (reference docs/07-partitioning.md:59-69, the docs' running example).
     */
-  private def eventsTable(s: SparkSession, d: String,
+  private[queries] def eventsTable(s: SparkSession, d: String,
                           partitioned: Boolean = true,
                           props: Map[String, String] = Map.empty): GraftTable = {
     val df = Tables.events(s, d)
@@ -42,15 +42,15 @@ object TableOps {
     t
   }
 
-  private def dsum(c: org.apache.spark.sql.Column) =
+  private[queries] def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
-  private def aggByType(df: DataFrame): DataFrame =
+  private[queries] def aggByType(df: DataFrame): DataFrame =
     df.groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
 
-  private val aggByTypeSqlFrom =
+  private[queries] val aggByTypeSqlFrom =
     """SELECT event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM %s GROUP BY 1 ORDER BY 1""".stripMargin
