@@ -11,9 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
-    // session+classloading cost (ordering of the map is arbitrary).
+    // session+classloading cost (ordering of the map is arbitrary). The
+    // variant kernel is included: its first evaluation JIT-compiles a large
+    // codepath (measured ~1s of one-time cost landing on whichever variant
+    // query runs first).
     spark.range(0, 1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(0, 1000)
+      .selectExpr("variant_get(parse_json('{\"k\":' || id || '}'), '$.k', 'int') AS k")
+      .selectExpr("sum(k)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
