@@ -16,7 +16,47 @@ import java.time.LocalDateTime
   */
 object MaintenanceOps {
 
+  /** One warehouse per JVM for the SQL catalog: Spark caches catalog
+    * instances per session, so the warehouse must be stable; tables get
+    * unique names per invocation instead.
+    */
+  private lazy val sqlWarehouse =
+    java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // Missing #1 / DSv2: the reference's user surface is SQL (docs/08:83-141,
+    // docs/12:94-126) — CREATE TABLE / INSERT INTO / DELETE FROM / SELECT /
+    // VERSION AS OF all through spark.sql against the Graft TableCatalog.
+    // The read is the substituted native plan (vectorized parquet), and the
+    // time-travel count proves VERSION AS OF resolves the pre-DELETE state.
+    ("g_sql_dml",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        val tbl = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.events(s, d).createOrReplaceTempView("events_src")
+        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+          |  event_type STRING, value DOUBLE, props STRING)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+        s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src")
+        s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'")
+        val pre = s.sql(s"SELECT count(*) AS c FROM graft_sql.db.$tbl VERSION AS OF 1")
+          .head.getLong(0)
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM graft_sql.db.$tbl GROUP BY event_type""".stripMargin)
+          .withColumn("predelete_rows", lit(pre))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  (SELECT count(*) FROM events) AS predelete_rows
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // O3: EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78) — history is
     // bounded to the current snapshot, time travel to the expired snapshot

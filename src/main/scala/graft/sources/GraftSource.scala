@@ -39,8 +39,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     new GraftCatalog(wh).loadTable(name)
   }
 
-  override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
+  override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    // reads through this relation get rewritten to the native scan plan
+    // (vectorized parquet + codegen) by the substitution rule
+    GraftExtensions.install(ctx.sparkSession)
     GraftRelation(ctx, load(parameters), parameters)
+  }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
                               parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -62,12 +66,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
 case class GraftRelation(ctx: SQLContext, table: GraftTable,
                          parameters: Map[String, String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with TableScan {
 
   override def sqlContext: SQLContext = ctx
   private def spark: SparkSession = ctx.sparkSession
 
-  private def baseScan(preds: Seq[Predicate]): GraftScan =
+  /** Time-travel-pinned scan; also the entry point for the optimizer
+    * substitution that replaces this relation with the native plan.
+    */
+  def pinnedScan(preds: Seq[Predicate]): GraftScan =
     (parameters.get("snapshotId"), parameters.get("asOfTimestampMs")) match {
       case (Some(sid), _) => table.atSnapshot(sid.toLong, preds: _*)
       case (_, Some(ts)) => table.asOf(ts.toLong, preds: _*)
@@ -79,9 +86,11 @@ case class GraftRelation(ctx: SQLContext, table: GraftTable,
   // time-travel reads.
   override def schema: StructType = table.schema
 
+  override def buildScan(): RDD[Row] = buildScan(schema.fieldNames, Array.empty)
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val preds = filters.flatMap(GraftRelation.toPredicate)
-    val df0 = baseScan(preds.toSeq).toDF(spark)
+    val df0 = pinnedScan(preds.toSeq).toDF(spark)
     val df = if (requiredColumns.isEmpty) df0 else df0.select(requiredColumns.head,
       requiredColumns.tail: _*)
     df.rdd

@@ -1,0 +1,404 @@
+package graft.sources
+
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, Transform => GTransform}
+import graft.table.GraftTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal => CLiteral, And => CAnd, Or => COr, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGtEq, LessThan => CLt, LessThanOrEqual => CLtEq, In => CIn, IsNull => CIsNull, IsNotNull => CIsNotNull, StartsWith => CStartsWith}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference, Transform => VTransform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 catalog surface for Graft tables (reference docs/04:5-23,
+  * docs/08:83-141 — every user-facing write in the reference is SQL):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.g", classOf[GraftTableCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.g.warehouse", "/wh")
+  * spark.sql("CREATE TABLE g.db.events (id BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+  * spark.sql("INSERT INTO g.db.events SELECT ...")
+  * spark.sql("DELETE FROM g.db.events WHERE id < 10")
+  * spark.sql("SELECT * FROM g.db.events VERSION AS OF 3")
+  * spark.sql("ALTER TABLE g.db.events ADD COLUMN note STRING")
+  * }}}
+  *
+  * Read-path design: a custom DSv2 `PartitionReader` would bypass Spark's
+  * vectorized parquet reader and whole-stage codegen (the DSv1 `df.rdd`
+  * problem in a new coat). Instead, [[GraftScanSubstitution]] — installed
+  * automatically when the catalog or source is first used — rewrites the
+  * logical v2 relation into the native [[graft.table.GraftScan]] plan:
+  * manifest/file pruning happens driver-side with the pushed filters, and
+  * what executes is Spark's own parquet scan (vectorized, codegen,
+  * row-group pushdown). A [[V1Scan]] fallback keeps plain sessions correct.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var cat: GraftCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse"))
+      .getOrElse(sys.error(s"catalog $name requires option 'warehouse'"))
+    cat = new GraftCatalog(wh)
+    GraftExtensions.install(SparkSession.active)
+  }
+
+  override def name(): String = catalogName
+
+  private def fullName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(namespace.mkString(".")).map { n =>
+      Identifier.of(namespace, n.split('.').last)
+    }.toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    new GraftSparkTable(cat.loadTable(fullName(ident)), TimeTravel.None)
+  }
+
+  /** VERSION AS OF <snapshot-id> (docs/05:60-67). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    new GraftSparkTable(cat.loadTable(fullName(ident)), TimeTravel.AtSnapshot(version.toLong))
+  }
+
+  /** TIMESTAMP AS OF — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    new GraftSparkTable(cat.loadTable(fullName(ident)), TimeTravel.AsOf(timestamp / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[VTransform],
+                           properties: util.Map[String, String]): Table = {
+    val partitionBy = partitions.toSeq.map(GraftTableCatalog.toGraftTransform)
+    val props = properties.asScala.toMap -- Seq("provider", "owner", "location", "comment")
+    new GraftSparkTable(cat.createTable(fullName(ident), schema, partitionBy, props),
+      TimeTravel.None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = cat.loadTable(fullName(ident))
+    changes.foreach {
+      case c: TableChange.SetProperty => t.setProperty(c.property(), c.value())
+      case c: TableChange.RemoveProperty => t.removeProperty(c.property())
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames().length == 1, "nested adds not supported")
+        t.addColumn(c.fieldNames()(0), c.dataType())
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames().length == 1, "nested renames not supported")
+        t.renameColumn(c.fieldNames()(0), c.newName())
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames().length == 1, "nested drops not supported")
+        t.dropColumn(c.fieldNames()(0))
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames().length == 1, "nested type changes not supported")
+        t.widenColumn(c.fieldNames()(0), c.newDataType())
+      case c: TableChange.UpdateColumnNullability =>
+        if (c.nullable()) t.makeOptional(c.fieldNames()(0))
+        else sys.error("cannot add NOT NULL to an existing column")
+      case other => sys.error(s"unsupported table change: $other")
+    }
+    new GraftSparkTable(t, TimeTravel.None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!cat.tableExists(fullName(ident))) false
+    else { cat.dropTable(fullName(ident)); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces (single-level, directory-backed) ----
+
+  private def whPath = java.nio.file.Paths.get(cat.warehouse)
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!java.nio.file.Files.exists(whPath)) return Array.empty
+    val s = java.nio.file.Files.list(whPath)
+    try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(cat.warehouse, namespace: _*))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(cat.warehouse, namespace: _*))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = java.nio.file.Paths.get(cat.warehouse, namespace: _*)
+    if (!java.nio.file.Files.exists(p)) false
+    else {
+      require(cascade || listTables(namespace).isEmpty, "namespace is not empty")
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile); true
+    }
+  }
+}
+
+object GraftTableCatalog {
+  /** Map Spark connector partition transforms to Graft transforms. */
+  def toGraftTransform(t: VTransform): (String, GTransform) = {
+    def col(ref: NamedReference): String = {
+      require(ref.fieldNames().length == 1, "nested partition columns not supported")
+      ref.fieldNames()(0)
+    }
+    // the Scala extractors for connector transforms are private[sql];
+    // match on the stable name()/references()/arguments() surface instead
+    def ref: String = {
+      require(t.references().length == 1, s"unsupported partition transform: $t")
+      col(t.references()(0))
+    }
+    def intArg: Int = t.arguments().collectFirst { case l: VLiteral[_] => l.value }
+      .getOrElse(sys.error(s"transform $t lacks an int argument")).toString.toInt
+    t.name() match {
+      case "identity" => ref -> GTransform.Identity
+      case "years" | "year" => ref -> GTransform.Year
+      case "months" | "month" => ref -> GTransform.Month
+      case "days" | "day" => ref -> GTransform.Day
+      case "hours" | "hour" => ref -> GTransform.Hour
+      case "bucket" => ref -> GTransform.Bucket(intArg)
+      case "truncate" => ref -> GTransform.Truncate(intArg)
+      case _ => sys.error(s"unsupported partition transform: $t")
+    }
+  }
+}
+
+/** How a loaded table is pinned in time. */
+sealed trait TimeTravel
+object TimeTravel {
+  case object None extends TimeTravel
+  final case class AtSnapshot(id: Long) extends TimeTravel
+  final case class AsOf(tsMs: Long) extends TimeTravel
+}
+
+/** DSv2 Table over a [[GraftTable]]: batch read (substituted to the native
+  * scan; V1Scan fallback), V1 batch write (append/overwrite), filter-based
+  * DELETE, truncate.
+  */
+class GraftSparkTable(val graftTable: GraftTable, val travel: TimeTravel) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = graftTable.name
+  override def schema(): StructType = graftTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** The pinned native scan (current snapshot unless time-traveling). */
+  def nativeScan(preds: Seq[Predicate]): _root_.graft.table.GraftScan = travel match {
+    case TimeTravel.AtSnapshot(id) => graftTable.atSnapshot(id, preds: _*)
+    case TimeTravel.AsOf(ts) => graftTable.asOf(ts, preds: _*)
+    case TimeTravel.None => graftTable.scan(preds: _*)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftV2ScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, ovr: Boolean): Unit = {
+            val spark = data.sparkSession
+            if (overwrite || ovr) graftTable.overwrite(spark, data)
+            else graftTable.append(spark, data)
+          }
+        }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftRelation.toPredicate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    graftTable.delete(SparkSession.active, filters.flatMap(GraftRelation.toPredicate).toSeq)
+}
+
+class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
+    with SupportsPushDownFilters {
+  private var preds: Seq[Predicate] = Nil
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, _) = filters.partition(f => GraftRelation.toPredicate(f).isDefined)
+    preds = ok.flatMap(GraftRelation.toPredicate).toSeq
+    accepted = ok
+    // every filter stays post-scan (Spark re-applies them all): the pushed
+    // predicates only drive Graft's driver-side manifest/file pruning, so
+    // soundness never depends on the translation.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = new GraftV2Scan(tbl, preds)
+}
+
+/** The v2 Scan. Normally never executed — [[GraftScanSubstitution]] replaces
+  * the enclosing relation with the native plan. The [[V1Scan]] conversion is
+  * the correctness fallback for sessions without the rule (row-based, no
+  * codegen — same profile as the plain DSv1 path).
+  */
+class GraftV2Scan(val tbl: GraftSparkTable, val preds: Seq[Predicate]) extends Scan with V1Scan {
+  override def readSchema(): StructType = tbl.schema()
+  override def description(): String =
+    s"graft ${tbl.name()} [${preds.mkString(", ")}]"
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val params = tbl.travel match {
+      case TimeTravel.AtSnapshot(id) => Map("snapshotId" -> id.toString)
+      case TimeTravel.AsOf(ts) => Map("asOfTimestampMs" -> ts.toString)
+      case TimeTravel.None => Map.empty[String, String]
+    }
+    GraftRelation(context, tbl.graftTable, params).asInstanceOf[T]
+  }
+}
+
+/** Catalyst-expression → Graft predicate translation for the DSv1
+  * `LogicalRelation` substitution path (the v2 path gets `sources.Filter`s
+  * from Spark's own pushdown instead). Partial on purpose: untranslatable
+  * conjuncts just don't prune — the full filter is always re-applied.
+  */
+object CatalystPredicates {
+  def toPredicate(e: Expression): Option[Predicate] = e match {
+    case CEq(a: AttributeReference, l: CLiteral) => lit(l).map(Predicate.Eq(a.name, _))
+    case CEq(l: CLiteral, a: AttributeReference) => lit(l).map(Predicate.Eq(a.name, _))
+    case CGt(a: AttributeReference, l: CLiteral) => lit(l).map(Predicate.Gt(a.name, _))
+    case CGt(l: CLiteral, a: AttributeReference) => lit(l).map(Predicate.Lt(a.name, _))
+    case CGtEq(a: AttributeReference, l: CLiteral) => lit(l).map(Predicate.GtEq(a.name, _))
+    case CGtEq(l: CLiteral, a: AttributeReference) => lit(l).map(Predicate.LtEq(a.name, _))
+    case CLt(a: AttributeReference, l: CLiteral) => lit(l).map(Predicate.Lt(a.name, _))
+    case CLt(l: CLiteral, a: AttributeReference) => lit(l).map(Predicate.Gt(a.name, _))
+    case CLtEq(a: AttributeReference, l: CLiteral) => lit(l).map(Predicate.LtEq(a.name, _))
+    case CLtEq(l: CLiteral, a: AttributeReference) => lit(l).map(Predicate.GtEq(a.name, _))
+    case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[CLiteral]) =>
+      val lits = vs.map(v => lit(v.asInstanceOf[CLiteral]))
+      if (lits.forall(_.isDefined)) Some(Predicate.In(a.name, lits.flatten)) else None
+    case CIsNull(a: AttributeReference) => Some(Predicate.IsNull(a.name))
+    case CIsNotNull(a: AttributeReference) => Some(Predicate.NotNull(a.name))
+    case CStartsWith(a: AttributeReference, l: CLiteral) =>
+      lit(l).collect { case s: String => Predicate.StartsWith(a.name, s) }
+    case CAnd(x, y) => (toPredicate(x), toPredicate(y)) match {
+      case (Some(a), Some(b)) => Some(Predicate.And(a, b))
+      case (a, b) => a.orElse(b) // half-pushable AND still prunes soundly
+    }
+    case COr(x, y) => for (a <- toPredicate(x); b <- toPredicate(y)) yield Predicate.Or(a, b)
+    case _ => None
+  }
+
+  /** Catalyst literal → external (JVM) value Graft's Canonical understands. */
+  private def lit(l: CLiteral): Option[Any] = {
+    if (l.value == null) return None
+    Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType))
+  }
+}
+
+/** Optimizer rule replacing Graft relations (v2 and v1) with the native
+  * GraftScan logical plan: driver-side manifest/file pruning with the
+  * pushed predicates, then Spark's own vectorized parquet scan + codegen.
+  * Output attributes are aliased back to the original relation's exprIds so
+  * upstream references stay bound.
+  */
+case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DELETE FROM's target must stay a v2 relation for SupportsDelete planning
+    case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
+    case _ => plan.transform {
+      case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
+        val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
+        substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
+        substitute(r.output, r.table.asInstanceOf[GraftSparkTable].nativeScan(Nil))
+      case f @ LFilter(cond, lr @ LogicalRelation(gr: GraftRelation, _, _, _, _)) =>
+        val pushed = splitConjuncts(cond).flatMap(CatalystPredicates.toPredicate)
+        LFilter(cond, substitute(lr.output, gr.pinnedScan(pushed)))
+      case lr @ LogicalRelation(gr: GraftRelation, _, _, _, _) =>
+        substitute(lr.output, gr.pinnedScan(Nil))
+    }
+  }
+
+  /** The pushdown batch wraps a V1Scan in a (private[sql]) V1ScanWrapper;
+    * recover our scan — and its pruning predicates — through its `v1Scan`
+    * accessor.
+    */
+  private def unwrap(scan: org.apache.spark.sql.connector.read.Scan): Option[GraftV2Scan] =
+    scan match {
+      case g: GraftV2Scan => Some(g)
+      case other =>
+        try other.getClass.getMethod("v1Scan").invoke(other) match {
+          case g: GraftV2Scan => Some(g)
+          case _ => None
+        } catch { case _: NoSuchMethodException => None }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def substitute(out: Seq[AttributeReference],
+                         scan: _root_.graft.table.GraftScan): LogicalPlan = {
+    // independently optimized so the native subplan (casts, unions, MOR
+    // anti-join) gets the full standard batch treatment even though the
+    // outer plan is already past those batches
+    val inner = scan.toDF(spark).queryExecution.optimizedPlan
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(out.map { a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }, inner)
+  }
+}
+
+/** Installs [[GraftScanSubstitution]] into a session at runtime (idempotent).
+  * Invoked automatically by [[GraftTableCatalog.initialize]] and the
+  * `format("graft")` source, so any session that touches Graft data gets the
+  * native read path; `V1Scan`/DSv1 remain as the uninstalled fallback.
+  */
+object GraftExtensions {
+  def install(spark: SparkSession): Unit = synchronized {
+    val already = spark.experimental.extraOptimizations.exists {
+      case GraftScanSubstitution(s) => s eq spark
+      case _ => false
+    }
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftScanSubstitution(spark)
+  }
+}

@@ -54,6 +54,19 @@ object ExplainAudit {
         .select("event_id", "event_type", "value")
     }
 
+    // DSv2 catalog SQL read: the substitution must yield a native FileScan
+    // (vectorized parquet, PushedFilters) — NOT a RowDataSourceScan.
+    spark.conf.set("spark.sql.catalog.g_audit",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g_audit.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-audit-sql").toString)
+    spark.sql("CREATE TABLE g_audit.db.ev (event_id BIGINT, event_type STRING, value DOUBLE)")
+    events.select("event_id", "event_type", "value").createOrReplaceTempView("ev_src")
+    spark.sql("INSERT INTO g_audit.db.ev SELECT * FROM ev_src")
+    audit("DSv2 SQL read (expect FileScan parquet + PushedFilters, no RowDataSourceScan)") {
+      spark.sql("SELECT event_id, value FROM g_audit.db.ev WHERE event_type = 'click' AND value > 1.0")
+    }
+
     spark.stop()
   }
 }

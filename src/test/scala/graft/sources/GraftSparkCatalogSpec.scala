@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** DSv2 catalog surface: SQL DDL/DML (CREATE/INSERT/DELETE/ALTER), time
+  * travel (VERSION AS OF / TIMESTAMP AS OF), and the substituted read path
+  * (native parquet scan — no RowDataSourceScan — with pushed filters).
+  */
+class GraftSparkCatalogSpec extends SparkSpec {
+
+  private def registerCatalog(name: String): String = {
+    val wh = tempWarehouse()
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  test("SQL CREATE / INSERT / SELECT / DELETE / VERSION AS OF round-trip") {
+    registerCatalog("gsql")
+    spark.sql("CREATE TABLE gsql.db.t (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
+    spark.range(1, 6).selectExpr("id", "CASE WHEN id <= 2 THEN 'a' ELSE 'b' END AS cat",
+      "CAST(id AS DOUBLE) AS v").createOrReplaceTempView("src")
+    spark.sql("INSERT INTO gsql.db.t SELECT * FROM src")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 5)
+
+    spark.sql("DELETE FROM gsql.db.t WHERE cat = 'a'")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 3)
+
+    // snapshot 1 = the INSERT; VERSION AS OF sees the pre-delete state
+    assert(spark.sql("SELECT count(*) FROM gsql.db.t VERSION AS OF 1").head.getLong(0) == 5)
+
+    // INSERT OVERWRITE truncates then writes
+    spark.sql("INSERT OVERWRITE gsql.db.t SELECT id, 'z' AS cat, CAST(0.5 AS DOUBLE) FROM range(2)")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 2)
+  }
+
+  test("substituted read path: native parquet scan with pushed filters, no row fallback") {
+    registerCatalog("gfast")
+    spark.sql("CREATE TABLE gfast.db.p (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gfast.db.p VALUES (1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0), (4, 'c', 4.0)")
+
+    graft.table.QueryHistory.clear()
+    val df = spark.sql("SELECT id FROM gfast.db.p WHERE cat = 'a' AND v > 0.5")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"expected native parquet scan:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"), s"read fell back to the V1 row path:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,0.5)]")
+      || plan.contains("GreaterThan(v,0.5)"), s"no parquet pushdown:\n$plan")
+
+    // the pushed predicates drove Graft's own manifest pruning too
+    val m = graft.table.QueryHistory.all.filter(_.table == "db.p").last
+    assert(m.filesScanned < m.filesTotal, s"no manifest pruning: ${m.filesScanned}/${m.filesTotal}")
+  }
+
+  test("ALTER TABLE: add/rename/widen/drop column + properties through SQL") {
+    registerCatalog("gddl")
+    spark.sql("CREATE TABLE gddl.db.a (id INT, name STRING)")
+    spark.sql("INSERT INTO gddl.db.a VALUES (1, 'x'), (2, 'y')")
+    spark.sql("ALTER TABLE gddl.db.a ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE gddl.db.a RENAME COLUMN name TO label")
+    spark.sql("ALTER TABLE gddl.db.a ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE gddl.db.a SET TBLPROPERTIES ('target-file-size' = '1048576')")
+    spark.sql("INSERT INTO gddl.db.a VALUES (3000000000, 'z', 'new')")
+    val rows = spark.sql("SELECT id, label, note FROM gddl.db.a ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3000000000L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("x", "y", "z"))
+    assert(rows.map(r => Option(r.getString(2))).toSeq == Seq(None, None, Some("new")))
+
+    spark.sql("ALTER TABLE gddl.db.a DROP COLUMN note")
+    assert(!spark.table("gddl.db.a").columns.contains("note"))
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time; DROP TABLE works") {
+    registerCatalog("gtt")
+    spark.sql("CREATE TABLE gtt.db.h (id BIGINT)")
+    spark.sql("INSERT INTO gtt.db.h VALUES (1), (2)")
+    Thread.sleep(5)
+    val midMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gtt.db.h VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM gtt.db.h").head.getLong(0) == 3)
+    val mid = java.time.Instant.ofEpochMilli(midMs).toString
+    assert(spark.sql(s"SELECT count(*) FROM gtt.db.h TIMESTAMP AS OF '$mid'")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SHOW TABLES IN gtt.db").collect().map(_.getString(1)).contains("h"))
+    spark.sql("DROP TABLE gtt.db.h")
+    assert(spark.sql("SHOW TABLES IN gtt.db").collect().isEmpty)
+  }
+
+  test("DSv1 format(graft) reads are substituted too: codegen path, no df.rdd boundary") {
+    val wh = tempWarehouse()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType)))
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "b")).asJava, schema)
+    df.write.format("graft").option("warehouse", wh).option("table", "db.v1").save()
+    val back = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "db.v1").load()
+      .filter("cat = 'b'").select("id")
+    assert(back.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"expected substituted parquet scan:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"), s"still on the V1 row path:\n$plan")
+  }
+}
