@@ -78,6 +78,49 @@ object VectorFunctions {
     array_min(array(dists: _*)).getField("cell")
   }
 
+  /** DataFrame-native Lloyd's k-means: the training step that turns IVF from
+    * a fixed quantizer into a real index. Each iteration is ONE distributed
+    * job (assign to nearest centroid, per-cell per-dimension mean via
+    * map-side-combined aggregation) with only k·dim doubles collected to the
+    * driver — the canonical scalable k-means shape.
+    *
+    * Deterministic: seeding is farthest-point (maximin) from a hash-chosen
+    * first seed — no rand(), reproducible across runs and partitionings, and
+    * guaranteed to spread seeds across well-separated clusters (plain
+    * hash-sampling can drop two seeds in one cluster and converge to a
+    * split/merged local optimum). Iteration count is fixed rather than
+    * convergence-tested. Empty cells retain their previous centroid.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
+                      iters: Int = 5): Seq[Seq[Float]] = {
+    require(k >= 1 && iters >= 0)
+    val vecs = df.select(col(vecCol).as("v")).where(col("v").isNotNull)
+    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    var centroids: Seq[Seq[Float]] = Seq(
+      vecs.orderBy(xxhash64(col("v"))).limit(1).head.getSeq[Float](0).toSeq)
+    while (centroids.size < k) {
+      // next seed = the vector farthest from its nearest existing seed
+      // (one TakeOrdered job per seed; k is small)
+      val minDist = array_min(array(centroids.map(c =>
+        euclideanDistance(col("v"), lit(c.toArray))): _*))
+      centroids = centroids :+ vecs
+        .orderBy(minDist.desc, xxhash64(col("v")))
+        .limit(1).head.getSeq[Float](0).toSeq
+    }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("_cell", ivfAssign(col("v"), centroids))
+      val avgCols = (1 to dim).map(i =>
+        avg(element_at(col("v"), i).cast("double")).as(s"d$i"))
+      val updated = assigned.groupBy(col("_cell"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(i => r.getDouble(i).toFloat).toSeq)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
   def ivfTopK(df: DataFrame, queryVec: DataFrame, idCol: String, vecCol: String,
               k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size)

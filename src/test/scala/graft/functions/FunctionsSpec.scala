@@ -141,4 +141,51 @@ class FunctionsSpec extends SparkSpec {
       Seq("en" -> Seq("the", "a"), "en-weak" -> Seq("the")), "other")).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("en", "en-weak", "other"))
   }
+
+  test("k-means training recovers cluster structure and beats bad fixed centroids") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // three well-separated clusters
+    // directions differ too (cosine ranks by angle; IVF cells are euclidean)
+    val rows =
+      (1L to 10L).map(i => Row(i, Seq((i % 5).toFloat * 0.1f, 5f + (i % 3) * 0.1f))) ++
+      (11L to 20L).map(i => Row(i, Seq(10f + (i % 5) * 0.1f, 10f + (i % 3) * 0.1f))) ++
+      (21L to 30L).map(i => Row(i, Seq(-10f + (i % 5) * 0.1f, 20f + (i % 3) * 0.1f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+
+    val trained = VectorFunctions.kmeansCentroids(df, "embedding", k = 3, iters = 5)
+    // deterministic: retraining yields bit-identical centroids
+    assert(trained == VectorFunctions.kmeansCentroids(df, "embedding", k = 3, iters = 5))
+    // every true cluster is represented: each cluster center has a trained
+    // centroid within distance 1 (cluster radius is ~0.6)
+    for (c <- Seq(Seq(0f, 5f), Seq(10f, 10f), Seq(-10f, 20f))) {
+      val d = trained.map(t => math.sqrt(t.zip(c).map { case (a, b) =>
+        val x = a - b; x * x }.sum.toDouble)).min
+      assert(d < 1.0, s"no trained centroid near $c (min dist $d): $trained")
+    }
+
+    // recall@5 for a query in cluster 2: trained centroids + nprobe=1 find
+    // the true neighbors; deliberately bad fixed centroids do not
+    val q = spark.createDataFrame(Seq(Row(Seq(10.1f, 10.1f))).asJava,
+      StructType(Seq(StructField("q", ArrayType(FloatType)))))
+    val brute = VectorFunctions.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(cents: Seq[Seq[Float]]): Double = {
+      val got = VectorFunctions.ivfTopK(df, q, "vec_id", "embedding", 5, cents, nprobe = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recall(trained) == 1.0, "trained IVF must find all true neighbors")
+
+    // Lloyd's iterations strictly improve the quantizer objective (within-
+    // cell SSE) over the raw farthest-point seeds
+    def sse(cents: Seq[Seq[Float]]): Double = {
+      val d = array_min(array(cents.map(c =>
+        VectorFunctions.euclideanDistance(col("embedding"), lit(c.toArray))): _*))
+      df.select(sum(d * d)).head.getDouble(0)
+    }
+    val seeds = VectorFunctions.kmeansCentroids(df, "embedding", k = 3, iters = 0)
+    assert(sse(trained) < sse(seeds),
+      s"training did not reduce SSE: ${sse(trained)} !< ${sse(seeds)}")
+  }
 }
