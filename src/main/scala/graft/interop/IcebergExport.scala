@@ -1,0 +1,293 @@
+package graft.interop
+
+import graft.format._
+import graft.table.GraftTable
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import java.io.File
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Apache-Iceberg-format metadata export (reference docs/03:55-109,
+  * docs/11:53-87 — multi-engine interop happens through the open metadata
+  * layout: `vN.metadata.json` + Avro manifest list + Avro manifests).
+  *
+  * Exports the CURRENT snapshot of a Graft table as Iceberg v2 metadata:
+  * the table schema with field IDs, the partition spec (transform names are
+  * spec-compatible: identity / year / month / day / hour / bucket[N] /
+  * truncate[W]), one data manifest, an optional position-delete manifest,
+  * and a manifest list — all under `<table>/metadata-iceberg/`. Time
+  * transform partition values are converted from Graft's formatted strings
+  * to the spec's epoch-relative integers (day → days since epoch, etc.).
+  *
+  * Scope: flat (primitive-column) schemas, which is what the spec's
+  * metadata examples cover; column-stats maps and historical snapshots are
+  * omitted (both optional in the spec).
+  */
+object IcebergExport {
+
+  /** @return absolute path of the written vN.metadata.json */
+  def exportCurrent(spark: org.apache.spark.sql.SparkSession, table: GraftTable): String = {
+    val m = table.meta
+    val snap = m.currentSnapshot.getOrElse(sys.error(s"${table.name}: no snapshot to export"))
+    val scan = table.scan()
+    val outDir = Paths.get(m.location, "metadata-iceberg")
+    Files.createDirectories(outDir)
+
+    val schema = m.currentSchema
+    val spec = m.defaultSpec
+    val specSource: Map[String, org.apache.spark.sql.types.StructField] =
+      spec.fields.map { pf =>
+        pf.name -> schema.fields.find(f => GraftSchema.fieldId(f) == pf.sourceId)
+          .getOrElse(sys.error(s"partition source ${pf.sourceId} not in current schema"))
+      }.toMap
+
+    // ---- Avro partition record type (field-ids 1000+) ----
+    val partFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
+      val avroType = icebergPartitionAvroType(pf.transform, specSource(pf.name).dataType)
+      s"""{"name":"${avroName(pf.name)}","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val partitionSchemaJson =
+      s"""{"type":"record","name":"r102","fields":[$partFieldsJson]}"""
+
+    // ---- data_file + manifest_entry Avro schema (spec field IDs) ----
+    val entrySchema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":$partitionSchemaJson,"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]},"field-id":2}]}""".stripMargin)
+
+    def writeManifest(files: Seq[DataFile], content: Int, suffix: String): (String, Long, Seq[DataFile]) = {
+      val path = outDir.resolve(s"manifest-$suffix-${snap.snapshotId}.avro")
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+      writer.create(entrySchema, path.toFile)
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val partSchema = dfSchema.getField("partition").schema()
+      files.foreach { f =>
+        val part = new GenericData.Record(partSchema)
+        spec.fields.foreach { pf =>
+          val v = f.partition.get(pf.name).flatten.map { stored =>
+            icebergPartitionValue(pf.transform, specSource(pf.name).dataType, stored)
+          }.orNull
+          part.put(avroName(pf.name), v)
+        }
+        val dataFile = new GenericData.Record(dfSchema)
+        dataFile.put("content", content)
+        dataFile.put("file_path", GraftUtil.resolve(m.location, f.path))
+        dataFile.put("file_format", "PARQUET")
+        dataFile.put("partition", part)
+        dataFile.put("record_count", f.recordCount)
+        dataFile.put("file_size_in_bytes", f.fileSizeBytes)
+        val entry = new GenericData.Record(entrySchema)
+        entry.put("status", 1) // ADDED (exported snapshot owns every file)
+        entry.put("snapshot_id", snap.snapshotId)
+        entry.put("sequence_number", snap.sequenceNumber)
+        entry.put("file_sequence_number", snap.sequenceNumber)
+        entry.put("data_file", dataFile)
+        writer.append(entry)
+      }
+      writer.close()
+      (path.toString, Files.size(path), files)
+    }
+
+    val dataManifest = writeManifest(scan.dataFiles, 0, "data")
+    val deleteManifest =
+      if (scan.deleteFiles.nonEmpty) Some(writeManifest(scan.deleteFiles, 1, "deletes"))
+      else None
+
+    // ---- manifest list ----
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},
+        |{"name":"added_snapshot_id","type":"long","field-id":503},
+        |{"name":"added_files_count","type":"int","field-id":504},
+        |{"name":"existing_files_count","type":"int","field-id":505},
+        |{"name":"deleted_files_count","type":"int","field-id":506},
+        |{"name":"added_rows_count","type":"long","field-id":512},
+        |{"name":"existing_rows_count","type":"long","field-id":513},
+        |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin)
+    val listPath = outDir.resolve(s"snap-${snap.snapshotId}.avro")
+    val listWriter = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
+    listWriter.create(listSchema, listPath.toFile)
+    (Seq((dataManifest, 0)) ++ deleteManifest.map(d => (d, 1))).foreach { case ((p, len, fs), content) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", spec.specId)
+      r.put("content", content)
+      r.put("sequence_number", snap.sequenceNumber)
+      r.put("min_sequence_number", snap.sequenceNumber)
+      r.put("added_snapshot_id", snap.snapshotId)
+      r.put("added_files_count", fs.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", fs.map(_.recordCount).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      listWriter.append(r)
+    }
+    listWriter.close()
+
+    // ---- vN.metadata.json ----
+    val fieldsJson = schema.fields.map { f =>
+      s"""{"id":${GraftSchema.fieldId(f)},"name":${q(f.name)},"required":false,""" +
+        s""""type":${q(icebergType(f.dataType))}}"""
+    }.mkString(",")
+    val specFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
+      s"""{"name":${q(pf.name)},"transform":${q(pf.transform.name)},""" +
+        s""""source-id":${pf.sourceId},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val metaJson =
+      s"""{
+         |"format-version":2,
+         |"table-uuid":${q(m.tableUuid)},
+         |"location":${q(m.location)},
+         |"last-sequence-number":${m.lastSequenceNumber},
+         |"last-updated-ms":${m.lastUpdatedMs},
+         |"last-column-id":${m.lastColumnId},
+         |"current-schema-id":${m.currentSchemaId},
+         |"schemas":[{"type":"struct","schema-id":${m.currentSchemaId},"fields":[$fieldsJson]}],
+         |"default-spec-id":${spec.specId},
+         |"partition-specs":[{"spec-id":${spec.specId},"fields":[$specFieldsJson]}],
+         |"last-partition-id":${if (spec.fields.isEmpty) 999 else 999 + spec.fields.size},
+         |"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{},
+         |"current-snapshot-id":${snap.snapshotId},
+         |"refs":{"main":{"snapshot-id":${snap.snapshotId},"type":"branch"}},
+         |"snapshots":[{
+         |  "snapshot-id":${snap.snapshotId},
+         |  "sequence-number":${snap.sequenceNumber},
+         |  "timestamp-ms":${snap.timestampMs},
+         |  "manifest-list":${q(listPath.toString)},
+         |  "schema-id":${m.currentSchemaId},
+         |  "summary":{"operation":${q(icebergOperation(snap.operation))}}
+         |}],
+         |"snapshot-log":[],
+         |"metadata-log":[]
+         |}""".stripMargin
+    val metaPath = outDir.resolve(s"v${snap.snapshotId}.metadata.json")
+    Files.writeString(metaPath, metaJson)
+    metaPath.toString
+  }
+
+  /** Read back an exported manifest list + manifests; returns
+    * (content, file_path, record_count) tuples — the round-trip check.
+    */
+  def readExportedFiles(metadataJsonPath: String): Seq[(Int, String, Long)] = {
+    val metaText = Files.readString(Paths.get(metadataJsonPath))
+    val listPath = """"manifest-list":"([^"]+)"""".r.findFirstMatchIn(metaText)
+      .map(_.group(1)).getOrElse(sys.error("no manifest-list in metadata"))
+    val manifests = readAvro(listPath).map { r =>
+      (r.get("manifest_path").toString, r.get("content").asInstanceOf[Int])
+    }
+    manifests.flatMap { case (mp, _) =>
+      readAvro(mp).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (df.get("content").asInstanceOf[Int], df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long])
+      }
+    }
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val reader = DataFileReader.openReader(new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toVector finally reader.close()
+  }
+
+  private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def avroName(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def icebergOperation(op: String): String = op match {
+    case "append" | "delete" | "overwrite" | "replace" => op
+    case "merge" | "update" => "overwrite"
+    case _ => "overwrite"
+  }
+
+  import org.apache.spark.sql.types._
+
+  private def icebergType(dt: DataType): String = dt match {
+    case _: BooleanType => "boolean"
+    case _: ByteType | _: ShortType | _: IntegerType => "int"
+    case _: LongType => "long"
+    case _: FloatType => "float"
+    case _: DoubleType => "double"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case _: StringType => "string"
+    case _: BinaryType => "binary"
+    case _: DateType => "date"
+    case _: TimestampType => "timestamptz"
+    case _: TimestampNTZType => "timestamp"
+    case other => sys.error(s"Iceberg export supports primitive columns; got $other")
+  }
+
+  /** Avro type of a partition value in the spec's encoding. */
+  private def icebergPartitionAvroType(t: Transform, srcType: DataType): String = t match {
+    case Transform.Identity => srcType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: DateType => "\"int\""
+      case _: LongType | _: TimestampType | _: TimestampNTZType => "\"long\""
+      case _: BooleanType => "\"boolean\""
+      case _ => "\"string\""
+    }
+    case Transform.Year | Transform.Month | Transform.Day | Transform.Hour => "\"int\""
+    case _: Transform.Bucket => "\"int\""
+    case _: Transform.Truncate => srcType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "\"long\""
+      case _ => "\"string\""
+    }
+    case _ => "\"string\""
+  }
+
+  /** Convert a stored (canonical-JSON) Graft partition value into the
+    * Iceberg spec's representation: time transforms become epoch-relative
+    * ints (docs/03 partition encoding; Graft stores them formatted).
+    */
+  private def icebergPartitionValue(t: Transform, srcType: DataType, stored: String): AnyRef = {
+    val canonical = Canonical.fromJsonString(t.resultType(srcType), stored)
+    t match {
+      case Transform.Year =>
+        Int.box(canonical.asInstanceOf[Long].toInt - 1970)
+      case Transform.Month =>
+        val Array(y, mo) = stored.split('-').map(_.toInt)
+        Int.box((y - 1970) * 12 + (mo - 1))
+      case Transform.Day =>
+        Int.box(java.time.LocalDate.parse(stored).toEpochDay.toInt)
+      case Transform.Hour =>
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+        val ldt = java.time.LocalDateTime.parse(stored, fmt)
+        Int.box((ldt.toEpochSecond(java.time.ZoneOffset.UTC) / 3600L).toInt)
+      case _: Transform.Bucket => Int.box(canonical.asInstanceOf[Long].toInt)
+      case Transform.Identity => srcType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: DateType =>
+          Int.box(canonical.asInstanceOf[Number].intValue())
+        case _: LongType | _: TimestampType | _: TimestampNTZType =>
+          Long.box(canonical.asInstanceOf[Number].longValue())
+        case _: BooleanType => Boolean.box(canonical.asInstanceOf[Boolean])
+        case _ => stored
+      }
+      case _: Transform.Truncate => srcType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          Long.box(canonical.asInstanceOf[Number].longValue())
+        case _ => stored
+      }
+      case _ => stored
+    }
+  }
+}
