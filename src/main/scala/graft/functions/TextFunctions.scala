@@ -37,15 +37,30 @@ object TextFunctions {
     * signature is the LSH shuffle key. Empty item arrays yield NULL, which
     * drops degenerate rows from candidacy (NULL joins nothing).
     */
+  /** All `n` per-slice minima in ONE pass over the item hashes: a fold whose
+    * accumulator is the running elementwise minimum of the `len`-hex digest
+    * slices. Higher-order-function expressions are interpreted with NO
+    * common-subexpression sharing — every *reference* to a
+    * `transform(_, md5)` subtree re-hashes the whole array — so the k
+    * "independent hash functions" must come out of a single traversal.
+    * ("g" sorts above every hex character, so it is the fold's +infinity.)
+    */
+  private def sliceMinima(items: Column, n: Int, len: Int): Column =
+    aggregate(
+      transform(array_distinct(items), t => md5(t)),
+      array(Seq.fill(n)(lit("g")): _*),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(n - 1)), i => h.substr(i * len + 1, lit(len))),
+        (a, s) => least(a, s)))
+
   def minhashSignatureOf(items: Column, k: Int): Column = {
     require(k >= 1 && k <= 4, "md5 yields 4 independent 8-hex slices")
     // one md5 per item; the k "independent" hash functions are disjoint
     // 8-hex-char slices of the digest (4x fewer hashes than seeded md5s —
-    // the hash is the hot loop at corpus scale).
-    val hashes = transform(array_distinct(items), t => md5(t))
-    val minima = (0 until k).map(i =>
-      array_min(transform(hashes, h => substring(h, 1 + i * 8, 8))))
-    md5(minima.reduce(concat(_, _)))
+    // the hash is the hot loop at corpus scale). array_join references the
+    // minima exactly once, keeping the whole signature a single pass.
+    when(size(array_distinct(items)) > 0,
+      md5(array_join(sliceMinima(items, k, 8), "")))
   }
 
   /** MinHash over raw tokens. NOTE: for small vocabularies token-level minima
@@ -65,19 +80,36 @@ object TextFunctions {
     * df.select($"id", posexplode(minhashBands($"text", 4, 2)))  // -> pos, col
     *   .join(other side on pos + col)
     * }}}
-    * Band hashes come from md5(band || item) so bands are independent.
+    * The bands·rows "hash functions" are disjoint 4-hex (16-bit) slices of
+    * ONE md5 per item — the hash is the hot loop at corpus scale, and a
+    * per-band seeded digest would multiply it by `bands`. 16-bit minima
+    * tie more often than 32-bit ones, which only adds candidates the exact
+    * verifier then rejects.
     */
-  def minhashBands(items: Column, bands: Int, rowsPerBand: Int): Column = {
-    require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 4)
-    val distinct = array_distinct(items)
-    val bandSigs = (0 until bands).map { b =>
-      val hashes = transform(distinct, t => md5(concat(lit(s"band$b:"), t)))
-      val minima = (0 until rowsPerBand).map(i =>
-        array_min(transform(hashes, h => substring(h, 1 + i * 8, 8))))
-      md5(minima.reduce(concat(_, _)))
-    }
-    array(bandSigs: _*)
+  def minhashBands(items: Column, bands: Int, rowsPerBand: Int): Column =
+    bandsFromMinima(bandMinima(items, bands, rowsPerBand), bands, rowsPerBand)
+
+  /** Step 1 of the two-step banded pipeline: the bands·rows slice minima in
+    * one traversal. Materialize this as its OWN column before calling
+    * [[bandsFromMinima]] — as a column attribute it is computed once per
+    * row, whereas inlining it into the bands array would re-run the md5
+    * pass once per band (no CSE in interpreted HOFs).
+    */
+  def bandMinima(items: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 8,
+      "md5 yields 8 independent 4-hex slices")
+    sliceMinima(items, bands * rowsPerBand, 4)
   }
+
+  /** Step 2: band signatures from materialized minima. NULL for item-less
+    * rows — their fold never ran, so the first minimum is still the "g"
+    * sentinel (impossible as a real hex slice) — and NULL band sigs fall
+    * out of any candidate equi-join.
+    */
+  def bandsFromMinima(minima: Column, bands: Int, rowsPerBand: Int): Column =
+    when(element_at(minima, 1) =!= "g",
+      array((0 until bands).map(b =>
+        md5(array_join(slice(minima, b * rowsPerBand + 1, rowsPerBand), ""))): _*))
 
   /** SimHash over `bits` hex positions of per-token md5s: majority vote per
     * position; near-dups differ in few bits. Returns a '0'/'1' string.

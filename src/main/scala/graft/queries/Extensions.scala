@@ -23,6 +23,20 @@ object Extensions {
     */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling the
+    * corpus-side shingle arrays: the tiny pair set is broadcast and the
+    * docs side is streamed through two broadcast hash joins (sh_a attach,
+    * then sh_b attach). At 100 TB the arrays stay where they were computed;
+    * only candidate ids cross the wire.
+    */
+  private[queries] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val shA = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val withA = shA.join(broadcast(pairs), "doc_a")
+    val both = shB.join(broadcast(withA), "doc_b")
+    both.withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     // X1: exact dedup — hash-groupBy on content; survivors keep min doc_id.
@@ -204,23 +218,29 @@ object Extensions {
     // one double division) then filters the survivors.
     ("x_neardup_jaccard",
       (s: SparkSession, d: String) => {
-        // one signature pass, one shuffle: bucket docs by signature and
-        // generate pairs bucket-locally (bucket sizes are O(1) with shingle
-        // keys, so the collect_list state is bounded) — no cached self-join.
-        val sigs = Tables.documents(s, d)
-          .withColumn("sh", TF.shingles(col("text"), 2))
-          .withColumn("sig", TF.minhashSignatureOf(col("sh"), k = 4))
-          .select("doc_id", "sh", "sig")
-        sigs.filter(col("sig").isNotNull)
-          .groupBy("sig")
-          .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+        // Shuffle discipline: the only shuffled payload is (doc_id, sig) —
+        // the shingle arrays never enter an exchange. Candidate pairs come
+        // from bucket-local pair generation on the tiny signature table;
+        // Jaccard verification then streams the corpus twice against the
+        // BROADCAST pair set. (Also: no filter on the derived sig column —
+        // Catalyst pushes such filters into the parquet scan, re-evaluating
+        // the whole interpreted hash tree per row; degenerate shingle-less
+        // docs get a per-doc sentinel bucket instead, which the
+        // bucket-size > 1 cut then drops.)
+        val base = Tables.documents(s, d).withColumn("sh", TF.shingles(col("text"), 2))
+        val sigs = base.withColumn("sig",
+            coalesce(TF.minhashSignatureOf(col("sh"), k = 4),
+              concat(lit("empty:"), col("doc_id").cast("string"))))
+          .select("doc_id", "sig")
+        val pairs = sigs.groupBy("sig")
+          .agg(collect_list(col("doc_id")).as("members"))
           .filter(size(col("members")) > 1)
-          .select(explode(col("members")).as("a"), col("members"))
-          .select(col("a"), explode(col("members")).as("b"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .withColumn("jaccard", TF.jaccardOf(col("a.sh"), col("b.sh")))
+          .select(explode(col("members")).as("doc_a"), col("members"))
+          .select(col("doc_a"), explode(col("members")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+        Extensions.pairJaccard(base.select("doc_id", "sh"), pairs)
           .filter(col("jaccard") >= 0.5)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+          .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
       s"""WITH toks AS (
@@ -251,19 +271,30 @@ object Extensions {
     // a shuffle, never all-pairs.
     ("x_neardup_banded",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("sh", TF.shingles(col("text"), 2))
-          .withColumn("bands", TF.minhashBands(col("sh"), bands = 4, rowsPerBand = 2))
-          .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band", "sig")))
-          .filter(col("sig").isNotNull)
-        val a = docs.select(col("band"), col("sig"),
-          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("band").as("band_b"), col("sig").as("sig_b"),
-          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-            col("doc_a") < col("doc_b"))
-          .dropDuplicates("doc_a", "doc_b") // a pair may collide in >1 band
-          .withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
+        // same shuffle discipline as x_neardup_jaccard: the band join
+        // shuffles only (doc_id, band, sig); NULL band sigs (shingle-less
+        // docs) drop out of the equi-join by SQL semantics — no filter on
+        // the derived column, so nothing pushes the hash tree into the scan.
+        val base = Tables.documents(s, d).withColumn("sh", TF.shingles(col("text"), 2))
+        // mins is a materialized column; the bands expression lives in the
+        // posexplode generator, so the Project/Generate boundary stops
+        // CollapseProject from inlining the (expensive) fold once per band
+        val banded = base
+          .withColumn("mins", TF.bandMinima(col("sh"), bands = 4, rowsPerBand = 2))
+          .select(col("doc_id"),
+            posexplode(TF.bandsFromMinima(col("mins"), 4, 2)).as(Seq("band", "sig")))
+        // bucket-local pair generation: ONE evaluation of the band pipeline
+        // (a self-join would run it once per side), one shuffle of
+        // (doc_id, band, sig); shingle-less docs yield a NULL bands array,
+        // which posexplode drops entirely
+        val pairs = banded.groupBy("band", "sig")
+          .agg(collect_list(col("doc_id")).as("members"))
+          .filter(size(col("members")) > 1)
+          .select(explode(col("members")).as("doc_a"), col("members"))
+          .select(col("doc_a"), explode(col("members")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .distinct() // a pair may collide in >1 band
+        Extensions.pairJaccard(base.select("doc_id", "sh"), pairs)
           .filter(col("jaccard") >= 0.3)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -275,9 +306,9 @@ object Extensions {
         |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
         |  FROM toks),
         |bands AS (
-        |  SELECT doc_id, sh, b, md5(
-        |    list_min(list_transform(sh, x -> substring(md5('band' || b || ':' || x), 1, 8))) ||
-        |    list_min(list_transform(sh, x -> substring(md5('band' || b || ':' || x), 9, 8)))) AS sig
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1 + (b * 2 + 0) * 4, 4))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1 + (b * 2 + 1) * 4, 4)))) AS sig
         |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b)
         |  WHERE len(sh) > 0),
         |pairs AS (
