@@ -295,6 +295,49 @@ object MaintenanceOps {
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum
         |FROM events""".stripMargin),
 
+    // S11+: cherry-pick (docs/05:163-171) — roll back past a good commit,
+    // then replay exactly that commit's changes on the new head; final
+    // contents equal the full dataset and history keeps all four commits.
+    ("g_cherry_pick",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_cp", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        val s1 = t.meta.currentSnapshotId.get
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        val s2 = t.meta.currentSnapshotId.get
+        t.rollbackTo(s1)
+        t.cherryPick(s2)
+        aggByType(t.toDF(s))
+          .withColumn("commit_count", lit(t.meta.snapshots.size.toLong))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  CAST(4 AS BIGINT) AS commit_count")),
+
+    // docs/11 interop: Iceberg v2 metadata export — the exported manifest
+    // list + Avro manifests, re-read with a plain Avro reader, must
+    // reproduce the live snapshot's file inventory (data AND deletes).
+    ("g_iceberg_export",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false,
+          props = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.delete(s, Seq(Predicate.Eq("event_type", "error"))) // MOR deletes
+        val metaPath = graft.interop.IcebergExport.exportCurrent(s, t)
+        val exported = graft.interop.IcebergExport.readExportedFiles(metaPath)
+        val scan = t.scan()
+        val live = (scan.dataFiles.map(f => (0, graft.format.GraftUtil.resolve(t.location, f.path), f.recordCount)) ++
+          scan.deleteFiles.map(f => (1, graft.format.GraftUtil.resolve(t.location, f.path), f.recordCount))).toSet
+        aggByType(t.toDF(s))
+          .withColumn("roundtrip_matches", lit(exported.toSet == live))
+          .withColumn("has_delete_manifest", lit(exported.exists(_._1 == 1)))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS roundtrip_matches, true AS has_delete_manifest
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // S10: BEFORE(STATEMENT) (docs/05:69-72) reads the state just before a
     // named commit; AT(TIMESTAMP) pinned between the commits agrees.
     ("g_before_statement",

@@ -340,7 +340,7 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     // DELETE FROM's target must stay a v2 relation for SupportsDelete planning
     case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
-    case _ => plan.transform {
+    case _ => plan.transformWithSubqueries {
       case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
         val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
         substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))

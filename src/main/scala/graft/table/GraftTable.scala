@@ -242,6 +242,40 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       Map("rolled-back-to" -> snapshotId.toString)) { m => readManifestList(m, target) }
   }
 
+  /** CHERRY-PICK (docs/05:163-171, v2 branching): re-apply ONE snapshot's
+    * changes on top of the current head — the classic "rolled back past a
+    * good commit, replay it" move. Supported for additive snapshots
+    * (append / stream ingest): the manifests the snapshot added relative to
+    * its parent are appended to the current manifest set. Snapshots that
+    * removed or rewrote files (delete/update/merge/replace) are refused —
+    * replaying a rewrite against a diverged base silently resurrects or
+    * drops rows, so those need a fresh DML statement instead.
+    */
+  def cherryPick(snapshotId: Long, statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val target = m0.snapshot(snapshotId).getOrElse(sys.error(s"snapshot $snapshotId not found"))
+    require(target.operation == "append",
+      s"cherry-pick supports append snapshots; snapshot $snapshotId is '${target.operation}'")
+    val parentMfs = target.parentId.flatMap(m0.snapshot)
+      .map(p => readManifestList(m0, p).map(_.path).toSet).getOrElse(Set.empty)
+    val added = readManifestList(m0, target).filterNot(mf => parentMfs.contains(mf.path))
+    require(added.nonEmpty, s"snapshot $snapshotId added no manifests; nothing to cherry-pick")
+    val addedPaths = added.flatMap(readManifest(m0, _)).map(_.path).toSet
+    commitSnapshot("append", statementId, Map(
+      "cherry-picked-from" -> snapshotId.toString,
+      "added-data-files" -> addedPaths.size.toString)) { m =>
+      val current = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      // double-apply guard: if any of the files are already live on the
+      // head, this snapshot's changes are (partially) present
+      val live = current.filter(_.content == "data").flatMap(readManifest(m, _)).map(_.path).toSet
+      val dup = addedPaths.intersect(live)
+      if (dup.nonEmpty)
+        throw new graft.catalog.CommitConflictException(
+          s"$name: cherry-pick of $snapshotId would double-apply ${dup.size} file(s) (e.g. ${dup.head})")
+      current ++ added
+    }
+  }
+
   /** Branch/tag refs (docs/05:141-149). */
   def setRef(refName: String, snapshotId: Long): TableMetadata =
     commitMetadata() { m =>

@@ -92,6 +92,17 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gtt.db").collect().isEmpty)
   }
 
+  test("substitution reaches graft relations inside subqueries") {
+    registerCatalog("gsub")
+    spark.sql("CREATE TABLE gsub.db.s (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gsub.db.s VALUES (1, 1.0), (2, 2.0), (3, 9.0)")
+    val df = spark.sql(
+      "SELECT id FROM gsub.db.s WHERE v > (SELECT avg(v) FROM gsub.db.s)")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"), s"subquery fell back to the V1 row path:\n$plan")
+  }
+
   test("DSv1 format(graft) reads are substituted too: codegen path, no df.rdd boundary") {
     val wh = tempWarehouse()
     val schema = StructType(Seq(

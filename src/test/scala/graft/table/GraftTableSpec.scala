@@ -374,6 +374,26 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("cherry-pick replays an append after rollback; refuses rewrites and double-apply") {
+    val t = newTable("t_cp")
+    t.append(spark, mkDf(base.take(2)))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(spark, mkDf(base.drop(2)))
+    val s2 = t.meta.currentSnapshotId.get
+    t.rollbackTo(s1)
+    assert(contents(t) == base.take(2).toSet)
+    t.cherryPick(s2) // replay the good commit on the rolled-back head
+    assert(contents(t) == base.toSet)
+    // double-apply guard: the files are live again
+    val ex = intercept[Exception](t.cherryPick(s2))
+    assert(ex.getMessage.contains("double-apply"))
+    // rewriting snapshots are refused
+    t.delete(spark, Seq(Predicate.Eq("cat", "a")))
+    val del = t.meta.currentSnapshotId.get
+    val ex2 = intercept[IllegalArgumentException](t.cherryPick(del))
+    assert(ex2.getMessage.contains("append snapshots"))
+  }
+
   test("skewed partitioned write: a hot partition value fans out to multiple files") {
     val t = newTable("t_skew", partitioned = true)
     // one dominant partition value; a per-value hash shuffle would push all
