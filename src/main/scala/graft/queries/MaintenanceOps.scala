@@ -43,6 +43,17 @@ object MaintenanceOps {
           |PARTITIONED BY (days(ts))""".stripMargin)
         s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src")
         s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'")
+        s.sql(s"UPDATE graft_sql.db.$tbl SET value = value * 2 WHERE event_type = 'view'")
+        // MERGE: zero out purchases, insert a synthetic sentinel row
+        s.sql("""SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+                |FROM events_src WHERE event_type = 'purchase'
+                |UNION ALL SELECT CAST(-1 AS BIGINT), 'sentinel'""".stripMargin)
+          .createOrReplaceTempView("merge_src")
+        s.sql(
+          s"""MERGE INTO graft_sql.db.$tbl t USING merge_src s ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET value = 0.0
+             |WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type, value, props)
+             |  VALUES (s.event_id, NULL, NULL, s.event_type, 0.0, NULL)""".stripMargin)
         val pre = s.sql(s"SELECT count(*) AS c FROM graft_sql.db.$tbl VERSION AS OF 1")
           .head.getLong(0)
         s.sql(
@@ -53,10 +64,15 @@ object MaintenanceOps {
           .orderBy("event_type")
       },
       """SELECT event_type, count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value * 2
+        |                     WHEN event_type = 'purchase' THEN 0.0
+        |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  (SELECT count(*) FROM events) AS predelete_rows
         |FROM events WHERE event_type <> 'click'
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT 'sentinel', CAST(1 AS BIGINT), 0.0, (SELECT count(*) FROM events)
+        |ORDER BY 1""".stripMargin),
 
     // O3: EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78) — history is
     // bounded to the current snapshot, time travel to the expired snapshot

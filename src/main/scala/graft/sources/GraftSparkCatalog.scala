@@ -337,9 +337,20 @@ object CatalystPredicates {
   */
 case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // DELETE FROM's target must stay a v2 relation for SupportsDelete planning
-    case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => plan
+    // row-level SQL DML on Graft tables → native DML commands (arbitrary
+    // conditions/assignments; translatable conjuncts also drive pruning)
+    case u: UpdateTable if GraftSqlDml.graftTableOf(u.table).isDefined =>
+      GraftSqlDml.translateUpdate(u).get
+    case m: MergeIntoTable if GraftSqlDml.graftTableOf(m.targetTable).isDefined =>
+      // the source side re-enters this rule when the command analyzes it
+      GraftSqlDml.translateMerge(m).get
+    case d: DeleteFromTable if GraftSqlDml.graftTableOf(d.table).isDefined =>
+      GraftSqlDml.translateDelete(d).get
+    // non-graft DELETE targets must stay v2 relations for SupportsDelete
+    case _: DeleteFromTable => plan
     case _ => plan.transformWithSubqueries {
       case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
         val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)

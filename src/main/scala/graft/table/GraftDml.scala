@@ -22,10 +22,20 @@ trait GraftDml { self: GraftTable =>
 
   /** DELETE FROM ... WHERE: COW (default) or MOR per table property. */
   def delete(spark: SparkSession, predicates: Seq[Predicate],
-             statementId: Option[String] = None): Snapshot = {
+             statementId: Option[String] = None): Snapshot =
+    deleteWhere(spark, Predicate.all(predicates).toColumn, predicates, statementId)
+
+  /** DELETE with an arbitrary row condition (the SQL path): `cond` decides
+    * which rows die; `prunePreds` is any translatable subset used only for
+    * candidate-file pruning (sound to under-approximate — non-candidate
+    * files simply get rewritten/delete-scanned unnecessarily, never
+    * skipped incorrectly, because candidates are a superset of matches).
+    */
+  def deleteWhere(spark: SparkSession, cond: Column, prunePreds: Seq[Predicate],
+                  statementId: Option[String] = None): Snapshot = {
     val mor = meta.property(TableProperties.MergeOnRead, "false").toBoolean
-    if (mor) deleteMor(spark, predicates, statementId)
-    else deleteCow(spark, predicates, statementId)
+    if (mor) deleteMor(spark, cond, prunePreds, statementId)
+    else deleteCow(spark, cond, prunePreds, statementId)
   }
 
   /** UPDATE ... SET ... WHERE: rewrite candidate files applying `set` to the
@@ -34,24 +44,30 @@ trait GraftDml { self: GraftTable =>
     * `set` maps column name -> expression over the current row's columns.
     */
   def update(spark: SparkSession, set: Map[String, Column], predicates: Seq[Predicate],
-             statementId: Option[String] = None): Snapshot = {
-    val predCol = Predicate.all(predicates).toColumn
-    rewriteCandidates(spark, predicates, "update", statementId) { rows =>
+             statementId: Option[String] = None): Snapshot =
+    updateWhere(spark, set, Predicate.all(predicates).toColumn, predicates, statementId)
+
+  /** UPDATE with an arbitrary row condition (see [[deleteWhere]] for the
+    * cond/prunePreds contract).
+    */
+  def updateWhere(spark: SparkSession, set: Map[String, Column], cond: Column,
+                  prunePreds: Seq[Predicate], statementId: Option[String] = None): Snapshot = {
+    rewriteCandidates(spark, prunePreds, "update", statementId) { rows =>
       val fields = meta.currentSchema.fields
       rows.select(fields.map { f =>
         set.get(f.name) match {
-          case Some(expr) => when(predCol, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case Some(expr) => when(coalesce(cond, lit(false)), expr.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }: _*)
     }
   }
 
-  private def deleteCow(spark: SparkSession, predicates: Seq[Predicate],
+  private def deleteCow(spark: SparkSession, cond: Column, prunePreds: Seq[Predicate],
                         statementId: Option[String]): Snapshot = {
-    val predCol = Predicate.all(predicates).toColumn
-    rewriteCandidates(spark, predicates, "delete", statementId) { rows =>
-      rows.filter(!coalesce(predCol, lit(false)))
+    rewriteCandidates(spark, prunePreds, "delete", statementId) { rows =>
+      rows.filter(!coalesce(cond, lit(false)))
     }
   }
 
@@ -153,18 +169,17 @@ trait GraftDml { self: GraftTable =>
     GraftSchema.withId(StructField("file_path", StringType, nullable = false), 2000000001),
     GraftSchema.withId(StructField("pos", LongType, nullable = false), 2000000002)))
 
-  private def deleteMor(spark: SparkSession, predicates: Seq[Predicate],
+  private def deleteMor(spark: SparkSession, cond: Column, prunePreds: Seq[Predicate],
                         statementId: Option[String]): Snapshot = {
     val (_, m0) = load()
-    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, predicates)
+    val scan0 = new GraftScan(this, m0, m0.currentSnapshot, prunePreds)
     val candidates = scan0.dataFiles
     if (candidates.isEmpty)
       return commitSnapshot("delete", statementId, Map("added-delete-files" -> "0")) { m =>
         m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
       }
-    val predCol = Predicate.all(predicates).toColumn
     val matches = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = true)
-      .filter(predCol)
+      .filter(cond)
       .select(col("_gf_file").as("file_path"), col("_gf_pos").as("pos"))
     // sort by (file, pos) so a reader could range-skip; small files are fine —
     // the <10% delete-ratio health bound (docs/10:123) keeps this side tiny.

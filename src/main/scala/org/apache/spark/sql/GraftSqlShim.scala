@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge to two `private[sql]` seams of the public Spark distribution that
+  * SQL-DML translation needs (the same seams other open table formats sit
+  * on): building a DataFrame from an analyzed LogicalPlan, and wrapping a
+  * catalyst Expression as a user-facing Column. Nothing else from the
+  * private surface is touched.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

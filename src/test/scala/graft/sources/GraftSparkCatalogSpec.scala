@@ -92,6 +92,32 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gtt.db").collect().isEmpty)
   }
 
+  test("SQL UPDATE and MERGE INTO route through native DML") {
+    registerCatalog("gdml")
+    spark.sql("CREATE TABLE gdml.db.m (id BIGINT, cat STRING, v DOUBLE)")
+    spark.sql("INSERT INTO gdml.db.m VALUES (1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0), (4, 'c', 4.0)")
+
+    // UPDATE with an expression condition beyond the filter-translatable set
+    spark.sql("UPDATE gdml.db.m SET v = v * 10 WHERE id % 2 = 0")
+    assert(spark.sql("SELECT sum(v) FROM gdml.db.m").head.getDouble(0) == 1.0 + 20.0 + 3.0 + 40.0)
+
+    // MERGE: matched update, matched delete, not-matched insert
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m_src AS
+      SELECT * FROM VALUES (1, 'a', 100.0), (3, 'b', 0.0), (9, 'z', 9.0) AS s(id, cat, v)""")
+    spark.sql("""MERGE INTO gdml.db.m t USING m_src s ON t.id = s.id
+      WHEN MATCHED AND s.v = 0.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+      WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.v)""")
+    val rows = spark.sql("SELECT id, v FROM gdml.db.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 101.0), (2L, 20.0), (4L, 40.0), (9L, 9.0)))
+
+    // SQL DELETE with untranslatable condition also works via the command
+    // (v+1 > 40 kills v=101.0 and v=40.0, leaving v=20.0 and v=9.0)
+    spark.sql("DELETE FROM gdml.db.m WHERE v + 1 > 40")
+    assert(spark.sql("SELECT count(*) FROM gdml.db.m").head.getLong(0) == 2)
+  }
+
   test("substitution reaches graft relations inside subqueries") {
     registerCatalog("gsub")
     spark.sql("CREATE TABLE gsub.db.s (id BIGINT, v DOUBLE)")
