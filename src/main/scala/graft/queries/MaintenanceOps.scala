@@ -311,6 +311,28 @@ object MaintenanceOps {
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum
         |FROM events""".stripMargin),
 
+    // S7: result cache — the second identical aggregate is served from the
+    // cached materialization (plan-equality hit), results identical; the
+    // cache is cleared afterwards (no leaked persisted plans).
+    ("g_result_cache",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false)
+        val rc = new graft.catalog.ResultCache
+        def q() = aggByType(t.toDF(s))
+        val first = rc.cached(q())
+        first.count() // materialize the cache entry
+        val second = rc.cached(q())
+        val hit = second eq first
+        val out = second
+          .withColumn("cache_hit", lit(hit))
+          .withColumn("single_entry", lit(rc.size == 1))
+        out.count() // force evaluation before the cache is dropped
+        rc.clear()
+        out
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS cache_hit, true AS single_entry")),
+
     // S11+: cherry-pick (docs/05:163-171) — roll back past a good commit,
     // then replay exactly that commit's changes on the new head; final
     // contents equal the full dataset and history keeps all four commits.
