@@ -376,6 +376,65 @@ object MaintenanceOps {
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Incremental consumption (docs/11:44-52): changesSince(snapshot) reads
+    // exactly the files appended AFTER the given snapshot — the CDC-read
+    // primitive for downstream silver/gold pipelines.
+    ("g_incremental_read",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_inc", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        val s1 = t.meta.currentSnapshotId.get
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        val changes = graft.streaming.GraftStreamSource.changesSince(s, t, Some(s1))
+        aggByType(changes)
+          .withColumn("full_rows", lit(t.toDF(s).count()))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  (SELECT count(*) FROM events) AS full_rows
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Streaming windowed aggregation with a watermark (§2.8 beyond plain
+    // ingest): events stream in over multiple micro-batches; the final
+    // complete-mode aggregate lands in a Graft table whose contents equal
+    // the batch day-window aggregate.
+    ("g_stream_window",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val stage = java.nio.file.Files.createTempDirectory("graft-sw").toString
+        df.repartition(4).write.mode("overwrite").parquet(stage)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_win", new org.apache.spark.sql.types.StructType()
+          .add("day", org.apache.spark.sql.types.DateType)
+          .add("event_type", org.apache.spark.sql.types.StringType)
+          .add("n", org.apache.spark.sql.types.LongType))
+        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
+        val agg = stream
+          // watermarks require an instant TIMESTAMP; the NTZ→LTZ cast is
+          // exact under the UTC session Verify/the driver run with
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("date").as("day"), col("event_type"), col("n"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            t.overwrite(s, batch): Unit // complete mode: each batch is the full aggregate
+          }
+          .option("checkpointLocation", s"$stage-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        t.toDF(s).orderBy("day", "event_type")
+          .withColumn("multi_batch", lit(t.meta.snapshots.size > 1))
+      },
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, true AS multi_batch
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // S10: BEFORE(STATEMENT) (docs/05:69-72) reads the state just before a
     // named commit; AT(TIMESTAMP) pinned between the commits agrees.
     ("g_before_statement",
