@@ -282,6 +282,42 @@ object Relational {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // EXISTS correlated subquery (semi-join plan shape): orders that have at
+    // least one high-quantity line item, counted per status.
+    ("q15_exists_subquery",
+      (s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d)
+        val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey")).distinct()
+        o.join(hi, o("o_orderkey") === hi("l_orderkey"), "left_semi")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ROLLUP with grouping indicators — subtotal + grand-total rows in one
+    // aggregation pass (partial aggregation per grouping set).
+    ("q16_rollup",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   )
 }
