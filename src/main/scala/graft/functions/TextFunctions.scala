@@ -45,13 +45,25 @@ object TextFunctions {
     * "independent hash functions" must come out of a single traversal.
     * ("g" sorts above every hex character, so it is the fold's +infinity.)
     */
-  private def sliceMinima(items: Column, n: Int, len: Int): Column =
+  private def sliceMinima(items: Column, n: Int, len: Int): Column = {
+    // Slice width is a statistics knob, not a convenience: minima of ~10^2+
+    // item hashes concentrate near hexSpace/|items|, so narrow slices (e.g.
+    // 16-bit) collide across unrelated docs and explode the candidate set
+    // (measured 52k candidate pairs vs ~250 at sf0.1). Keep 8-hex (32-bit)
+    // slices; when n·len exceeds one digest, chain a second independent md5
+    // — still a single traversal of the items.
+    val width = n * len
+    require(width <= 64, "at most two md5 digests of slices")
+    val hashOf: Column => Column =
+      if (width <= 32) t => md5(t)
+      else t => concat(md5(t), md5(concat(t, lit("#"))))
     aggregate(
-      transform(array_distinct(items), t => md5(t)),
+      transform(array_distinct(items), hashOf),
       array(Seq.fill(n)(lit("g")): _*),
       (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(n - 1)), i => h.substr(i * len + 1, lit(len))),
         (a, s) => least(a, s)))
+  }
 
   def minhashSignatureOf(items: Column, k: Int): Column = {
     require(k >= 1 && k <= 4, "md5 yields 4 independent 8-hex slices")
@@ -80,11 +92,9 @@ object TextFunctions {
     * df.select($"id", posexplode(minhashBands($"text", 4, 2)))  // -> pos, col
     *   .join(other side on pos + col)
     * }}}
-    * The bands·rows "hash functions" are disjoint 4-hex (16-bit) slices of
-    * ONE md5 per item — the hash is the hot loop at corpus scale, and a
-    * per-band seeded digest would multiply it by `bands`. 16-bit minima
-    * tie more often than 32-bit ones, which only adds candidates the exact
-    * verifier then rejects.
+    * The bands·rows "hash functions" are disjoint 8-hex (32-bit) slices of
+    * two chained md5 digests per item — the hash is the hot loop at corpus
+    * scale, and a per-band seeded digest would multiply it by `bands`.
     */
   def minhashBands(items: Column, bands: Int, rowsPerBand: Int): Column =
     bandsFromMinima(bandMinima(items, bands, rowsPerBand), bands, rowsPerBand)
@@ -97,8 +107,8 @@ object TextFunctions {
     */
   def bandMinima(items: Column, bands: Int, rowsPerBand: Int): Column = {
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 8,
-      "md5 yields 8 independent 4-hex slices")
-    sliceMinima(items, bands * rowsPerBand, 4)
+      "two md5 digests yield 8 independent 8-hex slices")
+    sliceMinima(items, bands * rowsPerBand, 8)
   }
 
   /** Step 2: band signatures from materialized minima. NULL for item-less

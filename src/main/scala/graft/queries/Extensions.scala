@@ -23,17 +23,23 @@ object Extensions {
     */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling the
-    * corpus-side shingle arrays: the tiny pair set is broadcast and the
-    * docs side is streamed through two broadcast hash joins (sh_a attach,
-    * then sh_b attach). At 100 TB the arrays stay where they were computed;
-    * only candidate ids cross the wire.
+  /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling or
+    * recomputing corpus-side shingles: the tiny pair set is broadcast, the
+    * docs side is streamed through two broadcast hash joins, and the
+    * shingle arrays are computed ABOVE each join — so only the ~|pairs|
+    * matched rows ever evaluate the (interpreted, md5-heavy) shingle
+    * expression. At 100 TB the raw text stays where it was read; only
+    * candidate ids and the matched rows' arrays cross the wire.
     */
   private[queries] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val shA = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val withA = shA.join(broadcast(pairs), "doc_a")
-    val both = shB.join(broadcast(withA), "doc_b")
+    val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
+      .join(broadcast(pairs), "doc_a")
+      .withColumn("sh_a", TF.shingles(col("text"), 2))
+      .drop("text")
+    val both = docs.select(col("doc_id").as("doc_b"), col("text"))
+      .join(broadcast(withA), "doc_b")
+      .withColumn("sh_b", TF.shingles(col("text"), 2))
+      .drop("text")
     both.withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
   }
 
@@ -238,7 +244,7 @@ object Extensions {
           .select(explode(col("members")).as("doc_a"), col("members"))
           .select(col("doc_a"), explode(col("members")).as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
-        Extensions.pairJaccard(base.select("doc_id", "sh"), pairs)
+        Extensions.pairJaccard(base.select("doc_id", "text"), pairs)
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -264,11 +270,14 @@ object Extensions {
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
 
-    // X2e: banded MinHash (OR-of-ANDs LSH): 4 bands x 2 rows — docs sharing
+    // X2e: banded MinHash (OR-of-ANDs LSH): 2 bands x 3 rows — docs sharing
     // ANY band signature are candidates, so recall exceeds the single AND-only
-    // k=4 signature (the classic S-curve tradeoff); exact Jaccard then
-    // verifies. Candidate generation is explode + equi-join on (band, sig) —
-    // a shuffle, never all-pairs.
+    // k=4 signature (255 verified pairs vs 227 at sf0.1); exact Jaccard then
+    // verifies. The band count/width sits on the S-curve deliberately: this
+    // corpus is overlap-heavy (templated docs), and 2-row bands admit the
+    // j~0.2 tail — measured 49k candidates at 4x2 vs 1k at 2x3 for the SAME
+    // verified output. Candidate generation is explode + equi-join on
+    // (band, sig) — a shuffle, never all-pairs.
     ("x_neardup_banded",
       (s: SparkSession, d: String) => {
         // same shuffle discipline as x_neardup_jaccard: the band join
@@ -280,9 +289,9 @@ object Extensions {
         // posexplode generator, so the Project/Generate boundary stops
         // CollapseProject from inlining the (expensive) fold once per band
         val banded = base
-          .withColumn("mins", TF.bandMinima(col("sh"), bands = 4, rowsPerBand = 2))
+          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
           .select(col("doc_id"),
-            posexplode(TF.bandsFromMinima(col("mins"), 4, 2)).as(Seq("band", "sig")))
+            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
         // bucket-local pair generation: ONE evaluation of the band pipeline
         // (a self-join would run it once per side), one shuffle of
         // (doc_id, band, sig); shingle-less docs yield a NULL bands array,
@@ -294,8 +303,8 @@ object Extensions {
           .select(col("doc_a"), explode(col("members")).as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
           .distinct() // a pair may collide in >1 band
-        Extensions.pairJaccard(base.select("doc_id", "sh"), pairs)
-          .filter(col("jaccard") >= 0.3)
+        Extensions.pairJaccard(base.select("doc_id", "text"), pairs)
+          .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
@@ -307,9 +316,10 @@ object Extensions {
         |  FROM toks),
         |bands AS (
         |  SELECT doc_id, b, md5(
-        |    list_min(list_transform(sh, x -> substring(md5(x), 1 + (b * 2 + 0) * 4, 4))) ||
-        |    list_min(list_transform(sh, x -> substring(md5(x), 1 + (b * 2 + 1) * 4, 4)))) AS sig
-        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b)
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh, (SELECT unnest([0, 1]) AS b)
         |  WHERE len(sh) > 0),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -319,7 +329,7 @@ object Extensions {
         |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
         |FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+        |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
 
     // X4e: document fingerprinting — content-hash dup ratio per source.
