@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, Transform}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** The physical-plan characteristics that matter at 100 TB, enforced as
+  * tests instead of a printed audit: filters reach the parquet scan,
+  * projections prune the read schema, small dimensions broadcast, top-k
+  * plans TakeOrderedAndProject (never an unpartitioned window), and graft
+  * scans keep all of the above after driver-side pruning.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan on raw tables") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.queries.Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 200000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,200000.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"read schema not pruned:\n$plan")
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"no codegen span:\n$plan")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val d = "/root/testdata/sf0.001"
+    val o = graft.queries.Tables.orders(spark, d)
+    val c = graft.queries.Tables.customer(spark, d)
+    val plan = planOf(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1))))
+    assert(plan.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$plan")
+  }
+
+  test("graft scan keeps parquet pushdown after driver-side pruning") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType), StructField("v", DoubleType)))
+    val t = cat.createTable("db.audit", schema, partitionBy = Seq("cat" -> Transform.Identity))
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L, "a", 1.0), Row(2L, "b", 2.0), Row(3L, "b", 3.0)).asJava, schema))
+    val plan = planOf(t.toDF(spark, Predicate.Eq("cat", "b"), Predicate.Gt("v", 1.5)).select("id", "v"))
+    assert(plan.contains("GreaterThan(v,1.5)"), s"residual filter not pushed to parquet:\n$plan")
+    assert(!plan.contains("RowDataSourceScan"), s"row-based scan leaked in:\n$plan")
+  }
+
+  test("top-k plans TakeOrderedAndProject — no unpartitioned window anywhere") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      (1L to 50L).map(i => Row(i, Seq(i.toFloat, 1f))).asJava, schema)
+    val q = spark.createDataFrame(Seq(Row(Seq(1.0f, 1.0f))).asJava,
+      StructType(Seq(StructField("q", ArrayType(FloatType)))))
+    val plan = planOf(
+      graft.functions.VectorFunctions.bruteForceTopK(df, q, "vec_id", "embedding", 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back into top-k:\n$plan")
+  }
+}
