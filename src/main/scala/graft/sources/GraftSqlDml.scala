@@ -120,19 +120,31 @@ object GraftSqlDml {
         case other => sys.error(s"unsupported WHEN MATCHED action: $other")
       }
       var insert: Option[Map[String, Column]] = None
+      var insertCond: Option[Column] = None
       m.notMatchedActions.foreach {
-        case InsertAction(None, assignments) =>
+        case InsertAction(cond, assignments) =>
           require(insert.isEmpty, "at most one WHEN NOT MATCHED INSERT is supported")
           insert = Some(assignments.map(a => assignName(a.key) -> rebind(a.value, qualified)).toMap)
-        case InsertAction(Some(_), _) =>
-          sys.error("conditional WHEN NOT MATCHED INSERT is not supported")
+          insertCond = cond.map(rebind(_, qualified))
         case other => sys.error(s"unsupported WHEN NOT MATCHED action: $other")
       }
-      require(m.notMatchedBySourceActions.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported")
+      var bsUpdate: Map[String, Column] = Map.empty
+      var bsUpdateCond: Option[Column] = None
+      var bsDelete: Option[Column] = None
+      m.notMatchedBySourceActions.foreach {
+        case UpdateAction(cond, assignments, _) =>
+          require(bsUpdate.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE UPDATE is supported")
+          bsUpdate = assignments.map(a => assignName(a.key) -> rebind(a.value, qualified)).toMap
+          bsUpdateCond = cond.map(rebind(_, qualified))
+        case DeleteAction(cond) =>
+          require(bsDelete.isEmpty, "at most one WHEN NOT MATCHED BY SOURCE DELETE is supported")
+          bsDelete = Some(cond.map(rebind(_, qualified)).getOrElse(lit(true)))
+        case other => sys.error(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
 
       GraftMergeCommand(tbl, m.sourceTable, onKeys, update, updateCond, delete,
-        insert, insertWhenNotMatched = insert.isDefined)
+        insert, insertWhenNotMatched = insert.isDefined, insertCond,
+        bsUpdate, bsUpdateCond, bsDelete)
     }
 }
 
@@ -161,7 +173,11 @@ case class GraftMergeCommand(
     matchedUpdateCond: Option[Column],
     matchedDelete: Option[Column],
     notMatchedInsert: Option[Map[String, Column]],
-    insertWhenNotMatched: Boolean)
+    insertWhenNotMatched: Boolean,
+    notMatchedInsertCond: Option[Column],
+    bySourceUpdate: Map[String, Column],
+    bySourceUpdateCond: Option[Column],
+    bySourceDelete: Option[Column])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -170,7 +186,11 @@ case class GraftMergeCommand(
       whenMatchedUpdateCond = matchedUpdateCond,
       whenMatchedDelete = matchedDelete,
       whenNotMatchedInsert = notMatchedInsert,
-      insertWhenNotMatched = insertWhenNotMatched)
+      insertWhenNotMatched = insertWhenNotMatched,
+      whenNotMatchedInsertCond = notMatchedInsertCond,
+      whenNotMatchedBySourceUpdate = bySourceUpdate,
+      whenNotMatchedBySourceUpdateCond = bySourceUpdateCond,
+      whenNotMatchedBySourceDelete = bySourceDelete)
     Nil
   }
 }

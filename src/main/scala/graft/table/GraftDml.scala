@@ -240,6 +240,10 @@ trait GraftDml { self: GraftTable =>
       whenMatchedDelete: Option[Column] = None,
       whenNotMatchedInsert: Option[Map[String, Column]] = None,
       insertWhenNotMatched: Boolean = true,
+      whenNotMatchedInsertCond: Option[Column] = None,
+      whenNotMatchedBySourceUpdate: Map[String, Column] = Map.empty,
+      whenNotMatchedBySourceUpdateCond: Option[Column] = None,
+      whenNotMatchedBySourceDelete: Option[Column] = None,
       statementId: Option[String] = None): Snapshot = {
     require(onKeys.nonEmpty, "MERGE requires at least one ON key")
     val (_, m0) = load()
@@ -292,12 +296,21 @@ trait GraftDml { self: GraftTable =>
     val delCond = whenMatchedDelete.getOrElse(lit(false))
     val updCond =
       if (whenMatchedUpdate.isEmpty) lit(false) else whenMatchedUpdateCond.getOrElse(lit(true))
+    // WHEN NOT MATCHED BY SOURCE (target rows with no source match): a
+    // delete condition and/or an update branch over the tOnly rows
+    val bsDelCond = whenNotMatchedBySourceDelete.getOrElse(lit(false))
+    val bsUpdCond =
+      if (whenNotMatchedBySourceUpdate.isEmpty) lit(false)
+      else whenNotMatchedBySourceUpdateCond.getOrElse(lit(true))
 
     val outFields = schema.fields
     val keptOrUpdated = outFields.map { f =>
       val target = col(s"t.${f.name}")
       val updated = whenMatchedUpdate.get(f.name).map(_.cast(f.dataType)).getOrElse(target)
-      when(matched && updCond, updated).otherwise(target).as(f.name)
+      val bsUpdated = whenNotMatchedBySourceUpdate.get(f.name).map(_.cast(f.dataType)).getOrElse(target)
+      when(matched && updCond, updated)
+        .when(tOnly && bsUpdCond, bsUpdated)
+        .otherwise(target).as(f.name)
     }
     val insertExprs = outFields.map { f =>
       whenNotMatchedInsert match {
@@ -309,10 +322,13 @@ trait GraftDml { self: GraftTable =>
     }
 
     val survivors = joined
-      .filter(tOnly || (matched && !coalesce(delCond, lit(false))))
+      .filter((tOnly && !coalesce(bsDelCond, lit(false))) ||
+        (matched && !coalesce(delCond, lit(false))))
       .select(keptOrUpdated: _*)
+    val insertCond = whenNotMatchedInsertCond.getOrElse(lit(true))
     val inserts =
-      if (insertWhenNotMatched) joined.filter(sOnly).select(insertExprs: _*)
+      if (insertWhenNotMatched)
+        joined.filter(sOnly && coalesce(insertCond, lit(false))).select(insertExprs: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(outFields))
     val result = survivors.unionByName(inserts)

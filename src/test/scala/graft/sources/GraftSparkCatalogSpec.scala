@@ -118,6 +118,24 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.db.m").head.getLong(0) == 2)
   }
 
+  test("MERGE: conditional NOT MATCHED INSERT and NOT MATCHED BY SOURCE actions") {
+    registerCatalog("gbs")
+    spark.sql("CREATE TABLE gbs.db.b (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gbs.db.b VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW bs_src AS
+      SELECT * FROM VALUES (1, 10.0), (8, 8.0), (9, 0.5) AS s(id, v)""")
+    spark.sql("""MERGE INTO gbs.db.b t USING bs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.v > 1.0 THEN INSERT (id, v) VALUES (s.id, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -t.v""")
+    val rows = spark.sql("SELECT id, v FROM gbs.db.b ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 1 matched-updated; 2 untouched-by-source -> negated; 3 deleted;
+    // 8 inserted (v>1); 9 NOT inserted (conditional insert filtered it)
+    assert(rows == Seq((1L, 10.0), (2L, -2.0), (8L, 8.0)))
+  }
+
   test("substitution reaches graft relations inside subqueries") {
     registerCatalog("gsub")
     spark.sql("CREATE TABLE gsub.db.s (id BIGINT, v DOUBLE)")
