@@ -219,6 +219,37 @@ class GraftSparkTable(val graftTable: GraftTable, val travel: TimeTravel) extend
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Surface the hidden-partitioning spec + table properties so DESCRIBE /
+    * SHOW CREATE reflect reality.
+    */
+  override def partitioning(): Array[VTransform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val m = graftTable.meta
+    m.defaultSpec.fields.flatMap { pf =>
+      val src = m.currentSchema.fields
+        .find(f => graft.format.GraftSchema.fieldId(f) == pf.sourceId).map(_.name)
+      src.map { col =>
+        pf.transform match {
+          case graft.format.Transform.Identity => Expressions.identity(col)
+          case graft.format.Transform.Year => Expressions.years(col)
+          case graft.format.Transform.Month => Expressions.months(col)
+          case graft.format.Transform.Day => Expressions.days(col)
+          case graft.format.Transform.Hour => Expressions.hours(col)
+          case graft.format.Transform.Bucket(n) => Expressions.bucket(n, col)
+          case graft.format.Transform.Truncate(w) =>
+            Expressions.apply("truncate", Expressions.literal(w), Expressions.column(col))
+          case _ => Expressions.identity(col)
+        }
+      }
+    }.toArray
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    graftTable.properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** The pinned native scan (current snapshot unless time-traveling). */
   def nativeScan(preds: Seq[Predicate]): _root_.graft.table.GraftScan = travel match {
     case TimeTravel.AtSnapshot(id) => graftTable.atSnapshot(id, preds: _*)

@@ -118,6 +118,16 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.db.m").head.getLong(0) == 2)
   }
 
+  test("DESCRIBE shows the hidden-partitioning spec and properties") {
+    registerCatalog("gdesc")
+    spark.sql("""CREATE TABLE gdesc.db.d (id BIGINT, ts TIMESTAMP_NTZ, cat STRING)
+      PARTITIONED BY (days(ts), bucket(4, id)) TBLPROPERTIES ('target-file-size'='1048576')""")
+    val descStr = spark.sql("DESCRIBE EXTENDED gdesc.db.d").collect().mkString("\n")
+    assert(descStr.contains("days(ts)"), s"day transform missing from DESCRIBE:\n$descStr")
+    assert(descStr.contains("bucket(4, id)"), s"bucket transform missing:\n$descStr")
+    assert(descStr.contains("target-file-size"), s"properties missing:\n$descStr")
+  }
+
   test("MERGE: conditional NOT MATCHED INSERT and NOT MATCHED BY SOURCE actions") {
     registerCatalog("gbs")
     spark.sql("CREATE TABLE gbs.db.b (id BIGINT, v DOUBLE)")
