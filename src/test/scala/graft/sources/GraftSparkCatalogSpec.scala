@@ -118,6 +118,15 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.db.m").head.getLong(0) == 2)
   }
 
+  test("self-referencing INSERT reads the pre-insert snapshot (no Halloween problem)") {
+    registerCatalog("gself")
+    spark.sql("CREATE TABLE gself.db.s2 (id BIGINT)")
+    spark.sql("INSERT INTO gself.db.s2 VALUES (1), (2), (3)")
+    spark.sql("INSERT INTO gself.db.s2 SELECT id + 10 FROM gself.db.s2")
+    assert(spark.sql("SELECT count(*) FROM gself.db.s2").head.getLong(0) == 6)
+    assert(spark.sql("SELECT sum(id) FROM gself.db.s2").head.getLong(0) == 6 + 36)
+  }
+
   test("DESCRIBE shows the hidden-partitioning spec and properties") {
     registerCatalog("gdesc")
     spark.sql("""CREATE TABLE gdesc.db.d (id BIGINT, ts TIMESTAMP_NTZ, cat STRING)
