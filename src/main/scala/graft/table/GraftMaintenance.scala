@@ -41,14 +41,23 @@ trait GraftMaintenance { self: GraftTable =>
               where: Seq[Predicate] = Nil, statementId: Option[String] = None): Snapshot = {
     val (_, m0) = load()
     val scan0 = new GraftScan(this, m0, m0.currentSnapshot, where)
-    val candidates = scan0.dataFiles
-    if (candidates.isEmpty)
-      return commitSnapshot("replace", statementId, Map("compacted-data-files" -> "0")) { m =>
-        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
-      }
     val target = targetFileSizeBytes
       .orElse(m0.properties.get(TableProperties.TargetFileSize).map(_.toLong))
       .getOrElse(128L * 1024 * 1024) // docs/10:40-41 example target
+    // Binpack: only undersized files are rewritten — a compact of a huge,
+    // mostly-healthy table must be O(small files), not O(table). Exceptions
+    // that force a full rewrite of the scan's files: outstanding position
+    // deletes (folding them rewrites their targets) and CLUSTER BY (the
+    // point is re-sorting everything).
+    val clustered = m0.property(TableProperties.ClusterBy, "").trim.nonEmpty
+    val rewriteAll = clustered || scan0.deleteFiles.nonEmpty
+    val candidates =
+      if (rewriteAll) scan0.dataFiles
+      else scan0.dataFiles.filter(_.fileSizeBytes < (target * 3) / 4)
+    if (candidates.isEmpty || (candidates.size == 1 && !rewriteAll))
+      return commitSnapshot("replace", statementId, Map("compacted-data-files" -> "0")) { m =>
+        m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      }
     val totalBytes = candidates.map(_.fileSizeBytes).sum
     val totalRows = candidates.map(_.recordCount).sum.max(1L)
     val rowBytes = (totalBytes / totalRows).max(1L)

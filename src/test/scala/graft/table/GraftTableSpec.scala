@@ -374,6 +374,19 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("compaction binpacks: right-sized files are carried forward untouched") {
+    val t = newTable("t_binpack")
+    t.append(spark, mkDf((1L to 2000L).map(i => (i, "x", i.toDouble)))) // the "big" file
+    val bigFiles = t.scan().dataFiles.map(_.path).toSet
+    val target = t.scan().dataFiles.map(_.fileSizeBytes).max // big file ≈ target
+    (0 until 3).foreach(i => t.append(spark, mkDf(Seq((10000L + i, "y", 1.0))))) // small files
+    t.compact(spark, targetFileSizeBytes = Some(target))
+    val after = t.scan().dataFiles.map(_.path).toSet
+    assert(bigFiles.subsetOf(after), "right-sized file must be reused, not rewritten")
+    assert(after.size < bigFiles.size + 3, "small files must consolidate")
+    assert(t.toDF(spark).count() == 2003)
+  }
+
   test("cherry-pick replays an append after rollback; refuses rewrites and double-apply") {
     val t = newTable("t_cp")
     t.append(spark, mkDf(base.take(2)))
