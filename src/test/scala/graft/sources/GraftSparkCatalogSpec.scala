@@ -118,6 +118,20 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.db.m").head.getLong(0) == 2)
   }
 
+  test("concurrent SQL INSERTs both land through OCC retry") {
+    registerCatalog("gconc")
+    spark.sql("CREATE TABLE gconc.db.c (id BIGINT)")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        try spark.sql(s"INSERT INTO gconc.db.c SELECT id FROM range(${i * 100}, ${i * 100 + 100})")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent SQL inserts failed: ${Option(errs.peek()).map(_.getMessage)}")
+    assert(spark.sql("SELECT count(*), count(DISTINCT id) FROM gconc.db.c").head.getLong(0) == 400)
+  }
+
   test("self-referencing INSERT reads the pre-insert snapshot (no Halloween problem)") {
     registerCatalog("gself")
     spark.sql("CREATE TABLE gself.db.s2 (id BIGINT)")
