@@ -121,6 +121,28 @@ object TextFunctions {
       array((0 until bands).map(b =>
         md5(array_join(slice(minima, b * rowsPerBand + 1, rowsPerBand), ""))): _*))
 
+  /** Per-shingle rolling hashes for winnowing (MOSS-style document
+    * fingerprinting): 8-hex digest prefixes of the k-gram shingles.
+    * Materialize as its OWN column before [[winnowFromHashes]] — the window
+    * minima reference it once per window, and an inlined expression would
+    * re-hash the document per window (no CSE in interpreted HOFs).
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), g => substring(md5(g), 1, 8))
+
+  /** Winnowing: the distinct minima of every `w`-wide sliding window over
+    * the rolling hashes — the classic robust fingerprint set (at least one
+    * fingerprint survives any edit that leaves a w+k-1-token stretch
+    * intact). Short docs keep all their hashes.
+    */
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
+    require(w >= 1)
+    when(size(hashes) < w, array_distinct(hashes))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w))))))
+  }
+
   /** SimHash over `bits` hex positions of per-token md5s: majority vote per
     * position; near-dups differ in few bits. Returns a '0'/'1' string.
     */

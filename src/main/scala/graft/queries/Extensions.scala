@@ -332,6 +332,36 @@ object Extensions {
         |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
 
+    // X4f: winnowing (rolling-hash) document fingerprints — the MOSS-style
+    // robust fingerprint set: minima of sliding windows over shingle
+    // hashes. Shared fingerprints across docs signal partial overlap that
+    // whole-document hashing misses.
+    ("x_winnow_fingerprint",
+      (s: SparkSession, d: String) => {
+        val fps = Tables.documents(s, d)
+          .withColumn("hs", TF.shingleHashes(col("text"), 2))
+          .withColumn("fp", explode(TF.winnowFromHashes(col("hs"), w = 4)))
+        fps.groupBy("lang")
+          .agg(count(lit(1)).as("fingerprints"),
+            countDistinct(col("fp")).as("distinct_fingerprints"))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |hs AS (
+        |  SELECT doc_id, lang, list_transform(
+        |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]),
+        |    g -> substring(md5(g), 1, 8)) AS hs
+        |  FROM toks),
+        |fps AS (
+        |  SELECT doc_id, lang, unnest(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))) END) AS fp
+        |  FROM hs)
+        |SELECT lang, count(*) AS fingerprints,
+        |  count(DISTINCT fp) AS distinct_fingerprints
+        |FROM fps GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4e: document fingerprinting — content-hash dup ratio per source.
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
