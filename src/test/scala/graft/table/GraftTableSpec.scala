@@ -374,6 +374,21 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("rewritten manifests are partition-clustered chunks that phase-1 pruning can skip") {
+    val t = newTable("t_mfchunk", partitioned = true)
+    // interleaved appends: each manifest spans several partition values
+    (0 until 3).foreach { i =>
+      t.append(spark, mkDf(Seq((i * 10L, "a", 1.0), (i * 10L + 1, "b", 2.0),
+        (i * 10L + 2, "c", 3.0), (i * 10L + 3, "d", 4.0))))
+    }
+    t.rewriteManifests(maxEntriesPerManifest = 3)
+    val sc = t.scan(Predicate.Eq("cat", "a"))
+    assert(sc.metrics.manifestsTotal > 1, "chunking must produce several manifests")
+    assert(sc.metrics.manifestsScanned < sc.metrics.manifestsTotal,
+      s"partition-clustered chunks must prune: ${sc.metrics.manifestsScanned}/${sc.metrics.manifestsTotal}")
+    assert(contents(t).size == 12)
+  }
+
   test("compaction binpacks: right-sized files are carried forward untouched") {
     val t = newTable("t_binpack")
     t.append(spark, mkDf((1L to 2000L).map(i => (i, "x", i.toDouble)))) // the "big" file
