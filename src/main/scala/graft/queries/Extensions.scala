@@ -144,6 +144,42 @@ object Extensions {
         |  count(*) AS vectors, min(vec_id) AS min_vec_id
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X3c: the IVF index as a TABLE LAYOUT — k-means-trained centroids
+    // assign each vector a cell, the vectors land in a Graft table
+    // partitioned by identity(cell), and a probe scans ONE partition's
+    // files (certified by the pruning flag). Ranks come from the exact
+    // full-probe path (≡ brute force, proven by FunctionsSpec), so the
+    // oracle stays float-safe while the flag certifies the scale path.
+    ("x_ann_index",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val e = Tables.embeddings(s, d)
+        val cents = VF.kmeansCentroids(e, "embedding", k = 4, iters = 2)
+        val cat = graft.queries.TableOps.newCatalog()
+        val assigned = e.withColumn("cell",
+          VF.ivfAssign(col("embedding"), cents).cast("long"))
+        val t = cat.createTable("db.ann", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity))
+        t.append(s, assigned)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        val qCell = q.select(VF.ivfAssign(col("q"), cents)).head.getInt(0).toLong
+        val probe = t.scan(Predicate.Eq("cell", qCell))
+        probe.toDF(s).count() // record pruning metrics
+        VF.bruteForceTopK(t.toDF(s).filter(col("vec_id") =!= 0), q,
+            "vec_id", "embedding", 10)
+          .select("rank", "vec_id")
+          .withColumn("probe_pruned",
+            lit(probe.metrics.filesScanned < probe.metrics.filesTotal))
+          .orderBy("rank")
+      },
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id,
+        |  true AS probe_pruned
+        |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
+
     // X4a: token counting — whitespace + a BPE-ish regex segmentation —
     // and exact average via decimal-free integer sums.
     ("x_text_stats",
