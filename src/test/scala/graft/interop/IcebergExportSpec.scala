@@ -47,6 +47,16 @@ class IcebergExportSpec extends SparkSpec {
     assert(expDeletes.map(e => e._2 -> e._3).toMap == liveDeletes,
       "exported delete-file inventory must equal the live scan")
 
+    // an independent reader planning ONLY from the exported metadata
+    // reproduces the live rows (deletes applied)
+    val viaExport = IcebergExport.readAsDataFrame(spark, metaPath)
+      .select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val live = t.toDF(spark).select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaExport == live, "exported-metadata reader must reproduce the live rows")
+    assert(!viaExport.exists(_._1 == 3L), "the MOR-deleted row must stay deleted")
+
     // the metadata document carries the spec-shaped schema + partition spec
     val metaText = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath))
     assert(metaText.contains("\"format-version\":2"))
