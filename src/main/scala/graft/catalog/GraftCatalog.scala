@@ -176,8 +176,13 @@ class GraftCatalog(val warehouse: String) {
           // completing its hint advance (idempotent if its writer is merely
           // slow), then conflict so the caller re-reads the new base. Without
           // this, every later committer would fail the same create forever.
-          GraftUtil.writeStringAtomic(
-            Paths.get(root, "metadata", "version-hint.text"), next.toString)
+          // Only ever advance the hint: another process may have already
+          // adopted v(next) and committed past it, and writing `next`
+          // unconditionally would regress readers to a stale snapshot.
+          val hinted = try currentVersion(name) catch { case _: Exception => 0 }
+          if (next > hinted)
+            GraftUtil.writeStringAtomic(
+              Paths.get(root, "metadata", "version-hint.text"), next.toString)
           throw new CommitConflictException(
             s"$name: v$next already exists (lost CAS race); hint advanced to v$next")
       }

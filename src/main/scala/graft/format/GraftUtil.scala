@@ -79,4 +79,16 @@ object GraftUtil {
 
   def resolve(base: String, rel: String): String =
     if (rel.startsWith("/")) rel else Paths.get(base).resolve(rel).normalize.toString
+
+  /** Canonical comparison form for file locations: URI scheme plus duplicate
+    * leading slashes collapse to a single "/", so `_metadata.file_path` URIs
+    * ("file:///x") and filesystem paths ("/x") compare equal. The Scala and
+    * Column variants MUST stay in lockstep — the MOR delete pre-filter
+    * (GraftScan.materialize) is sound only because both sides of its
+    * membership test go through this one function.
+    */
+  private val FileUriSchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+  def normFileLoc(s: String): String = s.replaceFirst(FileUriSchemeRe, "/")
+  def normFileLoc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, FileUriSchemeRe, "/")
 }

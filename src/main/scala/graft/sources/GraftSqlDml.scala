@@ -74,8 +74,8 @@ object GraftSqlDml {
 
   /** MergeIntoTable → command. Supported shape (the reference's own
     * docs/12:107-126 pattern): equality ON keys, at most one WHEN MATCHED
-    * UPDATE, at most one WHEN MATCHED DELETE, at most one unconditional
-    * WHEN NOT MATCHED INSERT; WHEN NOT MATCHED BY SOURCE is not supported.
+    * UPDATE, at most one WHEN MATCHED DELETE, conditional WHEN NOT MATCHED
+    * INSERT, and WHEN NOT MATCHED BY SOURCE UPDATE/DELETE actions.
     */
   def translateMerge(m: MergeIntoTable): Option[GraftMergeCommand] =
     graftTableOf(m.targetTable).map { tbl =>

@@ -216,6 +216,48 @@ trait GraftDml { self: GraftTable =>
   // MERGE INTO (docs/08:132-141, docs/12:107-126)
   // -------------------------------------------------------------------
 
+  /** Distinct source key tuples above which candidate pruning falls back to
+    * one global [min,max] interval per key column. Below it the exact key
+    * *set* prunes: an `In` leaf keeps a file only when some source key lies
+    * inside that file's own [min,max] — and, derived through the partition
+    * spec's transforms, only when some key lands in the file's partition
+    * tuple. A sparse CDC batch with two keys at opposite ends of the domain
+    * therefore rewrites the two matching partitions' files, not the table
+    * (a global interval would make every file a candidate).
+    */
+  private val MergeKeySetLimit = 1000
+
+  /** Sound candidate-file predicates for a MERGE source: exact key set when
+    * small, per-column global bounds otherwise, nothing for key types the
+    * canonical stats space can't order.
+    */
+  private def mergeCandidatePreds(src: DataFrame, onKeys: Seq[(String, String)],
+                                  schema: StructType): Seq[Predicate] = {
+    val prunable = onKeys.filter { case (t, _) =>
+      schema.fields.find(_.name == t).map(_.dataType).exists(Canonical.supports)
+    }
+    if (prunable.isEmpty) return Nil
+    val distinctKeys = src
+      .select(prunable.map { case (_, s) => col(s) }: _*).na.drop("any")
+      .distinct().limit(MergeKeySetLimit + 1).collect()
+    if (distinctKeys.length <= MergeKeySetLimit) {
+      // null keys never equality-match a target row, so dropping them above
+      // is sound; an empty set prunes every file (inserts need no candidates)
+      prunable.zipWithIndex.map { case ((t, _), i) =>
+        Predicate.In(t, distinctKeys.map(_.get(i)).distinct.toSeq)
+      }
+    } else {
+      val boundsRow = src.agg(
+        prunable.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.head,
+        prunable.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.tail: _*).head()
+      prunable.zipWithIndex.flatMap { case ((t, _), i) =>
+        val lo = boundsRow.get(2 * i); val hi = boundsRow.get(2 * i + 1)
+        if (lo == null || hi == null) Nil
+        else Seq(Predicate.GtEq(t, lo), Predicate.LtEq(t, hi))
+      }
+    }
+  }
+
   /** MERGE INTO this USING source ON (target.k = source.k ...)
     *   WHEN MATCHED [AND cond] THEN UPDATE SET ...
     *   WHEN MATCHED AND cond THEN DELETE
@@ -249,17 +291,14 @@ trait GraftDml { self: GraftTable =>
     val (_, m0) = load()
     val schema = m0.currentSchema
 
-    // candidate detection: per target key column, [min,max] of the source keys
+    // Candidate detection. WHEN NOT MATCHED BY SOURCE actions touch target
+    // rows *outside* the source keys, so any key-based pruning would silently
+    // skip exactly the files those actions must rewrite — disable it.
+    val hasBySource = whenNotMatchedBySourceUpdate.nonEmpty ||
+      whenNotMatchedBySourceDelete.isDefined
     val srcCached = source.cache()
-    val boundsRow = srcCached.agg(
-      onKeys.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.head,
-      onKeys.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }.tail: _*).head()
-    val keyPreds: Seq[Predicate] = onKeys.zipWithIndex.flatMap { case ((t, _), i) =>
-      val lo = boundsRow.get(2 * i); val hi = boundsRow.get(2 * i + 1)
-      val dt = schema.fields.find(_.name == t).map(_.dataType)
-      if (lo == null || hi == null || dt.forall(d => !Canonical.supports(d))) Nil
-      else Seq(Predicate.GtEq(t, lo), Predicate.LtEq(t, hi))
-    }
+    val keyPreds: Seq[Predicate] =
+      if (hasBySource) Nil else mergeCandidatePreds(srcCached, onKeys, schema)
 
     val scan0 = new GraftScan(this, m0, m0.currentSnapshot, keyPreds)
     val candidates = scan0.dataFiles

@@ -207,15 +207,17 @@ class GraftScan(
           .select(col("file_path").as("_gd_file"), col("pos").as("_gd_pos"))
         // Prune delete rows to THIS scan's data files: deletes accumulate
         // table-wide, but only rows keyed by a candidate file's path can
-        // match the anti-join. (`_metadata.file_path` is a URI — normalize
-        // the scheme before comparing with resolved filesystem paths.)
+        // match the anti-join. Both sides of the membership test go through
+        // GraftUtil.normFileLoc (one shared scheme-stripping function), so
+        // the pre-filter cannot disagree with itself; the anti-join below
+        // stays representation-exact (raw recorded URIs on both sides).
         // Skipped for very large file lists, where the InSet literal itself
         // would bloat the plan.
         val delDF =
           if (files.size <= 10000) {
-            val cand = files.map(f => GraftUtil.resolve(meta.location, f.path))
-            delAll.filter(
-              regexp_replace(col("_gd_file"), "^file:/+", "/").isin(cand: _*))
+            val cand = files.map(f =>
+              GraftUtil.normFileLoc(GraftUtil.resolve(meta.location, f.path)))
+            delAll.filter(GraftUtil.normFileLoc(col("_gd_file")).isin(cand: _*))
           } else delAll
         // The <10% delete-ratio health target (docs/10:123) is advisory, not
         // a guarantee: broadcast only when the manifest-recorded delete bytes

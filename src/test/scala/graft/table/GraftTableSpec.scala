@@ -350,6 +350,36 @@ class GraftTableSpec extends SparkSpec {
     assert(t.toDF(spark).filter(col("id") === 9L).count() == 2)
   }
 
+  test("MERGE by-source actions reach target files outside the source key bounds") {
+    val t = newTable("t_merge_bs", partitioned = true)
+    t.append(spark, mkDf(base)) // three files: cat=a (ids 1,2), cat=b (3,4), cat=c (5)
+    // source keys {1} — cat=b and cat=c files lie entirely outside [1,1];
+    // by-source DELETE must still rewrite them (they are exactly the rows
+    // 'not matched by source')
+    val source = mkDf(Seq((1L, "a", 100.0)))
+    t.merge(spark, source, Seq("id" -> "id"),
+      whenMatchedUpdate = Map("v" -> col("s.v")),
+      insertWhenNotMatched = false,
+      whenNotMatchedBySourceDelete = Some(lit(true)))
+    assert(contents(t) == Set((1L, "a", 100.0)))
+  }
+
+  test("MERGE with a sparse key set rewrites only the matching partitions' files") {
+    val t = newTable("t_merge_sparse", partitioned = true)
+    t.append(spark, mkDf(base))
+    val bFilesBefore = t.scan().dataFiles.map(_.path).filter(_.contains("cat=b")).toSet
+    assert(bFilesBefore.nonEmpty)
+    // keys at opposite ends of the id domain: a global [1,5] interval would
+    // make the cat=b file (ids 3..4) a candidate; the key-set prune must not
+    val source = mkDf(Seq((1L, "a", 100.0), (5L, "c", 500.0)))
+    t.merge(spark, source, Seq("id" -> "id"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    val bFilesAfter = t.scan().dataFiles.map(_.path).filter(_.contains("cat=b")).toSet
+    assert(bFilesAfter == bFilesBefore, "cat=b file should be carried forward untouched")
+    assert(contents(t) == Set(
+      (1L, "a", 100.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0), (5L, "c", 500.0)))
+  }
+
   test("MOR read falls back to a shuffled anti-join above the broadcast threshold") {
     val cow = newTable("t_big_cow")
     val mor = newTable("t_big_mor", props = Map("enable-iceberg-merge-on-read" -> "true"))
