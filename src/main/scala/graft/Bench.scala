@@ -18,14 +18,28 @@ object Bench {
     // query runs first).
     spark.range(0, 1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    spark.range(0, 1000)
+    // Variant kernel: first evaluation JIT-compiles ~3s of one-time codepath
+    // (measured via tools.VariantProbe: cold 2.96s vs warm 0.36s at sf0.1) —
+    // large enough sample that C2, not just C1, compiles the hot loop.
+    spark.range(0, 200000)
       .selectExpr("variant_get(parse_json('{\"k\":' || id || '}'), '$.k', 'int') AS k")
-      .selectExpr("sum(k)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      .selectExpr("sum(k % 10)").collect()
+    // Interpreted-HOF/md5 kernels (minhash/simhash/winnowing family).
+    spark.range(0, 20000)
+      .selectExpr("transform(split('a b c d e f g h', ' '), t -> md5(concat(t, id))) AS h")
+      .selectExpr("min(array_min(transform(h, x -> substring(x, 1, 8)))) AS m",
+        "min(aggregate(h, 'g', (a, x) -> least(a, x))) AS f")
+      .collect()
+    // optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

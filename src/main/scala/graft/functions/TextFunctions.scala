@@ -44,6 +44,13 @@ object TextFunctions {
     * `transform(_, md5)` subtree re-hashes the whole array — so the k
     * "independent hash functions" must come out of a single traversal.
     * ("g" sorts above every hex character, so it is the fold's +infinity.)
+    *
+    * COST MODEL (measured at sf0.1): the fold's per-item accumulator — a
+    * `transform(sequence(..))` + `zip_with` allocation per item — only pays
+    * off when it replaces MANY redundant digest passes (8-slice banded:
+    * 42.5s -> 10.4s). For k<=4 single-digest signatures the allocations cost
+    * MORE than the redundant md5 passes they avoid (0.8s -> 5.8s) — those
+    * use [[minhashFromHashes]] direct slice minima instead.
     */
   private def sliceMinima(items: Column, n: Int, len: Int): Column = {
     // Slice width is a statistics knob, not a convenience: minima of ~10^2+
@@ -65,15 +72,34 @@ object TextFunctions {
         (a, s) => least(a, s)))
   }
 
-  def minhashSignatureOf(items: Column, k: Int): Column = {
+  /** Step 1 of the two-step MinHash pipeline: one md5 digest per distinct
+    * item. Materialize this behind a Project/Generate boundary (e.g.
+    * `select(explode(array(itemHashes(..))))`) before [[minhashFromHashes]]
+    * — as a materialized column the array is hashed once per row, while an
+    * inlined reference re-runs the md5 pass once per slice minimum (no CSE
+    * in interpreted HOFs).
+    */
+  def itemHashes(items: Column): Column =
+    transform(array_distinct(items), t => md5(t))
+
+  /** Step 2: the k-slice MinHash signature from materialized per-item
+    * digests — k direct `array_min` passes over cheap substrings. NULL for
+    * item-less rows, which drops degenerate docs from candidacy (NULL joins
+    * and groups to nothing that survives a bucket-size cut).
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
     require(k >= 1 && k <= 4, "md5 yields 4 independent 8-hex slices")
-    // one md5 per item; the k "independent" hash functions are disjoint
-    // 8-hex-char slices of the digest (4x fewer hashes than seeded md5s —
-    // the hash is the hot loop at corpus scale). array_join references the
-    // minima exactly once, keeping the whole signature a single pass.
-    when(size(array_distinct(items)) > 0,
-      md5(array_join(sliceMinima(items, k, 8), "")))
+    val minima = (0 until k).map(i =>
+      array_min(transform(hashes, h => substring(h, 1 + i * 8, 8))))
+    when(size(hashes) > 0, md5(concat(minima: _*)))
   }
+
+  /** One-expression convenience form: correct anywhere, but each slice
+    * minimum re-hashes the items (no CSE in interpreted HOFs) — in hot paths
+    * materialize [[itemHashes]] first and call [[minhashFromHashes]].
+    */
+  def minhashSignatureOf(items: Column, k: Int): Column =
+    minhashFromHashes(itemHashes(items), k)
 
   /** MinHash over raw tokens. NOTE: for small vocabularies token-level minima
     * collide heavily (buckets grow with corpus size — a skew bomb in the

@@ -75,8 +75,14 @@ object Extensions {
     // join at scale is a shuffle on the signature (LSH).
     ("x_dedup_minhash",
       (s: SparkSession, d: String) => {
+        // two-step: token digests materialize in the Generate (hashed ONCE
+        // per row — explode(array(..)) is a one-row generator whose output
+        // attribute the 4 slice minima then reference), never re-hashed
+        // per slice and never shuffled (the groupBy key is the signature)
         Tables.documents(s, d)
-          .withColumn("minhash_sig", TF.minhashSignature(col("text"), k = 4))
+          .select(col("doc_id"),
+            explode(array(TF.itemHashes(TF.tokens(col("text"))))).as("_h"))
+          .select(col("doc_id"), TF.minhashFromHashes(col("_h"), k = 4).as("minhash_sig"))
           .groupBy("minhash_sig")
           .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("keep_id"))
           .filter(col("bucket_size") > 1)
@@ -270,10 +276,13 @@ object Extensions {
         // docs get a per-doc sentinel bucket instead, which the
         // bucket-size > 1 cut then drops.)
         val base = Tables.documents(s, d).withColumn("sh", TF.shingles(col("text"), 2))
-        val sigs = base.withColumn("sig",
-            coalesce(TF.minhashSignatureOf(col("sh"), k = 4),
-              concat(lit("empty:"), col("doc_id").cast("string"))))
-          .select("doc_id", "sig")
+        // shingle digests materialize in the Generate (hashed once per row,
+        // not once per slice minimum); only (doc_id, sig) leaves the node
+        val sigs = base
+          .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))
+          .select(col("doc_id"),
+            coalesce(TF.minhashFromHashes(col("_h"), k = 4),
+              concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
         val pairs = sigs.groupBy("sig")
           .agg(collect_list(col("doc_id")).as("members"))
           .filter(size(col("members")) > 1)
