@@ -40,10 +40,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Values are rounded to 3 decimals to keep the one-line JSON short: the
+    // round-3 driver captured only the tail of the output and a ~2.9 kB line
+    // got truncated mid-JSON (BENCH_r03.json parsed:null). 66 queries at 3dp
+    // is ~1.8 kB. The subset filter (if any) is recorded so a partial local
+    // run is distinguishable from a full gate run.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val filter = only.map(s => s""","filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }

@@ -8,7 +8,8 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentHashMap
 
 /** Commit outcome used by the optimistic-concurrency retry loop. */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
+final class CommitConflictException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** The catalog: resolves table names to metadata locations and performs the
   * atomic pointer swap that gives every write ACID semantics (reference:
@@ -179,7 +180,17 @@ class GraftCatalog(val warehouse: String) {
           // Only ever advance the hint: another process may have already
           // adopted v(next) and committed past it, and writing `next`
           // unconditionally would regress readers to a stale snapshot.
-          val hinted = try currentVersion(name) catch { case _: Exception => 0 }
+          // An unreadable hint must NOT default to 0: if the hint is gone
+          // because a concurrent DROP moved it to version-hint.dropped,
+          // rewriting version-hint.text here would resurrect the table.
+          val hinted = try currentVersion(name) catch {
+            case e: Exception =>
+              if (Files.exists(metaDir(name).resolve("version-hint.dropped")) ||
+                  !Files.exists(hintPath(name)))
+                throw new CommitConflictException(
+                  s"$name: table dropped concurrently during lost-CAS adoption", e)
+              0
+          }
           if (next > hinted)
             GraftUtil.writeStringAtomic(
               Paths.get(root, "metadata", "version-hint.text"), next.toString)

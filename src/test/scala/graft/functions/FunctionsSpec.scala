@@ -32,6 +32,22 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(0).getString(3).length == 16 && sigs(0).getString(3).forall(c => c == '0' || c == '1'))
   }
 
+  test("itemHashes ignores null items (public-API arrays may carry them)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array('a', 'b')),
+        |  (2L, array('a', CAST(NULL AS STRING), 'b')),
+        |  (3L, array(CAST(NULL AS STRING))),
+        |  (4L, array('a', 'b', 'a'))
+        |AS t(id, items)""".stripMargin)
+    val out = df.select(col("id"), TextFunctions.minhashFromHashes(
+      TextFunctions.itemHashes(col("items")), k = 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1).isDefined && out(1) == out(2) && out(1) == out(4),
+      "null items and duplicates must not change the signature")
+    assert(out(3).isEmpty, "all-null item arrays yield NULL (no candidacy)")
+  }
+
   test("token counting + quality gates") {
     val df = docs((1L, "the a the data data x"), (2L, ("word " * 600).trim))
     val out = df.select(
