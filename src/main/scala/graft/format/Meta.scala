@@ -24,6 +24,12 @@ import org.json4s.jackson.JsonMethods
 object GraftSchema {
   val IdKey = "graft.column-id"
 
+  /** Logical-type annotation for types Spark lacks a storable native type
+    * for (docs/06's type matrix): "time" = INT64 micros since midnight
+    * (Iceberg's physical TIME encoding), "uuid" = 36-char string.
+    */
+  val LogicalTypeKey = "graft.logical-type"
+
   def fieldId(f: StructField): Int = f.metadata.getLong(IdKey).toInt
 
   def withId(f: StructField, id: Int): StructField =
@@ -44,16 +50,41 @@ object GraftSchema {
     case other => other
   }
 
-  /** Assign fresh IDs to fields that do not have one yet. Returns the new
-    * schema and the new last-column-id.
+  /** Assign fresh IDs to fields that do not have one yet — at every nesting
+    * level (struct fields inside structs, array elements, map values), so
+    * nested evolution (docs/06:114-118) can rename/drop/widen by stable ID
+    * exactly like top-level columns. Returns the new schema and the new
+    * last-column-id.
     */
   def assignIds(schema: StructType, lastColumnId: Int): (StructType, Int) = {
     var next = lastColumnId
-    val fields = schema.fields.map { f =>
-      if (f.metadata.contains(IdKey)) f
-      else { next += 1; withId(f, next) }
+    def walkType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(walkField))
+      case a: ArrayType => a.copy(elementType = walkType(a.elementType))
+      case m: MapType => m.copy(valueType = walkType(m.valueType))
+      case other => other
     }
-    (StructType(fields), next)
+    def walkField(f: StructField): StructField = {
+      val withType = f.copy(dataType = walkType(f.dataType))
+      if (withType.metadata.contains(IdKey)) withType
+      else { next += 1; withId(withType, next) }
+    }
+    (StructType(schema.fields.map(walkField)), next)
+  }
+
+  /** Largest field ID anywhere in the schema (nested fields included); 0 for
+    * ID-less fields so a partially-annotated schema never understates it.
+    */
+  def maxId(schema: StructType): Int = {
+    def ofType(dt: DataType): Int = dt match {
+      case s: StructType => s.fields.foldLeft(0)((acc, f) => math.max(acc, ofField(f)))
+      case a: ArrayType => ofType(a.elementType)
+      case m: MapType => ofType(m.valueType)
+      case _ => 0
+    }
+    def ofField(f: StructField): Int =
+      math.max(if (f.metadata.contains(IdKey)) fieldId(f) else 0, ofType(f.dataType))
+    ofType(schema)
   }
 
   def idToField(schema: StructType): Map[Int, StructField] =

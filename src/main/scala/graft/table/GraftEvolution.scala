@@ -16,60 +16,112 @@ trait GraftEvolution { self: GraftTable =>
     commitMetadata() { m =>
       val next = f(m, m.currentSchema)
       val newId = m.schemas.keys.max + 1
-      val lastCol = math.max(m.lastColumnId,
-        next.fields.map(GraftSchema.fieldId).foldLeft(0)(math.max))
+      val lastCol = math.max(m.lastColumnId, GraftSchema.maxId(next))
       m.copy(schemas = m.schemas + (newId -> next), currentSchemaId = newId,
         lastColumnId = lastCol)
     }
 
+  /** Navigate a dotted path's PARENT and rewrite that struct. The path walks
+    * struct fields and descends through array elements / map values when the
+    * intermediate type wraps a struct (so `tags.element.key`-style surgery is
+    * expressed simply as `tags.key`). Nested evolution is first-class in the
+    * reference (docs/06-schema-evolution.md:114-118): a struct subfield is
+    * added/renamed/dropped/widened by ID exactly like a top-level column.
+    */
+  private def rewriteParent(schema: StructType, path: Seq[String])(
+      op: StructType => StructType): StructType = {
+    def intoType(dt: DataType, rest: Seq[String], owner: String): DataType = dt match {
+      case s: StructType => into(s, rest)
+      case a: ArrayType => a.copy(elementType = intoType(a.elementType, rest, owner))
+      case m: MapType => m.copy(valueType = intoType(m.valueType, rest, owner))
+      case other => sys.error(s"$owner is ${other.simpleString}, not a struct")
+    }
+    def into(s: StructType, rest: Seq[String]): StructType =
+      if (rest.isEmpty) op(s)
+      else {
+        val i = s.fieldNames.indexOf(rest.head)
+        require(i >= 0, s"column ${rest.head} not found")
+        val f = s.fields(i)
+        StructType(s.fields.updated(i,
+          f.copy(dataType = intoType(f.dataType, rest.tail, f.name))))
+      }
+    into(schema, path)
+  }
+
+  private def split(path: String): (Seq[String], String) = {
+    val parts = path.split('.').toSeq
+    (parts.init, parts.last)
+  }
+
   /** ALTER TABLE ... ADD COLUMN [AFTER other] (docs/06:22-28). New column gets
-    * a fresh ID; files written before it read as NULL.
+    * a fresh ID; files written before it read as NULL. A dotted `name`
+    * ("address.zip") adds a subfield inside a nested struct (docs/06:114-118);
+    * `after` names a sibling within the same parent.
     */
   def addColumn(name: String, dataType: DataType, after: Option[String] = None): TableMetadata =
     evolve { (m, schema) =>
-      require(!schema.fieldNames.contains(name), s"column $name already exists")
-      val field = GraftSchema.withId(StructField(name, dataType, nullable = true), m.lastColumnId + 1)
-      val fields = after match {
-        case None => schema.fields :+ field
-        case Some(a) =>
-          val i = schema.fieldNames.indexOf(a)
-          require(i >= 0, s"AFTER column $a not found")
-          (schema.fields.take(i + 1) :+ field) ++ schema.fields.drop(i + 1)
+      val (parent, leaf) = split(name)
+      val (typed, _) = GraftSchema.assignIds(
+        StructType(Seq(StructField(leaf,
+          GraftSchema.deepNullable(dataType), nullable = true))), m.lastColumnId)
+      val field = typed.fields.head
+      rewriteParent(schema, parent) { s =>
+        require(!s.fieldNames.contains(leaf), s"column $name already exists")
+        val fields = after match {
+          case None => s.fields :+ field
+          case Some(a) =>
+            val i = s.fieldNames.indexOf(a)
+            require(i >= 0, s"AFTER column $a not found")
+            (s.fields.take(i + 1) :+ field) ++ s.fields.drop(i + 1)
+        }
+        StructType(fields)
       }
-      StructType(fields)
     }
 
   /** ALTER TABLE ... DROP COLUMN (docs/06:33-35): removed from the current
     * schema; its ID is never reused (evolve() keeps lastColumnId monotone), so
-    * old files' values for it are simply no longer projected.
+    * old files' values for it are simply no longer projected. Dotted names
+    * drop a subfield inside a nested struct.
     */
   def dropColumn(name: String): TableMetadata =
     evolve { (_, schema) =>
-      require(schema.fieldNames.contains(name), s"column $name not found")
-      require(schema.fields.length > 1, "cannot drop the only column")
-      StructType(schema.fields.filterNot(_.name == name))
+      val (parent, leaf) = split(name)
+      rewriteParent(schema, parent) { s =>
+        require(s.fieldNames.contains(leaf), s"column $name not found")
+        require(s.fields.length > 1, s"cannot drop the only column of ${if (parent.isEmpty) "the table" else parent.mkString(".")}")
+        StructType(s.fields.filterNot(_.name == leaf))
+      }
     }
 
   /** ALTER TABLE ... RENAME COLUMN (docs/06:40-42): name changes, ID stays —
-    * data files still carry the old name and resolve by ID.
+    * data files still carry the old name and resolve by ID. `from` may be
+    * dotted; `to` is the new leaf name within the same parent.
     */
   def renameColumn(from: String, to: String): TableMetadata =
     evolve { (_, schema) =>
-      require(schema.fieldNames.contains(from), s"column $from not found")
-      require(!schema.fieldNames.contains(to), s"column $to already exists")
-      StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val (parent, leaf) = split(from)
+      require(!to.contains('.'), "rename target is a leaf name, not a path")
+      rewriteParent(schema, parent) { s =>
+        require(s.fieldNames.contains(leaf), s"column $from not found")
+        require(!s.fieldNames.contains(to), s"column $to already exists")
+        StructType(s.fields.map(f => if (f.name == leaf) f.copy(name = to) else f))
+      }
     }
 
   /** ALTER COLUMN ... SET DATA TYPE — widening only (docs/06:46-51); the
     * allow/deny promotion matrix is docs/06:138-151. Old files are cast up on
     * read; narrowing is rejected because existing data could overflow.
+    * Dotted names widen a subfield inside a nested struct.
     */
   def widenColumn(name: String, to: DataType): TableMetadata =
     evolve { (_, schema) =>
-      val f = schema.fields.find(_.name == name).getOrElse(sys.error(s"column $name not found"))
-      require(canPromote(f.dataType, to),
-        s"cannot promote ${f.dataType.simpleString} to ${to.simpleString} (widening only)")
-      StructType(schema.fields.map(x => if (x.name == name) x.copy(dataType = to) else x))
+      val (parent, leaf) = split(name)
+      rewriteParent(schema, parent) { s =>
+        val f = s.fields.find(_.name == leaf).getOrElse(sys.error(s"column $name not found"))
+        require(canPromote(f.dataType, to),
+          s"cannot promote ${f.dataType.simpleString} to ${to.simpleString} (widening only)")
+        StructType(s.fields.map(x => if (x.name == leaf) x.copy(dataType = to) else x))
+      }
     }
 
   /** Partition evolution (docs/07-partitioning.md:117-129): install a new
@@ -99,8 +151,11 @@ trait GraftEvolution { self: GraftTable =>
   /** required -> optional is always allowed; the reverse is not (docs/06:17). */
   def makeOptional(name: String): TableMetadata =
     evolve { (_, schema) =>
-      require(schema.fieldNames.contains(name), s"column $name not found")
-      StructType(schema.fields.map(f => if (f.name == name) f.copy(nullable = true) else f))
+      val (parent, leaf) = split(name)
+      rewriteParent(schema, parent) { s =>
+        require(s.fieldNames.contains(leaf), s"column $name not found")
+        StructType(s.fields.map(f => if (f.name == leaf) f.copy(nullable = true) else f))
+      }
     }
 
   /** Promotion rules (docs/06:138-151): int->long, float->double,

@@ -261,7 +261,7 @@ class GraftScan(
       val cols = current.fields.map { cur =>
         val id = GraftSchema.fieldId(cur)
         byId.get(id) match {
-          case Some(w) => col(w.name).cast(cur.dataType).as(cur.name)
+          case Some(w) => resolveValue(w.dataType, cur.dataType, col(w.name)).as(cur.name)
           case None => lit(null).cast(cur.dataType).as(cur.name) // added after this file
         }
       }
@@ -272,5 +272,57 @@ class GraftScan(
       raw.select(cols ++ metaCols: _*)
     }
     dfs.reduce(_.unionByName(_))
+  }
+
+  /** Column-ID resolution INSIDE nested types (docs/06:114-118): a struct
+    * subfield renamed/dropped/widened/added since this file was written is
+    * re-projected by ID, recursing through array elements and map values.
+    * When the nested shape is unchanged this collapses to a plain cast, so
+    * un-evolved columns keep parquet nested-field pruning and codegen.
+    */
+  private def resolveValue(write: DataType, cur: DataType, src: Column): Column =
+    if (!needsRebuild(write, cur)) src.cast(cur)
+    else (write, cur) match {
+      case (w: StructType, c: StructType) =>
+        val byId = GraftSchema.idToField(w)
+        val children = c.fields.map { cf =>
+          byId.get(GraftSchema.fieldId(cf)) match {
+            case Some(wf) => resolveValue(wf.dataType, cf.dataType, src.getField(wf.name)).as(cf.name)
+            case None => lit(null).cast(cf.dataType).as(cf.name)
+          }
+        }
+        // struct() of null children is a non-null row; a null parent struct
+        // must stay null through resolution.
+        when(src.isNotNull, struct(children: _*)).otherwise(lit(null).cast(c))
+      case (w: ArrayType, c: ArrayType) =>
+        transform(src, x => resolveValue(w.elementType, c.elementType, x))
+      case (w: MapType, c: MapType) =>
+        transform_values(src.cast(MapType(c.keyType, w.valueType, w.valueContainsNull)),
+          (_, v) => resolveValue(w.valueType, c.valueType, v))
+      case _ => src.cast(cur)
+    }
+
+  /** True when positional cast is NOT enough: some nested struct level has a
+    * different ID list (rename keeps IDs but changes names — also a rebuild,
+    * since parquet wrote the old names). Fields without IDs (pre-nested-ID
+    * metadata) fall back to cast, preserving old tables' behavior.
+    */
+  private def needsRebuild(write: DataType, cur: DataType): Boolean = {
+    def idOf(f: StructField): Option[Int] =
+      if (f.metadata.contains(GraftSchema.IdKey)) Some(GraftSchema.fieldId(f)) else None
+    (write, cur) match {
+      case (w: StructType, c: StructType) =>
+        val wIds = w.fields.map(idOf)
+        val cIds = c.fields.map(idOf)
+        // Equal ID lists mean positional correspondence: cast covers renames
+        // (it adopts target names) and leaf widening. Only a changed ID list
+        // (add/drop/reorder) or a deeper rebuild forces re-projection.
+        if (wIds.contains(None) || cIds.contains(None)) false
+        else wIds != cIds ||
+          w.fields.zip(c.fields).exists { case (wf, cf) => needsRebuild(wf.dataType, cf.dataType) }
+      case (w: ArrayType, c: ArrayType) => needsRebuild(w.elementType, c.elementType)
+      case (w: MapType, c: MapType) => needsRebuild(w.valueType, c.valueType)
+      case _ => false
+    }
   }
 }

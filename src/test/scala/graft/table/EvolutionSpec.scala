@@ -100,4 +100,65 @@ class EvolutionSpec extends SparkSpec {
     val got = t.toDF(spark).filter(col("fruit") === "apple").collect()
     assert(got.length == 1 && got(0).getInt(0) == 1)
   }
+
+  test("nested evolution: add/rename/widen/drop struct subfields by ID (docs/06:114-118)") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("meta", StructType(Seq(
+        StructField("uid", IntegerType), StructField("etype", StringType),
+        StructField("tmp", DoubleType))))))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ev_nested", schema)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1, Row(10, "click", 0.5)), Row(2, Row(20, "view", 1.5)), Row(3, null)).asJava,
+      t.meta.currentSchema))
+
+    t.dropColumn("meta.tmp")
+    t.renameColumn("meta.uid", "user")
+    t.widenColumn("meta.user", LongType)
+    t.addColumn("meta.note", StringType)
+
+    val v2Schema = t.meta.currentSchema
+    assert(v2Schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("user", "etype", "note"))
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(4, Row(40L, "buy", "b2"))).asJava, v2Schema))
+
+    val out = t.toDF(spark)
+      .select(col("id"), col("meta.user"), col("meta.etype"), col("meta.note"))
+      .orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq == Seq(10L, 20L, -1L, 40L),
+      "old files must resolve renamed+widened subfield by ID")
+    assert(out(0).isNullAt(3) && out(3).getString(3) == "b2", "pre-add subfield reads NULL")
+    assert(t.toDF(spark).filter(col("id") === 3).select("meta").head().isNullAt(0),
+      "a NULL struct must stay NULL through nested resolution")
+    // re-adding a dropped subfield name gets a NEW ID: old tmp values stay dead
+    t.addColumn("meta.tmp", DoubleType)
+    val resurrect = t.toDF(spark).filter(col("id") === 1).select("meta.tmp").head()
+    assert(resurrect.isNullAt(0), "resurrected dropped subfield data — nested ID reuse bug")
+  }
+
+  test("nested evolution inside array elements and map values") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType)))))))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ev_arr", schema)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1, Seq(Row("a", 1), Row("b", 2))), Row(2, null)).asJava,
+      t.meta.currentSchema))
+    t.renameColumn("tags.v", "weight")
+    t.widenColumn("tags.weight", LongType)
+    t.addColumn("tags.src", StringType)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(3, Seq(Row("c", 3L, "s2")))).asJava, t.meta.currentSchema))
+    val out = t.toDF(spark)
+      .select(col("id"), expr("aggregate(tags, 0L, (acc, x) -> acc + x.weight)").as("w"),
+        expr("size(filter(tags, x -> x.src IS NOT NULL))").as("with_src"))
+      .orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq == Seq(3L, -1L, 3L))
+    assert(out.map(r => if (r.isNullAt(2)) -1 else r.getInt(2)).toSeq == Seq(0, -1, 1),
+      "array-element subfield added later must read NULL in old files")
+  }
 }
