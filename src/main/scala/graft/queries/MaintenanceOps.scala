@@ -74,6 +74,54 @@ object MaintenanceOps {
         |SELECT 'sentinel', CAST(1 AS BIGINT), 0.0, (SELECT count(*) FROM events)
         |ORDER BY 1""".stripMargin),
 
+    // Missing #2 (round-2 verdict): the SQL maintenance surface. The
+    // reference specifies compaction / snapshot expiry / manifest rewrite /
+    // orphan cleanup as SQL statements (docs/03:184-206); Spark's idiomatic
+    // form is DSv2 procedures — CALL <cat>.system.<op>(...) — plus
+    // INFORMATION_SCHEMA-style metadata tables as SQL name suffixes
+    // (docs/03:173-180). Everything here goes through spark.sql only.
+    ("g_sql_maintenance",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        val tbl = s"mt_${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.events(s, d).createOrReplaceTempView("events_src")
+        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+          |  event_type STRING, value DOUBLE, props STRING)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES ('enable-iceberg-merge-on-read' = 'true')""".stripMargin)
+        (0 until 3).foreach(i => s.sql(
+          s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src WHERE event_id % 3 = $i"))
+        s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'") // MOR deletes
+        def dataFiles(): Long = s.sql(
+          s"SELECT count(*) FROM graft_sql.db.$tbl.files WHERE content = 'data'").head.getLong(0)
+        val before = dataFiles()
+        val c = s.sql(s"CALL graft_sql.system.compact(table => 'db.$tbl')").head()
+        s.sql(s"CALL graft_sql.system.rewrite_manifests('db.$tbl')").collect()
+        s.sql(s"CALL graft_sql.system.expire_snapshots('db.$tbl', " +
+          s"${System.currentTimeMillis() + 100000})").collect()
+        val orph = s.sql(s"CALL graft_sql.system.remove_orphan_files('db.$tbl')").head()
+        val snapsLeft = s.sql(s"SELECT count(*) FROM graft_sql.db.$tbl.snapshots")
+          .head.getLong(0)
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM graft_sql.db.$tbl GROUP BY event_type""".stripMargin)
+          .withColumn("files_reduced", lit(dataFiles() < before))
+          .withColumn("deletes_folded", lit(c.getBoolean(2)))
+          .withColumn("expired_to_one", lit(snapsLeft == 1L))
+          .withColumn("orphans_clean", lit(orph.getInt(0) == 0))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS files_reduced, true AS deletes_folded,
+        |  true AS expired_to_one, true AS orphans_clean
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // O3: EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78) — history is
     // bounded to the current snapshot, time travel to the expired snapshot
     // fails, and the files only it referenced are physically deleted.

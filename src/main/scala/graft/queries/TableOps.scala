@@ -247,6 +247,71 @@ object TableOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // D6-D9 nested (docs/06:114-118): the same evolution surface INSIDE a
+    // struct column — drop/rename/widen/add subfields by stable ID; files
+    // written under the old nested shape are re-projected on read.
+    ("g_nested_evolution",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+          .select(col("event_id"), col("ts"),
+            struct(col("user_id").cast("int").as("uid"), col("event_type").as("etype"),
+              col("value").as("tmp")).as("meta"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_nested", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        t.dropColumn("meta.tmp")              // nested drop: ID retired
+        t.renameColumn("meta.uid", "user")    // nested rename: ID stable
+        t.widenColumn("meta.user", LongType)  // nested widen: int -> long
+        t.addColumn("meta.note", StringType)  // nested add: fresh ID
+        val batch2 = Tables.events(s, d).filter(col("ts") >= lit(Split))
+          .select(col("event_id"), col("ts"),
+            struct(col("user_id").as("user"), col("event_type").as("etype"),
+              lit("b2").as("note")).as("meta"))
+        t.append(s, batch2)
+        t.toDF(s)
+          .groupBy(coalesce(col("meta.note"), lit("pre-evolution")).as("note"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("meta.user")).as("users"),
+            countDistinct(col("meta.etype")).as("types"))
+          .orderBy("note")
+      },
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'pre-evolution' ELSE 'b2' END AS note,
+        |  count(*) AS n, count(DISTINCT user_id) AS users,
+        |  count(DISTINCT event_type) AS types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // TIME type (docs/06's type matrix): stored as Iceberg's physical
+    // encoding — INT64 micros since midnight with a logical-type annotation
+    // (Spark 4.1's native TimeType cannot do parquet IO) — with codegen'd
+    // extraction/format helpers. The oracle recomputes micros-of-day from
+    // the raw timestamps.
+    ("g_time_type",
+      (s: SparkSession, d: String) => {
+        import graft.functions.TimeFunctions
+        val df = Tables.events(s, d).select(col("event_id"),
+          TimeFunctions.timeOfDayMicros(col("ts")).as("tod"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_time", StructType(Seq(
+          StructField("event_id", LongType), TimeFunctions.timeField("tod"))))
+        t.append(s, df)
+        val isTime = TimeFunctions.isTimeField(t.meta.currentSchema("tod"))
+        t.toDF(s)
+          .groupBy(TimeFunctions.hourOfTime(col("tod")).as("hr"))
+          .agg(count(lit(1)).as("n"), min(col("tod")).as("min_tod"),
+            max(col("tod")).as("max_tod"))
+          .withColumn("min_str", TimeFunctions.timeToString(col("min_tod")))
+          .withColumn("time_typed", lit(isTime))
+          .orderBy("hr")
+      },
+      """SELECT CAST(date_part('hour', ts) AS BIGINT) AS hr, count(*) AS n,
+        |  min((date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts))*1000000) AS min_tod,
+        |  max((date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts))*1000000) AS max_tod,
+        |  printf('%02d:%02d:%02d',
+        |    min((date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts))*1000000) // 3600000000,
+        |    min((date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts))*1000000) % 3600000000 // 60000000,
+        |    min((date_part('hour', ts)*3600 + date_part('minute', ts)*60 + date_part('second', ts))*1000000) % 60000000 // 1000000) AS min_str,
+        |  true AS time_typed
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // M1: snapshot history as a table (docs/05:75-80) — operations and
     // running totals for an append→delete sequence.
     ("g_snapshot_history",

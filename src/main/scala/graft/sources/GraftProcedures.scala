@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.catalog.GraftCatalog
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** The SQL maintenance surface (reference docs/03-metadata-management.md:
+  * 173-206, docs/10-table-maintenance.md): the reference specifies compaction,
+  * snapshot expiry, manifest rewrite and orphan cleanup as SQL statements
+  * (`ALTER ICEBERG TABLE ... COMPACT`, `EXPIRE SNAPSHOTS`); Spark's idiomatic
+  * equivalent is the DSv2 procedure surface (SPARK-44167), so every
+  * maintenance operator is callable as
+  *
+  *   CALL graft.system.compact(table => 'db.t', target_file_size_bytes => ...)
+  *
+  * Each procedure returns a small summary relation (a [[LocalScan]] — the
+  * result is driver-side metadata, never data-scale).
+  */
+object GraftProcedures {
+
+  private val Namespace = Array("system")
+
+  private def strParam(name: String, comment: String) =
+    ProcedureParameter.in(name, StringType).comment(comment).build()
+  private def optLong(name: String, comment: String) =
+    ProcedureParameter.in(name, LongType).defaultValue("CAST(NULL AS BIGINT)")
+      .comment(comment).build()
+  private def optInt(name: String, default: String, comment: String) =
+    ProcedureParameter.in(name, IntegerType).defaultValue(default).comment(comment).build()
+
+  private val healthSchema = StructType(Seq(
+    StructField("data_files", LongType), StructField("avg_file_size_bytes", LongType),
+    StructField("snapshots", IntegerType), StructField("manifests", IntegerType),
+    StructField("delete_files", LongType), StructField("total_records", LongType)))
+
+  private def healthRow(t: GraftTable): Row = {
+    val h = t.health()
+    Row(h.dataFileCount, h.avgFileSizeBytes, h.snapshotCount, h.manifestCount,
+      h.deleteFileCount, h.totalRecords)
+  }
+
+  /** name -> (parameters, output schema, implementation). */
+  private def defs(cat: GraftCatalog): Map[String, (Seq[ProcedureParameter], StructType, InternalRow => Seq[Row])] = {
+    def table(in: InternalRow): GraftTable = cat.loadTable(in.getUTF8String(0).toString)
+    Map(
+      "compact" -> ((
+        Seq(strParam("table", "table name, e.g. db.events"),
+          optLong("target_file_size_bytes", "target size; default: table property or 128 MiB")),
+        StructType(Seq(StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType), StructField("deletes_folded", BooleanType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val before = t.scan()
+          val target = if (in.isNullAt(1)) None else Some(in.getLong(1))
+          t.compact(SparkSession.active, target)
+          val after = t.scan()
+          Seq(Row(before.dataFiles.size, after.dataFiles.size, after.deleteFiles.isEmpty))
+        })),
+      "expire_snapshots" -> ((
+        Seq(strParam("table", "table name"),
+          optLong("older_than_ms", "cutoff; default: the table's retention property"),
+          optInt("retain_last", "1", "always keep the newest N snapshots")),
+        StructType(Seq(StructField("removed_snapshots", IntegerType),
+          StructField("removed_files", IntegerType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val (snaps, files) =
+            if (in.isNullAt(1)) t.expirePerRetention()
+            else t.expireSnapshots(in.getLong(1), math.max(1, in.getInt(2)))
+          Seq(Row(snaps, files))
+        })),
+      "rewrite_manifests" -> ((
+        Seq(strParam("table", "table name"),
+          optInt("max_entries_per_manifest", "5000", "chunk size, partition-clustered")),
+        StructType(Seq(StructField("manifests_before", IntegerType),
+          StructField("manifests_after", IntegerType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val before = t.health().manifestCount
+          t.rewriteManifests(maxEntriesPerManifest = in.getInt(1))
+          Seq(Row(before, cat.loadTable(t.name).health().manifestCount))
+        })),
+      "remove_orphan_files" -> ((
+        Seq(strParam("table", "table name"),
+          optLong("older_than_ms", "cutoff; default now-24h (in-flight write safety window)")),
+        StructType(Seq(StructField("orphans_removed", IntegerType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val removed = if (in.isNullAt(1)) t.removeOrphanFiles()
+            else t.removeOrphanFiles(in.getLong(1))
+          Seq(Row(removed.size))
+        })),
+      "rollback" -> ((
+        Seq(strParam("table", "table name"), optLong("snapshot_id", "snapshot to roll back to")),
+        StructType(Seq(StructField("current_snapshot_id", LongType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          require(!in.isNullAt(1), "rollback requires snapshot_id")
+          Seq(Row(t.rollbackTo(in.getLong(1)).snapshotId))
+        })),
+      "cherrypick" -> ((
+        Seq(strParam("table", "table name"), optLong("snapshot_id", "snapshot to re-apply")),
+        StructType(Seq(StructField("current_snapshot_id", LongType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          require(!in.isNullAt(1), "cherrypick requires snapshot_id")
+          Seq(Row(t.cherryPick(in.getLong(1)).snapshotId))
+        })),
+      "maintain" -> ((
+        Seq(strParam("table", "table name")),
+        healthSchema,
+        (in: InternalRow) => { val t = table(in); t.maintain(SparkSession.active); Seq(healthRow(cat.loadTable(t.name))) })),
+      "health" -> ((
+        Seq(strParam("table", "table name")),
+        healthSchema,
+        (in: InternalRow) => Seq(healthRow(table(in)))))
+    )
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Namespace))
+      defs(null).keys.toArray.sorted.map(Identifier.of(Namespace, _))
+    else Array.empty
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")} (use system)")
+    val (params, out, run) = defs(cat).getOrElse(ident.name(),
+      sys.error(s"unknown procedure ${ident.name()}"))
+    val procName = ident.name()
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft maintenance procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val rows = run(input)
+          java.util.Collections.singletonList[Scan](
+            GraftProcedures.resultScan(out, rows)).iterator()
+        }
+      }
+    }
+  }
+
+  /** A driver-side result relation: procedures and metadata tables return
+    * metadata-scale rows, so a LocalScan (→ LocalTableScanExec) is the right
+    * physical shape — no jobs, no shuffles.
+    */
+  def resultScan(schema: StructType, data: Seq[Row]): Scan = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val internal = data.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+    new LocalScan {
+      override def rows(): Array[InternalRow] = internal
+      override def readSchema(): StructType = schema
+      override def description(): String = s"GraftLocalResult(${data.size} rows)"
+    }
+  }
+}

@@ -43,7 +43,7 @@ import scala.jdk.CollectionConverters._
   * what executes is Spark's own parquet scan (vectorized, codegen,
   * row-group pushdown). A [[V1Scan]] fallback keeps plain sessions correct.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var cat: GraftCatalog = _
@@ -67,9 +67,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }.toArray
 
   override def loadTable(ident: Identifier): Table = {
-    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    if (!cat.tableExists(fullName(ident))) {
+      // Iceberg-style metadata tables (docs/03:173-180, docs/05:75-80):
+      // `SELECT * FROM g.db.t.snapshots` resolves db.t + a meta suffix.
+      val base = ident.namespace().mkString(".")
+      if (ident.namespace().length > 1 && cat.tableExists(base) &&
+          GraftMetaSparkTable.suffixes.contains(ident.name().toLowerCase))
+        return new GraftMetaSparkTable(cat.loadTable(base), ident.name().toLowerCase)
+      throw new NoSuchTableException(ident)
+    }
     new GraftSparkTable(cat.loadTable(fullName(ident)), TimeTravel.None)
   }
+
+  // ---- procedures: CALL <cat>.system.<proc>(...) (SQL maintenance surface,
+  // reference docs/03:184-206 — see GraftProcedures) ----
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    GraftProcedures.load(cat, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   /** VERSION AS OF <snapshot-id> (docs/05:60-67). */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -97,20 +114,17 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     changes.foreach {
       case c: TableChange.SetProperty => t.setProperty(c.property(), c.value())
       case c: TableChange.RemoveProperty => t.removeProperty(c.property())
+      // dotted paths address struct subfields (nested evolution, docs/06:114-118)
       case c: TableChange.AddColumn =>
-        require(c.fieldNames().length == 1, "nested adds not supported")
-        t.addColumn(c.fieldNames()(0), c.dataType())
+        t.addColumn(c.fieldNames().mkString("."), c.dataType())
       case c: TableChange.RenameColumn =>
-        require(c.fieldNames().length == 1, "nested renames not supported")
-        t.renameColumn(c.fieldNames()(0), c.newName())
+        t.renameColumn(c.fieldNames().mkString("."), c.newName())
       case c: TableChange.DeleteColumn =>
-        require(c.fieldNames().length == 1, "nested drops not supported")
-        t.dropColumn(c.fieldNames()(0))
+        t.dropColumn(c.fieldNames().mkString("."))
       case c: TableChange.UpdateColumnType =>
-        require(c.fieldNames().length == 1, "nested type changes not supported")
-        t.widenColumn(c.fieldNames()(0), c.newDataType())
+        t.widenColumn(c.fieldNames().mkString("."), c.newDataType())
       case c: TableChange.UpdateColumnNullability =>
-        if (c.nullable()) t.makeOptional(c.fieldNames()(0))
+        if (c.nullable()) t.makeOptional(c.fieldNames().mkString("."))
         else sys.error("cannot add NOT NULL to an existing column")
       case other => sys.error(s"unsupported table change: $other")
     }

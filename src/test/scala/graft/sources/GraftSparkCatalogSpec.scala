@@ -195,4 +195,62 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(plan.contains("FileScan parquet"), s"expected substituted parquet scan:\n$plan")
     assert(!plan.contains("RowDataSourceScan"), s"still on the V1 row path:\n$plan")
   }
+
+  test("CALL procedures: the SQL maintenance surface (docs/03:184-206, docs/10)") {
+    registerCatalog("gproc")
+    spark.sql("CREATE TABLE gproc.db.m (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO gproc.db.m VALUES ($i, 'c${i % 2}')"))
+
+    val c = spark.sql(
+      "CALL gproc.system.compact(table => 'db.m', target_file_size_bytes => 134217728)").head()
+    assert(c.getInt(0) >= c.getInt(1), "compaction must not increase file count")
+    assert(c.getBoolean(2), "no deletes should remain")
+
+    val rm = spark.sql("CALL gproc.system.rewrite_manifests('db.m')").head()
+    assert(rm.getInt(1) >= 1)
+
+    // positional + named args, default retain_last
+    val ex = spark.sql(
+      s"CALL gproc.system.expire_snapshots('db.m', ${System.currentTimeMillis() + 1000})").head()
+    assert(ex.getInt(0) >= 3, s"expected >=3 expired snapshots, got ${ex.getInt(0)}")
+
+    val orph = spark.sql("CALL gproc.system.remove_orphan_files(table => 'db.m')").head()
+    assert(orph.getInt(0) == 0, "fresh table must have no orphans")
+
+    val h = spark.sql("CALL gproc.system.health('db.m')").head()
+    assert(h.getLong(0) >= 1 && h.getLong(5) == 4, s"health mismatch: $h")
+
+    assert(spark.sql("SELECT count(*) FROM gproc.db.m").head.getLong(0) == 4,
+      "maintenance must not change table contents")
+  }
+
+  test("CALL rollback restores a previous snapshot by id") {
+    registerCatalog("grb")
+    spark.sql("CREATE TABLE grb.db.r (id BIGINT)")
+    spark.sql("INSERT INTO grb.db.r VALUES (1), (2)")
+    spark.sql("INSERT INTO grb.db.r VALUES (3)")
+    val first = spark.sql("SELECT min(snapshot_id) FROM grb.db.r.snapshots").head.getLong(0)
+    spark.sql(s"CALL grb.system.rollback('db.r', $first)")
+    assert(spark.sql("SELECT count(*) FROM grb.db.r").head.getLong(0) == 2)
+  }
+
+  test("metadata tables resolve as SQL suffixes: snapshots/manifests/files") {
+    registerCatalog("gmeta")
+    spark.sql("CREATE TABLE gmeta.db.t2 (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gmeta.db.t2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM gmeta.db.t2 WHERE cat = 'a'")
+
+    val snaps = spark.sql(
+      "SELECT operation FROM gmeta.db.t2.snapshots ORDER BY committed_at, snapshot_id")
+      .collect().map(_.getString(0))
+    assert(snaps.head == "append" && snaps.length >= 2, s"got ${snaps.toSeq}")
+
+    assert(spark.sql("SELECT count(*) FROM gmeta.db.t2.manifests").head.getLong(0) >= 1)
+    val files = spark.sql(
+      "SELECT file_path, record_count FROM gmeta.db.t2.files WHERE content = 'data'").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) >= 1))
+    // plan shape: metadata reads are local, no Spark jobs over data files
+    val plan = spark.sql("SELECT * FROM gmeta.db.t2.files").queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"metadata table should be a LocalScan:\n$plan")
+  }
 }
