@@ -13,99 +13,63 @@ import scala.jdk.CollectionConverters._
   * docs/11:53-87 — multi-engine interop happens through the open metadata
   * layout: `vN.metadata.json` + Avro manifest list + Avro manifests).
   *
-  * Exports the CURRENT snapshot of a Graft table as Iceberg v2 metadata:
-  * the table schema with field IDs, the partition spec (transform names are
-  * spec-compatible: identity / year / month / day / hour / bucket[N] /
-  * truncate[W]), one data manifest, an optional position-delete manifest,
-  * and a manifest list — all under `<table>/metadata-iceberg/`. Time
+  * Exports a Graft table as Iceberg v2 metadata: EVERY schema version (with
+  * nested struct/list/map types, field IDs preserved), every partition spec
+  * (transform names are spec-compatible: identity / year / month / day /
+  * hour / bucket[N] / truncate[W]), and the FULL snapshot history — each
+  * snapshot gets its own Avro manifest list, data manifests (one per
+  * partition spec, so partition evolution travels too) and optional
+  * position-delete manifest — all under `<table>/metadata-iceberg/`. Time
   * transform partition values are converted from Graft's formatted strings
   * to the spec's epoch-relative integers (day → days since epoch, etc.).
   *
-  * Scope: flat (primitive-column) schemas, which is what the spec's
-  * metadata examples cover; column-stats maps and historical snapshots are
-  * omitted (both optional in the spec).
+  * Scope notes: column-stats maps are omitted (optional in the spec);
+  * list/map element/key/value node IDs are synthesized deterministically
+  * above last-column-id at export time (Graft tracks IDs for struct fields
+  * only — see [[graft.format.GraftSchema]]).
   */
 object IcebergExport {
 
-  /** @return absolute path of the written vN.metadata.json */
+  /** Export the full table (all snapshots).
+    * @return absolute path of the written vN.metadata.json */
   def exportCurrent(spark: org.apache.spark.sql.SparkSession, table: GraftTable): String = {
     val m = table.meta
-    val snap = m.currentSnapshot.getOrElse(sys.error(s"${table.name}: no snapshot to export"))
-    val scan = table.scan()
+    val current = m.currentSnapshot.getOrElse(sys.error(s"${table.name}: no snapshot to export"))
     val outDir = Paths.get(m.location, "metadata-iceberg")
     Files.createDirectories(outDir)
 
-    val schema = m.currentSchema
-    val spec = m.defaultSpec
-    val specSource: Map[String, org.apache.spark.sql.types.StructField] =
+    def specSource(spec: PartitionSpec, schemaId: Int): Map[String, org.apache.spark.sql.types.StructField] = {
+      val schema = m.schemas.getOrElse(schemaId, m.currentSchema)
       spec.fields.map { pf =>
         pf.name -> schema.fields.find(f => GraftSchema.fieldId(f) == pf.sourceId)
-          .getOrElse(sys.error(s"partition source ${pf.sourceId} not in current schema"))
+          .orElse(m.schemas.values.flatMap(_.fields).find(f => GraftSchema.fieldId(f) == pf.sourceId))
+          .getOrElse(sys.error(s"partition source ${pf.sourceId} not in any schema"))
       }.toMap
-
-    // ---- Avro partition record type (field-ids 1000+) ----
-    val partFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
-      val avroType = icebergPartitionAvroType(pf.transform, specSource(pf.name).dataType)
-      s"""{"name":"${avroName(pf.name)}","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
-    }.mkString(",")
-    val partitionSchemaJson =
-      s"""{"type":"record","name":"r102","fields":[$partFieldsJson]}"""
-
-    // ---- data_file + manifest_entry Avro schema (spec field IDs) ----
-    val entrySchema = new Schema.Parser().parse(
-      s"""{"type":"record","name":"manifest_entry","fields":[
-         |{"name":"status","type":"int","field-id":0},
-         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-         |  {"name":"content","type":"int","field-id":134},
-         |  {"name":"file_path","type":"string","field-id":100},
-         |  {"name":"file_format","type":"string","field-id":101},
-         |  {"name":"partition","type":$partitionSchemaJson,"field-id":102},
-         |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-         |]},"field-id":2}]}""".stripMargin)
-
-    def writeManifest(files: Seq[DataFile], content: Int, suffix: String): (String, Long, Seq[DataFile]) = {
-      val path = outDir.resolve(s"manifest-$suffix-${snap.snapshotId}.avro")
-      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
-      writer.create(entrySchema, path.toFile)
-      val dfSchema = entrySchema.getField("data_file").schema()
-      val partSchema = dfSchema.getField("partition").schema()
-      files.foreach { f =>
-        val part = new GenericData.Record(partSchema)
-        spec.fields.foreach { pf =>
-          val v = f.partition.get(pf.name).flatten.map { stored =>
-            icebergPartitionValue(pf.transform, specSource(pf.name).dataType, stored)
-          }.orNull
-          part.put(avroName(pf.name), v)
-        }
-        val dataFile = new GenericData.Record(dfSchema)
-        dataFile.put("content", content)
-        dataFile.put("file_path", GraftUtil.resolve(m.location, f.path))
-        dataFile.put("file_format", "PARQUET")
-        dataFile.put("partition", part)
-        dataFile.put("record_count", f.recordCount)
-        dataFile.put("file_size_in_bytes", f.fileSizeBytes)
-        val entry = new GenericData.Record(entrySchema)
-        entry.put("status", 1) // ADDED (exported snapshot owns every file)
-        entry.put("snapshot_id", snap.snapshotId)
-        entry.put("sequence_number", snap.sequenceNumber)
-        entry.put("file_sequence_number", snap.sequenceNumber)
-        entry.put("data_file", dataFile)
-        writer.append(entry)
-      }
-      writer.close()
-      (path.toString, Files.size(path), files)
     }
 
-    val dataManifest = writeManifest(scan.dataFiles, 0, "data")
-    val deleteManifest =
-      if (scan.deleteFiles.nonEmpty) Some(writeManifest(scan.deleteFiles, 1, "deletes"))
-      else None
+    /** manifest_entry Avro schema for one partition spec (field-ids 1000+). */
+    def entrySchemaFor(spec: PartitionSpec, schemaId: Int): Schema = {
+      val src = specSource(spec, schemaId)
+      val partFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
+        val avroType = icebergPartitionAvroType(pf.transform, src(pf.name).dataType)
+        s"""{"name":"${avroName(pf.name)}","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+           |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+           |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+           |  {"name":"content","type":"int","field-id":134},
+           |  {"name":"file_path","type":"string","field-id":100},
+           |  {"name":"file_format","type":"string","field-id":101},
+           |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFieldsJson]},"field-id":102},
+           |  {"name":"record_count","type":"long","field-id":103},
+           |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+           |]},"field-id":2}]}""".stripMargin)
+    }
 
-    // ---- manifest list ----
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -121,37 +85,110 @@ object IcebergExport {
         |{"name":"added_rows_count","type":"long","field-id":512},
         |{"name":"existing_rows_count","type":"long","field-id":513},
         |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin)
-    val listPath = outDir.resolve(s"snap-${snap.snapshotId}.avro")
-    val listWriter = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
-    listWriter.create(listSchema, listPath.toFile)
-    (Seq((dataManifest, 0)) ++ deleteManifest.map(d => (d, 1))).foreach { case ((p, len, fs), content) =>
-      val r = new GenericData.Record(listSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", len)
-      r.put("partition_spec_id", spec.specId)
-      r.put("content", content)
-      r.put("sequence_number", snap.sequenceNumber)
-      r.put("min_sequence_number", snap.sequenceNumber)
-      r.put("added_snapshot_id", snap.snapshotId)
-      r.put("added_files_count", fs.size)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", fs.map(_.recordCount).sum)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      listWriter.append(r)
+
+    /** One snapshot → manifests (per content, per spec) + a manifest list. */
+    def exportSnapshot(snap: Snapshot): String = {
+      val scan = table.atSnapshot(snap.snapshotId)
+      def writeManifests(files: Seq[DataFile], content: Int, suffix: String): Seq[(String, Long, Seq[DataFile], Int, Int)] =
+        files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, fs) =>
+          val spec = m.specs.getOrElse(specId, PartitionSpec.unpartitioned)
+          val src = specSource(spec, snap.schemaId)
+          val entrySchema = entrySchemaFor(spec, snap.schemaId)
+          val path = outDir.resolve(s"manifest-$suffix-${snap.snapshotId}-$specId.avro")
+          val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+          writer.create(entrySchema, path.toFile)
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val partSchema = dfSchema.getField("partition").schema()
+          fs.foreach { f =>
+            val part = new GenericData.Record(partSchema)
+            spec.fields.foreach { pf =>
+              val v = f.partition.get(pf.name).flatten.map { stored =>
+                icebergPartitionValue(pf.transform, src(pf.name).dataType, stored)
+              }.orNull
+              part.put(avroName(pf.name), v)
+            }
+            val dataFile = new GenericData.Record(dfSchema)
+            dataFile.put("content", content)
+            dataFile.put("file_path", GraftUtil.resolve(m.location, f.path))
+            dataFile.put("file_format", "PARQUET")
+            dataFile.put("partition", part)
+            dataFile.put("record_count", f.recordCount)
+            dataFile.put("file_size_in_bytes", f.fileSizeBytes)
+            val entry = new GenericData.Record(entrySchema)
+            entry.put("status", 1) // ADDED (exported snapshot owns every file)
+            entry.put("snapshot_id", snap.snapshotId)
+            entry.put("sequence_number", snap.sequenceNumber)
+            entry.put("file_sequence_number", snap.sequenceNumber)
+            entry.put("data_file", dataFile)
+            writer.append(entry)
+          }
+          writer.close()
+          (path.toString, Files.size(path), fs, specId, content)
+        }
+
+      val manifests = writeManifests(scan.dataFiles, 0, "data") ++
+        writeManifests(scan.deleteFiles, 1, "deletes")
+      val listPath = outDir.resolve(s"snap-${snap.snapshotId}.avro")
+      val listWriter = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
+      listWriter.create(listSchema, listPath.toFile)
+      manifests.foreach { case (p, len, fs, specId, content) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", specId)
+        r.put("content", content)
+        r.put("sequence_number", snap.sequenceNumber)
+        r.put("min_sequence_number", snap.sequenceNumber)
+        r.put("added_snapshot_id", snap.snapshotId)
+        r.put("added_files_count", fs.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", fs.map(_.recordCount).sum)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        listWriter.append(r)
+      }
+      listWriter.close()
+      listPath.toString
     }
-    listWriter.close()
+
+    val ordered = m.snapshots.sortBy(_.sequenceNumber)
+    val listPaths: Map[Long, String] =
+      ordered.map(s => s.snapshotId -> exportSnapshot(s)).toMap
 
     // ---- vN.metadata.json ----
-    val fieldsJson = schema.fields.map { f =>
-      s"""{"id":${GraftSchema.fieldId(f)},"name":${q(f.name)},"required":false,""" +
-        s""""type":${q(icebergType(f.dataType))}}"""
+    // Synthetic IDs for list/map element/key/value nodes start above every
+    // real field ID (Graft assigns IDs to struct fields only).
+    val idAlloc = new java.util.concurrent.atomic.AtomicInteger(
+      math.max(m.lastColumnId, m.schemas.values.map(GraftSchema.maxId).max) + 1)
+    val schemasJson = m.schemas.toSeq.sortBy(_._1).map { case (id, s) =>
+      s"""{"type":"struct","schema-id":$id,"fields":[${structFieldsJson(s, idAlloc)}]}"""
     }.mkString(",")
-    val specFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
-      s"""{"name":${q(pf.name)},"transform":${q(pf.transform.name)},""" +
-        s""""source-id":${pf.sourceId},"field-id":${1000 + i}}"""
+    val specsJson = m.specs.toSeq.sortBy(_._1).map { case (_, sp) =>
+      val fieldsJson = sp.fields.zipWithIndex.map { case (pf, i) =>
+        s"""{"name":${q(pf.name)},"transform":${q(pf.transform.name)},""" +
+          s""""source-id":${pf.sourceId},"field-id":${1000 + i}}"""
+      }.mkString(",")
+      s"""{"spec-id":${sp.specId},"fields":[$fieldsJson]}"""
     }.mkString(",")
+    val snapshotsJson = ordered.map { s =>
+      val parent = s.parentId.map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
+      s"""{
+         |  "snapshot-id":${s.snapshotId},
+         |  $parent
+         |  "sequence-number":${s.sequenceNumber},
+         |  "timestamp-ms":${s.timestampMs},
+         |  "manifest-list":${q(listPaths(s.snapshotId))},
+         |  "schema-id":${s.schemaId},
+         |  "summary":{"operation":${q(icebergOperation(s.operation))}}
+         |}""".stripMargin
+    }.mkString(",")
+    val snapshotLogJson = ordered.map(s =>
+      s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${s.snapshotId}}""").mkString(",")
+    val refsJson = (m.refs + ("main" -> current.snapshotId)).toSeq.sortBy(_._1).map {
+      case (name, id) => s"""${q(name)}:{"snapshot-id":$id,"type":"branch"}"""
+    }.mkString(",")
+    val maxSpecFields = m.specs.values.map(_.fields.size).max
     val metaJson =
       s"""{
          |"format-version":2,
@@ -161,38 +198,67 @@ object IcebergExport {
          |"last-updated-ms":${m.lastUpdatedMs},
          |"last-column-id":${m.lastColumnId},
          |"current-schema-id":${m.currentSchemaId},
-         |"schemas":[{"type":"struct","schema-id":${m.currentSchemaId},"fields":[$fieldsJson]}],
-         |"default-spec-id":${spec.specId},
-         |"partition-specs":[{"spec-id":${spec.specId},"fields":[$specFieldsJson]}],
-         |"last-partition-id":${if (spec.fields.isEmpty) 999 else 999 + spec.fields.size},
+         |"schemas":[$schemasJson],
+         |"default-spec-id":${m.defaultSpecId},
+         |"partition-specs":[$specsJson],
+         |"last-partition-id":${if (maxSpecFields == 0) 999 else 999 + maxSpecFields},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{},
-         |"current-snapshot-id":${snap.snapshotId},
-         |"refs":{"main":{"snapshot-id":${snap.snapshotId},"type":"branch"}},
-         |"snapshots":[{
-         |  "snapshot-id":${snap.snapshotId},
-         |  "sequence-number":${snap.sequenceNumber},
-         |  "timestamp-ms":${snap.timestampMs},
-         |  "manifest-list":${q(listPath.toString)},
-         |  "schema-id":${m.currentSchemaId},
-         |  "summary":{"operation":${q(icebergOperation(snap.operation))}}
-         |}],
-         |"snapshot-log":[],
+         |"current-snapshot-id":${current.snapshotId},
+         |"refs":{$refsJson},
+         |"snapshots":[$snapshotsJson],
+         |"snapshot-log":[$snapshotLogJson],
          |"metadata-log":[]
          |}""".stripMargin
-    val metaPath = outDir.resolve(s"v${snap.snapshotId}.metadata.json")
+    val metaPath = outDir.resolve(s"v${current.snapshotId}.metadata.json")
     Files.writeString(metaPath, metaJson)
     metaPath.toString
   }
 
-  /** Read back an exported manifest list + manifests; returns
-    * (content, file_path, record_count) tuples — the round-trip check.
+  /** Iceberg-JSON struct fields (nested types serialized recursively).
+    * A `graft.logical-type` annotation (time / uuid — see
+    * [[graft.format.GraftSchema.LogicalTypeKey]]) overrides the physical
+    * type: Graft stores TIME as INT64 micros-since-midnight, which is
+    * exactly Iceberg's physical `time` encoding, so the export emits the
+    * real type and any Iceberg reader gets spec-correct values.
     */
-  def readExportedFiles(metadataJsonPath: String): Seq[(Int, String, Long)] = {
-    val metaText = Files.readString(Paths.get(metadataJsonPath))
-    val listPath = """"manifest-list":"([^"]+)"""".r.findFirstMatchIn(metaText)
-      .map(_.group(1)).getOrElse(sys.error("no manifest-list in metadata"))
+  private def structFieldsJson(s: org.apache.spark.sql.types.StructType,
+                               idAlloc: java.util.concurrent.atomic.AtomicInteger): String =
+    s.fields.map { f =>
+      val tpe =
+        if (f.metadata.contains(GraftSchema.LogicalTypeKey))
+          q(f.metadata.getString(GraftSchema.LogicalTypeKey))
+        else icebergTypeJson(f.dataType, idAlloc)
+      s"""{"id":${GraftSchema.fieldId(f)},"name":${q(f.name)},"required":false,"type":$tpe}"""
+    }.mkString(",")
+
+  /** Read back an exported snapshot's manifest list + manifests; returns
+    * (content, file_path, record_count) tuples — the round-trip check.
+    * `snapshotId` selects a historical snapshot (time travel through the
+    * EXPORTED metadata); default is current-snapshot-id.
+    */
+  def readExportedFiles(metadataJsonPath: String,
+                        snapshotId: Option[Long] = None): Seq[(Int, String, Long)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Files.readString(Paths.get(metadataJsonPath)))
+    val wanted: Long = snapshotId.getOrElse(j \ "current-snapshot-id" match {
+      case JInt(i) => i.toLong; case JLong(l) => l
+      case other => sys.error(s"bad current-snapshot-id: $other")
+    })
+    val listPath = (j \ "snapshots") match {
+      case JArray(snaps) =>
+        snaps.collectFirst {
+          case s if (s \ "snapshot-id") == JInt(BigInt(wanted)) ||
+                    (s \ "snapshot-id") == JLong(wanted) =>
+            (s \ "manifest-list") match {
+              case JString(p) => p
+              case _ => sys.error("snapshot has no manifest-list")
+            }
+        }.getOrElse(sys.error(s"snapshot $wanted not in exported metadata"))
+      case _ => sys.error("no snapshots array in metadata")
+    }
     val manifests = readAvro(listPath).map { r =>
       (r.get("manifest_path").toString, r.get("content").asInstanceOf[Int])
     }
@@ -212,9 +278,10 @@ object IcebergExport {
     * anti-join. Returns exactly the snapshot's live rows.
     */
   def readAsDataFrame(spark: org.apache.spark.sql.SparkSession,
-                      metadataJsonPath: String): org.apache.spark.sql.DataFrame = {
+                      metadataJsonPath: String,
+                      snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, broadcast}
-    val files = readExportedFiles(metadataJsonPath)
+    val files = readExportedFiles(metadataJsonPath, snapshotId)
     val dataPaths = files.collect { case (0, p, _) => p }
     val deletePaths = files.collect { case (1, p, _) => p }
     require(dataPaths.nonEmpty, "exported snapshot has no data files")
@@ -255,7 +322,26 @@ object IcebergExport {
 
   import org.apache.spark.sql.types._
 
-  private def icebergType(dt: DataType): String = dt match {
+  /** Iceberg JSON type: a quoted string for primitives, a nested object for
+    * struct/list/map (docs/03's metadata layout; nested types are first-class
+    * in the Iceberg spec). Struct fields carry their real Graft IDs; list
+    * element / map key+value node IDs are synthesized from `idAlloc`.
+    */
+  private def icebergTypeJson(dt: DataType,
+                              idAlloc: java.util.concurrent.atomic.AtomicInteger): String = dt match {
+    case s: StructType =>
+      s"""{"type":"struct","fields":[${structFieldsJson(s, idAlloc)}]}"""
+    case a: ArrayType =>
+      val id = idAlloc.getAndIncrement()
+      s"""{"type":"list","element-id":$id,"element":${icebergTypeJson(a.elementType, idAlloc)},"element-required":false}"""
+    case mt: MapType =>
+      val kId = idAlloc.getAndIncrement(); val vId = idAlloc.getAndIncrement()
+      s"""{"type":"map","key-id":$kId,"key":${icebergTypeJson(mt.keyType, idAlloc)},""" +
+        s""""value-id":$vId,"value":${icebergTypeJson(mt.valueType, idAlloc)},"value-required":false}"""
+    case other => q(icebergPrimitive(other))
+  }
+
+  private def icebergPrimitive(dt: DataType): String = dt match {
     case _: BooleanType => "boolean"
     case _: ByteType | _: ShortType | _: IntegerType => "int"
     case _: LongType => "long"
@@ -267,7 +353,7 @@ object IcebergExport {
     case _: DateType => "date"
     case _: TimestampType => "timestamptz"
     case _: TimestampNTZType => "timestamp"
-    case other => sys.error(s"Iceberg export supports primitive columns; got $other")
+    case other => sys.error(s"no Iceberg mapping for ${other.simpleString}")
   }
 
   /** Avro type of a partition value in the spec's encoding. */

@@ -65,4 +65,54 @@ class IcebergExportSpec extends SparkSpec {
     assert(metaText.contains("\"type\":\"date\""))
     assert(metaText.contains(s"\"current-snapshot-id\":${t.meta.currentSnapshotId.get}"))
   }
+
+  test("export carries the full snapshot history: time travel via exported metadata") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ice_hist", schema)
+    t.append(spark, mk(Seq((1L, "a", "2024-01-01", 1.0), (2L, "a", "2024-01-02", 2.0))))
+    val snap1 = t.meta.currentSnapshotId.get
+    t.append(spark, mk(Seq((3L, "b", "2024-01-01", 3.0))))
+    t.delete(spark, Seq(Predicate.Eq("id", 1L)))
+
+    val metaPath = IcebergExport.exportCurrent(spark, t)
+    val metaText = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath))
+    assert(t.meta.snapshots.size == 3 &&
+      t.meta.snapshots.forall(s => metaText.contains(s""""snapshot-id":${s.snapshotId}""")),
+      "every snapshot must appear in the exported metadata")
+    assert(metaText.contains("\"snapshot-log\":[{"), "snapshot-log must be populated")
+    assert(metaText.contains("\"parent-snapshot-id\":"), "parents must travel")
+
+    // current snapshot through export = live rows
+    val cur = IcebergExport.readAsDataFrame(spark, metaPath).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cur == Set(2L, 3L))
+    // historical snapshot through export = rows as of snap1
+    val hist = IcebergExport.readAsDataFrame(spark, metaPath, Some(snap1)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hist == Set(1L, 2L), "exported history must reproduce the old snapshot")
+  }
+
+  test("nested struct/list/map schemas export with IDs (docs/11 interop + docs/06 nesting)") {
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("uid", IntegerType), StructField("tags", ArrayType(StringType))))),
+      StructField("attrs", MapType(StringType, DoubleType))))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ice_nested", nested)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L, Row(10, Seq("x", "y")), Map("a" -> 1.5))).asJava, t.meta.currentSchema))
+    t.addColumn("meta.note", StringType) // second schema version must export too
+
+    val metaPath = IcebergExport.exportCurrent(spark, t)
+    val metaText = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath))
+    assert(metaText.contains("\"type\":\"struct\",\"fields\""))
+    assert(metaText.contains("\"type\":\"list\"") && metaText.contains("\"element-id\":"))
+    assert(metaText.contains("\"type\":\"map\"") && metaText.contains("\"key-id\":"))
+    assert(metaText.contains("\"name\":\"note\""), "evolved schema version must export")
+    // both schema versions present, and rows still readable via export
+    assert("\"schema-id\":\\d+".r.findAllIn(metaText).size >= 2)
+    val rows = IcebergExport.readAsDataFrame(spark, metaPath).count()
+    assert(rows == 1L)
+  }
 }
