@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.format.GraftSchema
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TIME-without-timezone support (reference docs/06-schema-evolution.md's
+  * type matrix: Iceberg `time` ↔ TIME).
+  *
+  * Spark 4.1's native TimeType is pre-GA plumbing — parquet IO and the
+  * field-extraction functions both throw UNSUPPORTED_TIME_TYPE — so Graft
+  * represents TIME the way Iceberg physically encodes it: an INT64 of
+  * microseconds since midnight, annotated `graft.logical-type = time` in the
+  * field metadata. The annotation survives schema evolution (field copies
+  * keep metadata), travels through the metadata JSON, and drives the Iceberg
+  * export to emit the real `time` type. All functions below are codegen'd
+  * built-in compositions — no UDFs.
+  */
+object TimeFunctions {
+
+  val MicrosPerSecond = 1000000L
+  val MicrosPerDay: Long = 86400L * MicrosPerSecond
+
+  /** A TIME column declaration for createTable. */
+  def timeField(name: String): StructField =
+    StructField(name, LongType, nullable = true,
+      metadata = new MetadataBuilder()
+        .putString(GraftSchema.LogicalTypeKey, "time").build())
+
+  def isTimeField(f: StructField): Boolean =
+    f.metadata.contains(GraftSchema.LogicalTypeKey) &&
+      f.metadata.getString(GraftSchema.LogicalTypeKey) == "time" &&
+      f.dataType == LongType
+
+  /** Time-of-day (whole-second resolution) of a timestamp. */
+  def timeOfDayMicros(ts: Column): Column =
+    ((hour(ts).cast("long") * 3600L + minute(ts).cast("long") * 60L +
+      second(ts).cast("long")) * MicrosPerSecond).cast("long")
+
+  /** Parse 'HH:mm:ss[.ffffff]' to micros since midnight (NULL on mismatch). */
+  def timeFromString(s: Column): Column = {
+    val parts = split(s, ":")
+    val sec = split(try_element_at(parts, lit(3)), "\\.")
+    val frac = coalesce(rpad(try_element_at(sec, lit(2)), 6, "0").cast("long"), lit(0L))
+    (try_element_at(parts, lit(1)).cast("long") * 3600L * MicrosPerSecond +
+      try_element_at(parts, lit(2)).cast("long") * 60L * MicrosPerSecond +
+      try_element_at(sec, lit(1)).cast("long") * MicrosPerSecond + frac).cast("long")
+  }
+
+  /** Format micros since midnight as 'HH:mm:ss' (fraction dropped). */
+  def timeToString(micros: Column): Column =
+    format_string("%02d:%02d:%02d",
+      hourOfTime(micros), minuteOfTime(micros), secondOfTime(micros))
+
+  def hourOfTime(micros: Column): Column = (micros / (3600L * MicrosPerSecond)).cast("long")
+  def minuteOfTime(micros: Column): Column =
+    (micros % (3600L * MicrosPerSecond) / (60L * MicrosPerSecond)).cast("long")
+  def secondOfTime(micros: Column): Column =
+    (micros % (60L * MicrosPerSecond) / MicrosPerSecond).cast("long")
+}

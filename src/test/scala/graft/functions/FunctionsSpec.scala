@@ -48,6 +48,23 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3).isEmpty, "all-null item arrays yield NULL (no candidacy)")
   }
 
+  test("TIME surrogate: micros-of-day round-trips parse/format/extract") {
+    import graft.functions.TimeFunctions._
+    val df = spark.sql(
+      "SELECT * FROM VALUES ('00:00:00'), ('12:34:56'), ('23:59:59.999999') AS t(s)")
+    val out = df.select(
+      timeFromString(col("s")).as("us"),
+      timeToString(timeFromString(col("s"))).as("str"),
+      hourOfTime(timeFromString(col("s"))).as("h")).collect()
+    assert(out(0).getLong(0) == 0L && out(0).getString(1) == "00:00:00")
+    assert(out(1).getLong(0) == (12L * 3600 + 34 * 60 + 56) * 1000000L)
+    assert(out(1).getString(1) == "12:34:56" && out(1).getLong(2) == 12L)
+    assert(out(2).getLong(0) == 86399999999L && out(2).getLong(2) == 23L)
+    // the declared field is LongType + annotation, and survives a copy
+    val f = timeField("tod")
+    assert(isTimeField(f) && f.dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("token counting + quality gates") {
     val df = docs((1L, "the a the data data x"), (2L, ("word " * 600).trim))
     val out = df.select(
