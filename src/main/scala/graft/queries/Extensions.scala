@@ -407,6 +407,41 @@ object Extensions {
         |  count(DISTINCT fp) AS distinct_fingerprints
         |FROM fps GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X6: gap-based sessionization — the custom-state operator
+    // (flatMapGroups batch twin of the flatMapGroupsWithState streaming
+    // path in graft.streaming.Sessionize; one userId shuffle, per-key fold).
+    // The oracle recomputes sessions with the SQL lag/cumsum assignment.
+    ("x_sessionize",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val ev = Tables.events(s, d)
+          .select(col("user_id").as("userId"), col("ts").cast("timestamp").as("ts"))
+          .as[Sessionize.Event]
+        Sessionize.sessionsBatch(ev, gapMs = 30L * 60 * 1000)
+          .groupBy(col("userId").as("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("events")).cast("long").as("max_session_events"),
+            sum(col("events")).as("total_events"))
+          .orderBy("user_id")
+      },
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sl AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, count(*) AS evs FROM sl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(evs) AS BIGINT) AS max_session_events,
+        |  CAST(sum(evs) AS BIGINT) AS total_events
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4e: document fingerprinting — content-hash dup ratio per source.
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
