@@ -19,7 +19,9 @@ import scala.jdk.CollectionConverters._
 class GraftMetaSparkTable(val graftTable: GraftTable, val kind: String)
     extends Table with SupportsRead {
 
-  private def df = kind match {
+  // lazy: schema resolution and scan build both need it, and filesDF reads
+  // every manifest driver-side — once per query is enough
+  private lazy val df = kind match {
     case "snapshots" => graftTable.snapshotsDF(SparkSession.active)
     case "manifests" => graftTable.manifestsDF(SparkSession.active)
     case "files" => graftTable.filesDF(SparkSession.active)

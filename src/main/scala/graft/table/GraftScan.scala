@@ -312,8 +312,8 @@ class GraftScan(
       if (f.metadata.contains(GraftSchema.IdKey)) Some(GraftSchema.fieldId(f)) else None
     (write, cur) match {
       case (w: StructType, c: StructType) =>
-        val wIds = w.fields.map(idOf)
-        val cIds = c.fields.map(idOf)
+        val wIds = w.fields.map(idOf).toSeq
+        val cIds = c.fields.map(idOf).toSeq
         // Equal ID lists mean positional correspondence: cast covers renames
         // (it adopts target names) and leaf widening. Only a changed ID list
         // (add/drop/reorder) or a deeper rebuild forces re-projection.

@@ -66,4 +66,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
     assert(!plan.contains("Window"), s"window crept back into top-k:\n$plan")
   }
+
+  test("nested-evolution read path: un-evolved struct columns stay on the cast fast path") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("uid", IntegerType), StructField("tag", StringType))))))
+    val cat = new GraftCatalog(tempWarehouse())
+
+    // table A: never evolved — the scan must NOT rebuild the struct
+    val a = cat.createTable("db.audit_flat", schema)
+    a.append(spark, spark.createDataFrame(
+      Seq(Row(1L, Row(10, "x"))).asJava, a.meta.currentSchema))
+    val planA = planOf(a.toDF(spark))
+    assert(!planA.contains("CASE WHEN"),
+      s"un-evolved struct should be a plain cast, not a rebuild:\n$planA")
+
+    // table B: nested evolution — old files must be re-projected by ID
+    val b = cat.createTable("db.audit_evolved", schema)
+    b.append(spark, spark.createDataFrame(
+      Seq(Row(1L, Row(10, "x"))).asJava, b.meta.currentSchema))
+    b.dropColumn("meta.tag")
+    b.addColumn("meta.note", StringType)
+    val planB = planOf(b.toDF(spark))
+    assert(planB.contains("CASE WHEN") && planB.contains("struct(uid"),
+      s"evolved struct read must re-project by ID:\n$planB")
+    // dropped subfield is pruned out of the parquet read entirely
+    assert(planB.contains("meta:struct<uid:int>"),
+      s"dropped subfield should not be read:\n$planB")
+    // and the rebuild disappears again for files written under the NEW shape
+    val c = cat.loadTable("db.audit_evolved")
+    val newOnly = c.toDF(spark).filter(col("meta.note").isNotNull)
+    assert(newOnly.count() == 0) // old file has null note; plan still resolves
+  }
 }
