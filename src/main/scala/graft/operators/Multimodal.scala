@@ -66,4 +66,19 @@ object Multimodal {
   def ingest(df: DataFrame, contentCol: String, mediaType: String): DataFrame =
     df.withColumn("media", asBlob(col(contentCol), mediaType))
       .withColumn("decoded", stubDecode(col("media.blob")))
+
+  /** Container-format detection by magic bytes — a REAL (non-stub) binary
+    * operation: the first step of any multimodal ingest is routing blobs by
+    * container before any codec runs. Pure codegen'd prefix compares; at
+    * 100 TB this is a map-side classify with no shuffle.
+    */
+  def sniffFormat(blob: Column): Column = {
+    def pfx(n: Int) = substring(blob, 1, n)
+    when(pfx(4) === lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
+      .when(pfx(3) === lit(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
+      .when(pfx(4) === lit("RIFF".getBytes("UTF-8")), "riff")
+      .when(pfx(4) === lit("%PDF".getBytes("UTF-8")), "pdf")
+      .when(pfx(3) === lit("ID3".getBytes("UTF-8")), "mp3")
+      .otherwise("unknown")
+  }
 }

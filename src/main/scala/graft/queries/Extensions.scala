@@ -478,6 +478,48 @@ object Extensions {
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  count(DISTINCT sha256(text)) AS distinct_blobs,
         |  CAST(SUM(ascii(text)) AS BIGINT) AS first_byte_sum
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X5b: container-format sniffing — REAL binary-column work (no codec
+    // stub): blobs get one of four magic-byte headers (doc_id % 5; one
+    // class unprefixed -> 'unknown'), and the classifier routes them by
+    // prefix compare. Map-side only; the shuffle carries (format, counts).
+    ("x_multimodal_sniff",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        val pfx = element_at(array(
+          lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+          lit(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+          lit("RIFF".getBytes("UTF-8")), lit("%PDF".getBytes("UTF-8")),
+          lit(Array.empty[Byte])), (col("doc_id") % 5 + 1).cast("int"))
+        Tables.documents(s, d)
+          .withColumn("blob", concat(pfx, encode(col("text"), "UTF-8")))
+          .withColumn("fmt", Multimodal.sniffFormat(col("blob")))
+          .groupBy("fmt")
+          .agg(count(lit(1)).as("n"),
+            sum(octet_length(col("blob")).cast("long")).as("total_bytes"))
+          .orderBy("fmt")
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 5 AS INTEGER)
+        |       WHEN 0 THEN '\x89PNG'::BLOB
+        |       WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+        |       WHEN 2 THEN 'RIFF'::BLOB
+        |       WHEN 3 THEN '%PDF'::BLOB
+        |       ELSE ''::BLOB END) || CAST(text AS BLOB) AS blob
+        |  FROM documents),
+        |f AS (
+        |  SELECT CASE
+        |    WHEN starts_with(hex(blob), '89504E47') THEN 'png'
+        |    WHEN starts_with(hex(blob), 'FFD8FF') THEN 'jpeg'
+        |    WHEN starts_with(hex(blob), '52494646') THEN 'riff'
+        |    WHEN starts_with(hex(blob), '25504446') THEN 'pdf'
+        |    WHEN starts_with(hex(blob), '494433') THEN 'mp3'
+        |    ELSE 'unknown' END AS fmt, blob
+        |  FROM b)
+        |SELECT fmt, count(*) AS n,
+        |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkSpec {
     assert(total == 11L + 37L)
   }
 
+  test("sniffFormat routes blobs by magic bytes (real binary op, no codec)") {
+    val rows = Seq(
+      Row(1L, Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1.toByte)),
+      Row(2L, Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+      Row(3L, "RIFFxxxxWAVE".getBytes("UTF-8")),
+      Row(4L, "%PDF-1.7".getBytes("UTF-8")),
+      Row(5L, "ID3".getBytes("UTF-8")),
+      Row(6L, "plain text".getBytes("UTF-8")),
+      Row(7L, Array(0x89.toByte))) // too short for any magic: unknown
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType))))
+    val got = df.select(col("id"), Multimodal.sniffFormat(col("blob")).as("fmt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "pdf",
+      5L -> "mp3", 6L -> "unknown", 7L -> "unknown"))
+  }
+
   test("resize + frame-sample stubs keep the schema contract") {
     val docs = spark.createDataFrame(
       Seq(Row(1L, "x" * 100)).asJava,
