@@ -150,6 +150,41 @@ object Extensions {
         |  count(*) AS vectors, min(vec_id) AS min_vec_id
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X2e: embedding-cosine near-dup — the vector-space analogue of the
+    // text near-dup family: sign-LSH buckets generate candidates (a hash
+    // shuffle on (bucket), never all-pairs), exact cosine verifies. The
+    // corpus carries planted duplicates (vec_id+100000 clones), and the
+    // verification threshold 0.99 sits far above the corpus's true max
+    // pair similarity (~0.51) and far below a clone's ~1.0, so float noise
+    // cannot flip any pair across it in either engine.
+    ("x_neardup_embedding",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+        val corpus = e.unionByName(planted)
+          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
+        val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("label").as("label_a"))
+        val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .filter(VF.cosineSimilarity(col("emb_a"), col("emb_b")) >= 0.99)
+          .groupBy(col("label_a").as("label"))
+          .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_a")).as("distinct_sources"))
+          .orderBy("label")
+      },
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.label AS label, a.vec_id AS id_a
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+        |SELECT label, count(*) AS n_pairs, count(DISTINCT id_a) AS distinct_sources
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X3c: the IVF index as a TABLE LAYOUT — k-means-trained centroids
     // assign each vector a cell, the vectors land in a Graft table
     // partitioned by identity(cell), and a probe scans ONE partition's
