@@ -33,6 +33,27 @@ object TimeFunctions {
       f.metadata.getString(GraftSchema.LogicalTypeKey) == "time" &&
       f.dataType == LongType
 
+  /** A UUID column declaration (docs/06's type matrix: uuid ↔ VARCHAR(36),
+    * which is also how the reference's engine stores it): a 36-char string
+    * with the `uuid` logical annotation; the Iceberg export emits `uuid`.
+    */
+  def uuidField(name: String): StructField =
+    StructField(name, StringType, nullable = true,
+      metadata = new MetadataBuilder()
+        .putString(GraftSchema.LogicalTypeKey, "uuid").build())
+
+  /** Deterministic UUIDv4-shaped string from any column (md5-derived,
+    * codegen'd) — the ingest-side generator for uuid columns.
+    */
+  def uuidFromBytes(c: Column): Column = {
+    val h = md5(c.cast("binary"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4),
+      concat(lit("4"), substring(h, 14, 3)),
+      concat(lit("8"), substring(h, 18, 3)),
+      substring(h, 21, 12))
+  }
+
   /** Time-of-day (whole-second resolution) of a timestamp. */
   def timeOfDayMicros(ts: Column): Column =
     ((hour(ts).cast("long") * 3600L + minute(ts).cast("long") * 60L +

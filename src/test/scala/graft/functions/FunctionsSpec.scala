@@ -65,6 +65,17 @@ class FunctionsSpec extends SparkSpec {
     assert(isTimeField(f) && f.dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("uuid surrogate: deterministic UUIDv4-shaped strings, annotated field") {
+    import graft.functions.TimeFunctions._
+    val out = spark.sql("SELECT * FROM VALUES ('a'), ('b'), ('a') AS t(s)")
+      .select(uuidFromBytes(col("s")).as("u")).collect().map(_.getString(0))
+    assert(out.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}")),
+      s"not uuid-shaped: ${out.toSeq}")
+    assert(out(0) == out(2) && out(0) != out(1), "must be deterministic per input")
+    val f = uuidField("uid")
+    assert(f.metadata.getString(graft.format.GraftSchema.LogicalTypeKey) == "uuid")
+  }
+
   test("token counting + quality gates") {
     val df = docs((1L, "the a the data data x"), (2L, ("word " * 600).trim))
     val out = df.select(

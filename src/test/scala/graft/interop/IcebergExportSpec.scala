@@ -97,11 +97,13 @@ class IcebergExportSpec extends SparkSpec {
       StructField("id", LongType),
       StructField("meta", StructType(Seq(
         StructField("uid", IntegerType), StructField("tags", ArrayType(StringType))))),
-      StructField("attrs", MapType(StringType, DoubleType))))
+      StructField("attrs", MapType(StringType, DoubleType)),
+      graft.functions.TimeFunctions.uuidField("row_uuid")))
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.ice_nested", nested)
     t.append(spark, spark.createDataFrame(
-      Seq(Row(1L, Row(10, Seq("x", "y")), Map("a" -> 1.5))).asJava, t.meta.currentSchema))
+      Seq(Row(1L, Row(10, Seq("x", "y")), Map("a" -> 1.5),
+        "0b8ed446-0000-4000-8000-000000000000")).asJava, t.meta.currentSchema))
     t.addColumn("meta.note", StringType) // second schema version must export too
 
     val metaPath = IcebergExport.exportCurrent(spark, t)
@@ -110,6 +112,8 @@ class IcebergExportSpec extends SparkSpec {
     assert(metaText.contains("\"type\":\"list\"") && metaText.contains("\"element-id\":"))
     assert(metaText.contains("\"type\":\"map\"") && metaText.contains("\"key-id\":"))
     assert(metaText.contains("\"name\":\"note\""), "evolved schema version must export")
+    assert(metaText.contains("\"name\":\"row_uuid\",\"required\":false,\"type\":\"uuid\""),
+      "uuid logical annotation must export as the real Iceberg uuid type")
     // both schema versions present, and rows still readable via export
     assert("\"schema-id\":\\d+".r.findAllIn(metaText).size >= 2)
     val rows = IcebergExport.readAsDataFrame(spark, metaPath).count()

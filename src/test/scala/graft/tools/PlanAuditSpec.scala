@@ -67,6 +67,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept back into top-k:\n$plan")
   }
 
+  test("near-dup candidate generation is an equi-join on bucket — never all-pairs") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+      .withColumn("bucket", graft.functions.VectorFunctions.lshBucket(col("embedding"), bits = 8))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")) >= 0.99)
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to all-pairs:\n$plan")
+    assert(plan.contains("bucket"), s"join key missing:\n$plan")
+  }
+
   test("nested-evolution read path: un-evolved struct columns stay on the cast fast path") {
     val schema = StructType(Seq(
       StructField("id", LongType),
