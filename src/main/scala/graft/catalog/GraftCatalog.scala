@@ -52,6 +52,18 @@ class GraftCatalog(val warehouse: String) {
 
   def tableExists(name: String): Boolean = Files.exists(hintPath(name))
 
+  /** Top-level namespaces (databases) in this warehouse. */
+  def listNamespaces(): Seq[String] = {
+    val root = Paths.get(warehouse)
+    if (!Files.exists(root)) return Nil
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toVector.sorted
+    } finally s.close()
+  }
+
   def listTables(namespace: String): Seq[String] = {
     val ns = Paths.get(warehouse, namespace.split('.'): _*)
     if (!Files.exists(ns)) return Nil

@@ -122,6 +122,30 @@ object MaintenanceOps {
         |FROM events WHERE event_type <> 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // D4 realized as protocol (docs/04:80-93): an ICEBERG_REST catalog
+    // integration over a real HTTP loopback — oauth client-credentials,
+    // namespace/table discovery, LoadTableResult with inline Iceberg v2
+    // metadata — and an external-style read planned purely from the REST
+    // response (Avro manifests + parquet from shared storage, position
+    // deletes applied). Catalog plane is metadata-scale; data plane never
+    // crosses it.
+    ("g_rest_catalog",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false,
+          props = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.delete(s, Seq(Predicate.Eq("event_type", "click"))) // MOR deletes
+        val server = new graft.interop.RestCatalog.Server(
+          t.catalog, s, "svc", "s3cret").start()
+        try {
+          val client = new graft.interop.RestCatalog.Client(server.uri, "svc", "s3cret")
+          val discovered = client.tables("db")
+          aggByType(client.readTable(s, "db", "events"))
+            .withColumn("discovered", lit(discovered == Seq("events")))
+        } finally server.stop()
+      },
+      aggByTypeSqlFrom.format("events")
+        .replace("FROM events", ",\n  true AS discovered\nFROM events WHERE event_type <> 'click'")),
+
     // O3: EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78) — history is
     // bounded to the current snapshot, time travel to the expired snapshot
     // fails, and the files only it referenced are physically deleted.
