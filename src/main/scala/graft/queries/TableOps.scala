@@ -312,6 +312,33 @@ object TableOps {
         |  true AS time_typed
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // CDF changelog (docs/05 snapshot diff + docs/12 incremental patterns,
+    // completed to delete-aware): exact row-level inserts AND deletes
+    // between snapshots; common files under an unchanged delete set are
+    // skipped, so the diff is O(changed data).
+    ("g_changelog",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_cdf", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        val s1 = t.meta.currentSnapshotId.get
+        t.append(s, df.filter(col("ts") >= lit(Split)))
+        t.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        graft.streaming.GraftStreamSource.changelog(s, t, Some(s1))
+          .groupBy(col("_change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("_change_type", "event_type")
+      },
+      """SELECT 'delete' AS _change_type, event_type, count(*) AS n
+        |FROM events WHERE ts < TIMESTAMP '2024-01-15' AND event_type = 'click'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert', event_type, count(*)
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND event_type <> 'click'
+        |GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin),
+
     // M1: snapshot history as a table (docs/05:75-80) — operations and
     // running totals for an append→delete sequence.
     ("g_snapshot_history",

@@ -53,4 +53,46 @@ object GraftStreamSource {
     val sc = new graft.table.GraftScan(table, m, toSid.flatMap(m.snapshot), Nil)
     sc.materialize(spark, added, Nil, withFileMeta = false)
   }
+
+  /** Full change-data-feed between two snapshots: every row the transition
+    * inserted (`_change_type = 'insert'`) or deleted (`'delete'`); an UPDATE
+    * appears as its delete+insert pair. Unlike [[changesSince]] (append-only
+    * consumers), this is exact under ANY operation mix — COW rewrites,
+    * MOR delete files, compaction (pure rewrites cancel and emit nothing).
+    *
+    * Scale shape: data files present in both snapshots under an unchanged
+    * delete-file set are skipped ENTIRELY (the common case: incremental
+    * consumers polling an append-mostly table diff only the new files);
+    * only the differing files' rows enter the exceptAll diff, which
+    * shuffles once on all columns. 100 TB behavior is therefore
+    * O(changed data), not O(table).
+    */
+  def changelog(spark: SparkSession, table: GraftTable,
+                fromSnapshotId: Option[Long],
+                toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val m = table.meta
+    def scanAt(sid: Option[Long]): graft.table.GraftScan =
+      new graft.table.GraftScan(table, m,
+        sid.map(id => m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))),
+        Nil)
+    val from = scanAt(fromSnapshotId)
+    val to = scanAt(toSnapshotId.orElse(m.currentSnapshotId))
+    val (dataFrom, delFrom) = (from.dataFiles, from.deleteFiles)
+    val (dataTo, delTo) = (to.dataFiles, to.deleteFiles)
+    // a common data file's rows are bit-identical on both sides when the
+    // applicable delete-file set did not change -> exclude from the diff
+    val sameDeletes = delFrom.map(_.path).toSet == delTo.map(_.path).toSet
+    val fromPaths = dataFrom.map(_.path).toSet
+    val toPaths = dataTo.map(_.path).toSet
+    val (lhsFiles, rhsFiles) =
+      if (sameDeletes)
+        (dataFrom.filterNot(f => toPaths.contains(f.path)),
+          dataTo.filterNot(f => fromPaths.contains(f.path)))
+      else (dataFrom, dataTo)
+    val lhs = from.materialize(spark, lhsFiles, delFrom, withFileMeta = false)
+    val rhs = to.materialize(spark, rhsFiles, delTo, withFileMeta = false)
+    rhs.exceptAll(lhs).withColumn("_change_type", lit("insert"))
+      .unionByName(lhs.exceptAll(rhs).withColumn("_change_type", lit("delete")))
+  }
 }

@@ -31,6 +31,37 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(ids(GraftStreamSource.changesSince(spark, t, Some(t.meta.currentSnapshotId.get))) == Set())
   }
 
+  test("changelog: exact CDF under append / delete / update / compact") {
+    import graft.format.Predicate
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf", schema,
+      properties = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mk(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    val s1 = t.meta.currentSnapshotId.get
+
+    t.append(spark, mk(Seq((4L, "d"))))                       // insert
+    t.delete(spark, Seq(Predicate.Eq("id", 2L)))              // MOR delete
+    t.update(spark, Map("v" -> org.apache.spark.sql.functions.lit("A")),
+      Seq(Predicate.Eq("id", 1L)))                            // update = del+ins
+
+    def changes(from: Long) = GraftStreamSource.changelog(spark, t, Some(from))
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(changes(s1) == Set(
+      ("insert", 4L, "d"), ("delete", 2L, "b"),
+      ("delete", 1L, "a"), ("insert", 1L, "A")), s"got ${changes(s1)}")
+
+    // compaction is a pure rewrite: the changelog across it must be EMPTY
+    val s2 = t.meta.currentSnapshotId.get
+    t.compact(spark)
+    assert(GraftStreamSource.changelog(spark, t, Some(s2)).isEmpty,
+      "compaction must not appear in the change feed")
+    // and the full from-beginning feed is the final table state as inserts
+    val full = GraftStreamSource.changelog(spark, t, None)
+    assert(full.filter(col("_change_type") === "delete").isEmpty)
+    assert(full.count() == t.toDF(spark).count())
+  }
+
   test("appendsStream: committed appends flow through a streaming reader") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.str", schema)
