@@ -456,5 +456,8 @@ object GraftExtensions {
     if (!already)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftScanSubstitution(spark)
+    // SQL names for the pipeline functions ride along with the catalog:
+    // any session that can see graft tables can also call graft_minhash(...)
+    graft.functions.SqlFunctions.install(spark)
   }
 }

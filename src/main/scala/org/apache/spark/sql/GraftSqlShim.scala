@@ -14,4 +14,11 @@ object GraftSqlShim {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Eagerly converts the whole column-node tree (the ExpressionUtils
+    * variant wraps lazily, which a FunctionRegistry builder cannot use —
+    * the analyzer would see unconverted ColumnNodeExpression wrappers).
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

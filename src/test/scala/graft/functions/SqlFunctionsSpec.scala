@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface: every graft_* name must produce the same
+  * result AND the same plan shape as its DataFrame twin (expression-tree
+  * registration — nothing becomes a UDF).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("graft_* SQL functions match their DataFrame twins") {
+    SqlFunctions.install(spark)
+    spark.sql("SELECT * FROM VALUES (1L, 'the quick brown fox the fox'), " +
+      "(2L, 'pack my box with five dozen jugs') AS t(id, text)")
+      .createOrReplaceTempView("docs")
+
+    val viaSql = spark.sql(
+      """SELECT id, graft_token_count(text) AS n, graft_minhash(text, 4) AS mh,
+        |  graft_simhash(text) AS sh, graft_fingerprint(text) AS fp,
+        |  graft_uuid(text) AS u
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    val viaDf = spark.table("docs").select(col("id"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        TextFunctions.minhashSignature(col("text"), 4).as("mh"),
+        TextFunctions.simhash(col("text")).as("sh"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TimeFunctions.uuidFromBytes(col("text")).as("u"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+
+    // vectors + time + sniff
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c,
+        |  graft_time_to_string(graft_time_from_string('12:34:56')) AS t,
+        |  graft_sniff_format(encode('%PDF-1.7', 'UTF-8')) AS f""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getString(1) == "12:34:56" &&
+      r.getString(2) == "pdf")
+
+    // no UDF anywhere in the plan: the SQL path is the same codegen'd tree
+    val plan = spark.sql("SELECT graft_minhash(text, 4) FROM docs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF") && !plan.contains("Invoke"),
+      s"SQL function surface must not introduce UDFs:\n$plan")
+
+    // non-literal k is rejected with a clear message
+    val err = intercept[Exception](spark.sql("SELECT graft_minhash(text, id) FROM docs").collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+}
