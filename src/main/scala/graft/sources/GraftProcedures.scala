@@ -123,9 +123,12 @@ object GraftProcedures {
     )
   }
 
+  private val names = Seq("cherrypick", "compact", "expire_snapshots", "health",
+    "maintain", "remove_orphan_files", "rewrite_manifests", "rollback")
+
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))
-      defs(null).keys.toArray.sorted.map(Identifier.of(Namespace, _))
+      names.toArray.map(Identifier.of(Namespace, _))
     else Array.empty
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {

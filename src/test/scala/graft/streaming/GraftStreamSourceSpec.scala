@@ -62,6 +62,41 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(full.count() == t.toDF(spark).count())
   }
 
+  test("changelog drives exact table replication (CDC mirror via MERGE)") {
+    import graft.format.Predicate
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = new GraftCatalog(tempWarehouse())
+    val src = cat.createTable("db.cdc_src", schema)
+    val dst = cat.createTable("db.cdc_dst", schema)
+    src.append(spark, mk(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+
+    var cursor: Option[Long] = None
+    def sync(): Unit = {
+      val to = src.meta.currentSnapshotId
+      val changes = GraftStreamSource.changelog(spark, src, cursor, to)
+      // the canonical CDF consumer: deletes drop mirror rows, inserts upsert
+      val dels = changes.filter(col("_change_type") === "delete").select("id")
+        .collect().map(_.getLong(0))
+      if (dels.nonEmpty) dst.delete(spark, Seq(Predicate.In("id", dels.map(Long.box).toSeq)))
+      val ins = changes.filter(col("_change_type") === "insert").drop("_change_type")
+      dst.merge(spark, ins, Seq("id" -> "id"),
+        whenMatchedUpdate = Map("v" -> col("s.v")))
+      cursor = to
+    }
+    def state(t: graft.table.GraftTable) =
+      t.toDF(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    sync()
+    assert(state(dst) == state(src))
+    src.append(spark, mk(Seq((4L, "d"))))
+    src.delete(spark, Seq(Predicate.Eq("id", 2L)))
+    src.update(spark, Map("v" -> lit("A")), Seq(Predicate.Eq("id", 1L)))
+    sync()
+    assert(state(dst) == state(src), "mirror must converge after DML")
+    sync() // idempotent when nothing changed
+    assert(state(dst) == state(src))
+  }
+
   test("appendsStream: committed appends flow through a streaming reader") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.str", schema)
