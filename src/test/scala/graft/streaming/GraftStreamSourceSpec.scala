@@ -97,6 +97,50 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(state(dst) == state(src))
   }
 
+  test("changelog property: every adjacent snapshot transition is exactly its change feed") {
+    import graft.format.Predicate
+    import org.apache.spark.sql.functions.{col, lit}
+    import scala.util.Random
+    val rnd = new Random(20260812)
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf_prop", schema,
+      properties = Map("enable-iceberg-merge-on-read" -> rnd.nextBoolean().toString))
+    var nextId = 0L
+    val groups = Vector("a", "b", "c")
+    for (_ <- 1 to 10) rnd.nextInt(5) match {
+      case 0 | 1 =>
+        val rows = (0 until rnd.nextInt(6) + 1).map { _ =>
+          nextId += 1; (nextId, groups(rnd.nextInt(3)))
+        }
+        t.append(spark, mk(rows))
+      case 2 => t.delete(spark, Seq(Predicate.Eq("v", groups(rnd.nextInt(3)))))
+      case 3 => t.update(spark, Map("v" -> lit("z")),
+        Seq(Predicate.Lt("id", rnd.nextInt(nextId.toInt + 1).toLong)))
+      case 4 => t.compact(spark)
+    }
+
+    def counts(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Int] =
+      df.collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+
+    val snaps = t.meta.snapshots.sortBy(_.sequenceNumber).map(_.snapshotId)
+    var state = Map.empty[(Long, String), Int] // before the first snapshot
+    (None +: snaps.map(Option(_))).zip(snaps.map(Option(_))).foreach { case (from, to) =>
+      val chg = GraftStreamSource.changelog(spark, t, from, to)
+      val ins = counts(chg.filter(col("_change_type") === "insert").drop("_change_type"))
+      val del = counts(chg.filter(col("_change_type") === "delete").drop("_change_type"))
+      // no row may be both inserted and deleted in one transition (net feed)
+      assert(ins.keySet.intersect(del.keySet).forall(k => ins(k) != del(k)))
+      state = (state.keySet ++ ins.keySet).flatMap { k =>
+        val n = state.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0)
+        assert(n >= 0, s"negative count for $k in $from->$to")
+        if (n > 0) Some(k -> n) else None
+      }.toMap
+      val actual = counts(t.atSnapshot(to.get).toDF(spark))
+      assert(state == actual, s"replaying the feed diverged at $from->$to")
+    }
+  }
+
   test("appendsStream: committed appends flow through a streaming reader") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.str", schema)
