@@ -70,7 +70,7 @@ object RestCatalog {
       } else respond(ex, 401, """{"error":"invalid_client"}""")
     })
 
-    http.createContext("/v1/", (ex: HttpExchange) => {
+    http.createContext("/v1/", (ex: HttpExchange) => try {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/").stripSuffix("/")
       if (!authorized(ex)) respond(ex, 401, """{"error":"unauthorized"}""")
       else path.split('/') match {
@@ -95,6 +95,10 @@ object RestCatalog {
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
+    } catch {
+      // a handler exception must surface as a JSON 500, not a dropped
+      // connection (e.g. loading a table with no snapshot yet)
+      case e: Exception => respond(ex, 500, s"""{"error":${q(e.getMessage)}}""")
     })
 
     def start(): Server = { http.setExecutor(null); http.start(); this }

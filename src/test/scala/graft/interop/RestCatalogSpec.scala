@@ -45,6 +45,11 @@ class RestCatalogSpec extends SparkSpec {
           java.net.URI.create(s"${server.uri}/v1/namespaces")).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 401)
+
+      // a handler failure is a JSON 500, not a dropped connection
+      cat.createTable("db.rest_empty", schema) // no snapshot -> export fails
+      val err500 = intercept[Exception](client.loadTableMetadata("db", "rest_empty"))
+      assert(err500.getMessage.contains("500"), err500.getMessage)
     } finally server.stop()
   }
 }
