@@ -59,14 +59,18 @@ object TimeFunctions {
     ((hour(ts).cast("long") * 3600L + minute(ts).cast("long") * 60L +
       second(ts).cast("long")) * MicrosPerSecond).cast("long")
 
-  /** Parse 'HH:mm:ss[.ffffff]' to micros since midnight (NULL on mismatch). */
+  /** Parse 'HH:mm:ss[.ffffff]' to micros since midnight (NULL on mismatch —
+    * try_cast, not cast: under ANSI mode (Spark 4's default) a plain cast
+    * of a non-numeric component would fail the whole query).
+    */
   def timeFromString(s: Column): Column = {
     val parts = split(s, ":")
+    def num(c: Column): Column = c.try_cast(LongType)
     val sec = split(try_element_at(parts, lit(3)), "\\.")
-    val frac = coalesce(rpad(try_element_at(sec, lit(2)), 6, "0").cast("long"), lit(0L))
-    (try_element_at(parts, lit(1)).cast("long") * 3600L * MicrosPerSecond +
-      try_element_at(parts, lit(2)).cast("long") * 60L * MicrosPerSecond +
-      try_element_at(sec, lit(1)).cast("long") * MicrosPerSecond + frac).cast("long")
+    val frac = coalesce(num(rpad(try_element_at(sec, lit(2)), 6, "0")), lit(0L))
+    (num(try_element_at(parts, lit(1))) * 3600L * MicrosPerSecond +
+      num(try_element_at(parts, lit(2))) * 60L * MicrosPerSecond +
+      num(try_element_at(sec, lit(1))) * MicrosPerSecond + frac).cast("long")
   }
 
   /** Format micros since midnight as 'HH:mm:ss' (fraction dropped). */

@@ -7,6 +7,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import java.io.File
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Apache-Iceberg-format metadata export (reference docs/03:55-109,
@@ -47,12 +48,22 @@ object IcebergExport {
       }.toMap
     }
 
-    /** manifest_entry Avro schema for one partition spec (field-ids 1000+). */
+    // Partition field IDs are assigned once, table-wide, monotonically
+    // across specs (the Iceberg rule) — the same ID serves the JSON spec
+    // and every Avro partition record referencing it.
+    val partFieldId: Map[(Int, Int), Int] = {
+      var next = 999
+      m.specs.toSeq.sortBy(_._1).flatMap { case (specId, sp) =>
+        sp.fields.indices.map { i => next += 1; (specId, i) -> next }
+      }.toMap
+    }
+
+    /** manifest_entry Avro schema for one partition spec. */
     def entrySchemaFor(spec: PartitionSpec, schemaId: Int): Schema = {
       val src = specSource(spec, schemaId)
       val partFieldsJson = spec.fields.zipWithIndex.map { case (pf, i) =>
         val avroType = icebergPartitionAvroType(pf.transform, src(pf.name).dataType)
-        s"""{"name":"${avroName(pf.name)}","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
+        s"""{"name":"${avroName(pf.name)}","type":["null",$avroType],"default":null,"field-id":${partFieldId((spec.specId, i))}}"""
       }.mkString(",")
       new Schema.Parser().parse(
         s"""{"type":"record","name":"manifest_entry","fields":[
@@ -157,17 +168,13 @@ object IcebergExport {
       ordered.map(s => s.snapshotId -> exportSnapshot(s)).toMap
 
     // ---- vN.metadata.json ----
-    // Synthetic IDs for list/map element/key/value nodes start above every
-    // real field ID (Graft assigns IDs to struct fields only).
-    val idAlloc = new java.util.concurrent.atomic.AtomicInteger(
-      math.max(m.lastColumnId, m.schemas.values.map(GraftSchema.maxId).max) + 1)
     val schemasJson = m.schemas.toSeq.sortBy(_._1).map { case (id, s) =>
-      s"""{"type":"struct","schema-id":$id,"fields":[${structFieldsJson(s, idAlloc)}]}"""
+      s"""{"type":"struct","schema-id":$id,"fields":[${structFieldsJson(s)}]}"""
     }.mkString(",")
     val specsJson = m.specs.toSeq.sortBy(_._1).map { case (_, sp) =>
       val fieldsJson = sp.fields.zipWithIndex.map { case (pf, i) =>
         s"""{"name":${q(pf.name)},"transform":${q(pf.transform.name)},""" +
-          s""""source-id":${pf.sourceId},"field-id":${1000 + i}}"""
+          s""""source-id":${pf.sourceId},"field-id":${partFieldId((sp.specId, i))}}"""
       }.mkString(",")
       s"""{"spec-id":${sp.specId},"fields":[$fieldsJson]}"""
     }.mkString(",")
@@ -188,7 +195,15 @@ object IcebergExport {
     val refsJson = (m.refs + ("main" -> current.snapshotId)).toSeq.sortBy(_._1).map {
       case (name, id) => s"""${q(name)}:{"snapshot-id":$id,"type":"branch"}"""
     }.mkString(",")
-    val maxSpecFields = m.specs.values.map(_.fields.size).max
+    val lastPartitionId = if (partFieldId.isEmpty) 999 else partFieldId.values.max
+    // last-column-id must cover every assigned ID, including the synthetic
+    // list/map node IDs (NodeIdBase block per field) when nested collections
+    // exist — an Iceberg writer allocating new IDs above it must not collide.
+    val hasCollections =
+      m.schemas.values.exists(_.fields.exists(f => hasCollectionType(f.dataType)))
+    val lastColumnId =
+      if (!hasCollections) m.lastColumnId
+      else NodeIdBase + (m.schemas.values.map(GraftSchema.maxId).max + 1) * NodeIdsPerField
     val metaJson =
       s"""{
          |"format-version":2,
@@ -196,12 +211,12 @@ object IcebergExport {
          |"location":${q(m.location)},
          |"last-sequence-number":${m.lastSequenceNumber},
          |"last-updated-ms":${m.lastUpdatedMs},
-         |"last-column-id":${m.lastColumnId},
+         |"last-column-id":$lastColumnId,
          |"current-schema-id":${m.currentSchemaId},
          |"schemas":[$schemasJson],
          |"default-spec-id":${m.defaultSpecId},
          |"partition-specs":[$specsJson],
-         |"last-partition-id":${if (maxSpecFields == 0) 999 else 999 + maxSpecFields},
+         |"last-partition-id":$lastPartitionId,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{},
@@ -216,6 +231,20 @@ object IcebergExport {
     metaPath.toString
   }
 
+  /** Synthetic list/map node IDs live in a block derived from the OWNING
+    * field's stable ID, so the same column keeps the same element/key/value
+    * IDs in every exported schema version — cross-version column resolution
+    * (time travel in an external reader) stays by-ID correct.
+    */
+  private val NodeIdBase = 1000000
+  private val NodeIdsPerField = 100
+
+  private def hasCollectionType(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f => hasCollectionType(f.dataType))
+    case _: ArrayType | _: MapType => true
+    case _ => false
+  }
+
   /** Iceberg-JSON struct fields (nested types serialized recursively).
     * A `graft.logical-type` annotation (time / uuid — see
     * [[graft.format.GraftSchema.LogicalTypeKey]]) overrides the physical
@@ -223,14 +252,18 @@ object IcebergExport {
     * exactly Iceberg's physical `time` encoding, so the export emits the
     * real type and any Iceberg reader gets spec-correct values.
     */
-  private def structFieldsJson(s: org.apache.spark.sql.types.StructType,
-                               idAlloc: java.util.concurrent.atomic.AtomicInteger): String =
+  private def structFieldsJson(s: org.apache.spark.sql.types.StructType): String =
     s.fields.map { f =>
+      val fid = GraftSchema.fieldId(f)
+      // deterministic per-field allocator: k-th collection node under field
+      // `fid` (pre-order) always gets NodeIdBase + fid*NodeIdsPerField + k
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val nodeId = () => NodeIdBase + fid * NodeIdsPerField + counter.getAndIncrement()
       val tpe =
         if (f.metadata.contains(GraftSchema.LogicalTypeKey))
           q(f.metadata.getString(GraftSchema.LogicalTypeKey))
-        else icebergTypeJson(f.dataType, idAlloc)
-      s"""{"id":${GraftSchema.fieldId(f)},"name":${q(f.name)},"required":false,"type":$tpe}"""
+        else icebergTypeJson(f.dataType, nodeId)
+      s"""{"id":$fid,"name":${q(f.name)},"required":false,"type":$tpe}"""
     }.mkString(",")
 
   /** Read back an exported snapshot's manifest list + manifests; returns
@@ -320,24 +353,24 @@ object IcebergExport {
     case _ => "overwrite"
   }
 
-  import org.apache.spark.sql.types._
 
   /** Iceberg JSON type: a quoted string for primitives, a nested object for
     * struct/list/map (docs/03's metadata layout; nested types are first-class
     * in the Iceberg spec). Struct fields carry their real Graft IDs; list
     * element / map key+value node IDs are synthesized from `idAlloc`.
     */
-  private def icebergTypeJson(dt: DataType,
-                              idAlloc: java.util.concurrent.atomic.AtomicInteger): String = dt match {
+  private def icebergTypeJson(dt: DataType, nodeId: () => Int): String = dt match {
     case s: StructType =>
-      s"""{"type":"struct","fields":[${structFieldsJson(s, idAlloc)}]}"""
+      // nested struct fields carry their own stable IDs (and their own
+      // node-ID blocks for collections beneath them)
+      s"""{"type":"struct","fields":[${structFieldsJson(s)}]}"""
     case a: ArrayType =>
-      val id = idAlloc.getAndIncrement()
-      s"""{"type":"list","element-id":$id,"element":${icebergTypeJson(a.elementType, idAlloc)},"element-required":false}"""
+      val id = nodeId()
+      s"""{"type":"list","element-id":$id,"element":${icebergTypeJson(a.elementType, nodeId)},"element-required":false}"""
     case mt: MapType =>
-      val kId = idAlloc.getAndIncrement(); val vId = idAlloc.getAndIncrement()
-      s"""{"type":"map","key-id":$kId,"key":${icebergTypeJson(mt.keyType, idAlloc)},""" +
-        s""""value-id":$vId,"value":${icebergTypeJson(mt.valueType, idAlloc)},"value-required":false}"""
+      val kId = nodeId(); val vId = nodeId()
+      s"""{"type":"map","key-id":$kId,"key":${icebergTypeJson(mt.keyType, nodeId)},""" +
+        s""""value-id":$vId,"value":${icebergTypeJson(mt.valueType, nodeId)},"value-required":false}"""
     case other => q(icebergPrimitive(other))
   }
 

@@ -33,6 +33,7 @@ object RestCatalog {
   final class Server(cat: GraftCatalog, spark: org.apache.spark.sql.SparkSession,
                      clientId: String, clientSecret: String) {
     private val issued = ConcurrentHashMap.newKeySet[String]()
+    private val exportCache = new ConcurrentHashMap[String, (Long, String)]()
     private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     @volatile private var nextToken = 0L
 
@@ -88,8 +89,17 @@ object RestCatalog {
           val full = s"$ns.$t"
           if (!cat.tableExists(full)) respond(ex, 404, """{"error":"no such table"}""")
           else {
-            // LoadTableResult: metadata-location + inline Iceberg v2 metadata
-            val metaPath = IcebergExport.exportCurrent(spark, cat.loadTable(full))
+            // LoadTableResult: metadata-location + inline Iceberg v2
+            // metadata. The export walks the full snapshot history, so it
+            // runs once per (table, current snapshot) — repeated loads of
+            // an unchanged table serve the cached document (catalog-plane
+            // latency stays metadata-scale).
+            val tbl = cat.loadTable(full)
+            val snapId = tbl.meta.currentSnapshotId.getOrElse(
+              sys.error(s"$full has no snapshot to export"))
+            val metaPath = exportCache.compute(full, (_, prev) =>
+              if (prev != null && prev._1 == snapId) prev
+              else (snapId, IcebergExport.exportCurrent(spark, tbl)))._2
             val metaJson = Files.readString(Paths.get(metaPath))
             respond(ex, 200, s"""{"metadata-location":${q(metaPath)},"metadata":$metaJson}""")
           }
@@ -97,8 +107,12 @@ object RestCatalog {
       }
     } catch {
       // a handler exception must surface as a JSON 500, not a dropped
-      // connection (e.g. loading a table with no snapshot yet)
-      case e: Exception => respond(ex, 500, s"""{"error":${q(e.getMessage)}}""")
+      // connection (e.g. loading a table with no snapshot yet); message may
+      // be null, and responding can itself fail if headers already went out
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        try respond(ex, 500, s"""{"error":${q(msg)}}""")
+        catch { case _: Exception => ex.close() }
     })
 
     def start(): Server = { http.setExecutor(null); http.start(); this }

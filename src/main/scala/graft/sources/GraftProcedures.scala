@@ -70,9 +70,16 @@ object GraftProcedures {
           StructField("removed_files", IntegerType))),
         (in: InternalRow) => {
           val t = table(in)
-          val (snaps, files) =
-            if (in.isNullAt(1)) t.expirePerRetention()
-            else t.expireSnapshots(in.getLong(1), math.max(1, in.getInt(2)))
+          // omitted older_than_ms falls back to the retention property's
+          // cutoff; retain_last is honored either way (previously silently
+          // dropped on the default path)
+          val cutoff =
+            if (in.isNullAt(1)) {
+              val days = t.meta.property(
+                graft.format.TableProperties.RetentionDays, "1").toDouble
+              System.currentTimeMillis() - (days * 86400000L).toLong
+            } else in.getLong(1)
+          val (snaps, files) = t.expireSnapshots(cutoff, math.max(1, in.getInt(2)))
           Seq(Row(snaps, files))
         })),
       "rewrite_manifests" -> ((

@@ -92,7 +92,18 @@ object GraftStreamSource {
       else (dataFrom, dataTo)
     val lhs = from.materialize(spark, lhsFiles, delFrom, withFileMeta = false)
     val rhs = to.materialize(spark, rhsFiles, delTo, withFileMeta = false)
-    rhs.exceptAll(lhs).withColumn("_change_type", lit("insert"))
-      .unionByName(lhs.exceptAll(rhs).withColumn("_change_type", lit("delete")))
+    // exceptAll rejects map-typed columns: canonicalize maps to sorted
+    // entry arrays for the diff, decode back after (order-insensitive map
+    // equality, duplicate keys impossible in stored data)
+    import org.apache.spark.sql.functions.{array_sort, map_entries, map_from_entries, col}
+    import org.apache.spark.sql.types.MapType
+    val mapCols = lhs.schema.fields.filter(_.dataType.isInstanceOf[MapType]).map(_.name)
+    def encode(df: DataFrame): DataFrame =
+      mapCols.foldLeft(df)((d, c) => d.withColumn(c, array_sort(map_entries(col(c)))))
+    def decode(df: DataFrame): DataFrame =
+      mapCols.foldLeft(df)((d, c) => d.withColumn(c, map_from_entries(col(c))))
+    val (el, er) = (encode(lhs), encode(rhs))
+    decode(er.exceptAll(el)).withColumn("_change_type", lit("insert"))
+      .unionByName(decode(el.exceptAll(er)).withColumn("_change_type", lit("delete")))
   }
 }

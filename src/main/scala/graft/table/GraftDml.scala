@@ -57,8 +57,8 @@ trait GraftDml { self: GraftTable =>
       rows.select(fields.map { f =>
         set.get(f.name) match {
           case Some(expr) => when(coalesce(cond, lit(false)), expr.cast(f.dataType))
-            .otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+            .otherwise(Cols.q(f.name)).as(f.name)
+          case None => Cols.q(f.name)
         }
       }: _*)
     }

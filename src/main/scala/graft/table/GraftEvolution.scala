@@ -48,9 +48,20 @@ trait GraftEvolution { self: GraftTable =>
     into(schema, path)
   }
 
-  private def split(path: String): (Seq[String], String) = {
-    val parts = path.split('.').toSeq
-    (parts.init, parts.last)
+  /** Literal-first path resolution: a top-level column whose NAME contains
+    * a dot (legal in Spark schemas) wins over dotted-path navigation, so
+    * pre-existing tables with such columns keep evolving. Navigation only
+    * applies when the whole string is not an existing top-level name.
+    */
+  private def split(schema: StructType, path: String): (Seq[String], String) = {
+    if (schema.fieldNames.contains(path) || !path.contains('.')) (Nil, path)
+    else {
+      val parts = path.split('.').toSeq
+      // navigation requires an existing first segment; otherwise the whole
+      // string is a literal new-column name (addColumn of "c.d")
+      if (schema.fieldNames.contains(parts.head)) (parts.init, parts.last)
+      else (Nil, path)
+    }
   }
 
   /** ALTER TABLE ... ADD COLUMN [AFTER other] (docs/06:22-28). New column gets
@@ -60,7 +71,7 @@ trait GraftEvolution { self: GraftTable =>
     */
   def addColumn(name: String, dataType: DataType, after: Option[String] = None): TableMetadata =
     evolve { (m, schema) =>
-      val (parent, leaf) = split(name)
+      val (parent, leaf) = split(schema, name)
       val (typed, _) = GraftSchema.assignIds(
         StructType(Seq(StructField(leaf,
           GraftSchema.deepNullable(dataType), nullable = true))), m.lastColumnId)
@@ -85,7 +96,7 @@ trait GraftEvolution { self: GraftTable =>
     */
   def dropColumn(name: String): TableMetadata =
     evolve { (_, schema) =>
-      val (parent, leaf) = split(name)
+      val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         require(s.fieldNames.contains(leaf), s"column $name not found")
         require(s.fields.length > 1, s"cannot drop the only column of ${if (parent.isEmpty) "the table" else parent.mkString(".")}")
@@ -99,7 +110,7 @@ trait GraftEvolution { self: GraftTable =>
     */
   def renameColumn(from: String, to: String): TableMetadata =
     evolve { (_, schema) =>
-      val (parent, leaf) = split(from)
+      val (parent, leaf) = split(schema, from)
       require(!to.contains('.'), "rename target is a leaf name, not a path")
       rewriteParent(schema, parent) { s =>
         require(s.fieldNames.contains(leaf), s"column $from not found")
@@ -115,7 +126,7 @@ trait GraftEvolution { self: GraftTable =>
     */
   def widenColumn(name: String, to: DataType): TableMetadata =
     evolve { (_, schema) =>
-      val (parent, leaf) = split(name)
+      val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         val f = s.fields.find(_.name == leaf).getOrElse(sys.error(s"column $name not found"))
         require(canPromote(f.dataType, to),
@@ -151,7 +162,7 @@ trait GraftEvolution { self: GraftTable =>
   /** required -> optional is always allowed; the reverse is not (docs/06:17). */
   def makeOptional(name: String): TableMetadata =
     evolve { (_, schema) =>
-      val (parent, leaf) = split(name)
+      val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         require(s.fieldNames.contains(leaf), s"column $name not found")
         StructType(s.fields.map(f => if (f.name == leaf) f.copy(nullable = true) else f))

@@ -8,6 +8,14 @@ import java.nio.file.Paths
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
+/** Name-safe column references: schema field names are LITERAL (a name may
+  * contain a dot — legal in Spark schemas), so every by-name reference must
+  * be backtick-quoted or `col("a.b")` would parse as nested navigation.
+  */
+private[graft] object Cols {
+  def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+}
+
 /** Per-scan planning metrics — the engine-side source for QUERY_HISTORY-style
   * pruning observability (reference docs/09-query-performance.md:90-99,
   * 180-194: partitions_scanned vs partitions_total, bytes_scanned).
@@ -261,7 +269,7 @@ class GraftScan(
       val cols = current.fields.map { cur =>
         val id = GraftSchema.fieldId(cur)
         byId.get(id) match {
-          case Some(w) => resolveValue(w.dataType, cur.dataType, col(w.name)).as(cur.name)
+          case Some(w) => resolveValue(w.dataType, cur.dataType, Cols.q(w.name)).as(cur.name)
           case None => lit(null).cast(cur.dataType).as(cur.name) // added after this file
         }
       }

@@ -74,7 +74,7 @@ object GraftWriter {
     // so footer stats decode deterministically (restore the session value after)
     val prevOutputTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val aligned = df.select(schema.fields.map(f => Cols.q(f.name).cast(f.dataType).as(f.name)): _*)
 
     val partCols = spec.fields.map { pf =>
       val src = idToField(pf.sourceId)

@@ -60,6 +60,10 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getLong(0) == (12L * 3600 + 34 * 60 + 56) * 1000000L)
     assert(out(1).getString(1) == "12:34:56" && out(1).getLong(2) == 12L)
     assert(out(2).getLong(0) == 86399999999L && out(2).getLong(2) == 23L)
+    // malformed input -> NULL, even under ANSI mode (try_cast, not cast)
+    val bad = spark.sql("SELECT * FROM VALUES ('not:a:time'), ('12:xx:00') AS t(s)")
+      .select(timeFromString(col("s")).as("us")).collect()
+    assert(bad.forall(_.isNullAt(0)), "malformed times must be NULL, not an ANSI error")
     // the declared field is LongType + annotation, and survives a copy
     val f = timeField("tod")
     assert(isTimeField(f) && f.dataType == org.apache.spark.sql.types.LongType)

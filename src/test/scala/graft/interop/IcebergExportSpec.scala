@@ -118,5 +118,19 @@ class IcebergExportSpec extends SparkSpec {
     assert("\"schema-id\":\\d+".r.findAllIn(metaText).size >= 2)
     val rows = IcebergExport.readAsDataFrame(spark, metaPath).count()
     assert(rows == 1L)
+
+    // list/map node IDs must be IDENTICAL across schema versions (an
+    // external reader resolves columns by stable ID through time travel)
+    val elementIds = "\"element-id\":(\\d+)".r.findAllMatchIn(metaText).map(_.group(1)).toSeq
+    assert(elementIds.size == 2 && elementIds.distinct.size == 1,
+      s"tags element-id must be stable across schemas, got $elementIds")
+    val keyIds = "\"key-id\":(\\d+)".r.findAllMatchIn(metaText).map(_.group(1)).toSeq
+    assert(keyIds.distinct.size == 1, s"attrs key-id must be stable, got $keyIds")
+    // and last-column-id must dominate every assigned ID
+    val lastColId = "\"last-column-id\":(\\d+)".r.findFirstMatchIn(metaText).get.group(1).toLong
+    val allIds = "\"(?:element-id|key-id|value-id|id)\":(\\d+)".r
+      .findAllMatchIn(metaText).map(_.group(1).toLong).toSeq
+    assert(allIds.forall(_ <= lastColId),
+      s"last-column-id $lastColId must cover max assigned id ${allIds.max}")
   }
 }

@@ -62,6 +62,29 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(full.count() == t.toDF(spark).count())
   }
 
+  test("changelog supports map-typed columns (exceptAll needs canonicalization)") {
+    import org.apache.spark.sql.functions.col
+    val mapSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", MapType(StringType, LongType))))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf_map", mapSchema)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L, Map("a" -> 1L, "b" -> 2L)), Row(2L, null)).asJava, mapSchema))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(3L, Map("c" -> 3L))).asJava, mapSchema))
+
+    val chg = GraftStreamSource.changelog(spark, t, Some(s1)).collect()
+    assert(chg.length == 1 && chg(0).getLong(0) == 3L &&
+      chg(0).getString(2) == "insert" &&
+      chg(0).getMap[String, Long](1) == Map("c" -> 3L))
+    // from-genesis feed keeps map values intact
+    val full = GraftStreamSource.changelog(spark, t, None)
+      .filter(col("id") === 1).head()
+    assert(full.getMap[String, Long](1) == Map("a" -> 1L, "b" -> 2L))
+  }
+
   test("changelog drives exact table replication (CDC mirror via MERGE)") {
     import graft.format.Predicate
     import org.apache.spark.sql.functions.{col, lit}

@@ -138,6 +138,22 @@ class EvolutionSpec extends SparkSpec {
     assert(resurrect.isNullAt(0), "resurrected dropped subfield data — nested ID reuse bug")
   }
 
+  test("top-level columns with literal dots in the name still evolve (literal-first)") {
+    val dotted = StructType(Seq(
+      StructField("id", IntegerType), StructField("a.b", StringType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ev_dot", dotted)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1, "x")).asJava, t.meta.currentSchema))
+    t.renameColumn("a.b", "ab")            // literal name, not path a->b
+    assert(t.meta.currentSchema.fieldNames.toSeq == Seq("id", "ab"))
+    t.addColumn("c.d", StringType)         // no struct 'c' -> literal add
+    assert(t.meta.currentSchema.fieldNames.contains("c.d"))
+    t.dropColumn("c.d")
+    assert(!t.meta.currentSchema.fieldNames.contains("c.d"))
+    assert(t.toDF(spark).select("ab").head().getString(0) == "x")
+  }
+
   test("nested evolution inside array elements and map values") {
     val schema = StructType(Seq(
       StructField("id", IntegerType),
