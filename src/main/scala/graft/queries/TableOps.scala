@@ -339,6 +339,37 @@ object TableOps {
         |GROUP BY 2
         |ORDER BY 1, 2""".stripMargin),
 
+    // Incremental materialized view (docs/12's silver→gold aggregate made
+    // continuous): the view MERGEs the signed per-group delta from the exact
+    // CDF changelog — O(changed data), never a base rescan. `incremental`
+    // certifies the refresh path ran AND consumed fewer rows than the base
+    // holds. The 'click' group nets to zero rows and must vanish.
+    ("g_incremental_mv",
+      (s: SparkSession, d: String) => {
+        import graft.table.MaterializedView
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val base = cat.createTable("db.events_mvb", df.schema)
+        base.append(s, df.filter(col("ts") < lit(Split)))
+        val mv = MaterializedView.create(s, cat, "db.events_by_type",
+          base, Seq("event_type"), Seq("value"))
+        base.append(s, df.filter(col("ts") >= lit(Split)))
+        base.delete(s, Seq(Predicate.Eq("event_type", "click")))
+        val res = MaterializedView.refresh(s, mv, base)
+        val baseRows = base.scan().metrics.rowsInScannedFiles
+        mv.toDF(s)
+          .select(col("event_type"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+          .withColumn("incremental",
+            lit(res.mode == "incremental" && res.deltaRows > 0 && res.deltaRows < baseRows))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS incremental
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // M1: snapshot history as a table (docs/05:75-80) — operations and
     // running totals for an append→delete sequence.
     ("g_snapshot_history",
