@@ -181,6 +181,7 @@ object TableProperties {
   val RetentionDays = "data-retention-time-in-days"   // docs/05:88-95 (default 1, max 90)
   val MergeOnRead = "enable-iceberg-merge-on-read"    // docs/08:112-116
   val ClusterBy = "cluster-by"                        // docs/09:156-168 (comma-sep col names)
+  val ClusterStrategy = "write.cluster-strategy"      // "linear" (default) | "zorder"
 }
 
 /** JSON (de)serialization of the metadata tree. Hand-rolled codecs: explicit,

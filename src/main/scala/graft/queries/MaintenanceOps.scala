@@ -544,6 +544,41 @@ object MaintenanceOps {
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  true AS range_pruned
-        |FROM lineitem WHERE l_orderkey < 10""".stripMargin)
+        |FROM lineitem WHERE l_orderkey < 10""".stripMargin),
+
+    // D12 multi-dimensional: z-order clustering. A linear sort only prunes
+    // range scans on the FIRST cluster key; interleaved-bit clustering keeps
+    // min/max stats tight on every dimension, so a filter on either column
+    // alone skips files. Both `pruned_*` flags certify actual file skipping
+    // from the scan metrics.
+    ("g_zorder",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.li_zorder", li.schema)
+        t.setProperty(graft.format.TableProperties.ClusterBy, "l_orderkey,l_partkey")
+        t.setProperty(graft.format.TableProperties.ClusterStrategy, "zorder")
+        // bound file size so the z-sorted write splits into many z-cells
+        // (AQE may coalesce the range shuffle itself into few partitions)
+        t.setProperty(graft.format.TableProperties.TargetFileSize, (256 * 1024).toString)
+        t.setProperty("write.estimated-row-size-bytes", "128")
+        t.append(s, li)
+        val Array(maxOk, maxPk) =
+          li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+            .toSeq.map(v => v.asInstanceOf[Long]).toArray
+        val sc1 = t.scan(Predicate.Lt("l_orderkey", maxOk / 4))
+        val sc2 = t.scan(Predicate.Lt("l_partkey", maxPk / 4))
+        def pruned(sc: graft.table.GraftScan) =
+          sc.metrics.filesTotal > 1 && sc.metrics.filesScanned < sc.metrics.filesTotal
+        sc2.toDF(s)
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("pruned_dim1", lit(pruned(sc1)))
+          .withColumn("pruned_dim2", lit(pruned(sc2)))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  true AS pruned_dim1, true AS pruned_dim2
+        |FROM lineitem WHERE l_partkey < (SELECT max(l_partkey)//4 FROM lineitem)""".stripMargin)
   )
 }

@@ -84,10 +84,21 @@ object GraftWriter {
 
     val clusterBy = meta.property(TableProperties.ClusterBy, "").split(',')
       .map(_.trim).filter(_.nonEmpty).toSeq
+    val strategy = meta.property(TableProperties.ClusterStrategy, "linear")
 
     val withParts = aligned.select(col("*") +: partCols: _*)
     val arranged =
-      if (clusterBy.nonEmpty)
+      if (clusterBy.nonEmpty && strategy == "zorder") {
+        // Multi-dimensional clustering: files cover compact z-curve cells, so
+        // min/max stats are tight on EVERY cluster dimension — a linear sort
+        // only prunes prefixes of the sort key (docs/09:156-168 generalized).
+        val z = zOrderColumn(aligned, schema, clusterBy)
+        withParts.withColumn(ZCol, z)
+          .repartitionByRange((partNames :+ ZCol).map(col): _*)
+          .sortWithinPartitions((partNames :+ ZCol).map(col): _*)
+          .drop(ZCol)
+      }
+      else if (clusterBy.nonEmpty)
         withParts.repartitionByRange((partNames.map(col) ++ clusterBy.map(col)): _*)
           .sortWithinPartitions((partNames ++ clusterBy).map(col): _*)
       else if (spec.isPartitioned && cluster)
@@ -114,6 +125,52 @@ object GraftWriter {
     }
 
     collectDataFiles(spark, writeDir, meta, schemaId, specId)
+  }
+
+  private val ZCol = "_gz_zvalue"
+
+  /** The z-order (Morton) value of the cluster columns: each key is
+    * normalized to a 16-bit bucket by min/max (one column-pruned pass over
+    * the batch for the bounds — negligible next to the write itself), and
+    * the buckets' bits are interleaved. Everything is codegen'd built-ins
+    * (floor / shift / bitwise), so the sort key costs a few dozen integer
+    * ops per row. Strings take their first two UTF-8 bytes as the code
+    * (prefix order = lexicographic locality); NULLs land in bucket 0.
+    */
+  private[table] def zOrderColumn(df: DataFrame, schema: StructType,
+                                  clusterBy: Seq[String]): org.apache.spark.sql.Column = {
+    require(clusterBy.size >= 2 && clusterBy.size <= 4,
+      s"zorder clustering takes 2-4 columns, got ${clusterBy.size} (use linear for 1)")
+    val fields = clusterBy.map(c => schema.fields.find(_.name == c)
+      .getOrElse(sys.error(s"zorder cluster column $c not in table schema")))
+    def codeOf(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+      case StringType =>
+        conv(substring(concat(hex(encode(Cols.q(f.name), "UTF-8")), lit("0000")), 1, 4), 16, 10)
+          .cast("double")
+      case DateType => unix_date(Cols.q(f.name)).cast("double")
+      case _: NumericType | _: TimestampType | _: TimestampNTZType =>
+        Cols.q(f.name).cast("double")
+      case other => sys.error(s"zorder does not support ${f.name}: $other")
+    }
+    val codes = fields.map(codeOf)
+    val aggs = codes.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).as(s"lo$i"), max(c).as(s"hi$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = codes.zipWithIndex.map { case (c, i) =>
+      (Option(row.get(2 * i)), Option(row.get(2 * i + 1))) match {
+        case (Some(l: Double), Some(h: Double)) if h > l =>
+          val scale = 65535.0 / (h - l)
+          least(lit(65535L), greatest(lit(0L),
+            floor((coalesce(c, lit(l)) - lit(l)) * lit(scale)).cast("long")))
+        case _ => lit(0L) // constant, all-null, or empty batch: one bucket
+      }
+    }
+    val k = buckets.size
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until 16
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
   }
 
   /** TARGET_FILE_SIZE -> maxRecordsPerFile using an estimated row width.
