@@ -105,9 +105,12 @@ object PartitionSpec {
 }
 
 /** Per-column stats for one data file (canonical-space values serialized as
-  * strings; see [[Canonical]]). Reference docs/03:96-109.
+  * strings; see [[Canonical]]). Reference docs/03:96-109. `bloom` is an
+  * optional base64 bitmap for equality file-skipping (see [[graft.io.Bloom]]),
+  * present only for columns listed in `write.bloom-columns`.
   */
-case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long],
+                    bloom: Option[String] = None)
 
 /** One immutable data (or position-delete) file.
   * `partition` maps partition-field name -> Some(serialized transform value)
@@ -182,6 +185,8 @@ object TableProperties {
   val MergeOnRead = "enable-iceberg-merge-on-read"    // docs/08:112-116
   val ClusterBy = "cluster-by"                        // docs/09:156-168 (comma-sep col names)
   val ClusterStrategy = "write.cluster-strategy"      // "linear" (default) | "zorder"
+  val BloomColumns = "write.bloom-columns"            // comma-sep cols to bloom-index
+  val BloomBits = "write.bloom-bits"                  // bitmap size (default 4096)
 }
 
 /** JSON (de)serialization of the metadata tree. Hand-rolled codecs: explicit,
@@ -353,7 +358,7 @@ object MetaJson {
         ("spec-id" -> f.specId) ~
         ("stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (id, st) =>
           JField(id.toString, ("min" -> js(st.min)) ~ ("max" -> js(st.max)) ~
-            ("null-count" -> st.nullCount))
+            ("null-count" -> st.nullCount) ~ ("bloom" -> js(st.bloom)))
         }))
     })
     pretty(render(j))
@@ -374,7 +379,8 @@ object MetaJson {
         intOf(j \ "spec-id"),
         (j \ "stats") match {
           case JObject(fs) => fs.map { case JField(k, v) =>
-            k.toInt -> ColStats(optStr(v \ "min"), optStr(v \ "max"), optLong(v \ "null-count"))
+            k.toInt -> ColStats(optStr(v \ "min"), optStr(v \ "max"), optLong(v \ "null-count"),
+              optStr(v \ "bloom"))
           }.toMap
           case _ => Map.empty
         })

@@ -100,7 +100,11 @@ object Predicate {
   case class PruneContext(
       schema: StructType,
       statBounds: String => Option[Bounds],
-      transformedBounds: String => Seq[(Transform, Bounds)])
+      transformedBounds: String => Seq[(Transform, Bounds)],
+      /** Equality-probe bloom test (file granularity only): "may this file
+        * contain `value` in `col`?" Defaults to "maybe" — manifests and
+        * bloom-less files never prune on it. See [[graft.io.Bloom]]. */
+      bloomMayContain: (String, DataType, Any) => Boolean = (_, _, _) => true)
 
   /** Sound "may contain matching rows" test (file or manifest granularity). */
   def mayMatch(p: Predicate, ctx: PruneContext): Boolean = p match {
@@ -116,7 +120,12 @@ object Predicate {
           val partsOk = ctx.transformedBounds(leaf.col).forall { case (tr, b) =>
             leafMayMatchViaTransform(leaf, t, tr, b)
           }
-          statsOk && partsOk
+          val bloomOk = leaf match {
+            case Eq(c, v) if v != null => ctx.bloomMayContain(c, t, v)
+            case In(c, vs) => vs.exists(v => v == null || ctx.bloomMayContain(c, t, v))
+            case _ => true
+          }
+          statsOk && partsOk && bloomOk
       }
   }
 

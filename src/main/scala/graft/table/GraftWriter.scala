@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Paths
+import scala.util.chaining._
 
 /** Data-plane writer: turns a DataFrame into immutable parquet data files +
   * their manifest entries (reference: docs/08-acid-transactions.md:25 step 1).
@@ -231,6 +232,53 @@ object GraftWriter {
       }.toMap
       val (rows, size, stats) = ParquetStats.read(p.toString, schema, conf)
       DataFile(rel, "data", partition, rows, size, schemaId, specId, stats)
-    }.seq
+    }.seq.pipe(fs => attachBlooms(spark, fs, meta, schema))
+  }
+
+  /** Equality-skipping bloom filters for the columns in `write.bloom-columns`
+    * (see [[graft.io.Bloom]]): ONE extra Spark job over the just-written
+    * files, reading ONLY the bloom columns (column-pruned scan) and reducing
+    * to per-file distinct bit positions — a map-side-combined set bounded by
+    * the bitmap size, never the values themselves. Opt-in by property, so
+    * tables that don't point-look-up pay nothing.
+    */
+  private def attachBlooms(spark: SparkSession, files: Seq[DataFile],
+                           meta: TableMetadata, schema: StructType): Seq[DataFile] = {
+    val cols = meta.property(TableProperties.BloomColumns, "").split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(n => schema.fields.find(_.name == n))
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.AtomicType])
+    if (cols.isEmpty || files.isEmpty) return files
+    val bits = meta.property(TableProperties.BloomBits, graft.io.Bloom.DefaultBits.toString).toInt
+    require(bits >= 64 && bits % 8 == 0, s"${TableProperties.BloomBits}=$bits (need >=64, /8)")
+
+    val paths = files.map(f => GraftUtil.resolve(meta.location, f.path))
+    val aggs = cols.flatMap { f =>
+      val (p1, p2) = graft.io.Bloom.positionColumns(Cols.q(f.name), bits)
+      Seq(collect_set(p1).as(s"_b1_${f.name}"), collect_set(p2).as(s"_b2_${f.name}"))
+    }
+    val rows = spark.read.schema(schema).parquet(paths: _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    val byPath: Map[String, Map[Int, String]] = rows.map { r =>
+      val blooms = cols.zipWithIndex.map { case (f, i) =>
+        val ps = r.getSeq[Int](1 + 2 * i) ++ r.getSeq[Int](2 + 2 * i)
+        GraftSchema.fieldId(f) -> graft.io.Bloom.encode(ps, bits)
+      }.toMap
+      GraftUtil.normFileLoc(r.getString(0)) -> blooms
+    }.toMap
+
+    files.map { df =>
+      byPath.get(GraftUtil.normFileLoc(GraftUtil.resolve(meta.location, df.path))) match {
+        case None => df
+        case Some(blooms) =>
+          val merged = blooms.foldLeft(df.stats) { case (st, (id, b)) =>
+            st.updated(id, st.getOrElse(id, ColStats(None, None, None)).copy(bloom = Some(b)))
+          }
+          df.copy(stats = merged)
+      }
+    }
   }
 }
