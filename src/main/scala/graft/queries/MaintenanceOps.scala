@@ -579,6 +579,48 @@ object MaintenanceOps {
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  true AS pruned_dim1, true AS pruned_dim2
-        |FROM lineitem WHERE l_partkey < (SELECT max(l_partkey)//4 FROM lineitem)""".stripMargin)
+        |FROM lineitem WHERE l_partkey < (SELECT max(l_partkey)//4 FROM lineitem)""".stripMargin),
+
+    // S3 extension: per-file bloom filters (write.bloom-columns) prune point
+    // lookups that min/max stats cannot. The layout is deliberately hostile
+    // to range stats — a hash repartition on the key scatters every file's
+    // [min,max] across the whole domain — so an equality probe scans ALL
+    // files on a bloom-less control table and only the containing file(s)
+    // on the bloomed one. Both facts are certified from scan metrics.
+    ("g_bloom_skip",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .repartition(8, col("l_orderkey"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.li_bloom", li.schema)
+        t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
+        t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
+        t.append(s, li)
+        val ctrl = cat.createTable("db.li_nobloom", li.schema)
+        ctrl.append(s, li)
+        // a mid-domain existing key: inside every file's range, so min/max
+        // stats alone can never prune the probe
+        val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val mid = (r.getLong(0) + r.getLong(1)) / 2
+        val probe = li.filter(col("l_orderkey") <= mid)
+          .agg(max(col("l_orderkey"))).head().getLong(0)
+        val scB = t.scan(Predicate.Eq("l_orderkey", probe))
+        val scC = ctrl.scan(Predicate.Eq("l_orderkey", probe))
+        scB.toDF(s).count(); scC.toDF(s).count()
+        scB.toDF(s).filter(col("l_orderkey") === probe)
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("bloom_pruned",
+            lit(scB.metrics.filesTotal > 1 &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .withColumn("nobloom_full",
+            lit(scC.metrics.filesScanned == scC.metrics.filesTotal))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  true AS bloom_pruned, true AS nobloom_full
+        |FROM lineitem WHERE l_orderkey = (
+        |  SELECT max(l_orderkey) FROM lineitem
+        |  WHERE l_orderkey <= (SELECT (min(l_orderkey)+max(l_orderkey))//2 FROM lineitem))""".stripMargin)
   )
 }

@@ -140,7 +140,23 @@ class GraftScan(
                 Predicate.Bounds(None, None, Some(f.recordCount.max(1L)), Some(f.recordCount.max(1L))))
           }
         }
-      })
+      },
+      // Equality-probe bloom (see [[graft.io.Bloom]]). Sound only when the
+      // probe hashes exactly as the written values did, so skip (return
+      // "maybe") whenever the file's write-time type differs from the read
+      // type: a widened column (float→double) re-renders the same logical
+      // value as a different canonical string.
+      bloomMayContain = (colName, dt, value) =>
+        schema.fields.find(_.name == colName).forall { cur =>
+          val id = GraftSchema.fieldId(cur)
+          val sameType = writeSchema.fields
+            .find(wf => GraftSchema.fieldId(wf) == id).forall(_.dataType == cur.dataType)
+          !sameType || (f.stats.get(id).flatMap(_.bloom) match {
+            case Some(enc) =>
+              graft.io.Bloom.hashPair(dt, value).forall(hp => graft.io.Bloom.mayContain(enc, hp))
+            case None => true
+          })
+        })
   }
 
   /** @return (surviving data files, all position-delete files, metrics) */

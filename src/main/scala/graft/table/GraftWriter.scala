@@ -244,10 +244,18 @@ object GraftWriter {
     */
   private def attachBlooms(spark: SparkSession, files: Seq[DataFile],
                            meta: TableMetadata, schema: StructType): Seq[DataFile] = {
+    // Instant timestamps hash through the SESSION zone on executors but UTC
+    // on the driver probe side (Bloom.hashPair), so blooming them in a
+    // non-UTC session would prune unsoundly — fall back to stats-only there.
+    val sessionUtc = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
     val cols = meta.property(TableProperties.BloomColumns, "").split(',')
       .map(_.trim).filter(_.nonEmpty).toSeq
       .flatMap(n => schema.fields.find(_.name == n))
-      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.AtomicType])
+      .filter(_.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case TimestampType => sessionUtc
+        case _ => true
+      })
     if (cols.isEmpty || files.isEmpty) return files
     val bits = meta.property(TableProperties.BloomBits, graft.io.Bloom.DefaultBits.toString).toInt
     require(bits >= 64 && bits % 8 == 0, s"${TableProperties.BloomBits}=$bits (need >=64, /8)")
