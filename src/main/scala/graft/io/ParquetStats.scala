@@ -85,7 +85,7 @@ object ParquetStats {
     * lower bounds truncate down for free; upper bounds get their last kept
     * char incremented so the truncated value still upper-bounds the data.
     */
-  private val MaxStringBound = 16
+  private[graft] val MaxStringBound = 16
 
   private[io] def truncateBounds(dt: DataType, lo: Option[Any], hi: Option[Any])
       : (Option[Any], Option[Any]) = dt match {

@@ -621,6 +621,40 @@ object MaintenanceOps {
         |  true AS bloom_pruned, true AS nobloom_full
         |FROM lineitem WHERE l_orderkey = (
         |  SELECT max(l_orderkey) FROM lineitem
-        |  WHERE l_orderkey <= (SELECT (min(l_orderkey)+max(l_orderkey))//2 FROM lineitem))""".stripMargin)
+        |  WHERE l_orderkey <= (SELECT (min(l_orderkey)+max(l_orderkey))//2 FROM lineitem))""".stripMargin),
+
+    // Metadata-plane aggregates (docs/09's data-skipping story taken to its
+    // end): COUNT(*) / MIN / MAX — including a count under an identity-
+    // partition filter — answered entirely from manifest record counts and
+    // file stats. The flag certifies the physical plans contain NO file
+    // scan, only the collapsed one-row LocalRelation: at 100 TB this is the
+    // difference between a manifest read and a full-table pass.
+    ("g_metadata_agg",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        val tbl = s"meta_${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.events(s, d).createOrReplaceTempView("events_src_meta")
+        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+          |  event_type STRING, value DOUBLE, props STRING)
+          |PARTITIONED BY (event_type)""".stripMargin)
+        s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src_meta")
+        val q1 = s.sql(s"""SELECT count(*) AS n_total, min(user_id) AS min_user,
+          |  max(user_id) AS max_user FROM graft_sql.db.$tbl""".stripMargin)
+        val q2 = s.sql(
+          s"SELECT count(*) AS n_click FROM graft_sql.db.$tbl WHERE event_type = 'click'")
+        val metadataOnly = Seq(q1, q2).forall { q =>
+          val p = q.queryExecution.executedPlan.toString
+          p.contains("LocalTableScan") && !p.contains("FileScan")
+        }
+        q1.crossJoin(q2).withColumn("metadata_only", lit(metadataOnly))
+      },
+      """SELECT count(*) AS n_total, min(user_id) AS min_user,
+        |  max(user_id) AS max_user,
+        |  (SELECT count(*) FROM events WHERE event_type = 'click') AS n_click,
+        |  true AS metadata_only
+        |FROM events""".stripMargin)
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal => CLiteral, And => CAnd, Or => COr, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGtEq, LessThan => CLt, LessThanOrEqual => CLtEq, In => CIn, IsNull => CIsNull, IsNotNull => CIsNotNull, StartsWith => CStartsWith}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference, Transform => VTransform}
@@ -397,6 +397,8 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
     // non-graft DELETE targets must stay v2 relations for SupportsDelete
     case _: DeleteFromTable => plan
     case _ => plan.transformWithSubqueries {
+      case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+        tryMetadataAggregate(agg).getOrElse(agg)
       case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
         val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
         substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))
@@ -408,6 +410,82 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
       case lr @ LogicalRelation(gr: GraftRelation, _, _, _, _) =>
         substitute(lr.output, gr.pinnedScan(Nil))
     }
+  }
+
+  /** Metadata-plane global aggregates: COUNT(*) / MIN / MAX over a Graft
+    * relation (optionally under an exactly-translatable Filter and a plain
+    * column-pruning Project) answered from manifest record counts and file
+    * stats via [[graft.table.GraftScan.metadataCount]] — the whole subtree
+    * collapses to a one-row LocalRelation, zero data-file I/O. Bails (and
+    * the normal scan substitution proceeds) whenever any part is not
+    * provably exact: residual filters, deletes, distinct/filtered
+    * aggregates, or non-identity-partition predicate columns.
+    */
+  private def tryMetadataAggregate(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    def unwrapChild(p: LogicalPlan, conds: Seq[Expression]): Option[(Seq[Expression], LogicalPlan)] =
+      p match {
+        case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          unwrapChild(child, conds)
+        case LFilter(c, child) => unwrapChild(child, conds ++ splitConjuncts(c))
+        case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
+          Some((conds, r))
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => Some((conds, r))
+        case lr @ LogicalRelation(_: GraftRelation, _, _, _, _) => Some((conds, lr))
+        case _ => None
+      }
+
+    val (conds, rel) = unwrapChild(agg.child, Nil).getOrElse(return None)
+    val translated = conds.map(CatalystPredicates.toPredicate)
+    if (translated.exists(_.isEmpty)) return None // residual filter would change the result
+    val pushed = translated.flatten
+    val scan = rel match {
+      case r: DataSourceV2ScanRelation =>
+        val already = unwrap(r.scan).map(_.preds).getOrElse(Nil)
+        r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(already ++ pushed)
+      case r: DataSourceV2Relation => r.table.asInstanceOf[GraftSparkTable].nativeScan(pushed)
+      case lr: LogicalRelation => lr.relation.asInstanceOf[GraftRelation].pinnedScan(pushed)
+      case _ => return None
+    }
+
+    def internalOf(dt: org.apache.spark.sql.types.DataType, canonical: Any): Any = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType => canonical.asInstanceOf[Long].toByte
+        case ShortType => canonical.asInstanceOf[Long].toShort
+        case IntegerType => canonical.asInstanceOf[Long].toInt
+        case LongType => canonical
+        case FloatType => canonical.asInstanceOf[Double].toFloat
+        case DoubleType => canonical
+        case StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(canonical.asInstanceOf[String])
+        case d: DecimalType =>
+          Decimal(canonical.asInstanceOf[BigDecimal], d.precision, d.scale)
+        case DateType => canonical // Int days
+        case TimestampType | TimestampNTZType => canonical // Long micros
+        case BooleanType => canonical
+        case _ => return null
+      }
+    }
+
+    val values: Seq[Option[Any]] = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(Count(children), _, false, None, _), _)
+          if children.forall(c => c.isInstanceOf[CLiteral] &&
+            c.asInstanceOf[CLiteral].value != null) =>
+        scan.metadataCount.map(n => n: Any)
+      case Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _) =>
+        scan.metadataMinMax(a.name, isMin = true)
+          .map(_.map(internalOf(a.dataType, _)).orNull)
+      case Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _) =>
+        scan.metadataMinMax(a.name, isMin = false)
+          .map(_.map(internalOf(a.dataType, _)).orNull)
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return None
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      Seq(InternalRow.fromSeq(values.map(_.get)))))
   }
 
   /** The pushdown batch wraps a V1Scan in a (private[sql]) V1ScanWrapper;

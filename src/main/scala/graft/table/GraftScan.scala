@@ -206,6 +206,151 @@ class GraftScan(
   def deleteFiles: Seq[DataFile] = plan._2
   def metrics: ScanMetrics = plan._3
 
+  // ---------------------------------------------------------------------
+  // Metadata-only aggregates (reference docs/09-query-performance.md's
+  // metadata-plane answers): COUNT(*) / MIN / MAX served purely from
+  // manifest record counts and file stats — zero data-file I/O, O(metadata)
+  // driver work. At 100 TB this turns a full-table count into a manifest
+  // read. Every method returns None unless the answer is provably exact.
+  // ---------------------------------------------------------------------
+
+  /** Data files of this snapshot with an exact per-file verdict on the scan
+    * predicate: Some((files, verdicts)) only when the snapshot carries no
+    * delete files (position deletes make record counts overcount) and every
+    * predicate column is an identity-partition column of every file's spec
+    * — a file's identity partition value IS the value of every row in it,
+    * so the predicate evaluates to one constant per file.
+    */
+  private def exactFileMatches: Option[Seq[(DataFile, Boolean)]] = snapshot match {
+    case None => Some(Nil)
+    case Some(s) =>
+      val manifests = readManifestList(s)
+      if (manifests.exists(_.content != "data")) None
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val files = manifests.par.flatMap(readManifest).seq
+        val verdicts = files.map(f => exactEval(pred, f))
+        if (verdicts.exists(_.isEmpty)) None
+        else Some(files.zip(verdicts.flatten))
+      }
+  }
+
+  /** The per-file constant of `colName` when it is an identity partition
+    * column under the file's spec: None = not constant; Some(None) = all
+    * rows null; Some(Some(canonical)) = all rows equal that value.
+    */
+  private def fileConstant(f: DataFile, colName: String): Option[Option[Any]] = {
+    val spec = meta.specs.getOrElse(f.specId, PartitionSpec.unpartitioned)
+    spec.fields.collectFirst {
+      case pf if pf.transform == Transform.Identity &&
+          sourceField(pf.sourceId, f.schemaId).exists(_.name == colName) =>
+        val dt = sourceField(pf.sourceId, f.schemaId).get.dataType
+        f.partition.get(pf.name).map(_.map(s => Canonical.fromJsonString(dt, s)))
+    }.flatten
+  }
+
+  /** Exact three-valued evaluation of `p` against file `f`'s per-file
+    * constants; None = not exactly decidable for this file.
+    */
+  private def exactEval(p: Predicate, f: DataFile): Option[Boolean] = {
+    import Predicate._
+    p match {
+      case True => Some(true)
+      case And(l, r) => (exactEval(l, f), exactEval(r, f)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (exactEval(l, f), exactEval(r, f)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case leaf: Leaf =>
+        val dt = meta.currentSchema.fields.find(_.name == leaf.col).map(_.dataType)
+        for {
+          t <- dt
+          c <- fileConstant(f, leaf.col)
+          v <- evalLeafOnConstant(leaf, t, c)
+        } yield v
+    }
+  }
+
+  /** SQL filter semantics of one leaf against a constant row value (None =
+    * the whole file is null in that column): NULL comparisons never pass.
+    */
+  private def evalLeafOnConstant(leaf: Predicate.Leaf, dt: DataType,
+                                 const: Option[Any]): Option[Boolean] = {
+    import Predicate._
+    def cmp(raw: Any)(ok: Int => Boolean): Option[Boolean] = const match {
+      case None => Some(false)
+      case Some(v) => Canonical.of(dt, raw).map(p => ok(Canonical.compare(v, p)))
+    }
+    leaf match {
+      case IsNull(_) => Some(const.isEmpty)
+      case NotNull(_) => Some(const.isDefined)
+      case Eq(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ == 0)
+      case NotEq(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ != 0)
+      case Lt(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ < 0)
+      case LtEq(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ <= 0)
+      case Gt(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ > 0)
+      case GtEq(_, raw) => if (raw == null) Some(false) else cmp(raw)(_ >= 0)
+      case In(_, raws) =>
+        if (const.isEmpty) Some(false)
+        else {
+          val hits = raws.filter(_ != null).map(r => cmp(r)(_ == 0))
+          if (hits.exists(_.contains(true))) Some(true)
+          else if (hits.forall(_.contains(false))) Some(false)
+          else None
+        }
+      case StartsWith(_, p) => const match {
+        case None => Some(false)
+        case Some(v: String) => Some(v.startsWith(p))
+        case Some(_) => None
+      }
+    }
+  }
+
+  /** COUNT(*) from metadata alone, or None when not provably exact. */
+  def metadataCount: Option[Long] =
+    exactFileMatches.map(_.collect { case (f, true) => f.recordCount }.sum)
+
+  /** MIN or MAX of `colName` from file stats alone: Some(Some(canonical)),
+    * Some(None) for the empty/all-null result, None when not provably exact
+    * (deletes present, a matching file lacks stats, or a string bound long
+    * enough to have been truncated).
+    */
+  def metadataMinMax(colName: String, isMin: Boolean): Option[Option[Any]] = {
+    val field = meta.currentSchema.fields.find(_.name == colName).getOrElse(return None)
+    if (!Canonical.supports(field.dataType)) return None
+    val id = GraftSchema.fieldId(field)
+    val matching = exactFileMatches.getOrElse(return None).collect { case (f, true) => f }
+    val perFile: Seq[Option[Option[Any]]] = matching.map { f =>
+      if (f.recordCount == 0L) Some(None)
+      else f.stats.get(id) match {
+        case None => None // no stats for a matching file: cannot answer
+        case Some(st) =>
+          if (st.nullCount.contains(f.recordCount)) Some(None) // all null
+          else {
+            val bound = if (isMin) st.min else st.max
+            bound match {
+              // a string at the truncation width may be inexact (lower
+              // bounds truncate down, upper bounds round up)
+              case Some(s) if field.dataType == StringType &&
+                s.length >= graft.io.ParquetStats.MaxStringBound => None
+              case Some(s) => Some(Some(Canonical.fromJsonString(field.dataType, s)))
+              case None => None // rows present but bound missing: cannot answer
+            }
+          }
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None
+    val values = perFile.flatten.flatten
+    if (values.isEmpty) Some(None)
+    else Some(Some(values.reduce((a, b) =>
+      if (Canonical.compare(a, b) <= 0 == isMin) a else b)))
+  }
+
   /** Build the DataFrame. `withFileMeta=true` adds `_gf_file`/`_gf_pos`
     * columns (used internally by COW/MOR rewrites).
     */
