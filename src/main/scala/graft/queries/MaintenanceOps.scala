@@ -655,6 +655,42 @@ object MaintenanceOps {
         |  max(user_id) AS max_user,
         |  (SELECT count(*) FROM events WHERE event_type = 'click') AS n_click,
         |  true AS metadata_only
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin),
+
+    // S15: runtime-filter join pruning — the dim side's few join keys become
+    // an IN predicate on the fact scan, where the bloom plane (S13) skips
+    // the files that contain none of them. The fact layout is hash-scattered
+    // (min/max useless), so the certified pruning is the runtime filter
+    // composing with blooms: exactly what a selective dim join needs at
+    // 100 TB to avoid a full fact-table pass.
+    ("g_runtime_filter",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(16, col("l_orderkey"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.li_rf", li.schema)
+        t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
+        t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
+        t.append(s, li)
+        val dim = Tables.orders(s, d).filter(col("o_orderkey") < 7)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val sc = t.scanWithRuntimeFilter(dim, "o_orderkey", "l_orderkey")
+        val fact = sc.toDF(s)
+        fact.count()
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+          .orderBy(col("o_orderpriority"))
+          .withColumn("rf_pruned",
+            lit(sc.metrics.filesTotal > 1 &&
+              sc.metrics.filesScanned < sc.metrics.filesTotal))
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  true AS rf_pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey < 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

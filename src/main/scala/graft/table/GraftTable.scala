@@ -33,6 +33,26 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
   def toDF(spark: SparkSession, predicates: Predicate*): DataFrame =
     scan(predicates: _*).toDF(spark)
 
+  /** Runtime-filter scan for a selective equi-join (the metadata-plane twin
+    * of Spark's row-level runtime filters / DPP): collect the dim side's
+    * distinct join keys — bounded by `maxKeys`, the same cost class as a
+    * broadcast — and push them as an `IN` predicate into THIS table's scan,
+    * where the partition, min/max and bloom planes all get to skip files
+    * before any fact bytes are read. Sound for inner/semi joins on
+    * `factCol = dimCol` (rows with keys outside the dim set cannot survive
+    * the join); when the dim side exceeds `maxKeys` the filter is skipped
+    * and the scan degrades to `scan(preds)` — never wrong, just unpruned.
+    */
+  def scanWithRuntimeFilter(dim: DataFrame, dimCol: String, factCol: String,
+                            maxKeys: Int = 100000, preds: Seq[Predicate] = Nil): GraftScan = {
+    val rows = dim.select(Cols.q(dimCol)).distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) scan(preds: _*)
+    else {
+      val keys = rows.map(_.get(0)).filter(_ != null).toSeq
+      scan((preds :+ Predicate.In(factCol, keys)): _*)
+    }
+  }
+
   /** AT(SNAPSHOT_ID => id) — also resolves branch/tag refs (docs/05:141-171). */
   def atSnapshot(id: Long, predicates: Predicate*): GraftScan = {
     val m = meta
