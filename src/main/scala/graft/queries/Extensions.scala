@@ -555,6 +555,32 @@ object Extensions {
         |  FROM b)
         |SELECT fmt, count(*) AS n,
         |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4: deterministic train/val/test split — the assignment is a pure
+    // function of doc_id (first md5 hex byte: <0xcc train ~80%, <0xe6 val
+    // ~10%, else test), so it is stable across engines, runs, repartitions
+    // and incremental arrivals: a re-run or a late batch lands every doc in
+    // the same split with no coordination. Embarrassingly parallel (one
+    // projection + one map-side-combined agg); no shuffle of the text.
+    ("x_train_split",
+      (s: SparkSession, d: String) => {
+        val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_unique"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split"))
+      },
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_unique,
+        |  sum(n_chars) AS sum_chars, count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -691,6 +691,30 @@ object MaintenanceOps {
         |  true AS rf_pruned
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey < 7
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Write-audit-publish over branch refs (docs/05:141-171): stage an
+    // append on an 'audit' branch — history advances, main does not — read
+    // the branch to validate, then fast-forward publish. Flags certify the
+    // isolation both ways: staged rows invisible on main pre-publish, fully
+    // visible on the branch.
+    ("g_wap",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_wap", df.schema)
+        t.append(s, df.filter(col("ts") < lit(Split)))
+        val mainBefore = t.toDF(s).count()
+        t.appendToBranch(s, df.filter(col("ts") >= lit(Split)), "audit")
+        val hidden = t.toDF(s).count() == mainBefore
+        val auditTotal = t.atRef("audit").toDF(s).count()
+        t.publish("audit")
+        val total = t.toDF(s).count()
+        aggByType(t.toDF(s))
+          .withColumn("staged_hidden", lit(hidden))
+          .withColumn("audit_saw_all", lit(auditTotal == total))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS staged_hidden, true AS audit_saw_all"))
   )
 }

@@ -146,7 +146,8 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       operation: String,
       statementId: Option[String],
       extraSummary: Map[String, String] = Map.empty,
-      maxAttempts: Int = 5)(
+      maxAttempts: Int = 5,
+      branch: Option[String] = None)(
       manifestsFor: TableMetadata => Seq[ManifestMeta]): Snapshot = {
     var attempt = 0
     while (true) {
@@ -166,9 +167,12 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       val dataMfs = manifests.filter(_.content == "data")
       val mlPath = writeManifestList(m, snapId, manifests)
       val stmt = statementId.getOrElse(java.util.UUID.randomUUID().toString)
+      // a branch commit's parent is the branch head (falling back to main's
+      // head when the branch is being created by this very commit)
+      val parentId = branch.flatMap(m.refs.get).orElse(m.currentSnapshotId)
       val snap = Snapshot(
         snapshotId = snapId,
-        parentId = m.currentSnapshotId,
+        parentId = parentId,
         sequenceNumber = snapId,
         timestampMs = System.currentTimeMillis(),
         operation = operation,
@@ -181,11 +185,20 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
         manifestListPath = mlPath,
         schemaId = m.currentSchemaId,
         specId = m.defaultSpecId)
-      val next = m.copy(
-        lastSequenceNumber = snapId,
-        snapshots = m.snapshots :+ snap,
-        currentSnapshotId = Some(snapId),
-        statementLog = m.statementLog :+ (stmt -> snapId))
+      val next = branch match {
+        // branch commit: the snapshot lands in history and advances ONLY the
+        // ref — main (current-snapshot-id) does not see it until publish
+        case Some(b) => m.copy(
+          lastSequenceNumber = snapId,
+          snapshots = m.snapshots :+ snap,
+          refs = m.refs + (b -> snapId),
+          statementLog = m.statementLog :+ (stmt -> snapId))
+        case None => m.copy(
+          lastSequenceNumber = snapId,
+          snapshots = m.snapshots :+ snap,
+          currentSnapshotId = Some(snapId),
+          statementLog = m.statementLog :+ (stmt -> snapId))
+      }
       try {
         catalog.commit(name, v, next)
         return snap
@@ -294,6 +307,42 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
           s"$name: cherry-pick of $snapshotId would double-apply ${dup.size} file(s) (e.g. ${dup.head})")
       current ++ added
     }
+  }
+
+  /** Write-audit-publish staging (docs/05:141-171's branching taken to its
+    * standard lakehouse use): append on a branch — the snapshot enters
+    * history and advances only the ref, so readers of the table see nothing
+    * — audit via `atRef(branch)`, then [[publish]] fast-forwards main.
+    */
+  def appendToBranch(spark: SparkSession, df: DataFrame, branch: String,
+                     statementId: Option[String] = None): Snapshot = {
+    val (_, m0) = load()
+    val newFiles = GraftWriter.write(spark, df, m0, m0.currentSchemaId, m0.defaultSpecId)
+    val newManifest = if (newFiles.isEmpty) None else Some(writeManifest(m0, newFiles))
+    commitSnapshot("append", statementId, Map(
+      "added-data-files" -> newFiles.size.toString,
+      "added-records" -> newFiles.map(_.recordCount).sum.toString,
+      "branch" -> branch), branch = Some(branch)) { m =>
+      val base = m.refs.get(branch).flatMap(m.snapshot).orElse(m.currentSnapshot)
+      base.map(readManifestList(m, _)).getOrElse(Nil) ++ newManifest
+    }
+  }
+
+  /** Publish a staged branch: fast-forward main to the branch head. Refuses
+    * when main has advanced past the branch's fork point (a fast-forward
+    * would silently drop those commits — re-stage on a fresh branch instead).
+    */
+  def publish(branch: String): TableMetadata = commitMetadata() { m =>
+    val head = m.refs.getOrElse(branch, sys.error(s"unknown branch '$branch'"))
+    def ancestors(id: Long): Set[Long] = {
+      val s = m.snapshot(id)
+      Set(id) ++ s.flatMap(_.parentId).map(ancestors).getOrElse(Set.empty)
+    }
+    val chain = ancestors(head)
+    require(m.currentSnapshotId.forall(chain.contains),
+      s"$name: branch '$branch' does not descend from main's head " +
+        s"(${m.currentSnapshotId.getOrElse(-1L)}); fast-forward publish refused")
+    m.copy(currentSnapshotId = Some(head))
   }
 
   /** Branch/tag refs (docs/05:141-149). */

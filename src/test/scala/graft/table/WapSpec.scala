@@ -1,0 +1,59 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Write-audit-publish over branch refs: staged commits are invisible on
+  * main, auditable via the branch, publish is a fast-forward, and a
+  * diverged main refuses the publish instead of silently dropping commits.
+  */
+class WapSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("tag", StringType)))
+
+  private def mk(from: Int, n: Int) = spark.createDataFrame(
+    (from until from + n).map(i => Row(i.toLong, s"t$i")).asJava, schema)
+
+  test("stage on branch, audit, fast-forward publish") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wap", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+
+    assert(t.toDF(spark).count() == 10, "staged rows must be invisible on main")
+    assert(t.atRef("audit").toDF(spark).count() == 15, "branch sees staged rows")
+    // a second staged batch stacks on the branch head
+    t.appendToBranch(spark, mk(15, 5), "audit")
+    assert(t.atRef("audit").toDF(spark).count() == 20)
+    assert(t.toDF(spark).count() == 10)
+
+    t.publish("audit")
+    assert(t.toDF(spark).count() == 20)
+    // publish is metadata-only: the branch snapshots ARE main's history now
+    assert(t.meta.currentSnapshotId == t.meta.refs.get("audit"))
+  }
+
+  test("publish refuses when main diverged past the fork point") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapd", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    t.append(spark, mk(100, 3)) // main advances independently
+    val e = intercept[IllegalArgumentException](t.publish("audit"))
+    assert(e.getMessage.contains("fast-forward"))
+    assert(t.toDF(spark).count() == 13, "failed publish must not change main")
+  }
+
+  test("branch commits survive snapshot expiry (refs are GC roots)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapg", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(t.atRef("audit").toDF(spark).count() == 15)
+  }
+}
