@@ -24,7 +24,11 @@ import scala.jdk.CollectionConverters._
   * transform partition values are converted from Graft's formatted strings
   * to the spec's epoch-relative integers (day → days since epoch, etc.).
   *
-  * Scope notes: column-stats maps are omitted (optional in the spec);
+  * Scope notes: data manifests carry the per-column stats maps
+  * (null_value_counts, lower_bounds, upper_bounds — spec single-value
+  * binary serialization) so external engines can prune; column_sizes /
+  * value_counts / nan_value_counts are omitted (optional, and FP columns
+  * carry no bounds by Graft's NaN policy);
   * list/map element/key/value node IDs are synthesized deterministically
   * above last-column-id at export time (Graft tracks IDs for struct fields
   * only — see [[graft.format.GraftSchema]]).
@@ -77,7 +81,19 @@ object IcebergExport {
            |  {"name":"file_format","type":"string","field-id":101},
            |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFieldsJson]},"field-id":102},
            |  {"name":"record_count","type":"long","field-id":103},
-           |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+           |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+           |  {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":
+           |    {"type":"record","name":"k121_v122","fields":[
+           |      {"name":"key","type":"int","field-id":121},
+           |      {"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+           |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":
+           |    {"type":"record","name":"k126_v127","fields":[
+           |      {"name":"key","type":"int","field-id":126},
+           |      {"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+           |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":
+           |    {"type":"record","name":"k129_v130","fields":[
+           |      {"name":"key","type":"int","field-id":129},
+           |      {"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128}
            |]},"field-id":2}]}""".stripMargin)
     }
 
@@ -125,6 +141,40 @@ object IcebergExport {
             dataFile.put("partition", part)
             dataFile.put("record_count", f.recordCount)
             dataFile.put("file_size_in_bytes", f.fileSizeBytes)
+            // Per-column stats maps (Iceberg spec single-value binary
+            // serialization) — data files only: position-delete stats use
+            // Iceberg's reserved 214748364x field ids, which Graft delete
+            // files don't carry.
+            if (content == 0) {
+              val writeSchema = m.schemas.getOrElse(f.schemaId, m.currentSchema)
+              val idToType = writeSchema.fields
+                .map(fl => GraftSchema.fieldId(fl) -> fl.dataType).toMap
+              def kvArray(schemaField: String,
+                          mk: (Int, ColStats, org.apache.spark.sql.types.DataType) => Option[Any]):
+                  java.util.List[GenericRecord] = {
+                val itemSchema = dfSchema.getField(schemaField).schema()
+                  .getTypes.get(1).getElementType
+                val out = new java.util.ArrayList[GenericRecord]()
+                f.stats.toSeq.sortBy(_._1).foreach { case (id, st) =>
+                  idToType.get(id).foreach { dt =>
+                    mk(id, st, dt).foreach { v =>
+                      val r = new GenericData.Record(itemSchema)
+                      r.put("key", id); r.put("value", v); out.add(r)
+                    }
+                  }
+                }
+                out
+              }
+              val nulls = kvArray("null_value_counts",
+                (_, st, _) => st.nullCount.map(n => n: java.lang.Long))
+              val lowers = kvArray("lower_bounds",
+                (_, st, dt) => st.min.flatMap(s => icebergSingleValue(dt, s)))
+              val uppers = kvArray("upper_bounds",
+                (_, st, dt) => st.max.flatMap(s => icebergSingleValue(dt, s)))
+              if (!nulls.isEmpty) dataFile.put("null_value_counts", nulls)
+              if (!lowers.isEmpty) dataFile.put("lower_bounds", lowers)
+              if (!uppers.isEmpty) dataFile.put("upper_bounds", uppers)
+            }
             val entry = new GenericData.Record(entrySchema)
             entry.put("status", 1) // ADDED (exported snapshot owns every file)
             entry.put("snapshot_id", snap.snapshotId)
@@ -440,5 +490,38 @@ object IcebergExport {
       }
       case _ => stored
     }
+  }
+
+  /** Iceberg-spec single-value binary serialization of one stored
+    * (canonical-JSON) column bound: little-endian fixed-width numerics,
+    * UTF-8 strings, minimal big-endian unscaled decimals. None for types
+    * the spec table doesn't cover here (the maps are optional per-column).
+    */
+  private[interop] def icebergSingleValue(dt: DataType, stored: String): Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val canonical = Canonical.fromJsonString(dt, stored)
+    val buf = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType =>
+        Some(le(4).putInt(canonical.asInstanceOf[Long].toInt))
+      case _: LongType => Some(le(8).putLong(canonical.asInstanceOf[Long]))
+      case _: DateType => Some(le(4).putInt(canonical.asInstanceOf[Int]))
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(le(8).putLong(canonical.asInstanceOf[Long]))
+      case _: FloatType => Some(le(4).putFloat(canonical.asInstanceOf[Double].toFloat))
+      case _: DoubleType => Some(le(8).putDouble(canonical.asInstanceOf[Double]))
+      case _: BooleanType =>
+        Some(ByteBuffer.allocate(1).put(
+          if (canonical.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
+      case _: StringType =>
+        Some(ByteBuffer.wrap(stored.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case d: DecimalType =>
+        // unscaled value at the COLUMN's scale (a stored "12.3" on a
+        // scale-2 column must serialize as 1230, not 123)
+        Some(ByteBuffer.wrap(canonical.asInstanceOf[BigDecimal].underlying()
+          .setScale(d.scale).unscaledValue().toByteArray))
+      case _ => None
+    }
+    buf.map { b => b.rewind(); b }
   }
 }

@@ -66,6 +66,50 @@ class IcebergExportSpec extends SparkSpec {
     assert(metaText.contains(s"\"current-snapshot-id\":${t.meta.currentSnapshotId.get}"))
   }
 
+  test("data manifests carry spec-serialized column stats maps") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.icest", schema)
+    t.append(spark, mk(Seq(
+      (5L, "aa", "2024-01-01", 1.0), (42L, "zz", "2024-02-03", 2.0))))
+    val metaPath = IcebergExport.exportCurrent(spark, t)
+
+    val dir = java.nio.file.Paths.get(metaPath).getParent
+    val manifest = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-data")).toSeq.head
+    val reader = new DataFileReader[GenericRecord](
+      manifest.toFile, new GenericDatumReader[GenericRecord]())
+    val entries = reader.iterator().asScala.toSeq
+    reader.close()
+    assert(entries.nonEmpty)
+
+    // per-file maps: collect (fieldId, bytes) across ALL files
+    def statsEntries(field: String): Seq[(Int, Any)] =
+      entries.flatMap { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        Option(df.get(field)).toSeq.flatMap(_.asInstanceOf[java.util.List[GenericRecord]]
+          .asScala.map(kv => kv.get("key").asInstanceOf[Int] -> kv.get("value")))
+      }
+
+    val idOfId = graft.format.GraftSchema.fieldId(t.schema.fields.find(_.name == "id").get)
+    val idOfCat = graft.format.GraftSchema.fieldId(t.schema.fields.find(_.name == "cat").get)
+    def longs(field: String) = statsEntries(field).filter(_._1 == idOfId)
+      .map(_._2.asInstanceOf[ByteBuffer].duplicate().order(ByteOrder.LITTLE_ENDIAN).getLong)
+    def strs(field: String) = statsEntries(field).filter(_._1 == idOfCat).map { case (_, v) =>
+      val b = v.asInstanceOf[ByteBuffer]
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    // table-wide bounds across files: min of lowers, max of uppers
+    assert(longs("lower_bounds").min == 5L)
+    assert(longs("upper_bounds").max == 42L)
+    assert(strs("lower_bounds").min == "aa" && strs("upper_bounds").max == "zz")
+    assert(statsEntries("null_value_counts").exists(_._1 == idOfId))
+  }
+
   test("export carries the full snapshot history: time travel via exported metadata") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.ice_hist", schema)
