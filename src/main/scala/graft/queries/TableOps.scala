@@ -403,6 +403,29 @@ object TableOps {
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
       },
       aggByTypeSqlFrom.format("events")
+        .replace("AS sum_value", "AS sum_value,\n  true AS multi_commit")),
+
+    // W9 + X1 composed: streaming ingest with EXACT cross-batch dedup — the
+    // stage holds two full copies of the source, the stream drops duplicate
+    // event_ids across micro-batches (keyed state), and the Graft table
+    // ends with exactly one copy of every event. At scale the state is one
+    // compact key per event per partition; with event-time bounds the same
+    // pipeline swaps in dropDuplicatesWithinWatermark to cap it.
+    ("g_stream_dedup",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val stage = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+        df.repartition(3).write.mode("overwrite").parquet(stage)
+        df.repartition(2).write.mode("append").parquet(stage) // second full copy
+        val cat = newCatalog()
+        val t = cat.createTable("db.events_dedup", df.schema)
+        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
+          .parquet(stage).dropDuplicates("event_id")
+        graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        aggByType(t.toDF(s))
+          .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
+      },
+      aggByTypeSqlFrom.format("events")
         .replace("AS sum_value", "AS sum_value,\n  true AS multi_commit"))
   )
 }
