@@ -366,6 +366,20 @@ object CatalystPredicates {
     case _ => None
   }
 
+  /** Strict variant for EXACT consumers (metadata aggregates): every node
+    * must translate completely. The half-pushable-AND relaxation above is a
+    * sound *weakening* for pruning, but a weakened predicate under an OR
+    * would make a collapsed COUNT overcount — here a partial translation is
+    * a refusal, never an approximation.
+    */
+  def toPredicateExact(e: Expression): Option[Predicate] = e match {
+    case CAnd(x, y) =>
+      for (a <- toPredicateExact(x); b <- toPredicateExact(y)) yield Predicate.And(a, b)
+    case COr(x, y) =>
+      for (a <- toPredicateExact(x); b <- toPredicateExact(y)) yield Predicate.Or(a, b)
+    case other => toPredicate(other) // leaves translate all-or-nothing
+  }
+
   /** Catalyst literal → external (JVM) value Graft's Canonical understands. */
   private def lit(l: CLiteral): Option[Any] = {
     if (l.value == null) return None
@@ -438,13 +452,16 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
       }
 
     val (conds, rel) = unwrapChild(agg.child, Nil).getOrElse(return None)
-    val translated = conds.map(CatalystPredicates.toPredicate)
+    // EXACT translation only: a weakened predicate here would overcount.
+    // The already-pushed (possibly half-translated) v2-scan preds are
+    // deliberately NOT used — pushFilters keeps every filter post-scan, so
+    // the residual Filter above the relation carries the full condition.
+    val translated = conds.map(CatalystPredicates.toPredicateExact)
     if (translated.exists(_.isEmpty)) return None // residual filter would change the result
     val pushed = translated.flatten
     val scan = rel match {
       case r: DataSourceV2ScanRelation =>
-        val already = unwrap(r.scan).map(_.preds).getOrElse(Nil)
-        r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(already ++ pushed)
+        r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(pushed)
       case r: DataSourceV2Relation => r.table.asInstanceOf[GraftSparkTable].nativeScan(pushed)
       case lr: LogicalRelation => lr.relation.asInstanceOf[GraftRelation].pinnedScan(pushed)
       case _ => return None

@@ -129,9 +129,23 @@ trait GraftMaintenance { self: GraftTable =>
     commitMetadata() { m =>
       removedSnaps = 0; doomed = Set.empty; location = m.location // reset per attempt
       val byAge = m.snapshots.sortBy(_.sequenceNumber)
-      val keepIds = (byAge.filter(_.timestampMs > olderThanMs).map(_.snapshotId) ++
+      val baseKeep = (byAge.filter(_.timestampMs > olderThanMs).map(_.snapshotId) ++
         byAge.takeRight(math.max(1, retainLast)).map(_.snapshotId) ++
         m.currentSnapshotId.toSeq ++ m.refs.values).toSet
+      // A staged branch's INTERMEDIATE commits must survive too: publish
+      // walks the parent chain from the branch head, and an expired link
+      // would make legitimately-staged work unpublishable. Branch commits
+      // carry a "branch" summary marker; the walk stops at main history
+      // (normal retention governs that side).
+      val keepIds = baseKeep ++ m.refs.values.flatMap { head =>
+        val acc = scala.collection.mutable.Buffer.empty[Long]
+        var cur = m.snapshot(head)
+        while (cur.exists(_.summary.contains("branch"))) {
+          acc += cur.get.snapshotId
+          cur = cur.get.parentId.flatMap(m.snapshot)
+        }
+        acc
+      }
       val (kept, expired) = m.snapshots.partition(s => keepIds.contains(s.snapshotId))
       removedSnaps = expired.size
       if (expired.isEmpty) m

@@ -108,6 +108,15 @@ class GraftScan(
       })
   }
 
+  /** The probe hash pair is file-independent: memoize it per scan so an IN
+    * with k keys over n files costs O(k) Catalyst evaluations, not O(n·k)
+    * (runtime-filter scans push up to maxKeys values through here).
+    */
+  private val hashPairCache =
+    scala.collection.concurrent.TrieMap.empty[(DataType, Any), Option[(Long, Long)]]
+  private def cachedHashPair(dt: DataType, value: Any): Option[(Long, Long)] =
+    hashPairCache.getOrElseUpdate((dt, value), graft.io.Bloom.hashPair(dt, value))
+
   /** Phase-2 context from one file's partition tuple + column stats. */
   private def fileCtx(f: DataFile): Predicate.PruneContext = {
     val spec = meta.specs.getOrElse(f.specId, PartitionSpec.unpartitioned)
@@ -153,7 +162,7 @@ class GraftScan(
             .find(wf => GraftSchema.fieldId(wf) == id).forall(_.dataType == cur.dataType)
           !sameType || (f.stats.get(id).flatMap(_.bloom) match {
             case Some(enc) =>
-              graft.io.Bloom.hashPair(dt, value).forall(hp => graft.io.Bloom.mayContain(enc, hp))
+              cachedHashPair(dt, value).forall(hp => graft.io.Bloom.mayContain(enc, hp))
             case None => true
           })
         })
@@ -221,7 +230,7 @@ class GraftScan(
     * — a file's identity partition value IS the value of every row in it,
     * so the predicate evaluates to one constant per file.
     */
-  private def exactFileMatches: Option[Seq[(DataFile, Boolean)]] = snapshot match {
+  private lazy val exactFileMatches: Option[Seq[(DataFile, Boolean)]] = snapshot match {
     case None => Some(Nil)
     case Some(s) =>
       val manifests = readManifestList(s)
@@ -334,8 +343,13 @@ class GraftScan(
           else {
             val bound = if (isMin) st.min else st.max
             bound match {
-              // a string at the truncation width may be inexact (lower
-              // bounds truncate down, upper bounds round up)
+              // String bounds may be truncated (ParquetStats.truncateBounds).
+              // A truncated LOWER bound is always exactly MaxStringBound
+              // chars, so shorter lower bounds are provably exact; a
+              // truncated UPPER bound is rounded up and can come out at ANY
+              // length, indistinguishable from a real value — so string MAX
+              // is never answerable from metadata.
+              case Some(_) if field.dataType == StringType && !isMin => None
               case Some(s) if field.dataType == StringType &&
                 s.length >= graft.io.ParquetStats.MaxStringBound => None
               case Some(s) => Some(Some(Canonical.fromJsonString(field.dataType, s)))

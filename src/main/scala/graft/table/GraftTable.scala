@@ -69,7 +69,18 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
   /** AT(TIMESTAMP => ts): latest snapshot with timestamp <= ts (docs/05:60-64). */
   def asOf(timestampMs: Long, predicates: Predicate*): GraftScan = {
     val m = meta
-    val snap = m.snapshots.filter(_.timestampMs <= timestampMs)
+    // Unpublished branch commits live in m.snapshots (they must survive GC
+    // and publish) but are NOT main history: timestamp travel over them
+    // would leak staged rows to main readers. A branch commit is eligible
+    // only once it is an ancestor of main's head (i.e. post-publish).
+    lazy val mainAncestors: Set[Long] = {
+      val acc = scala.collection.mutable.Set.empty[Long]
+      var cur = m.currentSnapshotId.flatMap(m.snapshot)
+      while (cur.isDefined) { acc += cur.get.snapshotId; cur = cur.get.parentId.flatMap(m.snapshot) }
+      acc.toSet
+    }
+    val snap = m.snapshots.filter(s => s.timestampMs <= timestampMs &&
+        (!s.summary.contains("branch") || mainAncestors(s.snapshotId)))
       .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption
     new GraftScan(this, m, snap, predicates)
   }

@@ -35,8 +35,8 @@ class BloomSpec extends SparkSpec {
 
   test("equality probe on an absent in-range value skips all files") {
     val t = table(bloom = true)
-    // 990 is inside every file's [offset, 1990+offset] range but absent
-    // (present ids are 10k+o for o<4; 995 ends in 5)
+    // present ids are 10k+o for k<200, o<4 (last digit 0-3), so 995 is
+    // inside every file's [0+o, 1990+o] range but absent everywhere
     val sc = t.scan(Predicate.Eq("id", 995L))
     assert(sc.metrics.filesTotal >= 4)
     assert(sc.plan._1.isEmpty, s"bloom should prune all 4 files, scanned ${sc.metrics.filesScanned}")

@@ -34,9 +34,11 @@ class MetadataAggSpec extends SparkSpec {
     // FP columns store no bounds (NaN-soundness, see ParquetStats): the
     // metadata plane must refuse rather than guess
     assert(sc.metadataMinMax("v", isMin = false).isEmpty)
-    // short strings are exact; "a" < "b"
+    // short string LOWER bounds are provably exact (truncation always
+    // yields exactly MaxStringBound chars); UPPER bounds are rounded up at
+    // arbitrary length, so string MAX must always refuse
     assert(sc.metadataMinMax("cat", isMin = true).contains(Some("a")))
-    assert(sc.metadataMinMax("cat", isMin = false).contains(Some("b")))
+    assert(sc.metadataMinMax("cat", isMin = false).isEmpty)
   }
 
   test("identity-partition predicates stay exactly answerable") {
@@ -111,6 +113,15 @@ class MetadataAggSpec extends SparkSpec {
     assert(q3.head().getLong(0) == 50L)
     assert(q3.queryExecution.executedPlan.toString.contains("FileScan"),
       "non-exact predicate must fall back to a real scan")
+
+    // an OR with a half-translatable AND branch must not collapse either:
+    // the pruning translator would weaken (cat='b' AND v>=50) to cat='b'
+    // and overcount — the exact translator must refuse
+    val q3b = spark.sql(
+      "SELECT count(*) FROM gmeta.db.t WHERE cat = 'a' OR (cat = 'b' AND v >= 90.0)")
+    assert(q3b.head().getLong(0) == 70L, "60 cat=a rows + 10 cat=b rows with v>=90")
+    assert(q3b.queryExecution.executedPlan.toString.contains("FileScan"),
+      "weakened OR-branch predicate must fall back to a real scan")
 
     // distinct aggregates must not collapse
     val q4 = spark.sql("SELECT count(DISTINCT cat) FROM gmeta.db.t")

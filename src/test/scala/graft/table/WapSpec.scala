@@ -48,6 +48,34 @@ class WapSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 13, "failed publish must not change main")
   }
 
+  test("timestamp travel on main cannot see staged branch commits") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapt", schema)
+    t.append(spark, mk(0, 10))
+    Thread.sleep(5)
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    Thread.sleep(5)
+    // "now" is after the staged commit; main readers must still see only 10
+    assert(t.asOf(System.currentTimeMillis()).toDF(spark).count() == 10,
+      "staged rows leaked through timestamp time travel")
+    t.publish("audit")
+    assert(t.asOf(System.currentTimeMillis()).toDF(spark).count() == 15,
+      "published branch commits are main history for timestamp travel")
+  }
+
+  test("publish still works after expiry removed nothing from the staged chain") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wape", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    t.appendToBranch(spark, mk(15, 5), "audit") // two-link branch chain
+    // aggressive expiry: intermediate branch commits must be kept, or the
+    // publish ancestor walk breaks mid-chain
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    t.publish("audit")
+    assert(t.toDF(spark).count() == 20)
+  }
+
   test("branch commits survive snapshot expiry (refs are GC roots)") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.wapg", schema)
