@@ -43,6 +43,59 @@ object Extensions {
     both.withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
   }
 
+  /** Distributed connected components by min-label propagation: each round
+    * is one (src,dst) equi-join + min-aggregate — O(cluster diameter)
+    * rounds, label state one row per clustered doc, lineage cut per round
+    * so the plan stays flat at any scale.
+    * @return (doc_id, label) for every doc appearing in an edge
+    */
+  private[queries] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val bi = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iters = 0
+    var changed = true
+    while (changed && iters < maxIters) {
+      iters += 1
+      val prop = bi.join(labels, bi("dst") === labels("doc_id"))
+        .groupBy(bi("src")).agg(min(col("label")).as("nbr"))
+      val next = labels.alias("l")
+        .join(prop.alias("p"), col("l.doc_id") === col("p.src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.alias("n").join(labels.alias("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count() > 0
+      labels = next
+    }
+    require(!changed, s"label propagation did not converge in $iters iterations")
+    labels
+  }
+
+  /** Shared near-dup edge builder (shingle → k=4 MinHash sig → bucket pairs
+    * → exact-Jaccard ≥ 0.5) over any (doc_id, text) corpus — the x_neardup_
+    * jaccard pipeline reused as a building block.
+    */
+  private[queries] def neardupEdges(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("sh", TF.shingles(col("text"), 2))
+    val sigs = base
+      .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))
+      .select(col("doc_id"),
+        coalesce(TF.minhashFromHashes(col("_h"), k = 4),
+          concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
+    val cand = sigs.groupBy("sig")
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    Extensions.pairJaccard(base.select("doc_id", "text"), cand)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     // X1: exact dedup — hash-groupBy on content; survivors keep min doc_id.
@@ -349,6 +402,126 @@ object Extensions {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
+
+    // X2f: duplicate-CLUSTER resolution — pair detection alone can't drive
+    // "keep one copy": near-dup is transitive in practice (A~B, B~C), so
+    // the keep/drop decision needs connected components over the pair
+    // graph. Distributed min-label propagation: each iteration is one
+    // (src,dst)-join + min-aggregate — O(cluster diameter) rounds, each a
+    // plain shuffle, label state one row per clustered doc; lineage is cut
+    // per round (localCheckpoint) so the plan stays flat at any scale. The
+    // oracle recomputes components via a recursive CTE.
+    ("x_dup_clusters",
+      (s: SparkSession, d: String) => {
+        val labels = connectedComponents(neardupEdges(Tables.documents(s, d)))
+        labels.groupBy(col("label").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("cluster_rep"))
+      },
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id, sh, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 9, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 17, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 25, 8)))) AS sig
+        |  FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1)
+        |SELECT label AS cluster_rep, count(*) AS n_members, max(doc_id) AS max_doc
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X-pipeline: the END-TO-END training-data preparation flow every piece
+    // above exists for, composed as one job: quality filter → exact dedup
+    // (keep min doc_id per content hash) → near-dup cluster resolution
+    // (keep each component's representative) → deterministic split. Every
+    // stage is a shuffle-bounded DataFrame op (filter / hash-agg / the CC
+    // rounds / projection), so the 100 TB plan is the same plan.
+    ("x_pipeline",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val quality = docs.filter(
+          TF.qualityPass(col("text"), 10, 500, Seq("the", "a", "data", "value"), 0.3))
+        val keepIds = quality
+          .groupBy(TF.fingerprint(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        // materialize the filtered+deduped corpus once: it feeds the edge
+        // builder (streamed twice for pair verification) and the final
+        // anti-join — recomputing the quality expression 3x would dominate
+        val surv = quality.join(keepIds, "doc_id").localCheckpoint()
+        val labels = connectedComponents(neardupEdges(surv))
+        val dropIds = labels.filter(col("label") =!= col("doc_id")).select("doc_id")
+        val kept = surv.join(dropIds, Seq("doc_id"), "left_anti")
+        val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+        kept
+          .withColumn("split",
+            when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split"))
+      },
+      s"""WITH RECURSIVE toked AS (
+        |  SELECT doc_id, text, lang, n_chars, $toksSql AS toks FROM documents),
+        |q AS (
+        |  SELECT * FROM toked
+        |  WHERE len(toks) BETWEEN 10 AND 500
+        |    AND CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'data', 'value'))) AS DOUBLE)
+        |      / len(toks) < 0.3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |surv AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM surv),
+        |sigs AS (
+        |  SELECT doc_id, sh, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 9, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 17, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 25, 8)))) AS sig
+        |  FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1),
+        |kept AS (
+        |  SELECT s.* FROM surv s LEFT JOIN labels l ON s.doc_id = l.doc_id
+        |  WHERE l.doc_id IS NULL OR l.label = s.doc_id)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // X2e: banded MinHash (OR-of-ANDs LSH): 2 bands x 3 rows — docs sharing
     // ANY band signature are candidates, so recall exceeds the single AND-only
