@@ -715,6 +715,31 @@ object MaintenanceOps {
           .withColumn("audit_saw_all", lit(auditTotal == total))
       },
       aggByTypeSqlFrom.format("events").replace("AS sum_value",
-        "AS sum_value,\n  true AS staged_hidden, true AS audit_saw_all"))
+        "AS sum_value,\n  true AS staged_hidden, true AS audit_saw_all")),
+
+    // S14 extended: hybrid pruning-aware COUNT — on a range-clustered
+    // layout most files' stats DECIDE a range predicate for every row
+    // (record count contributes with zero I/O) and only the boundary
+    // file(s) straddling the cutoff are scanned. The flag certifies both
+    // halves from the countRows breakdown: at 100 TB this turns a filtered
+    // count into metadata work plus one file's worth of scan.
+    ("g_hybrid_count",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        val cat = newCatalog()
+        val t = cat.createTable("db.li_hyb", li.schema)
+        t.append(s, li)
+        t.setProperty("cluster-by", "l_orderkey")
+        t.compact(s, targetFileSizeBytes = Some(64 * 1024))
+        val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+        val sc = t.scan(Predicate.Lt("l_orderkey", cut))
+        val (n, decided, scanned) = sc.countRows(s)
+        import s.implicits._
+        Seq((n, decided > 0 && scanned < sc.metrics.filesTotal))
+          .toDF("n", "hybrid_pruned")
+      },
+      """SELECT count(*) AS n, true AS hybrid_pruned
+        |FROM lineitem
+        |WHERE l_orderkey < (SELECT max(l_orderkey)//2 FROM lineitem)""".stripMargin)
   )
 }

@@ -277,12 +277,78 @@ class GraftScan(
       }
       case leaf: Leaf =>
         val dt = meta.currentSchema.fields.find(_.name == leaf.col).map(_.dataType)
-        for {
-          t <- dt
-          c <- fileConstant(f, leaf.col)
-          v <- evalLeafOnConstant(leaf, t, c)
-        } yield v
+        dt.flatMap { t =>
+          // identity-partition constant decides exactly both ways; else the
+          // file's stats may still decide: the sound pruner proves FALSE
+          // ("no row can match"), the bounds can prove TRUE ("every row
+          // matches" — bound directions make this sound even for truncated
+          // string bounds: stored lo <= actual min, stored hi >= actual max)
+          fileConstant(f, leaf.col).flatMap(c => evalLeafOnConstant(leaf, t, c))
+            .orElse {
+              if (!Predicate.mayMatch(leaf, fileCtx(f))) Some(false)
+              else if (allRowsMatch(leaf, t, f)) Some(true)
+              else None
+            }
+        }
     }
+  }
+
+  /** Can the file's stats prove EVERY row matches `leaf`? Conservative:
+    * false means "cannot prove", not "some row fails". Null rows never
+    * match a value comparison, so all value cases require nullCount == 0.
+    */
+  private def allRowsMatch(leaf: Predicate.Leaf, dt: DataType, f: DataFile): Boolean = {
+    import Predicate._
+    val field = meta.currentSchema.fields.find(_.name == leaf.col).getOrElse(return false)
+    val st = f.stats.get(GraftSchema.fieldId(field)).getOrElse(return false)
+    if (f.recordCount == 0L) return true
+    lazy val lo = st.min.map(Canonical.fromJsonString(dt, _))
+    lazy val hi = st.max.map(Canonical.fromJsonString(dt, _))
+    val noNulls = st.nullCount.contains(0L)
+    def c(raw: Any): Option[Any] = Canonical.of(dt, raw)
+    leaf match {
+      case IsNull(_) => st.nullCount.contains(f.recordCount)
+      case NotNull(_) => noNulls
+      case Eq(_, raw) => noNulls && (for (v <- c(raw); l <- lo; h <- hi)
+        yield Canonical.compare(l, v) == 0 && Canonical.compare(h, v) == 0).getOrElse(false)
+      case NotEq(_, raw) => noNulls && (for (v <- c(raw); l <- lo; h <- hi)
+        yield Canonical.compare(v, l) < 0 || Canonical.compare(v, h) > 0).getOrElse(false)
+      case Lt(_, raw) => noNulls && (for (v <- c(raw); h <- hi)
+        yield Canonical.compare(h, v) < 0).getOrElse(false)
+      case LtEq(_, raw) => noNulls && (for (v <- c(raw); h <- hi)
+        yield Canonical.compare(h, v) <= 0).getOrElse(false)
+      case Gt(_, raw) => noNulls && (for (v <- c(raw); l <- lo)
+        yield Canonical.compare(l, v) > 0).getOrElse(false)
+      case GtEq(_, raw) => noNulls && (for (v <- c(raw); l <- lo)
+        yield Canonical.compare(l, v) >= 0).getOrElse(false)
+      case In(_, raws) => noNulls && (for (l <- lo; h <- hi) yield
+        Canonical.compare(l, h) == 0 &&
+          raws.filter(_ != null).flatMap(c).exists(v => Canonical.compare(l, v) == 0))
+        .getOrElse(false)
+      // a truncated (rounded-up) upper bound proves nothing about prefixes
+      case StartsWith(_, _) => false
+    }
+  }
+
+  /** COUNT(*) with the predicate decided at the metadata plane wherever
+    * provable: files whose identity-partition constant or stats decide the
+    * predicate for all rows contribute their record counts with zero I/O;
+    * only the undecidable boundary files are scanned (with the row filter
+    * applied). Falls back to a full filtered count when the snapshot has
+    * delete files. @return (count, decidedFiles, scannedFiles)
+    */
+  def countRows(spark: SparkSession): (Long, Long, Long) = {
+    val (files, deletes, _) = plan
+    if (deletes.nonEmpty)
+      return (toDF(spark).count(), 0L, files.size.toLong)
+    val verdicts = files.map(f => f -> exactEval(pred, f))
+    val decided = verdicts.collect { case (f, Some(true)) => f.recordCount }.sum
+    val boundary = verdicts.collect { case (f, None) => f }
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else predicates.foldLeft(materialize(spark, boundary, Nil, withFileMeta = false))(
+        (d, p) => d.filter(p.toColumn)).count()
+    (decided + scanned, verdicts.count(_._2.contains(true)).toLong, boundary.size.toLong)
   }
 
   /** SQL filter semantics of one leaf against a constant row value (None =

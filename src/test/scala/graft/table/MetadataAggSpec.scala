@@ -88,6 +88,35 @@ class MetadataAggSpec extends SparkSpec {
     assert(t.scan().metadataCount.contains(3L))
   }
 
+  test("hybrid countRows: stats-decided files free, only boundary scanned") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("pad", StringType)))
+    val t = cat.createTable("db.hyb", s2)
+    // 4 appends of disjoint contiguous ranges -> 4+ files with tight bounds
+    for (base <- Seq(0, 100, 200, 300))
+      t.append(spark, spark.createDataFrame(
+        (base until base + 100).map(i => Row(i.toLong, s"p$i")).asJava, s2))
+    // cutoff mid-file (local[4] splits each append into 25-row slabs, so
+    // 145 straddles the [125,149] file): earlier files fully match, later
+    // ones prune, exactly the straddling file(s) need scanning
+    val sc = t.scan(Predicate.Lt("id", 145L))
+    val (n, decided, scanned) = sc.countRows(spark)
+    assert(n == 145L)
+    assert(decided >= 1L, "the fully-covered range must be metadata-decided")
+    assert(scanned >= 1L && scanned < sc.metrics.filesTotal,
+      s"only boundary files scanned, got $scanned of ${sc.metrics.filesTotal}")
+    // pure-metadata count also benefits from stats-decided files when
+    // nothing is left undecided
+    assert(t.scan(Predicate.Lt("id", 100L)).metadataCount.contains(100L))
+    // MOR deletes force the full-scan fallback, still correct
+    val m = cat.createTable("db.hybm", s2)
+    m.setProperty(graft.format.TableProperties.MergeOnRead, "true")
+    m.append(spark, spark.createDataFrame(
+      (0 until 100).map(i => Row(i.toLong, s"p$i")).asJava, s2))
+    m.delete(spark, Seq(Predicate.Lt("id", 10L)))
+    assert(m.scan(Predicate.Lt("id", 50L)).countRows(spark)._1 == 40L)
+  }
+
   test("SQL count(*)/min/max collapse to LocalRelation — no scan in the plan") {
     val wh = tempWarehouse()
     spark.conf.set("spark.sql.catalog.gmeta", classOf[graft.sources.GraftTableCatalog].getName)
