@@ -60,14 +60,17 @@ object Extensions {
       iters += 1
       val prop = bi.join(labels, bi("dst") === labels("doc_id"))
         .groupBy(bi("src")).agg(min(col("label")).as("nbr"))
+      // carry a change flag through the same job: the convergence check is
+      // then a cheap count on the just-materialized checkpoint, not a
+      // second join against the previous labels
       val next = labels.alias("l")
         .join(prop.alias("p"), col("l.doc_id") === col("p.src"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"),
+          (coalesce(col("p.nbr"), col("l.label")) < col("l.label")).as("chg"))
         .localCheckpoint()
-      changed = next.alias("n").join(labels.alias("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("chg")).limit(1).count() > 0
+      labels = next.drop("chg")
     }
     require(!changed, s"label propagation did not converge in $iters iterations")
     labels

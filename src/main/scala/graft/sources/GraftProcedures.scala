@@ -119,6 +119,25 @@ object GraftProcedures {
           require(!in.isNullAt(1), "cherrypick requires snapshot_id")
           Seq(Row(t.cherryPick(in.getLong(1)).snapshotId))
         })),
+      "publish" -> ((
+        Seq(strParam("table", "table name"), strParam("branch", "staged branch to fast-forward")),
+        StructType(Seq(StructField("current_snapshot_id", LongType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val next = t.publish(in.getUTF8String(1).toString)
+          Seq(Row(next.currentSnapshotId.getOrElse(-1L)))
+        })),
+      "set_ref" -> ((
+        Seq(strParam("table", "table name"), strParam("ref", "branch/tag name"),
+          optLong("snapshot_id", "target snapshot")),
+        StructType(Seq(StructField("ref", StringType), StructField("snapshot_id", LongType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          require(!in.isNullAt(2), "set_ref requires snapshot_id")
+          val name = in.getUTF8String(1).toString
+          t.setRef(name, in.getLong(2))
+          Seq(Row(name, in.getLong(2)))
+        })),
       "maintain" -> ((
         Seq(strParam("table", "table name")),
         healthSchema,
@@ -131,7 +150,7 @@ object GraftProcedures {
   }
 
   private val names = Seq("cherrypick", "compact", "expire_snapshots", "health",
-    "maintain", "remove_orphan_files", "rewrite_manifests", "rollback")
+    "maintain", "publish", "remove_orphan_files", "rewrite_manifests", "rollback", "set_ref")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))

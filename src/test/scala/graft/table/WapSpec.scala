@@ -76,6 +76,20 @@ class WapSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 20)
   }
 
+  test("publish is reachable from SQL: CALL system.publish") {
+    val wh = tempWarehouse()
+    spark.conf.set("spark.sql.catalog.gwap", classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwap.warehouse", wh)
+    spark.sql("CREATE TABLE gwap.db.t (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gwap.db.t VALUES (1, 'a'), (2, 'b')")
+    new GraftCatalog(wh).loadTable("db.t").appendToBranch(spark, mk(10, 3), "audit")
+    assert(spark.sql("SELECT count(*) FROM gwap.db.t").head.getLong(0) == 2,
+      "staged rows must stay invisible to SQL readers")
+    val out = spark.sql("CALL gwap.system.publish(table => 'db.t', branch => 'audit')")
+    assert(out.columns.toSeq == Seq("current_snapshot_id"))
+    assert(spark.sql("SELECT count(*) FROM gwap.db.t").head.getLong(0) == 5)
+  }
+
   test("branch commits survive snapshot expiry (refs are GC roots)") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.wapg", schema)
