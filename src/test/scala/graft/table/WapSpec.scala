@@ -90,6 +90,31 @@ class WapSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gwap.db.t").head.getLong(0) == 5)
   }
 
+  test("concurrent branch commits retry under OCC; main stays independent") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapc", schema)
+    t.append(spark, mk(0, 10))
+    // pin the fork point: without this, whether the racing main append
+    // lands before or after the first branch commit would change the
+    // branch's base (10 vs 15 rows) and make the assertion timing-dependent
+    t.setRef("audit", t.meta.currentSnapshotId.get)
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(3)
+    // two writers race on the same branch ref, one on main — all must land
+    val tasks = Seq(
+      () => t.appendToBranch(spark, mk(100, 5), "audit"),
+      () => t.appendToBranch(spark, mk(200, 5), "audit"),
+      () => t.append(spark, mk(300, 5)))
+    val futures = tasks.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = f()
+    }))
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(t.toDF(spark).count() == 15, "main = initial 10 + its own append")
+    assert(t.atRef("audit").toDF(spark).count() == 20,
+      "branch = fork base 10 + BOTH staged batches (OCC retry, no lost update)")
+  }
+
   test("branch commits survive snapshot expiry (refs are GC roots)") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.wapg", schema)
