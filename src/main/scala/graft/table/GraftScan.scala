@@ -72,13 +72,15 @@ class GraftScan(
   def withFilter(more: Predicate*): GraftScan =
     new GraftScan(table, meta, snapshot, predicates ++ more)
 
-  private def readManifestList(s: Snapshot): Seq[ManifestMeta] =
-    MetaJson.manifestListFromJson(
-      GraftUtil.readString(Paths.get(GraftUtil.resolve(meta.location, s.manifestListPath))))
+  private def readManifestList(s: Snapshot): Seq[ManifestMeta] = {
+    val p = GraftUtil.resolve(meta.location, s.manifestListPath)
+    ManifestCache.get(p)(MetaJson.manifestListFromJson(GraftUtil.readString(Paths.get(p))))
+  }
 
-  private def readManifest(m: ManifestMeta): Seq[DataFile] =
-    MetaJson.manifestFromJson(
-      GraftUtil.readString(Paths.get(GraftUtil.resolve(meta.location, m.path))))
+  private def readManifest(m: ManifestMeta): Seq[DataFile] = {
+    val p = GraftUtil.resolve(meta.location, m.path)
+    ManifestCache.get(p)(MetaJson.manifestFromJson(GraftUtil.readString(Paths.get(p))))
+  }
 
   /** Look up the source field for a partition field, preferring `schemaId`. */
   private def sourceField(sourceId: Int, schemaId: Int): Option[StructField] =

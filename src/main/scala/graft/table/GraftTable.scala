@@ -106,13 +106,15 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
 
   private[table] def metadataDir: String = Paths.get(location, "metadata").toString
 
-  private[table] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestMeta] =
-    MetaJson.manifestListFromJson(
-      GraftUtil.readString(Paths.get(GraftUtil.resolve(m.location, s.manifestListPath))))
+  private[table] def readManifestList(m: TableMetadata, s: Snapshot): Seq[ManifestMeta] = {
+    val p = GraftUtil.resolve(m.location, s.manifestListPath)
+    ManifestCache.get(p)(MetaJson.manifestListFromJson(GraftUtil.readString(Paths.get(p))))
+  }
 
-  private[table] def readManifest(m: TableMetadata, mf: ManifestMeta): Seq[DataFile] =
-    MetaJson.manifestFromJson(
-      GraftUtil.readString(Paths.get(GraftUtil.resolve(m.location, mf.path))))
+  private[table] def readManifest(m: TableMetadata, mf: ManifestMeta): Seq[DataFile] = {
+    val p = GraftUtil.resolve(m.location, mf.path)
+    ManifestCache.get(p)(MetaJson.manifestFromJson(GraftUtil.readString(Paths.get(p))))
+  }
 
   /** Write one manifest file + compute its partition summaries (docs/03:77-109). */
   private[table] def writeManifest(m: TableMetadata, files: Seq[DataFile],
