@@ -96,6 +96,35 @@ class BloomSpec extends SparkSpec {
     assert(Bloom.mayContain("not-base64!!!", (1L, 2L)))
   }
 
+  test("seeded multi-type soundness: no present value is ever bloom-pruned") {
+    val rng = new scala.util.Random(42)
+    val cases: Seq[(DataType, Int => Any)] = Seq(
+      (IntegerType, i => rng.nextInt(100000) * 2 + (i % 2)),
+      (LongType, i => rng.nextLong() / 1000),
+      (StringType, i => s"v${rng.nextInt(100000)}_${"x" * (i % 20)}"),
+      (DecimalType(18, 2), i => new java.math.BigDecimal(s"${rng.nextInt(100000)}.${10 + i % 90}")),
+      (DateType, i => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rng.nextInt(20000).toLong))),
+      (TimestampNTZType, i =>
+        java.time.LocalDateTime.ofEpochSecond(rng.nextInt(1700000000).toLong, 0,
+          java.time.ZoneOffset.UTC)),
+      (DoubleType, i => rng.nextDouble() * 1e6),
+      (FloatType, i => rng.nextFloat() * 1e3f))
+    for ((dt, gen) <- cases) {
+      val s2 = StructType(Seq(StructField("k", dt), StructField("i", IntegerType)))
+      val values = (0 until 40).map(gen).distinct
+      val cat = new GraftCatalog(tempWarehouse())
+      val t = cat.createTable("db.bs", s2)
+      t.setProperty(TableProperties.BloomColumns, "k")
+      t.append(spark, spark.createDataFrame(
+        values.zipWithIndex.map { case (v, i) => Row(v, i) }.asJava, s2))
+      // every present value must survive bloom pruning and be found
+      for (v <- values.take(12)) {
+        val n = t.scan(Predicate.Eq("k", v)).toDF(spark).filter(col("k") === lit(v)).count()
+        assert(n >= 1L, s"$dt: present value $v was lost (false negative)")
+      }
+    }
+  }
+
   test("compaction rewrites carry blooms forward") {
     val t = table(bloom = true)
     t.compact(spark)
