@@ -80,7 +80,7 @@ object TextFunctions {
     * in interpreted HOFs).
     */
   def itemHashes(items: Column): Column =
-    transform(array_distinct(filter(items, _.isNotNull)), t => md5(t))
+    transform(array_distinct(array_compact(items)), t => md5(t))
 
   /** Step 2: the k-slice MinHash signature from materialized per-item
     * digests — k direct `array_min` passes over cheap substrings. NULL for

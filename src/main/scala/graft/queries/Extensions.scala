@@ -522,7 +522,7 @@ object Extensions {
         |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |            ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -756,7 +756,7 @@ object Extensions {
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_unique,
-        |  sum(n_chars) AS sum_chars, count(DISTINCT lang) AS n_langs
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
