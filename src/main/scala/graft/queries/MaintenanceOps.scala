@@ -740,6 +740,62 @@ object MaintenanceOps {
       },
       """SELECT count(*) AS n, true AS hybrid_pruned
         |FROM lineitem
-        |WHERE l_orderkey < (SELECT max(l_orderkey)//2 FROM lineitem)""".stripMargin)
+        |WHERE l_orderkey < (SELECT max(l_orderkey)//2 FROM lineitem)""".stripMargin),
+
+    // Storage-partitioned (shuffle-free) join (docs/07-partitioning.md:151
+    // bucket guidance + docs/09:178 join distribution): two Graft tables
+    // bucketed identically on the join key report KeyGroupedPartitioning
+    // from a real DSv2 batch scan, and EnsureRequirements plans the join
+    // with ZERO exchanges — at 100 TB this deletes both full-table shuffles
+    // from every co-bucketed join. The flag is plan-certified: the probe
+    // join's executed plan must contain the graft-spj scan and no
+    // ShuffleExchange anywhere.
+    ("g_storage_partitioned_join",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val sfx = java.util.UUID.randomUUID().toString.take(8)
+        val fact = s"spjo_$sfx"; val dim = s"spjc_$sfx"
+        Tables.orders(s, d).createOrReplaceTempView("orders_src")
+        Tables.customer(s, d).createOrReplaceTempView("customer_src")
+        s.sql(s"""CREATE TABLE graft_sql.db.$fact (
+          |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+        s.sql(s"""CREATE TABLE graft_sql.db.$dim (
+          |  c_custkey BIGINT, c_mktsegment STRING)
+          |PARTITIONED BY (bucket(16, c_custkey))""".stripMargin)
+        s.sql(s"INSERT INTO graft_sql.db.$fact " +
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src")
+        s.sql(s"INSERT INTO graft_sql.db.$dim " +
+          "SELECT c_custkey, c_mktsegment FROM customer_src")
+        // plan probe: the bare join (hinted to sort-merge, so broadcast
+        // can't mask a shuffle) must execute with zero exchanges
+        val probe = s.sql(
+          s"""SELECT /*+ MERGE(c) */ o.o_custkey, o.o_totalprice, c.c_mktsegment
+             |FROM graft_sql.db.$fact o JOIN graft_sql.db.$dim c
+             |  ON o.o_custkey = c.c_custkey""".stripMargin)
+        probe.collect()
+        val top = probe.queryExecution.executedPlan
+        val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val shuffles = plans.map(_.collect { case _: ShuffleExchangeExec => 1 }.sum).sum
+        val spjScan = plans.exists(_.toString.contains("graft-spj"))
+        s.sql(
+          s"""SELECT c.c_mktsegment, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM graft_sql.db.$fact o JOIN graft_sql.db.$dim c
+             |  ON o.o_custkey = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+          .withColumn("shuffle_free_join", lit(shuffles == 0 && spjScan))
+      },
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  true AS shuffle_free_join
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference, Transform => VTransform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -43,10 +43,21 @@ import scala.jdk.CollectionConverters._
   * what executes is Spark's own parquet scan (vectorized, codegen,
   * row-group pushdown). A [[V1Scan]] fallback keeps plain sessions correct.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var cat: GraftCatalog = _
+
+  // FunctionCatalog: exposes the write path's partition transforms so Spark
+  // can resolve reported KeyGroupedPartitioning keys (storage-partitioned
+  // joins resolve `bucket` through the relation's function catalog).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -297,9 +308,10 @@ class GraftSparkTable(val graftTable: GraftTable, val travel: TimeTravel) extend
 }
 
 class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var preds: Seq[Predicate] = Nil
   private var accepted: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, _) = filters.partition(f => GraftRelation.toPredicate(f).isDefined)
@@ -311,7 +323,30 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
     filters
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new GraftV2Scan(tbl, preds)
+
+  // Column pruning is consumed by the SPJ batch path only; the substituted
+  // native plan and the V1 fallback do their own pruning, so GraftV2Scan
+  // keeps reporting the full schema (Spark projects above it either way).
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  /** SPJ batch scan when provably equivalent to the native path (see
+    * [[GraftSpj]]); otherwise the V1Scan whose relation the substitution
+    * rule replaces.
+    */
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val spj =
+      if (!GraftSpj.enabled(spark)) None
+      else GraftSpj.shapeOf(tbl).flatMap { info =>
+        val native = tbl.nativeScan(preds)
+        GraftSpj.planEligible(native).map { files =>
+          new GraftSpjScan(tbl, info, files, accepted,
+            required.getOrElse(tbl.schema()), native.meta.location)
+        }
+      }
+    spj.getOrElse(new GraftV2Scan(tbl, preds))
+  }
 }
 
 /** The v2 Scan. Normally never executed — [[GraftScanSubstitution]] replaces
@@ -413,7 +448,10 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => plan.transformWithSubqueries {
       case agg: Aggregate if agg.groupingExpressions.isEmpty =>
         tryMetadataAggregate(agg).getOrElse(agg)
-      case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] =>
+      // SPJ batch scans stay v2: their KeyGroupedPartitioning is what lets
+      // EnsureRequirements drop the exchanges under co-bucketed joins.
+      case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] &&
+          !r.scan.isInstanceOf[GraftSpjScan] =>
         val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
         substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, Murmur3Hash}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, Metadata, StructType}
+
+import graft.format.{Canonical, DataFile, GraftSchema, GraftUtil, PartitionField, Transform}
+import graft.table.GraftScan
+
+/** Storage-partitioned (shuffle-free) join support (reference
+  * docs/07-partitioning.md:151 bucket guidance + docs/09-query-performance
+  * .md:178 join distribution): a Graft table bucket-partitioned on its join
+  * key reports `KeyGroupedPartitioning(bucket(n, col))` from a real DSv2
+  * Batch scan, one `InputPartition` per present bucket value. Two tables
+  * bucketed identically then join with ZERO exchanges — at 100 TB this
+  * removes both full-table shuffles from every co-bucketed fact-fact join,
+  * the single largest plan win bucketing can buy.
+  *
+  * The batch path reads parquet through Spark's own vectorized reader
+  * (`ParquetFileFormat.buildReaderWithPartitionValues`), so codegen/row
+  * decode matches the substituted native path. It engages only when it is
+  * provably equivalent to that path: current-snapshot scan, a single
+  * bucket partition field, no outstanding position deletes, and every file
+  * written under the current schema + spec (no read-time resolution needed).
+  * Everything else falls back to [[GraftV2Scan]] → native substitution.
+  */
+object GraftSpj {
+
+  /** The table's single bucket partition field, when shaped for SPJ. */
+  final case class SpjInfo(colName: String, srcType: DataType, numBuckets: Int,
+                           partFieldName: String)
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+      spark.conf.get("graft.spj.enabled", "true").toBoolean
+
+  def shapeOf(tbl: GraftSparkTable): Option[SpjInfo] = {
+    if (tbl.travel != TimeTravel.None) return None
+    val meta = tbl.graftTable.meta
+    meta.defaultSpec.fields match {
+      case Seq(PartitionField(srcId, pname, Transform.Bucket(n))) =>
+        meta.currentSchema.fields
+          .find(f => GraftSchema.fieldId(f) == srcId)
+          .map(src => SpjInfo(src.name, src.dataType, n, pname))
+      case _ => None
+    }
+  }
+
+  /** All files readable verbatim under the current schema/spec, none deleted
+    * away by position deletes, and at least one file (an empty key-grouped
+    * scan would report zero partitions).
+    */
+  def planEligible(scan: GraftScan): Option[Seq[DataFile]] = {
+    val (files, deletes, _) = scan.plan
+    val ok = deletes.isEmpty && files.nonEmpty &&
+      files.forall(f => f.schemaId == scan.meta.currentSchemaId &&
+        f.specId == scan.meta.defaultSpecId)
+    if (ok) Some(files) else None
+  }
+}
+
+/** DSv2 Batch scan over one pinned Graft snapshot, grouped by bucket value.
+  * Reports [[KeyGroupedPartitioning]] so `EnsureRequirements` plans
+  * co-bucketed joins without exchanges (requires
+  * `spark.sql.sources.v2.bucketing.enabled=true`).
+  */
+class GraftSpjScan(
+    val tbl: GraftSparkTable,
+    val info: GraftSpj.SpjInfo,
+    val files: Seq[DataFile],
+    val pushed: Array[Filter],
+    val required: StructType,
+    location: String) extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-spj ${tbl.name()} bucket(${info.numBuckets}, ${info.colName})"
+
+  /** Files grouped by stored bucket value (null partition last, for a stable
+    * display order; Spark re-groups by key itself).
+    */
+  private lazy val groups: Seq[(Any, Seq[DataFile])] =
+    files.groupBy(_.partition.get(info.partFieldName).flatten
+        .map(s => Canonical.fromJsonString(LongType, s)))
+      .toSeq
+      .sortBy { case (k, _) => k.map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue) }
+      .map { case (k, fs) => (k.orNull, fs) }
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(info.numBuckets, info.colName)), groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (key, fs) =>
+      GraftBucketPartition(
+        new GenericInternalRow(Array[Any](key)),
+        fs.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val strip = (s: StructType) =>
+      StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
+    // OPTION_RETURNING_BATCH=false: vectorized parquet decode, row-at-a-time
+    // surface — the DSv2 row PartitionReader contract without giving up the
+    // columnar inner loop.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = strip(tbl.graftTable.schema),
+      partitionSchema = new StructType(),
+      requiredSchema = strip(required),
+      filters = pushed.toSeq,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    GraftSpjReaderFactory(readFunc)
+  }
+}
+
+/** One bucket's files; `partitionKey` is the stored bucket value (nullable —
+  * rows with a null bucket column land in the null partition).
+  */
+case class GraftBucketPartition(key: GenericInternalRow, files: Seq[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+case class GraftSpjReaderFactory(read: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    val rows = p.files.iterator.flatMap { case (path, size) =>
+      read(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+        0L, size, Array.empty, 0L, size, Map.empty))
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The catalog-level `bucket` function (FunctionCatalog surface): Spark
+  * resolves the reported `bucket(n, col)` transform against this to build
+  * the catalyst `TransformExpression` it compares across join sides. The
+  * bound implementation reproduces the write path exactly —
+  * `pmod(murmur3(col, seed=42), n)` ([[graft.format.Transforms]]) — so a
+  * runtime re-shuffle by this function (v2 bucketing shuffle) lands rows in
+  * the same buckets the writer did.
+  */
+object GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): Graft write-path bucket id (murmur3 seed 42, pmod)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets INT, col), got ${inputType.catalogString}")
+    GraftBucketFunction(inputType.fields(1).dataType)
+  }
+}
+
+case class GraftBucketFunction(srcType: DataType) extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${srcType.catalogString})"
+  override def isResultNullable: Boolean = true
+
+  @transient private lazy val hashExpr =
+    Murmur3Hash(Seq(BoundReference(1, srcType, nullable = true)), 42)
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(1)) null
+    else {
+      val n = input.getInt(0)
+      val h = hashExpr.eval(input).asInstanceOf[Int]
+      val m = h % n
+      (if (m < 0) m + n else m).toLong
+    }
+}
