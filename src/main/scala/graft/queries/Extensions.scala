@@ -76,6 +76,37 @@ object Extensions {
     labels
   }
 
+  /** Candidate pairs from signature buckets, with the in-bucket all-pairs
+    * explode BOUNDED: a bucket of b members normally yields b·(b-1)/2 rows
+    * from one group — a boilerplate-heavy corpus at 100 TB plants a
+    * mega-bucket whose quadratic explode becomes one straggler task. Buckets
+    * over `graft.neardup.max-bucket` (default 256) are split into sub-buckets
+    * by a secondary hash (all-pairs within each) plus one bridge group of the
+    * sub-bucket minima, so pair count is O(b·cap + (b/cap)²) and cluster
+    * connectivity survives the split (every sub-bucket links through its
+    * min). Below the cap the expansion is exactly the original all-pairs —
+    * the common path pays one `when` per bucket row, nothing more.
+    */
+  private[queries] def boundedBucketPairs(buckets: DataFrame): DataFrame = {
+    val cap = buckets.sparkSession.conf.getOption("graft.neardup.max-bucket")
+      .map(_.toInt).getOrElse(256)
+    def sub(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      filter(col("members"), m => pmod(hash(m), col("nsub")) === i)
+    buckets
+      .filter(size(col("members")) > 1)
+      .withColumn("nsub", ceil(size(col("members")).cast("double") / cap).cast("int"))
+      .withColumn("groups",
+        when(col("nsub") <= 1, array(col("members")))
+          .otherwise(concat(
+            transform(sequence(lit(0), col("nsub") - 1), sub(_)),
+            array(transform(sequence(lit(0), col("nsub") - 1), i => array_min(sub(i)))))))
+      .select(explode(col("groups")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b")) // also drops null mins of empty sub-buckets
+  }
+
   /** Shared near-dup edge builder (shingle → k=4 MinHash sig → bucket pairs
     * → exact-Jaccard ≥ 0.5) over any (doc_id, text) corpus — the x_neardup_
     * jaccard pipeline reused as a building block.
@@ -88,12 +119,8 @@ object Extensions {
       .select(col("doc_id"),
         coalesce(TF.minhashFromHashes(col("_h"), k = 4),
           concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
-    val cand = sigs.groupBy("sig")
-      .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    val cand = boundedBucketPairs(
+      sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
     Extensions.pairJaccard(base.select("doc_id", "text"), cand)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -374,12 +401,8 @@ object Extensions {
           .select(col("doc_id"),
             coalesce(TF.minhashFromHashes(col("_h"), k = 4),
               concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
-        val pairs = sigs.groupBy("sig")
-          .agg(collect_list(col("doc_id")).as("members"))
-          .filter(size(col("members")) > 1)
-          .select(explode(col("members")).as("doc_a"), col("members"))
-          .select(col("doc_a"), explode(col("members")).as("doc_b"))
-          .filter(col("doc_a") < col("doc_b"))
+        val pairs = boundedBucketPairs(
+          sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
         Extensions.pairJaccard(base.select("doc_id", "text"), pairs)
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
@@ -552,12 +575,8 @@ object Extensions {
         // (a self-join would run it once per side), one shuffle of
         // (doc_id, band, sig); shingle-less docs yield a NULL bands array,
         // which posexplode drops entirely
-        val pairs = banded.groupBy("band", "sig")
-          .agg(collect_list(col("doc_id")).as("members"))
-          .filter(size(col("members")) > 1)
-          .select(explode(col("members")).as("doc_a"), col("members"))
-          .select(col("doc_a"), explode(col("members")).as("doc_b"))
-          .filter(col("doc_a") < col("doc_b"))
+        val pairs = boundedBucketPairs(
+          banded.groupBy("band", "sig").agg(collect_list(col("doc_id")).as("members")))
           .distinct() // a pair may collide in >1 band
         Extensions.pairJaccard(base.select("doc_id", "text"), pairs)
           .filter(col("jaccard") >= 0.5)
