@@ -178,9 +178,19 @@ trait GraftDml { self: GraftTable =>
       return commitSnapshot("delete", statementId, Map("added-delete-files" -> "0")) { m =>
         m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
       }
+    // Iceberg's reserved position-delete column IDs go into the parquet
+    // footers (Spark writes `parquet.field.id` metadata as field ids): an
+    // external Iceberg engine reading an exported MOR snapshot resolves
+    // delete columns BY ID (2147483546 = file_path, 2147483545 = pos), so
+    // without them the deletes are unreadable outside Graft (docs/11:53-87).
+    val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
     val matches = scan0.materialize(spark, candidates, scan0.deleteFiles, withFileMeta = true)
       .filter(cond)
-      .select(col("_gf_file").as("file_path"), col("_gf_pos").as("pos"))
+      .select(col("_gf_file").as("file_path", pathMeta),
+        col("_gf_pos").as("pos", posMeta))
     // sort by (file, pos) so a reader could range-skip; small files are fine —
     // the <10% delete-ratio health bound (docs/10:123) keeps this side tiny.
     // Delete files live OUTSIDE data/ so directory-watching readers

@@ -177,4 +177,30 @@ class IcebergExportSpec extends SparkSpec {
     assert(allIds.forall(_ <= lastColId),
       s"last-column-id $lastColId must cover max assigned id ${allIds.max}")
   }
+
+  test("position-delete parquet files carry Iceberg's reserved field ids") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.delid", schema,
+      properties = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mk(Seq((1L, "a", "2024-01-01", 1.0), (2L, "b", "2024-01-02", 2.0))))
+    t.delete(spark, Seq(Predicate.Eq("id", 1L)))
+    val dels = t.scan().deleteFiles
+    assert(dels.nonEmpty, "expected a position-delete file")
+    dels.foreach { f =>
+      val p = graft.format.GraftUtil.resolve(t.location, f.path)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new HPath(p), spark.sparkContext.hadoopConfiguration))
+      try {
+        val s = reader.getFileMetaData.getSchema
+        // Iceberg spec: an external engine resolves delete columns by ID
+        def idOf(name: String): Int =
+          s.getFields.asScala.find(_.getName == name).get.getId.intValue
+        assert(idOf("file_path") == 2147483546, s"file_path id in $p")
+        assert(idOf("pos") == 2147483545, s"pos id in $p")
+      } finally reader.close()
+    }
+  }
 }
