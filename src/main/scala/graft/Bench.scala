@@ -30,15 +30,34 @@ object Bench {
       .selectExpr("min(array_min(transform(h, x -> substring(x, 1, 8)))) AS m",
         "min(aggregate(h, 'g', (a, x) -> least(a, x))) AS f")
       .collect()
+    // Graft write-path warmup: the first query to BUILD a table fixture used
+    // to absorb the engine's one-time JIT/classloading (round-5's phantom
+    // g_partition_pruned_scan "regression" was exactly this, landing on
+    // whichever query ran first). One tiny end-to-end table takes it out of
+    // every measured number.
+    locally {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+      val cat = new graft.catalog.GraftCatalog(wh)
+      import org.apache.spark.sql.functions.{col, expr}
+      val df = spark.range(0, 2000)
+        .select(col("id"), expr("date_add(date'2024-01-01', cast(id % 7 as int))").as("d"))
+      val t = cat.createTable("db.warm", df.schema,
+        partitionBy = Seq("d" -> graft.format.Transform.Identity))
+      t.append(spark, df)
+      t.delete(spark, Seq(graft.format.Predicate.Eq("id", 7L)))
+      t.compact(spark)
+      t.toDF(spark).count()
+    }
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        graft.queries.FixtureClock.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, graft.queries.FixtureClock.sec)
       }
     // Values are rounded to 3 decimals to keep the one-line JSON short: the
     // round-3 driver captured only the tail of the output and a ~2.9 kB line
@@ -46,11 +65,18 @@ object Bench {
     // is ~1.8 kB. The subset filter (if any) is recorded so a partial local
     // run is distinguishable from a full gate run.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // fixture-build seconds INCLUDED in each query's number above, reported
+    // for the instrumented builders (only entries >= 0.1s, 2dp, to keep the
+    // one-line JSON under the driver's log-tail budget): query-time deltas
+    // across rounds should be read net of this column.
+    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val fx = results.collect { case (k, _, f) if f >= 0.1 => "\"" + k + "\":" + fmt2(f) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val filter = only.map(s => s""","filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$filter}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }

@@ -36,12 +36,14 @@ object MaintenanceOps {
           classOf[graft.sources.GraftTableCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
         val tbl = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
-        Tables.events(s, d).createOrReplaceTempView("events_src")
-        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
-          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
-          |  event_type STRING, value DOUBLE, props STRING)
-          |PARTITIONED BY (days(ts))""".stripMargin)
-        s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src")
+        FixtureClock.timed {
+          Tables.events(s, d).createOrReplaceTempView("events_src")
+          s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+            |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+            |  event_type STRING, value DOUBLE, props STRING)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+          s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src")
+        }
         s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'")
         s.sql(s"UPDATE graft_sql.db.$tbl SET value = value * 2 WHERE event_type = 'view'")
         // MERGE: zero out purchases, insert a synthetic sentinel row
@@ -86,15 +88,17 @@ object MaintenanceOps {
           classOf[graft.sources.GraftTableCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
         val tbl = s"mt_${java.util.UUID.randomUUID().toString.take(8)}"
-        Tables.events(s, d).createOrReplaceTempView("events_src")
-        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
-          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
-          |  event_type STRING, value DOUBLE, props STRING)
-          |PARTITIONED BY (days(ts))
-          |TBLPROPERTIES ('enable-iceberg-merge-on-read' = 'true')""".stripMargin)
-        (0 until 3).foreach(i => s.sql(
-          s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src WHERE event_id % 3 = $i"))
-        s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'") // MOR deletes
+        FixtureClock.timed {
+          Tables.events(s, d).createOrReplaceTempView("events_src")
+          s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+            |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+            |  event_type STRING, value DOUBLE, props STRING)
+            |PARTITIONED BY (days(ts))
+            |TBLPROPERTIES ('enable-iceberg-merge-on-read' = 'true')""".stripMargin)
+          (0 until 3).foreach(i => s.sql(
+            s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src WHERE event_id % 3 = $i"))
+          s.sql(s"DELETE FROM graft_sql.db.$tbl WHERE event_type = 'click'") // MOR deletes
+        }
         def dataFiles(): Long = s.sql(
           s"SELECT count(*) FROM graft_sql.db.$tbl.files WHERE content = 'data'").head.getLong(0)
         val before = dataFiles()
@@ -726,11 +730,14 @@ object MaintenanceOps {
     ("g_hybrid_count",
       (s: SparkSession, d: String) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-        val cat = newCatalog()
-        val t = cat.createTable("db.li_hyb", li.schema)
-        t.append(s, li)
-        t.setProperty("cluster-by", "l_orderkey")
-        t.compact(s, targetFileSizeBytes = Some(64 * 1024))
+        val t = FixtureClock.timed {
+          val cat = newCatalog()
+          val t0 = cat.createTable("db.li_hyb", li.schema)
+          t0.append(s, li)
+          t0.setProperty("cluster-by", "l_orderkey")
+          t0.compact(s, targetFileSizeBytes = Some(64 * 1024))
+          t0
+        }
         val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
         val sc = t.scan(Predicate.Lt("l_orderkey", cut))
         val (n, decided, scanned) = sc.countRows(s)
@@ -761,18 +768,20 @@ object MaintenanceOps {
         s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
         val sfx = java.util.UUID.randomUUID().toString.take(8)
         val fact = s"spjo_$sfx"; val dim = s"spjc_$sfx"
-        Tables.orders(s, d).createOrReplaceTempView("orders_src")
-        Tables.customer(s, d).createOrReplaceTempView("customer_src")
-        s.sql(s"""CREATE TABLE graft_sql.db.$fact (
-          |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
-          |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
-        s.sql(s"""CREATE TABLE graft_sql.db.$dim (
-          |  c_custkey BIGINT, c_mktsegment STRING)
-          |PARTITIONED BY (bucket(16, c_custkey))""".stripMargin)
-        s.sql(s"INSERT INTO graft_sql.db.$fact " +
-          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src")
-        s.sql(s"INSERT INTO graft_sql.db.$dim " +
-          "SELECT c_custkey, c_mktsegment FROM customer_src")
+        FixtureClock.timed {
+          Tables.orders(s, d).createOrReplaceTempView("orders_src")
+          Tables.customer(s, d).createOrReplaceTempView("customer_src")
+          s.sql(s"""CREATE TABLE graft_sql.db.$fact (
+            |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+          s.sql(s"""CREATE TABLE graft_sql.db.$dim (
+            |  c_custkey BIGINT, c_mktsegment STRING)
+            |PARTITIONED BY (bucket(16, c_custkey))""".stripMargin)
+          s.sql(s"INSERT INTO graft_sql.db.$fact " +
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src")
+          s.sql(s"INSERT INTO graft_sql.db.$dim " +
+            "SELECT c_custkey, c_mktsegment FROM customer_src")
+        }
         // plan probe: the bare join (hinted to sort-merge, so broadcast
         // can't mask a shuffle) must execute with zero exchanges
         val probe = s.sql(

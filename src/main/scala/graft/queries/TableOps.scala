@@ -32,15 +32,16 @@ object TableOps {
     */
   private[queries] def eventsTable(s: SparkSession, d: String,
                           partitioned: Boolean = true,
-                          props: Map[String, String] = Map.empty): GraftTable = {
-    val df = Tables.events(s, d)
-    val cat = newCatalog()
-    val t = cat.createTable("db.events", df.schema,
-      partitionBy = if (partitioned) Seq("ts" -> Transform.Day, "event_type" -> Transform.Identity) else Nil,
-      properties = props)
-    t.append(s, df)
-    t
-  }
+                          props: Map[String, String] = Map.empty): GraftTable =
+    FixtureClock.timed {
+      val df = Tables.events(s, d)
+      val cat = newCatalog()
+      val t = cat.createTable("db.events", df.schema,
+        partitionBy = if (partitioned) Seq("ts" -> Transform.Day, "event_type" -> Transform.Identity) else Nil,
+        properties = props)
+      t.append(s, df)
+      t
+    }
 
   private[queries] def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
