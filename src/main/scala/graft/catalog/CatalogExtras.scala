@@ -62,32 +62,209 @@ class CatalogRouter(default: GraftCatalog) {
     routes.asScala.map { case (ns, cat) => ns -> cat.warehouse }.toMap
 }
 
-/** Scheduled-task registry (SURVEY §2.1 D16; reference docs/10:174-183,
-  * docs/12:174-186). Scheduling itself is out of scope (the reference
-  * delegates it to the warehouse scheduler) — this registry stores the task
-  * body + schedule + suspended flag and lets callers run due tasks.
+/** Task schedule expressions (reference docs/10:174-183, docs/12:174-186):
+  * `SCHEDULE = 'USING CRON <min> <hour> <dom> <mon> <dow> [tz]'` or the
+  * interval form `SCHEDULE = '<N> MINUTE[S]'`. Cron fields support `*`,
+  * numbers, names (JAN-DEC / SUN-SAT), ranges, steps and comma lists; the
+  * day-of-month / day-of-week pair follows classic cron OR-when-both-
+  * restricted semantics. Interval schedules are anchored at RESUME time —
+  * the reference starts a task's interval clock when the task is resumed.
   */
-class TaskRegistry {
+object TaskSchedule {
+  import java.time.{Instant, ZoneId}
+  import java.time.temporal.ChronoUnit
+
+  sealed trait Schedule {
+    /** Earliest fire time strictly after `after`; `anchor` is the task's
+      * last RESUME time (interval schedules count from it; cron ignores it).
+      */
+    def nextFire(anchor: Instant, after: Instant): Instant
+  }
+
+  final case class EveryMinutes(n: Int) extends Schedule {
+    require(n > 0, s"interval must be positive, got $n")
+    def nextFire(anchor: Instant, after: Instant): Instant = {
+      val step = n.toLong * 60
+      val elapsed = math.max(0L, after.getEpochSecond - anchor.getEpochSecond)
+      anchor.plusSeconds((elapsed / step + 1) * step)
+    }
+  }
+
+  final case class Cron(minutes: Set[Int], hours: Set[Int], dom: Set[Int],
+                        months: Set[Int], dow: Set[Int],
+                        domStar: Boolean, dowStar: Boolean, zone: ZoneId)
+      extends Schedule {
+    private def dayMatches(t: java.time.ZonedDateTime): Boolean = {
+      val domOk = dom(t.getDayOfMonth)
+      val dowOk = dow(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+      if (!domStar && !dowStar) domOk || dowOk else domOk && dowOk
+    }
+    private def matches(t: java.time.ZonedDateTime): Boolean =
+      minutes(t.getMinute) && hours(t.getHour) &&
+        months(t.getMonthValue) && dayMatches(t)
+
+    def nextFire(anchor: Instant, after: Instant): Instant = {
+      var t = after.atZone(zone).truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
+      var steps = 0
+      val limit = 366 * 24 * 60 * 4 // four years of minutes
+      while (!matches(t)) {
+        // skip whole non-matching days/hours in one hop so sparse schedules
+        // (yearly crons) resolve in thousands of steps, not millions
+        if (!months(t.getMonthValue) || !dayMatches(t))
+          t = t.plusDays(1).truncatedTo(ChronoUnit.DAYS)
+        else if (!hours(t.getHour))
+          t = t.plusHours(1).truncatedTo(ChronoUnit.HOURS)
+        else t = t.plusMinutes(1)
+        steps += 1
+        require(steps < limit, s"cron schedule never fires within 4 years")
+      }
+      t.toInstant
+    }
+  }
+
+  private val monthNames =
+    Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+        "JUL", "AUG", "SEP", "OCT", "NOV", "DEC").zip(1 to 12).toMap
+  private val dowNames =
+    Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT").zipWithIndex.toMap
+
+  private def num(s: String, names: Map[String, Int], lo: Int, hi: Int): Int = {
+    val v = names.getOrElse(s.toUpperCase,
+      try s.toInt catch { case _: NumberFormatException =>
+        sys.error(s"bad cron field value '$s'") })
+    require(v >= lo && v <= hi || (hi == 6 && v == 7), s"cron value $v out of [$lo,$hi]")
+    if (hi == 6 && v == 7) 0 else v // dow: 7 is Sunday too
+  }
+
+  /** One cron field -> (matching values, was-it-`*`). */
+  private def field(spec: String, lo: Int, hi: Int,
+                    names: Map[String, Int] = Map.empty): (Set[Int], Boolean) = {
+    val vals = spec.split(',').toSeq.flatMap { part =>
+      val (rangePart, step) = part.split('/') match {
+        case Array(r)    => (r, 1)
+        case Array(r, s) => (r, s.toInt)
+        case _           => sys.error(s"bad cron field '$part'")
+      }
+      require(step > 0, s"cron step must be positive in '$part'")
+      val (a, b) = rangePart match {
+        case "*"                  => (lo, hi)
+        case r if r.contains('-') =>
+          val Array(x, y) = r.split('-'); (num(x, names, lo, hi), num(y, names, lo, hi))
+        case r =>
+          val v = num(r, names, lo, hi)
+          if (part.contains('/')) (v, hi) else (v, v)
+      }
+      a to b by step
+    }
+    (vals.toSet, spec == "*")
+  }
+
+  /** Parse a SCHEDULE = '...' string. */
+  def parse(text: String): Schedule = {
+    val t = text.trim
+    val cronPrefix = "(?i)^USING\\s+CRON\\s+".r
+    cronPrefix.findFirstIn(t) match {
+      case Some(p) =>
+        val rest = t.substring(p.length).trim.split("\\s+")
+        require(rest.length == 5 || rest.length == 6,
+          s"cron needs 5 fields + optional timezone, got: '$t'")
+        val (mins, _)        = field(rest(0), 0, 59)
+        val (hrs, _)         = field(rest(1), 0, 23)
+        val (dom, domStar)   = field(rest(2), 1, 31)
+        val (mon, _)         = field(rest(3), 1, 12, monthNames)
+        val (dow, dowStar)   = field(rest(4), 0, 6, dowNames)
+        val zone = if (rest.length == 6) ZoneId.of(rest(5)) else ZoneId.of("UTC")
+        Cron(mins, hrs, dom, mon, dow, domStar, dowStar, zone)
+      case None =>
+        val interval = "(?i)^(\\d+)\\s+MINUTES?$".r
+        t match {
+          case interval(n) => EveryMinutes(n.toInt)
+          case _ => sys.error(s"unrecognized schedule '$text'")
+        }
+    }
+  }
+}
+
+/** Scheduled-task registry + dispatcher (SURVEY §2.1 D16; reference
+  * docs/10:174-183, docs/12:174-186). Tasks are created SUSPENDED (the
+  * reference default), carry a parsed [[TaskSchedule.Schedule]], and fire
+  * under a VIRTUAL clock: [[advanceTo]] replays every due (task, fireTime)
+  * pair in strict chronological order — exactly what a warehouse scheduler
+  * does, minus the wall clock, so runs are deterministic and testable.
+  * Interval schedules anchor at RESUME; a task resumed mid-history only
+  * fires from its resume point forward (no catch-up storm).
+  */
+class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
+  import java.time.Instant
   final case class Task(name: String, schedule: String, body: () => Unit,
-                        suspended: Boolean = true)
+                        suspended: Boolean = true,
+                        sched: TaskSchedule.Schedule,
+                        anchor: Instant, nextFire: Option[Instant])
   private val tasks = new ConcurrentHashMap[String, Task]()
+  private var clock: Instant = start
+  private val runs = scala.collection.mutable.ArrayBuffer[(String, Instant)]()
 
-  def createTask(name: String, schedule: String)(body: => Unit): Unit =
-    tasks.put(name, Task(name, schedule, () => body))
+  def now: Instant = synchronized(clock)
 
-  /** ALTER TASK ... RESUME / SUSPEND. */
-  def resume(name: String): Unit =
-    tasks.computeIfPresent(name, (_, t) => t.copy(suspended = false))
-  def suspend(name: String): Unit =
-    tasks.computeIfPresent(name, (_, t) => t.copy(suspended = true))
+  def createTask(name: String, schedule: String)(body: => Unit): Unit = synchronized {
+    tasks.put(name, Task(name, schedule, () => body,
+      sched = TaskSchedule.parse(schedule), anchor = clock, nextFire = None))
+  }
+
+  /** ALTER TASK ... RESUME: task becomes schedulable; its interval clock
+    * (and first fire) count from the current virtual time.
+    */
+  def resume(name: String): Unit = synchronized {
+    tasks.computeIfPresent(name, (_, t) =>
+      t.copy(suspended = false, anchor = clock,
+        nextFire = Some(t.sched.nextFire(clock, clock))))
+  }
+  def suspend(name: String): Unit = synchronized {
+    tasks.computeIfPresent(name, (_, t) => t.copy(suspended = true, nextFire = None))
+  }
 
   /** EXECUTE TASK — runs regardless of suspension (manual trigger). */
   def execute(name: String): Unit =
     Option(tasks.get(name)).getOrElse(sys.error(s"unknown task $name")).body()
 
-  /** Run every non-suspended task (a scheduler tick). */
+  /** Advance the virtual clock to `to`, firing every due (task, fireTime)
+    * in chronological order (ties broken by task name). Returns the fires.
+    */
+  def advanceTo(to: Instant): Seq[(String, Instant)] = synchronized {
+    require(!to.isBefore(clock), s"clock cannot go backwards ($clock -> $to)")
+    val fired = scala.collection.mutable.ArrayBuffer[(String, Instant)]()
+    var continue = true
+    while (continue) {
+      val due = tasks.asScala.values
+        .filter(t => !t.suspended && t.nextFire.exists(!_.isAfter(to)))
+        .toSeq.sortBy(t => (t.nextFire.get, t.name))
+      due.headOption match {
+        case Some(t) =>
+          val at = t.nextFire.get
+          clock = at
+          t.body()
+          fired += ((t.name, at))
+          tasks.computeIfPresent(t.name, (_, cur) =>
+            cur.copy(nextFire = Some(cur.sched.nextFire(cur.anchor, at))))
+        case None => continue = false
+      }
+    }
+    clock = to
+    runs ++= fired
+    fired.toSeq
+  }
+
+  /** Full run history: (task, scheduled fire time) in execution order —
+    * the TASK_HISTORY view's essentials.
+    */
+  def history: Seq[(String, Instant)] = synchronized(runs.toSeq)
+
+  /** Run every non-suspended task once (a manual scheduler tick, schedule
+    * ignored) — the legacy pre-virtual-clock surface, kept for callers
+    * that drive their own scheduler.
+    */
   def runDue(): Seq[String] = {
-    val due = tasks.asScala.values.filter(!_.suspended).toSeq
+    val due = tasks.asScala.values.filter(!_.suspended).toSeq.sortBy(_.name)
     due.foreach(_.body())
     due.map(_.name)
   }

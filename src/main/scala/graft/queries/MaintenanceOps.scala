@@ -805,6 +805,49 @@ object MaintenanceOps {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  true AS shuffle_free_join
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // D16 completed: task SCHEDULING semantics (docs/10:174-183 CREATE TASK
+    // ... SCHEDULE='USING CRON ...' + ALTER TASK RESUME; docs/12:174-186).
+    // An hourly-cron ingest task and a 30-minute interval task fire under a
+    // VIRTUAL clock in strict chronological order; a never-resumed task
+    // stays silent; suspending the ingest task stops its fires. The table
+    // ends up with exactly the chunks the schedule fired (event_id%4 in
+    // 0..2), so the oracle checks the dispatcher's fire count through data.
+    ("g_task_schedule",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_task", df.schema)
+        val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        val reg = new graft.catalog.TaskRegistry(t0)
+        var ingestFires = 0
+        reg.createTask("db.ingest", "USING CRON 0 * * * * UTC") {
+          val i = ingestFires; ingestFires += 1
+          t.append(s, df.filter(col("event_id") % 4 === i))
+        }
+        var auditFires = 0
+        reg.createTask("db.audit", "15 MINUTE") { auditFires += 1 } // never resumed
+        var markFires = 0
+        reg.createTask("db.mark", "30 MINUTE") { markFires += 1 }
+        reg.resume("db.ingest"); reg.resume("db.mark")
+        reg.advanceTo(t0.plusSeconds(3 * 3600))  // ingest @01,02,03; mark x6
+        reg.suspend("db.ingest")
+        reg.advanceTo(t0.plusSeconds(5 * 3600))  // mark x4 more, ingest silent
+        val times = reg.history.map(_._2)
+        val orderOk = times == times.sorted &&
+          reg.history.count(_._1 == "db.ingest") == 3
+        aggByType(t.toDF(s))
+          .withColumn("ingest_fires", lit(ingestFires.toLong))
+          .withColumn("mark_fires", lit(markFires.toLong))
+          .withColumn("suspended_silent", lit(auditFires == 0))
+          .withColumn("fired_in_order", lit(orderOk))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(3 AS BIGINT) AS ingest_fires, CAST(10 AS BIGINT) AS mark_fires,
+        |  true AS suspended_silent, true AS fired_in_order
+        |FROM events WHERE event_id % 4 < 3
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -51,6 +51,58 @@ class CatalogExtrasSpec extends SparkSpec {
     assert(reg.runDue().isEmpty && runs == 2)
   }
 
+  test("task schedule parse: cron fields, names, steps, ranges, intervals") {
+    import java.time.Instant
+    val daily = TaskSchedule.parse("USING CRON 0 2 * * * America/Los_Angeles")
+      .asInstanceOf[TaskSchedule.Cron]
+    assert(daily.minutes == Set(0) && daily.hours == Set(2))
+    assert(daily.zone.getId == "America/Los_Angeles")
+    val weekly = TaskSchedule.parse("using cron 30 1-3 * JAN,JUL SUN")
+      .asInstanceOf[TaskSchedule.Cron]
+    assert(weekly.hours == Set(1, 2, 3) && weekly.months == Set(1, 7) &&
+      weekly.dow == Set(0))
+    val step = TaskSchedule.parse("USING CRON */15 * * * 7")
+      .asInstanceOf[TaskSchedule.Cron]
+    assert(step.minutes == Set(0, 15, 30, 45) && step.dow == Set(0)) // 7 = Sunday
+    assert(TaskSchedule.parse("10 MINUTES") == TaskSchedule.EveryMinutes(10))
+    intercept[RuntimeException](TaskSchedule.parse("whenever"))
+    intercept[RuntimeException](TaskSchedule.parse("USING CRON 61 * * * *"))
+
+    // nextFire: strictly after, hour/day skipping, timezone honored
+    val t0 = Instant.parse("2024-03-15T12:34:56Z")
+    val utcDaily = TaskSchedule.parse("USING CRON 0 2 * * * UTC")
+    assert(utcDaily.nextFire(t0, t0) == Instant.parse("2024-03-16T02:00:00Z"))
+    val onFire = Instant.parse("2024-03-16T02:00:00Z")
+    assert(utcDaily.nextFire(t0, onFire) == Instant.parse("2024-03-17T02:00:00Z"))
+    // vixie OR: dom and dow both restricted -> either matches
+    val both = TaskSchedule.parse("USING CRON 0 0 1 * MON")
+    assert(both.nextFire(t0, t0) == Instant.parse("2024-03-18T00:00:00Z")) // Monday before the 1st
+  }
+
+  test("task dispatcher: virtual clock fires in order, anchors at resume") {
+    import java.time.Instant
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val reg = new TaskRegistry(t0)
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    reg.createTask("a.hourly", "USING CRON 0 * * * * UTC") { log += "hourly" }
+    reg.createTask("b.fast", "20 MINUTE") { log += "fast" }
+    reg.resume("a.hourly"); reg.resume("b.fast")
+    val fired = reg.advanceTo(t0.plusSeconds(3600))
+    // 20-min interval anchored at resume: 00:20, 00:40, 01:00; cron at 01:00.
+    // The 01:00 tie breaks by name: a.hourly before b.fast.
+    assert(fired.map(_._1) == Seq("b.fast", "b.fast", "a.hourly", "b.fast"))
+    assert(fired.map(_._2) == Seq(1200L, 2400L, 3600L, 3600L).map(t0.plusSeconds))
+    // suspension stops fires; resume re-anchors the interval (no catch-up)
+    reg.suspend("b.fast")
+    assert(reg.advanceTo(t0.plusSeconds(5400)).map(_._1) == Seq())
+    reg.resume("b.fast") // at 01:30 -> re-anchored: next fires 01:50, 02:10
+    val more = reg.advanceTo(t0.plusSeconds(7200))
+    assert(more == Seq(("b.fast", t0.plusSeconds(6600)),
+                       ("a.hourly", t0.plusSeconds(7200))))
+    assert(reg.history.size == fired.size + more.size)
+    intercept[IllegalArgumentException](reg.advanceTo(t0)) // clock never reverses
+  }
+
   test("result cache: identical plans hit the same cached result (docs/09:88)") {
     val cache = new ResultCache
     val path = tempWarehouse() + "/t.parquet"
