@@ -138,6 +138,15 @@ object GraftProcedures {
           t.setRef(name, in.getLong(2))
           Seq(Row(name, in.getLong(2)))
         })),
+      "drop_ref" -> ((
+        Seq(strParam("table", "table name"), strParam("ref", "branch/tag name to drop")),
+        StructType(Seq(StructField("ref", StringType))),
+        (in: InternalRow) => {
+          val t = table(in)
+          val name = in.getUTF8String(1).toString
+          t.dropRef(name)
+          Seq(Row(name))
+        })),
       "maintain" -> ((
         Seq(strParam("table", "table name")),
         healthSchema,
@@ -149,8 +158,9 @@ object GraftProcedures {
     )
   }
 
-  private val names = Seq("cherrypick", "compact", "expire_snapshots", "health",
-    "maintain", "publish", "remove_orphan_files", "rewrite_manifests", "rollback", "set_ref")
+  private val names = Seq("cherrypick", "compact", "drop_ref", "expire_snapshots",
+    "health", "maintain", "publish", "remove_orphan_files", "rewrite_manifests",
+    "rollback", "set_ref")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))

@@ -341,9 +341,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     }
   }
 
-  /** Publish a staged branch: fast-forward main to the branch head. Refuses
-    * when main has advanced past the branch's fork point (a fast-forward
-    * would silently drop those commits — re-stage on a fresh branch instead).
+  /** Publish a staged branch: fast-forward main to the branch head and DROP
+    * the branch ref — its commits are main history now, so keeping the ref
+    * would (a) pin the published chain from retention forever (refs are GC
+    * roots) and (b) make a later `appendToBranch` of the same name fork
+    * from the stale published head once main advances, guaranteeing the
+    * next publish is refused. Refuses when main has advanced past the
+    * branch's fork point (a fast-forward would silently drop those commits
+    * — re-stage on a fresh branch instead).
     */
   def publish(branch: String): TableMetadata = commitMetadata() { m =>
     val head = m.refs.getOrElse(branch, sys.error(s"unknown branch '$branch'"))
@@ -355,7 +360,7 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     require(m.currentSnapshotId.forall(chain.contains),
       s"$name: branch '$branch' does not descend from main's head " +
         s"(${m.currentSnapshotId.getOrElse(-1L)}); fast-forward publish refused")
-    m.copy(currentSnapshotId = Some(head))
+    m.copy(currentSnapshotId = Some(head), refs = m.refs - branch)
   }
 
   /** Branch/tag refs (docs/05:141-149). */
@@ -364,6 +369,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       require(m.snapshot(snapshotId).isDefined, s"snapshot $snapshotId not found")
       m.copy(refs = m.refs + (refName -> snapshotId))
     }
+
+  /** DROP a branch/tag ref. Abandons un-published staged work: the chain
+    * stops being a GC root, so the next snapshot expiry reclaims it.
+    */
+  def dropRef(refName: String): TableMetadata = commitMetadata() { m =>
+    require(m.refs.contains(refName), s"unknown ref '$refName'")
+    m.copy(refs = m.refs - refName)
+  }
 
   def setProperty(key: String, value: String): TableMetadata =
     commitMetadata()(m => m.copy(properties = m.properties + (key -> value)))

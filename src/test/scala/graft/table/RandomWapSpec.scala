@@ -47,13 +47,16 @@ class RandomWapSpec extends SparkSpec {
             t.appendToBranch(spark, df(ids), b)
             if (!branch.contains(b)) { branch(b) = main ++ ids; publishable(b) = true }
             else branch(b) = branch(b) ++ ids
-          case 3 => // publish: allowed iff the branch still descends from head
+          case 3 => // publish: allowed iff the branch still descends from head;
+            // on success the ref is DROPPED (its commits are main history),
+            // so the name is free to re-fork from the new head later
             val b = names(rng.nextInt(names.size))
             if (branch.contains(b)) {
               if (publishable(b)) {
                 t.publish(b)
                 main = branch(b)
-                branch.keys.filter(_ != b).foreach(o => publishable(o) = false)
+                branch.remove(b); publishable.remove(b)
+                branch.keys.foreach(o => publishable(o) = false)
               } else {
                 intercept[IllegalArgumentException](t.publish(b))
               }

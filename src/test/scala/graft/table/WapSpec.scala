@@ -31,10 +31,44 @@ class WapSpec extends SparkSpec {
     assert(t.atRef("audit").toDF(spark).count() == 20)
     assert(t.toDF(spark).count() == 10)
 
+    val head = t.meta.refs("audit")
     t.publish("audit")
     assert(t.toDF(spark).count() == 20)
-    // publish is metadata-only: the branch snapshots ARE main's history now
-    assert(t.meta.currentSnapshotId == t.meta.refs.get("audit"))
+    // publish is metadata-only: the branch snapshots ARE main's history now,
+    // and the ref is gone — published chains must not stay pinned as GC roots
+    assert(t.meta.currentSnapshotId.contains(head))
+    assert(!t.meta.refs.contains("audit"))
+  }
+
+  test("re-staging a published branch name forks from the NEW main head") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapr", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    t.publish("audit")
+    t.append(spark, mk(100, 3)) // main advances after the publish
+    // the dropped ref means this stages on top of main's CURRENT head —
+    // with a stale surviving ref this would fork pre-advance and the
+    // second publish would be refused
+    t.appendToBranch(spark, mk(200, 2), "audit")
+    assert(t.atRef("audit").toDF(spark).count() == 20)
+    t.publish("audit")
+    assert(t.toDF(spark).count() == 20)
+  }
+
+  test("dropRef abandons staged work; expiry then reclaims the chain") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wapx", schema)
+    t.append(spark, mk(0, 10))
+    t.appendToBranch(spark, mk(10, 5), "audit")
+    t.dropRef("audit")
+    assert(!t.meta.refs.contains("audit"))
+    intercept[RuntimeException](t.atRef("audit"))
+    t.append(spark, mk(100, 3)) // expiry always keeps the newest snapshot
+    val (removed, _) = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed == 2, "un-rooted branch chain + old main snapshot expire")
+    assert(t.toDF(spark).count() == 13, "main unaffected by the abandoned branch")
+    intercept[RuntimeException](t.dropRef("nope"))
   }
 
   test("publish refuses when main diverged past the fork point") {
