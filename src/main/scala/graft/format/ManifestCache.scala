@@ -10,13 +10,22 @@ package graft.format
   * queries, DML read-modify-write, metadata aggregates after a scan)
   * costs zero manifest I/O and zero JSON parsing. Entries are shared
   * immutable case-class graphs, safe across threads.
+  *
+  * Eviction is LRU bounded on BOTH entry count and approximate bytes: a
+  * parsed manifest's heap footprint tracks its file size (same strings,
+  * same stats), so the on-disk size observed at load time is the weight.
+  * Count alone would let 4096 many-MB manifests pin multiple GBs in a
+  * long-lived driver planning many large tables.
   */
 object ManifestCache {
   private val MaxEntries = 4096
-  private val map = new java.util.LinkedHashMap[String, AnyRef](256, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
-      size() > MaxEntries
-  }
+  private val MaxBytes = 256L * 1024 * 1024
+  /** Test seam: shrink the byte budget to exercise eviction without GBs. */
+  @volatile private[format] var maxBytesOverride: Option[Long] = None
+  private def maxBytes: Long = maxBytesOverride.getOrElse(MaxBytes)
+  private final case class Entry(value: AnyRef, bytes: Long)
+  private var totalBytes = 0L
+  private val map = new java.util.LinkedHashMap[String, Entry](256, 0.75f, true)
 
   /** Cached parse of `path`, loading (outside the lock — parallel misses
     * on different paths don't serialize) on first sight.
@@ -24,13 +33,29 @@ object ManifestCache {
   def get[T <: AnyRef](path: String)(load: => T): T = {
     val hit = map.synchronized { Option(map.get(path)) }
     hit match {
-      case Some(v) => v.asInstanceOf[T]
+      case Some(e) => e.value.asInstanceOf[T]
       case None =>
         val v = load
-        map.synchronized { map.put(path, v) }
+        val w = try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+                catch { case _: Exception => 0L }
+        map.synchronized {
+          val prev = map.put(path, Entry(v, w))
+          totalBytes += w - (if (prev != null) prev.bytes else 0L)
+          // evict eldest-accessed first until within both budgets; never
+          // evict the entry just inserted (an oversized single manifest
+          // still gets cached — evicting it would thrash every reuse)
+          val it = map.entrySet().iterator()
+          while ((map.size > MaxEntries || totalBytes > maxBytes) &&
+                 map.size > 1 && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != path) { totalBytes -= e.getValue.bytes; it.remove() }
+          }
+        }
         v
     }
   }
 
-  def clear(): Unit = map.synchronized { map.clear() }
+  private[graft] def approximateBytes: Long = map.synchronized(totalBytes)
+
+  def clear(): Unit = map.synchronized { map.clear(); totalBytes = 0L }
 }
