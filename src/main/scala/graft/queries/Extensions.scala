@@ -47,6 +47,14 @@ object Extensions {
     * is one (src,dst) equi-join + min-aggregate — O(cluster diameter)
     * rounds, label state one row per clustered doc, lineage cut per round
     * so the plan stays flat at any scale.
+    *
+    * Near-dup clusters are shallow (diameter a handful of hops), so the
+    * common path is plain propagation. A PATHOLOGICAL chain (one templated
+    * corpus stitched into a long path) used to abort at `maxIters`; past
+    * that point each round now adds a pointer-jumping step — label ←
+    * label(label), labels being doc_ids so the parent lookup is a self-join
+    * — which at least halves the remaining label depth per round, so
+    * convergence lands within ~log2(n) extra rounds instead of O(n).
     * @return (doc_id, label) for every doc appearing in an edge
     */
   private[queries] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -54,21 +62,36 @@ object Extensions {
       .localCheckpoint()
     var labels = bi.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
+    val n = labels.count()
+    val cap = maxIters + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
     var iters = 0
     var changed = true
-    while (changed && iters < maxIters) {
+    while (changed && iters < cap) {
       iters += 1
       val prop = bi.join(labels, bi("dst") === labels("doc_id"))
         .groupBy(bi("src")).agg(min(col("label")).as("nbr"))
       // carry a change flag through the same job: the convergence check is
       // then a cheap count on the just-materialized checkpoint, not a
       // second join against the previous labels
-      val next = labels.alias("l")
+      val hop = labels.alias("l")
         .join(prop.alias("p"), col("l.doc_id") === col("p.src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"),
           (coalesce(col("p.nbr"), col("l.label")) < col("l.label")).as("chg"))
-        .localCheckpoint()
+      val next =
+        if (iters <= maxIters) hop.localCheckpoint()
+        else {
+          // doubling regime: jump through the just-hopped labels
+          val h = hop.localCheckpoint()
+          val parents = h.select(col("doc_id").as("p_id"), col("label").as("p_label"))
+          h.alias("h")
+            .join(parents.alias("pp"), col("h.label") === col("pp.p_id"), "left")
+            .select(col("h.doc_id").as("doc_id"),
+              least(col("h.label"), coalesce(col("pp.p_label"), col("h.label"))).as("label"),
+              (col("h.chg") ||
+                coalesce(col("pp.p_label"), col("h.label")) < col("h.label")).as("chg"))
+            .localCheckpoint()
+        }
       changed = next.filter(col("chg")).limit(1).count() > 0
       labels = next.drop("chg")
     }
