@@ -211,6 +211,17 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
       sched = TaskSchedule.parse(schedule), anchor = clock, nextFire = None))
   }
 
+  /** CREATE TASK ... AS <sql> (docs/10:174-183, docs/12:174-186): the body
+    * is SQL text — one statement or a BEGIN s1; s2; ...; END block — run
+    * statement-by-statement against the fire-time active session. DML/DDL
+    * statements are Spark commands and execute eagerly.
+    */
+  def createSqlTask(name: String, schedule: String, sqlBody: String): Unit =
+    createTask(name, schedule) {
+      val spark = SparkSession.active
+      TaskRegistry.splitSqlBody(sqlBody).foreach(spark.sql(_))
+    }
+
   /** ALTER TASK ... RESUME: task becomes schedulable; its interval clock
     * (and first fire) count from the current virtual time.
     */
@@ -271,6 +282,34 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
 
   def list: Seq[(String, String, Boolean)] =
     tasks.asScala.values.map(t => (t.name, t.schedule, t.suspended)).toSeq.sortBy(_._1)
+}
+
+object TaskRegistry {
+  /** Split a task body into statements: strip one `BEGIN ... END` wrapper
+    * (word-bounded, optional trailing `;`), then split on `;` outside
+    * single-quoted literals (doubled '' escapes flip the flag twice — safe).
+    */
+  private[graft] def splitSqlBody(body: String): Seq[String] = {
+    var t = body.trim
+    val upper = t.toUpperCase
+    val wrapped = upper.startsWith("BEGIN") &&
+      (t.length == 5 || !Character.isLetterOrDigit(t.charAt(5))) &&
+      upper.stripSuffix(";").trim.endsWith("END")
+    if (wrapped) {
+      t = t.stripSuffix(";").trim
+      t = t.substring(5, t.length - 3)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    t.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 }
 
 /** Result caching (SURVEY §2.4 S7; reference docs/01:163, docs/09:88):

@@ -43,6 +43,11 @@ class GraftCatalog(val warehouse: String) {
     volumes.put(name, basePath)
   def volume(name: String): Option[String] = Option(volumes.get(name))
 
+  /** Per-catalog task registry backing the SQL task surface
+    * (CALL system.create_task / alter_task / advance_tasks / task_history).
+    */
+  lazy val taskRegistry = new TaskRegistry()
+
   def tableDir(name: String): String = {
     val parts = name.split('.')
     Paths.get(warehouse, parts: _*).toString

@@ -99,6 +99,23 @@ object Extensions {
     labels
   }
 
+  /** Materialize an intermediate corpus consumed by several downstream
+    * stages. The default localCheckpoint pins it in executor storage —
+    * fastest at test scale, but at 100 TB it competes with shuffle memory
+    * and dies with executors. `graft.pipeline.spill=table` lands it in a
+    * single-use Graft table instead: durable across executor loss,
+    * re-readable through the full scan stack (stats/column pruning), and
+    * reclaimed with its temp warehouse.
+    */
+  private[queries] def materializeCorpus(s: SparkSession, df: DataFrame): DataFrame =
+    s.conf.getOption("graft.pipeline.spill") match {
+      case Some("table") =>
+        val t = TableOps.newCatalog().createTable("tmp.corpus_spill", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+      case _ => df.localCheckpoint()
+    }
+
   /** Candidate pairs from signature buckets, with the in-bucket all-pairs
     * explode BOUNDED: a bucket of b members normally yields b·(b-1)/2 rows
     * from one group — a boilerplate-heavy corpus at 100 TB plants a
@@ -515,7 +532,7 @@ object Extensions {
         // materialize the filtered+deduped corpus once: it feeds the edge
         // builder (streamed twice for pair verification) and the final
         // anti-join — recomputing the quality expression 3x would dominate
-        val surv = quality.join(keepIds, "doc_id").localCheckpoint()
+        val surv = materializeCorpus(s, quality.join(keepIds, "doc_id"))
         val labels = connectedComponents(neardupEdges(surv))
         val dropIds = labels.filter(col("label") =!= col("doc_id")).select("doc_id")
         val kept = surv.join(dropIds, Seq("doc_id"), "left_anti")

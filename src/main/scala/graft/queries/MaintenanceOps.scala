@@ -848,6 +848,73 @@ object MaintenanceOps {
         |  CAST(3 AS BIGINT) AS ingest_fires, CAST(10 AS BIGINT) AS mark_fires,
         |  true AS suspended_silent, true AS fired_in_order
         |FROM events WHERE event_id % 4 < 3
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // D16 through SQL end-to-end: docs/12:174-186's scheduled-archival
+    // pattern verbatim — CREATE TASK with a multi-statement BEGIN...END
+    // body (INSERT old rows into the historical table; DELETE them from
+    // recent), managed entirely via CALL procedures. The task stays silent
+    // while suspended, then fires twice under the virtual clock (second
+    // fire is a no-op: the old rows are already moved — idempotence), and
+    // the hot/cold split the oracle reproduces is the task's doing. The
+    // catalog's registry and clock persist across invocations, so all
+    // advancement is relative (by_ms) with hour-aligned steps.
+    ("g_sql_tasks",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        val sfx = java.util.UUID.randomUUID().toString.take(8)
+        val recent = s"recent_$sfx"; val hist = s"hist_$sfx"
+        val cols = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"
+        FixtureClock.timed {
+          Tables.events(s, d).createOrReplaceTempView("events_src")
+          s.sql(s"CREATE TABLE graft_sql.db.$recent ($cols)")
+          s.sql(s"CREATE TABLE graft_sql.db.$hist ($cols)")
+          s.sql(s"INSERT INTO graft_sql.db.$recent SELECT * FROM events_src")
+        }
+        val cut = "TIMESTAMP ''2024-01-15 00:00:00''" // '' = quote inside SQL literal
+        s.sql(
+          s"""CALL graft_sql.system.create_task(name => 'db.archive_$sfx',
+             |  schedule => 'USING CRON 0 * * * * UTC',
+             |  body => 'BEGIN
+             |    INSERT INTO graft_sql.db.$hist
+             |      SELECT * FROM graft_sql.db.$recent WHERE ts < $cut;
+             |    DELETE FROM graft_sql.db.$recent WHERE ts < $cut;
+             |  END')""".stripMargin)
+        // suspended tasks never fire, even as the clock moves (filtered to
+        // THIS task: earlier invocations' tasks share the session registry)
+        val silent = s.sql("CALL graft_sql.system.advance_tasks(by_ms => 3600000)")
+          .filter(col("task_name") === s"db.archive_$sfx").count() == 0
+        s.sql(s"CALL graft_sql.system.alter_task(name => 'db.archive_$sfx', action => 'RESUME')")
+        val fires = s.sql("CALL graft_sql.system.advance_tasks(by_ms => 7200000)")
+          .filter(col("task_name") === s"db.archive_$sfx").count()
+        val inHistory = s.sql("CALL graft_sql.system.task_history()")
+          .filter(col("task_name") === s"db.archive_$sfx").count()
+        s.sql(s"CALL graft_sql.system.alter_task(name => 'db.archive_$sfx', action => 'SUSPEND')")
+        val agg = (t: String, src: String) => s.sql(
+          s"""SELECT '$src' AS src, event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM graft_sql.db.$t GROUP BY 1, 2""".stripMargin)
+        agg(hist, "historical").unionAll(agg(recent, "recent"))
+          .withColumn("silent_while_suspended", lit(silent))
+          .withColumn("task_fires", lit(fires))
+          .withColumn("history_ok", lit(inHistory == fires))
+          .orderBy("src", "event_type")
+      },
+      """SELECT 'historical' AS src, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS silent_while_suspended, CAST(2 AS BIGINT) AS task_fires,
+        |  true AS history_ok
+        |FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'recent', event_type, count(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  true, CAST(2 AS BIGINT), true
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -147,6 +147,59 @@ object GraftProcedures {
           t.dropRef(name)
           Seq(Row(name))
         })),
+      // The SQL task surface (docs/10:174-183 CREATE TASK ... SCHEDULE=...
+      // AS <sql>; ALTER TASK ... RESUME; docs/12:174-186's archival task).
+      // Tasks live on the catalog's registry and fire under its virtual
+      // clock via advance_tasks — deterministic, schedule-ordered dispatch.
+      "create_task" -> ((
+        Seq(strParam("name", "task name"),
+          strParam("schedule", "'USING CRON m h dom mon dow [tz]' or 'N MINUTE'"),
+          strParam("body", "SQL body: one statement or BEGIN s1; s2; END")),
+        StructType(Seq(StructField("name", StringType), StructField("suspended", BooleanType))),
+        (in: InternalRow) => {
+          val n = in.getUTF8String(0).toString
+          cat.taskRegistry.createSqlTask(n,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          Seq(Row(n, true)) // created SUSPENDED, the reference default
+        })),
+      "alter_task" -> ((
+        Seq(strParam("name", "task name"), strParam("action", "RESUME or SUSPEND")),
+        StructType(Seq(StructField("name", StringType), StructField("suspended", BooleanType))),
+        (in: InternalRow) => {
+          val n = in.getUTF8String(0).toString
+          val suspended = in.getUTF8String(1).toString.toUpperCase match {
+            case "RESUME"  => cat.taskRegistry.resume(n); false
+            case "SUSPEND" => cat.taskRegistry.suspend(n); true
+            case other     => sys.error(s"alter_task action must be RESUME or SUSPEND, got '$other'")
+          }
+          Seq(Row(n, suspended))
+        })),
+      "execute_task" -> ((
+        Seq(strParam("name", "task name (manual trigger, ignores suspension)")),
+        StructType(Seq(StructField("name", StringType))),
+        (in: InternalRow) => {
+          val n = in.getUTF8String(0).toString
+          cat.taskRegistry.execute(n)
+          Seq(Row(n))
+        })),
+      "advance_tasks" -> ((
+        Seq(optLong("to_ms", "advance the virtual clock to this epoch-millis"),
+          optLong("by_ms", "or advance it by this many millis from its current position")),
+        StructType(Seq(StructField("task_name", StringType), StructField("fired_at_ms", LongType))),
+        (in: InternalRow) => {
+          val reg = cat.taskRegistry
+          val target = (in.isNullAt(0), in.isNullAt(1)) match {
+            case (false, true) => java.time.Instant.ofEpochMilli(in.getLong(0))
+            case (true, false) => reg.now.plusMillis(in.getLong(1))
+            case _ => sys.error("advance_tasks requires exactly one of to_ms, by_ms")
+          }
+          reg.advanceTo(target).map { case (n, at) => Row(n, at.toEpochMilli) }
+        })),
+      "task_history" -> ((
+        Seq.empty[ProcedureParameter],
+        StructType(Seq(StructField("task_name", StringType), StructField("fired_at_ms", LongType))),
+        (_: InternalRow) =>
+          cat.taskRegistry.history.map { case (n, at) => Row(n, at.toEpochMilli) })),
       "maintain" -> ((
         Seq(strParam("table", "table name")),
         healthSchema,
@@ -158,9 +211,10 @@ object GraftProcedures {
     )
   }
 
-  private val names = Seq("cherrypick", "compact", "drop_ref", "expire_snapshots",
-    "health", "maintain", "publish", "remove_orphan_files", "rewrite_manifests",
-    "rollback", "set_ref")
+  private val names = Seq("advance_tasks", "alter_task", "cherrypick", "compact",
+    "create_task", "drop_ref", "execute_task", "expire_snapshots", "health",
+    "maintain", "publish", "remove_orphan_files", "rewrite_manifests",
+    "rollback", "set_ref", "task_history")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))

@@ -79,6 +79,18 @@ class CatalogExtrasSpec extends SparkSpec {
     assert(both.nextFire(t0, t0) == Instant.parse("2024-03-18T00:00:00Z")) // Monday before the 1st
   }
 
+  test("SQL task bodies split on statement boundaries, quote-aware") {
+    import TaskRegistry.splitSqlBody
+    assert(splitSqlBody("SELECT 1") == Seq("SELECT 1"))
+    assert(splitSqlBody(
+      "BEGIN INSERT INTO t VALUES (';'); DELETE FROM t WHERE x = 'a;b'; END") ==
+      Seq("INSERT INTO t VALUES (';')", "DELETE FROM t WHERE x = 'a;b'"))
+    assert(splitSqlBody("begin select 1; select 2; end;") ==
+      Seq("select 1", "select 2"))
+    assert(splitSqlBody("SELECT 'BEGIN fine END'") == Seq("SELECT 'BEGIN fine END'"))
+    assert(splitSqlBody("SELECT 'it''s'") == Seq("SELECT 'it''s'"))
+  }
+
   test("task dispatcher: virtual clock fires in order, anchors at resume") {
     import java.time.Instant
     val t0 = Instant.parse("2024-01-01T00:00:00Z")

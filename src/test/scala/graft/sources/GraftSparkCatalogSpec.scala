@@ -37,6 +37,40 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 2)
   }
 
+  test("SQL task surface: create_task/alter_task/advance_tasks/task_history") {
+    registerCatalog("gtask")
+    spark.sql("CREATE TABLE gtask.db.src (id BIGINT)")
+    spark.sql("CREATE TABLE gtask.db.dst (id BIGINT)")
+    spark.sql("INSERT INTO gtask.db.src VALUES (1), (2), (3)")
+    val created = spark.sql(
+      """CALL gtask.system.create_task(name => 'db.mv',
+        |  schedule => '30 MINUTE',
+        |  body => 'BEGIN
+        |    INSERT INTO gtask.db.dst SELECT * FROM gtask.db.src WHERE id <= 2;
+        |    DELETE FROM gtask.db.src WHERE id <= 2;
+        |  END')""".stripMargin).head
+    assert(created == Row("db.mv", true), "tasks are created suspended")
+    // suspended: the clock moves, nothing fires
+    assert(spark.sql("CALL gtask.system.advance_tasks(by_ms => 3600000)")
+      .filter("task_name = 'db.mv'").count() == 0)
+    spark.sql("CALL gtask.system.alter_task(name => 'db.mv', action => 'RESUME')")
+    // resumed: 2 fires in the next hour; the second is an idempotent no-op
+    val fired = spark.sql("CALL gtask.system.advance_tasks(by_ms => 3600000)")
+      .filter("task_name = 'db.mv'").count()
+    assert(fired == 2)
+    assert(spark.sql("SELECT count(*) FROM gtask.db.dst").head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM gtask.db.src").head.getLong(0) == 1)
+    assert(spark.sql("CALL gtask.system.task_history()")
+      .filter("task_name = 'db.mv'").count() == 2)
+    // manual EXECUTE ignores suspension and fires the body once more
+    spark.sql("CALL gtask.system.alter_task(name => 'db.mv', action => 'SUSPEND')")
+    spark.sql("CALL gtask.system.execute_task(name => 'db.mv')")
+    assert(spark.sql("SELECT count(*) FROM gtask.db.dst").head.getLong(0) == 2)
+    val e = intercept[Exception](
+      spark.sql("CALL gtask.system.alter_task(name => 'db.mv', action => 'NOPE')"))
+    assert(e.getMessage.contains("RESUME or SUSPEND"))
+  }
+
   test("substituted read path: native parquet scan with pushed filters, no row fallback") {
     registerCatalog("gfast")
     spark.sql("CREATE TABLE gfast.db.p (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
