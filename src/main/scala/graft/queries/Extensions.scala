@@ -130,21 +130,28 @@ object Extensions {
   private[queries] def boundedBucketPairs(buckets: DataFrame): DataFrame = {
     val cap = buckets.sparkSession.conf.getOption("graft.neardup.max-bucket")
       .map(_.toInt).getOrElse(256)
-    def sub(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      filter(col("members"), m => pmod(hash(m), col("nsub")) === i)
-    buckets
-      .filter(size(col("members")) > 1)
-      .withColumn("nsub", ceil(size(col("members")).cast("double") / cap).cast("int"))
-      .withColumn("groups",
-        when(col("nsub") <= 1, array(col("members")))
-          .otherwise(concat(
-            transform(sequence(lit(0), col("nsub") - 1), sub(_)),
-            array(transform(sequence(lit(0), col("nsub") - 1), i => array_min(sub(i)))))))
-      .select(explode(col("groups")).as("members"))
-      .filter(size(col("members")) > 1)
+    def allPairs(df: DataFrame): DataFrame = df
       .select(explode(col("members")).as("doc_a"), col("members"))
       .select(col("doc_a"), explode(col("members")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b")) // also drops null mins of empty sub-buckets
+    val candidates = buckets.filter(size(col("members")) > 1)
+    // Branch-union, NOT a per-row `when`: wrapping every bucket in a
+    // conditional group array put an extra generator stage and interpreted
+    // sub-bucket lambdas on the 99.99% of buckets below the cap (measured
+    // ~2x on the whole near-dup family at sf0.1). The two branches share
+    // the bucket aggregation's exchange (ReuseExchange plans it once), so
+    // the expensive signature computation is not duplicated.
+    val small = allPairs(candidates.filter(size(col("members")) <= cap))
+    def sub(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      filter(col("members"), m => pmod(hash(m), col("nsub")) === i)
+    val big = candidates.filter(size(col("members")) > cap)
+      .withColumn("nsub", ceil(size(col("members")).cast("double") / cap).cast("int"))
+      .withColumn("groups", concat(
+        transform(sequence(lit(0), col("nsub") - 1), sub(_)),
+        array(transform(sequence(lit(0), col("nsub") - 1), i => array_min(sub(i))))))
+      .select(explode(col("groups")).as("members"))
+      .filter(size(col("members")) > 1)
+    small.union(allPairs(big))
   }
 
   /** Shared near-dup edge builder (shingle → k=4 MinHash sig → bucket pairs
