@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the gate runs 85+ queries in ONE local[32] JVM; at 8g the
+  // unified memory pool degraded late queries 3-4x (eviction churn). The
+  // box has 128 GiB; override with SPARK_DRIVER_MEM when needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

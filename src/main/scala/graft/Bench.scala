@@ -54,6 +54,13 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // drop the PREVIOUS query's leaked blocks before timing this one:
+        // every localCheckpoint/persist pins storage until the driver GCs
+        // its RDD reference, so 80+ queries in one JVM otherwise squeeze
+        // the unified pool and late queries degrade 3-4x (eviction churn +
+        // shuffle spills) — measured on the round-6 full run at -Xmx8g.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         graft.queries.FixtureClock.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
