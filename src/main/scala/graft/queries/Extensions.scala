@@ -823,6 +823,62 @@ object Extensions {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_unique,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT lang) AS n_langs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4c: SEQUENCE PACKING — group consecutive documents into fixed
+    // token-budget training sequences (the "pack to 2048 tokens" step
+    // before tokenizer sharding). Deterministic: docs ordered by doc_id
+    // WITHIN a (lang, md5-subshard) shard, running token total, a doc's
+    // sequence is the budget bin its span starts in. The window is
+    // partitioned per shard, never global — per-shard sequential packing
+    // is the 100 TB shape (a single global ordering would serialize the
+    // world through one task), and the md5 subshard keeps parallelism
+    // ~16x above the language cardinality while staying a pure function
+    // of the row (same packing on any re-run, reproducible in the oracle).
+    ("x_pack_sequences",
+      (s: SparkSession, d: String) => {
+        val shard = substring(md5(col("doc_id").cast("string")), 5, 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("shard", shard)
+          .withColumn("n_tok", size(TF.tokens(col("text"))).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(256.0)))
+          .groupBy(col("lang"), col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+          .orderBy(col("lang"), col("shard"), col("seq_id"))
+      },
+      s"""WITH c AS (
+        |  SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) AS shard,
+        |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+        |    sum(CAST(len($toksSql) AS BIGINT))
+        |      OVER (PARTITION BY lang, substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)
+        |            ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT lang, shard, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // X4d: deterministic STRATIFIED SAMPLING — per-stratum (lang) keep
+    // rates applied via an md5(doc_id)-prefix threshold: a pure function
+    // of the row, so the sample is stable across runs, repartitions and
+    // late-arriving batches, composes independently with the train/val/
+    // test split (disjoint hash offsets), and needs zero shuffles or
+    // sampling state — the only shape that reproduces on a 100 TB re-run.
+    ("x_stratified_sample",
+      (s: SparkSession, d: String) => {
+        val bucket = substring(md5(col("doc_id").cast("string")), 3, 2)
+        Tables.documents(s, d)
+          .filter(when(col("lang") === "en", bucket < "40").otherwise(bucket < "80"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
+        |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
