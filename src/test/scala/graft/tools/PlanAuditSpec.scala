@@ -113,4 +113,22 @@ class PlanAuditSpec extends SparkSpec {
     val newOnly = c.toDF(spark).filter(col("meta.note").isNotNull)
     assert(newOnly.count() == 0) // old file has null note; plan still resolves
   }
+
+  test("sequence packing: ONE exchange — the aggregate reuses the window's partitioning") {
+    // the groupBy keys (lang, shard, seq_id) are a superset of the window's
+    // partition keys (lang, shard), so hash(lang, shard) already satisfies
+    // the aggregate's distribution: a second shuffle would be pure waste at
+    // 100 TB. Guard the plan, not just the answer.
+    val run = graft.queries.Extensions.entries.find(_._1 == "x_pack_sequences").get._2
+    val df = run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val top = df.queryExecution.executedPlan
+    val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val shuffles = plans.map(_.collect { case _: ShuffleExchangeExec => 1 }.sum).sum
+    // one exchange for the window partitioning, one for the final orderBy's
+    // range partitioning (presentation only) — the aggregate must add NONE
+    assert(shuffles <= 2, s"sequence packing should shuffle once (+sort): $shuffles\n$top")
+  }
 }
