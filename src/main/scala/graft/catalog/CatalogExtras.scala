@@ -315,9 +315,13 @@ object TaskRegistry {
 /** Result caching (SURVEY §2.4 S7; reference docs/01:163, docs/09:88):
   * repeated identical queries are served from a cached materialization keyed
   * by the optimized logical plan. Entries are pinned with `persist()`; the
-  * caller owns invalidation (`clear`).
+  * caller owns explicit invalidation (`clear`), but staleness is handled
+  * structurally — a commit changes the table's file list, so the new read's
+  * optimized plan no longer `sameResult`s the cached one and misses.
+  * Superseded entries would therefore pin storage forever in a long-lived
+  * driver; the cache is FIFO-bounded and evicts with `unpersist`.
   */
-class ResultCache {
+class ResultCache(maxEntries: Int = 32) {
   private val cache = new java.util.concurrent.CopyOnWriteArrayList[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
 
@@ -335,7 +339,11 @@ class ResultCache {
         // query arrive with that substitution already applied.
         val stored = df.sparkSession.sessionState
           .executePlan(df.queryExecution.logical).optimizedPlan
-        cache.add((stored, df)); df
+        cache.add((stored, df))
+        while (cache.size > maxEntries) {
+          cache.remove(0)._2.unpersist()
+        }
+        df
     }
   }
 

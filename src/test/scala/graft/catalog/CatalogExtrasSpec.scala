@@ -128,6 +128,19 @@ class CatalogExtrasSpec extends SparkSpec {
     assert(cache.size == 0)
   }
 
+  test("result cache: FIFO-bounded, superseded entries unpersist") {
+    val cache = new ResultCache(maxEntries = 2)
+    val path = tempWarehouse() + "/t.parquet"
+    mkDf(Seq((1L, "a"), (2L, "b"), (3L, "c"))).write.parquet(path)
+    val dfs = (1 to 3).map(i => spark.read.parquet(path).filter(s"id >= $i"))
+    dfs.foreach(cache.cached)
+    assert(cache.size == 2, "third insert must evict the first")
+    // the evicted plan misses (re-persists), the retained ones hit
+    cache.cached(spark.read.parquet(path).filter("id >= 1"))
+    assert(cache.size == 2)
+    cache.clear()
+  }
+
   test("external volume + BASE_LOCATION create (docs/01:174-205)") {
     val cat = new GraftCatalog(tempWarehouse())
     val vol = tempWarehouse()
