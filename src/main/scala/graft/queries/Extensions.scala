@@ -879,6 +879,45 @@ object Extensions {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
         |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4e: DECONTAMINATION — drop training documents sharing any 3-gram
+    // with the held-out eval set (the standard benchmark-leak check before
+    // a training run). The eval side is small by construction (benchmarks
+    // are MB-scale against a TB-scale corpus), so its distinct gram set
+    // BROADCASTS and the train corpus streams through one probe + anti-join
+    // — no shuffle of text, no all-pairs anything; same plan at 100 TB.
+    ("x_decontaminate",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(TF.shingles(col("text"), 3)).as("gram")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val contaminated = train
+          .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("gram"))
+          .join(broadcast(evalGrams), "gram")
+          .select("doc_id").distinct()
+        train.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH toked AS (
+        |  SELECT doc_id, lang, n_chars, $toksSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN len(t) < 3 THEN [] ELSE list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END AS sh
+        |  FROM toked),
+        |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM grams WHERE doc_id % 97 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS gram FROM grams WHERE doc_id % 97 <> 0) tr
+        |  JOIN ev USING (gram))
+        |SELECT g.lang, count(*) AS n_clean, CAST(sum(g.n_chars) AS BIGINT) AS sum_chars
+        |FROM grams g LEFT JOIN bad b ON g.doc_id = b.doc_id
+        |WHERE g.doc_id % 97 <> 0 AND b.doc_id IS NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
