@@ -200,6 +200,12 @@ object GraftProcedures {
         StructType(Seq(StructField("task_name", StringType), StructField("fired_at_ms", LongType))),
         (_: InternalRow) =>
           cat.taskRegistry.history.map { case (n, at) => Row(n, at.toEpochMilli) })),
+      "list_tasks" -> (( // SHOW TASKS
+        Seq.empty[ProcedureParameter],
+        StructType(Seq(StructField("name", StringType),
+          StructField("schedule", StringType), StructField("suspended", BooleanType))),
+        (_: InternalRow) =>
+          cat.taskRegistry.list.map { case (n, sched, susp) => Row(n, sched, susp) })),
       "maintain" -> ((
         Seq(strParam("table", "table name")),
         healthSchema,
@@ -213,8 +219,8 @@ object GraftProcedures {
 
   private val names = Seq("advance_tasks", "alter_task", "cherrypick", "compact",
     "create_task", "drop_ref", "execute_task", "expire_snapshots", "health",
-    "maintain", "publish", "remove_orphan_files", "rewrite_manifests",
-    "rollback", "set_ref", "task_history")
+    "list_tasks", "maintain", "publish", "remove_orphan_files",
+    "rewrite_manifests", "rollback", "set_ref", "task_history")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))

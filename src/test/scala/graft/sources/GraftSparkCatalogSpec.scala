@@ -66,6 +66,9 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("CALL gtask.system.alter_task(name => 'db.mv', action => 'SUSPEND')")
     spark.sql("CALL gtask.system.execute_task(name => 'db.mv')")
     assert(spark.sql("SELECT count(*) FROM gtask.db.dst").head.getLong(0) == 2)
+    // SHOW TASKS equivalent
+    assert(spark.sql("CALL gtask.system.list_tasks()").collect().toSeq ==
+      Seq(Row("db.mv", "30 MINUTE", true)))
     val e = intercept[Exception](
       spark.sql("CALL gtask.system.alter_task(name => 'db.mv', action => 'NOPE')"))
     assert(e.getMessage.contains("RESUME or SUSPEND"))
