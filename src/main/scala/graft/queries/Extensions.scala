@@ -60,8 +60,13 @@ object Extensions {
   private[queries] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val bi = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = bi.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // fused first round: against identity labels, neighbor-min propagation
+    // reduces to least(self, min(neighbor)) — one aggregate instead of the
+    // identity join + change-count a full loop round would pay
+    var labels = bi.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint()
     val n = labels.count()
     val cap = maxIters + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
     var iters = 0
