@@ -886,6 +886,33 @@ object Extensions {
         |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X4f: REPETITION rate — the intra-document duplicate-token signal the
+    // Gopher-style quality filters threshold on. Per-doc ratio is a pure
+    // row function; the per-lang rate aggregates INTEGER token counts and
+    // divides once (never an avg over per-doc doubles, whose float sum is
+    // partition-order-dependent and would break cross-engine parity).
+    ("x_repetition",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tok", size(TF.tokens(col("text"))).cast("long"))
+          .withColumn("n_dup",
+            (col("n_tok") - size(array_distinct(TF.tokens(col("text"))))).cast("long"))
+        docs.groupBy(col("lang"))
+          .agg((sum(col("n_dup")).cast("double") / sum(col("n_tok")).cast("double"))
+              .as("dup_rate"),
+            sum(when(col("n_dup").cast("double") / col("n_tok") > 0.2, 1L)
+              .otherwise(0L)).as("n_repetitive"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH t AS (
+        |  SELECT lang, CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup
+        |  FROM (SELECT lang, $toksSql AS toks FROM documents))
+        |SELECT lang, CAST(sum(dup) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate,
+        |  CAST(sum(CASE WHEN CAST(dup AS DOUBLE) / n > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4e: DECONTAMINATION — drop training documents sharing any 3-gram
     // with the held-out eval set (the standard benchmark-leak check before
     // a training run). The eval side is small by construction (benchmarks
