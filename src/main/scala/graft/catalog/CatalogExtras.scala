@@ -128,17 +128,27 @@ object TaskSchedule {
   private val dowNames =
     Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT").zipWithIndex.toMap
 
+  /** Resolve one cron value, KEEPING dow 7 as 7 so ranges like `5-7` /
+    * `FRI-SUN` expand as written; callers normalize 7→0 after expansion.
+    */
   private def num(s: String, names: Map[String, Int], lo: Int, hi: Int): Int = {
     val v = names.getOrElse(s.toUpperCase,
       try s.toInt catch { case _: NumberFormatException =>
         sys.error(s"bad cron field value '$s'") })
     require(v >= lo && v <= hi || (hi == 6 && v == 7), s"cron value $v out of [$lo,$hi]")
-    if (hi == 6 && v == 7) 0 else v // dow: 7 is Sunday too
+    v
   }
 
-  /** One cron field -> (matching values, was-it-`*`). */
+  /** One cron field -> (matching values, is-it-unrestricted). Vixie cron:
+    * a field counts as unrestricted (for the dom/dow OR rule) whenever it
+    * STARTS with `*`, so `*\/2` is still a star field. Dow ranges expand
+    * before the 7→0 Sunday normalization (`FRI-SUN` = {5,6,7} → {5,6,0});
+    * a name for 7 used as a range END keeps the written order, so `0-7`
+    * covers the whole week rather than collapsing to `0 to 0`.
+    */
   private def field(spec: String, lo: Int, hi: Int,
                     names: Map[String, Int] = Map.empty): (Set[Int], Boolean) = {
+    val isDow = hi == 6
     val vals = spec.split(',').toSeq.flatMap { part =>
       val (rangePart, step) = part.split('/') match {
         case Array(r)    => (r, 1)
@@ -149,14 +159,20 @@ object TaskSchedule {
       val (a, b) = rangePart match {
         case "*"                  => (lo, hi)
         case r if r.contains('-') =>
-          val Array(x, y) = r.split('-'); (num(x, names, lo, hi), num(y, names, lo, hi))
+          val Array(x, y) = r.split('-')
+          val (va, vb) = (num(x, names, lo, hi), num(y, names, lo, hi))
+          // dow names map SUN→0, so FRI-SUN arrives as 5-0: a Sunday END of
+          // a descending range means the top of the week (7), not day 0.
+          if (isDow && vb == 0 && va > 0) (va, 7) else (va, vb)
         case r =>
           val v = num(r, names, lo, hi)
           if (part.contains('/')) (v, hi) else (v, v)
       }
+      require(a <= b, s"cron range '$part' is empty ($a > $b)")
       a to b by step
     }
-    (vals.toSet, spec == "*")
+    val norm = if (isDow) vals.map(v => if (v == 7) 0 else v) else vals
+    (norm.toSet, spec.startsWith("*"))
   }
 
   /** Parse a SCHEDULE = '...' string. */
@@ -202,7 +218,7 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
                         anchor: Instant, nextFire: Option[Instant])
   private val tasks = new ConcurrentHashMap[String, Task]()
   private var clock: Instant = start
-  private val runs = scala.collection.mutable.ArrayBuffer[(String, Instant)]()
+  private val runs = scala.collection.mutable.ArrayBuffer[(String, Instant, String)]()
 
   def now: Instant = synchronized(clock)
 
@@ -253,22 +269,33 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
         case Some(t) =>
           val at = t.nextFire.get
           clock = at
-          t.body()
-          fired += ((t.name, at))
+          // advance the schedule and record the fire BEFORE running the
+          // body: a throwing body must not lose already-executed history
+          // (the reference's TASK_HISTORY records FAILED runs, docs/10) or
+          // leave this fire eternally re-due.
           tasks.computeIfPresent(t.name, (_, cur) =>
             cur.copy(nextFire = Some(cur.sched.nextFire(cur.anchor, at))))
+          try {
+            t.body()
+            runs += ((t.name, at, "SUCCEEDED"))
+          } catch {
+            case e: Throwable => runs += ((t.name, at, "FAILED")); throw e
+          }
+          fired += ((t.name, at))
         case None => continue = false
       }
     }
     clock = to
-    runs ++= fired
     fired.toSeq
   }
 
   /** Full run history: (task, scheduled fire time) in execution order —
-    * the TASK_HISTORY view's essentials.
+    * the TASK_HISTORY view's essentials. Includes FAILED fires.
     */
-  def history: Seq[(String, Instant)] = synchronized(runs.toSeq)
+  def history: Seq[(String, Instant)] = synchronized(runs.map(r => (r._1, r._2)).toSeq)
+
+  /** TASK_HISTORY with run state: (task, fire time, SUCCEEDED|FAILED). */
+  def historyWithState: Seq[(String, Instant, String)] = synchronized(runs.toSeq)
 
   /** Run every non-suspended task once (a manual scheduler tick, schedule
     * ignored) — the legacy pre-virtual-clock surface, kept for callers
@@ -286,26 +313,45 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
 
 object TaskRegistry {
   /** Split a task body into statements: strip one `BEGIN ... END` wrapper
-    * (word-bounded, optional trailing `;`), then split on `;` outside
-    * single-quoted literals (doubled '' escapes flip the flag twice — safe).
+    * (word-bounded at BOTH ends, optional trailing `;`; a body that opens
+    * with BEGIN but lacks a word-bounded END is rejected rather than
+    * silently truncated), then split on `;` outside single-quoted literals
+    * (doubled '' escapes flip the flag twice — safe), outside
+    * double-quoted identifiers, and outside `--` line comments.
     */
   private[graft] def splitSqlBody(body: String): Seq[String] = {
     var t = body.trim
     val upper = t.toUpperCase
-    val wrapped = upper.startsWith("BEGIN") &&
-      (t.length == 5 || !Character.isLetterOrDigit(t.charAt(5))) &&
-      upper.stripSuffix(";").trim.endsWith("END")
-    if (wrapped) {
-      t = t.stripSuffix(";").trim
-      t = t.substring(5, t.length - 3)
+    val beginLike = upper.startsWith("BEGIN") &&
+      (t.length == 5 || !Character.isLetterOrDigit(t.charAt(5)))
+    if (beginLike) {
+      val inner = t.stripSuffix(";").trim
+      val iu = inner.toUpperCase
+      require(iu.endsWith("END") &&
+        inner.length > 3 && !Character.isLetterOrDigit(inner.charAt(inner.length - 4)),
+        s"task body starts with BEGIN but has no matching END: '$body'")
+      t = inner.substring(5, inner.length - 3)
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
-    var inQuote = false
-    t.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    var inQuote = false  // inside '...'
+    var inIdent = false  // inside "..."
+    var inComment = false // inside -- ... \n
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inComment) {
+        cur += c
+        if (c == '\n') inComment = false
+      } else c match {
+        case '\'' if !inIdent => inQuote = !inQuote; cur += c
+        case '"' if !inQuote  => inIdent = !inIdent; cur += c
+        case '-' if !inQuote && !inIdent && i + 1 < t.length && t.charAt(i + 1) == '-' =>
+          inComment = true; cur += c
+        case ';' if !inQuote && !inIdent => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
     }
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq

@@ -68,6 +68,15 @@ class CatalogExtrasSpec extends SparkSpec {
     intercept[RuntimeException](TaskSchedule.parse("whenever"))
     intercept[RuntimeException](TaskSchedule.parse("USING CRON 61 * * * *"))
 
+    // dow ranges ending in Sunday (7, SUN, or a 5-0 descending form) span
+    // through the top of the week instead of expanding empty
+    def dowOf(s: String) = TaskSchedule.parse(s).asInstanceOf[TaskSchedule.Cron].dow
+    assert(dowOf("USING CRON 0 0 * * 5-7") == Set(5, 6, 0))
+    assert(dowOf("USING CRON 0 0 * * FRI-SUN") == Set(5, 6, 0))
+    assert(dowOf("USING CRON 0 0 * * 0-7") == Set(0, 1, 2, 3, 4, 5, 6))
+    assert(dowOf("USING CRON 0 0 * * WED-SAT") == Set(3, 4, 5, 6))
+    intercept[RuntimeException](TaskSchedule.parse("USING CRON 0 0 * * SAT-WED"))
+
     // nextFire: strictly after, hour/day skipping, timezone honored
     val t0 = Instant.parse("2024-03-15T12:34:56Z")
     val utcDaily = TaskSchedule.parse("USING CRON 0 2 * * * UTC")
@@ -77,6 +86,13 @@ class CatalogExtrasSpec extends SparkSpec {
     // vixie OR: dom and dow both restricted -> either matches
     val both = TaskSchedule.parse("USING CRON 0 0 1 * MON")
     assert(both.nextFire(t0, t0) == Instant.parse("2024-03-18T00:00:00Z")) // Monday before the 1st
+    // vixie: a step field `*/2` still counts as unrestricted (`*`-prefixed),
+    // so dom `*/2` + dow MON means Mondays-on-odd-days (AND), not OR
+    val stepAnd = TaskSchedule.parse("USING CRON 0 0 */2 * MON")
+      .asInstanceOf[TaskSchedule.Cron]
+    assert(stepAnd.domStar && !stepAnd.dowStar)
+    // 2024-03-15 Fri -> next Monday on an odd day-of-month: Mar 25
+    assert(stepAnd.nextFire(t0, t0) == Instant.parse("2024-03-25T00:00:00Z"))
   }
 
   test("SQL task bodies split on statement boundaries, quote-aware") {
@@ -89,6 +105,37 @@ class CatalogExtrasSpec extends SparkSpec {
       Seq("select 1", "select 2"))
     assert(splitSqlBody("SELECT 'BEGIN fine END'") == Seq("SELECT 'BEGIN fine END'"))
     assert(splitSqlBody("SELECT 'it''s'") == Seq("SELECT 'it''s'"))
+    // END must be word-bounded: a BEGIN body ending in 'trend' is malformed,
+    // not silently truncated by 3 chars
+    intercept[IllegalArgumentException](splitSqlBody("BEGIN SELECT trend"))
+    intercept[IllegalArgumentException](splitSqlBody("BEGIN SELECT 1; SELECT 2"))
+    // `;` inside -- comments and "quoted" identifiers is not a boundary
+    assert(splitSqlBody("SELECT 1 -- trailing; note\n; SELECT 2") ==
+      Seq("SELECT 1 -- trailing; note", "SELECT 2"))
+    assert(splitSqlBody("SELECT \"a;b\" FROM t; SELECT 2") ==
+      Seq("SELECT \"a;b\" FROM t", "SELECT 2"))
+  }
+
+  test("task history records fires immediately, including FAILED runs") {
+    import java.time.Instant
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val reg = new TaskRegistry(t0)
+    var okRuns = 0
+    reg.createTask("a.ok", "30 MINUTES") { okRuns += 1 }
+    reg.createTask("b.boom", "60 MINUTES") { sys.error("task body failed") }
+    reg.resume("a.ok"); reg.resume("b.boom")
+    // fires: a@00:30, a@01:00, b@01:00 (tie by name) -> b throws mid-advance
+    intercept[RuntimeException](reg.advanceTo(t0.plusSeconds(7200)))
+    val hist = reg.historyWithState
+    assert(hist == Seq(
+      ("a.ok", t0.plusSeconds(1800), "SUCCEEDED"),
+      ("a.ok", t0.plusSeconds(3600), "SUCCEEDED"),
+      ("b.boom", t0.plusSeconds(3600), "FAILED")))
+    assert(okRuns == 2)
+    // the failed fire is consumed (nextFire advanced), so resuming the
+    // advance does not re-run it in a catch-up storm
+    intercept[RuntimeException](reg.advanceTo(t0.plusSeconds(7200)))
+    assert(reg.historyWithState.count(_._1 == "b.boom") == 2) // 01:00 + 02:00, each once
   }
 
   test("task dispatcher: virtual clock fires in order, anchors at resume") {
