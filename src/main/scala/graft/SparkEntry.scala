@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Extensions, MaintenanceOps, Relational, TableOps, Tables}
+import graft.queries.{Extensions, GovernanceOps, MaintenanceOps, Relational, TableOps, Tables}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Relational.entries ++ TableOps.entries ++ MaintenanceOps.entries ++ Extensions.entries
+    Relational.entries ++ TableOps.entries ++ MaintenanceOps.entries ++
+      GovernanceOps.entries ++ Extensions.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold aggregate (docs/12:109-117) served from a Graft
