@@ -59,5 +59,6 @@ object SqlFunctions {
     reg("graft_uuid") { e => TimeFunctions.uuidFromBytes(c(e.head)) }
     // multimodal
     reg("graft_sniff_format") { e => graft.operators.Multimodal.sniffFormat(c(e.head)) }
+    reg("graft_decode_image") { e => graft.operators.Multimodal.decodeImage(c(e.head)) }
   }
 }

@@ -9,16 +9,27 @@ import org.apache.spark.sql.types._
   * feature-extract steps are exchangeable batch transforms over those
   * columns.
   *
-  * The actual codec step is STUBBED — this environment ships no image/audio
-  * libraries — behind [[stubDecode]], a deterministic fake with the real
-  * pipeline shape: same schema contract, same per-row batch transform
-  * position a codec would occupy. Swapping in a real decoder means replacing
-  * ONE Column expression (or, for native libs, one `mapPartitions` over the
-  * blob column); every upstream/downstream stage — blob storage in Graft
-  * tables (binary is a first-class type, SURVEY §1.3), partitioning,
-  * pruning, aggregation — is unchanged and is what these helpers exercise.
+  * IMAGE decode is REAL: [[decodeImage]] parses PNG/BMP/GIF/JPEG headers
+  * through the JDK's `javax.imageio` ([[ImageCodec]]) — dimensions and
+  * channel count without pixel decode. AUDIO/VIDEO codecs are not in the
+  * JDK, so those stay behind [[stubDecode]], a deterministic fake with the
+  * real pipeline shape: same schema contract, same per-row batch transform
+  * position a codec would occupy. Swapping one in means replacing ONE
+  * Column expression; every upstream/downstream stage — blob storage in
+  * Graft tables (binary is a first-class type, SURVEY §1.3), partitioning,
+  * pruning, aggregation — is unchanged.
   */
 object Multimodal {
+
+  /** REAL image-header decode: binary -> struct(format, width, height,
+    * channels), null when no JDK reader claims the bytes (route those to
+    * [[stubDecode]] or an external codec). Header-only — cost is per-blob
+    * metadata sniffing, not pixel decode; stays in whole-stage codegen.
+    */
+  def decodeImage(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(DecodeImageHeader(GraftSqlShim.expression(blob)))
+  }
 
   /** The typed metadata contract carried beside every blob. */
   val MetaSchema: StructType = StructType(Seq(

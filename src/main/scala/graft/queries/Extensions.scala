@@ -804,6 +804,43 @@ object Extensions {
         |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X5c: REAL image decode (no stub): 48 JDK-encoded PNG/BMP/GIF blobs
+    // with known dimensions plus 8 undecodable byte strings, stored through
+    // a Graft table (binary through the full table stack), then header-
+    // decoded via javax.imageio ([[graft.operators.ImageCodec]]) on the
+    // scan side. Header-only parse — at 100 TB the cost is per-blob
+    // metadata sniffing inside whole-stage codegen, not pixel decode.
+    ("x_multimodal_decode",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 48).map { i =>
+          val fmt = Seq("png", "bmp", "gif")(i % 3)
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        } ++ (48 until 56).map(i => (i.toLong, s"not-an-image-$i".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeImage(col("blob")))
+          .groupBy(coalesce(col("dec.format"), lit("undecodable")).as("format"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dec.width")), lit(0)).cast("long").as("sum_width"),
+            coalesce(sum(col("dec.height")), lit(0)).cast("long").as("sum_height"),
+            max(col("dec.channels")).as("max_channels"))
+          .orderBy("format")
+      },
+      """WITH imgs AS (
+        |  SELECT CASE CAST(i % 3 AS INTEGER)
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+        |    16 + i AS width, 12 + (i % 7) AS height
+        |  FROM range(48) t(i))
+        |SELECT format, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height, 3 AS max_channels
+        |FROM imgs GROUP BY 1
+        |UNION ALL
+        |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER)
+        |ORDER BY 1""".stripMargin),
+
     // X4: deterministic train/val/test split — the assignment is a pure
     // function of doc_id (first md5 hex byte: <0xcc train ~80%, <0xe6 val
     // ~10%, else test), so it is stable across engines, runs, repartitions

@@ -59,6 +59,50 @@ class MultimodalSpec extends SparkSpec {
       5L -> "mp3", 6L -> "unknown", 7L -> "unknown"))
   }
 
+  test("decodeImage: real javax.imageio header decode for PNG/BMP/GIF/JPEG") {
+    val rows = Seq(
+      Row(1L, ImageCodec.encodeImage("png", 64, 48)),
+      Row(2L, ImageCodec.encodeImage("bmp", 33, 21)),
+      Row(3L, ImageCodec.encodeImage("gif", 17, 9)),
+      Row(4L, ImageCodec.encodeImage("jpeg", 120, 80)),
+      Row(5L, "definitely not an image".getBytes("UTF-8")),
+      Row(6L, ImageCodec.encodeImage("png", 10, 10).take(8)), // truncated header
+      Row(7L, null))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType))))
+    val got = df.select(col("id"), Multimodal.decodeImage(col("blob")).as("dec"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(d =>
+          (d.getString(0), d.getInt(1), d.getInt(2), d.getInt(3)))).toMap
+    assert(got(1L).contains(("png", 64, 48, 3)))
+    assert(got(2L).contains(("bmp", 33, 21, 3)))
+    assert(got(3L).contains(("gif", 17, 9, 3)))
+    val jpeg = got(4L).get
+    assert(jpeg._1.startsWith("jp") && jpeg._2 == 120 && jpeg._3 == 80)
+    assert(got(5L).isEmpty && got(6L).isEmpty && got(7L).isEmpty)
+  }
+
+  test("decodeImage SQL twin produces the same plan shape (no UDF)") {
+    graft.functions.SqlFunctions.install(spark)
+    val df = spark.createDataFrame(
+      Seq(Row(1L, ImageCodec.encodeImage("png", 32, 16))).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("blob", BinaryType))))
+    df.createOrReplaceTempView("imgs")
+    val viaSql = spark.sql(
+      "SELECT graft_decode_image(blob).width AS w, graft_decode_image(blob).format AS f FROM imgs")
+      .head()
+    assert(viaSql.getInt(0) == 32 && viaSql.getString(1) == "png")
+    // stays in whole-stage codegen: the decode sits inside a `*(n)` span
+    // (range-backed plan; the input is guarded by a non-foldable condition
+    // so constant folding cannot evaluate the decode at plan time)
+    val blobCol = when(col("id") >= 0, lit(ImageCodec.encodeImage("png", 32, 16)))
+    val exec = spark.range(1).select(Multimodal.decodeImage(blobCol)("width"))
+    val plan = exec.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_decode_image"),
+      s"decode must run inside a whole-stage-codegen project:\n$plan")
+    assert(exec.head().getInt(0) == 32)
+  }
+
   test("resize + frame-sample stubs keep the schema contract") {
     val docs = spark.createDataFrame(
       Seq(Row(1L, "x" * 100)).asJava,
