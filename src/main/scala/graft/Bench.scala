@@ -48,6 +48,29 @@ object Bench {
       t.compact(spark)
       t.toDF(spark).count()
     }
+    // Host-factor control probe (round-6 verdict, Next-round #4): a fixed
+    // q1-shaped scan+agg timed at run start and end. The driver's round-6
+    // bench recorded 2.6-42x inflation from host stall windows that only an
+    // idle rerun exposed; with the probe the run is self-diagnosing — a
+    // host_factor well above ~1 means the host degraded DURING the run, and
+    // per-query comparisons across rounds should normalize by the control.
+    // A CPU-bound codegen kernel: JIT-saturates within a few runs (a
+    // parquet-scan probe kept improving across the whole bench, biasing the
+    // ratio), yet the round-6 stall windows inflated exactly this kind of
+    // work ~2.6x across the board, so it is a faithful stall detector.
+    def controlRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50_000_000L)
+        .selectExpr("sum(id % 7) AS s", "count(if(id % 11 = 0, 1, null)) AS c")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // prime twice (codegen + C2 must not land in the baseline probe — the
+    // end probe runs in a fully-warm JVM, so an under-warmed start probe
+    // would bias host_factor below 1), then take the best of three
+    def controlProbe(): Double =
+      { controlRun(); controlRun(); Seq(controlRun(), controlRun(), controlRun()).min }
+    val controlStart = controlProbe()
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
@@ -83,7 +106,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val filter = only.map(s => s""","filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"sf":"$sfDir"$filter}""")
+    val controlEnd = controlProbe()
+    val hostFactor = if (controlStart > 0) controlEnd / controlStart else 1.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"host_factor":${fmt(hostFactor)},"sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }
