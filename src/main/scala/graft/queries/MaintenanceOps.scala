@@ -402,9 +402,13 @@ object MaintenanceOps {
         val out = second
           .withColumn("cache_hit", lit(hit))
           .withColumn("single_entry", lit(rc.size == 1))
-        out.count() // force evaluation before the cache is dropped
+        // materialize the (tiny, one row per event_type) result WHILE the
+        // cache entry is live: the caller's later evaluation of a lazy plan
+        // would land after clear() unpersists and silently recompute the
+        // whole aggregate — the gate would then time one extra uncached run
+        val rows = out.collect()
         rc.clear()
-        out
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       aggByTypeSqlFrom.format("events").replace("AS sum_value",
         "AS sum_value,\n  true AS cache_hit, true AS single_entry")),
