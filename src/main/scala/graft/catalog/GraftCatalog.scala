@@ -97,16 +97,7 @@ class GraftCatalog(val warehouse: String) {
     }
     val (schemaWithIds, lastCol) = GraftSchema.assignIds(
       GraftSchema.deepNullable(schema).asInstanceOf[StructType], 0)
-    val byName = schemaWithIds.fields.map(f => f.name -> f).toMap
-    val specFields = partitionBy.map { case (colName, tr) =>
-      val f = byName.getOrElse(colName, sys.error(s"unknown partition source column $colName"))
-      val suffix = tr match {
-        case Transform.Identity => ""
-        case t => "_" + t.name.takeWhile(_ != '[')
-      }
-      PartitionField(GraftSchema.fieldId(f), s"$colName$suffix", tr)
-    }
-    val spec = PartitionSpec(0, specFields)
+    val spec = PartitionSpec(0, PartitionSpec.fieldsFor(schemaWithIds, partitionBy))
     val meta = TableMetadata(
       formatVersion = 1,
       tableUuid = java.util.UUID.randomUUID().toString,
@@ -147,6 +138,29 @@ class GraftCatalog(val warehouse: String) {
     t.append(spark, df, statementId = Some(s"ctas-$name"))
     t
   }
+
+  /** CREATE OR REPLACE ICEBERG TABLE (docs/01:182): plain create when the
+    * table is absent; otherwise ONE CAS commit swaps in the new schema,
+    * partition spec and (empty or `data`) content — table identity (uuid,
+    * location) and snapshot history are preserved, so the pre-replace state
+    * stays time-travelable until snapshot retention expires it.
+    */
+  def replaceTable(
+      name: String,
+      schema: StructType,
+      partitionBy: Seq[(String, Transform)] = Nil,
+      properties: Map[String, String] = Map.empty,
+      spark: Option[org.apache.spark.sql.SparkSession] = None,
+      data: Option[org.apache.spark.sql.DataFrame] = None): GraftTable =
+    if (!tableExists(name)) {
+      val t = createTable(name, schema, partitionBy, properties)
+      data.foreach(df => t.append(spark.get, df, statementId = Some(s"rtas-$name")))
+      t
+    } else {
+      val t = loadTable(name)
+      t.replaceWith(schema, partitionBy, properties, spark, data)
+      t
+    }
 
   /** Resolve the table root (may live on an external volume). */
   def resolveRoot(name: String): String = {

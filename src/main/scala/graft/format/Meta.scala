@@ -102,6 +102,24 @@ case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
 
 object PartitionSpec {
   val unpartitioned: PartitionSpec = PartitionSpec(0, Nil)
+
+  /** Build spec fields for `partitionBy` against an id-assigned schema —
+    * shared by CREATE TABLE and CREATE OR REPLACE (docs/01:182), which must
+    * derive identical hidden-partition field names.
+    */
+  def fieldsFor(schemaWithIds: StructType,
+                partitionBy: Seq[(String, Transform)]): Seq[PartitionField] = {
+    val byName = schemaWithIds.fields.map(f => f.name -> f).toMap
+    partitionBy.map { case (colName, tr) =>
+      val f = byName.getOrElse(colName,
+        sys.error(s"unknown partition source column $colName"))
+      val suffix = tr match {
+        case Transform.Identity => ""
+        case t => "_" + t.name.takeWhile(_ != '[')
+      }
+      PartitionField(GraftSchema.fieldId(f), s"$colName$suffix", tr)
+    }
+  }
 }
 
 /** Per-column stats for one data file (canonical-space values serialized as

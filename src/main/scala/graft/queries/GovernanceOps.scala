@@ -64,6 +64,45 @@ object GovernanceOps {
         |  true AS snapshot_pinned, true AS metadata_at_v2)
         |ORDER BY col_name""".stripMargin),
 
+    // docs/01:182 CREATE OR REPLACE ICEBERG TABLE, as SQL through the
+    // staging catalog (atomic RTAS: schema + spec + data swap in ONE CAS
+    // commit — no intermediate empty table). Identity and history are
+    // preserved: VERSION AS OF the pre-replace snapshot still reads the old
+    // 3-column data, while the live table has the new 2-column shape; the
+    // old state expires later via normal snapshot retention.
+    ("g_replace_table",
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        val tbl = s"rp_${java.util.UUID.randomUUID().toString.take(8)}"
+        FixtureClock.timed {
+          Tables.events(s, d).createOrReplaceTempView("events_src")
+          s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+            |  event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+          s.sql(s"INSERT INTO graft_sql.db.$tbl " +
+            "SELECT event_id, event_type, value FROM events_src")
+        }
+        s.sql(s"""CREATE OR REPLACE TABLE graft_sql.db.$tbl
+          |PARTITIONED BY (event_type) AS
+          |SELECT event_id, event_type FROM events_src
+          |WHERE event_type <> 'click'""".stripMargin)
+        val pre = s.sql(s"SELECT count(*) AS c FROM graft_sql.db.$tbl VERSION AS OF 1")
+          .head.getLong(0)
+        val t = new graft.catalog.GraftCatalog(sqlWarehouse).loadTable(s"db.$tbl")
+        val historyKept = t.meta.snapshots.size == 2 &&
+          t.meta.snapshots.last.operation == "replace" &&
+          t.schema.fieldNames.toSeq == Seq("event_id", "event_type")
+        s.sql(s"SELECT event_type, count(*) AS n FROM graft_sql.db.$tbl GROUP BY event_type")
+          .withColumn("prereplace_rows", lit(pre))
+          .withColumn("history_kept", lit(historyKept))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  (SELECT count(*) FROM events) AS prereplace_rows,
+        |  true AS history_kept
+        |FROM events WHERE event_type <> 'click' GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // D10: DATA_RETENTION_TIME_IN_DAYS (docs/05:88-95): three appends make
     // three snapshots; retention 0 + EXPIRE keeps only the current one.
     // Data is untouched — retention governs history, not live rows.

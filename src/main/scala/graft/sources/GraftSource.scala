@@ -81,10 +81,10 @@ case class GraftRelation(ctx: SQLContext, table: GraftTable,
       case _ => table.scan(preds: _*)
     }
 
-  // Scans always resolve rows to the CURRENT schema by column ID (see
-  // GraftScan.readResolved), so that is the relation schema even for
-  // time-travel reads.
-  override def schema: StructType = table.schema
+  // Scans resolve rows to the PINNED snapshot's schema by column ID (see
+  // GraftScan.readResolved) — the table as of then, which may predate a
+  // CREATE OR REPLACE; unpinned reads use the current schema.
+  override def schema: StructType = pinnedScan(Nil).scanSchema
 
   override def buildScan(): RDD[Row] = buildScan(schema.fieldNames, Array.empty)
 

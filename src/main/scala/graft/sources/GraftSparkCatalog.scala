@@ -44,7 +44,7 @@ import scala.jdk.CollectionConverters._
   * row-group pushdown). A [[V1Scan]] fallback keeps plain sessions correct.
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var cat: GraftCatalog = _
@@ -146,6 +146,32 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
     if (!cat.tableExists(fullName(ident))) false
     else { cat.dropTable(fullName(ident)); true }
 
+  // ---- staged DDL: CREATE OR REPLACE [AS SELECT] (docs/01:182) ----
+  // Spark's atomic exec nodes write through the staged table and only then
+  // call commitStagedChanges(); nothing below persists before that call, so
+  // a failed REPLACE leaves the live table untouched. The replace itself is
+  // GraftTable.replaceWith — one CAS commit preserving identity + history.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[VTransform],
+                           properties: util.Map[String, String]): StagedTable =
+    new GraftStagedTable(cat, fullName(ident), schema, partitions, properties,
+      GraftStagedTable.Create)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[VTransform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
+    new GraftStagedTable(cat, fullName(ident), schema, partitions, properties,
+      GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[VTransform],
+                                    properties: util.Map[String, String]): StagedTable =
+    new GraftStagedTable(cat, fullName(ident), schema, partitions, properties,
+      GraftStagedTable.CreateOrReplace)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
 
@@ -195,6 +221,61 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
   }
 }
 
+/** A staged CREATE / REPLACE / CREATE OR REPLACE target. Writes during
+  * staging (CTAS/RTAS) buffer the source DataFrame; commitStagedChanges()
+  * then performs the whole operation — for REPLACE, one CAS commit via
+  * [[GraftTable.replaceWith]] with the data folded into the "replace"
+  * snapshot, so readers never observe an intermediate empty table. Nothing
+  * persists before commit; abort is a no-op.
+  */
+class GraftStagedTable(cat: GraftCatalog, tableName: String, tableSchema: StructType,
+                       partitions: Array[VTransform], props: util.Map[String, String],
+                       mode: GraftStagedTable.Mode) extends StagedTable with SupportsWrite {
+
+  private var buffered: Option[DataFrame] = None
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staged target is empty by definition
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, ovr: Boolean): Unit = { buffered = Some(data) }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val partitionBy = partitions.toSeq.map(GraftTableCatalog.toGraftTransform)
+    val properties = props.asScala.toMap -- Seq("provider", "owner", "location", "comment")
+    mode match {
+      case GraftStagedTable.Create =>
+        val t = cat.createTable(tableName, tableSchema, partitionBy, properties)
+        buffered.foreach(df => t.append(df.sparkSession, df,
+          statementId = Some(s"ctas-$tableName")))
+      case GraftStagedTable.Replace =>
+        cat.loadTable(tableName)
+          .replaceWith(tableSchema, partitionBy, properties, data = buffered)
+      case GraftStagedTable.CreateOrReplace =>
+        cat.replaceTable(tableName, tableSchema, partitionBy, properties,
+          spark = buffered.map(_.sparkSession), data = buffered)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing persisted pre-commit
+}
+
+object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
 object GraftTableCatalog {
   /** Map Spark connector partition transforms to Graft transforms. */
   def toGraftTransform(t: VTransform): (String, GTransform) = {
@@ -239,7 +320,12 @@ class GraftSparkTable(val graftTable: GraftTable, val travel: TimeTravel) extend
     with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = graftTable.name
-  override def schema(): StructType = graftTable.schema
+  // a time-traveled relation reports the PINNED snapshot's schema — the
+  // current schema may be unrelated after CREATE OR REPLACE (docs/01:182)
+  override def schema(): StructType = travel match {
+    case TimeTravel.None => graftTable.schema
+    case _ => nativeScan(Nil).scanSchema
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)

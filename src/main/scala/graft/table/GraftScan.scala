@@ -87,18 +87,34 @@ class GraftScan(
     meta.schemas.get(schemaId).flatMap(s => s.fields.find(f => GraftSchema.fieldId(f) == sourceId))
       .orElse(meta.schemas.values.flatMap(_.fields).find(f => GraftSchema.fieldId(f) == sourceId))
 
+  /** The schema rows resolve to. A TIME-TRAVELED scan (pinned to a snapshot
+    * other than the current one) reads "the table as of then" with that
+    * snapshot's schema — essential across CREATE OR REPLACE (docs/01:182),
+    * whose fresh field ids share nothing with older snapshots. A
+    * current-snapshot scan always uses the CURRENT schema: schema evolution
+    * is metadata-only (no new snapshot), so the head snapshot's recorded
+    * schemaId legitimately lags the live schema.
+    */
+  private def timeTraveled: Boolean =
+    snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId))
+  val scanSchema: StructType =
+    if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
+    else meta.currentSchema
+  private def scanSchemaId: Int =
+    if (timeTraveled) snapshot.get.schemaId else meta.currentSchemaId
+
   private val pred = Predicate.all(predicates)
 
   /** Phase-1 context from a manifest's partition summaries. */
   private def manifestCtx(mf: ManifestMeta): Predicate.PruneContext = {
     val spec = meta.specs.getOrElse(mf.specId, PartitionSpec.unpartitioned)
-    val schema = meta.currentSchema
+    val schema = scanSchema
     Predicate.PruneContext(
       schema,
       _ => None,
       colName => spec.fields.flatMap { pf =>
         for {
-          src <- sourceField(pf.sourceId, meta.currentSchemaId) if src.name == colName
+          src <- sourceField(pf.sourceId, scanSchemaId) if src.name == colName
           summary <- mf.partitionSummaries.get(pf.name)
         } yield {
           val outDt = pf.transform.resultType(src.dataType)
@@ -122,7 +138,7 @@ class GraftScan(
   /** Phase-2 context from one file's partition tuple + column stats. */
   private def fileCtx(f: DataFile): Predicate.PruneContext = {
     val spec = meta.specs.getOrElse(f.specId, PartitionSpec.unpartitioned)
-    val schema = meta.currentSchema
+    val schema = scanSchema
     val writeSchema = meta.schemas.getOrElse(f.schemaId, schema)
     Predicate.PruneContext(
       schema,
@@ -278,7 +294,7 @@ class GraftScan(
         case _ => None
       }
       case leaf: Leaf =>
-        val dt = meta.currentSchema.fields.find(_.name == leaf.col).map(_.dataType)
+        val dt = scanSchema.fields.find(_.name == leaf.col).map(_.dataType)
         dt.flatMap { t =>
           // identity-partition constant decides exactly both ways; else the
           // file's stats may still decide: the sound pruner proves FALSE
@@ -301,7 +317,7 @@ class GraftScan(
     */
   private def allRowsMatch(leaf: Predicate.Leaf, dt: DataType, f: DataFile): Boolean = {
     import Predicate._
-    val field = meta.currentSchema.fields.find(_.name == leaf.col).getOrElse(return false)
+    val field = scanSchema.fields.find(_.name == leaf.col).getOrElse(return false)
     val st = f.stats.get(GraftSchema.fieldId(field)).getOrElse(return false)
     if (f.recordCount == 0L) return true
     lazy val lo = st.min.map(Canonical.fromJsonString(dt, _))
@@ -398,7 +414,7 @@ class GraftScan(
     * enough to have been truncated).
     */
   def metadataMinMax(colName: String, isMin: Boolean): Option[Option[Any]] = {
-    val field = meta.currentSchema.fields.find(_.name == colName).getOrElse(return None)
+    val field = scanSchema.fields.find(_.name == colName).getOrElse(return None)
     if (!Canonical.supports(field.dataType)) return None
     val id = GraftSchema.fieldId(field)
     val matching = exactFileMatches.getOrElse(return None).collect { case (f, true) => f }
@@ -448,7 +464,7 @@ class GraftScan(
     */
   private[graft] def materialize(spark: SparkSession, files: Seq[DataFile],
                                  deletes: Seq[DataFile], withFileMeta: Boolean): DataFrame = {
-    val current = meta.currentSchema
+    val current = scanSchema
     val df0 = readResolved(spark, files, withFileMeta || deletes.nonEmpty)
     val merged =
       if (deletes.nonEmpty) {
@@ -495,7 +511,7 @@ class GraftScan(
     */
   private def readResolved(spark: SparkSession, files: Seq[DataFile],
                            fileMeta: Boolean): DataFrame = {
-    val current = meta.currentSchema
+    val current = scanSchema
     val outSchema =
       if (fileMeta) StructType(current.fields :+
         StructField("_gf_file", StringType) :+ StructField("_gf_pos", LongType))

@@ -273,6 +273,68 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       "added-records" -> newFiles.map(_.recordCount).sum.toString))(_ => manifests)
   }
 
+  /** CREATE OR REPLACE body (docs/01:182) for an EXISTING table: one CAS
+    * commit that installs a freshly-id'd schema (ids continue from
+    * lastColumnId — never reused, same discipline as DROP COLUMN), a new
+    * default partition spec, and a "replace" snapshot holding `data` (or
+    * nothing). Table identity and history are untouched: pre-replace
+    * snapshots remain time-travelable until retention expires them.
+    * Everything — id assignment, optional data write, snapshot — happens
+    * inside the commit closure, so a CAS retry rebuilds against the fresh
+    * base instead of committing stale ids.
+    */
+  def replaceWith(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[(String, Transform)] = Nil,
+      properties: Map[String, String] = Map.empty,
+      spark: Option[SparkSession] = None,
+      data: Option[DataFrame] = None): TableMetadata =
+    commitMetadata() { m =>
+      val (schemaWithIds, lastCol) = GraftSchema.assignIds(
+        GraftSchema.deepNullable(schema).asInstanceOf[org.apache.spark.sql.types.StructType],
+        m.lastColumnId)
+      val newSchemaId = m.schemas.keys.max + 1
+      val newSpecId = m.specs.keys.max + 1
+      val spec = PartitionSpec(newSpecId, PartitionSpec.fieldsFor(schemaWithIds, partitionBy))
+      val mNew = m.copy(
+        schemas = m.schemas + (newSchemaId -> schemaWithIds),
+        currentSchemaId = newSchemaId,
+        lastColumnId = lastCol,
+        specs = m.specs + (newSpecId -> spec),
+        defaultSpecId = newSpecId)
+      val manifests = data match {
+        case Some(df) =>
+          val files = GraftWriter.write(spark.getOrElse(df.sparkSession), df,
+            mNew, newSchemaId, newSpecId)
+          if (files.isEmpty) Nil else Seq(writeManifest(mNew, files))
+        case None => Nil
+      }
+      val snapId = m.lastSequenceNumber + 1
+      val mlPath = writeManifestList(mNew, snapId, manifests)
+      val stmt = java.util.UUID.randomUUID().toString
+      val dataMfs = manifests.filter(_.content == "data")
+      val snap = Snapshot(
+        snapshotId = snapId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = snapId,
+        timestampMs = System.currentTimeMillis(),
+        operation = "replace",
+        summary = Map(
+          "statement-id" -> stmt,
+          "total-data-files" -> dataMfs.map(_.fileCount.toLong).sum.toString,
+          "total-records" -> dataMfs.map(_.recordCount).sum.toString,
+          "total-delete-files" -> "0"),
+        manifestListPath = mlPath,
+        schemaId = newSchemaId,
+        specId = newSpecId)
+      mNew.copy(
+        lastSequenceNumber = snapId,
+        snapshots = m.snapshots :+ snap,
+        currentSnapshotId = Some(snapId),
+        properties = properties,
+        statementLog = m.statementLog :+ (stmt -> snapId))
+    }
+
   /** Live data files of the current (or given) snapshot. */
   def liveFiles(m: TableMetadata, s: Option[Snapshot]): Seq[DataFile] =
     s.map(sn => readManifestList(m, sn).filter(_.content == "data").flatMap(readManifest(m, _)))
