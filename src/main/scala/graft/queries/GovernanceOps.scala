@@ -34,17 +34,22 @@ object GovernanceOps {
         val tbl = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src")
-          s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+          // namespace via SQL DDL (docs/04:32): the fixture's database is
+          // created through SupportsNamespaces, not as a side effect
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_sql.meta_db")
+          s.sql(s"""CREATE TABLE graft_sql.meta_db.$tbl (
             |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
             |  event_type STRING, value DOUBLE, props STRING)
             |PARTITIONED BY (days(ts), event_type)""".stripMargin)
-          s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src")
+          s.sql(s"INSERT INTO graft_sql.meta_db.$tbl SELECT * FROM events_src")
         }
-        val shown = s.sql("SHOW TABLES IN graft_sql.db")
-          .filter(col("tableName") === tbl).count() == 1
+        val shown = s.sql("SHOW TABLES IN graft_sql.meta_db")
+            .filter(col("tableName") === tbl).count() == 1 &&
+          s.sql("SHOW DATABASES IN graft_sql")
+            .filter(col("namespace") === "meta_db").count() == 1
         val info = new graft.catalog.GraftCatalog(sqlWarehouse)
-          .loadTable(s"db.$tbl").tableInformation
-        s.sql(s"DESCRIBE TABLE graft_sql.db.$tbl")
+          .loadTable(s"meta_db.$tbl").tableInformation
+        s.sql(s"DESCRIBE TABLE graft_sql.meta_db.$tbl")
           .filter(col("col_name") =!= "" && !col("col_name").startsWith("#"))
           .select(col("col_name"), col("data_type"),
             lit(shown).as("in_show_tables"),

@@ -37,6 +37,27 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gsql.db.t").head.getLong(0) == 2)
   }
 
+  test("namespace DDL: CREATE/SHOW/DROP DATABASE + USE route to the catalog (docs/04:32, docs/12:55)") {
+    registerCatalog("gns")
+    spark.sql("CREATE DATABASE gns.analytics")
+    spark.sql("CREATE DATABASE IF NOT EXISTS gns.analytics") // idempotent form
+    assert(spark.sql("SHOW DATABASES IN gns").collect().map(_.getString(0))
+      .contains("analytics"))
+    // tables land inside the namespace and resolve via USE
+    spark.sql("CREATE TABLE gns.analytics.m (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gns.analytics.m SELECT id, CAST(id AS DOUBLE) FROM range(4)")
+    spark.sql("USE gns.analytics")
+    try {
+      assert(spark.sql("SELECT count(*) FROM m").head.getLong(0) == 4)
+      assert(spark.sql("SHOW TABLES").collect().map(_.getString(1)).contains("m"))
+    } finally spark.sql("USE spark_catalog.default")
+    // DROP DATABASE refuses non-empty without CASCADE, then cascades
+    intercept[Exception](spark.sql("DROP DATABASE gns.analytics"))
+    spark.sql("DROP DATABASE gns.analytics CASCADE")
+    assert(!spark.sql("SHOW DATABASES IN gns").collect().map(_.getString(0))
+      .contains("analytics"))
+  }
+
   test("SQL task surface: create_task/alter_task/advance_tasks/task_history") {
     registerCatalog("gtask")
     spark.sql("CREATE TABLE gtask.db.src (id BIGINT)")
