@@ -50,6 +50,23 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(sc.toDF(spark).join(dim, col("id") === col("k")).count() == 50L)
   }
 
+  test("cap boundary: exactly maxKeys still filters, one more falls back — both exact") {
+    val t = fixture()
+    def dimOf(n: Int) = spark.createDataFrame(
+      (0 until n).map(i => Row(i.toLong, s"n$i")).asJava, dimSchema)
+    // exactly at the cap: the IN predicate is pushed
+    val atCap = t.scanWithRuntimeFilter(dimOf(10), "k", "id", maxKeys = 10)
+    assert(atCap.predicates.nonEmpty, "at-cap dim must still push the key filter")
+    assert(atCap.toDF(spark).join(dimOf(10), col("id") === col("k")).count() == 10L)
+    // one past the cap: graceful unfiltered scan (the limit(maxKeys+1)
+    // collect is the only driver-side materialization — bounded at 11 rows
+    // here, never the full dim side)
+    val overCap = t.scanWithRuntimeFilter(dimOf(11), "k", "id", maxKeys = 10)
+    assert(overCap.predicates.isEmpty, "over-cap dim must not push a filter")
+    assert(overCap.metrics.filesScanned == overCap.metrics.filesTotal)
+    assert(overCap.toDF(spark).join(dimOf(11), col("id") === col("k")).count() == 11L)
+  }
+
   test("null dim keys are dropped from the pushed filter") {
     val t = fixture()
     val dim = spark.createDataFrame(
