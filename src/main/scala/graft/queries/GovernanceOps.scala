@@ -230,6 +230,30 @@ object GovernanceOps {
         "AS sum_value,\n  true AS routed_ok,\n  (SELECT count(*) FROM events " +
           "WHERE event_type = 'click') AS local_clicks")),
 
+    // D4 (GLUE variant, docs/04:60-78): the AWS-Glue-contract integration
+    // end-to-end — signed JSON-RPC discovery, GetTable returning a
+    // metadata POINTER, client plans the read from shared storage at that
+    // pointer (MOR deletes applied). Mirrors g_rest_catalog for the second
+    // external-catalog protocol the reference documents.
+    ("g_glue_catalog",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false,
+          props = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.delete(s, Seq(Predicate.Eq("event_type", "click"))) // MOR deletes
+        val server = new graft.interop.GlueCatalog.Server(
+          t.catalog, s, "123456789", "AKIDGRAFT", "s3cret").start()
+        try {
+          val client = new graft.interop.GlueCatalog.Client(
+            server.uri, "123456789", "AKIDGRAFT", "s3cret")
+          val discovered = client.tables("db")
+          aggByType(client.readTable(s, "db", "events"))
+            .withColumn("discovered", lit(discovered == Seq("events")))
+        } finally server.stop()
+      },
+      aggByTypeSqlFrom.format("events")
+        .replace("FROM events",
+          ",\n  true AS discovered\nFROM events WHERE event_type <> 'click'")),
+
     // D14: ALTER ... REFRESH (docs/11:174-183): a second catalog instance
     // (an "external writer") appends behind the first's back; REFRESH
     // re-reads the pointer and the first handle sees the new version and
