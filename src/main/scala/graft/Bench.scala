@@ -48,6 +48,28 @@ object Bench {
       t.compact(spark)
       t.toDF(spark).count()
     }
+    // Structured Streaming warmup: the first streaming gate used to absorb
+    // the micro-batch subsystem's one-time cost (state-store provider,
+    // streaming codegen, progress machinery — measured ~7s extra on
+    // whichever of g_stream_* iterates first vs ~7s alone; per-batch
+    // breakdown in tools.StreamProbe). One tiny
+    // file-source stream through a watermarked stateful op takes it out.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-swarm").toString
+      spark.range(0, 100)
+        .select(col("id"), expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.readStream
+        .schema("id BIGINT, ts TIMESTAMP").parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .option("checkpointLocation", s"$dir-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // Host-factor control probe (round-6 verdict, Next-round #4): a fixed
     // q1-shaped scan+agg timed at run start and end. The driver's round-6
     // bench recorded 2.6-42x inflation from host stall windows that only an
@@ -71,12 +93,25 @@ object Bench {
     def controlProbe(): Double =
       { controlRun(); controlRun(); Seq(controlRun(), controlRun(), controlRun()).min }
     val controlStart = controlProbe()
+    // Mid-run control series: start/end probes alone miss the host's
+    // INTERMITTENT stall windows (round-6's driver run had 2.6-42x
+    // per-query inflation that only an idle rerun exposed; a window can
+    // open and close entirely between the two probes). One cheap best-of-2
+    // probe every 12 queries (~0.1s each, warm JVM — no re-priming) makes
+    // the JSON self-diagnosing per-SEGMENT: queries are emitted in run
+    // order, so a spike in controls[k] localizes a stall to queries
+    // 12k..12k+11 and those numbers can be discounted without a rerun.
+    val controls = scala.collection.mutable.ArrayBuffer(controlStart)
+    def midProbe(): Double = Seq(controlRun(), controlRun()).min
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .toSeq // pin run order: zipWithIndex on a Map would re-hash to Map[(k,v),i]
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % 12 == 0) controls += midProbe()
         // drop the PREVIOUS query's leaked blocks before timing this one:
         // every localCheckpoint/persist pins storage until the driver GCs
         // its RDD reference, so 80+ queries in one JVM otherwise squeeze
@@ -107,8 +142,16 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val filter = only.map(s => s""","filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
     val controlEnd = controlProbe()
-    val hostFactor = if (controlStart > 0) controlEnd / controlStart else 1.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"host_factor":${fmt(hostFactor)},"sf":"$sfDir"$filter}""")
+    controls += controlEnd
+    // host_factor spans the whole series: max/median flags a stall ANYWHERE
+    // in the run (end/start alone reads 1.0 when a mid-run window has closed
+    // again by the final probe; median — not min — as the floor, so one
+    // lucky-fast probe doesn't inflate the flag).
+    val sorted = controls.sorted
+    val median = sorted(sorted.size / 2)
+    val hostFactor = if (median > 0) controls.max / median else 1.0
+    val ctl = controls.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }
