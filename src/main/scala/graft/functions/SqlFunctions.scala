@@ -60,5 +60,6 @@ object SqlFunctions {
     // multimodal
     reg("graft_sniff_format") { e => graft.operators.Multimodal.sniffFormat(c(e.head)) }
     reg("graft_decode_image") { e => graft.operators.Multimodal.decodeImage(c(e.head)) }
+    reg("graft_decode_audio") { e => graft.operators.Multimodal.decodeAudio(c(e.head)) }
   }
 }

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[decodeImage]] parses PNG/BMP/GIF/JPEG headers
   * through the JDK's `javax.imageio` ([[ImageCodec]]) — dimensions and
-  * channel count without pixel decode. AUDIO/VIDEO codecs are not in the
-  * JDK, so those stay behind [[stubDecode]], a deterministic fake with the
-  * real pipeline shape: same schema contract, same per-row batch transform
-  * position a codec would occupy. Swapping one in means replacing ONE
+  * channel count without pixel decode. AUDIO container decode is REAL for
+  * WAV/AIFF/AU: [[decodeAudio]] parses headers through the JDK's
+  * `javax.sound.sampled` ([[AudioCodec]]) — sample rate / channels / bit
+  * depth / frame count without sample decode. Codecs the JDK does not ship
+  * (mp3/ogg, all VIDEO) stay behind [[stubDecode]], a deterministic fake
+  * with the real pipeline shape: same schema contract, same per-row batch
+  * transform position a codec would occupy. Swapping one in means replacing ONE
   * Column expression; every upstream/downstream stage — blob storage in
   * Graft tables (binary is a first-class type, SURVEY §1.3), partitioning,
   * pruning, aggregation — is unchanged.
@@ -29,6 +32,16 @@ object Multimodal {
   def decodeImage(blob: Column): Column = {
     import org.apache.spark.sql.GraftSqlShim
     GraftSqlShim.column(DecodeImageHeader(GraftSqlShim.expression(blob)))
+  }
+
+  /** REAL audio-header decode: binary -> struct(format, sample_rate,
+    * channels, bits, frames), null when no JDK reader claims the bytes
+    * (mp3/ogg route to [[stubDecode]] or an external codec). Header-only —
+    * format-chunk parse, no sample decode; stays in whole-stage codegen.
+    */
+  def decodeAudio(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(DecodeAudioHeader(GraftSqlShim.expression(blob)))
   }
 
   /** The typed metadata contract carried beside every blob. */

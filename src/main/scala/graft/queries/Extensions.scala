@@ -841,6 +841,47 @@ object Extensions {
         |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER)
         |ORDER BY 1""".stripMargin),
 
+    // X5d: REAL audio decode (no stub), the audio sibling of
+    // x_multimodal_decode: 48 JDK-encoded WAV/AIFF/AU blobs with known
+    // sample rate / channels / frame count plus 8 undecodable byte strings,
+    // stored through a Graft table, then header-decoded via
+    // javax.sound.sampled ([[graft.operators.AudioCodec]]) on the scan
+    // side. Header-only parse — format chunk, no sample decode; the same
+    // map-side metadata-extraction shape as the image path at 100 TB.
+    ("x_multimodal_audio",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{AudioCodec, Multimodal}
+        val rows = (0 until 48).map { i =>
+          val fmt = Seq("wav", "aiff", "au")(i % 3)
+          (i.toLong, AudioCodec.encodeAudio(fmt, 8000 + i * 100, 1 + i % 2, 100 + i))
+        } ++ (48 until 56).map(i => (i.toLong, s"not-audio-$i".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeAudio(col("blob")))
+          .groupBy(coalesce(col("dec.format"), lit("undecodable")).as("format"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dec.sample_rate")), lit(0)).cast("long").as("sum_rate"),
+            coalesce(sum(col("dec.frames")), lit(0)).cast("long").as("sum_frames"),
+            max(col("dec.channels")).as("max_channels"),
+            max(col("dec.bits")).as("max_bits"))
+          .orderBy("format")
+      },
+      // JDK extension strings: WAVE -> 'wav', AIFF -> 'aif', AU -> 'au'
+      """WITH clips AS (
+        |  SELECT CASE CAST(i % 3 AS INTEGER)
+        |      WHEN 0 THEN 'wav' WHEN 1 THEN 'aif' ELSE 'au' END AS format,
+        |    8000 + i * 100 AS rate, 100 + i AS frames, 1 + i % 2 AS channels
+        |  FROM range(48) t(i))
+        |SELECT format, count(*) AS n, CAST(sum(rate) AS BIGINT) AS sum_rate,
+        |  CAST(sum(frames) AS BIGINT) AS sum_frames,
+        |  CAST(max(channels) AS INTEGER) AS max_channels, 16 AS max_bits
+        |FROM clips GROUP BY 1
+        |UNION ALL
+        |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+        |ORDER BY 1""".stripMargin),
+
     // X4: deterministic train/val/test split — the assignment is a pure
     // function of doc_id (first md5 hex byte: <0xcc train ~80%, <0xe6 val
     // ~10%, else test), so it is stable across engines, runs, repartitions

@@ -103,6 +103,42 @@ class MultimodalSpec extends SparkSpec {
     assert(exec.head().getInt(0) == 32)
   }
 
+  test("decodeAudio: real javax.sound.sampled header decode for WAV/AIFF/AU") {
+    val rows = Seq(
+      Row(1L, AudioCodec.encodeAudio("wav", 44100, 2, 1000)),
+      Row(2L, AudioCodec.encodeAudio("aiff", 22050, 1, 500)),
+      Row(3L, AudioCodec.encodeAudio("au", 8000, 1, 250)),
+      Row(4L, "definitely not audio".getBytes("UTF-8")),
+      Row(5L, AudioCodec.encodeAudio("wav", 44100, 2, 100).take(10)), // truncated
+      Row(6L, null))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType))))
+    val got = df.select(col("id"), Multimodal.decodeAudio(col("blob")).as("dec"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(d =>
+          (d.getString(0), d.getInt(1), d.getInt(2), d.getInt(3), d.getLong(4)))).toMap
+    assert(got(1L).contains(("wav", 44100, 2, 16, 1000L)))
+    assert(got(2L).contains(("aif", 22050, 1, 16, 500L)))
+    assert(got(3L).contains(("au", 8000, 1, 16, 250L)))
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("decodeAudio SQL twin registered; image + audio decoders compose") {
+    graft.functions.SqlFunctions.install(spark)
+    val df = spark.createDataFrame(
+      Seq(Row(1L, AudioCodec.encodeAudio("wav", 16000, 1, 320)),
+        Row(2L, ImageCodec.encodeImage("png", 24, 12))).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("blob", BinaryType))))
+    df.createOrReplaceTempView("clips")
+    // one pass routes each blob to whichever decoder claims it
+    val got = spark.sql(
+      """SELECT id, graft_decode_audio(blob).sample_rate AS rate,
+        |  graft_decode_image(blob).width AS w FROM clips ORDER BY id""".stripMargin)
+      .collect()
+    assert(got(0).getInt(1) == 16000 && got(0).isNullAt(2))
+    assert(got(1).isNullAt(1) && got(1).getInt(2) == 24)
+  }
+
   test("resize + frame-sample stubs keep the schema contract") {
     val docs = spark.createDataFrame(
       Seq(Row(1L, "x" * 100)).asJava,
