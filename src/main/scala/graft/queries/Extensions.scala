@@ -882,6 +882,75 @@ object Extensions {
         |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
         |ORDER BY 1""".stripMargin),
 
+    // X4f: PII SCRUB — the redaction pass every training-data pipeline runs
+    // before release: emails / phone-shaped numbers / IPv4 literals found by
+    // regex are replaced with typed tokens, and the job reports per-language
+    // redaction counts for audit. Pure row-local regexp_replace +
+    // regexp_count (codegen'd, no UDF): at 100 TB this is a map-only pass —
+    // no shuffle of the text, the only exchange is the final tiny per-lang
+    // rollup. The corpus carries no natural PII, so the fixture plants a
+    // deterministic email/phone/IP on doc_id multiples of 3/5/7 (both
+    // engines derive the same plant from doc_id — no data movement).
+    // Patterns stay in the RE2-compatible subset (char classes, bounded
+    // quantifiers, \b) so Spark (java.util.regex) and DuckDB (RE2) agree.
+    ("x_pii_scrub",
+      (s: SparkSession, d: String) => {
+        val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phonePat = """\b\d{3}-\d{4}\b"""
+        val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val planted = Tables.documents(s, d)
+          .withColumn("text2", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+              .otherwise(lit(""))))
+        planted
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(regexp_replace(col("text2"),
+              emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("scrubbed") =!= col("text2"), 1)).as("docs_redacted"),
+            sum(regexp_count(col("text2"), lit(emailPat))).cast("long").as("n_emails"),
+            sum(regexp_count(col("text2"), lit(phonePat))).cast("long").as("n_phones"),
+            sum(regexp_count(col("text2"), lit(ipPat))).cast("long").as("n_ips"),
+            sum(length(col("text2")) - length(col("scrubbed"))).cast("long").as("len_delta"))
+          .orderBy("lang")
+      },
+      """WITH planted AS (
+        |  SELECT lang, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+        |    AS text2
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT lang, text2,
+        |    regexp_replace(regexp_replace(regexp_replace(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
+        |  FROM planted)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN scrubbed <> text2 THEN 1 END) AS docs_redacted,
+        |  CAST(sum(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(text2, '\b\d{3}-\d{4}\b'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(text2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ips,
+        |  CAST(sum(len(text2) - len(scrubbed)) AS BIGINT) AS len_delta
+        |FROM scrub GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4: deterministic train/val/test split — the assignment is a pure
     // function of doc_id (first md5 hex byte: <0xcc train ~80%, <0xe6 val
     // ~10%, else test), so it is stable across engines, runs, repartitions
