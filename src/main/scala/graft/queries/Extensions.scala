@@ -951,6 +951,37 @@ object Extensions {
         |  CAST(sum(len(text2) - len(scrubbed)) AS BIGINT) AS len_delta
         |FROM scrub GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X4g: DETERMINISTIC CORPUS SHUFFLE — training-order randomization
+    // without a global sort. shard = first md5 hex char of (seed, doc_id)
+    // (16 shards), within-shard order = the full hash: both are pure row
+    // functions, so the shuffle is reproducible across engines, runs,
+    // repartitions and late-arriving files, with ZERO coordination. The
+    // 100 TB write path is repartition(shard).sortWithinPartitions(hash) —
+    // a single hash exchange + local sort per shard, never a global
+    // ORDER BY rand(); this gate proves the assignment + ordering contract
+    // via per-shard stats and the arg-min/arg-max docs of each shard's
+    // hash order (only tiny projected columns move, not text).
+    ("x_corpus_shuffle",
+      (s: SparkSession, d: String) => {
+        val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+        Tables.documents(s, d)
+          .withColumn("h", h)
+          .withColumn("shard", substring(col("h"), 1, 1))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min_by(col("doc_id"), col("h")).as("first_doc"),
+            max_by(col("doc_id"), col("h")).as("last_doc"))
+          .orderBy("shard")
+      },
+      """SELECT substr(md5('epoch1:' || doc_id), 1, 1) AS shard,
+        |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  arg_min(doc_id, md5('epoch1:' || doc_id)) AS first_doc,
+        |  arg_max(doc_id, md5('epoch1:' || doc_id)) AS last_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4: deterministic train/val/test split — the assignment is a pure
     // function of doc_id (first md5 hex byte: <0xcc train ~80%, <0xe6 val
     // ~10%, else test), so it is stable across engines, runs, repartitions

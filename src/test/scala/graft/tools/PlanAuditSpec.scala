@@ -131,4 +131,30 @@ class PlanAuditSpec extends SparkSpec {
     // range partitioning (presentation only) — the aggregate must add NONE
     assert(shuffles <= 2, s"sequence packing should shuffle once (+sort): $shuffles\n$top")
   }
+
+  test("corpus shuffle write path: one hash exchange + local sort, no global sort") {
+    // the 100 TB shape behind x_corpus_shuffle: shard + order are pure row
+    // functions, so materializing a shuffled epoch is repartition(shard)
+    // .sortWithinPartitions(hash) — ONE hash exchange, per-partition sort,
+    // and NEVER a range exchange (a global ORDER BY rand() would range-
+    // partition and sample the whole corpus first).
+    val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+    val df = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("h", h)
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .repartition(col("shard"))
+      .sortWithinPartitions("h")
+    df.collect()
+    // string-walk the final plan: AQE hides the Exchange inside a
+    // ShuffleQueryStage (not a TreeNode child), so node collection misses
+    // it; drop the "== Initial Plan ==" section (it repeats every node)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"shard exchange must hash-partition, not range:\n$plan")
+    val sorts = "(?m)^.*\\bSort \\[.*$".r.findAllIn(plan).toList
+    assert(sorts.nonEmpty && sorts.forall(_.contains("], false, 0")),
+      s"ordering must be per-partition (no global sort):\n$plan")
+  }
 }
