@@ -1043,6 +1043,57 @@ object Extensions {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
+    // X4h: DOMAIN MIXING — the pretraining-mixture step: given per-source
+    // target weights and a token budget (n_chars as the proxy), derive
+    // per-source keep RATES (rate = weight-share of budget / source size,
+    // capped at 1) and materialize the mixture with the same md5-threshold
+    // row function the sampler uses. Planted weights derive from the source
+    // name (1 + idx%5). Everything is integer arithmetic end-to-end — the
+    // keep threshold is a 16-bit integer computed with BIGINT div, and the
+    // row hash is the md5 prefix parsed as an integer — so both engines
+    // make bit-identical keep decisions (no float rate ever exists). At
+    // scale: per-source totals are a tiny agg (rows = #sources) broadcast
+    // back onto the corpus; the mixture pass itself is map-only. (At
+    // 100 TB-scale char counts, rescale the 65536 granularity factor so
+    // w*total*2^16 stays under 2^63 — the shape is unchanged.)
+    ("x_domain_mix",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w",
+            (lit(1) + substring(col("source"), 4, 10).cast("int") % 5).cast("long"))
+        val bySrc = docs.groupBy("source", "w")
+          .agg(sum(col("n_chars")).cast("long").as("chars_s"))
+        val tot = docs.agg(sum(col("n_chars")).cast("long").as("total_chars"))
+        val rates = bySrc.crossJoin(tot) // budget = total/2, weight sum = 60
+          .withColumn("t",
+            expr("least(CAST(65536 AS BIGINT), (w * total_chars * 65536) div (120 * chars_s))"))
+        docs
+          .join(broadcast(rates.select("source", "t")), "source")
+          .filter(conv(substring(md5(col("doc_id").cast("string")), 7, 4),
+            16, 10).cast("long") < col("t"))
+          .groupBy("source")
+          .agg(max(col("t")).as("mix_threshold"),
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("chars_kept"))
+          .orderBy("source")
+      },
+      """WITH s AS (
+        |  SELECT source, CAST(1 + CAST(substr(source, 4) AS INTEGER) % 5 AS BIGINT) AS w,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents),
+        |r AS (
+        |  SELECT source, least(CAST(65536 AS BIGINT),
+        |    (w * total_chars * 65536) // (120 * chars_s)) AS t
+        |  FROM s, tot),
+        |kept AS (
+        |  SELECT d.source, d.n_chars, r.t
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 7, 4))::BIGINT < r.t)
+        |SELECT source, CAST(max(t) AS BIGINT) AS mix_threshold, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4d: deterministic STRATIFIED SAMPLING — per-stratum (lang) keep
     // rates applied via an md5(doc_id)-prefix threshold: a pure function
     // of the row, so the sample is stable across runs, repartitions and
