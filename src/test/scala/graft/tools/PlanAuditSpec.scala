@@ -132,6 +132,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"sequence packing should shuffle once (+sort): $shuffles\n$top")
   }
 
+  test("pii scrub is map-only: the lone exchange is the per-lang rollup") {
+    // the scrub itself (regexp_replace/regexp_count over text) must add no
+    // exchange — at 100 TB the text never moves; only the tiny per-lang
+    // partial aggregates do.
+    val run = graft.queries.Extensions.entries.find(_._1 == "x_pii_scrub").get._2
+    val df = run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, // agg rollup + presentation orderBy
+      s"scrub must not shuffle text — expected <=2 exchanges (agg + sort):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"rollup must be partial+final (map-side combined):\n$plan")
+  }
+
+  test("domain mix broadcasts the per-source rate table onto the corpus") {
+    // per-source totals are rows=#sources; joining them back must be a
+    // broadcast hash join, never a shuffled join of the corpus.
+    val run = graft.queries.Extensions.entries.find(_._1 == "x_domain_mix").get._2
+    val df = run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rates join:\n$plan")
+  }
+
+  test("decontamination probes a broadcast gram set — train text never shuffles") {
+    val run = graft.queries.Extensions.entries.find(_._1 == "x_decontaminate").get._2
+    val df = run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join anywhere in the decontamination plan:\n$plan")
+  }
+
   test("corpus shuffle write path: one hash exchange + local sort, no global sort") {
     // the 100 TB shape behind x_corpus_shuffle: shard + order are pure row
     // functions, so materializing a shuffled epoch is repartition(shard)
