@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Control-normalized bench comparison across rounds.
+
+Usage: python3 tools/bench_compare.py <old_bench.json> <new_bench.json> [band]
+
+The host this repo benches on has intermittent multi-minute stall windows
+(round-6's driver run recorded 2.6-42x per-query inflation with ZERO code
+cause; even untouched relational controls inflated 2.6x). Raw per-query
+ratios across rounds are therefore meaningless without normalizing by how
+fast the HOST was during each run. This tool encodes the adjudication
+discipline the round-6 judge applied by hand:
+
+  1. host speed per run = median of the run's control-probe series
+     (`controls`, emitted every 12 queries since round 7; falls back to
+     control_start/end, then to the median per-query ratio itself).
+  2. normalized ratio = (new_sec / old_sec) / (new_host / old_host).
+  3. flag only queries whose normalized ratio exceeds the band (default
+     1.5x) in either direction — those are real regressions/wins, not drift.
+
+Accepts raw one-line bench JSON, sbt "[info] "-prefixed lines, and the
+driver's {n, rc, tail} wrapper (tail may be TRUNCATED mid-JSON — parse
+defensively and use whatever queries survive).
+"""
+import json, re, statistics, sys
+
+
+def load(path):
+    text = open(path).read()
+    # driver wrapper {n, rc, tail}?
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and "tail" in obj:
+            text = obj["tail"]
+        elif isinstance(obj, dict) and "queries" in obj:
+            return obj
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*', text)
+    if m:
+        line = m.group(0).splitlines()[0]
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            pass
+        text = line
+    # truncated head or tail (the driver keeps only a log tail): salvage
+    # every query-shaped "name":sec pair; query names are g_*/x_*/q<N>_*
+    # so meta fields (value, host_factor, ...) never collide
+    qs = dict((k, float(v)) for k, v in
+              re.findall(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text))
+    if not qs:
+        sys.exit(f"{path}: no bench JSON found")
+    out = {"queries": qs}
+    mc = re.search(r'"controls":\[([0-9.,]+)\]', text)
+    if mc:
+        out["controls"] = [float(x) for x in mc.group(1).split(",")]
+    for key in ("control_start_sec", "control_end_sec"):
+        mk = re.search(rf'"{key}":([0-9.]+)', text)
+        if mk:
+            out[key] = float(mk.group(1))
+    return out
+
+
+def host_speed(d, other=None):
+    ctl = d.get("controls")
+    if ctl:
+        return statistics.median(ctl)
+    se = [v for v in (d.get("control_start_sec"), d.get("control_end_sec"))
+          if v is not None]
+    if se:
+        return statistics.median(se)
+    return None
+
+
+def main(old_path, new_path, band=1.5):
+    old, new = load(old_path), load(new_path)
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    if not common:
+        sys.exit("no common queries")
+    ho, hn = host_speed(old), host_speed(new)
+    if ho and hn:
+        drift = hn / ho
+        print(f"host drift (new/old control median): {drift:.2f}")
+    else:
+        # no probes (pre-round-7 JSON): median per-query ratio IS the drift
+        drift = statistics.median(qn[k] / qo[k] for k in common if qo[k] > 0)
+        print(f"host drift (median per-query ratio fallback): {drift:.2f}")
+    flagged = []
+    for k in common:
+        if qo[k] <= 0 or qn[k] <= 0:
+            continue
+        norm = (qn[k] / qo[k]) / drift
+        if norm > band or norm < 1 / band:
+            flagged.append((norm, k, qo[k], qn[k]))
+    print(f"{len(common)} common queries, "
+          f"old total {sum(qo[k] for k in common):.1f}s, "
+          f"new total {sum(qn[k] for k in common):.1f}s, band {band}x")
+    for norm, k, o, n in sorted(flagged, reverse=True):
+        tag = "REGRESSION" if norm > 1 else "win"
+        print(f"  {tag:10s} {k}: {o:.2f}s -> {n:.2f}s "
+              f"(raw {n / o:.2f}x, normalized {norm:.2f}x)")
+    if not flagged:
+        print("  no per-query change outside the band after host normalization")
+    added = sorted(set(qn) - set(qo))
+    if added:
+        print(f"new queries (no baseline): {', '.join(added)}")
+
+
+if __name__ == "__main__":
+    band = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    main(sys.argv[1], sys.argv[2], band)
