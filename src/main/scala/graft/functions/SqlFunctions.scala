@@ -61,5 +61,6 @@ object SqlFunctions {
     reg("graft_sniff_format") { e => graft.operators.Multimodal.sniffFormat(c(e.head)) }
     reg("graft_decode_image") { e => graft.operators.Multimodal.decodeImage(c(e.head)) }
     reg("graft_decode_audio") { e => graft.operators.Multimodal.decodeAudio(c(e.head)) }
+    reg("graft_image_stats") { e => graft.operators.Multimodal.imageStats(c(e.head)) }
   }
 }

@@ -61,6 +61,59 @@ object ImageCodec {
     } catch { case _: Exception => null } // corrupt header -> undecodable
   }
 
+  /** Pixel-stats contract for REAL feature extraction: dimensions plus
+    * exact per-channel pixel sums (integers — no float ever exists, so
+    * cross-engine parity is exact).
+    */
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** FULL pixel decode + per-channel sums — the real feature-extraction
+    * step (channel means = sums / (w*h), done by the caller in whatever
+    * precision it wants). Unlike [[decodeHeaderRow]] this pays the honest
+    * cost of decoding sample data; at 100 TB that cost is the operator —
+    * it stays map-side and shuffles nothing. Null when no reader claims
+    * the bytes. Lossless containers (PNG/BMP) reproduce encoder pixels
+    * bit-exactly; lossy/palettized ones (JPEG/GIF) decode but their sums
+    * are codec-defined.
+    */
+  def decodeStatsRow(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val fmt = r.getFormatName.toLowerCase
+          val img = r.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          new GenericInternalRow(
+            Array[Any](UTF8String.fromString(fmt), w, h, sr, sg, sb))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
   /** Fixture-side encoder (tests + gate queries): a deterministic RGB
     * gradient at the requested dimensions, written through the same JDK
     * codec family the decoder reads.
@@ -108,5 +161,32 @@ case class DecodeImageHeader(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): DecodeImageHeader =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> struct(format, width, height, sum_r,
+  * sum_g, sum_b) via FULL pixel decode — the real feature-extraction
+  * kernel. Same codegen shape as the header decoder: one static call.
+  */
+case class DecodeImageStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ImageCodec.StatsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.decodeStatsRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.ImageCodec.decodeStatsRow($b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeImageStats =
     copy(child = newChild)
 }

@@ -44,6 +44,17 @@ object Multimodal {
     GraftSqlShim.column(DecodeAudioHeader(GraftSqlShim.expression(blob)))
   }
 
+  /** REAL feature extraction: FULL pixel decode -> per-channel integer
+    * sums (means = sums / (width*height) in caller-chosen precision; the
+    * sums themselves are exact BIGINTs, so parity is bit-exact). This is
+    * the step that pays bytes-decoded cost — the honest shape of feature
+    * extraction at 100 TB; it stays map-side and shuffles nothing.
+    */
+  def imageStats(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(DecodeImageStats(GraftSqlShim.expression(blob)))
+  }
+
   /** The typed metadata contract carried beside every blob. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),

@@ -841,6 +841,51 @@ object Extensions {
         |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER)
         |ORDER BY 1""".stripMargin),
 
+    // X5e: REAL feature extraction — FULL pixel decode, not just headers:
+    // per-channel integer pixel sums over 30 JDK-encoded PNG/BMP gradients
+    // ([[graft.operators.ImageCodec.decodeStatsRow]]; channel means =
+    // sums / (w*h) in caller precision, the sums themselves exact BIGINTs).
+    // The encoder gradient is a closed-form function of (x, y), so DuckDB
+    // verifies the decoded sums WITHOUT any image library: it evaluates the
+    // same formula over a bounded pixel grid. Lossless containers only
+    // (PNG/BMP reproduce encoder pixels bit-exactly; JPEG/GIF sums are
+    // codec-defined). This is the step that pays bytes-DECODED cost — the
+    // honest shape of feature extraction at 100 TB; map-side, no shuffle.
+    ("x_multimodal_features",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 30).map { i =>
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.feat_images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.imageStats(col("blob")))
+          .select(col("img_id"), col("dec.format").as("format"),
+            col("dec.width").as("width"), col("dec.height").as("height"),
+            col("dec.sum_r").as("sum_r"), col("dec.sum_g").as("sum_g"),
+            col("dec.sum_b").as("sum_b"))
+          .orderBy("img_id")
+      },
+      // the encoder writes rgb = ((x*31 + y*17) & 0xFF) << 8 | (x & 0xFF):
+      // R = 0, G = (x*31 + y*17) mod 256, B = x mod 256 (x < 256 here)
+      """WITH px AS (
+        |  SELECT i,
+        |    CAST(sum(CASE WHEN x < 16+i AND y < 12+(i%7)
+        |      THEN (x*31 + y*17) % 256 END) AS BIGINT) AS sum_g,
+        |    CAST(sum(CASE WHEN x < 16+i AND y < 12+(i%7)
+        |      THEN x % 256 END) AS BIGINT) AS sum_b
+        |  FROM range(30) t(i), range(46) xs(x), range(19) ys(y)
+        |  GROUP BY i)
+        |SELECT i AS img_id,
+        |  CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(16 + i AS INTEGER) AS width,
+        |  CAST(12 + (i % 7) AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS sum_r, sum_g, sum_b
+        |FROM px ORDER BY 1""".stripMargin),
+
     // X5d: REAL audio decode (no stub), the audio sibling of
     // x_multimodal_decode: 48 JDK-encoded WAV/AIFF/AU blobs with known
     // sample rate / channels / frame count plus 8 undecodable byte strings,

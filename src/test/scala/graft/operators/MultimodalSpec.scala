@@ -103,6 +103,26 @@ class MultimodalSpec extends SparkSpec {
     assert(exec.head().getInt(0) == 32)
   }
 
+  test("imageStats: full pixel decode sums channels exactly (lossless formats)") {
+    def expected(w: Int, h: Int): (Long, Long) = {
+      var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sg += (x * 31 + y * 17) & 0xFF; sb += x & 0xFF
+      }
+      (sg, sb)
+    }
+    Seq(("png", 16, 12), ("bmp", 33, 7)).foreach { case (fmt, w, h) =>
+      val row = ImageCodec.decodeStatsRow(ImageCodec.encodeImage(fmt, w, h))
+      assert(row != null)
+      val (sg, sb) = expected(w, h)
+      assert(row.getInt(1) == w && row.getInt(2) == h)
+      assert(row.getLong(3) == 0L && row.getLong(4) == sg && row.getLong(5) == sb,
+        s"$fmt ${w}x$h channel sums")
+    }
+    assert(ImageCodec.decodeStatsRow("not an image".getBytes) == null)
+    assert(ImageCodec.decodeStatsRow(null) == null)
+  }
+
   test("decodeAudio: real javax.sound.sampled header decode for WAV/AIFF/AU") {
     val rows = Seq(
       Row(1L, AudioCodec.encodeAudio("wav", 44100, 2, 1000)),
