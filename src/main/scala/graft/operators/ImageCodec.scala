@@ -25,6 +25,11 @@ object ImageCodec {
 
   ImageIO.setUseCache(false) // no temp-file cache: blobs are in-memory
 
+  /** Raster-size ceiling for FULL decode ([[decodeStatsRow]]): header-
+    * claimed rasters above this are refused without allocating.
+    */
+  val MaxDecodePixels: Long = 128L * 1024 * 1024
+
   /** Decoded header contract: container format + dimensions + channels. */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -93,6 +98,13 @@ object ImageCodec {
         try {
           r.setInput(iis, true, true)
           val fmt = r.getFormatName.toLowerCase
+          // decode-bomb guard: dimensions come from the HEADER (no pixel
+          // allocation yet); a blob whose claimed raster exceeds the bound
+          // (128M pixels ≈ 0.5 GB ARGB) is refused, not decoded — on an
+          // untrusted 100 TB corpus one crafted header must not OOM an
+          // executor. Routes to null like any other undecodable blob.
+          if (r.getWidth(0).toLong * r.getHeight(0).toLong > MaxDecodePixels)
+            return null
           val img = r.read(0)
           val w = img.getWidth
           val h = img.getHeight

@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodeStatsRow(null) == null)
   }
 
+  test("imageStats refuses decode bombs: giant header dims yield null, no allocation") {
+    // hand-craft a valid PNG signature + IHDR claiming a 50000x50000
+    // raster (~9.3 GB ARGB) with no pixel data behind it
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xFF).toByte, ((i >> 16) & 0xFF).toByte,
+        ((i >> 8) & 0xFF).toByte, (i & 0xFF).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val payload = tag.getBytes("US-ASCII") ++ body
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      be(body.length) ++ payload ++ be(crc.getValue.toInt)
+    }
+    val emptyDeflate = Array[Byte](0x78, 0x9C.toByte, 0x03, 0x00, 0x00, 0x00, 0x00, 0x01)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", be(50000) ++ be(50000) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", emptyDeflate) ++ chunk("IEND", Array.empty)
+    // header decode still reads the claimed dims (no pixel allocation)...
+    val hdr = ImageCodec.decodeHeaderRow(bomb)
+    assert(hdr != null && hdr.getInt(1) == 50000 && hdr.getInt(2) == 50000)
+    // ...but full pixel decode refuses before allocating the raster
+    assert(ImageCodec.decodeStatsRow(bomb) == null)
+  }
+
   test("decodeAudio: real javax.sound.sampled header decode for WAV/AIFF/AU") {
     val rows = Seq(
       Row(1L, AudioCodec.encodeAudio("wav", 44100, 2, 1000)),
