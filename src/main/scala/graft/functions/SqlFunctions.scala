@@ -62,5 +62,11 @@ object SqlFunctions {
     reg("graft_decode_image") { e => graft.operators.Multimodal.decodeImage(c(e.head)) }
     reg("graft_decode_audio") { e => graft.operators.Multimodal.decodeAudio(c(e.head)) }
     reg("graft_image_stats") { e => graft.operators.Multimodal.imageStats(c(e.head)) }
+    reg("graft_resize_image") { e =>
+      graft.operators.Multimodal.resizeImage(c(e.head), litInt(e(1), "maxWidth"))
+    }
+    reg("graft_sample_frames") { e =>
+      graft.operators.Multimodal.sampleFrames(c(e.head), litInt(e(1), "stride"))
+    }
   }
 }

@@ -126,6 +126,126 @@ object ImageCodec {
     } catch { case _: Exception => null }
   }
 
+  /** Resized-image contract: dimensions + exact channel sums of the
+    * RESIZED raster, plus the re-encoded blob (PNG — lossless, so
+    * re-decoding the blob reproduces the sums bit-exactly).
+    */
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("blob", BinaryType)))
+
+  /** REAL resize — decode, nearest-neighbor downscale to `maxWidth`
+    * (aspect-preserving), re-encode as PNG. Nearest-neighbor on purpose:
+    * target pixel (x, y) copies source pixel (x*W/w', y*H/h') with integer
+    * floor — a pure integer pixel PICK, no interpolation arithmetic, so the
+    * result is deterministic across engines and JDKs (bilinear/bicubic
+    * weights are implementation-defined, which is why the resize step
+    * stayed a declared stub until this pick-based variant). Images already
+    * within `maxWidth` pass through un-resampled (re-encoded only). At
+    * 100 TB this is the map-side bytes-decoded transform of the ingest
+    * pipeline; it shuffles nothing.
+    */
+  def resizeRow(bytes: Array[Byte], maxWidth: Int): InternalRow = {
+    if (bytes == null || bytes.length == 0 || maxWidth <= 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          if (r.getWidth(0).toLong * r.getHeight(0).toLong > MaxDecodePixels)
+            return null // decode-bomb guard, as in decodeStatsRow
+          val src = r.read(0)
+          val sw = src.getWidth
+          val sh = src.getHeight
+          val dw = math.min(sw, maxWidth)
+          val dh = if (dw == sw) sh else math.max(1, sh * maxWidth / sw)
+          val dst = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < dh) {
+            val sy = y * sh / dh
+            var x = 0
+            while (x < dw) {
+              val rgb = src.getRGB(x * sw / dw, sy)
+              dst.setRGB(x, y, rgb)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          new GenericInternalRow(Array[Any](dw, dh, sr, sg, sb, bos.toByteArray))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** Per-frame stats contract for multi-frame containers ([[frameSampleRow]]). */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL frame sampling over a multi-frame container: decode every
+    * `stride`-th frame and return its exact channel sums. GIF is the
+    * multi-frame container the JDK ships a codec for, so it stands in for
+    * video here — the operator shape (seek frame index, decode, extract,
+    * skip the frames between) is exactly what an mp4 sampler does; only
+    * the container parser differs. Single-frame formats (PNG/BMP) yield
+    * one element. Null when no reader claims the bytes. Map-side; the
+    * per-row output is bounded by frames/stride.
+    */
+  def frameSampleRow(bytes: Array[Byte], stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (bytes == null || bytes.length == 0 || stride <= 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true) // seekForwardOnly=false: frame count needs a scan
+          val n = r.getNumImages(true)
+          val out = Array.newBuilder[Any]
+          var f = 0
+          while (f < n) {
+            if (r.getWidth(f).toLong * r.getHeight(f).toLong <= MaxDecodePixels) {
+              val img = r.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              out += new GenericInternalRow(Array[Any](f, w, h, sr, sg, sb))
+            }
+            f += stride
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
   /** Fixture-side encoder (tests + gate queries): a deterministic RGB
     * gradient at the requested dimensions, written through the same JDK
     * codec family the decoder reads.
@@ -144,6 +264,42 @@ object ImageCodec {
     }
     val bos = new ByteArrayOutputStream()
     require(ImageIO.write(img, format, bos), s"no JDK writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Fixture-side multi-frame encoder: an animated GIF of `frames`
+    * grayscale gradients (frame f pixel (x,y) = (x*31 + y*17 + f*7) mod
+    * 256). Grayscale on purpose: a 256-level gray palette survives GIF's
+    * palettization bit-exactly (an RGB gradient would be quantized by the
+    * writer's palette fit, which is implementation-defined), so the decoded
+    * per-frame sums have a closed form both engines can evaluate.
+    */
+  def encodeAnimatedGif(width: Int, height: Int, frames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, (x * 31 + y * 17 + f * 7) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 }
@@ -200,5 +356,60 @@ case class DecodeImageStats(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): DecodeImageStats =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> struct(width, height, sum_r, sum_g,
+  * sum_b, blob) — REAL nearest-neighbor resize to `maxWidth` (aspect-
+  * preserving) with PNG re-encode. One static call in generated code, so
+  * it stays inside whole-stage codegen like the decoders.
+  */
+case class ResizeImage(child: Expression, maxWidth: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ImageCodec.ResizedSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_resize_image"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.resizeRow(input.asInstanceOf[Array[Byte]], maxWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.ImageCodec.resizeRow($b, $maxWidth);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ResizeImage =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> array(struct(frame, width, height,
+  * sum_r, sum_g, sum_b)) — REAL multi-frame sampling (every `stride`-th
+  * frame) over containers the JDK can read (GIF = the video stand-in).
+  */
+case class SampleFrames(child: Expression, stride: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(ImageCodec.FrameSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sample_frames"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.frameSampleRow(input.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.ImageCodec.frameSampleRow($b, $stride);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SampleFrames =
     copy(child = newChild)
 }

@@ -55,6 +55,29 @@ object Multimodal {
     GraftSqlShim.column(DecodeImageStats(GraftSqlShim.expression(blob)))
   }
 
+  /** REAL resize: binary -> struct(width, height, sum_r, sum_g, sum_b,
+    * blob) — nearest-neighbor downscale to `maxWidth` (aspect-preserving),
+    * re-encoded as lossless PNG. Nearest-neighbor = integer pixel picks,
+    * so the output is deterministic (interpolating kernels are
+    * implementation-defined — the reason resize was a declared stub until
+    * this variant). Null when no JDK reader claims the bytes.
+    */
+  def resizeImage(blob: Column, maxWidth: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(ResizeImage(GraftSqlShim.expression(blob), maxWidth))
+  }
+
+  /** REAL frame sampling: binary -> array(struct(frame, width, height,
+    * sum_r, sum_g, sum_b)) — decode every `stride`-th frame of a
+    * multi-frame container. GIF is the JDK's multi-frame codec, standing
+    * in for video containers (same operator shape: seek, decode, extract,
+    * skip); single-frame formats yield one element.
+    */
+  def sampleFrames(blob: Column, stride: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(SampleFrames(GraftSqlShim.expression(blob), stride))
+  }
+
   /** The typed metadata contract carried beside every blob. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -82,7 +105,10 @@ object Multimodal {
     transform(sequence(lit(1), lit(8)),
       i => (crc32(blob) % (i * 255)).cast("float")).as("features"))
 
-  /** Resize step (stub): recompute metadata as a real resize would. */
+  /** Resize step over STUB-decoded metadata (for codecs the JDK lacks,
+    * e.g. video): recompute metadata as a real resize would. The real
+    * pixel path is [[resizeImage]].
+    */
   def stubResize(decoded: Column, maxWidth: Int): Column = struct(
     least(decoded("width"), lit(maxWidth)).as("width"),
     when(decoded("width") > maxWidth,
@@ -91,7 +117,10 @@ object Multimodal {
     decoded("channels").as("channels"),
     decoded("features").as("features"))
 
-  /** Frame-sample step (stub for video): pick every `stride`-th feature. */
+  /** Frame-sample step over STUB-decoded metadata (mp4/webm, no JDK
+    * codec): pick every `stride`-th feature. The real multi-frame path is
+    * [[sampleFrames]] (GIF).
+    */
   def stubFrameSample(decoded: Column, stride: Int): Column =
     filter(decoded("features"), (_, i) => i % stride === 0)
 

@@ -886,6 +886,103 @@ object Extensions {
         |  CAST(0 AS BIGINT) AS sum_r, sum_g, sum_b
         |FROM px ORDER BY 1""".stripMargin),
 
+    // X5f: REAL resize (no stub): nearest-neighbor downscale to width 10
+    // with PNG re-encode ([[graft.operators.ImageCodec.resizeRow]]).
+    // Nearest-neighbor = integer pixel PICKS (target (x,y) copies source
+    // (x*W/w', y*H/h') with floor division), so DuckDB verifies the
+    // resized raster's exact channel sums by evaluating the same pick
+    // formula over the encoder gradient — no image library, no
+    // interpolation arithmetic (which is implementation-defined and was
+    // why resize stayed a declared stub). roundtrip_ok re-decodes the
+    // re-encoded PNG blob in the same query and proves the blob output
+    // carries the identical raster (PNG is lossless). Map-side transform;
+    // at 100 TB the cost is bytes-decoded, shuffle-free.
+    ("x_multimodal_resize",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 24).map { i =>
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.resize_images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("rz", Multimodal.resizeImage(col("blob"), 10))
+          .withColumn("rt", Multimodal.imageStats(col("rz.blob")))
+          .select(col("img_id"),
+            col("rz.width").as("width"), col("rz.height").as("height"),
+            col("rz.sum_r").as("sum_r"), col("rz.sum_g").as("sum_g"),
+            col("rz.sum_b").as("sum_b"),
+            (col("rt.width") === col("rz.width") &&
+              col("rt.height") === col("rz.height") &&
+              col("rt.sum_r") === col("rz.sum_r") &&
+              col("rt.sum_g") === col("rz.sum_g") &&
+              col("rt.sum_b") === col("rz.sum_b")).as("roundtrip_ok"))
+          .orderBy("img_id")
+      },
+      // source pixel (sx, sy): R = 0, G = (sx*31 + sy*17) mod 256,
+      // B = sx mod 256; target (x, y) picks sx = x*W//10, sy = y*H//dh
+      """WITH dims AS (
+        |  SELECT i, 16 + i AS w0, 12 + (i % 7) AS h0,
+        |    ((12 + (i % 7)) * 10) // (16 + i) AS dh
+        |  FROM range(24) t(i)),
+        |px AS (
+        |  SELECT i,
+        |    CAST(sum(((x * w0 // 10) * 31 + (y * h0 // dh) * 17) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((x * w0 // 10) % 256) AS BIGINT) AS sum_b
+        |  FROM dims, range(10) xs(x), range(12) ys(y)
+        |  WHERE y < dh
+        |  GROUP BY i)
+        |SELECT d.i AS img_id, CAST(10 AS INTEGER) AS width,
+        |  CAST(d.dh AS INTEGER) AS height, CAST(0 AS BIGINT) AS sum_r,
+        |  p.sum_g, p.sum_b, TRUE AS roundtrip_ok
+        |FROM dims d JOIN px p ON d.i = p.i ORDER BY 1""".stripMargin),
+
+    // X5g: REAL multi-frame sampling (no stub): every 2nd frame of 12
+    // animated GIFs ([[graft.operators.ImageCodec.frameSampleRow]]) —
+    // GIF is the multi-frame container the JDK ships a codec for, so it
+    // stands in for video (seek / decode / extract / skip is the same
+    // operator shape as an mp4 sampler). Frames are grayscale gradients
+    // (a 256-level gray palette survives GIF palettization bit-exactly),
+    // so DuckDB verifies each sampled frame's exact pixel sum in closed
+    // form. explode() of the per-blob array is row-local; the per-row
+    // output is bounded by frames/stride.
+    ("x_multimodal_frames",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 12).map { v =>
+          (v.toLong, ImageCodec.encodeAnimatedGif(8 + v, 6 + (v % 3), 4 + (v % 5)))
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videos", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("fr", explode(Multimodal.sampleFrames(col("blob"), 2)))
+          .select(col("vid_id"), col("fr.frame").as("frame"),
+            col("fr.width").as("width"), col("fr.height").as("height"),
+            col("fr.sum_g").as("sum_gray"))
+          .orderBy("vid_id", "frame")
+      },
+      // frame f pixel (x, y) = (x*31 + y*17 + f*7) mod 256, gray so
+      // sum_r = sum_g = sum_b; the query surfaces sum_g as sum_gray
+      """WITH vids AS (
+        |  SELECT v, 8 + v AS w0, 6 + (v % 3) AS h0, 4 + (v % 5) AS nf
+        |  FROM range(12) t(v)),
+        |fr AS (
+        |  SELECT v, w0, h0, f FROM vids, range(8) fs(f)
+        |  WHERE f < nf AND f % 2 = 0),
+        |px AS (
+        |  SELECT v, f, CAST(sum((x * 31 + y * 17 + f * 7) % 256) AS BIGINT) AS s
+        |  FROM fr, range(19) xs(x), range(8) ys(y)
+        |  WHERE x < w0 AND y < h0
+        |  GROUP BY v, f)
+        |SELECT fr.v AS vid_id, CAST(fr.f AS INTEGER) AS frame,
+        |  CAST(fr.w0 AS INTEGER) AS width, CAST(fr.h0 AS INTEGER) AS height,
+        |  px.s AS sum_gray
+        |FROM fr JOIN px ON fr.v = px.v AND fr.f = px.f
+        |ORDER BY 1, 2""".stripMargin),
+
     // X5d: REAL audio decode (no stub), the audio sibling of
     // x_multimodal_decode: 48 JDK-encoded WAV/AIFF/AU blobs with known
     // sample rate / channels / frame count plus 8 undecodable byte strings,

@@ -181,6 +181,72 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(1).getInt(2) == 24)
   }
 
+  test("resizeImage: real nearest-neighbor downscale, exact sums, lossless round-trip") {
+    // nearest-neighbor picks source pixel (x*W//w', y*H//h') — closed form
+    def expected(sw: Int, sh: Int, dw: Int, dh: Int): (Long, Long) = {
+      var sg = 0L; var sb = 0L
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val sx = x * sw / dw; val sy = y * sh / dh
+        sg += (sx * 31 + sy * 17) & 0xFF; sb += sx & 0xFF
+      }
+      (sg, sb)
+    }
+    Seq(("png", 20, 14), ("bmp", 37, 9)).foreach { case (fmt, w, h) =>
+      val rz = ImageCodec.resizeRow(ImageCodec.encodeImage(fmt, w, h), 10)
+      assert(rz != null)
+      val dw = 10; val dh = math.max(1, h * 10 / w)
+      val (sg, sb) = expected(w, h, dw, dh)
+      assert(rz.getInt(0) == dw && rz.getInt(1) == dh)
+      assert(rz.getLong(2) == 0L && rz.getLong(3) == sg && rz.getLong(4) == sb,
+        s"$fmt ${w}x$h resized sums")
+      // the re-encoded PNG blob carries the identical raster (lossless)
+      val rt = ImageCodec.decodeStatsRow(rz.getBinary(5))
+      assert(rt.getInt(1) == dw && rt.getInt(2) == dh &&
+        rt.getLong(4) == sg && rt.getLong(5) == sb)
+    }
+    // within-bound images pass through un-resampled
+    val same = ImageCodec.resizeRow(ImageCodec.encodeImage("png", 8, 6), 10)
+    assert(same.getInt(0) == 8 && same.getInt(1) == 6)
+    assert(ImageCodec.resizeRow("not an image".getBytes, 10) == null)
+    assert(ImageCodec.resizeRow(null, 10) == null)
+  }
+
+  test("sampleFrames: real multi-frame GIF decode, stride picks, exact gray sums") {
+    def expectedGray(w: Int, h: Int, f: Int): Long = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (x * 31 + y * 17 + f * 7) & 0xFF
+      s
+    }
+    val blob = ImageCodec.encodeAnimatedGif(19, 8, 5)
+    val sampled = ImageCodec.frameSampleRow(blob, 2)
+    assert(sampled.numElements() == 3) // frames 0, 2, 4 of 5
+    (0 until 3).foreach { i =>
+      val r = sampled.getStruct(i, 6)
+      val f = r.getInt(0)
+      assert(f == i * 2 && r.getInt(1) == 19 && r.getInt(2) == 8)
+      val e = expectedGray(19, 8, f)
+      assert(r.getLong(3) == e && r.getLong(4) == e && r.getLong(5) == e,
+        s"frame $f gray sums")
+    }
+    // single-frame containers yield one element; stride beyond count too
+    assert(ImageCodec.frameSampleRow(ImageCodec.encodeImage("png", 4, 4), 2)
+      .numElements() == 1)
+    assert(ImageCodec.frameSampleRow(blob, 10).numElements() == 1)
+    assert(ImageCodec.frameSampleRow("not a gif".getBytes, 2) == null)
+    // SQL twins run inside a plan (explode of the frame array is row-local)
+    graft.functions.SqlFunctions.install(spark)
+    val df = spark.createDataFrame(
+      Seq(Row(1L, blob)).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("blob", BinaryType))))
+    df.createOrReplaceTempView("vids")
+    val rows = spark.sql(
+      """SELECT id, f.frame, graft_resize_image(blob, 10).width AS rw
+        |FROM vids LATERAL VIEW explode(graft_sample_frames(blob, 2)) AS f
+        |ORDER BY f.frame""".stripMargin).collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(rows.head.getInt(2) == 10)
+  }
+
   test("resize + frame-sample stubs keep the schema contract") {
     val docs = spark.createDataFrame(
       Seq(Row(1L, "x" * 100)).asJava,
