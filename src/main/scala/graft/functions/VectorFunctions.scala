@@ -26,6 +26,35 @@ object VectorFunctions {
       val diff = x.cast("double") - y.cast("double"); diff * diff
     }), lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric int8 quantization of a float embedding: codes in [-127, 127]
+    * with per-vector scale amax/127 (amax = max |v_i|). The 100 TB story is
+    * storage: a 4-byte float lane becomes a 1-byte code + one shared scale,
+    * a 4× cut on the corpus' largest column, map-only (no shuffle). Kept
+    * bit-deterministic across engines: every step is the same IEEE DOUBLE
+    * expression (floats widen exactly; max is order-independent;
+    * floor(x + 0.5) avoids banker's-rounding divergence), so a DuckDB
+    * oracle reproduces every code exactly. All-zero vectors (amax = 0)
+    * quantize to all-zero codes.
+    *
+    * @return struct(amax double, codes array<int>)
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val amax = array_max(transform(vec, v => abs(v.cast("double"))))
+    struct(
+      amax.as("amax"),
+      when(amax === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec,
+          v => floor(v.cast("double") * 127.0 / amax + 0.5).cast("int")))
+        .as("codes"))
+  }
+
+  /** Dequantize int8 codes back to doubles: code · amax / 127 — the read
+    * path of the quantized column; reconstruction error ≤ amax/254 per lane.
+    */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized("codes"),
+      c => c.cast("double") * quantized("amax") / 127.0)
+
   /** Sign-hyperplane LSH bucket over the first `bits` dimensions: a cheap,
     * exact-arithmetic space partition. At 100 TB this is the partition key —
     * an ANN probe touches one bucket, not the corpus.

@@ -252,6 +252,115 @@ object Extensions {
           |  count(DISTINCT ${(1 to 16).map(bit).mkString(" || ")}) AS distinct_simhash
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin }),
 
+    // X6a: KMV DISTINCT-COUNT SKETCH ([[graft.functions.SketchFunctions]]):
+    // the mergeable cardinality sketch a 100 TB pipeline uses where exact
+    // countDistinct would shuffle the full value set. State = the k
+    // smallest 60-bit md5 hashes — so unlike HLL (whose register layout is
+    // engine-internal) DuckDB reproduces the sketch BIT-EXACTLY, kth hash,
+    // estimate and all. The query also proves the merge law on disjoint
+    // halves (sketch(even) ⊎ sketch(odd) re-topk'd == sketch(all)) — the
+    // executor-combine shape at scale — and surfaces the exact count for
+    // accuracy eyeballing. Plan: map-side partial-distinct on the hash +
+    // TakeOrderedAndProject (each task keeps ≤ k rows); no global sort,
+    // no full-value shuffle.
+    ("x_distinct_sketch",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{SketchFunctions => SK}
+        val k = 256
+        val li = Tables.lineitem(s, d)
+        val full = SK.kmvSketch(li, col("l_orderkey"), k)
+        val even = SK.kmvSketch(li.filter(col("l_orderkey") % 2 === 0), col("l_orderkey"), k)
+        val odd = SK.kmvSketch(li.filter(col("l_orderkey") % 2 =!= 0), col("l_orderkey"), k)
+        val merged = SK.kmvEstimate(SK.kmvMerge(Seq(even, odd), k), k)
+          .select(col("kth_hash").as("kth_hash_merged"),
+            col("est_distinct").as("est_merged"))
+        val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        SK.kmvEstimate(full, k)
+          .crossJoin(merged).crossJoin(exact) // three 1-row frames
+          .withColumn("merge_ok", col("kth_hash") === col("kth_hash_merged"))
+      },
+      """WITH hashes AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |mins AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+        |full_s AS (SELECT count(*) AS n, max(h) AS kth_hash FROM mins),
+        |evens AS (
+        |  SELECT h FROM (
+        |    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM lineitem WHERE l_orderkey % 2 = 0)
+        |  ORDER BY h LIMIT 256),
+        |odds AS (
+        |  SELECT h FROM (
+        |    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM lineitem WHERE l_orderkey % 2 <> 0)
+        |  ORDER BY h LIMIT 256),
+        |merged AS (
+        |  SELECT DISTINCT h FROM (SELECT h FROM evens UNION ALL SELECT h FROM odds)
+        |  ORDER BY h LIMIT 256),
+        |merged_s AS (SELECT count(*) AS n, max(h) AS kth_hash_merged FROM merged),
+        |exact AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem)
+        |SELECT CAST(f.n AS INTEGER) AS k, f.kth_hash,
+        |  CASE WHEN f.n < 256 THEN f.n
+        |    ELSE CAST(floor((CAST(f.n AS DOUBLE) - 1.0) * 1152921504606846976.0
+        |      / CAST(f.kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |  m.kth_hash_merged,
+        |  CASE WHEN m.n < 256 THEN m.n
+        |    ELSE CAST(floor((CAST(m.n AS DOUBLE) - 1.0) * 1152921504606846976.0
+        |      / CAST(m.kth_hash_merged AS DOUBLE)) AS BIGINT) END AS est_merged,
+        |  e.exact_distinct,
+        |  f.kth_hash = m.kth_hash_merged AS merge_ok
+        |FROM full_s f, merged_s m, exact e""".stripMargin),
+
+    // X6b: INT8 EMBEDDING QUANTIZATION ([[graft.functions.VectorFunctions
+    // .quantizeInt8]]): symmetric per-vector quantization of the float
+    // embedding column — 4 bytes/lane to 1 byte/lane + one scale, the
+    // standard storage cut for a 100 TB embedding corpus; map-only, no
+    // shuffle beyond the tiny audit rollup. Every step is the same IEEE
+    // DOUBLE expression in both engines (floats widen exactly, max is
+    // order-independent, floor(x + 0.5) avoids banker's rounding), so
+    // DuckDB reproduces every int8 code bit-exactly; the gate compares
+    // per-label code sums and extrema, plus the [-127, 127] range law.
+    ("x_embed_quantize",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        e.withColumn("qz", VF.quantizeInt8(col("embedding")))
+          .select(col("label"),
+            aggregate(col("qz.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+            array_min(col("qz.codes")).as("min_code"),
+            array_max(col("qz.codes")).as("max_code"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("code_sum")).as("sum_codes"),
+            min(col("min_code")).as("min_code"),
+            max(col("max_code")).as("max_code"))
+          .withColumn("within_range",
+            col("min_code") >= -127 && col("max_code") <= 127)
+          .orderBy("label")
+      },
+      """WITH c AS (
+        |  SELECT label,
+        |    CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(list_sum(list_transform(embedding,
+        |        v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT)
+        |      END AS code_sum,
+        |    CASE WHEN amax = 0 THEN 0
+        |      ELSE CAST(list_aggregate(list_transform(embedding,
+        |        v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)), 'min') AS INTEGER)
+        |      END AS min_code,
+        |    CASE WHEN amax = 0 THEN 0
+        |      ELSE CAST(list_aggregate(list_transform(embedding,
+        |        v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)), 'max') AS INTEGER)
+        |      END AS max_code
+        |  FROM (
+        |    SELECT label, embedding,
+        |      list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |    FROM embeddings))
+        |SELECT label, count(*) AS n, CAST(sum(code_sum) AS BIGINT) AS sum_codes,
+        |  CAST(min(min_code) AS INTEGER) AS min_code,
+        |  CAST(max(max_code) AS INTEGER) AS max_code,
+        |  (min(min_code) >= -127 AND max(max_code) <= 127) AS within_range
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X3a: top-k cosine similarity search, brute force (the exact baseline).
     // Query vector broadcast; one pass over embeddings; ranks compared (the
     // doubles themselves never surface, so float noise cannot flip the hash).

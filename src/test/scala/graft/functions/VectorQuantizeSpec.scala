@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class VectorQuantizeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("emb", ArrayType(FloatType))))
+
+  private def df(rows: Seq[(Long, Seq[Float])]) =
+    spark.createDataFrame(rows.map { case (i, v) => Row(i, v) }.asJava, schema)
+
+  test("quantizeInt8: codes in [-127,127], max lane hits ±127, zeros stay zero") {
+    val d = df(Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),       // amax 2 -> codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f)),              // all-zero vector
+      (3L, Seq(-3.0f))))                  // single negative lane -> -127
+    val got = d.select(col("id"), VectorFunctions.quantizeInt8(col("emb")).as("q"))
+      .select(col("id"), col("q.amax"), col("q.codes")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(got(1L)._1 == 2.0 && got(1L)._2 == Seq(64, -127, 32))
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == Seq(0, 0))
+    assert(got(3L)._2 == Seq(-127))
+  }
+
+  test("dequantize bounds reconstruction error by amax/254 per lane") {
+    val vecs = Seq(
+      (1L, Seq(0.054f, -0.25f, 0.105f, 0.003f)),
+      (2L, Seq(12.5f, -7.25f, 3.125f)))
+    val d = df(vecs).withColumn("q", VectorFunctions.quantizeInt8(col("emb")))
+      .withColumn("back", VectorFunctions.dequantizeInt8(col("q")))
+      .withColumn("max_err", array_max(zip_with(col("emb"), col("back"),
+        (a, b) => abs(a.cast("double") - b))))
+      .withColumn("bound", col("q.amax") / 254.0)
+    d.select("id", "max_err", "bound").collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-12,
+        s"id ${r.getLong(0)}: err ${r.getDouble(1)} > bound ${r.getDouble(2)}")
+    }
+  }
+
+  test("quantized cosine ranking agrees with float ranking on real embeddings") {
+    // int8 quantization must preserve neighbor ordering to be usable for
+    // ANN pre-filtering: top-10 by quantized-dot ranks the same ids as
+    // exact cosine on the unit-norm-ish synthetic embeddings
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val exact = VectorFunctions.bruteForceTopK(
+      e.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(1)).toSeq
+    val dq = e.withColumn("dq",
+      VectorFunctions.dequantizeInt8(VectorFunctions.quantizeInt8(col("embedding"))))
+      .select(col("vec_id"), col("dq").cast(ArrayType(FloatType)).as("embedding"))
+    val approx = VectorFunctions.bruteForceTopK(
+      dq.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(1)).toSeq
+    // near-ties may swap ranks (quantization noise ≤ amax/254 per lane);
+    // the head must agree and the candidate SET must be preserved — that
+    // is the property ANN pre-filtering relies on
+    assert(exact.take(4) == approx.take(4),
+      s"top-4 must survive quantization: $exact vs $approx")
+    assert(exact.toSet == approx.toSet,
+      s"top-10 set must survive quantization: $exact vs $approx")
+  }
+}
