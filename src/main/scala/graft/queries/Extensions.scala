@@ -361,6 +361,45 @@ object Extensions {
         |  (min(min_code) >= -127 AND max(max_code) <= 127) AS within_range
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X6c: QUANTIZED TWO-STAGE ANN ([[graft.functions.VectorFunctions
+    // .quantizedTopK]]) — the honest 100 TB search shape: the COARSE scan
+    // ranks by cosine over int8 CODES (the column a quantized corpus
+    // actually stores — 4× fewer bytes read, integer multiplies; scales
+    // cancel in cosine so codes alone rank), TakeOrderedAndProject keeps
+    // 50 candidates, and only those 50 rows are re-ranked by exact float
+    // cosine for the final 10 — the corpus' float column is never scanned.
+    // Deterministic end-to-end: integer folds are order-independent exact
+    // BIGINTs, the coarse ratio is one IEEE DOUBLE expression (DuckDB's
+    // list_dot_product over int lists is exact below 2^53), ties break by
+    // id, and only ranks surface. (Here codes are derived in-query from
+    // the float fixture; a production table stores them.)
+    ("x_sim_quantized",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        VF.quantizedTopK(e.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10, 50)
+          .select("rank", "vec_id")
+          .orderBy("rank")
+      },
+      """WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0
+        |      / list_max(list_transform(embedding, u -> abs(CAST(u AS DOUBLE))))
+        |      + 0.5) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |qv AS (SELECT embedding AS qe, codes AS qcodes FROM qz WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT vec_id, embedding,
+        |    list_dot_product(codes, qcodes)
+        |      / sqrt(list_dot_product(codes, codes) * list_dot_product(qcodes, qcodes)) AS qsim,
+        |    qe
+        |  FROM qz, qv WHERE vec_id <> 0
+        |  ORDER BY qsim DESC, vec_id LIMIT 50),
+        |rerank AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim FROM coarse)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+        |FROM rerank ORDER BY 1 LIMIT 10""".stripMargin),
+
     // X3a: top-k cosine similarity search, brute force (the exact baseline).
     // Query vector broadcast; one pass over embeddings; ranks compared (the
     // doubles themselves never surface, so float noise cannot flip the hash).

@@ -43,6 +43,24 @@ class VectorQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK with full-width candidates == exact brute force") {
+    // m = corpus size means the coarse stage filters nothing: the re-rank
+    // then IS brute force — the two-stage pipeline must reduce to it
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val exact = VectorFunctions.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaQuant = VectorFunctions.quantizedTopK(corpus, q, "vec_id", "embedding", 10, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == viaQuant)
+    // and a REAL coarse cut (m=50) still recovers the exact top-10: the
+    // int8 candidate recall is high enough on the synthetic corpus
+    val cut = VectorFunctions.quantizedTopK(corpus, q, "vec_id", "embedding", 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == cut, s"m=50 coarse cut changed the top-10: $exact vs $cut")
+  }
+
   test("quantized cosine ranking agrees with float ranking on real embeddings") {
     // int8 quantization must preserve neighbor ordering to be usable for
     // ANN pre-filtering: top-10 by quantized-dot ranks the same ids as
