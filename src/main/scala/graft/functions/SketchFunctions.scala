@@ -57,6 +57,41 @@ object SketchFunctions {
   def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame =
     sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
 
+  /** Per-GROUP KMV sketches in one pass: for every value of `groupCol`,
+    * the k smallest distinct hashes of `valueCol`, plus the per-group
+    * estimate — distinct-count-by-group without shuffling the value set.
+    *
+    * Plan shape at scale: one partial-distinct aggregate on (group, hash)
+    * (map-side combine dedups before the exchange), then ONE hash
+    * exchange of per-partition-distinct (group, hash) pairs, then a
+    * window row_number per group to keep k — state per group is k rows,
+    * never a collect_set. Compare exact countDistinct-by-group, which
+    * moves every distinct value to one reducer per group and holds the
+    * whole set; for a heavy-hitter group at 100 TB that reducer is the
+    * job. Skew-safe by construction: every group's reducer state is k·8
+    * bytes.
+    *
+    * @return (groupCol, k, kth_hash, est_distinct) one row per group
+    */
+  def kmvSketchByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(groupCol.as("g"), hash60(valueCol).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth_hash"))
+      .select(col("g"),
+        col("n").cast("int").as("k"),
+        col("kth_hash"),
+        when(col("n") < k, col("n"))
+          .otherwise(floor(
+            (col("n").cast("double") - 1.0) * lit(HashSpace)
+              / col("kth_hash").cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+
   /** Distinct-count estimate from a sketch: (k-1) · 2^60 / h_k, floored.
     * Returns one row (k, kth_hash, est_distinct). If the input has fewer
     * than k distinct values the sketch IS the value set and the exact

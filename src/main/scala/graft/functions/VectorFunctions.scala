@@ -26,6 +26,17 @@ object VectorFunctions {
       val diff = x.cast("double") - y.cast("double"); diff * diff
     }), lit(0.0), (acc, v) => acc + v))
 
+  /** Defensive lane cleanup for untrusted embedding corpora: NaN and ±Inf
+    * lanes become 0.0f (a NaN amax would otherwise poison every code in
+    * [[quantizeInt8]], and one Inf lane would zero all others). Row-local,
+    * codegen'd; compose as `quantizeInt8(sanitizeVector(v))` on corpora
+    * that don't guarantee finite floats.
+    */
+  def sanitizeVector(vec: Column): Column =
+    transform(vec, v =>
+      when(isnan(v) || v === Float.PositiveInfinity || v === Float.NegativeInfinity,
+        lit(0.0f)).otherwise(v))
+
   /** Symmetric int8 quantization of a float embedding: codes in [-127, 127]
     * with per-vector scale amax/127 (amax = max |v_i|). The 100 TB story is
     * storage: a 4-byte float lane becomes a 1-byte code + one shared scale,

@@ -311,6 +311,48 @@ object Extensions {
         |  f.kth_hash = m.kth_hash_merged AS merge_ok
         |FROM full_s f, merged_s m, exact e""".stripMargin),
 
+    // X6d: PER-GROUP KMV SKETCHES ([[graft.functions.SketchFunctions
+    // .kmvSketchByGroup]]): distinct-count-BY-GROUP without shuffling the
+    // value set — the skew-safe alternative to countDistinct-by-group,
+    // whose reducer for a heavy-hitter group holds that group's ENTIRE
+    // distinct set at 100 TB. Here every group's reducer state is k rows
+    // by construction: partial-distinct on (group, hash) map-side, one
+    // exchange of deduped pairs, window row_number keeps k per group.
+    // DuckDB reproduces kth hash and estimate per group bit-exactly; the
+    // exact counts ride along for accuracy eyeballing.
+    ("x_group_sketch",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{SketchFunctions => SK}
+        val o = Tables.orders(s, d)
+        val sk = SK.kmvSketchByGroup(o, col("o_orderpriority"), col("o_custkey"), 128)
+        val exact = o.groupBy(col("o_orderpriority").as("g"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        sk.join(exact, "g")
+          .select(col("g").as("priority"), col("k"), col("kth_hash"),
+            col("est_distinct"), col("exact_distinct"))
+          .orderBy("priority")
+      },
+      """WITH hashes AS (
+        |  SELECT DISTINCT o_orderpriority AS g,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |rn AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |  FROM hashes),
+        |sk AS (
+        |  SELECT g, count(*) AS n, max(h) AS kth_hash
+        |  FROM rn WHERE rn <= 128 GROUP BY g),
+        |ex AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY 1)
+        |SELECT sk.g AS priority, CAST(sk.n AS INTEGER) AS k, sk.kth_hash,
+        |  CASE WHEN sk.n < 128 THEN sk.n
+        |    ELSE CAST(floor((CAST(sk.n AS DOUBLE) - 1.0) * 1152921504606846976.0
+        |      / CAST(sk.kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM sk JOIN ex ON sk.g = ex.g ORDER BY 1""".stripMargin),
+
     // X6b: INT8 EMBEDDING QUANTIZATION ([[graft.functions.VectorFunctions
     // .quantizeInt8]]): symmetric per-vector quantization of the float
     // embedding column — 4 bytes/lane to 1 byte/lane + one scale, the

@@ -39,6 +39,27 @@ class SketchFunctionsSpec extends SparkSpec {
       whole.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("kmvSketchByGroup: per-group state is k, estimates match flat sketches") {
+    import spark.implicits._
+    // group A: 5000 distinct (sketched), group B: 30 distinct (exact by
+    // the small-range rule) — one pass covers both regimes
+    val df = ((1 to 5000).map(("A", _)) ++ (1 to 30).map(("B", _)))
+      .toDF("g", "v")
+    val k = 128
+    val got = SketchFunctions.kmvSketchByGroup(df, col("g"), col("v"), k)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("B")._1 == 30 && got("B")._3 == 30L) // exact below k
+    assert(got("A")._1 == k)
+    // the per-group sketch of A must equal the flat sketch of A's values
+    val flat = SketchFunctions.kmvEstimate(
+      SketchFunctions.kmvSketch(df.filter($"g" === "A"), col("v"), k), k).head()
+    assert(got("A")._2 == flat.getLong(1) && got("A")._3 == flat.getLong(2))
+    // duplicates don't change the state
+    val got2 = SketchFunctions.kmvSketchByGroup(df.union(df), col("g"), col("v"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got2("A") == got("A")._2)
+  }
+
   test("kmv plan: partial-distinct + TakeOrderedAndProject, no global sort") {
     import spark.implicits._
     val df = (1 to 1000).toDF("v").repartition(8)

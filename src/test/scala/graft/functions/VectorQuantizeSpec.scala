@@ -28,6 +28,24 @@ class VectorQuantizeSpec extends SparkSpec {
     assert(got(3L)._2 == Seq(-127))
   }
 
+  test("sanitizeVector: NaN/Inf lanes -> 0, then quantization stays sane") {
+    val d = df(Seq(
+      (1L, Seq(Float.NaN, 1.0f, -2.0f)),
+      (2L, Seq(Float.PositiveInfinity, 4.0f)),
+      (3L, Seq(Float.NegativeInfinity, Float.NaN))))
+    val got = d.select(col("id"),
+      VectorFunctions.quantizeInt8(
+        VectorFunctions.sanitizeVector(col("emb"))).as("q"))
+      .select(col("id"), col("q.codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // NaN lane -> 0; remaining lanes quantize against the finite amax
+    assert(got(1L) == Seq(0, 64, -127))
+    // an Inf lane no longer zeroes every other lane
+    assert(got(2L) == Seq(0, 127))
+    // all-poison vector behaves like the all-zero vector
+    assert(got(3L) == Seq(0, 0))
+  }
+
   test("dequantize bounds reconstruction error by amax/254 per lane") {
     val vecs = Seq(
       (1L, Seq(0.054f, -0.25f, 0.105f, 0.003f)),
