@@ -79,6 +79,20 @@ class VectorQuantizeSpec extends SparkSpec {
     assert(exact == cut, s"m=50 coarse cut changed the top-10: $exact vs $cut")
   }
 
+  test("quantized ANN recall holds across query vectors, not just one") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Seq(1L, 7L, 42L, 99L).foreach { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("q"))
+      val corpus = e.filter(col("vec_id") =!= qid)
+      val exact = VectorFunctions.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+        .collect().map(_.getLong(1)).toSet
+      val cut = VectorFunctions.quantizedTopK(corpus, q, "vec_id", "embedding", 10, 50)
+        .collect().map(_.getLong(1)).toSet
+      assert(exact.intersect(cut).size >= 9,
+        s"query $qid: recall@10 below 0.9 with m=50: $exact vs $cut")
+    }
+  }
+
   test("quantized cosine ranking agrees with float ranking on real embeddings") {
     // int8 quantization must preserve neighbor ordering to be usable for
     // ANN pre-filtering: top-10 by quantized-dot ranks the same ids as

@@ -170,6 +170,41 @@ class PlanAuditSpec extends SparkSpec {
       s"no sort-merge join anywhere in the decontamination plan:\n$plan")
   }
 
+  test("per-group kmv sketch: two bounded exchanges, no collect_set, window over deduped pairs") {
+    // exchange #1 carries per-partition-DISTINCT (group, hash) pairs (the
+    // map-side combine dedups first — raw rows never move), exchange #2
+    // re-partitions those deduped pairs by group for the window; the final
+    // per-group aggregate reuses hash(g). No ObjectHashAggregate anywhere:
+    // a collect_set-per-group would hold a group's whole distinct set.
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"g${i % 3}", i)).toDF("g", "v").repartition(8)
+    val sk = graft.functions.SketchFunctions.kmvSketchByGroup(df, col("g"), col("v"), 64)
+    sk.collect()
+    val plan = planOf(sk).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"per-group sketch must shuffle at most twice (deduped pairs + window):\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("Window"), s"top-k-per-group must be a window:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("collect_set"),
+      s"no unbounded per-group state:\n$plan")
+    assert(plan.contains("partial_"), s"distinct must partial-aggregate map-side:\n$plan")
+  }
+
+  test("quantized ANN: broadcast query, TakeOrdered coarse cut, no window, no shuffled join") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val topk = graft.functions.VectorFunctions.quantizedTopK(
+      e.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10, 50)
+    val plan = planOf(topk)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"coarse cut must be per-task top-k:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"query vector must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the ANN path:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle for the query join:\n$plan")
+  }
+
   test("corpus shuffle write path: one hash exchange + local sort, no global sort") {
     // the 100 TB shape behind x_corpus_shuffle: shard + order are pure row
     // functions, so materializing a shuffled epoch is repartition(shard)
