@@ -205,6 +205,49 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus must not shuffle for the query join:\n$plan")
   }
 
+  test("stored quantized corpus: the coarse ANN pass never reads the float column") {
+    // production shape of x_sim_quantized: codes are STORED beside the
+    // floats; the coarse scan must column-prune the embedding out of the
+    // parquet read entirely (the 4x-fewer-bytes claim is a ReadSchema
+    // fact, not an intention), and the re-rank reads floats for only the
+    // m candidate ids.
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+      .withColumn("codes",
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).getField("codes"))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.qcorpus", e.schema)
+    t.append(spark, e)
+    val q = e.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+        .getField("codes").as("qcodes"))
+    val coarse = t.toDF(spark)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("qsim",
+        graft.functions.VectorFunctions.quantizedCosine(col("codes"), col("qcodes")))
+      .select("vec_id", "qsim")
+      .orderBy(col("qsim").desc, col("vec_id")).limit(50)
+    val plan = planOf(coarse)
+    // the CORPUS scan (the qcorpus table's FileScan) must read codes only;
+    // the 1-row query side reads its float vector from the raw fixture
+    val corpusScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("qcorpus")).toList
+    assert(corpusScans.nonEmpty, s"no corpus FileScan found:\n$plan")
+    assert(corpusScans.forall(l =>
+      l.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>")),
+      s"coarse corpus scan must read codes, not the float embedding column:\n$corpusScans")
+    assert(plan.contains("TakeOrderedAndProject"), s"coarse cut must be top-k:\n$plan")
+    // re-rank: float reads happen for the candidate ids only
+    val ids = coarse.collect().map(_.getLong(0))
+    val rerank = t.toDF(spark).filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding")
+    val rplan = planOf(rerank)
+    assert(rplan.contains("embedding") && !rplan.contains("codes:array"),
+      s"re-rank reads floats (and not codes) for candidates only:\n$rplan")
+    assert(rerank.count() == 50)
+  }
+
   test("corpus shuffle write path: one hash exchange + local sort, no global sort") {
     // the 100 TB shape behind x_corpus_shuffle: shard + order are pure row
     // functions, so materializing a shuffled epoch is repartition(shard)
