@@ -41,4 +41,46 @@ object ScaleFunctions {
     require(fraction >= 0.0 && fraction <= 1.0)
     df.filter(pmod(hash(keyCol), lit(1000000)) < lit((fraction * 1000000).toInt))
   }
+
+  /** Quantiles WITHOUT a global sort — the 100 TB shape (the same idea
+    * Spark's own RangePartitioner uses: sort a sample, not the data). A
+    * deterministic md5 sample (rows whose hex prefix < `rateHexCeil`, e.g.
+    * "04" keeps 4/256 ≈ 1.6%) is the only thing ever sorted; the full
+    * corpus does one map-side filter and nothing else. Estimates are
+    * nearest-rank picks from the sorted sample (position floor((n-1)·p)+1)
+    * — picked ELEMENTS, not interpolated arithmetic, so values are exact
+    * and the whole computation is engine-reproducible (md5 + integer
+    * positions; ties broken by the row's md5). Standard error is
+    * O(1/sqrt(sample size)) in rank space.
+    *
+    * Deliberately NOT percentile()/approx_percentile: exact percentile
+    * sorts the corpus, and both engines' interpolation/sketch internals
+    * are implementation-defined — nearest-rank-of-sample is scalable AND
+    * bit-reproducible.
+    *
+    * @param sampleKey   unique row key (sampling + tie-break basis)
+    * @param rateHexCeil sample = rows with md5 2-hex prefix below this
+    * @param ps          (label, p) quantile requests, 0 < p < 1
+    * @return (quantile, value, sample_n) one row per requested p
+    */
+  def sampledQuantiles(df: DataFrame, valueCol: Column, sampleKey: Column,
+                       rateHexCeil: String, ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    val keyed = df.select(valueCol.as("v"), md5(sampleKey.cast("string")).as("tb"))
+      .filter(substring(col("tb"), 1, rateHexCeil.length) < rateHexCeil)
+    // the sample (rate-bounded) is the only global sort in the plan
+    val sorted = keyed.orderBy(col("v"), col("tb")).coalesce(1)
+      .sortWithinPartitions(col("v"), col("tb"))
+      .withColumn("rn", monotonically_increasing_id() + 1)
+    val n = sorted.agg(count(lit(1)).as("n"))
+    val wanted = ps.map { case (label, p) =>
+      struct(lit(label).as("label"), lit(p).as("p"))
+    }
+    sorted.crossJoin(broadcast(n))
+      .withColumn("q", explode(array(wanted: _*)))
+      .filter(col("rn") === floor((col("n") - 1) * col("q.p")) + 1)
+      .select(col("q.label").as("quantile"), col("v").as("value"),
+        col("n").as("sample_n"))
+      .orderBy("quantile")
+  }
 }

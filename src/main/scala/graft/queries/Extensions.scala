@@ -353,6 +353,39 @@ object Extensions {
         |  ex.exact_distinct
         |FROM sk JOIN ex ON sk.g = ex.g ORDER BY 1""".stripMargin),
 
+    // X6f: SAMPLE-BASED QUANTILES ([[graft.functions.ScaleFunctions
+    // .sampledQuantiles]]): p50/p95/p99 of l_extendedprice from a
+    // deterministic md5 sample (2-hex prefix < '04' ≈ 1.6%) — the only
+    // sort in the plan is over the sample; the corpus does one map-side
+    // filter (the RangePartitioner idea, surfaced as an operator).
+    // Nearest-rank picks of exact DECIMAL elements, ties broken by the
+    // row's md5 — no interpolation, no percentile sketch — so DuckDB
+    // reproduces every picked value bit-exactly. Exact quantiles would
+    // sort 100 TB; the sample error is O(1/sqrt(n_sample)) in rank space.
+    ("x_quantile_sample",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{ScaleFunctions => SC}
+        val li = Tables.lineitem(s, d)
+        SC.sampledQuantiles(li,
+          col("l_extendedprice").cast("decimal(12,2)"),
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")),
+          "04", Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      },
+      """WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS tb
+        |  FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '04'),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, tb) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s),
+        |q(label, p) AS (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+        |SELECT q.label AS quantile, r.v AS value, CAST(r.n AS BIGINT) AS sample_n
+        |FROM r JOIN q ON r.rn = CAST(floor((r.n - 1) * q.p) AS BIGINT) + 1
+        |ORDER BY 1""".stripMargin),
+
     // X6b: INT8 EMBEDDING QUANTIZATION ([[graft.functions.VectorFunctions
     // .quantizeInt8]]): symmetric per-vector quantization of the float
     // embedding column — 4 bytes/lane to 1 byte/lane + one scale, the

@@ -13,6 +13,28 @@ class ScaleFunctionsSpec extends SparkSpec {
   private val dimSchema = StructType(Seq(
     StructField("k", LongType), StructField("name", StringType)))
 
+  test("sampledQuantiles: near the exact quantiles, invariant to partitioning") {
+    import spark.implicits._
+    // values 1..20000 (uniform): exact p-quantile is p * 20000
+    val df = (1 to 20000).map(_.toLong).toDF("v")
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+    val got = ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), "08", ps)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 3)
+    val n = got("p50")._2
+    assert(n > 400 && n < 800, s"8/256 of 20000 should sample ~625 rows, got $n")
+    // rank-space error of nearest-rank-of-sample is a few /sqrt(n): allow 4
+    ps.foreach { case (label, p) =>
+      val est = got(label)._1.toDouble / 20000.0
+      assert(math.abs(est - p) < 4.0 / math.sqrt(n.toDouble),
+        s"$label: estimated rank $est vs $p (n=$n)")
+    }
+    // pure row functions + integer positions: repartitioning can't move it
+    val re = ScaleFunctions.sampledQuantiles(df.repartition(17), col("v"), col("v"), "08", ps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ps.foreach { case (label, _) => assert(re(label) == got(label)._1) }
+  }
+
   test("salted join == plain join (inner and left), including skewed keys") {
     // key 1 is 90% of the fact side — the classic skew shape
     val fact = spark.createDataFrame(
