@@ -151,7 +151,20 @@ object Bench {
     val median = sorted(sorted.size / 2)
     val hostFactor = if (median > 0) controls.max / median else 1.0
     val ctl = controls.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"sf":"$sfDir"$filter}""")
+    // Stall localization: probe j bounds the segment of (up to) 12 queries
+    // run just before it, so a spiked probe (>1.5x the series median)
+    // marks every query in its adjacent segments as measured-under-stall.
+    // Readers should discount stall_suspects before calling a number a
+    // regression — this turns the round-6 "rerun on an idle host to
+    // adjudicate" procedure into a field in the JSON itself.
+    val spiked = controls.zipWithIndex.collect {
+      case (c, j) if median > 0 && c > 1.5 * median => j
+    }.toSet
+    val suspects = results.zipWithIndex.collect {
+      case ((name, _, _), i) if spiked.contains(i / 12) || spiked.contains(i / 12 + 1) => name
+    }
+    val sus = suspects.take(36).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }

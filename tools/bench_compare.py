@@ -86,13 +86,17 @@ def main(old_path, new_path, band=1.5):
         # no probes (pre-round-7 JSON): median per-query ratio IS the drift
         drift = statistics.median(qn[k] / qo[k] for k in common if qo[k] > 0)
         print(f"host drift (median per-query ratio fallback): {drift:.2f}")
-    flagged = []
+    # stall_suspects (round-7+): queries whose measurement segment had a
+    # spiked control probe in EITHER run — a flag on them is host noise,
+    # not evidence; report them separately rather than as regressions.
+    suspect = set(old.get("stall_suspects") or []) | set(new.get("stall_suspects") or [])
+    flagged, noisy = [], []
     for k in common:
         if qo[k] <= 0 or qn[k] <= 0:
             continue
         norm = (qn[k] / qo[k]) / drift
         if norm > band or norm < 1 / band:
-            flagged.append((norm, k, qo[k], qn[k]))
+            (noisy if k in suspect else flagged).append((norm, k, qo[k], qn[k]))
     print(f"{len(common)} common queries, "
           f"old total {sum(qo[k] for k in common):.1f}s, "
           f"new total {sum(qn[k] for k in common):.1f}s, band {band}x")
@@ -100,7 +104,11 @@ def main(old_path, new_path, band=1.5):
         tag = "REGRESSION" if norm > 1 else "win"
         print(f"  {tag:10s} {k}: {o:.2f}s -> {n:.2f}s "
               f"(raw {n / o:.2f}x, normalized {norm:.2f}x)")
-    if not flagged:
+    for norm, k, o, n in sorted(noisy, reverse=True):
+        print(f"  stall-suspect {k}: {o:.2f}s -> {n:.2f}s "
+              f"(normalized {norm:.2f}x; measured inside a spiked control segment"
+              " — rerun before believing)")
+    if not flagged and not noisy:
         print("  no per-query change outside the band after host normalization")
     added = sorted(set(qn) - set(qo))
     if added:
