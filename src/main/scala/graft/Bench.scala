@@ -163,7 +163,13 @@ object Bench {
     val suspects = results.zipWithIndex.collect {
       case ((name, _, _), i) if spiked.contains(i / 12) || spiked.contains(i / 12 + 1) => name
     }
-    val sus = suspects.take(36).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cap the list to protect the one-line-JSON tail budget, but never
+    // silently: a "+N_more" marker tells readers (and bench_compare.py)
+    // the suspect set is incomplete and unlisted flags may be noise too
+    val capped =
+      if (suspects.size <= 60) suspects
+      else suspects.take(60) :+ s"+${suspects.size - 60}_more"
+    val sus = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter}""")
     spark.stop()
   }

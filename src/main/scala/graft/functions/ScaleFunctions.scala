@@ -66,19 +66,29 @@ object ScaleFunctions {
   def sampledQuantiles(df: DataFrame, valueCol: Column, sampleKey: Column,
                        rateHexCeil: String, ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    import org.apache.spark.sql.expressions.Window
+    // NULL values are excluded (quantiles of the non-null population, the
+    // same rule aggregate quantile functions use — and engines disagree on
+    // where NULL sorts, so keeping them would break reproducibility)
     val keyed = df.select(valueCol.as("v"), md5(sampleKey.cast("string")).as("tb"))
+      .filter(col("v").isNotNull)
       .filter(substring(col("tb"), 1, rateHexCeil.length) < rateHexCeil)
-    // the sample (rate-bounded) is the only global sort in the plan
+    // the sample (rate-bounded) is the only global sort in the plan; rn and
+    // n come from the same single-partition pass (the count window adds no
+    // exchange on one partition — and no second scan of the corpus)
     val sorted = keyed.orderBy(col("v"), col("tb")).coalesce(1)
       .sortWithinPartitions(col("v"), col("tb"))
       .withColumn("rn", monotonically_increasing_id() + 1)
-    val n = sorted.agg(count(lit(1)).as("n"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
     val wanted = ps.map { case (label, p) =>
       struct(lit(label).as("label"), lit(p).as("p"))
     }
-    sorted.crossJoin(broadcast(n))
+    // position arithmetic is (n-1)·p in DOUBLE — oracles must use DOUBLE
+    // literals too (a DECIMAL 0.95 lands on exact integers where binary64
+    // 0.95 floors one lower; same IEEE expression or no reproducibility)
+    sorted
       .withColumn("q", explode(array(wanted: _*)))
-      .filter(col("rn") === floor((col("n") - 1) * col("q.p")) + 1)
+      .filter(col("rn") === floor((col("n") - 1).cast("double") * col("q.p")) + 1)
       .select(col("q.label").as("quantile"), col("v").as("value"),
         col("n").as("sample_n"))
       .orderBy("quantile")

@@ -46,10 +46,14 @@ object SketchFunctions {
   /** The KMV sketch: k smallest distinct 60-bit hashes of `c`, ascending.
     * distinct() dedups map-side first (partial hash aggregate), so the
     * exchange carries per-partition-distinct hashes only; orderBy.limit(k)
-    * plans TakeOrderedAndProject — no global sort.
+    * plans TakeOrderedAndProject — no global sort. NULL inputs are
+    * excluded, matching countDistinct (and Spark sorts NULL first while
+    * other engines sort it last — a kept NULL would both inflate the
+    * estimate by a phantom value and break cross-engine reproducibility).
     */
   def kmvSketch(df: DataFrame, c: Column, k: Int): DataFrame =
-    df.select(hash60(c).as("h")).distinct().orderBy("h").limit(k)
+    df.select(hash60(c).as("h")).where(col("h").isNotNull)
+      .distinct().orderBy("h").limit(k)
 
   /** Merge partial sketches: keep the k smallest distinct hashes of the
     * union — the executor-side combine step at scale.
@@ -76,7 +80,9 @@ object SketchFunctions {
   def kmvSketchByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
                        k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.select(groupCol.as("g"), hash60(valueCol).as("h")).distinct()
+    df.select(groupCol.as("g"), hash60(valueCol).as("h"))
+      .where(col("h").isNotNull) // countDistinct semantics, see kmvSketch
+      .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("h"))))
       .filter(col("rn") <= k)

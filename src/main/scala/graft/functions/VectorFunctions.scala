@@ -19,7 +19,15 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosineSimilarity(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors get NULL, not NaN: Spark sorts NaN ABOVE every real
+    * double, so one degenerate (all-zero) vector would otherwise take rank
+    * 1 of every descending top-k; NULL sorts last under `desc`, which is
+    * the semantics a ranking caller wants.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   def euclideanDistance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
@@ -112,8 +120,12 @@ object VectorFunctions {
     def idot(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y.cast("long"))),
         lit(0L), (acc, v) => acc + v)
-    idot(codesA, codesB).cast("double") /
-      sqrt(idot(codesA, codesA).cast("double") * idot(codesB, codesB).cast("double"))
+    // all-zero code vectors (quantizeInt8 of a zero/sanitized-away
+    // embedding) get NULL, not 0/0 = NaN — NaN sorts ABOVE all reals in
+    // Spark, so a degenerate row would hijack every descending top-k;
+    // NULL sorts last under desc
+    val denom = idot(codesA, codesA).cast("double") * idot(codesB, codesB).cast("double")
+    when(denom =!= 0.0, idot(codesA, codesB).cast("double") / sqrt(denom))
   }
 
   /** Two-stage quantized ANN — the honest 100 TB search shape: a COARSE

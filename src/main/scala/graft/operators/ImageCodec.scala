@@ -37,12 +37,14 @@ object ImageCodec {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  /** Header-only decode; null when no installed reader claims the bytes.
-    * Called from both the interpreted path and generated code (static
-    * forwarder), once per row — allocation is one stream wrapper; the
-    * ImageReader instances are pooled per format by ImageIO itself.
+  /** Shared decode lifecycle of every entrypoint below: wrap the bytes,
+    * find a claiming reader, run `f`, dispose/close, and map "no reader"
+    * or ANY decode exception to null (undecodable blob). Keeping this in
+    * one place also keeps the decode-bomb guard semantics from drifting
+    * between entrypoints.
     */
-  def decodeHeaderRow(bytes: Array[Byte]): InternalRow = {
+  private def withReader[T >: Null <: AnyRef](bytes: Array[Byte], seekForwardOnly: Boolean = true)
+                                             (f: javax.imageio.ImageReader => T): T = {
     if (bytes == null || bytes.length == 0) return null
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -51,19 +53,55 @@ object ImageCodec {
         if (!readers.hasNext) return null
         val r = readers.next()
         try {
-          r.setInput(iis, true, true)
-          val w = r.getWidth(0)
-          val h = r.getHeight(0)
-          val fmt = r.getFormatName.toLowerCase
-          val channels = {
-            val types = r.getImageTypes(0)
-            if (types.hasNext) types.next().getColorModel.getNumComponents else 3
-          }
-          new GenericInternalRow(
-            Array[Any](UTF8String.fromString(fmt), w, h, channels))
+          r.setInput(iis, seekForwardOnly, true)
+          f(r)
         } finally r.dispose()
       } finally iis.close()
-    } catch { case _: Exception => null } // corrupt header -> undecodable
+    } catch { case _: Exception => null } // corrupt bytes -> undecodable
+  }
+
+  /** Exact per-channel pixel sums of a decoded raster (BIGINTs — no float
+    * ever exists, so parity is exact).
+    */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** decode-bomb guard: dimensions come from the HEADER (no pixel
+    * allocation yet); a blob whose claimed raster exceeds the bound
+    * (128M pixels ≈ 0.5 GB ARGB) is refused, not decoded — on an
+    * untrusted 100 TB corpus one crafted header must not OOM an executor.
+    */
+  private def bombed(r: javax.imageio.ImageReader, frame: Int): Boolean =
+    r.getWidth(frame).toLong * r.getHeight(frame).toLong > MaxDecodePixels
+
+  /** Header-only decode; null when no installed reader claims the bytes.
+    * Called from both the interpreted path and generated code (static
+    * forwarder), once per row — allocation is one stream wrapper; the
+    * ImageReader instances are pooled per format by ImageIO itself.
+    */
+  def decodeHeaderRow(bytes: Array[Byte]): InternalRow = withReader[InternalRow](bytes) { r =>
+    val w = r.getWidth(0)
+    val h = r.getHeight(0)
+    val fmt = r.getFormatName.toLowerCase
+    val channels = {
+      val types = r.getImageTypes(0)
+      if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h, channels))
   }
 
   /** Pixel-stats contract for REAL feature extraction: dimensions plus
@@ -87,43 +125,15 @@ object ImageCodec {
     * bit-exactly; lossy/palettized ones (JPEG/GIF) decode but their sums
     * are codec-defined.
     */
-  def decodeStatsRow(bytes: Array[Byte]): InternalRow = {
-    if (bytes == null || bytes.length == 0) return null
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          val fmt = r.getFormatName.toLowerCase
-          // decode-bomb guard: dimensions come from the HEADER (no pixel
-          // allocation yet); a blob whose claimed raster exceeds the bound
-          // (128M pixels ≈ 0.5 GB ARGB) is refused, not decoded — on an
-          // untrusted 100 TB corpus one crafted header must not OOM an
-          // executor. Routes to null like any other undecodable blob.
-          if (r.getWidth(0).toLong * r.getHeight(0).toLong > MaxDecodePixels)
-            return null
-          val img = r.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-              x += 1
-            }
-            y += 1
-          }
-          new GenericInternalRow(
-            Array[Any](UTF8String.fromString(fmt), w, h, sr, sg, sb))
-        } finally r.dispose()
-      } finally iis.close()
-    } catch { case _: Exception => null }
+  def decodeStatsRow(bytes: Array[Byte]): InternalRow = withReader[InternalRow](bytes) { r =>
+    val fmt = r.getFormatName.toLowerCase
+    if (bombed(r, 0)) null
+    else {
+      val img = r.read(0)
+      val (sr, sg, sb) = channelSums(img)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(fmt), img.getWidth, img.getHeight, sr, sg, sb))
+    }
   }
 
   /** Resized-image contract: dimensions + exact channel sums of the
@@ -150,43 +160,35 @@ object ImageCodec {
     * pipeline; it shuffles nothing.
     */
   def resizeRow(bytes: Array[Byte], maxWidth: Int): InternalRow = {
-    if (bytes == null || bytes.length == 0 || maxWidth <= 0) return null
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          if (r.getWidth(0).toLong * r.getHeight(0).toLong > MaxDecodePixels)
-            return null // decode-bomb guard, as in decodeStatsRow
-          val src = r.read(0)
-          val sw = src.getWidth
-          val sh = src.getHeight
-          val dw = math.min(sw, maxWidth)
-          val dh = if (dw == sw) sh else math.max(1, sh * maxWidth / sw)
-          val dst = new java.awt.image.BufferedImage(
-            dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < dh) {
-            val sy = y * sh / dh
-            var x = 0
-            while (x < dw) {
-              val rgb = src.getRGB(x * sw / dw, sy)
-              dst.setRGB(x, y, rgb)
-              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-              x += 1
-            }
-            y += 1
+    if (maxWidth <= 0) return null
+    withReader[InternalRow](bytes) { r =>
+      if (bombed(r, 0)) null
+      else {
+        val src = r.read(0)
+        val sw = src.getWidth
+        val sh = src.getHeight
+        val dw = math.min(sw, maxWidth)
+        val dh = if (dw == sw) sh else math.max(1, sh * maxWidth / sw)
+        val dst = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < dh) {
+          val sy = y * sh / dh
+          var x = 0
+          while (x < dw) {
+            val rgb = src.getRGB(x * sw / dw, sy)
+            dst.setRGB(x, y, rgb)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
           }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(dst, "png", bos)
-          new GenericInternalRow(Array[Any](dw, dh, sr, sg, sb, bos.toByteArray))
-        } finally r.dispose()
-      } finally iis.close()
-    } catch { case _: Exception => null }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(dst, "png", bos)
+        new GenericInternalRow(Array[Any](dw, dh, sr, sg, sb, bos.toByteArray))
+      }
+    }
   }
 
   /** Per-frame stats contract for multi-frame containers ([[frameSampleRow]]). */
@@ -208,42 +210,29 @@ object ImageCodec {
     * per-row output is bounded by frames/stride.
     */
   def frameSampleRow(bytes: Array[Byte], stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (bytes == null || bytes.length == 0 || stride <= 0) return null
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val r = readers.next()
-        try {
-          r.setInput(iis, false, true) // seekForwardOnly=false: frame count needs a scan
-          val n = r.getNumImages(true)
-          val out = Array.newBuilder[Any]
-          var f = 0
-          while (f < n) {
-            if (r.getWidth(f).toLong * r.getHeight(f).toLong <= MaxDecodePixels) {
-              val img = r.read(f)
-              val w = img.getWidth
-              val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-                  x += 1
-                }
-                y += 1
-              }
-              out += new GenericInternalRow(Array[Any](f, w, h, sr, sg, sb))
-            }
-            f += stride
-          }
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
-        } finally r.dispose()
-      } finally iis.close()
-    } catch { case _: Exception => null }
+    if (stride <= 0) return null
+    // seekForwardOnly=false: the frame count needs a container scan
+    withReader[org.apache.spark.sql.catalyst.util.ArrayData](bytes, seekForwardOnly = false) { r =>
+      val n = r.getNumImages(true)
+      val out = Array.newBuilder[Any]
+      var f = 0
+      var refused = false
+      while (f < n && !refused) {
+        // one bombed frame refuses the WHOLE blob (null), matching
+        // decodeStatsRow/resizeRow — a silently-shorter frame array would
+        // be indistinguishable from a legitimately shorter animation
+        if (bombed(r, f)) refused = true
+        else {
+          val img = r.read(f)
+          val (sr, sg, sb) = channelSums(img)
+          out += new GenericInternalRow(
+            Array[Any](f, img.getWidth, img.getHeight, sr, sg, sb))
+        }
+        f += stride
+      }
+      if (refused) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+    }
   }
 
   /** Fixture-side encoder (tests + gate queries): a deterministic RGB

@@ -381,9 +381,11 @@ object Extensions {
         |  SELECT v, row_number() OVER (ORDER BY v, tb) AS rn,
         |    count(*) OVER () AS n
         |  FROM s),
-        |q(label, p) AS (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99))
+        |q(label, p) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+        |  ('p95', CAST(0.95 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
         |SELECT q.label AS quantile, r.v AS value, CAST(r.n AS BIGINT) AS sample_n
-        |FROM r JOIN q ON r.rn = CAST(floor((r.n - 1) * q.p) AS BIGINT) + 1
+        |FROM r JOIN q
+        |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1
         |ORDER BY 1""".stripMargin),
 
     // X6b: INT8 EMBEDDING QUANTIZATION ([[graft.functions.VectorFunctions

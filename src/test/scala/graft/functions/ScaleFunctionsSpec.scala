@@ -33,6 +33,13 @@ class ScaleFunctionsSpec extends SparkSpec {
     val re = ScaleFunctions.sampledQuantiles(df.repartition(17), col("v"), col("v"), "08", ps)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     ps.foreach { case (label, _) => assert(re(label) == got(label)._1) }
+    // NULL values are excluded (engines disagree on where NULL sorts; a
+    // kept NULL would shift every rank and can surface as the "quantile")
+    val withNulls = df.select(when(col("v") % 97 === 0, lit(null)).otherwise(col("v")).as("v0"),
+      col("v"))
+    val nn = ScaleFunctions.sampledQuantiles(withNulls, col("v0"), col("v"), "08", ps)
+      .collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(nn.length == 3 && nn.forall(_._2.isDefined), s"no NULL quantile: $nn")
   }
 
   test("salted join == plain join (inner and left), including skewed keys") {

@@ -60,6 +60,22 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(got2("A") == got("A")._2)
   }
 
+  test("kmv ignores NULL inputs (countDistinct semantics, cross-engine order safety)") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => Some(i)) ++ Seq.fill(10)(Option.empty[Int])
+    val df = vals.toDF("v")
+    val k = 64
+    val withNulls = SketchFunctions.kmvSketch(df, col("v"), k).collect().map(_.getLong(0))
+    val without = SketchFunctions.kmvSketch(df.filter($"v".isNotNull), col("v"), k)
+      .collect().map(_.getLong(0))
+    assert(withNulls.toSeq == without.toSeq, "NULLs must not enter the sketch")
+    // per-group: a group whose values are ALL null sketches to no row
+    val g = Seq(("a", Some(1)), ("a", Some(2)), ("b", Option.empty[Int])).toDF("g", "v")
+    val rows = SketchFunctions.kmvSketchByGroup(g, col("g"), col("v"), k).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a"))
+    assert(rows.head.getLong(3) == 2L) // exact below k, nulls ignored
+  }
+
   test("kmv plan: partial-distinct + TakeOrderedAndProject, no global sort") {
     import spark.implicits._
     val df = (1 to 1000).toDF("v").repartition(8)

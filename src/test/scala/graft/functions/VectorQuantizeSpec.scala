@@ -79,6 +79,25 @@ class VectorQuantizeSpec extends SparkSpec {
     assert(exact == cut, s"m=50 coarse cut changed the top-10: $exact vs $cut")
   }
 
+  test("degenerate all-zero vectors rank LAST, never hijack the top-k") {
+    // a zero vector's cosine is undefined: it must yield NULL (sorts last
+    // under desc), not NaN (sorts FIRST in Spark and would take rank 1)
+    val d = df(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 0.0f))))
+    val q = spark.createDataFrame(Seq(Row(Seq(1.0f, 0.0f))).asJava,
+      StructType(Seq(StructField("q", ArrayType(FloatType)))))
+    val exact = VectorFunctions.bruteForceTopK(
+      d.withColumnRenamed("emb", "embedding"), q, "id", "embedding", 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(exact.take(2) == Seq(1L, 2L) && !exact.take(2).contains(3L),
+      s"zero vector must not outrank real neighbors: $exact")
+    val viaQuant = VectorFunctions.quantizedTopK(
+      d.withColumnRenamed("emb", "embedding"), q, "id", "embedding", 3, 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaQuant.take(2) == Seq(1L, 2L),
+      s"zero CODES must not outrank real neighbors: $viaQuant")
+  }
+
   test("quantized ANN recall holds across query vectors, not just one") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     Seq(1L, 7L, 42L, 99L).foreach { qid =>

@@ -141,8 +141,12 @@ class MultimodalSpec extends SparkSpec {
     // header decode still reads the claimed dims (no pixel allocation)...
     val hdr = ImageCodec.decodeHeaderRow(bomb)
     assert(hdr != null && hdr.getInt(1) == 50000 && hdr.getInt(2) == 50000)
-    // ...but full pixel decode refuses before allocating the raster
+    // ...but every full-decode entrypoint refuses before allocating the
+    // raster — frame sampling refuses the WHOLE blob, not just the frame
+    // (a silently-shorter frame array would look like a short animation)
     assert(ImageCodec.decodeStatsRow(bomb) == null)
+    assert(ImageCodec.resizeRow(bomb, 10) == null)
+    assert(ImageCodec.frameSampleRow(bomb, 1) == null)
   }
 
   test("decodeAudio: real javax.sound.sampled header decode for WAV/AIFF/AU") {

@@ -90,6 +90,10 @@ def main(old_path, new_path, band=1.5):
     # spiked control probe in EITHER run — a flag on them is host noise,
     # not evidence; report them separately rather than as regressions.
     suspect = set(old.get("stall_suspects") or []) | set(new.get("stall_suspects") or [])
+    truncated = [s for s in suspect if s.startswith("+")]
+    if truncated:
+        print(f"WARNING: stall_suspects list truncated ({', '.join(truncated)}) — "
+              "unlisted REGRESSION flags below may also be stall noise")
     flagged, noisy = [], []
     for k in common:
         if qo[k] <= 0 or qn[k] <= 0:
