@@ -166,7 +166,11 @@ object TaskSchedule {
           if (isDow && vb == 0 && va > 0) (va, 7) else (va, vb)
         case r =>
           val v = num(r, names, lo, hi)
-          if (part.contains('/')) (v, hi) else (v, v)
+          // vixie's dow field spans 0-7 (both ends Sunday), so an anchored
+          // step expands through 7: '5/2' = {5,7} = Fri+Sun, '7/2' = {7} =
+          // Sun (normalized below) — capping at 6 would silently drop the
+          // Sunday hit ('5/2') or make the range empty ('7/2')
+          if (part.contains('/')) (v, if (isDow) 7 else hi) else (v, v)
       }
       require(a <= b, s"cron range '$part' is empty ($a > $b)")
       a to b by step
@@ -322,7 +326,12 @@ object TaskRegistry {
   private[graft] def splitSqlBody(body: String): Seq[String] = {
     var t = body.trim
     val upper = t.toUpperCase
-    val beginLike = upper.startsWith("BEGIN") &&
+    // a bare BEGIN opens a statement BLOCK (must close with END); BEGIN
+    // TRANSACTION / BEGIN WORK / "BEGIN;" are the transaction STATEMENT
+    // and go through the plain statement splitter
+    val txnLike = upper.startsWith("BEGIN TRANSACTION") ||
+      upper.startsWith("BEGIN WORK") || upper.startsWith("BEGIN;")
+    val beginLike = !txnLike && upper.startsWith("BEGIN") &&
       (t.length == 5 || !Character.isLetterOrDigit(t.charAt(5)))
     if (beginLike) {
       val inner = t.stripSuffix(";").trim

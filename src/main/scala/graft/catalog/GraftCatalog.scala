@@ -154,7 +154,8 @@ class GraftCatalog(val warehouse: String) {
       data: Option[org.apache.spark.sql.DataFrame] = None): GraftTable =
     if (!tableExists(name)) {
       val t = createTable(name, schema, partitionBy, properties)
-      data.foreach(df => t.append(spark.get, df, statementId = Some(s"rtas-$name")))
+      data.foreach(df =>
+        t.append(spark.getOrElse(df.sparkSession), df, statementId = Some(s"rtas-$name")))
       t
     } else {
       val t = loadTable(name)

@@ -32,7 +32,7 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object GlueCatalog {
 
-  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String): String = Json.q(s)
 
   private def sign(secret: String, target: String, body: String): String = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
@@ -64,7 +64,8 @@ object GlueCatalog {
     private def authorized(ex: HttpExchange, target: String, body: String): Boolean = {
       val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
       h.startsWith("AWS4-HMAC-SHA256 ") &&
-        s"Credential=$accessKeyId/".r.findFirstIn(h).isDefined &&
+        h.contains(s"Credential=$accessKeyId/") && // plain substring: a key
+        // with regex metacharacters must not break (or bypass) the match
         h.contains(s"Signature=${sign(secretKey, target, body)}")
     }
 
@@ -72,17 +73,26 @@ object GlueCatalog {
       case org.json4s.JString(s) => s; case _ => ""
     }
 
-    /** The Glue Table entity for one Graft table: pointer, not metadata. */
+    /** The Glue Table entity for one Graft table: pointer, not metadata.
+      * A table with no snapshot yet (created, never appended) is listed
+      * WITHOUT the metadata_location parameter — real Glue returns the
+      * entity either way, and erroring here would 500 an entire GetTables
+      * listing because of one empty table.
+      */
     private def tableEntity(ns: String, t: String): String = {
       val full = s"$ns.$t"
       val tbl = cat.loadTable(full)
-      val snapId = tbl.meta.currentSnapshotId.getOrElse(
-        sys.error(s"$full has no snapshot to export"))
-      val metaPath = exportCache.compute(full, (_, prev) =>
-        if (prev != null && prev._1 == snapId) prev
-        else (snapId, IcebergExport.exportCurrent(spark, tbl)))._2
+      val params = tbl.meta.currentSnapshotId match {
+        case Some(snapId) =>
+          val metaPath = exportCache.compute(full, (_, prev) =>
+            if (prev != null && prev._1 == snapId) prev
+            else (snapId, IcebergExport.exportCurrent(spark, tbl)))._2
+          s""""Parameters":{"table_type":"ICEBERG","metadata_location":${q(metaPath)}},"""
+        case None =>
+          s""""Parameters":{"table_type":"ICEBERG"},"""
+      }
       s"""{"Name":${q(t)},"DatabaseName":${q(ns)},"TableType":"EXTERNAL_TABLE",
-         |"Parameters":{"table_type":"ICEBERG","metadata_location":${q(metaPath)}},
+         |$params
          |"StorageDescriptor":{"Location":${q(tbl.location)}}}""".stripMargin.replace("\n", "")
     }
 

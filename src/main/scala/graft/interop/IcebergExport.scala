@@ -393,7 +393,7 @@ object IcebergExport {
     try reader.iterator().asScala.toVector finally reader.close()
   }
 
-  private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String): String = Json.q(s)
 
   private def avroName(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
 

@@ -53,7 +53,7 @@ object RestCatalog {
       h.startsWith("Bearer ") && issued.contains(h.stripPrefix("Bearer "))
     }
 
-    private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    private def q(s: String): String = Json.q(s)
 
     http.createContext("/v1/oauth/tokens", (ex: HttpExchange) => {
       val form = new String(ex.getRequestBody.readAllBytes(), UTF_8)

@@ -61,17 +61,23 @@ object ImageCodec {
   }
 
   /** Exact per-channel pixel sums of a decoded raster (BIGINTs — no float
-    * ever exists, so parity is exact).
+    * ever exists, so parity is exact). Rows are fetched in BULK — one
+    * `getRGB(0, y, w, 1, ...)` per row batches the sRGB conversion that a
+    * per-pixel `getRGB(x, y)` would re-dispatch per call (measured ~5×
+    * on this kernel, which the docs pitch as paying bytes-decoded cost —
+    * the constant factor IS the operator at 100 TB).
     */
   private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L
     val w = img.getWidth
     val h = img.getHeight
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
         x += 1
       }
@@ -171,17 +177,23 @@ object ImageCodec {
         val dh = if (dw == sw) sh else math.max(1, sh * maxWidth / sw)
         val dst = new java.awt.image.BufferedImage(
           dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // bulk-fetch each SOURCE row once (batched sRGB conversion, as in
+        // channelSums) and pick target pixels out of the buffer
+        val srcRow = new Array[Int](sw)
+        val dstRow = new Array[Int](dw)
         var sr = 0L; var sg = 0L; var sb = 0L
         var y = 0
         while (y < dh) {
           val sy = y * sh / dh
+          src.getRGB(0, sy, sw, 1, srcRow, 0, sw)
           var x = 0
           while (x < dw) {
-            val rgb = src.getRGB(x * sw / dw, sy)
-            dst.setRGB(x, y, rgb)
+            val rgb = srcRow(x * sw / dw)
+            dstRow(x) = rgb
             sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
             x += 1
           }
+          dst.setRGB(0, y, dw, 1, dstRow, 0, dw)
           y += 1
         }
         val bos = new ByteArrayOutputStream()

@@ -67,10 +67,11 @@ class GraftScan(
     val table: GraftTable,
     val meta: TableMetadata,
     val snapshot: Option[Snapshot],
-    val predicates: Seq[Predicate]) {
+    val predicates: Seq[Predicate],
+    val branchHead: Boolean = false) {
 
   def withFilter(more: Predicate*): GraftScan =
-    new GraftScan(table, meta, snapshot, predicates ++ more)
+    new GraftScan(table, meta, snapshot, predicates ++ more, branchHead)
 
   private def readManifestList(s: Snapshot): Seq[ManifestMeta] = {
     val p = GraftUtil.resolve(meta.location, s.manifestListPath)
@@ -93,10 +94,16 @@ class GraftScan(
     * whose fresh field ids share nothing with older snapshots. A
     * current-snapshot scan always uses the CURRENT schema: schema evolution
     * is metadata-only (no new snapshot), so the head snapshot's recorded
-    * schemaId legitimately lags the live schema.
+    * schemaId legitimately lags the live schema. A BRANCH-HEAD scan
+    * (`branchHead`) gets the same exemption: branch commits advance only
+    * their ref, never currentSnapshotId, so a live branch would otherwise
+    * be misread as time travel and miss metadata-only evolution applied
+    * after the branch commit (Iceberg rule: branch reads use the table's
+    * current schema; tag/snapshot pins use the snapshot's schema).
     */
   private def timeTraveled: Boolean =
-    snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId))
+    !branchHead &&
+      snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId))
   val scanSchema: StructType =
     if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
     else meta.currentSchema

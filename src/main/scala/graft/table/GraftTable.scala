@@ -63,7 +63,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
   def atRef(ref: String, predicates: Predicate*): GraftScan = {
     val m = meta
     val id = m.refs.getOrElse(ref, sys.error(s"unknown ref $ref"))
-    atSnapshot(id, predicates: _*)
+    val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
+    // a LIVE branch head (the ref names a staged branch commit) reads with
+    // the table's CURRENT schema — branch commits never advance
+    // currentSnapshotId, so without the flag a metadata-only evolution
+    // after the branch commit would be invisible to branch readers; tags /
+    // refs pinned to main-history snapshots stay snapshot-schema pins
+    val isBranchHead = snap.summary.get("branch").contains(ref)
+    new GraftScan(this, m, Some(snap), predicates, branchHead = isBranchHead)
   }
 
   /** AT(TIMESTAMP => ts): latest snapshot with timestamp <= ts (docs/05:60-64). */

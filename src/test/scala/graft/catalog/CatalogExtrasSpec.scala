@@ -75,6 +75,10 @@ class CatalogExtrasSpec extends SparkSpec {
     assert(dowOf("USING CRON 0 0 * * FRI-SUN") == Set(5, 6, 0))
     assert(dowOf("USING CRON 0 0 * * 0-7") == Set(0, 1, 2, 3, 4, 5, 6))
     assert(dowOf("USING CRON 0 0 * * WED-SAT") == Set(3, 4, 5, 6))
+    // anchored steps span vixie's 0-7 dow field: '5/2' = Fri+Sun(7→0),
+    // '7/2' = Sunday only (not an empty 7-to-6 range)
+    assert(dowOf("USING CRON 0 0 * * 7/2") == Set(0))
+    assert(dowOf("USING CRON 0 0 * * 5/2") == Set(5, 0))
     intercept[RuntimeException](TaskSchedule.parse("USING CRON 0 0 * * SAT-WED"))
 
     // nextFire: strictly after, hour/day skipping, timezone honored
@@ -109,6 +113,14 @@ class CatalogExtrasSpec extends SparkSpec {
     // not silently truncated by 3 chars
     intercept[IllegalArgumentException](splitSqlBody("BEGIN SELECT trend"))
     intercept[IllegalArgumentException](splitSqlBody("BEGIN SELECT 1; SELECT 2"))
+    // BEGIN TRANSACTION / BEGIN WORK / "BEGIN;" are transaction STATEMENTS,
+    // not block openers — they split normally and need no END
+    assert(splitSqlBody("BEGIN TRANSACTION; DELETE FROM t WHERE x; COMMIT") ==
+      Seq("BEGIN TRANSACTION", "DELETE FROM t WHERE x", "COMMIT"))
+    assert(splitSqlBody("begin work; select 1; commit") ==
+      Seq("begin work", "select 1", "commit"))
+    assert(splitSqlBody("BEGIN; SELECT 1; COMMIT") ==
+      Seq("BEGIN", "SELECT 1", "COMMIT"))
     // `;` inside -- comments and "quoted" identifiers is not a boundary
     assert(splitSqlBody("SELECT 1 -- trailing; note\n; SELECT 2") ==
       Seq("SELECT 1 -- trailing; note", "SELECT 2"))

@@ -31,6 +31,12 @@ class GlueCatalogSpec extends SparkSpec {
       val client = new GlueCatalog.Client(server.uri, "123456789", "AKIDTEST", "glue-secret")
       assert(client.databases() == Seq("db"))
       assert(client.tables("db") == Seq("glue_t"))
+      // a snapshot-less table must not 500 the namespace listing: it lists
+      // WITHOUT a metadata pointer (real Glue returns the entity either way)
+      cat.createTable("db.glue_empty", schema)
+      assert(client.tables("db").toSet == Set("glue_t", "glue_empty"))
+      val e0 = intercept[Exception](client.metadataLocation("db", "glue_empty"))
+      assert(e0.getMessage.contains("no metadata_location"), e0.getMessage)
       // the pointer split: the client plans from a shared-storage path
       val loc = client.metadataLocation("db", "glue_t")
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))

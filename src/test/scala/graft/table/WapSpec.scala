@@ -18,6 +18,31 @@ class WapSpec extends SparkSpec {
   private def mk(from: Int, n: Int) = spark.createDataFrame(
     (from until from + n).map(i => Row(i.toLong, s"t$i")).asJava, schema)
 
+  test("branch reads use the table's CURRENT schema after metadata-only evolution") {
+    // branch commits advance only their ref, never currentSnapshotId — a
+    // branch-head scan must not be misread as time travel, or an ADD
+    // COLUMN landed after the branch commit is invisible to branch readers
+    // (Iceberg rule: branch reads use current schema; tags pin snapshots)
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wap_evolve", schema)
+    t.append(spark, mk(0, 4))
+    t.appendToBranch(spark, mk(10, 3), "dev")
+    t.addColumn("note", StringType)
+    val branch = t.atRef("dev").toDF(spark)
+    assert(branch.columns.contains("note"), "branch read must see the live schema")
+    assert(branch.count() == 7 && branch.filter(branch("note").isNotNull).count() == 0)
+    // a ref pinned to a HISTORICAL main snapshot stays a snapshot-schema
+    // pin (only a pin at the live head resolves to the live schema)
+    t.setRef("pin", t.meta.currentSnapshotId.get)
+    t.addColumn("later", StringType)
+    // advance main past the pin (append under the evolved live schema)
+    t.append(spark, mk(20, 2)
+      .withColumn("note", org.apache.spark.sql.functions.lit("n"))
+      .withColumn("later", org.apache.spark.sql.functions.lit("l")))
+    assert(!t.atRef("pin").toDF(spark).columns.contains("later"),
+      "tag-style refs keep the pinned snapshot's schema")
+  }
+
   test("stage on branch, audit, fast-forward publish") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.wap", schema)
