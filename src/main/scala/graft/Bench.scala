@@ -82,7 +82,11 @@ object Bench {
     // work ~2.6x across the board, so it is a faithful stall detector.
     def controlRun(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0, 50_000_000L)
+      // 200M rows (~0.3s idle at 32 threads): big enough that scheduler
+      // jitter is a few % of the probe, so an absolute-delta stall floor is
+      // meaningful — at 50M (~0.07s) the ±40ms OS noise was >1.5x the
+      // median and a CLEAN run flagged most segments as stall suspects
+      spark.range(0, 200_000_000L)
         .selectExpr("sum(id % 7) AS s", "count(if(id % 11 = 0, 1, null)) AS c")
         .collect()
       (System.nanoTime() - t0) / 1e9
@@ -157,8 +161,14 @@ object Bench {
     // Readers should discount stall_suspects before calling a number a
     // regression — this turns the round-6 "rerun on an idle host to
     // adjudicate" procedure into a field in the JSON itself.
+    // A real stall window inflates the probe 2.6-42x (round-6 record); OS
+    // scheduler jitter on the ~0.3s kernel is a few % with occasional
+    // ~1.5x blips. Requiring BOTH a 1.8x ratio AND a 0.15s absolute
+    // excess keeps every observed genuine stall flagged while a clean
+    // run flags nothing (the 50M-row kernel + ratio-only rule marked 70
+    // of 113 queries suspect on the FASTEST run ever recorded).
     val spiked = controls.zipWithIndex.collect {
-      case (c, j) if median > 0 && c > 1.5 * median => j
+      case (c, j) if median > 0 && c > 1.8 * median && c - median > 0.15 => j
     }.toSet
     val suspects = results.zipWithIndex.collect {
       case ((name, _, _), i) if spiked.contains(i / 12) || spiked.contains(i / 12 + 1) => name
