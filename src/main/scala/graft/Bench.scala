@@ -156,8 +156,9 @@ object Bench {
     val hostFactor = if (median > 0) controls.max / median else 1.0
     val ctl = controls.map(fmt).mkString("[", ",", "]")
     // Stall localization: probe j bounds the segment of (up to) 12 queries
-    // run just before it, so a spiked probe (>1.5x the series median)
-    // marks every query in its adjacent segments as measured-under-stall.
+    // run just before it, so a spiked probe (per the ratio+absolute rule
+    // below) marks every query in its adjacent segments as measured-under-
+    // stall.
     // Readers should discount stall_suspects before calling a number a
     // regression — this turns the round-6 "rerun on an idle host to
     // adjudicate" procedure into a field in the JSON itself.

@@ -326,11 +326,16 @@ object TaskRegistry {
   private[graft] def splitSqlBody(body: String): Seq[String] = {
     var t = body.trim
     val upper = t.toUpperCase
-    // a bare BEGIN opens a statement BLOCK (must close with END); BEGIN
-    // TRANSACTION / BEGIN WORK / "BEGIN;" are the transaction STATEMENT
-    // and go through the plain statement splitter
-    val txnLike = upper.startsWith("BEGIN TRANSACTION") ||
-      upper.startsWith("BEGIN WORK") || upper.startsWith("BEGIN;")
+    // a bare BEGIN opens a statement BLOCK (must close with END); the
+    // transaction STATEMENT — BEGIN immediately terminated by ';' (any
+    // whitespace before it) or followed by the word TRANSACTION/WORK —
+    // goes through the plain statement splitter instead
+    val txnLike = upper.startsWith("BEGIN") && {
+      val next = upper.drop(5).dropWhile(_.isWhitespace)
+      next.startsWith(";") ||
+        Seq("TRANSACTION", "WORK").exists(w => next.startsWith(w) &&
+          (next.length == w.length || !Character.isLetterOrDigit(next.charAt(w.length))))
+    }
     val beginLike = !txnLike && upper.startsWith("BEGIN") &&
       (t.length == 5 || !Character.isLetterOrDigit(t.charAt(5)))
     if (beginLike) {

@@ -66,6 +66,14 @@ object ScaleFunctions {
   def sampledQuantiles(df: DataFrame, valueCol: Column, sampleKey: Column,
                        rateHexCeil: String, ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    // the ceil is compared against lowercase md5 hex: anything outside
+    // [0-9a-f]+ silently degenerates — "" keeps NO rows (zero-row result),
+    // a string above "ff" keeps EVERY row and the "sample" becomes a
+    // single-task sort of the whole corpus, the exact failure mode this
+    // function exists to avoid
+    require(rateHexCeil.nonEmpty && rateHexCeil.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"rateHexCeil must be non-empty lowercase hex, got '$rateHexCeil'")
     import org.apache.spark.sql.expressions.Window
     // NULL values are excluded (quantiles of the non-null population, the
     // same rule aggregate quantile functions use — and engines disagree on

@@ -58,8 +58,10 @@ object SketchFunctions {
   /** Merge partial sketches: keep the k smallest distinct hashes of the
     * union — the executor-side combine step at scale.
     */
-  def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame =
+  def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge needs at least one partial sketch")
     sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+  }
 
   /** Per-GROUP KMV sketches in one pass: for every value of `groupCol`,
     * the k smallest distinct hashes of `valueCol`, plus the per-group

@@ -106,8 +106,12 @@ object VectorFunctions {
     */
   def bruteForceTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val sim = cosineSimilarity(col(vecCol), col("q"))
-    rankTopK(df.crossJoin(broadcast(queryVec)).withColumn("sim", sim), idCol, k)
+    // the query column is re-aliased to a _graft_-prefixed internal name at
+    // the boundary: a CORPUS column that happens to be named "q" must not
+    // make the similarity reference ambiguous
+    val q = broadcast(queryVec.select(col("q").as("_graft_q")))
+    val sim = cosineSimilarity(col(vecCol), col("_graft_q"))
+    rankTopK(df.crossJoin(q).withColumn("sim", sim), idCol, k)
   }
 
   /** Cosine similarity over int8 code arrays, computed EXACTLY then
@@ -128,31 +132,54 @@ object VectorFunctions {
     when(denom =!= 0.0, idot(codesA, codesB).cast("double") / sqrt(denom))
   }
 
-  /** Two-stage quantized ANN — the honest 100 TB search shape: a COARSE
-    * scan ranks by [[quantizedCosine]] over int8 codes (the column a
-    * quantized corpus actually stores: 4× fewer bytes read, integer
-    * multiplies), keeping `m` candidates via TakeOrderedAndProject; only
-    * those m rows are re-ranked by exact float cosine for the final k.
-    * The float embeddings of the full corpus are never touched — at scale
-    * the re-rank reads m rows, not the table.
+  /** Two-stage quantized ANN: a COARSE pass ranks by [[quantizedCosine]]
+    * over int8 codes, keeping `m` candidates via TakeOrderedAndProject;
+    * only those m rows are re-ranked by exact float cosine for the final k.
     *
-    * Deterministic end-to-end: the coarse stage is integer arithmetic plus
-    * one IEEE ratio (ties broken by id), so both engines pick the same
-    * candidate set; the re-rank surfaces ranks only, like
-    * [[bruteForceTopK]].
+    * Two corpus shapes:
+    *   - `codesCol = Some(name)` — the 100 TB shape: codes are STORED
+    *     beside the floats, the coarse scan reads (id, codes) ONLY (the
+    *     float column is column-pruned out of the read — a ReadSchema
+    *     fact, see PlanAuditSpec), and the re-rank joins the m candidate
+    *     ids back for their floats.
+    *   - `codesCol = None` — parity/demo shape: codes are derived in-query
+    *     from the float column, which is therefore read for every corpus
+    *     row. Same answers, none of the I/O win — use stored codes when
+    *     the point is reading 4× fewer bytes.
+    *
+    * Internal columns are `_graft_`-prefixed so corpus columns named q /
+    * codes / qsim cannot collide. Deterministic end-to-end: the coarse
+    * stage is integer arithmetic plus one IEEE ratio (ties broken by id),
+    * so both engines pick the same candidate set; the re-rank surfaces
+    * ranks only, like [[bruteForceTopK]].
     */
   def quantizedTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
-                    vecCol: String, k: Int, m: Int): DataFrame = {
-    val q = queryVec.select(col("q"),
-      quantizeInt8(col("q")).getField("codes").as("qcodes"))
-    val coarse = df
-      .withColumn("codes", quantizeInt8(col(vecCol)).getField("codes"))
-      .crossJoin(broadcast(q))
-      .withColumn("qsim", quantizedCosine(col("codes"), col("qcodes")))
-      .orderBy(col("qsim").desc, col(idCol))
+                    vecCol: String, k: Int, m: Int,
+                    codesCol: Option[String] = None): DataFrame = {
+    val q = broadcast(queryVec.select(col("q").as("_graft_q"),
+      quantizeInt8(col("q")).getField("codes").as("_graft_qcodes")))
+    def coarse(corpus: DataFrame, codes: Column): DataFrame = corpus
+      .withColumn("_graft_codes", codes)
+      .crossJoin(q)
+      .withColumn("_graft_qsim", quantizedCosine(col("_graft_codes"), col("_graft_qcodes")))
+      .orderBy(col("_graft_qsim").desc, col(idCol))
       .limit(m)
-    rankTopK(coarse.withColumn("sim",
-      cosineSimilarity(col(vecCol), col("q"))), idCol, k)
+    codesCol match {
+      case Some(cc) =>
+        // coarse pass sees (id, codes) only — nothing else survives into
+        // the scan's ReadSchema; the m winners (a broadcast-sized id set)
+        // join back for their float vectors
+        val winners = coarse(df.select(col(idCol), col(cc)), col(cc)).select(col(idCol))
+        val rerank = df.select(col(idCol), col(vecCol))
+          .join(broadcast(winners), idCol)
+          .crossJoin(q)
+          .withColumn("sim", cosineSimilarity(col(vecCol), col("_graft_q")))
+        rankTopK(rerank, idCol, k)
+      case None =>
+        val c = coarse(df, quantizeInt8(col(vecCol)).getField("codes"))
+        rankTopK(c.withColumn("sim",
+          cosineSimilarity(col(vecCol), col("_graft_q"))), idCol, k)
+    }
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`

@@ -212,35 +212,117 @@ object ImageCodec {
     StructField("sum_g", LongType),
     StructField("sum_b", LongType)))
 
-  /** REAL frame sampling over a multi-frame container: decode every
-    * `stride`-th frame and return its exact channel sums. GIF is the
+  /** Per-frame placement parsed from the GIF image metadata tree: where the
+    * stored raster lands on the logical screen and what happens to the
+    * canvas after the frame is shown. Absent metadata (non-GIF readers,
+    * or a reader that exposes no native tree) degrades to full-frame-at-
+    * origin with no disposal — the single-frame semantics.
+    */
+  private case class FrameGeom(x: Int, y: Int, disposal: String)
+
+  private val GifImageMeta = "javax_imageio_gif_image_1.0"
+  private val GifStreamMeta = "javax_imageio_gif_stream_1.0"
+
+  private def firstElem(root: org.w3c.dom.Element, tag: String): Option[org.w3c.dom.Element] = {
+    val nodes = root.getElementsByTagName(tag)
+    if (nodes.getLength == 0) None else Some(nodes.item(0).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  private def intAttr(e: Option[org.w3c.dom.Element], a: String): Int =
+    e.map(_.getAttribute(a)).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+
+  private def gifFrameGeom(r: javax.imageio.ImageReader, f: Int): FrameGeom = {
+    val md = r.getImageMetadata(f)
+    if (md == null || !md.getMetadataFormatNames.contains(GifImageMeta)) FrameGeom(0, 0, "none")
+    else {
+      val root = md.getAsTree(GifImageMeta).asInstanceOf[org.w3c.dom.Element]
+      val desc = firstElem(root, "ImageDescriptor")
+      val gce = firstElem(root, "GraphicControlExtension")
+      FrameGeom(intAttr(desc, "imageLeftPosition"), intAttr(desc, "imageTopPosition"),
+        gce.map(_.getAttribute("disposalMethod")).filter(_.nonEmpty).getOrElse("none"))
+    }
+  }
+
+  /** Logical-screen (canvas) size from the GIF stream metadata; 0 when the
+    * container does not declare one (then the caller falls back to frame
+    * extents).
+    */
+  private def gifScreen(r: javax.imageio.ImageReader): (Int, Int) = {
+    val md = r.getStreamMetadata
+    if (md == null || !md.getMetadataFormatNames.contains(GifStreamMeta)) (0, 0)
+    else {
+      val root = md.getAsTree(GifStreamMeta).asInstanceOf[org.w3c.dom.Element]
+      val lsd = firstElem(root, "LogicalScreenDescriptor")
+      (intAttr(lsd, "logicalScreenWidth"), intAttr(lsd, "logicalScreenHeight"))
+    }
+  }
+
+  private def copyCanvas(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight, img.getType)
+    val g = c.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); c
+  }
+
+  /** REAL frame sampling over a multi-frame container: COMPOSITE each frame
+    * onto the logical screen (honoring per-frame offsets and the GIF
+    * disposal methods — optimized GIFs store only the changed sub-raster,
+    * so the stored image is NOT the rendered frame), then return the exact
+    * channel sums of every `stride`-th RENDERED frame. GIF is the
     * multi-frame container the JDK ships a codec for, so it stands in for
-    * video here — the operator shape (seek frame index, decode, extract,
-    * skip the frames between) is exactly what an mp4 sampler does; only
-    * the container parser differs. Single-frame formats (PNG/BMP) yield
-    * one element. Null when no reader claims the bytes. Map-side; the
-    * per-row output is bounded by frames/stride.
+    * video here — the operator shape (sequential decode, composite,
+    * extract at the sample points) is exactly what an mp4 sampler does
+    * (inter-frame P/B deltas ≙ GIF sub-rasters); only the container parser
+    * differs. Undeclared screen pixels render as black — deterministic,
+    * and the spec's background-color index is ignored by every modern
+    * renderer anyway. Single-frame formats (PNG/BMP) yield one element.
+    * Null when no reader claims the bytes. Map-side; output is bounded by
+    * frames/stride, cost is bounded by TOTAL frames (compositing is
+    * sequential — the honest cost of delta-coded containers).
     */
   def frameSampleRow(bytes: Array[Byte], stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (stride <= 0) return null
     // seekForwardOnly=false: the frame count needs a container scan
     withReader[org.apache.spark.sql.catalyst.util.ArrayData](bytes, seekForwardOnly = false) { r =>
       val n = r.getNumImages(true)
+      val (sw0, sh0) = gifScreen(r)
+      // canvas = declared logical screen, or frame-0 extent for containers
+      // without one; bomb-guard the CANVAS (it is the allocation) and every
+      // stored frame raster. One bombed frame refuses the WHOLE blob
+      // (null), matching decodeStatsRow/resizeRow — a silently-shorter
+      // frame array would be indistinguishable from a shorter animation.
+      val geom0 = gifFrameGeom(r, 0)
+      val cw = if (sw0 > 0) sw0 else geom0.x + r.getWidth(0)
+      val ch = if (sh0 > 0) sh0 else geom0.y + r.getHeight(0)
+      if (cw.toLong * ch.toLong > MaxDecodePixels) return null
+      var canvas = new java.awt.image.BufferedImage(
+        cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val out = Array.newBuilder[Any]
       var f = 0
       var refused = false
       while (f < n && !refused) {
-        // one bombed frame refuses the WHOLE blob (null), matching
-        // decodeStatsRow/resizeRow — a silently-shorter frame array would
-        // be indistinguishable from a legitimately shorter animation
         if (bombed(r, f)) refused = true
         else {
+          val geom = gifFrameGeom(r, f)
           val img = r.read(f)
-          val (sr, sg, sb) = channelSums(img)
-          out += new GenericInternalRow(
-            Array[Any](f, img.getWidth, img.getHeight, sr, sg, sb))
+          val before =
+            if (geom.disposal == "restoreToPrevious") copyCanvas(canvas) else null
+          val g = canvas.createGraphics()
+          g.drawImage(img, geom.x, geom.y, null) // transparent pixels keep the canvas
+          g.dispose()
+          if (f % stride == 0) {
+            val (sr, sg, sb) = channelSums(canvas)
+            out += new GenericInternalRow(Array[Any](f, cw, ch, sr, sg, sb))
+          }
+          geom.disposal match {
+            case "restoreToBackgroundColor" =>
+              val gg = canvas.createGraphics()
+              gg.setColor(java.awt.Color.BLACK)
+              gg.fillRect(geom.x, geom.y, img.getWidth, img.getHeight)
+              gg.dispose()
+            case "restoreToPrevious" => canvas = before
+            case _ => // none / doNotDispose: keep the composited canvas
+          }
         }
-        f += stride
+        f += 1
       }
       if (refused) null
       else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
@@ -297,6 +379,64 @@ object ImageCodec {
           y += 1
         }
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Fixture-side OPTIMIZED-GIF encoder: frame 0 is a full `width`×`height`
+    * gray gradient; each later frame stores ONLY a `subW`×`subH` sub-raster
+    * placed at (`offX`, `offY`) — the inter-frame delta coding real GIF
+    * optimizers emit (and the shape that exposes a sampler which reads the
+    * stored raster instead of compositing the rendered frame). Gray values
+    * as in [[encodeAnimatedGif]]: sub-frame f pixel (x, y) = (x*31 + y*17 +
+    * f*7) mod 256 in SUB-raster coordinates.
+    */
+  def encodeOptimizedGif(width: Int, height: Int, frames: Int,
+                         subW: Int, subH: Int, offX: Int, offY: Int): Array[Byte] = {
+    require(offX + subW <= width && offY + subH <= height, "sub-frame must fit the screen")
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val (w, h) = if (f == 0) (width, height) else (subW, subH)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (x * 31 + y * 17 + f * 7) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        // per-frame placement goes through the writer's native metadata
+        // tree (ImageDescriptor imageLeftPosition/TopPosition) — the same
+        // tree the composition path reads back
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+        val root = meta.getAsTree(GifImageMeta).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = firstElem(root, "ImageDescriptor").get
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (f > 0) {
+          desc.setAttribute("imageLeftPosition", offX.toString)
+          desc.setAttribute("imageTopPosition", offY.toString)
+        }
+        // the writer's default descriptor says interlaceFlag=TRUE, and the
+        // JDK round-trips interlaced sub-rasters with height < 8 wrong
+        // (rows land permuted/missing) — plain row order is also what real
+        // optimizers emit
+        desc.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(GifImageMeta, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
         f += 1
       }
       writer.endWriteSequence()

@@ -121,6 +121,16 @@ class CatalogExtrasSpec extends SparkSpec {
       Seq("begin work", "select 1", "commit"))
     assert(splitSqlBody("BEGIN; SELECT 1; COMMIT") ==
       Seq("BEGIN", "SELECT 1", "COMMIT"))
+    // whitespace before the txn-statement terminator still counts...
+    assert(splitSqlBody("BEGIN ; SELECT 1; COMMIT") ==
+      Seq("BEGIN", "SELECT 1", "COMMIT"))
+    assert(splitSqlBody("BEGIN\n  TRANSACTION; SELECT 1; COMMIT") ==
+      Seq("BEGIN\n  TRANSACTION", "SELECT 1", "COMMIT"))
+    // ...but a WORD continuing TRANSACTION/WORK is not the txn statement
+    // (block parse → must end with END), and bare BEGIN + statements stays
+    // a block opener (Snowflake scripting semantics), so no END = error
+    intercept[IllegalArgumentException](splitSqlBody("BEGIN WORKLOAD; X"))
+    intercept[IllegalArgumentException](splitSqlBody("BEGIN\nSELECT 1;\nCOMMIT"))
     // `;` inside -- comments and "quoted" identifiers is not a boundary
     assert(splitSqlBody("SELECT 1 -- trailing; note\n; SELECT 2") ==
       Seq("SELECT 1 -- trailing; note", "SELECT 2"))

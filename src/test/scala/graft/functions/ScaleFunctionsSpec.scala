@@ -40,6 +40,12 @@ class ScaleFunctionsSpec extends SparkSpec {
     val nn = ScaleFunctions.sampledQuantiles(withNulls, col("v0"), col("v"), "08", ps)
       .collect().map(r => (r.getString(0), Option(r.get(1))))
     assert(nn.length == 3 && nn.forall(_._2.isDefined), s"no NULL quantile: $nn")
+    // invalid sample ceils are rejected, not silently degenerate: "" keeps
+    // no rows (0-row result), anything above "ff" keeps EVERY row (the
+    // whole corpus through one sort task), uppercase never matches md5 hex
+    for (bad <- Seq("", "zz", "0F"))
+      intercept[IllegalArgumentException](
+        ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), bad, ps))
   }
 
   test("salted join == plain join (inner and left), including skewed keys") {

@@ -37,6 +37,10 @@ class SketchFunctionsSpec extends SparkSpec {
     val dup = all.union(all).union(all)
     assert(SketchFunctions.kmvSketch(dup, col("v"), k).collect().map(_.getLong(0)).toSeq ==
       whole.collect().map(_.getLong(0)).toSeq)
+    // zero partials is a caller mistake and says so (not reduce's
+    // "empty.reduceLeft")
+    val e = intercept[IllegalArgumentException](SketchFunctions.kmvMerge(Seq.empty, k))
+    assert(e.getMessage.contains("at least one"), e.getMessage)
   }
 
   test("kmvSketchByGroup: per-group state is k, estimates match flat sketches") {

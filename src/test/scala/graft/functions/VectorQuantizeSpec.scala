@@ -79,6 +79,33 @@ class VectorQuantizeSpec extends SparkSpec {
     assert(exact == cut, s"m=50 coarse cut changed the top-10: $exact vs $cut")
   }
 
+  test("corpus columns named q/codes/qsim don't collide; stored-codes path == derived") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val base = VectorFunctions.quantizedTopK(corpus, q, "vec_id", "embedding", 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a corpus that already carries columns with the old internal names
+    // must neither crash (ambiguous q) nor be silently rewritten (codes)
+    val trapped = corpus.withColumn("q", lit(1))
+      .withColumn("codes", lit("stored-elsewhere")).withColumn("qsim", lit(0.0))
+    val viaTrapped = VectorFunctions.quantizedTopK(trapped, q, "vec_id", "embedding", 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTrapped == base, s"colliding corpus columns changed the answer")
+    val bruteTrapped = VectorFunctions.bruteForceTopK(trapped, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bruteTrapped ==
+      VectorFunctions.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // stored-codes shape: same answers through the join-back plan
+    val stored = corpus.withColumn("c8",
+      VectorFunctions.quantizeInt8(col("embedding")).getField("codes"))
+    val viaStored = VectorFunctions.quantizedTopK(
+      stored, q, "vec_id", "embedding", 10, 50, codesCol = Some("c8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStored == base, s"stored-codes path diverged: $viaStored vs $base")
+  }
+
   test("degenerate all-zero vectors rank LAST, never hijack the top-k") {
     // a zero vector's cosine is undefined: it must yield NULL (sorts last
     // under desc), not NaN (sorts FIRST in Spark and would take rank 1)

@@ -251,6 +251,46 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.head.getInt(2) == 10)
   }
 
+  test("sampleFrames composites optimized GIFs: delta sub-frames render onto the canvas") {
+    // real GIF optimizers store only the changed sub-raster per frame; the
+    // sampler must report the RENDERED frame (composited canvas), not the
+    // stored delta — a 4x3 delta at (2,1) must yield 19x8 frame stats
+    def gray(w: Int, h: Int, f: Int): Long = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (x * 31 + y * 17 + f * 7) & 0xFF
+      s
+    }
+    val (w, h, subW, subH, offX, offY) = (19, 8, 4, 3, 2, 1)
+    val blob = ImageCodec.encodeOptimizedGif(w, h, 3, subW, subH, offX, offY)
+    val sampled = ImageCodec.frameSampleRow(blob, 1)
+    assert(sampled.numElements() == 3)
+    // frame 0: the full-screen gradient
+    val r0 = sampled.getStruct(0, 6)
+    assert(r0.getInt(1) == w && r0.getInt(2) == h)
+    assert(r0.getLong(3) == gray(w, h, 0))
+    // frames 1, 2: canvas = frame-0 gradient with the sub-rect REPLACED by
+    // the delta raster (sub-raster coordinates restart at (0,0))
+    def covered(f: Int): Long = {
+      var s = 0L
+      for (y <- offY until offY + subH; x <- offX until offX + subW)
+        s += (x * 31 + y * 17) & 0xFF // frame-0 value being overwritten
+      gray(w, h, 0) - s + gray(subW, subH, f)
+    }
+    (1 to 2).foreach { f =>
+      val r = sampled.getStruct(f, 6)
+      assert(r.getInt(0) == f, "composited frames keep their frame index")
+      assert(r.getInt(1) == w && r.getInt(2) == h,
+        s"frame $f must report canvas dims, not the ${subW}x$subH delta")
+      assert(r.getLong(3) == covered(f) && r.getLong(5) == covered(f),
+        s"frame $f stats must be the rendered canvas, not the stored delta")
+    }
+    // stride skips the EMISSION, not the compositing: frame 2's stats must
+    // include frame 1's (un-emitted) delta already painted over
+    val strided = ImageCodec.frameSampleRow(blob, 2)
+    assert(strided.numElements() == 2)
+    assert(strided.getStruct(1, 6).getLong(3) == covered(2))
+  }
+
   test("resize + frame-sample stubs keep the schema contract") {
     val docs = spark.createDataFrame(
       Seq(Row(1L, "x" * 100)).asJava,

@@ -248,6 +248,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(rerank.count() == 50)
   }
 
+  test("quantizedTopK(codesCol): the API's coarse scan column-prunes the float embedding") {
+    // the packaged stored-codes path must have the same ReadSchema fact the
+    // hand-rolled shape above proves: a coarse corpus scan reading codes
+    // only, and NO scan reading codes and embedding together
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+      .withColumn("codes",
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).getField("codes"))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.qapi", e.schema)
+    t.append(spark, e)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val topk = graft.functions.VectorFunctions.quantizedTopK(
+      t.toDF(spark).filter(col("vec_id") =!= 0), q, "vec_id", "embedding",
+      10, 50, codesCol = Some("codes"))
+    val plan = planOf(topk)
+    val corpusScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("qapi")).toList
+    assert(corpusScans.exists(_.contains(
+      "ReadSchema: struct<vec_id:bigint,codes:array<int>>")),
+      s"no codes-only coarse scan in the API plan:\n$corpusScans")
+    assert(!corpusScans.exists(l =>
+      l.contains("embedding") && l.contains("codes:array")),
+      s"a scan reads floats AND codes together — the prune is lost:\n$corpusScans")
+    assert(topk.count() == 10)
+  }
+
   test("corpus shuffle write path: one hash exchange + local sort, no global sort") {
     // the 100 TB shape behind x_corpus_shuffle: shard + order are pure row
     // functions, so materializing a shuffled epoch is repartition(shard)
