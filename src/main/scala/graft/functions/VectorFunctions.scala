@@ -244,17 +244,20 @@ object VectorFunctions {
   def ivfTopK(df: DataFrame, queryVec: DataFrame, idCol: String, vecCol: String,
               k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size)
-    val assigned = df.withColumn("_cell", ivfAssign(col(vecCol), centroids))
+    // query column re-aliased to an internal name at the boundary, like
+    // bruteForceTopK: a corpus column named "q" must not make the
+    // similarity reference ambiguous after the join
+    val assigned = df.withColumn("_graft_cell", ivfAssign(col(vecCol), centroids))
     // the query's nprobe nearest cells, as an exploded (broadcastable) list
-    val qCells = queryVec.select(col("q"), posexplode(array(
+    val qCells = queryVec.select(col("q").as("_graft_q"), posexplode(array(
       centroids.zipWithIndex.map { case (c, i) =>
         struct(euclideanDistance(col("q"), lit(c.toArray)).as("d"), lit(i).as("cell"))
       }: _*)))
-      .select(col("q"), col("col.d"), col("col.cell").as("_cell"))
+      .select(col("_graft_q"), col("col.d"), col("col.cell").as("_graft_cell"))
       .orderBy("d").limit(nprobe)
-      .select("q", "_cell")
-    val sim = cosineSimilarity(col(vecCol), col("q"))
-    rankTopK(assigned.join(broadcast(qCells), "_cell").withColumn("sim", sim),
+      .select("_graft_q", "_graft_cell")
+    val sim = cosineSimilarity(col(vecCol), col("_graft_q"))
+    rankTopK(assigned.join(broadcast(qCells), "_graft_cell").withColumn("sim", sim),
       idCol, k)
   }
 
@@ -264,10 +267,11 @@ object VectorFunctions {
     */
   def lshTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), bits))
-    val q = queryVec.withColumn("_qbucket", lshBucket(col("q"), bits))
-    val sim = cosineSimilarity(col(vecCol), col("q"))
-    rankTopK(bucketed.join(broadcast(q), col("_bucket") === col("_qbucket"))
+    val bucketed = df.withColumn("_graft_bucket", lshBucket(col(vecCol), bits))
+    val q = queryVec.select(col("q").as("_graft_q"),
+      lshBucket(col("q"), bits).as("_graft_qbucket"))
+    val sim = cosineSimilarity(col(vecCol), col("_graft_q"))
+    rankTopK(bucketed.join(broadcast(q), col("_graft_bucket") === col("_graft_qbucket"))
       .withColumn("sim", sim), idCol, k)
   }
 }

@@ -104,6 +104,16 @@ class VectorQuantizeSpec extends SparkSpec {
       stored, q, "vec_id", "embedding", 10, 50, codesCol = Some("c8"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaStored == base, s"stored-codes path diverged: $viaStored vs $base")
+    // the whole ANN family shares the q-column join convention — ivf and
+    // lsh must survive a trapped corpus identically
+    val centroids = corpus.filter(col("vec_id").isin(1L, 2L)).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    def ids(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(ids(VectorFunctions.ivfTopK(trapped, q, "vec_id", "embedding", 5, centroids, 2)) ==
+      ids(VectorFunctions.ivfTopK(corpus, q, "vec_id", "embedding", 5, centroids, 2)))
+    assert(ids(VectorFunctions.lshTopK(trapped, q, "vec_id", "embedding", 5)) ==
+      ids(VectorFunctions.lshTopK(corpus, q, "vec_id", "embedding", 5)))
   }
 
   test("degenerate all-zero vectors rank LAST, never hijack the top-k") {
