@@ -170,6 +170,15 @@ case class Snapshot(
     schemaId: Int,
     specId: Int)
 
+/** A named ref — Iceberg's branch/tag model (iceberg spec "refs"): a BRANCH
+  * is a movable head whose readers follow the table's LIVE schema; a TAG is
+  * an immutable pin whose readers keep the pinned snapshot's schema.
+  * Branch-ness is a property of the REF, never inferred from the snapshot
+  * it points at: the same snapshot can be a branch head and a tag target
+  * at once, with different read semantics.
+  */
+case class Ref(snapshotId: Long, isBranch: Boolean)
+
 case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -183,7 +192,7 @@ case class TableMetadata(
     lastSequenceNumber: Long,
     snapshots: Seq[Snapshot],
     currentSnapshotId: Option[Long],
-    refs: Map[String, Long],
+    refs: Map[String, Ref],
     properties: Map[String, String],
     /** statement-id -> snapshot produced, for BEFORE(STATEMENT => id)
       * time travel (docs/05-snapshots-time-travel.md:69-72). */
@@ -286,7 +295,9 @@ object MetaJson {
         ("last-sequence-number" -> m.lastSequenceNumber) ~
         ("snapshots" -> m.snapshots.map(snapshotToJson)) ~
         ("current-snapshot-id" -> m.currentSnapshotId) ~
-        ("refs" -> m.refs) ~
+        ("refs" -> m.refs.map { case (n, r) =>
+          n -> (("snapshot-id" -> r.snapshotId) ~
+            ("type" -> (if (r.isBranch) "branch" else "tag"))) }) ~
         ("properties" -> m.properties) ~
         ("statement-log" -> m.statementLog.map { case (q, s) =>
           ("statement-id" -> q) ~ ("snapshot-id" -> s) })
@@ -317,7 +328,14 @@ object MetaJson {
       },
       currentSnapshotId = optLong(j \ "current-snapshot-id"),
       refs = (j \ "refs") match {
-        case JObject(fs) => fs.collect { case JField(k, v) if optLong(v).isDefined => k -> longOf(v) }.toMap
+        // current form: {"name": {"snapshot-id": N, "type": "branch"|"tag"}};
+        // metadata written before refs were typed stored a plain number —
+        // read it as a tag (the old read semantics: snapshot-schema pin)
+        case JObject(fs) => fs.collect {
+          case JField(k, v) if optLong(v \ "snapshot-id").isDefined =>
+            k -> Ref(longOf(v \ "snapshot-id"), optStr(v \ "type").contains("branch"))
+          case JField(k, v) if optLong(v).isDefined => k -> Ref(longOf(v), isBranch = false)
+        }.toMap
         case _ => Map.empty
       },
       properties = mapOfStr(j \ "properties"),

@@ -242,9 +242,10 @@ object IcebergExport {
     }.mkString(",")
     val snapshotLogJson = ordered.map(s =>
       s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${s.snapshotId}}""").mkString(",")
-    val refsJson = (m.refs + ("main" -> current.snapshotId)).toSeq.sortBy(_._1).map {
-      case (name, id) => s"""${q(name)}:{"snapshot-id":$id,"type":"branch"}"""
-    }.mkString(",")
+    val refsJson = (m.refs + ("main" -> graft.format.Ref(current.snapshotId, isBranch = true)))
+      .toSeq.sortBy(_._1).map { case (name, r) =>
+        s"""${q(name)}:{"snapshot-id":${r.snapshotId},"type":"${if (r.isBranch) "branch" else "tag"}"}"""
+      }.mkString(",")
     val lastPartitionId = if (partFieldId.isEmpty) 999 else partFieldId.values.max
     // last-column-id must cover every assigned ID, including the synthetic
     // list/map node IDs (NodeIdBase block per field) when nested collections

@@ -131,7 +131,7 @@ trait GraftMaintenance { self: GraftTable =>
       val byAge = m.snapshots.sortBy(_.sequenceNumber)
       val baseKeep = (byAge.filter(_.timestampMs > olderThanMs).map(_.snapshotId) ++
         byAge.takeRight(math.max(1, retainLast)).map(_.snapshotId) ++
-        m.currentSnapshotId.toSeq ++ m.refs.values).toSet
+        m.currentSnapshotId.toSeq ++ m.refs.values.map(_.snapshotId)).toSet
       // A staged branch's INTERMEDIATE commits must survive too: publish
       // walks the parent chain from the branch head, and an expired link
       // would make legitimately-staged work unpublishable. Branch commits
@@ -139,7 +139,7 @@ trait GraftMaintenance { self: GraftTable =>
       // (normal retention governs that side).
       val keepIds = baseKeep ++ m.refs.values.flatMap { head =>
         val acc = scala.collection.mutable.Buffer.empty[Long]
-        var cur = m.snapshot(head)
+        var cur = m.snapshot(head.snapshotId)
         while (cur.exists(_.summary.contains("branch"))) {
           acc += cur.get.snapshotId
           cur = cur.get.parentId.flatMap(m.snapshot)

@@ -68,10 +68,11 @@ class GraftScan(
     val meta: TableMetadata,
     val snapshot: Option[Snapshot],
     val predicates: Seq[Predicate],
-    val branchHead: Boolean = false) {
+    val branchHead: Boolean = false,
+    val tagPin: Boolean = false) {
 
   def withFilter(more: Predicate*): GraftScan =
-    new GraftScan(table, meta, snapshot, predicates ++ more, branchHead)
+    new GraftScan(table, meta, snapshot, predicates ++ more, branchHead, tagPin)
 
   private def readManifestList(s: Snapshot): Seq[ManifestMeta] = {
     val p = GraftUtil.resolve(meta.location, s.manifestListPath)
@@ -99,11 +100,14 @@ class GraftScan(
     * their ref, never currentSnapshotId, so a live branch would otherwise
     * be misread as time travel and miss metadata-only evolution applied
     * after the branch commit (Iceberg rule: branch reads use the table's
-    * current schema; tag/snapshot pins use the snapshot's schema).
+    * current schema; tag/snapshot pins use the snapshot's schema). A TAG
+    * scan (`tagPin`) pins the snapshot schema even when the tag happens to
+    * sit at the live head — a tag is an immutable pin, so a metadata-only
+    * evolution after tagging must stay invisible through the tag.
     */
   private def timeTraveled: Boolean =
-    !branchHead &&
-      snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId))
+    tagPin || (!branchHead &&
+      snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId)))
   val scanSchema: StructType =
     if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
     else meta.currentSchema

@@ -53,24 +53,28 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     }
   }
 
-  /** AT(SNAPSHOT_ID => id) — also resolves branch/tag refs (docs/05:141-171). */
+  private def resolveSnapshot(m: TableMetadata, id: Long): Snapshot =
+    m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
+
+  /** AT(SNAPSHOT_ID => id) (docs/05:141-171). */
   def atSnapshot(id: Long, predicates: Predicate*): GraftScan = {
     val m = meta
-    val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
-    new GraftScan(this, m, Some(snap), predicates)
+    new GraftScan(this, m, Some(resolveSnapshot(m, id)), predicates)
   }
 
+  /** Read a named ref. A BRANCH head reads with the table's CURRENT schema
+    * (Iceberg's branch rule — branch commits never advance
+    * currentSnapshotId, so without this a metadata-only evolution after
+    * the branch commit would be invisible to branch readers); a TAG keeps
+    * the pinned snapshot's schema. The distinction lives on the ref
+    * ([[graft.format.Ref]]), never inferred from the snapshot: a tag
+    * pointing at a branch-staged snapshot is still a pin.
+    */
   def atRef(ref: String, predicates: Predicate*): GraftScan = {
     val m = meta
-    val id = m.refs.getOrElse(ref, sys.error(s"unknown ref $ref"))
-    val snap = m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))
-    // a LIVE branch head (the ref names a staged branch commit) reads with
-    // the table's CURRENT schema — branch commits never advance
-    // currentSnapshotId, so without the flag a metadata-only evolution
-    // after the branch commit would be invisible to branch readers; tags /
-    // refs pinned to main-history snapshots stay snapshot-schema pins
-    val isBranchHead = snap.summary.get("branch").contains(ref)
-    new GraftScan(this, m, Some(snap), predicates, branchHead = isBranchHead)
+    val r = m.refs.getOrElse(ref, sys.error(s"unknown ref $ref"))
+    new GraftScan(this, m, Some(resolveSnapshot(m, r.snapshotId)), predicates,
+      branchHead = r.isBranch, tagPin = !r.isBranch)
   }
 
   /** AT(TIMESTAMP => ts): latest snapshot with timestamp <= ts (docs/05:60-64). */
@@ -189,7 +193,7 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       val stmt = statementId.getOrElse(java.util.UUID.randomUUID().toString)
       // a branch commit's parent is the branch head (falling back to main's
       // head when the branch is being created by this very commit)
-      val parentId = branch.flatMap(m.refs.get).orElse(m.currentSnapshotId)
+      val parentId = branch.flatMap(m.refs.get).map(_.snapshotId).orElse(m.currentSnapshotId)
       val snap = Snapshot(
         snapshotId = snapId,
         parentId = parentId,
@@ -211,7 +215,7 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
         case Some(b) => m.copy(
           lastSequenceNumber = snapId,
           snapshots = m.snapshots :+ snap,
-          refs = m.refs + (b -> snapId),
+          refs = m.refs + (b -> graft.format.Ref(snapId, isBranch = true)),
           statementLog = m.statementLog :+ (stmt -> snapId))
         case None => m.copy(
           lastSequenceNumber = snapId,
@@ -339,6 +343,13 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
         snapshots = m.snapshots :+ snap,
         currentSnapshotId = Some(snapId),
         properties = properties,
+        // surviving BRANCH refs demote to TAGS: the replace mints a fresh
+        // field-id space, so a branch that kept following the live schema
+        // would resolve every pre-replace file to NULLs (silent data loss
+        // in an audit read). As tags they stay readable under their own
+        // pinned schema; appends/publish through them are refused — stage
+        // new work on a fresh branch of the replaced table.
+        refs = m.refs.map { case (n, r) => n -> r.copy(isBranch = false) },
         statementLog = m.statementLog :+ (stmt -> snapId))
     }
 
@@ -399,13 +410,17 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
   def appendToBranch(spark: SparkSession, df: DataFrame, branch: String,
                      statementId: Option[String] = None): Snapshot = {
     val (_, m0) = load()
+    // a TAG is immutable by definition — appending through one would turn
+    // a pin into a movable head (Iceberg refuses this the same way)
+    m0.refs.get(branch).foreach(r =>
+      require(r.isBranch, s"$name: ref '$branch' is a tag — cannot append to a tag"))
     val newFiles = GraftWriter.write(spark, df, m0, m0.currentSchemaId, m0.defaultSpecId)
     val newManifest = if (newFiles.isEmpty) None else Some(writeManifest(m0, newFiles))
     commitSnapshot("append", statementId, Map(
       "added-data-files" -> newFiles.size.toString,
       "added-records" -> newFiles.map(_.recordCount).sum.toString,
       "branch" -> branch), branch = Some(branch)) { m =>
-      val base = m.refs.get(branch).flatMap(m.snapshot).orElse(m.currentSnapshot)
+      val base = m.refs.get(branch).map(_.snapshotId).flatMap(m.snapshot).orElse(m.currentSnapshot)
       base.map(readManifestList(m, _)).getOrElse(Nil) ++ newManifest
     }
   }
@@ -420,7 +435,9 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     * — re-stage on a fresh branch instead).
     */
   def publish(branch: String): TableMetadata = commitMetadata() { m =>
-    val head = m.refs.getOrElse(branch, sys.error(s"unknown branch '$branch'"))
+    val r = m.refs.getOrElse(branch, sys.error(s"unknown branch '$branch'"))
+    require(r.isBranch, s"$name: ref '$branch' is a tag — only branches publish")
+    val head = r.snapshotId
     def ancestors(id: Long): Set[Long] = {
       val s = m.snapshot(id)
       Set(id) ++ s.flatMap(_.parentId).map(ancestors).getOrElse(Set.empty)
@@ -432,11 +449,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     m.copy(currentSnapshotId = Some(head), refs = m.refs - branch)
   }
 
-  /** Branch/tag refs (docs/05:141-149). */
-  def setRef(refName: String, snapshotId: Long): TableMetadata =
+  /** Branch/tag refs (docs/05:141-149). Default is a TAG (immutable pin,
+    * snapshot-schema reads); `isBranch = true` creates a movable branch
+    * head that tracks the table's live schema — see [[atRef]].
+    */
+  def setRef(refName: String, snapshotId: Long, isBranch: Boolean = false): TableMetadata =
     commitMetadata() { m =>
       require(m.snapshot(snapshotId).isDefined, s"snapshot $snapshotId not found")
-      m.copy(refs = m.refs + (refName -> snapshotId))
+      m.copy(refs = m.refs + (refName -> graft.format.Ref(snapshotId, isBranch)))
     }
 
   /** DROP a branch/tag ref. Abandons un-published staged work: the chain

@@ -24,13 +24,21 @@ class MetaJsonSpec extends AnyFunSuite {
         Snapshot(1, None, 1, 1000L, "append", Map("added-records" -> "10"), "ml1.json", 0, 0),
         Snapshot(2, Some(1L), 2, 2000L, "delete", Map.empty, "ml2.json", 0, 0)),
       currentSnapshotId = Some(2L),
-      refs = Map("main" -> 2L, "tag-v1" -> 1L),
+      refs = Map("main" -> Ref(2L, isBranch = true), "tag-v1" -> Ref(1L, isBranch = false)),
       properties = Map("k" -> "v"),
       statementLog = Seq("q1" -> 1L, "q2" -> 2L))
     val back = MetaJson.metadataFromJson(MetaJson.metadataToJson(meta))
     assert(back == meta)
     // column IDs survive the schema serialization
     assert(GraftSchema.fieldId(back.currentSchema("ts")) == 2)
+    // metadata written before refs were typed stored plain numbers: they
+    // read back as TAGS (the old semantics — snapshot-schema pins)
+    val legacy = MetaJson.metadataToJson(meta)
+      .replaceAll("""\{\s*"snapshot-id"\s*:\s*2,\s*"type"\s*:\s*"branch"\s*\}""", "2")
+    assert(legacy != MetaJson.metadataToJson(meta), "rewrite must hit the branch ref")
+    val fromLegacy = MetaJson.metadataFromJson(legacy)
+    assert(fromLegacy.refs("main") == Ref(2L, isBranch = false))
+    assert(fromLegacy.refs("tag-v1") == Ref(1L, isBranch = false))
   }
 
   test("manifest + manifest list round-trip with stats and partition tuples") {

@@ -43,6 +43,44 @@ class WapSpec extends SparkSpec {
       "tag-style refs keep the pinned snapshot's schema")
   }
 
+  test("branch-ness is a property of the ref, not the snapshot it points at") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wap_reftype", schema)
+    t.append(spark, mk(0, 3))
+    val head = t.meta.currentSnapshotId.get
+    // the natural create-branch gesture: a BRANCH ref at main's head —
+    // must follow the live schema even though the snapshot is main history
+    t.setRef("dev2", head, isBranch = true)
+    // ...while a TAG at the very same snapshot stays a snapshot-schema pin
+    t.setRef("pin2", head)
+    t.addColumn("note", StringType)
+    assert(t.atRef("dev2").toDF(spark).columns.contains("note"),
+      "a setRef-created branch must see metadata-only evolution")
+    assert(!t.atRef("pin2").toDF(spark).columns.contains("note"),
+      "a tag at the same snapshot keeps the pinned schema")
+    // tags are immutable: appends and publish through them are refused
+    intercept[IllegalArgumentException](t.appendToBranch(spark, mk(10, 1), "pin2"))
+    intercept[IllegalArgumentException](t.publish("pin2"))
+  }
+
+  test("CREATE OR REPLACE demotes surviving branches to tags (no all-NULL reads)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.wap_replace", schema)
+    t.append(spark, mk(0, 4))
+    t.appendToBranch(spark, mk(10, 3), "audit")
+    // replace mints a fresh field-id space; a branch still tracking the
+    // live schema would resolve every pre-replace file to NULLs
+    t.replaceWith(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val r = t.meta.refs("audit")
+    assert(!r.isBranch, "replace must demote surviving branches to tags")
+    val audit = t.atRef("audit").toDF(spark)
+    assert(audit.columns.toSeq == Seq("id", "tag"), "tag reads its pinned schema")
+    assert(audit.count() == 7 && audit.filter(audit("tag").isNotNull).count() == 7,
+      "pre-replace branch data stays fully readable — never NULLed out")
+    intercept[IllegalArgumentException](t.appendToBranch(spark, mk(20, 1), "audit"))
+  }
+
   test("stage on branch, audit, fast-forward publish") {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.wap", schema)
@@ -56,7 +94,7 @@ class WapSpec extends SparkSpec {
     assert(t.atRef("audit").toDF(spark).count() == 20)
     assert(t.toDF(spark).count() == 10)
 
-    val head = t.meta.refs("audit")
+    val head = t.meta.refs("audit").snapshotId
     t.publish("audit")
     assert(t.toDF(spark).count() == 20)
     // publish is metadata-only: the branch snapshots ARE main's history now,
@@ -156,7 +194,7 @@ class WapSpec extends SparkSpec {
     // pin the fork point: without this, whether the racing main append
     // lands before or after the first branch commit would change the
     // branch's base (10 vs 15 rows) and make the assertion timing-dependent
-    t.setRef("audit", t.meta.currentSnapshotId.get)
+    t.setRef("audit", t.meta.currentSnapshotId.get, isBranch = true)
     import java.util.concurrent.{Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(3)
     // two writers race on the same branch ref, one on main — all must land
