@@ -246,11 +246,15 @@ class TaskRegistry(start: java.time.Instant = java.time.Instant.EPOCH) {
     * (and first fire) count from the current virtual time.
     */
   def resume(name: String): Unit = synchronized {
+    // a typo must error, not silently "succeed" while the real task stays
+    // suspended (execute() already raises for the same mistake)
+    require(tasks.containsKey(name), s"unknown task $name")
     tasks.computeIfPresent(name, (_, t) =>
       t.copy(suspended = false, anchor = clock,
         nextFire = Some(t.sched.nextFire(clock, clock))))
   }
   def suspend(name: String): Unit = synchronized {
+    require(tasks.containsKey(name), s"unknown task $name")
     tasks.computeIfPresent(name, (_, t) => t.copy(suspended = true, nextFire = None))
   }
 
@@ -382,7 +386,8 @@ object TaskRegistry {
   * driver; the cache is FIFO-bounded and evicts with `unpersist`.
   */
 class ResultCache(maxEntries: Int = 32) {
-  private val cache = new java.util.concurrent.CopyOnWriteArrayList[
+  // plain buffer — every access is serialized on this object's monitor
+  private val cache = scala.collection.mutable.ArrayBuffer[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
 
   /** Serve `df` from cache when an entry's optimized plan `sameResult`s it
@@ -390,7 +395,7 @@ class ResultCache(maxEntries: Int = 32) {
     */
   def cached(df: DataFrame): DataFrame = synchronized {
     val plan = df.queryExecution.optimizedPlan
-    cache.asScala.find(_._1.sameResult(plan)) match {
+    cache.find(_._1.sameResult(plan)) match {
       case Some((_, hit)) => hit
       case None =>
         df.persist()
@@ -399,7 +404,7 @@ class ResultCache(maxEntries: Int = 32) {
         // query arrive with that substitution already applied.
         val stored = df.sparkSession.sessionState
           .executePlan(df.queryExecution.logical).optimizedPlan
-        cache.add((stored, df))
+        cache += ((stored, df))
         while (cache.size > maxEntries) {
           cache.remove(0)._2.unpersist()
         }
@@ -407,8 +412,8 @@ class ResultCache(maxEntries: Int = 32) {
     }
   }
 
-  def size: Int = cache.size
+  def size: Int = synchronized(cache.size)
   def clear(): Unit = synchronized {
-    cache.asScala.foreach(_._2.unpersist()); cache.clear()
+    cache.foreach(_._2.unpersist()); cache.clear()
   }
 }

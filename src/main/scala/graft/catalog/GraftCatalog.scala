@@ -4,7 +4,7 @@ import graft.format._
 import graft.table.GraftTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.ConcurrentHashMap
 
 /** Commit outcome used by the optimistic-concurrency retry loop. */
@@ -95,6 +95,20 @@ class GraftCatalog(val warehouse: String) {
       case (Some(vol), None) => Paths.get(vol, name.replace('.', '/')).toString
       case _ => tableDir(name)
     }
+    // CREATE over the remains of a DROPPED (or half-created) generation:
+    // the old metadata dir must move aside, not linger — a leftover
+    // v1.metadata.json fails the exclusive first write forever, and a
+    // leftover location.text from a volume-backed incarnation would point
+    // the NEW table at the OLD volume root (reads silently resurrect the
+    // dropped table's data). Archiving trades UNDROP-ability of the old
+    // generation for the recreate — Snowflake's UNDROP likewise refuses
+    // once an active table holds the name. The live-table case cannot get
+    // here (tableExists was required false, and commits hold lockFor).
+    def archive(dir: Path): Unit = if (Files.exists(dir))
+      Files.move(dir, dir.resolveSibling(
+        s"metadata.dropped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}"))
+    archive(metaDir(name))
+    if (root != tableDir(name)) archive(Paths.get(root, "metadata"))
     val (schemaWithIds, lastCol) = GraftSchema.assignIds(
       GraftSchema.deepNullable(schema).asInstanceOf[StructType], 0)
     val spec = PartitionSpec(0, PartitionSpec.fieldsFor(schemaWithIds, partitionBy))
@@ -171,7 +185,15 @@ class GraftCatalog(val warehouse: String) {
 
   def currentVersion(name: String): Int = {
     val root = resolveRoot(name)
-    GraftUtil.readString(Paths.get(root, "metadata", "version-hint.text")).trim.toInt
+    var v = GraftUtil.readString(Paths.get(root, "metadata", "version-hint.text")).trim.toInt
+    // The hint is a CACHE of the head, not the truth — the exclusively-
+    // created version FILE is the CAS. Probe forward so a stale hint (its
+    // writer crashed mid-advance, or a cross-process lost-CAS adoption
+    // raced another committer's hint write) can never regress readers to
+    // an older snapshot; one extra existence probe is the steady-state
+    // cost.
+    while (Files.exists(Paths.get(root, "metadata", s"v${v + 1}.metadata.json"))) v += 1
+    v
   }
 
   def loadMetadata(name: String): (Int, TableMetadata) = {

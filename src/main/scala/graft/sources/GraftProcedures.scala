@@ -33,6 +33,8 @@ object GraftProcedures {
       .comment(comment).build()
   private def optInt(name: String, default: String, comment: String) =
     ProcedureParameter.in(name, IntegerType).defaultValue(default).comment(comment).build()
+  private def optBool(name: String, default: String, comment: String) =
+    ProcedureParameter.in(name, BooleanType).defaultValue(default).comment(comment).build()
 
   private val healthSchema = StructType(Seq(
     StructField("data_files", LongType), StructField("avg_file_size_bytes", LongType),
@@ -129,14 +131,19 @@ object GraftProcedures {
         })),
       "set_ref" -> ((
         Seq(strParam("table", "table name"), strParam("ref", "branch/tag name"),
-          optLong("snapshot_id", "target snapshot")),
-        StructType(Seq(StructField("ref", StringType), StructField("snapshot_id", LongType))),
+          optLong("snapshot_id", "target snapshot"),
+          optBool("is_branch", "false",
+            "true = movable branch head (publishable, live-schema reads); " +
+              "false = immutable tag pin")),
+        StructType(Seq(StructField("ref", StringType), StructField("snapshot_id", LongType),
+          StructField("is_branch", BooleanType))),
         (in: InternalRow) => {
           val t = table(in)
           require(!in.isNullAt(2), "set_ref requires snapshot_id")
           val name = in.getUTF8String(1).toString
-          t.setRef(name, in.getLong(2))
-          Seq(Row(name, in.getLong(2)))
+          val isBranch = !in.isNullAt(3) && in.getBoolean(3)
+          t.setRef(name, in.getLong(2), isBranch)
+          Seq(Row(name, in.getLong(2), isBranch))
         })),
       "drop_ref" -> ((
         Seq(strParam("table", "table name"), strParam("ref", "branch/tag name to drop")),

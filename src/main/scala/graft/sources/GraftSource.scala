@@ -75,9 +75,11 @@ case class GraftRelation(ctx: SQLContext, table: GraftTable,
     * substitution that replaces this relation with the native plan.
     */
   def pinnedScan(preds: Seq[Predicate]): GraftScan =
-    (parameters.get("snapshotId"), parameters.get("asOfTimestampMs")) match {
-      case (Some(sid), _) => table.atSnapshot(sid.toLong, preds: _*)
-      case (_, Some(ts)) => table.asOf(ts.toLong, preds: _*)
+    (parameters.get("snapshotId"), parameters.get("asOfTimestampMs"),
+      parameters.get("ref")) match {
+      case (Some(sid), _, _) => table.atSnapshot(sid.toLong, preds: _*)
+      case (_, Some(ts), _) => table.asOf(ts.toLong, preds: _*)
+      case (_, _, Some(r)) => table.atRef(r, preds: _*)
       case _ => table.scan(preds: _*)
     }
 
@@ -91,8 +93,9 @@ case class GraftRelation(ctx: SQLContext, table: GraftTable,
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val preds = filters.flatMap(GraftRelation.toPredicate)
     val df0 = pinnedScan(preds.toSeq).toDF(spark)
-    val df = if (requiredColumns.isEmpty) df0 else df0.select(requiredColumns.head,
-      requiredColumns.tail: _*)
+    // empty requiredColumns = a column-free query (COUNT(*)): project to
+    // ZERO columns so the scan decodes nothing, instead of every column
+    val df = df0.select(requiredColumns.map(org.apache.spark.sql.functions.col): _*)
     df.rdd
   }
 }

@@ -99,10 +99,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
 
-  /** VERSION AS OF <snapshot-id> (docs/05:60-67). */
+  /** VERSION AS OF <snapshot-id | ref-name> (docs/05:60-67,141-171). A
+    * non-numeric version is resolved as a branch/tag ref, the way Iceberg
+    * resolves version strings — branches read the live schema, tags pin.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!cat.tableExists(fullName(ident))) throw new NoSuchTableException(ident)
-    new GraftSparkTable(cat.loadTable(fullName(ident)), TimeTravel.AtSnapshot(version.toLong))
+    val t = cat.loadTable(fullName(ident))
+    val travel = version.toLongOption match {
+      case Some(id) => TimeTravel.AtSnapshot(id)
+      case None =>
+        require(t.meta.refs.contains(version),
+          s"${fullName(ident)}: '$version' is neither a snapshot id nor a known branch/tag ref")
+        TimeTravel.AtRef(version)
+    }
+    new GraftSparkTable(t, travel)
   }
 
   /** TIMESTAMP AS OF — Spark hands micros since epoch. */
@@ -122,23 +133,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = cat.loadTable(fullName(ident))
-    changes.foreach {
-      case c: TableChange.SetProperty => t.setProperty(c.property(), c.value())
-      case c: TableChange.RemoveProperty => t.removeProperty(c.property())
+    // every change becomes a pure metadata transform; ONE CAS commit folds
+    // them, so a multi-change ALTER is atomic — per-change commits let a
+    // failing later change strand the earlier ones durably applied
+    val ops: Seq[graft.format.TableMetadata => graft.format.TableMetadata] = changes.map {
+      case c: TableChange.SetProperty =>
+        (m: graft.format.TableMetadata) => m.copy(properties = m.properties + (c.property() -> c.value()))
+      case c: TableChange.RemoveProperty =>
+        (m: graft.format.TableMetadata) => m.copy(properties = m.properties - c.property())
       // dotted paths address struct subfields (nested evolution, docs/06:114-118)
       case c: TableChange.AddColumn =>
-        t.addColumn(c.fieldNames().mkString("."), c.dataType())
+        t.addColumnChange(c.fieldNames().mkString("."), c.dataType())
       case c: TableChange.RenameColumn =>
-        t.renameColumn(c.fieldNames().mkString("."), c.newName())
+        t.renameColumnChange(c.fieldNames().mkString("."), c.newName())
       case c: TableChange.DeleteColumn =>
-        t.dropColumn(c.fieldNames().mkString("."))
+        t.dropColumnChange(c.fieldNames().mkString("."))
       case c: TableChange.UpdateColumnType =>
-        t.widenColumn(c.fieldNames().mkString("."), c.newDataType())
+        t.widenColumnChange(c.fieldNames().mkString("."), c.newDataType())
       case c: TableChange.UpdateColumnNullability =>
-        if (c.nullable()) t.makeOptional(c.fieldNames().mkString("."))
+        if (c.nullable()) t.makeOptionalChange(c.fieldNames().mkString("."))
         else sys.error("cannot add NOT NULL to an existing column")
       case other => sys.error(s"unsupported table change: $other")
     }
+    t.alterAtomically(ops)
     new GraftSparkTable(t, TimeTravel.None)
   }
 
@@ -215,7 +232,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
     val p = java.nio.file.Paths.get(cat.warehouse, namespace: _*)
     if (!java.nio.file.Files.exists(p)) false
     else {
-      require(cascade || listTables(namespace).isEmpty, "namespace is not empty")
+      // "empty" must count stored VIEWS too (GraftViews' view.sql files) —
+      // listTables only recognizes table dirs, and the no-cascade guard
+      // exists precisely to refuse deleting definitions the caller forgot
+      def hasViews: Boolean = {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists(d => java.nio.file.Files.exists(d.resolve("view.sql")))
+        } finally s.close()
+      }
+      require(cascade || (listTables(namespace).isEmpty && !hasViews),
+        "namespace is not empty")
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile); true
     }
   }
@@ -310,6 +338,7 @@ object TimeTravel {
   case object None extends TimeTravel
   final case class AtSnapshot(id: Long) extends TimeTravel
   final case class AsOf(tsMs: Long) extends TimeTravel
+  final case class AtRef(name: String) extends TimeTravel
 }
 
 /** DSv2 Table over a [[GraftTable]]: batch read (substituted to the native
@@ -365,6 +394,7 @@ class GraftSparkTable(val graftTable: GraftTable, val travel: TimeTravel) extend
   def nativeScan(preds: Seq[Predicate]): _root_.graft.table.GraftScan = travel match {
     case TimeTravel.AtSnapshot(id) => graftTable.atSnapshot(id, preds: _*)
     case TimeTravel.AsOf(ts) => graftTable.asOf(ts, preds: _*)
+    case TimeTravel.AtRef(r) => graftTable.atRef(r, preds: _*)
     case TimeTravel.None => graftTable.scan(preds: _*)
   }
 
@@ -449,6 +479,7 @@ class GraftV2Scan(val tbl: GraftSparkTable, val preds: Seq[Predicate]) extends S
     val params = tbl.travel match {
       case TimeTravel.AtSnapshot(id) => Map("snapshotId" -> id.toString)
       case TimeTravel.AsOf(ts) => Map("asOfTimestampMs" -> ts.toString)
+      case TimeTravel.AtRef(r) => Map("ref" -> r)
       case TimeTravel.None => Map.empty[String, String]
     }
     GraftRelation(context, tbl.graftTable, params).asInstanceOf[T]

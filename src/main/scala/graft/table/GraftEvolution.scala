@@ -12,14 +12,21 @@ import org.apache.spark.sql.types._
   */
 trait GraftEvolution { self: GraftTable =>
 
-  private def evolve(f: (TableMetadata, StructType) => StructType): TableMetadata =
-    commitMetadata() { m =>
+  /** One schema change as a PURE metadata transform: the building block of
+    * both the single-change methods below (each committing one transform)
+    * and [[GraftTable.alterAtomically]] (a multi-change ALTER folding
+    * several transforms into ONE CAS commit — per-change commits would let
+    * a failing later change leave earlier ones durably half-applied).
+    */
+  private def evolveT(f: (TableMetadata, StructType) => StructType): TableMetadata => TableMetadata =
+    m => {
       val next = f(m, m.currentSchema)
       val newId = m.schemas.keys.max + 1
       val lastCol = math.max(m.lastColumnId, GraftSchema.maxId(next))
       m.copy(schemas = m.schemas + (newId -> next), currentSchemaId = newId,
         lastColumnId = lastCol)
     }
+
 
   /** Navigate a dotted path's PARENT and rewrite that struct. The path walks
     * struct fields and descends through array elements / map values when the
@@ -70,7 +77,11 @@ trait GraftEvolution { self: GraftTable =>
     * `after` names a sibling within the same parent.
     */
   def addColumn(name: String, dataType: DataType, after: Option[String] = None): TableMetadata =
-    evolve { (m, schema) =>
+    commitMetadata()(addColumnChange(name, dataType, after))
+
+  private[graft] def addColumnChange(name: String, dataType: DataType,
+      after: Option[String] = None): TableMetadata => TableMetadata =
+    evolveT { (m, schema) =>
       val (parent, leaf) = split(schema, name)
       val (typed, _) = GraftSchema.assignIds(
         StructType(Seq(StructField(leaf,
@@ -95,7 +106,10 @@ trait GraftEvolution { self: GraftTable =>
     * drop a subfield inside a nested struct.
     */
   def dropColumn(name: String): TableMetadata =
-    evolve { (_, schema) =>
+    commitMetadata()(dropColumnChange(name))
+
+  private[graft] def dropColumnChange(name: String): TableMetadata => TableMetadata =
+    evolveT { (_, schema) =>
       val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         require(s.fieldNames.contains(leaf), s"column $name not found")
@@ -109,7 +123,10 @@ trait GraftEvolution { self: GraftTable =>
     * dotted; `to` is the new leaf name within the same parent.
     */
   def renameColumn(from: String, to: String): TableMetadata =
-    evolve { (_, schema) =>
+    commitMetadata()(renameColumnChange(from, to))
+
+  private[graft] def renameColumnChange(from: String, to: String): TableMetadata => TableMetadata =
+    evolveT { (_, schema) =>
       val (parent, leaf) = split(schema, from)
       require(!to.contains('.'), "rename target is a leaf name, not a path")
       rewriteParent(schema, parent) { s =>
@@ -125,7 +142,10 @@ trait GraftEvolution { self: GraftTable =>
     * Dotted names widen a subfield inside a nested struct.
     */
   def widenColumn(name: String, to: DataType): TableMetadata =
-    evolve { (_, schema) =>
+    commitMetadata()(widenColumnChange(name, to))
+
+  private[graft] def widenColumnChange(name: String, to: DataType): TableMetadata => TableMetadata =
+    evolveT { (_, schema) =>
       val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         val f = s.fields.find(_.name == leaf).getOrElse(sys.error(s"column $name not found"))
@@ -161,7 +181,10 @@ trait GraftEvolution { self: GraftTable =>
 
   /** required -> optional is always allowed; the reverse is not (docs/06:17). */
   def makeOptional(name: String): TableMetadata =
-    evolve { (_, schema) =>
+    commitMetadata()(makeOptionalChange(name))
+
+  private[graft] def makeOptionalChange(name: String): TableMetadata => TableMetadata =
+    evolveT { (_, schema) =>
       val (parent, leaf) = split(schema, name)
       rewriteParent(schema, parent) { s =>
         require(s.fieldNames.contains(leaf), s"column $name not found")

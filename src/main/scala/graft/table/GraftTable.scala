@@ -472,4 +472,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
 
   def removeProperty(key: String): TableMetadata =
     commitMetadata()(m => m.copy(properties = m.properties - key))
+
+  /** Apply several metadata transforms (schema changes, property edits) as
+    * ONE CAS commit — the atomicity unit of a multi-change ALTER TABLE.
+    * Per-change commits would let a failing later change leave the earlier
+    * ones durably applied (retrying the statement then double-applies
+    * them); folding inside one commitMetadata makes the whole statement
+    * succeed or leave the table untouched.
+    */
+  def alterAtomically(ops: Seq[TableMetadata => TableMetadata]): TableMetadata =
+    commitMetadata()(m => ops.foldLeft(m)((acc, op) => op(acc)))
 }

@@ -311,4 +311,67 @@ class GraftSparkCatalogSpec extends SparkSpec {
     val plan = spark.sql("SELECT * FROM gmeta.db.t2.files").queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), s"metadata table should be a LocalScan:\n$plan")
   }
+
+  test("VERSION AS OF resolves ref NAMES: branches live-schema, tags pinned") {
+    val wh = registerCatalog("gref")
+    spark.sql("CREATE TABLE gref.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gref.db.t VALUES (1, 'a'), (2, 'b')")
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val t = cat.loadTable("db.t")
+    val snap = t.meta.currentSnapshotId.get
+    t.setRef("pin", snap)
+    t.setRef("dev", snap, isBranch = true)
+    spark.sql("INSERT INTO gref.db.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM gref.db.t VERSION AS OF 'pin'").head.getLong(0) == 2)
+    t.addColumn("note", StringType)
+    assert(spark.sql("SELECT * FROM gref.db.t VERSION AS OF 'dev'")
+      .columns.contains("note"), "branch ref reads the live schema")
+    assert(!spark.sql("SELECT * FROM gref.db.t VERSION AS OF 'pin'")
+      .columns.contains("note"), "tag ref keeps its pinned schema")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gref.db.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither a snapshot id"), e.getMessage)
+  }
+
+  test("SQL WAP: set_ref(is_branch => true) creates a publishable branch") {
+    registerCatalog("gwap2")
+    spark.sql("CREATE TABLE gwap2.db.t (id BIGINT)")
+    spark.sql("INSERT INTO gwap2.db.t VALUES (1), (2)")
+    val snap = spark.sql("SELECT snapshot_id FROM gwap2.db.t.snapshots ORDER BY committed_at DESC")
+      .head.getLong(0)
+    spark.sql(s"CALL gwap2.system.set_ref(table => 'db.t', ref => 'stage', " +
+      s"snapshot_id => ${snap}L, is_branch => true)")
+    // the branch is publishable (a tag would be refused here)
+    val out = spark.sql("CALL gwap2.system.publish(table => 'db.t', branch => 'stage')")
+    assert(out.columns.toSeq == Seq("current_snapshot_id"))
+    // and a TAG created without the flag still refuses to publish
+    spark.sql(s"CALL gwap2.system.set_ref(table => 'db.t', ref => 'pin', snapshot_id => ${snap}L)")
+    val e = intercept[Exception](
+      spark.sql("CALL gwap2.system.publish(table => 'db.t', branch => 'pin')").collect())
+    assert(e.getMessage.contains("only branches publish"), e.getMessage)
+  }
+
+  test("DROP NAMESPACE without CASCADE refuses when a stored view remains") {
+    val wh = registerCatalog("gviewns")
+    spark.sql("CREATE DATABASE gviewns.vdb")
+    val cat = new graft.catalog.GraftCatalog(wh)
+    new graft.catalog.GraftViews(cat).createView("vdb.v1", "SELECT 1", Nil)
+    val e = intercept[Exception](spark.sql("DROP DATABASE gviewns.vdb"))
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    spark.sql("DROP DATABASE gviewns.vdb CASCADE") // explicit cascade may destroy
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "vdb")))
+  }
+
+  test("multi-change SQL ALTER commits once; COUNT(*) DSv1 fallback projects zero columns") {
+    val wh = registerCatalog("galter")
+    spark.sql("CREATE TABLE galter.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO galter.db.t VALUES (1, 'x')")
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val v0 = cat.currentVersion("db.t")
+    spark.sql("ALTER TABLE galter.db.t ADD COLUMNS (a INT, b INT, c STRING)")
+    assert(cat.currentVersion("db.t") == v0 + 1,
+      "three added columns must land as ONE metadata commit")
+    assert(spark.sql("SELECT * FROM galter.db.t").columns.toSeq ==
+      Seq("id", "v", "a", "b", "c"))
+  }
 }

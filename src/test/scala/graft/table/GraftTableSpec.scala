@@ -482,4 +482,72 @@ class GraftTableSpec extends SparkSpec {
     assert(contents(t) == base.toSet)
     assert(cat.currentVersion("db.t_wedge") > v + 1)
   }
+
+  test("CREATE after DROP starts a fresh generation (no leftover-metadata wedge)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t0 = cat.createTable("db.regen", mkDf(base).schema)
+    t0.append(spark, mkDf(base))
+    cat.dropTable("db.regen")
+    // the recreate must neither fail on the old generation's v1 file nor
+    // see its data; UNDROP of the old generation is forfeited (Snowflake
+    // refuses UNDROP over an active name the same way)
+    val t1 = cat.createTable("db.regen",
+      StructType(Seq(StructField("k", LongType))))
+    assert(t1.toDF(spark).count() == 0 && t1.schema.fieldNames.toSeq == Seq("k"))
+    intercept[IllegalArgumentException](cat.undropTable("db.regen"))
+    t1.append(spark, spark.range(3).toDF("k"))
+    assert(t1.toDF(spark).count() == 3)
+  }
+
+  test("recreate of a volume-backed name lands at the default root, not the old volume") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val vol = java.nio.file.Files.createTempDirectory("graft-vol").toString
+    cat.createExternalVolume("vol1", vol)
+    val t0 = cat.createTable("db.voltab", mkDf(base).schema, externalVolume = Some("vol1"))
+    t0.append(spark, mkDf(base))
+    cat.dropTable("db.voltab")
+    // a stale location.text would silently resurrect the dropped volume
+    // table: the recreated table must be the NEW empty one
+    val t1 = cat.createTable("db.voltab", StructType(Seq(StructField("k", LongType))))
+    assert(cat.resolveRoot("db.voltab") == cat.tableDir("db.voltab"),
+      "recreate must not inherit the dropped generation's volume pointer")
+    assert(t1.toDF(spark).count() == 0 && t1.schema.fieldNames.toSeq == Seq("k"))
+  }
+
+  test("a stale version hint cannot regress readers: currentVersion probes forward") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = newTableIn(cat, "db.hinted")
+    t.append(spark, mkDf(base))
+    t.append(spark, mkDf(base.take(1)))
+    val v = cat.currentVersion("db.hinted")
+    // simulate a crashed/raced hint writer leaving the CACHE one behind
+    graft.format.GraftUtil.writeStringAtomic(
+      java.nio.file.Paths.get(cat.tableDir("db.hinted"), "metadata", "version-hint.text"),
+      (v - 1).toString)
+    assert(cat.currentVersion("db.hinted") == v,
+      "the exclusively-created version file is the truth, the hint is a cache")
+    assert(t.toDF(spark).count() == base.size + 1)
+  }
+
+  test("alterAtomically: a failing change applies NOTHING; success is one commit") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = newTableIn(cat, "db.atomic_alter")
+    t.append(spark, mkDf(base))
+    val v0 = cat.currentVersion("db.atomic_alter")
+    intercept[IllegalArgumentException](t.alterAtomically(Seq(
+      t.addColumnChange("a", IntegerType),
+      t.addColumnChange("a", IntegerType)))) // duplicate -> whole ALTER fails
+    assert(cat.currentVersion("db.atomic_alter") == v0, "failed ALTER commits nothing")
+    assert(!t.schema.fieldNames.contains("a"), "no partially-applied column")
+    t.alterAtomically(Seq(
+      t.addColumnChange("a", IntegerType),
+      t.renameColumnChange("v", "w"),
+      (m: graft.format.TableMetadata) => m.copy(properties = m.properties + ("k" -> "1"))))
+    assert(cat.currentVersion("db.atomic_alter") == v0 + 1, "multi-change ALTER = ONE commit")
+    assert(t.schema.fieldNames.contains("a") && t.schema.fieldNames.contains("w"))
+    assert(t.properties("k") == "1")
+  }
+
+  private def newTableIn(cat: GraftCatalog, name: String): GraftTable =
+    cat.createTable(name, mkDf(base).schema)
 }
