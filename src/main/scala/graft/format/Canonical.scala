@@ -34,11 +34,14 @@ object Canonical {
   }
 
   /** Normalize an arbitrary user/Spark literal to the canonical space of `dt`.
-    * Returns None for nulls or unsupported types.
+    * Returns None for nulls, unsupported types, or UN-PARSEABLE values — a
+    * malformed literal ("not-a-date" against a timestamp column) must make
+    * pruning conservatively keep the file and let the exact row-level
+    * filter decide, never crash the scan at plan time.
     */
   def of(dt: DataType, v: Any): Option[Any] = {
     if (v == null) return None
-    dt match {
+    try dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType => Some(toLong(v))
       case _: FloatType | _: DoubleType => Some(toDouble(v))
       case d: DecimalType => Some(toBigDecimal(v))
@@ -47,7 +50,7 @@ object Canonical {
       case _: TimestampType | _: TimestampNTZType => Some(toMicros(v))
       case _: BooleanType => Some(v.asInstanceOf[Boolean])
       case _ => None
-    }
+    } catch { case _: Exception => None }
   }
 
   private def toLong(v: Any): Long = v match {

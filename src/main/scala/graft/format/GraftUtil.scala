@@ -28,7 +28,14 @@ object GraftUtil {
     Files.createDirectories(target.getParent)
     val tmp = target.getParent.resolve(s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, target) // no REPLACE_EXISTING: throws if target exists
+    // createLink is the true POSIX create-exclusive: link(2) fails with
+    // EEXIST atomically IN the filesystem. A no-REPLACE Files.move is only
+    // a JDK-side exists() check before rename(2) — and rename REPLACES
+    // silently, so two cross-process committers (which lockFor cannot
+    // serialize) could both "win" the CAS and one commit's rows would be
+    // silently lost. The content is complete before the link publishes it.
+    // (An object-store port swaps this for a conditional PUT.)
+    try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp)
   }
 

@@ -43,9 +43,15 @@ object ManifestCache {
           totalBytes += w - (if (prev != null) prev.bytes else 0L)
           // evict eldest-accessed first until within both budgets; never
           // evict the entry just inserted (an oversized single manifest
-          // still gets cached — evicting it would thrash every reuse)
+          // still gets cached — evicting it would thrash every reuse).
+          // When the NEW entry alone exceeds the byte budget, no amount of
+          // evicting others can ever satisfy it — skip byte-eviction
+          // entirely rather than flush the whole hot cache chasing an
+          // unreachable target (the jumbo itself ages out at the next
+          // normal insert, when it is no longer the just-inserted entry).
+          val byteEvict = w <= maxBytes
           val it = map.entrySet().iterator()
-          while ((map.size > MaxEntries || totalBytes > maxBytes) &&
+          while ((map.size > MaxEntries || (byteEvict && totalBytes > maxBytes)) &&
                  map.size > 1 && it.hasNext) {
             val e = it.next()
             if (e.getKey != path) { totalBytes -= e.getValue.bytes; it.remove() }

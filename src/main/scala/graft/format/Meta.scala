@@ -110,7 +110,7 @@ object PartitionSpec {
   def fieldsFor(schemaWithIds: StructType,
                 partitionBy: Seq[(String, Transform)]): Seq[PartitionField] = {
     val byName = schemaWithIds.fields.map(f => f.name -> f).toMap
-    partitionBy.map { case (colName, tr) =>
+    val fields = partitionBy.map { case (colName, tr) =>
       val f = byName.getOrElse(colName,
         sys.error(s"unknown partition source column $colName"))
       val suffix = tr match {
@@ -119,6 +119,15 @@ object PartitionSpec {
       }
       PartitionField(GraftSchema.fieldId(f), s"$colName$suffix", tr)
     }
+    // DataFile.partition keys by field NAME: two same-family transforms of
+    // one column (bucket[4] + bucket[16]) would collide, one value silently
+    // overwriting the other and the scanner interval-checking a probe
+    // against the WRONG transform's value — unsound pruning. Refuse now.
+    val dup = fields.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate partition field name(s) ${dup.mkString(", ")}: " +
+        "two transforms of the same family on one column are not supported")
+    fields
   }
 }
 

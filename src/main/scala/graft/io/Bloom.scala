@@ -33,10 +33,13 @@ object Bloom {
   val DefaultBits = 4096
 
   /** Executor-side: the two probe positions of `c` in a `bits`-bit bitmap.
-    * NULLs yield NULL positions (nulls are tracked by null-count, not bloom).
+    * NULLs yield NULL positions via the explicit guard — Spark's xxhash64
+    * returns the SEED (42) for a NULL input, so without it every file
+    * containing a null would set hash-42's bits and weaken the filter
+    * (nulls are tracked by null-count, not bloom).
     */
   def positionColumns(c: Column, bits: Int): (Column, Column) = {
-    val h = xxhash64(c.cast("string"))
+    val h = when(c.isNotNull, xxhash64(c.cast("string")))
     val h1 = pmod(h, lit(0x100000000L))
     val h2 = pmod(shiftright(h, 32), lit(0x100000000L))
     (pmod(h1, lit(bits.toLong)).cast("int"), pmod(h1 + h2, lit(bits.toLong)).cast("int"))

@@ -148,7 +148,10 @@ object ParquetStats {
             val toMicros: Long => Long = t.getUnit match {
               case TimeUnit.MICROS => identity
               case TimeUnit.MILLIS => _ * 1000L
-              case TimeUnit.NANOS => _ / 1000L
+              // floorDiv, not /: truncation rounds pre-epoch bounds toward
+              // zero i.e. UP, so a stored min could exceed an actual row
+              // value — unsound pruning (same fix as Canonical.toMicros)
+              case TimeUnit.NANOS => Math.floorDiv(_, 1000L)
             }
             Some((toMicros(st.genericGetMin.asInstanceOf[Long]),
               toMicros(st.genericGetMax.asInstanceOf[Long])))

@@ -52,14 +52,35 @@ object GraftSink {
   }
 
   /** Incremental bronze→silver transform keyed on a high-watermark column
-    * (docs/12:94-104): returns source rows strictly newer than the target's
-    * current max. Exact-once under replays because the watermark is read
-    * from the committed target snapshot.
+    * (docs/12:94-104). Exact-once under replays because the watermark is
+    * read from the committed target snapshot.
+    *
+    * Boundary semantics: without `boundaryKeys`, rows STRICTLY newer than
+    * the target's max are returned — a source row landing LATER with a
+    * watermark EQUAL to an already-synced max is missed, so this mode
+    * requires the watermark column to be strictly increasing in arrival
+    * order. When late same-valued arrivals are possible, pass
+    * `boundaryKeys` (key columns preserved into the target): the boundary
+    * value is re-read inclusively and already-ingested keys are
+    * anti-joined away — exact, and the re-scan is bounded to rows AT the
+    * boundary value, not the table. NULL-watermark rows are always
+    * excluded (they cannot participate in watermark ordering; previously
+    * they were ingested on the FIRST sync but silently dropped on every
+    * later one — same row, arrival-time-dependent fate).
     */
   def incrementalNewRows(spark: SparkSession, source: DataFrame,
-                         target: GraftTable, watermarkCol: String): DataFrame = {
+                         target: GraftTable, watermarkCol: String,
+                         boundaryKeys: Seq[String] = Nil): DataFrame = {
     val wmRow = target.toDF(spark).agg(max(col(watermarkCol)).as("wm")).head()
-    if (wmRow.isNullAt(0)) source
-    else source.filter(col(watermarkCol) > lit(wmRow.get(0)))
+    val nonNull = source.filter(col(watermarkCol).isNotNull)
+    if (wmRow.isNullAt(0)) nonNull
+    else if (boundaryKeys.isEmpty) nonNull.filter(col(watermarkCol) > lit(wmRow.get(0)))
+    else {
+      val wm = lit(wmRow.get(0))
+      val seen = target.toDF(spark).filter(col(watermarkCol) === wm)
+        .select(boundaryKeys.map(col): _*)
+      nonNull.filter(col(watermarkCol) >= wm)
+        .join(seen, boundaryKeys, "left_anti")
+    }
   }
 }

@@ -72,12 +72,21 @@ object GraftStreamSource {
                 toSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val m = table.meta
+    // BOTH sides resolve to the TO side's schema: with per-side schema
+    // resolution an evolution between the snapshots would give the two
+    // scans different column counts and exceptAll would refuse. ID-based
+    // per-file resolution (readResolved) makes this exact across
+    // add/drop/rename — old files project missing columns as NULL.
+    val toSid = toSnapshotId.orElse(m.currentSnapshotId)
+    val toSchemaId =
+      if (toSid == m.currentSnapshotId) m.currentSchemaId
+      else toSid.flatMap(m.snapshot).map(_.schemaId).getOrElse(m.currentSchemaId)
     def scanAt(sid: Option[Long]): graft.table.GraftScan =
       new graft.table.GraftScan(table, m,
         sid.map(id => m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))),
-        Nil)
+        Nil, schemaOverrideId = Some(toSchemaId))
     val from = scanAt(fromSnapshotId)
-    val to = scanAt(toSnapshotId.orElse(m.currentSnapshotId))
+    val to = scanAt(toSid)
     val (dataFrom, delFrom) = (from.dataFiles, from.deleteFiles)
     val (dataTo, delTo) = (to.dataFiles, to.deleteFiles)
     // a common data file's rows are bit-identical on both sides when the
@@ -92,16 +101,58 @@ object GraftStreamSource {
       else (dataFrom, dataTo)
     val lhs = from.materialize(spark, lhsFiles, delFrom, withFileMeta = false)
     val rhs = to.materialize(spark, rhsFiles, delTo, withFileMeta = false)
-    // exceptAll rejects map-typed columns: canonicalize maps to sorted
-    // entry arrays for the diff, decode back after (order-insensitive map
-    // equality, duplicate keys impossible in stored data)
-    import org.apache.spark.sql.functions.{array_sort, map_entries, map_from_entries, col}
-    import org.apache.spark.sql.types.MapType
-    val mapCols = lhs.schema.fields.filter(_.dataType.isInstanceOf[MapType]).map(_.name)
+    // exceptAll rejects map-typed columns AT ANY NESTING: canonicalize
+    // every map — top-level or inside structs/arrays — to a sorted entry
+    // array for the diff, decode back after (order-insensitive map
+    // equality, duplicate keys impossible in stored data). NULL structs
+    // are preserved as typed nulls so null != struct-of-nulls in the diff.
+    import org.apache.spark.sql.functions.{array_sort, map_entries, map_from_entries,
+      transform => atransform, struct, when, lit => flit, col}
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    def encodedType(dt: DataType): DataType = dt match {
+      case mt: MapType => ArrayType(StructType(Seq(
+        StructField("key", encodedType(mt.keyType), nullable = false),
+        StructField("value", encodedType(mt.valueType), mt.valueContainsNull))))
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = encodedType(f.dataType))))
+      case at: ArrayType => at.copy(elementType = encodedType(at.elementType))
+      case other => other
+    }
+    def enc(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column = dt match {
+      case _ if !hasMap(dt) => c
+      case mt: MapType =>
+        array_sort(atransform(map_entries(c), e => struct(
+          enc(e.getField("key"), mt.keyType).as("key"),
+          enc(e.getField("value"), mt.valueType).as("value"))))
+      case st: StructType =>
+        when(c.isNull, flit(null).cast(encodedType(st))).otherwise(struct(
+          st.fields.map(f => enc(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case at: ArrayType => atransform(c, x => enc(x, at.elementType))
+      case _ => c
+    }
+    def dec(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column = dt match {
+      case _ if !hasMap(dt) => c
+      case mt: MapType =>
+        map_from_entries(atransform(c, e => struct(
+          dec(e.getField("key"), mt.keyType).as("key"),
+          dec(e.getField("value"), mt.valueType).as("value"))))
+      case st: StructType =>
+        when(c.isNull, flit(null).cast(dt)).otherwise(struct(
+          st.fields.map(f => dec(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case at: ArrayType => atransform(c, x => dec(x, at.elementType))
+      case _ => c
+    }
+    val mapped = lhs.schema.fields.filter(f => hasMap(f.dataType))
     def encode(df: DataFrame): DataFrame =
-      mapCols.foldLeft(df)((d, c) => d.withColumn(c, array_sort(map_entries(col(c)))))
+      mapped.foldLeft(df)((d, f) => d.withColumn(f.name, enc(col(f.name), f.dataType)))
     def decode(df: DataFrame): DataFrame =
-      mapCols.foldLeft(df)((d, c) => d.withColumn(c, map_from_entries(col(c))))
+      mapped.foldLeft(df)((d, f) => d.withColumn(f.name, dec(col(f.name), f.dataType)))
     val (el, er) = (encode(lhs), encode(rhs))
     decode(er.exceptAll(el)).withColumn("_change_type", lit("insert"))
       .unionByName(decode(el.exceptAll(er)).withColumn("_change_type", lit("delete")))

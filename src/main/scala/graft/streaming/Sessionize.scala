@@ -31,7 +31,38 @@ object Sessionize {
 
   case class SessionState(startMs: Long, lastMs: Long, events: Int)
 
+  /** Streaming state: ALL of a key's still-open sessions, sorted by start.
+    * One open session is not enough once micro-batches interleave with the
+    * watermark: a late-but-valid event (above watermark, before the open
+    * session) must form or extend an EARLIER candidate session — and a
+    * later arrival may bridge two candidates into one. Bounded: the
+    * watermark closes candidates from the left, so the list length is
+    * O(out-of-orderness / gap), not O(stream).
+    */
+  case class SessionBuf(sessions: Seq[SessionState])
+
   case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)
+
+  /** Interval-union with gap: existing candidates + this batch's events
+    * (each a 1-event point session), sorted by start, merged when the next
+    * start is within `gapMs` of the running end. Handles events BEFORE an
+    * open session (start is lowered), and arrivals that bridge candidates.
+    */
+  private def mergeCandidates(existing: Seq[SessionState], tsMs: Seq[Long],
+                              gapMs: Long): Seq[SessionState] = {
+    val all = (existing ++ tsMs.map(t => SessionState(t, t, 1)))
+      .sortBy(s => (s.startMs, s.lastMs))
+    val out = scala.collection.mutable.ArrayBuffer[SessionState]()
+    all.foreach { s =>
+      out.lastOption match {
+        case Some(p) if s.startMs - p.lastMs <= gapMs =>
+          out(out.size - 1) = SessionState(
+            p.startMs, math.max(p.lastMs, s.lastMs), p.events + s.events)
+        case _ => out += s
+      }
+    }
+    out.toSeq
+  }
 
   /** Shared gap fold: closed sessions + the still-open tail (if any). */
   private def fold(userId: Long, sortedTsMs: Seq[Long], gapMs: Long,
@@ -72,27 +103,27 @@ object Sessionize {
     */
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[SessionBuf]
     events.groupByKey(_.userId)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastMs + gap: the open session is final
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, s.startMs, s.lastMs, s.events))
-          } else {
-            // fold this micro-batch's events (sorted: state transitions are
-            // order-sensitive) into the open session, emitting closed ones
-            val sorted = batch.map(_.ts.getTime).toSeq.sorted
-            val (closed, open) = fold(userId, sorted, gapMs, state.getOption)
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.iterator
-          }
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuf]) =>
+          // a candidate is FINAL only once the watermark passes its end +
+          // gap — an "event-closed" emission before that would be wrong,
+          // because a late-but-valid arrival could still extend or bridge
+          // it. Both paths below therefore emit by watermark and re-arm
+          // the timeout at the EARLIEST still-open close time.
+          val wm = state.getCurrentWatermarkMs()
+          val candidates =
+            if (state.hasTimedOut) state.get.sessions
+            else mergeCandidates(state.getOption.map(_.sessions).getOrElse(Nil),
+              batch.map(_.ts.getTime).toSeq, gapMs)
+          val (done, open) = candidates.partition(_.lastMs + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionBuf(open))
+            state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs)
+          } else state.remove()
+          done.iterator.map(s => Session(userId, s.startMs, s.lastMs, s.events))
       }
   }
 }

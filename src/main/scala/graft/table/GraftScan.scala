@@ -69,10 +69,16 @@ class GraftScan(
     val snapshot: Option[Snapshot],
     val predicates: Seq[Predicate],
     val branchHead: Boolean = false,
-    val tagPin: Boolean = false) {
+    val tagPin: Boolean = false,
+    /** Resolve rows to THIS schema id instead of the snapshot/current rule —
+      * changelog diffs two snapshots under ONE schema (the to-side's), so
+      * both sides must project identically even across evolution.
+      */
+    val schemaOverrideId: Option[Int] = None) {
 
   def withFilter(more: Predicate*): GraftScan =
-    new GraftScan(table, meta, snapshot, predicates ++ more, branchHead, tagPin)
+    new GraftScan(table, meta, snapshot, predicates ++ more, branchHead, tagPin,
+      schemaOverrideId)
 
   private def readManifestList(s: Snapshot): Seq[ManifestMeta] = {
     val p = GraftUtil.resolve(meta.location, s.manifestListPath)
@@ -108,11 +114,13 @@ class GraftScan(
   private def timeTraveled: Boolean =
     tagPin || (!branchHead &&
       snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId)))
-  val scanSchema: StructType =
+  val scanSchema: StructType = schemaOverrideId.map(meta.schemas) getOrElse {
     if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
     else meta.currentSchema
-  private def scanSchemaId: Int =
+  }
+  private def scanSchemaId: Int = schemaOverrideId getOrElse {
     if (timeTraveled) snapshot.get.schemaId else meta.currentSchemaId
+  }
 
   private val pred = Predicate.all(predicates)
 

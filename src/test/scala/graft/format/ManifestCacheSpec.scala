@@ -48,4 +48,22 @@ class ManifestCacheSpec extends AnyFunSuite {
       ManifestCache.clear()
     }
   }
+
+  test("a jumbo insert does NOT flush the hot cache chasing an unreachable budget") {
+    ManifestCache.clear()
+    ManifestCache.maxBytesOverride = Some(50L)
+    try {
+      val hot = (1 to 4).map(_ => tmp(10))
+      hot.foreach(p => ManifestCache.get(p)("v"))
+      // the jumbo alone exceeds the budget: evicting the 4 hot entries can
+      // never satisfy it, so none of them may be sacrificed
+      ManifestCache.get(tmp(500))("jumbo")
+      var reloads = 0
+      hot.foreach(p => ManifestCache.get(p) { reloads += 1; "v" })
+      assert(reloads == 0, s"hot entries were flushed for an unreachable budget ($reloads)")
+    } finally {
+      ManifestCache.maxBytesOverride = None
+      ManifestCache.clear()
+    }
+  }
 }

@@ -110,6 +110,25 @@ class PredicateSpec extends AnyFunSuite {
     assert(!Predicate.mayMatch(q, ctx(fileB)))  // skip
   }
 
+  test("malformed literals degrade to keep-the-file, never crash the plan") {
+    val fileA = Predicate.Bounds(Some(Canonical.toDays("2024-01-01")),
+      Some(Canonical.toDays("2024-01-31")), Some(0L), Some(100L))
+    val schema2 = StructType(Seq(GraftSchema.withId(StructField("d", DateType), 1)))
+    val ctx = Predicate.PruneContext(schema2, _ => Some(fileA), _ => Nil)
+    // canon("not-a-date") must be None -> conservatively kept, and the
+    // exact row-level filter decides; a DateTimeParseException here would
+    // fail the whole scan at plan time
+    assert(Canonical.of(DateType, "not-a-date").isEmpty)
+    assert(Canonical.of(LongType, "forty-two").isEmpty)
+    assert(Predicate.mayMatch(Predicate.Gt("d", "not-a-date"), ctx))
+    // duplicate hidden-partition names are refused at spec build, not
+    // silently collapsed into one Map key with the wrong transform
+    val idSchema = StructType(Seq(GraftSchema.withId(StructField("id", LongType), 1)))
+    val e = intercept[IllegalArgumentException](PartitionSpec.fieldsFor(idSchema,
+      Seq("id" -> Transform.Bucket(4), "id" -> Transform.Bucket(16))))
+    assert(e.getMessage.contains("duplicate partition field"), e.getMessage)
+  }
+
   test("hidden-partition derivation: day(ts) range query prunes other days (docs/07:30-40)") {
     val schema3 = StructType(Seq(GraftSchema.withId(StructField("ts", TimestampNTZType), 1)))
     def fileForDay(d: String): Predicate.PruneContext = Predicate.PruneContext(

@@ -96,6 +96,20 @@ class BloomSpec extends SparkSpec {
     assert(Bloom.mayContain("not-base64!!!", (1L, 2L)))
   }
 
+  test("NULL inputs yield NULL positions — no spurious hash-42 bits in the bitmap") {
+    // Spark's xxhash64(NULL) returns the SEED (42): without the isNotNull
+    // guard every file containing a null would set hash-42's positions and
+    // weaken the filter for any probe landing on those bits
+    val df = spark.createDataFrame(
+      Seq(Row(null), Row("x")).asJava,
+      StructType(Seq(StructField("c", StringType))))
+    val (p1, p2) = Bloom.positionColumns(col("c"), 4096)
+    val rows = df.select(col("c"), p1.as("a"), p2.as("b")).collect()
+    val byVal = rows.map(r => Option(r.getString(0)) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(byVal(None) == ((true, true)), "null input must contribute no positions")
+    assert(byVal(Some("x")) == ((false, false)))
+  }
+
   test("seeded multi-type soundness: no present value is ever bloom-pruned") {
     val rng = new scala.util.Random(42)
     val cases: Seq[(DataType, Int => Any)] = Seq(

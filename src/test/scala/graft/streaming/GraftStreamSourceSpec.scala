@@ -85,6 +85,48 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(full.getMap[String, Long](1) == Map("a" -> 1L, "b" -> 2L))
   }
 
+  test("changelog survives schema evolution between the snapshots (to-side schema)") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf_evo", schema)
+    t.append(spark, mk(Seq(1L -> "a", 2L -> "b")))
+    val s1 = t.meta.currentSnapshotId.get
+    t.addColumn("note", StringType)
+    t.renameColumn("v", "w")
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(3L, "c", "n3")).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("w", StringType),
+        StructField("note", StringType)))))
+    // both sides must project under the TO schema: old rows resolve w by
+    // field id (the rename) and note as NULL — no column-count crash
+    val chg = GraftStreamSource.changelog(spark, t, Some(s1))
+    assert(chg.columns.toSeq == Seq("id", "w", "note", "_change_type"))
+    val rows = chg.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 3L && rows(0).getString(1) == "c")
+  }
+
+  test("changelog canonicalizes maps NESTED in structs, not just top level") {
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", StructType(Seq(
+        StructField("tags", MapType(StringType, LongType)),
+        StructField("n", LongType))))))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf_nested", nested)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L, Row(Map("a" -> 1L), 7L)), Row(2L, null)).asJava, nested))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(3L, Row(Map("c" -> 3L, "d" -> 4L), 9L))).asJava, nested))
+    val chg = GraftStreamSource.changelog(spark, t, Some(s1)).collect()
+    assert(chg.length == 1 && chg(0).getLong(0) == 3L)
+    val attrs = chg(0).getStruct(1)
+    assert(attrs.getMap[String, Long](0) == Map("c" -> 3L, "d" -> 4L) &&
+      attrs.getLong(1) == 9L, "nested map decodes back to its original shape")
+    // NULL struct stays NULL through encode/decode (not struct-of-nulls)
+    val full = GraftStreamSource.changelog(spark, t, None).collect()
+    assert(full.find(_.getLong(0) == 2L).exists(_.isNullAt(1)))
+  }
+
   test("changelog drives exact table replication (CDC mirror via MERGE)") {
     import graft.format.Predicate
     import org.apache.spark.sql.functions.{col, lit}

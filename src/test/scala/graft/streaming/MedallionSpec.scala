@@ -72,6 +72,39 @@ class MedallionSpec extends SparkSpec {
     assert(bronze.meta.snapshots.size >= 2)
   }
 
+  test("incrementalNewRows boundary: same-valued stragglers recovered via boundaryKeys") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    def rows(data: Seq[(Long, String)]) = spark.createDataFrame(
+      data.map { case (i, s) => Row(i, java.sql.Timestamp.valueOf(s)) }.asJava, schema)
+    val bronze = cat.createTable("lk.bz", schema)
+    val silver = cat.createTable("lk.sv", schema)
+    bronze.append(spark, rows(Seq(1L -> "2024-01-01 10:00:00", 2L -> "2024-01-01 10:00:05")))
+    silver.append(spark, GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts"))
+    assert(silver.toDF(spark).count() == 2)
+    // a STRAGGLER lands with ts EQUAL to the already-synced max (10:00:05):
+    // the strict > filter would silently lose it forever; boundaryKeys
+    // re-reads the boundary value inclusively and anti-joins ingested ids
+    bronze.append(spark, rows(Seq(3L -> "2024-01-01 10:00:05", 4L -> "2024-01-01 10:00:09")))
+    val strict = GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts")
+    assert(strict.collect().map(_.getLong(0)).toSet == Set(4L), "strict mode misses id=3")
+    val exact = GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts",
+      boundaryKeys = Seq("id"))
+    assert(exact.collect().map(_.getLong(0)).toSet == Set(3L, 4L),
+      "boundary mode recovers the equal-watermark straggler exactly once")
+    silver.append(spark, exact)
+    // idempotent: a rerun ingests nothing
+    assert(GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts",
+      boundaryKeys = Seq("id")).count() == 0)
+    // NULL-watermark rows are consistently excluded (never the
+    // first-sync-only ingestion of before)
+    bronze.append(spark, spark.createDataFrame(
+      Seq(Row(9L, null)).asJava, schema))
+    assert(GraftSink.incrementalNewRows(spark, bronze.toDF(spark), silver, "ts",
+      boundaryKeys = Seq("id")).count() == 0)
+  }
+
   test("watermarked windowed aggregation over a stream (beyond-reference superset)") {
     val stage = java.nio.file.Files.createTempDirectory("winagg").toString
     batch(0 until 48, day = 3).write.mode("overwrite").parquet(stage)

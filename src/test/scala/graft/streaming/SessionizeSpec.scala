@@ -43,9 +43,47 @@ class SessionizeSpec extends SparkSpec {
         .map(s => (s.userId, s.startMs, s.endMs, s.events)).toSet
       val ms = (hhmm: String) => t(hhmm).getTime
       assert(out == Set(
-        (1L, ms("10:00"), ms("10:10"), 3),  // closed by the 12:00 event
+        (1L, ms("10:00"), ms("10:10"), 3),  // closed once the watermark passed
         (2L, ms("10:00"), ms("10:00"), 1),  // idle, flushed by timeout
         (1L, ms("12:00"), ms("12:00"), 1)), // flushed by timeout
+        s"got $out")
+    } finally q.stop()
+  }
+
+  test("late-but-valid out-of-order events merge backwards or form earlier sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 5L * 60 * 1000 // 5 min
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    // 1h watermark delay: events up to an hour late are still valid
+    val events = input.toDF().toDF("userId", "ts")
+      .withWatermark("ts", "1 hour")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessions(events, gapMs).writeStream
+      .format("memory").queryName("sess_ooo").outputMode("append").start()
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val ms = (hhmm: String) => t(hhmm).getTime
+    try {
+      // batch 1: open session at 12:00
+      input.addData((1L, t("12:00")))
+      q.processAllAvailable()
+      // batch 2: two LATE events — 11:57 belongs to the 12:00 session
+      // (within gap, start must move DOWN); 11:30 is its own earlier
+      // session (25 min > gap before it). The old single-open-session fold
+      // merged BOTH into [start=12:00], corrupting boundaries and counts.
+      input.addData((1L, t("11:57")), (1L, t("11:30")))
+      q.processAllAvailable()
+      // watermark carriers so everything flushes (wm = 16:01 - 1h = 15:01)
+      input.addData((9L, t("16:00")))
+      q.processAllAvailable()
+      input.addData((9L, t("16:01")))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo").as[Sessionize.Session].collect()
+        .filter(_.userId == 1L).map(s => (s.startMs, s.endMs, s.events)).toSet
+      assert(out == Set(
+        (ms("11:30"), ms("11:30"), 1),
+        (ms("11:57"), ms("12:00"), 2)),
         s"got $out")
     } finally q.stop()
   }
