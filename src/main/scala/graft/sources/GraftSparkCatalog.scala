@@ -143,7 +143,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces with Proced
         (m: graft.format.TableMetadata) => m.copy(properties = m.properties - c.property())
       // dotted paths address struct subfields (nested evolution, docs/06:114-118)
       case c: TableChange.AddColumn =>
-        t.addColumnChange(c.fieldNames().mkString("."), c.dataType())
+        val after = c.position() match {
+          case null => None
+          case a: TableChange.After => Some(a.column())
+          case other => sys.error(s"unsupported column position $other (AFTER only)")
+        }
+        t.addColumnChange(c.fieldNames().mkString("."), c.dataType(), after)
       case c: TableChange.RenameColumn =>
         t.renameColumnChange(c.fieldNames().mkString("."), c.newName())
       case c: TableChange.DeleteColumn =>

@@ -81,6 +81,21 @@ object GraftStreamSource {
     val toSchemaId =
       if (toSid == m.currentSnapshotId) m.currentSchemaId
       else toSid.flatMap(m.snapshot).map(_.schemaId).getOrElse(m.currentSchemaId)
+    // A CREATE OR REPLACE between the snapshots mints a fresh field-id
+    // space: the from-side files resolve NOTHING under the to-schema and
+    // the diff would silently emit all-NULL "delete" rows. Refuse loudly —
+    // a replace is a full rewrite; consumers resync from scratch.
+    fromSnapshotId.foreach { fid =>
+      val fromSeq = m.snapshot(fid).map(_.sequenceNumber).getOrElse(0L)
+      val toSeq = toSid.flatMap(m.snapshot).map(_.sequenceNumber).getOrElse(Long.MaxValue)
+      val crossed = m.snapshots.exists(s =>
+        s.summary.contains("table-replaced") &&
+          s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+      require(!crossed,
+        s"changelog($fid..${toSid.getOrElse(-1L)}) crosses a CREATE OR REPLACE — " +
+          "the change feed is not defined across a full rewrite; resync the consumer " +
+          "from the replacement snapshot instead")
+    }
     def scanAt(sid: Option[Long]): graft.table.GraftScan =
       new graft.table.GraftScan(table, m,
         sid.map(id => m.snapshot(id).getOrElse(sys.error(s"snapshot $id not found (expired?)"))),

@@ -114,7 +114,8 @@ class GraftScan(
   private def timeTraveled: Boolean =
     tagPin || (!branchHead &&
       snapshot.exists(s => !meta.currentSnapshotId.contains(s.snapshotId)))
-  val scanSchema: StructType = schemaOverrideId.map(meta.schemas) getOrElse {
+  val scanSchema: StructType =
+    schemaOverrideId.map(id => meta.schemas.getOrElse(id, meta.currentSchema)) getOrElse {
     if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
     else meta.currentSchema
   }

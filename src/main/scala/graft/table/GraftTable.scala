@@ -331,6 +331,10 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
         timestampMs = System.currentTimeMillis(),
         operation = "replace",
         summary = Map(
+          // distinguishes TABLE replacement (fresh field-id space) from
+          // compaction's file-level "replace" operation — changelog's
+          // cross-replace guard keys on this
+          "table-replaced" -> "true",
           "statement-id" -> stmt,
           "total-data-files" -> dataMfs.map(_.fileCount.toLong).sum.toString,
           "total-records" -> dataMfs.map(_.recordCount).sum.toString,
@@ -481,5 +485,15 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     * succeed or leave the table untouched.
     */
   def alterAtomically(ops: Seq[TableMetadata => TableMetadata]): TableMetadata =
-    commitMetadata()(m => ops.foldLeft(m)((acc, op) => op(acc)))
+    commitMetadata() { m =>
+      val folded = ops.foldLeft(m)((acc, op) => op(acc))
+      // each schema-evolution op minted its own schema version during the
+      // fold; only the LAST is observable after this single commit, so
+      // drop the intermediates (new in this fold, not current, referenced
+      // by no snapshot) — an N-change ALTER must not append N full schema
+      // copies to the metadata every load() parses
+      val referenced = folded.snapshots.map(_.schemaId).toSet + folded.currentSchemaId
+      folded.copy(schemas = folded.schemas.filter { case (id, _) =>
+        m.schemas.contains(id) || referenced.contains(id) })
+    }
 }

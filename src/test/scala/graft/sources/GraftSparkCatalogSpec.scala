@@ -373,5 +373,9 @@ class GraftSparkCatalogSpec extends SparkSpec {
       "three added columns must land as ONE metadata commit")
     assert(spark.sql("SELECT * FROM galter.db.t").columns.toSeq ==
       Seq("id", "v", "a", "b", "c"))
+    // AFTER placement must be honored, not silently appended at the end
+    spark.sql("ALTER TABLE galter.db.t ADD COLUMN mid STRING AFTER id")
+    assert(spark.sql("SELECT * FROM galter.db.t").columns.toSeq ==
+      Seq("id", "mid", "v", "a", "b", "c"))
   }
 }

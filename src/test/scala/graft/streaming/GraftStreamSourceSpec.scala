@@ -104,6 +104,22 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getLong(0) == 3L && rows(0).getString(1) == "c")
   }
 
+  test("changelog across CREATE OR REPLACE refuses — never all-NULL delete rows") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.cdf_rep", schema)
+    t.append(spark, mk(Seq(1L -> "a")))
+    val s1 = t.meta.currentSnapshotId.get
+    t.replaceWith(StructType(Seq(StructField("k", LongType))))
+    val e = intercept[IllegalArgumentException](
+      GraftStreamSource.changelog(spark, t, Some(s1)))
+    assert(e.getMessage.contains("CREATE OR REPLACE"), e.getMessage)
+    // from-genesis is still fine: the full current table as inserts
+    t.append(spark, spark.createDataFrame(Seq(Row(7L)).asJava,
+      StructType(Seq(StructField("k", LongType)))))
+    val full = GraftStreamSource.changelog(spark, t, None).collect()
+    assert(full.length == 1 && full(0).getLong(0) == 7L)
+  }
+
   test("changelog canonicalizes maps NESTED in structs, not just top level") {
     val nested = StructType(Seq(
       StructField("id", LongType),

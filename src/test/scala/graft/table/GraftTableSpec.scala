@@ -539,6 +539,7 @@ class GraftTableSpec extends SparkSpec {
       t.addColumnChange("a", IntegerType)))) // duplicate -> whole ALTER fails
     assert(cat.currentVersion("db.atomic_alter") == v0, "failed ALTER commits nothing")
     assert(!t.schema.fieldNames.contains("a"), "no partially-applied column")
+    val schemasBefore = t.meta.schemas.size
     t.alterAtomically(Seq(
       t.addColumnChange("a", IntegerType),
       t.renameColumnChange("v", "w"),
@@ -546,6 +547,8 @@ class GraftTableSpec extends SparkSpec {
     assert(cat.currentVersion("db.atomic_alter") == v0 + 1, "multi-change ALTER = ONE commit")
     assert(t.schema.fieldNames.contains("a") && t.schema.fieldNames.contains("w"))
     assert(t.properties("k") == "1")
+    assert(t.meta.schemas.size == schemasBefore + 1,
+      "intermediate fold schemas are dropped — one new version per ALTER, not per change")
   }
 
   private def newTableIn(cat: GraftCatalog, name: String): GraftTable =
