@@ -131,6 +131,16 @@ object Extensions {
     * connectivity survives the split (every sub-bucket links through its
     * min). Below the cap the expansion is exactly the original all-pairs —
     * the common path pays one `when` per bucket row, nothing more.
+    *
+    * CONTRACT vs the gate oracles: the DuckDB twins of the neardup queries
+    * enumerate EVERY same-sig pair, so above the cap the candidate sets
+    * intentionally diverge (cross-sub-bucket pairs beyond the bridge minima
+    * are the sacrifice that bounds the straggler task). The gate corpora
+    * keep every bucket far under the default 256 — verified empirically by
+    * the gates themselves staying green at all three SFs — while the
+    * capped behavior is proven separately by the 3000-member planted-
+    * bucket spec. Lowering graft.neardup.max-bucket under a gate corpus's
+    * max bucket size WILL fail the oracle compare, by design.
     */
   private[queries] def boundedBucketPairs(buckets: DataFrame): DataFrame = {
     val cap = buckets.sparkSession.conf.getOption("graft.neardup.max-bucket")
@@ -163,7 +173,16 @@ object Extensions {
     * → exact-Jaccard ≥ 0.5) over any (doc_id, text) corpus — the x_neardup_
     * jaccard pipeline reused as a building block.
     */
-  private[queries] def neardupEdges(docs: DataFrame): DataFrame = {
+  /** The ONE candidate pipeline both near-dup consumers share: 2-shingles,
+    * per-doc minhash signature (with the 'empty:' sentinel for shingle-less
+    * docs — a NULL sig would both fuse them into one phantom bucket and
+    * sort differently across engines), bucket-capped candidate pairs, and
+    * the exact Jaccard verification. Shingle digests materialize in the
+    * Generate (hashed once per row); only (doc_id, sig) leaves the node.
+    * Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= minJaccard.
+    */
+  private[queries] def verifiedNearDupPairs(docs: DataFrame,
+                                            minJaccard: Double = 0.5): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
       .withColumn("sh", TF.shingles(col("text"), 2))
     val sigs = base
@@ -174,9 +193,12 @@ object Extensions {
     val cand = boundedBucketPairs(
       sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
     Extensions.pairJaccard(base.select("doc_id", "text"), cand)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("jaccard") >= minJaccard)
   }
+
+  private[queries] def neardupEdges(docs: DataFrame): DataFrame =
+    verifiedNearDupPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
@@ -217,7 +239,14 @@ object Extensions {
         Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array(TF.itemHashes(TF.tokens(col("text"))))).as("_h"))
-          .select(col("doc_id"), TF.minhashFromHashes(col("_h"), k = 4).as("minhash_sig"))
+          // per-doc sentinel for token-less docs (same discipline as the
+          // neardup family): without it every empty doc collapses into ONE
+          // NULL-signature "duplicate" bucket, and NULL additionally sorts
+          // first in Spark but last in DuckDB — a phantom bucket AND an
+          // ordering divergence in one
+          .select(col("doc_id"),
+            coalesce(TF.minhashFromHashes(col("_h"), k = 4),
+              concat(lit("empty:"), col("doc_id").cast("string"))).as("minhash_sig"))
           .groupBy("minhash_sig")
           .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("keep_id"))
           .filter(col("bucket_size") > 1)
@@ -227,11 +256,12 @@ object Extensions {
         |  SELECT doc_id, list_transform(list_distinct($toksSql), t -> md5(t)) AS h
         |  FROM documents),
         |sigs AS (
-        |  SELECT doc_id, md5(
+        |  SELECT doc_id, COALESCE(md5(
         |    list_min(list_transform(h, x -> substring(x, 1, 8))) ||
         |    list_min(list_transform(h, x -> substring(x, 9, 8))) ||
         |    list_min(list_transform(h, x -> substring(x, 17, 8))) ||
-        |    list_min(list_transform(h, x -> substring(x, 25, 8)))) AS minhash_sig
+        |    list_min(list_transform(h, x -> substring(x, 25, 8)))),
+        |    'empty:' || CAST(doc_id AS VARCHAR)) AS minhash_sig
         |  FROM hashes)
         |SELECT minhash_sig, count(*) AS bucket_size, min(doc_id) AS keep_id
         |FROM sigs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
@@ -670,18 +700,7 @@ object Extensions {
         // the whole interpreted hash tree per row; degenerate shingle-less
         // docs get a per-doc sentinel bucket instead, which the
         // bucket-size > 1 cut then drops.)
-        val base = Tables.documents(s, d).withColumn("sh", TF.shingles(col("text"), 2))
-        // shingle digests materialize in the Generate (hashed once per row,
-        // not once per slice minimum); only (doc_id, sig) leaves the node
-        val sigs = base
-          .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))
-          .select(col("doc_id"),
-            coalesce(TF.minhashFromHashes(col("_h"), k = 4),
-              concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
-        val pairs = boundedBucketPairs(
-          sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
-        Extensions.pairJaccard(base.select("doc_id", "text"), pairs)
-          .filter(col("jaccard") >= 0.5)
+        verifiedNearDupPairs(Tables.documents(s, d))
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
@@ -1425,9 +1444,15 @@ object Extensions {
     // w*total*2^16 stays under 2^63 — the shape is unchanged.)
     ("x_domain_mix",
       (s: SparkSession, d: String) => {
+        // weight parse is guarded the SAME way on both engines: a source
+        // not shaped 'srcN' falls back to ordinal 0 (weight 1) — the bare
+        // substring cast made Spark silently NULL the source out of the
+        // mixture while DuckDB hard-errored on the identical input
         val docs = Tables.documents(s, d)
           .withColumn("w",
-            (lit(1) + substring(col("source"), 4, 10).cast("int") % 5).cast("long"))
+            (lit(1) + coalesce(
+              nullif(regexp_extract(col("source"), "^src(\\d+)$", 1), lit(""))
+                .cast("int"), lit(0)) % 5).cast("long"))
         val bySrc = docs.groupBy("source", "w")
           .agg(sum(col("n_chars")).cast("long").as("chars_s"))
         val tot = docs.agg(sum(col("n_chars")).cast("long").as("total_chars"))
@@ -1445,7 +1470,9 @@ object Extensions {
           .orderBy("source")
       },
       """WITH s AS (
-        |  SELECT source, CAST(1 + CAST(substr(source, 4) AS INTEGER) % 5 AS BIGINT) AS w,
+        |  SELECT source, CAST(1 + COALESCE(
+        |      TRY_CAST(regexp_extract(source, '^src(\d+)$', 1) AS INTEGER), 0) % 5
+        |    AS BIGINT) AS w,
         |    CAST(sum(n_chars) AS BIGINT) AS chars_s
         |  FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents),

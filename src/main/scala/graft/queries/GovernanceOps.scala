@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object GovernanceOps {
 
-  /** One warehouse per JVM for the SQL catalog (Spark caches catalog
-    * instances per session) — same discipline as [[MaintenanceOps]].
+  /** THE warehouse of the session-cached 'graft_sql' catalog — must be the
+    * same object [[MaintenanceOps]] registers: the plugin reads its
+    * warehouse conf once, so two files pinning different warehouses under
+    * one catalog name would make direct GraftCatalog(sqlWarehouse) reads
+    * here order-dependent (whichever query registered first wins).
     */
-  private lazy val sqlWarehouse =
-    java.nio.file.Files.createTempDirectory("graft-govwh").toString
+  private def sqlWarehouse: String = MaintenanceOps.sqlWarehouse
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 

@@ -16,11 +16,14 @@ import java.time.LocalDateTime
   */
 object MaintenanceOps {
 
-  /** One warehouse per JVM for the SQL catalog: Spark caches catalog
-    * instances per session, so the warehouse must be stable; tables get
-    * unique names per invocation instead.
+  /** One warehouse per JVM for the 'graft_sql' catalog NAME: Spark caches
+    * catalog plugins per session (initialize reads the warehouse conf
+    * ONCE), so every file registering 'graft_sql' must point at THIS
+    * value — a second warehouse under the same name would silently win or
+    * lose depending on which query ran first. Tables get unique names per
+    * invocation instead. Shared with [[GovernanceOps]].
     */
-  private lazy val sqlWarehouse =
+  private[queries] lazy val sqlWarehouse =
     java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -508,7 +511,9 @@ object MaintenanceOps {
           .option("checkpointLocation", s"$stage-ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        // a timed-out await must fail LOUDLY: proceeding would read a
+        // partially-updated table and surface as a baffling data mismatch
+        require(q.awaitTermination(300000), "g_stream_window: stream did not finish in 300s")
         t.toDF(s).orderBy("day", "event_type")
           .withColumn("multi_batch", lit(t.meta.snapshots.size > 1))
       },
@@ -537,11 +542,14 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"))
-        val cat = newCatalog()
-        val t = cat.createTable("db.li_cluster", li.schema)
-        t.append(s, li)
-        t.setProperty("cluster-by", "l_orderkey")
-        t.compact(s, targetFileSizeBytes = Some(1024))
+        val t = FixtureClock.timed {
+          val cat = newCatalog()
+          val t = cat.createTable("db.li_cluster", li.schema)
+          t.append(s, li)
+          t.setProperty("cluster-by", "l_orderkey")
+          t.compact(s, targetFileSizeBytes = Some(1024))
+          t
+        }
         val sc = t.scan(Predicate.Lt("l_orderkey", 10L))
         sc.toDF(s).count()
         sc.toDF(s)
@@ -563,15 +571,18 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        val cat = newCatalog()
-        val t = cat.createTable("db.li_zorder", li.schema)
-        t.setProperty(graft.format.TableProperties.ClusterBy, "l_orderkey,l_partkey")
-        t.setProperty(graft.format.TableProperties.ClusterStrategy, "zorder")
-        // bound file size so the z-sorted write splits into many z-cells
-        // (AQE may coalesce the range shuffle itself into few partitions)
-        t.setProperty(graft.format.TableProperties.TargetFileSize, (256 * 1024).toString)
-        t.setProperty("write.estimated-row-size-bytes", "128")
-        t.append(s, li)
+        val t = FixtureClock.timed {
+          val cat = newCatalog()
+          val t = cat.createTable("db.li_zorder", li.schema)
+          t.setProperty(graft.format.TableProperties.ClusterBy, "l_orderkey,l_partkey")
+          t.setProperty(graft.format.TableProperties.ClusterStrategy, "zorder")
+          // bound file size so the z-sorted write splits into many z-cells
+          // (AQE may coalesce the range shuffle itself into few partitions)
+          t.setProperty(graft.format.TableProperties.TargetFileSize, (256 * 1024).toString)
+          t.setProperty("write.estimated-row-size-bytes", "128")
+          t.append(s, li)
+          t
+        }
         val Array(maxOk, maxPk) =
           li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
             .toSeq.map(v => v.asInstanceOf[Long]).toArray
@@ -600,13 +611,16 @@ object MaintenanceOps {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"))
           .repartition(8, col("l_orderkey"))
-        val cat = newCatalog()
-        val t = cat.createTable("db.li_bloom", li.schema)
-        t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
-        t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
-        t.append(s, li)
-        val ctrl = cat.createTable("db.li_nobloom", li.schema)
-        ctrl.append(s, li)
+        val (t, ctrl) = FixtureClock.timed {
+          val cat = newCatalog()
+          val t = cat.createTable("db.li_bloom", li.schema)
+          t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
+          t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
+          t.append(s, li)
+          val ctrl = cat.createTable("db.li_nobloom", li.schema)
+          ctrl.append(s, li)
+          (t, ctrl)
+        }
         // a mid-domain existing key: inside every file's range, so min/max
         // stats alone can never prune the probe
         val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
@@ -643,12 +657,14 @@ object MaintenanceOps {
           classOf[graft.sources.GraftTableCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
         val tbl = s"meta_${java.util.UUID.randomUUID().toString.take(8)}"
-        Tables.events(s, d).createOrReplaceTempView("events_src_meta")
-        s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
-          |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
-          |  event_type STRING, value DOUBLE, props STRING)
-          |PARTITIONED BY (event_type)""".stripMargin)
-        s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src_meta")
+        FixtureClock.timed {
+          Tables.events(s, d).createOrReplaceTempView("events_src_meta")
+          s.sql(s"""CREATE TABLE graft_sql.db.$tbl (
+            |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+            |  event_type STRING, value DOUBLE, props STRING)
+            |PARTITIONED BY (event_type)""".stripMargin)
+          s.sql(s"INSERT INTO graft_sql.db.$tbl SELECT * FROM events_src_meta")
+        }
         val q1 = s.sql(s"""SELECT count(*) AS n_total, min(user_id) AS min_user,
           |  max(user_id) AS max_user FROM graft_sql.db.$tbl""".stripMargin)
         val q2 = s.sql(
@@ -676,11 +692,14 @@ object MaintenanceOps {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_extendedprice"))
           .repartition(16, col("l_orderkey"))
-        val cat = newCatalog()
-        val t = cat.createTable("db.li_rf", li.schema)
-        t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
-        t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
-        t.append(s, li)
+        val t = FixtureClock.timed {
+          val cat = newCatalog()
+          val t = cat.createTable("db.li_rf", li.schema)
+          t.setProperty(graft.format.TableProperties.BloomColumns, "l_orderkey")
+          t.setProperty(graft.format.TableProperties.BloomBits, (1 << 18).toString)
+          t.append(s, li)
+          t
+        }
         val dim = Tables.orders(s, d).filter(col("o_orderkey") < 7)
           .select(col("o_orderkey"), col("o_orderpriority"))
         val sc = t.scanWithRuntimeFilter(dim, "o_orderkey", "l_orderkey")

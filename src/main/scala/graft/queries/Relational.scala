@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+  // the one decimal(18,2)-sum determinism rule, shared with the table-ops
+  // suite — two drifting copies would desync cross-engine parity
+  private def dsum(c: org.apache.spark.sql.Column) = TableOps.dsum(c)
 
   /** scale-4 variant for products of 2-decimal columns (exact, no rounding). */
   private def dsum4(c: org.apache.spark.sql.Column) =
