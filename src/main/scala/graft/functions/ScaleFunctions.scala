@@ -21,6 +21,14 @@ object ScaleFunctions {
                  salting: Column, saltFactor: Int,
                  joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    // only join types that DON'T preserve the small side: the small side is
+    // replicated saltFactor times, so a right/full outer join would emit
+    // saltFactor null-padded rows for every unmatched small-side key
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not support '$joinType': the replicated small side " +
+        "would duplicate unmatched rows under small-side-preserving joins")
     val l = large.withColumn("_salt", pmod(hash(salting), lit(saltFactor)))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(s, Seq(key, "_salt"), joinType).drop("_salt")
@@ -33,13 +41,17 @@ object ScaleFunctions {
   def approxDistinct(col0: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(col0, rsd)
 
-  /** Deterministic proportional sample by key hash (repeatable across runs
-    * and engines, unlike `df.sample`): keeps rows whose 32-bit hash bucket
-    * falls below `fraction`.
+  /** Deterministic proportional sample by key hash — repeatable across runs
+    * AND engines: md5 of the key's string form, the same portable scheme
+    * sampledQuantiles uses (Spark's murmur3 hash() cannot be reproduced by
+    * an external oracle). Keeps rows whose 24-bit md5 prefix falls below
+    * `fraction` of the space; DuckDB twin:
+    * ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 6))::BIGINT < floor(f * 16777216).
     */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
-    df.filter(pmod(hash(keyCol), lit(1000000)) < lit((fraction * 1000000).toInt))
+    df.filter(conv(substring(md5(keyCol.cast("string")), 1, 6), 16, 10).cast("long") <
+      lit(math.floor(fraction * (1 << 24)).toLong))
   }
 
   /** Quantiles WITHOUT a global sort — the 100 TB shape (the same idea

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empties dropped. */
+  /** Whitespace tokens with empties dropped — ALL whitespace (space, tab,
+    * newline), not just the space character: a multi-line document must
+    * not fuse "hello\nworld" into one token, or every token count, quality
+    * ratio and signature silently diverges between space- and newline-
+    * separated but otherwise identical texts. DuckDB twin:
+    * regexp_split_to_array(text, '\s+') (see Extensions.toksSql).
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), c => c =!= "")
+    filter(split(text, "\\s+"), c => c =!= "")
 
   /** BPE-ish segmentation: word runs + punctuation runs. */
   def bpeTokens(text: Column): Column =
@@ -199,18 +205,28 @@ object TextFunctions {
   /** Exact set Jaccard over two item arrays: |A∩B| / |A∪B|. Integer set
     * sizes + one double division — bit-identical across engines.
     */
-  def jaccardOf(a: Column, b: Column): Column =
-    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
-      size(array_union(a, b))
+  def jaccardOf(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    // two empty sets are identical (1.0) by convention; the guard also
+    // keeps the division ANSI-safe (DIVIDE_BY_ZERO aborts the whole job)
+    when(union === 0, lit(1.0))
+      .otherwise(
+        size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") / union)
+  }
 
   /** Exact token-set Jaccard similarity between two texts. */
   def jaccardTokens(a: Column, b: Column): Column =
     jaccardOf(tokens(a), tokens(b))
 
-  /** Stopword ratio given an inline stopword list. */
+  /** Stopword ratio given an inline stopword list. Token-less docs rate
+    * 0.0 (ANSI-safe: an unguarded 0/0 aborts the job under Spark 4's
+    * default ANSI mode; quality gates still fail such docs on the
+    * token-count bound).
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)
-    size(filter(t, c => c.isInCollection(stopwords))).cast("double") / size(t)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, c => c.isInCollection(stopwords))).cast("double") / size(t))
   }
 
   /** Marker-based language-ID heuristic: first matching marker set wins.

@@ -215,7 +215,10 @@ object VectorFunctions {
                       iters: Int = 5): Seq[Seq[Float]] = {
     require(k >= 1 && iters >= 0)
     val vecs = df.select(col(vecCol).as("v")).where(col("v").isNotNull)
-    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    val first = vecs.select(size(col("v"))).limit(1).collect()
+    require(first.nonEmpty,
+      s"kmeansCentroids: no non-null vectors in column '$vecCol'")
+    val dim = first.head.getInt(0)
     var centroids: Seq[Seq[Float]] = Seq(
       vecs.orderBy(xxhash64(col("v"))).limit(1).head.getSeq[Float](0).toSeq)
     while (centroids.size < k) {
@@ -254,7 +257,9 @@ object VectorFunctions {
         struct(euclideanDistance(col("q"), lit(c.toArray)).as("d"), lit(i).as("cell"))
       }: _*)))
       .select(col("_graft_q"), col("col.d"), col("col.cell").as("_graft_cell"))
-      .orderBy("d").limit(nprobe)
+      // cell index tie-breaks equidistant centroids — without it nprobe
+      // cuts between ties are plan-dependent and runs/engines diverge
+      .orderBy(col("d"), col("_graft_cell")).limit(nprobe)
       .select("_graft_q", "_graft_cell")
     val sim = cosineSimilarity(col(vecCol), col("_graft_q"))
     rankTopK(assigned.join(broadcast(qCells), "_graft_cell").withColumn("sim", sim),

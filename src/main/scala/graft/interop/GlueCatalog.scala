@@ -84,9 +84,7 @@ object GlueCatalog {
       val tbl = cat.loadTable(full)
       val params = tbl.meta.currentSnapshotId match {
         case Some(snapId) =>
-          val metaPath = exportCache.compute(full, (_, prev) =>
-            if (prev != null && prev._1 == snapId) prev
-            else (snapId, IcebergExport.exportCurrent(spark, tbl)))._2
+          val metaPath = IcebergExport.cachedExport(exportCache, full, tbl, spark, snapId)
           s""""Parameters":{"table_type":"ICEBERG","metadata_location":${q(metaPath)}},"""
         case None =>
           s""""Parameters":{"table_type":"ICEBERG"},"""

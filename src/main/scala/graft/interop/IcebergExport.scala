@@ -37,6 +37,18 @@ object IcebergExport {
 
   /** Export the full table (all snapshots).
     * @return absolute path of the written vN.metadata.json */
+  /** Snapshot-keyed export memoization shared by the catalog servers
+    * (REST + Glue): export once per (table, current snapshot), serve the
+    * cached metadata path while the snapshot is unchanged. ONE copy of the
+    * invalidation rule — the two servers previously each hand-rolled it.
+    */
+  def cachedExport(cache: java.util.concurrent.ConcurrentHashMap[String, (Long, String)],
+                   name: String, table: GraftTable,
+                   spark: org.apache.spark.sql.SparkSession, snapshotId: Long): String =
+    cache.compute(name, (_, prev) =>
+      if (prev != null && prev._1 == snapshotId) prev
+      else (snapshotId, exportCurrent(spark, table)))._2
+
   def exportCurrent(spark: org.apache.spark.sql.SparkSession, table: GraftTable): String = {
     val m = table.meta
     val current = m.currentSnapshot.getOrElse(sys.error(s"${table.name}: no snapshot to export"))
@@ -312,7 +324,15 @@ object IcebergExport {
       val nodeId = () => NodeIdBase + fid * NodeIdsPerField + counter.getAndIncrement()
       val tpe =
         if (f.metadata.contains(GraftSchema.LogicalTypeKey))
-          q(f.metadata.getString(GraftSchema.LogicalTypeKey))
+          f.metadata.getString(GraftSchema.LogicalTypeKey) match {
+            // TIME is physically spec-exact (INT64 micros) — export the
+            // real type. UUID is NOT: Graft stores VARCHAR(36) strings,
+            // while Iceberg's uuid encoding is fixed_len_byte_array(16),
+            // so declaring 'uuid' would make every external reader choke
+            // on the column — export what the files actually contain.
+            case "time" => q("time")
+            case _ => icebergTypeJson(f.dataType, nodeId)
+          }
         else icebergTypeJson(f.dataType, nodeId)
       s"""{"id":$fid,"name":${q(f.name)},"required":false,"type":$tpe}"""
     }.mkString(",")
@@ -440,18 +460,29 @@ object IcebergExport {
     case other => sys.error(s"no Iceberg mapping for ${other.simpleString}")
   }
 
-  /** Avro type of a partition value in the spec's encoding. */
+  /** Avro type of a partition value in the spec's encoding. Iceberg
+    * readers derive the manifest read schema from the PARTITION SPEC
+    * (truncate's result type = the SOURCE type), so these must match the
+    * spec exactly — a long where the spec says int fails Avro schema
+    * resolution in external engines. Decimal identity/truncate partitions
+    * remain string-typed (a spec deviation — the avro writer here has no
+    * fixed/decimal path); exportable but not externally readable on that
+    * column.
+    */
   private def icebergPartitionAvroType(t: Transform, srcType: DataType): String = t match {
     case Transform.Identity => srcType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: DateType => "\"int\""
       case _: LongType | _: TimestampType | _: TimestampNTZType => "\"long\""
+      case _: FloatType => "\"float\""
+      case _: DoubleType => "\"double\""
       case _: BooleanType => "\"boolean\""
       case _ => "\"string\""
     }
     case Transform.Year | Transform.Month | Transform.Day | Transform.Hour => "\"int\""
     case _: Transform.Bucket => "\"int\""
     case _: Transform.Truncate => srcType match {
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "\"long\""
+      case _: ByteType | _: ShortType | _: IntegerType => "\"int\""
+      case _: LongType => "\"long\""
       case _ => "\"string\""
     }
     case _ => "\"string\""
@@ -481,12 +512,16 @@ object IcebergExport {
           Int.box(canonical.asInstanceOf[Number].intValue())
         case _: LongType | _: TimestampType | _: TimestampNTZType =>
           Long.box(canonical.asInstanceOf[Number].longValue())
+        case _: FloatType => Float.box(canonical.asInstanceOf[Number].floatValue())
+        case _: DoubleType => Double.box(canonical.asInstanceOf[Number].doubleValue())
         case _: BooleanType => Boolean.box(canonical.asInstanceOf[Boolean])
         case _ => stored
       }
       case _: Transform.Truncate => srcType match {
-        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
-          Long.box(canonical.asInstanceOf[Number].longValue())
+        // boxing mirrors icebergPartitionAvroType: int-family stays int
+        case _: ByteType | _: ShortType | _: IntegerType =>
+          Int.box(canonical.asInstanceOf[Number].intValue())
+        case _: LongType => Long.box(canonical.asInstanceOf[Number].longValue())
         case _ => stored
       }
       case _ => stored

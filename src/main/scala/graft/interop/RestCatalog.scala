@@ -97,9 +97,7 @@ object RestCatalog {
             val tbl = cat.loadTable(full)
             val snapId = tbl.meta.currentSnapshotId.getOrElse(
               sys.error(s"$full has no snapshot to export"))
-            val metaPath = exportCache.compute(full, (_, prev) =>
-              if (prev != null && prev._1 == snapId) prev
-              else (snapId, IcebergExport.exportCurrent(spark, tbl)))._2
+            val metaPath = IcebergExport.cachedExport(exportCache, full, tbl, spark, snapId)
             val metaJson = Files.readString(Paths.get(metaPath))
             respond(ex, 200, s"""{"metadata-location":${q(metaPath)},"metadata":$metaJson}""")
           }

@@ -140,6 +140,11 @@ object Multimodal {
     def pfx(n: Int) = substring(blob, 1, n)
     when(pfx(4) === lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
       .when(pfx(3) === lit(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
+      // the two other JDK-decodable containers the real codecs champion —
+      // without them every animated GIF (frameSampleRow's own format) and
+      // BMP routed by this sniffer landed on the stub path as "unknown"
+      .when(pfx(4) === lit("GIF8".getBytes("UTF-8")), "gif")
+      .when(pfx(2) === lit("BM".getBytes("UTF-8")), "bmp")
       .when(pfx(4) === lit("RIFF".getBytes("UTF-8")), "riff")
       .when(pfx(4) === lit("%PDF".getBytes("UTF-8")), "pdf")
       .when(pfx(3) === lit("ID3".getBytes("UTF-8")), "mp3")

@@ -21,7 +21,8 @@ object Extensions {
   /** DuckDB-side whitespace tokens with empties dropped (mirrors
     * [[graft.functions.TextFunctions.tokens]]).
     */
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  // the DuckDB twin of TextFunctions.tokens: ALL-whitespace split
+  private val toksSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
 
   /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling or
     * recomputing corpus-side shingles: the tiny pair set is broadcast, the

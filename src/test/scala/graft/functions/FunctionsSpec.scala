@@ -91,6 +91,17 @@ class FunctionsSpec extends SparkSpec {
     assert(!out(0).getBoolean(2)) // stop ratio too high
     assert(out(1).getLong(0) == 600L)
     assert(!out(1).getBoolean(2)) // too long
+    // ALL whitespace tokenizes — newlines/tabs must not fuse tokens
+    val ws = docs((3L, "hello\nworld\tagain  twice"))
+    assert(ws.select(TextFunctions.tokenCount(col("text"))).head.getLong(0) == 4L)
+    // empty doc: ratios are defined (ANSI-safe), quality still fails on
+    // the token-count bound; empty-vs-empty Jaccard is 1.0 by convention
+    val empty = docs((4L, "   "))
+    val r = empty.select(
+      TextFunctions.stopwordRatio(col("text"), Seq("the")),
+      TextFunctions.qualityPass(col("text"), 2, 500, Seq("the"), 0.5),
+      TextFunctions.jaccardTokens(col("text"), col("text"))).head()
+    assert(r.getDouble(0) == 0.0 && !r.getBoolean(1) && r.getDouble(2) == 1.0)
   }
 
   test("cosine math: known vectors") {

@@ -48,6 +48,19 @@ class ScaleFunctionsSpec extends SparkSpec {
         ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), bad, ps))
   }
 
+  test("salted join refuses small-side-preserving join types") {
+    import spark.implicits._
+    val large = Seq((1L, 10L)).toDF("k", "id")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    // the replicated small side would emit saltFactor null-padded rows per
+    // unmatched key under right/full outer — refuse instead of corrupting
+    for (bad <- Seq("right", "full", "full_outer", "right_outer"))
+      intercept[IllegalArgumentException](
+        ScaleFunctions.saltedJoin(large, small, "k", col("id"), 4, bad))
+    // the supported family still works
+    assert(ScaleFunctions.saltedJoin(large, small, "k", col("id"), 4, "left").count() == 1)
+  }
+
   test("salted join == plain join (inner and left), including skewed keys") {
     // key 1 is 90% of the fact side — the classic skew shape
     val fact = spark.createDataFrame(

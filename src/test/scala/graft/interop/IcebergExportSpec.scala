@@ -156,8 +156,11 @@ class IcebergExportSpec extends SparkSpec {
     assert(metaText.contains("\"type\":\"list\"") && metaText.contains("\"element-id\":"))
     assert(metaText.contains("\"type\":\"map\"") && metaText.contains("\"key-id\":"))
     assert(metaText.contains("\"name\":\"note\""), "evolved schema version must export")
-    assert(metaText.contains("\"name\":\"row_uuid\",\"required\":false,\"type\":\"uuid\""),
-      "uuid logical annotation must export as the real Iceberg uuid type")
+    // uuid annotation exports as STRING, not Iceberg 'uuid': the parquet
+    // files store VARCHAR(36), while spec uuid is fixed_len_byte_array(16)
+    // — declaring uuid would make external readers choke on the column
+    assert(metaText.contains("\"name\":\"row_uuid\",\"required\":false,\"type\":\"string\""),
+      "uuid columns must export the type the files actually contain")
     // both schema versions present, and rows still readable via export
     assert("\"schema-id\":\\d+".r.findAllIn(metaText).size >= 2)
     val rows = IcebergExport.readAsDataFrame(spark, metaPath).count()

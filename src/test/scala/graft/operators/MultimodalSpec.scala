@@ -50,13 +50,16 @@ class MultimodalSpec extends SparkSpec {
       Row(4L, "%PDF-1.7".getBytes("UTF-8")),
       Row(5L, "ID3".getBytes("UTF-8")),
       Row(6L, "plain text".getBytes("UTF-8")),
-      Row(7L, Array(0x89.toByte))) // too short for any magic: unknown
+      Row(7L, Array(0x89.toByte)), // too short for any magic: unknown
+      // the JDK-decodable containers the real codecs champion route too
+      Row(8L, ImageCodec.encodeAnimatedGif(3, 3, 2)),
+      Row(9L, ImageCodec.encodeImage("bmp", 3, 3)))
     val df = spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("id", LongType), StructField("blob", BinaryType))))
     val got = df.select(col("id"), Multimodal.sniffFormat(col("blob")).as("fmt"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "pdf",
-      5L -> "mp3", 6L -> "unknown", 7L -> "unknown"))
+      5L -> "mp3", 6L -> "unknown", 7L -> "unknown", 8L -> "gif", 9L -> "bmp"))
   }
 
   test("decodeImage: real javax.imageio header decode for PNG/BMP/GIF/JPEG") {
