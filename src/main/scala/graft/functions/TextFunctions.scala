@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens with empties dropped — ALL whitespace (space, tab,
-    * newline), not just the space character: a multi-line document must
-    * not fuse "hello\nworld" into one token, or every token count, quality
-    * ratio and signature silently diverges between space- and newline-
-    * separated but otherwise identical texts. DuckDB twin:
+    * newline, formfeed, CR), not just the space character: a multi-line
+    * document must not fuse "hello\nworld" into one token, or every token
+    * count, quality ratio and signature silently diverges between space-
+    * and newline-separated but otherwise identical texts. Implemented as a
+    * codegen'd byte-scan kernel ([[graft.operators.WhitespaceTokens]]) —
+    * regex split + a filter lambda measured ~1.5× slower on the
+    * tokenization-heavy gates. DuckDB twin:
     * regexp_split_to_array(text, '\s+') (see Extensions.toksSql).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), c => c =!= "")
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.WhitespaceTokens(
+      org.apache.spark.sql.GraftSqlShim.expression(text)))
 
   /** BPE-ish segmentation: word runs + punctuation runs. */
   def bpeTokens(text: Column): Column =
