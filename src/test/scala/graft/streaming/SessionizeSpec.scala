@@ -87,4 +87,64 @@ class SessionizeSpec extends SparkSpec {
         s"got $out")
     } finally q.stop()
   }
+
+  test("property: streaming sessions == batch fold under random batch splits + jitter") {
+    // the batch fold (sort everything, one pass) is the oracle; streaming
+    // must produce the IDENTICAL session set no matter how events are cut
+    // into micro-batches or locally reordered within the watermark bound
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 120L * 1000 // 2 min
+    val rnd = new scala.util.Random(20260813L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 09:00:00").getTime
+
+    for (trial <- 1 to 3) {
+      // ~40 events over 3 users, clustered so sessions of several events
+      // form; jitter keeps some events out of order but within the 10-min
+      // watermark allowance
+      val events = (1 to 40).map { i =>
+        val user = 1L + rnd.nextInt(3)
+        val cluster = rnd.nextInt(4) * (20 * 60 * 1000L) // four far-apart anchors
+        val offset = rnd.nextInt(5) * 30 * 1000L         // in-session spread
+        (user, new java.sql.Timestamp(base + cluster + offset))
+      }
+      val expected = Sessionize
+        .sessionsBatch(events.toDF("userId", "ts").as[Sessionize.Event], gapMs)
+        .collect().map(s => (s.userId, s.startMs, s.endMs, s.events)).toSet
+
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val stream = input.toDF().toDF("userId", "ts")
+        .withWatermark("ts", "10 minutes")
+        .as[Sessionize.Event]
+      val name = s"sess_prop_$trial"
+      val q = Sessionize.sessions(stream, gapMs).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        // random batch cuts over a ROUGHLY time-ordered feed (sorted, then
+        // local swaps within the watermark bound — arbitrary splits of a
+        // fully shuffled feed would legitimately drop below-watermark rows)
+        val feed = events.sortBy(_._2.getTime).toArray
+        for (i <- feed.indices; j = i + rnd.nextInt(3))
+          if (j < feed.length && math.abs(feed(i)._2.getTime - feed(j)._2.getTime) < 5 * 60 * 1000L) {
+            val t = feed(i); feed(i) = feed(j); feed(j) = t
+          }
+        var rest = feed.toSeq
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(7)
+          input.addData(rest.take(n))
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        // watermark carriers flush every remaining open session
+        input.addData((99L, new java.sql.Timestamp(base + 9 * 3600 * 1000L)))
+        q.processAllAvailable()
+        input.addData((99L, new java.sql.Timestamp(base + 9 * 3600 * 1000L + 1000)))
+        q.processAllAvailable()
+        val got = spark.table(name).as[Sessionize.Session].collect()
+          .filter(_.userId != 99L).map(s => (s.userId, s.startMs, s.endMs, s.events)).toSet
+        assert(got == expected,
+          s"trial $trial: streaming ${got.toList.sorted} != batch ${expected.toList.sorted}")
+      } finally q.stop()
+    }
+  }
 }
