@@ -183,18 +183,41 @@ object Extensions {
     * Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= minJaccard.
     */
   private[queries] def verifiedNearDupPairs(docs: DataFrame,
-                                            minJaccard: Double = 0.5): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+                                            minJaccard: Double = 0.5): DataFrame =
+    Extensions.pairJaccard(docs.select("doc_id", "text"), neardupCandidatePairs(docs))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** The candidate HALF of the shared pipeline alone: (doc_a, doc_b) pairs
+    * from the minhash signature buckets, unverified. Exposed so alternative
+    * verification metrics (exact Jaccard above, edit distance in
+    * x_neardup_edit) reuse one candidate generator instead of forking the
+    * sentinel/bucket-cap discipline.
+    */
+  private[queries] def neardupCandidatePairs(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), col("text"))
       .withColumn("sh", TF.shingles(col("text"), 2))
-    val sigs = base
       .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))
       .select(col("doc_id"),
         coalesce(TF.minhashFromHashes(col("_h"), k = 4),
           concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
-    val cand = boundedBucketPairs(
+    boundedBucketPairs(
       sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
-    Extensions.pairJaccard(base.select("doc_id", "text"), cand)
-      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Edit-distance verification of candidate pairs, same shuffle discipline
+    * as [[pairJaccard]]: the tiny pair set is broadcast, the corpus streams
+    * through two broadcast hash joins, and only the matched rows' texts are
+    * carried — at 100 TB no text enters an exchange keyed by anything but
+    * the broadcast probe. levenshtein is the O(|a|·|b|) DP in BOTH engines
+    * (integer-exact, so the oracle comparison is bit-free of float concerns);
+    * it runs only on the ~|pairs| matched rows, never corpus×corpus.
+    */
+  private[queries] def pairEditDistance(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val withA = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(broadcast(pairs), "doc_a")
+    val both = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      .join(broadcast(withA), "doc_b")
+    both.withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
   }
 
   private[queries] def neardupEdges(docs: DataFrame): DataFrame =
@@ -1574,6 +1597,175 @@ object Extensions {
         |SELECT g.lang, count(*) AS n_clean, CAST(sum(g.n_chars) AS BIGINT) AS sum_chars
         |FROM grams g LEFT JOIN bad b ON g.doc_id = b.doc_id
         |WHERE g.doc_id % 97 <> 0 AND b.doc_id IS NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2g: near-dup candidates verified by EDIT DISTANCE instead of set
+    // Jaccard — the complementary metric: Jaccard is order-blind (a
+    // shuffled copy scores 1.0), levenshtein is order-sensitive, so this is
+    // the verifier that distinguishes re-ordered boilerplate from true
+    // near-copies. Candidates come from the SAME minhash bucket generator
+    // as the Jaccard family (one candidate discipline, two verifiers); the
+    // DP runs only on the broadcast-matched pairs. Threshold in pure
+    // integers: dist/max_len <= 0.4 as 5*dist <= 2*max_len.
+    ("x_neardup_edit",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        pairEditDistance(docs, neardupCandidatePairs(docs))
+          .withColumn("max_len", greatest(length(col("text_a")), length(col("text_b"))))
+          .filter(col("edit_dist") * 5 <= col("max_len") * 2)
+          .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"),
+            col("max_len").cast("long").as("max_len"))
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, text, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, text, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id, text, COALESCE(md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 9, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 17, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x), 25, 8)))),
+        |    'empty:' || CAST(doc_id AS VARCHAR)) AS sig
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+        |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) * 5 <= greatest(len(a.text), len(b.text)) * 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X4i: cross-document duplicated-n-gram fraction (the Gopher/C4
+    // "fraction of characters in duplicated n-grams" quality signal, at
+    // 5-gram granularity): for each doc, the share of its DISTINCT 5-token
+    // shingles that appear in any OTHER doc's shingle set. Exact-copy docs
+    // score 1.0, templated docs score high, organic docs near 0 — the
+    // corpus-level boilerplate detector that per-doc repetition (x_repetition)
+    // cannot see. Plan: one shingle-keyed agg builds the document-frequency
+    // table, the per-doc probe joins on the same key (the exchange is
+    // reused), one final doc-keyed agg. Integer counts + ONE double
+    // division, so the oracle matches bit-exactly. At 100 TB the df>=2 set
+    // is the boilerplate set — small by nature; AQE broadcasts it under the
+    // threshold, and the fallback is a plain hash join on the shingle (the
+    // x_decontaminate probe shape), never all-pairs.
+    ("x_boilerplate_ngrams",
+      (s: SparkSession, d: String) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(TF.shingles(col("text"), 5))).as("g"))
+        val shared = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("g"), lit(1L).as("is_shared"))
+        sh.join(shared, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+          .withColumn("dup_frac", col("n_shared").cast("double") / col("n_shingles"))
+          .filter(col("dup_frac") >= 0.5)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM toks),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM sh JOIN df USING (g) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  CAST(n_shared AS DOUBLE) / n_shingles AS dup_frac
+        |FROM scored
+        |WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.5
+        |ORDER BY doc_id""".stripMargin),
+
+    // X4j: TF-IDF term scoring — the classic two-aggregate shape: term
+    // frequency per (doc, term), document frequency per term, score =
+    // tf · (N/df). The idf is the RAW inverse document frequency (no log):
+    // tf·N is exact BIGINT, the single double division is IEEE-identical in
+    // both engines — whereas ln() is correctly-rounded in neither, so a
+    // log-idf oracle would hash-diverge in the last bit. Plan: explode →
+    // two-phase hash agg (map-side combine carries (term,count) partials,
+    // never raw tokens), df from the already-distinct tf pairs (no second
+    // pass over the corpus), corpus size broadcast as a 1-row join. Top-k
+    // via TakeOrderedAndProject — no global sort at any scale.
+    ("x_tfidf",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(df_, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            ((col("tf") * col("n_docs")).cast("double") / col("df")).as("tfidf"))
+          .orderBy(col("tfidf").desc, col("term"), col("doc_id"))
+          .limit(15)
+      },
+      s"""WITH terms AS (
+        |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY 5 DESC, 2, 1 LIMIT 15""".stripMargin),
+
+    // X4k: heavy hitters by SAMPLE-THEN-VERIFY — the two-pass frequent-items
+    // shape for streams whose full vocabulary is too wide to aggregate:
+    // pass 1 aggregates only a deterministic 1/16 occurrence sample (md5 of
+    // doc:pos:token — occurrence-level, so a token's sample count tracks its
+    // frequency; sampling on the token alone would be all-or-nothing),
+    // candidates = tokens holding ≥ 1/64 of the sampled stream; pass 2
+    // counts ONLY the candidates exactly (broadcast semi-join probe — agg
+    // state is |candidates|, not |vocab|) and re-checks the support against
+    // the exact total. At 100 TB this replaces a full-vocabulary groupBy
+    // (whose map-side combine state IS the vocabulary) with a sampled agg +
+    // a bounded exact pass — the deterministic, oracle-reproducible stand-in
+    // for Misra-Gries (whose state is merge-order-dependent and therefore
+    // unverifiable across engines). Both engines make identical sample
+    // decisions, so candidates — and thus the output — match bit-exactly.
+    ("x_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        val occ = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+        val sampleKey = substring(
+          md5(concat_ws(":", col("doc_id"), col("pos") + 1, col("token"))), 1, 1) === "0"
+        val samp = occ.filter(sampleKey).groupBy("token").agg(count(lit(1)).as("sc"))
+        val cand = samp.crossJoin(broadcast(samp.agg(sum(col("sc")).as("ts"))))
+          .filter(col("sc") * 64 >= col("ts")).select("token")
+        val total = occ.agg(count(lit(1)).as("total"))
+        occ.join(broadcast(cand), "token")
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .crossJoin(broadcast(total))
+          .filter(col("freq") * 64 >= col("total"))
+          .select(col("token"), col("freq"),
+            (col("freq").cast("double") / col("total")).as("share"))
+          .orderBy(col("freq").desc, col("token"))
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i, t[i] AS token
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |samp AS (
+        |  SELECT token, count(*) AS sc FROM occ
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || token), 1, 1) = '0'
+        |  GROUP BY 1),
+        |cand AS (
+        |  SELECT token FROM samp, (SELECT SUM(sc) AS ts FROM samp)
+        |  WHERE sc * 64 >= ts),
+        |exact AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM occ JOIN cand USING (token) GROUP BY 1)
+        |SELECT token, freq, CAST(freq AS DOUBLE) / total AS share
+        |FROM exact, (SELECT count(*) AS total FROM occ)
+        |WHERE freq * 64 >= total
+        |ORDER BY 2 DESC, 1""".stripMargin)
   )
 }

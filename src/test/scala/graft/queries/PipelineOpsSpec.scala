@@ -62,6 +62,101 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance verifier: exact DP values through the broadcast pair plumbing") {
+    import spark.implicits._
+    // classic DP reference, computed in the test itself
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"),
+      (3L, "a completely different document")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Extensions.pairEditDistance(docs, pairs)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Int)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(got((1L, 2L)) == lev(docs.collect()(0).getString(1), docs.collect()(1).getString(1)))
+    assert(got((1L, 3L)) == lev(docs.collect()(0).getString(1), docs.collect()(2).getString(1)))
+  }
+
+  test("edit distance is the order-SENSITIVE verifier Jaccard is not") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = a.split(" ").reverse.mkString(" ")
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.TextFunctions.jaccardOf(
+          graft.functions.TextFunctions.tokens(col("a")),
+          graft.functions.TextFunctions.tokens(col("b"))).as("j"),
+        levenshtein(col("a"), col("b")).as("lev"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 1.0, "token-set Jaccard is blind to reordering")
+    assert(r.getInt(1) > 0, "levenshtein sees the reordering")
+  }
+
+  test("boilerplate fraction matches an independent in-memory computation") {
+    val gate = Extensions.entries.find(_._1 == "x_boilerplate_ngrams").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty).sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet)
+    val dfreq = docs.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.length }
+    val expect = docs.collect { case (id, sh) if sh.nonEmpty =>
+      val shared = sh.count(g => dfreq(g) >= 2).toLong
+      (id, sh.size.toLong, shared, shared.toDouble / sh.size)
+    }.filter(_._4 >= 0.5).sortBy(_._1)
+    assert(expect.nonEmpty, "fixture must contain high-overlap docs")
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("tfidf top-k matches an independent in-memory computation") {
+    val gate = Extensions.entries.find(_._1 == "x_tfidf").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val texts = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    val n = texts.length.toLong
+    val tf = texts.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) } }
+    val dfreq = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = tf.map { case (id, t, f) => (id, t, f, dfreq(t), (f * n).toDouble / dfreq(t)) }
+      .sortBy { case (id, t, _, _, sc) => (-sc, t, id) }.take(15)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("heavy hitters: sample-verified counts are EXACT for every emitted token") {
+    val gate = Extensions.entries.find(_._1 == "x_heavy_hitters").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val occs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val trueCounts = occs.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = occs.length.toLong
+    assert(got.nonEmpty, "fixture vocabulary must contain heavy hitters")
+    got.foreach { case (tok, freq, share) =>
+      assert(freq == trueCounts(tok), s"$tok: emitted count must be the EXACT count")
+      assert(freq * 64 >= total, s"$tok: support below the exact threshold")
+      assert(share == freq.toDouble / total)
+    }
+    // completeness is sample-bounded, not exact — but anything WELL above
+    // the threshold (2x) cannot be missed by a 1/16 occurrence sample here
+    trueCounts.filter { case (_, c) => c * 32 >= total }.keys.foreach { t =>
+      assert(got.exists(_._1 == t), s"$t is 2x over threshold yet missing")
+    }
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
