@@ -97,6 +97,45 @@ object VectorFunctions {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
       .select(col("rank"), col(idCol), col("sim"))
 
+  /** Exact k-NN JOIN: per-query top-k by cosine for a BATCH of query
+    * vectors — the building block of embedding-level dedup and retrieval
+    * evaluation, where [[bruteForceTopK]]'s single global TakeOrdered can't
+    * apply (top-k is per query, not per corpus). Two-stage bucketed top-k:
+    *
+    *   1. the query batch broadcasts (bounded by contract — a query BATCH,
+    *      not a second corpus); each corpus row scores all queries map-side;
+    *   2. local top-k per (query, bucket-of-corpus-id) over `fanout`
+    *      buckets — the exchange key carries the bucket, so no partition
+    *      ever holds more than ~|corpus|/fanout rows for one query (a
+    *      single-key window here would re-sort the whole corpus per query
+    *      — the straggler a 100 TB run dies on);
+    *   3. exact merge: a per-query window over the ≤ fanout·k survivors.
+    *
+    * Rank ties break by id, so the ranking is deterministic cross-engine
+    * even though cosine floats are compared only within one engine.
+    *
+    * @param corpus  (idCol, vecCol) table, any size
+    * @param queries (qidCol, qvecCol) table, broadcastable
+    * @return (query_id, rank, idCol) rows, rank 1..k per query
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              qidCol: String, qvecCol: String, k: Int, fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && fanout >= 1)
+    val q = broadcast(queries.select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q")))
+    val scored = corpus.crossJoin(q)
+      .withColumn("_graft_sim", cosineSimilarity(col(vecCol), col("_graft_q")))
+      .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
+    val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))
+      .orderBy(col("_graft_sim").desc_nulls_last, col(idCol))
+    val merge = Window.partitionBy(col("_graft_qid"))
+      .orderBy(col("_graft_sim").desc_nulls_last, col(idCol))
+    scored
+      .withColumn("_graft_r", row_number().over(local)).filter(col("_graft_r") <= k)
+      .withColumn("rank", row_number().over(merge).cast("long")).filter(col("rank") <= k)
+      .select(col("_graft_qid").as("query_id"), col("rank"), col(idCol))
+  }
+
   /** Brute-force exact top-k by cosine against a single query vector (the
     * correctness baseline; O(n·d) one pass, query broadcast).
     *

@@ -1766,6 +1766,36 @@ object Extensions {
         |SELECT token, freq, CAST(freq AS DOUBLE) / total AS share
         |FROM exact, (SELECT count(*) AS total FROM occ)
         |WHERE freq * 64 >= total
-        |ORDER BY 2 DESC, 1""".stripMargin)
+        |ORDER BY 2 DESC, 1""".stripMargin),
+
+    // X3d: exact k-NN JOIN — per-query top-k for a BATCH of query vectors
+    // (x_sim_topk is one query; retrieval evaluation and embedding-level
+    // dedup need the join form). Two-stage bucketed top-k: query batch
+    // broadcasts, local top-k per (query, corpus-id bucket) bounds every
+    // window partition to ~|corpus|/fanout rows, exact merge ranks the
+    // ≤ fanout·k survivors — no per-query full-corpus sort anywhere (the
+    // straggler shape a single-key window would plan). Output is ranks
+    // only; ties break by vec_id, so the result is deterministic even
+    // though the cosine floats are compared only within one engine.
+    ("x_knn_join",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        VF.knnJoin(
+          e.filter(col("vec_id") % 50 =!= 0),
+          e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |sims AS (
+        |  SELECT qid, vec_id, list_cosine_similarity(embedding, qe) AS sim
+        |  FROM embeddings, q WHERE vec_id % 50 <> 0),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id
+        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -142,6 +142,29 @@ class FunctionsSpec extends SparkSpec {
     assert(brute.map(_._1) == (1L to 5L))
   }
 
+  test("knnJoin: per-query results equal bruteForceTopK; invariant under fanout") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val queries = e.filter(col("vec_id") % 10 === 0).limit(3)
+    val got = VectorFunctions
+      .knnJoin(corpus, queries, "vec_id", "embedding", "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: one bruteForceTopK per query
+    val expect = queries.select(col("vec_id"), col("embedding").as("q")).collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val q1 = queries.filter(col("vec_id") === qid).select(col("embedding").as("q"))
+      VectorFunctions.bruteForceTopK(corpus, q1, "vec_id", "embedding", 4)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == expect)
+    // bucketed two-stage reduces to the single-stage plan at fanout=1
+    val f1 = VectorFunctions
+      .knnJoin(corpus, queries, "vec_id", "embedding", "vec_id", "embedding", k = 4, fanout = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f1 == got)
+  }
+
   test("shingles + token-set Jaccard") {
     val df = docs((1L, "a b c d"), (2L, "b c d e"), (3L, "x"))
     val sh = df.select(TextFunctions.shingles(col("text"), 2)).collect()

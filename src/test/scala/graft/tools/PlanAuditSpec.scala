@@ -67,6 +67,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept back into top-k:\n$plan")
   }
 
+  test("knn join: query batch broadcasts; every window partition key carries the query id") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val plan = planOf(graft.functions.VectorFunctions.knnJoin(
+      e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", "vec_id", "embedding", k = 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$plan")
+    // both windows partition by _graft_qid (stage 1 additionally by bucket):
+    // an unpartitioned window over the scored corpus is the single-reducer
+    // straggler this operator exists to avoid
+    val winSpecs = "Window .*".r.findAllIn(plan).toList
+    assert(winSpecs.nonEmpty, s"expected window stages:\n$plan")
+    winSpecs.foreach(w =>
+      assert(w.contains("_graft_qid"), s"window not partitioned by query id: $w"))
+  }
+
+  test("heavy hitters: candidate and total sides broadcast — the corpus never joins shuffled") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_heavy_hitters").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join degraded to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates not broadcast:\n$plan")
+  }
+
+  test("tfidf: top-k is TakeOrderedAndProject, corpus count broadcasts") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_tfidf").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-15 not TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"global window crept into tfidf:\n$plan")
+  }
+
   test("near-dup candidate generation is an equi-join on bucket — never all-pairs") {
     val d = "/root/testdata/sf0.001"
     val e = graft.queries.Tables.embeddings(spark, d)
