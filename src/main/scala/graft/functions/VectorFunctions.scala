@@ -125,6 +125,10 @@ object VectorFunctions {
     val q = broadcast(queries.select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q")))
     val scored = corpus.crossJoin(q)
       .withColumn("_graft_sim", cosineSimilarity(col(vecCol), col("_graft_q")))
+      // zero-norm vectors score NULL by the cosineSimilarity contract; a
+      // NULL row must not occupy a neighbor rank (desc_nulls_last would
+      // still row_number it when fewer than k real neighbors exist)
+      .filter(col("_graft_sim").isNotNull)
       .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
     val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))
       .orderBy(col("_graft_sim").desc_nulls_last, col(idCol))

@@ -1645,12 +1645,16 @@ object Extensions {
     // score 1.0, templated docs score high, organic docs near 0 — the
     // corpus-level boilerplate detector that per-doc repetition (x_repetition)
     // cannot see. Plan: one shingle-keyed agg builds the document-frequency
-    // table, the per-doc probe joins on the same key (the exchange is
-    // reused), one final doc-keyed agg. Integer counts + ONE double
-    // division, so the oracle matches bit-exactly. At 100 TB the df>=2 set
-    // is the boilerplate set — small by nature; AQE broadcasts it under the
-    // threshold, and the fallback is a plain hash join on the shingle (the
-    // x_decontaminate probe shape), never all-pairs.
+    // table, then the probe side re-tokenizes the corpus and joins on the
+    // shingle — TWO corpus passes by design: the exploded (doc_id, gram)
+    // stream is larger than the input text, so re-running the cheap
+    // tokenize Generate beats materializing it (spill `materializeCorpus`
+    // if the corpus read itself dominates). One final doc-keyed agg.
+    // Integer counts + ONE double division, so the oracle matches
+    // bit-exactly. At 100 TB the df>=2 set is the boilerplate set — small
+    // by nature; AQE broadcasts it under the threshold, and the fallback
+    // is a plain hash join on the shingle (the x_decontaminate probe
+    // shape), never all-pairs.
     ("x_boilerplate_ngrams",
       (s: SparkSession, d: String) => {
         val sh = Tables.documents(s, d)
@@ -1700,9 +1704,13 @@ object Extensions {
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
+        // tf cast to double BEFORE the multiply: a BIGINT tf·N product has
+        // an overflow cliff at extreme corpus sizes (an ANSI-mode abort);
+        // double·long → double is the same IEEE operation sequence in both
+        // engines at any scale, no cliff
         tf.join(df_, "term").crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
-            ((col("tf") * col("n_docs")).cast("double") / col("df")).as("tfidf"))
+            (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf"))
           .orderBy(col("tfidf").desc, col("term"), col("doc_id"))
           .limit(15)
       },
@@ -1712,7 +1720,7 @@ object Extensions {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT doc_id, term, tf, df,
-        |  CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+        |  CAST(tf AS DOUBLE) * n_docs / df AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY 5 DESC, 2, 1 LIMIT 15""".stripMargin),
 
@@ -1721,25 +1729,32 @@ object Extensions {
     // pass 1 aggregates only a deterministic 1/16 occurrence sample (md5 of
     // doc:pos:token — occurrence-level, so a token's sample count tracks its
     // frequency; sampling on the token alone would be all-or-nothing),
-    // candidates = tokens holding ≥ 1/64 of the sampled stream; pass 2
-    // counts ONLY the candidates exactly (broadcast semi-join probe — agg
-    // state is |candidates|, not |vocab|) and re-checks the support against
-    // the exact total. At 100 TB this replaces a full-vocabulary groupBy
-    // (whose map-side combine state IS the vocabulary) with a sampled agg +
-    // a bounded exact pass — the deterministic, oracle-reproducible stand-in
-    // for Misra-Gries (whose state is merge-order-dependent and therefore
-    // unverifiable across engines). Both engines make identical sample
-    // decisions, so candidates — and thus the output — match bit-exactly.
+    // candidacy bar = ≥ 1/128 of the sampled stream — HALF the 1/64 report
+    // bar, so a frequent token whose deterministic sample under-represents
+    // it by up to 2x still reaches the exact pass (the standard
+    // sample-then-verify discipline: the sample only nominates, the exact
+    // counts decide; extras cost one probe row each). Pass 2 counts ONLY
+    // the candidates exactly (broadcast semi-join probe — agg state is
+    // |candidates|, not |vocab|) and applies the real ≥ 1/64 support test
+    // against the exact total (computed generator-free as sum of per-doc
+    // token counts — no third explode pass). At 100 TB this replaces a
+    // full-vocabulary groupBy (whose map-side combine state IS the
+    // vocabulary) with a sampled agg + a bounded exact pass — the
+    // deterministic, oracle-reproducible stand-in for Misra-Gries (whose
+    // state is merge-order-dependent and therefore unverifiable across
+    // engines). Both engines make identical sample decisions, so
+    // candidates — and thus the output — match bit-exactly.
     ("x_heavy_hitters",
       (s: SparkSession, d: String) => {
-        val occ = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val occ = docs
           .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
         val sampleKey = substring(
           md5(concat_ws(":", col("doc_id"), col("pos") + 1, col("token"))), 1, 1) === "0"
         val samp = occ.filter(sampleKey).groupBy("token").agg(count(lit(1)).as("sc"))
         val cand = samp.crossJoin(broadcast(samp.agg(sum(col("sc")).as("ts"))))
-          .filter(col("sc") * 64 >= col("ts")).select("token")
-        val total = occ.agg(count(lit(1)).as("total"))
+          .filter(col("sc") * 128 >= col("ts")).select("token")
+        val total = docs.agg(sum(size(TF.tokens(col("text")))).cast("long").as("total"))
         occ.join(broadcast(cand), "token")
           .groupBy("token").agg(count(lit(1)).as("freq"))
           .crossJoin(broadcast(total))
@@ -1759,12 +1774,12 @@ object Extensions {
         |  GROUP BY 1),
         |cand AS (
         |  SELECT token FROM samp, (SELECT SUM(sc) AS ts FROM samp)
-        |  WHERE sc * 64 >= ts),
+        |  WHERE sc * 128 >= ts),
         |exact AS (
         |  SELECT token, count(*) AS freq
         |  FROM occ JOIN cand USING (token) GROUP BY 1)
         |SELECT token, freq, CAST(freq AS DOUBLE) / total AS share
-        |FROM exact, (SELECT count(*) AS total FROM occ)
+        |FROM exact, (SELECT CAST(SUM(len(t)) AS BIGINT) AS total FROM toks)
         |WHERE freq * 64 >= total
         |ORDER BY 2 DESC, 1""".stripMargin),
 
@@ -1777,6 +1792,8 @@ object Extensions {
     // straggler shape a single-key window would plan). Output is ranks
     // only; ties break by vec_id, so the result is deterministic even
     // though the cosine floats are compared only within one engine.
+    // Degenerate (zero-norm) vectors rank NOWHERE on either side: Spark
+    // filters the NULL sims, the oracle the NaNs.
     ("x_knn_join",
       (s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
@@ -1794,7 +1811,7 @@ object Extensions {
         |ranked AS (
         |  SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        |  FROM sims)
+        |  FROM sims WHERE NOT isnan(sim))
         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id
         |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)
   )
