@@ -1813,6 +1813,55 @@ object Extensions {
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
         |  FROM sims WHERE NOT isnan(sim))
         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id
-        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)
+        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin),
+
+    // X2h: SEMANTIC dedup (the SemDeDup shape) — duplicate CLUSTERS at the
+    // embedding level: sign-LSH cells nominate candidates (capped by the
+    // same boundedBucketPairs discipline as the text family — never
+    // all-pairs), exact cosine ≥ 0.99 verifies (planted clones at 1.0 vs
+    // corpus max ~0.5 — the float threshold sits in a chasm, so both
+    // engines make identical edge decisions), and connected components
+    // resolve transitive groups to (cluster, size, keep_id). The oracle
+    // recomputes components from BRUTE-FORCE pairs via a recursive CTE —
+    // agreement additionally proves the LSH cells lost no true pair.
+    ("x_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
+        val pairs = boundedBucketPairs(
+          corpus.groupBy("bucket").agg(collect_list(col("vec_id")).as("members")))
+        val withA = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"))
+          .join(broadcast(pairs), "doc_a")
+        val edges = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"))
+          .join(broadcast(withA), "doc_b")
+          .filter(VF.cosineSimilarity(col("emb_a"), col("emb_b")) >= 0.99)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        connectedComponents(edges)
+          .groupBy(col("label").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+          .orderBy("cluster_rep")
+      },
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1)
+        |SELECT label AS cluster_rep, count(*) AS n_members, min(doc_id) AS keep_id
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

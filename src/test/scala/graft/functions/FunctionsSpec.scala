@@ -167,6 +167,41 @@ class FunctionsSpec extends SparkSpec {
     assert(f1 == got)
   }
 
+  test("knnJoin property: random vectors at several fanouts match an in-memory ranking") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    def vecs(n: Int, off: Long) = (0 until n).map(i =>
+      Row(off + i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val corpusRows = vecs(60, 0L)
+    val queryRows = vecs(4, 1000L)
+    val corpus = spark.createDataFrame(corpusRows.asJava, schema)
+    val queries = spark.createDataFrame(queryRows.asJava, schema)
+    // mirror cosineSimilarity's exact op order: per-element double products
+    // folded left, sqrt'd norms multiplied, one division
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      dot / (na * nb)
+    }
+    val expect = queryRows.flatMap { qr =>
+      val qid = qr.getLong(0)
+      val q = qr.getSeq[Float](1)
+      corpusRows.map(cr => (qid, cr.getLong(0), sim(q, cr.getSeq[Float](1))))
+        .sortBy { case (_, id, s) => (-s, id) }.take(6)
+        .zipWithIndex.map { case ((_, id, _), r) => (qid, (r + 1).toLong, id) }
+    }.toSet
+    Seq(1, 3, 32).foreach { fanout =>
+      val got = VectorFunctions
+        .knnJoin(corpus, queries, "vec_id", "embedding", "vec_id", "embedding",
+          k = 6, fanout = fanout)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"fanout=$fanout diverged from the in-memory ranking")
+    }
+  }
+
   test("shingles + token-set Jaccard") {
     val df = docs((1L, "a b c d"), (2L, "b c d e"), (3L, "x"))
     val sh = df.select(TextFunctions.shingles(col("text"), 2)).collect()
