@@ -220,6 +220,19 @@ object Extensions {
     both.withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
   }
 
+  /** The planted-clone embedding corpus both embedding-dedup gates share:
+    * every 10th vector re-appears under id+100000 (an exact cosine-1.0
+    * duplicate), and each row carries its 8-bit sign-LSH cell. ONE home for
+    * the planting constants — the two gates' DuckDB twins must stay
+    * byte-consistent with this construction, so it must not fork.
+    */
+  private[queries] def plantedEmbeddingCorpus(e: DataFrame): DataFrame = {
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    e.unionByName(planted)
+      .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
+  }
+
   private[queries] def neardupEdges(docs: DataFrame): DataFrame =
     verifiedNearDupPairs(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -573,11 +586,7 @@ object Extensions {
     // cannot flip any pair across it in either engine.
     ("x_neardup_embedding",
       (s: SparkSession, d: String) => {
-        val e = Tables.embeddings(s, d)
-        val planted = e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
-        val corpus = e.unionByName(planted)
-          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
+        val corpus = plantedEmbeddingCorpus(Tables.embeddings(s, d))
         val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
           col("embedding").as("emb_a"), col("label").as("label_a"))
         val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
@@ -1826,11 +1835,7 @@ object Extensions {
     // agreement additionally proves the LSH cells lost no true pair.
     ("x_semantic_dedup",
       (s: SparkSession, d: String) => {
-        val e = Tables.embeddings(s, d)
-        val planted = e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-        val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
-          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
+        val corpus = plantedEmbeddingCorpus(Tables.embeddings(s, d))
         val pairs = boundedBucketPairs(
           corpus.groupBy("bucket").agg(collect_list(col("vec_id")).as("members")))
         val withA = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"))
@@ -1839,9 +1844,11 @@ object Extensions {
           .join(broadcast(withA), "doc_b")
           .filter(VF.cosineSimilarity(col("emb_a"), col("emb_b")) >= 0.99)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        // cluster_rep IS the keep-id (min-label CC converges every label to
+        // the component minimum); max(doc_id) surfaces an independent value
         connectedComponents(edges)
           .groupBy(col("label").as("cluster_rep"))
-          .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
           .orderBy("cluster_rep")
       },
       """WITH RECURSIVE corpus AS (
@@ -1861,7 +1868,76 @@ object Extensions {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
         |labels AS (
         |  SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1)
-        |SELECT label AS cluster_rep, count(*) AS n_members, min(doc_id) AS keep_id
-        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin)
+        |SELECT label AS cluster_rep, count(*) AS n_members, max(doc_id) AS max_member
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
+    // |sh(A)∩sh(B)| / |sh(A)| catches an excerpt/quote A living inside a
+    // longer B, which Jaccard structurally misses (a 15-token excerpt of a
+    // 400-token doc has Jaccard ~0.04 but containment 1.0). Fixture plants
+    // excerpts in-query: the first 15 tokens of every 25th doc re-enter
+    // under id+200000. Candidates via a RARE-shingle inverted index (df in
+    // [2,8]): common shingles nominate nobody — the df cap is what bounds
+    // the self-join fanout at 100 TB (Σ df² over capped shingles ≤ 8·Σdf;
+    // an uncapped inverted index explodes on boilerplate) — and the oracle
+    // MIRRORS the nomination, so both engines see the identical candidate
+    // set by construction. Verification reuses the pairJaccard broadcast
+    // discipline: only the matched rows' shingle arrays are ever computed.
+    ("x_containment",
+      (s: SparkSession, d: String) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val excerpts = base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            array_join(slice(TF.tokens(col("text")), 1, 15), " ").as("text"))
+        val docs = base.unionByName(excerpts)
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 8)).select("g")
+        val inv = sh.join(rare, "g")
+        val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
+          .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
+          .join(broadcast(cand), "doc_a")
+          .withColumn("sh_a", array_distinct(TF.shingles(col("text"), 3))).drop("text")
+        val both = docs.select(col("doc_id").as("doc_b"), col("text"))
+          .join(broadcast(withA), "doc_b")
+          .withColumn("sh_b", array_distinct(TF.shingles(col("text"), 3))).drop("text")
+        both.filter(size(col("sh_a")) > 0)
+          .withColumn("containment",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+          .filter(col("containment") >= 0.9)
+          .select(col("doc_a"), col("doc_b"),
+            size(col("sh_a")).cast("long").as("n_shingles_a"), col("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH ex AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(($toksSql)[1:15], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |docs AS (
+        |  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ex),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        |  FROM docs),
+        |sh3 AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] ELSE
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END) AS sh
+        |  FROM toks),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh3),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
+        |  WHERE a.doc_id <> b.doc_id)
+        |SELECT c.doc_a, c.doc_b, CAST(len(a.sh) AS BIGINT) AS n_shingles_a,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        |FROM cand c JOIN sh3 a ON a.doc_id = c.doc_a JOIN sh3 b ON b.doc_id = c.doc_b
+        |WHERE len(a.sh) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+        |ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -157,6 +157,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment: every planted excerpt is found at containment 1.0") {
+    val gate = Extensions.entries.find(_._1 == "x_containment").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // each planted excerpt (id+200000, first 15 tokens of doc id%25==0 with
+    // >= 3 tokens) is contained in its source: the pair must be emitted
+    // with containment exactly 1.0
+    val sources = Tables.documents(spark, d)
+      .filter(col("doc_id") % 25 === 0 &&
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(got.exists(p => p._1 == id + 200000L && p._2 == id && p._3 == 1.0),
+        s"excerpt of doc $id not found at containment 1.0")
+    }
+    // asymmetry: a long source is NOT emitted as contained in its excerpt
+    // (unless the doc has <= 17 tokens, making excerpt == whole doc)
+    val longSources = Tables.documents(spark, d)
+      .filter(col("doc_id") % 25 === 0 &&
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)
+      .select("doc_id").collect().map(_.getLong(0))
+    longSources.foreach { id =>
+      assert(!got.exists(p => p._1 == id && p._2 == id + 200000L),
+        s"long doc $id wrongly 'contained' in its own 15-token excerpt")
+    }
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
