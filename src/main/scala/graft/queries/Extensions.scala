@@ -1876,13 +1876,19 @@ object Extensions {
     // longer B, which Jaccard structurally misses (a 15-token excerpt of a
     // 400-token doc has Jaccard ~0.04 but containment 1.0). Fixture plants
     // excerpts in-query: the first 15 tokens of every 25th doc re-enter
-    // under id+200000. Candidates via a RARE-shingle inverted index (df in
-    // [2,8]): common shingles nominate nobody — the df cap is what bounds
-    // the self-join fanout at 100 TB (Σ df² over capped shingles ≤ 8·Σdf;
-    // an uncapped inverted index explodes on boilerplate) — and the oracle
-    // MIRRORS the nomination, so both engines see the identical candidate
-    // set by construction. Verification reuses the pairJaccard broadcast
-    // discipline: only the matched rows' shingle arrays are ever computed.
+    // under id+200000. Candidates via a RARE-5-shingle inverted index (df
+    // in [2,8]): nomination runs on 5-grams — a |vocab|^5 universe where
+    // only true excerpts/near-dups collide — while the metric runs on
+    // 3-grams. Nominating on the metric's own 3-grams measured 192s at
+    // sf0.1: in a small-vocabulary corpus the average 3-gram df is ~7, so
+    // nearly EVERY shingle passes a df cap and the index nominates ~1M
+    // pairs; the 5-gram universe keeps df concentrated at the true-dup
+    // pairs (the same reason the minhash family signs shingles, not
+    // tokens). The df cap still bounds the self-join fanout on planted
+    // boilerplate (Σ df² ≤ 8·Σdf), and the oracle MIRRORS the nomination,
+    // so both engines see the identical candidate set by construction.
+    // Verification reuses the pairJaccard broadcast discipline: only the
+    // matched rows' shingle arrays are ever computed.
     ("x_containment",
       (s: SparkSession, d: String) => {
         val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -1890,11 +1896,11 @@ object Extensions {
           .select((col("doc_id") + 200000L).as("doc_id"),
             array_join(slice(TF.tokens(col("text")), 1, 15), " ").as("text"))
         val docs = base.unionByName(excerpts)
-        val sh = docs.select(col("doc_id"),
-          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
-        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        val nom = docs.select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("text"), 5))).as("g"))
+        val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 8)).select("g")
-        val inv = sh.join(rare, "g")
+        val inv = nom.join(rare, "g")
         val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
           .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
           .filter(col("doc_a") =!= col("doc_b"))
@@ -1927,7 +1933,11 @@ object Extensions {
         |    list_transform(generate_series(1, len(t) - 2),
         |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END) AS sh
         |  FROM toks),
-        |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh3),
+        |inv AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM toks),
         |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 8),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

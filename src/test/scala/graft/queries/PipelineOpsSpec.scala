@@ -162,11 +162,11 @@ class PipelineOpsSpec extends SparkSpec {
     val got = gate(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     // each planted excerpt (id+200000, first 15 tokens of doc id%25==0 with
-    // >= 3 tokens) is contained in its source: the pair must be emitted
-    // with containment exactly 1.0
+    // >= 5 tokens — nomination needs one shared 5-gram) is contained in its
+    // source: the pair must be emitted with containment exactly 1.0
     val sources = Tables.documents(spark, d)
       .filter(col("doc_id") % 25 === 0 &&
-        size(graft.functions.TextFunctions.tokens(col("text"))) >= 3)
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 5)
       .select("doc_id").collect().map(_.getLong(0))
     assert(sources.nonEmpty)
     sources.foreach { id =>
