@@ -1948,6 +1948,62 @@ object Extensions {
         |FROM cand c JOIN sh3 a ON a.doc_id = c.doc_a JOIN sh3 b ON b.doc_id = c.doc_b
         |WHERE len(a.sh) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X1b: INCREMENTAL dedup — dedup a new batch against the accumulated
+    // corpus, with the history as a bloom-indexed, bucket-partitioned
+    // Graft TABLE rather than a transient DataFrame: the durable dedup
+    // state a daily 100 TB ingest actually keeps (append-only fingerprints;
+    // next batch appends its admitted fps — snapshot history doubles as the
+    // ingest audit log). Fixture plants both rejection classes in-query:
+    // re-crawled history docs (+300000 ids, caught by the history
+    // anti-join) and within-batch resubmissions (+400000 ids, caught by
+    // min-keep). Shuffle discipline: text never moves — the batch reduces
+    // to (fp, doc_id) before any exchange, the anti-join is hash-only on
+    // the 128-bit fingerprint, and the admitted ids rejoin the batch
+    // rows map-side-broadcast for the final per-lang rollup.
+    ("x_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"), col("lang"), col("n_chars"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 20 === 1)
+            .select((col("doc_id") + 400000L).as("doc_id"), col("lang"), col("n_chars"), col("text")))
+        val fps = hist.select(TF.fingerprint(col("text")).as("fp"))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.fingerprints", fps.schema,
+          partitionBy = Seq("fp" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
+        t.append(s, fps)
+        val batchFp = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        val firstIn = batchFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val admitted = firstIn
+          .join(t.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+          .select("doc_id")
+        batch.join(broadcast(admitted), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("admitted"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, lang, n_chars, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, lang, n_chars, text FROM docs WHERE doc_id % 20 = 1),
+        |hist AS (SELECT md5(text) AS fp FROM docs WHERE doc_id % 2 = 0),
+        |first_in AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM batch GROUP BY 1),
+        |admitted AS (
+        |  SELECT f.doc_id FROM first_in f
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
+        |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
+        |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

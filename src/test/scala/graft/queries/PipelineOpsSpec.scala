@@ -185,6 +185,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup matches an in-memory replay; both rejection classes reject") {
+    val gate = Extensions.entries.find(_._1 == "x_incremental_dedup").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Tables.documents(spark, d).select("doc_id", "lang", "n_chars", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hist = rows.filter(_._1 % 2 == 0)
+    val batch = rows.filter(_._1 % 2 == 1) ++
+      hist.filter(_._1 % 10 == 0).map(r => (r._1 + 300000L, r._2, r._3, r._4)) ++
+      rows.filter(_._1 % 20 == 1).map(r => (r._1 + 400000L, r._2, r._3, r._4))
+    val histFps = hist.map(r => md5hex(r._4)).toSet
+    val firstIn = batch.groupBy(r => md5hex(r._4)).map { case (fp, xs) =>
+      fp -> xs.map(_._1).min }
+    val admittedIds = firstIn.collect {
+      case (fp, id) if !histFps.contains(fp) => id }.toSet
+    // planted rejections: every +300000 re-crawl and +400000 resubmission out
+    assert(batch.exists(_._1 >= 300000L), "fixture must plant rejections")
+    assert(admittedIds.forall(_ < 300000L), "a planted duplicate was admitted")
+    val expect = batch.filter(r => admittedIds.contains(r._1))
+      .groupBy(_._2).map { case (lang, xs) =>
+        (lang, xs.length.toLong, xs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
