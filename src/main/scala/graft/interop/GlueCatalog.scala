@@ -109,9 +109,16 @@ object GlueCatalog {
           respond(ex, 200, s"""{"DatabaseList":[$dbs]}""")
         case "AWSGlue.GetTables" =>
           val ns = str(req \ "DatabaseName")
-          val ts = cat.listTables(ns)
-            .map(full => tableEntity(ns, full.split('.').last)).mkString(",")
-          respond(ex, 200, s"""{"TableList":[$ts]}""")
+          // real Glue raises EntityNotFoundException for an unknown
+          // database — an empty TableList would make "no tables yet" and
+          // "misspelled database" indistinguishable to the engine side
+          if (!cat.listNamespaces().contains(ns))
+            err(ex, 400, "EntityNotFoundException", s"Database $ns not found")
+          else {
+            val ts = cat.listTables(ns)
+              .map(full => tableEntity(ns, full.split('.').last)).mkString(",")
+            respond(ex, 200, s"""{"TableList":[$ts]}""")
+          }
         case "AWSGlue.GetTable" =>
           val ns = str(req \ "DatabaseName")
           val t = str(req \ "Name")

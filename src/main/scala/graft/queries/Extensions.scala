@@ -233,6 +233,29 @@ object Extensions {
       .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 8))
   }
 
+  /** The x_heavy_hitters pipeline over any (doc_id, text) corpus — exposed
+    * so the randomized property test replays the IDENTICAL operator
+    * (sampling decision, both thresholds, ordering) over corpora the gate
+    * fixture never exercises.
+    */
+  private[queries] def heavyHitters(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+    val sampleKey = substring(
+      md5(concat_ws(":", col("doc_id"), col("pos") + 1, col("token"))), 1, 1) === "0"
+    val samp = occ.filter(sampleKey).groupBy("token").agg(count(lit(1)).as("sc"))
+    val cand = samp.crossJoin(broadcast(samp.agg(sum(col("sc")).as("ts"))))
+      .filter(col("sc") * 128 >= col("ts")).select("token")
+    val total = docs.agg(sum(size(TF.tokens(col("text")))).cast("long").as("total"))
+    occ.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * 64 >= col("total"))
+      .select(col("token"), col("freq"),
+        (col("freq").cast("double") / col("total")).as("share"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   private[queries] def neardupEdges(docs: DataFrame): DataFrame =
     verifiedNearDupPairs(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1754,24 +1777,7 @@ object Extensions {
     // engines). Both engines make identical sample decisions, so
     // candidates — and thus the output — match bit-exactly.
     ("x_heavy_hitters",
-      (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-        val occ = docs
-          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
-        val sampleKey = substring(
-          md5(concat_ws(":", col("doc_id"), col("pos") + 1, col("token"))), 1, 1) === "0"
-        val samp = occ.filter(sampleKey).groupBy("token").agg(count(lit(1)).as("sc"))
-        val cand = samp.crossJoin(broadcast(samp.agg(sum(col("sc")).as("ts"))))
-          .filter(col("sc") * 128 >= col("ts")).select("token")
-        val total = docs.agg(sum(size(TF.tokens(col("text")))).cast("long").as("total"))
-        occ.join(broadcast(cand), "token")
-          .groupBy("token").agg(count(lit(1)).as("freq"))
-          .crossJoin(broadcast(total))
-          .filter(col("freq") * 64 >= col("total"))
-          .select(col("token"), col("freq"),
-            (col("freq").cast("double") / col("total")).as("share"))
-          .orderBy(col("freq").desc, col("token"))
-      },
+      (s: SparkSession, d: String) => heavyHitters(Tables.documents(s, d)),
       s"""WITH toks AS (
         |  SELECT doc_id, $toksSql AS t FROM documents),
         |occ AS (

@@ -576,9 +576,14 @@ object MaintenanceOps {
           val t = cat.createTable("db.li_zorder", li.schema)
           t.setProperty(graft.format.TableProperties.ClusterBy, "l_orderkey,l_partkey")
           t.setProperty(graft.format.TableProperties.ClusterStrategy, "zorder")
-          // bound file size so the z-sorted write splits into many z-cells
-          // (AQE may coalesce the range shuffle itself into few partitions)
-          t.setProperty(graft.format.TableProperties.TargetFileSize, (256 * 1024).toString)
+          // split into ~12 z-cells REGARDLESS of scale (AQE may coalesce
+          // the range shuffle itself into few partitions): a fixed 2048
+          // rows/file left only 3 cells at sf0.001, and 3 z-ranges bound
+          // only ONE dimension's MSB — pruned_dim1 was false at tiny scale
+          // (and ~300 cells at sf0.1 made the fixture needlessly slow)
+          val rowsPerFile = math.max(256L, li.count() / 12)
+          t.setProperty(graft.format.TableProperties.TargetFileSize,
+            (rowsPerFile * 128).toString)
           t.setProperty("write.estimated-row-size-bytes", "128")
           t.append(s, li)
           t
@@ -758,7 +763,13 @@ object MaintenanceOps {
           val t0 = cat.createTable("db.li_hyb", li.schema)
           t0.append(s, li)
           t0.setProperty("cluster-by", "l_orderkey")
-          t0.compact(s, targetFileSizeBytes = Some(64 * 1024))
+          // target sized RELATIVE to the table (~6 post-compact files), not
+          // a fixed 64 KB: at sf0.001 the whole 2-column table is under
+          // 64 KB, so an absolute target compacted to ONE file and the
+          // hybrid count had nothing to decide (flag false at tiny scale,
+          // true elsewhere — a scale-dependent gate is a broken gate)
+          val bytes = t0.scan().dataFiles.map(_.fileSizeBytes).sum
+          t0.compact(s, targetFileSizeBytes = Some(math.max(4096L, bytes / 6)))
           t0
         }
         val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2

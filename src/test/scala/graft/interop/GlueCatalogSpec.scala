@@ -58,6 +58,11 @@ class GlueCatalogSpec extends SparkSpec {
       // a missing table is the Glue-shaped error document
       val e3 = intercept[Exception](client.metadataLocation("db", "nope"))
       assert(e3.getMessage.contains("EntityNotFoundException"), e3.getMessage)
+
+      // an unknown DATABASE is EntityNotFound too (real Glue semantics) —
+      // not an empty TableList, which would hide a misspelled namespace
+      val e4 = intercept[Exception](client.tables("no_such_db"))
+      assert(e4.getMessage.contains("EntityNotFoundException"), e4.getMessage)
     } finally server.stop()
   }
 }

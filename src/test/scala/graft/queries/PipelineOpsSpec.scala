@@ -212,6 +212,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("heavy hitters property: full replay on random skewed corpora, 3 seeds") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      // zipf-ish skew: low indices dominate
+      def draw(): String = vocab(math.min(39, (math.pow(rnd.nextDouble(), 2.5) * 40).toInt))
+      val corpus = (0 until 120).map(i =>
+        (i.toLong, Seq.fill(10 + rnd.nextInt(40))(draw()).mkString(" ")))
+      val got = Extensions.heavyHitters(corpus.toDF("doc_id", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // exact in-memory replay of the operator's contract
+      val occ = corpus.flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).zipWithIndex
+          .map { case (t, p) => (id, p + 1, t) } }
+      val sampled = occ.filter { case (id, p, t) => md5hex(s"$id:$p:$t").startsWith("0") }
+      val sc = sampled.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+      val ts = sc.values.sum
+      val cand = sc.collect { case (t, c) if c * 128 >= ts => t }.toSet
+      val total = occ.length.toLong
+      val expect = occ.filter(o => cand(o._3)).groupBy(_._3)
+        .map { case (t, xs) => (t, xs.length.toLong) }
+        .collect { case (t, f) if f * 64 >= total => (t, f, f.toDouble / total) }
+        .toSeq.sortBy { case (t, f, _) => (-f, t) }
+      assert(got == expect, s"seed $seed: replay diverged")
+      assert(expect.nonEmpty, s"seed $seed: degenerate fixture (no heavy hitters)")
+    }
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
