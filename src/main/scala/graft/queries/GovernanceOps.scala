@@ -30,9 +30,7 @@ object GovernanceOps {
     // a pinned snapshot, and a metadata pointer at v2 (create + 1 insert).
     ("g_describe",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        MaintenanceOps.registerSqlCatalog(s)
         val tbl = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src")
@@ -79,9 +77,7 @@ object GovernanceOps {
     // old state expires later via normal snapshot retention.
     ("g_replace_table",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        MaintenanceOps.registerSqlCatalog(s)
         val tbl = s"rp_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src")
@@ -161,10 +157,17 @@ object GovernanceOps {
         val t = FixtureClock.timed {
           val t0 = cat.createTable("db.ev_ci", df.schema,
             partitionBy = Seq("event_type" -> Transform.Identity))
-          val mid = df.agg((min("event_id") + max("event_id")) / 2)
-            .head.getDouble(0)
-          t0.append(s, df.filter(col("event_id") < mid))
-          t0.append(s, df.filter(col("event_id") >= mid))
+          // split at each TYPE's own midpoint, not the global one: a type
+          // whose ids happen to sit entirely on one side of the global
+          // midpoint would get file_count=1 and break the pinned oracle —
+          // the per-type midpoint guarantees two non-empty, RANGE-DISJOINT
+          // halves for any type with >= 2 distinct ids, at any scale
+          val mids = df.groupBy("event_type")
+            .agg(((min("event_id") + max("event_id")) / 2).as("_mid"))
+          val withMid = df.join(mids, "event_type")
+          val cols = df.columns.map(col)
+          t0.append(s, withMid.filter(col("event_id") < col("_mid")).select(cols: _*))
+          t0.append(s, withMid.filter(col("event_id") >= col("_mid")).select(cols: _*))
           t0
         }
         val byId = t.clusteringInformation(s, "event_id").select(
@@ -239,8 +242,11 @@ object GovernanceOps {
     // external-catalog protocol the reference documents.
     ("g_glue_catalog",
       (s: SparkSession, d: String) => {
+        // the shared constant, not a string literal: a drifted spelling
+        // would silently degrade the delete to COW and this gate would
+        // keep passing while no longer exercising the MOR export path
         val t = eventsTable(s, d, partitioned = false,
-          props = Map("enable-iceberg-merge-on-read" -> "true"))
+          props = Map(graft.format.TableProperties.MergeOnRead -> "true"))
         t.delete(s, Seq(Predicate.Eq("event_type", "click"))) // MOR deletes
         val server = new graft.interop.GlueCatalog.Server(
           t.catalog, s, "123456789", "AKIDGRAFT", "s3cret").start()
@@ -274,6 +280,15 @@ object GovernanceOps {
         val cat2 = new graft.catalog.GraftCatalog(cat1.warehouse)
         cat2.loadTable("db.ev_refresh")
           .append(s, df.filter(col("event_id") % 2 === 1))
+        // REGRESS the version-hint cache to the pre-append version — the
+        // external writer "crashed before advancing the hint". A stateless
+        // handle re-reading the pointer would make a hint-trusting refresh
+        // look correct by accident; with the hint stale, both the refreshed
+        // version AND the row-complete read below are TRUE certifications
+        // of the probe-past-the-hint machinery (docs/11:174-183).
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t1.location, "metadata", "version-hint.text"),
+          vBefore.toString)
         val vAfter = cat1.refresh("db.ev_refresh")
         aggByType(t1.toDF(s))
           .withColumn("version_advanced", lit(vAfter == vBefore + 1))

@@ -26,6 +26,17 @@ object MaintenanceOps {
   private[queries] lazy val sqlWarehouse =
     java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
 
+  /** Register the shared graft_sql DSv2 catalog on this session. ONE home
+    * for the (class, warehouse) pair: the former seven copy-pasted blocks
+    * already produced one real order-dependence bug when two files
+    * registered the name with different warehouses.
+    */
+  private[queries] def registerSqlCatalog(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft_sql",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     // Missing #1 / DSv2: the reference's user surface is SQL (docs/08:83-141,
@@ -35,9 +46,7 @@ object MaintenanceOps {
     // time-travel count proves VERSION AS OF resolves the pre-DELETE state.
     ("g_sql_dml",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        registerSqlCatalog(s)
         val tbl = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src")
@@ -87,9 +96,7 @@ object MaintenanceOps {
     // (docs/03:173-180). Everything here goes through spark.sql only.
     ("g_sql_maintenance",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        registerSqlCatalog(s)
         val tbl = s"mt_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src")
@@ -658,9 +665,7 @@ object MaintenanceOps {
     // difference between a manifest read and a full-table pass.
     ("g_metadata_agg",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        registerSqlCatalog(s)
         val tbl = s"meta_${java.util.UUID.randomUUID().toString.take(8)}"
         FixtureClock.timed {
           Tables.events(s, d).createOrReplaceTempView("events_src_meta")
@@ -795,9 +800,7 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        registerSqlCatalog(s)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
         val sfx = java.util.UUID.randomUUID().toString.take(8)
@@ -895,9 +898,7 @@ object MaintenanceOps {
     // advancement is relative (by_ms) with hour-aligned steps.
     ("g_sql_tasks",
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.catalog.graft_sql",
-          classOf[graft.sources.GraftTableCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_sql.warehouse", sqlWarehouse)
+        registerSqlCatalog(s)
         val sfx = java.util.UUID.randomUUID().toString.take(8)
         val recent = s"recent_$sfx"; val hist = s"hist_$sfx"
         val cols = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
