@@ -1877,6 +1877,45 @@ object Extensions {
         |SELECT label AS cluster_rep, count(*) AS n_members, max(doc_id) AS max_member
         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X4l: corpus profile — the summary card every pipeline run starts and
+    // ends with (the "describe corpus" of training data): per-language doc
+    // counts, token totals, EXACT distinct vocabulary (two-phase distinct —
+    // at 100 TB swap in the KMV sketch gate's estimator; here the exact
+    // count is itself the oracle), char totals and token-length extremes.
+    // All integers + single divisions; one pass over the corpus plus the
+    // distinct-vocabulary aggregation.
+    ("x_corpus_profile",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", TF.tokenCount(col("text")))
+        val perLang = docs.groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            (sum(col("n_chars")).cast("double") / sum(col("n_tokens"))).as("chars_per_token"))
+        val vocab = docs
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("lang").agg(countDistinct(col("tok")).as("vocab"))
+        perLang.join(vocab, "lang").orderBy("lang")
+      },
+      s"""WITH toked AS (
+        |  SELECT lang, n_chars, len($toksSql) AS n_tokens, $toksSql AS t
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, count(*) AS docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |    CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        |    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |    CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+        |  FROM toked GROUP BY 1),
+        |vocab AS (
+        |  SELECT lang, count(DISTINCT tok) AS vocab
+        |  FROM (SELECT lang, unnest(t) AS tok FROM toked) GROUP BY 1)
+        |SELECT a.*, v.vocab FROM agg a JOIN vocab v USING (lang) ORDER BY a.lang""".stripMargin),
+
     // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
     // |sh(A)∩sh(B)| / |sh(A)| catches an excerpt/quote A living inside a
     // longer B, which Jaccard structurally misses (a 15-token excerpt of a
