@@ -1916,6 +1916,40 @@ object Extensions {
         |  FROM (SELECT lang, unnest(t) AS tok FROM toked) GROUP BY 1)
         |SELECT a.*, v.vocab FROM agg a JOIN vocab v USING (lang) ORDER BY a.lang""".stripMargin),
 
+    // X4m: document CHUNKING — overlapping token windows (W=32, stride=24,
+    // overlap 8), the unit-of-embedding prep for retrieval/RAG pipelines
+    // and long-document training: row-local window arithmetic (one
+    // generator per doc, no shuffle — the map-only shape at any scale),
+    // every token covered by >= 1 window, the last window short rather
+    // than dropped. Chunk text leaves as an md5 fingerprint (the gate
+    // checks identity, not payload); start positions are pure integer
+    // arithmetic so both engines cut identical windows.
+    ("x_chunk_windows",
+      (s: SparkSession, d: String) => {
+        val W = 32; val S = 24
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(1), greatest(lit(1), size(col("t")) - (W - S)), lit(S)))
+              .as(Seq("chunk_index", "start")))
+          .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+            size(slice(col("t"), col("start"), lit(W))).cast("long").as("chunk_tokens"),
+            md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_index")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |starts AS (
+        |  SELECT doc_id, t, (s - 1) // 24 AS k, s AS start
+        |  FROM toks, unnest(generate_series(1, greatest(1, len(t) - 8), 24)) AS u(s)
+        |  WHERE len(t) > 0)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_index,
+        |  CAST(len(t[start : start + 31]) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(t[start : start + 31], ' ')) AS chunk_md5
+        |FROM starts ORDER BY 1, 2""".stripMargin),
+
     // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
     // |sh(A)∩sh(B)| / |sh(A)| catches an excerpt/quote A living inside a
     // longer B, which Jaccard structurally misses (a 15-token excerpt of a

@@ -243,6 +243,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk windows: exact replay, full token coverage, short tail kept") {
+    val gate = Extensions.entries.find(_._1 == "x_chunk_windows").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, d).filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty)
+    assert(docs.nonEmpty)
+    val expect = docs.flatMap { case (id, t) =>
+      val n = t.length
+      val starts = 1 to math.max(1, n - 8) by 24
+      starts.zipWithIndex.map { case (st, k) =>
+        val w = t.slice(st - 1, math.min(n, st - 1 + 32))
+        (id, k.toLong, w.length.toLong, md5hex(w.mkString(" ")))
+      }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    assert(got.toSeq == expect)
+    // coverage: per doc, the last window's end reaches the final token and
+    // consecutive full windows overlap by exactly 8 tokens
+    docs.foreach { case (id, t) =>
+      val rows = expect.filter(_._1 == id)
+      val lastStart = 1 + (rows.length - 1) * 24
+      assert(lastStart - 1 + rows.last._3 == t.length, s"doc $id tail uncovered")
+      if (rows.length > 1) assert((1 + 24) - 1 < 32, "windows must overlap")
+    }
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
