@@ -111,8 +111,10 @@ object GlueCatalog {
           val ns = str(req \ "DatabaseName")
           // real Glue raises EntityNotFoundException for an unknown
           // database — an empty TableList would make "no tables yet" and
-          // "misspelled database" indistinguishable to the engine side
-          if (!cat.listNamespaces().contains(ns))
+          // "misspelled database" indistinguishable to the engine side.
+          // listNamespaces() is top-level only, so a DOTTED namespace that
+          // actually serves tables must not be rejected by the guard.
+          if (cat.listTables(ns).isEmpty && !cat.listNamespaces().contains(ns))
             err(ex, 400, "EntityNotFoundException", s"Database $ns not found")
           else {
             val ts = cat.listTables(ns)

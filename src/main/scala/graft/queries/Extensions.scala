@@ -1898,7 +1898,12 @@ object Extensions {
         val vocab = docs
           .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
           .groupBy("lang").agg(countDistinct(col("tok")).as("vocab"))
-        perLang.join(vocab, "lang").orderBy("lang")
+        // LEFT join: a language whose docs are all token-less has no vocab
+        // group, and an inner join would silently erase the language from
+        // its own profile — vocabulary 0 is the truthful summary
+        perLang.join(vocab, Seq("lang"), "left")
+          .withColumn("vocab", coalesce(col("vocab"), lit(0L)))
+          .orderBy("lang")
       },
       s"""WITH toked AS (
         |  SELECT lang, n_chars, len($toksSql) AS n_tokens, $toksSql AS t
@@ -1914,7 +1919,8 @@ object Extensions {
         |vocab AS (
         |  SELECT lang, count(DISTINCT tok) AS vocab
         |  FROM (SELECT lang, unnest(t) AS tok FROM toked) GROUP BY 1)
-        |SELECT a.*, v.vocab FROM agg a JOIN vocab v USING (lang) ORDER BY a.lang""".stripMargin),
+        |SELECT a.*, COALESCE(v.vocab, 0) AS vocab
+        |FROM agg a LEFT JOIN vocab v USING (lang) ORDER BY a.lang""".stripMargin),
 
     // X4m: document CHUNKING — overlapping token windows (W=32, stride=24,
     // overlap 8), the unit-of-embedding prep for retrieval/RAG pipelines

@@ -162,12 +162,17 @@ object GovernanceOps {
           // midpoint would get file_count=1 and break the pinned oracle —
           // the per-type midpoint guarantees two non-empty, RANGE-DISJOINT
           // halves for any type with >= 2 distinct ids, at any scale
+          // one aggregation pass, collected (a handful of event types):
+          // each append then filters with a literal-backed expression
+          // instead of re-running the midpoint agg + join per append
           val mids = df.groupBy("event_type")
             .agg(((min("event_id") + max("event_id")) / 2).as("_mid"))
-          val withMid = df.join(mids, "event_type")
-          val cols = df.columns.map(col)
-          t0.append(s, withMid.filter(col("event_id") < col("_mid")).select(cols: _*))
-          t0.append(s, withMid.filter(col("event_id") >= col("_mid")).select(cols: _*))
+            .collect().map(r => r.getString(0) -> r.getDouble(1))
+          val midExpr = mids.foldLeft(lit(Double.NaN)) { case (e, (k, v)) =>
+            when(col("event_type") === k, lit(v)).otherwise(e)
+          }
+          t0.append(s, df.filter(col("event_id") < midExpr))
+          t0.append(s, df.filter(col("event_id") >= midExpr))
           t0
         }
         val byId = t.clusteringInformation(s, "event_id").select(

@@ -264,12 +264,15 @@ class PipelineOpsSpec extends SparkSpec {
     }.sortBy(x => (x._1, x._2)).toSeq
     assert(got.toSeq == expect)
     // coverage: per doc, the last window's end reaches the final token and
-    // consecutive full windows overlap by exactly 8 tokens
+    // consecutive windows leave no gap (chunk k ends past chunk k+1's
+    // start ⟺ every non-final chunk is longer than the 24-token stride)
     docs.foreach { case (id, t) =>
       val rows = expect.filter(_._1 == id)
       val lastStart = 1 + (rows.length - 1) * 24
       assert(lastStart - 1 + rows.last._3 == t.length, s"doc $id tail uncovered")
-      if (rows.length > 1) assert((1 + 24) - 1 < 32, "windows must overlap")
+      rows.init.foreach { r =>
+        assert(r._3 > 24, s"doc $id chunk ${r._2}: gap before the next window")
+      }
     }
   }
 
