@@ -246,7 +246,12 @@ object Extensions {
     val samp = occ.filter(sampleKey).groupBy("token").agg(count(lit(1)).as("sc"))
     val cand = samp.crossJoin(broadcast(samp.agg(sum(col("sc")).as("ts"))))
       .filter(col("sc") * 128 >= col("ts")).select("token")
-    val total = docs.agg(sum(size(TF.tokens(col("text")))).cast("long").as("total"))
+    // NULL-text docs contribute ZERO, matching both the explode side
+    // (posexplode drops null arrays) and the oracle's NULL-skipping SUM —
+    // a bare size() would feed -1 per null row under non-ANSI sessions
+    val total = docs.agg(
+      sum(when(col("text").isNull, 0).otherwise(size(TF.tokens(col("text")))))
+        .cast("long").as("total"))
     occ.join(broadcast(cand), "token")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
@@ -1639,6 +1644,10 @@ object Extensions {
     // as the Jaccard family (one candidate discipline, two verifiers); the
     // DP runs only on the broadcast-matched pairs. Threshold in pure
     // integers: dist/max_len <= 0.4 as 5*dist <= 2*max_len.
+    // GATE CONTRACT — ASCII corpus only: Spark's levenshtein counts
+    // CODEPOINT edits, DuckDB's counts BYTE edits, so the oracle (not the
+    // operator) diverges on multi-byte text; the spec pins the fixture's
+    // ASCII-ness so any future corpus change fails loudly, not silently.
     ("x_neardup_edit",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
@@ -1841,7 +1850,14 @@ object Extensions {
     // agreement additionally proves the LSH cells lost no true pair.
     ("x_semantic_dedup",
       (s: SparkSession, d: String) => {
+        // 16-bit cells (65k), not the 8-bit default: LSH cells are NOT
+        // equivalence classes, so unlike minhash sig buckets their occupancy
+        // grows linearly with the corpus — 256 cells saturate around ~65k
+        // vectors and boundedBucketPairs' sub-bucket split would then drop
+        // true clone pairs the brute-force oracle keeps. Identical vectors
+        // share any sign-cell, so widening cells never loses a planted pair.
         val corpus = plantedEmbeddingCorpus(Tables.embeddings(s, d))
+          .withColumn("bucket", VF.lshBucket(col("embedding"), bits = 16))
         val pairs = boundedBucketPairs(
           corpus.groupBy("bucket").agg(collect_list(col("vec_id")).as("members")))
         val withA = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"))
@@ -1864,7 +1880,8 @@ object Extensions {
         |pairs AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+        |  WHERE NOT isnan(list_cosine_similarity(a.embedding, b.embedding))
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),

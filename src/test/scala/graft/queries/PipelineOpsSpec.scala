@@ -276,6 +276,16 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("neardup-edit gate contract: fixture text is pure ASCII") {
+    // Spark levenshtein counts codepoint edits, DuckDB's counts BYTE edits
+    // — identical only on ASCII. Pin the fixture's ASCII-ness so a future
+    // corpus change fails HERE, loudly, instead of hash-diverging the gate.
+    val nonAscii = Tables.documents(spark, d)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      "x_neardup_edit's oracle is byte-based; non-ASCII text breaks its cross-engine contract")
+  }
+
   test("corpus shuffle order is invariant under repartitioning") {
     val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
     def firstPerShard(parts: Int): Map[String, Long] =
