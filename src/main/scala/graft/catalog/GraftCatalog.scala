@@ -69,6 +69,18 @@ class GraftCatalog(val warehouse: String) {
     } finally s.close()
   }
 
+  /** Whether a namespace (database or dotted schema path) exists — i.e.
+    * its directory is present, tables or not. listNamespaces() is
+    * TOP-LEVEL only, so callers distinguishing "empty database" from
+    * "missing database" for a dotted name must use this, not membership
+    * in the top-level list.
+    */
+  def namespaceExists(namespace: String): Boolean = {
+    val parts = namespace.split('.')
+    parts.nonEmpty && parts.forall(_.nonEmpty) &&
+      Files.isDirectory(Paths.get(warehouse, parts: _*))
+  }
+
   def listTables(namespace: String): Seq[String] = {
     val ns = Paths.get(warehouse, namespace.split('.'): _*)
     if (!Files.exists(ns)) return Nil

@@ -73,20 +73,44 @@ object ScaleFunctions {
     * @param sampleKey   unique row key (sampling + tie-break basis)
     * @param rateHexCeil sample = rows with md5 2-hex prefix below this
     * @param ps          (label, p) quantile requests, 0 < p < 1
+    * @param maxSampleRows hard cap on the sample size: before anything is
+    *                    sorted, a key-column-only count of the sample runs
+    *                    and the call fails loudly if it exceeds this. Makes
+    *                    the 100 TB contract self-enforcing — a careless
+    *                    rateHexCeil ("ff") can no longer degenerate into a
+    *                    single-task sort of the corpus. The pre-count is a
+    *                    map-only pass over ONE column (the sample key);
+    *                    pass None to skip it when the rate is already known
+    *                    to be safe.
     * @return (quantile, value, sample_n) one row per requested p
     */
   def sampledQuantiles(df: DataFrame, valueCol: Column, sampleKey: Column,
-                       rateHexCeil: String, ps: Seq[(String, Double)]): DataFrame = {
+                       rateHexCeil: String, ps: Seq[(String, Double)],
+                       maxSampleRows: Option[Long] = Some(10000000L)): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
     // the ceil is compared against lowercase md5 hex: anything outside
     // [0-9a-f]+ silently degenerates — "" keeps NO rows (zero-row result),
-    // a string above "ff" keeps EVERY row and the "sample" becomes a
-    // single-task sort of the whole corpus, the exact failure mode this
-    // function exists to avoid
+    // a string above "ff" keeps EVERY row (the maxSampleRows guard below
+    // catches that by volume, this require catches it by syntax)
     require(rateHexCeil.nonEmpty && rateHexCeil.forall(c =>
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
       s"rateHexCeil must be non-empty lowercase hex, got '$rateHexCeil'")
     import org.apache.spark.sql.expressions.Window
+    // sample-volume guard: count ONLY the sample key column through the
+    // same filter (column-pruned, map-only — no sort, no shuffle) and
+    // refuse before the coalesce(1) sort below can become a corpus sort
+    maxSampleRows.foreach { cap =>
+      require(cap > 0, s"maxSampleRows must be positive, got $cap")
+      val sampleN = df
+        .select(md5(sampleKey.cast("string")).as("tb"))
+        .filter(substring(col("tb"), 1, rateHexCeil.length) < rateHexCeil)
+        .count()
+      require(sampleN <= cap,
+        s"sampledQuantiles: rateHexCeil '$rateHexCeil' selects $sampleN rows, " +
+          s"above the $cap-row sample cap — that sample would be sorted on a " +
+          "single task. Lower the rate (more hex digits / smaller ceiling) " +
+          "or raise maxSampleRows deliberately.")
+    }
     // NULL values are excluded (quantiles of the non-null population, the
     // same rule aggregate quantile functions use — and engines disagree on
     // where NULL sorts, so keeping them would break reproducibility)

@@ -127,8 +127,11 @@ object VectorFunctions {
       .withColumn("_graft_sim", cosineSimilarity(col(vecCol), col("_graft_q")))
       // zero-norm vectors score NULL by the cosineSimilarity contract; a
       // NULL row must not occupy a neighbor rank (desc_nulls_last would
-      // still row_number it when fewer than k real neighbors exist)
-      .filter(col("_graft_sim").isNotNull)
+      // still row_number it when fewer than k real neighbors exist). A
+      // NaN-lane embedding scores NaN, which passes isNotNull and — by
+      // Spark's NaN-sorts-greatest rule — would rank ABOVE every real
+      // neighbor; filter it like the oracle's NOT isnan does
+      .filter(col("_graft_sim").isNotNull && !isnan(col("_graft_sim")))
       .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
     val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))
       .orderBy(col("_graft_sim").desc_nulls_last, col(idCol))

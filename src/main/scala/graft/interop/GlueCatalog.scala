@@ -112,12 +112,15 @@ object GlueCatalog {
           // real Glue raises EntityNotFoundException for an unknown
           // database — an empty TableList would make "no tables yet" and
           // "misspelled database" indistinguishable to the engine side.
-          // listNamespaces() is top-level only, so a DOTTED namespace that
-          // actually serves tables must not be rejected by the guard.
-          if (cat.listTables(ns).isEmpty && !cat.listNamespaces().contains(ns))
+          // namespaceExists handles dotted schema paths too (a dotted
+          // namespace that exists but is EMPTY must serve [], not 404),
+          // and the single listTables call serves both the guard and the
+          // response.
+          val tables = cat.listTables(ns)
+          if (tables.isEmpty && !cat.namespaceExists(ns))
             err(ex, 400, "EntityNotFoundException", s"Database $ns not found")
           else {
-            val ts = cat.listTables(ns)
+            val ts = tables
               .map(full => tableEntity(ns, full.split('.').last)).mkString(",")
             respond(ex, 200, s"""{"TableList":[$ts]}""")
           }

@@ -193,16 +193,24 @@ object Extensions {
     * x_neardup_edit) reuse one candidate generator instead of forking the
     * sentinel/bucket-cap discipline.
     */
-  private[queries] def neardupCandidatePairs(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), col("text"))
+  private[queries] def neardupCandidatePairs(docs: DataFrame): DataFrame =
+    boundedBucketPairs(
+      neardupSigs(docs).groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
+
+  /** The signature stage of [[neardupCandidatePairs]] alone: (doc_id, sig).
+    * Exposed so the bucket-occupancy canary spec can measure the EXACT sig
+    * buckets the candidate generator will build — the near-dup oracles are
+    * plain sig self-joins that assume every bucket is below the
+    * graft.neardup.max-bucket cap, so the canary pins that assumption to
+    * the fixture rather than trusting it silently.
+    */
+  private[queries] def neardupSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
       .withColumn("sh", TF.shingles(col("text"), 2))
       .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))
       .select(col("doc_id"),
         coalesce(TF.minhashFromHashes(col("_h"), k = 4),
           concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
-    boundedBucketPairs(
-      sigs.groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
-  }
 
   /** Edit-distance verification of candidate pairs, same shuffle discipline
     * as [[pairJaccard]]: the tiny pair set is broadcast, the corpus streams
@@ -457,6 +465,10 @@ object Extensions {
     // row's md5 — no interpolation, no percentile sketch — so DuckDB
     // reproduces every picked value bit-exactly. Exact quantiles would
     // sort 100 TB; the sample error is O(1/sqrt(n_sample)) in rank space.
+    // The picked DECIMAL(12,2) is surfaced as DOUBLE: the pick itself is
+    // an exact element either way, but decimal RENDERING differs between
+    // engines' hashing harnesses ("904.00" vs "904.0"); one exact cast of
+    // the same decimal on both sides removes the ambiguity.
     ("x_quantile_sample",
       (s: SparkSession, d: String) => {
         import graft.functions.{ScaleFunctions => SC}
@@ -466,6 +478,7 @@ object Extensions {
           concat(col("l_orderkey").cast("string"), lit(":"),
             col("l_linenumber").cast("string")),
           "04", Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+          .withColumn("value", col("value").cast("double"))
       },
       """WITH s AS (
         |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
@@ -478,7 +491,7 @@ object Extensions {
         |  FROM s),
         |q(label, p) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
         |  ('p95', CAST(0.95 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
-        |SELECT q.label AS quantile, r.v AS value, CAST(r.n AS BIGINT) AS sample_n
+        |SELECT q.label AS quantile, CAST(r.v AS DOUBLE) AS value, CAST(r.n AS BIGINT) AS sample_n
         |FROM r JOIN q
         |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1
         |ORDER BY 1""".stripMargin),
@@ -1648,6 +1661,9 @@ object Extensions {
     // CODEPOINT edits, DuckDB's counts BYTE edits, so the oracle (not the
     // operator) diverges on multi-byte text; the spec pins the fixture's
     // ASCII-ness so any future corpus change fails loudly, not silently.
+    // The oracle is also a PLAIN sig self-join (no bucket cap): sound only
+    // while every fixture sig bucket stays under graft.neardup.max-bucket
+    // — pinned by BucketCapSpec's fixture-occupancy canary.
     ("x_neardup_edit",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
@@ -1862,9 +1878,14 @@ object Extensions {
           corpus.groupBy("bucket").agg(collect_list(col("vec_id")).as("members")))
         val withA = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"))
           .join(broadcast(pairs), "doc_a")
+        // Spark orders NaN above every real number, so a NaN cosine (a
+        // NaN-lane vector pair) would PASS >= 0.99 here while the oracle's
+        // NOT isnan drops it — filter NaN explicitly to match
         val edges = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"))
           .join(broadcast(withA), "doc_b")
-          .filter(VF.cosineSimilarity(col("emb_a"), col("emb_b")) >= 0.99)
+          .withColumn("_graft_sim", VF.cosineSimilarity(col("emb_a"), col("emb_b")))
+          .filter(col("_graft_sim").isNotNull && !isnan(col("_graft_sim")) &&
+            col("_graft_sim") >= 0.99)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         // cluster_rep IS the keep-id (min-label CC converges every label to
         // the component minimum); max(doc_id) surfaces an independent value
@@ -1911,7 +1932,13 @@ object Extensions {
             sum(col("n_chars")).cast("long").as("chars"),
             min(col("n_tokens")).as("min_tokens"),
             max(col("n_tokens")).as("max_tokens"),
-            (sum(col("n_chars")).cast("double") / sum(col("n_tokens"))).as("chars_per_token"))
+            // guarded division: a language whose docs ALL tokenize to zero
+            // tokens divides by 0 — Spark (non-ANSI) yields NULL but
+            // DuckDB's IEEE mode yields Infinity; the when(...) / NULLIF
+            // pair makes both engines emit NULL for that corpus shape
+            when(sum(col("n_tokens")) > 0,
+              sum(col("n_chars")).cast("double") / sum(col("n_tokens")))
+              .as("chars_per_token"))
         val vocab = docs
           .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
           .groupBy("lang").agg(countDistinct(col("tok")).as("vocab"))
@@ -1931,7 +1958,7 @@ object Extensions {
         |    CAST(SUM(n_chars) AS BIGINT) AS chars,
         |    CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
         |    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
-        |    CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+        |    CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(n_tokens), 0) AS chars_per_token
         |  FROM toked GROUP BY 1),
         |vocab AS (
         |  SELECT lang, count(DISTINCT tok) AS vocab

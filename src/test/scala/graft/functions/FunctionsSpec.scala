@@ -167,6 +167,24 @@ class FunctionsSpec extends SparkSpec {
     assert(f1 == got)
   }
 
+  test("knnJoin: NaN-lane and zero-norm corpus vectors never occupy a rank") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // 3 real vectors + a NaN-lane vector (cosine = NaN — Spark sorts NaN
+    // ABOVE every real number, so an unfiltered NaN would take rank 1) +
+    // a zero vector (cosine = NULL)
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.5f, 0.5f)), Row(3L, Seq(0.0f, 1.0f)),
+      Row(4L, Seq(Float.NaN, 1.0f)), Row(5L, Seq(0.0f, 0.0f))).asJava, schema)
+    val queries = spark.createDataFrame(
+      Seq(Row(100L, Seq(1.0f, 0.0f))).asJava, schema)
+    val got = VectorFunctions
+      .knnJoin(corpus, queries, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    // only the 3 real vectors rank, in cosine order; ids 4 and 5 are absent
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $got")
+  }
+
   test("knnJoin property: random vectors at several fanouts match an in-memory ranking") {
     val rnd = new scala.util.Random(7)
     val dim = 8

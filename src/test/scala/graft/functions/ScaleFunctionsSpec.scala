@@ -46,6 +46,17 @@ class ScaleFunctionsSpec extends SparkSpec {
     for (bad <- Seq("", "zz", "0F"))
       intercept[IllegalArgumentException](
         ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), bad, ps))
+    // the sample-volume cap is self-enforcing: a cap below the actual
+    // sample size fails loudly BEFORE any sort, naming both numbers, so a
+    // careless rate cannot degenerate into a single-task corpus sort
+    val boom = intercept[IllegalArgumentException](
+      ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), "08", ps, Some(10L))
+        .collect())
+    assert(boom.getMessage.contains("sample cap"), boom.getMessage)
+    // an adequate explicit cap returns the identical picks
+    val capped = ScaleFunctions.sampledQuantiles(df, col("v"), col("v"), "08", ps, Some(20000L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ps.foreach { case (label, _) => assert(capped(label) == got(label)._1) }
   }
 
   test("salted join refuses small-side-preserving join types") {

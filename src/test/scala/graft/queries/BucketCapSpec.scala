@@ -38,6 +38,29 @@ class BucketCapSpec extends SparkSpec {
     assert((1L to n.toLong).map(find).distinct.size == 1, "mega-bucket split lost connectivity")
   }
 
+  test("canary: fixture corpora keep every sig bucket under the cap the oracles assume") {
+    // The near-dup DuckDB oracles (x_neardup_jaccard / x_neardup_edit /
+    // x_dedup_banded) are plain sig self-joins: they enumerate EVERY
+    // same-sig pair, with no analogue of boundedBucketPairs' sub-bucket
+    // split. The gates are therefore only sound while no sig bucket in the
+    // gate corpus exceeds graft.neardup.max-bucket (default 256). This
+    // canary measures the EXACT buckets the generator builds, at both SFs
+    // the driver gates on — a future corpus/tokenizer change that grows a
+    // bucket past the cap fails HERE with the number, not as an opaque
+    // hash mismatch in CORRECTNESS.
+    val cap = 256
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf")
+      val maxBucket = Extensions.neardupSigs(docs)
+        .groupBy("sig").count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(maxBucket <= cap,
+        s"$sf: a sig bucket holds $maxBucket members (> cap $cap) — the " +
+          "near-dup oracles' all-pairs self-joins no longer match " +
+          "boundedBucketPairs; re-shape the fixture or update the oracles")
+    }
+  }
+
   test("cap is configurable and empty sub-buckets are harmless") {
     spark.conf.set("graft.neardup.max-bucket", "8")
     try {
