@@ -24,21 +24,56 @@ object Extensions {
   // the DuckDB twin of TextFunctions.tokens: ALL-whitespace split
   private val toksSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
 
+  /** Above this many candidate pairs, the pair-verification joins fall
+    * back from forced broadcasts to plain (stats-planned, usually shuffled)
+    * joins — the MOR read path's byte-threshold discipline
+    * ([[graft.table.GraftScan.MorBroadcastMaxBytes]]) applied to candidate
+    * sets. Candidate counts grow ~linearly with corpus size (df/bucket caps
+    * bound the per-gram fanout, but the number of grams scales), so at some
+    * corpus size a forced broadcast stops fitting the driver/executor
+    * budget — and a query that DIES there is worse than one that shuffles.
+    * 1M pairs ≈ tens of MB broadcast. Override with
+    * `graft.pairs.broadcast-max-rows`.
+    */
+  val PairBroadcastMaxRows: Long = 1000000L
+
+  /** Materialize a candidate-pair set once (localCheckpoint — distributed,
+    * lineage-cut, so the count below does NOT recompute the generation
+    * pipeline and the verify joins reuse the same blocks) and measure it
+    * against the broadcast budget.
+    *
+    * @return the pinned pair frame and whether it fits the budget
+    */
+  private[queries] def measuredPairs(pairs: DataFrame): (DataFrame, Boolean) = {
+    val cap = pairs.sparkSession.conf.getOption("graft.pairs.broadcast-max-rows")
+      .map(_.toLong).getOrElse(PairBroadcastMaxRows)
+    val pinned = pairs.localCheckpoint()
+    (pinned, pinned.count() <= cap)
+  }
+
+  private def maybeBroadcast(df: DataFrame, fits: Boolean): DataFrame =
+    if (fits) broadcast(df) else df
+
   /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling or
-    * recomputing corpus-side shingles: the tiny pair set is broadcast, the
+    * recomputing corpus-side shingles: the pair set is measured
+    * ([[measuredPairs]]) and — when it fits the budget — broadcast, the
     * docs side is streamed through two broadcast hash joins, and the
     * shingle arrays are computed ABOVE each join — so only the ~|pairs|
     * matched rows ever evaluate the (interpreted, md5-heavy) shingle
     * expression. At 100 TB the raw text stays where it was read; only
-    * candidate ids and the matched rows' arrays cross the wire.
+    * candidate ids and the matched rows' arrays cross the wire. Past the
+    * budget both joins degrade to stats-planned shuffled joins (row volume
+    * through the exchange stays O(|pairs|), never corpus-squared) instead
+    * of dying on an oversized broadcast.
     */
   private[queries] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val (cand, fits) = measuredPairs(pairs)
     val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
-      .join(broadcast(pairs), "doc_a")
+      .join(maybeBroadcast(cand, fits), "doc_a")
       .withColumn("sh_a", TF.shingles(col("text"), 2))
       .drop("text")
     val both = docs.select(col("doc_id").as("doc_b"), col("text"))
-      .join(broadcast(withA), "doc_b")
+      .join(maybeBroadcast(withA, fits), "doc_b")
       .withColumn("sh_b", TF.shingles(col("text"), 2))
       .drop("text")
     both.withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
@@ -213,18 +248,20 @@ object Extensions {
           concat(lit("empty:"), col("doc_id").cast("string"))).as("sig"))
 
   /** Edit-distance verification of candidate pairs, same shuffle discipline
-    * as [[pairJaccard]]: the tiny pair set is broadcast, the corpus streams
-    * through two broadcast hash joins, and only the matched rows' texts are
-    * carried — at 100 TB no text enters an exchange keyed by anything but
-    * the broadcast probe. levenshtein is the O(|a|·|b|) DP in BOTH engines
-    * (integer-exact, so the oracle comparison is bit-free of float concerns);
-    * it runs only on the ~|pairs| matched rows, never corpus×corpus.
+    * as [[pairJaccard]]: the measured pair set broadcasts when it fits the
+    * budget (shuffled joins past it), the corpus streams through the two
+    * joins, and only the matched rows' texts are carried — at 100 TB no
+    * text enters an exchange keyed by anything but the candidate probe.
+    * levenshtein is the O(|a|·|b|) DP in BOTH engines (integer-exact, so
+    * the oracle comparison is bit-free of float concerns); it runs only on
+    * the ~|pairs| matched rows, never corpus×corpus.
     */
   private[queries] def pairEditDistance(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val (cand, fits) = measuredPairs(pairs)
     val withA = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-      .join(broadcast(pairs), "doc_a")
+      .join(maybeBroadcast(cand, fits), "doc_a")
     val both = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-      .join(broadcast(withA), "doc_b")
+      .join(maybeBroadcast(withA, fits), "doc_b")
     both.withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
   }
 
@@ -2030,15 +2067,16 @@ object Extensions {
         val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 8)).select("g")
         val inv = nom.join(rare, "g")
-        val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
-          .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
-          .filter(col("doc_a") =!= col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        val (cand, fits) = measuredPairs(
+          inv.select(col("g"), col("doc_id").as("doc_a"))
+            .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
+            .filter(col("doc_a") =!= col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
         val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
-          .join(broadcast(cand), "doc_a")
+          .join(maybeBroadcast(cand, fits), "doc_a")
           .withColumn("sh_a", array_distinct(TF.shingles(col("text"), 3))).drop("text")
         val both = docs.select(col("doc_id").as("doc_b"), col("text"))
-          .join(broadcast(withA), "doc_b")
+          .join(maybeBroadcast(withA, fits), "doc_b")
           .withColumn("sh_b", array_distinct(TF.shingles(col("text"), 3))).drop("text")
         both.filter(size(col("sh_a")) > 0)
           .withColumn("containment",
