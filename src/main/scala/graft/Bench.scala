@@ -182,6 +182,14 @@ object Bench {
       else suspects.take(60) :+ s"+${suspects.size - 60}_more"
     val sus = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter}""")
+    // A second, SHORT trailing line with only the headline numbers: the
+    // round-3 and round-7 driver artifacts kept only the log TAIL, and the
+    // full line above — which leads with the totals — got truncated
+    // mid-"queries" to parsed:null. Whatever tail window survives now always
+    // contains a complete parseable summary (total / n / host_factor /
+    // suspect count), so a round gate is never blind on the headline even
+    // when the per-query map is lost.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_factor":${fmt(hostFactor)},"n_stall_suspects":${suspects.size},"summary_of":"full JSON on previous line","sf":"$sfDir"$filter}""")
     spark.stop()
   }
 }
