@@ -375,36 +375,210 @@ object IcebergExport {
     }
   }
 
+  /** Resolve an exported metadata TREE — the `metadata-iceberg/` directory
+    * that successive [[exportCurrent]] calls accumulate (one
+    * `vN.metadata.json` per exported snapshot) — to its LATEST metadata
+    * document, filesystem-only: no catalog server, no Graft manifests.
+    * "Latest" is the document with the highest `last-sequence-number`
+    * (ties by `last-updated-ms`) — the same ordering a version-hint file
+    * would encode, derived from the documents themselves so a tree copied
+    * between engines/filesystems needs no side files at all.
+    */
+  def latestMetadata(metadataDir: String): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Paths.get(metadataDir)
+    require(Files.isDirectory(dir), s"$metadataDir is not a directory")
+    val stream = Files.list(dir)
+    val docs =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("v-?\\d+\\.metadata\\.json"))
+        .toVector
+      finally stream.close()
+    require(docs.nonEmpty, s"no vN.metadata.json documents under $metadataDir")
+    def num(f: JValue): Long = f match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    }
+    docs.maxBy { p =>
+      val j = JsonMethods.parse(Files.readString(p))
+      (num(j \ "last-sequence-number"), num(j \ "last-updated-ms"))
+    }.toString
+  }
+
+  /** The Spark StructType a metadata document declares for a snapshot —
+    * the current schema, or (time travel) the schema-id the selected
+    * snapshot was written under. Inverse of the export's schema
+    * serialization, so a filesystem-only reader projects and orders
+    * columns from the METADATA — the GraftTable-equivalent behavior —
+    * instead of trusting parquet footer inference.
+    */
+  def metadataSchema(metadataJsonPath: String,
+                     snapshotId: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Files.readString(Paths.get(metadataJsonPath)))
+    def num(f: JValue): Long = f match {
+      case JInt(i) => i.toLong; case JLong(l) => l
+      case other => sys.error(s"expected a number, got $other")
+    }
+    val wantedSchema: Long = snapshotId match {
+      case None => num(j \ "current-schema-id")
+      case Some(snap) => (j \ "snapshots") match {
+        case JArray(snaps) => snaps.collectFirst {
+          case s if num(s \ "snapshot-id") == snap => num(s \ "schema-id")
+        }.getOrElse(sys.error(s"snapshot $snap not in metadata"))
+        case _ => sys.error("no snapshots array in metadata")
+      }
+    }
+    (j \ "schemas") match {
+      case JArray(schemas) => schemas.collectFirst {
+        case s if num(s \ "schema-id") == wantedSchema =>
+          sparkTypeOf(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.getOrElse(sys.error(s"schema $wantedSchema not in metadata"))
+      case _ => sys.error("no schemas array in metadata")
+    }
+  }
+
+  /** Iceberg JSON type → Spark type: the inverse of [[icebergTypeJson]] /
+    * [[icebergPrimitive]] (the `time` case mirrors the export's physical
+    * INT64-micros representation).
+    */
+  private def sparkTypeOf(t: org.json4s.JValue): DataType = {
+    import org.json4s._
+    val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+    t match {
+      case JString(s) => s match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "string" => StringType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case "timestamp" => TimestampNTZType
+        case "time" => LongType
+        case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case other => sys.error(s"no Spark mapping for Iceberg type '$other'")
+      }
+      case o: JObject => (o \ "type") match {
+        case JString("struct") => (o \ "fields") match {
+          case JArray(fs) => org.apache.spark.sql.types.StructType(fs.map { f =>
+            val name = (f \ "name") match {
+              case JString(n) => n; case other => sys.error(s"bad field name: $other")
+            }
+            val required = (f \ "required") == JBool(true)
+            org.apache.spark.sql.types.StructField(name, sparkTypeOf(f \ "type"), !required)
+          })
+          case _ => sys.error("struct without fields")
+        }
+        case JString("list") =>
+          ArrayType(sparkTypeOf(o \ "element"), (o \ "element-required") != JBool(true))
+        case JString("map") =>
+          MapType(sparkTypeOf(o \ "key"), sparkTypeOf(o \ "value"),
+            (o \ "value-required") != JBool(true))
+        case other => sys.error(s"unknown nested type tag: $other")
+      }
+      case other => sys.error(s"unparseable Iceberg type: $other")
+    }
+  }
+
+  /** [[readAsDataFrame]] over a metadata TREE: resolve the latest document
+    * with [[latestMetadata]], then plan/read from it — the whole external-
+    * read path with a directory as the only input (docs/11 offline
+    * multi-engine loop, read side).
+    */
+  def readTree(spark: org.apache.spark.sql.SparkSession,
+               metadataDir: String,
+               snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    readAsDataFrame(spark, latestMetadata(metadataDir), snapshotId)
+
   /** Plan and read a snapshot purely from exported Iceberg metadata — the
     * docs/11 interop criterion made executable: an independent reader (no
     * Graft manifests touched) lists data files from the Avro manifests,
-    * reads the parquet, and applies position deletes by (file, pos)
-    * anti-join. Returns exactly the snapshot's live rows.
+    * reads the parquet, applies position deletes by (file, pos)
+    * anti-join, and projects to the snapshot's METADATA-declared schema
+    * (columns the metadata dropped disappear; columns added after a file
+    * was written read as NULL — the same resolution a GraftTable scan
+    * performs). Returns exactly the snapshot's live rows.
     */
   def readAsDataFrame(spark: org.apache.spark.sql.SparkSession,
                       metadataJsonPath: String,
                       snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, broadcast}
+    import org.apache.spark.sql.functions.{col, broadcast, lit}
     val files = readExportedFiles(metadataJsonPath, snapshotId)
     val dataPaths = files.collect { case (0, p, _) => p }
     val deletePaths = files.collect { case (1, p, _) => p }
     require(dataPaths.nonEmpty, "exported snapshot has no data files")
-    val data = spark.read.parquet(dataPaths: _*)
-    if (deletePaths.isEmpty) data
-    else {
-      val withPos = data.withColumn("_if_file", col("_metadata.file_path"))
-        .withColumn("_if_pos", col("_metadata.row_index"))
-      val dels = spark.read.parquet(deletePaths: _*)
-        .select(col("file_path").as("_id_file"), col("pos").as("_id_pos"))
-      // normalize URI scheme differences between _metadata.file_path and
-      // the absolute paths recorded at export time
-      val norm = (c: org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
-      withPos.join(broadcast(dels),
-          norm(col("_if_file")) === norm(col("_id_file")) &&
-            col("_if_pos") === col("_id_pos"),
-          "left_anti")
-        .drop("_if_file", "_if_pos")
+    val schema = metadataSchema(metadataJsonPath, snapshotId)
+    // read under the METADATA schema, not footer inference: files from
+    // several schema versions coexist in one snapshot, and inference would
+    // pick one file's footer and silently drop the other versions' columns.
+    // Spark clips the requested schema per file by name — a column (or
+    // nested subfield) a file lacks reads as NULL, exactly the resolution
+    // a GraftTable scan performs. (By-NAME, not Iceberg's by-id: the
+    // manifests carry no per-file write schema, and Graft files keep names
+    // consistent with their schema version — a column renamed across
+    // versions is the one case ids would resolve and names cannot.)
+    val raw = spark.read.schema(schema).parquet(dataPaths: _*)
+    val merged =
+      if (deletePaths.isEmpty) raw
+      else {
+        // the hidden _metadata column resolves only on the unprojected file
+        // scan, so deletes are applied BEFORE the metadata-schema projection
+        val withPos = raw.withColumn("_if_file", col("_metadata.file_path"))
+          .withColumn("_if_pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(deletePaths: _*)
+          .select(col("file_path").as("_id_file"), col("pos").as("_id_pos"))
+        // normalize URI scheme differences between _metadata.file_path and
+        // the absolute paths recorded at export time
+        val norm = (c: org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+        withPos.join(broadcast(dels),
+            norm(col("_if_file")) === norm(col("_id_file")) &&
+              col("_if_pos") === col("_id_pos"),
+            "left_anti")
+          .drop("_if_file", "_if_pos")
+      }
+    val mergedByName = merged.schema.fields.map(f => f.name -> f.dataType).toMap
+    merged.select(schema.fields.toSeq.map { f =>
+      mergedByName.get(f.name) match {
+        case Some(fromType) => resolveByName(col(f.name), fromType, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Name-based recursive resolution of a read column to the metadata-
+    * declared type: struct subfields missing in the file (added after it
+    * was written) read as NULL, extra subfields drop, leaves cast. A plain
+    * cast cannot WIDEN a struct, so evolved nested schemas need the
+    * rebuild. Name-based rather than by-id — the manifests don't record a
+    * per-file write schema, and Graft's files keep names consistent with
+    * their schema version, so names resolve exactly what ids would.
+    */
+  private def resolveByName(src: org.apache.spark.sql.Column,
+                            from: DataType, to: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
+    (from, to) match {
+      case (f, t) if f == t => src
+      case (f: StructType, t: StructType) =>
+        val children = t.fields.map { tf =>
+          f.fields.find(_.name == tf.name) match {
+            case Some(ff) => resolveByName(src.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        // struct() of null children is a non-null row; a null parent struct
+        // must stay null through resolution
+        when(src.isNotNull, struct(children.toSeq: _*)).otherwise(lit(null).cast(t))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(src, x => resolveByName(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        transform_values(src.cast(MapType(t.keyType, f.valueType, f.valueContainsNull)),
+          (_, v) => resolveByName(v, f.valueType, t.valueType))
+      case _ => src.cast(to)
     }
   }
 

@@ -44,7 +44,7 @@ object Extensions {
     *
     * @return the pinned pair frame and whether it fits the budget
     */
-  private[queries] def measuredPairs(pairs: DataFrame): (DataFrame, Boolean) = {
+  private[graft] def measuredPairs(pairs: DataFrame): (DataFrame, Boolean) = {
     val cap = pairs.sparkSession.conf.getOption("graft.pairs.broadcast-max-rows")
       .map(_.toLong).getOrElse(PairBroadcastMaxRows)
     val pinned = pairs.localCheckpoint()
@@ -66,7 +66,7 @@ object Extensions {
     * through the exchange stays O(|pairs|), never corpus-squared) instead
     * of dying on an oversized broadcast.
     */
-  private[queries] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val (cand, fits) = measuredPairs(pairs)
     val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
       .join(maybeBroadcast(cand, fits), "doc_a")
@@ -93,7 +93,7 @@ object Extensions {
     * convergence lands within ~log2(n) extra rounds instead of O(n).
     * @return (doc_id, label) for every doc appearing in an edge
     */
-  private[queries] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val bi = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // fused first round: against identity labels, neighbor-min propagation
@@ -178,7 +178,7 @@ object Extensions {
     * bucket spec. Lowering graft.neardup.max-bucket under a gate corpus's
     * max bucket size WILL fail the oracle compare, by design.
     */
-  private[queries] def boundedBucketPairs(buckets: DataFrame): DataFrame = {
+  private[graft] def boundedBucketPairs(buckets: DataFrame): DataFrame = {
     val cap = buckets.sparkSession.conf.getOption("graft.neardup.max-bucket")
       .map(_.toInt).getOrElse(256)
     def allPairs(df: DataFrame): DataFrame = df
@@ -217,7 +217,7 @@ object Extensions {
     * Generate (hashed once per row); only (doc_id, sig) leaves the node.
     * Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= minJaccard.
     */
-  private[queries] def verifiedNearDupPairs(docs: DataFrame,
+  private[graft] def verifiedNearDupPairs(docs: DataFrame,
                                             minJaccard: Double = 0.5): DataFrame =
     Extensions.pairJaccard(docs.select("doc_id", "text"), neardupCandidatePairs(docs))
       .filter(col("jaccard") >= minJaccard)
@@ -228,7 +228,7 @@ object Extensions {
     * x_neardup_edit) reuse one candidate generator instead of forking the
     * sentinel/bucket-cap discipline.
     */
-  private[queries] def neardupCandidatePairs(docs: DataFrame): DataFrame =
+  private[graft] def neardupCandidatePairs(docs: DataFrame): DataFrame =
     boundedBucketPairs(
       neardupSigs(docs).groupBy("sig").agg(collect_list(col("doc_id")).as("members")))
 
@@ -239,7 +239,7 @@ object Extensions {
     * graft.neardup.max-bucket cap, so the canary pins that assumption to
     * the fixture rather than trusting it silently.
     */
-  private[queries] def neardupSigs(docs: DataFrame): DataFrame =
+  private[graft] def neardupSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .withColumn("sh", TF.shingles(col("text"), 2))
       .select(col("doc_id"), explode(array(TF.itemHashes(col("sh")))).as("_h"))

@@ -466,6 +466,35 @@ object MaintenanceOps {
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // docs/11 interop, READ side offline: a filesystem-only reader — no
+    // catalog server, no Graft manifests — resolves the exported metadata
+    // TREE (two version documents here) to its latest vN.metadata.json by
+    // last-sequence-number and reproduces the live rows, MOR position
+    // deletes applied, purely from metadata JSON + Avro manifests +
+    // parquet. Closes the multi-engine loop in both directions offline:
+    // export (g_iceberg_export) writes what external engines read; this
+    // reads what an external writer's exported tree contains.
+    ("g_iceberg_external_read",
+      (s: SparkSession, d: String) => {
+        val t = eventsTable(s, d, partitioned = false,
+          props = Map("enable-iceberg-merge-on-read" -> "true"))
+        graft.interop.IcebergExport.exportCurrent(s, t) // older version doc
+        t.delete(s, Seq(Predicate.Eq("event_type", "error"))) // MOR deletes
+        val latest = graft.interop.IcebergExport.exportCurrent(s, t)
+        val treeDir = java.nio.file.Paths.get(latest).getParent.toString
+        val viaTree = graft.interop.IcebergExport.readTree(s, treeDir)
+        aggByType(viaTree)
+          .withColumn("resolved_latest",
+            lit(graft.interop.IcebergExport.latestMetadata(treeDir) == latest))
+          .withColumn("schema_from_metadata",
+            lit(viaTree.schema.fieldNames.sameElements(t.meta.currentSchema.fieldNames)))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  true AS resolved_latest, true AS schema_from_metadata
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Incremental consumption (docs/11:44-52): changesSince(snapshot) reads
     // exactly the files appended AFTER the given snapshot — the CDC-read
     // primitive for downstream silver/gold pipelines.

@@ -136,6 +136,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(hist == Set(1L, 2L), "exported history must reproduce the old snapshot")
   }
 
+  test("metadata TREE: latest-version resolution + byte-identical filesystem-only read") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ice_tree", schema,
+      properties = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mk(Seq((1L, "a", "2024-01-01", 1.0), (2L, "a", "2024-01-02", 2.0))))
+    IcebergExport.exportCurrent(spark, t) // an OLDER version document in the tree
+    val snap1 = t.meta.currentSnapshotId.get
+    t.append(spark, mk(Seq((3L, "b", "2024-01-01", 3.0), (4L, "b", "2024-01-03", 4.0))))
+    t.delete(spark, Seq(Predicate.Eq("id", 2L))) // MOR position delete
+    val latest = IcebergExport.exportCurrent(spark, t)
+    val treeDir = java.nio.file.Paths.get(latest).getParent.toString
+
+    // the tree has two version documents; resolution picks the newest by
+    // last-sequence-number — no version-hint side file needed
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(treeDir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".metadata.json")) == 2)
+    assert(IcebergExport.latestMetadata(treeDir) == latest)
+
+    // directory-only read: BYTE-identical to the live table — same schema
+    // (names, types, order, from the metadata document, not parquet
+    // inference) and the same full row multiset
+    val viaTree = IcebergExport.readTree(spark, treeDir)
+    val live = t.toDF(spark)
+    assert(viaTree.schema == live.schema,
+      s"metadata-driven schema diverged:\n${viaTree.schema}\nvs\n${live.schema}")
+    val key = (r: Row) => (r.getLong(0), r.getString(1), r.getDate(2).toString, r.getDouble(3))
+    assert(viaTree.collect().map(key).sortBy(_._1).toSeq ==
+      live.collect().map(key).sortBy(_._1).toSeq)
+
+    // time travel through the tree: rows and schema as of snap1
+    val hist = IcebergExport.readTree(spark, treeDir, Some(snap1))
+    assert(hist.collect().map(key).map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("metadata-driven projection: dropped columns disappear, added columns read as NULL") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ice_evo", schema)
+    t.append(spark, mk(Seq((1L, "a", "2024-01-01", 1.0))))
+    val snapOld = t.meta.currentSnapshotId.get
+    t.addColumn("score", IntegerType)
+    t.dropColumn("v")
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(2L, "b", java.sql.Date.valueOf("2024-01-02"), 7)).asJava,
+      t.meta.currentSchema))
+    val metaPath = IcebergExport.exportCurrent(spark, t)
+
+    val cur = IcebergExport.readAsDataFrame(spark, metaPath)
+    assert(cur.columns.toSeq == Seq("id", "cat", "day", "score"),
+      s"current read must follow the CURRENT schema: ${cur.columns.toSeq}")
+    val byId = cur.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(byId(1L).isEmpty, "pre-evolution file must read the added column as NULL")
+    assert(byId(2L).contains(7))
+    // the old snapshot reads under ITS schema-id: v present, score absent
+    val old = IcebergExport.readAsDataFrame(spark, metaPath, Some(snapOld))
+    assert(old.columns.toSeq == Seq("id", "cat", "day", "v"),
+      s"historical read must follow the snapshot's schema: ${old.columns.toSeq}")
+  }
+
   test("nested struct/list/map schemas export with IDs (docs/11 interop + docs/06 nesting)") {
     val nested = StructType(Seq(
       StructField("id", LongType),
