@@ -54,28 +54,34 @@ object Extensions {
   private def maybeBroadcast(df: DataFrame, fits: Boolean): DataFrame =
     if (fits) broadcast(df) else df
 
-  /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling or
-    * recomputing corpus-side shingles: the pair set is measured
-    * ([[measuredPairs]]) and — when it fits the budget — broadcast, the
-    * docs side is streamed through two broadcast hash joins, and the
-    * shingle arrays are computed ABOVE each join — so only the ~|pairs|
-    * matched rows ever evaluate the (interpreted, md5-heavy) shingle
-    * expression. At 100 TB the raw text stays where it was read; only
-    * candidate ids and the matched rows' arrays cross the wire. Past the
-    * budget both joins degrade to stats-planned shuffled joins (row volume
-    * through the exchange stays O(|pairs|), never corpus-squared) instead
-    * of dying on an oversized broadcast.
+  /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling text
+    * or over-computing shingles: the pair set is measured
+    * ([[measuredPairs]]) and — when it fits the budget — broadcast; the
+    * (interpreted, md5-heavy) shingle expression runs ONCE PER MATCHED DOC
+    * — the corpus streams through a broadcast id-join, so un-nominated
+    * docs never evaluate it and text never crosses the wire — and the
+    * per-doc arrays then join to the pair set. Evaluations are thereby
+    * min-bounded both ways: ≤ matched docs (≤ 2·|pairs|) and ≤ corpus —
+    * computing ABOVE the pair join instead (the previous shape) re-shingled
+    * a doc once per pair and ran 30x-clone corpora ~14x over budget, while
+    * computing for the whole corpus would waste work when candidates are
+    * sparse (the common 100 TB case). Past the broadcast budget the joins
+    * degrade to stats-planned shuffled joins (row volume through the
+    * exchange stays O(matched + |pairs|), never corpus-squared) instead of
+    * dying on an oversized broadcast.
     */
   private[graft] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val (cand, fits) = measuredPairs(pairs)
-    val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val matched = docs.select(col("doc_id"), col("text"))
+      .join(maybeBroadcast(ids, fits), "doc_id")
+      .withColumn("sh", TF.shingles(col("text"), 2))
+      .select(col("doc_id"), col("sh"))
+    val withA = matched.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, fits), "doc_a")
-      .withColumn("sh_a", TF.shingles(col("text"), 2))
-      .drop("text")
-    val both = docs.select(col("doc_id").as("doc_b"), col("text"))
+    val both = matched.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       .join(maybeBroadcast(withA, fits), "doc_b")
-      .withColumn("sh_b", TF.shingles(col("text"), 2))
-      .drop("text")
     both.withColumn("jaccard", TF.jaccardOf(col("sh_a"), col("sh_b")))
   }
 
@@ -2072,12 +2078,17 @@ object Extensions {
             .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
             .filter(col("doc_a") =!= col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-        val withA = docs.select(col("doc_id").as("doc_a"), col("text"))
+        // metric 3-grams computed ONCE per nominated doc (pairJaccard's
+        // per-matched-doc discipline), then joined to the pair set
+        val ids = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val matched = docs.join(maybeBroadcast(ids, fits), "doc_id")
+          .withColumn("sh", array_distinct(TF.shingles(col("text"), 3)))
+          .select(col("doc_id"), col("sh"))
+        val withA = matched.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
           .join(maybeBroadcast(cand, fits), "doc_a")
-          .withColumn("sh_a", array_distinct(TF.shingles(col("text"), 3))).drop("text")
-        val both = docs.select(col("doc_id").as("doc_b"), col("text"))
+        val both = matched.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
           .join(maybeBroadcast(withA, fits), "doc_b")
-          .withColumn("sh_b", array_distinct(TF.shingles(col("text"), 3))).drop("text")
         both.filter(size(col("sh_a")) > 0)
           .withColumn("containment",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
