@@ -123,15 +123,20 @@ object VectorFunctions {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && fanout >= 1)
     val q = broadcast(queries.select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q")))
+    // zero-norm vectors score NULL by the cosineSimilarity contract; a
+    // NULL row must not occupy a neighbor rank (desc_nulls_last would
+    // still row_number it when fewer than k real neighbors exist). A
+    // NaN-lane embedding scores NaN, which passes isNotNull and — by
+    // Spark's NaN-sorts-greatest rule — would rank ABOVE every real
+    // neighbor: nanvl folds NaN into the same NULL path (the oracle's NOT
+    // isnan) WITHOUT a second predicate — CollapseProject inlines the
+    // filter into the scoring projection, so every extra predicate
+    // re-evaluates the O(d) cosine fold per row (a separate isnan test
+    // measured ~1.7x on the whole join at sf0.1)
     val scored = corpus.crossJoin(q)
-      .withColumn("_graft_sim", cosineSimilarity(col(vecCol), col("_graft_q")))
-      // zero-norm vectors score NULL by the cosineSimilarity contract; a
-      // NULL row must not occupy a neighbor rank (desc_nulls_last would
-      // still row_number it when fewer than k real neighbors exist). A
-      // NaN-lane embedding scores NaN, which passes isNotNull and — by
-      // Spark's NaN-sorts-greatest rule — would rank ABOVE every real
-      // neighbor; filter it like the oracle's NOT isnan does
-      .filter(col("_graft_sim").isNotNull && !isnan(col("_graft_sim")))
+      .withColumn("_graft_sim",
+        nanvl(cosineSimilarity(col(vecCol), col("_graft_q")), lit(null)))
+      .filter(col("_graft_sim").isNotNull)
       .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
     val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))
       .orderBy(col("_graft_sim").desc_nulls_last, col(idCol))

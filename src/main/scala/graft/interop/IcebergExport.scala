@@ -375,27 +375,40 @@ object IcebergExport {
     }
   }
 
-  /** Resolve an exported metadata TREE — the `metadata-iceberg/` directory
-    * that successive [[exportCurrent]] calls accumulate (one
-    * `vN.metadata.json` per exported snapshot) — to its LATEST metadata
+  /** Resolve a metadata TREE — the `metadata-iceberg/` directory that
+    * successive [[exportCurrent]] calls accumulate, or an EXTERNAL
+    * writer's Iceberg metadata directory — to its LATEST metadata
     * document, filesystem-only: no catalog server, no Graft manifests.
-    * "Latest" is the document with the highest `last-sequence-number`
-    * (ties by `last-updated-ms`) — the same ordering a version-hint file
-    * would encode, derived from the documents themselves so a tree copied
-    * between engines/filesystems needs no side files at all.
+    *
+    * Resolution order mirrors what Iceberg's own filesystem-table layout
+    * provides: a `version-hint.text` file wins when present (its content
+    * N names `vN.metadata.json` — the HadoopTables convention); otherwise
+    * every `*.metadata.json` (covering both Graft's `vN.` names and the
+    * `NNNNN-<uuid>.` names other writers produce) is parsed and the
+    * highest (`last-sequence-number`, `last-updated-ms`) wins — the same
+    * ordering a hint file would encode, derived from the documents
+    * themselves so a tree copied between engines needs no side files.
     */
   def latestMetadata(metadataDir: String): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val dir = Paths.get(metadataDir)
     require(Files.isDirectory(dir), s"$metadataDir is not a directory")
+    val hint = dir.resolve("version-hint.text")
+    if (Files.exists(hint)) {
+      val n = Files.readString(hint).trim
+      val hinted = dir.resolve(s"v$n.metadata.json")
+      require(Files.exists(hinted),
+        s"version-hint.text names version $n but ${hinted.getFileName} is absent")
+      return hinted.toString
+    }
     val stream = Files.list(dir)
     val docs =
       try stream.iterator().asScala
-        .filter(_.getFileName.toString.matches("v-?\\d+\\.metadata\\.json"))
+        .filter(_.getFileName.toString.matches("[^/]*\\.metadata\\.json"))
         .toVector
       finally stream.close()
-    require(docs.nonEmpty, s"no vN.metadata.json documents under $metadataDir")
+    require(docs.nonEmpty, s"no *.metadata.json documents under $metadataDir")
     def num(f: JValue): Long = f match {
       case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
     }

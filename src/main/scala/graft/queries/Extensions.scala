@@ -1923,12 +1923,12 @@ object Extensions {
           .join(broadcast(pairs), "doc_a")
         // Spark orders NaN above every real number, so a NaN cosine (a
         // NaN-lane vector pair) would PASS >= 0.99 here while the oracle's
-        // NOT isnan drops it — filter NaN explicitly to match
+        // NOT isnan drops it — nanvl folds NaN into NULL (null >= 0.99 is
+        // null → dropped) in ONE cosine evaluation; a separate isnan
+        // predicate would re-run the O(d) fold per inlined reference
         val edges = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"))
           .join(broadcast(withA), "doc_b")
-          .withColumn("_graft_sim", VF.cosineSimilarity(col("emb_a"), col("emb_b")))
-          .filter(col("_graft_sim").isNotNull && !isnan(col("_graft_sim")) &&
-            col("_graft_sim") >= 0.99)
+          .filter(nanvl(VF.cosineSimilarity(col("emb_a"), col("emb_b")), lit(null)) >= 0.99)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         // cluster_rep IS the keep-id (min-label CC converges every label to
         // the component minimum); max(doc_id) surfaces an independent value

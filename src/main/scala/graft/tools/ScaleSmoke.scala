@@ -108,8 +108,7 @@ object ScaleSmoke {
         .join(cand, "doc_a")
       val edges = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"))
         .join(if (fits) broadcast(withA) else withA, "doc_b")
-        .withColumn("s", VF.cosineSimilarity(col("emb_a"), col("emb_b")))
-        .filter(col("s").isNotNull && !isnan(col("s")) && col("s") >= 0.99)
+        .filter(nanvl(VF.cosineSimilarity(col("emb_a"), col("emb_b")), lit(null)) >= 0.99)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       Extensions.connectedComponents(edges).select("label").distinct().count()
     }

@@ -168,6 +168,27 @@ class IcebergExportSpec extends SparkSpec {
     // time travel through the tree: rows and schema as of snap1
     val hist = IcebergExport.readTree(spark, treeDir, Some(snap1))
     assert(hist.collect().map(key).map(_._1).toSet == Set(1L, 2L))
+
+    // a version-hint.text (the HadoopTables filesystem-table convention an
+    // EXTERNAL writer leaves) overrides content-based resolution
+    val older = java.nio.file.Files.list(java.nio.file.Paths.get(treeDir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .filterNot(_.toString == latest).next()
+    val olderVersion = older.getFileName.toString.stripPrefix("v").stripSuffix(".metadata.json")
+    val hintPath = java.nio.file.Paths.get(treeDir, "version-hint.text")
+    java.nio.file.Files.writeString(hintPath, olderVersion)
+    try assert(IcebergExport.latestMetadata(treeDir) == older.toString,
+      "version-hint.text must override content-based resolution")
+    finally java.nio.file.Files.delete(hintPath)
+
+    // an external writer's NNNNN-<uuid>.metadata.json names resolve too
+    // (content-based: highest last-sequence-number wins)
+    val extDir = java.nio.file.Files.createTempDirectory("graft-ext-tree")
+    java.nio.file.Files.copy(older, extDir.resolve("00001-aaaa.metadata.json"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(latest),
+      extDir.resolve("00002-bbbb.metadata.json"))
+    assert(IcebergExport.latestMetadata(extDir.toString)
+      .endsWith("00002-bbbb.metadata.json"))
   }
 
   test("metadata-driven projection: dropped columns disappear, added columns read as NULL") {

@@ -49,7 +49,7 @@ class BucketCapSpec extends SparkSpec {
     // bucket past the cap fails HERE with the number, not as an opaque
     // hash mismatch in CORRECTNESS.
     val cap = 256
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = Tables.documents(spark, s"/root/testdata/$sf")
       val maxBucket = Extensions.neardupSigs(docs)
         .groupBy("sig").count()
