@@ -728,6 +728,59 @@ object Extensions {
         |  true AS probe_pruned
         |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
 
+    // X3f: INCREMENTAL ANN-index refresh — the maintenance shape a durable
+    // vector index actually needs at 100 TB: the IVF index is a
+    // cell-partitioned Graft TABLE, and a new embedding batch is APPENDED
+    // with the centroids FROZEN (re-clustering would invalidate every
+    // stored cell assignment and force a full rebuild; frozen-centroid
+    // assignment touches only the arriving rows). The gate certifies the
+    // three properties that make the refresh honest: the second commit is
+    // append-only (every pre-refresh file survives byte-identical in the
+    // file inventory), the refreshed table holds exactly base+batch under
+    // snapshot history (2 commits), and a post-refresh probe still
+    // partition-prunes to the query's cell — pruning metrics recorded
+    // through QUERY_HISTORY like x_ann_index. Ranking output is exact
+    // brute-force over the refreshed table, so DuckDB reproduces it from
+    // the raw embeddings with no index at all.
+    ("x_ann_index_refresh",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val e = Tables.embeddings(s, d)
+        val base = e.filter(col("vec_id") % 2 === 0)
+        val batch = e.filter(col("vec_id") % 2 === 1)
+        val cents = VF.kmeansCentroids(base, "embedding", k = 4, iters = 2)
+        def assign(df: DataFrame) = df.withColumn("cell",
+          VF.ivfAssign(col("embedding"), cents).cast("long"))
+        val cat = graft.queries.TableOps.newCatalog()
+        val t = cat.createTable("db.ann_inc", assign(base).schema,
+          partitionBy = Seq("cell" -> Transform.Identity))
+        t.append(s, assign(base))
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        t.append(s, assign(batch)) // the refresh: same frozen centroids
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        val qCell = q.select(VF.ivfAssign(col("q"), cents)).head.getInt(0).toLong
+        val probe = t.scan(Predicate.Eq("cell", qCell))
+        probe.toDF(s).count() // record pruning metrics
+        VF.bruteForceTopK(t.toDF(s).filter(col("vec_id") =!= 0), q,
+            "vec_id", "embedding", 10)
+          .select("rank", "vec_id")
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("probe_pruned",
+            lit(probe.metrics.filesScanned < probe.metrics.filesTotal))
+          .orderBy("rank")
+      },
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id,
+        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  true AS probe_pruned
+        |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
+
     // X4a: token counting — whitespace + a BPE-ish regex segmentation —
     // and exact average via decimal-free integer sums.
     ("x_text_stats",
