@@ -781,6 +781,41 @@ object Extensions {
         |  true AS probe_pruned
         |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
 
+    // X7: AS-OF join ([[graft.operators.AsofJoin]]) — purchase→latest-
+    // prior-click attribution per user, the event-to-state lookup shape an
+    // equi-join cannot express and Spark has no operator for. The
+    // implementation is union + ordered carry-forward (one exchange on the
+    // key, per-partition sort, zero row amplification — never the
+    // BroadcastNestedLoopJoin an inequality join would plan); DuckDB's
+    // NATIVE ASOF JOIN is the oracle, so the two engines implement the
+    // operator independently and must agree row-for-row. Clicks dedupe to
+    // one row per (user, instant) first (max event_id) — the determinism
+    // contract both engines share. Gap surfaces in integer microseconds
+    // (NTZ→LTZ cast exact under the UTC session).
+    ("x_asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.operators.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts")
+          .select(col("event_id"), col("user_id"), col("asof_click_id").as("click_id"),
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY 1""".stripMargin),
+
     // X4a: token counting — whitespace + a BPE-ish regex segmentation —
     // and exact average via decimal-free integer sums.
     ("x_text_stats",
