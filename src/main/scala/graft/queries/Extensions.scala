@@ -816,6 +816,116 @@ object Extensions {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY 1""".stripMargin),
 
+    // X7b: range (point-in-interval) join ([[graft.operators.RangeJoin]]) —
+    // each purchase opens a 1-hour attribution window; count the user's
+    // clicks landing inside it. The binning decomposition (intervals
+    // explode to covered grid bins, points bin once, hash join on
+    // (key, bin), exact containment filter) — never the per-key inequality
+    // scan a BETWEEN join plans. Window end is half-open, so a click at
+    // exactly +1h does NOT attribute; both engines agree on the boundary.
+    // Purchases with no clicks keep 0 via the left join of the aggregate.
+    ("x_range_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("w_start"))
+          .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val matched = graft.operators.RangeJoin.pointInInterval(
+            clicks, windows, "user_id", "ts", "w_start", "w_end")
+          .groupBy(col("iv_purchase_id").as("purchase_id"))
+          .agg(count(lit(1)).as("clicks_1h"), max(col("click_id")).as("last_click_id"))
+        windows.select(col("purchase_id"), col("user_id"))
+          .join(matched, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"),
+            coalesce(col("clicks_1h"), lit(0L)).as("clicks_1h"),
+            col("last_click_id"))
+          .orderBy("purchase_id")
+      },
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  count(c.click_id) AS clicks_1h,
+        |  max(c.click_id) AS last_click_id
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // X7c: trailing-window features — per-supplier shipped quantity and
+    // line count over the trailing 30 days, the feature-engineering staple
+    // (fraud velocity, demand trailing sums). A native RANGE-frame window:
+    // ONE exchange on the key, a per-partition sort, zero joins — the frame
+    // bound does what the x_range_join bin join does when the "interval" is
+    // anchored at every row. Sums follow the q1 dsum convention (exact
+    // DECIMAL accumulation surfaced as DOUBLE — never order-dependent FP).
+    // The window runs over everything before July 1995 but only June
+    // surfaces, so early rows serve only as frame history (cheap slice of
+    // the output, full-fidelity frames at the month boundary).
+    ("x_window_features",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(unix_date(col("l_shipdate").cast("date")))
+          .rangeBetween(-29, 0)
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < to_timestamp(lit("1995-07-01")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_shipdate"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+              .cast("double").as("qty_30d"))
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")))
+          .drop("l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_suppkey, n_30d, qty_30d FROM (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+        |    count(*) OVER w AS n_30d,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS qty_30d
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW))
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X4m: out-of-vocabulary rate — the vocabulary-based quality signal
+    // (a doc full of tokens outside the corpus's common vocabulary is
+    // noise/garble/alien language). Vocab = exact top-16 tokens by
+    // (freq DESC, token) via TakeOrderedAndProject (distributed top-N,
+    // never a single-partition window over the vocabulary), then a
+    // broadcast left join scores every token; per-language rate is one
+    // division of exact BIGINTs, so both engines emit identical doubles.
+    ("x_oov_rate",
+      (s: SparkSession, d: String) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token")).limit(16)
+          .select(col("token"), lit(1L).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("total_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate",
+            col("oov_tokens").cast("double") / col("total_tokens"))
+          .orderBy("lang")
+      },
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+        |vocab AS (
+        |  SELECT token FROM tok GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 16)
+        |SELECT lang, count(*) AS total_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X4a: token counting — whitespace + a BPE-ish regex segmentation —
     // and exact average via decimal-free integer sums.
     ("x_text_stats",
