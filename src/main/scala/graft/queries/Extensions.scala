@@ -926,6 +926,46 @@ object Extensions {
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X8: time-series gap fill ([[graft.operators.GapFill]]) — densify a
+    // sparse per-key daily series onto one shared calendar: missing days
+    // surface as explicit zeros plus a last-observation-carried-forward
+    // column. The fixture thins events to ~75 kept rows via a modulus
+    // derived FROM the corpus size (count/75 — the r7 lesson: absolute
+    // fixture constants go vacuous at some SF; relative ones do not), so
+    // real gaps exist at every SF. The modulus reaches the filter as a
+    // broadcast 1-row cross join — no driver-side count round trip.
+    ("x_gap_fill",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        val m = ev.agg(greatest(floor(count(lit(1)) / 75), lit(1L)).as("m"))
+        val kept = ev.crossJoin(broadcast(m)).filter(pmod(col("user_id"), col("m")) === 0)
+        val daily = kept.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        graft.operators.GapFill.fillDaily(daily, bounds, Seq("event_type"), "day", "n")
+          .orderBy("event_type", "day")
+      },
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+        |tot AS (
+        |  SELECT greatest(CAST(floor(count(*) / 75.0) AS BIGINT), 1) AS m FROM ev),
+        |kept AS (SELECT event_type, day FROM ev, tot WHERE user_id % m = 0),
+        |daily AS (SELECT event_type, day, count(*) AS n FROM kept GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |cal AS (
+        |  SELECT k.event_type, CAST(u.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM kept) k
+        |  CROSS JOIN (
+        |    SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day FROM bounds) u)
+        |SELECT c.event_type, c.day, coalesce(dd.n, 0) AS n,
+        |  last_value(dd.n IGNORE NULLS) OVER (
+        |    PARTITION BY c.event_type ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf
+        |FROM cal c LEFT JOIN daily dd
+        |  ON dd.event_type = c.event_type AND dd.day = c.day
+        |ORDER BY 1, 2""".stripMargin),
+
     // X4a: token counting — whitespace + a BPE-ish regex segmentation —
     // and exact average via decimal-free integer sums.
     ("x_text_stats",

@@ -556,6 +556,70 @@ object MaintenanceOps {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, true AS multi_batch
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // W9b: stream-STREAM join (§2.8) — two live streams (clicks,
+    // purchases) joined on key + event-time range, the last Structured
+    // Streaming shape the plain-ingest/dedup/window gates don't cover.
+    // Both sides carry watermarks WIDER than the fixture's event span
+    // (35 days > the 30-day corpus) so no row can ever be late-dropped and
+    // the stream must agree exactly with the batch inequality join; in
+    // production the delay budget is the knob trading join-state size for
+    // late-data tolerance — the time-range condition itself is what lets
+    // the engine expire state at watermark + 1h. Matched pairs append to a
+    // Graft table per micro-batch; the driver-side batch counter certifies
+    // the join actually ran across micro-batches (pairs matched across
+    // batch boundaries through buffered state, not within one batch).
+    ("g_stream_join",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val stage = Files.createTempDirectory("graft-sj").toString
+        df.repartition(4).write.mode("overwrite").parquet(stage)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_pairs", new StructType()
+          .add("user_id", LongType).add("purchase_id", LongType)
+          .add("click_id", LongType))
+        def src() = s.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 2).parquet(stage)
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").cast("timestamp").as("p_ts"))
+          .withWatermark("p_ts", "35 days")
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").cast("timestamp").as("c_ts"))
+          .withWatermark("c_ts", "35 days")
+        val joined = clicks.join(purchases,
+          expr("c_user = p_user AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR"))
+          .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+        var batches = 0 // foreachBatch body runs on the driver
+        val q = joined.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batches += 1
+            if (!batch.isEmpty) t.append(s, batch): Unit
+          }
+          .option("checkpointLocation", s"$stage-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "g_stream_join: stream did not finish in 300s")
+        t.toDF(s).groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), max(col("click_id")).as("last_click"))
+          .withColumn("multi_batch", lit(batches > 1))
+          .orderBy("user_id")
+      },
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.user_id, p.purchase_id, c.click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR)
+        |SELECT user_id, count(*) AS n_pairs, max(click_id) AS last_click,
+        |  true AS multi_batch
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // S10: BEFORE(STATEMENT) (docs/05:69-72) reads the state just before a
     // named commit; AT(TIMESTAMP) pinned between the commits agrees.
     ("g_before_statement",
