@@ -70,6 +70,21 @@ object ScaleSmoke {
       copies.unionByName(clones).repartition(spark.sparkContext.defaultParallelism)
     }
 
+    // events scaled by user-shifted copies: every copy is an independent
+    // key universe (per-key load constant, key count grows m-fold — the
+    // horizontal-scale shape), so every per-key join result must scale by
+    // EXACTLY m: an exact invariant, not a statistical one
+    def scaledEvents(m: Int): DataFrame = {
+      val base = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type")
+      base.crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("event_id") + col("copy") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("copy") * 10000000L).as("user_id"),
+          col("event_type"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
     val cap = spark.conf.getOption("graft.neardup.max-bucket").map(_.toInt).getOrElse(256)
     val pairBudget = Extensions.PairBroadcastMaxRows
 
@@ -113,6 +128,29 @@ object ScaleSmoke {
       Extensions.connectedComponents(edges).select("label").distinct().count()
     }
 
+    // the keyed join operators: asof (union + ordered carry-forward) and
+    // range (binned point-in-interval) over the purchase/click shape the
+    // x_asof_join / x_range_join gates use
+    def joinFamily(ev: DataFrame): (Long, Long) = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+      val asofMatched = graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", "ts")
+        .filter(col("asof_click_id").isNotNull).count()
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val rangePairs = graft.operators.RangeJoin
+        .pointInInterval(points, windows, "user_id", "ts", "w_start", "w_end")
+        .count()
+      (asofMatched, rangePairs)
+    }
+
     def report(s: String): Unit = println(s"[scale-smoke] $s")
 
     // ---- 1x baseline ------------------------------------------------------
@@ -127,6 +165,12 @@ object ScaleSmoke {
     report(f"baseline 1x: docs=$n1 cand_pairs=$nPairs1 neardup_clusters=$clusters1 " +
       f"t=$t1%.1fs (warmup $tWarm%.1fs) " +
       f"containment rare=$rare1 cand=$cand1 t=$tc1%.1fs semantic_clusters=$sem1 t=$ts1%.1fs")
+    val ev1 = scaledEvents(1).localCheckpoint()
+    val nEv1 = ev1.count()
+    val (_, tjWarm) = timed(joinFamily(ev1))
+    val ((asof1, range1), tj1) = timed(joinFamily(ev1))
+    report(f"joins 1x: events=$nEv1 asof_matched=$asof1 range_pairs=$range1 " +
+      f"t=$tj1%.1fs (warmup $tjWarm%.1fs)")
 
     // ---- Mx corpus --------------------------------------------------------
     val docsM = scaledDocs(mult).localCheckpoint()
@@ -174,6 +218,25 @@ object ScaleSmoke {
 
     val (semM, tsM) = timed(semanticFamily(embM))
     report(f"semantic at ${mult}x: clusters=$semM t=$tsM%.1fs")
+
+    // contract 5: the keyed join operators scale horizontally — user-shifted
+    // copies make every per-key result an EXACT m-fold replica (any deviation
+    // means cross-key leakage or dropped matches at scale), and wall-time
+    // stays under data-ratio^1.5 (asof: one exchange + n log n sort; range:
+    // bin join with constant pairs-per-window)
+    val evM = scaledEvents(mult).localCheckpoint()
+    val nEvM = evM.count()
+    val ((asofM, rangeM), tjM) = timed(joinFamily(evM))
+    val evRatio = nEvM.toDouble / nEv1
+    val evBound = math.pow(evRatio, 1.5)
+    report(f"joins at ${mult}x: events=$nEvM asof_matched=$asofM range_pairs=$rangeM " +
+      f"t=$tjM%.1fs (${tjM / tj1}%.1fx at ${evRatio}%.0fx data, bound $evBound%.0fx)")
+    require(asofM == mult.toLong * asof1,
+      s"asof matches not copy-invariant: $asof1 at 1x but $asofM at ${mult}x")
+    require(rangeM == mult.toLong * range1,
+      s"range pairs not copy-invariant: $range1 at 1x but $rangeM at ${mult}x")
+    require(tjM / tj1 < evBound,
+      f"join family scaled super-linearly: ${tjM / tj1}%.1fx > $evBound%.0fx")
 
     // contract 4: wall-time scales with the WORKLOAD, not super-linearly in
     // it. For near-dup the workload is docs + candidate pairs — the pair
