@@ -331,6 +331,61 @@ object MaintenanceOps {
         |  (SELECT count(*) FROM events WHERE event_type <> 'click') AS manifest_records,
         |  true AS counts_agree""".stripMargin),
 
+    // M3b: the `partitions` summary metadata table tracks MOR burden and
+    // compaction: after a MOR delete of one day's error rows, exactly that
+    // partition reports a position-delete file while record_count stays
+    // PHYSICAL (full); after whole-table compaction the deletes fold into
+    // the rewrite (record_count drops to live rows), every partition
+    // coalesces to ONE file, and no delete files remain. The day whose
+    // deletes exist is derived FROM the data on both engines, so the gate
+    // cannot go vacuous at an SF where Jan 5 happens to have no errors.
+    ("g_partitions_meta",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_pm", df.schema,
+          partitionBy = Seq("ts" -> Transform.Day),
+          properties = Map("enable-iceberg-merge-on-read" -> "true"))
+        t.append(s, df)
+        val delDay = "2024-01-05"
+        t.deleteWhere(s,
+          to_date(col("ts")) === lit(delDay) && col("event_type") === "error",
+          Seq(Predicate.GtEq("ts", LocalDateTime.of(2024, 1, 5, 0, 0)),
+            Predicate.Lt("ts", LocalDateTime.of(2024, 1, 6, 0, 0))))
+        // position deletes are spec-less (global) files, so they surface as
+        // their own empty-partition row — per-day rows keep file_count > 0
+        def byDay(p: DataFrame) = p.filter(col("file_count") > 0).select(
+          to_date(element_at(map_values(col("partition")), 1)).as("day"),
+          col("record_count"), col("file_count"))
+        def delFiles(p: DataFrame): Long =
+          p.agg(sum(col("position_delete_file_count"))).head.getLong(0)
+        val preDF = t.partitionsDF(s)
+        val preHasDeletes = delFiles(preDF) > 0
+        val pre = byDay(preDF).select(col("day"), col("record_count").as("n_pre"))
+        t.compact(s)
+        val postDF = t.partitionsDF(s)
+        val postHasDeletes = delFiles(postDF) > 0
+        val post = byDay(postDF)
+          .select(col("day"), col("record_count").as("n_post"),
+            col("file_count").as("post_files"))
+        pre.join(post, "day")
+          .withColumn("pre_has_deletes", lit(preHasDeletes))
+          .withColumn("post_has_deletes", lit(postHasDeletes))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_pre,
+        |    sum(CASE WHEN event_type = 'error'
+        |             AND CAST(ts AS DATE) = DATE '2024-01-05'
+        |        THEN 1 ELSE 0 END) AS n_del
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_pre,
+        |  CAST(n_pre - n_del AS BIGINT) AS n_post,
+        |  CAST(1 AS INTEGER) AS post_files,
+        |  (SELECT sum(n_del) > 0 FROM daily) AS pre_has_deletes,
+        |  false AS post_has_deletes
+        |FROM daily ORDER BY day""".stripMargin),
+
     // O2: REWRITE MANIFESTS (docs/10:80-95) — 3 appends' manifests collapse
     // to one, metadata-only, contents unchanged.
     ("g_rewrite_manifests",

@@ -25,6 +25,7 @@ class GraftMetaSparkTable(val graftTable: GraftTable, val kind: String)
     case "snapshots" => graftTable.snapshotsDF(SparkSession.active)
     case "manifests" => graftTable.manifestsDF(SparkSession.active)
     case "files" => graftTable.filesDF(SparkSession.active)
+    case "partitions" => graftTable.partitionsDF(SparkSession.active)
     case other => sys.error(s"unknown metadata table $other")
   }
 
@@ -43,5 +44,5 @@ class GraftMetaSparkTable(val graftTable: GraftTable, val kind: String)
 }
 
 object GraftMetaSparkTable {
-  val suffixes: Set[String] = Set("snapshots", "manifests", "files")
+  val suffixes: Set[String] = Set("snapshots", "manifests", "files", "partitions")
 }

@@ -80,6 +80,36 @@ trait GraftMetaTables { self: GraftTable =>
     df(spark, schema, rows)
   }
 
+  /** M3b: the `partitions` summary table (the Iceberg-standard rollup of
+    * [[filesDF]]): per-(partition, spec) record/file/byte totals for live
+    * DATA files with position-delete files counted alongside — the table a
+    * planner or operator reads to spot skewed, fragmented, or
+    * delete-burdened partitions WITHOUT listing every file. Like the rest
+    * of the family this is a driver-side manifest read (KBs) — at 100 TB
+    * the partition count, not the file count, bounds the result.
+    */
+  def partitionsDF(spark: SparkSession): DataFrame = {
+    val m = meta
+    val schema = StructType(Seq(
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("spec_id", IntegerType),
+      StructField("record_count", LongType),
+      StructField("file_count", IntegerType),
+      StructField("total_size_in_bytes", LongType),
+      StructField("position_delete_file_count", IntegerType)))
+    val files = m.currentSnapshot.map(readManifestList(m, _)).getOrElse(Nil)
+      .flatMap(readManifest(m, _))
+    val rows = files
+      .groupBy(f => (f.partition.map { case (k, v) => k -> v.orNull }, f.specId))
+      .toSeq
+      .map { case ((part, spec), fs) =>
+        val (data, dels) = fs.partition(_.content == "data")
+        Row(part, spec, data.map(_.recordCount).sum, data.size,
+          data.map(_.fileSizeBytes).sum, dels.size)
+      }
+    df(spark, schema, rows)
+  }
+
   /** M4: SYSTEM$GET_ICEBERG_TABLE_INFORMATION (docs/03:170-171). */
   def tableInformation: Map[String, String] = {
     val (v, m) = load()

@@ -310,6 +310,15 @@ class GraftSparkCatalogSpec extends SparkSpec {
     // plan shape: metadata reads are local, no Spark jobs over data files
     val plan = spark.sql("SELECT * FROM gmeta.db.t2.files").queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), s"metadata table should be a LocalScan:\n$plan")
+
+    // partitions: per-partition rollup agrees with the live data (the COW
+    // delete above removed partition 'a' entirely)
+    val parts = spark.sql(
+      """SELECT partition['cat'], record_count, file_count
+        |FROM gmeta.db.t2.partitions WHERE file_count > 0
+        |ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(parts.toSeq == Seq(("b", 1L, 1)), s"got ${parts.toSeq}")
   }
 
   test("VERSION AS OF resolves ref NAMES: branches live-schema, tags pinned") {
