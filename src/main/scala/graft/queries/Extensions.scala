@@ -661,6 +661,52 @@ object Extensions {
         |  count(*) AS vectors, min(vec_id) AS min_vec_id
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X3c: LSH-cell ANN JOIN — the approximate twin of x_knn_join: a batch
+    // of query vectors each retrieves top-k from ONLY its own sign-LSH
+    // cell (a hash join on the cell key), never the full corpus. At 100 TB
+    // the cell bit-width is the recall/cost knob (more bits → smaller
+    // cells → cheaper, lower recall); the per-query window is bounded by
+    // cell occupancy, not corpus size. Sign tests are float-exact so both
+    // engines build identical cells; NaN-lane sims are filtered on both
+    // sides (Spark would otherwise sort NaN above every real sim).
+    ("x_lsh_ann_join",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+          .withColumn("cell", VF.lshBucket(col("embedding"), bits = 8))
+        val q = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+        val c = emb.filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell"))
+        val scored = q.join(c, "cell")
+          .withColumn("sim",
+            nanvl(VF.cosineSimilarity(col("q_emb"), col("c_emb")), lit(null).cast("double")))
+          .filter(col("sim").isNotNull)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      """WITH lsh AS (
+        |  SELECT vec_id, embedding,
+        |    array_to_string(list_transform(embedding[1:8],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS cell
+        |  FROM embeddings),
+        |q AS (SELECT * FROM lsh WHERE vec_id % 97 = 0),
+        |c AS (SELECT * FROM lsh WHERE vec_id % 97 <> 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS sim
+        |  FROM q JOIN c ON q.cell = c.cell),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 3 ORDER BY 1, 2""".stripMargin),
+
     // X2e: embedding-cosine near-dup — the vector-space analogue of the
     // text near-dup family: sign-LSH buckets generate candidates (a hash
     // shuffle on (bucket), never all-pairs), exact cosine verifies. The
