@@ -26,6 +26,7 @@ class GraftMetaSparkTable(val graftTable: GraftTable, val kind: String)
     case "manifests" => graftTable.manifestsDF(SparkSession.active)
     case "files" => graftTable.filesDF(SparkSession.active)
     case "partitions" => graftTable.partitionsDF(SparkSession.active)
+    case "refs" => graftTable.refsDF(SparkSession.active)
     case other => sys.error(s"unknown metadata table $other")
   }
 
@@ -44,5 +45,5 @@ class GraftMetaSparkTable(val graftTable: GraftTable, val kind: String)
 }
 
 object GraftMetaSparkTable {
-  val suffixes: Set[String] = Set("snapshots", "manifests", "files", "partitions")
+  val suffixes: Set[String] = Set("snapshots", "manifests", "files", "partitions", "refs")
 }

@@ -110,6 +110,26 @@ trait GraftMetaTables { self: GraftTable =>
     df(spark, schema, rows)
   }
 
+  /** M3c: the `refs` table (Iceberg-standard): every named branch/tag with
+    * the snapshot it points at — plus the implicit `main` branch at the
+    * current snapshot, so the table is never empty on a written table and
+    * a reader can resolve any `VERSION AS OF <name>` target from one scan.
+    */
+  def refsDF(spark: SparkSession): DataFrame = {
+    val m = meta
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType)))
+    val main = m.currentSnapshotId.map(id => Row("main", "branch", id)).toSeq
+    // a stored ref literally named "main" would shadow the implicit head
+    // row; the implicit row (the table's real current state) wins
+    val named = m.refs.toSeq.filter(_._1 != "main").sortBy(_._1).map { case (n, r) =>
+      Row(n, if (r.isBranch) "branch" else "tag", r.snapshotId)
+    }
+    df(spark, schema, main ++ named)
+  }
+
   /** M4: SYSTEM$GET_ICEBERG_TABLE_INFORMATION (docs/03:170-171). */
   def tableInformation: Map[String, String] = {
     val (v, m) = load()

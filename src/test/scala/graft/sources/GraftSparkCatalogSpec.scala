@@ -340,6 +340,15 @@ class GraftSparkCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM gref.db.t VERSION AS OF 'nope'").collect())
     assert(e.getMessage.contains("neither a snapshot id"), e.getMessage)
+
+    // the refs metadata table lists every named ref plus the implicit main
+    // head; the tag stays pinned at its snapshot while main moved past it
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM gref.db.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.map(x => (x._1, x._2)).toSeq ==
+      Seq(("dev", "branch"), ("main", "branch"), ("pin", "tag")), s"got ${refs.toSeq}")
+    assert(refs.collect { case ("pin", _, id) => id }.head == snap, "tag must stay pinned")
+    assert(refs.collect { case ("main", _, id) => id }.head != snap, "main moved past the pin")
   }
 
   test("SQL WAP: set_ref(is_branch => true) creates a publishable branch") {
