@@ -45,10 +45,13 @@ object GapFill {
     require(bounds.columns.toSet == Set("d0", "d1"),
       s"bounds must be exactly (d0, d1), got ${bounds.columns.mkString(", ")}")
     val span = datediff(col("d1"), col("d0")) + 1
+    // span < 1 (inverted bounds) must ALSO fail loudly: Spark's
+    // sequence(d0, d1) silently generates a DESCENDING calendar when
+    // d0 > d1 — the epoch-zero-sentinel blowup the cap exists to stop
     val cal = daily.select(keys.map(col): _*).distinct()
       .crossJoin(broadcast(bounds
-        .select(when(span > maxSpanDays, raise_error(concat(
-            lit(s"fillDaily: calendar span exceeds $maxSpanDays days ("), span,
+        .select(when(span > maxSpanDays || span < 1, raise_error(concat(
+            lit(s"fillDaily: calendar span outside [1, $maxSpanDays] days ("), span,
             lit("); check the bounds derivation")))
           .cast("date")).otherwise(col("d0")).as("d0"), col("d1"))))
       .withColumn(day, explode(sequence(col("d0"), col("d1"))))

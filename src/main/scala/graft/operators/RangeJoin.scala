@@ -63,11 +63,15 @@ object RangeJoin {
     val collide = ivCols.map(prefix + _).toSet intersect points.columns.toSet
     require(collide.isEmpty, s"prefixed interval columns collide with point columns: ${collide.mkString(", ")}")
 
-    // exact floor division (negative-safe, no double rounding): subtract the
-    // non-negative remainder first so the division is of an exact multiple
+    // exact floor division (negative-safe): subtract the non-negative
+    // remainder so the division is of an exact multiple, then divide in
+    // DECIMAL — double division would round the numerator past 2^53
+    // (timestamps beyond ~year 2255, e.g. 9999-12-31 sentinels) and could
+    // land a point in the adjacent bin, silently dropping its matches
     def bin(c: Column): Column = {
       val u = unix_micros(c.cast("timestamp"))
-      ((u - pmod(u, lit(binWidthMicros))) / binWidthMicros).cast("long")
+      ((u - pmod(u, lit(binWidthMicros))).cast("decimal(20,0)") / binWidthMicros)
+        .cast("long")
     }
 
     val iv = intervals

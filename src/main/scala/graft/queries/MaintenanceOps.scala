@@ -332,13 +332,14 @@ object MaintenanceOps {
         |  true AS counts_agree""".stripMargin),
 
     // M3b: the `partitions` summary metadata table tracks MOR burden and
-    // compaction: after a MOR delete of one day's error rows, exactly that
-    // partition reports a position-delete file while record_count stays
-    // PHYSICAL (full); after whole-table compaction the deletes fold into
-    // the rewrite (record_count drops to live rows), every partition
-    // coalesces to ONE file, and no delete files remain. The day whose
-    // deletes exist is derived FROM the data on both engines, so the gate
-    // cannot go vacuous at an SF where Jan 5 happens to have no errors.
+    // compaction: after a MOR delete of one day's error rows, the table
+    // reports a position-delete file while record_count stays PHYSICAL
+    // (full); after whole-table compaction the deletes fold into the
+    // rewrite (record_count drops to live rows), every partition coalesces
+    // to ONE file, and no delete files remain. The deleted day is the day
+    // with the MOST error rows, derived from the data on both engines
+    // (ties by day), so the delete can never be empty — the gate cannot go
+    // vacuous at any SF that has a single error row.
     ("g_partitions_meta",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
@@ -347,11 +348,15 @@ object MaintenanceOps {
           partitionBy = Seq("ts" -> Transform.Day),
           properties = Map("enable-iceberg-merge-on-read" -> "true"))
         t.append(s, df)
-        val delDay = "2024-01-05"
+        // one-row driver read: the day with the most error rows
+        val delDay = df.filter(col("event_type") === "error")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("day")).limit(1)
+          .head.getDate(0).toLocalDate
         t.deleteWhere(s,
-          to_date(col("ts")) === lit(delDay) && col("event_type") === "error",
-          Seq(Predicate.GtEq("ts", LocalDateTime.of(2024, 1, 5, 0, 0)),
-            Predicate.Lt("ts", LocalDateTime.of(2024, 1, 6, 0, 0))))
+          to_date(col("ts")) === lit(delDay.toString) && col("event_type") === "error",
+          Seq(Predicate.GtEq("ts", delDay.atStartOfDay),
+            Predicate.Lt("ts", delDay.plusDays(1).atStartOfDay)))
         // position deletes are spec-less (global) files, so they surface as
         // their own empty-partition row — per-day rows keep file_count > 0
         def byDay(p: DataFrame) = p.filter(col("file_count") > 0).select(
@@ -373,10 +378,13 @@ object MaintenanceOps {
           .withColumn("post_has_deletes", lit(postHasDeletes))
           .orderBy("day")
       },
-      """WITH daily AS (
+      """WITH del_day AS (
+        |  SELECT CAST(ts AS DATE) AS dday FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1),
+        |daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_pre,
         |    sum(CASE WHEN event_type = 'error'
-        |             AND CAST(ts AS DATE) = DATE '2024-01-05'
+        |             AND CAST(ts AS DATE) = (SELECT dday FROM del_day)
         |        THEN 1 ELSE 0 END) AS n_del
         |  FROM events GROUP BY 1)
         |SELECT day, n_pre,

@@ -50,15 +50,24 @@ class GapFillSpec extends SparkSpec {
       GapFill.fillDaily(daily, bounds.withColumnRenamed("d1", "hi"),
         Seq("k"), "day", "n")
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val century = Seq(("1970-01-01", "2224-01-01")).toDF("d0", "d1")
       .select(col("d0").cast("date").as("d0"), col("d1").cast("date").as("d1"))
     val ex = intercept[Exception] {
       GapFill.fillDaily(daily, century, Seq("k"), "day", "n", maxSpanDays = 365).count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("calendar span exceeds 365 days")),
+    assert(messages(ex).exists(_.contains("calendar span outside [1, 365] days")),
       s"expected the loud span message, got: ${messages(ex).mkString(" | ")}")
+    // inverted bounds (the epoch-zero-sentinel shape) must fail loudly too —
+    // Spark's sequence() would otherwise generate a DESCENDING calendar
+    val inverted = Seq(("2024-06-01", "1970-01-01")).toDF("d0", "d1")
+      .select(col("d0").cast("date").as("d0"), col("d1").cast("date").as("d1"))
+    val ex2 = intercept[Exception] {
+      GapFill.fillDaily(daily, inverted, Seq("k"), "day", "n").count()
+    }
+    assert(messages(ex2).exists(_.contains("calendar span outside")),
+      s"expected the loud span message for inverted bounds, got: ${messages(ex2).mkString(" | ")}")
   }
 
   test("plan: calendar from a broadcast 1-row bound; LOCF window is keyed") {

@@ -12,9 +12,6 @@ import org.apache.spark.sql.functions._
   */
 class RangeJoinSpec extends SparkSpec {
 
-  // timestamps are built from epoch micros for exact boundary control
-  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
-
   private val W = 1000000L // 1s bins for the hand-built frames
 
   private def frames() = {
@@ -101,6 +98,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated into a nested loop:\n$plan")
     assert(plan.contains("_rj_bin"), s"expected the bin column in the join key:\n$plan")
+  }
+
+  test("far-future timestamps bin exactly (no double rounding past 2^53)") {
+    import spark.implicits._
+    // 9999-12-30T00:00:00Z in epoch micros — far past 2^53, where double
+    // division would round; an exact hour-bin boundary by construction
+    val b = 253402128000000000L
+    val hour = 3600L * 1000000L
+    val points = Seq(
+      (1L, b),            // == start: inclusive
+      (2L, b - 1L),       // 1µs before: out
+      (3L, b + 2 * hour - 1L), // last µs inside
+      (4L, b + 2 * hour)) // == end: out
+      .toDF("id", "us")
+      .select(col("id"), lit("k").as("k"), timestamp_micros(col("us")).as("t"))
+    val intervals = Seq((b, b + 2 * hour)).toDF("s_us", "e_us")
+      .select(lit("k").as("k"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"), lit("far").as("tag"))
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
   }
 
   test("agrees with a brute-force inequality scan on random data") {
