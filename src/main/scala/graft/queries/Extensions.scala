@@ -539,6 +539,60 @@ object Extensions {
         |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1
         |ORDER BY 1""".stripMargin),
 
+    // X6g: quantile-bucketed curriculum — sort rows into quantile bins
+    // WITHOUT sorting the corpus: the sampled quantile thresholds
+    // (x_quantile_sample's operator) come back as 3 exact DECIMAL
+    // elements, broadcast into one map-side CASE, and the corpus does a
+    // single pass + hash agg. The standard shape for quality-curriculum
+    // assignment ("which quartile is this document in?") at 100 TB, where
+    // a global ORDER BY + ntile would be the naive killer. Thresholds are
+    // exact picked elements, so both engines make identical bin decisions.
+    ("x_quality_buckets",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{ScaleFunctions => SC}
+        val li = Tables.lineitem(s, d)
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        // 3 threshold rows: a bounded driver read (k thresholds, like the
+        // k x dim centroid collect in the IVF trainer)
+        val th = SC.sampledQuantiles(li, price,
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string")),
+            "04", Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+          .select("quantile", "value").collect()
+          .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+        li.withColumn("bucket",
+            when(price <= lit(th("q1")), "b1")
+              .when(price <= lit(th("q2")), "b2")
+              .when(price <= lit(th("q3")), "b3")
+              .otherwise("b4"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy("bucket")
+      },
+      """WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS tb
+        |  FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '04'),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, tb) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s),
+        |q(label, p) AS (VALUES ('q1', CAST(0.25 AS DOUBLE)),
+        |  ('q2', CAST(0.5 AS DOUBLE)), ('q3', CAST(0.75 AS DOUBLE))),
+        |th AS (
+        |  SELECT q.label, r.v FROM r JOIN q
+        |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1)
+        |SELECT CASE
+        |    WHEN CAST(l_extendedprice AS DECIMAL(12,2)) <= (SELECT v FROM th WHERE label = 'q1') THEN 'b1'
+        |    WHEN CAST(l_extendedprice AS DECIMAL(12,2)) <= (SELECT v FROM th WHERE label = 'q2') THEN 'b2'
+        |    WHEN CAST(l_extendedprice AS DECIMAL(12,2)) <= (SELECT v FROM th WHERE label = 'q3') THEN 'b3'
+        |    ELSE 'b4' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X6b: INT8 EMBEDDING QUANTIZATION ([[graft.functions.VectorFunctions
     // .quantizeInt8]]): symmetric per-vector quantization of the float
     // embedding column — 4 bytes/lane to 1 byte/lane + one scale, the

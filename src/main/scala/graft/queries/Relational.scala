@@ -341,6 +341,30 @@ object Relational {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Q14: UNPIVOT — wide-to-long reshaping (the inverse of q17_pivot) via
+    // the native Dataset.unpivot (plans as Expand: one pass, rows x
+    // measures, no join); the oracle spells out the UNION ALL expansion it
+    // is sugar for. Measures follow the dsum DECIMAL-exact convention.
+    ("q18_unpivot",
+      (s: SparkSession, d: String) => {
+        val wide = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price")), "measure", "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+        |ORDER BY 1, 2""".stripMargin)
   )
 }
