@@ -333,4 +333,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts.nonEmpty && sorts.forall(_.contains("], false, 0")),
       s"ordering must be per-partition (no global sort):\n$plan")
   }
+
+  test("window features: keyed RANGE-frame window, zero joins") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_window_features").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("windowspecdefinition(l_suppkey"),
+      s"window not keyed by supplier:\n$plan")
+    assert(!plan.contains("Join"), s"trailing features must not join:\n$plan")
+  }
+
+  test("oov rate: vocab is TakeOrderedAndProject, token probe broadcasts") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_oov_rate").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N vocab must be TakeOrdered, not a global window/sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 16-row vocab must broadcast into the token stream:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in oov scoring:\n$plan")
+  }
+
+  test("lsh ann join: hash join on the cell key, ranking window keyed by query") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_lsh_ann_join").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("windowspecdefinition(query_id"),
+      s"per-query ranking window must partition by query_id:\n$plan")
+  }
+
+  test("quality buckets: map-side CASE + hash agg — never a global sort or ntile") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_quality_buckets").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Window"), s"ntile/window crept into bucketing:\n$plan")
+    assert(plan.contains("CASE WHEN"), s"expected the broadcast-threshold CASE:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected a hash aggregate:\n$plan")
+  }
 }
