@@ -330,4 +330,38 @@ object VectorFunctions {
     rankTopK(bucketed.join(broadcast(q), col("_graft_bucket") === col("_graft_qbucket"))
       .withColumn("sim", sim), idCol, k)
   }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix, `outDims` rows of
+    * `dim` columns. Each entry derives from md5("i_j") — first hex digit in
+    * [0,7] ⇒ +1, else −1 — so any engine (and any executor, with no shared
+    * RNG state) regenerates the identical matrix from the two integers
+    * alone. The matrix is outDims×dim longs (a few KB): it rides into the
+    * plan as a literal, the distributed-projection equivalent of
+    * broadcasting the projection matrix.
+    */
+  def signMatrix(dim: Int, outDims: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, dim) { (j, i) =>
+      val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      md.reset()
+      // first hex digit = high nibble of byte 0; < 8 ⇒ +1
+      if (((hex(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+  }
+
+  /** Random-sign (achlioptas-style ±1) projection of an int8 code vector to
+    * `signs.length` output dimensions — the 100 TB dimensionality cut that
+    * runs BEFORE similarity work: 64 float lanes become, say, 8 BIGINT
+    * lanes, map-only (zip_with + aggregate per row, zero exchanges), and
+    * because the inputs are integer codes and the weights are ±1 every
+    * output lane is an exact BIGINT — no float summation order to diverge
+    * across engines or partitionings. Compose as
+    * `signProject(quantizeInt8(sanitizeVector(v))("codes"), signMatrix(d, k))`.
+    */
+  def signProject(codes: Column, signs: Array[Array[Long]]): Column = {
+    val matrix = typedLit(signs.map(_.toSeq).toSeq)
+    transform(matrix, row =>
+      aggregate(zip_with(codes, row, (c, s) => c.cast("long") * s),
+        lit(0L), (acc, x) => acc + x))
+  }
 }

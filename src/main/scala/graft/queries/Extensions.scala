@@ -2520,6 +2520,115 @@ object Extensions {
         |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
         |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
         |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X7c: KEYWORD SEARCH over a PERSISTED inverted index — the lexical
+    // retrieval twin of x_ann_index. The index is a Graft table of postings
+    // (token, doc_id, tf), identity-partitioned on a 16-way md5 bucket of
+    // the token: the build is one pass over text + one (token, doc) hash
+    // aggregate, and a term probe PRUNES to 1/16 of the index partitions
+    // (certified through scan metrics like every other pruned gate). The
+    // AND-of-terms query intersects two pruned posting scans on doc_id and
+    // ranks by summed term frequency (exact BIGINTs, id tie-break,
+    // TakeOrderedAndProject) — document text is never touched at query
+    // time, which is the entire point of an inverted index at 100 TB.
+    // DuckDB has no index; the oracle recomputes tf from raw text, so
+    // agreement proves the index lost nothing.
+    ("x_keyword_search",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d)
+        val postings = docs
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket",
+            pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.inverted", postings.schema,
+          partitionBy = Seq("bucket" -> Transform.Identity))
+        t.append(s, postings)
+        // driver-side twin of hash60 % 16 for a literal term (same md5
+        // prefix arithmetic — the probe must route exactly like the writer)
+        def bucketOf(term: String): Long = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 15), 16) % 16
+        }
+        def probe(term: String) = {
+          val sc = t.scan(Predicate.Eq("bucket", bucketOf(term)))
+          sc.toDF(s).count() // record pruning metrics
+          (sc, sc.toDF(s).filter(col("token") === term).select(col("doc_id"), col("tf")))
+        }
+        val (scA, a) = probe("merge")
+        val (scB, b) = probe("window")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("pruned_a",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal))
+          .withColumn("pruned_b",
+            lit(scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS pruned_a, true AS pruned_b
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X6h: RANDOM-SIGN PROJECTION (Johnson-Lindenstrauss / Achlioptas ±1)
+    // — the dimensionality cut that runs BEFORE similarity work at 100 TB:
+    // 64 float lanes become 8 exact-BIGINT lanes, map-only (the ±1 matrix
+    // is an outDims×dim literal riding in the plan — the broadcast-the-
+    // projection-matrix shape), composed over the stored int8 codes so
+    // every output lane is integer arithmetic with NO float summation
+    // order to diverge across engines or partitionings. The gate
+    // aggregates the projected lanes per (label, output-dim) — exact
+    // BIGINT sums — and DuckDB regenerates the identical matrix from
+    // md5(i_j) parity alone, so agreement proves both the quantization
+    // and the projection bit-match ([[graft.functions.VectorFunctions
+    // .signMatrix]] / [[graft.functions.VectorFunctions.signProject]]).
+    ("x_random_projection",
+      (s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val signs = VF.signMatrix(dim, 8)
+        e.select(col("label"),
+            VF.signProject(
+              VF.quantizeInt8(VF.sanitizeVector(col("embedding")))("codes"),
+              signs).as("proj"))
+          .select(col("label"), posexplode(col("proj")).as(Seq("j", "p")))
+          .groupBy(col("label"), col("j").cast("long").as("j"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).as("proj_sum"))
+          .orderBy("label", "j")
+      },
+      """WITH qz AS (
+        |  SELECT label,
+        |    CASE WHEN amax = 0
+        |      THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+        |      END AS codes
+        |  FROM (SELECT label, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |        FROM embeddings)),
+        |lanes AS (
+        |  SELECT label, unnest(codes) AS c,
+        |    generate_subscripts(codes, 1) - 1 AS i
+        |  FROM qz),
+        |proj AS (
+        |  SELECT label, j,
+        |    CAST(sum(c * CASE WHEN substr(md5(i || '_' || j), 1, 1)
+        |                      BETWEEN '0' AND '7' THEN 1 ELSE -1 END) AS BIGINT)
+        |      AS proj_sum
+        |  FROM lanes CROSS JOIN (SELECT unnest(range(8)) AS j)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT p.label, p.j, n.n, p.proj_sum
+        |FROM proj p JOIN n USING (label)
+        |ORDER BY 1, 2""".stripMargin)
   )
 }

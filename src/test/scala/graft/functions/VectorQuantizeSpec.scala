@@ -172,4 +172,47 @@ class VectorQuantizeSpec extends SparkSpec {
     assert(exact.toSet == approx.toSet,
       s"top-10 set must survive quantization: $exact vs $approx")
   }
+
+  test("signMatrix: deterministic, ±1-only, roughly balanced, md5-derived") {
+    val a = VectorFunctions.signMatrix(64, 8)
+    val b = VectorFunctions.signMatrix(64, 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "regeneration must be identical")
+    assert(a.flatten.forall(s => s == 1L || s == -1L))
+    val plus = a.flatten.count(_ == 1L)
+    assert(plus > 512 * 3 / 10 && plus < 512 * 7 / 10,
+      s"md5 parity should be roughly balanced, got $plus/+512")
+    // spot-check one entry against the definition: md5("0_0") first hex digit
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0_0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = if (hex.charAt(0) <= '7') 1L else -1L
+    assert(a(0)(0) == expect)
+  }
+
+  test("signProject: exact vs naive driver-side recompute on random codes") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(255) - 127).toFloat)))
+    val signs = VectorFunctions.signMatrix(16, 4)
+    val got = df(rows)
+      .select(col("id"), VectorFunctions.signProject(
+        VectorFunctions.quantizeInt8(col("emb"))("codes"), signs).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      val codes =
+        if (amax == 0.0) v.map(_ => 0L)
+        else v.map(x => math.floor(x.toDouble * 127.0 / amax + 0.5).toLong)
+      val want = signs.map(row => codes.zip(row).map { case (c, s) => c * s }.sum).toSeq
+      assert(got(id) == want, s"row $id")
+    }
+  }
+
+  test("signProject is map-only: no exchange in the projection plan") {
+    val d = df(Seq((1L, Seq(1.0f, -2.0f, 0.5f))))
+    val plan = d.select(VectorFunctions.signProject(
+        VectorFunctions.quantizeInt8(col("emb"))("codes"),
+        VectorFunctions.signMatrix(3, 2)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }

@@ -297,4 +297,28 @@ class PipelineOpsSpec extends SparkSpec {
     val b = firstPerShard(13)
     assert(a == b && a.nonEmpty, "shard heads must not depend on physical layout")
   }
+
+  test("keyword search: index answers match direct text scan; probes prune") {
+    val run = Extensions.entries.find(_._1 == "x_keyword_search").get._2
+    val got = run(spark, d).collect()
+    // every emitted row certifies both probes pruned the index
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "both term probes must touch fewer files than the index holds")
+    // independent recompute straight from text (no index)
+    val direct = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("t") === "merge", 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") === "window", 1L).otherwise(0L)).as("b"))
+      .filter(col("a") > 0 && col("b") > 0)
+      .select(col("doc_id"), (col("a") + col("b")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(direct(r.getLong(0)) == r.getLong(1), s"tf mismatch for doc ${r.getLong(0)}")
+    }
+    // top-20 cut must agree with the direct ranking (score desc, id asc)
+    val wantTop = direct.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == wantTop)
+  }
 }
