@@ -43,6 +43,16 @@ object SketchFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] for a literal string — probe routing
+    * (e.g. the inverted-index bucket of a query term) must match the
+    * writer's bucketing bit-for-bit.
+    */
+  def hash60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** The KMV sketch: k smallest distinct 60-bit hashes of `c`, ascending.
     * distinct() dedups map-side first (partial hash aggregate), so the
     * exchange carries per-partition-distinct hashes only; orderBy.limit(k)

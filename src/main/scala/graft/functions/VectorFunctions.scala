@@ -352,16 +352,25 @@ object VectorFunctions {
   /** Random-sign (achlioptas-style ±1) projection of an int8 code vector to
     * `signs.length` output dimensions — the 100 TB dimensionality cut that
     * runs BEFORE similarity work: 64 float lanes become, say, 8 BIGINT
-    * lanes, map-only (zip_with + aggregate per row, zero exchanges), and
-    * because the inputs are integer codes and the weights are ±1 every
-    * output lane is an exact BIGINT — no float summation order to diverge
-    * across engines or partitionings. Compose as
+    * lanes, map-only (one fold per row, zero exchanges), and because the
+    * inputs are integer codes and the weights are ±1 every output lane is
+    * an exact BIGINT — no float summation order to diverge across engines
+    * or partitionings. Compose as
     * `signProject(quantizeInt8(sanitizeVector(v))("codes"), signMatrix(d, k))`.
+    *
+    * Shape matters: the fold runs over the LANE axis once, carrying all
+    * `outDims` accumulators — an output-axis loop would re-evaluate the
+    * `codes` expression (often a whole quantization) once per output
+    * dimension, an outDims× hidden cost (measured 10× on the gate corpus).
     */
   def signProject(codes: Column, signs: Array[Array[Long]]): Column = {
-    val matrix = typedLit(signs.map(_.toSeq).toSeq)
-    transform(matrix, row =>
-      aggregate(zip_with(codes, row, (c, s) => c.cast("long") * s),
-        lit(0L), (acc, x) => acc + x))
+    val outDims = signs.length
+    // transpose to lane-major so the fold walks codes and weights together
+    val byLane = typedLit(signs.transpose.map(_.toSeq).toSeq)
+    aggregate(
+      zip_with(codes, byLane, (c, laneSigns) =>
+        transform(laneSigns, s => c.cast("long") * s)),
+      typedLit(Seq.fill(outDims)(0L)),
+      (acc, contrib) => zip_with(acc, contrib, (a, b) => a + b))
   }
 }

@@ -2547,13 +2547,8 @@ object Extensions {
         val t = cat.createTable("db.inverted", postings.schema,
           partitionBy = Seq("bucket" -> Transform.Identity))
         t.append(s, postings)
-        // driver-side twin of hash60 % 16 for a literal term (same md5
-        // prefix arithmetic — the probe must route exactly like the writer)
-        def bucketOf(term: String): Long = {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          java.lang.Long.parseLong(hex.substring(0, 15), 16) % 16
-        }
+        def bucketOf(term: String): Long =
+          graft.functions.SketchFunctions.hash60Local(term) % 16
         def probe(term: String) = {
           val sc = t.scan(Predicate.Eq("bucket", bucketOf(term)))
           sc.toDF(s).count() // record pruning metrics

@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *      linear-in-corpus with a small constant (the caps' real guarantee),
   *      near-dup wall-time stays within ~the workload ratio, and the
   *      df-capped/cell-capped families stay under data-ratio^1.5 — never
-  *      the ratio^2 an uncapped all-pairs would show.
+  *      the ratio^2 an uncapped all-pairs would show;
+  *   5. the keyed join operators (asof, range) replicate per-key results
+  *      EXACTLY m-fold under user-shifted duplication — the horizontal-
+  *      scale shape — at sub-ratio^1.5 wall-time;
+  *   6. the persisted inverted index stays honest: AND-query hits replicate
+  *      exactly m-fold, term probes still partition-prune, and probing
+  *      stays far cheaper than rebuilding.
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   *        sbt "runMain graft.tools.ScaleSmoke"
@@ -151,6 +157,38 @@ object ScaleSmoke {
       (asofMatched, rangePairs)
     }
 
+    // keyword search over a persisted inverted index (the x_keyword_search
+    // shape): build cost is one text pass + one hash agg (linear), and a
+    // term probe must stay a PRUNED read — 1/16 of the index partitions —
+    // no matter how large the corpus grows
+    def keywordFamily(docs: DataFrame): (Long, Boolean, Double, Double) = {
+      import graft.format.{Predicate, Transform}
+      val postings = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
+      val cat = new graft.catalog.GraftCatalog(
+        java.nio.file.Files.createTempDirectory("graft-smoke-kw").toString)
+      val t = cat.createTable("db.inv", postings.schema,
+        partitionBy = Seq("bucket" -> Transform.Identity))
+      val (_, tBuild) = timed(t.append(spark, postings))
+      val ((matched, pruned), tProbe) = timed {
+        def posting(term: String) = {
+          val sc = t.scan(Predicate.Eq("bucket",
+            graft.functions.SketchFunctions.hash60Local(term) % 16))
+          (sc, sc.toDF(spark).filter(col("token") === term).select("doc_id"))
+        }
+        val (sa, a) = posting("merge")
+        val (sb, b) = posting("window")
+        val m = a.join(b, "doc_id").count()
+        (m, sa.metrics.filesScanned < sa.metrics.filesTotal &&
+          sb.metrics.filesScanned < sb.metrics.filesTotal)
+      }
+      (matched, pruned, tBuild, tProbe)
+    }
+
     def report(s: String): Unit = println(s"[scale-smoke] $s")
 
     // ---- 1x baseline ------------------------------------------------------
@@ -171,6 +209,8 @@ object ScaleSmoke {
     val ((asof1, range1), tj1) = timed(joinFamily(ev1))
     report(f"joins 1x: events=$nEv1 asof_matched=$asof1 range_pairs=$range1 " +
       f"t=$tj1%.1fs (warmup $tjWarm%.1fs)")
+    val (kw1, kwPruned1, tkb1, tkp1) = keywordFamily(docs1)
+    report(f"keyword 1x: matched=$kw1 pruned=$kwPruned1 build=$tkb1%.1fs probe=$tkp1%.1fs")
 
     // ---- Mx corpus --------------------------------------------------------
     val docsM = scaledDocs(mult).localCheckpoint()
@@ -237,6 +277,20 @@ object ScaleSmoke {
       s"range pairs not copy-invariant: $range1 at 1x but $rangeM at ${mult}x")
     require(tjM / tj1 < evBound,
       f"join family scaled super-linearly: ${tjM / tj1}%.1fx > $evBound%.0fx")
+
+    // contract 6: the inverted index holds its retrieval contracts at scale —
+    // salted copies keep both query terms, so the AND-query's hit set must be
+    // an EXACT m-fold replica; a term probe must still prune to its bucket's
+    // partitions; and probing must stay far cheaper than (re)building — the
+    // property that makes a PERSISTED index worth its storage at 100 TB
+    val (kwM, kwPrunedM, tkbM, tkpM) = keywordFamily(docsM)
+    report(f"keyword at ${mult}x: matched=$kwM pruned=$kwPrunedM " +
+      f"build=$tkbM%.1fs probe=$tkpM%.1fs")
+    require(kwM == mult.toLong * kw1,
+      s"keyword hits not copy-invariant: $kw1 at 1x but $kwM at ${mult}x")
+    require(kwPruned1 && kwPrunedM, "term probes must prune the index at every scale")
+    require(tkpM < tkbM,
+      f"probing ($tkpM%.1fs) should be far cheaper than building ($tkbM%.1fs)")
 
     // contract 4: wall-time scales with the WORKLOAD, not super-linearly in
     // it. For near-dup the workload is docs + candidate pairs — the pair

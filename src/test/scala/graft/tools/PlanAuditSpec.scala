@@ -368,4 +368,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("CASE WHEN"), s"expected the broadcast-threshold CASE:\n$plan")
     assert(plan.contains("HashAggregate"), s"expected a hash aggregate:\n$plan")
   }
+
+  test("keyword search: top-k is TakeOrderedAndProject, no cartesian, no window") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_keyword_search").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"), s"ranked cut not TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"posting intersection must be an equi-join:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the ranking:\n$plan")
+  }
+
+  test("random projection gate: one exchange (the label rollup), no joins, no window") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_random_projection").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    // projection itself is row-local; the only exchange the gate may pay is
+    // the (label, j) aggregate + its output ordering
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"projection gate must not add exchanges beyond agg+sort:\n$plan")
+    assert(!plan.contains("Join"), s"projection is map-only — no joins:\n$plan")
+    assert(!plan.contains("Window"), s"projection gate must not window:\n$plan")
+  }
 }
