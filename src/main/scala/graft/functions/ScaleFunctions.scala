@@ -137,4 +137,62 @@ object ScaleFunctions {
         col("n").as("sample_n"))
       .orderBy("quantile")
   }
+
+  /** Per-GROUP sampled quantiles — [[sampledQuantiles]] partitioned by a
+    * group key (per-language length distributions, per-source quality
+    * spreads — the per-domain statistic a corpus report needs). Same
+    * determinism contract: the md5-prefix sample is the only thing ever
+    * sorted, quantiles are nearest-rank PICKED elements with md5
+    * tie-breaks, everything engine-reproducible. The plan pays ONE
+    * exchange on the group key, and every window partition holds only
+    * that group's SAMPLE (rate-bounded) — never the group itself; a
+    * giant group costs its sample, not its size. Groups whose sample is
+    * empty are absent from the output (both engines draw the identical
+    * sample, so absence reproduces too).
+    *
+    * @param maxSamplePerGroup guard twin of [[sampledQuantiles]]'s cap,
+    *        enforced per group via one hash-agg pre-pass over the sample
+    *        keys (no sort): refuse loudly before any window partition
+    *        could become a corpus-sized sort.
+    * @return (group, quantile, value, sample_n) per group × requested p
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+                       sampleKey: Column, rateHexCeil: String,
+                       ps: Seq[(String, Double)],
+                       maxSamplePerGroup: Option[Long] = Some(10000000L)): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    require(rateHexCeil.nonEmpty && rateHexCeil.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"rateHexCeil must be non-empty lowercase hex, got '$rateHexCeil'")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(groupCol.as("g"), valueCol.as("v"),
+        md5(sampleKey.cast("string")).as("tb"))
+      .filter(col("v").isNotNull)
+      .filter(substring(col("tb"), 1, rateHexCeil.length) < rateHexCeil)
+    maxSamplePerGroup.foreach { cap =>
+      require(cap > 0, s"maxSamplePerGroup must be positive, got $cap")
+      val worst = keyed.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head
+      val maxN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(maxN <= cap,
+        s"groupedQuantiles: rateHexCeil '$rateHexCeil' selects $maxN rows for " +
+          s"some group, above the $cap-row per-group sample cap — that window " +
+          "partition would sort on a single task. Lower the rate or raise " +
+          "maxSamplePerGroup deliberately.")
+    }
+    val w = Window.partitionBy(col("g"))
+    val ranked = keyed
+      .withColumn("rn", row_number().over(w.orderBy(col("v"), col("tb"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val wanted = ps.map { case (label, p) =>
+      struct(lit(label).as("label"), lit(p).as("p"))
+    }
+    ranked
+      .withColumn("q", explode(array(wanted: _*)))
+      .filter(col("rn") === floor((col("n") - 1).cast("double") * col("q.p")) + 1)
+      .select(col("g").as("group"), col("q.label").as("quantile"),
+        col("v").as("value"), col("n").as("sample_n"))
+      .orderBy("group", "quantile")
+  }
 }

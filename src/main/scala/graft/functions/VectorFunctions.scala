@@ -362,15 +362,26 @@ object VectorFunctions {
     * `outDims` accumulators — an output-axis loop would re-evaluate the
     * `codes` expression (often a whole quantization) once per output
     * dimension, an outDims× hidden cost (measured 10× on the gate corpus).
+    *
+    * Rows whose code vector is NULL or not exactly `dim` lanes project to
+    * NULL. The guard is explicit because zip_with pads a length mismatch
+    * with NULL lanes and the padded fold's null handling is not a contract
+    * worth standing on (measured: it silently returns the fold's zero
+    * element) — a ragged row must surface as NULL a downstream filter can
+    * drop, never as a fabricated finite projection.
     */
   def signProject(codes: Column, signs: Array[Array[Long]]): Column = {
+    require(signs.nonEmpty && signs.map(_.length).distinct.length == 1,
+      "signs must be a non-empty rectangular matrix")
     val outDims = signs.length
+    val dim = signs(0).length
     // transpose to lane-major so the fold walks codes and weights together
     val byLane = typedLit(signs.transpose.map(_.toSeq).toSeq)
-    aggregate(
-      zip_with(codes, byLane, (c, laneSigns) =>
-        transform(laneSigns, s => c.cast("long") * s)),
-      typedLit(Seq.fill(outDims)(0L)),
-      (acc, contrib) => zip_with(acc, contrib, (a, b) => a + b))
+    when(size(codes) === dim,
+      aggregate(
+        zip_with(codes, byLane, (c, laneSigns) =>
+          transform(laneSigns, s => c.cast("long") * s)),
+        typedLit(Seq.fill(outDims)(0L)),
+        (acc, contrib) => zip_with(acc, contrib, (a, b) => a + b)))
   }
 }

@@ -2624,6 +2624,40 @@ object Extensions {
         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
         |SELECT p.label, p.j, n.n, p.proj_sum
         |FROM proj p JOIN n USING (label)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X6i: PER-GROUP sampled quantiles ([[graft.functions.ScaleFunctions
+    // .groupedQuantiles]]) — x_quantile_sample partitioned by a group key:
+    // per-language length distributions, the per-domain statistic every
+    // corpus report needs. One exchange on the group key; each window
+    // partition holds only that group's md5-prefix SAMPLE (rate-bounded —
+    // a giant group costs its sample, not its size), nearest-rank PICKED
+    // elements with md5 tie-breaks, so both engines draw the identical
+    // sample and pick the identical BIGINT values.
+    ("x_group_quantiles",
+      (s: SparkSession, d: String) => {
+        import graft.functions.{ScaleFunctions => SC}
+        SC.groupedQuantiles(Tables.documents(s, d), col("lang"),
+            col("n_chars"), col("doc_id"), "80",
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .withColumnRenamed("group", "lang")
+      },
+      """WITH s AS (
+        |  SELECT lang, n_chars AS v, md5(CAST(doc_id AS VARCHAR)) AS tb
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+        |r AS (
+        |  SELECT lang, v, tb,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v, tb) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s),
+        |q(label, p) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+        |  ('p90', CAST(0.9 AS DOUBLE)))
+        |SELECT r.lang, q.label AS quantile, r.v AS value,
+        |  CAST(r.n AS BIGINT) AS sample_n
+        |FROM r JOIN q
+        |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1
         |ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -59,6 +59,36 @@ class ScaleFunctionsSpec extends SparkSpec {
     ps.foreach { case (label, _) => assert(capped(label) == got(label)._1) }
   }
 
+  test("groupedQuantiles: per-group == global restricted to the group; capped; invariant") {
+    import spark.implicits._
+    // two groups with different spreads: a uniform 1..10000 and a shifted
+    // 50001..60000 — per-group picks must equal running the GLOBAL operator
+    // on each group alone (same sample, same ranks)
+    val df = ((1 to 10000).map(v => ("a", v.toLong)) ++
+      (50001 to 60000).map(v => ("b", v.toLong))).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val got = ScaleFunctions.groupedQuantiles(df, col("g"), col("v"), col("v"), "20", ps)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 4)
+    for (g <- Seq("a", "b")) {
+      val alone = ScaleFunctions.sampledQuantiles(
+        df.filter(col("g") === g), col("v"), col("v"), "20", ps)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ps.foreach { case (label, _) =>
+        assert(got((g, label)) == alone(label), s"group $g $label") }
+    }
+    // repartitioning cannot move a pick (pure row functions + ranks)
+    val re = ScaleFunctions.groupedQuantiles(
+      df.repartition(17), col("g"), col("v"), col("v"), "20", ps)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+    // the per-group cap guards the WORST group, not the total
+    val boom = intercept[IllegalArgumentException](
+      ScaleFunctions.groupedQuantiles(df, col("g"), col("v"), col("v"), "20", ps,
+        maxSamplePerGroup = Some(10L)))
+    assert(boom.getMessage.contains("per-group sample cap"), boom.getMessage)
+  }
+
   test("salted join refuses small-side-preserving join types") {
     import spark.implicits._
     val large = Seq((1L, 10L)).toDF("k", "id")
