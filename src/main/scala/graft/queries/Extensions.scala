@@ -2658,6 +2658,92 @@ object Extensions {
         |  CAST(r.n AS BIGINT) AS sample_n
         |FROM r JOIN q
         |  ON r.rn = CAST(floor(CAST(r.n - 1 AS DOUBLE) * q.p) AS BIGINT) + 1
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // X9a: FUNNEL analysis — ordered-step matching per user (view → click
+    // → purchase, each step strictly AFTER the previous one's first
+    // occurrence): the product-analytics operator the plain relational
+    // surface has no single op for. Three chained keyed windows over ONE
+    // user-id exchange (consecutive Window ops on the same partitioning
+    // reuse the shuffle — plan shape every self-join formulation pays 3x
+    // for); each step's `when` gates on the previous step's timestamp, so
+    // NULL propagation implements the funnel ordering for free. Gaps
+    // surface as integer microseconds; at 100 TB this is one shuffle of
+    // (user, ts, type) — no joins, no per-step passes over the corpus.
+    ("x_funnel",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val staged = ev
+          .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("ts") > col("t1"), col("ts"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t2"), col("ts"))).over(w))
+        staged.groupBy("user_id")
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3L)
+              .when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached"),
+            (unix_micros(col("t2").cast("timestamp")) -
+              unix_micros(col("t1").cast("timestamp"))).as("gap12_us"),
+            (unix_micros(col("t3").cast("timestamp")) -
+              unix_micros(col("t2").cast("timestamp"))).as("gap23_us"))
+          .orderBy("user_id")
+      },
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CASE WHEN s3.t3 IS NOT NULL THEN CAST(3 AS BIGINT)
+        |       WHEN s2.t2 IS NOT NULL THEN 2
+        |       WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached,
+        |  CAST(date_diff('microsecond', s1.t1, s2.t2) AS BIGINT) AS gap12_us,
+        |  CAST(date_diff('microsecond', s2.t2, s3.t3) AS BIGINT) AS gap23_us
+        |FROM u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY 1""".stripMargin),
+
+    // X9b: RETENTION COHORTS — users cohorted by first-seen day, counted
+    // as active per whole-week offset: the second classic product metric.
+    // One hash agg for the (small: |users|-row) cohort table, broadcast
+    // back onto the per-day activity set; offsets are exact integer day
+    // arithmetic on UTC dates (never week-truncation, whose start-of-week
+    // rules differ across engines). Active-user counts are exact distinct
+    // — the per-group KMV sketch gate is the estimator twin at 100 TB.
+    ("x_retention_cohorts",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val firsts = ev.groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort_day"))
+        ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .join(broadcast(firsts), "user_id")
+          .withColumn("week_offset",
+            (datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+          .groupBy("cohort_day", "week_offset")
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_day", "week_offset")
+      },
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -321,4 +321,67 @@ class PipelineOpsSpec extends SparkSpec {
     val wantTop = direct.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
     assert(got.map(_.getLong(0)).toSeq == wantTop)
   }
+
+  test("funnel: strict step ordering on a planted fixture; one keyed exchange") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.expressions.Window
+    // planted users: 1 completes in order; 2 purchases BEFORE clicking
+    // (must stall at 2); 3 clicks before viewing (stalls at 1); 4 never
+    // views (0); 5 re-views after converting (gaps anchor to FIRST view)
+    def ts(m: Int) = java.sql.Timestamp.from(java.time.Instant.parse(
+      f"2024-01-01T00:$m%02d:00Z"))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val rows = Seq(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 5),
+      (2L, "view", 1), (2L, "purchase", 2), (2L, "click", 3),
+      (3L, "click", 1), (3L, "view", 2),
+      (4L, "click", 1), (4L, "purchase", 2),
+      (5L, "view", 1), (5L, "click", 2), (5L, "purchase", 3), (5L, "view", 4))
+    val ev = spark.createDataFrame(
+      rows.map { case (u, t, m) => Row(u, t, ts(m)) }.asJava, schema)
+    val w = Window.partitionBy("user_id")
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+    val got = staged.groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 3's click precedes their first view, so no click qualifies and
+    // they stall at stage 1 — the strict-ordering semantics in one case
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L),
+      s"funnel stages wrong: $got")
+    // the three windows + the user rollup share ONE user_id exchange
+    val gate = Extensions.entries.find(_._1 == "x_funnel").get._2
+    val plan = gate(spark, d).queryExecution.executedPlan.toString
+    val keyedExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(keyedExchanges <= 1,
+      s"funnel must reuse one user_id exchange, found $keyedExchanges:\n$plan")
+  }
+
+  test("retention cohorts: week-0 activity equals each cohort's size") {
+    val gate = Extensions.entries.find(_._1 == "x_retention_cohorts").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = Tables.events(spark, d)
+      .groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort_day"))
+      .groupBy("cohort_day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(cohortSizes.nonEmpty)
+    cohortSizes.foreach { case (day, size) =>
+      assert(got((day, 0L)) == size,
+        s"cohort $day: week-0 active ${got.get((day, 0L))} != cohort size $size")
+    }
+    // offsets are non-negative (first event anchors the cohort)
+    assert(got.keys.forall(_._2 >= 0L))
+  }
 }
