@@ -2744,6 +2744,36 @@ object Extensions {
         |    AS week_offset,
         |  count(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // X9c: event-sequence TRANSITION MATRIX — per-user consecutive-event
+    // bigrams (the Markov-chain view of behavioral data; the input to
+    // next-action models and anomaly scores). One keyed exchange + a lag
+    // window per user, then a hash agg onto the |types|² matrix — tiny
+    // output no matter the corpus. Ordering ties break by event_id, so
+    // same-timestamp events sequence identically in both engines; counts
+    // are exact BIGINTs.
+    ("x_event_transitions",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("transitions"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS transitions,
+        |  count(DISTINCT user_id) AS users
+        |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -384,4 +384,17 @@ class PipelineOpsSpec extends SparkSpec {
     // offsets are non-negative (first event anchors the cohort)
     assert(got.keys.forall(_._2 >= 0L))
   }
+
+  test("event transitions: matrix mass equals events minus users") {
+    val gate = Extensions.entries.find(_._1 == "x_event_transitions").get._2
+    val got = gate(spark, d).collect()
+    // each user with n events contributes exactly n-1 transitions, so the
+    // matrix's total mass is a closed form of two corpus counts
+    val ev = Tables.events(spark, d)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(got.map(_.getLong(2)).sum == want,
+      s"transition mass ${got.map(_.getLong(2)).sum} != events-users $want")
+    // per-cell user support never exceeds the cell's transition count
+    assert(got.forall(r => r.getLong(3) <= r.getLong(2) && r.getLong(3) >= 1L))
+  }
 }
