@@ -363,12 +363,13 @@ object VectorFunctions {
     * `codes` expression (often a whole quantization) once per output
     * dimension, an outDims× hidden cost (measured 10× on the gate corpus).
     *
-    * Rows whose code vector is NULL or not exactly `dim` lanes project to
-    * NULL. The guard is explicit because zip_with pads a length mismatch
-    * with NULL lanes and the padded fold's null handling is not a contract
-    * worth standing on (measured: it silently returns the fold's zero
-    * element) — a ragged row must surface as NULL a downstream filter can
-    * drop, never as a fabricated finite projection.
+    * Rows whose code vector is NULL, not exactly `dim` lanes, or carrying
+    * a NULL lane project to NULL. The guard is explicit because zip_with
+    * pads a length mismatch with NULL lanes and the padded fold's null
+    * handling is not a contract worth standing on (measured: it silently
+    * returns the fold's zero element) — a degenerate row must surface as
+    * NULL a downstream filter can drop, never as a fabricated finite
+    * projection or an array of null lanes.
     */
   def signProject(codes: Column, signs: Array[Array[Long]]): Column = {
     require(signs.nonEmpty && signs.map(_.length).distinct.length == 1,
@@ -377,7 +378,7 @@ object VectorFunctions {
     val dim = signs(0).length
     // transpose to lane-major so the fold walks codes and weights together
     val byLane = typedLit(signs.transpose.map(_.toSeq).toSeq)
-    when(size(codes) === dim,
+    when(size(codes) === dim && !exists(codes, c => c.isNull),
       aggregate(
         zip_with(codes, byLane, (c, laneSigns) =>
           transform(laneSigns, s => c.cast("long") * s)),

@@ -54,6 +54,39 @@ object Extensions {
   private def maybeBroadcast(df: DataFrame, fits: Boolean): DataFrame =
     if (fits) broadcast(df) else df
 
+  /** The keyword-search inverted index: postings (token, doc_id, tf) in a
+    * Graft table identity-partitioned on a 16-way md5 bucket of the token.
+    * One pass over text + one (token, doc) hash aggregate — shared by the
+    * x_keyword_search gate and the ScaleSmoke contract run so the smoke
+    * exercises exactly the code the gate ships.
+    */
+  private[graft] def buildInvertedIndex(s: SparkSession, docs: DataFrame,
+      cat: graft.catalog.GraftCatalog): graft.table.GraftTable = {
+    import graft.format.Transform
+    val postings = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
+    val t = cat.createTable("db.inverted", postings.schema,
+      partitionBy = Seq("bucket" -> Transform.Identity))
+    t.append(s, postings)
+    t
+  }
+
+  /** Probe one term's posting list: the scan prunes to the term's bucket
+    * partition at PLAN time (pruning metrics come from driver-side file
+    * selection — no action needed to populate them), routed by the
+    * driver-side twin of the writer's bucketing.
+    */
+  private[graft] def probeTerm(s: SparkSession, t: graft.table.GraftTable,
+      term: String): (graft.table.GraftScan, DataFrame) = {
+    import graft.format.Predicate
+    val sc = t.scan(Predicate.Eq("bucket",
+      graft.functions.SketchFunctions.hash60Local(term) % 16))
+    (sc, sc.toDF(s).filter(col("token") === term).select(col("doc_id"), col("tf")))
+  }
+
   /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling text
     * or over-computing shingles: the pair set is measured
     * ([[measuredPairs]]) and — when it fits the budget — broadcast; the
@@ -2536,26 +2569,9 @@ object Extensions {
     // agreement proves the index lost nothing.
     ("x_keyword_search",
       (s: SparkSession, d: String) => {
-        import graft.format.{Predicate, Transform}
-        val docs = Tables.documents(s, d)
-        val postings = docs
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-          .withColumn("bucket",
-            pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
-        val cat = TableOps.newCatalog()
-        val t = cat.createTable("db.inverted", postings.schema,
-          partitionBy = Seq("bucket" -> Transform.Identity))
-        t.append(s, postings)
-        def bucketOf(term: String): Long =
-          graft.functions.SketchFunctions.hash60Local(term) % 16
-        def probe(term: String) = {
-          val sc = t.scan(Predicate.Eq("bucket", bucketOf(term)))
-          sc.toDF(s).count() // record pruning metrics
-          (sc, sc.toDF(s).filter(col("token") === term).select(col("doc_id"), col("tf")))
-        }
-        val (scA, a) = probe("merge")
-        val (scB, b) = probe("window")
+        val t = buildInvertedIndex(s, Tables.documents(s, d), TableOps.newCatalog())
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
         a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
           .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
           .withColumn("pruned_a",
@@ -2591,9 +2607,13 @@ object Extensions {
         val e = Tables.embeddings(s, d)
         val dim = e.select(size(col("embedding"))).head.getInt(0)
         val signs = VF.signMatrix(dim, 8)
+        // no sanitizeVector here: the oracle quantizes the raw embedding,
+        // and the twins must compute the SAME function (the fixture is
+        // finite — x_embed_quantize pins that contract); compose
+        // sanitizeVector on corpora that don't guarantee finite floats
         e.select(col("label"),
             VF.signProject(
-              VF.quantizeInt8(VF.sanitizeVector(col("embedding")))("codes"),
+              VF.quantizeInt8(col("embedding"))("codes"),
               signs).as("proj"))
           .select(col("label"), posexplode(col("proj")).as(Seq("j", "p")))
           .groupBy(col("label"), col("j").cast("long").as("j"))

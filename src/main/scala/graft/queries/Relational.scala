@@ -365,6 +365,33 @@ object Relational {
         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // Q15: GROUPING SETS — an explicit set list including a shape ROLLUP
+    // cannot express (the status-only subtotal WITHOUT a flag subtotal's
+    // companion), still one aggregation pass (Expand + hash agg, one
+    // exchange — never N unioned scans). grouping() indicators distinguish
+    // a subtotal's NULL from a data NULL, the same contract as q16_rollup.
+    ("q19_grouping_sets",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus"), col("g_flag"))
+      },
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+        |  g_flag""".stripMargin)
   )
 }

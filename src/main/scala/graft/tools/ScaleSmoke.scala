@@ -162,27 +162,15 @@ object ScaleSmoke {
     // term probe must stay a PRUNED read — 1/16 of the index partitions —
     // no matter how large the corpus grows
     def keywordFamily(docs: DataFrame): (Long, Boolean, Double, Double) = {
-      import graft.format.{Predicate, Transform}
-      val postings = docs
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
       val cat = new graft.catalog.GraftCatalog(
         java.nio.file.Files.createTempDirectory("graft-smoke-kw").toString)
-      val t = cat.createTable("db.inv", postings.schema,
-        partitionBy = Seq("bucket" -> Transform.Identity))
-      val (_, tBuild) = timed(t.append(spark, postings))
+      // build + probe through the SAME helpers the x_keyword_search gate
+      // ships — the smoke certifies shipped code, not a reimplementation
+      val (t, tBuild) = timed(Extensions.buildInvertedIndex(spark, docs, cat))
       val ((matched, pruned), tProbe) = timed {
-        def posting(term: String) = {
-          val sc = t.scan(Predicate.Eq("bucket",
-            graft.functions.SketchFunctions.hash60Local(term) % 16))
-          (sc, sc.toDF(spark).filter(col("token") === term).select("doc_id"))
-        }
-        val (sa, a) = posting("merge")
-        val (sb, b) = posting("window")
-        val m = a.join(b, "doc_id").count()
+        val (sa, a) = Extensions.probeTerm(spark, t, "merge")
+        val (sb, b) = Extensions.probeTerm(spark, t, "window")
+        val m = a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id").count()
         (m, sa.metrics.filesScanned < sa.metrics.filesTotal &&
           sb.metrics.filesScanned < sb.metrics.filesTotal)
       }

@@ -74,20 +74,22 @@ class HostileInputSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("emb", ArrayType(FloatType))))
     val df = spark.createDataFrame(Seq(
-      org.apache.spark.sql.Row(1L, Seq(1.0f, -2.0f, 0.5f)), // well-formed
-      org.apache.spark.sql.Row(2L, Seq.empty[Float]),       // empty vector
-      org.apache.spark.sql.Row(3L, null),                   // NULL vector
-      org.apache.spark.sql.Row(4L, Seq(3.0f))               // short vector
+      org.apache.spark.sql.Row(1L, Seq(1.0f, -2.0f, 0.5f)),       // well-formed
+      org.apache.spark.sql.Row(2L, Seq.empty[Float]),             // empty vector
+      org.apache.spark.sql.Row(3L, null),                         // NULL vector
+      org.apache.spark.sql.Row(4L, Seq(3.0f)),                    // short vector
+      org.apache.spark.sql.Row(5L, Seq[java.lang.Float](1.0f, null, 2.0f)) // NULL lane
     ).asJava, schema)
     val got = df.select(col("id"), VectorFunctions.signProject(
         VectorFunctions.quantizeInt8(col("emb"))("codes"),
         VectorFunctions.signMatrix(3, 2)).as("p"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
-    // the contract is dim-uniform input; ragged/degenerate rows must stay
-    // inert — the size guard projects them to NULL (never a fabricated
-    // finite vector: an unguarded padded fold silently returns its zero)
+    // the contract is dim-uniform, non-null-lane input; degenerate rows
+    // must stay inert — the guard projects them to NULL (never a
+    // fabricated finite vector: an unguarded padded fold silently returns
+    // its zero; and never an array of null lanes a .isNotNull filter keeps)
     assert(got(1L) != null && got(1L).forall(_ != null), "well-formed row projects")
-    for (id <- Seq(2L, 3L, 4L))
+    for (id <- Seq(2L, 3L, 4L, 5L))
       assert(got(id) == null,
         s"degenerate row $id must project to NULL: ${got(id)}")
   }
