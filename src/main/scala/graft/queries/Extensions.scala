@@ -60,14 +60,20 @@ object Extensions {
     * x_keyword_search gate and the ScaleSmoke contract run so the smoke
     * exercises exactly the code the gate ships.
     */
-  private[graft] def buildInvertedIndex(s: SparkSession, docs: DataFrame,
-      cat: graft.catalog.GraftCatalog): graft.table.GraftTable = {
-    import graft.format.Transform
-    val postings = docs
+  /** One batch of postings (token, doc_id, tf, bucket) — the unit both the
+    * initial index build and an incremental refresh append.
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
+
+  private[graft] def buildInvertedIndex(s: SparkSession, docs: DataFrame,
+      cat: graft.catalog.GraftCatalog): graft.table.GraftTable = {
+    import graft.format.Transform
+    val postings = postingsOf(docs)
     val t = cat.createTable("db.inverted", postings.schema,
       partitionBy = Seq("bucket" -> Transform.Identity))
     t.append(s, postings)
@@ -2586,6 +2592,48 @@ object Extensions {
         |  GROUP BY 1, 2)
         |SELECT a.doc_id, a.tf + b.tf AS score,
         |  true AS pruned_a, true AS pruned_b
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X7d: INCREMENTAL keyword-index refresh — the maintenance shape the
+    // x_ann_index_refresh gate certifies for vectors, applied to the
+    // lexical index: a new document batch's postings APPEND to the bucket-
+    // partitioned index (the bucketing is a pure token hash, so arriving
+    // postings route to the same partitions with nothing recomputed —
+    // no frozen state even needed). Certified: the refresh commit is
+    // append-only (every pre-refresh file survives byte-identical), the
+    // table holds exactly 2 commits, a post-refresh probe still prunes,
+    // and the AND-query over the refreshed index equals the whole-corpus
+    // answer DuckDB computes with no index at all — the refresh lost
+    // nothing.
+    ("x_keyword_index_refresh",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val t = buildInvertedIndex(s, docs.filter(col("doc_id") % 2 === 0),
+          TableOps.newCatalog())
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        t.append(s, postingsOf(docs.filter(col("doc_id") % 2 === 1)))
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("pruned",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  true AS pruned
         |FROM tf a JOIN tf b USING (doc_id)
         |WHERE a.token = 'merge' AND b.token = 'window'
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
