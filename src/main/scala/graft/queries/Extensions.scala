@@ -2842,6 +2842,56 @@ object Extensions {
         |SELECT from_type, to_type, count(*) AS transitions,
         |  count(DISTINCT user_id) AS users
         |FROM seq WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // X9d: SKYLINE (Pareto frontier) — parts no other part beats on BOTH
+    // criteria (cheaper price AND larger size): the multi-criteria
+    // selection operator relational algebra has no primitive for (skyline
+    // work exists as Spark SQL extensions in the EDBT'23 literature). The
+    // distributed shape: one corpus-linear hash agg collapses the corpus
+    // to min-price-per-size (|size domain| rows — 50 here), then the
+    // strictly-decreasing price envelope is a window over that DOMAIN-
+    // BOUNDED set (never the corpus; at 100 TB the agg still reduces to
+    // |domain| rows and the frontier math is unchanged), and survivors
+    // broadcast back to count supporting rows. Exact DECIMAL/INT
+    // comparisons throughout; the oracle is an INDEPENDENT brute-force
+    // NOT-EXISTS dominance test, so agreement proves the envelope
+    // formulation correct, not just reproducible.
+    ("x_skyline",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = Tables.part(s, d).select(col("p_size"),
+          col("p_retailprice").cast("decimal(12,2)").as("price"))
+        val bySize = pts.groupBy("p_size").agg(min(col("price")).as("min_price"))
+        // window over ≤ |size domain| rows: bounded by the value domain,
+        // not the corpus — the single partition holds ~50 rows by contract
+        val larger = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = bySize
+          .withColumn("best_larger", min(col("min_price")).over(larger))
+          .filter(col("best_larger").isNull || col("min_price") < col("best_larger"))
+          // fresh names: frontier descends from pts, so the support join
+          // below is a self-join — qualify to keep the analyzer honest
+          .select(col("p_size").as("sky_size"), col("min_price"))
+        pts.join(broadcast(frontier),
+            col("p_size") === col("sky_size") && col("price") === col("min_price"))
+          .groupBy(col("sky_size"), col("min_price"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("sky_size").as("p_size"),
+            col("min_price").cast("double").as("min_price"), col("n"))
+          .orderBy("p_size")
+      },
+      """WITH pts AS (
+        |  SELECT p_size, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+        |sky AS (SELECT p_size, min(price) AS min_price FROM pts GROUP BY 1),
+        |frontier AS (
+        |  SELECT s.p_size, s.min_price FROM sky s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sky t
+        |    WHERE t.p_size > s.p_size AND t.min_price <= s.min_price))
+        |SELECT f.p_size, CAST(f.min_price AS DOUBLE) AS min_price, count(*) AS n
+        |FROM pts p JOIN frontier f
+        |  ON p.p_size = f.p_size AND p.price = f.min_price
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
   )
 }

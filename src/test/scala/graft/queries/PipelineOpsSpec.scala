@@ -385,6 +385,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keys.forall(_._2 >= 0L))
   }
 
+  test("skyline equals in-memory brute-force dominance on the fixture") {
+    val gate = Extensions.entries.find(_._1 == "x_skyline").get._2
+    val got = gate(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val pts = Tables.part(spark, d)
+      .select(col("p_size"), col("p_retailprice").cast("decimal(12,2)").as("price"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+    // brute force: a point survives iff NO point has (price ≤, size ≥)
+    // with one strict — computed over distinct pairs, support counted after
+    val pairs = pts.distinct
+    val sky = pairs.filter { case (sz, pr) =>
+      !pairs.exists { case (sz2, pr2) =>
+        pr2.compareTo(pr) <= 0 && sz2 >= sz &&
+          (pr2.compareTo(pr) < 0 || sz2 > sz)
+      }
+    }
+    val want = sky.map { case (sz, pr) =>
+      (sz, pr.doubleValue, pts.count(p => p._1 == sz && p._2.compareTo(pr) == 0).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    // sanity: along a (min price, max size) frontier the two criteria
+    // TRADE OFF — a larger frontier size must cost strictly more, else the
+    // smaller-size point would be dominated
+    val frontier = got.map(g => (g._1, g._2)).sortBy(_._1)
+    assert(frontier.sliding(2).forall {
+      case Array((_, p1), (_, p2)) => p2 > p1; case _ => true })
+  }
+
   test("event transitions: matrix mass equals events minus users") {
     val gate = Extensions.entries.find(_._1 == "x_event_transitions").get._2
     val got = gate(spark, d).collect()
