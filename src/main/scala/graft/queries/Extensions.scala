@@ -93,6 +93,40 @@ object Extensions {
     (sc, sc.toDF(s).filter(col("token") === term).select(col("doc_id"), col("tf")))
   }
 
+  /** POSITIONAL postings (token, doc_id, pos) — the phrase-query index
+    * shape: one row per token OCCURRENCE (vs [[postingsOf]]'s one per
+    * (token, doc)), same 16-way md5 token bucketing so term probes prune
+    * identically. The ~tokens-sized row count is the standard positional-
+    * index storage cost; it buys adjacency queries that never touch text.
+    * pos is 0-based (only ever used through relative offsets, so the
+    * oracle's 1-based subscripts join with the same `+ 1`).
+    */
+  private[graft] def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("bucket",
+        pmod(graft.functions.SketchFunctions.hash60(col("token")), lit(16L)))
+
+  private[graft] def buildPositionalIndex(s: SparkSession, docs: DataFrame,
+      cat: graft.catalog.GraftCatalog): graft.table.GraftTable = {
+    import graft.format.Transform
+    val postings = positionalPostingsOf(docs)
+    val t = cat.createTable("db.pos_inverted", postings.schema,
+      partitionBy = Seq("bucket" -> Transform.Identity))
+    t.append(s, postings)
+    t
+  }
+
+  /** Probe one term's positional posting list (pruned like [[probeTerm]]). */
+  private[graft] def probeTermPositions(s: SparkSession, t: graft.table.GraftTable,
+      term: String): (graft.table.GraftScan, DataFrame) = {
+    import graft.format.Predicate
+    val sc = t.scan(Predicate.Eq("bucket",
+      graft.functions.SketchFunctions.hash60Local(term) % 16))
+    (sc, sc.toDF(s).filter(col("token") === term).select(col("doc_id"), col("pos")))
+  }
+
   /** Exact-Jaccard verification of candidate pairs WITHOUT shuffling text
     * or over-computing shingles: the pair set is measured
     * ([[measuredPairs]]) and — when it fits the budget — broadcast; the
@@ -2892,6 +2926,113 @@ object Extensions {
         |SELECT f.p_size, CAST(f.min_price AS DOUBLE) AS min_price, count(*) AS n
         |FROM pts p JOIN frontier f
         |  ON p.p_size = f.p_size AND p.price = f.min_price
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // X7e: BM25-RANKED retrieval over the persisted inverted index — the
+    // relevance upgrade of x_keyword_search's summed-tf ranking. Every
+    // input derives from the INDEX (probes prune to the terms' buckets;
+    // doc lengths + corpus stats are one narrow (doc_id, tf) aggregate
+    // over it) — text is never re-read at query time. The idf is the
+    // RAW-RATIO Robertson form (N - df + 0.5)/(df + 0.5) with NO log:
+    // +,-,*,/ are IEEE-correctly-rounded in both engines, so a mirrored
+    // expression tree bit-matches, while ln() is correctly rounded in
+    // neither (the same discipline as x_tfidf). k1 = 1.25 and b = 0.75 are
+    // DYADIC (exactly representable), so even the constants cannot differ.
+    // Per-doc score sums ≤ 2 term contributions — 2-term double addition
+    // is commutative, so aggregation order cannot diverge. DuckDB has no
+    // index; its oracle recomputes tf/df/dl from raw text, so agreement
+    // proves the index serves the exact corpus statistics.
+    ("x_bm25",
+      (s: SparkSession, d: String) => {
+        val t = buildInvertedIndex(s, Tables.documents(s, d), TableOps.newCatalog())
+        val idx = t.toDF(s)
+        val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = doclen.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_len"))
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        val cand = a.withColumn("term", lit("merge"))
+          .unionByName(b.withColumn("term", lit("window")))
+        val dfs = cand.groupBy("term").agg(count(lit(1)).as("df"))
+        val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+        val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val tfn = (col("tf").cast("double") * lit(2.25)) /
+          (col("tf").cast("double") +
+            lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        cand
+          .join(broadcast(dfs), "term")
+          .join(doclen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", idf * tfn)
+          .groupBy("doc_id")
+          .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+          .withColumn("pruned",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        |          FROM dl),
+        |dfs AS (SELECT token, count(*) AS df FROM tf
+        |        WHERE token IN ('merge', 'window') GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |     (CAST(f.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(t.tf AS DOUBLE) * 2.25) /
+        |     (CAST(t.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+        |        (CAST(l.dl AS DOUBLE) /
+        |         (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |      AS contrib
+        |  FROM tf t JOIN dfs f USING (token) JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, sum(contrib) AS score, count(*) AS n_terms,
+        |  true AS pruned
+        |FROM scored GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X7f: PHRASE search over a POSITIONAL inverted index — adjacency
+    // queries ("merge group" as consecutive tokens, not AND-of-terms) that
+    // never touch document text: both terms' occurrence lists come from
+    // PRUNED bucket scans of the positional index ([[positionalPostingsOf]])
+    // and the phrase match is an equi-join on (doc_id, pos + 1) — exact
+    // BIGINT arithmetic, no text, no windows. Phrase tf per doc ranks with
+    // id tie-breaks. The index holds one row per token occurrence — the
+    // standard positional-index storage cost, written once and bucket-
+    // partitioned so every future phrase probe reads 2/16 of it. The
+    // oracle recomputes positions from raw text with 1-based subscripts —
+    // the same relative `+ 1` join, proving base-offset independence.
+    ("x_phrase_search",
+      (s: SparkSession, d: String) => {
+        val t = buildPositionalIndex(s, Tables.documents(s, d), TableOps.newCatalog())
+        val (scA, a) = probeTermPositions(s, t, "merge")
+        val (scB, b) = probeTermPositions(s, t, "group")
+        a.join(b.withColumnRenamed("pos", "pos_b"),
+            a("doc_id") === b("doc_id") && col("pos_b") === col("pos") + lit(1L))
+          .groupBy(a("doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("phrase_tf"))
+          .withColumn("pruned",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .orderBy(col("phrase_tf").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH pos AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        |m AS (
+        |  SELECT a.doc_id, count(*) AS phrase_tf
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.token = 'merge' AND b.token = 'group'
+        |  GROUP BY 1)
+        |SELECT doc_id, phrase_tf, true AS pruned
+        |FROM m ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)
   )
 }
