@@ -3033,6 +3033,131 @@ object Extensions {
         |  WHERE a.token = 'merge' AND b.token = 'group'
         |  GROUP BY 1)
         |SELECT doc_id, phrase_tf, true AS pruned
-        |FROM m ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM m ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X4j: WINDOWED CO-OCCURRENCE + raw PMI — the collocation signal
+    // (which token pairs appear together more than chance) behind phrase
+    // mining and tokenizer-merge candidates. Pair generation is ONE doc-id
+    // exchange: a single Window computes lead(1..3) together (one sort,
+    // three offsets), so every token emits ≤ 3 pairs map-side after the
+    // sort — pair volume is 3·tokens by construction, NEVER vocab² (the
+    // agg output is bounded by observed pairs, and the ≥ 5 support filter
+    // lands before any join). Unordered pairs canonicalize via
+    // least/greatest (byte-identical on the ASCII token contract the
+    // neardup-edit canary pins). The score is RAW PMI — c_ab·N/(c_a·c_b),
+    // no log, same discipline as x_tfidf/x_bm25 — computed from exact
+    // BIGINTs in one mirrored double expression; ties break on the pair.
+    ("x_cooccurrence",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val led = toks.select(col("token").as("t"),
+          array((1 to 3).map(i => lead(col("token"), i).over(w)): _*).as("nbrs"))
+        val pairs = led.select(col("t"), explode(col("nbrs")).as("u"))
+          .filter(col("u").isNotNull)
+          .select(least(col("t"), col("u")).as("a"),
+            greatest(col("t"), col("u")).as("b"))
+        val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val total = pairs.agg(count(lit(1)).as("n_pairs"))
+        val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        pc
+          .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(total))
+          .withColumn("pmi_raw",
+            (col("c_ab").cast("double") * col("n_pairs").cast("double")) /
+              (col("c_a").cast("double") * col("c_b").cast("double")))
+          .select("a", "b", "c_ab", "pmi_raw")
+          .orderBy(col("pmi_raw").desc, col("a"), col("b")).limit(20)
+      },
+      s"""WITH pos AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        |led AS (
+        |  SELECT token AS t,
+        |    lead(token, 1) OVER w AS n1,
+        |    lead(token, 2) OVER w AS n2,
+        |    lead(token, 3) OVER w AS n3
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (
+        |  SELECT least(t, u) AS a, greatest(t, u) AS b
+        |  FROM (SELECT t, unnest([n1, n2, n3]) AS u FROM led)
+        |  WHERE u IS NOT NULL),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM pairs
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |total AS (SELECT count(*) AS n_pairs FROM pairs),
+        |uni AS (SELECT token, count(*) AS c FROM pos GROUP BY 1)
+        |SELECT p.a, p.b, p.c_ab,
+        |  (CAST(p.c_ab AS DOUBLE) * CAST(t.n_pairs AS DOUBLE)) /
+        |  (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS pmi_raw
+        |FROM pc p JOIN uni ua ON p.a = ua.token
+        |JOIN uni ub ON p.b = ub.token
+        |CROSS JOIN total t
+        |ORDER BY pmi_raw DESC, a, b LIMIT 20""".stripMargin),
+
+    // X8a: ANOMALY DAYS — per-event-type daily volumes z-tested against
+    // that type's own 30-day distribution, with the FLAG decided in exact
+    // integer arithmetic: cross-multiplying z² > 9 into
+    // (x·n − S)² > 9·(n·Q − S²) (S = Σx, Q = Σx² — both one hash agg)
+    // removes mean/stddev floats from the decision entirely, so a
+    // borderline day cannot flip between engines on a rounding ulp. The
+    // surfaced z² IS one mirrored double expression over those exact
+    // BIGINTs (ranking only). Zero-variance types guard to z² = 0 / flag
+    // false on both sides. Daily counts aggregate BEFORE the per-type
+    // stats join (broadcast — |types| rows), so the corpus contributes
+    // one shuffle of (type, day) cells, never raw events. At counts past
+    // ~3e9/day the BIGINT squares need the DECIMAL(38)/HUGEINT widening
+    // (same upgrade x_embed_quantize documents for its sums).
+    ("x_anomaly_days",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("q"))
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("dev", col("cnt") * col("n") - col("s"))
+          .withColumn("denom", col("n") * col("q") - col("s") * col("s"))
+          .withColumn("z2", when(col("denom") > 0,
+            (col("dev").cast("double") * col("dev").cast("double")) /
+              col("denom").cast("double")).otherwise(lit(0.0)))
+          .withColumn("is_anomaly",
+            col("denom") > 0 && col("dev") * col("dev") > lit(9L) * col("denom"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("z2").desc, col("day"))))
+          .filter(col("rk") <= 3)
+          .select("event_type", "day", "cnt", "z2", "is_anomaly")
+          .orderBy("event_type", "day")
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1),
+        |scored AS (
+        |  SELECT d.event_type, d.day, d.cnt,
+        |    d.cnt * t.n - t.s AS dev, t.n * t.q - t.s * t.s AS denom
+        |  FROM daily d JOIN stats t USING (event_type)),
+        |ranked AS (
+        |  SELECT event_type, day, cnt,
+        |    CASE WHEN denom > 0
+        |      THEN (CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)) /
+        |           CAST(denom AS DOUBLE)
+        |      ELSE 0.0 END AS z2,
+        |    denom > 0 AND dev * dev > 9 * denom AS is_anomaly
+        |  FROM scored),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY z2 DESC, day) AS rk FROM ranked)
+        |SELECT event_type, day, cnt, z2, is_anomaly
+        |FROM top WHERE rk <= 3 ORDER BY event_type, day""".stripMargin)
   )
 }
