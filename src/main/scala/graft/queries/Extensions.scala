@@ -3158,6 +3158,138 @@ object Extensions {
         |  SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY z2 DESC, day) AS rk FROM ranked)
         |SELECT event_type, day, cnt, z2, is_anomaly
-        |FROM top WHERE rk <= 3 ORDER BY event_type, day""".stripMargin)
+        |FROM top WHERE rk <= 3 ORDER BY event_type, day""".stripMargin),
+
+    // X8b: CO-PURCHASE pair mining (frequent itemsets at the pair level) —
+    // the market-basket signal behind "bought together" and product-graph
+    // edges. Baskets self-join ONLY within an order (the join key), so
+    // pair volume is Σ C(basket, 2) — bounded by a basket-size cap of 64
+    // (one window count over the SAME orderkey partitioning the distinct
+    // and the join already use): a degenerate mega-basket (one retailer
+    // account ordering the whole catalog) costs C(64,2), never C(huge,2) —
+    // the quadratic-blowup guard every pair generator in this file
+    // carries. Support counts are exact BIGINTs; top-k ties break on the
+    // pair, so the ranking is deterministic even where support is flat
+    // (most pairs occur once in a sparse catalog — the realistic shape).
+    ("x_copurchase",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val capped = items
+          .withColumn("basket", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+          .filter(col("basket") <= 64)
+        val a = capped.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        val b = capped.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+        a.join(b, Seq("k")).filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb")).limit(20)
+      },
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      count(*) OVER (PARTITION BY l_orderkey) AS basket FROM items)
+        |  WHERE basket <= 64)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |FROM capped a JOIN capped b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin),
+
+    // X8c: TRIANGLE COUNT on the co-purchase graph — the global clustering
+    // signal (are "bought together" relations transitive?), implemented as
+    // the DEGREE-ORIENTED wedge join: every undirected edge points from
+    // its lower-(degree, id) endpoint to the higher, so wedge fanout per
+    // node is Σ C(outdeg, 2) ≲ O(m^1.5) TOTAL regardless of skew — a
+    // celebrity part with degree 10⁵ generates wedges only toward its
+    // handful of higher-rank peers, never C(10⁵, 2). This is the standard
+    // scalable formulation (three hash shuffles: degree agg, wedge
+    // self-join on the pivot, closing probe on the (d1, d2) edge set);
+    // naive all-wedges would put the skew square through the exchange.
+    // The graph samples 1/4 of orders by md5 prefix (corpus-relative knob
+    // — edge count tracks order count, keeping the wedge set ~2M at
+    // sf0.1); baskets are cliques, so Σ C(basket≥3, 3) guarantees real
+    // triangles at every SF. Output is one summary row; closure = 3T/W is
+    // the one mirrored double division.
+    ("x_triangles",
+      (s: SparkSession, d: String) => {
+        val items = Tables.lineitem(s, d)
+          .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) < "4")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+        val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
+          .select("u", "v").distinct().localCheckpoint()
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        val oriented = withDeg.select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("dst"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("dv")).otherwise(col("du")).as("ddst"))
+          .localCheckpoint()
+        val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
+        val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
+        val wedges = w1.join(w2, Seq("src"))
+          .filter(col("r1") < col("r2") || (col("r1") === col("r2") && col("d1") < col("d2")))
+        val closed = wedges.join(
+          oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+        // unoriented 2-paths Σ C(deg, 2) — exact BIGINT from the degree
+        // table, the transitivity denominator (each triangle closes 3 of
+        // them; the ORIENTED wedge set above each triangle closes exactly 1,
+        // so it is the join volume, not the normalizer)
+        val nP = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("p"))
+          .head.getLong(0) / 2  // Σ deg·(deg−1) is even; halve exactly
+
+        val nE = edges.count()
+        val nW = wedges.count()
+        val nT = closed.count()
+        import s.implicits._
+        Seq((nE, nW, nP, nT)).toDF("n_edges", "n_wedges", "n_paths2", "n_triangles")
+          .withColumn("transitivity",
+            when(col("n_paths2") > 0,
+              (lit(3.0) * col("n_triangles").cast("double")) / col("n_paths2").cast("double"))
+              .otherwise(lit(0.0)))
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+        |  FROM (SELECT e.u, e.v, a.deg AS du, b.deg AS dv
+        |        FROM edges e JOIN deg a ON e.u = a.node
+        |        JOIN deg b ON e.v = b.node)),
+        |wedges AS (
+        |  SELECT a.src, a.dst AS d1, b.dst AS d2
+        |  FROM oriented a JOIN oriented b ON a.src = b.src
+        |  WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+        |t AS (SELECT count(*) AS n_triangles FROM wedges w
+        |      JOIN oriented o ON w.d1 = o.src AND w.d2 = o.dst),
+        |e AS (SELECT count(*) AS n_edges FROM edges),
+        |w AS (SELECT count(*) AS n_wedges FROM wedges),
+        |p AS (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_paths2
+        |      FROM deg)
+        |SELECT e.n_edges, w.n_wedges, p.n_paths2, t.n_triangles,
+        |  CASE WHEN p.n_paths2 > 0
+        |    THEN (3.0 * CAST(t.n_triangles AS DOUBLE)) / CAST(p.n_paths2 AS DOUBLE)
+        |    ELSE 0.0 END AS transitivity
+        |FROM e, w, p, t""".stripMargin)
   )
 }

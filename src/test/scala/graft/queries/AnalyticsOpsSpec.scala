@@ -72,6 +72,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_copurchase matches brute-force basket pair counting") {
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      .filter(_._2.length <= 64)
+    val pc = baskets.values.flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val expect = pc.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    val got = Extensions.entries.find(_._1 == "x_copurchase").get._2(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("x_triangles matches brute-force counting and holds its invariants") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(k: Long): Boolean = {
+      val h = md.digest(k.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 4
+    }
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter(x => keep(x._1))
+    val edges = li.groupBy(_._1).values.flatMap { is =>
+      val parts = is.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triangles = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong
+    }.sum / 3 // each triangle counted once per edge
+    val row = Extensions.entries.find(_._1 == "x_triangles").get._2(spark, d).head()
+    val (ne, nw, np, nt, tr) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getDouble(4))
+    assert(ne == edges.size.toLong)
+    assert(nt == triangles, s"triangles: got $nt expected $triangles")
+    // each triangle closes exactly ONE degree-oriented wedge...
+    assert(nt <= nw)
+    // ...out of its THREE unoriented 2-paths
+    assert(nw <= np && 3 * nt <= np)
+    assert(tr == 3.0 * nt.toDouble / np.toDouble && tr <= 1.0)
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
