@@ -3290,6 +3290,140 @@ object Extensions {
         |  CASE WHEN p.n_paths2 > 0
         |    THEN (3.0 * CAST(t.n_triangles AS DOUBLE)) / CAST(p.n_paths2 AS DOUBLE)
         |    ELSE 0.0 END AS transitivity
-        |FROM e, w, p, t""".stripMargin)
+        |FROM e, w, p, t""".stripMargin),
+
+    // X8d: SESSION PATH mining — the top user journeys (ordered event-type
+    // sequences per 30-min-gap session, truncated to 5 steps), the
+    // behavioral summary x_funnel (fixed steps) and x_event_transitions
+    // (bigrams) cannot show. Session assignment is x_sessionize's
+    // lag/cumsum shape on ONE user-id exchange; within-session ranks and
+    // the path aggregate share a second (user, session) exchange (the rank
+    // filter cuts volume to ≤ 5 rows per session BEFORE the aggregate).
+    // Path strings build from collect_list(struct(rn, type)) + array_sort
+    // — the sort on the embedded rank makes the unordered aggregate
+    // deterministic (DuckDB's ordered string_agg is the native twin).
+    // Same-timestamp events sequence by event_id on BOTH sides.
+    ("x_session_paths",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val gapped = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+          .withColumn("new_s",
+            when(prev.isNull ||
+              unix_millis(col("ts")) - unix_millis(prev) > 1800000L, lit(1L))
+              .otherwise(lit(0L)))
+        val sid = gapped.withColumn("sid", sum(col("new_s")).over(w))
+        val rn = sid.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sid").orderBy(col("ts"), col("event_id"))))
+        rn.filter(col("rn") <= 5)
+          .groupBy("user_id", "sid")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(15)
+      },
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(CAST(ts AS TIMESTAMP)) -
+        |              epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sl AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM sl),
+        |paths AS (
+        |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM paths
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin),
+
+    // X8e: PAGERANK in exact FIXED-POINT integers — 5 power iterations
+    // over the (symmetrized) co-purchase sample graph with every step pure
+    // BIGINT: mass starts at S/N (S = 10^12), each node ships
+    // p div outdeg along its edges, and the damped update is
+    // base + (85·Σ) div 100 with base = (15·(S div N)) div 100. Floor
+    // division is engine-identical on non-negative BIGINTs, so after any
+    // number of iterations both engines hold the SAME integers — the
+    // float-PageRank alternative diverges across engines AND across
+    // partitionings (summation order), which is why no float iterative
+    // rank can ever be oracle-gated. Each Spark iteration is one edge
+    // join + one hash aggregate with lineage cut (localCheckpoint — the
+    // BSP loop discipline of connectedComponents); the oracle unrolls the
+    // same 5 iterations as chained CTEs. Ranking is by exact integer,
+    // ties on node id.
+    ("x_pagerank",
+      (s: SparkSession, d: String) => {
+        val items = Tables.lineitem(s, d)
+          .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) < "4")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+        val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint()
+        val nN = outdeg.count()
+        val p0 = 1000000000000L / nN
+        val base = (15L * p0) / 100L
+        var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
+        for (_ <- 1 to 5) {
+          p = edges
+            .join(outdeg, "u")
+            .join(p.select(col("node").as("u"), col("p")), "u")
+            .select(col("v").as("node"), expr("p div outdeg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("in_sum"))
+            .select(col("node"),
+              (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
+            .localCheckpoint()
+        }
+        p.orderBy(col("p").desc, col("node")).limit(10)
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |outdeg AS (SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        |c AS (SELECT 1000000000000 // count(*) AS p0,
+        |        (15 * (1000000000000 // count(*))) // 100 AS base
+        |      FROM outdeg),
+        |p0 AS (SELECT node, (SELECT p0 FROM c) AS p FROM outdeg),
+        |p1 AS (SELECT e.v AS node, (SELECT base FROM c) +
+        |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
+        |       FROM edges e JOIN outdeg o ON e.u = o.node
+        |       JOIN p0 p ON e.u = p.node GROUP BY 1),
+        |p2 AS (SELECT e.v AS node, (SELECT base FROM c) +
+        |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
+        |       FROM edges e JOIN outdeg o ON e.u = o.node
+        |       JOIN p1 p ON e.u = p.node GROUP BY 1),
+        |p3 AS (SELECT e.v AS node, (SELECT base FROM c) +
+        |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
+        |       FROM edges e JOIN outdeg o ON e.u = o.node
+        |       JOIN p2 p ON e.u = p.node GROUP BY 1),
+        |p4 AS (SELECT e.v AS node, (SELECT base FROM c) +
+        |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
+        |       FROM edges e JOIN outdeg o ON e.u = o.node
+        |       JOIN p3 p ON e.u = p.node GROUP BY 1),
+        |p5 AS (SELECT e.v AS node, (SELECT base FROM c) +
+        |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
+        |       FROM edges e JOIN outdeg o ON e.u = o.node
+        |       JOIN p4 p ON e.u = p.node GROUP BY 1)
+        |SELECT node, p FROM p5 ORDER BY p DESC, node LIMIT 10""".stripMargin)
   )
 }

@@ -119,6 +119,61 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(tr == 3.0 * nt.toDouble / np.toDouble && tr <= 1.0)
   }
 
+  test("x_pagerank matches a brute-force integer fixed-point power iteration") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(k: Long): Boolean = ((md.digest(k.toString.getBytes)(0) >> 4) & 0xf) < 4
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter(x => keep(x._1))
+    val und = li.groupBy(_._1).values.flatMap { is =>
+      val ps = is.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val edges = und.toSeq ++ und.toSeq.map(e => (e._2, e._1))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = outdeg.size.toLong
+    val p0 = 1000000000000L / n
+    val base = (15L * p0) / 100L
+    var p: Map[Long, Long] = outdeg.map { case (k, _) => k -> p0 }
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => p(u) / outdeg(u) }.sum }
+      p = in.map { case (v, s) => v -> (base + (85L * s) / 100L) }
+    }
+    val expect = p.toSeq.sortBy { case (node, pr) => (-pr, node) }.take(10)
+    val got = Extensions.entries.find(_._1 == "x_pagerank").get._2(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // floor division only sheds mass: total stays under the initial S
+    assert(p.values.sum <= 1000000000000L && p.values.forall(_ > 0))
+  }
+
+  test("x_session_paths matches brute-force sessionization") {
+    val ev = Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._2 - prev > 1800000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._2
+      }
+      sessions.map(_.take(5).mkString(">"))
+    }
+    val expect = paths.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(15)
+    val got = Extensions.entries.find(_._1 == "x_session_paths").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
