@@ -3424,6 +3424,103 @@ object Extensions {
         |         (85 * CAST(sum(p.p // o.outdeg) AS BIGINT)) // 100 AS p
         |       FROM edges e JOIN outdeg o ON e.u = o.node
         |       JOIN p4 p ON e.u = p.node GROUP BY 1)
-        |SELECT node, p FROM p5 ORDER BY p DESC, node LIMIT 10""".stripMargin)
+        |SELECT node, p FROM p5 ORDER BY p DESC, node LIMIT 10""".stripMargin),
+
+    // X8f: OLS TREND detection — per-event-type least-squares slope of
+    // daily volume over the day index, from the closed-form aggregate
+    // identity slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): ONE pass of
+    // exact BIGINT sums (x = epoch-day, y = daily count), no iteration,
+    // no centering pass — the one-shuffle regression shape that works at
+    // any scale. The RISING flag is the exact SIGN of the numerator
+    // (integer comparison — a flat-vs-rising call can't flip on float
+    // rounding); the surfaced slope is the one mirrored double division.
+    // Numerator/denominator are also emitted as exact integers, so the
+    // gate hash-checks the algebra, not just the rounded quotient. Counts
+    // past ~1e9/day need the DECIMAL(38)/HUGEINT widening (documented on
+    // x_anomaly_days).
+    ("x_ols_trend",
+      (s: SparkSession, d: String) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("x", unix_date(col("day")).cast("long"))
+        daily.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("slope", when(col("slope_den") > 0,
+            col("slope_num").cast("double") / col("slope_den").cast("double"))
+            .otherwise(lit(0.0)))
+          .withColumn("rising", col("slope_num") > 0)
+          .select("event_type", "n", "slope_num", "slope_den", "slope", "rising")
+          .orderBy("event_type")
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT event_type, y,
+        |          CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+        |        FROM daily)
+        |  GROUP BY 1)
+        |SELECT event_type, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE)
+        |    ELSE 0.0 END AS slope,
+        |  n * sxy - sx * sy > 0 AS rising
+        |FROM sums ORDER BY event_type""".stripMargin),
+
+    // X4k: SIMPSON DIVERSITY of the per-language token distribution —
+    // the log-free twin of Shannon entropy (entropy's ln is correctly
+    // rounded in neither engine; Simpson's λ = Σc²/T² is pure integer
+    // sums + one mirrored division, the same reasoning that picked raw
+    // idf for x_tfidf). λ is the collision probability of two random
+    // tokens; 1/λ is the effective vocabulary size — the corpus-health
+    // number that catches a degenerate crawl (boilerplate-dominated
+    // languages collapse toward 1/λ ≈ a handful of tokens) where raw
+    // vocab counts look healthy. One (lang, token) hash agg then a
+    // |langs|-row agg; per-token counts past ~3e9 need the same
+    // DECIMAL(38)/HUGEINT widening as every integer-square gate here.
+    ("x_simpson_diversity",
+      (s: SparkSession, d: String) => {
+        val tc = Tables.documents(s, d)
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+        tc.groupBy("lang").agg(
+            count(lit(1)).as("vocab"),
+            sum(col("c")).as("total"),
+            sum(col("c") * col("c")).as("sum_sq"))
+          .withColumn("simpson",
+            lit(1.0) - (col("sum_sq").cast("double") /
+              (col("total").cast("double") * col("total").cast("double"))))
+          .withColumn("effective_vocab",
+            (col("total").cast("double") * col("total").cast("double")) /
+              col("sum_sq").cast("double"))
+          .orderBy("lang")
+      },
+      s"""WITH tc AS (
+        |  SELECT lang, token, count(*) AS c
+        |  FROM (SELECT lang, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, count(*) AS vocab, CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, vocab, total, sum_sq,
+        |  1.0 - (CAST(sum_sq AS DOUBLE) /
+        |         (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))) AS simpson,
+        |  (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) /
+        |    CAST(sum_sq AS DOUBLE) AS effective_vocab
+        |FROM agg ORDER BY lang""".stripMargin)
   )
 }

@@ -174,6 +174,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == expect, s"got $got\nexpected $expect")
   }
 
+  test("x_ols_trend matches the closed-form least-squares slope") {
+    val ev = Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val daily = rows.groupBy(_._2).map { case (x, o) => (x, o.length.toLong) }
+      val n = daily.size.toLong
+      val sx = daily.keys.sum
+      val sy = daily.values.sum
+      val sxx = daily.keys.map(x => x * x).sum
+      val sxy = daily.map { case (x, y) => x * y }.sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (t, n, num, den,
+        if (den > 0) num.toDouble / den.toDouble else 0.0, num > 0)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_ols_trend").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
+  test("x_simpson_diversity matches brute-force token concentration") {
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        Option(r.getString(1)).getOrElse("").split("\\s+").filter(_.nonEmpty)))
+    val expect = rows.groupBy(_._1).flatMap { case (lang, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity).map { case (_, o) => o.length.toLong }
+      if (counts.isEmpty) None else {
+        val total = counts.sum
+        val ss = counts.map(c => c * c).sum
+        Some((lang, counts.size.toLong, total, ss,
+          1.0 - ss.toDouble / (total.toDouble * total.toDouble),
+          total.toDouble * total.toDouble / ss.toDouble))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_simpson_diversity").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // a healthy distribution has effective vocab well above 1
+    assert(got.forall(g => g._6 > 1.0 && g._5 > 0.0 && g._5 < 1.0))
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
