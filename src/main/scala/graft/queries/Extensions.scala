@@ -3061,7 +3061,15 @@ object Extensions {
             greatest(col("t"), col("u")).as("b"))
         val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
-        val total = pairs.agg(count(lit(1)).as("n_pairs"))
+        // the pair total has a CLOSED FORM from per-doc token counts —
+        // Σ_docs Σ_{k=1..3} max(len−k, 0) — so the normalizer is one
+        // map-side aggregate over the corpus, not a second run of the
+        // window/explode pipeline (which recomputes per referencing plan)
+        val total = Tables.documents(s, d)
+          .select(size(TF.tokens(col("text"))).cast("long").as("len"))
+          .agg(sum(greatest(col("len") - 1, lit(0L)) +
+            greatest(col("len") - 2, lit(0L)) +
+            greatest(col("len") - 3, lit(0L))).as("n_pairs"))
         val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
         pc
           .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
@@ -3089,7 +3097,10 @@ object Extensions {
         |  WHERE u IS NOT NULL),
         |pc AS (SELECT a, b, count(*) AS c_ab FROM pairs
         |       GROUP BY 1, 2 HAVING count(*) >= 5),
-        |total AS (SELECT count(*) AS n_pairs FROM pairs),
+        |total AS (
+        |  SELECT CAST(sum(greatest(len - 1, 0) + greatest(len - 2, 0) +
+        |    greatest(len - 3, 0)) AS BIGINT) AS n_pairs
+        |  FROM (SELECT CAST(len($toksSql) AS BIGINT) AS len FROM documents)),
         |uni AS (SELECT token, count(*) AS c FROM pos GROUP BY 1)
         |SELECT p.a, p.b, p.c_ab,
         |  (CAST(p.c_ab AS DOUBLE) * CAST(t.n_pairs AS DOUBLE)) /

@@ -224,7 +224,7 @@ class AnalyticsOpsSpec extends SparkSpec {
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
-    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).length
+    val windows = "Window \\[".r.findAllIn(plan).length
     assert(windows == 1, s"expected exactly 1 Window operator, got $windows:\n$plan")
   }
 }
