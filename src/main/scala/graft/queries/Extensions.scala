@@ -118,6 +118,57 @@ object Extensions {
     t
   }
 
+  /** Degree-oriented triangle statistics over the basket graph of
+    * `items` (l_orderkey, l_partkey) pairs — the x_triangles pipeline,
+    * shared with the ScaleSmoke graph contract so the smoke certifies
+    * shipped code. Every undirected co-purchase edge points from its
+    * lower-(degree, id) endpoint to the higher, bounding total wedge
+    * fanout at Σ C(outdeg, 2) ≲ O(m^1.5) regardless of degree skew; the
+    * closing probe is a hash join on the oriented edge set. Returns ONE
+    * row: (n_edges, n_wedges, n_paths2, n_triangles, transitivity).
+    */
+  private[graft] def triangleStats(s: SparkSession, items: DataFrame): DataFrame = {
+    val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
+      .select("u", "v").distinct().localCheckpoint()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
+    val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("r1") < col("r2") || (col("r1") === col("r2") && col("d1") < col("d2")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+    // unoriented 2-paths Σ C(deg, 2) — exact BIGINT from the degree
+    // table, the transitivity denominator (each triangle closes 3 of
+    // them; the ORIENTED wedge set above each triangle closes exactly 1,
+    // so it is the join volume, not the normalizer)
+    val nP = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("p"))
+      .head.getLong(0) / 2 // Σ deg·(deg−1) is even; halve exactly
+    val nE = edges.count()
+    val nW = wedges.count()
+    val nT = closed.count()
+    import s.implicits._
+    Seq((nE, nW, nP, nT)).toDF("n_edges", "n_wedges", "n_paths2", "n_triangles")
+      .withColumn("transitivity",
+        when(col("n_paths2") > 0,
+          (lit(3.0) * col("n_triangles").cast("double")) / col("n_paths2").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Probe one term's positional posting list (pruned like [[probeTerm]]). */
   private[graft] def probeTermPositions(s: SparkSession, t: graft.table.GraftTable,
       term: String): (graft.table.GraftScan, DataFrame) = {
@@ -3223,51 +3274,10 @@ object Extensions {
     // triangles at every SF. Output is one summary row; closure = 3T/W is
     // the one mirrored double division.
     ("x_triangles",
-      (s: SparkSession, d: String) => {
-        val items = Tables.lineitem(s, d)
+      (s: SparkSession, d: String) =>
+        triangleStats(s, Tables.lineitem(s, d)
           .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) < "4")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
-        val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-        val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
-          .select("u", "v").distinct().localCheckpoint()
-        val deg = edges.select(col("u").as("node"))
-          .union(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val withDeg = edges
-          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-        val oriented = withDeg.select(
-            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-              col("u")).otherwise(col("v")).as("src"),
-            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-              col("v")).otherwise(col("u")).as("dst"),
-            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-              col("dv")).otherwise(col("du")).as("ddst"))
-          .localCheckpoint()
-        val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
-        val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
-        val wedges = w1.join(w2, Seq("src"))
-          .filter(col("r1") < col("r2") || (col("r1") === col("r2") && col("d1") < col("d2")))
-        val closed = wedges.join(
-          oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
-        // unoriented 2-paths Σ C(deg, 2) — exact BIGINT from the degree
-        // table, the transitivity denominator (each triangle closes 3 of
-        // them; the ORIENTED wedge set above each triangle closes exactly 1,
-        // so it is the join volume, not the normalizer)
-        val nP = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("p"))
-          .head.getLong(0) / 2  // Σ deg·(deg−1) is even; halve exactly
-
-        val nE = edges.count()
-        val nW = wedges.count()
-        val nT = closed.count()
-        import s.implicits._
-        Seq((nE, nW, nP, nT)).toDF("n_edges", "n_wedges", "n_paths2", "n_triangles")
-          .withColumn("transitivity",
-            when(col("n_paths2") > 0,
-              (lit(3.0) * col("n_triangles").cast("double")) / col("n_paths2").cast("double"))
-              .otherwise(lit(0.0)))
-      },
+          .select(col("l_orderkey"), col("l_partkey")).distinct()),
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),

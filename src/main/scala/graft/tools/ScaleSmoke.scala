@@ -308,6 +308,47 @@ object ScaleSmoke {
       require(b / a < bound,
         f"$label scaled super-linearly past the bound: ${b / a}%.1fx > $bound%.0fx")
 
+    // contract 7: the degree-oriented triangle pipeline scales horizontally
+    // — copies with SHIFTED order AND part keys are independent graph
+    // components, so edges / oriented wedges / 2-paths / triangles must
+    // all replicate EXACTLY m-fold and transitivity must be UNCHANGED
+    // (any deviation means cross-component edges or dropped wedges at
+    // scale). The orientation's Σ C(outdeg, 2) bound keeps per-copy cost
+    // constant, so wall-time stays under data-ratio^1.5. Sampling happens
+    // BEFORE the shift (the gate's md5 order sample is key-dependent by
+    // design), so the smoke drives the exact shipped pipeline
+    // ([[Extensions.triangleStats]]) on a copy-invariant input.
+    def scaledItems(m: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+        .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) < "4")
+        .select("l_orderkey", "l_partkey").distinct()
+      base.crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("l_orderkey") + col("copy") * 1000000000L).as("l_orderkey"),
+          (col("l_partkey") + col("copy") * 100000000L).as("l_partkey"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def graphRow(m: Int): (Array[Long], Double, Double) = {
+      val (r, t) = timed(Extensions.triangleStats(spark, scaledItems(m)).head())
+      (Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4), t)
+    }
+    val (_, _, tgWarm) = graphRow(1)
+    val (g1, trans1, tg1) = graphRow(1)
+    report(f"graph 1x: edges=${g1(0)} wedges=${g1(1)} paths2=${g1(2)} " +
+      f"triangles=${g1(3)} transitivity=$trans1%.4f t=$tg1%.1fs (warmup $tgWarm%.1fs)")
+    val (gM, transM, tgM) = graphRow(mult)
+    report(f"graph at ${mult}x: edges=${gM(0)} wedges=${gM(1)} paths2=${gM(2)} " +
+      f"triangles=${gM(3)} transitivity=$transM%.4f t=$tgM%.1fs " +
+      f"(${tgM / tg1}%.1fx at ${mult}x data, bound ${math.pow(mult, 1.5)}%.0fx)")
+    for ((label, i) <- Seq("edges" -> 0, "wedges" -> 1, "paths2" -> 2, "triangles" -> 3))
+      require(gM(i) == mult.toLong * g1(i),
+        s"graph $label not copy-invariant: ${g1(i)} at 1x but ${gM(i)} at ${mult}x")
+    // IEEE division rounds the exact quotient, and (3·mT)/(mP) has the
+    // SAME exact quotient as (3·T)/P — so equality here is bit-exact
+    require(transM == trans1,
+      s"transitivity drifted across scale: $trans1 -> $transM")
+    require(tgM / tg1 < math.pow(mult, 1.5),
+      f"triangle pipeline scaled super-linearly: ${tgM / tg1}%.1fx")
+
     report("SCALE SMOKE OK")
     spark.stop()
   }
