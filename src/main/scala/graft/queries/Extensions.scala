@@ -3542,6 +3542,101 @@ object Extensions {
         |         (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))) AS simpson,
         |  (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) /
         |    CAST(sum_sq AS DOUBLE) AS effective_vocab
-        |FROM agg ORDER BY lang""".stripMargin)
+        |FROM agg ORDER BY lang""".stripMargin),
+
+    // X2j: FUZZY eval-set decontamination — the NEAR-DUP cross-corpus
+    // variant of x_decontaminate (whose any-shared-3-gram test catches
+    // verbatim leaks but misses a lightly-edited eval copy): train docs
+    // are dropped when banded-MinHash nomination + exact-Jaccard ≥ 0.5
+    // verification matches them to ANY eval doc. Candidates come from an
+    // equi-join of the two sides' (band, sig) keys — per-signature join
+    // volume is |train_sig| · |eval_sig|, LINEAR in the train occupancy
+    // because the eval factor is capped by the eval suite's size (eval
+    // suites are tiny and broadcast whole at any corpus scale — the same
+    // asymmetry x_decontaminate exploits). Verification reuses
+    // pairJaccard's measured-broadcast discipline over the id-disjoint
+    // union of the two corpora: shingles once per matched doc, text never
+    // shuffles. The fixture plants lightly-edited leaks in-query (eval
+    // text + a 2-token suffix, Jaccard ≈ n/(n+3) » 0.5), so both the
+    // planted and any organic train↔eval near-dups must be caught — the
+    // oracle mirrors nomination AND verification, so agreement proves the
+    // band join lost no leak the oracle sees.
+    ("x_fuzzy_decontaminate",
+      (s: SparkSession, d: String) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        val evalDocs = base.filter(col("doc_id") % 50 === 0)
+        val planted = evalDocs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" leaked copy")).as("text"))
+        val train = base.filter(col("doc_id") % 50 =!= 0).unionByName(planted)
+        def bandsOf(df: DataFrame): DataFrame = df
+          .withColumn("sh", TF.shingles(col("text"), 2))
+          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
+          .select(col("doc_id"),
+            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
+        val cand = bandsOf(train).select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(bandsOf(evalDocs).select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select("doc_a", "doc_b").distinct()
+        val leaks = pairJaccard(
+            train.select("doc_id", "text").unionByName(evalDocs.select("doc_id", "text")),
+            cand)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("doc_id")).distinct()
+        val kept = train.join(leaks, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+        train.groupBy("lang").agg(count(lit(1)).as("train_docs"))
+          .join(kept, Seq("lang"), "left")
+          .withColumn("kept", coalesce(col("kept"), lit(0L)))
+          .select(col("lang"), col("train_docs"),
+            (col("train_docs") - col("kept")).as("dropped"), col("kept"))
+          .orderBy("lang")
+      },
+      s"""WITH ev AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 = 0),
+        |tr AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, lang, text || ' leaked copy' AS text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |sh_tr AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        |        FROM tr)),
+        |sh_ev AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        |        FROM ev)),
+        |b_tr AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_tr, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_ev AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_ev, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, e.doc_id AS doc_b
+        |  FROM b_tr a JOIN b_ev e ON a.b = e.b AND a.sig = e.sig),
+        |leak AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN sh_tr x ON x.doc_id = c.doc_a
+        |  JOIN sh_ev y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT t.lang, count(*) AS train_docs,
+        |  CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped,
+        |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM tr t LEFT JOIN leak l USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

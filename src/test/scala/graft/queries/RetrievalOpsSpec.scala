@@ -50,6 +50,54 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_fuzzy_decontaminate matches a brute-force banded-MinHash recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(text: String): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      (0 until math.max(0, t.length - 1)).map(i => t(i) + " " + t(i + 1)).toSet
+    }
+    def bandSigs(sh: Set[String]): Seq[(Int, String)] =
+      if (sh.isEmpty) Nil
+      else {
+        val ext = sh.toSeq.map(x => md5hex(x) + md5hex(x + "#"))
+        (0 to 1).map { b =>
+          b -> md5hex((0 to 2).map(r =>
+            ext.map(_.substring((b * 3 + r) * 8, (b * 3 + r) * 8 + 8)).min).mkString)
+        }
+      }
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val evalDocs = rows.filter(_._1 % 50 == 0)
+    val train = rows.filter(_._1 % 50 != 0) ++
+      rows.filter(_._1 % 100 == 0).map(r => (r._1 + 500000L, r._2, r._3 + " leaked copy"))
+    val evalBands = evalDocs.flatMap(r => bandSigs(shingles(r._3)).map(bs => bs -> r._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val evalSh = evalDocs.map(r => r._1 -> shingles(r._3)).toMap
+    val dropped = train.filter { r =>
+      val sh = shingles(r._3)
+      val cands = bandSigs(sh).flatMap(bs => evalBands.getOrElse(bs, Seq.empty[Long])).distinct
+      cands.exists { e =>
+        val es = evalSh(e)
+        sh.nonEmpty && es.nonEmpty &&
+          (sh & es).size.toDouble / (sh | es).size >= 0.5
+      }
+    }.map(_._1).toSet
+    val expect = train.groupBy(_._2).map { case (lang, ts) =>
+      val drop = ts.count(t => dropped.contains(t._1)).toLong
+      (lang, ts.length.toLong, drop, ts.length - drop)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_fuzzy_decontaminate").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // every planted lightly-edited leak must have been caught
+    val planted = rows.filter(_._1 % 100 == 0).map(_._1 + 500000L)
+    assert(planted.forall(dropped.contains),
+      "a planted near-dup leak escaped the banded nomination")
+  }
+
   test("x_phrase_search matches brute-force adjacency and refines AND search") {
     val corpus = docs()
     val expect = corpus.flatMap { case (id, ts) =>
