@@ -127,11 +127,26 @@ object Extensions {
     * closing probe is a hash join on the oriented edge set. Returns ONE
     * row: (n_edges, n_wedges, n_paths2, n_triangles, transitivity).
     */
+  /** Undirected co-purchase edges (u < v, distinct) over (l_orderkey,
+    * l_partkey) items, under the same basket-size cap as x_copurchase
+    * (one window count on the orderkey partitioning the self-join reuses:
+    * a degenerate mega-basket contributes C(64, 2) edges, never
+    * C(huge, 2)). ONE construction shared by [[triangleStats]] and
+    * x_pagerank, so the gates and the ScaleSmoke contract all certify
+    * the same code.
+    */
+  private[graft] def basketEdges(items: DataFrame, cap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = items
+      .withColumn("basket", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("basket") <= cap)
+    val a = capped.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = capped.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v").distinct()
+  }
+
   private[graft] def triangleStats(s: SparkSession, items: DataFrame): DataFrame = {
-    val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
-    val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-    val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
-      .select("u", "v").distinct().localCheckpoint()
+    val edges = basketEdges(items).localCheckpoint()
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -148,15 +163,21 @@ object Extensions {
       .localCheckpoint()
     val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
     val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
+    // pin the wedge set: it is the pipeline's dominant volume (the
+    // Σ C(outdeg, 2) join), and both its own count and the closing probe
+    // read it — without the checkpoint the self-join would run twice
     val wedges = w1.join(w2, Seq("src"))
       .filter(col("r1") < col("r2") || (col("r1") === col("r2") && col("d1") < col("d2")))
+      .select("src", "d1", "d2").localCheckpoint()
     val closed = wedges.join(
       oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
     // unoriented 2-paths Σ C(deg, 2) — exact BIGINT from the degree
     // table, the transitivity denominator (each triangle closes 3 of
     // them; the ORIENTED wedge set above each triangle closes exactly 1,
-    // so it is the join volume, not the normalizer)
-    val nP = deg.agg(sum(col("deg") * (col("deg") - lit(1L))).as("p"))
+    // so it is the join volume, not the normalizer). coalesce: an empty
+    // graph sums to NULL, and the summary row must read (0,0,0,0,0.0),
+    // not NPE
+    val nP = deg.agg(coalesce(sum(col("deg") * (col("deg") - lit(1L))), lit(0L)).as("p"))
       .head.getLong(0) / 2 // Σ deg·(deg−1) is even; halve exactly
     val nE = edges.count()
     val nW = wedges.count()
@@ -3162,7 +3183,7 @@ object Extensions {
         |ORDER BY pmi_raw DESC, a, b LIMIT 20""".stripMargin),
 
     // X8a: ANOMALY DAYS — per-event-type daily volumes z-tested against
-    // that type's own 30-day distribution, with the FLAG decided in exact
+    // that type's own full daily history, with the FLAG decided in exact
     // integer arithmetic: cross-multiplying z² > 9 into
     // (x·n − S)² > 9·(n·Q − S²) (S = Σx, Q = Σx² — both one hash agg)
     // removes mean/stddev floats from the decision entirely, so a
@@ -3281,9 +3302,14 @@ object Extensions {
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      count(*) OVER (PARTITION BY l_orderkey) AS basket FROM items)
+        |  WHERE basket <= 64),
         |edges AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM items a JOIN items b
+        |  FROM capped a JOIN capped b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |deg AS (
         |  SELECT node, count(*) AS deg FROM (
@@ -3388,15 +3414,17 @@ object Extensions {
         val items = Tables.lineitem(s, d)
           .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) < "4")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
-        val b = items.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-        val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
-          .select("u", "v").distinct()
+        val und = basketEdges(items)
         val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
           .localCheckpoint()
         val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
           .localCheckpoint()
         val nN = outdeg.count()
+        // a degenerate corpus (no order with 2+ distinct parts survives the
+        // sample) has no graph: return the empty ranking rather than
+        // dividing the mass by zero
+        if (nN == 0) outdeg.select(col("u").as("node"), lit(0L).as("p"))
+        else {
         val p0 = 1000000000000L / nN
         val base = (15L * p0) / 100L
         var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
@@ -3411,13 +3439,19 @@ object Extensions {
             .localCheckpoint()
         }
         p.orderBy(col("p").desc, col("node")).limit(10)
+        }
       },
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '4'),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      count(*) OVER (PARTITION BY l_orderkey) AS basket FROM items)
+        |  WHERE basket <= 64),
         |und AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM items a JOIN items b
+        |  FROM capped a JOIN capped b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
         |outdeg AS (SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY 1),
@@ -3566,7 +3600,7 @@ object Extensions {
         val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
         val evalDocs = base.filter(col("doc_id") % 50 === 0)
         val planted = evalDocs.filter(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
             concat(col("text"), lit(" leaked copy")).as("text"))
         val train = base.filter(col("doc_id") % 50 =!= 0).unionByName(planted)
         def bandsOf(df: DataFrame): DataFrame = df
@@ -3597,7 +3631,7 @@ object Extensions {
         |tr AS (
         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 500000 AS doc_id, lang, text || ' leaked copy' AS text
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' leaked copy' AS text
         |  FROM documents WHERE doc_id % 100 = 0),
         |sh_tr AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -72,7 +72,7 @@ class RetrievalOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
     val evalDocs = rows.filter(_._1 % 50 == 0)
     val train = rows.filter(_._1 % 50 != 0) ++
-      rows.filter(_._1 % 100 == 0).map(r => (r._1 + 500000L, r._2, r._3 + " leaked copy"))
+      rows.filter(_._1 % 100 == 0).map(r => (r._1 + 1000000000L, r._2, r._3 + " leaked copy"))
     val evalBands = evalDocs.flatMap(r => bandSigs(shingles(r._3)).map(bs => bs -> r._1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val evalSh = evalDocs.map(r => r._1 -> shingles(r._3)).toMap
@@ -93,7 +93,7 @@ class RetrievalOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect, s"got $got\nexpected $expect")
     // every planted lightly-edited leak must have been caught
-    val planted = rows.filter(_._1 % 100 == 0).map(_._1 + 500000L)
+    val planted = rows.filter(_._1 % 100 == 0).map(_._1 + 1000000000L)
     assert(planted.forall(dropped.contains),
       "a planted near-dup leak escaped the banded nomination")
   }
