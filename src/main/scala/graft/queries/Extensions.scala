@@ -3671,6 +3671,112 @@ object Extensions {
         |    AS dropped,
         |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
         |FROM tr t LEFT JOIN leak l USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2k: INCREMENTAL near-dup dedup — the FUZZY twin of
+    // x_incremental_dedup's exact-fingerprint state: the accumulated
+    // corpus is represented by a PERSISTED band-signature Graft table
+    // ((band, sig, doc_id), sig-bucketed), and a new batch dedups against
+    // it by (band, sig) equi-join nomination + exact-Jaccard ≥ 0.5 verify
+    // (pairJaccard's measured-broadcast discipline; ids disjoint by
+    // construction). History TEXT is needed only for the handful of
+    // nominated candidates — the durable state is signatures, 2 narrow
+    // rows per doc, which is what makes daily fuzzy dedup affordable at
+    // 100 TB (re-signing the accumulated corpus every day would not be).
+    // Admitted docs' signatures then APPEND to the state table — the
+    // certified maintenance step: every pre-refresh file survives
+    // byte-identical and the table holds exactly 2 commits, so tomorrow's
+    // batch sees today's admissions with nothing recomputed. The fixture
+    // plants lightly-edited recrawls of history docs (text + a 2-token
+    // tail, Jaccard » 0.5); the 2-band OR catches them at the banded
+    // LSH's real recall (an added shingle can displace a band minimum, so
+    // an individual recrawl may legitimately escape nomination — BOTH
+    // engines agree on exactly which, which is the point of mirroring the
+    // nomination). The oracle recomputes everything from raw text,
+    // proving the persisted signature state lost nothing.
+    ("x_incremental_neardup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" recrawl tail")).as("text")))
+        def sigsOf(df: DataFrame): DataFrame = df
+          .withColumn("sh", TF.shingles(col("text"), 2))
+          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
+          .select(col("doc_id"),
+            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
+          .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
+        val cat = TableOps.newCatalog()
+        val histSigs = sigsOf(hist)
+        val t = cat.createTable("db.neardup_sigs", histSigs.schema,
+          partitionBy = Seq("sig" -> Transform.Bucket(4)))
+        t.append(s, histSigs)
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val batchSigs = sigsOf(batch).localCheckpoint() // nominate AND re-append below
+        val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+          .select("doc_a", "doc_b").distinct()
+        val rejected = pairJaccard(
+            batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("doc_id")).distinct()
+        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+        t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
+          .select("band", "sig", "doc_id"))
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        admitted.groupBy("lang").agg(count(lit(1)).as("admitted"))
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM batch)),
+        |sh_h AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM hist)),
+        |b_b AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_b, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_h, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, h.doc_id AS doc_b
+        |  FROM b_b a JOIN b_h h ON a.b = h.b AND a.sig = h.sig),
+        |rej AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN sh_b x ON x.doc_id = c.doc_a
+        |  JOIN sh_h y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT b.lang, count(*) AS admitted,
+        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits
+        |FROM batch b LEFT JOIN rej r USING (doc_id)
+        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
