@@ -118,6 +118,30 @@ object Extensions {
     t
   }
 
+  /** Rare-5-shingle containment nomination — the x_containment candidate
+    * generator, shared with ScaleSmoke contract 3 so the smoke certifies
+    * shipped code. The exploded 5-gram stream is PINNED once
+    * (localCheckpoint): without it the md5-heavy shingle expression
+    * evaluates three times — the df aggregate plus BOTH sides of the
+    * rare-gram self-join — which profiled as the dominant cost of the
+    * gate. The pinned inverted index (grams with df ∈ [2, 8]) bounds the
+    * self-join fanout at Σ df² ≤ 8·Σ df.
+    * @return (rare grams, nominated candidate pairs)
+    */
+  private[graft] def containmentNomination(docs: DataFrame): (DataFrame, DataFrame) = {
+    val nom = docs.select(col("doc_id"),
+      explode(array_distinct(TF.shingles(col("text"), 5))).as("g"))
+      .localCheckpoint()
+    val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 8)).select("g")
+    val inv = nom.join(rare, "g").localCheckpoint()
+    val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
+      .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    (rare, cand)
+  }
+
   /** Degree-oriented triangle statistics over the basket graph of
     * `items` (l_orderkey, l_partkey) pairs — the x_triangles pipeline,
     * shared with the ScaleSmoke graph contract so the smoke certifies
@@ -219,10 +243,13 @@ object Extensions {
     val (cand, fits) = measuredPairs(pairs)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // pinned: both join sides below read it, and without the checkpoint
+    // the per-matched-doc shingle expression evaluates twice
     val matched = docs.select(col("doc_id"), col("text"))
       .join(maybeBroadcast(ids, fits), "doc_id")
       .withColumn("sh", TF.shingles(col("text"), 2))
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     val withA = matched.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, fits), "doc_a")
     val both = matched.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -2551,16 +2578,8 @@ object Extensions {
           .select((col("doc_id") + 200000L).as("doc_id"),
             array_join(slice(TF.tokens(col("text")), 1, 15), " ").as("text"))
         val docs = base.unionByName(excerpts)
-        val nom = docs.select(col("doc_id"),
-          explode(array_distinct(TF.shingles(col("text"), 5))).as("g"))
-        val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 8)).select("g")
-        val inv = nom.join(rare, "g")
-        val (cand, fits) = measuredPairs(
-          inv.select(col("g"), col("doc_id").as("doc_a"))
-            .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
-            .filter(col("doc_a") =!= col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+        val (_, nominated) = containmentNomination(docs)
+        val (cand, fits) = measuredPairs(nominated)
         // metric 3-grams computed ONCE per nominated doc (pairJaccard's
         // per-matched-doc discipline), then joined to the pair set
         val ids = cand.select(col("doc_a").as("doc_id"))
@@ -2568,6 +2587,7 @@ object Extensions {
         val matched = docs.join(maybeBroadcast(ids, fits), "doc_id")
           .withColumn("sh", array_distinct(TF.shingles(col("text"), 3)))
           .select(col("doc_id"), col("sh"))
+          .localCheckpoint() // both verify sides read it (see pairJaccard)
         val withA = matched.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
           .join(maybeBroadcast(cand, fits), "doc_a")
         val both = matched.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

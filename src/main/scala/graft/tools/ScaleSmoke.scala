@@ -105,17 +105,10 @@ object ScaleSmoke {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       Extensions.connectedComponents(pairs).select("label").distinct().count()
     }
-    // containment nomination (the x_containment rare-gram inverted index)
+    // containment nomination — the SHIPPED x_containment candidate
+    // generator ([[Extensions.containmentNomination]])
     def containmentNomination(docs: DataFrame): (Long, Long) = {
-      val nom = docs.select(col("doc_id"),
-        explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 5))).as("g"))
-      val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 8)).select("g")
-      val inv = nom.join(rare, "g")
-      val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
-        .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
-        .filter(col("doc_a") =!= col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val (rare, cand) = Extensions.containmentNomination(docs)
       (rare.count(), cand.count())
     }
     // semantic-dedup shape: 16-bit sign-LSH cells -> capped pairs -> exact
