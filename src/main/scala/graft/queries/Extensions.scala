@@ -118,6 +118,42 @@ object Extensions {
     t
   }
 
+  /** BM25 scoring of a two-term OR query against a persisted inverted
+    * index — shared by x_bm25 and the RRF fusion gate. Probes prune to
+    * the terms' buckets; doc lengths and corpus stats derive from one
+    * narrow index aggregate (text never re-read); idf is the raw-ratio
+    * Robertson form with dyadic k1 = 1.25 / b = 0.75 (see the x_bm25
+    * gate comment for the cross-engine determinism argument).
+    * @return (scanA, scanB, (doc_id, score, n_terms))
+    */
+  private[graft] def bm25Scored(s: SparkSession, t: graft.table.GraftTable,
+      termA: String, termB: String)
+      : (graft.table.GraftScan, graft.table.GraftScan, DataFrame) = {
+    val idx = t.toDF(s)
+    val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val (scA, a) = probeTerm(s, t, termA)
+    val (scB, b) = probeTerm(s, t, termB)
+    val cand = a.withColumn("term", lit(termA))
+      .unionByName(b.withColumn("term", lit(termB)))
+    val dfs = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(2.25)) /
+      (col("tf").cast("double") +
+        lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = cand
+      .join(broadcast(dfs), "term")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfn)
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+    (scA, scB, scored)
+  }
+
   /** Rare-5-shingle containment nomination — the x_containment candidate
     * generator, shared with ScaleSmoke contract 3 so the smoke certifies
     * shipped code. The exploded 5-gram stream is PINNED once
@@ -3037,28 +3073,8 @@ object Extensions {
     ("x_bm25",
       (s: SparkSession, d: String) => {
         val t = buildInvertedIndex(s, Tables.documents(s, d), TableOps.newCatalog())
-        val idx = t.toDF(s)
-        val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        val stats = doclen.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_len"))
-        val (scA, a) = probeTerm(s, t, "merge")
-        val (scB, b) = probeTerm(s, t, "window")
-        val cand = a.withColumn("term", lit("merge"))
-          .unionByName(b.withColumn("term", lit("window")))
-        val dfs = cand.groupBy("term").agg(count(lit(1)).as("df"))
-        val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
-        val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val tfn = (col("tf").cast("double") * lit(2.25)) /
-          (col("tf").cast("double") +
-            lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-        cand
-          .join(broadcast(dfs), "term")
-          .join(doclen, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib", idf * tfn)
-          .groupBy("doc_id")
-          .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+        val (scA, scB, scored) = bm25Scored(s, t, "merge", "window")
+        scored
           .withColumn("pruned",
             lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
               scB.metrics.filesScanned < scB.metrics.filesTotal))
@@ -3797,6 +3813,78 @@ object Extensions {
         |SELECT b.lang, count(*) AS admitted,
         |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits
         |FROM batch b LEFT JOIN rej r USING (doc_id)
-        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin)
+        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X7g: HYBRID retrieval by RECIPROCAL-RANK FUSION — the modern search
+    // shape: a lexical BM25 list (from the persisted inverted index, via
+    // [[bm25Scored]]) and a dense cosine list (brute-force exact top-k,
+    // the x_sim_topk baseline) fuse by RRF(d) = Σ 1/(60 + rank_i(d)),
+    // which needs NO score normalization across the two incomparable
+    // scales — only RANKS cross the fusion boundary, so the doubles that
+    // could diverge stay inside each list (the same rank-only discipline
+    // x_sim_topk pins). 1/(60 + r) is one exact-input division and the
+    // two-list sum is commutative, so the fused scores bit-match. Items
+    // on one list only take the other term as 0 (coalesce, mirrored).
+    // The global rank window runs over the CANDIDATE lists (≤ 50 + 50
+    // rows after each side's own top-k), never the corpus — fusion cost
+    // is independent of corpus size, which is what makes RRF the 100 TB
+    // hybrid-search shape.
+    ("x_rrf_fusion",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = buildInvertedIndex(s, Tables.documents(s, d), TableOps.newCatalog())
+        val (_, _, scored) = bm25Scored(s, t, "merge", "window")
+        val lex = scored.filter(col("doc_id") =!= 0)
+          .withColumn("r_lex",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        val vec = VF.bruteForceTopK(e.filter(col("vec_id") =!= 0), q,
+            "vec_id", "embedding", 50)
+          .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        |          FROM dl),
+        |dfs AS (SELECT token, count(*) AS df FROM tf
+        |        WHERE token IN ('merge', 'window') GROUP BY 1),
+        |bm AS (
+        |  SELECT t.doc_id, sum(
+        |    ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |     (CAST(f.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(t.tf AS DOUBLE) * 2.25) /
+        |     (CAST(t.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+        |        (CAST(l.dl AS DOUBLE) /
+        |         (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |    ) AS score
+        |  FROM tf t JOIN dfs f USING (token) JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM bm WHERE doc_id <> 0 ORDER BY 2 LIMIT 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS r_vec
+        |  FROM sims ORDER BY 2 LIMIT 50)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+        |  COALESCE(1.0 / (60.0 + CAST(l.r_lex AS DOUBLE)), 0.0) +
+        |  COALESCE(1.0 / (60.0 + CAST(v.r_vec AS DOUBLE)), 0.0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
   )
 }

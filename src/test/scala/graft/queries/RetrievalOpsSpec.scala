@@ -135,6 +135,59 @@ class RetrievalOpsSpec extends SparkSpec {
       s"banded recall collapsed: only $caught of ${planted.length} recrawls caught")
   }
 
+  test("x_rrf_fusion matches a brute-force two-list reciprocal-rank fusion") {
+    // lexical side: brute-force BM25 (same math as the x_bm25 test)
+    val corpus = docs()
+    val tf = corpus.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, o) => t -> o.length.toLong } }
+    val withTokens = tf.filter(_._2.nonEmpty)
+    val n = withTokens.size.toDouble
+    val avgdl = withTokens.values.map(_.values.sum).sum.toDouble / n
+    val dfm = Seq("merge", "window").map(t =>
+      t -> tf.count(_._2.contains(t)).toDouble).toMap
+    val bm = corpus.keys.filter(_ != 0L).flatMap { id =>
+      val terms = Seq("merge", "window").filter(tf(id).contains)
+      if (terms.isEmpty) None else Some(id -> terms.map { t =>
+        val tfd = tf(id)(t).toDouble
+        val dl = tf(id).values.sum.toDouble
+        ((n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          ((tfd * 2.25) / (tfd + 1.25 * (0.25 + 0.75 * (dl / avgdl))))
+      }.sum)
+    }.toSeq
+    val rLex = bm.sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // dense side: brute-force cosine vs vec 0
+    val embRows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = embRows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val rVec = embRows.filter(_._1 != 0L).map(r => (r._1, cos(r._2, qv)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expect = (rLex.keySet ++ rVec.keySet).toSeq.map { id =>
+      val s = rLex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rVec.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Extensions.entries.find(_._1 == "x_rrf_fusion").get._2(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == expect.map(_._1),
+      s"fused order: got ${got.toSeq}\nexpected $expect")
+    got.zip(expect).foreach { case ((gid, gs), (eid, es)) =>
+      assert(gs == es, s"doc $gid rrf: got $gs expected $es") }
+    // fusion surfaces docs from BOTH lists
+    assert(got.exists(g => rLex.contains(g._1)) && got.exists(g => rVec.contains(g._1)))
+  }
+
   test("x_phrase_search matches brute-force adjacency and refines AND search") {
     val corpus = docs()
     val expect = corpus.flatMap { case (id, ts) =>
