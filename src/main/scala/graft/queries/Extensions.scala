@@ -3885,6 +3885,128 @@ object Extensions {
         |  COALESCE(1.0 / (60.0 + CAST(l.r_lex AS DOUBLE)), 0.0) +
         |  COALESCE(1.0 / (60.0 + CAST(v.r_vec AS DOUBLE)), 0.0) AS rrf
         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X4l: PER-SOURCE document capping — the mixture guard that keeps one
+    // over-crawled domain from dominating a pretraining mix (the CAP-based
+    // complement of x_domain_mix's budget thresholds and
+    // x_stratified_sample's rate thresholds): every source keeps its
+    // md5-first N documents. Selection is BY HASH ORDER, not arrival
+    // order, so the kept set is a deterministic function of content ids —
+    // stable under recomputation, partitioning, and incremental re-runs
+    // (an arrival-order cap keeps different docs every run). One window
+    // exchange on source; rank ties are impossible (md5(id) collisions
+    // aside, id breaks them). At 100 TB a giant source pays one
+    // shuffle of its (source, md5) keys — never text.
+    ("x_domain_cap",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 80
+        val ranked = Tables.documents(s, d)
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+        ranked.filter(col("rk") <= cap)
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"),
+            max(col("h")).as("cut_hash"))
+          .join(Tables.documents(s, d).groupBy("source")
+            .agg(count(lit(1)).as("total")), "source")
+          .select(col("source"), col("total"), col("kept"),
+            (col("total") - col("kept")).as("capped_out"),
+            col("kept_chars"), col("cut_hash"))
+          .orderBy("source")
+      },
+      """WITH ranked AS (
+        |  SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source, count(*) AS kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS kept_chars, max(h) AS cut_hash
+        |  FROM ranked WHERE rk <= 80 GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS total FROM documents GROUP BY 1)
+        |SELECT t.source, t.total, k.kept, t.total - k.kept AS capped_out,
+        |  k.kept_chars, k.cut_hash
+        |FROM kept k JOIN tot t USING (source) ORDER BY 1""".stripMargin),
+
+    // X6j: LABEL PURITY by nearest-centroid assignment — the clustering /
+    // labeling-quality evaluation: every vector assigns to the label
+    // centroid with the highest cosine, and the confusion matrix
+    // (label × assigned) summarizes how separable the labeled space is.
+    // Everything rides the EXACT quantized codes (x_embed_quantize's
+    // contract): centroid SUMS are per-(label, lane) BIGINT aggregates —
+    // never float means, whose summation order could diverge — and the
+    // per-vector scores are dot(codes, sum_l) / √(‖sum_l‖²): an exact
+    // BIGINT dot (ordered lane fold) over exact sums, one correctly-
+    // rounded sqrt of an exact integer, one division — bit-identical on
+    // both engines. ‖x‖ is label-independent, so dropping it changes no
+    // argmax. The labels×dim sum table is the ONLY collected state (the
+    // IVF-centroid discipline); scoring is map-only against the
+    // broadcast literal, the per-vector argmax is one keyed window with
+    // an explicit (score DESC, label) tie-break.
+    ("x_label_purity",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .withColumn("codes", VF.quantizeInt8(col("embedding"))("codes"))
+          .localCheckpoint() // codes feed both the centroid agg and scoring
+        val cents = e.select(col("label"), posexplode(col("codes")).as(Seq("i", "c")))
+          .groupBy("label", "i").agg(sum(col("c")).as("sl"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (lab, rows) =>
+            lab -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
+        val scoreCols = cents.toSeq.sortBy(_._1).map { case (lab, sl) =>
+          val s2 = sl.map(v => v * v).sum
+          val dot = aggregate(
+            zip_with(col("codes"), typedLit(sl.toSeq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+          struct((dot.cast("double") / lit(math.sqrt(s2.toDouble))).as("score"),
+            lit(lab).as("clabel"))
+        }
+        e.select(col("vec_id"), col("label"),
+            explode(array(scoreCols: _*)).as("sc"))
+          .select(col("vec_id"), col("label"),
+            col("sc.score").as("score"), col("sc.clabel").as("clabel"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("score").desc, col("clabel"))))
+          .filter(col("rk") === 1)
+          .groupBy(col("label"), col("clabel").as("assigned"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "assigned")
+      },
+      """WITH qz AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN amax = 0
+        |      THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+        |      END AS codes
+        |  FROM (SELECT vec_id, label, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+        |        FROM embeddings)),
+        |lanes AS (
+        |  SELECT vec_id, label, unnest(codes) AS c,
+        |    generate_subscripts(codes, 1) AS i
+        |  FROM qz),
+        |cents AS (
+        |  SELECT label AS clabel, i, CAST(sum(c) AS BIGINT) AS sl
+        |  FROM lanes GROUP BY 1, 2),
+        |snorm AS (SELECT clabel, CAST(sum(sl * sl) AS BIGINT) AS s2
+        |          FROM cents GROUP BY 1),
+        |dots AS (
+        |  SELECT l.vec_id, l.label, c.clabel, CAST(sum(l.c * c.sl) AS BIGINT) AS dot
+        |  FROM lanes l JOIN cents c ON l.i = c.i GROUP BY 1, 2, 3),
+        |scores AS (
+        |  SELECT d.vec_id, d.label, d.clabel,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) AS score
+        |  FROM dots d JOIN snorm n USING (clabel)),
+        |top AS (
+        |  SELECT vec_id, label, clabel, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY score DESC, clabel) AS rk
+        |  FROM scores)
+        |SELECT label, clabel AS assigned, count(*) AS n
+        |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -221,6 +221,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.forall(g => g._6 > 1.0 && g._5 > 0.0 && g._5 < 1.0))
   }
 
+  test("x_domain_cap matches brute-force hash-order capping") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = rows.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.map(r => (md5hex(r._1.toString), r._1, r._3))
+        .sortBy(t => (t._1, t._2)).take(80)
+      (src, ds.length.toLong, kept.length.toLong, (ds.length - kept.length).toLong,
+        kept.map(_._3).sum, kept.map(_._1).max)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_domain_cap").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
+  test("x_label_purity matches a brute-force nearest-centroid recompute") {
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def quantize(v: Array[Float]): Array[Long] = {
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      if (amax == 0) v.map(_ => 0L)
+      else v.map(x => math.floor(x.toDouble * 127.0 / amax + 0.5).toLong)
+    }
+    val coded = rows.map(r => (r._1, quantize(r._2), r._3))
+    val dim = coded.head._2.length
+    val cents = coded.groupBy(_._3).map { case (lab, vs) =>
+      lab -> Array.tabulate(dim)(i => vs.map(_._2(i)).sum) }
+    val s2 = cents.map { case (lab, sl) => lab -> sl.map(v => v * v).sum }
+    val expect = coded.map { case (_, codes, label) =>
+      val scored = cents.toSeq.map { case (lab, sl) =>
+        val dot = codes.indices.map(i => codes(i) * sl(i)).sum
+        (dot.toDouble / math.sqrt(s2(lab).toDouble), lab)
+      }
+      // max score, ties to the SMALLER label (mirrors ORDER BY score DESC, clabel)
+      val assigned = scored.sortBy { case (sc, lab) => (-sc, lab) }.head._2
+      (label, assigned)
+    }.groupBy(identity).map { case ((l, a), o) => (l, a, o.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = Extensions.entries.find(_._1 == "x_label_purity").get._2(spark, d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    assert(got.map(_._3).sum == rows.length.toLong)
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
