@@ -3834,10 +3834,16 @@ object Extensions {
         import org.apache.spark.sql.expressions.Window
         val t = buildInvertedIndex(s, Tables.documents(s, d), TableOps.newCatalog())
         val (_, _, scored) = bm25Scored(s, t, "merge", "window")
+        // top-50 FIRST via orderBy+limit (TakeOrderedAndProject — a
+        // distributed partial top-k), so the global rank window only ever
+        // sees 50 rows; ranking the full candidate set through one window
+        // partition would funnel every term-matching doc into a single
+        // task at corpus scale
         val lex = scored.filter(col("doc_id") =!= 0)
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
           .withColumn("r_lex",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-          .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
+          .select("doc_id", "r_lex")
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
         val vec = VF.bruteForceTopK(e.filter(col("vec_id") =!= 0), q,
@@ -3902,16 +3908,39 @@ object Extensions {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
         val cap = 80
-        val ranked = Tables.documents(s, d)
+        val docs0 = Tables.documents(s, d)
+        val totals = docs0.groupBy("source").agg(count(lit(1)).as("total"))
+        // phase 1: per-source 2-hex-digit prefix threshold targeting ~4·cap
+        // expected survivors — pfx = ceil(256·4·cap / total), clamped to
+        // [1, 256]. The pool {h : first-2-hex(h) < pfx} is a PREFIX of the
+        // (h, id) order, so whenever it holds ≥ cap docs it provably
+        // contains the true top-cap — the window in phase 2 then sorts
+        // ~4·cap rows per source instead of the whole source (a giant
+        // domain would otherwise funnel its entire key set into ONE task).
+        val thresholds = totals.withColumn("pfx",
+          least(lit(256L), greatest(lit(1L),
+            expr(s"(${256L * 4 * cap} + total - 1) div total"))))
+        val survivors = docs0
           .withColumn("h", md5(col("doc_id").cast("string")))
+          .join(broadcast(thresholds), "source")
+          .filter(conv(substring(col("h"), 1, 2), 16, 10).cast("long") < col("pfx"))
+        // loud guard (the sampledQuantiles discipline): hash fluctuation
+        // could in principle under-fill a pool; refuse rather than
+        // silently under-keep. Sources smaller than the target keep a
+        // pfx of 256 and survive whole, so they can never trip it.
+        val short = survivors.groupBy("source").agg(count(lit(1)).as("sv"))
+          .join(thresholds, "source")
+          .filter(col("sv") < least(lit(cap.toLong), col("total"))).count()
+        require(short == 0L,
+          s"domain-cap prefix pre-filter under-sampled $short source(s); raise the margin")
+        survivors
           .withColumn("rk", row_number().over(
             Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
-        ranked.filter(col("rk") <= cap)
+          .filter(col("rk") <= cap)
           .groupBy("source")
           .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"),
             max(col("h")).as("cut_hash"))
-          .join(Tables.documents(s, d).groupBy("source")
-            .agg(count(lit(1)).as("total")), "source")
+          .join(totals, "source")
           .select(col("source"), col("total"), col("kept"),
             (col("total") - col("kept")).as("capped_out"),
             col("kept_chars"), col("cut_hash"))

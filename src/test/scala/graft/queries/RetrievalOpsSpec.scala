@@ -188,6 +188,13 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got.exists(g => rLex.contains(g._1)) && got.exists(g => rVec.contains(g._1)))
   }
 
+  test("x_rrf_fusion plans distributed top-k before the rank window") {
+    val df = Extensions.entries.find(_._1 == "x_rrf_fusion").get._2(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).nonEmpty,
+      s"lexical top-50 must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+  }
+
   test("x_phrase_search matches brute-force adjacency and refines AND search") {
     val corpus = docs()
     val expect = corpus.flatMap { case (id, ts) =>
