@@ -59,11 +59,19 @@ object VectorFunctions {
     */
   def quantizeInt8(vec: Column): Column = {
     val amax = array_max(transform(vec, v => abs(v.cast("double"))))
+    // hoist amax out of the per-lane lambda: higher-order functions are
+    // interpreted (no codegen CSE), so referencing the O(dim) reduction
+    // INSIDE transform re-evaluates it per lane — O(dim²) per row,
+    // measured as the dominant cost of the projection gate. array_repeat
+    // evaluates it once and zip_with hands each lane its copy; the
+    // per-lane arithmetic is the identical IEEE expression, so every
+    // code is bit-unchanged.
+    val amaxes = array_repeat(amax, size(vec))
     struct(
       amax.as("amax"),
       when(amax === 0.0, transform(vec, _ => lit(0)))
-        .otherwise(transform(vec,
-          v => floor(v.cast("double") * 127.0 / amax + 0.5).cast("int")))
+        .otherwise(zip_with(vec, amaxes,
+          (v, m) => floor(v.cast("double") * 127.0 / m + 0.5).cast("int")))
         .as("codes"))
   }
 
