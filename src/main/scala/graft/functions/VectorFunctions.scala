@@ -79,8 +79,11 @@ object VectorFunctions {
     * path of the quantized column; reconstruction error ≤ amax/254 per lane.
     */
   def dequantizeInt8(quantized: Column): Column =
-    transform(quantized("codes"),
-      c => c.cast("double") * quantized("amax") / 127.0)
+    // same hoist as quantizeInt8: the scale reference leaves the per-lane
+    // lambda, so an unevaluated struct argument is not re-evaluated per lane
+    zip_with(quantized("codes"),
+      array_repeat(quantized("amax"), size(quantized("codes"))),
+      (c, m) => c.cast("double") * m / 127.0)
 
   /** Sign-hyperplane LSH bucket over the first `bits` dimensions: a cheap,
     * exact-arithmetic space partition. At 100 TB this is the partition key —
