@@ -133,7 +133,17 @@ object VectorFunctions {
               qidCol: String, qvecCol: String, k: Int, fanout: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && fanout >= 1)
-    val q = broadcast(queries.select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q")))
+    // norms hoist OUT of the pair loop: norm(q) is constant per query and
+    // norm(corpus row) constant per row, but inlined in the cosine they
+    // re-fold O(d) per PAIR (interpreted — no codegen CSE across
+    // higher-order functions). Projections on each join input evaluate
+    // them once per input row; the join between the projections stops
+    // CollapseProject from inlining them back. Same folds, same
+    // multiplication, same division — every sim double is bit-unchanged.
+    val q = broadcast(queries
+      .select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q"))
+      .withColumn("_graft_qn", norm(col("_graft_q"))))
+    val denom = col("_graft_an") * col("_graft_qn")
     // zero-norm vectors score NULL by the cosineSimilarity contract; a
     // NULL row must not occupy a neighbor rank (desc_nulls_last would
     // still row_number it when fewer than k real neighbors exist). A
@@ -142,11 +152,13 @@ object VectorFunctions {
     // neighbor: nanvl folds NaN into the same NULL path (the oracle's NOT
     // isnan) WITHOUT a second predicate — CollapseProject inlines the
     // filter into the scoring projection, so every extra predicate
-    // re-evaluates the O(d) cosine fold per row (a separate isnan test
+    // re-evaluates the O(d) dot fold per row (a separate isnan test
     // measured ~1.7x on the whole join at sf0.1)
-    val scored = corpus.crossJoin(q)
+    val scored = corpus.withColumn("_graft_an", norm(col(vecCol)))
+      .crossJoin(q)
       .withColumn("_graft_sim",
-        nanvl(cosineSimilarity(col(vecCol), col("_graft_q")), lit(null)))
+        nanvl(when(denom =!= 0.0, dot(col(vecCol), col("_graft_q")) / denom),
+          lit(null)))
       .filter(col("_graft_sim").isNotNull)
       .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
     val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))
