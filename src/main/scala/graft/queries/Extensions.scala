@@ -4036,6 +4036,80 @@ object Extensions {
         |    PARTITION BY vec_id ORDER BY score DESC, clabel) AS rk
         |  FROM scores)
         |SELECT label, clabel AS assigned, count(*) AS n
-        |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM top WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // X8g: BOOTSTRAP confidence interval by the POISSON bootstrap — the
+    // one-pass distributed bootstrap: classic resampling draws n rows per
+    // replicate (a shuffle per replicate, unusable at scale), while the
+    // Poisson approximation gives every row an independent Poisson(1)
+    // weight per replicate — here DETERMINISTIC, from two md5 hex digits
+    // of (doc_id, replicate) against the integer-exact inverse-CDF
+    // thresholds 0x5E/0xBC/0xEB/0xFB (P(w=0)=94/256 ≈ e⁻¹, …, discretized
+    // to 1/256 steps so both engines draw the IDENTICAL weight by string
+    // comparison of lowercase hex — no float RNG anywhere). One map-side
+    // 40-way explode + one hash agg: replicate sums are exact BIGINTs,
+    // each mean is one mirrored division, and the CI picks nearest-rank
+    // elements (5th/95th) of the 40 replicate means with replicate-id
+    // tie-breaks — the x_quantile_sample pick discipline, so no
+    // interpolation arithmetic can diverge.
+    ("x_bootstrap_ci",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = 40
+        val weighted = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars"),
+            posexplode(sequence(lit(0), lit(b - 1))).as(Seq("pos", "r")))
+          .withColumn("h2", substring(md5(concat(col("doc_id").cast("string"),
+            lit("_"), col("r").cast("string"))), 1, 2))
+          .withColumn("w",
+            when(col("h2") < "5e", lit(0L)).when(col("h2") < "bc", lit(1L))
+              .when(col("h2") < "eb", lit(2L)).when(col("h2") < "fb", lit(3L))
+              .otherwise(lit(4L)))
+        val reps = weighted.groupBy("r")
+          .agg(sum(col("w")).as("sw"), sum(col("w") * col("n_chars")).as("swx"))
+          .withColumn("mean_r", when(col("sw") > 0,
+            col("swx").cast("double") / col("sw").cast("double")))
+          .withColumn("rk", row_number().over(Window.orderBy(col("mean_r"), col("r"))))
+        val grand = Tables.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
+        grand.crossJoin(broadcast(
+            reps.agg(min(when(col("rk") === 2, col("mean_r"))).as("ci_lo"),
+              min(when(col("rk") === b - 2, col("mean_r"))).as("ci_hi"))))
+          .select(col("n_docs"),
+            (col("sx").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+            col("ci_lo"), col("ci_hi"), lit(b.toLong).as("n_replicates"))
+      },
+      """WITH weighted AS (
+        |  SELECT doc_id, n_chars, r,
+        |    CASE WHEN h2 < '5e' THEN 0 WHEN h2 < 'bc' THEN 1
+        |         WHEN h2 < 'eb' THEN 2 WHEN h2 < 'fb' THEN 3 ELSE 4 END AS w
+        |  FROM (
+        |    SELECT doc_id, n_chars, r,
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)),
+        |        1, 2) AS h2
+        |    FROM documents, (SELECT unnest(range(40)) AS r))),
+        |reps AS (
+        |  SELECT r, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * n_chars) AS BIGINT) AS swx
+        |  FROM weighted GROUP BY 1),
+        |means AS (
+        |  SELECT r,
+        |    CASE WHEN sw > 0 THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END
+        |      AS mean_r
+        |  FROM reps),
+        |ranked AS (
+        |  SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rk FROM means),
+        |ci AS (
+        |  SELECT min(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+        |    min(CASE WHEN rk = 38 THEN mean_r END) AS ci_hi
+        |  FROM ranked),
+        |grand AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sx
+        |  FROM documents)
+        |SELECT g.n_docs,
+        |  CAST(g.sx AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS mean_chars,
+        |  c.ci_lo, c.ci_hi, CAST(40 AS BIGINT) AS n_replicates
+        |FROM grand g, ci c""".stripMargin)
   )
 }

@@ -270,6 +270,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == rows.length.toLong)
   }
 
+  test("x_bootstrap_ci matches a brute-force Poisson bootstrap and brackets the mean") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def weight(id: Long, r: Int): Long = {
+      val h2 = md5hex(s"${id}_$r").substring(0, 2)
+      if (h2 < "5e") 0L else if (h2 < "bc") 1L else if (h2 < "eb") 2L
+      else if (h2 < "fb") 3L else 4L
+    }
+    val means = (0 until 40).map { r =>
+      val ws = rows.map { case (id, x) => (weight(id, r), x) }
+      val sw = ws.map(_._1).sum
+      (r, ws.map { case (w, x) => w * x }.sum.toDouble / sw.toDouble, sw)
+    }
+    val sorted = means.sortBy { case (r, m, _) => (m, r) }
+    val (expectLo, expectHi) = (sorted(1)._2, sorted(37)._2)
+    val grand = rows.map(_._2).sum.toDouble / rows.length
+    val got = Extensions.entries.find(_._1 == "x_bootstrap_ci").get._2(spark, d).head()
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(got.getDouble(1) == grand)
+    assert(got.getDouble(2) == expectLo && got.getDouble(3) == expectHi,
+      s"ci: got (${got.getDouble(2)}, ${got.getDouble(3)}) expected ($expectLo, $expectHi)")
+    // statistical sanity: the interval brackets the grand mean, and the
+    // Poisson(1) weights resample ~the corpus size per replicate
+    assert(got.getDouble(2) <= grand && grand <= got.getDouble(3))
+    means.foreach { case (_, _, sw) =>
+      assert(math.abs(sw.toDouble / rows.length - 1.0) < 0.2, s"weight mass $sw") }
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
