@@ -3920,17 +3920,27 @@ object Extensions {
         val thresholds = totals.withColumn("pfx",
           least(lit(256L), greatest(lit(1L),
             expr(s"(${256L * 4 * cap} + total - 1) div total"))))
+        // pinned once: the guard count and the windowed answer both read
+        // the survivor pool (without the pin the corpus-wide md5 + prefix
+        // filter would run twice)
         val survivors = docs0
           .withColumn("h", md5(col("doc_id").cast("string")))
           .join(broadcast(thresholds), "source")
           .filter(conv(substring(col("h"), 1, 2), 16, 10).cast("long") < col("pfx"))
+          .localCheckpoint()
         // loud guard (the sampledQuantiles discipline): hash fluctuation
         // could in principle under-fill a pool; refuse rather than
         // silently under-keep. Sources smaller than the target keep a
         // pfx of 256 and survive whole, so they can never trip it.
-        val short = survivors.groupBy("source").agg(count(lit(1)).as("sv"))
-          .join(thresholds, "source")
-          .filter(col("sv") < least(lit(cap.toLong), col("total"))).count()
+        // LEFT join from the thresholds side: a source whose pool came up
+        // EMPTY has no survivors row at all — aggregating from the
+        // survivors side would let exactly the worst under-fill pass the
+        // guard silently.
+        val short = thresholds.join(
+            survivors.groupBy("source").agg(count(lit(1)).as("sv")),
+            Seq("source"), "left")
+          .filter(coalesce(col("sv"), lit(0L)) <
+            least(lit(cap.toLong), col("total"))).count()
         require(short == 0L,
           s"domain-cap prefix pre-filter under-sampled $short source(s); raise the margin")
         survivors
@@ -3980,7 +3990,8 @@ object Extensions {
         import org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(s, d)
           .withColumn("codes", VF.quantizeInt8(col("embedding"))("codes"))
-          .localCheckpoint() // codes feed both the centroid agg and scoring
+          .select("vec_id", "label", "codes") // drop the floats BEFORE the
+          .localCheckpoint() // pin: codes feed the centroid agg AND scoring
         val cents = e.select(col("label"), posexplode(col("codes")).as(Seq("i", "c")))
           .groupBy("label", "i").agg(sum(col("c")).as("sl"))
           .collect().groupBy(_.getInt(0))

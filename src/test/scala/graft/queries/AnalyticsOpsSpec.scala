@@ -10,6 +10,10 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("x_cooccurrence matches brute-force windowed pair counting") {
     val rows = spark.read.parquet(s"$d/documents.parquet")
       .select("doc_id", "text").collect()
@@ -222,9 +226,6 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("x_domain_cap matches brute-force hash-order capping") {
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rows = spark.read.parquet(s"$d/documents.parquet")
       .select("doc_id", "source", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -271,9 +272,6 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("x_bootstrap_ci matches a brute-force Poisson bootstrap and brackets the mean") {
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rows = spark.read.parquet(s"$d/documents.parquet")
       .select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
