@@ -4121,6 +4121,58 @@ object Extensions {
         |SELECT g.n_docs,
         |  CAST(g.sx AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS mean_chars,
         |  c.ci_lo, c.ci_hi, CAST(40 AS BIGINT) AS n_replicates
-        |FROM grand g, ci c""".stripMargin)
+        |FROM grand g, ci c""".stripMargin),
+
+    // X4m: N-GRAM NOVELTY over crawl order — each document's fraction of
+    // 3-grams the corpus has never seen in any EARLIER document (by id):
+    // the diminishing-returns signal of continued crawling (novelty decay
+    // is the stop-crawling curve; x_boilerplate_ngrams measures the
+    // opposite tail — grams seen everywhere). A gram's first appearance
+    // is one min-aggregate over the exploded distinct-gram stream; the
+    // per-doc novelty is the probe join back on the gram key (the
+    // boilerplate-ngrams exchange shape — never a self-join). At 100 TB
+    // the first-seen table is vocabulary-sized and would persist as a
+    // durable Graft table between crawl batches, exactly like the
+    // incremental-dedup fingerprint state. Integer counts, one mirrored
+    // division per language.
+    ("x_ngram_novelty",
+      (s: SparkSession, d: String) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, "g")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), lit(1L))
+              .otherwise(lit(0L))).as("novel"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum(col("n_grams")).as("grams"),
+            sum(col("novel")).as("novel"))
+          .withColumn("novelty_rate",
+            col("novel").cast("double") / col("grams").cast("double"))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)) AS g
+        |  FROM toks),
+        |first AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per_doc AS (
+        |  SELECT doc_id, lang, count(*) AS n_grams,
+        |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel
+        |  FROM g JOIN first USING (g) GROUP BY 1, 2),
+        |per_lang AS (
+        |  SELECT lang, count(*) AS docs,
+        |    CAST(sum(n_grams) AS BIGINT) AS grams,
+        |    CAST(sum(novel) AS BIGINT) AS novel
+        |  FROM per_doc GROUP BY 1)
+        |SELECT lang, docs, grams, novel,
+        |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate
+        |FROM per_lang ORDER BY lang""".stripMargin)
   )
 }

@@ -300,6 +300,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(math.abs(sw.toDouble / rows.length - 1.0) < 0.2, s"weight mass $sw") }
   }
 
+  test("x_ngram_novelty matches brute-force first-seen accounting") {
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("").split("\\s+").filter(_.nonEmpty)))
+    def grams3(t: Array[String]): Set[String] =
+      (0 until math.max(0, t.length - 2))
+        .map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    val docGrams = rows.map(r => (r._1, r._2, grams3(r._3))).filter(_._3.nonEmpty)
+    val firstSeen = docGrams.flatMap(r => r._3.map(_ -> r._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = docGrams.groupBy(_._2).map { case (lang, ds) =>
+      val grams = ds.map(_._3.size.toLong).sum
+      val novel = ds.map(dg => dg._3.count(g => firstSeen(g) == dg._1).toLong).sum
+      (lang, ds.length.toLong, grams, novel, novel.toDouble / grams.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_ngram_novelty").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // every gram is novel exactly once: Σ novel = |distinct grams|
+    assert(got.map(_._4).sum == firstSeen.size.toLong)
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
