@@ -4173,6 +4173,70 @@ object Extensions {
         |  FROM per_doc GROUP BY 1)
         |SELECT lang, docs, grams, novel,
         |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate
-        |FROM per_lang ORDER BY lang""".stripMargin)
+        |FROM per_lang ORDER BY lang""".stripMargin),
+
+    // X10b: HITS (hubs & authorities) on the BIPARTITE purchase graph
+    // (customer → part): authority(part) = Σ hub(its buyers), hub(cust) =
+    // Σ authority(their parts) — "parts popular with influential buyers",
+    // the recommendation signal degree alone misses. Like x_pagerank,
+    // every step is EXACT integer arithmetic so the iteration is
+    // oracle-gateable: the float version's per-iteration L2 normalization
+    // can never hash-match across engines, so each iteration here
+    // re-scales by (v · S) div max(v) — max is an exact integer
+    // aggregate, floor division engine-identical, and the fixed point is
+    // scale-free so max-normalization is the CORRECT choice, not a
+    // compromise. 3 unrolled iterations; each is one edge join + hash
+    // agg + one scalar max (the only driver value), lineage cut per
+    // round. Edge list is linear in lineitem (a join, never a pair
+    // blow-up), distinct on (cust, part).
+    ("x_hits",
+      (s: SparkSession, d: String) => {
+        val S = 1000000L
+        val edges = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct().localCheckpoint()
+        var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
+        var auth: DataFrame = null
+        for (i <- 1 to 3) {
+          val aRaw = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
+            .localCheckpoint()
+          val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
+          auth = aRaw.select(col("p"), expr(s"(a * $S) div $aMax").as("a"))
+            .localCheckpoint()
+          if (i < 3) { // the final hub update would feed a 4th authority pass
+            val hRaw = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
+              .localCheckpoint()
+            val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
+            hub = hRaw.select(col("c"), expr(s"(h * $S) div $hMax").as("h"))
+              .localCheckpoint()
+          }
+        }
+        auth.orderBy(col("a").desc, col("p")).limit(10)
+          .select(col("p").as("part"), col("a").as("authority"))
+      },
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges),
+        |a1r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+        |        FROM edges e JOIN h0 h USING (c) GROUP BY 1),
+        |a1 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
+        |        FROM edges e JOIN a1 a USING (p) GROUP BY 1),
+        |h1 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+        |        FROM edges e JOIN h1 h USING (c) GROUP BY 1),
+        |a2 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
+        |        FROM edges e JOIN a2 a USING (p) GROUP BY 1),
+        |h2 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h2r) AS h FROM h2r),
+        |a3r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+        |        FROM edges e JOIN h2 h USING (c) GROUP BY 1),
+        |a3 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a3r) AS a FROM a3r)
+        |SELECT p AS part, a AS authority FROM a3
+        |ORDER BY a DESC, p LIMIT 10""".stripMargin)
   )
 }

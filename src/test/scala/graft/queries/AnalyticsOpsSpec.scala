@@ -324,6 +324,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum == firstSeen.size.toLong)
   }
 
+  test("x_hits matches a brute-force max-normalized integer iteration") {
+    val S = 1000000L
+    val orders = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (orders(r.getLong(0)), r.getLong(1))).distinct
+    var hub = edges.map(_._1).distinct.map(_ -> S).toMap
+    var auth = Map.empty[Long, Long]
+    for (i <- 1 to 3) {
+      val aRaw = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val aMax = aRaw.values.max
+      auth = aRaw.map { case (p, a) => p -> (a * S) / aMax }
+      if (i < 3) {
+        val hRaw = edges.groupBy(_._1).map { case (c, es) =>
+          c -> es.map(e => auth(e._2)).sum }
+        val hMax = hRaw.values.max
+        hub = hRaw.map { case (c, h) => c -> (h * S) / hMax }
+      }
+    }
+    val expect = auth.toSeq.sortBy { case (p, a) => (-a, p) }.take(10)
+    val got = Extensions.entries.find(_._1 == "x_hits").get._2(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // max-normalization pins the top authority at exactly S
+    assert(got.head._2 == S)
+  }
+
   test("x_cooccurrence pair generation plans ONE window over one exchange") {
     val df = Extensions.entries.find(_._1 == "x_cooccurrence").get._2(spark, d)
     val plan = df.queryExecution.executedPlan.toString
