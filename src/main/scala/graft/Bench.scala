@@ -96,38 +96,84 @@ object Bench {
     // would bias host_factor below 1), then take the best of three
     def controlProbe(): Double =
       { controlRun(); controlRun(); Seq(controlRun(), controlRun(), controlRun()).min }
-    val controlStart = controlProbe()
-    // Mid-run control series: start/end probes alone miss the host's
-    // INTERMITTENT stall windows (round-6's driver run had 2.6-42x
-    // per-query inflation that only an idle rerun exposed; a window can
-    // open and close entirely between the two probes). One cheap best-of-2
-    // probe every 12 queries (~0.1s each, warm JVM — no re-priming) makes
-    // the JSON self-diagnosing per-SEGMENT: queries are emitted in run
-    // order, so a spike in controls[k] localizes a stall to queries
-    // 12k..12k+11 and those numbers can be discounted without a rerun.
-    val controls = scala.collection.mutable.ArrayBuffer(controlStart)
-    def midProbe(): Double = Seq(controlRun(), controlRun()).min
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .toSeq // pin run order: zipWithIndex on a Map would re-hash to Map[(k,v),i]
-      .zipWithIndex
-      .map { case ((name, fn), i) =>
-        if (i > 0 && i % 12 == 0) controls += midProbe()
-        // drop the PREVIOUS query's leaked blocks before timing this one:
-        // every localCheckpoint/persist pins storage until the driver GCs
-        // its RDD reference, so 80+ queries in one JVM otherwise squeeze
-        // the unified pool and late queries degrade 3-4x (eviction churn +
-        // shuffle spills) — measured on the round-6 full run at -Xmx8g.
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        graft.queries.FixtureClock.reset()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (name, (System.nanoTime() - t0) / 1e9, graft.queries.FixtureClock.sec)
+    // One full measurement pass: times every query with the mid-run control
+    // series interleaved. A pass is self-contained (its own start/mid/end
+    // probes) so a retry's artifact has one coherent measurement context.
+    def measurePass(): (Seq[(String, Double, Double)], Vector[Double]) = {
+      val controlStart = controlProbe()
+      // Mid-run control series: start/end probes alone miss the host's
+      // INTERMITTENT stall windows (round-6's driver run had 2.6-42x
+      // per-query inflation that only an idle rerun exposed; a window can
+      // open and close entirely between the two probes). One cheap best-of-2
+      // probe every 12 queries (~0.1s each, warm JVM — no re-priming) makes
+      // the JSON self-diagnosing per-SEGMENT: queries are emitted in run
+      // order, so a spike in controls[k] localizes a stall to queries
+      // 12k..12k+11 and those numbers can be discounted without a rerun.
+      val controls = scala.collection.mutable.ArrayBuffer(controlStart)
+      def midProbe(): Double = Seq(controlRun(), controlRun()).min
+      val results = SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .toSeq // pin run order: zipWithIndex on a Map would re-hash to Map[(k,v),i]
+        .zipWithIndex
+        .map { case ((name, fn), i) =>
+          if (i > 0 && i % 12 == 0) controls += midProbe()
+          // drop the PREVIOUS query's leaked blocks before timing this one:
+          // every localCheckpoint/persist pins storage until the driver GCs
+          // its RDD reference, so 80+ queries in one JVM otherwise squeeze
+          // the unified pool and late queries degrade 3-4x (eviction churn +
+          // shuffle spills) — measured on the round-6 full run at -Xmx8g.
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          graft.queries.FixtureClock.reset()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (name, (System.nanoTime() - t0) / 1e9, graft.queries.FixtureClock.sec)
+        }
+      controls += controlProbe()
+      (results, controls.toVector)
+    }
+    def hostFactorOf(controls: Vector[Double]): (Double, Double) = {
+      val sorted = controls.sorted
+      val median = sorted(sorted.size / 2)
+      (if (median > 0) controls.max / median else 1.0, median)
+    }
+    def spikedSegments(controls: Vector[Double], median: Double): Set[Int] =
+      controls.zipWithIndex.collect {
+        case (c, j) if median > 0 && c > 1.8 * median && c - median > 0.15 => j
+      }.toSet
+    def suspectsOf(results: Seq[(String, Double, Double)],
+        spiked: Set[Int]): Seq[String] =
+      results.zipWithIndex.collect {
+        case ((name, _, _), i) if spiked.contains(i / 12) || spiked.contains(i / 12 + 1) => name
       }
+    // Self-policing (round-8 verdict #1): two consecutive rounds the
+    // RECORDED driver bench was a stalled-host capture (r7 hf 4.54, r8 hf
+    // 3.81) while every idle rerun was clean — the "rerun until clean"
+    // discipline must live in the binary, not in process. A polluted pass
+    // (host_factor > 1.8 or any stall suspect) is retried once in the
+    // already-warm JVM; if the retry is ALSO polluted the run prints its
+    // numbers but exits nonzero with an explicit verdict so the driver
+    // artifact can never silently record a stalled capture as clean.
+    val maxAttempts = 2
+    var attempt = 1
+    var (results, controls) = measurePass()
+    var (hostFactor, median) = hostFactorOf(controls)
+    var suspects = suspectsOf(results, spikedSegments(controls, median))
+    while ((hostFactor > 1.8 || suspects.nonEmpty) && attempt < maxAttempts) {
+      System.err.println(
+        s"bench attempt $attempt polluted (host_factor=$hostFactor, " +
+          s"${suspects.size} stall suspects) — retrying on warm JVM")
+      attempt += 1
+      val (r2, c2) = measurePass()
+      results = r2; controls = c2
+      val (h2, m2) = hostFactorOf(controls)
+      hostFactor = h2; median = m2
+      suspects = suspectsOf(results, spikedSegments(controls, median))
+    }
+    val polluted = hostFactor > 1.8 || suspects.nonEmpty
     // Values are rounded to 3 decimals to keep the one-line JSON short: the
     // round-3 driver captured only the tail of the output and a ~2.9 kB line
     // got truncated mid-JSON (BENCH_r03.json parsed:null). 66 queries at 3dp
@@ -145,35 +191,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val filter = only.map(s => s""","filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    val controlEnd = controlProbe()
-    controls += controlEnd
     // host_factor spans the whole series: max/median flags a stall ANYWHERE
     // in the run (end/start alone reads 1.0 when a mid-run window has closed
     // again by the final probe; median — not min — as the floor, so one
     // lucky-fast probe doesn't inflate the flag).
-    val sorted = controls.sorted
-    val median = sorted(sorted.size / 2)
-    val hostFactor = if (median > 0) controls.max / median else 1.0
-    val ctl = controls.map(fmt).mkString("[", ",", "]")
     // Stall localization: probe j bounds the segment of (up to) 12 queries
-    // run just before it, so a spiked probe (per the ratio+absolute rule
-    // below) marks every query in its adjacent segments as measured-under-
-    // stall.
-    // Readers should discount stall_suspects before calling a number a
-    // regression — this turns the round-6 "rerun on an idle host to
-    // adjudicate" procedure into a field in the JSON itself.
-    // A real stall window inflates the probe 2.6-42x (round-6 record); OS
-    // scheduler jitter on the ~0.3s kernel is a few % with occasional
-    // ~1.5x blips. Requiring BOTH a 1.8x ratio AND a 0.15s absolute
-    // excess keeps every observed genuine stall flagged while a clean
-    // run flags nothing (the 50M-row kernel + ratio-only rule marked 70
-    // of 113 queries suspect on the FASTEST run ever recorded).
-    val spiked = controls.zipWithIndex.collect {
-      case (c, j) if median > 0 && c > 1.8 * median && c - median > 0.15 => j
-    }.toSet
-    val suspects = results.zipWithIndex.collect {
-      case ((name, _, _), i) if spiked.contains(i / 12) || spiked.contains(i / 12 + 1) => name
-    }
+    // run just before it, so a spiked probe (1.8x ratio AND 0.15s absolute
+    // excess — a real stall inflates the probe 2.6-42x while OS jitter on
+    // the ~0.3s kernel is a few % with occasional ~1.5x blips; the 50M-row
+    // kernel + ratio-only rule marked 70 of 113 queries suspect on the
+    // FASTEST run ever recorded) marks every query in its adjacent
+    // segments as measured-under-stall.
+    val ctl = controls.map(fmt).mkString("[", ",", "]")
     // cap the list to protect the one-line-JSON tail budget, but never
     // silently: a "+N_more" marker tells readers (and bench_compare.py)
     // the suspect set is incomplete and unlisted flags may be noise too
@@ -181,15 +210,22 @@ object Bench {
       if (suspects.size <= 60) suspects
       else suspects.take(60) :+ s"+${suspects.size - 60}_more"
     val sus = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controlStart)},"control_end_sec":${fmt(controlEnd)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter}""")
+    val verdict =
+      if (polluted) s""","verdict":"polluted — rerun","attempts":$attempt"""
+      else s""","verdict":"clean","attempts":$attempt"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter$verdict}""")
     // A second, SHORT trailing line with only the headline numbers: the
     // round-3 and round-7 driver artifacts kept only the log TAIL, and the
     // full line above — which leads with the totals — got truncated
     // mid-"queries" to parsed:null. Whatever tail window survives now always
     // contains a complete parseable summary (total / n / host_factor /
-    // suspect count), so a round gate is never blind on the headline even
-    // when the per-query map is lost.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_factor":${fmt(hostFactor)},"n_stall_suspects":${suspects.size},"summary_of":"full JSON on previous line","sf":"$sfDir"$filter}""")
+    // suspect count / verdict), so a round gate is never blind on the
+    // headline even when the per-query map is lost.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_factor":${fmt(hostFactor)},"n_stall_suspects":${suspects.size},"summary_of":"full JSON on previous line","sf":"$sfDir"$filter$verdict}""")
     spark.stop()
+    // Exit nonzero AFTER printing (round-8 verdict #1): the driver still
+    // records the numbers, but a stalled capture can never again be
+    // mistaken for a clean artifact.
+    if (polluted) sys.exit(2)
   }
 }

@@ -130,7 +130,12 @@ object Extensions {
       termA: String, termB: String)
       : (graft.table.GraftScan, graft.table.GraftScan, DataFrame) = {
     val idx = t.toDF(s)
+    // doclen is referenced twice (the corpus-stats aggregate AND the join
+    // onto candidates); pin it once so the whole-index scan+aggregate runs
+    // a single time per query — the same pinning discipline as
+    // containmentNomination / triangleStats / pairJaccard.
     val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
     val (scA, a) = probeTerm(s, t, termA)
@@ -4081,7 +4086,12 @@ object Extensions {
           .agg(sum(col("w")).as("sw"), sum(col("w") * col("n_chars")).as("swx"))
           .withColumn("mean_r", when(col("sw") > 0,
             col("swx").cast("double") / col("sw").cast("double")))
-          .withColumn("rk", row_number().over(Window.orderBy(col("mean_r"), col("r"))))
+          // NULLS LAST to mirror DuckDB's ASC default (Spark defaults to
+          // NULLS FIRST): a zero-weight replicate (sw=0 → mean_r NULL,
+          // possible on a degenerate corpus) must occupy the same rank on
+          // both engines or the nearest-rank CI picks diverge.
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("mean_r").asc_nulls_last, col("r"))))
         val grand = Tables.documents(s, d)
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
         grand.crossJoin(broadcast(
@@ -4200,17 +4210,28 @@ object Extensions {
           .distinct().localCheckpoint()
         var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
         var auth: DataFrame = null
+        // The rescale product v·S can exceed BIGINT once a raw score tops
+        // ~9.2e12 (≈9M buyers each at hub=S) — and DuckDB's sum() widens
+        // to HUGEINT while Spark's stays long, so the engines would
+        // diverge exactly at the overflow boundary. Both sides therefore
+        // widen the product explicitly (DECIMAL(38) here, HUGEINT in the
+        // oracle); the quotient is ≤ S by construction (v ≤ max(v)), so
+        // the result always fits back in BIGINT. The raw SUM itself is
+        // bounded by degree·S ≤ 9.2e18 up to ~9.2e12 edges per node —
+        // beyond any real bipartite purchase graph.
         for (i <- 1 to 3) {
           val aRaw = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
             .localCheckpoint()
           val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
-          auth = aRaw.select(col("p"), expr(s"(a * $S) div $aMax").as("a"))
+          auth = aRaw.select(col("p"),
+              expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
             .localCheckpoint()
           if (i < 3) { // the final hub update would feed a 4th authority pass
             val hRaw = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
               .localCheckpoint()
             val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
-            hub = hRaw.select(col("c"), expr(s"(h * $S) div $hMax").as("h"))
+            hub = hRaw.select(col("c"),
+                expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h"))
               .localCheckpoint()
           }
         }
@@ -4223,19 +4244,24 @@ object Extensions {
         |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges),
         |a1r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
         |        FROM edges e JOIN h0 h USING (c) GROUP BY 1),
-        |a1 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a1r) AS a FROM a1r),
+        |a1 AS (SELECT p, CAST((CAST(a AS HUGEINT) * 1000000)
+        |         // (SELECT max(a) FROM a1r) AS BIGINT) AS a FROM a1r),
         |h1r AS (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
         |        FROM edges e JOIN a1 a USING (p) GROUP BY 1),
-        |h1 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h1r) AS h FROM h1r),
+        |h1 AS (SELECT c, CAST((CAST(h AS HUGEINT) * 1000000)
+        |         // (SELECT max(h) FROM h1r) AS BIGINT) AS h FROM h1r),
         |a2r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
         |        FROM edges e JOIN h1 h USING (c) GROUP BY 1),
-        |a2 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a2r) AS a FROM a2r),
+        |a2 AS (SELECT p, CAST((CAST(a AS HUGEINT) * 1000000)
+        |         // (SELECT max(a) FROM a2r) AS BIGINT) AS a FROM a2r),
         |h2r AS (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
         |        FROM edges e JOIN a2 a USING (p) GROUP BY 1),
-        |h2 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h2r) AS h FROM h2r),
+        |h2 AS (SELECT c, CAST((CAST(h AS HUGEINT) * 1000000)
+        |         // (SELECT max(h) FROM h2r) AS BIGINT) AS h FROM h2r),
         |a3r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
         |        FROM edges e JOIN h2 h USING (c) GROUP BY 1),
-        |a3 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a3r) AS a FROM a3r)
+        |a3 AS (SELECT p, CAST((CAST(a AS HUGEINT) * 1000000)
+        |         // (SELECT max(a) FROM a3r) AS BIGINT) AS a FROM a3r)
         |SELECT p AS part, a AS authority FROM a3
         |ORDER BY a DESC, p LIMIT 10""".stripMargin)
   )
