@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * channel count without pixel decode. AUDIO container decode is REAL for
   * WAV/AIFF/AU: [[decodeAudio]] parses headers through the JDK's
   * `javax.sound.sampled` ([[AudioCodec]]) — sample rate / channels / bit
-  * depth / frame count without sample decode. Codecs the JDK does not ship
-  * (mp3/ogg, all VIDEO) stay behind [[stubDecode]], a deterministic fake
+  * depth / frame count without sample decode. MP3 and MP4 header decode is
+  * REAL too — [[decodeMp3]]/[[decodeMp4]] parse the public-spec byte
+  * layouts directly ([[MediaHeaders]]), no codec required. Only operations
+  * that genuinely need an absent codec (mp3/ogg SAMPLE decode, mp4/webm
+  * FRAME decode) stay behind [[stubDecode]], a deterministic fake
   * with the real pipeline shape: same schema contract, same per-row batch
   * transform position a codec would occupy. Swapping one in means replacing ONE
   * Column expression; every upstream/downstream stage — blob storage in
@@ -36,12 +39,37 @@ object Multimodal {
 
   /** REAL audio-header decode: binary -> struct(format, sample_rate,
     * channels, bits, frames), null when no JDK reader claims the bytes
-    * (mp3/ogg route to [[stubDecode]] or an external codec). Header-only —
-    * format-chunk parse, no sample decode; stays in whole-stage codegen.
+    * (mp3 routes to [[decodeMp3]]; ogg to [[stubDecode]] or an external
+    * codec). Header-only — format-chunk parse, no sample decode; stays in
+    * whole-stage codegen.
     */
   def decodeAudio(blob: Column): Column = {
     import org.apache.spark.sql.GraftSqlShim
     GraftSqlShim.column(DecodeAudioHeader(GraftSqlShim.expression(blob)))
+  }
+
+  /** REAL mp3 header decode — pure byte parsing, no codec needed: binary ->
+    * struct(version, layer, bitrate_kbps, sample_rate, channels,
+    * frame_bytes) from the MPEG frame-header bitfields (after any leading
+    * ID3v2 tag), null for bytes with no valid frame header
+    * ([[MediaHeaders.decodeMp3Row]]). Sample DECODE of mp3 still requires
+    * a codec the JDK lacks — that step alone stays on [[stubDecode]].
+    */
+  def decodeMp3(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(DecodeMp3Header(GraftSqlShim.expression(blob)))
+  }
+
+  /** REAL mp4 header decode — pure byte parsing, no codec needed: binary ->
+    * struct(brand, timescale, duration, width, height, n_tracks) from the
+    * ftyp / moov / mvhd / trak / tkhd box walk, null for bytes that are
+    * not an MP4 box tree ([[MediaHeaders.decodeMp4Row]]). Frame DECODE of
+    * mp4/webm still requires a codec the JDK lacks — that step alone stays
+    * on [[stubDecode]]/[[stubFrameSample]].
+    */
+  def decodeMp4(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(DecodeMp4Header(GraftSqlShim.expression(blob)))
   }
 
   /** REAL feature extraction: FULL pixel decode -> per-channel integer
@@ -148,6 +176,9 @@ object Multimodal {
       .when(pfx(4) === lit("RIFF".getBytes("UTF-8")), "riff")
       .when(pfx(4) === lit("%PDF".getBytes("UTF-8")), "pdf")
       .when(pfx(3) === lit("ID3".getBytes("UTF-8")), "mp3")
+      // MP4's magic is positional, not a prefix: the first box's type at
+      // bytes 5-8 (after its 4-byte size). Routed blobs land on decodeMp4.
+      .when(substring(blob, 5, 4) === lit("ftyp".getBytes("UTF-8")), "mp4")
       .otherwise("unknown")
   }
 }

@@ -1710,6 +1710,7 @@ object Extensions {
         |    WHEN starts_with(hex(blob), '52494646') THEN 'riff'
         |    WHEN starts_with(hex(blob), '25504446') THEN 'pdf'
         |    WHEN starts_with(hex(blob), '494433') THEN 'mp3'
+        |    WHEN substr(hex(blob), 9, 8) = '66747970' THEN 'mp4'
         |    ELSE 'unknown' END AS fmt, blob
         |  FROM b)
         |SELECT fmt, count(*) AS n,
@@ -1935,6 +1936,150 @@ object Extensions {
         |UNION ALL
         |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
         |ORDER BY 1""".stripMargin),
+
+    // X5h: REAL mp3 header decode — the JDK ships no MPEG codec, but none
+    // is needed for metadata: the frame header is 4 bytes of public-spec
+    // bitfields (version / layer / bitrate index / sample-rate index /
+    // channel mode), parsed by pure integer arithmetic
+    // ([[graft.operators.MediaHeaders.decodeMp3Row]]), after skipping any
+    // leading ID3v2 tag via its syncsafe length. 42 hand-assembled frames
+    // sweep both version axes, all three layers, the full bitrate-index
+    // range and every channel mode (every 5th blob behind an ID3 tag);
+    // 8 undecodable byte strings (bad sync, free/bad bitrate index,
+    // truncated ID3, empty) must all yield NULL — strict single-position
+    // sync is what makes NULL a meaningful signal. DuckDB recomputes every
+    // field from the same public tables in closed form: the fixture
+    // parameters ARE the expected answer, so the oracle needs no codec
+    // either. Map-side metadata sniff; per-blob cost is 4 bytes read.
+    ("x_multimodal_mp3",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{MediaHeaders, Multimodal}
+        val rows = (0 until 42).map { i =>
+          val vb = Seq(3, 2, 0)(i % 3)
+          val lb = Seq(1, 1, 2, 3)(i % 4)
+          val id3 = if (i % 5 == 0) 17 + i else -1
+          (i.toLong, MediaHeaders.encodeMp3(vb, lb, 1 + (i % 14), (i / 3) % 3,
+            i % 4, i % 2, id3))
+        } ++ Seq[(Long, Array[Byte])](
+          (42L, "not-mp3-42".getBytes("UTF-8")),
+          (43L, "not-mp3-43".getBytes("UTF-8")),
+          (44L, "not-mp3-44".getBytes("UTF-8")),
+          (45L, Array(0xFF.toByte, 0x00.toByte, 0x00.toByte, 0x00.toByte)),
+          (46L, MediaHeaders.encodeMp3(3, 1, 0, 0, 0, 0, -1)), // free bitrate
+          (47L, MediaHeaders.encodeMp3(3, 1, 15, 0, 0, 0, -1)), // bad bitrate
+          (48L, "ID3".getBytes("UTF-8") ++ Array[Byte](4, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F)),
+          (49L, Array.empty[Byte]))
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.mp3_clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeMp3(col("blob")))
+          .select(col("clip_id"), col("dec.version").as("version"),
+            col("dec.layer").as("layer"),
+            col("dec.bitrate_kbps").as("bitrate_kbps"),
+            col("dec.sample_rate").as("sample_rate"),
+            col("dec.channels").as("channels"),
+            col("dec.frame_bytes").as("frame_bytes"))
+          .orderBy("clip_id")
+      },
+      // the public MPEG tables, re-stated as DuckDB lists; frame length is
+      // slot arithmetic (Layer I counts 4-byte slots; Layer III halves the
+      // coefficient for MPEG2/2.5)
+      """WITH p AS (
+        |  SELECT i, [3, 2, 0][CAST(i % 3 AS INTEGER) + 1] AS vb,
+        |    [1, 1, 2, 3][CAST(i % 4 AS INTEGER) + 1] AS lb,
+        |    1 + CAST(i % 14 AS INTEGER) AS br,
+        |    CAST((i // 3) % 3 AS INTEGER) AS sr,
+        |    CAST(i % 4 AS INTEGER) AS cm, CAST(i % 2 AS INTEGER) AS pad
+        |  FROM range(42) t(i)),
+        |d AS (
+        |  SELECT i, vb, 4 - lb AS layer, pad,
+        |    CASE vb WHEN 3 THEN 'mpeg1' WHEN 2 THEN 'mpeg2'
+        |      ELSE 'mpeg2.5' END AS version,
+        |    CASE WHEN vb = 3 AND lb = 3 THEN
+        |        [32,64,96,128,160,192,224,256,288,320,352,384,416,448][br]
+        |      WHEN vb = 3 AND lb = 2 THEN
+        |        [32,48,56,64,80,96,112,128,160,192,224,256,320,384][br]
+        |      WHEN vb = 3 THEN
+        |        [32,40,48,56,64,80,96,112,128,160,192,224,256,320][br]
+        |      WHEN lb = 3 THEN
+        |        [32,48,56,64,80,96,112,128,144,160,176,192,224,256][br]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][br]
+        |    END AS kbps,
+        |    CASE vb WHEN 3 THEN [44100,48000,32000][sr + 1]
+        |      WHEN 2 THEN [22050,24000,16000][sr + 1]
+        |      ELSE [11025,12000,8000][sr + 1] END AS rate,
+        |    CASE WHEN cm = 3 THEN 1 ELSE 2 END AS chans
+        |  FROM p)
+        |SELECT i AS clip_id, version, CAST(layer AS INTEGER) AS layer,
+        |  CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(chans AS INTEGER) AS channels,
+        |  CAST(CASE WHEN layer = 1 THEN (12 * kbps * 1000 // rate + pad) * 4
+        |    WHEN layer = 2 THEN 144 * kbps * 1000 // rate + pad
+        |    ELSE (CASE WHEN vb = 3 THEN 144 ELSE 72 END) * kbps * 1000 // rate + pad
+        |  END AS INTEGER) AS frame_bytes
+        |FROM d
+        |UNION ALL
+        |SELECT 42 + u, NULL, NULL, NULL, NULL, NULL, NULL FROM range(8) t(u)
+        |ORDER BY clip_id""".stripMargin),
+
+    // X5i: REAL mp4 header decode — again no codec needed for metadata:
+    // an MP4 file is a tree of length-prefixed boxes, walked by pure byte
+    // arithmetic ([[graft.operators.MediaHeaders.decodeMp4Row]]): ftyp's
+    // major brand, moov/mvhd's timescale + duration, the first video-sized
+    // trak/tkhd's 16.16 fixed-point dimensions, and the track count.
+    // 24 hand-assembled files sweep brands, timescales, durations and
+    // track layouts (none / one video / audio+video, where the 0x0 audio
+    // track must be skipped for dimensions); 6 undecodable byte strings
+    // (text, ftyp-only with no moov, a box whose size overruns the blob)
+    // must yield NULL. Oracle is closed-form from the constructor
+    // arguments — the box walk's answer IS the fixture's parameters.
+    ("x_multimodal_mp4",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{MediaHeaders, Multimodal}
+        val rows = (0 until 24).map { i =>
+          val brand = Seq("isom", "mp42", "avc1", "dash")(i % 4)
+          val tracks = (i % 3) match {
+            case 0 => Seq.empty[(Int, Int)]
+            case 1 => Seq((320 + i, 240 + i))
+            case _ => Seq((0, 0), (640 + i, 360 + i)) // audio track first
+          }
+          (i.toLong, MediaHeaders.encodeMp4(brand, 600 + 100L * i, 1200 + 750L * i, tracks))
+        } ++ Seq[(Long, Array[Byte])](
+          (24L, "definitely not an mp4 container".getBytes("UTF-8")),
+          (25L, MediaHeaders.encodeMp4("isom", 600, 1200, Nil).take(20)), // ftyp only, no moov
+          (26L, Array[Byte](0, 0, 0, 64) ++ "ftyp".getBytes("UTF-8")), // size overruns blob
+          (27L, Array[Byte](0, 0, 0, 2) ++ "ftyp".getBytes("UTF-8")), // size < header
+          (28L, Array.empty[Byte]),
+          (29L, "x".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.mp4_clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeMp4(col("blob")))
+          .select(col("vid_id"), col("dec.brand").as("brand"),
+            col("dec.timescale").as("timescale"),
+            col("dec.duration").as("duration"),
+            expr("(dec.duration * 1000) div dec.timescale").as("duration_ms"),
+            col("dec.width").as("width"), col("dec.height").as("height"),
+            col("dec.n_tracks").as("n_tracks"))
+          .orderBy("vid_id")
+      },
+      """WITH p AS (
+        |  SELECT i, ['isom', 'mp42', 'avc1', 'dash'][CAST(i % 4 AS INTEGER) + 1] AS brand,
+        |    600 + 100 * i AS ts, 1200 + 750 * i AS dur, CAST(i % 3 AS INTEGER) AS m
+        |  FROM range(24) t(i))
+        |SELECT i AS vid_id, brand, CAST(ts AS BIGINT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration,
+        |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(CASE m WHEN 1 THEN 320 + i WHEN 2 THEN 640 + i END AS INTEGER) AS width,
+        |  CAST(CASE m WHEN 1 THEN 240 + i WHEN 2 THEN 360 + i END AS INTEGER) AS height,
+        |  CAST(m AS INTEGER) AS n_tracks
+        |FROM p
+        |UNION ALL
+        |SELECT 24 + u, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM range(6) t(u)
+        |ORDER BY vid_id""".stripMargin),
 
     // X4f: PII SCRUB — the redaction pass every training-data pipeline runs
     // before release: emails / phone-shaped numbers / IPv4 literals found by
