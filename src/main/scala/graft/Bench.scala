@@ -36,7 +36,7 @@ object Bench {
     // whichever query ran first). One tiny end-to-end table takes it out of
     // every measured number.
     locally {
-      val wh = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+      val wh = graft.queries.TableOps.newTempDir("graft-bench-warm")
       val cat = new graft.catalog.GraftCatalog(wh)
       import org.apache.spark.sql.functions.{col, expr}
       val df = spark.range(0, 2000)
@@ -56,7 +56,7 @@ object Bench {
     // file-source stream through a watermarked stateful op takes it out.
     locally {
       import org.apache.spark.sql.functions.{col, expr}
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-swarm").toString
+      val dir = graft.queries.TableOps.newTempDir("graft-bench-swarm")
       spark.range(0, 100)
         .select(col("id"), expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("ts"))
         .write.mode("overwrite").parquet(dir)
@@ -127,6 +127,12 @@ object Bench {
           // shuffle spills) — measured on the round-6 full run at -Xmx8g.
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          // reclaim the PREVIOUS query's temp warehouses before timing this
+          // one: a retry pass re-builds every fixture, and without the
+          // reclaim the run leaked one warehouse per table-building query
+          // per pass — doubling disk on exactly the stressed hosts that
+          // trigger retries (ADVICE r9)
+          graft.queries.TableOps.reclaimTempDirs()
           graft.queries.FixtureClock.reset()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -138,7 +144,12 @@ object Bench {
     def hostFactorOf(controls: Vector[Double]): (Double, Double) = {
       val sorted = controls.sorted
       val median = sorted(sorted.size / 2)
-      (if (median > 0) controls.max / median else 1.0, median)
+      // a small SPARK_GRAFT_QUERIES subset sees only 2-3 probes, where
+      // median(2)==max and host_factor would read 1.0 even if one probe
+      // stalled badly — base the ratio on the FASTEST probe there so the
+      // pollution gate still fires on filtered runs (ADVICE r9)
+      val base = if (controls.size < 4) sorted.head else median
+      (if (base > 0) controls.max / base else 1.0, base)
     }
     def spikedSegments(controls: Vector[Double], median: Double): Set[Int] =
       controls.zipWithIndex.collect {
@@ -213,7 +224,16 @@ object Bench {
     val verdict =
       if (polluted) s""","verdict":"polluted — rerun","attempts":$attempt"""
       else s""","verdict":"clean","attempts":$attempt"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter$verdict}""")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter$verdict}"""
+    println(fullJson)
+    // Persist the full line to a FILE as well (round-9 verdict #6): the
+    // driver's log-tail capture truncates the ~165-query map (BENCH_r09
+    // parsed:null kept only ~60 per-query times), so cross-round per-query
+    // regression checks were lossy. The file is authoritative; the stdout
+    // lines remain for the driver's artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     // A second, SHORT trailing line with only the headline numbers: the
     // round-3 and round-7 driver artifacts kept only the log TAIL, and the
     // full line above — which leads with the totals — got truncated

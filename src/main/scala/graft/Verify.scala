@@ -25,6 +25,8 @@ object Verify {
       // Bench: 80+ queries in one JVM otherwise degrade the storage pool)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // and delete its temp warehouses — a full dump builds ~80 fixtures
+      graft.queries.TableOps.reclaimTempDirs()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -227,12 +227,17 @@ object MediaHeaders {
             nTracks += 1
             if (!walk(payload, payloadEnd, depth + 1, "trak")) return false
           case ("trak", "tkhd") =>
-            val v = bytes(payload) & 0xFF
-            val dimOff = if (v == 1) 88 else 76 // offset of width within payload
-            if (payloadEnd - payload >= dimOff + 8) {
-              val w = (be32(bytes, payload + dimOff) >> 16).toInt
-              val h = (be32(bytes, payload + dimOff + 4) >> 16).toInt
-              if (width < 0 && (w > 0 || h > 0)) { width = w; height = h }
+            // guard the version byte itself: an empty-payload tkhd must not
+            // read past its box (mid-tree it would read the NEXT box's first
+            // byte as the version; as the last box it would throw)
+            if (payloadEnd - payload >= 1) {
+              val v = bytes(payload) & 0xFF
+              val dimOff = if (v == 1) 88 else 76 // offset of width within payload
+              if (payloadEnd - payload >= dimOff + 8) {
+                val w = (be32(bytes, payload + dimOff) >> 16).toInt
+                val h = (be32(bytes, payload + dimOff + 4) >> 16).toInt
+                if (width < 0 && (w > 0 || h > 0)) { width = w; height = h }
+              }
             }
           case _ => // unknown box: skip (forward compatibility is the format's design)
         }
@@ -258,6 +263,13 @@ object MediaHeaders {
   def encodeMp4(brand: String, timescale: Long, duration: Long,
                 tracks: Seq[(Int, Int)]): Array[Byte] = {
     require(brand.length == 4, "brand is 4 chars")
+    // mvhd is emitted as v0 and tkhd duration via w32: values past 2^32
+    // would silently truncate and break the decode(encode(x)) == x fixture
+    // invariant — refuse loudly instead
+    require(timescale >= 0 && timescale <= 0xFFFFFFFFL,
+      s"timescale $timescale does not fit mvhd v0's 32 bits")
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"duration $duration does not fit mvhd v0's 32 bits")
     val out = new ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)

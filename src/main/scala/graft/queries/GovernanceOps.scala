@@ -196,7 +196,7 @@ object GovernanceOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val cat = newCatalog()
-        val vol = java.nio.file.Files.createTempDirectory("graft-vol").toString
+        val vol = graft.queries.TableOps.newTempDir("graft-vol")
         cat.createExternalVolume("lake", vol)
         val t = FixtureClock.timed {
           val t0 = cat.createTable("db.ev_vol", df.schema,

@@ -24,7 +24,7 @@ object MaintenanceOps {
     * invocation instead. Shared with [[GovernanceOps]].
     */
   private[queries] lazy val sqlWarehouse =
-    java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
+    TableOps.newTempDir("graft-sqlwh")
 
   /** Register the shared graft_sql DSv2 catalog on this session. ONE home
     * for the (class, warehouse) pair: the former seven copy-pasted blocks
@@ -586,7 +586,7 @@ object MaintenanceOps {
     ("g_stream_window",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val stage = java.nio.file.Files.createTempDirectory("graft-sw").toString
+        val stage = TableOps.newTempDir("graft-sw")
         df.repartition(4).write.mode("overwrite").parquet(stage)
         val cat = newCatalog()
         val t = cat.createTable("db.ev_win", new org.apache.spark.sql.types.StructType()
@@ -634,7 +634,7 @@ object MaintenanceOps {
     ("g_stream_join",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val stage = Files.createTempDirectory("graft-sj").toString
+        val stage = graft.queries.TableOps.newTempDir("graft-sj")
         df.repartition(4).write.mode("overwrite").parquet(stage)
         val cat = newCatalog()
         val t = cat.createTable("db.ev_pairs", new StructType()

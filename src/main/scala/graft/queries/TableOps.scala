@@ -22,9 +22,45 @@ object TableOps {
 
   private[queries] val Split = LocalDateTime.of(2024, 1, 15, 0, 0) // mid-range of events.ts
 
+  /** Every temp warehouse/stage a query creates, so a long-lived driver
+    * (Bench's retry pass in particular — ADVICE r9: a polluted-pass retry
+    * re-runs every table-building query and used to DOUBLE the leaked disk
+    * on exactly the stressed hosts that trigger retries) can reclaim them
+    * between queries instead of leaking one directory per fixture build.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private[graft] def newTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
+  /** Recursively delete every registered temp dir. Safe only once the
+    * DataFrames built over them are fully consumed (Bench/Verify call this
+    * AFTER the query's action completes).
+    */
+  private[graft] def reclaimTempDirs(): Int = {
+    var n = 0
+    var p = tempDirs.poll()
+    while (p != null) {
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+        n += 1
+      } catch { case _: java.io.IOException => () } // best-effort reclaim
+      p = tempDirs.poll()
+    }
+    n
+  }
+
   private[queries] def newCatalog(): GraftCatalog = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
-    new GraftCatalog(wh)
+    new GraftCatalog(newTempDir("graft-wh"))
   }
 
   /** events table partitioned with hidden partitioning day(ts) + identity
@@ -394,7 +430,7 @@ object TableOps {
     ("g_stream_ingest",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        val stage = TableOps.newTempDir("graft-stream")
         df.repartition(4).write.mode("overwrite").parquet(stage)
         val cat = newCatalog()
         val t = cat.createTable("db.events_stream", df.schema)
@@ -415,7 +451,7 @@ object TableOps {
     ("g_stream_dedup",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val stage = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+        val stage = TableOps.newTempDir("graft-sdedup")
         df.repartition(3).write.mode("overwrite").parquet(stage)
         df.repartition(2).write.mode("append").parquet(stage) // second full copy
         val cat = newCatalog()
@@ -440,7 +476,7 @@ object TableOps {
     ("g_stream_dedup_watermark",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val stage = java.nio.file.Files.createTempDirectory("graft-sdedupwm").toString
+        val stage = TableOps.newTempDir("graft-sdedupwm")
         df.repartition(3).write.mode("overwrite").parquet(stage)
         df.repartition(2).write.mode("append").parquet(stage) // second full copy
         val cat = newCatalog()

@@ -135,6 +135,34 @@ class MediaHeadersSpec extends SparkSpec {
     bad.foreach(b => assert(MediaHeaders.decodeMp4Row(b) == null))
   }
 
+  test("mp4: empty-payload tkhd never reads past its box") {
+    // ADVICE r9: bytes(payload) used to read the NEXT box's first byte (or
+    // throw on the last box) when a tkhd carried no payload at all.
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (24 to 0 by -8).foreach(s => out.write(((v >> s) & 0xFF).toInt))
+    def wt(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    w32(20); wt("ftyp"); wt("isom"); w32(0); wt("isom")
+    val mvhd = 8 + 4 + 8 + 4 + 4 // header + ver/flags + times + timescale + duration (v0)
+    val trakLast = 8 + 8 // trak wrapping a header-only tkhd as the LAST box
+    w32(8L + mvhd + trakLast); wt("moov")
+    w32(mvhd); wt("mvhd"); w32(0); w32(0); w32(0); w32(600); w32(1200)
+    w32(trakLast); wt("trak"); w32(8); wt("tkhd") // empty tkhd payload
+    val row = MediaHeaders.decodeMp4Row(out.toByteArray)
+    // the tree is otherwise valid: decode must survive, count the track,
+    // and report no dimensions — not throw or read a phantom version byte
+    assert(row != null && row.getLong(1) == 600L && row.getInt(5) == 1)
+    assert(row.isNullAt(3) && row.isNullAt(4))
+  }
+
+  test("mp4: encodeMp4 refuses values that overflow mvhd v0's 32 bits") {
+    intercept[IllegalArgumentException](
+      MediaHeaders.encodeMp4("isom", 1L << 32, 100L, Nil))
+    intercept[IllegalArgumentException](
+      MediaHeaders.encodeMp4("isom", 600L, 1L << 32, Nil))
+    intercept[IllegalArgumentException](
+      MediaHeaders.encodeMp4("isom", -1L, 100L, Nil))
+  }
+
   test("decodeMp3/decodeMp4 stay in whole-stage codegen (no UDF in the plan)") {
     val df = spark.createDataFrame(Seq(
       (1L, MediaHeaders.encodeMp3(3, 1, 9, 0, 3, 0, -1)),
