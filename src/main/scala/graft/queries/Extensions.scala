@@ -210,6 +210,76 @@ object Extensions {
     a.join(b, Seq("k")).filter(col("u") < col("v")).select("u", "v").distinct()
   }
 
+  /** Exact fixed-point PageRank over a SYMMETRIZED edge list (u, v) — the
+    * x_pagerank iteration body, shared with the ScaleSmoke iterative-rank
+    * contract so the smoke certifies shipped code. Mass starts at S/N
+    * (S = 10^12), each node ships p div outdeg along its edges, damped
+    * update base + (85·Σ) div 100 — every step exact BIGINT floor
+    * arithmetic, engine-identical (see the x_pagerank gate comment for why
+    * float PageRank can never be oracle-gated). The loop-invariant
+    * edges ⋈ outdeg join is HOISTED (r9 verdict #5): outdeg never changes
+    * across iterations, so it pins onto the edge list ONCE and each round
+    * is a single edge-sized join + one hash aggregate (the previous shape
+    * paid two edge-sized joins per round), lineage cut per round.
+    * @return (node, p) — unordered; callers rank by (p desc, node)
+    */
+  private[graft] def pagerankScores(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nN = outdeg.count()
+    // a degenerate corpus (no order with 2+ distinct parts survives the
+    // sample) has no graph: return the empty ranking rather than
+    // dividing the mass by zero
+    if (nN == 0) return outdeg.select(col("u").as("node"), lit(0L).as("p"))
+    val p0 = 1000000000000L / nN
+    val base = (15L * p0) / 100L
+    val edgesW = edges.join(outdeg, "u").localCheckpoint()
+    var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
+    for (_ <- 1 to iters) {
+      p = edgesW
+        .join(p.select(col("node").as("u"), col("p")), "u")
+        .select(col("v").as("node"), expr("p div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
+        .localCheckpoint()
+    }
+    p
+  }
+
+  /** Exact fixed-point HITS authorities over a BIPARTITE edge list (c, p)
+    * — the x_hits iteration body, shared with the ScaleSmoke iterative-rank
+    * contract. Each iteration rescales by (v · S) div max(v) through
+    * DECIMAL(38) (see the x_hits gate comment for the overflow-boundary
+    * argument); max is the only driver value per half-round. Edges are
+    * pinned once; each half-round is one edge join + hash agg + scalar max.
+    * @return (p, a) final-iteration authorities — unordered
+    */
+  private[graft] def hitsAuthorities(edgesIn: DataFrame, iters: Int = 3,
+      S: Long = 1000000L): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
+        .localCheckpoint()
+      val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
+      auth = aRaw.select(col("p"),
+          expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
+        .localCheckpoint()
+      if (i < iters) { // the final hub update would feed an unused pass
+        val hRaw = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
+          .localCheckpoint()
+        val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
+        hub = hRaw.select(col("c"),
+            expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h"))
+          .localCheckpoint()
+      }
+    }
+    auth
+  }
+
   private[graft] def triangleStats(s: SparkSession, items: DataFrame): DataFrame = {
     val edges = basketEdges(items).localCheckpoint()
     val deg = edges.select(col("u").as("node"))
@@ -3602,30 +3672,7 @@ object Extensions {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val und = basketEdges(items)
         val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint()
-        val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
-          .localCheckpoint()
-        val nN = outdeg.count()
-        // a degenerate corpus (no order with 2+ distinct parts survives the
-        // sample) has no graph: return the empty ranking rather than
-        // dividing the mass by zero
-        if (nN == 0) outdeg.select(col("u").as("node"), lit(0L).as("p"))
-        else {
-        val p0 = 1000000000000L / nN
-        val base = (15L * p0) / 100L
-        var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
-        for (_ <- 1 to 5) {
-          p = edges
-            .join(outdeg, "u")
-            .join(p.select(col("node").as("u"), col("p")), "u")
-            .select(col("v").as("node"), expr("p div outdeg").as("c"))
-            .groupBy("node").agg(sum(col("c")).as("in_sum"))
-            .select(col("node"),
-              (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
-            .localCheckpoint()
-        }
-        p.orderBy(col("p").desc, col("node")).limit(10)
-        }
+        pagerankScores(edges).orderBy(col("p").desc, col("node")).limit(10)
       },
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4344,43 +4391,312 @@ object Extensions {
     // agg + one scalar max (the only driver value), lineage cut per
     // round. Edge list is linear in lineitem (a join, never a pair
     // blow-up), distinct on (cust, part).
+    // X1c: STATE-TABLE COMPACTION composes with incremental dedup — the
+    // maintenance event a real 100 TB ingest hits daily that no other gate
+    // proved: the persisted fingerprint state grows by small appends
+    // forever, so at some point compaction MUST rewrite it, and the next
+    // batch's admissions must be unchanged (r9 verdict #1). The fixture
+    // builds the state in TWO appends (8 small bucket files), compacts
+    // mid-sequence (binpack folds them to one file per bucket — `compacted`
+    // certifies files strictly decreased while `state_preserved` certifies
+    // zero rows lost), then dedups a batch carrying both rejection classes
+    // (re-crawled history docs +300000, within-batch resubmissions
+    // +400000) against the COMPACTED table. The oracle has no compaction
+    // concept at all — agreement proves maintenance is invisible to
+    // correctness, which is the entire contract of a rewrite commit.
+    ("x_incremental_dedup_compacted",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+        val hist1 = docs.filter(col("doc_id") % 3 === 0)
+        val hist2 = docs.filter(col("doc_id") % 3 === 1)
+        val batch = docs.filter(col("doc_id") % 3 === 2)
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 2)
+            .filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 30 === 2)
+            .select((col("doc_id") + 400000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+        val fps1 = hist1.select(TF.fingerprint(col("text")).as("fp"))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.fingerprints", fps1.schema,
+          partitionBy = Seq("fp" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
+        t.append(s, fps1)
+        t.append(s, hist2.select(TF.fingerprint(col("text")).as("fp")))
+        val filesBefore = t.scan().dataFiles.size
+        val stateRowsBefore = t.toDF(s).count()
+        t.compact(s) // mid-sequence maintenance on the live state table
+        val filesAfter = t.scan().dataFiles.size
+        val stateRowsAfter = t.toDF(s).count()
+        val batchFp = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        val firstIn = batchFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val admitted = firstIn
+          .join(t.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+          .select("doc_id")
+        batch.join(broadcast(admitted), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("admitted"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .withColumn("compacted", lit(filesAfter < filesBefore))
+          .withColumn("state_preserved", lit(stateRowsAfter == stateRowsBefore))
+          .withColumn("maintenance_commits", lit(t.meta.snapshots.size.toLong))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, lang, n_chars, text FROM docs WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 300000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 3 <> 2 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, lang, n_chars, text FROM docs WHERE doc_id % 30 = 2),
+        |hist AS (SELECT md5(text) AS fp FROM docs WHERE doc_id % 3 <> 2),
+        |first_in AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM batch GROUP BY 1),
+        |admitted AS (
+        |  SELECT f.doc_id FROM first_in f
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
+        |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
+        |  true AS compacted, true AS state_preserved,
+        |  CAST(3 AS BIGINT) AS maintenance_commits
+        |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4n: INCREMENTAL n-gram novelty — x_ngram_novelty's first-seen gram
+    // state made DURABLE (r9 verdict #3): the gram→first-doc table persists
+    // as a bucket-partitioned Graft table between crawl batches, exactly
+    // like the incremental-dedup fingerprint state. A crawl batch PROBES
+    // the state (anti-join on the gram key — grams never self-join), takes
+    // batch-first grams as its novel set, and APPENDS them so the next
+    // batch sees them as history. Certified: the refresh commit is
+    // append-only (every pre-refresh file survives byte-identical), the
+    // state holds exactly 2 commits, and the post-append state inventory
+    // equals the whole-corpus distinct-gram count — the append lost
+    // nothing and duplicated nothing. The oracle recomputes batch novelty
+    // from raw text with no state at all.
+    ("x_incremental_novelty",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        def gramsOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val firstSeen = gramsOf(hist).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.first_seen", firstSeen.schema,
+          partitionBy = Seq("g" -> Transform.Bucket(4)))
+        t.append(s, firstSeen)
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        // pinned: the batch gram stream feeds both the unseen-gram probe
+        // and the per-doc novelty rollup
+        val bg = gramsOf(batch).localCheckpoint()
+        val unseen = bg.select("doc_id", "g")
+          .join(t.toDF(s).select(col("g")), Seq("g"), "left_anti")
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+          .localCheckpoint() // read twice: the state append + the rollup join
+        t.append(s, unseen) // the batch extends the durable first-seen state
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val stateGrams = t.toDF(s).count()
+        bg.join(unseen.withColumnRenamed("first_doc", "fd"), Seq("g"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), lit(1L)).otherwise(lit(0L))).as("novel"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum(col("n_grams")).as("grams"),
+            sum(col("novel")).as("novel"))
+          .withColumn("novelty_rate",
+            col("novel").cast("double") / col("grams").cast("double"))
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("state_grams", lit(stateGrams))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)) AS g
+        |  FROM toks),
+        |hist AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+        |bg AS (SELECT doc_id, lang, g FROM g WHERE doc_id % 2 = 1),
+        |unseen AS (
+        |  SELECT g, min(doc_id) AS fd FROM bg
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.g = bg.g)
+        |  GROUP BY 1),
+        |per_doc AS (
+        |  SELECT b.doc_id, b.lang, count(*) AS n_grams,
+        |    sum(CASE WHEN u.fd = b.doc_id THEN 1 ELSE 0 END) AS novel
+        |  FROM bg b LEFT JOIN unseen u USING (g) GROUP BY 1, 2),
+        |per_lang AS (
+        |  SELECT lang, count(*) AS docs,
+        |    CAST(sum(n_grams) AS BIGINT) AS grams,
+        |    CAST(sum(novel) AS BIGINT) AS novel
+        |  FROM per_doc GROUP BY 1)
+        |SELECT lang, docs, grams, novel,
+        |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate,
+        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  (SELECT count(DISTINCT g) FROM g) AS state_grams
+        |FROM per_lang ORDER BY lang""".stripMargin),
+
+    // X3g: ANN RECALL@10 as an ORACLE GATE (r9 verdict #4) — retrieval
+    // QUALITY regression-gated, not just plan shape: for every query in a
+    // deterministic panel (vec_id % 97), the LSH-cell probe's and the
+    // IVF-cell probe's top-10 are intersected with the exact brute-force
+    // top-10, and the per-query hit counts surface as exact integers. The
+    // ground truth runs through the SHIPPED knnJoin (bucketed two-stage
+    // top-k); the IVF cells use the 4 corpus vectors vec_id ∈ {1..4} as
+    // frozen centroids so BOTH engines can derive the identical assignment
+    // (argmin of the d² = v·v − 2·v·c + c·c dot-product form, ties on
+    // centroid id — k-means centroids would be Spark-private state the
+    // oracle cannot see). Every set boundary is rank-based with id
+    // tie-breaks, so the intersections are engine-exact; a probe whose
+    // cell misses a query entirely scores an honest 0, not a dropped row.
+    ("x_ann_recall",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val corpus = e.filter(col("vec_id") % 97 =!= 0)
+        val brute = VF.knnJoin(corpus, queries, "vec_id", "embedding",
+            "query_id", "q_emb", k = 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+          .localCheckpoint() // ground truth is read three times below
+        def top10(probe: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("neighbor_id"))
+          probe
+            .withColumn("sim", nanvl(VF.cosineSimilarity(col("q_emb"), col("c_emb")),
+              lit(null).cast("double")))
+            .filter(col("sim").isNotNull)
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        }
+        // LSH probe: candidates share the query's 8-bit sign cell
+        val qLsh = queries.withColumn("cell", VF.lshBucket(col("q_emb"), bits = 8))
+        val cLsh = corpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("c_emb"))
+          .withColumn("cell", VF.lshBucket(col("c_emb"), bits = 8))
+        val lsh = top10(qLsh.join(cLsh, "cell"))
+        // IVF probe: frozen centroids both engines can see (corpus vectors
+        // 1..4), nearest cell by the exact d² dot-product form
+        val cents = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+          .select(col("vec_id"), col("embedding")).collect()
+          .sortBy(_.getLong(0))
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        require(cents.nonEmpty, "centroid seed vectors missing from fixture")
+        def cellOf(v: org.apache.spark.sql.Column) = {
+          val d2s = cents.map { case (cid, c) =>
+            val cl = lit(c.toArray)
+            struct((VF.dot(v, v) - lit(2.0) * VF.dot(v, cl) + VF.dot(cl, cl)).as("d"),
+              lit(cid).as("cell"))
+          }
+          array_min(array(d2s: _*)).getField("cell")
+        }
+        val qIvf = queries.withColumn("cell", cellOf(col("q_emb")))
+        val cIvf = corpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("c_emb"))
+          .withColumn("cell", cellOf(col("c_emb")))
+        val ivf = top10(qIvf.join(cIvf, "cell"))
+        val bk = brute.groupBy("query_id").agg(count(lit(1)).as("brute_k"))
+        val lh = brute.join(lsh, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
+        val ih = brute.join(ivf, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
+        bk.join(lh, Seq("query_id"), "left").join(ih, Seq("query_id"), "left")
+          .select(col("query_id"), col("brute_k"),
+            coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+            coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+          .orderBy("query_id")
+      },
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+        |  FROM embeddings WHERE vec_id % 97 <> 0),
+        |bscored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM q, c),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM bscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
+        |cells AS (
+        |  SELECT vec_id, array_to_string(list_transform(embedding[1:8],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS cell
+        |  FROM embeddings),
+        |lscored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM q JOIN cells qc ON qc.vec_id = q.query_id
+        |  JOIN cells cc ON cc.cell = qc.cell
+        |  JOIN c ON c.neighbor_id = cc.vec_id),
+        |lsh AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM lscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+        |dists AS (
+        |  SELECT v.vec_id, ct.cid,
+        |    list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
+        |      - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), ct.cemb)
+        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |  FROM embeddings v, cents ct),
+        |assigned AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists)
+        |  WHERE rn = 1),
+        |iscored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM q JOIN assigned qa ON qa.vec_id = q.query_id
+        |  JOIN assigned ca ON ca.cell = qa.cell
+        |  JOIN c ON c.neighbor_id = ca.vec_id),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM iscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
+        |bk AS (SELECT query_id, count(*) AS brute_k FROM brute GROUP BY 1),
+        |lh AS (SELECT b.query_id, count(*) AS h FROM brute b
+        |  JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        |  GROUP BY 1),
+        |ih AS (SELECT b.query_id, count(*) AS h FROM brute b
+        |  JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY 1)
+        |SELECT bk.query_id, bk.brute_k,
+        |  CAST(coalesce(lh.h, 0) AS BIGINT) AS lsh_hits,
+        |  CAST(coalesce(ih.h, 0) AS BIGINT) AS ivf_hits
+        |FROM bk LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
+        |ORDER BY query_id""".stripMargin),
+
     ("x_hits",
       (s: SparkSession, d: String) => {
-        val S = 1000000L
+        // The rescale product v·S can exceed BIGINT once a raw score tops
+        // ~9.2e12 (≈9M buyers each at hub=S) — and DuckDB's sum() widens
+        // to HUGEINT while Spark's stays long, so the engines would
+        // diverge exactly at the overflow boundary. Both sides therefore
+        // widen the product explicitly (DECIMAL(38) in [[hitsAuthorities]],
+        // HUGEINT in the oracle); the quotient is ≤ S by construction
+        // (v ≤ max(v)), so the result always fits back in BIGINT. The raw
+        // SUM itself is bounded by degree·S ≤ 9.2e18 up to ~9.2e12 edges
+        // per node — beyond any real bipartite purchase graph.
         val edges = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"))
           .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct().localCheckpoint()
-        var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
-        var auth: DataFrame = null
-        // The rescale product v·S can exceed BIGINT once a raw score tops
-        // ~9.2e12 (≈9M buyers each at hub=S) — and DuckDB's sum() widens
-        // to HUGEINT while Spark's stays long, so the engines would
-        // diverge exactly at the overflow boundary. Both sides therefore
-        // widen the product explicitly (DECIMAL(38) here, HUGEINT in the
-        // oracle); the quotient is ≤ S by construction (v ≤ max(v)), so
-        // the result always fits back in BIGINT. The raw SUM itself is
-        // bounded by degree·S ≤ 9.2e18 up to ~9.2e12 edges per node —
-        // beyond any real bipartite purchase graph.
-        for (i <- 1 to 3) {
-          val aRaw = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
-            .localCheckpoint()
-          val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
-          auth = aRaw.select(col("p"),
-              expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
-            .localCheckpoint()
-          if (i < 3) { // the final hub update would feed a 4th authority pass
-            val hRaw = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
-              .localCheckpoint()
-            val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
-            hub = hRaw.select(col("c"),
-                expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h"))
-              .localCheckpoint()
-          }
-        }
-        auth.orderBy(col("a").desc, col("p")).limit(10)
+          .distinct()
+        hitsAuthorities(edges).orderBy(col("a").desc, col("p")).limit(10)
           .select(col("p").as("part"), col("a").as("authority"))
       },
       """WITH edges AS (

@@ -342,6 +342,81 @@ object ScaleSmoke {
     require(tgM / tg1 < math.pow(mult, 1.5),
       f"triangle pipeline scaled super-linearly: ${tgM / tg1}%.1fx")
 
+    // contract 8: the iterative ranks scale horizontally — shifted-key
+    // copies are isomorphic graph components, and because every update step
+    // is EXACT integer arithmetic whose only global inputs (node count N in
+    // the PageRank seed p0 = S/N and damping base; max(v) in the HITS
+    // rescale) are themselves copy-invariant (N scales m-fold so p0 is the
+    // same for every copy within a run; the global max equals each copy's
+    // max on isomorphic components), every copy must converge to the
+    // IDENTICAL score multiset — any deviation means cross-copy edges,
+    // dropped mass, or a partitioning-dependent aggregation at scale. The
+    // smoke drives the SHIPPED pipelines ([[Extensions.pagerankScores]] /
+    // [[Extensions.hitsAuthorities]] — the same helpers the x_pagerank /
+    // x_hits gates run), wall-time bounded like contract 7. (Scores are
+    // deliberately NOT compared across runs: p0 = S/(mN) floor-divides
+    // differently at 1x and Mx — the per-copy identity is the exact
+    // invariant, the data-ratio^1.5 bound the cost one.)
+    def scaledPurchaseEdges(m: Int): DataFrame = {
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      base.crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("c") + col("copy") * 100000000L).as("c"),
+          (col("p") + col("copy") * 100000000L).as("p"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    // (nodes, distinct per-copy score vectors, copies, seconds)
+    def pagerankRow(m: Int): (Long, Long, Long, Double) = {
+      val (r, t) = timed {
+        val und = Extensions.basketEdges(scaledItems(m))
+        val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+        val p = Extensions.pagerankScores(edges).localCheckpoint()
+        val vecs = p.groupBy(expr("node div 100000000").as("copy"))
+          .agg(sort_array(collect_list(col("p"))).as("scores"))
+          .localCheckpoint()
+        (p.count(), vecs.select("scores").distinct().count(), vecs.count())
+      }
+      (r._1, r._2, r._3, t)
+    }
+    def hitsRow(m: Int): (Long, Long, Long, Double) = {
+      val (r, t) = timed {
+        val a = Extensions.hitsAuthorities(scaledPurchaseEdges(m)).localCheckpoint()
+        val vecs = a.groupBy(expr("p div 100000000").as("copy"))
+          .agg(sort_array(collect_list(col("a"))).as("scores"))
+          .localCheckpoint()
+        (a.count(), vecs.select("scores").distinct().count(), vecs.count())
+      }
+      (r._1, r._2, r._3, t)
+    }
+    val (_, _, _, tprWarm) = pagerankRow(1)
+    val (prN1, _, _, tpr1) = pagerankRow(1)
+    val (hN1, _, _, th1) = hitsRow(1)
+    report(f"ranks 1x: pagerank_nodes=$prN1 t=$tpr1%.1fs (warmup $tprWarm%.1fs) " +
+      f"hits_nodes=$hN1 t=$th1%.1fs")
+    val (prNM, prVecsM, prCopiesM, tprM) = pagerankRow(mult)
+    val (hNM, hVecsM, hCopiesM, thM) = hitsRow(mult)
+    val rankBound = math.pow(mult, 1.5)
+    report(f"ranks at ${mult}x: pagerank_nodes=$prNM distinct_copy_vectors=$prVecsM " +
+      f"copies=$prCopiesM t=$tprM%.1fs (${tprM / tpr1}%.1fx, bound $rankBound%.0fx) " +
+      f"hits_nodes=$hNM distinct_copy_vectors=$hVecsM copies=$hCopiesM " +
+      f"t=$thM%.1fs (${thM / th1}%.1fx)")
+    require(prNM == mult.toLong * prN1,
+      s"pagerank node set not copy-invariant: $prN1 at 1x but $prNM at ${mult}x")
+    require(prCopiesM == mult.toLong && prVecsM == 1L,
+      s"pagerank copies diverged: $prVecsM distinct score vectors over $prCopiesM copies")
+    require(hNM == mult.toLong * hN1,
+      s"hits node set not copy-invariant: $hN1 at 1x but $hNM at ${mult}x")
+    require(hCopiesM == mult.toLong && hVecsM == 1L,
+      s"hits copies diverged: $hVecsM distinct score vectors over $hCopiesM copies")
+    require(tprM / tpr1 < rankBound,
+      f"pagerank scaled super-linearly: ${tprM / tpr1}%.1fx > $rankBound%.0fx")
+    require(thM / th1 < rankBound,
+      f"hits scaled super-linearly: ${thM / th1}%.1fx > $rankBound%.0fx")
+
     report("SCALE SMOKE OK")
     spark.stop()
   }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 hardening beyond the oracle gates: state-table maintenance
+  * composing with incremental correctness (x_incremental_dedup_compacted),
+  * the durable first-seen novelty state (x_incremental_novelty), ANN recall
+  * invariants (x_ann_recall), and the algebraic identity of the hoisted
+  * iterative-rank helpers against the unhoisted two-joins-per-round shape.
+  */
+class StateMaintenanceSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def gate(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    Extensions.entries.find(_._1 == name).get._2
+
+  test("compacted incremental dedup: flags certify maintenance, admissions unchanged") {
+    val rows = gate("x_incremental_dedup_compacted")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "compaction must strictly reduce the file count")
+      assert(r.getBoolean(4), "compaction must preserve every state row")
+      assert(r.getLong(5) == 3L, "append + append + compact = 3 commits")
+    }
+    // admissions equal an in-memory replay that never compacts: maintenance
+    // must be invisible to the dedup decision
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hist = docs.filter(_._1 % 3 != 2).map(t => md5(t._4)).toSet
+    val batch = docs.filter(_._1 % 3 == 2) ++
+      docs.filter(t => t._1 % 3 != 2 && t._1 % 10 == 0)
+        .map(t => (t._1 + 300000L, t._2, t._3, t._4)) ++
+      docs.filter(_._1 % 30 == 2).map(t => (t._1 + 400000L, t._2, t._3, t._4))
+    val firstIn = batch.groupBy(t => md5(t._4)).map { case (fp, ds) => fp -> ds.map(_._1).min }
+    val admitted = firstIn.collect { case (fp, id) if !hist.contains(fp) => id }.toSet
+    val expect = batch.filter(t => admitted.contains(t._1))
+      .groupBy(_._2).map { case (lang, ds) => lang -> (ds.size.toLong, ds.map(_._3).sum) }
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"admissions diverged: $got vs $expect")
+  }
+
+  test("incremental novelty: durable state equals the corpus gram inventory") {
+    val rows = gate("x_incremental_novelty")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val allGrams = Tables.documents(spark, d)
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("text"), 3))).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), "the state append must be append-only")
+      assert(r.getLong(6) == 2L, "initial build + batch append = 2 commits")
+      assert(r.getLong(7) == allGrams,
+        "post-append state must hold exactly the corpus's distinct grams")
+      assert(r.getLong(3) <= r.getLong(2), "novel grams bounded by batch grams")
+    }
+    // batch novelty equals the transient whole-stream computation restricted
+    // to the batch: persistence must not change the answer
+    val gr = Tables.documents(spark, d).select(col("doc_id"), col("lang"),
+        explode(array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val histGrams = gr.filter(_._1 % 2 == 0).map(_._3).toSet
+    val bg = gr.filter(_._1 % 2 == 1)
+    val firstInBatch = bg.groupBy(_._3).map { case (g, rs) => g -> rs.map(_._1).min }
+    val perLang = bg.groupBy(_._2).map { case (lang, rs) =>
+      val novel = rs.count(t => !histGrams.contains(t._3) && firstInBatch(t._3) == t._1)
+      lang -> (rs.map(_._1).distinct.size.toLong, rs.size.toLong, novel.toLong)
+    }
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == perLang, s"batch novelty diverged: $got vs $perLang")
+  }
+
+  test("ann recall: hits bounded by brute_k, brute list equals in-memory top-10") {
+    val rows = gate("x_ann_recall")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bk, lsh, ivf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bk >= 1 && bk <= 10)
+      assert(lsh >= 0 && lsh <= bk, s"lsh_hits $lsh out of [0, $bk]")
+      assert(ivf >= 0 && ivf <= bk, s"ivf_hits $ivf out of [0, $bk]")
+    }
+    // the ground-truth side: knnJoin's per-query top-10 equals a driver-side
+    // brute force over the same floats (cosine in doubles, ties by id)
+    val e = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = e.filter(_._1 % 97 == 0)
+    val corpus = e.filter(_._1 % 97 != 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NaN else dot / den
+    }
+    val expectTop = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (cid, cv) => (cid, cos(cv, qv)) }
+        .filter(t => !t._2.isNaN)
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(10).map(_._1).toSet
+    }.toMap
+    import graft.functions.{VectorFunctions => VF}
+    val emb = Tables.embeddings(spark, d)
+    val got = VF.knnJoin(emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "vec_id", "embedding", "query_id", "q_emb", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    assert(got == expectTop, "knnJoin ground truth diverged from driver brute force")
+  }
+
+  test("hoisted pagerank equals the unhoisted two-joins-per-round shape") {
+    import spark.implicits._
+    // a planted graph with skewed degrees + an isolated 2-cycle
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L))
+      .toDF("u", "v")
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val got = Extensions.pagerankScores(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: the pre-r10 loop body (edges ⋈ outdeg ⋈ p per round)
+    val e2 = edges.localCheckpoint()
+    val outdeg = e2.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+    val nN = outdeg.count()
+    val p0 = 1000000000000L / nN
+    val base = (15L * p0) / 100L
+    var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
+    for (_ <- 1 to 5) {
+      p = e2.join(outdeg, "u")
+        .join(p.select(col("node").as("u"), col("p")), "u")
+        .select(col("v").as("node"), expr("p div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+        .select(col("node"), (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
+        .localCheckpoint()
+    }
+    val expect = p.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect, s"hoist changed the fixed point: $got vs $expect")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // the high-degree hub must outrank every spoke
+    assert(got(1L) > got(4L))
+  }
+
+  test("hits helper: scale-free fixed point, max authority pinned at S") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L), (4L, 12L))
+      .toDF("c", "p")
+    val a = Extensions.hitsAuthorities(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.keySet == Set(10L, 11L, 12L))
+    assert(a.values.max == 1000000L, "rescale pins max(a) at S exactly")
+    assert(a(10L) > a(11L) && a(11L) >= a(12L),
+      "three buyers (one influential) must dominate")
+  }
+}
