@@ -3020,6 +3020,46 @@ object Extensions {
         |WHERE a.token = 'merge' AND b.token = 'window'
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
 
+    // X7e: COMPACTION composes with the persisted inverted index — the
+    // postings-table twin of x_incremental_dedup_compacted, certifying the
+    // interaction that gate cannot: a term probe must still PARTITION-
+    // PRUNE after the rewrite (compaction rewrites every small file into
+    // new ones — if the new manifests lost the bucket partition values,
+    // probes would silently degrade to full-index scans, the failure mode
+    // a 100 TB index dies on with no wrong answers to flag it). Fixture:
+    // index built in two appends (32 small bucket files), compacted
+    // (16 remain — `compacted` certifies the fold), then the standard
+    // AND-of-terms query over two pruned probes must equal the oracle's
+    // index-free recompute from raw text.
+    ("x_keyword_index_compacted",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val t = buildInvertedIndex(s, docs.filter(col("doc_id") % 2 === 0),
+          TableOps.newCatalog())
+        t.append(s, postingsOf(docs.filter(col("doc_id") % 2 === 1)))
+        val filesBefore = t.scan().dataFiles.size
+        t.compact(s) // maintenance on the live index
+        val filesAfter = t.scan().dataFiles.size
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("compacted", lit(filesAfter < filesBefore))
+          .withColumn("pruned",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS compacted, true AS pruned
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
     // X6h: RANDOM-SIGN PROJECTION (Johnson-Lindenstrauss / Achlioptas ±1)
     // — the dimensionality cut that runs BEFORE similarity work at 100 TB:
     // 64 float lanes become 8 exact-BIGINT lanes, map-only (the ±1 matrix

@@ -117,6 +117,19 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(got == expectTop, "knnJoin ground truth diverged from driver brute force")
   }
 
+  test("compacted keyword index: probes still prune, answers equal the uncompacted index") {
+    val rows = gate("x_keyword_index_compacted")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(2), "compaction must strictly reduce the file count")
+      assert(r.getBoolean(3), "term probes must still partition-prune after the rewrite")
+    }
+    // the compacted index answers exactly like the never-compacted one
+    val plain = gate("x_keyword_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == plain.toSeq,
+      "compaction changed the AND-query answer")
+  }
+
   test("hoisted pagerank equals the unhoisted two-joins-per-round shape") {
     import spark.implicits._
     // a planted graph with skewed degrees + an isolated 2-cycle
