@@ -2511,11 +2511,13 @@ object Extensions {
     // score 1.0, templated docs score high, organic docs near 0 — the
     // corpus-level boilerplate detector that per-doc repetition (x_repetition)
     // cannot see. Plan: one shingle-keyed agg builds the document-frequency
-    // table, then the probe side re-tokenizes the corpus and joins on the
-    // shingle — TWO corpus passes by design: the exploded (doc_id, gram)
-    // stream is larger than the input text, so re-running the cheap
-    // tokenize Generate beats materializing it (spill `materializeCorpus`
-    // if the corpus read itself dominates). One final doc-keyed agg.
+    // table, then the probe side joins back on the shingle. The exploded
+    // (doc_id, gram) stream is PINNED once (localCheckpoint — the
+    // containmentNomination discipline): the interpreted md5-free but
+    // still HOF-heavy tokenize+shingle expression is the dominant cost,
+    // and without the pin it evaluates on BOTH the df aggregate and the
+    // probe side (measured 3.8 -> 3.0 s at sf0.1; the pinned stream is
+    // shuffle-format compact). One final doc-keyed agg.
     // Integer counts + ONE double division, so the oracle matches
     // bit-exactly. At 100 TB the df>=2 set is the boilerplate set — small
     // by nature; AQE broadcasts it under the threshold, and the fallback
@@ -2525,6 +2527,7 @@ object Extensions {
       (s: SparkSession, d: String) => {
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), explode(array_distinct(TF.shingles(col("text"), 5))).as("g"))
+          .localCheckpoint()
         val shared = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).select(col("g"), lit(1L).as("is_shared"))
         sh.join(shared, Seq("g"), "left")
@@ -3993,10 +3996,16 @@ object Extensions {
           .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
             Seq("band", "sig"))
           .select("doc_a", "doc_b").distinct()
+        // pinned: the id-only reject set gates BOTH the state append and
+        // the final rollup — without the pin the Jaccard-verify join
+        // re-executes per action (measured 5.3 -> 5.0 s at sf0.1; the
+        // verify inputs were already pinned inside pairJaccard, so the
+        // saving is the join itself, not the shingling)
         val rejected = pairJaccard(
             batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
           .filter(col("jaccard") >= 0.5)
           .select(col("doc_a").as("doc_id")).distinct()
+          .localCheckpoint()
         val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
         t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
           .select("band", "sig", "doc_id"))
