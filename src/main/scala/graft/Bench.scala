@@ -230,10 +230,13 @@ object Bench {
     // driver's log-tail capture truncates the ~165-query map (BENCH_r09
     // parsed:null kept only ~60 per-query times), so cross-round per-query
     // regression checks were lossy. The file is authoritative; the stdout
-    // lines remain for the driver's artifact.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    // lines remain for the driver's artifact. Subset runs (SPARK_GRAFT_
+    // QUERIES) do NOT write it — a 2-query local iteration must never
+    // clobber the last full run's per-query baseline.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     // A second, SHORT trailing line with only the headline numbers: the
     // round-3 and round-7 driver artifacts kept only the log TAIL, and the
     // full line above — which leads with the totals — got truncated

@@ -114,6 +114,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("bucket"), s"join key missing:\n$plan")
   }
 
+  test("incremental-state gates: id-set joins broadcast, probes stay equi — never all-pairs") {
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("x_incremental_dedup_compacted", "x_incremental_novelty")) {
+      val gate = graft.queries.Extensions.entries.find(_._1 == name).get._2
+      val plan = planOf(gate(spark, d))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: a state probe degenerated to all-pairs:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the bounded id set did not broadcast:\n$plan")
+    }
+  }
+
+  test("ann recall: every ranking window is per-query — no global window, no cartesian") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_ann_recall").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"),
+      s"a probe join degenerated to an unkeyed product:\n$plan")
+    // knnJoin's broadcast of the query batch is the one intended
+    // nested-loop; the LSH/IVF probe sides must stay cell-keyed windows
+    // partitioned by the query id — a global window over scored pairs is
+    // the single-reducer straggler the per-query shape exists to avoid
+    val winSpecs = "Window .*".r.findAllIn(plan).toList
+    assert(winSpecs.nonEmpty, s"expected per-query rank windows:\n$plan")
+    winSpecs.foreach(w =>
+      assert(w.contains("query_id") || w.contains("_graft_qid"),
+        s"rank window not partitioned by query id: $w"))
+  }
+
   test("nested-evolution read path: un-evolved struct columns stay on the cast fast path") {
     val schema = StructType(Seq(
       StructField("id", LongType),

@@ -39,10 +39,16 @@ def load(path):
     if m:
         line = m.group(0).splitlines()[0]
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
+            # the trailing SUMMARY line ("summary_of": ...) parses cleanly
+            # but carries no per-query map — returning it would crash the
+            # caller on d["queries"]; fall through to the salvage regex
+            # over the WHOLE text instead (the truncated full line still
+            # holds whatever per-query pairs survived)
+            if "queries" in parsed:
+                return parsed
         except json.JSONDecodeError:
-            pass
-        text = line
+            pass  # truncated mid-JSON: salvage pairs from the whole text
     # truncated head or tail (the driver keeps only a log tail): salvage
     # every query-shaped "name":sec pair; query names are g_*/x_*/q<N>_*
     # so meta fields (value, host_factor, ...) never collide
