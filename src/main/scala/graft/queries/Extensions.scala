@@ -2812,6 +2812,97 @@ object Extensions {
         |  md5(array_to_string(t[start : start + 31], ' ')) AS chunk_md5
         |FROM starts ORDER BY 1, 2""".stripMargin),
 
+    // X1d: SUB-DOCUMENT (chunk-level) exact dedup — the C4/RefinedWeb
+    // line-level dedup shape the doc-level family cannot express: repeated
+    // boilerplate units are removed corpus-wide (keep-FIRST occurrence by
+    // (doc_id, chunk_index)) while their host documents survive with the
+    // rest of their content — doc-level dedup either keeps the boilerplate
+    // (docs differ) or drops whole documents. Fixture plants both shapes
+    // in-query: a shared boilerplate tail appended to every 5th doc
+    // (cross-doc repeated chunks) and full re-crawls (+500000 for every
+    // 20th doc — every chunk a dup). Non-overlapping 16-token chunks, key
+    // = md5 of the chunk text; keep-first is TWO narrow aggregates (min
+    // doc per hash, then min chunk within that doc — mirrored exactly, no
+    // composite-key encoding with an overflow cliff) + a hash-keyed probe
+    // join. Chunk text never travels: the exploded stream carries (hash,
+    // 16-token count) only, and the stream is PINNED once (read by the
+    // first-occurrence aggregate AND the probe). At 100 TB the first-
+    // occurrence table is the durable state — persist it exactly like
+    // x_incremental_dedup's fingerprints for incremental crawls. Output:
+    // per-language kept/total chunk+token accounting and the dup-chunk
+    // rate (one mirrored division).
+    ("x_chunk_dedup",
+      (s: SparkSession, d: String) => {
+        val W = 16
+        val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+        val docs0 = Tables.documents(s, d).select("doc_id", "lang", "text")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+        val corpus = docs0.unionByName(docs0.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
+        val chunks = corpus
+          .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("lang"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(W))).as(Seq("ci", "start")))
+          .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
+            size(slice(col("t"), col("start"), lit(W))).cast("long").as("n_tok"),
+            md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
+          .localCheckpoint() // read twice: first-occurrence aggs + probe
+        val fdoc = chunks.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
+        val fci = chunks.join(fdoc, "h")
+          .filter(col("doc_id") === col("f_doc"))
+          .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+        chunks.join(fci, "h")
+          .withColumn("keep",
+            col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("chunks"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
+            sum(col("n_tok")).as("tokens"),
+            sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
+          .withColumn("dup_chunk_rate",
+            lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
+          .orderBy("lang")
+      },
+      """WITH docs0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ||
+        |      ' subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, lang, text FROM docs0 WHERE doc_id % 20 = 0),
+        |toked AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |chunks AS (
+        |  SELECT doc_id, lang, (s - 1) // 16 AS ci,
+        |    CAST(len(t[s : s + 15]) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |fdoc AS (SELECT h, min(doc_id) AS f_doc FROM chunks GROUP BY 1),
+        |fci AS (
+        |  SELECT c.h, f.f_doc, min(c.ci) AS f_ci
+        |  FROM chunks c JOIN fdoc f ON c.h = f.h AND c.doc_id = f.f_doc
+        |  GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT c.lang, c.doc_id, c.n_tok,
+        |    (c.doc_id = f.f_doc AND c.ci = f.f_ci) AS keep
+        |  FROM chunks c JOIN fci f ON c.h = f.h)
+        |SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS chunks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS dup_chunk_rate
+        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
     // |sh(A)∩sh(B)| / |sh(A)| catches an excerpt/quote A living inside a
     // longer B, which Jaccard structurally misses (a 15-token excerpt of a

@@ -160,6 +160,42 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(got(1L) > got(4L))
   }
 
+  test("chunk dedup: full keep-first replay; whole-doc recrawls keep zero chunks") {
+    val rows = gate("x_chunk_dedup")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+    val base = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val t = if (r.getLong(0) % 5 == 0) r.getString(2) + boiler else r.getString(2)
+        (r.getLong(0), r.getString(1), t)
+      }
+    val corpus = base ++ base.filter(_._1 % 20 == 0).map(t => (t._1 + 500000L, t._2, t._3))
+    // chunk instances in (doc_id, ci) order; key = the chunk STRING itself
+    // (the gate hashes it — replaying on raw strings proves the semantics,
+    // not just the md5 plumbing)
+    val inst = corpus.flatMap { case (id, lang, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      t.grouped(16).zipWithIndex.map { case (c, ci) =>
+        (id, lang, ci.toLong, c.length.toLong, c.mkString(" "))
+      }
+    }
+    val first = inst.groupBy(_._5).map { case (k, is) =>
+      k -> is.map(i => (i._1, i._3)).min
+    }
+    val perLang = inst.groupBy(_._2).map { case (lang, is) =>
+      val kept = is.filter(i => first(i._5) == ((i._1, i._3)))
+      lang -> (is.map(_._1).distinct.size.toLong, is.size.toLong,
+        kept.size.toLong, is.map(_._4).sum, kept.map(_._4).sum)
+    }
+    assert(rows == perLang, s"replay diverged: $rows vs $perLang")
+    // a whole-doc recrawl's every chunk already exists at a lower doc_id
+    val recrawlIds = corpus.map(_._1).filter(_ >= 500000L).toSet
+    val recrawlKept = inst.filter(i => recrawlIds.contains(i._1))
+      .count(i => first(i._5) == ((i._1, i._3)))
+    assert(recrawlKept == 0, s"recrawled docs kept $recrawlKept chunks")
+  }
+
   test("hits helper: scale-free fixed point, max authority pinned at S") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L), (4L, 12L))
