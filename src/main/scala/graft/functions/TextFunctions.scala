@@ -147,6 +147,24 @@ object TextFunctions {
     sliceMinima(items, bands * rowsPerBand, 8)
   }
 
+  /** FUSED text→shingle→band-minima hot path: bit-identical to
+    * `bandMinima(shingles(text, shingleK), bands, rowsPerBand)` but one
+    * codegen'd kernel call ([[graft.operators.ShingleSliceMinima]]) instead
+    * of the interpreted distinct→hash→fold pipeline — the per-item
+    * transform(sequence)+zip_with accumulator allocation was the measured
+    * dominant cost of every banded-MinHash gate. Use this form wherever the
+    * items ARE k-token shingles of a text column (the near-dup family);
+    * [[bandMinima]] stays for arbitrary item arrays.
+    */
+  def shingleBandMinima(text: Column, shingleK: Int, bands: Int,
+                        rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 8,
+      "two md5 digests yield 8 independent 8-hex slices")
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.ShingleSliceMinima(
+      org.apache.spark.sql.GraftSqlShim.expression(tokens(text)),
+      shingleK, bands * rowsPerBand, 8))
+  }
+
   /** Step 2: band signatures from materialized minima. NULL for item-less
     * rows — their fold never ran, so the first minimum is still the "g"
     * sentinel (impossible as a real hex slice) — and NULL band sigs fall
@@ -196,14 +214,16 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** k-token shingles ("n-grams of tokens"), the unit for n-gram Jaccard
-    * near-dup detection. Returns an array of space-joined k-grams.
+    * near-dup detection. Returns an array of space-joined k-grams. A
+    * codegen'd kernel ([[graft.operators.TokenShingles]]) — the previous
+    * `transform(sequence(..), i -> array_join(slice(..)))` stack is
+    * interpreted per shingle with a slice allocation each; output is
+    * byte-identical (same positions, same ' ' join, empty below k).
     */
   def shingles(text: Column, k: Int): Column = {
     require(k >= 1)
-    val t = tokens(text)
-    when(size(t) < k, array())
-      .otherwise(transform(sequence(lit(1), size(t) - (k - 1)),
-        i => array_join(slice(t, i, lit(k)), " ")))
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.TokenShingles(
+      org.apache.spark.sql.GraftSqlShim.expression(tokens(text)), k))
   }
 
   /** Exact set Jaccard over two item arrays: |A∩B| / |A∪B|. Integer set

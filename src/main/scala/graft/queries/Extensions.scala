@@ -1597,12 +1597,14 @@ object Extensions {
         // shuffles only (doc_id, band, sig); NULL band sigs (shingle-less
         // docs) drop out of the equi-join by SQL semantics — no filter on
         // the derived column, so nothing pushes the hash tree into the scan.
-        val base = Tables.documents(s, d).withColumn("sh", TF.shingles(col("text"), 2))
+        val base = Tables.documents(s, d)
         // mins is a materialized column; the bands expression lives in the
         // posexplode generator, so the Project/Generate boundary stops
-        // CollapseProject from inlining the (expensive) fold once per band
+        // CollapseProject from inlining the fold once per band. The
+        // shingle→distinct→hash→minima pipeline itself is the FUSED
+        // codegen kernel (r10; bit-compat proven by TextKernelsSpec)
         val banded = base
-          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
+          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
           .select(col("doc_id"),
             posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
         // bucket-local pair generation: ONE evaluation of the band pipeline
@@ -3971,8 +3973,7 @@ object Extensions {
             concat(col("text"), lit(" leaked copy")).as("text"))
         val train = base.filter(col("doc_id") % 50 =!= 0).unionByName(planted)
         def bandsOf(df: DataFrame): DataFrame = df
-          .withColumn("sh", TF.shingles(col("text"), 2))
-          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
+          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
           .select(col("doc_id"),
             posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
         val cand = bandsOf(train).select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -4071,8 +4072,7 @@ object Extensions {
             .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
               concat(col("text"), lit(" recrawl tail")).as("text")))
         def sigsOf(df: DataFrame): DataFrame = df
-          .withColumn("sh", TF.shingles(col("text"), 2))
-          .withColumn("mins", TF.bandMinima(col("sh"), bands = 2, rowsPerBand = 3))
+          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
           .select(col("doc_id"),
             posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
           .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
