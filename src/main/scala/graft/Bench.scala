@@ -116,7 +116,16 @@ object Bench {
       def midProbe(): Double = Seq(controlRun(), controlRun()).min
       val results = SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .toSeq // pin run order: zipWithIndex on a Map would re-hash to Map[(k,v),i]
+        // SORTED run order, not map order: HashMap iteration reshuffles
+        // whenever the gate count changes, which re-distributes shared
+        // one-time costs (catalog init, SQL-path codegen, loopback
+        // servers) onto DIFFERENT queries each round — r10's cross-round
+        // compare flagged 6x phantom "regressions" on g_sql_* that were
+        // pure order artifacts (g_sql_dml cold costs ~5.7s on BOTH the r9
+        // and r10 trees; its recorded number swung 0.66 -> 3.80 purely by
+        // position). Alphabetical order pins amortization to each
+        // family's first gate, stable across rounds.
+        .toSeq.sortBy(_._1)
         .zipWithIndex
         .map { case ((name, fn), i) =>
           if (i > 0 && i % 12 == 0) controls += midProbe()

@@ -270,6 +270,11 @@ object MediaHeaders {
       s"timescale $timescale does not fit mvhd v0's 32 bits")
     require(duration >= 0 && duration <= 0xFFFFFFFFL,
       s"duration $duration does not fit mvhd v0's 32 bits")
+    // tkhd dims are 16.16 fixed-point: the integer part has 16 bits
+    tracks.foreach { case (w, h) =>
+      require(w >= 0 && w <= 0xFFFF && h >= 0 && h <= 0xFFFF,
+        s"track dims ${w}x$h do not fit tkhd's 16.16 fixed-point")
+    }
     val out = new ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)

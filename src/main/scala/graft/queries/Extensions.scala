@@ -259,6 +259,11 @@ object Extensions {
   private[graft] def hitsAuthorities(edgesIn: DataFrame, iters: Int = 3,
       S: Long = 1000000L): DataFrame = {
     val edges = edgesIn.localCheckpoint()
+    // a degenerate corpus with zero edges has no fixed point: return the
+    // empty authorities frame rather than NPE on agg(max).head of an empty
+    // first iteration (the pagerankScores guard, mirrored)
+    if (edges.isEmpty)
+      return edges.select(col("p"), lit(0L).as("a"))
     var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
@@ -2848,7 +2853,10 @@ object Extensions {
           .select(col("doc_id"), col("lang"), col("t"),
             posexplode(sequence(lit(1), size(col("t")), lit(W))).as(Seq("ci", "start")))
           .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
-            size(slice(col("t"), col("start"), lit(W))).cast("long").as("n_tok"),
+            // chunk length by arithmetic, not size(slice(..)): a second
+            // slice per chunk would re-allocate the array (no CSE in
+            // interpreted HOFs — the repo-wide discipline)
+            least(lit(W.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
             md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
           .localCheckpoint() // read twice: first-occurrence aggs + probe
         val fdoc = chunks.groupBy("h").agg(min(col("doc_id")).as("f_doc"))

@@ -24,7 +24,7 @@ object MaintenanceOps {
     * invocation instead. Shared with [[GovernanceOps]].
     */
   private[queries] lazy val sqlWarehouse =
-    TableOps.newTempDir("graft-sqlwh")
+    TableOps.newPinnedTempDir("graft-sqlwh")
 
   /** Register the shared graft_sql DSv2 catalog on this session. ONE home
     * for the (class, warehouse) pair: the former seven copy-pasted blocks

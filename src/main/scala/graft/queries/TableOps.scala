@@ -36,6 +36,16 @@ object TableOps {
     p.toString
   }
 
+  /** A temp dir EXCLUDED from [[reclaimTempDirs]] — for per-JVM shared
+    * state that must outlive any one query (the graft_sql warehouse: the
+    * DSv2 catalog plugin reads its path once per session, so reclaiming it
+    * mid-run would both orphan the re-created directory from the registry
+    * and delete live namespace state under a cached catalog). Bounded: one
+    * per JVM, not one per query.
+    */
+  private[graft] def newPinnedTempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** Recursively delete every registered temp dir. Safe only once the
     * DataFrames built over them are fully consumed (Bench/Verify call this
     * AFTER the query's action completes).
@@ -53,7 +63,13 @@ object TableOps {
           finally walk.close()
         }
         n += 1
-      } catch { case _: java.io.IOException => () } // best-effort reclaim
+      } catch {
+        // best-effort reclaim: Files.walk traversal failures surface as
+        // UncheckedIOException (a RuntimeException) — a concurrent writer
+        // (e.g. a failed gate's still-flushing stream checkpoint) must not
+        // abort the whole Bench/Verify run
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
       p = tempDirs.poll()
     }
     n

@@ -52,8 +52,12 @@ def load(path):
     # truncated head or tail (the driver keeps only a log tail): salvage
     # every query-shaped "name":sec pair; query names are g_*/x_*/q<N>_*
     # so meta fields (value, host_factor, ...) never collide
-    qs = dict((k, float(v)) for k, v in
-              re.findall(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text))
+    # FIRST occurrence wins: the full line's "fixture_sec" map re-uses the
+    # same query names AFTER the "queries" map, so last-wins dict() would
+    # silently replace real times with fixture splits
+    qs = {}
+    for k, v in re.findall(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text):
+        qs.setdefault(k, float(v))
     if not qs:
         sys.exit(f"{path}: no bench JSON found")
     out = {"queries": qs}
