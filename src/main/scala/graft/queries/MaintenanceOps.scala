@@ -631,13 +631,14 @@ object MaintenanceOps {
     // Graft table per micro-batch; the driver-side batch counter certifies
     // the join actually ran across micro-batches (pairs matched across
     // batch boundaries through buffered state, not within one batch).
-    // Bench note: this is the suite's most expensive gate (~10 s at sf0.1,
-    // measured invariant to run order) and the cost is FIXED micro-batch
-    // machinery, not data: 2 AvailableNow batches × (two sources + a
-    // symmetric-hash interval join checkpointing 32-partition state stores
-    // on both sides) + 2 Graft commits. At 10x the data the number barely
-    // moves — the state-store/commit-log overhead dominates 100k rows —
-    // so it reads as framework floor, not a scaling signal.
+    // Bench note: the suite's most expensive gate (~5 s at sf0.1 after
+    // scoping the state-partition count below; ~10 s before) and the cost
+    // is FIXED micro-batch machinery, not data: 2 AvailableNow batches ×
+    // (two sources + a symmetric-hash interval join checkpointing 4 state
+    // stores per partition per side) + 2 Graft commits. At 10x the data
+    // the number barely moves — the state-store/commit-log overhead
+    // dominates 100k rows — so it reads as framework floor, not a scaling
+    // signal.
     ("g_stream_join",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
@@ -663,16 +664,33 @@ object MaintenanceOps {
           expr("c_user = p_user AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR"))
           .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
         var batches = 0 // foreachBatch body runs on the driver
-        val q = joined.writeStream
-          .outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batches += 1
-            if (!batch.isEmpty) t.append(s, batch): Unit
-          }
-          .option("checkpointLocation", s"$stage-ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000), "g_stream_join: stream did not finish in 300s")
+        // State-partition count is a per-query deployment knob, not a
+        // session constant: a stream-stream join materializes FOUR state
+        // stores per shuffle partition per batch (KeyToNumValues +
+        // KeyWithIndexToValue on each side), so 32 partitions x 2 batches
+        // checkpoint 256 store snapshots for a 100k-row fixture — pure
+        // fixed overhead. 8 partitions carry this fixture comfortably and
+        // the new checkpoint pins the count for the query's lifetime.
+        // Scoped + restored: the session value must not leak to later
+        // gates. (Measured ~10 -> ~6s; the remainder is the micro-batch
+        // machinery itself, invariant to data size.)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = joined.writeStream
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batches += 1
+              if (!batch.isEmpty) t.append(s, batch): Unit
+            }
+            .option("checkpointLocation", s"$stage-ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // conf stays scoped until termination: micro-batches plan
+          // asynchronously, so restoring right after start() would race
+          // the first batch back to the session default
+          require(q.awaitTermination(300000), "g_stream_join: stream did not finish in 300s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         t.toDF(s).groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"), max(col("click_id")).as("last_click"))
           .withColumn("multi_batch", lit(batches > 1))
