@@ -593,26 +593,28 @@ object MaintenanceOps {
           .add("day", org.apache.spark.sql.types.DateType)
           .add("event_type", org.apache.spark.sql.types.StringType)
           .add("n", org.apache.spark.sql.types.LongType))
-        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
-        val agg = stream
-          // watermarks require an instant TIMESTAMP; the NTZ→LTZ cast is
-          // exact under the UTC session Verify/the driver run with
-          .withColumn("ts", col("ts").cast("timestamp"))
-          .withWatermark("ts", "1 day")
-          .groupBy(window(col("ts"), "1 day"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").cast("date").as("day"), col("event_type"), col("n"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            t.overwrite(s, batch): Unit // complete mode: each batch is the full aggregate
-          }
-          .option("checkpointLocation", s"$stage-ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // a timed-out await must fail LOUDLY: proceeding would read a
-        // partially-updated table and surface as a baffling data mismatch
-        require(q.awaitTermination(300000), "g_stream_window: stream did not finish in 300s")
+        TableOps.withStatePartitions(s, 8) {
+          val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
+          val agg = stream
+            // watermarks require an instant TIMESTAMP; the NTZ→LTZ cast is
+            // exact under the UTC session Verify/the driver run with
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").cast("date").as("day"), col("event_type"), col("n"))
+          val q = agg.writeStream
+            .outputMode("complete")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              t.overwrite(s, batch): Unit // complete mode: each batch is the full aggregate
+            }
+            .option("checkpointLocation", s"$stage-ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // a timed-out await must fail LOUDLY: proceeding would read a
+          // partially-updated table and surface as a baffling data mismatch
+          require(q.awaitTermination(300000), "g_stream_window: stream did not finish in 300s")
+        }
         t.toDF(s).orderBy("day", "event_type")
           .withColumn("multi_batch", lit(t.meta.snapshots.size > 1))
       },
@@ -664,19 +666,10 @@ object MaintenanceOps {
           expr("c_user = p_user AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR"))
           .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
         var batches = 0 // foreachBatch body runs on the driver
-        // State-partition count is a per-query deployment knob, not a
-        // session constant: a stream-stream join materializes FOUR state
-        // stores per shuffle partition per batch (KeyToNumValues +
-        // KeyWithIndexToValue on each side), so 32 partitions x 2 batches
-        // checkpoint 256 store snapshots for a 100k-row fixture — pure
-        // fixed overhead. 8 partitions carry this fixture comfortably and
-        // the new checkpoint pins the count for the query's lifetime.
-        // Scoped + restored: the session value must not leak to later
-        // gates. (Measured ~10 -> ~6s; the remainder is the micro-batch
-        // machinery itself, invariant to data size.)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+        // 8 state partitions (shared withStatePartitions discipline — a
+        // stream-stream join keeps FOUR stores per partition per batch,
+        // the heaviest state shape in the suite; measured ~10 -> ~5s)
+        TableOps.withStatePartitions(s, 8) {
           val q = joined.writeStream
             .outputMode("append")
             .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -686,11 +679,8 @@ object MaintenanceOps {
             .option("checkpointLocation", s"$stage-ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          // conf stays scoped until termination: micro-batches plan
-          // asynchronously, so restoring right after start() would race
-          // the first batch back to the session default
           require(q.awaitTermination(300000), "g_stream_join: stream did not finish in 300s")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         t.toDF(s).groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"), max(col("click_id")).as("last_click"))
           .withColumn("multi_batch", lit(batches > 1))

@@ -79,6 +79,23 @@ object TableOps {
     new GraftCatalog(newTempDir("graft-wh"))
   }
 
+  /** Run `body` with the session shuffle-partition count — the knob that
+    * also sizes every stateful stream's STATE partitioning — scoped to
+    * `n`, restored afterwards. Stateful operators checkpoint one state
+    * store per partition per batch (a stream-stream join keeps four), so
+    * the session's 32 partitions turn a 100k-row streaming fixture into
+    * hundreds of store snapshots of pure fixed overhead; the state
+    * partition count is a per-query deployment knob at any scale. The
+    * restore happens after `body` COMPLETES — callers must run their
+    * stream to termination inside it, because micro-batches plan
+    * asynchronously against the live session value.
+    */
+  private[queries] def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events table partitioned with hidden partitioning day(ts) + identity
     * (reference docs/07-partitioning.md:59-69, the docs' running example).
     */
@@ -450,8 +467,10 @@ object TableOps {
         df.repartition(4).write.mode("overwrite").parquet(stage)
         val cat = newCatalog()
         val t = cat.createTable("db.events_stream", df.schema)
-        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
-        graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        withStatePartitions(s, 8) {
+          val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
+          graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        }
         aggByType(t.toDF(s))
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
       },
@@ -472,9 +491,11 @@ object TableOps {
         df.repartition(2).write.mode("append").parquet(stage) // second full copy
         val cat = newCatalog()
         val t = cat.createTable("db.events_dedup", df.schema)
-        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
-          .parquet(stage).dropDuplicates("event_id")
-        graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        withStatePartitions(s, 8) {
+          val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
+            .parquet(stage).dropDuplicates("event_id")
+          graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        }
         aggByType(t.toDF(s))
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
       },
@@ -499,13 +520,15 @@ object TableOps {
         val t = cat.createTable("db.events_dedup_wm", df.schema)
         // watermarks require an instant TIMESTAMP column: cast the NTZ ts
         // through (UTC session -> identical instants) and back for the sink
-        val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
-          .parquet(stage)
-          .withColumn("ts", col("ts").cast("timestamp"))
-          .withWatermark("ts", "90 days") // > fixture span: no late drops
-          .dropDuplicatesWithinWatermark("event_id")
-          .withColumn("ts", col("ts").cast("timestamp_ntz"))
-        graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        withStatePartitions(s, 8) {
+          val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
+            .parquet(stage)
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "90 days") // > fixture span: no late drops
+            .dropDuplicatesWithinWatermark("event_id")
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+        }
         aggByType(t.toDF(s))
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))
       },
