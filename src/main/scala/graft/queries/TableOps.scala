@@ -90,7 +90,7 @@ object TableOps {
     * stream to termination inside it, because micro-batches plan
     * asynchronously against the live session value.
     */
-  private[queries] def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  private[graft] def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -518,16 +518,10 @@ object TableOps {
         df.repartition(2).write.mode("append").parquet(stage) // second full copy
         val cat = newCatalog()
         val t = cat.createTable("db.events_dedup_wm", df.schema)
-        // watermarks require an instant TIMESTAMP column: cast the NTZ ts
-        // through (UTC session -> identical instants) and back for the sink
         withStatePartitions(s, 8) {
-          val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
-            .parquet(stage)
-            .withColumn("ts", col("ts").cast("timestamp"))
-            .withWatermark("ts", "90 days") // > fixture span: no late drops
-            .dropDuplicatesWithinWatermark("event_id")
-            .withColumn("ts", col("ts").cast("timestamp_ntz"))
-          graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
+          graft.streaming.GraftSink.dedupIngestWithinWatermark(
+            t, s, df.schema, stage, s"$stage-ckpt",
+            delay = "90 days") // > fixture span: no late drops
         }
         aggByType(t.toDF(s))
           .withColumn("multi_commit", lit(t.meta.snapshots.size > 1))

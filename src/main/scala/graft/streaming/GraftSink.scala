@@ -51,6 +51,33 @@ object GraftSink {
     q
   }
 
+  /** Bounded-state streaming dedup ingest (W9 + X1 composed, the 100 TB-safe
+    * shape): drain `stage` into the table with cross-batch exact dedup on
+    * `keyCol`, holding a key's state only until the watermark passes its
+    * event time + `delay` — state scales with the EVENT-TIME HORIZON, not
+    * with stream history, which is what lets the same pipeline ingest an
+    * unbounded stream. The g_stream_dedup_watermark gate and ScaleSmoke
+    * contract 9 both run THIS helper (the smoke certifies shipped code).
+    *
+    * `tsCol` arrives as TIMESTAMP_NTZ in the fixture tables; watermarks
+    * need an instant column, so it is cast through TIMESTAMP (UTC session
+    * — identical instants) and back for the sink.
+    */
+  def dedupIngestWithinWatermark(table: GraftTable, spark: SparkSession,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 stage: String, checkpoint: String,
+                                 delay: String, keyCol: String = "event_id",
+                                 tsCol: String = "ts",
+                                 maxFilesPerTrigger: Int = 2): StreamingQuery = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(stage)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+      .withColumn(tsCol, col(tsCol).cast("timestamp_ntz"))
+    ingestAvailable(table, spark, stream, checkpoint)
+  }
+
   /** Incremental bronze→silver transform keyed on a high-watermark column
     * (docs/12:94-104). Exact-once under replays because the watermark is
     * read from the committed target snapshot.

@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   *      scale shape — at sub-ratio^1.5 wall-time;
   *   6. the persisted inverted index stays honest: AND-query hits replicate
   *      exactly m-fold, term probes still partition-prune, and probing
-  *      stays far cheaper than rebuilding.
+  *      stays far cheaper than rebuilding;
+  *   7. the degree-oriented triangle pipeline replicates exactly m-fold
+  *      under shifted-key copies at sub-ratio^1.5 wall-time;
+  *   8. the iterative ranks (PageRank / HITS, exact integer arithmetic)
+  *      converge to the IDENTICAL per-copy score multiset at scale;
+  *   9. streaming-dedup state is bounded by the event-time horizon, not by
+  *      stream history (the unbounded foil ends holding every key).
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   *        sbt "runMain graft.tools.ScaleSmoke"
@@ -416,6 +422,105 @@ object ScaleSmoke {
       f"pagerank scaled super-linearly: ${tprM / tpr1}%.1fx > $rankBound%.0fx")
     require(thM / th1 < rankBound,
       f"hits scaled super-linearly: ${thM / th1}%.1fx > $rankBound%.0fx")
+
+    // contract 9: streaming-dedup state is bounded by the EVENT-TIME
+    // HORIZON, not by stream history — the property that lets the same
+    // pipeline ingest an unbounded stream. The staged stream replays the
+    // fixture's 30-day event span OLDEST-FIRST in 20 event-time slices
+    // (every event duplicated, dups inside their slice), through the
+    // SHIPPED watermark-dedup ingest ([[graft.streaming.GraftSink
+    // .dedupIngestWithinWatermark]] — the same helper the
+    // g_stream_dedup_watermark gate runs) with a 2-day delay. Exactness:
+    // every duplicate lands within the horizon, so the table must hold
+    // EXACTLY one row per key at every scale. Boundedness: a key's state
+    // row is evictable once the watermark passes ts+delay, so live state
+    // ~ keys in the trailing ~5.5 days (~18% of a uniform corpus) —
+    // asserted < 35% with slack for slice straddling — while the SAME
+    // staged stream through the unbounded exact-dedup path (g_stream_dedup's
+    // shape) must end holding EVERY key in state. At 100 TB the unbounded
+    // variant's state grows with history; the watermark variant's with the
+    // horizon only.
+    def stageSlices(ev: DataFrame, slices: Int): String = {
+      val stage = graft.queries.TableOps.newTempDir("graft-smoke-stream")
+      val dup = ev.unionByName(ev)
+        .withColumn("tsi", col("ts").cast("timestamp").cast("long"))
+      val bounds = dup.agg(min(col("tsi")), max(col("tsi"))).head()
+      val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, (tMax - tMin) / slices + 1)
+      val sliced = dup.withColumn("slice",
+          least(((col("tsi") - tMin) / span).cast("int"), lit(slices - 1)))
+        .drop("tsi").localCheckpoint()
+      // one write per slice, oldest first: the file source replays them in
+      // modification-time order, so batches advance in event time
+      for (k <- 0 until slices)
+        sliced.filter(col("slice") === k).drop("slice")
+          .coalesce(2).write.mode("append").parquet(stage)
+      sliced.unpersist()
+      stage
+    }
+    // (table rows, max state rows across batches, batches, seconds)
+    def boundedStreamRow(stage: String, schema: org.apache.spark.sql.types.StructType)
+        : (Long, Long, Int, Double) = {
+      val cat = new graft.catalog.GraftCatalog(
+        java.nio.file.Files.createTempDirectory("graft-smoke-swh").toString)
+      val t = cat.createTable("db.stream_dedup_wm", schema)
+      val (q, secs) = timed {
+        graft.queries.TableOps.withStatePartitions(spark, 8) {
+          graft.streaming.GraftSink.dedupIngestWithinWatermark(
+            t, spark, schema, stage, s"$stage-ckpt-wm", delay = "2 days")
+        }
+      }
+      val states = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      (t.toDF(spark).count(), if (states.isEmpty) 0L else states.max,
+        q.recentProgress.length, secs)
+    }
+    val ev9a = scaledEvents(1).localCheckpoint()
+    val stage9a = stageSlices(ev9a, slices = 20)
+    val schema9 = spark.read.parquet(stage9a).schema
+    val keys1 = ev9a.count()
+    val (rows9a, state9a, batches9a, t9a) = boundedStreamRow(stage9a, schema9)
+    report(f"stream dedup 1x: keys=$keys1 table_rows=$rows9a max_state=$state9a " +
+      f"batches=$batches9a t=$t9a%.1fs")
+    val ev9m = scaledEvents(mult).localCheckpoint()
+    val stage9m = stageSlices(ev9m, slices = 20)
+    val keysM = ev9m.count()
+    val (rows9m, state9m, batches9m, t9m) = boundedStreamRow(stage9m, schema9)
+    report(f"stream dedup at ${mult}x: keys=$keysM table_rows=$rows9m " +
+      f"max_state=$state9m (${100.0 * state9m / keysM}%.1f%% of keys) " +
+      f"batches=$batches9m t=$t9m%.1fs (${t9m / t9a}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    // the foil: the unbounded exact-dedup path over the SAME staged stream
+    // ends holding every key in state (correct, but state grows with
+    // history — the shape the watermark variant exists to avoid)
+    val (rowsU, stateU, tU) = {
+      val cat = new graft.catalog.GraftCatalog(
+        java.nio.file.Files.createTempDirectory("graft-smoke-swh").toString)
+      val t = cat.createTable("db.stream_dedup_unbounded", schema9)
+      val (q, secs) = timed {
+        graft.queries.TableOps.withStatePartitions(spark, 8) {
+          val stream = spark.readStream.schema(schema9)
+            .option("maxFilesPerTrigger", 2).parquet(stage9m)
+            .dropDuplicates("event_id")
+          graft.streaming.GraftSink.ingestAvailable(t, spark, stream, s"$stage9m-ckpt-ub")
+        }
+      }
+      val states = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      (t.toDF(spark).count(), if (states.isEmpty) 0L else states.max, secs)
+    }
+    report(f"stream dedup unbounded foil at ${mult}x: table_rows=$rowsU " +
+      f"max_state=$stateU (${100.0 * stateU / keysM}%.1f%% of keys) t=$tU%.1fs")
+    require(rows9a == keys1 && rows9m == keysM,
+      s"watermark dedup dropped or kept wrong rows: $rows9a/$keys1 at 1x, $rows9m/$keysM at ${mult}x")
+    require(rowsU == keysM, s"unbounded dedup wrong: $rowsU of $keysM keys")
+    require(stateU == keysM,
+      s"the unbounded foil must end holding every key in state: $stateU of $keysM")
+    require(state9m < (keysM * 0.35).toLong,
+      f"watermark state not horizon-bounded: $state9m rows = ${100.0 * state9m / keysM}%.1f%% of $keysM keys")
+    require(state9m > (keysM * 0.05).toLong,
+      s"implausibly small state ($state9m) — did the state metric read correctly?")
+    require(t9m / t9a < math.pow(mult, 1.5),
+      f"streaming dedup scaled super-linearly: ${t9m / t9a}%.1fx")
 
     report("SCALE SMOKE OK")
     spark.stop()
