@@ -93,6 +93,57 @@ object VectorFunctions {
     concat_ws("", transform(slice(a, 1, bits),
       x => when(x >= lit(0.0f), "1").otherwise("0")))
 
+  /** MULTI-TABLE sign LSH: `bands` independent [[lshBucket]] tables, band b
+    * hashing dimensions [b·bits+1, (b+1)·bits]. A candidate matches if it
+    * shares ANY band cell with the query (OR-of-bands — the banded-MinHash
+    * recall discipline applied to vectors): per-band collision probability
+    * p becomes 1−(1−p)^bands, the standard multi-probe recall lift at a
+    * bounded extra candidate budget. Returned as `array<string>` of
+    * "b:signs" cells (the band index prefixes the cell so cells from
+    * different bands can never collide); probe by exploding and
+    * equi-joining on the cell — each band is a partition key at scale,
+    * exactly like the single-table bucket.
+    */
+  def lshBands(a: Column, bands: Int, bits: Int = 8): Column = {
+    require(bands >= 1 && bits >= 1)
+    array((0 until bands).map(b =>
+      concat_ws(":", lit(b), lshBucket(slice(a, b * bits + 1, bits), bits))): _*)
+  }
+
+  /** IVF cell assignment against FROZEN (cid, centroid) pairs using the
+    * exact d² dot form d² = v·v − 2·v·c + c·c — every term a deterministic
+    * double fold, ties on centroid id — so any engine holding the same
+    * centroid constants derives the identical assignment (the oracle-exact
+    * variant of [[ivfAssign]]; k-means centroids would be engine-private
+    * state a cross-engine gate cannot see).
+    */
+  def ivfCellExact(v: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty)
+    array_min(array(centroids.map { case (cid, c) =>
+      val cl = lit(c)
+      struct((dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)).as("d"),
+        lit(cid).as("cell"))
+    }: _*)).getField("cell")
+  }
+
+  /** MULTI-PROBE cell list: the `nprobe` nearest centroid cells by the same
+    * exact d² form (d² asc, cid tie-break — array_sort orders the structs
+    * field-by-field), as `array<bigint>`. nprobe is THE recall/latency knob
+    * of an IVF index: the probe scans nprobe/K of the corpus instead of
+    * 1/K, and recall rises accordingly. nprobe=1 degenerates to
+    * [[ivfCellExact]].
+    */
+  def ivfProbeCellsExact(v: Column, centroids: Seq[(Long, Array[Double])],
+                         nprobe: Int): Column = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.size)
+    val ranked = array_sort(array(centroids.map { case (cid, c) =>
+      val cl = lit(c)
+      struct((dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)).as("d"),
+        lit(cid).as("cell"))
+    }: _*))
+    transform(slice(ranked, 1, nprobe), s => s.getField("cell"))
+  }
+
   /** Distributed top-k ranking without a global window: `orderBy.limit(k)`
     * plans TakeOrderedAndProject (each partition keeps k rows, the driver
     * merges k·numPartitions), then rank is derived over the k surviving rows

