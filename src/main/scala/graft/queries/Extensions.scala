@@ -2913,6 +2913,140 @@ object Extensions {
         |      / CAST(count(*) AS DOUBLE) AS dup_chunk_rate
         |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // X1e: INCREMENTAL chunk-level dedup — x_chunk_dedup's first-occurrence
+    // state made DURABLE, as that gate's own comment promises (r10 verdict
+    // #3): the (chunk_md5, f_doc, f_ci) keep-first table persists as a
+    // hash-bucketed Graft table between crawl batches, exactly like the
+    // doc-level fingerprint state one level up. A crawl batch PROBES the
+    // state by anti-join on the chunk hash (a seen hash can never be kept
+    // again — boilerplate planted in history stays dead in every future
+    // crawl), runs keep-first WITHIN the batch over the unseen hashes
+    // (the same two narrow aggregates as x_chunk_dedup — min doc per
+    // hash, min chunk within that doc), and APPENDS the batch's
+    // first-occurrences so the next crawl sees them as history. The
+    // recrawled history docs (+500000) score 100% dup chunks — the
+    // incremental path rejects them from STATE alone, no history text
+    // re-chunked. Certified: the refresh commit is append-only (every
+    // pre-refresh file survives byte-identical), the state holds exactly
+    // 2 commits, and the post-append inventory equals the whole-corpus
+    // distinct chunk-hash count — the append lost nothing and duplicated
+    // nothing. The oracle recomputes the decision from raw text with no
+    // state at all.
+    ("x_incremental_chunk_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val W = 16
+        val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+        val docs0 = Tables.documents(s, d).select("doc_id", "lang", "text")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+        val hist = docs0.filter(col("doc_id") % 2 === 0)
+        val batch = docs0.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
+        def chunksOf(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("lang"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(W))).as(Seq("ci", "start")))
+          .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
+            least(lit(W.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
+            md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
+        val histFirst = {
+          val hc = chunksOf(hist).localCheckpoint() // both keep-first aggs read it
+          val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
+          hc.join(fd, "h").filter(col("doc_id") === col("f_doc"))
+            .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+        }
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.chunk_first", histFirst.schema,
+          partitionBy = Seq("h" -> Transform.Bucket(4)))
+        t.append(s, histFirst)
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val bc = chunksOf(batch).localCheckpoint() // probe + rollup read it
+        val unseen = bc.select("h", "doc_id", "ci")
+          .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")
+          .localCheckpoint() // both batch-first aggs read it
+        val bfd = unseen.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
+        val bFirst = unseen.join(bfd, "h").filter(col("doc_id") === col("f_doc"))
+          .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+          .localCheckpoint() // read twice: the state append + the keep probe
+        t.append(s, bFirst) // the batch extends the durable keep-first state
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val stateChunks = t.toDF(s).count()
+        bc.join(bFirst, Seq("h"), "left")
+          .withColumn("keep", col("f_doc").isNotNull &&
+            col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("chunks"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
+            sum(col("n_tok")).as("tokens"),
+            sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
+          .withColumn("dup_chunk_rate",
+            lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("state_chunks", lit(stateChunks))
+          .orderBy("lang")
+      },
+      """WITH docs0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ||
+        |      ' subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs0 WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs0 WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000, lang, text FROM docs0
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0),
+        |toked_h AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM hist),
+        |chunks_h AS (
+        |  SELECT doc_id, (s - 1) // 16 AS ci,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_h WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |toked_b AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM batch),
+        |chunks_b AS (
+        |  SELECT doc_id, lang, (s - 1) // 16 AS ci,
+        |    CAST(len(t[s : s + 15]) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_b WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |unseen AS (
+        |  SELECT h, doc_id, ci FROM chunks_b c
+        |  WHERE NOT EXISTS (SELECT 1 FROM chunks_h x WHERE x.h = c.h)),
+        |bfd AS (SELECT h, min(doc_id) AS f_doc FROM unseen GROUP BY 1),
+        |bfirst AS (
+        |  SELECT u.h, f.f_doc, min(u.ci) AS f_ci
+        |  FROM unseen u JOIN bfd f ON u.h = f.h AND u.doc_id = f.f_doc
+        |  GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT c.lang, c.doc_id, c.n_tok,
+        |    (b.f_doc IS NOT NULL AND c.doc_id = b.f_doc AND c.ci = b.f_ci) AS keep
+        |  FROM chunks_b c LEFT JOIN bfirst b ON c.h = b.h),
+        |state AS (
+        |  SELECT count(DISTINCT h) AS n FROM (
+        |    SELECT h FROM chunks_h UNION ALL SELECT h FROM chunks_b))
+        |SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS chunks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS dup_chunk_rate,
+        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  (SELECT n FROM state) AS state_chunks
+        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
     // |sh(A)∩sh(B)| / |sh(A)| catches an excerpt/quote A living inside a
     // longer B, which Jaccard structurally misses (a 15-token excerpt of a
@@ -4157,6 +4291,119 @@ object Extensions {
         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
         |SELECT b.lang, count(*) AS admitted,
         |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits
+        |FROM batch b LEFT JOIN rej r USING (doc_id)
+        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2l: STATE-TABLE COMPACTION composes with incremental NEAR-dup —
+    // the last of the three persisted dedup states named by r9 verdict #1
+    // (fingerprints and postings got their compaction gates in r10; this
+    // closes the band-signature table). The signature state accumulates
+    // one small file set per crawl batch forever, so compaction must
+    // eventually rewrite it — and a lost or duplicated (band, sig, doc_id)
+    // row would silently change tomorrow's NOMINATIONS (a missing row
+    // admits a true near-dup; a phantom row can reject a novel doc), with
+    // no wrong answer today to flag it. The fixture builds the state in
+    // TWO appends, binpack-compacts mid-sequence (`compacted` = files
+    // strictly decreased, `state_preserved` = zero signature rows lost),
+    // dedups the recrawl-bearing batch against the COMPACTED table
+    // (nomination by (band, sig) equi-join + exact-Jaccard ≥ 0.5 verify,
+    // pairJaccard's measured-broadcast discipline), and finally APPENDS
+    // the admitted docs' signatures — proving append still composes after
+    // a rewrite (`append_only`, 4 commits: append, append, compact,
+    // append). The oracle recomputes the whole decision from raw text
+    // with no state, no compaction, no commits — agreement proves the
+    // maintenance event is invisible to the dedup decision.
+    ("x_incremental_neardup_compacted",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" recrawl tail")).as("text")))
+        def sigsOf(df: DataFrame): DataFrame = df
+          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
+          .select(col("doc_id"),
+            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
+          .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
+        val cat = TableOps.newCatalog()
+        val sigs1 = sigsOf(hist.filter(col("doc_id") % 4 === 0))
+        val t = cat.createTable("db.neardup_sigs_c", sigs1.schema,
+          partitionBy = Seq("sig" -> Transform.Bucket(4)))
+        t.append(s, sigs1)
+        t.append(s, sigsOf(hist.filter(col("doc_id") % 4 === 2)))
+        val filesBefore = t.scan().dataFiles.size
+        val stateRowsBefore = t.toDF(s).count()
+        t.compact(s) // mid-sequence maintenance on the live signature state
+        val filesAfter = t.scan().dataFiles.size
+        val stateRowsAfter = t.toDF(s).count()
+        val batchSigs = sigsOf(batch).localCheckpoint() // nominate AND re-append
+        val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+          .select("doc_a", "doc_b").distinct()
+        val rejected = pairJaccard(
+            batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("doc_id")).distinct()
+          .localCheckpoint() // gates the state append AND the final rollup
+        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+        val filesPostCompact = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
+          .select("band", "sig", "doc_id"))
+        val filesFinal = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        admitted.groupBy("lang").agg(count(lit(1)).as("admitted"))
+          .withColumn("compacted", lit(filesAfter < filesBefore))
+          .withColumn("state_preserved", lit(stateRowsAfter == stateRowsBefore))
+          .withColumn("append_only",
+            lit(filesPostCompact.subsetOf(filesFinal) && filesFinal.size > filesPostCompact.size))
+          .withColumn("maintenance_commits", lit(t.meta.snapshots.size.toLong))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM batch)),
+        |sh_h AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM hist)),
+        |b_b AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_b, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_h, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, h.doc_id AS doc_b
+        |  FROM b_b a JOIN b_h h ON a.b = h.b AND a.sig = h.sig),
+        |rej AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN sh_b x ON x.doc_id = c.doc_a
+        |  JOIN sh_h y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT b.lang, count(*) AS admitted,
+        |  true AS compacted, true AS state_preserved, true AS append_only,
+        |  CAST(4 AS BIGINT) AS maintenance_commits
         |FROM batch b LEFT JOIN rej r USING (doc_id)
         |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
 

@@ -76,14 +76,21 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(got == perLang, s"batch novelty diverged: $got vs $perLang")
   }
 
-  test("ann recall: hits bounded by brute_k, brute list equals in-memory top-10") {
+  test("ann recall: hits bounded by brute_k, multi-probe dominates single-probe, brute list equals in-memory top-10") {
     val rows = gate("x_ann_recall")(spark, d).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (bk, lsh, ivf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (bk, lsh, lshMp, ivf, ivfMp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       assert(bk >= 1 && bk <= 10)
-      assert(lsh >= 0 && lsh <= bk, s"lsh_hits $lsh out of [0, $bk]")
-      assert(ivf >= 0 && ivf <= bk, s"ivf_hits $ivf out of [0, $bk]")
+      for ((n, h) <- Seq("lsh" -> lsh, "lsh_mp" -> lshMp, "ivf" -> ivf, "ivf_mp" -> ivfMp))
+        assert(h >= 0 && h <= bk, s"${n}_hits $h out of [0, $bk]")
+      // the single cell IS band 0 / the probe-list head, so the multi-probe
+      // candidate pool is a superset — and a superset pool's top-10 keeps
+      // every true neighbor the smaller pool found (they outrank whatever
+      // displaced them): per-query monotone, not just on average
+      assert(lshMp >= lsh, s"multi-band recall $lshMp < single-cell $lsh")
+      assert(ivfMp >= ivf, s"nprobe=4 recall $ivfMp < single-cell $ivf")
     }
     // the ground-truth side: knnJoin's per-query top-10 equals a driver-side
     // brute force over the same floats (cosine in doubles, ties by id)
@@ -194,6 +201,84 @@ class StateMaintenanceSpec extends SparkSpec {
     val recrawlKept = inst.filter(i => recrawlIds.contains(i._1))
       .count(i => first(i._5) == ((i._1, i._3)))
     assert(recrawlKept == 0, s"recrawled docs kept $recrawlKept chunks")
+  }
+
+  test("clustered ann recall: every panel query >=8/10 with a ~25% cell-pruned candidate set") {
+    val rows = gate("x_ann_recall_clustered")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val corpusRows = Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 97 =!= 0).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L, "the clustered corpus must yield a full brute top-10")
+      val cand = r.getLong(2)
+      // nprobe=2 of 8 roughly-equal cells: the probe reads ~25% of the
+      // corpus, never all of it — the gate must stay cell-pruned
+      assert(cand > 0 && cand < (corpusRows * 2) / 5,
+        s"cand_rows $cand is not a pruned probe of $corpusRows corpus rows")
+      assert(r.getLong(3) >= 8L, s"recall floor broken: ${r.getLong(3)}")
+    }
+  }
+
+  test("compacted incremental neardup: maintenance flags certify, admissions equal the uncompacted gate") {
+    val rows = gate("x_incremental_neardup_compacted")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), "compaction must strictly reduce the file count")
+      assert(r.getBoolean(3), "compaction must preserve every signature row")
+      assert(r.getBoolean(4), "the post-compaction batch append must be append-only")
+      assert(r.getLong(5) == 4L, "append + append + compact + append = 4 commits")
+    }
+    // same fixture, same nomination, same verify — the only difference is
+    // the mid-sequence rewrite, so admissions must match exactly
+    val plain = gate("x_incremental_neardup")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plain, s"compaction changed admissions: $got vs $plain")
+  }
+
+  test("incremental chunk dedup: keep-first-across-crawls replay; recrawls keep zero; state equals the corpus chunk inventory") {
+    val rows = gate("x_incremental_chunk_dedup")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+    val base = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val t = if (r.getLong(0) % 5 == 0) r.getString(2) + boiler else r.getString(2)
+        (r.getLong(0), r.getString(1), t)
+      }
+    def chunksOf(docs: Array[(Long, String, String)]) = docs.flatMap {
+      case (id, lang, text) =>
+        val t = text.trim.split("\\s+").filter(_.nonEmpty)
+        t.grouped(16).zipWithIndex.map { case (c, ci) =>
+          (id, lang, ci.toLong, c.length.toLong, c.mkString(" "))
+        }
+    }
+    val hist = base.filter(_._1 % 2 == 0)
+    val batch = base.filter(_._1 % 2 == 1) ++
+      hist.filter(_._1 % 20 == 0).map(t => (t._1 + 500000L, t._2, t._3))
+    val histChunks = chunksOf(hist).map(_._5).toSet
+    val bi = chunksOf(batch)
+    val firstInBatch = bi.filter(i => !histChunks.contains(i._5))
+      .groupBy(_._5).map { case (k, is) => k -> is.map(i => (i._1, i._3)).min }
+    val perLang = bi.groupBy(_._2).map { case (lang, is) =>
+      val kept = is.filter(i => firstInBatch.get(i._5).contains((i._1, i._3)))
+      lang -> (is.map(_._1).distinct.size.toLong, is.size.toLong,
+        kept.size.toLong, is.map(_._4).sum, kept.map(_._4).sum)
+    }
+    val got = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == perLang, s"incremental replay diverged: $got vs $perLang")
+    // every recrawled doc's chunks live in the state already — zero kept
+    val recrawlKept = bi.filter(_._1 >= 500000L)
+      .count(i => firstInBatch.get(i._5).contains((i._1, i._3)))
+    assert(recrawlKept == 0, s"recrawled docs kept $recrawlKept chunks")
+    // durable-state certification columns
+    val corpusChunks = (histChunks ++ bi.map(_._5)).size.toLong
+    rows.foreach { r =>
+      assert(r.getBoolean(7), "the batch append must be append-only")
+      assert(r.getLong(8) == 2L, "initial build + batch append = 2 commits")
+      assert(r.getLong(9) == corpusChunks,
+        "state must hold exactly the corpus's distinct chunks")
+    }
   }
 
   test("hits helper: scale-free fixed point, max authority pinned at S") {
