@@ -241,8 +241,12 @@ object Bench {
     // regression checks were lossy. The file is authoritative; the stdout
     // lines remain for the driver's artifact. Subset runs (SPARK_GRAFT_
     // QUERIES) do NOT write it — a 2-query local iteration must never
-    // clobber the last full run's per-query baseline.
-    if (only.isEmpty)
+    // clobber the last full run's per-query baseline. Polluted final
+    // attempts don't write it either: bench_compare.py consumes the file
+    // without re-checking the verdict, so a contended run must not become
+    // the authoritative cross-round baseline (it still prints to stdout,
+    // and the process exits 2).
+    if (only.isEmpty && !polluted)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.full.json"),
         (fullJson + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it

@@ -200,6 +200,114 @@ object Extensions {
     * x_pagerank, so the gates and the ScaleSmoke contract all certify
     * the same code.
     */
+  /** Per-user funnel stages (view → click → purchase, each step strictly
+    * AFTER the previous one's first occurrence) — the x_funnel pipeline
+    * body, shared with ScaleSmoke contract 10 so the smoke certifies
+    * shipped code. Three chained keyed windows over ONE user-id exchange;
+    * NULL propagation implements the funnel ordering (see the gate
+    * comment). Input: (user_id, event_type, ts).
+    * @return (user_id, reached, gap12_us, gap23_us) — unordered
+    */
+  private[graft] def funnelStages(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = ev.select("user_id", "event_type", "ts")
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached"),
+        (unix_micros(col("t2").cast("timestamp")) -
+          unix_micros(col("t1").cast("timestamp"))).as("gap12_us"),
+        (unix_micros(col("t3").cast("timestamp")) -
+          unix_micros(col("t2").cast("timestamp"))).as("gap23_us"))
+  }
+
+  /** Per-user consecutive-event transition matrix — the
+    * x_event_transitions pipeline body, shared with ScaleSmoke contract
+    * 10. One keyed exchange + a lag window per user, then a hash agg onto
+    * the |types|² matrix; ordering ties break by event_id. Input:
+    * (user_id, event_type, ts, event_id).
+    * @return (from_type, to_type, transitions, users) — unordered
+    */
+  private[graft] def transitionMatrix(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"),
+        countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Per-user session rollup over the shipped gap-sessionizer
+    * ([[graft.streaming.Sessionize.sessionsBatch]]) — the x_sessionize
+    * pipeline body, shared with ScaleSmoke contract 10. Input:
+    * (user_id, ts).
+    * @return (user_id, n_sessions, max_session_events, total_events) —
+    *         unordered
+    */
+  private[graft] def sessionRollup(s: SparkSession, ev: DataFrame,
+      gapMs: Long): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Sessionize
+    Sessionize.sessionsBatch(
+        ev.select(col("user_id").as("userId"),
+          col("ts").cast("timestamp").as("ts")).as[Sessionize.Event], gapMs)
+      .groupBy(col("userId").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("events")).cast("long").as("max_session_events"),
+        sum(col("events")).as("total_events"))
+  }
+
+  /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
+    * pipeline body, shared with ScaleSmoke contract 11. Non-overlapping
+    * `w`-token chunks keyed by md5 of the chunk text; keep-first is two
+    * narrow aggregates (min doc per hash, min chunk within that doc) and
+    * chunk text never travels — the exploded stream carries (hash, count)
+    * only and is PINNED once (read by the first-occurrence aggregate AND
+    * the probe; an unpinned stream re-tokenizes the corpus per read, the
+    * pre-r8 pairJaccard 405 s failure shape). Input: (doc_id, lang, text).
+    * @return per-lang (docs, chunks, kept_chunks, tokens, kept_tokens,
+    *         dup_chunk_rate) — unordered
+    */
+  private[graft] def chunkDedupStats(docs: DataFrame, w: Int = 16): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("lang"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(w))).as(Seq("ci", "start")))
+      .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
+        // chunk length by arithmetic, not size(slice(..)): a second slice
+        // per chunk would re-allocate the array (no CSE in interpreted
+        // HOFs — the repo-wide discipline)
+        least(lit(w.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
+        md5(array_join(slice(col("t"), col("start"), lit(w)), " ")).as("h"))
+      .localCheckpoint() // read twice: first-occurrence aggs + probe
+    val fdoc = chunks.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
+    val fci = chunks.join(fdoc, "h")
+      .filter(col("doc_id") === col("f_doc"))
+      .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+    chunks.join(fci, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("chunks"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
+        sum(col("n_tok")).as("tokens"),
+        sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
+      .withColumn("dup_chunk_rate",
+        lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
+  }
+
   private[graft] def basketEdges(items: DataFrame, cap: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val capped = items
@@ -1683,19 +1791,9 @@ object Extensions {
     // path in graft.streaming.Sessionize; one userId shuffle, per-key fold).
     // The oracle recomputes sessions with the SQL lag/cumsum assignment.
     ("x_sessionize",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        import graft.streaming.Sessionize
-        val ev = Tables.events(s, d)
-          .select(col("user_id").as("userId"), col("ts").cast("timestamp").as("ts"))
-          .as[Sessionize.Event]
-        Sessionize.sessionsBatch(ev, gapMs = 30L * 60 * 1000)
-          .groupBy(col("userId").as("user_id"))
-          .agg(count(lit(1)).as("n_sessions"),
-            max(col("events")).cast("long").as("max_session_events"),
-            sum(col("events")).as("total_events"))
-          .orderBy("user_id")
-      },
+      (s: SparkSession, d: String) =>
+        sessionRollup(s, Tables.events(s, d), gapMs = 30L * 60 * 1000)
+          .orderBy("user_id"),
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
@@ -2840,41 +2938,13 @@ object Extensions {
     // rate (one mirrored division).
     ("x_chunk_dedup",
       (s: SparkSession, d: String) => {
-        val W = 16
         val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
         val docs0 = Tables.documents(s, d).select("doc_id", "lang", "text")
           .withColumn("text", when(col("doc_id") % 5 === 0,
             concat(col("text"), lit(boiler))).otherwise(col("text")))
         val corpus = docs0.unionByName(docs0.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
-        val chunks = corpus
-          .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
-          .filter(size(col("t")) > 0)
-          .select(col("doc_id"), col("lang"), col("t"),
-            posexplode(sequence(lit(1), size(col("t")), lit(W))).as(Seq("ci", "start")))
-          .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
-            // chunk length by arithmetic, not size(slice(..)): a second
-            // slice per chunk would re-allocate the array (no CSE in
-            // interpreted HOFs — the repo-wide discipline)
-            least(lit(W.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
-            md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
-          .localCheckpoint() // read twice: first-occurrence aggs + probe
-        val fdoc = chunks.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
-        val fci = chunks.join(fdoc, "h")
-          .filter(col("doc_id") === col("f_doc"))
-          .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
-        chunks.join(fci, "h")
-          .withColumn("keep",
-            col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
-          .groupBy("lang")
-          .agg(countDistinct(col("doc_id")).as("docs"),
-            count(lit(1)).as("chunks"),
-            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
-            sum(col("n_tok")).as("tokens"),
-            sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
-          .withColumn("dup_chunk_rate",
-            lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
-          .orderBy("lang")
+        chunkDedupStats(corpus).orderBy("lang")
       },
       """WITH docs0 AS (
         |  SELECT doc_id, lang,
@@ -3399,28 +3469,8 @@ object Extensions {
     // surface as integer microseconds; at 100 TB this is one shuffle of
     // (user, ts, type) — no joins, no per-step passes over the corpus.
     ("x_funnel",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id")
-        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-        val staged = ev
-          .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
-          .withColumn("t2", min(when(col("event_type") === "click" &&
-            col("ts") > col("t1"), col("ts"))).over(w))
-          .withColumn("t3", min(when(col("event_type") === "purchase" &&
-            col("ts") > col("t2"), col("ts"))).over(w))
-        staged.groupBy("user_id")
-          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
-          .select(col("user_id"),
-            when(col("t3").isNotNull, 3L)
-              .when(col("t2").isNotNull, 2L)
-              .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached"),
-            (unix_micros(col("t2").cast("timestamp")) -
-              unix_micros(col("t1").cast("timestamp"))).as("gap12_us"),
-            (unix_micros(col("t3").cast("timestamp")) -
-              unix_micros(col("t2").cast("timestamp"))).as("gap23_us"))
-          .orderBy("user_id")
-      },
+      (s: SparkSession, d: String) =>
+        funnelStages(Tables.events(s, d)).orderBy("user_id"),
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -3482,18 +3532,8 @@ object Extensions {
     // same-timestamp events sequence identically in both engines; counts
     // are exact BIGINTs.
     ("x_event_transitions",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-          .withColumn("to_type", lead(col("event_type"), 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("to_type"))
-          .agg(count(lit(1)).as("transitions"),
-            countDistinct(col("user_id")).as("users"))
-          .orderBy("from_type", "to_type")
-      },
+      (s: SparkSession, d: String) =>
+        transitionMatrix(Tables.events(s, d)).orderBy("from_type", "to_type"),
       """WITH seq AS (
         |  SELECT user_id, event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

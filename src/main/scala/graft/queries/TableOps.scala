@@ -28,11 +28,12 @@ object TableOps {
     * on exactly the stressed hosts that trigger retries) can reclaim them
     * between queries instead of leaking one directory per fixture build.
     */
-  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(java.nio.file.Path, Int)]()
 
   private[graft] def newTempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    tempDirs.add(p)
+    tempDirs.add((p, 0))
     p.toString
   }
 
@@ -52,8 +53,16 @@ object TableOps {
     */
   private[graft] def reclaimTempDirs(): Int = {
     var n = 0
-    var p = tempDirs.poll()
-    while (p != null) {
+    // a dir that fails to delete (a still-flushing checkpoint under a
+    // concurrent writer) is RE-ENQUEUED for the next reclaim pass rather
+    // than dropped — dropping it leaked exactly on the stressed hosts the
+    // reclaim targets. Bounded at 3 attempts so a permanently-undeletable
+    // path cannot grow the queue forever; retries collect locally and
+    // re-enqueue after the drain (re-adding mid-drain would loop this pass).
+    val retry = scala.collection.mutable.ListBuffer[(java.nio.file.Path, Int)]()
+    var e = tempDirs.poll()
+    while (e != null) {
+      val (p, attempts) = e
       try {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -68,10 +77,12 @@ object TableOps {
         // UncheckedIOException (a RuntimeException) — a concurrent writer
         // (e.g. a failed gate's still-flushing stream checkpoint) must not
         // abort the whole Bench/Verify run
-        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          if (attempts < 3) retry += ((p, attempts + 1))
       }
-      p = tempDirs.poll()
+      e = tempDirs.poll()
     }
+    retry.foreach(tempDirs.add)
     n
   }
 

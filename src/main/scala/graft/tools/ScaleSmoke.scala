@@ -451,10 +451,28 @@ object ScaleSmoke {
           least(((col("tsi") - tMin) / span).cast("int"), lit(slices - 1)))
         .drop("tsi").localCheckpoint()
       // one write per slice, oldest first: the file source replays them in
-      // modification-time order, so batches advance in event time
-      for (k <- 0 until slices)
+      // modification-time order, so batches advance in event time. The
+      // order cannot be left to the filesystem clock — coarse (1 s) mtime
+      // granularity can tie adjacent slices and replay them swapped, and
+      // with a 2-day delay vs ~1.5-day slices one swapped slice crosses
+      // the watermark horizon and drops its events as late (a flaky
+      // exactness failure). Each slice's new files are therefore stamped
+      // with an explicit strictly-increasing per-slice timestamp.
+      import java.nio.file.{Files, Paths, Path}
+      val stamped = scala.collection.mutable.Set[Path]()
+      val base = System.currentTimeMillis()
+      for (k <- 0 until slices) {
         sliced.filter(col("slice") === k).drop("slice")
           .coalesce(2).write.mode("append").parquet(stage)
+        val walk = Files.walk(Paths.get(stage))
+        try walk.forEach { f =>
+          if (Files.isRegularFile(f) && !stamped.contains(f)) {
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(base + k * 1000L))
+            stamped.add(f)
+          }
+        } finally walk.close()
+      }
       sliced.unpersist()
       stage
     }
@@ -521,6 +539,97 @@ object ScaleSmoke {
       s"implausibly small state ($state9m) — did the state metric read correctly?")
     require(t9m / t9a < math.pow(mult, 1.5),
       f"streaming dedup scaled super-linearly: ${t9m / t9a}%.1fx")
+
+    // contract 10: the behavioral family scales horizontally — the shipped
+    // sessionize / funnel / transition pipelines ([[Extensions
+    // .sessionRollup]], [[Extensions.funnelStages]], [[Extensions
+    // .transitionMatrix]] — the exact code the x_sessionize / x_funnel /
+    // x_event_transitions gates run) on user-shifted copies. Every
+    // pipeline is per-user keyed, so each copy must produce the IDENTICAL
+    // per-user result vector (sorted collect per copy, distinct == 1 —
+    // the ranks-contract shape; any deviation means cross-user leakage at
+    // scale) and the type-level transition matrix must replicate every
+    // count exactly m-fold. Wall-time bounded by data-ratio^1.5 (each
+    // pipeline is one keyed exchange + windows/aggs).
+    def behavioralVectors(ev: DataFrame): (Long, Long, Long, Long, Map[(String, String), (Long, Long)], Double) = {
+      val (r, t) = timed {
+        val sess = Extensions.sessionRollup(spark, ev, gapMs = 30L * 60 * 1000)
+        val fun = Extensions.funnelStages(ev)
+        def vecs(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+          val v = df
+            .groupBy(expr("user_id div 10000000").as("copy"))
+            .agg(sort_array(collect_list(concat_ws(",",
+              (pmod(col("user_id"), lit(10000000L)) +:
+                cols.map(c => coalesce(col(c).cast("string"), lit("null")))): _*))).as("vec"))
+            .localCheckpoint()
+          (v.select("vec").distinct().count(), v.count())
+        }
+        val (sv, sc) = vecs(sess, Seq("n_sessions", "max_session_events", "total_events"))
+        val (fv, fc) = vecs(fun, Seq("reached", "gap12_us", "gap23_us"))
+        val tm = Extensions.transitionMatrix(ev).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        (sv, sc, fv, fc, tm)
+      }
+      (r._1, r._2, r._3, r._4, r._5, t)
+    }
+    val (_, _, _, _, tm1, tb1) = behavioralVectors(ev9a)
+    val (sVecsM, sCopiesM, fVecsM, fCopiesM, tmM, tbM) = behavioralVectors(ev9m)
+    report(f"behavioral at ${mult}x: session_copy_vectors=$sVecsM/$sCopiesM " +
+      f"funnel_copy_vectors=$fVecsM/$fCopiesM transitions=${tmM.size} cells " +
+      f"t=$tbM%.1fs (${tbM / tb1}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    require(sCopiesM == mult.toLong && sVecsM == 1L,
+      s"session copies diverged: $sVecsM distinct vectors over $sCopiesM copies")
+    require(fCopiesM == mult.toLong && fVecsM == 1L,
+      s"funnel copies diverged: $fVecsM distinct vectors over $fCopiesM copies")
+    require(tmM.keySet == tm1.keySet && tm1.forall { case (k, (tr, us)) =>
+        tmM(k) == ((mult * tr, mult * us)) },
+      s"transition matrix not copy-invariant: $tm1 at 1x vs $tmM at ${mult}x")
+    require(tbM / tb1 < math.pow(mult, 1.5),
+      f"behavioral family scaled super-linearly: ${tbM / tb1}%.1fx")
+
+    // contract 11: chunk-level dedup scales horizontally — the shipped
+    // [[Extensions.chunkDedupStats]] (the x_chunk_dedup pipeline, planted
+    // boilerplate tails and whole-doc recrawls included) on m copies made
+    // CHUNK-DISJOINT by a per-copy token suffix (every token rewritten
+    // "tok_c<copy>", so no chunk collides across copies while every
+    // intra-copy dup structure — boilerplate, recrawls — is preserved
+    // bit-for-bit). Per-lang chunk counts, kept counts, and token sums
+    // must then replicate EXACTLY m-fold and the dup_chunk_rate must be
+    // IDENTICAL to 1x (the invariant r10 shipped the gate under); the
+    // pinned exploded stream keeps wall-time under data-ratio^1.5 (the
+    // pre-r8 pairJaccard incident re-tokenized per read and blew 400 s).
+    def chunkFixture(m: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(BoilerText))).otherwise(col("text")))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
+      corpus.crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"), col("lang"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_c"), col("copy").cast("string")))).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def chunkRow(m: Int): (Map[String, (Long, Long, Long, Long, Long, Double)], Double) = {
+      val (rows, t) = timed(Extensions.chunkDedupStats(chunkFixture(m)).collect())
+      (rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap, t)
+    }
+    val (cd1, tc1b) = chunkRow(1)
+    val (cdM, tcMb) = chunkRow(mult)
+    val dupRate1 = cd1.values.map(_._6).max
+    report(f"chunk dedup at ${mult}x: langs=${cdM.size} max_dup_rate=$dupRate1%.3f " +
+      f"t=$tcMb%.1fs (${tcMb / tc1b}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    require(cdM.keySet == cd1.keySet && cd1.forall { case (lang, v1) =>
+        val vm = cdM(lang)
+        vm._1 == mult * v1._1 && vm._2 == mult * v1._2 && vm._3 == mult * v1._3 &&
+          vm._4 == mult * v1._4 && vm._5 == mult * v1._5 && vm._6 == v1._6 },
+      s"chunk dedup not copy-invariant: $cd1 at 1x vs $cdM at ${mult}x")
+    require(dupRate1 > 0.0, "the planted boilerplate must produce duplicate chunks")
+    require(tcMb / tc1b < math.pow(mult, 1.5),
+      f"chunk dedup scaled super-linearly: ${tcMb / tc1b}%.1fx")
 
     report("SCALE SMOKE OK")
     spark.stop()

@@ -61,6 +61,9 @@ def load(path):
     if not qs:
         sys.exit(f"{path}: no bench JSON found")
     out = {"queries": qs}
+    mv = re.search(r'"verdict":"([^"]+)"', text)
+    if mv:
+        out["verdict"] = mv.group(1)
     mc = re.search(r'"controls":\[([0-9.,]+)\]', text)
     if mc:
         out["controls"] = [float(x) for x in mc.group(1).split(",")]
@@ -84,6 +87,14 @@ def host_speed(d, other=None):
 
 def main(old_path, new_path, band=1.5):
     old, new = load(old_path), load(new_path)
+    # Bench skips writing BENCH.full.json on a polluted final attempt, but
+    # driver log tails can still carry one — never let a contended run pass
+    # silently as a baseline.
+    for path, d in ((old_path, old), (new_path, new)):
+        v = d.get("verdict", "clean")
+        if v != "clean":
+            print(f"WARNING: {path} verdict is '{v}' — its times are host-"
+                  "contended; rerun it before trusting any flag below")
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     if not common:
