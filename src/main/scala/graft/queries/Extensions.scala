@@ -5297,6 +5297,122 @@ object Extensions {
         |FROM bk LEFT JOIN cr USING (query_id) LEFT JOIN mh USING (query_id)
         |ORDER BY query_id""".stripMargin),
 
+    // X3i: the FULL 100 TB retrieval story in ONE gate — durable
+    // partition-pruned index + multi-probe + certified recall, all
+    // oracle-exact. x_ann_recall_clustered proves the recall math but
+    // derives candidates with an in-query join; x_ann_index proves a
+    // persisted index prunes but probes ONE cell of a k-means index the
+    // oracle cannot see. This gate composes them with nothing
+    // engine-private: the CLUSTERED corpus persists as a Graft table
+    // identity-partitioned on its [[VectorFunctions.ivfCellExact]] cell
+    // (8 frozen shift-vector centroids), the query's nprobe=2 probe list
+    // becomes ONE In-predicate scan whose metrics certify the read
+    // touched ONLY the probed cells' partitions (`probe_pruned`, 2 of 8),
+    // candidates come FROM THAT PRUNED READ (not a full-table join), and
+    // every top-10 row is flagged against the exact brute-force set
+    // (shipped [[VectorFunctions.bruteForceTopK]]) with ≥8/10 REQUIREd
+    // in-process. At 100 TB this is the shape a vector store actually
+    // runs: the index is a partitioned table, a probe is a pruned scan,
+    // and recall is a measured number — not a hope.
+    ("x_ann_index_multiprobe",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val e = Tables.embeddings(s, d)
+        val clustered = e.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(
+              pmod(i.cast("bigint"), lit(8L)) === pmod(col("vec_id"), lit(8L)),
+              lit(0.25)).otherwise(lit(0.0))).as("v"))
+        val cents: Seq[(Long, Array[Double])] = (0L until 8L).map(g =>
+          g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
+        val cat = TableOps.newCatalog()
+        val assigned = clustered.withColumn("cell", VF.ivfCellExact(col("v"), cents))
+        val t = cat.createTable("db.ann_mp", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity))
+        t.append(s, assigned)
+        val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
+        val probeCells = q
+          .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
+          .head.getSeq[Long](0)
+        val scan = t.scan(Predicate.In("cell", probeCells))
+        // candidates come from the PRUNED read — the query row itself and
+        // its panel peers are corpus-excluded like every recall gate
+        val cand = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
+          .crossJoin(broadcast(q))
+          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
+            lit(null).cast("double")))
+          .filter(col("sim").isNotNull)
+        // TakeOrderedAndProject, never a single-partition window: the
+        // pruned read is still nprobe/K of the corpus at any scale
+        val top = cand.select(col("neighbor_id"), col("sim"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+          .limit(10)
+          .coalesce(1)
+          .sortWithinPartitions(col("sim").desc, col("neighbor_id"))
+          .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
+          .select("rank", "neighbor_id")
+        val brute = VF.bruteForceTopK(
+            clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        require(brute.size == 10, "clustered corpus must yield a full brute top-10")
+        val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
+        val out = top
+          .withColumn("hit", col("neighbor_id").isInCollection(brute))
+          .withColumn("probe_pruned", lit(pruned))
+          .withColumn("cells_probed", lit(probeCells.length.toLong))
+          .orderBy("rank")
+          .localCheckpoint() // certified below, then returned as-is
+        val hits = out.collect().count(_.getAs[Boolean]("hit"))
+        require(hits >= 8,
+          s"pruned-probe recall floor broken: $hits/10 from cells $probeCells")
+        out
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |brute AS (SELECT neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rn
+        |    FROM c, q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, ct.cemb)
+        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed
+        |FROM top t ORDER BY 1""".stripMargin),
+
     ("x_hits",
       (s: SparkSession, d: String) => {
         // The rescale product v·S can exceed BIGINT once a raw score tops

@@ -219,6 +219,18 @@ class StateMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("persisted multiprobe index: pruned 2-of-8-cell read still recalls >=8/10") {
+    val rows = gate("x_ann_index_multiprobe")(spark, d).collect()
+    assert(rows.length == 10, "the pruned probe must fill all 10 ranks")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "ranks must be 1..10")
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "the probe scan must partition-prune")
+      assert(r.getLong(4) == 2L, "the probe must read exactly nprobe=2 cells")
+    }
+    val hits = rows.count(_.getBoolean(2))
+    assert(hits >= 8, s"pruned-probe recall $hits/10 below the floor")
+  }
+
   test("compacted incremental neardup: maintenance flags certify, admissions equal the uncompacted gate") {
     val rows = gate("x_incremental_neardup_compacted")(spark, d).collect()
     assert(rows.nonEmpty)
