@@ -241,15 +241,22 @@ object Bench {
     // regression checks were lossy. The file is authoritative; the stdout
     // lines remain for the driver's artifact. Subset runs (SPARK_GRAFT_
     // QUERIES) do NOT write it — a 2-query local iteration must never
-    // clobber the last full run's per-query baseline. Polluted final
-    // attempts don't write it either: bench_compare.py consumes the file
-    // without re-checking the verdict, so a contended run must not become
-    // the authoritative cross-round baseline (it still prints to stdout,
-    // and the process exits 2).
-    if (only.isEmpty && !polluted)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.full.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-      catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    // clobber the last full run's per-query baseline. A polluted final
+    // attempt removes the file instead: bench_compare.py consumes it
+    // without re-checking the verdict, so a contended run must neither
+    // become the baseline nor leave a stale clean-looking one behind (the
+    // numbers still print to stdout, and the process exits 2).
+    if (only.isEmpty) {
+      // polluted final attempt: DELETE the file rather than skip the write —
+      // a stale previous-run file still says verdict "clean", so a caller
+      // who misses the exit code would diff round N against round N's own
+      // data and read every ratio as ~1.0x (a silent false "no regression")
+      try {
+        val p = java.nio.file.Paths.get("BENCH.full.json")
+        if (polluted) java.nio.file.Files.deleteIfExists(p)
+        else java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    }
     // A second, SHORT trailing line with only the headline numbers: the
     // round-3 and round-7 driver artifacts kept only the log TAIL, and the
     // full line above — which leads with the totals — got truncated

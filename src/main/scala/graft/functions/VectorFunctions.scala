@@ -103,43 +103,59 @@ object VectorFunctions {
     * different bands can never collide); probe by exploding and
     * equi-joining on the cell — each band is a partition key at scale,
     * exactly like the single-table bucket.
+    *
+    * Bands that extend past the vector's length are DROPPED from the
+    * result, not emitted: an out-of-range slice folds to the empty sign
+    * string, so every vector would share the identical "b:" cell and the
+    * OR-of-bands equi-join would silently degenerate to a full cross
+    * join — a quadratic candidate blowup that reads as a recall win. A
+    * short vector probes its in-range bands only.
     */
   def lshBands(a: Column, bands: Int, bits: Int = 8): Column = {
     require(bands >= 1 && bits >= 1)
-    array((0 until bands).map(b =>
-      concat_ws(":", lit(b), lshBucket(slice(a, b * bits + 1, bits), bits))): _*)
+    filter(
+      array((0 until bands).map(b =>
+        when(size(a) >= (b + 1) * bits,
+          concat_ws(":", lit(b), lshBucket(slice(a, b * bits + 1, bits), bits)))): _*),
+      c => c.isNotNull)
   }
 
-  /** IVF cell assignment against FROZEN (cid, centroid) pairs using the
-    * exact d² dot form d² = v·v − 2·v·c + c·c — every term a deterministic
-    * double fold, ties on centroid id — so any engine holding the same
-    * centroid constants derives the identical assignment (the oracle-exact
-    * variant of [[ivfAssign]]; k-means centroids would be engine-private
-    * state a cross-engine gate cannot see).
+  /** IVF cell assignment against FROZEN (cid, centroid) pairs by the exact
+    * reduced d² form: argmin over centroids of c·c − 2·v·c (= d² − v·v —
+    * the v·v term is constant across centroids, so the argmin drops it
+    * rather than re-folding an O(dim) aggregate once per centroid per row;
+    * interpreted higher-order functions have no CSE, the repo-wide
+    * discipline). c·c folds to a compile-time Double constant in the SAME
+    * ascending-index order both engines' sequential dot folds use, and the
+    * remaining per-centroid work is ONE v·c fold — every value a
+    * deterministic double, ties on centroid id — so any engine holding the
+    * same centroid constants derives the identical assignment (the
+    * oracle-exact variant of [[ivfAssign]]; k-means centroids would be
+    * engine-private state a cross-engine gate cannot see). Oracles mirror
+    * the reduced form verbatim: `list_dot_product(c, c) −
+    * 2·list_dot_product(v, c)`.
     */
   def ivfCellExact(v: Column, centroids: Seq[(Long, Array[Double])]): Column = {
     require(centroids.nonEmpty)
     array_min(array(centroids.map { case (cid, c) =>
-      val cl = lit(c)
-      struct((dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)).as("d"),
-        lit(cid).as("cell"))
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((lit(cc) - lit(2.0) * dot(v, lit(c))).as("d"), lit(cid).as("cell"))
     }: _*)).getField("cell")
   }
 
   /** MULTI-PROBE cell list: the `nprobe` nearest centroid cells by the same
-    * exact d² form (d² asc, cid tie-break — array_sort orders the structs
-    * field-by-field), as `array<bigint>`. nprobe is THE recall/latency knob
-    * of an IVF index: the probe scans nprobe/K of the corpus instead of
-    * 1/K, and recall rises accordingly. nprobe=1 degenerates to
-    * [[ivfCellExact]].
+    * reduced d² form (score asc, cid tie-break — array_sort orders the
+    * structs field-by-field), as `array<bigint>`. nprobe is THE
+    * recall/latency knob of an IVF index: the probe scans nprobe/K of the
+    * corpus instead of 1/K, and recall rises accordingly. nprobe=1
+    * degenerates to [[ivfCellExact]].
     */
   def ivfProbeCellsExact(v: Column, centroids: Seq[(Long, Array[Double])],
                          nprobe: Int): Column = {
     require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.size)
     val ranked = array_sort(array(centroids.map { case (cid, c) =>
-      val cl = lit(c)
-      struct((dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)).as("d"),
-        lit(cid).as("cell"))
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((lit(cc) - lit(2.0) * dot(v, lit(c))).as("d"), lit(cid).as("cell"))
     }: _*))
     transform(slice(ranked, 1, nprobe), s => s.getField("cell"))
   }
@@ -150,7 +166,7 @@ object VectorFunctions {
     * in one single-partition sorted pass — no WindowExec, no corpus-wide
     * single-partition shuffle.
     */
-  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

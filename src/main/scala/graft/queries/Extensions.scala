@@ -200,6 +200,28 @@ object Extensions {
     * x_pagerank, so the gates and the ScaleSmoke contract all certify
     * the same code.
     */
+  /** The PLANTED-CLUSTER corpus the clustered recall gates share
+    * (x_ann_recall_clustered + x_ann_index_multiprobe certify the SAME
+    * corpus by construction — a drift between private copies would
+    * silently invalidate the composition claim): group g = vec_id % 8,
+    * clustered[i] = double(embedding[i]) + 0.25·[i%8 = g]. 0.25 is exact
+    * in binary, so the shift adds deterministically in both engines; the
+    * oracle derives the identical corpus with list_transform.
+    */
+  private[graft] def clusteredEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") + when(
+          pmod(i.cast("bigint"), lit(8L)) === pmod(col("vec_id"), lit(8L)),
+          lit(0.25)).otherwise(lit(0.0))).as("v"))
+
+  /** The 8 frozen centroids of the planted-cluster corpus: the pure shift
+    * vectors themselves — compile-time constants visible to both engines,
+    * nothing data-dependent.
+    */
+  private[graft] val shiftCentroids: Seq[(Long, Array[Double])] =
+    (0L until 8L).map(g => g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
+
   /** Per-user funnel stages (view → click → purchase, each step strictly
     * AFTER the previous one's first occurrence) — the x_funnel pipeline
     * body, shared with ScaleSmoke contract 10 so the smoke certifies
@@ -5000,8 +5022,8 @@ object Extensions {
     // have. Ground truth runs through the SHIPPED knnJoin (bucketed
     // two-stage top-k); the IVF cells use the 16 corpus vectors
     // vec_id ∈ {1..16} as frozen centroids so BOTH engines derive the
-    // identical assignment (argmin of the d² = v·v − 2·v·c + c·c
-    // dot-product form, ties on centroid id — k-means centroids would be
+    // identical assignment (argmin of the reduced d² form c·c − 2·v·c,
+    // ties on centroid id — k-means centroids would be
     // Spark-private state the oracle cannot see). Every set boundary is
     // rank-based with id tie-breaks, so the intersections are
     // engine-exact; a probe whose cells miss a query entirely scores an
@@ -5044,7 +5066,7 @@ object Extensions {
         val lshMp = top10(qBands.join(cBands, "cell")
           .dropDuplicates("query_id", "neighbor_id"))
         // IVF: frozen centroids both engines can see (corpus vectors
-        // 1..16), nearest cell(s) by the exact d² dot-product form
+        // 1..16), nearest cell(s) by the exact reduced d² form
         val cents = e.filter(col("vec_id").between(1L, 16L))
           .select(col("vec_id"), col("embedding")).collect()
           .sortBy(_.getLong(0))
@@ -5124,9 +5146,8 @@ object Extensions {
         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
         |dists AS (
         |  SELECT v.vec_id, ct.cid,
-        |    list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
-        |      - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), ct.cemb)
-        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), ct.cemb) AS d2
         |  FROM embeddings v, cents ct),
         |dranked AS (
         |  SELECT vec_id, cid, row_number() OVER (
@@ -5198,11 +5219,7 @@ object Extensions {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(s, d)
-        val clustered = e.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") + when(
-              pmod(i.cast("bigint"), lit(8L)) === pmod(col("vec_id"), lit(8L)),
-              lit(0.25)).otherwise(lit(0.0))).as("v"))
+        val clustered = clusteredEmbeddings(e)
         val queries = clustered.filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("q_emb"))
         val corpus = clustered.filter(col("vec_id") % 97 =!= 0)
@@ -5210,8 +5227,7 @@ object Extensions {
             "query_id", "q_emb", k = 10)
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
           .localCheckpoint() // read twice: brute_k + the hit intersection
-        val cents: Seq[(Long, Array[Double])] = (0L until 8L).map(g =>
-          g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
+        val cents = shiftCentroids
         val cIvf = corpus.select(col("vec_id").as("neighbor_id"),
             col("v").as("c_emb"))
           .withColumn("cell", VF.ivfCellExact(col("c_emb"), cents))
@@ -5266,8 +5282,8 @@ object Extensions {
         |  FROM generate_series(0, 7) AS t(g)),
         |dists AS (
         |  SELECT b.vec_id, ct.cid,
-        |    list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, ct.cemb)
-        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
         |  FROM base b, cents ct),
         |dranked AS (
         |  SELECT vec_id, cid, row_number() OVER (
@@ -5318,13 +5334,8 @@ object Extensions {
       (s: SparkSession, d: String) => {
         import graft.format.{Predicate, Transform}
         val e = Tables.embeddings(s, d)
-        val clustered = e.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") + when(
-              pmod(i.cast("bigint"), lit(8L)) === pmod(col("vec_id"), lit(8L)),
-              lit(0.25)).otherwise(lit(0.0))).as("v"))
-        val cents: Seq[(Long, Array[Double])] = (0L until 8L).map(g =>
-          g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
+        val clustered = clusteredEmbeddings(e)
+        val cents = shiftCentroids
         val cat = TableOps.newCatalog()
         val assigned = clustered.withColumn("cell", VF.ivfCellExact(col("v"), cents))
         val t = cat.createTable("db.ann_mp", assigned.schema,
@@ -5343,14 +5354,9 @@ object Extensions {
           .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
             lit(null).cast("double")))
           .filter(col("sim").isNotNull)
-        // TakeOrderedAndProject, never a single-partition window: the
-        // pruned read is still nprobe/K of the corpus at any scale
-        val top = cand.select(col("neighbor_id"), col("sim"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-          .limit(10)
-          .coalesce(1)
-          .sortWithinPartitions(col("sim").desc, col("neighbor_id"))
-          .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
+        // the shared TakeOrderedAndProject ranker, never a single-partition
+        // window: the pruned read is still nprobe/K of the corpus at scale
+        val top = VF.rankTopK(cand, "neighbor_id", 10)
           .select("rank", "neighbor_id")
         val brute = VF.bruteForceTopK(
             clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
@@ -5389,8 +5395,8 @@ object Extensions {
         |  FROM generate_series(0, 7) AS t(g)),
         |dists AS (
         |  SELECT b.vec_id, ct.cid,
-        |    list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, ct.cemb)
-        |      + list_dot_product(ct.cemb, ct.cemb) AS d2
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
         |  FROM base b, cents ct),
         |dranked AS (
         |  SELECT vec_id, cid, row_number() OVER (

@@ -278,17 +278,22 @@ class FunctionsSpec extends SparkSpec {
     val df = spark.createDataFrame(Seq(
       Row(1L, Seq(1f, -1f, 1f, 1f)),
       Row(2L, Seq(1f, -1f, -1f, -1f)),   // same band 0 as vec 1, different band 1
-      Row(3L, Seq(-1f, 1f, 1f, 1f))).asJava, schema) // same band 1 as vec 1
+      Row(3L, Seq(-1f, 1f, 1f, 1f)),     // same band 1 as vec 1
+      Row(4L, Seq(1f, -1f, 1f, -1f)),    // sign pattern "10" in BOTH bands
+      Row(5L, Seq(1f, -1f, 1f))).asJava, schema) // band 1 extends past the vector
     val bands = df.select(col("vec_id"),
       VectorFunctions.lshBands(col("embedding"), bands = 2, bits = 2).as("b"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(bands(1L) == Seq("0:10", "1:11"))
     assert(bands(1L)(0) == bands(2L)(0) && bands(1L)(1) != bands(2L)(1))
     assert(bands(1L)(1) == bands(3L)(1) && bands(1L)(0) != bands(3L)(0))
-    // the band prefix keeps an identical sign pattern in DIFFERENT bands apart
-    val same = df.filter(col("vec_id") === 1L).select(
-      VectorFunctions.lshBands(col("embedding"), bands = 2, bits = 2)).head.getSeq[String](0)
-    assert(same.distinct.length == same.length)
+    // the band prefix keeps an IDENTICAL sign pattern in different bands
+    // apart — vec 4 hashes "10" in both bands, yet its cells are distinct
+    assert(bands(4L) == Seq("0:10", "1:10"))
+    assert(bands(4L).distinct.length == 2)
+    // an out-of-range band is DROPPED, not emitted as a universal "1:"
+    // cell (which would cross-join every short vector with everything)
+    assert(bands(5L) == Seq("0:10"))
   }
 
   test("ivfCellExact / ivfProbeCellsExact: d² argmin with cid tie-break; nprobe=1 is the head of the probe list") {
