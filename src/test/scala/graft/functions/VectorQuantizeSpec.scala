@@ -215,4 +215,61 @@ class VectorQuantizeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("ivfProbeCellsExact property: equals in-memory reduced-d2 argsort on random corpora, 3 seeds") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8 + rnd.nextInt(8)
+      val rows = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(dim)((rnd.nextInt(2001) - 1000).toFloat / 250f)))
+      val k = 3 + rnd.nextInt(4)
+      val cents = (0 until k).map(c =>
+        c.toLong -> Array.fill(dim)((rnd.nextInt(2001) - 1000).toDouble / 250.0))
+      val nprobe = 1 + rnd.nextInt(k)
+      val got = df(rows).select(col("id"),
+          VectorFunctions.ivfProbeCellsExact(col("emb"), cents, nprobe).as("cells"),
+          VectorFunctions.ivfCellExact(col("emb"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toList
+      // in-memory reference: the exact reduced-d2 score in the SAME fold
+      // order (c·c folded left over doubles, v·c a left fold of widened
+      // floats), argsorted with the cid tie-break
+      def score(v: Seq[Float], c: Array[Double]): Double = {
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val vc = v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
+        cc - 2.0 * vc
+      }
+      val byId = rows.toMap
+      got.foreach { case (id, cells, cell) =>
+        val want = cents.map { case (cid, c) => (score(byId(id), c), cid) }
+          .sortBy { case (s, cid) => (s, cid) }.map(_._2).take(nprobe)
+        assert(cells.toSeq == want, s"seed $seed id $id: $cells != $want")
+        assert(cell == want.head, s"seed $seed id $id: head mismatch")
+      }
+    }
+  }
+
+  test("lshBands property: equals naive per-band recompute incl. short vectors, 3 seeds") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val bands = 2 + rnd.nextInt(3)
+      val bits = 2 + rnd.nextInt(3)
+      // lengths straddle bands*bits so out-of-range bands occur
+      val rows = (0 until 30).map { i =>
+        val len = 1 + rnd.nextInt(bands * bits + 2)
+        (i.toLong, Seq.fill(len)((rnd.nextInt(41) - 20).toFloat / 10f))
+      }
+      val got = df(rows).select(col("id"),
+          VectorFunctions.lshBands(col("emb"), bands, bits).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      rows.foreach { case (id, v) =>
+        val want = (0 until bands).flatMap { b =>
+          if (v.length >= (b + 1) * bits)
+            Some(s"$b:" + v.slice(b * bits, (b + 1) * bits)
+              .map(x => if (x >= 0f) "1" else "0").mkString)
+          else None
+        }
+        assert(got(id) == want, s"seed $seed id $id: ${got(id)} != $want")
+      }
+    }
+  }
 }
