@@ -3018,12 +3018,18 @@ object Extensions {
     // first-occurrences so the next crawl sees them as history. The
     // recrawled history docs (+500000) score 100% dup chunks — the
     // incremental path rejects them from STATE alone, no history text
-    // re-chunked. Certified: the refresh commit is append-only (every
-    // pre-refresh file survives byte-identical), the state holds exactly
-    // 2 commits, and the post-append inventory equals the whole-corpus
-    // distinct chunk-hash count — the append lost nothing and duplicated
-    // nothing. The oracle recomputes the decision from raw text with no
-    // state at all.
+    // re-chunked. The state is built INCREMENTALLY in two crawls and
+    // binpack-COMPACTED mid-sequence before the batch probes it — the
+    // maintenance proof that took the fingerprint/postings/band-signature
+    // states a verdict cycle each to acquire, folded in from day one
+    // (`compacted` = files strictly decreased, `state_preserved` = zero
+    // rows lost). Certified: the batch refresh commit is append-only
+    // (every post-compaction file survives byte-identical), the table
+    // holds exactly 4 commits (append, append, compact, append), and the
+    // final inventory equals the whole-corpus distinct chunk-hash count —
+    // nothing lost, nothing duplicated, through build, rewrite, and
+    // refresh alike. The oracle recomputes the decision from raw text
+    // with no state, no commits, no compaction.
     ("x_incremental_chunk_dedup",
       (s: SparkSession, d: String) => {
         import graft.format.Transform
@@ -3044,24 +3050,35 @@ object Extensions {
           .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
             least(lit(W.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
             md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
-        val histFirst = {
-          val hc = chunksOf(hist).localCheckpoint() // both keep-first aggs read it
+        // keep-first over a chunk stream (min doc per hash, then min chunk
+        // within that doc) — used for the initial crawl, the second crawl's
+        // unseen slice, and the batch's unseen slice alike
+        def keepFirst(chunks: DataFrame): DataFrame = {
+          val hc = chunks.localCheckpoint() // both keep-first aggs read it
           val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
           hc.join(fd, "h").filter(col("doc_id") === col("f_doc"))
             .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
         }
+        val hf1 = keepFirst(chunksOf(hist.filter(col("doc_id") % 4 === 0))
+          .select("h", "doc_id", "ci"))
         val cat = TableOps.newCatalog()
-        val t = cat.createTable("db.chunk_first", histFirst.schema,
+        val t = cat.createTable("db.chunk_first", hf1.schema,
           partitionBy = Seq("h" -> Transform.Bucket(4)))
-        t.append(s, histFirst)
+        t.append(s, hf1)
+        // second crawl extends the state through the SAME incremental path
+        // the batch takes: probe, keep-first over unseen, append
+        t.append(s, keepFirst(
+          chunksOf(hist.filter(col("doc_id") % 4 === 2)).select("h", "doc_id", "ci")
+            .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")))
+        val filesPreCompact = t.scan().dataFiles.size
+        val rowsPreCompact = t.toDF(s).count()
+        t.compact(s) // mid-sequence maintenance on the live keep-first state
+        val filesPostCompactN = t.scan().dataFiles.size
+        val rowsPostCompact = t.toDF(s).count()
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val bc = chunksOf(batch).localCheckpoint() // probe + rollup read it
-        val unseen = bc.select("h", "doc_id", "ci")
-          .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")
-          .localCheckpoint() // both batch-first aggs read it
-        val bfd = unseen.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
-        val bFirst = unseen.join(bfd, "h").filter(col("doc_id") === col("f_doc"))
-          .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+        val bFirst = keepFirst(bc.select("h", "doc_id", "ci")
+            .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti"))
           .localCheckpoint() // read twice: the state append + the keep probe
         t.append(s, bFirst) // the batch extends the durable keep-first state
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
@@ -3077,6 +3094,8 @@ object Extensions {
             sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
           .withColumn("dup_chunk_rate",
             lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
+          .withColumn("compacted", lit(filesPostCompactN < filesPreCompact))
+          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
@@ -3135,7 +3154,8 @@ object Extensions {
         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
         |  1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE) AS dup_chunk_rate,
-        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  true AS compacted, true AS state_preserved,
+        |  true AS append_only, CAST(4 AS BIGINT) AS incremental_commits,
         |  (SELECT n FROM state) AS state_chunks
         |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
 

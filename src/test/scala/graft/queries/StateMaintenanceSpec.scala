@@ -283,12 +283,15 @@ class StateMaintenanceSpec extends SparkSpec {
     val recrawlKept = bi.filter(_._1 >= 500000L)
       .count(i => firstInBatch.get(i._5).contains((i._1, i._3)))
     assert(recrawlKept == 0, s"recrawled docs kept $recrawlKept chunks")
-    // durable-state certification columns
+    // durable-state certification columns (state built in TWO crawls and
+    // compacted mid-sequence before the batch probes it)
     val corpusChunks = (histChunks ++ bi.map(_._5)).size.toLong
     rows.foreach { r =>
-      assert(r.getBoolean(7), "the batch append must be append-only")
-      assert(r.getLong(8) == 2L, "initial build + batch append = 2 commits")
-      assert(r.getLong(9) == corpusChunks,
+      assert(r.getBoolean(7), "compaction must strictly reduce the file count")
+      assert(r.getBoolean(8), "compaction must preserve every state row")
+      assert(r.getBoolean(9), "the batch append must be append-only")
+      assert(r.getLong(10) == 4L, "append + append + compact + append = 4 commits")
+      assert(r.getLong(11) == corpusChunks,
         "state must hold exactly the corpus's distinct chunks")
     }
   }
