@@ -4946,12 +4946,17 @@ object Extensions {
     // like the incremental-dedup fingerprint state. A crawl batch PROBES
     // the state (anti-join on the gram key — grams never self-join), takes
     // batch-first grams as its novel set, and APPENDS them so the next
-    // batch sees them as history. Certified: the refresh commit is
-    // append-only (every pre-refresh file survives byte-identical), the
-    // state holds exactly 2 commits, and the post-append state inventory
-    // equals the whole-corpus distinct-gram count — the append lost
-    // nothing and duplicated nothing. The oracle recomputes batch novelty
-    // from raw text with no state at all.
+    // batch sees them as history. The state builds INCREMENTALLY in two
+    // crawls (the second extends it through the same probe/append path
+    // the batch takes) and binpack-COMPACTS mid-sequence before the batch
+    // probes it — the maintenance proof every persisted state carries
+    // (`compacted` = files strictly decreased, `state_preserved` = zero
+    // rows lost). Certified: the batch refresh commit is append-only
+    // (every post-compaction file survives byte-identical), the state
+    // holds exactly 4 commits, and the final inventory equals the
+    // whole-corpus distinct-gram count — nothing lost, nothing duplicated,
+    // through build, rewrite, and refresh alike. The oracle recomputes
+    // batch novelty from raw text with no state at all.
     ("x_incremental_novelty",
       (s: SparkSession, d: String) => {
         import graft.format.Transform
@@ -4960,11 +4965,23 @@ object Extensions {
         val docs = Tables.documents(s, d)
         val hist = docs.filter(col("doc_id") % 2 === 0)
         val batch = docs.filter(col("doc_id") % 2 === 1)
-        val firstSeen = gramsOf(hist).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val fs1 = gramsOf(hist.filter(col("doc_id") % 4 === 0))
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
         val cat = TableOps.newCatalog()
-        val t = cat.createTable("db.first_seen", firstSeen.schema,
+        val t = cat.createTable("db.first_seen", fs1.schema,
           partitionBy = Seq("g" -> Transform.Bucket(4)))
-        t.append(s, firstSeen)
+        t.append(s, fs1)
+        // second crawl extends the state through the SAME probe/append
+        // path the batch takes below
+        t.append(s, gramsOf(hist.filter(col("doc_id") % 4 === 2))
+          .select("doc_id", "g")
+          .join(t.toDF(s).select(col("g")), Seq("g"), "left_anti")
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc")))
+        val filesPreCompact = t.scan().dataFiles.size
+        val rowsPreCompact = t.toDF(s).count()
+        t.compact(s) // mid-sequence maintenance on the live first-seen state
+        val filesPostCompact = t.scan().dataFiles.size
+        val rowsPostCompact = t.toDF(s).count()
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         // pinned: the batch gram stream feeds both the unseen-gram probe
         // and the per-doc novelty rollup
@@ -4985,6 +5002,8 @@ object Extensions {
             sum(col("novel")).as("novel"))
           .withColumn("novelty_rate",
             col("novel").cast("double") / col("grams").cast("double"))
+          .withColumn("compacted", lit(filesPostCompact < filesPreCompact))
+          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
@@ -5016,7 +5035,8 @@ object Extensions {
         |  FROM per_doc GROUP BY 1)
         |SELECT lang, docs, grams, novel,
         |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate,
-        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  true AS compacted, true AS state_preserved,
+        |  true AS append_only, CAST(4 AS BIGINT) AS incremental_commits,
         |  (SELECT count(DISTINCT g) FROM g) AS state_grams
         |FROM per_lang ORDER BY lang""".stripMargin),
 

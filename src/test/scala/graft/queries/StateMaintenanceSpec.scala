@@ -54,9 +54,11 @@ class StateMaintenanceSpec extends SparkSpec {
         graft.functions.TextFunctions.shingles(col("text"), 3))).as("g"))
       .agg(countDistinct(col("g"))).head.getLong(0)
     rows.foreach { r =>
-      assert(r.getBoolean(5), "the state append must be append-only")
-      assert(r.getLong(6) == 2L, "initial build + batch append = 2 commits")
-      assert(r.getLong(7) == allGrams,
+      assert(r.getBoolean(5), "compaction must strictly reduce the file count")
+      assert(r.getBoolean(6), "compaction must preserve every state row")
+      assert(r.getBoolean(7), "the state append must be append-only")
+      assert(r.getLong(8) == 4L, "append + append + compact + append = 4 commits")
+      assert(r.getLong(9) == allGrams,
         "post-append state must hold exactly the corpus's distinct grams")
       assert(r.getLong(3) <= r.getLong(2), "novel grams bounded by batch grams")
     }
