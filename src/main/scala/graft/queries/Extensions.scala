@@ -1276,6 +1276,17 @@ object Extensions {
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         t.append(s, assign(batch)) // the refresh: same frozen centroids
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        // the vector index carries the same in-gate maintenance proof as
+        // every other persisted state: compact the cell-partitioned table
+        // and certify the rewrite changed neither the row inventory nor
+        // the probe's ability to prune (a compaction that lost a cell's
+        // partition value would degrade probes to full-index scans with
+        // no wrong answer to flag it — the postings-index failure shape)
+        val filesPreCompact = t.scan().dataFiles.size
+        val rowsPreCompact = t.toDF(s).count()
+        t.compact(s)
+        val filesPostCompact = t.scan().dataFiles.size
+        val rowsPostCompact = t.toDF(s).count()
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
         val qCell = q.select(VF.ivfAssign(col("q"), cents)).head.getInt(0).toLong
         val probe = t.scan(Predicate.Eq("cell", qCell))
@@ -1285,6 +1296,8 @@ object Extensions {
           .select("rank", "vec_id")
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("compacted", lit(filesPostCompact < filesPreCompact))
+          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
           .withColumn("probe_pruned",
             lit(probe.metrics.filesScanned < probe.metrics.filesTotal))
@@ -1295,7 +1308,8 @@ object Extensions {
         |  SELECT vec_id, list_cosine_similarity(embedding, qe) AS sim
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id,
-        |  true AS append_only, CAST(2 AS BIGINT) AS incremental_commits,
+        |  true AS append_only, true AS compacted, true AS state_preserved,
+        |  CAST(3 AS BIGINT) AS incremental_commits,
         |  true AS probe_pruned
         |FROM sims ORDER BY 1 LIMIT 10""".stripMargin),
 
