@@ -12,7 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Compiled one-pass dot product ([[graft.operators.DotKernel]]) —
+    * bit-identical to the interpreted HOF fold it replaced (kept below as
+    * [[dotHof]] and proved lane-equal in VectorKernelsSpec).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.DotKernel(
+      org.apache.spark.sql.GraftSqlShim.expression(a),
+      org.apache.spark.sql.GraftSqlShim.expression(b)))
+
+  /** The interpreted HOF fold `dot` compiled away — retained as the
+    * bit-compat reference the kernel spec replays against.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -22,11 +34,24 @@ object VectorFunctions {
   /** Zero-norm vectors get NULL, not NaN: Spark sorts NaN ABOVE every real
     * double, so one degenerate (all-zero) vector would otherwise take rank
     * 1 of every descending top-k; NULL sorts last under `desc`, which is
-    * the semantics a ranking caller wants.
+    * the semantics a ranking caller wants. Compiled one-pass kernel
+    * ([[graft.operators.CosineKernel]]) — the dominant pair cost of every
+    * ANN/semantic-dedup gate was this fold interpreted per lane; the
+    * kernel runs the identical left-to-right double accumulation (proved
+    * in VectorKernelsSpec against [[cosineSimilarityHof]]), so every sim
+    * double and every oracle hash is unchanged.
     */
-  def cosineSimilarity(a: Column, b: Column): Column = {
+  def cosineSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.CosineKernel(
+      org.apache.spark.sql.GraftSqlShim.expression(a),
+      org.apache.spark.sql.GraftSqlShim.expression(b)))
+
+  /** The interpreted HOF cosine — retained as the bit-compat reference the
+    * kernel spec replays against.
+    */
+  private[graft] def cosineSimilarityHof(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
-    when(denom =!= 0.0, dot(a, b) / denom)
+    when(denom =!= 0.0, dotHof(a, b) / denom)
   }
 
   def euclideanDistance(a: Column, b: Column): Column =
@@ -200,32 +225,22 @@ object VectorFunctions {
               qidCol: String, qvecCol: String, k: Int, fanout: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && fanout >= 1)
-    // norms hoist OUT of the pair loop: norm(q) is constant per query and
-    // norm(corpus row) constant per row, but inlined in the cosine they
-    // re-fold O(d) per PAIR (interpreted — no codegen CSE across
-    // higher-order functions). Projections on each join input evaluate
-    // them once per input row; the join between the projections stops
-    // CollapseProject from inlining them back. Same folds, same
-    // multiplication, same division — every sim double is bit-unchanged.
     val q = broadcast(queries
-      .select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q"))
-      .withColumn("_graft_qn", norm(col("_graft_q"))))
-    val denom = col("_graft_an") * col("_graft_qn")
-    // zero-norm vectors score NULL by the cosineSimilarity contract; a
-    // NULL row must not occupy a neighbor rank (desc_nulls_last would
-    // still row_number it when fewer than k real neighbors exist). A
-    // NaN-lane embedding scores NaN, which passes isNotNull and — by
-    // Spark's NaN-sorts-greatest rule — would rank ABOVE every real
-    // neighbor: nanvl folds NaN into the same NULL path (the oracle's NOT
-    // isnan) WITHOUT a second predicate — CollapseProject inlines the
-    // filter into the scoring projection, so every extra predicate
-    // re-evaluates the O(d) dot fold per row (a separate isnan test
-    // measured ~1.7x on the whole join at sf0.1)
-    val scored = corpus.withColumn("_graft_an", norm(col(vecCol)))
+      .select(col(qidCol).as("_graft_qid"), col(qvecCol).as("_graft_q")))
+    // ONE fused kernel call per pair (dot + both norms in a single
+    // compiled pass — the interpreted-HOF era hoisted norms into
+    // projections to avoid per-pair re-folds; the kernel makes the hoist
+    // moot and the sim doubles are bit-unchanged: dot/(‖a‖·‖b‖) is the
+    // identical accumulation and product). Zero-norm vectors score NULL
+    // by the cosineSimilarity contract; a NULL row must not occupy a
+    // neighbor rank. A NaN-lane embedding scores NaN, which passes
+    // isNotNull and — by Spark's NaN-sorts-greatest rule — would rank
+    // ABOVE every real neighbor: nanvl folds NaN into the same NULL path
+    // (the oracle's NOT isnan).
+    val scored = corpus
       .crossJoin(q)
       .withColumn("_graft_sim",
-        nanvl(when(denom =!= 0.0, dot(col(vecCol), col("_graft_q")) / denom),
-          lit(null)))
+        nanvl(cosineSimilarity(col(vecCol), col("_graft_q")), lit(null)))
       .filter(col("_graft_sim").isNotNull)
       .withColumn("_graft_b", pmod(hash(col(idCol)), lit(fanout)))
     val local = Window.partitionBy(col("_graft_qid"), col("_graft_b"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Bit-compat proof for the compiled vector kernels: every double the
+  * CosineKernel/DotKernel produce must be BIT-equal (raw IEEE bits, not
+  * approximate) to the interpreted HOF folds they replaced — the oracle
+  * hashes depend on it. Adversarial shapes included: zero vectors, NaN and
+  * ±Inf lanes, null lanes, length mismatches, float×double mixes.
+  */
+class VectorKernelsSpec extends SparkSpec {
+
+  private val fschema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("a", ArrayType(FloatType)),
+    StructField("b", ArrayType(FloatType))))
+
+  private def fdf(rows: Seq[(Long, Seq[java.lang.Float], Seq[java.lang.Float])]) =
+    spark.createDataFrame(rows.map { case (i, x, y) => Row(i, x, y) }.asJava, fschema)
+
+  private def bitsOrNull(r: Row, i: Int): Option[Long] =
+    if (r.isNullAt(i)) None
+    else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+
+  test("cosine/dot kernels are bit-equal to the HOF folds on adversarial shapes") {
+    val rows: Seq[(Long, Seq[java.lang.Float], Seq[java.lang.Float])] = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (2L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),              // zero-norm side
+      (3L, Seq(Float.NaN, 1f, 2f), Seq(1f, 1f, 1f)),       // NaN lane
+      (4L, Seq(Float.PositiveInfinity, 1f), Seq(1f, 1f)),  // Inf lane
+      (5L, Seq(1f, 2f), Seq(1f, 2f, 3f)),                  // length mismatch
+      (6L, Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 1f, 1f)), // null lane
+      (7L, null, Seq[java.lang.Float](1f, 1f)),            // whole side null
+      (8L, Seq(1e-30f, -1e30f, 2.5f), Seq(-1e30f, 1e-30f, 4.25f)))
+    val d = fdf(rows)
+    val got = d.select(col("id"),
+        VectorFunctions.cosineSimilarity(col("a"), col("b")).as("ck"),
+        VectorFunctions.cosineSimilarityHof(col("a"), col("b")).as("ch"),
+        VectorFunctions.dot(col("a"), col("b")).as("dk"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("dh"))
+      .collect()
+    got.foreach { r =>
+      assert(bitsOrNull(r, 1) == bitsOrNull(r, 2),
+        s"cosine bits diverged on id ${r.getLong(0)}: ${r.toString}")
+      assert(bitsOrNull(r, 3) == bitsOrNull(r, 4),
+        s"dot bits diverged on id ${r.getLong(0)}: ${r.toString}")
+    }
+    // the interesting rows actually exercised their branch
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(bitsOrNull(byId(2L), 1).isEmpty, "zero-norm cosine must be NULL")
+    assert(byId(3L).getDouble(1).isNaN, "NaN lane must propagate NaN")
+    assert(bitsOrNull(byId(5L), 1).isEmpty && bitsOrNull(byId(5L), 3).isEmpty,
+      "length mismatch must be NULL")
+    assert(bitsOrNull(byId(6L), 1).isEmpty, "null lane must be NULL")
+  }
+
+  test("kernels bit-equal to HOFs on random float and mixed float x double corpora, 3 seeds") {
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8 + rnd.nextInt(60)
+      val rows = (0 until 60).map { i =>
+        def v = Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextInt(4001) - 2000) / 500f))
+        (i.toLong, v, v)
+      }
+      val d = fdf(rows)
+        // mixed types: one side widened to array<double> like the
+        // clustered gates' derived corpus
+        .withColumn("bd", transform(col("b"), x => x.cast("double")))
+      val got = d.select(
+          VectorFunctions.cosineSimilarity(col("a"), col("bd")).as("ck"),
+          VectorFunctions.cosineSimilarityHof(col("a"), col("bd")).as("ch"),
+          VectorFunctions.dot(col("a"), col("bd")).as("dk"),
+          VectorFunctions.dotHof(col("a"), col("bd")).as("dh"))
+        .collect()
+      got.foreach { r =>
+        assert(bitsOrNull(r, 0) == bitsOrNull(r, 1), s"seed $seed cosine diverged")
+        assert(bitsOrNull(r, 2) == bitsOrNull(r, 3), s"seed $seed dot diverged")
+      }
+    }
+  }
+
+  test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
+    // a range source, not a local relation — ConvertToLocalRelation would
+    // otherwise fold the projection before any physical plan exists
+    val d = spark.range(8).select(
+      array((1 to 4).map(i => (col("id") + i).cast("float")): _*).as("a"),
+      array((1 to 4).map(i => (col("id") * i).cast("float")): _*).as("b"))
+    val kernelPlan = d.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // the '*(n)' prefix marks a WholeStageCodegen stage in the collapsed
+    // plan string — the kernel projection must carry it
+    assert("""\*\(\d+\) Project \[graft_cosine_kernel""".r.findFirstIn(kernelPlan).isDefined,
+      s"kernel fell out of codegen:\n$kernelPlan")
+    assert(!kernelPlan.contains("aggregate("), s"kernel plan still folds HOFs:\n$kernelPlan")
+    val hofPlan = d.select(VectorFunctions.cosineSimilarityHof(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(hofPlan.contains("aggregate("), "reference form should show the HOF fold")
+  }
+}
