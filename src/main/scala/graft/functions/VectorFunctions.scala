@@ -54,7 +54,17 @@ object VectorFunctions {
     when(denom =!= 0.0, dotHof(a, b) / denom)
   }
 
+  /** Compiled one-pass euclidean distance ([[graft.operators
+    * .EuclideanKernel]]) — the per-centroid assignment fold of
+    * [[ivfAssign]]/[[kmeansCentroids]], bit-identical to the HOF form
+    * (kept as [[euclideanDistanceHof]] for the kernel spec).
+    */
   def euclideanDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.EuclideanKernel(
+      org.apache.spark.sql.GraftSqlShim.expression(a),
+      org.apache.spark.sql.GraftSqlShim.expression(b)))
+
+  private[graft] def euclideanDistanceHof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
       val diff = x.cast("double") - y.cast("double"); diff * diff
     }), lit(0.0), (acc, v) => acc + v))
@@ -276,14 +286,22 @@ object VectorFunctions {
     * DOUBLE expression. Per-vector scales cancel in cosine, so the codes
     * alone rank candidates — no float column is read at all.
     */
-  def quantizedCosine(codesA: Column, codesB: Column): Column = {
-    def idot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y.cast("long"))),
-        lit(0L), (acc, v) => acc + v)
+  def quantizedCosine(codesA: Column, codesB: Column): Column =
     // all-zero code vectors (quantizeInt8 of a zero/sanitized-away
     // embedding) get NULL, not 0/0 = NaN — NaN sorts ABOVE all reals in
     // Spark, so a degenerate row would hijack every descending top-k;
-    // NULL sorts last under desc
+    // NULL sorts last under desc. Compiled kernel
+    // ([[graft.operators.QuantizedCosineKernel]]): the three exact BIGINT
+    // folds + the identical one-expression IEEE ratio in one pass (HOF
+    // reference kept below for the kernel spec).
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.QuantizedCosineKernel(
+      org.apache.spark.sql.GraftSqlShim.expression(codesA),
+      org.apache.spark.sql.GraftSqlShim.expression(codesB)))
+
+  private[graft] def quantizedCosineHof(codesA: Column, codesB: Column): Column = {
+    def idot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
     val denom = idot(codesA, codesA).cast("double") * idot(codesB, codesB).cast("double")
     when(denom =!= 0.0, idot(codesA, codesB).cast("double") / sqrt(denom))
   }

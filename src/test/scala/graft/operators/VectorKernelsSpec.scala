@@ -84,6 +84,32 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("euclidean/quantized-cosine kernels bit-equal to their HOF forms, 3 seeds") {
+    for (seed <- Seq(31, 32, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 4 + rnd.nextInt(30)
+      val rows = (0 until 50).map { i =>
+        def v = Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextInt(4001) - 2000) / 333f))
+        (i.toLong, v, v)
+      } :+ ((50L, Seq.fill(dim)(java.lang.Float.valueOf(0f)),
+        Seq.fill(dim)(java.lang.Float.valueOf(0f)))) // zero codes → NULL qcos
+      val d = fdf(rows)
+      val codes = VectorFunctions.quantizeInt8(col("a")).getField("codes")
+      val codesB = VectorFunctions.quantizeInt8(col("b")).getField("codes")
+      val got = d.select(
+          VectorFunctions.euclideanDistance(col("a"), col("b")).as("ek"),
+          VectorFunctions.euclideanDistanceHof(col("a"), col("b")).as("eh"),
+          VectorFunctions.quantizedCosine(codes, codesB).as("qk"),
+          VectorFunctions.quantizedCosineHof(codes, codesB).as("qh"))
+        .collect()
+      got.foreach { r =>
+        assert(bitsOrNull(r, 0) == bitsOrNull(r, 1), s"seed $seed euclidean diverged")
+        assert(bitsOrNull(r, 2) == bitsOrNull(r, 3), s"seed $seed qcosine diverged")
+      }
+      assert(bitsOrNull(got.last, 2).isEmpty, "all-zero codes must score NULL")
+    }
+  }
+
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
     // a range source, not a local relation — ConvertToLocalRelation would
     // otherwise fold the projection before any physical plan exists
