@@ -44,13 +44,9 @@ object SqlFunctions {
     }
     reg("graft_shingles") { e => TextFunctions.shingles(c(e.head), litInt(e(1), "k")) }
     reg("graft_jaccard_tokens") { e => TextFunctions.jaccardTokens(c(e.head), c(e(1))) }
-    // vectors
-    // SQL literal arrays arrive as decimal/int element types the compiled
-    // kernel doesn't read; cast to array<double> — the identical per-lane
-    // x.cast("double") the interpreted fold applied (float lanes widen
-    // exactly, so float-array callers are bit-unchanged too)
-    reg("graft_cosine") { e => VectorFunctions.cosineSimilarity(
-      c(e.head).cast("array<double>"), c(e(1)).cast("array<double>")) }
+    // vectors (the kernels' generic numeric path accepts SQL
+    // decimal-literal arrays with the HOF forms' per-lane cast semantics)
+    reg("graft_cosine") { e => VectorFunctions.cosineSimilarity(c(e.head), c(e(1))) }
     reg("graft_lsh_bucket") { e =>
       val bits = if (e.size > 1) litInt(e(1), "bits") else 8
       VectorFunctions.lshBucket(c(e.head), bits)

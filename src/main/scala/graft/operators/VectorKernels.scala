@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * produced double is bit-equal to the HOF form's (proved lane-for-lane in
   * VectorKernelsSpec) and the DuckDB oracles' sequential folds still match.
   *
+  * Two read paths per kernel, chosen at PLAN time by the expression:
+  * the float/double fast path (two booleans, no per-lane dispatch), and a
+  * generic numeric path (`…Any`, a DataType-driven accessor) preserving
+  * the HOF forms' per-lane `cast("double")` / `cast("long")` acceptance of
+  * int/decimal arrays — the kernels must not narrow the public API.
+  *
   * Null/shape contract, mirrored from the HOF forms exactly:
   *   - different lengths → NULL (zip_with pads the shorter side with null
   *     lanes, which nulls the interpreted fold)
@@ -25,6 +31,34 @@ import org.apache.spark.sql.types._
   *     nanvl guards)
   */
 object VectorKernels {
+
+  /** Lane read matching `cast(x as double)` for every numeric element
+    * type (exact for float/integral widening; Decimal.toDouble like Cast).
+    */
+  private def numAt(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case dt: DecimalType => a.getDecimal(i, dt.precision, dt.scale).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric lane type $other")
+  }
+
+  /** Lane read matching `cast(x as long)` (truncating for fractional
+    * types, like Cast).
+    */
+  private def longAt(a: ArrayData, i: Int, t: DataType): Long = t match {
+    case LongType => a.getLong(i)
+    case IntegerType => a.getInt(i).toLong
+    case ShortType => a.getShort(i).toLong
+    case ByteType => a.getByte(i).toLong
+    case FloatType => a.getFloat(i).toLong
+    case DoubleType => a.getDouble(i).toLong
+    case dt: DecimalType => a.getDecimal(i, dt.precision, dt.scale).toLong
+    case other => throw new IllegalArgumentException(s"non-numeric lane type $other")
+  }
 
   /** (Σ aᵢ·bᵢ) / (√(Σ aᵢ²) · √(Σ bᵢ²)) — three independent left folds in
     * one pass; null per the contract above.
@@ -38,6 +72,21 @@ object VectorKernels {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = Math.sqrt(na) * Math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  def cosineAny(a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = numAt(a, i, at); val y = numAt(b, i, bt)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -61,6 +110,19 @@ object VectorKernels {
     java.lang.Double.valueOf(d)
   }
 
+  def dotAny(a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += numAt(a, i, at) * numAt(b, i, bt)
+      i += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
   /** √(Σ (aᵢ−bᵢ)²) as one left fold; null per the contract above. */
   def euclidean(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -72,6 +134,20 @@ object VectorKernels {
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       val diff = x - y
+      s += diff * diff
+      i += 1
+    }
+    java.lang.Double.valueOf(Math.sqrt(s))
+  }
+
+  def euclideanAny(a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val diff = numAt(a, i, at) - numAt(b, i, bt)
       s += diff * diff
       i += 1
     }
@@ -100,47 +176,118 @@ object VectorKernels {
     val denom = aa.toDouble * bb.toDouble
     if (denom == 0.0) null else java.lang.Double.valueOf(ab.toDouble / Math.sqrt(denom))
   }
+
+  def quantizedCosineAny(a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var ab = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = longAt(a, i, at); val y = longAt(b, i, bt)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val denom = aa.toDouble * bb.toDouble
+    if (denom == 0.0) null else java.lang.Double.valueOf(ab.toDouble / Math.sqrt(denom))
+  }
 }
 
-/** Shared shape for the binary float/double-array kernels: both sides must
-  * be array<float> or array<double> (checked at analysis — the HOF forms
-  * would accept any numeric array, but every caller is an embedding
-  * column), result is a nullable double.
+/** Shared shape for the binary numeric-array kernels: both sides must be
+  * arrays of any numeric element (checked at analysis; per-lane coercion
+  * matches the HOF forms' casts), result is a nullable double. Subclasses
+  * name the kernel and its fast-path lane types; the eval/codegen
+  * scaffolding lives here ONCE — a fix to the null-handling template must
+  * not need four copies.
   */
 sealed trait VectorPairKernel extends BinaryExpression {
-  protected def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** VectorKernels static method name; `<name>Any` is the generic twin. */
+  protected def kernelMethod: String
+  /** Lane types served by the fast (boolean-flag) path. */
+  protected def fastTypes: Set[DataType]
+  /** The fast path's per-side flag (e.g. "is float" / "is long"). */
+  protected def fastFlag(t: DataType): Boolean
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def fastPath: Boolean =
+    fastTypes.contains(elemType(left)) && fastTypes.contains(elemType(right))
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(lt, _), ArrayType(rt, _))
-        if (lt == FloatType || lt == DoubleType) &&
-          (rt == FloatType || rt == DoubleType) =>
+    case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+      s"$prettyName requires numeric ARRAY inputs, got " +
         s"(${other._1.simpleString}, ${other._2.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (ad, bd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (fastPath)
+      VectorKernelDispatch.fast(kernelMethod, ad, bd,
+        fastFlag(elemType(left)), fastFlag(elemType(right)))
+    else
+      VectorKernelDispatch.any(kernelMethod, ad, bd, elemType(left), elemType(right))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("graftVec")
+      val call =
+        if (fastPath)
+          s"graft.operators.VectorKernels.$kernelMethod($a, $b, " +
+            s"${fastFlag(elemType(left))}, ${fastFlag(elemType(right))})"
+        else {
+          val lt = ctx.addReferenceObj("graftLType", elemType(left),
+            "org.apache.spark.sql.types.DataType")
+          val rt = ctx.addReferenceObj("graftRType", elemType(right),
+            "org.apache.spark.sql.types.DataType")
+          s"graft.operators.VectorKernels.${kernelMethod}Any($a, $b, $lt, $rt)"
+        }
+      s"""
+      java.lang.Double $r = $call;
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+}
+
+/** Interpreted-eval dispatch for the trait (codegen calls the statics
+  * directly; this keeps the non-codegen path free of reflection).
+  */
+private[operators] object VectorKernelDispatch {
+  def fast(m: String, a: ArrayData, b: ArrayData, fa: Boolean, fb: Boolean): java.lang.Double =
+    m match {
+      case "cosine" => VectorKernels.cosine(a, b, fa, fb)
+      case "dot" => VectorKernels.dot(a, b, fa, fb)
+      case "euclidean" => VectorKernels.euclidean(a, b, fa, fb)
+      case "quantizedCosine" => VectorKernels.quantizedCosine(a, b, fa, fb)
+    }
+  def any(m: String, a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double =
+    m match {
+      case "cosine" => VectorKernels.cosineAny(a, b, at, bt)
+      case "dot" => VectorKernels.dotAny(a, b, at, bt)
+      case "euclidean" => VectorKernels.euclideanAny(a, b, at, bt)
+      case "quantizedCosine" => VectorKernels.quantizedCosineAny(a, b, at, bt)
+    }
+}
+
+/** The double-accumulating kernels' fast path serves float/double lanes
+  * (flag = "is float").
+  */
+sealed trait DoubleVectorKernel extends VectorPairKernel {
+  override protected val fastTypes: Set[DataType] = Set(FloatType, DoubleType)
+  override protected def fastFlag(t: DataType): Boolean = t == FloatType
 }
 
 /** Catalyst expression: bit-exact compiled cosine similarity (see
   * [[VectorKernels.cosine]] for the contract).
   */
-case class CosineKernel(left: Expression, right: Expression) extends VectorPairKernel {
+case class CosineKernel(left: Expression, right: Expression) extends DoubleVectorKernel {
   override def prettyName: String = "graft_cosine_kernel"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("graftCos")
-      s"""
-      java.lang.Double $r = graft.operators.VectorKernels.cosine(
-        $a, $b, ${isFloat(left)}, ${isFloat(right)});
-      if ($r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $r.doubleValue(); }
-      """
-    })
+  override protected def kernelMethod: String = "cosine"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineKernel = copy(left = newLeft, right = newRight)
 }
@@ -148,21 +295,9 @@ case class CosineKernel(left: Expression, right: Expression) extends VectorPairK
 /** Catalyst expression: bit-exact compiled dot product (see
   * [[VectorKernels.dot]] for the contract).
   */
-case class DotKernel(left: Expression, right: Expression) extends VectorPairKernel {
+case class DotKernel(left: Expression, right: Expression) extends DoubleVectorKernel {
   override def prettyName: String = "graft_dot_kernel"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("graftDot")
-      s"""
-      java.lang.Double $r = graft.operators.VectorKernels.dot(
-        $a, $b, ${isFloat(left)}, ${isFloat(right)});
-      if ($r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $r.doubleValue(); }
-      """
-    })
+  override protected def kernelMethod: String = "dot"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotKernel = copy(left = newLeft, right = newRight)
 }
@@ -170,58 +305,24 @@ case class DotKernel(left: Expression, right: Expression) extends VectorPairKern
 /** Catalyst expression: bit-exact compiled euclidean distance (see
   * [[VectorKernels.euclidean]] for the contract).
   */
-case class EuclideanKernel(left: Expression, right: Expression) extends VectorPairKernel {
+case class EuclideanKernel(left: Expression, right: Expression) extends DoubleVectorKernel {
   override def prettyName: String = "graft_euclidean_kernel"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.euclidean(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("graftEuc")
-      s"""
-      java.lang.Double $r = graft.operators.VectorKernels.euclidean(
-        $a, $b, ${isFloat(left)}, ${isFloat(right)});
-      if ($r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $r.doubleValue(); }
-      """
-    })
+  override protected def kernelMethod: String = "euclidean"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): EuclideanKernel = copy(left = newLeft, right = newRight)
 }
 
 /** Catalyst expression: bit-exact compiled quantized-code cosine (see
-  * [[VectorKernels.quantizedCosine]] for the contract; int/long code
-  * arrays).
+  * [[VectorKernels.quantizedCosine]] for the contract); the fast path
+  * serves int/long code arrays (flag = "is long"), other numeric lanes
+  * take the generic cast-to-long path like the HOF's x.cast("long").
   */
 case class QuantizedCosineKernel(left: Expression, right: Expression)
-    extends BinaryExpression {
-  private def isLong(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == LongType
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(lt, _), ArrayType(rt, _))
-        if (lt == IntegerType || lt == LongType) &&
-          (rt == IntegerType || rt == LongType) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<INT|BIGINT> inputs, got " +
-        s"(${other._1.simpleString}, ${other._2.simpleString})")
-  }
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
+    extends VectorPairKernel {
   override def prettyName: String = "graft_quantized_cosine_kernel"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.quantizedCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isLong(left), isLong(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("graftQCos")
-      s"""
-      java.lang.Double $r = graft.operators.VectorKernels.quantizedCosine(
-        $a, $b, ${isLong(left)}, ${isLong(right)});
-      if ($r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $r.doubleValue(); }
-      """
-    })
+  override protected def kernelMethod: String = "quantizedCosine"
+  override protected val fastTypes: Set[DataType] = Set(IntegerType, LongType)
+  override protected def fastFlag(t: DataType): Boolean = t == LongType
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): QuantizedCosineKernel =
     copy(left = newLeft, right = newRight)

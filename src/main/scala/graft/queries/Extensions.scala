@@ -1252,14 +1252,15 @@ object Extensions {
     // with the centroids FROZEN (re-clustering would invalidate every
     // stored cell assignment and force a full rebuild; frozen-centroid
     // assignment touches only the arriving rows). The gate certifies the
-    // three properties that make the refresh honest: the second commit is
+    // properties that make the refresh honest: the refresh commit is
     // append-only (every pre-refresh file survives byte-identical in the
-    // file inventory), the refreshed table holds exactly base+batch under
-    // snapshot history (2 commits), and a post-refresh probe still
-    // partition-prunes to the query's cell — pruning metrics recorded
-    // through QUERY_HISTORY like x_ann_index. Ranking output is exact
-    // brute-force over the refreshed table, so DuckDB reproduces it from
-    // the raw embeddings with no index at all.
+    // file inventory), the index then binpack-COMPACTS with files strictly
+    // decreased and zero rows lost (3 commits: build, refresh, compact —
+    // the in-gate maintenance proof every persisted state carries), and a
+    // POST-COMPACTION probe still partition-prunes to the query's cell —
+    // pruning metrics recorded through QUERY_HISTORY like x_ann_index.
+    // Ranking output is exact brute-force over the refreshed table, so
+    // DuckDB reproduces it from the raw embeddings with no index at all.
     ("x_ann_index_refresh",
       (s: SparkSession, d: String) => {
         import graft.format.{Predicate, Transform}
@@ -1282,11 +1283,7 @@ object Extensions {
         // the probe's ability to prune (a compaction that lost a cell's
         // partition value would degrade probes to full-index scans with
         // no wrong answer to flag it — the postings-index failure shape)
-        val filesPreCompact = t.scan().dataFiles.size
-        val rowsPreCompact = t.toDF(s).count()
-        t.compact(s)
-        val filesPostCompact = t.scan().dataFiles.size
-        val rowsPostCompact = t.toDF(s).count()
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
         val qCell = q.select(VF.ivfAssign(col("q"), cents)).head.getInt(0).toLong
         val probe = t.scan(Predicate.Eq("cell", qCell))
@@ -1296,8 +1293,8 @@ object Extensions {
           .select("rank", "vec_id")
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
-          .withColumn("compacted", lit(filesPostCompact < filesPreCompact))
-          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
           .withColumn("probe_pruned",
             lit(probe.metrics.filesScanned < probe.metrics.filesTotal))
@@ -3084,11 +3081,8 @@ object Extensions {
         t.append(s, keepFirst(
           chunksOf(hist.filter(col("doc_id") % 4 === 2)).select("h", "doc_id", "ci")
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")))
-        val filesPreCompact = t.scan().dataFiles.size
-        val rowsPreCompact = t.toDF(s).count()
-        t.compact(s) // mid-sequence maintenance on the live keep-first state
-        val filesPostCompactN = t.scan().dataFiles.size
-        val rowsPostCompact = t.toDF(s).count()
+        // mid-sequence maintenance on the live keep-first state
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val bc = chunksOf(batch).localCheckpoint() // probe + rollup read it
         val bFirst = keepFirst(bc.select("h", "doc_id", "ci")
@@ -3108,8 +3102,8 @@ object Extensions {
             sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
           .withColumn("dup_chunk_rate",
             lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
-          .withColumn("compacted", lit(filesPostCompactN < filesPreCompact))
-          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
@@ -4429,11 +4423,8 @@ object Extensions {
           partitionBy = Seq("sig" -> Transform.Bucket(4)))
         t.append(s, sigs1)
         t.append(s, sigsOf(hist.filter(col("doc_id") % 4 === 2)))
-        val filesBefore = t.scan().dataFiles.size
-        val stateRowsBefore = t.toDF(s).count()
-        t.compact(s) // mid-sequence maintenance on the live signature state
-        val filesAfter = t.scan().dataFiles.size
-        val stateRowsAfter = t.toDF(s).count()
+        // mid-sequence maintenance on the live signature state
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val batchSigs = sigsOf(batch).localCheckpoint() // nominate AND re-append
         val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
           .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -4450,8 +4441,8 @@ object Extensions {
           .select("band", "sig", "doc_id"))
         val filesFinal = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         admitted.groupBy("lang").agg(count(lit(1)).as("admitted"))
-          .withColumn("compacted", lit(filesAfter < filesBefore))
-          .withColumn("state_preserved", lit(stateRowsAfter == stateRowsBefore))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .withColumn("append_only",
             lit(filesPostCompact.subsetOf(filesFinal) && filesFinal.size > filesPostCompact.size))
           .withColumn("maintenance_commits", lit(t.meta.snapshots.size.toLong))
@@ -4916,11 +4907,8 @@ object Extensions {
           properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
         t.append(s, fps1)
         t.append(s, hist2.select(TF.fingerprint(col("text")).as("fp")))
-        val filesBefore = t.scan().dataFiles.size
-        val stateRowsBefore = t.toDF(s).count()
-        t.compact(s) // mid-sequence maintenance on the live state table
-        val filesAfter = t.scan().dataFiles.size
-        val stateRowsAfter = t.toDF(s).count()
+        // mid-sequence maintenance on the live state table
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val batchFp = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         val firstIn = batchFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
         val admitted = firstIn
@@ -4929,8 +4917,8 @@ object Extensions {
         batch.join(broadcast(admitted), "doc_id")
           .groupBy("lang")
           .agg(count(lit(1)).as("admitted"), sum(col("n_chars")).cast("long").as("sum_chars"))
-          .withColumn("compacted", lit(filesAfter < filesBefore))
-          .withColumn("state_preserved", lit(stateRowsAfter == stateRowsBefore))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .withColumn("maintenance_commits", lit(t.meta.snapshots.size.toLong))
           .orderBy("lang")
       },
@@ -4991,11 +4979,8 @@ object Extensions {
           .select("doc_id", "g")
           .join(t.toDF(s).select(col("g")), Seq("g"), "left_anti")
           .groupBy("g").agg(min(col("doc_id")).as("first_doc")))
-        val filesPreCompact = t.scan().dataFiles.size
-        val rowsPreCompact = t.toDF(s).count()
-        t.compact(s) // mid-sequence maintenance on the live first-seen state
-        val filesPostCompact = t.scan().dataFiles.size
-        val rowsPostCompact = t.toDF(s).count()
+        // mid-sequence maintenance on the live first-seen state
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         // pinned: the batch gram stream feeds both the unseen-gram probe
         // and the per-doc novelty rollup
@@ -5016,8 +5001,8 @@ object Extensions {
             sum(col("novel")).as("novel"))
           .withColumn("novelty_rate",
             col("novel").cast("double") / col("grams").cast("double"))
-          .withColumn("compacted", lit(filesPostCompact < filesPreCompact))
-          .withColumn("state_preserved", lit(rowsPostCompact == rowsPreCompact))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .withColumn("append_only",
             lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
           .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))

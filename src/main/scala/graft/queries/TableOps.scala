@@ -86,6 +86,19 @@ object TableOps {
     n
   }
 
+  /** Binpack-compact a live state table and return the two proof flags
+    * every durable-state gate certifies in-gate: (files strictly
+    * decreased, zero rows lost). One helper so the proof ritual cannot
+    * drift per gate — five gates certify it and every future persisted
+    * state must too.
+    */
+  private[graft] def compactionProof(s: SparkSession, t: GraftTable): (Boolean, Boolean) = {
+    val filesBefore = t.scan().dataFiles.size
+    val rowsBefore = t.toDF(s).count()
+    t.compact(s)
+    (t.scan().dataFiles.size < filesBefore, t.toDF(s).count() == rowsBefore)
+  }
+
   private[queries] def newCatalog(): GraftCatalog = {
     new GraftCatalog(newTempDir("graft-wh"))
   }

@@ -110,6 +110,66 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("euclidean mixed float x double and quantized long paths bit-equal to HOFs") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val rows = (0 until 40).map { i =>
+      def v = Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextInt(4001) - 2000) / 333f))
+      (i.toLong, v, v)
+    }
+    // euclidean against a DOUBLE literal — the exact shape ivfAssign/
+    // kmeansCentroids probe with (float column vs constant centroid)
+    val cent = Array.fill(dim)((rnd.nextInt(2001) - 1000) / 250.0)
+    val d = fdf(rows)
+      .withColumn("bd", transform(col("b"), x => x.cast("double")))
+      .withColumn("cl", lit(cent))
+    val got = d.select(
+        VectorFunctions.euclideanDistance(col("a"), col("cl")).as("ek"),
+        VectorFunctions.euclideanDistanceHof(col("a"), col("cl")).as("eh"),
+        VectorFunctions.euclideanDistance(col("a"), col("bd")).as("mk"),
+        VectorFunctions.euclideanDistanceHof(col("a"), col("bd")).as("mh"))
+      .collect()
+    got.foreach { r =>
+      assert(bitsOrNull(r, 0) == bitsOrNull(r, 1), "float x double-literal euclidean diverged")
+      assert(bitsOrNull(r, 2) == bitsOrNull(r, 3), "float x double euclidean diverged")
+    }
+    // quantized cosine over LONG code arrays (the aL/bL fast-path flag)
+    val codesL = transform(VectorFunctions.quantizeInt8(col("a")).getField("codes"),
+      x => x.cast("long"))
+    val gotQ = d.select(
+        VectorFunctions.quantizedCosine(codesL, codesL).as("qk"),
+        VectorFunctions.quantizedCosineHof(codesL, codesL).as("qh"))
+      .collect()
+    gotQ.foreach { r =>
+      assert(bitsOrNull(r, 0) == bitsOrNull(r, 1), "long-codes qcosine diverged")
+    }
+  }
+
+  test("generic numeric path: int arrays and SQL decimal literals match the HOF cast semantics") {
+    // int arrays through cosine/dot — the HOF accepted them via per-lane
+    // cast("double"); the kernels' generic path must not narrow that
+    val d = spark.range(1, 20).select(
+      array(col("id").cast("int"), (col("id") * 2).cast("int"),
+        (col("id") - 7).cast("int")).as("ia"),
+      array((col("id") + 1).cast("int"), (col("id") * 3).cast("int"),
+        lit(4)).as("ib"))
+    val got = d.select(
+        VectorFunctions.cosineSimilarity(col("ia"), col("ib")).as("ck"),
+        VectorFunctions.cosineSimilarityHof(col("ia"), col("ib")).as("ch"),
+        VectorFunctions.dot(col("ia"), col("ib")).as("dk"),
+        VectorFunctions.dotHof(col("ia"), col("ib")).as("dh"))
+      .collect()
+    got.foreach { r =>
+      assert(bitsOrNull(r, 0) == bitsOrNull(r, 1), "int-array cosine diverged")
+      assert(bitsOrNull(r, 2) == bitsOrNull(r, 3), "int-array dot diverged")
+    }
+    // SQL decimal-literal arrays (what FunctionRegistry callers send)
+    graft.functions.SqlFunctions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
     // a range source, not a local relation — ConvertToLocalRelation would
     // otherwise fold the projection before any physical plan exists
