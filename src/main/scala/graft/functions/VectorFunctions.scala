@@ -92,7 +92,15 @@ object VectorFunctions {
     *
     * @return struct(amax double, codes array<int>)
     */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    // compiled row kernel ([[graft.operators.QuantizeInt8Kernel]]) — one
+    // static call per row instead of an interpreted transform + array_max
+    // + zip_with stack; codes bit-identical (HOF reference below for the
+    // kernel spec, adversarial shapes included)
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.QuantizeInt8Kernel(
+      org.apache.spark.sql.GraftSqlShim.expression(vec)))
+
+  private[graft] def quantizeInt8Hof(vec: Column): Column = {
     val amax = array_max(transform(vec, v => abs(v.cast("double"))))
     // hoist amax out of the per-lane lambda: higher-order functions are
     // interpreted (no codegen CSE), so referencing the O(dim) reduction
@@ -494,7 +502,14 @@ object VectorFunctions {
     * NULL a downstream filter can drop, never as a fabricated finite
     * projection or an array of null lanes.
     */
-  def signProject(codes: Column, signs: Array[Array[Long]]): Column = {
+  def signProject(codes: Column, signs: Array[Array[Long]]): Column =
+    // compiled row kernel ([[graft.operators.SignProjectKernel]]): the
+    // lane loop carries all outDims accumulators in one static call (the
+    // HOF reference below is the fold this replaces, kept for the spec)
+    org.apache.spark.sql.GraftSqlShim.column(graft.operators.SignProjectKernel(
+      org.apache.spark.sql.GraftSqlShim.expression(codes), signs))
+
+  private[graft] def signProjectHof(codes: Column, signs: Array[Array[Long]]): Column = {
     require(signs.nonEmpty && signs.map(_.length).distinct.length == 1,
       "signs must be a non-empty rectangular matrix")
     val outDims = signs.length

@@ -327,3 +327,146 @@ case class QuantizedCosineKernel(left: Expression, right: Expression)
       newRight: Expression): QuantizedCosineKernel =
     copy(left = newLeft, right = newRight)
 }
+
+/** Row-local quantization/projection kernels — the map-side cost of the
+  * int8 storage path ([[graft.functions.VectorFunctions.quantizeInt8]] /
+  * `signProject`), previously interpreted transform/zip_with/aggregate
+  * stacks per row. Bit-compat contracts mirrored lane-for-lane from the
+  * HOF forms (VectorKernelsSpec replays them, adversarial shapes
+  * included):
+  *
+  * quantizeInt8: amax = null-skipping max of |x| with NaN-greatest
+  * ordering (null for an empty/all-null vector); codes = all-zero when
+  * amax == 0.0; otherwise per lane floor(x·127/amax + 0.5) through
+  * double→long→int exactly like FLOOR + CAST (null lanes stay null; a
+  * NaN amax zeroes finite lanes the way the HOF's NaN arithmetic did).
+  *
+  * signProject: NULL unless the code vector has exactly `dim` non-null
+  * lanes; otherwise outDims exact BIGINT accumulators over the ±1 matrix.
+  */
+object VectorRowKernels {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def quantizeInt8(vec: ArrayData, aF: Boolean): InternalRow = {
+    val n = vec.numElements()
+    var amax = 0.0; var seen = false; var hasNaN = false
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val v = Math.abs(if (aF) vec.getFloat(i).toDouble else vec.getDouble(i))
+        if (java.lang.Double.isNaN(v)) hasNaN = true
+        else if (!seen || v > amax) amax = v
+        seen = true
+      }
+      i += 1
+    }
+    if (!seen) {
+      // empty or all-null lanes: array_max is null, and the HOF's
+      // otherwise-branch zip_with against array_repeat(null, n) yields n
+      // null code lanes (an EMPTY codes array for an empty vector) — not
+      // a null codes field
+      return new GenericInternalRow(Array[Any](null,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](n))))
+    }
+    val m = if (hasNaN) Double.NaN else amax
+    val codes = new Array[Any](n)
+    if (m == 0.0) {
+      // the HOF's constant-lambda transform zeroes EVERY position,
+      // null lanes included
+      i = 0
+      while (i < n) { codes(i) = 0; i += 1 }
+    } else {
+      i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) {
+          val x = if (aF) vec.getFloat(i).toDouble else vec.getDouble(i)
+          // FLOOR(double) -> BIGINT -> CAST INT, exactly (NaN -> 0L -> 0;
+          // infinities saturate at Long then wrap to Int like Cast)
+          codes(i) = Math.floor(x * 127.0 / m + 0.5).toLong.toInt
+        }
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](m, new GenericArrayData(codes)))
+  }
+
+  def signProject(codes: ArrayData, signs: Array[Array[Long]],
+                  intElems: Boolean): GenericArrayData = {
+    val outDims = signs.length
+    val dim = signs(0).length
+    if (codes.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (codes.isNullAt(i)) return null
+      i += 1
+    }
+    val acc = new Array[Long](outDims)
+    i = 0
+    while (i < dim) {
+      val c = if (intElems) codes.getInt(i).toLong else codes.getLong(i)
+      var j = 0
+      while (j < outDims) { acc(j) += c * signs(j)(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(acc.map(v => java.lang.Long.valueOf(v): Any))
+  }
+}
+
+/** Catalyst expression: compiled [[VectorRowKernels.quantizeInt8]] —
+  * struct(amax double, codes array<int>).
+  */
+case class QuantizeInt8Kernel(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("amax", DoubleType), StructField("codes", ArrayType(IntegerType))))
+  override def prettyName: String = "graft_quantize_int8_kernel"
+  override def nullSafeEval(input: Any): Any =
+    VectorRowKernels.quantizeInt8(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.operators.VectorRowKernels.quantizeInt8($v, $isFloat);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Kernel =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: compiled [[VectorRowKernels.signProject]] — the
+  * ±1 matrix rides as a plan reference; output array<bigint>, NULL per
+  * the guard contract.
+  */
+case class SignProjectKernel(child: Expression, signs: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(signs.nonEmpty && signs.map(_.length).distinct.length == 1,
+    "signs must be a non-empty rectangular matrix")
+  private def isInt: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<INT|BIGINT> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign_project_kernel"
+  override def nullSafeEval(input: Any): Any =
+    VectorRowKernels.signProject(input.asInstanceOf[ArrayData], signs, isInt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("graftSigns", signs, "long[][]")
+      s"""
+      ${ev.value} = graft.operators.VectorRowKernels.signProject($v, $m, $isInt);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): SignProjectKernel =
+    copy(child = newChild)
+}

@@ -170,6 +170,63 @@ class VectorKernelsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("quantizeInt8/signProject row kernels bit-equal to the HOF stacks, adversarial shapes + 3 seeds") {
+    val shapes: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0f, 0f)),                                  // all-zero → zero codes
+      (3L, Seq(Float.NaN, 1f)),                            // NaN amax path
+      (4L, Seq(Float.PositiveInfinity, 1f)),               // Inf amax path
+      (5L, Seq[java.lang.Float](1f, null, 3f)),            // null lane
+      (6L, Seq.empty[java.lang.Float]),                    // empty vector
+      (7L, null))                                          // whole side null
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType))))
+    def qdf(rows: Seq[(Long, Seq[java.lang.Float])]) =
+      spark.createDataFrame(rows.map { case (i, v) => Row(i, v) }.asJava, schema)
+    def cmp(rows: Seq[(Long, Seq[java.lang.Float])]): Unit = {
+      val got = qdf(rows).select(col("id"),
+          VectorFunctions.quantizeInt8(col("emb")).as("k"),
+          VectorFunctions.quantizeInt8Hof(col("emb")).as("h"))
+        .select(col("id"), col("k.amax"), col("k.codes"), col("h.amax"), col("h.codes"))
+        .collect()
+      got.foreach { r =>
+        val (ka, ha) = (bitsOrNull(r, 1), bitsOrNull(r, 3))
+        assert(ka == ha, s"amax diverged on id ${r.getLong(0)}: $r")
+        val kc = if (r.isNullAt(2)) null else r.getSeq[Any](2)
+        val hc = if (r.isNullAt(4)) null else r.getSeq[Any](4)
+        assert(kc == hc, s"codes diverged on id ${r.getLong(0)}: $kc vs $hc")
+      }
+    }
+    cmp(shapes)
+    for (seed <- Seq(51, 52, 53)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8 + rnd.nextInt(56)
+      cmp((0 until 60).map(i =>
+        (i.toLong, Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextInt(4001) - 2000) / 61f)))))
+      // signProject over the quantized codes, incl. a wrong-length row and
+      // a null-lane row that must project to NULL in both forms
+      val signs = VectorFunctions.signMatrix(dim, 6)
+      val rows = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextInt(255) - 127).toFloat)))) ++
+        Seq((98L, Seq.fill(dim + 1)(java.lang.Float.valueOf(1f))),
+          (99L, (Seq.fill(dim - 1)(java.lang.Float.valueOf(1f)) :+
+            (null: java.lang.Float))))
+      val codes = VectorFunctions.quantizeInt8(col("emb")).getField("codes")
+      val codesHof = VectorFunctions.quantizeInt8Hof(col("emb")).getField("codes")
+      val got = qdf(rows).select(col("id"),
+          VectorFunctions.signProject(codes, signs).as("k"),
+          VectorFunctions.signProjectHof(codesHof, signs).as("h"))
+        .collect()
+      got.foreach { r =>
+        val k = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        val h = if (r.isNullAt(2)) null else r.getSeq[Long](2)
+        assert(k == h, s"seed $seed projection diverged on id ${r.getLong(0)}: $k vs $h")
+      }
+      assert(got.filter(_.getLong(0) >= 98L).forall(_.isNullAt(1)),
+        "irregular rows must project to NULL")
+    }
+  }
+
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
     // a range source, not a local relation — ConvertToLocalRelation would
     // otherwise fold the projection before any physical plan exists
