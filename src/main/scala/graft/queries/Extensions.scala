@@ -5503,6 +5503,143 @@ object Extensions {
         |a3 AS (SELECT p, CAST((CAST(a AS HUGEINT) * 1000000)
         |         // (SELECT max(a) FROM a3r) AS BIGINT) AS a FROM a3r)
         |SELECT p AS part, a AS authority FROM a3
-        |ORDER BY a DESC, p LIMIT 10""".stripMargin)
+        |ORDER BY a DESC, p LIMIT 10""".stripMargin),
+
+    // X4n: BIGRAM-LM QUALITY SCORING — the CCNet/Gopher "perplexity
+    // filter" shape: train an n-gram language model ON the corpus, score
+    // every document by how predictable its text is under that model, and
+    // gate low-scoring documents out of the training mix. Kept in exact
+    // integers for cross-engine parity: the per-bigram conditional
+    // probability p(w2|w1) = c(w1 w2)/c(w1·) becomes the fixed point
+    // (c2 * 1e6) div c1, and a document's score is the floor-average of
+    // its bigrams' fixed points — a monotone proxy for mean per-token
+    // likelihood (the log/geometric mean of true perplexity is
+    // float-territory; an arithmetic mean of the SAME per-bigram
+    // likelihoods ranks low-predictability docs the same way and stays
+    // hash-comparable). Plan shape, sized for 100 TB: both count tables
+    // are map-side-combined hash aggregates; the MODEL (probs) is
+    // vocabulary²-bounded — built by a vocab-sized join of c2 against c1,
+    // NOT by joining the corpus twice — and at scale is exactly the
+    // artifact you would persist as a Graft table between crawls (the
+    // KenLM binary of this pipeline). The single corpus-sized exchange is
+    // the probe join of the bigram stream against the model on the bigram
+    // key. c2*1e6 needs c2 ≤ 9.2e12 — beyond any single bigram's corpus
+    // frequency before DECIMAL widening is needed (x_anomaly_days note).
+    ("x_lm_score",
+      (s: SparkSession, d: String) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TF.shingles(col("text"), 2)).as("bg"))
+        val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(count(lit(1)).as("c1"))
+        // model: one row per distinct bigram (w1 is a prefix of bg, so
+        // c2 <= c1 and the fixed point is always in [1, 1e6])
+        val probs = c2
+          .join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
+          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+        val perDoc = bg.join(probs, "bg")
+          .groupBy("doc_id")
+          .agg(min(col("lang")).as("lang"),
+            expr("sum(q) div count(1)").as("score"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(when(col("score") < 33000L, 1L).otherwise(0L)).as("n_low"))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM bg GROUP BY 1),
+        |probs AS (
+        |  SELECT c2.bg, (c2.c2 * 1000000) // c1.c1 AS q
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        |ds AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(probs.q) AS BIGINT) // count(*) AS score
+        |  FROM bg b JOIN probs ON b.bg = probs.bg GROUP BY 1)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(SUM(CASE WHEN score < 33000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4o: IMPORTANCE RESAMPLING over hashed n-gram features — the DSIR
+    // recipe (Xie et al. 2023, public): pick training data whose feature
+    // distribution matches a TARGET domain by (1) hashing each document's
+    // bigrams into a small fixed feature space, (2) weighting every
+    // feature bucket by the target-vs-corpus frequency ratio, (3) scoring
+    // each document by its average bucket weight, and (4) keeping it with
+    // probability proportional to that importance weight. Everything is
+    // deterministic and engine-neutral: buckets are the first 2 hex chars
+    // of md5(bigram) (256 cells — the hashed-feature table is CONSTANT
+    // size no matter the corpus, which is the whole point of hashed DSIR:
+    // the model broadcasts at any scale), ratios are the fixed point
+    // (target_cnt * 2^20) div corpus_cnt, and the accept/reject coin is
+    // the first 5 hex chars of a salted md5 of the doc id read as an
+    // integer in [0, 2^20) — accept iff u < weight, so acceptance
+    // probability IS the importance weight, reproducibly on both engines
+    // (Spark conv(hex,16,10); DuckDB CAST('0x'||hex)). Target here =
+    // lang='en' (the fixture's languages share a synthetic vocabulary, so
+    // the separation is modest — en tilts ~459k/2^20 vs ~449k — but the
+    // acceptance math is exactly the production shape). One corpus-sized
+    // pass against a broadcast 256-row weight table; no shuffle wider
+    // than the per-doc aggregate.
+    ("x_importance_resample",
+      (s: SparkSession, d: String) => {
+        val feats = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TF.shingles(col("text"), 2)).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("bg")), 1, 2).as("b"))
+        val w = feats.groupBy("b")
+          .agg(count(lit(1)).as("cc"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+          .select(col("b"), expr("(tc * 1048576) div cc").as("w"))
+        val perDoc = feats.join(broadcast(w), "b")
+          .groupBy("doc_id")
+          .agg(min(col("lang")).as("lang"),
+            expr("sum(w) div count(1)").as("wdoc"))
+          .withColumn("u",
+            expr("conv(substring(md5(concat('is_', cast(doc_id as string))), 1, 5), 16, 10)")
+              .cast("long"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("u") < col("wdoc"), 1L).otherwise(0L)).as("kept"),
+            sum(col("wdoc")).as("total_weight"))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, substr(md5(bg), 1, 2) AS b FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(
+        |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |    FROM toks)),
+        |w AS (
+        |  SELECT b, (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1048576)
+        |      // count(*) AS w
+        |  FROM feats GROUP BY 1),
+        |pd AS (
+        |  SELECT f.doc_id, min(f.lang) AS lang,
+        |    CAST(sum(w.w) AS BIGINT) // count(*) AS wdoc
+        |  FROM feats f JOIN w USING (b) GROUP BY 1),
+        |pu AS (
+        |  SELECT lang, wdoc,
+        |    CAST(('0x' || substr(md5('is_' || CAST(doc_id AS VARCHAR)), 1, 5))
+        |      AS BIGINT) AS u
+        |  FROM pd)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(SUM(CASE WHEN u < wdoc THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(wdoc) AS BIGINT) AS total_weight
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

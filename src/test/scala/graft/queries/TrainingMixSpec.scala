@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Independent in-memory recomputation of the training-mix curation gates:
+  * bigram-LM quality scoring (the CCNet/Gopher perplexity-filter shape in
+  * exact fixed-point integers) and DSIR-style hashed-feature importance
+  * resampling. Both replays run the full per-doc math in plain Scala on
+  * the raw fixture and must match the gate rollups exactly — the same
+  * all-integer discipline that makes the DuckDB oracles hash-stable.
+  */
+class TrainingMixSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def corpus(): Array[(Long, String, Array[String])] =
+    spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("").split("\\s+").filter(_.nonEmpty)))
+
+  private def bigrams(toks: Array[String]): Array[String] =
+    if (toks.length < 2) Array.empty
+    else toks.sliding(2).map(_.mkString(" ")).toArray
+
+  test("x_lm_score matches the in-memory fixed-point bigram LM") {
+    val docs = corpus()
+    val allBg = docs.flatMap { case (_, _, t) => bigrams(t) }
+    val c2 = allBg.groupBy(identity).map { case (bgr, o) => bgr -> o.length.toLong }
+    val c1 = allBg.groupBy(_.split(" ", 2)(0)).map { case (w1, o) => w1 -> o.length.toLong }
+    val q = c2.map { case (bgr, c) =>
+      bgr -> (c * 1000000L) / c1(bgr.split(" ", 2)(0))
+    }
+    // the fixed point is a probability: always within (0, 1e6]
+    assert(q.values.forall(v => v >= 1L && v <= 1000000L))
+    val perDoc = docs.flatMap { case (id, lang, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None // <2-token docs carry no bigram evidence: excluded
+      else Some((id, lang, bg.map(q).sum / bg.length))
+    }
+    val expect = perDoc.groupBy(_._2).map { case (lang, rows) =>
+      val scores = rows.map(_._3)
+      (lang, rows.length.toLong, scores.sum / rows.length,
+        scores.min, scores.max, scores.count(_ < 33000L).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_lm_score").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
+  test("x_importance_resample matches the in-memory DSIR acceptance math") {
+    val docs = corpus()
+    val allB = docs.flatMap { case (_, lang, t) => bigrams(t).map(bg => (lang, md5hex(bg).take(2))) }
+    val cc = allB.groupBy(_._2).map { case (b, o) => b -> o.length.toLong }
+    val tc = allB.filter(_._1 == "en").groupBy(_._2)
+      .map { case (b, o) => b -> o.length.toLong }
+    val w = cc.map { case (b, c) => b -> (tc.getOrElse(b, 0L) * 1048576L) / c }
+    // the hashed feature space stays constant-size (<= 256 cells)
+    assert(w.size <= 256 && w.values.forall(v => v >= 0L && v <= 1048576L))
+    val perDoc = docs.flatMap { case (id, lang, t) =>
+      val bs = bigrams(t).map(bg => md5hex(bg).take(2))
+      if (bs.isEmpty) None
+      else {
+        val wdoc = bs.map(w).sum / bs.length
+        val u = java.lang.Long.parseLong(md5hex(s"is_$id").take(5), 16)
+        Some((lang, wdoc, u < wdoc))
+      }
+    }
+    val expect = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      (lang, rows.length.toLong, rows.count(_._3).toLong, rows.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.entries.find(_._1 == "x_importance_resample").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nexpected $expect")
+    // the resample must actually cut — acceptance is probabilistic, not a
+    // pass-through — and must keep SOMETHING (weights ~0.43*2^20 here)
+    val (kept, total) = (got.map(_._3).sum, got.map(_._2).sum)
+    assert(kept > 0L && kept < total, s"degenerate resample: $kept of $total")
+  }
+}
