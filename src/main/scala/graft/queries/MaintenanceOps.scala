@@ -700,6 +700,83 @@ object MaintenanceOps {
         |  true AS multi_batch
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // W9c: streaming SESSIONIZATION via the native session_window
+    // aggregation — the gap-merge stateful operator, the last Structured
+    // Streaming aggregate shape the window/dedup/join gates don't cover.
+    // Events stream in across micro-batches; sessions that SPAN a batch
+    // boundary must merge through the state store (the driver-side batch
+    // counter certifies multi-batch execution, so the merge path really
+    // ran). The rig uses complete mode: every batch re-emits the full
+    // merged session set and the final overwrite is the fixed point —
+    // bit-equal to batch sessionization with NO watermark race (append
+    // mode only emits sessions the watermark has passed, which on a
+    // bounded replay strands the tail unless a sentinel advances it; the
+    // production shape is append + withWatermark where state stays
+    // horizon-bounded — ScaleSmoke contract 9's discipline — while
+    // complete mode is the exact-parity test rig). Session semantics
+    // pinned by StreamSessionsSpec: the merge boundary is INCLUSIVE — an
+    // exactly-30-min gap still merges (windows merge when next.start <=
+    // prev.end), so a new session starts iff gap > 30 min — the SAME
+    // strict-> boundary as x_sessionize/sessionRollup, and the > in this
+    // oracle; the spec proves it on a planted tie and then proves the
+    // native aggregation reproduces sessionRollup on the (tie-free,
+    // also checked) fixture. Update mode is
+    // unsupported for session windows and complete requires an extra
+    // grouping key (user_id) — both Spark-documented restrictions this
+    // shape satisfies.
+    ("g_stream_sessions",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val stage = TableOps.newTempDir("graft-ss")
+        df.repartition(4).write.mode("overwrite").parquet(stage)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_sessions", new StructType()
+          .add("user_id", LongType).add("evs", LongType))
+        var batches = 0
+        TableOps.withStatePartitions(s, 8) {
+          val stream = s.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 2).parquet(stage)
+          val sess = stream
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("evs"))
+            .select(col("user_id"), col("evs"))
+          val q = sess.writeStream
+            .outputMode("complete")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batches += 1
+              t.overwrite(s, batch): Unit // complete mode: full merged state
+            }
+            .option("checkpointLocation", s"$stage-ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(300000), "g_stream_sessions: stream did not finish in 300s")
+        }
+        t.toDF(s).groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("evs")).as("max_session_events"),
+            sum(col("evs")).as("total_events"))
+          .withColumn("multi_batch", lit(batches > 1))
+          .orderBy("user_id")
+      },
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sl AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, count(*) AS evs FROM sl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(evs) AS BIGINT) AS max_session_events,
+        |  CAST(sum(evs) AS BIGINT) AS total_events,
+        |  true AS multi_batch
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // S10: BEFORE(STATEMENT) (docs/05:69-72) reads the state just before a
     // named commit; AT(TIMESTAMP) pinned between the commits agrees.
     ("g_before_statement",
