@@ -289,6 +289,38 @@ object Extensions {
         sum(col("events")).as("total_events"))
   }
 
+  /** Per-lang bigram-LM quality rollup — the x_lm_score pipeline body,
+    * shared with ScaleSmoke contract 12. Trains the fixed-point bigram
+    * model on `docs` (doc_id, lang, text) and rolls the per-doc
+    * floor-average scores up per language; all-integer (see the gate
+    * comment for the CCNet-perplexity framing and the 100 TB plan shape).
+    * @return (lang, docs, avg_score, min_score, max_score, n_low) —
+    *         unordered
+    */
+  private[graft] def lmScoreRollup(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TF.shingles(col("text"), 2)).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    // model: one row per distinct bigram (w1 is a prefix of bg, so
+    // c2 <= c1 and the fixed point is always in [1, 1e6])
+    val probs = c2
+      .join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+    val perDoc = bg.join(probs, "bg")
+      .groupBy("doc_id")
+      .agg(min(col("lang")).as("lang"),
+        expr("sum(q) div count(1)").as("score"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        expr("sum(score) div count(1)").as("avg_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(when(col("score") < 33000L, 1L).otherwise(0L)).as("n_low"))
+  }
+
   /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
     * pipeline body, shared with ScaleSmoke contract 11. Non-overlapping
     * `w`-token chunks keyed by md5 of the chunk text; keep-first is two
@@ -5526,30 +5558,8 @@ object Extensions {
     // key. c2*1e6 needs c2 ≤ 9.2e12 — beyond any single bigram's corpus
     // frequency before DECIMAL widening is needed (x_anomaly_days note).
     ("x_lm_score",
-      (s: SparkSession, d: String) => {
-        val bg = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TF.shingles(col("text"), 2)).as("bg"))
-        val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-          .agg(count(lit(1)).as("c1"))
-        // model: one row per distinct bigram (w1 is a prefix of bg, so
-        // c2 <= c1 and the fixed point is always in [1, 1e6])
-        val probs = c2
-          .join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
-          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
-        val perDoc = bg.join(probs, "bg")
-          .groupBy("doc_id")
-          .agg(min(col("lang")).as("lang"),
-            expr("sum(q) div count(1)").as("score"))
-        perDoc.groupBy("lang")
-          .agg(count(lit(1)).as("docs"),
-            expr("sum(score) div count(1)").as("avg_score"),
-            min(col("score")).as("min_score"),
-            max(col("score")).as("max_score"),
-            sum(when(col("score") < 33000L, 1L).otherwise(0L)).as("n_low"))
-          .orderBy("lang")
-      },
+      (s: SparkSession, d: String) =>
+        lmScoreRollup(Tables.documents(s, d)).orderBy("lang"),
       s"""WITH toks AS (
         |  SELECT doc_id, lang, $toksSql AS t FROM documents),
         |bg AS (
@@ -5640,6 +5650,104 @@ object Extensions {
         |SELECT lang, count(*) AS docs,
         |  CAST(SUM(CASE WHEN u < wdoc THEN 1 ELSE 0 END) AS BIGINT) AS kept,
         |  CAST(sum(wdoc) AS BIGINT) AS total_weight
-        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4p: INCREMENTAL LM SCORING against a DURABLE model — closes the
+    // promise in x_lm_score's comment ("the artifact you would persist as
+    // a Graft table between crawls"): the bigram counts live in a
+    // bucket-partitioned Graft table as a COUNT-DELTA LOG (each crawl
+    // appends its batch's (bg, cnt) partials; the model is the sum per
+    // bigram on read — the log-structured-aggregate state shape whose
+    // appends never rewrite history and whose maintenance is plain file
+    // compaction). A new crawl batch is scored under the model trained on
+    // HISTORY ONLY — bigrams the model has never seen score 0 via the
+    // left join (out-of-model text reads as improbable, the real
+    // new-crawl quality signal) — then appends its own counts so the next
+    // batch's model includes it. Certified in-gate, same ritual as every
+    // persisted state: mid-sequence binpack compaction (`compacted` =
+    // files strictly decreased, `state_preserved` = zero rows lost, via
+    // the shared TableOps.compactionProof), append-only file inventory
+    // across the batch append, 4 commits pinned, and COUNT CONSERVATION —
+    // after the batch append the state's summed counts equal the whole
+    // corpus's bigram total, which the oracle recomputes from raw text
+    // with no notion of state, appends, or compaction.
+    ("x_incremental_lm",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        def bgOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        def countsOf(df: DataFrame) = bgOf(df)
+          .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.lm_counts", new org.apache.spark.sql.types.StructType()
+          .add("bg", org.apache.spark.sql.types.StringType)
+          .add("cnt", org.apache.spark.sql.types.LongType),
+          partitionBy = Seq("bg" -> Transform.Bucket(4)))
+        t.append(s, countsOf(hist.filter(col("doc_id") % 4 === 0)))
+        t.append(s, countsOf(hist.filter(col("doc_id") % 4 === 2)))
+        // mid-sequence maintenance on the live count log
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        // model = the summed log, READ FROM THE STATE (not recomputed
+        // from text): c1 derives from c2 by head-word grouping
+        val c2s = t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
+        val c1s = t.toDF(s)
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum(col("cnt")).as("c1"))
+        val probs = c2s.join(c1s, substring_index(c2s("bg"), " ", 1) === c1s("w1"))
+          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+        // pinned: the batch bigram stream feeds both the scoring join
+        // and the state append
+        val bb = bgOf(batch).localCheckpoint()
+        val perDoc = bb.join(probs, Seq("bg"), "left")
+          .groupBy("doc_id")
+          .agg(min(col("lang")).as("lang"),
+            expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"))
+        t.append(s, bb.groupBy("bg").agg(count(lit(1)).as("cnt")))
+        val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
+        val stateTotal = t.toDF(s).agg(sum(col("cnt"))).head.getLong(0)
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(when(col("score") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("append_only",
+            lit(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size))
+          .withColumn("incremental_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("state_total", lit(stateTotal))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |hist AS (SELECT bg FROM bg WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM hist GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM hist GROUP BY 1),
+        |probs AS (
+        |  SELECT c2.bg, (c2.c2 * 1000000) // c1.c1 AS q
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        |batch AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 2 = 1),
+        |ds AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score
+        |  FROM batch b LEFT JOIN probs p USING (bg) GROUP BY 1)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(SUM(CASE WHEN score = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
+        |  true AS compacted, true AS state_preserved, true AS append_only,
+        |  CAST(4 AS BIGINT) AS incremental_commits,
+        |  (SELECT count(*) FROM bg) AS state_total
+        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -631,6 +631,43 @@ object ScaleSmoke {
     require(tcMb / tc1b < math.pow(mult, 1.5),
       f"chunk dedup scaled super-linearly: ${tcMb / tc1b}%.1fx")
 
+    // contract 12: the bigram-LM quality scorer scales horizontally — the
+    // shipped [[Extensions.lmScoreRollup]] (the x_lm_score pipeline) on m
+    // VOCABULARY-DISJOINT copies (every token rewritten "tok_c<copy>", so
+    // each copy trains its own block of the model with the 1x counts —
+    // cross-copy bigram collisions would mix the blocks). The fixed point
+    // is scale-free (floor(k*a/(k*b)) == floor(a/b)), so per-doc scores
+    // must be IDENTICAL in every copy: per-lang docs and n_low replicate
+    // EXACTLY m-fold while avg/min/max scores stay bit-identical to 1x.
+    // Wall-time bounded by ratio^1.5 (the model join is the corpus-sized
+    // exchange; counts stay map-side combined).
+    def lmFixture(m: Int): DataFrame = {
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+        .crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"), col("lang"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_c"), col("copy").cast("string")))).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def lmRow(m: Int): (Map[String, (Long, Long, Long, Long, Long)], Double) = {
+      val (rows, t) = timed(Extensions.lmScoreRollup(lmFixture(m)).collect())
+      (rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap, t)
+    }
+    val (lm1, tl1) = lmRow(1)
+    val (lmM, tlM) = lmRow(mult)
+    report(f"lm score at ${mult}x: langs=${lmM.size} " +
+      f"avg_en=${lmM.get("en").map(_._2).getOrElse(-1L)} t=$tlM%.1fs " +
+      f"(${tlM / tl1}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    require(lmM.keySet == lm1.keySet && lm1.forall { case (lang, v1) =>
+        val vm = lmM(lang)
+        vm._1 == mult * v1._1 && vm._2 == v1._2 && vm._3 == v1._3 &&
+          vm._4 == v1._4 && vm._5 == mult * v1._5 },
+      s"lm score not copy-invariant: $lm1 at 1x vs $lmM at ${mult}x")
+    require(tlM / tl1 < math.pow(mult, 1.5),
+      f"lm score scaled super-linearly: ${tlM / tl1}%.1fx")
+
     report("SCALE SMOKE OK")
     spark.stop()
   }

@@ -82,4 +82,45 @@ class TrainingMixSpec extends SparkSpec {
     val (kept, total) = (got.map(_._3).sum, got.map(_._2).sum)
     assert(kept > 0L && kept < total, s"degenerate resample: $kept of $total")
   }
+
+  test("x_incremental_lm: history-trained model scores the batch; state conserves counts") {
+    val docs = corpus()
+    val hist = docs.filter(_._1 % 2 == 0)
+    val batch = docs.filter(_._1 % 2 == 1)
+    val histBg = hist.flatMap { case (_, _, t) => bigrams(t) }
+    val c2 = histBg.groupBy(identity).map { case (bgr, o) => bgr -> o.length.toLong }
+    val c1 = histBg.groupBy(_.split(" ", 2)(0)).map { case (w1, o) => w1 -> o.length.toLong }
+    val q = c2.map { case (bgr, c) => bgr -> (c * 1000000L) / c1(bgr.split(" ", 2)(0)) }
+    val perDoc = batch.flatMap { case (id, lang, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None
+      // out-of-model bigrams score 0 (the left-join miss in the gate)
+      else Some((id, lang, bg.map(b => q.getOrElse(b, 0L)).sum / bg.length))
+    }
+    val expect = perDoc.groupBy(_._2).map { case (lang, rows) =>
+      val sc = rows.map(_._3)
+      (lang, rows.length.toLong, sc.sum / rows.length, sc.min, sc.max,
+        sc.count(_ == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    val allBigrams = docs.map { case (_, _, t) => bigrams(t).length.toLong }.sum
+    val got = Extensions.entries.find(_._1 == "x_incremental_lm").get._2(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getLong(9), r.getLong(10))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) == expect,
+      s"scores: got $got\nexpected $expect")
+    // state ritual flags: compaction happened and lost nothing; the batch
+    // append only added files; 4 commits; counts conserve to the corpus
+    got.foreach { r =>
+      assert(r._7 && r._8 && r._9, s"state ritual flags off: $r")
+      assert(r._10 == 4L, s"commit count: $r")
+      assert(r._11 == allBigrams, s"count conservation: ${r._11} vs $allBigrams")
+    }
+    // the batch must contain genuinely out-of-model BIGRAMS (the 0-score
+    // left-join-miss path really ran) — whole docs scoring 0 only appear
+    // at larger SFs, so that column is reported, not required
+    val oovBigrams = batch.flatMap { case (_, _, t) => bigrams(t) }
+      .count(b => !q.contains(b))
+    assert(oovBigrams > 0, "batch has no out-of-model bigrams; split proves nothing")
+  }
 }
