@@ -416,4 +416,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"projection is map-only — no joins:\n$plan")
     assert(!plan.contains("Window"), s"projection gate must not window:\n$plan")
   }
+
+  test("lm score: model and probe joins stay equi — never cartesian, never windowed") {
+    val d = "/root/testdata/sf0.001"
+    val plan = planOf(graft.queries.Extensions.lmScoreRollup(
+      graft.queries.Tables.documents(spark, d)))
+    // the model build (c2 x c1 on the head word) and the corpus probe (on
+    // the bigram key) are both hash-partitionable equi-joins — an
+    // all-pairs fallback here is the 100 TB scale killer
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LM joins must be equi:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in the LM rollup:\n$plan")
+    assert(plan.contains("HashAggregate"), s"counts must hash-aggregate:\n$plan")
+  }
+
+  test("importance resample: the 256-cell weight table broadcasts onto the corpus") {
+    val gate = graft.queries.Extensions.entries.find(_._1 == "x_importance_resample").get._2
+    val plan = planOf(gate(spark, "/root/testdata/sf0.001"))
+    // the hashed-feature table is constant-size by construction — if it
+    // ever shuffle-joins, the whole point of hashed DSIR is lost
+    assert(plan.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"resample joins must be equi:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in the resample:\n$plan")
+  }
 }
