@@ -123,4 +123,46 @@ class TrainingMixSpec extends SparkSpec {
       .count(b => !q.contains(b))
     assert(oovBigrams > 0, "batch has no out-of-model bigrams; split proves nothing")
   }
+
+  test("lmScoreRollup property: random corpora match the in-memory model (3 seeds)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    for (seed <- Seq(11L, 42L, 1337L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "bb", "ccc", "d1", "e!", "f", "gg", "h?", "ii", "j")
+      val langs = Vector("xx", "yy", "zz")
+      // lengths 0..7 on purpose: 0- and 1-token docs must drop out of the
+      // rollup identically on both paths
+      val docs = (0L until 120L).map { id =>
+        val n = rnd.nextInt(8)
+        (id, langs(rnd.nextInt(3)),
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = spark.createDataFrame(
+        docs.map { case (i, l, t) => Row(i, l, t) }.asJava, schema)
+      val got = Extensions.lmScoreRollup(df).orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      // in-memory model on the same corpus
+      val toks = docs.map { case (i, l, t) =>
+        (i, l, t.split("\\s+").filter(_.nonEmpty)) }
+      val allBg = toks.flatMap { case (_, _, t) => bigrams(t) }
+      val c2 = allBg.groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+      val c1 = allBg.groupBy(_.split(" ", 2)(0)).map { case (w, o) => w -> o.length.toLong }
+      val q = c2.map { case (b, c) => b -> (c * 1000000L) / c1(b.split(" ", 2)(0)) }
+      val perDoc = toks.flatMap { case (i, l, t) =>
+        val bg = bigrams(t)
+        if (bg.isEmpty) None else Some((l, bg.map(q).sum / bg.length))
+      }
+      val expect = perDoc.groupBy(_._1).map { case (l, rows) =>
+        val sc = rows.map(_._2)
+        (l, rows.length.toLong, sc.sum / rows.length, sc.min, sc.max,
+          sc.count(_ < 33000L).toLong)
+      }.toSeq.sortBy(_._1)
+      assert(got == expect, s"seed $seed: got $got\nexpected $expect")
+    }
+  }
 }
