@@ -668,6 +668,125 @@ object ScaleSmoke {
     require(tlM / tl1 < math.pow(mult, 1.5),
       f"lm score scaled super-linearly: ${tlM / tl1}%.1fx")
 
+    // contract 13: the media decode family is MAP-ONLY and horizontal —
+    // the per-row codegen codecs (header decode + FULL pixel-stats
+    // decode, the bytes-decoded honest cost of multimodal feature
+    // extraction) on m copies of a 1,320-blob image corpus. Blobs are
+    // driver-encoded ONCE (1,260 distinct (fmt, w, h) gradients + 60
+    // undecodable) and replicated on the CLUSTER by a range cross join —
+    // the decode work is executor-side per row, the only exchange is the
+    // per-format rollup. Per-format counts, header width sums, and exact
+    // per-channel pixel sums must replicate EXACTLY m-fold (a pixel-sum
+    // deviation means a decode differed between copies — the codecs are
+    // pure functions of the bytes); wall-time bounded by ratio^1.5.
+    def mediaCorpus(): DataFrame = {
+      import graft.operators.ImageCodec
+      val fmts = Seq("png", "bmp", "gif")
+      val rows = (0 until 1260).map { i =>
+        (i.toLong, ImageCodec.encodeImage(fmts(i % 3), 8 + (i % 32), 6 + (i % 17)))
+      } ++ (1260 until 1320).map(i => (i.toLong, s"not-an-image-$i".getBytes("UTF-8")))
+      spark.createDataFrame(rows).toDF("img_id", "blob")
+    }
+    def mediaRow(m: Int): (Map[String, (Long, Long, Long, Long)], Double) = {
+      import graft.operators.Multimodal
+      val df = mediaCorpus().crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("img_id") + col("copy") * 10000000L).as("img_id"), col("blob"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val (rows, t) = timed(df
+        .withColumn("hdr", Multimodal.decodeImage(col("blob")))
+        .withColumn("st", Multimodal.imageStats(col("blob")))
+        .groupBy(coalesce(col("hdr.format"), lit("undecodable")).as("fmt"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("hdr.width")), lit(0)).cast("long").as("sw"),
+          coalesce(sum(col("st.sum_g")), lit(0)).cast("long").as("sg"),
+          coalesce(sum(col("st.sum_b")), lit(0)).cast("long").as("sb"))
+        .collect())
+      (rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap, t)
+    }
+    val (md1, tmd1) = mediaRow(1)
+    val (mdM, tmdM) = mediaRow(mult)
+    report(f"media decode at ${mult}x: formats=${mdM.size} " +
+      f"rows=${mdM.values.map(_._1).sum} t=$tmdM%.1fs " +
+      f"(${tmdM / tmd1}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    require(mdM.keySet == md1.keySet && md1.forall { case (fmt, v1) =>
+        val vm = mdM(fmt)
+        vm._1 == mult * v1._1 && vm._2 == mult * v1._2 &&
+          vm._3 == mult * v1._3 && vm._4 == mult * v1._4 },
+      s"media decode not copy-invariant: $md1 at 1x vs $mdM at ${mult}x")
+    require(md1.contains("undecodable") && md1.size >= 3,
+      s"media corpus must exercise all formats + the undecodable path: $md1")
+    require(tmdM / tmd1 < math.pow(mult, 1.5),
+      f"media decode scaled super-linearly: ${tmdM / tmd1}%.1fx")
+
+    // contract 14: the sketch family scales horizontally with k-row group
+    // state — the LAST shipped family without a smoke contract.
+    //   (a) grouped KMV on m VALUE-DISJOINT copies (custkey + copy·1e7, so
+    //       every copy's hash set is fresh): each copy's (k, kth_hash,
+    //       est_distinct) row must EQUAL a driver-side exact KMV replay of
+    //       that copy's value set (hash60Local + the same (k-1)·2^60/h_k
+    //       floor) — cross-copy hash leakage would perturb some copy's
+    //       k-th minimum and the replay catches it exactly. Per-group
+    //       reducer state is k rows by construction (row_number window,
+    //       never a collect_set), so 30x groups cost 30x rows, not 30x
+    //       memory per reducer.
+    //   (b) grouped sampled quantiles on m VALUE-IDENTICAL copies with the
+    //       UNSHIFTED order key as the sample key: every copy draws the
+    //       same md5 sample of the same values, so all m per-copy
+    //       (quantile -> value, sample_n) vectors must be IDENTICAL to the
+    //       1x run's — a cross-group row leak changes some group's n and
+    //       shifts its rank picks.
+    // Wall-time for the pair bounded by ratio^1.5.
+    import graft.functions.{SketchFunctions => SKF, ScaleFunctions => SCF}
+    val ordersBase = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .where(col("o_custkey").isNotNull).localCheckpoint()
+    val custVals: Array[Long] = ordersBase.select(col("o_custkey"))
+      .distinct().as[Long].collect() // bounded: |customer| keys, one column
+    def kmvExpected(copy: Long, k: Int): (Int, Long, Long) = {
+      val hs = custVals.map(v => SKF.hash60Local((v + copy * 10000000L).toString))
+        .distinct.sorted
+      val kept = hs.take(k)
+      val est = if (kept.length < k) kept.length.toLong
+        else math.floor((k - 1).toDouble * SKF.HashSpace / kept.last.toDouble).toLong
+      (kept.length, kept.last, est)
+    }
+    def sketchRow(m: Int): (Map[Long, (Int, Long, Long)],
+        Map[Long, Seq[(String, Double, Long)]], Double) = {
+      val df = ordersBase.crossJoin(spark.range(0, m).toDF("copy"))
+      val ((kmvRows, qRows), t) = timed {
+        val kmv = SKF.kmvSketchByGroup(df, col("copy"),
+          col("o_custkey") + col("copy") * 10000000L, 128).collect()
+        val q = SCF.groupedQuantiles(df, col("copy"), col("o_totalprice"),
+          col("o_orderkey"), "10",
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))).collect()
+        (kmv, q)
+      }
+      (kmvRows.map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap,
+        qRows.groupBy(_.getLong(0)).map { case (g, rs) =>
+          g -> rs.map(r => (r.getString(1), r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq
+        },
+        t)
+    }
+    val (kmv1, quant1, tsk1) = sketchRow(1)
+    val (kmvM, quantM, tskM) = sketchRow(mult)
+    report(f"sketches at ${mult}x: kmv_groups=${kmvM.size} " +
+      f"est0=${kmvM(0L)._3} t=$tskM%.1fs " +
+      f"(${tskM / tsk1}%.1fx, bound ${math.pow(mult, 1.5)}%.0fx)")
+    require(kmvM.size == mult && (0L until mult.toLong).forall { c =>
+        kmvM(c) == kmvExpected(c, 128) },
+      s"grouped KMV deviates from the exact per-copy replay: " +
+        s"${kmvM.toSeq.sortBy(_._1).take(3)}... vs expected " +
+        s"${(0L until 3L).map(kmvExpected(_, 128))}")
+    require(kmv1(0L) == kmvExpected(0L, 128) && kmvM(0L) == kmv1(0L),
+      "copy 0's sketch must be scale-invariant (same values, same hashes)")
+    require(quantM.size == mult && quantM.values.toSet.size == 1 &&
+        quantM(0L) == quant1(0L),
+      s"grouped quantiles not copy-invariant: ${quantM.values.toSet.size} " +
+        s"distinct per-copy vectors at ${mult}x (want 1, equal to 1x)")
+    require(tskM / tsk1 < math.pow(mult, 1.5),
+      f"sketch family scaled super-linearly: ${tskM / tsk1}%.1fx")
+
     report("SCALE SMOKE OK")
     spark.stop()
   }
