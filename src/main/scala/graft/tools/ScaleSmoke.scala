@@ -599,18 +599,28 @@ object ScaleSmoke {
     // IDENTICAL to 1x (the invariant r10 shipped the gate under); the
     // pinned exploded stream keeps wall-time under data-ratio^1.5 (the
     // pre-r8 pairJaccard incident re-tokenized per read and blew 400 s).
+    // m vocabulary-disjoint copies, shared by contracts 11 and 12 so
+    // their corpus shapes cannot drift: EVERY copy's tokens get the
+    // suffix "_c<copy>" — copy 0 included, which makes disjointness
+    // unconditional (the trailing maximal digit run after the literal
+    // "_c" identifies the copy uniquely, so no base vocabulary — even
+    // one already containing "tok_c2"-shaped tokens — can collide a
+    // copy with another), while every intra-copy equality structure
+    // (boilerplate, recrawls, bigram counts) is preserved bit-for-bit
+    // because the rewrite is injective within a copy.
+    def vocabDisjointCopies(base: DataFrame, m: Int): DataFrame =
+      base.crossJoin(spark.range(0, m).toDF("copy"))
+        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_c"), col("copy").cast("string"))).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
     def chunkFixture(m: Int): DataFrame = {
       val base = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(BoilerText))).otherwise(col("text")))
       val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
-      corpus.crossJoin(spark.range(0, m).toDF("copy"))
-        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"), col("lang"),
-          when(col("copy") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1_c"), col("copy").cast("string")))).as("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
+      vocabDisjointCopies(corpus, m)
     }
     def chunkRow(m: Int): (Map[String, (Long, Long, Long, Long, Long, Double)], Double) = {
       val (rows, t) = timed(Extensions.chunkDedupStats(chunkFixture(m)).collect())
@@ -641,15 +651,9 @@ object ScaleSmoke {
     // EXACTLY m-fold while avg/min/max scores stay bit-identical to 1x.
     // Wall-time bounded by ratio^1.5 (the model join is the corpus-sized
     // exchange; counts stay map-side combined).
-    def lmFixture(m: Int): DataFrame = {
-      Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
-        .crossJoin(spark.range(0, m).toDF("copy"))
-        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"), col("lang"),
-          when(col("copy") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1_c"), col("copy").cast("string")))).as("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    }
+    def lmFixture(m: Int): DataFrame =
+      vocabDisjointCopies(
+        Tables.documents(spark, sfDir).select("doc_id", "lang", "text"), m)
     def lmRow(m: Int): (Map[String, (Long, Long, Long, Long, Long)], Double) = {
       val (rows, t) = timed(Extensions.lmScoreRollup(lmFixture(m)).collect())
       (rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

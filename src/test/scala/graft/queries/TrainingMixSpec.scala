@@ -18,7 +18,9 @@ class TrainingMixSpec extends SparkSpec {
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def corpus(): Array[(Long, String, Array[String])] =
-    spark.read.parquet(s"$d/documents.parquet")
+    // via Tables.documents — the gates' own loader — so any future
+    // loader-side normalization keeps replay and gate on the same input
+    Tables.documents(spark, d)
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
         Option(r.getString(2)).getOrElse("").split("\\s+").filter(_.nonEmpty)))
