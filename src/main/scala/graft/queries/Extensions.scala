@@ -222,6 +222,40 @@ object Extensions {
   private[graft] val shiftCentroids: Seq[(Long, Array[Double])] =
     (0L until 8L).map(g => g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
 
+  /** Streaming IVF-index ingest: replay the staged parquet directory as
+    * a micro-batched stream and append every batch — assigned to its
+    * [[graft.functions.VectorFunctions.ivfCellExact]] cell MAP-SIDE, no
+    * stream state — to the identity-partitioned index table `t`. This is
+    * the 100 TB vector-store maintenance shape: embeddings arrive
+    * continuously, assignment is a per-row expression against frozen
+    * centroids (never a re-clustering), and each micro-batch lands as
+    * one atomic Graft commit so probes always read a consistent index
+    * and a crashed ingest resumes from the checkpoint with no partial
+    * files visible. Shared by x_stream_ann_ingest and
+    * AnnStreamIngestSpec so the spec certifies the shipped ingest path.
+    * @return number of non-empty micro-batches (== commits appended)
+    */
+  private[graft] def annStreamIngest(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType, t: graft.table.GraftTable,
+      cents: Seq[(Long, Array[Double])], filesPerTrigger: Int): Int = {
+    var batches = 0
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          t.append(s, b.withColumn("cell", VF.ivfCellExact(col("v"), cents))): Unit
+        }
+      }
+      .option("checkpointLocation", s"$stage-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "annStreamIngest: stream did not finish in 300s")
+    batches
+  }
+
   /** Per-user funnel stages (view → click → purchase, each step strictly
     * AFTER the previous one's first occurrence) — the x_funnel pipeline
     * body, shared with ScaleSmoke contract 10 so the smoke certifies
@@ -5502,6 +5536,121 @@ object Extensions {
         |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
         |    AS hit,
         |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed
+        |FROM top t ORDER BY 1""".stripMargin),
+
+    // X3j: STREAMING index maintenance — the missing leg of the vector
+    // story (x_ann_index_refresh proves BATCH refresh; this gate proves
+    // the index stays correct when embeddings arrive as a STREAM). The
+    // clustered corpus replays as 3 micro-batches through the shared
+    // [[annStreamIngest]]: each batch is cell-assigned map-side against
+    // the frozen shift centroids (a per-row expression — no re-cluster,
+    // no stream state) and appended to the identity-partitioned Graft
+    // index as one atomic commit, so a concurrent probe always reads a
+    // consistent snapshot and a crashed ingest resumes from its
+    // checkpoint. After the replay the gate runs x_ann_index_multiprobe's
+    // EXACT probe: nprobe=2 cell list -> ONE In-predicate scan whose
+    // metrics certify partition pruning survived 3 independent appends
+    // (each append laid its own files under the cell partitions),
+    // candidates from the pruned read, top-10 hit-flagged against exact
+    // brute force with >=8/10 REQUIREd. The oracle is the batch-built
+    // index's answer — agreement proves micro-batched ingest lost
+    // nothing vs building the index in one shot (the g_stream_ingest
+    // discipline applied to the vector store), and `ingest_commits`=3
+    // pins that the stream really ran micro-batched.
+    ("x_stream_ann_ingest",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        import org.apache.spark.sql.types.LongType
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val cents = shiftCentroids
+        val stage = TableOps.newTempDir("graft-annstream")
+        val (t, schema) = FixtureClock.timed { // staging I/O is fixture
+          clustered.repartition(6).write.mode("overwrite").parquet(stage)
+          val cat = TableOps.newCatalog()
+          val tbl = cat.createTable("db.ann_stream",
+            clustered.schema.add("cell", LongType),
+            partitionBy = Seq("cell" -> Transform.Identity))
+          (tbl, clustered.schema)
+        }
+        val nBatches = annStreamIngest(s, stage, schema, t, cents,
+          filesPerTrigger = 2)
+        val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
+        val probeCells = q
+          .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
+          .head.getSeq[Long](0)
+        val scan = t.scan(Predicate.In("cell", probeCells))
+        val cand = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
+          .crossJoin(broadcast(q))
+          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
+            lit(null).cast("double")))
+          .filter(col("sim").isNotNull)
+        val top = VF.rankTopK(cand, "neighbor_id", 10)
+          .select("rank", "neighbor_id")
+        val brute = VF.bruteForceTopK(
+            clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        require(brute.size == 10, "clustered corpus must yield a full brute top-10")
+        val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
+        val out = top
+          .withColumn("hit", col("neighbor_id").isInCollection(brute))
+          .withColumn("probe_pruned", lit(pruned))
+          .withColumn("cells_probed", lit(probeCells.length.toLong))
+          .withColumn("ingest_commits", lit(nBatches.toLong))
+          .orderBy("rank")
+          .localCheckpoint() // certified below, then returned as-is
+        val hits = out.collect().count(_.getAs[Boolean]("hit"))
+        require(hits >= 8,
+          s"streamed-index recall floor broken: $hits/10 from cells $probeCells")
+        require(nBatches == 3 && t.meta.snapshots.size == 3,
+          s"ingest must run micro-batched: $nBatches batches, " +
+            s"${t.meta.snapshots.size} commits")
+        out
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |brute AS (SELECT neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rn
+        |    FROM c, q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  CAST(3 AS BIGINT) AS ingest_commits
         |FROM top t ORDER BY 1""".stripMargin),
 
     ("x_hits",
