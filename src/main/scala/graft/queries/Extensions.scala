@@ -237,7 +237,23 @@ object Extensions {
     */
   private[graft] def annStreamIngest(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType, t: graft.table.GraftTable,
-      cents: Seq[(Long, Array[Double])], filesPerTrigger: Int): Int = {
+      cents: Seq[(Long, Array[Double])], filesPerTrigger: Int): Int =
+    streamIngestTransformed(s, stage, schema, t,
+      _.withColumn("cell", VF.ivfCellExact(col("v"), cents)), filesPerTrigger)
+
+  /** The shared micro-batched index-ingest rig under [[annStreamIngest]]
+    * and [[keywordStreamIngest]]: replay the staged parquet directory as
+    * an AvailableNow stream and append `derive(batch)` — a STATELESS
+    * per-batch derivation (cell assignment, postings extraction) — to
+    * the partitioned index table, one atomic Graft commit per non-empty
+    * micro-batch. Restart semantics (same checkpoint ⇒ only new files,
+    * never a double-ingest) are certified by AnnStreamIngestSpec against
+    * this rig, so every delegating ingest inherits them.
+    * @return number of non-empty micro-batches (== commits appended)
+    */
+  private[graft] def streamIngestTransformed(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType, t: graft.table.GraftTable,
+      derive: DataFrame => DataFrame, filesPerTrigger: Int): Int = {
     var batches = 0
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
@@ -245,16 +261,29 @@ object Extensions {
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           batches += 1
-          t.append(s, b.withColumn("cell", VF.ivfCellExact(col("v"), cents))): Unit
+          t.append(s, derive(b)): Unit
         }
       }
       .option("checkpointLocation", s"$stage-ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     require(q.awaitTermination(300000),
-      "annStreamIngest: stream did not finish in 300s")
+      "streamIngestTransformed: stream did not finish in 300s")
     batches
   }
+
+  /** Streaming inverted-index ingest: each micro-batch of documents is
+    * reduced to its [[postingsOf]] postings (token, doc_id, tf, bucket)
+    * and appended to the bucket-partitioned index. Correct because a
+    * document never spans micro-batches (the file source delivers whole
+    * rows), so every (token, doc_id) tf is complete within its batch and
+    * the streamed index equals the one-shot build row for row — the
+    * continuous-crawl maintenance shape of a 100 TB lexical index.
+    */
+  private[graft] def keywordStreamIngest(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType, t: graft.table.GraftTable,
+      filesPerTrigger: Int): Int =
+    streamIngestTransformed(s, stage, schema, t, postingsOf, filesPerTrigger)
 
   /** Per-user funnel stages (view → click → purchase, each step strictly
     * AFTER the previous one's first occurrence) — the x_funnel pipeline
@@ -3494,6 +3523,59 @@ object Extensions {
         |  GROUP BY 1, 2)
         |SELECT a.doc_id, a.tf + b.tf AS score,
         |  true AS compacted, true AS pruned
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X7f: STREAMING inverted-index ingest — completes the postings
+    // index's lifecycle matrix (batch build: x_keyword_search;
+    // incremental refresh: x_keyword_index_refresh; compaction:
+    // x_keyword_index_compacted; now continuous ingest), the lexical
+    // twin of x_stream_ann_ingest. Documents replay as 3 micro-batches
+    // through the shared rig; each batch reduces to its postings
+    // map-side + one batch-local (token, doc) aggregate — correct
+    // because a doc never spans micro-batches, so every (token, doc_id)
+    // tf completes within its batch — and appends as one atomic commit
+    // routed to the same md5 token buckets (pure hash, nothing
+    // recomputed). After the replay: the standard AND-of-terms query
+    // over two partition-pruned probes, pruning certified ACROSS the 3
+    // independent appends, `ingest_commits`=3 pinned. The oracle
+    // recomputes tf from raw text with no notion of streams, batches,
+    // or the index — agreement proves continuous ingest lost nothing
+    // vs the one-shot build.
+    ("x_stream_keyword_ingest",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val stage = TableOps.newTempDir("graft-kwstream")
+        val t = FixtureClock.timed { // staging I/O is fixture
+          docs.repartition(6).write.mode("overwrite").parquet(stage)
+          TableOps.newCatalog().createTable("db.inverted_stream",
+            postingsOf(docs.limit(0)).schema,
+            partitionBy = Seq("bucket" -> Transform.Identity))
+        }
+        val nBatches = keywordStreamIngest(s, stage, docs.schema, t,
+          filesPerTrigger = 2)
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        val out = a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("pruned",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
+              scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .withColumn("ingest_commits", lit(nBatches.toLong))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        require(nBatches == 3 && t.meta.snapshots.size == 3,
+          s"ingest must run micro-batched: $nBatches batches, " +
+            s"${t.meta.snapshots.size} commits")
+        out
+      },
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS pruned, CAST(3 AS BIGINT) AS ingest_commits
         |FROM tf a JOIN tf b USING (doc_id)
         |WHERE a.token = 'merge' AND b.token = 'window'
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
