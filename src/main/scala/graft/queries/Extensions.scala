@@ -285,6 +285,75 @@ object Extensions {
       filesPerTrigger: Int): Int =
     streamIngestTransformed(s, stage, schema, t, postingsOf, filesPerTrigger)
 
+  /** Stage `df` as `nSlices` single-file parquet slices in slice order
+    * with EXPLICITLY stamped strictly-increasing mtimes, so the file
+    * stream source replays them deterministically oldest-first. The
+    * order cannot be left to the filesystem clock: coarse (1 s) mtime
+    * granularity can tie adjacent writes and replay them swapped — the
+    * r10-ADVICE lesson ScaleSmoke.stageSlices learned. `slice` must
+    * evaluate to 0..nSlices-1.
+    */
+  /** The streaming crawl-dedup loop — the x_stream_incremental_dedup
+    * pipeline body, shared with StreamIncrementalDedupSpec. Per
+    * micro-batch of documents (doc_id, …, text): reduce to first-in-batch
+    * (fp, min doc_id), anti-join the fingerprint `state` AS OF ARRIVAL
+    * (history recrawls and earlier-batch admissions both reject), append
+    * admitted fps to the state and admitted ids to `results` — each one
+    * atomic commit, so a crashed crawl resumes with the state reflecting
+    * exactly the batches that committed. The admitted set is PINNED per
+    * batch (localCheckpoint): correctness, not perf — the state append
+    * mutates the table the anti-join read, so a lazy plan recomputed for
+    * the results append could reject its own batch.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable): Int = {
+    var batches = 0
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+            .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          val adm = first
+            .join(state.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+            .localCheckpoint() // pinned BEFORE the state mutates below
+          state.append(s, adm.select(col("fp")))
+          results.append(s, adm.select(col("doc_id"))): Unit
+        }
+      }
+      .option("checkpointLocation", s"$stage-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "streamIncrementalDedup: stream did not finish in 300s")
+    batches
+  }
+
+  private[graft] def stageOrderedSlices(df: DataFrame, stage: String,
+      slice: org.apache.spark.sql.Column, nSlices: Int): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val sliced = df.withColumn("_slice", slice).localCheckpoint()
+    val stamped = scala.collection.mutable.Set[Path]()
+    val base = System.currentTimeMillis()
+    for (k <- 0 until nSlices) {
+      sliced.filter(col("_slice") === k).drop("_slice")
+        .coalesce(1).write.mode("append").parquet(stage)
+      val walk = Files.walk(Paths.get(stage))
+      try walk.forEach { f =>
+        if (Files.isRegularFile(f) && !stamped.contains(f)) {
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(base + k * 1000L))
+          stamped.add(f)
+        }
+      } finally walk.close()
+    }
+    sliced.unpersist(): Unit
+  }
+
   /** Per-user funnel stages (view → click → purchase, each step strictly
     * AFTER the previous one's first occurrence) — the x_funnel pipeline
     * body, shared with ScaleSmoke contract 10 so the smoke certifies
@@ -3407,6 +3476,85 @@ object Extensions {
         |  SELECT f.doc_id FROM first_in f
         |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
         |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
+        |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X1s: STREAMING incremental dedup against the DURABLE fingerprint
+    // state — the production crawl loop, composing the two gates that
+    // each prove half of it: g_stream_dedup_watermark dedups in-stream
+    // but keeps no durable state; x_incremental_dedup dedups against the
+    // persisted fingerprint table but in one batch. Here every
+    // micro-batch (1) reduces to first-in-batch (fp, min doc_id), (2)
+    // anti-joins the fingerprint TABLE as of arrival — history recrawls
+    // and docs admitted by EARLIER micro-batches both reject, (3)
+    // appends its admitted fps to the state and its admitted ids to the
+    // results table, each one atomic commit, so a crashed crawl resumes
+    // with the state reflecting exactly the batches that committed. The
+    // admitted set is PINNED per batch (localCheckpoint) — correctness,
+    // not perf: the state append mutates the very table the anti-join
+    // read, so a lazy plan recomputed for the results append could
+    // reject its own batch. Slices are staged in doc_id order with
+    // explicitly stamped mtimes (coarse filesystem clocks can tie and
+    // swap adjacent slices — the r10-ADVICE lesson), which makes
+    // arrival-first == min-doc_id-first, so the stateless oracle (the
+    // exact x_incremental_dedup rule) computes the same admissions with
+    // no notion of streams, batches, or state.
+    ("x_stream_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"), col("lang"), col("n_chars"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 20 === 1)
+            .select((col("doc_id") + 400000L).as("doc_id"), col("lang"), col("n_chars"), col("text")))
+        val stage = TableOps.newTempDir("graft-sid")
+        val (t, res) = FixtureClock.timed { // history build + staging I/O
+          val cat = TableOps.newCatalog()
+          val fps = hist.select(TF.fingerprint(col("text")).as("fp"))
+          val tbl = cat.createTable("db.fp_stream", fps.schema,
+            partitionBy = Seq("fp" -> Transform.Bucket(4)),
+            properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
+          tbl.append(s, fps)
+          val resT = cat.createTable("db.admitted_stream",
+            new StructType().add("doc_id", LongType))
+          // 3 slices in doc_id order: originals, then recrawls (+300000),
+          // then resubmissions (+400000) — stamped strictly increasing
+          stageOrderedSlices(batch, stage,
+            when(col("doc_id") < 300000L, 0)
+              .when(col("doc_id") < 400000L, 1).otherwise(2), 3)
+          (tbl, resT)
+        }
+        val batches = streamIncrementalDedup(s, stage, batch.schema, t, res)
+        require(batches == 3 && res.meta.snapshots.size == 3 &&
+            t.meta.snapshots.size == 4, // hist + one per micro-batch
+          s"crawl must run micro-batched: $batches batches, " +
+            s"${res.meta.snapshots.size}/${t.meta.snapshots.size} commits")
+        batch.join(broadcast(res.toDF(s)), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("admitted"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .withColumn("ingest_commits", lit(res.meta.snapshots.size.toLong))
+          .withColumn("state_commits", lit(t.meta.snapshots.size.toLong))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, lang, n_chars, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, lang, n_chars, text FROM docs WHERE doc_id % 20 = 1),
+        |hist AS (SELECT md5(text) AS fp FROM docs WHERE doc_id % 2 = 0),
+        |first_in AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM batch GROUP BY 1),
+        |admitted AS (
+        |  SELECT f.doc_id FROM first_in f
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
+        |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(3 AS BIGINT) AS ingest_commits, CAST(4 AS BIGINT) AS state_commits
         |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 

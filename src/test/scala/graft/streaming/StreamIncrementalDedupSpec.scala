@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.{Extensions, TableOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Certifies the shipped streaming crawl-dedup loop
+  * ([[graft.queries.Extensions.streamIncrementalDedup]], the
+  * x_stream_incremental_dedup pipeline) on a hand-planted corpus where
+  * every rejection class is exercised ACROSS micro-batch boundaries —
+  * the distinction the gate's stateless oracle cannot see (it computes
+  * the same answer whether state or global grouping did the work):
+  * a duplicate arriving in a LATER slice must be rejected by the
+  * fingerprint STATE holding the earlier slice's admission.
+  */
+class StreamIncrementalDedupSpec extends SparkSpec {
+
+  test("later-slice duplicates reject via state; new fps still admit") {
+    import graft.format.Transform
+    import spark.implicits._
+    val docsSchema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    // slice 0: docs 1..3 (all new). slice 1: doc 11 duplicates doc 1's
+    // text (cross-batch dup -> state reject), doc 12 is new. slice 2:
+    // doc 21 duplicates doc 12 (cross-batch), doc 22 duplicates doc 22's
+    // own slice-mate doc 23 (within-batch -> min-doc keeps 22), doc 24
+    // duplicates HISTORY.
+    val batch = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (11L, "alpha"), (12L, "delta"),
+      (21L, "delta"), (22L, "epsilon"), (23L, "epsilon"), (24L, "hist-doc")
+    ).toDF("doc_id", "text")
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.fp_spec",
+      new StructType().add("fp", StringType),
+      partitionBy = Seq("fp" -> Transform.Bucket(4)))
+    state.append(spark, Seq("hist-doc").toDF("text")
+      .select(md5(col("text")).as("fp")))
+    val results = cat.createTable("db.adm_spec",
+      new StructType().add("doc_id", LongType))
+    val stage = TableOps.newTempDir("graft-sidspec")
+    Extensions.stageOrderedSlices(batch, stage,
+      when(col("doc_id") < 10L, 0).when(col("doc_id") < 20L, 1).otherwise(2), 3)
+
+    val batches = Extensions.streamIncrementalDedup(
+      spark, stage, docsSchema, state, results)
+
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+    val admitted = results.toDF(spark).as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L, 12L, 22L),
+      s"admissions wrong: $admitted (11/21 must reject via STATE, " +
+        "23 via within-batch min-doc, 24 via history)")
+    // state grew append-only: history fp + one fp per admitted doc
+    assert(state.toDF(spark).count() == 1 + 5)
+    assert(state.meta.snapshots.size == 4, "hist append + one per batch")
+    assert(results.meta.snapshots.size == 3, "one results commit per batch")
+  }
+}
