@@ -222,6 +222,53 @@ object Extensions {
   private[graft] val shiftCentroids: Seq[(Long, Array[Double])] =
     (0L until 8L).map(g => g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
 
+  /** The pruned multi-probe top-10 + certified-recall block shared by
+    * x_ann_index_multiprobe and x_stream_ann_ingest — the "same probe"
+    * claim is enforced by construction, not by copy: the query's
+    * nprobe=2 cell list becomes ONE In-predicate scan of the cell-
+    * partitioned index `t` (pruning certified via scan metrics —
+    * candidates come from the PRUNED read; the query row and its panel
+    * peers are corpus-excluded like every recall gate), ranked by the
+    * shared TakeOrderedAndProject ranker (never a single-partition
+    * window — the pruned read is still nprobe/K of the corpus at scale),
+    * every top-10 row hit-flagged against exact brute force with ≥8/10
+    * REQUIREd in-process.
+    * @return (rank, neighbor_id, hit, probe_pruned, cells_probed)
+    */
+  private[graft] def prunedMultiprobeTopK(s: SparkSession,
+      t: graft.table.GraftTable, clustered: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import graft.format.Predicate
+    val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val probeCells = q
+      .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
+      .head.getSeq[Long](0)
+    val scan = t.scan(Predicate.In("cell", probeCells))
+    val cand = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
+        lit(null).cast("double")))
+      .filter(col("sim").isNotNull)
+    val top = VF.rankTopK(cand, "neighbor_id", 10)
+      .select("rank", "neighbor_id")
+    val brute = VF.bruteForceTopK(
+        clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    require(brute.size == 10, "clustered corpus must yield a full brute top-10")
+    val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
+    val out = top
+      .withColumn("hit", col("neighbor_id").isInCollection(brute))
+      .withColumn("probe_pruned", lit(pruned))
+      .withColumn("cells_probed", lit(probeCells.length.toLong))
+      .orderBy("rank")
+      .localCheckpoint() // certified below, then returned as-is
+    val hits = out.collect().count(_.getAs[Boolean]("hit"))
+    require(hits >= 8,
+      s"pruned-probe recall floor broken: $hits/10 from cells $probeCells")
+    out
+  }
+
   /** Streaming IVF-index ingest: replay the staged parquet directory as
     * a micro-batched stream and append every batch — assigned to its
     * [[graft.functions.VectorFunctions.ivfCellExact]] cell MAP-SIDE, no
@@ -246,9 +293,12 @@ object Extensions {
     * an AvailableNow stream and append `derive(batch)` — a STATELESS
     * per-batch derivation (cell assignment, postings extraction) — to
     * the partitioned index table, one atomic Graft commit per non-empty
-    * micro-batch. Restart semantics (same checkpoint ⇒ only new files,
-    * never a double-ingest) are certified by AnnStreamIngestSpec against
-    * this rig, so every delegating ingest inherits them.
+    * micro-batch. Exactly-once under CRASH recovery, not just graceful
+    * completion: each append carries the GraftSink statementId discipline
+    * (`<checkpoint>-batch-<batchId>`), so a micro-batch that committed to
+    * the table but crashed before the stream's own commit log recorded it
+    * replays as a table-side no-op. Restart semantics (same checkpoint ⇒
+    * only new files) are additionally certified by AnnStreamIngestSpec.
     * @return number of non-empty micro-batches (== commits appended)
     */
   private[graft] def streamIngestTransformed(s: SparkSession, stage: String,
@@ -258,17 +308,21 @@ object Extensions {
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           batches += 1
-          t.append(s, derive(b)): Unit
+          t.append(s, derive(b),
+            statementId = Some(s"$stage-ckpt-batch-$batchId")): Unit
         }
       }
       .option("checkpointLocation", s"$stage-ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000),
-      "streamIngestTransformed: stream did not finish in 300s")
+    // stop a hung query before throwing: a live stream left behind would
+    // keep committing appends under any post-mortem inspection
+    val done = q.awaitTermination(300000)
+    if (!done && q.isActive) q.stop()
+    require(done, "streamIngestTransformed: stream did not finish in 300s")
     batches
   }
 
@@ -285,25 +339,25 @@ object Extensions {
       filesPerTrigger: Int): Int =
     streamIngestTransformed(s, stage, schema, t, postingsOf, filesPerTrigger)
 
-  /** Stage `df` as `nSlices` single-file parquet slices in slice order
-    * with EXPLICITLY stamped strictly-increasing mtimes, so the file
-    * stream source replays them deterministically oldest-first. The
-    * order cannot be left to the filesystem clock: coarse (1 s) mtime
-    * granularity can tie adjacent writes and replay them swapped — the
-    * r10-ADVICE lesson ScaleSmoke.stageSlices learned. `slice` must
-    * evaluate to 0..nSlices-1.
-    */
   /** The streaming crawl-dedup loop — the x_stream_incremental_dedup
     * pipeline body, shared with StreamIncrementalDedupSpec. Per
     * micro-batch of documents (doc_id, …, text): reduce to first-in-batch
     * (fp, min doc_id), anti-join the fingerprint `state` AS OF ARRIVAL
     * (history recrawls and earlier-batch admissions both reject), append
-    * admitted fps to the state and admitted ids to `results` — each one
-    * atomic commit, so a crashed crawl resumes with the state reflecting
-    * exactly the batches that committed. The admitted set is PINNED per
+    * admitted ids to `results` and admitted fps to the state, each one
+    * atomic statementId-keyed commit. The admitted set is PINNED per
     * batch (localCheckpoint): correctness, not perf — the state append
-    * mutates the table the anti-join read, so a lazy plan recomputed for
-    * the results append could reject its own batch.
+    * mutates the table the anti-join read, so a lazy plan recomputed
+    * later could reject its own batch.
+    *
+    * CRASH-CONSISTENT by ordering + idempotency: results commits BEFORE
+    * state. A crash between them replays the batch against a state that
+    * does NOT yet hold its fps, so the recomputed admitted set is
+    * identical, the results append no-ops on its statementId, and the
+    * state append completes. A crash after both (or before either)
+    * replays as two no-ops (or a clean re-run). The reverse order would
+    * lose admissions forever: state-first would make the replayed
+    * anti-join reject the batch's own fps before results ever committed.
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalDedup(s: SparkSession, stage: String,
@@ -313,7 +367,7 @@ object Extensions {
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           batches += 1
           val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
@@ -321,27 +375,48 @@ object Extensions {
           val adm = first
             .join(state.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
             .localCheckpoint() // pinned BEFORE the state mutates below
-          state.append(s, adm.select(col("fp")))
-          results.append(s, adm.select(col("doc_id"))): Unit
+          results.append(s, adm.select(col("doc_id")),
+            statementId = Some(s"$stage-res-$batchId"))
+          state.append(s, adm.select(col("fp")),
+            statementId = Some(s"$stage-fp-$batchId")): Unit
         }
       }
       .option("checkpointLocation", s"$stage-ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000),
-      "streamIncrementalDedup: stream did not finish in 300s")
+    val done = q.awaitTermination(300000)
+    if (!done && q.isActive) q.stop() // don't leak a live stream on timeout
+    require(done, "streamIncrementalDedup: stream did not finish in 300s")
     batches
   }
 
+  /** Stage `df` as `nSlices` parquet slices in slice order with
+    * EXPLICITLY stamped strictly-increasing mtimes, so the file stream
+    * source replays them deterministically oldest-first. The order
+    * cannot be left to the filesystem clock: coarse (1 s) mtime
+    * granularity can tie adjacent writes and replay them swapped — the
+    * r10-ADVICE lesson. Shared by the streaming gates and
+    * ScaleSmoke.stageSlices (via [[stagePreSliced]]) so the stamping
+    * discipline cannot drift. `slice` must evaluate to 0..nSlices-1.
+    */
   private[graft] def stageOrderedSlices(df: DataFrame, stage: String,
-      slice: org.apache.spark.sql.Column, nSlices: Int): Unit = {
+      slice: org.apache.spark.sql.Column, nSlices: Int,
+      filesPerSlice: Int = 1): Unit =
+    stagePreSliced(df.withColumn("_slice", slice), stage, nSlices, filesPerSlice)
+
+  /** [[stageOrderedSlices]] body for callers that already carry a
+    * `_slice` column (0..nSlices-1) — ScaleSmoke derives its slice from
+    * event time on a column it must then drop, so it pre-slices.
+    */
+  private[graft] def stagePreSliced(withSlice: DataFrame, stage: String,
+      nSlices: Int, filesPerSlice: Int): Unit = {
     import java.nio.file.{Files, Path, Paths}
-    val sliced = df.withColumn("_slice", slice).localCheckpoint()
+    val sliced = withSlice.localCheckpoint()
     val stamped = scala.collection.mutable.Set[Path]()
     val base = System.currentTimeMillis()
     for (k <- 0 until nSlices) {
       sliced.filter(col("_slice") === k).drop("_slice")
-        .coalesce(1).write.mode("append").parquet(stage)
+        .coalesce(filesPerSlice).write.mode("append").parquet(stage)
       val walk = Files.walk(Paths.get(stage))
       try walk.forEach { f =>
         if (Files.isRegularFile(f) && !stamped.contains(f)) {
@@ -3528,15 +3603,30 @@ object Extensions {
           (tbl, resT)
         }
         val batches = streamIncrementalDedup(s, stage, batch.schema, t, res)
+        val stateCommits = t.meta.snapshots.size // before the compaction commit
         require(batches == 3 && res.meta.snapshots.size == 3 &&
-            t.meta.snapshots.size == 4, // hist + one per micro-batch
+            stateCommits == 4, // hist + one per micro-batch
           s"crawl must run micro-batched: $batches batches, " +
-            s"${res.meta.snapshots.size}/${t.meta.snapshots.size} commits")
+            s"${res.meta.snapshots.size}/$stateCommits commits")
+        // maintenance composes with the live crawl state: binpack the
+        // accumulated small bucket files, then REPROBE — the whole crawl
+        // replayed against the compacted state must admit NOTHING (every
+        // fp is now history; a lost state row would silently re-admit)
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val reprobeClean = batch
+          .select(TF.fingerprint(col("text")).as("fp")).distinct()
+          .join(t.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+          .isEmpty
+        require(reprobeClean,
+          "compacted state must reject the entire already-crawled batch")
         batch.join(broadcast(res.toDF(s)), "doc_id")
           .groupBy("lang")
           .agg(count(lit(1)).as("admitted"), sum(col("n_chars")).cast("long").as("sum_chars"))
           .withColumn("ingest_commits", lit(res.meta.snapshots.size.toLong))
-          .withColumn("state_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("state_commits", lit(stateCommits.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("reprobe_clean", lit(reprobeClean))
           .orderBy("lang")
       },
       """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
@@ -3554,7 +3644,8 @@ object Extensions {
         |  SELECT f.doc_id FROM first_in f
         |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
         |SELECT b.lang, count(*) AS admitted, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(3 AS BIGINT) AS ingest_commits, CAST(4 AS BIGINT) AS state_commits
+        |  CAST(3 AS BIGINT) AS ingest_commits, CAST(4 AS BIGINT) AS state_commits,
+        |  true AS compacted, true AS state_preserved, true AS reprobe_clean
         |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -3704,26 +3795,32 @@ object Extensions {
         }
         val nBatches = keywordStreamIngest(s, stage, docs.schema, t,
           filesPerTrigger = 2)
+        require(nBatches == 3 && t.meta.snapshots.size == 3,
+          s"ingest must run micro-batched: $nBatches batches, " +
+            s"${t.meta.snapshots.size} commits")
+        // maintenance composes with the streamed index: binpack the 3
+        // appends' small per-bucket files, THEN probe — `pruned` below
+        // certifies term probes survived the rewrite
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val (scA, a) = probeTerm(s, t, "merge")
         val (scB, b) = probeTerm(s, t, "window")
-        val out = a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
           .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
           .withColumn("pruned",
             lit(scA.metrics.filesScanned < scA.metrics.filesTotal &&
               scB.metrics.filesScanned < scB.metrics.filesTotal))
           .withColumn("ingest_commits", lit(nBatches.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
-        require(nBatches == 3 && t.meta.snapshots.size == 3,
-          s"ingest must run micro-batched: $nBatches batches, " +
-            s"${t.meta.snapshots.size} commits")
-        out
       },
       s"""WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf
         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
         |  GROUP BY 1, 2)
         |SELECT a.doc_id, a.tf + b.tf AS score,
-        |  true AS pruned, CAST(3 AS BIGINT) AS ingest_commits
+        |  true AS pruned, CAST(3 AS BIGINT) AS ingest_commits,
+        |  true AS compacted, true AS state_preserved
         |FROM tf a JOIN tf b USING (doc_id)
         |WHERE a.token = 'merge' AND b.token = 'window'
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
@@ -5681,47 +5778,14 @@ object Extensions {
     // and recall is a measured number — not a hope.
     ("x_ann_index_multiprobe",
       (s: SparkSession, d: String) => {
-        import graft.format.{Predicate, Transform}
-        val e = Tables.embeddings(s, d)
-        val clustered = clusteredEmbeddings(e)
-        val cents = shiftCentroids
-        val cat = TableOps.newCatalog()
-        val assigned = clustered.withColumn("cell", VF.ivfCellExact(col("v"), cents))
-        val t = cat.createTable("db.ann_mp", assigned.schema,
+        import graft.format.Transform
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val assigned = clustered
+          .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+        val t = TableOps.newCatalog().createTable("db.ann_mp", assigned.schema,
           partitionBy = Seq("cell" -> Transform.Identity))
         t.append(s, assigned)
-        val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
-        val probeCells = q
-          .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
-          .head.getSeq[Long](0)
-        val scan = t.scan(Predicate.In("cell", probeCells))
-        // candidates come from the PRUNED read — the query row itself and
-        // its panel peers are corpus-excluded like every recall gate
-        val cand = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
-          .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
-          .crossJoin(broadcast(q))
-          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
-            lit(null).cast("double")))
-          .filter(col("sim").isNotNull)
-        // the shared TakeOrderedAndProject ranker, never a single-partition
-        // window: the pruned read is still nprobe/K of the corpus at scale
-        val top = VF.rankTopK(cand, "neighbor_id", 10)
-          .select("rank", "neighbor_id")
-        val brute = VF.bruteForceTopK(
-            clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
-          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-        require(brute.size == 10, "clustered corpus must yield a full brute top-10")
-        val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
-        val out = top
-          .withColumn("hit", col("neighbor_id").isInCollection(brute))
-          .withColumn("probe_pruned", lit(pruned))
-          .withColumn("cells_probed", lit(probeCells.length.toLong))
-          .orderBy("rank")
-          .localCheckpoint() // certified below, then returned as-is
-        val hits = out.collect().count(_.getAs[Boolean]("hit"))
-        require(hits >= 8,
-          s"pruned-probe recall floor broken: $hits/10 from cells $probeCells")
-        out
+        prunedMultiprobeTopK(s, t, clustered, shiftCentroids)
       },
       """WITH base AS (
         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
@@ -5804,38 +5868,18 @@ object Extensions {
         }
         val nBatches = annStreamIngest(s, stage, schema, t, cents,
           filesPerTrigger = 2)
-        val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
-        val probeCells = q
-          .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
-          .head.getSeq[Long](0)
-        val scan = t.scan(Predicate.In("cell", probeCells))
-        val cand = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
-          .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
-          .crossJoin(broadcast(q))
-          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
-            lit(null).cast("double")))
-          .filter(col("sim").isNotNull)
-        val top = VF.rankTopK(cand, "neighbor_id", 10)
-          .select("rank", "neighbor_id")
-        val brute = VF.bruteForceTopK(
-            clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
-          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-        require(brute.size == 10, "clustered corpus must yield a full brute top-10")
-        val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
-        val out = top
-          .withColumn("hit", col("neighbor_id").isInCollection(brute))
-          .withColumn("probe_pruned", lit(pruned))
-          .withColumn("cells_probed", lit(probeCells.length.toLong))
-          .withColumn("ingest_commits", lit(nBatches.toLong))
-          .orderBy("rank")
-          .localCheckpoint() // certified below, then returned as-is
-        val hits = out.collect().count(_.getAs[Boolean]("hit"))
-        require(hits >= 8,
-          s"streamed-index recall floor broken: $hits/10 from cells $probeCells")
         require(nBatches == 3 && t.meta.snapshots.size == 3,
           s"ingest must run micro-batched: $nBatches batches, " +
             s"${t.meta.snapshots.size} commits")
-        out
+        // maintenance composes with the streamed index: binpack the 3
+        // appends' small per-cell files, THEN probe — `probe_pruned`
+        // below certifies pruning survived the rewrite (the silent-
+        // degradation guard every persisted state in the repo carries)
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        prunedMultiprobeTopK(s, t, clustered, cents)
+          .withColumn("ingest_commits", lit(nBatches.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
       },
       """WITH base AS (
         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
@@ -5880,7 +5924,8 @@ object Extensions {
         |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
         |    AS hit,
         |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
-        |  CAST(3 AS BIGINT) AS ingest_commits
+        |  CAST(3 AS BIGINT) AS ingest_commits,
+        |  true AS compacted, true AS state_preserved
         |FROM top t ORDER BY 1""".stripMargin),
 
     ("x_hits",

@@ -447,33 +447,18 @@ object ScaleSmoke {
       val bounds = dup.agg(min(col("tsi")), max(col("tsi"))).head()
       val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
       val span = math.max(1L, (tMax - tMin) / slices + 1)
-      val sliced = dup.withColumn("slice",
-          least(((col("tsi") - tMin) / span).cast("int"), lit(slices - 1)))
-        .drop("tsi").localCheckpoint()
-      // one write per slice, oldest first: the file source replays them in
-      // modification-time order, so batches advance in event time. The
-      // order cannot be left to the filesystem clock — coarse (1 s) mtime
-      // granularity can tie adjacent slices and replay them swapped, and
-      // with a 2-day delay vs ~1.5-day slices one swapped slice crosses
-      // the watermark horizon and drops its events as late (a flaky
-      // exactness failure). Each slice's new files are therefore stamped
-      // with an explicit strictly-increasing per-slice timestamp.
-      import java.nio.file.{Files, Paths, Path}
-      val stamped = scala.collection.mutable.Set[Path]()
-      val base = System.currentTimeMillis()
-      for (k <- 0 until slices) {
-        sliced.filter(col("slice") === k).drop("slice")
-          .coalesce(2).write.mode("append").parquet(stage)
-        val walk = Files.walk(Paths.get(stage))
-        try walk.forEach { f =>
-          if (Files.isRegularFile(f) && !stamped.contains(f)) {
-            Files.setLastModifiedTime(f,
-              java.nio.file.attribute.FileTime.fromMillis(base + k * 1000L))
-            stamped.add(f)
-          }
-        } finally walk.close()
-      }
-      sliced.unpersist()
+      // one write per slice, oldest first, via the SHARED stamped-mtime
+      // stager (Extensions.stagePreSliced — the shipped streaming gates
+      // run the same code): the file source replays slices in
+      // modification-time order so batches advance in event time, and
+      // explicit strictly-increasing stamps prevent coarse (1 s)
+      // filesystem clocks from tying adjacent slices and replaying them
+      // swapped across the watermark horizon (a flaky exactness failure).
+      Extensions.stagePreSliced(
+        dup.withColumn("_slice",
+            least(((col("tsi") - tMin) / span).cast("int"), lit(slices - 1)))
+          .drop("tsi"),
+        stage, slices, filesPerSlice = 2)
       stage
     }
     // (table rows, max state rows across batches, batches, seconds)
