@@ -3574,6 +3574,15 @@ object Extensions {
     // arrival-first == min-doc_id-first, so the stateless oracle (the
     // exact x_incremental_dedup rule) computes the same admissions with
     // no notion of streams, batches, or state.
+    //
+    // Honest 100 TB cost accounting: the per-batch anti-join reads the
+    // fingerprint state ONCE PER MICRO-BATCH (md5-uniform keys defeat
+    // per-file skipping — every state file plausibly holds some batch
+    // fp), so micro-batch granularity is a knob you SIZE, not a free
+    // lunch: amortize the state scan over batches large enough to
+    // matter (the daily-crawl shape of x_incremental_dedup is this
+    // pipeline with one batch), and the fp-bucket partitioning keeps
+    // the join co-partitioned so the state side never reshuffles.
     ("x_stream_incremental_dedup",
       (s: SparkSession, d: String) => {
         import graft.format.Transform
