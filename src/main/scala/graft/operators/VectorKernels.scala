@@ -208,13 +208,23 @@ sealed trait VectorPairKernel extends BinaryExpression {
   /** The fast path's per-side flag (e.g. "is float" / "is long"). */
   protected def fastFlag(t: DataType): Boolean
 
-  protected def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  protected def elemType(e: Expression): DataType = e.dataType match {
+    // NullType side: the value is always NULL, so the null-safe eval /
+    // codegen branch never runs — DoubleType only keeps the (dead)
+    // generated code compiling
+    case NullType => DoubleType
+    case t => t.asInstanceOf[ArrayType].elementType
+  }
   private def fastPath: Boolean =
     fastTypes.contains(elemType(left)) && fastTypes.contains(elemType(right))
 
+  // NullType is accepted on either side and yields NULL, matching the
+  // HOF forms these kernels replaced (an untyped NULL literal coerced
+  // into zip_with/aggregate and returned NULL) — the kernels must not
+  // narrow the public API
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+    case (ArrayType(_: NumericType, _) | NullType,
+          ArrayType(_: NumericType, _) | NullType) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires numeric ARRAY inputs, got " +
@@ -419,10 +429,15 @@ object VectorRowKernels {
   */
 case class QuantizeInt8Kernel(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false // incl. NullType: value is always NULL, branch is dead
+  }
+  // NullType accepted (yields NULL) — the kernel must not narrow the
+  // HOF form it replaced, which coerced an untyped NULL and returned NULL
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) | NullType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.simpleString}")
   }
@@ -447,10 +462,14 @@ case class SignProjectKernel(child: Expression, signs: Array[Array[Long]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(signs.nonEmpty && signs.map(_.length).distinct.length == 1,
     "signs must be a non-empty rectangular matrix")
-  private def isInt: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+  private def isInt: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false // incl. NullType: value is always NULL, branch is dead
+  }
+  // NullType accepted (yields NULL) — same no-narrowing rule as above
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType | LongType, _) | NullType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<INT|BIGINT> input, got ${other.simpleString}")
   }

@@ -303,7 +303,24 @@ object Extensions {
     */
   private[graft] def streamIngestTransformed(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType, t: graft.table.GraftTable,
-      derive: DataFrame => DataFrame, filesPerTrigger: Int): Int = {
+      derive: DataFrame => DataFrame, filesPerTrigger: Int): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      t.append(s, derive(b),
+        statementId = Some(s"$stage-ckpt-batch-$batchId")): Unit
+    }
+
+  /** The ONE micro-batched replay runner under every streaming-ingest
+    * helper (index ingest, crawl dedup): AvailableNow over the staged
+    * parquet directory, `body` per NON-EMPTY batch, checkpoint derived
+    * from the stage path. On timeout the hung query is STOPPED before
+    * throwing — a live stream left behind would keep committing under
+    * any post-mortem inspection. One implementation so the timeout/
+    * stop/batch-counting discipline cannot drift between helpers.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def runMicroBatched(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType, filesPerTrigger: Int)(
+      body: (DataFrame, Long) => Unit): Int = {
     var batches = 0
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
@@ -311,18 +328,15 @@ object Extensions {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           batches += 1
-          t.append(s, derive(b),
-            statementId = Some(s"$stage-ckpt-batch-$batchId")): Unit
+          body(b, batchId)
         }
       }
       .option("checkpointLocation", s"$stage-ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // stop a hung query before throwing: a live stream left behind would
-    // keep committing appends under any post-mortem inspection
     val done = q.awaitTermination(300000)
     if (!done && q.isActive) q.stop()
-    require(done, "streamIngestTransformed: stream did not finish in 300s")
+    require(done, "runMicroBatched: stream did not finish in 300s")
     batches
   }
 
@@ -362,33 +376,18 @@ object Extensions {
     */
   private[graft] def streamIncrementalDedup(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
-      state: graft.table.GraftTable, results: graft.table.GraftTable): Int = {
-    var batches = 0
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .writeStream
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        if (!b.isEmpty) {
-          batches += 1
-          val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-            .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-          val adm = first
-            .join(state.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
-            .localCheckpoint() // pinned BEFORE the state mutates below
-          results.append(s, adm.select(col("doc_id")),
-            statementId = Some(s"$stage-res-$batchId"))
-          state.append(s, adm.select(col("fp")),
-            statementId = Some(s"$stage-fp-$batchId")): Unit
-        }
-      }
-      .option("checkpointLocation", s"$stage-ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val done = q.awaitTermination(300000)
-    if (!done && q.isActive) q.stop() // don't leak a live stream on timeout
-    require(done, "streamIncrementalDedup: stream did not finish in 300s")
-    batches
-  }
+      state: graft.table.GraftTable, results: graft.table.GraftTable): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger = 1) { (b, batchId) =>
+      val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val adm = first
+        .join(state.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+        .localCheckpoint() // pinned BEFORE the state mutates below
+      results.append(s, adm.select(col("doc_id")),
+        statementId = Some(s"$stage-res-$batchId"))
+      state.append(s, adm.select(col("fp")),
+        statementId = Some(s"$stage-fp-$batchId")): Unit
+    }
 
   /** Stage `df` as `nSlices` parquet slices in slice order with
     * EXPLICITLY stamped strictly-increasing mtimes, so the file stream
@@ -536,9 +535,16 @@ object Extensions {
     * gates.
     */
   private[graft] def lmProbs(c2: DataFrame): DataFrame = {
-    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+    // pinned: c2 feeds BOTH join branches (directly and re-aggregated
+    // into c1) — unpinned, the vocab-sized table's whole upstream
+    // subtree (for x_lm_score, a corpus-sized tokenize+explode+count)
+    // plans twice unless ReuseExchange happens to canonicalize the
+    // branches identically. The pin makes the callers' one-scan claims
+    // true by construction; the materialized rows are vocab-sized.
+    val pinned = c2.localCheckpoint()
+    val c1 = pinned.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    c2.join(c1, substring_index(c2("bg"), " ", 1) === c1("w1"))
+    pinned.join(c1, substring_index(pinned("bg"), " ", 1) === c1("w1"))
       .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
   }
 
@@ -553,18 +559,88 @@ object Extensions {
     * @return per-lang (docs, chunks, kept_chunks, tokens, kept_tokens,
     *         dup_chunk_rate) — unordered
     */
+  /** The incremental near-dup crawl fixture shared by
+    * x_incremental_neardup and x_incremental_neardup_compacted: history
+    * = even docs; batch = odd docs plus lightly-edited recrawls of every
+    * 10th history doc (text + a 2-token tail, Jaccard » 0.5, disjoint
+    * +1e9 ids).
+    */
+  private[graft] def neardupCrawlFixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(hist.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" recrawl tail")).as("text")))
+    (hist, batch)
+  }
+
+  /** Banded-MinHash signatures (band, sig, doc_id) — the durable
+    * near-dup state's row shape (2 narrow rows per doc at bands=2,
+    * rowsPerBand=3), shared by both incremental near-dup gates so the
+    * signature construction cannot drift between them.
+    */
+  private[graft] def bandSigsOf(df: DataFrame): DataFrame = df
+    .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
+    .select(col("doc_id"),
+      posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
+    .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
+
+  /** One crawl step of the incremental near-dup pipeline — shared by
+    * x_incremental_neardup and x_incremental_neardup_compacted so the
+    * nomination/verify/append semantics cannot drift between the plain
+    * and mid-compaction gates (StateMaintenanceSpec cross-checks their
+    * admissions row for row): nominate the batch against the persisted
+    * band-signature table `t` by (band, sig) equi-join, exact-Jaccard
+    * ≥ 0.5 verify via pairJaccard's measured-broadcast discipline
+    * (history TEXT fetched only for nominated candidates), APPEND the
+    * admitted docs' signatures back to the state — the single commit
+    * this helper makes, so callers bracket it with file inventories —
+    * and return the admitted batch rows. The id-only reject set is
+    * PINNED: it gates both the state append and the caller's rollup
+    * (measured 5.3 -> 5.0 s at sf0.1; the verify inputs were already
+    * pinned inside pairJaccard, so the saving is the join itself).
+    */
+  private[graft] def neardupAdmitAndAppend(s: SparkSession,
+      t: graft.table.GraftTable, hist: DataFrame, batch: DataFrame): DataFrame = {
+    val batchSigs = bandSigsOf(batch).localCheckpoint() // nominate AND re-append
+    val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .select("doc_a", "doc_b").distinct()
+    val rejected = pairJaccard(
+        batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .localCheckpoint()
+    val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+    t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
+      .select("band", "sig", "doc_id"))
+    admitted
+  }
+
+  /** Non-overlapping `w`-token chunks of (doc_id, lang, text) keyed by
+    * md5 of the chunk text — the ONE chunker under [[chunkDedupStats]]
+    * (the x_chunk_dedup gate + ScaleSmoke contract 11) and
+    * x_incremental_chunk_dedup's durable state, so the two cannot drift
+    * (a w / tokenizer / hash change applied to one would silently break
+    * the "x_chunk_dedup's state made durable" composition claim while
+    * both gates still matched their own oracles). Chunk length by
+    * arithmetic, not size(slice(..)): a second slice per chunk would
+    * re-allocate the array (no CSE in interpreted HOFs — the repo-wide
+    * discipline).
+    * @return (doc_id, lang, ci, n_tok, h) — UNPINNED; callers pin
+    */
+  private[graft] def chunksOf(docs: DataFrame, w: Int): DataFrame = docs
+    .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
+    .filter(size(col("t")) > 0)
+    .select(col("doc_id"), col("lang"), col("t"),
+      posexplode(sequence(lit(1), size(col("t")), lit(w))).as(Seq("ci", "start")))
+    .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
+      least(lit(w.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
+      md5(array_join(slice(col("t"), col("start"), lit(w)), " ")).as("h"))
+
   private[graft] def chunkDedupStats(docs: DataFrame, w: Int = 16): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"), col("lang"), col("t"),
-        posexplode(sequence(lit(1), size(col("t")), lit(w))).as(Seq("ci", "start")))
-      .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
-        // chunk length by arithmetic, not size(slice(..)): a second slice
-        // per chunk would re-allocate the array (no CSE in interpreted
-        // HOFs — the repo-wide discipline)
-        least(lit(w.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
-        md5(array_join(slice(col("t"), col("start"), lit(w)), " ")).as("h"))
+    val chunks = chunksOf(docs, w)
       .localCheckpoint() // read twice: first-occurrence aggs + probe
     val fdoc = chunks.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
     val fci = chunks.join(fdoc, "h")
@@ -3306,14 +3382,9 @@ object Extensions {
         val batch = docs0.filter(col("doc_id") % 2 === 1)
           .unionByName(hist.filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
-        def chunksOf(df: DataFrame): DataFrame = df
-          .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
-          .filter(size(col("t")) > 0)
-          .select(col("doc_id"), col("lang"), col("t"),
-            posexplode(sequence(lit(1), size(col("t")), lit(W))).as(Seq("ci", "start")))
-          .select(col("doc_id"), col("lang"), col("ci").cast("long").as("ci"),
-            least(lit(W.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
-            md5(array_join(slice(col("t"), col("start"), lit(W)), " ")).as("h"))
+        // the SHARED chunker (chunksOf member) — the durable state must
+        // chunk exactly like the batch gate it persists for
+        def chunked(df: DataFrame): DataFrame = chunksOf(df, W)
         // keep-first over a chunk stream (min doc per hash, then min chunk
         // within that doc) — used for the initial crawl, the second crawl's
         // unseen slice, and the batch's unseen slice alike
@@ -3323,7 +3394,7 @@ object Extensions {
           hc.join(fd, "h").filter(col("doc_id") === col("f_doc"))
             .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
         }
-        val hf1 = keepFirst(chunksOf(hist.filter(col("doc_id") % 4 === 0))
+        val hf1 = keepFirst(chunked(hist.filter(col("doc_id") % 4 === 0))
           .select("h", "doc_id", "ci"))
         val cat = TableOps.newCatalog()
         val t = cat.createTable("db.chunk_first", hf1.schema,
@@ -3332,12 +3403,12 @@ object Extensions {
         // second crawl extends the state through the SAME incremental path
         // the batch takes: probe, keep-first over unseen, append
         t.append(s, keepFirst(
-          chunksOf(hist.filter(col("doc_id") % 4 === 2)).select("h", "doc_id", "ci")
+          chunked(hist.filter(col("doc_id") % 4 === 2)).select("h", "doc_id", "ci")
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")))
         // mid-sequence maintenance on the live keep-first state
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
-        val bc = chunksOf(batch).localCheckpoint() // probe + rollup read it
+        val bc = chunked(batch).localCheckpoint() // probe + rollup read it
         val bFirst = keepFirst(bc.select("h", "doc_id", "ci")
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti"))
           .localCheckpoint() // read twice: the state append + the keep probe
@@ -4713,41 +4784,15 @@ object Extensions {
     ("x_incremental_neardup",
       (s: SparkSession, d: String) => {
         import graft.format.Transform
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-        val hist = docs.filter(col("doc_id") % 2 === 0)
-        val batch = docs.filter(col("doc_id") % 2 === 1)
-          .unionByName(hist.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
-              concat(col("text"), lit(" recrawl tail")).as("text")))
-        def sigsOf(df: DataFrame): DataFrame = df
-          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
-          .select(col("doc_id"),
-            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
-          .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
+        val (hist, batch) =
+          neardupCrawlFixture(Tables.documents(s, d).select("doc_id", "lang", "text"))
         val cat = TableOps.newCatalog()
-        val histSigs = sigsOf(hist)
+        val histSigs = bandSigsOf(hist)
         val t = cat.createTable("db.neardup_sigs", histSigs.schema,
           partitionBy = Seq("sig" -> Transform.Bucket(4)))
         t.append(s, histSigs)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
-        val batchSigs = sigsOf(batch).localCheckpoint() // nominate AND re-append below
-        val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-          .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-            Seq("band", "sig"))
-          .select("doc_a", "doc_b").distinct()
-        // pinned: the id-only reject set gates BOTH the state append and
-        // the final rollup — without the pin the Jaccard-verify join
-        // re-executes per action (measured 5.3 -> 5.0 s at sf0.1; the
-        // verify inputs were already pinned inside pairJaccard, so the
-        // saving is the join itself, not the shingling)
-        val rejected = pairJaccard(
-            batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a").as("doc_id")).distinct()
-          .localCheckpoint()
-        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
-        t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
-          .select("band", "sig", "doc_id"))
+        val admitted = neardupAdmitAndAppend(s, t, hist, batch)
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         admitted.groupBy("lang").agg(count(lit(1)).as("admitted"))
           .withColumn("append_only",
@@ -4822,39 +4867,20 @@ object Extensions {
     ("x_incremental_neardup_compacted",
       (s: SparkSession, d: String) => {
         import graft.format.Transform
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-        val hist = docs.filter(col("doc_id") % 2 === 0)
-        val batch = docs.filter(col("doc_id") % 2 === 1)
-          .unionByName(hist.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
-              concat(col("text"), lit(" recrawl tail")).as("text")))
-        def sigsOf(df: DataFrame): DataFrame = df
-          .withColumn("mins", TF.shingleBandMinima(col("text"), 2, bands = 2, rowsPerBand = 3))
-          .select(col("doc_id"),
-            posexplode(TF.bandsFromMinima(col("mins"), 2, 3)).as(Seq("band", "sig")))
-          .select(col("band").cast("long").as("band"), col("sig"), col("doc_id"))
+        val (hist, batch) =
+          neardupCrawlFixture(Tables.documents(s, d).select("doc_id", "lang", "text"))
         val cat = TableOps.newCatalog()
-        val sigs1 = sigsOf(hist.filter(col("doc_id") % 4 === 0))
+        val sigs1 = bandSigsOf(hist.filter(col("doc_id") % 4 === 0))
         val t = cat.createTable("db.neardup_sigs_c", sigs1.schema,
           partitionBy = Seq("sig" -> Transform.Bucket(4)))
         t.append(s, sigs1)
-        t.append(s, sigsOf(hist.filter(col("doc_id") % 4 === 2)))
-        // mid-sequence maintenance on the live signature state
+        t.append(s, bandSigsOf(hist.filter(col("doc_id") % 4 === 2)))
+        // mid-sequence maintenance on the live signature state; the crawl
+        // step below is the SHARED neardupAdmitAndAppend — the only
+        // difference from x_incremental_neardup is this rewrite
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
-        val batchSigs = sigsOf(batch).localCheckpoint() // nominate AND re-append
-        val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-          .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-            Seq("band", "sig"))
-          .select("doc_a", "doc_b").distinct()
-        val rejected = pairJaccard(
-            batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")), cand)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a").as("doc_id")).distinct()
-          .localCheckpoint() // gates the state append AND the final rollup
-        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
         val filesPostCompact = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
-        t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
-          .select("band", "sig", "doc_id"))
+        val admitted = neardupAdmitAndAppend(s, t, hist, batch)
         val filesFinal = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         admitted.groupBy("lang").agg(count(lit(1)).as("admitted"))
           .withColumn("compacted", lit(compacted))

@@ -227,6 +227,19 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("untyped NULL inputs analyze and yield NULL — the kernels don't narrow the SQL surface") {
+    // the HOF forms the kernels replaced type-coerced a bare NULL and
+    // returned NULL; the kernels must do the same instead of failing
+    // analysis (NullType child => value is always null, branch is dead)
+    graft.functions.SqlFunctions.install(spark)
+    val rows = spark.sql(
+      """SELECT graft_cosine(NULL, array(1.0d, 2.0d)) AS c1,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT)), NULL) AS c2,
+        |       graft_cosine(NULL, NULL) AS c3,
+        |       graft_quantize_int8(NULL) AS q""".stripMargin).head()
+    assert((0 to 3).forall(rows.isNullAt), s"expected all NULL, got $rows")
+  }
+
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
     // a range source, not a local relation — ConvertToLocalRelation would
     // otherwise fold the projection before any physical plan exists
