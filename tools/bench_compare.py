@@ -51,13 +51,36 @@ def load(path):
             pass  # truncated mid-JSON: salvage pairs from the whole text
     # truncated head or tail (the driver keeps only a log tail): salvage
     # every query-shaped "name":sec pair; query names are g_*/x_*/q<N>_*
-    # so meta fields (value, host_factor, ...) never collide
-    # FIRST occurrence wins: the full line's "fixture_sec" map re-uses the
-    # same query names AFTER the "queries" map, so last-wins dict() would
-    # silently replace real times with fixture splits
+    # so meta fields (value, host_factor, ...) never collide.
+    # Pairs INSIDE the "fixture_sec" map must be excluded entirely — when
+    # the tail truncates away a query's entry in the "queries" map, its
+    # fixture split would otherwise masquerade as the query time and
+    # manufacture phantom 5-20x regressions (g_stream_join 0.24s-fixture
+    # vs 4.9s-query). First-occurrence-wins alone cannot fix that: for a
+    # truncated-away query the fixture value IS the first occurrence.
+    mf = re.search(r'"fixture_sec":\{[^}]*\}', text)
+    if mf:
+        fix_lo, fix_hi = mf.span()
+    else:
+        # tail may truncate INSIDE fixture_sec: exclude from its opening
+        # brace to the end of text (nothing query-shaped follows it except
+        # the summary line, which carries no per-query pairs)
+        idx = text.find('"fixture_sec":{')
+        fix_lo, fix_hi = (idx, len(text)) if idx >= 0 else (-1, -1)
+    dropped = set()
     qs = {}
-    for k, v in re.findall(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text):
-        qs.setdefault(k, float(v))
+    for pm in re.finditer(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text):
+        if fix_lo <= pm.start() < fix_hi:
+            if pm.group(1) not in qs:
+                dropped.add(pm.group(1))
+            continue
+        qs.setdefault(pm.group(1), float(pm.group(2)))
+    dropped -= set(qs)
+    if dropped:
+        print(f"WARNING {path}: {len(dropped)} queries survived only as "
+              f"fixture_sec splits in the truncated tail and were DROPPED "
+              f"from the comparison (their query times did not survive): "
+              f"{', '.join(sorted(dropped)[:8])}{'...' if len(dropped) > 8 else ''}")
     if not qs:
         sys.exit(f"{path}: no bench JSON found")
     out = {"queries": qs}
