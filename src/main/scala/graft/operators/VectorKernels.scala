@@ -243,7 +243,14 @@ sealed trait VectorPairKernel extends BinaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    // a NullType child would reach the kernel call as java Object (the
+    // nullSafeCodeGen value slot for NullType), which does not COMPILE —
+    // Janino would throw and silently knock the whole stage back to
+    // interpreted execution. The value is constantly null, so emit the
+    // constant instead of a kernel call.
+    if (left.dataType == NullType || right.dataType == NullType)
+      ExprCode.forNullValue(dataType)
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("graftVec")
       val call =
         if (fastPath)
@@ -447,7 +454,10 @@ case class QuantizeInt8Kernel(child: Expression)
   override def nullSafeEval(input: Any): Any =
     VectorRowKernels.quantizeInt8(input.asInstanceOf[ArrayData], isFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => s"""
+    // NullType child: see VectorPairKernel — emit the constant, never a
+    // kernel call whose Object-typed argument would not compile
+    if (child.dataType == NullType) ExprCode.forNullValue(dataType)
+    else nullSafeCodeGen(ctx, ev, v => s"""
       ${ev.value} = graft.operators.VectorRowKernels.quantizeInt8($v, $isFloat);
     """)
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Kernel =
@@ -479,7 +489,10 @@ case class SignProjectKernel(child: Expression, signs: Array[Array[Long]])
   override def nullSafeEval(input: Any): Any =
     VectorRowKernels.signProject(input.asInstanceOf[ArrayData], signs, isInt)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => {
+    // NullType child: see VectorPairKernel — emit the constant, never a
+    // kernel call whose Object-typed argument would not compile
+    if (child.dataType == NullType) ExprCode.forNullValue(dataType)
+    else nullSafeCodeGen(ctx, ev, v => {
       val m = ctx.addReferenceObj("graftSigns", signs, "long[][]")
       s"""
       ${ev.value} = graft.operators.VectorRowKernels.signProject($v, $m, $isInt);

@@ -336,7 +336,7 @@ object Extensions {
       .start()
     val done = q.awaitTermination(300000)
     if (!done && q.isActive) q.stop()
-    require(done, "runMicroBatched: stream did not finish in 300s")
+    require(done, s"runMicroBatched($stage): stream did not finish in 300s")
     batches
   }
 
@@ -548,17 +548,6 @@ object Extensions {
       .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
   }
 
-  /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
-    * pipeline body, shared with ScaleSmoke contract 11. Non-overlapping
-    * `w`-token chunks keyed by md5 of the chunk text; keep-first is two
-    * narrow aggregates (min doc per hash, min chunk within that doc) and
-    * chunk text never travels — the exploded stream carries (hash, count)
-    * only and is PINNED once (read by the first-occurrence aggregate AND
-    * the probe; an unpinned stream re-tokenizes the corpus per read, the
-    * pre-r8 pairJaccard 405 s failure shape). Input: (doc_id, lang, text).
-    * @return per-lang (docs, chunks, kept_chunks, tokens, kept_tokens,
-    *         dup_chunk_rate) — unordered
-    */
   /** The incremental near-dup crawl fixture shared by
     * x_incremental_neardup and x_incremental_neardup_compacted: history
     * = even docs; batch = odd docs plus lightly-edited recrawls of every
@@ -639,6 +628,17 @@ object Extensions {
       least(lit(w.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
       md5(array_join(slice(col("t"), col("start"), lit(w)), " ")).as("h"))
 
+  /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
+    * pipeline body, shared with ScaleSmoke contract 11. Non-overlapping
+    * `w`-token chunks keyed by md5 of the chunk text; keep-first is two
+    * narrow aggregates (min doc per hash, min chunk within that doc) and
+    * chunk text never travels — the exploded stream carries (hash, count)
+    * only and is PINNED once (read by the first-occurrence aggregate AND
+    * the probe; an unpinned stream re-tokenizes the corpus per read, the
+    * pre-r8 pairJaccard 405 s failure shape). Input: (doc_id, lang, text).
+    * @return per-lang (docs, chunks, kept_chunks, tokens, kept_tokens,
+    *         dup_chunk_rate) — unordered
+    */
   private[graft] def chunkDedupStats(docs: DataFrame, w: Int = 16): DataFrame = {
     val chunks = chunksOf(docs, w)
       .localCheckpoint() // read twice: first-occurrence aggs + probe

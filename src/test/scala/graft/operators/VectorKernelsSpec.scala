@@ -238,6 +238,26 @@ class VectorKernelsSpec extends SparkSpec {
         |       graft_cosine(NULL, NULL) AS c3,
         |       graft_quantize_int8(NULL) AS q""".stripMargin).head()
     assert((0 to 3).forall(rows.isNullAt), s"expected all NULL, got $rows")
+
+    // the NON-foldable shape (NULL literal x real column) must COMPILE in
+    // codegen — a NullType argument reaching the kernel call as java
+    // Object would throw in Janino and silently knock the whole stage
+    // back to interpreted; CODEGEN_ONLY turns that fallback into a
+    // loud failure here
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val d = fdf(Seq((1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f))))
+      d.createOrReplaceTempView("vk_null_codegen")
+      val got = spark.sql(
+        """SELECT graft_cosine(NULL, a) AS c, graft_cosine(a, b) AS r
+          |FROM vk_null_codegen""".stripMargin).head()
+      assert(got.isNullAt(0) && !got.isNullAt(1),
+        s"NULL-side must be NULL while the real pair still computes: $got")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
   }
 
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {

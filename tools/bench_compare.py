@@ -61,18 +61,24 @@ def load(path):
     mf = re.search(r'"fixture_sec":\{[^}]*\}', text)
     if mf:
         fix_lo, fix_hi = mf.span()
-    else:
+    elif '"fixture_sec":{' in text:
         # tail may truncate INSIDE fixture_sec: exclude from its opening
         # brace to the end of text (nothing query-shaped follows it except
         # the summary line, which carries no per-query pairs)
-        idx = text.find('"fixture_sec":{')
-        fix_lo, fix_hi = (idx, len(text)) if idx >= 0 else (-1, -1)
+        fix_lo, fix_hi = text.find('"fixture_sec":{'), len(text)
+    elif '"queries":{' not in text and '"control_start_sec"' in text:
+        # HEAD truncation inside fixture_sec: the window opened after the
+        # "fixture_sec":{ key itself, so every query-shaped pair before
+        # the post-map fields is an orphan fixture split — exclude the
+        # head up to "control_start_sec" (the field that follows the map)
+        fix_lo, fix_hi = 0, text.find('"control_start_sec"')
+    else:
+        fix_lo, fix_hi = -1, -1
     dropped = set()
     qs = {}
     for pm in re.finditer(r'"((?:g|x)_[a-z0-9_]+|q\d+_[a-z0-9_]+)":([0-9.]+)', text):
         if fix_lo <= pm.start() < fix_hi:
-            if pm.group(1) not in qs:
-                dropped.add(pm.group(1))
+            dropped.add(pm.group(1))
             continue
         qs.setdefault(pm.group(1), float(pm.group(2)))
     dropped -= set(qs)
