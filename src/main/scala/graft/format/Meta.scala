@@ -223,6 +223,17 @@ object TableProperties {
   val ClusterStrategy = "write.cluster-strategy"      // "linear" (default) | "zorder"
   val BloomColumns = "write.bloom-columns"            // comma-sep cols to bloom-index
   val BloomBits = "write.bloom-bits"                  // bitmap size (default 4096)
+  /** How many statement-log entries survive snapshot expiry REGARDLESS of
+    * whether their snapshot was expired (default 10000). The log is the
+    * replay-idempotency ledger for statementId-keyed commits (streaming
+    * micro-batches): it must outlive data retention, because a stream that
+    * crashes, stays down past the retention window while maintenance runs,
+    * then resumes would otherwise replay micro-batches whose entries were
+    * pruned with their snapshots — a SILENT double-ingest. Entries whose
+    * snapshot is still retained always survive; this knob bounds only the
+    * expired-snapshot tail (newest-first).
+    */
+  val StatementLogRetainLast = "statement-log.retain-last"
 }
 
 /** JSON (de)serialization of the metadata tree. Hand-rolled codecs: explicit,

@@ -160,8 +160,21 @@ trait GraftMaintenance { self: GraftTable =>
         val (keptMeta, keptData) = reach(kept)
         val (expMeta, expData) = reach(expired)
         doomed = (expMeta -- keptMeta) ++ (expData -- keptData)
+        // The statement log lives on its OWN retention horizon, decoupled
+        // from snapshot retention: it is the replay-idempotency ledger for
+        // statementId-keyed commits, and pruning an entry just because its
+        // snapshot expired would let a stream that resumes after the data
+        // window re-apply an already-committed micro-batch — a silent
+        // double-ingest (commitSnapshot replays such entries as no-ops).
+        // Entries for retained snapshots always survive; expired-snapshot
+        // entries survive within the newest `statement-log.retain-last`
+        // tail of the log (append order), so the ledger stays bounded.
+        val stmtRetain = m.property(TableProperties.StatementLogRetainLast,
+          "10000").toInt
+        val stmtKeep = m.statementLog.takeRight(stmtRetain).toSet
         m.copy(snapshots = kept,
-          statementLog = m.statementLog.filter { case (_, sid) => keepIds.contains(sid) })
+          statementLog = m.statementLog.filter { e =>
+            keepIds.contains(e._2) || stmtKeep.contains(e) })
       }
     }
     var removedFiles = 0

@@ -180,10 +180,18 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       // Idempotent replay: a statement that already committed (streaming
       // micro-batch retried by the checkpoint machinery, docs/08:154 "each
       // DML = one commit") returns its snapshot instead of double-applying.
+      // If that snapshot has since been EXPIRED, the statement's effect is
+      // still folded into current table state (expiry never unapplies
+      // commits — it only bounds time travel), so the replay is a NO-OP
+      // returning the current snapshot: re-applying would double-ingest,
+      // and erroring would wedge a stream that merely resumed after the
+      // data-retention window (the log entry outlives its snapshot for
+      // exactly this case — see TableProperties.StatementLogRetainLast).
       statementId.foreach { stmt =>
         m.statementLog.find(_._1 == stmt).foreach { case (_, sid) =>
-          return m.snapshot(sid).getOrElse(
-            sys.error(s"statement $stmt committed snapshot $sid which has been expired"))
+          return m.snapshot(sid).orElse(m.currentSnapshot).getOrElse(
+            sys.error(s"statement $stmt: snapshot $sid expired and the " +
+              "table has no current snapshot to stand in as the no-op result"))
         }
       }
       val manifests = manifestsFor(m)

@@ -1,0 +1,59 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.format.TableProperties
+import org.apache.spark.sql.functions._
+
+/** Statement-log retention is DECOUPLED from snapshot retention: the log is
+  * the replay-idempotency ledger for statementId-keyed commits (streaming
+  * micro-batches), so an entry must outlive its snapshot. The failure this
+  * pins down: a stream crashes, stays down past the data-retention window,
+  * maintenance expires the micro-batch's snapshot, the stream resumes and
+  * replays the micro-batch — with the entry pruned alongside its snapshot
+  * that replay would re-apply and SILENTLY double-ingest. With the entry
+  * retained, the replay is a no-op returning the current snapshot.
+  */
+class StatementReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replay of a statement whose snapshot expired is a no-op, not a re-apply") {
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val a = Seq(1L, 2L, 3L).toDF("id")
+    val b = Seq(10L, 11L).toDF("id")
+    val t = cat.createTable("db.replay", a.schema)
+    t.append(spark, a, statementId = Some("crawl-batch-0"))
+    t.append(spark, b, statementId = Some("crawl-batch-1"))
+    // expire everything but the newest snapshot: batch-0's snapshot goes
+    val (removed, _) = t.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 1)
+    assert(removed == 1, s"expected exactly batch-0's snapshot expired, got $removed")
+    // the ledger entry OUTLIVES its snapshot
+    assert(t.meta.statementLog.exists(_._1 == "crawl-batch-0"),
+      "statement-log entry must survive its snapshot's expiry")
+    val snapsBefore = t.meta.snapshots.size
+    val rowsBefore = t.toDF(spark).count()
+    // the crashed stream resumes and replays batch 0 — must be a no-op
+    val replayed = t.append(spark, a, statementId = Some("crawl-batch-0"))
+    assert(t.toDF(spark).count() == rowsBefore, "replay after expiry double-ingested")
+    assert(t.meta.snapshots.size == snapsBefore, "replay after expiry committed a new snapshot")
+    assert(replayed.snapshotId == t.meta.currentSnapshotId.get,
+      "no-op replay must return the current snapshot")
+    // a retained-snapshot replay still returns its ORIGINAL snapshot
+    val again = t.append(spark, b, statementId = Some("crawl-batch-1"))
+    assert(again.summary("statement-id") == "crawl-batch-1")
+    assert(t.toDF(spark).count() == rowsBefore)
+  }
+
+  test("the retain-last knob bounds the expired-entry tail (0 = old pruning behavior)") {
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val a = Seq(1L).toDF("id")
+    val t = cat.createTable("db.replay0", a.schema,
+      properties = Map(TableProperties.StatementLogRetainLast -> "0"))
+    t.append(spark, a, statementId = Some("s-0"))
+    t.append(spark, Seq(2L).toDF("id"), statementId = Some("s-1"))
+    t.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 1)
+    // with the horizon at 0, only entries for RETAINED snapshots survive
+    assert(!t.meta.statementLog.exists(_._1 == "s-0"),
+      "retain-last=0 must restore snapshot-coupled pruning")
+    assert(t.meta.statementLog.exists(_._1 == "s-1"))
+  }
+}
