@@ -211,25 +211,35 @@ sealed trait VectorPairKernel extends BinaryExpression {
   protected def elemType(e: Expression): DataType = e.dataType match {
     // NullType side: the value is always NULL, so the null-safe eval /
     // codegen branch never runs — DoubleType only keeps the (dead)
-    // generated code compiling
-    case NullType => DoubleType
+    // generated code compiling. ArrayType(NullType) side (array(NULL,
+    // NULL), array()): every LANE is null, so the kernels' isNullAt-first
+    // loops never read a lane — DoubleType only names a read that cannot
+    // happen.
+    case NullType | ArrayType(NullType, _) => DoubleType
     case t => t.asInstanceOf[ArrayType].elementType
   }
   private def fastPath: Boolean =
     fastTypes.contains(elemType(left)) && fastTypes.contains(elemType(right))
 
-  // NullType is accepted on either side and yields NULL, matching the
-  // HOF forms these kernels replaced (an untyped NULL literal coerced
-  // into zip_with/aggregate and returned NULL) — the kernels must not
-  // narrow the public API
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(_: NumericType, _) | NullType,
-          ArrayType(_: NumericType, _) | NullType) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires numeric ARRAY inputs, got " +
-        s"(${other._1.simpleString}, ${other._2.simpleString})")
+  // NullType and ArrayType(NullType) are accepted on either side,
+  // matching the HOF forms these kernels replaced (type coercion folded
+  // both into the fold): a bare NULL yields NULL; an all-null-lane array
+  // yields NULL via the first-lane null check; an EMPTY array() runs the
+  // empty fold exactly like the HOF — dot 0.0, euclidean 0.0, cosine /
+  // quantizedCosine NULL (zero denominator). The kernels must not narrow
+  // the public API, and a constant-NULL shortcut here would WIDEN it
+  // (dot(array(), array()) is 0.0, not NULL).
+  private def acceptsSide(t: DataType): Boolean = t match {
+    case NullType => true
+    case ArrayType(_: NumericType, _) | ArrayType(NullType, _) => true
+    case _ => false
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (acceptsSide(left.dataType) && acceptsSide(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric ARRAY inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -441,9 +451,14 @@ case class QuantizeInt8Kernel(child: Expression)
     case _ => false // incl. NullType: value is always NULL, branch is dead
   }
   // NullType accepted (yields NULL) — the kernel must not narrow the
-  // HOF form it replaced, which coerced an untyped NULL and returned NULL
+  // HOF form it replaced, which coerced an untyped NULL and returned NULL.
+  // ArrayType(NullType) (array(NULL, NULL), array()) is accepted too and
+  // flows through the NORMAL eval/codegen path: all lanes are null, so
+  // the !seen branch reproduces the HOF result exactly — struct(null
+  // amax, n null code lanes), which a constant-NULL shortcut would get
+  // WRONG (the HOF returns a non-null struct here, not NULL).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) | NullType =>
+    case ArrayType(FloatType | DoubleType | NullType, _) | NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.simpleString}")
@@ -476,9 +491,12 @@ case class SignProjectKernel(child: Expression, signs: Array[Array[Long]])
     case ArrayType(IntegerType, _) => true
     case _ => false // incl. NullType: value is always NULL, branch is dead
   }
-  // NullType accepted (yields NULL) — same no-narrowing rule as above
+  // NullType accepted (yields NULL) — same no-narrowing rule as above.
+  // ArrayType(NullType) flows through the normal path: signProject's own
+  // guard NULLs any vector that is not exactly `dim` non-null lanes, which
+  // an all-null or empty array never is.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType | LongType, _) | NullType =>
+    case ArrayType(IntegerType | LongType | NullType, _) | NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<INT|BIGINT> input, got ${other.simpleString}")

@@ -260,6 +260,61 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("ArrayType(NullType) inputs analyze and keep the HOF edge semantics exactly") {
+    // array(NULL, NULL) and array() type as ARRAY<NULL> — the r11-ADVICE
+    // gap: the kernels accepted bare NULL but rejected these at analysis,
+    // narrowing the API vs the coerced HOF forms. They now flow through
+    // the NORMAL kernel path (never a constant-NULL shortcut), because
+    // the HOF semantics differ per kernel: all-null lanes NULL every
+    // fold, but an EMPTY array runs the empty fold — dot/euclidean 0.0,
+    // cosine/quantizedCosine NULL (zero denominator), and quantizeInt8
+    // of array(NULL, NULL) is a NON-null struct(null amax, null lanes).
+    graft.functions.SqlFunctions.install(spark)
+    val r = spark.range(1).select(
+      VectorFunctions.cosineSimilarity(array(lit(null), lit(null)),
+        array(lit(1.0), lit(2.0))).as("c_allnull"),
+      VectorFunctions.cosineSimilarity(array(), array()).as("c_empty"),
+      VectorFunctions.dot(array(), array()).as("d_empty"),
+      VectorFunctions.euclideanDistance(array(), array()).as("e_empty"),
+      VectorFunctions.quantizedCosine(array(), array()).as("qc_empty"),
+      VectorFunctions.quantizedCosine(array(lit(null)), array(lit(3))).as("qc_allnull"),
+      VectorFunctions.quantizeInt8(array(lit(null), lit(null))).as("qz"),
+      VectorFunctions.signProject(array(lit(null), lit(null)),
+        Array(Array(1L, -1L))).as("sp")).head()
+    assert(r.isNullAt(0), "all-null lanes must NULL the cosine")
+    assert(r.isNullAt(1), "empty cosine has a zero denominator -> NULL")
+    assert(r.getDouble(2) == 0.0, "dot over array() is the empty fold: 0.0, NOT NULL")
+    assert(r.getDouble(3) == 0.0, "euclidean over array() is sqrt(0.0)")
+    assert(r.isNullAt(4) && r.isNullAt(5), "quantized cosine NULLs both shapes")
+    val qz = r.getStruct(6)
+    assert(qz.isNullAt(0) && qz.getSeq[Any](1) == Seq(null, null),
+      s"quantizeInt8(array(NULL, NULL)) must be struct(null, [null, null]): $qz")
+    assert(r.isNullAt(7), "signProject guard must NULL an all-null vector")
+    // the SQL surface of the ADVICE example analyzes now
+    assert(spark.sql("SELECT graft_cosine(array(NULL, NULL), array(1.0d))")
+      .head().isNullAt(0))
+
+    // non-foldable ARRAY<NULL> (built from data via transform) must
+    // COMPILE in codegen — the lanes are all null so no lane read ever
+    // happens, but the generated kernel call itself must be valid Janino
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val d = fdf(Seq((1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f))))
+      val got = d.select(
+        VectorFunctions.cosineSimilarity(
+          transform(col("a"), _ => lit(null)), col("b")).as("c"),
+        VectorFunctions.dot(col("a"),
+          transform(col("b"), _ => lit(null))).as("dt"),
+        VectorFunctions.cosineSimilarity(col("a"), col("b")).as("real")).head()
+      assert(got.isNullAt(0) && got.isNullAt(1) && !got.isNullAt(2),
+        s"null-lane sides must be NULL while the real pair computes: $got")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("kernel stays inside whole-stage codegen; the HOF form carried interpreted folds") {
     // a range source, not a local relation — ConvertToLocalRelation would
     // otherwise fold the projection before any physical plan exists

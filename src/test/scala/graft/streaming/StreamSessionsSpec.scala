@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * boundary sessionRollup/Sessionize implement; (2) the native
   * aggregation must reproduce sessionRollup's per-user rollup on the
   * real fixture — a cross-operator check between session_window and the
-  * flatMapGroupsWithState-based Sessionize it shares semantics with
-  * (fixture checked tie-free first so the agreement isn't vacuous at
-  * the boundary).
+  * flatMapGroupsWithState-based Sessionize it shares semantics with —
+  * including a PLANTED exactly-30-min tie, which both operators merge
+  * (inclusive boundaries on both sides).
   */
 class StreamSessionsSpec extends SparkSpec {
 
@@ -30,13 +30,26 @@ class StreamSessionsSpec extends SparkSpec {
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
+    // and Sessionize agrees ON THE TIE: it extends a session when
+    // ts - last <= gap, the same inclusive boundary — so the two
+    // operators agree even at exactly-30-min gaps, user 1 included
+    val rollup = graft.queries.Extensions
+      .sessionRollup(spark, df, gapMs = 30L * 60 * 1000)
+      .select("user_id", "n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rollup == got, s"Sessionize diverged at the tie: $rollup vs $got")
   }
 
   test("batch session_window rollup equals sessionRollup on the tie-free fixture") {
     val d = "/root/testdata/sf0.001"
     val ev = graft.queries.Tables.events(spark, d)
-    // precondition: no consecutive same-user gap of exactly 30 min (the
-    // two operators' boundaries only agree away from ties)
+    // Defense-in-depth, NOT an agreement precondition: both operators
+    // merge an exactly-30-min tie (session_window inclusively per the
+    // test above; Sessionize extends on ts - last <= gap), so they agree
+    // at ties too — the planted-tie assertion above proves it. This
+    // check just records that the REAL fixture happens to be tie-free,
+    // so a future fixture regeneration that lands ties is surfaced here
+    // rather than silently changing what the cross-check exercises.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
     val ties = ev
