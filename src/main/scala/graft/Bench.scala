@@ -247,14 +247,40 @@ object Bench {
     // become the baseline nor leave a stale clean-looking one behind (the
     // numbers still print to stdout, and the process exits 2).
     if (only.isEmpty) {
-      // polluted final attempt: DELETE the file rather than skip the write —
-      // a stale previous-run file still says verdict "clean", so a caller
-      // who misses the exit code would diff round N against round N's own
-      // data and read every ratio as ~1.0x (a silent false "no regression")
+      // polluted final attempt: DELETE the latest-clean pointer rather than
+      // skip the write — a stale previous-run file still says verdict
+      // "clean", so a caller who misses the exit code would diff round N
+      // against round N's own data and read every ratio as ~1.0x (a silent
+      // false "no regression"). The polluted line itself is preserved under
+      // a name no comparer treats as a baseline (ADVICE r11), and deleting
+      // the pointer no longer erases history: every clean full run is ALSO
+      // archived round-stamped below, so a post-pollution compare still has
+      // file-based baselines — BENCH_full_r{N}.json, not just stdout.
       try {
         val p = java.nio.file.Paths.get("BENCH.full.json")
-        if (polluted) java.nio.file.Files.deleteIfExists(p)
-        else java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+        if (polluted) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("BENCH.full.polluted.json"),
+            (fullJson + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.deleteIfExists(p): Unit
+        } else {
+          java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+          // Round-stamped archive (r11 verdict #3): the driver's
+          // BENCH_r{N}.json keeps only a log TAIL (36-42 query times were
+          // truncated away in r11) and BENCH.full.json is overwritten every
+          // round, so cross-round compares could adjudicate only a dozen of
+          // ~170 common queries. The archive pins the FULL per-query map
+          // per round; bench_compare.py prefers it over the driver tail.
+          // Round = max existing BENCH_r{NN}.json + 1 — this run happens
+          // BEFORE the driver writes its artifact for the current round.
+          val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+            .flatMap(n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+              .map(_.group(1).toInt))
+          val round = (if (prior.isEmpty) 0 else prior.max) + 1
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
+            (fullJson + "\n").getBytes("UTF-8"))
+        }
       } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     }
     // A second, SHORT trailing line with only the headline numbers: the

@@ -21,11 +21,29 @@ Accepts raw one-line bench JSON, sbt "[info] "-prefixed lines, and the
 driver's {n, rc, tail} wrapper (tail may be TRUNCATED mid-JSON — parse
 defensively and use whatever queries survive).
 """
-import json, re, statistics, sys
+import json, os, re, statistics, sys
+
+
+def prefer_full_archive(path):
+    """Given a driver-tail artifact BENCH_r{N}.json, prefer the sibling
+    BENCH_full_r{N}.json that Bench archives on every clean full run: the
+    driver tail TRUNCATES most of the per-query map (36-42 query times lost
+    in round 11), while the archive holds the complete line. Explicit paths
+    to archives or other files pass through untouched."""
+    m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    if not m:
+        return path
+    full = os.path.join(os.path.dirname(path) or ".",
+                        f"BENCH_full_r{int(m.group(1)):02d}.json")
+    if os.path.exists(full):
+        print(f"NOTE: using {full} (complete per-query map) instead of the "
+              f"truncated driver tail {path}")
+        return full
+    return path
 
 
 def load(path):
-    text = open(path).read()
+    text = open(prefer_full_archive(path)).read()
     # driver wrapper {n, rc, tail}?
     try:
         obj = json.loads(text)
