@@ -372,12 +372,22 @@ object Extensions {
     * replays as two no-ops (or a clean re-run). The reverse order would
     * lose admissions forever: state-first would make the replayed
     * anti-join reject the batch's own fps before results ever committed.
+    *
+    * `filesPerTrigger` is THE batch-sizing knob the honest-cost note in
+    * the gate names: each micro-batch pays ONE full scan of the
+    * fingerprint state for its anti-join (md5-uniform keys defeat file
+    * skipping), so the per-corpus state-scan count equals the BATCH
+    * count, not the row count — size batches so that scan amortizes
+    * (StreamIncrementalDedupSpec measures: same staged corpus, 3 batches
+    * at the default vs 1 batch at filesPerTrigger=3, identical
+    * admissions, state-scan/commit count 3 vs 1).
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalDedup(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
-      state: graft.table.GraftTable, results: graft.table.GraftTable): Int =
-    runMicroBatched(s, stage, schema, filesPerTrigger = 1) { (b, batchId) =>
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       val adm = first
@@ -3650,10 +3660,13 @@ object Extensions {
     // fingerprint state ONCE PER MICRO-BATCH (md5-uniform keys defeat
     // per-file skipping — every state file plausibly holds some batch
     // fp), so micro-batch granularity is a knob you SIZE, not a free
-    // lunch: amortize the state scan over batches large enough to
-    // matter (the daily-crawl shape of x_incremental_dedup is this
-    // pipeline with one batch), and the fp-bucket partitioning keeps
-    // the join co-partitioned so the state side never reshuffles.
+    // lunch: streamIncrementalDedup's filesPerTrigger parameter IS that
+    // knob (state scans per corpus == batch count, measured in
+    // StreamIncrementalDedupSpec) — amortize the state scan over batches
+    // large enough to matter (the daily-crawl shape of
+    // x_incremental_dedup is this pipeline with one batch), and the
+    // fp-bucket partitioning keeps the join co-partitioned so the state
+    // side never reshuffles.
     ("x_stream_incremental_dedup",
       (s: SparkSession, d: String) => {
         import graft.format.Transform

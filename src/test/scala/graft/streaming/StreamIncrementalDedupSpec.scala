@@ -56,4 +56,44 @@ class StreamIncrementalDedupSpec extends SparkSpec {
     assert(state.meta.snapshots.size == 4, "hist append + one per batch")
     assert(results.meta.snapshots.size == 3, "one results commit per batch")
   }
+
+  test("filesPerTrigger sizes the batch: state scans track BATCH count, not corpus size") {
+    // the honest-cost knob (r11 verdict #6): each micro-batch anti-joins
+    // the FULL fingerprint state once, so the per-corpus state-scan count
+    // equals the batch count. Same corpus, same 3 staged slices; at
+    // filesPerTrigger=3 the crawl collapses to ONE batch — one state
+    // scan, one state commit, one results commit — and the admissions are
+    // IDENTICAL (the within-batch min-doc rule and the state anti-join
+    // pick the same winners on this corpus whichever side of a batch
+    // boundary a duplicate lands on, because originals carry lower ids).
+    import graft.format.Transform
+    import spark.implicits._
+    val docsSchema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    val batch = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (11L, "alpha"), (12L, "delta"),
+      (21L, "delta"), (22L, "epsilon"), (23L, "epsilon"), (24L, "hist-doc")
+    ).toDF("doc_id", "text")
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.fp_spec_big",
+      new StructType().add("fp", StringType),
+      partitionBy = Seq("fp" -> Transform.Bucket(4)))
+    state.append(spark, Seq("hist-doc").toDF("text")
+      .select(md5(col("text")).as("fp")))
+    val results = cat.createTable("db.adm_spec_big",
+      new StructType().add("doc_id", LongType))
+    val stage = TableOps.newTempDir("graft-sidspec-big")
+    Extensions.stageOrderedSlices(batch, stage,
+      when(col("doc_id") < 10L, 0).when(col("doc_id") < 20L, 1).otherwise(2), 3)
+
+    val batches = Extensions.streamIncrementalDedup(
+      spark, stage, docsSchema, state, results, filesPerTrigger = 3)
+
+    assert(batches == 1, s"filesPerTrigger=3 over 3 slices must run ONE batch, got $batches")
+    assert(results.toDF(spark).as[Long].collect().toSet == Set(1L, 2L, 3L, 12L, 22L),
+      "one-batch admissions must equal the 3-batch run's")
+    assert(state.meta.snapshots.size == 2, "hist append + ONE state scan/commit")
+    assert(results.meta.snapshots.size == 1, "ONE results commit")
+  }
 }
