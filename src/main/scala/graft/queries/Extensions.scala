@@ -598,9 +598,25 @@ object Extensions {
     * PINNED: it gates both the state append and the caller's rollup
     * (measured 5.3 -> 5.0 s at sf0.1; the verify inputs were already
     * pinned inside pairJaccard, so the saving is the join itself).
+    *
+    * Streaming callers ([[streamIncrementalNeardup]]) pass
+    * `stateStatementId` and a `commitResults` hook, which runs on the
+    * admitted rows BETWEEN the (pinned) admission decision and the state
+    * append — the results-BEFORE-state crash ordering the exact crawl
+    * loop pins: a crash between the two commits replays against a state
+    * that does not yet hold the batch's signatures, so the recomputed
+    * admitted set is identical (the reject set derives only from state
+    * and the pinned nomination, and the results rows the earlier attempt
+    * committed are never nominated against — they are not in the
+    * SIGNATURE table yet), the results append no-ops on its statementId,
+    * and the state append completes. State-first would lose admissions
+    * forever. Batch callers leave both defaulted: one unkeyed commit,
+    * exactly the pre-r12 behavior.
     */
   private[graft] def neardupAdmitAndAppend(s: SparkSession,
-      t: graft.table.GraftTable, hist: DataFrame, batch: DataFrame): DataFrame = {
+      t: graft.table.GraftTable, hist: DataFrame, batch: DataFrame,
+      stateStatementId: Option[String] = None,
+      commitResults: DataFrame => Unit = _ => ()): DataFrame = {
     val batchSigs = bandSigsOf(batch).localCheckpoint() // nominate AND re-append
     val cand = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -612,10 +628,50 @@ object Extensions {
       .select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+    commitResults(admitted) // results BEFORE state — the crash ordering
     t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
-      .select("band", "sig", "doc_id"))
+      .select("band", "sig", "doc_id"), statementId = stateStatementId)
     admitted
   }
+
+  /** The streaming FUZZY crawl loop — the x_stream_incremental_neardup
+    * pipeline body, shared with StreamIncrementalNeardupSpec; the
+    * near-dup twin of [[streamIncrementalDedup]], completing the
+    * lifecycle matrix (batch / durable / compacted / STREAMING) the
+    * exact family already has. Per micro-batch of documents: the ONE
+    * shared [[neardupAdmitAndAppend]] nominates against the persisted
+    * band-signature state AS OF ARRIVAL — history recrawls AND near-dups
+    * of docs admitted by EARLIER micro-batches both reject, the
+    * cross-batch distinction only durable state provides — verifies by
+    * exact Jaccard >= 0.5, then commits admitted rows to `results` and
+    * admitted signatures to the state, in that order, both
+    * statementId-keyed (crash-window analysis on the helper).
+    *
+    * The verify corpus for nominated candidates is `hist` plus the
+    * RESULTS table as of the batch (earlier admissions' text — the
+    * production corpus a crawl actually keeps; the signature state holds
+    * 2 narrow rows per doc, never text). Reading results inside the
+    * batch is safe under replay: the reject set is pinned BEFORE this
+    * batch's results commit, and on a crash-replay the extra
+    * already-committed rows are never nominated (their signatures are
+    * not in the state yet), so they are dead rows in the verify corpus.
+    *
+    * `filesPerTrigger` is the same batch-sizing knob as the exact loop's:
+    * each batch pays one signature-state scan for nomination.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalNeardup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, hist: DataFrame,
+      results: graft.table.GraftTable, filesPerTrigger: Int = 1): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val corpus = hist.select("doc_id", "text")
+        .unionByName(results.toDF(s).select("doc_id", "text"))
+      neardupAdmitAndAppend(s, state, corpus, b,
+        stateStatementId = Some(s"$stage-sig-$batchId"),
+        commitResults = adm => results.append(s, adm,
+          statementId = Some(s"$stage-res-$batchId")): Unit): Unit
+    }
 
   /** Non-overlapping `w`-token chunks of (doc_id, lang, text) keyed by
     * md5 of the chunk text — the ONE chunker under [[chunkDedupStats]]
@@ -4948,6 +5004,168 @@ object Extensions {
         |  CAST(4 AS BIGINT) AS maintenance_commits
         |FROM batch b LEFT JOIN rej r USING (doc_id)
         |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X2m: the STREAMING fuzzy crawl loop — near-dup's missing lifecycle
+    // leg (r11 verdict #2), composing the ONE shared neardupAdmitAndAppend
+    // into the ONE shared runMicroBatched with x_stream_incremental_dedup's
+    // results-BEFORE-state crash ordering, both commits statementId-keyed.
+    // Two ordered slices: slice 0 = the odd docs; slice 1 = lightly-edited
+    // recrawls of history evens (+1e9) AND of slice-0 odds (+2e9) — the
+    // +2e9 class can reject ONLY via the band-signature state carrying
+    // slice 0's admissions across the batch boundary, which is the
+    // distinction that makes this a crawl loop and not a batch job. The
+    // oracle has no streams, batches, or state: it replays the SEQUENTIAL
+    // rule in two CTE levels — A0 = odds with no verified (>= 0.5 exact
+    // Jaccard) partner among HIST signatures; A1 = slice-1 docs with no
+    // verified partner among HIST + A0 — which equals the streamed
+    // admissions because slices arrive in stamped order and nomination
+    // within a batch sees only the state (same-batch docs never nominate
+    // each other, in engine and oracle alike). Per-batch verify text
+    // comes from hist + the RESULTS table as of arrival (the corpus a
+    // crawl keeps; the signature state is 2 narrow rows per doc). After
+    // the crawl: binpack-compact the live signature state, then REPROBE
+    // the whole batch against it — every sig-bearing doc must reject
+    // (admitted docs via their own signatures, rejected docs via their
+    // original partners), so a signature row lost by the rewrite or a
+    // statementId replay fails loudly, not silently.
+    ("x_stream_incremental_neardup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val odds = docs.filter(col("doc_id") % 2 === 1)
+        val batch = odds
+          .unionByName(hist.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" recrawl tail")).as("text")))
+          .unionByName(odds.filter(col("doc_id") % 20 === 1)
+            .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" recrawl tail")).as("text")))
+        val stage = TableOps.newTempDir("graft-sind")
+        val (t, res) = FixtureClock.timed { // history build + staging I/O
+          val cat = TableOps.newCatalog()
+          val histSigs = bandSigsOf(hist)
+          val tbl = cat.createTable("db.neardup_sigs_s", histSigs.schema,
+            partitionBy = Seq("sig" -> Transform.Bucket(4)))
+          tbl.append(s, histSigs)
+          val resT = cat.createTable("db.neardup_adm_s", batch.schema)
+          stageOrderedSlices(batch, stage,
+            when(col("doc_id") < 1000000000L, 0).otherwise(1), 2)
+          (tbl, resT)
+        }
+        val batches = streamIncrementalNeardup(s, stage, batch.schema, t, hist, res)
+        val stateCommits = t.meta.snapshots.size // before the compaction commit
+        require(batches == 2 && res.meta.snapshots.size == 2 &&
+            stateCommits == 3, // hist + one per micro-batch
+          s"fuzzy crawl must run micro-batched: $batches batches, " +
+            s"${res.meta.snapshots.size}/$stateCommits commits")
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val probeSigs = bandSigsOf(batch)
+        val cand2 = probeSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+          .select("doc_a", "doc_b").distinct()
+        val rej2 = pairJaccard(
+            batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text")),
+            cand2)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("doc_id")).distinct()
+        val reprobeClean = probeSigs.select("doc_id").distinct()
+          .join(rej2, Seq("doc_id"), "left_anti").isEmpty
+        require(reprobeClean,
+          "compacted signature state must reject the entire already-crawled batch")
+        res.toDF(s).groupBy("lang").agg(count(lit(1)).as("admitted"))
+          .withColumn("ingest_commits", lit(res.meta.snapshots.size.toLong))
+          .withColumn("state_commits", lit(stateCommits.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("reprobe_clean", lit(reprobeClean))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 0),
+        |s0 AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 1),
+        |s1 AS (
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 20 = 1),
+        |sh_h AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM hist)),
+        |sh_0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM s0)),
+        |sh_1 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM s1)),
+        |b_h AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_h, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_0 AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_0, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_1 AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_1, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |cand0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, h.doc_id AS doc_b
+        |  FROM b_0 a JOIN b_h h ON a.b = h.b AND a.sig = h.sig),
+        |rej0 AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand0 c JOIN sh_0 x ON x.doc_id = c.doc_a
+        |  JOIN sh_h y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+        |a0 AS (SELECT doc_id FROM s0
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rej0)),
+        |st_b AS (
+        |  SELECT doc_id, b, sig FROM b_h
+        |  UNION ALL
+        |  SELECT doc_id, b, sig FROM b_0
+        |  WHERE doc_id IN (SELECT doc_id FROM a0)),
+        |st_sh AS (
+        |  SELECT doc_id, sh FROM sh_h
+        |  UNION ALL
+        |  SELECT doc_id, sh FROM sh_0
+        |  WHERE doc_id IN (SELECT doc_id FROM a0)),
+        |cand1 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, t.doc_id AS doc_b
+        |  FROM b_1 a JOIN st_b t ON a.b = t.b AND a.sig = t.sig),
+        |rej1 AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand1 c JOIN sh_1 x ON x.doc_id = c.doc_a
+        |  JOIN st_sh y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+        |adm AS (
+        |  SELECT b.doc_id, b.lang FROM s0 b JOIN a0 USING (doc_id)
+        |  UNION ALL
+        |  SELECT b.doc_id, b.lang FROM s1 b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM rej1))
+        |SELECT lang, count(*) AS admitted,
+        |  CAST(2 AS BIGINT) AS ingest_commits, CAST(3 AS BIGINT) AS state_commits,
+        |  true AS compacted, true AS state_preserved, true AS reprobe_clean
+        |FROM adm GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // X7g: HYBRID retrieval by RECIPROCAL-RANK FUSION — the modern search
     // shape: a lexical BM25 list (from the persisted inverted index, via
