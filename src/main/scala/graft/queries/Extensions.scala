@@ -269,6 +269,67 @@ object Extensions {
     out
   }
 
+  /** [[prunedMultiprobeTopK]] with the QUANTIZED coarse-rank composed in —
+    * what the durable index probe actually reads at 100 TB. The index
+    * table stores int8 CODES beside the floats; the probe is the same
+    * nprobe=2 In-predicate pruned scan, but the coarse pass ranks by
+    * [[graft.functions.VectorFunctions.quantizedCosine]] over (vec_id,
+    * codes) ONLY — the float column is column-pruned out of the coarse
+    * read, a 4× byte cut on the probe's dominant I/O, and the pin is a
+    * ReadSchema FACT checked on the very plan that executes (not a
+    * separate audit): `codes_only_scan` requires a codes-only FileScan
+    * and the absence of any scan reading codes and floats together. Only
+    * the m=50 coarse winners are re-ranked by exact float cosine for the
+    * top 10 (the x_sim_quantized reduction law, now against the durable
+    * index), hit-flagged vs exact brute force with the same ≥8/10 floor
+    * REQUIREd in-process as the float probe.
+    * @return (rank, neighbor_id, hit, probe_pruned, cells_probed,
+    *         codes_only_scan)
+    */
+  private[graft] def prunedQuantizedTopK(s: SparkSession,
+      t: graft.table.GraftTable, clustered: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import graft.format.Predicate
+    val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val probeCells = q
+      .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
+      .head.getSeq[Long](0)
+    val scan = t.scan(Predicate.In("cell", probeCells))
+    val corpus = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
+    val topk = VF.quantizedTopK(corpus, q, "vec_id", "v", 10, 50,
+      codesCol = Some("codes"))
+    val fileScans = topk.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toList
+    // the coarse scan's ReadSchema is (vec_id, cell, codes): the 8-byte
+    // cell column rides along because the probe's In-filter re-checks it
+    // as a residual DataFilter. The byte cut being pinned is the FLOAT
+    // column's absence — no scan may read codes and floats together, and
+    // the codes scan must not read floats at all.
+    val codesOnly = fileScans.exists(l =>
+        l.contains("codes:array<int>") && !l.contains("v:array<double>")) &&
+      !fileScans.exists(l =>
+        l.contains("codes:array<int>") && l.contains("v:array<double>"))
+    val brute = VF.bruteForceTopK(
+        clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    require(brute.size == 10, "clustered corpus must yield a full brute top-10")
+    val pruned = scan.metrics.filesScanned < scan.metrics.filesTotal
+    val out = topk
+      .select(col("rank"), col("vec_id").as("neighbor_id"))
+      .withColumn("hit", col("neighbor_id").isInCollection(brute))
+      .withColumn("probe_pruned", lit(pruned))
+      .withColumn("cells_probed", lit(probeCells.length.toLong))
+      .withColumn("codes_only_scan", lit(codesOnly))
+      .orderBy("rank")
+      .localCheckpoint() // certified below, then returned as-is
+    val hits = out.collect().count(_.getAs[Boolean]("hit"))
+    require(hits >= 8,
+      s"quantized pruned-probe recall floor broken: $hits/10 from cells $probeCells")
+    require(codesOnly,
+      s"coarse scan must read codes only; FileScans were:\n${fileScans.mkString("\n")}")
+    out
+  }
+
   /** Streaming IVF-index ingest: replay the staged parquet directory as
     * a micro-batched stream and append every batch — assigned to its
     * [[graft.functions.VectorFunctions.ivfCellExact]] cell MAP-SIDE, no
@@ -6096,6 +6157,91 @@ object Extensions {
         |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
         |    AS hit,
         |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed
+        |FROM top t ORDER BY 1""".stripMargin),
+
+    // X3i2: the durable multiprobe index probe with QUANTIZED coarse-rank
+    // composed in (r11 verdict #4) — x_ann_index_multiprobe exact-ranks
+    // the pruned cells' FLOATS; at 100 TB the probe wants codes-only I/O
+    // first. The index table stores int8 codes (the shipped
+    // [[VectorFunctions.quantizeInt8]]) beside the floats; the probe is
+    // the same nprobe=2 In-predicate pruned scan, the coarse pass ranks
+    // by exact-integer quantized cosine over (vec_id, codes) ONLY — the
+    // float column is column-pruned out of the coarse read, and
+    // `codes_only_scan` pins that as a ReadSchema FACT on the executing
+    // plan — then only the 50 coarse winners are re-ranked by exact float
+    // cosine for the top 10 (x_sim_quantized's reduction law against the
+    // durable index). Recall floor ≥8/10 vs exact brute force REQUIREd
+    // in-process, same as the float probe. The oracle recomputes
+    // quantization, cell assignment, probe list, coarse cut and re-rank
+    // from raw data — every int8 code and coarse ratio is the identical
+    // IEEE/BIGINT expression in both engines, so the candidate CUT (not
+    // just the final ranks) must agree bit-for-bit.
+    ("x_ann_index_quantized",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val assigned = clustered
+          .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+          .withColumn("codes", VF.quantizeInt8(col("v")).getField("codes"))
+          .select("vec_id", "v", "cell", "codes")
+        val t = TableOps.newCatalog().createTable("db.ann_qz", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity))
+        t.append(s, assigned)
+        prunedQuantizedTopK(s, t, clustered, shiftCentroids)
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |qq AS (SELECT v AS qe, list_transform(v, x -> CAST(floor(x * 127.0
+        |    / list_max(list_transform(v, u -> abs(u))) + 0.5) AS BIGINT)) AS qcodes
+        |  FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |cz AS (SELECT neighbor_id, ce, list_transform(ce, x -> CAST(floor(x * 127.0
+        |    / list_max(list_transform(ce, u -> abs(u))) + 0.5) AS BIGINT)) AS codes
+        |  FROM c),
+        |brute AS (SELECT neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, qq.qe) DESC, c.neighbor_id) AS rn
+        |    FROM c, qq
+        |    WHERE list_cosine_similarity(c.ce, qq.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, qq.qe)))
+        |  WHERE rn <= 10),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |coarse AS (
+        |  SELECT z.neighbor_id, z.ce,
+        |    list_dot_product(z.codes, qq.qcodes)
+        |      / sqrt(list_dot_product(z.codes, z.codes)
+        |             * list_dot_product(qq.qcodes, qq.qcodes)) AS qsim
+        |  FROM cz z JOIN assigned a ON a.vec_id = z.neighbor_id
+        |  JOIN probes p ON p.cell = a.cell
+        |  CROSS JOIN qq
+        |  ORDER BY qsim DESC, z.neighbor_id LIMIT 50),
+        |top AS (SELECT rank, neighbor_id FROM (
+        |    SELECT z.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(z.ce, qq.qe) DESC, z.neighbor_id) AS rank
+        |    FROM coarse z CROSS JOIN qq)
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  true AS codes_only_scan
         |FROM top t ORDER BY 1""".stripMargin),
 
     // X3j: STREAMING index maintenance — the missing leg of the vector
