@@ -776,6 +776,100 @@ object ScaleSmoke {
     require(tskM / tsk1 < math.pow(mult, 1.5),
       f"sketch family scaled super-linearly: ${tskM / tsk1}%.1fx")
 
+    // contract 15: STREAMING INGEST at scale — the streaming-lifecycle
+    // gates run only at gate fixtures; here the SHIPPED micro-batched
+    // ingest rigs ([[Extensions.keywordStreamIngest]] /
+    // [[Extensions.annStreamIngest]] — the x_stream_keyword_ingest /
+    // x_stream_ann_ingest pipelines, statementId discipline included)
+    // replay a 30x staged corpus. Certified: commits stay PINNED to the
+    // batch count at scale (one atomic commit per non-empty micro-batch —
+    // the discipline that makes crash recovery exactly-once), the
+    // streamed indexes are ROW-IDENTICAL to one-shot builds over the same
+    // corpus (both anti-join directions — parity, not sampling), probes
+    // still partition-prune the streamed indexes, and wall-time stays
+    // under data-ratio^1.5 of the 1x streamed run.
+    locally {
+      import graft.format.{Predicate, Transform}
+      import org.apache.spark.sql.types.LongType
+      // (postings rows, batches, commits, parity, pruned, seconds)
+      def kwStreamRow(docs: DataFrame): (Long, Int, Int, Boolean, Boolean, Double) = {
+        val stage = graft.queries.TableOps.newTempDir("graft-smoke-kws")
+        docs.repartition(6).write.mode("overwrite").parquet(stage)
+        val cat = new graft.catalog.GraftCatalog(
+          java.nio.file.Files.createTempDirectory("graft-smoke-kwsw").toString)
+        val t = cat.createTable("db.inverted_stream_smoke",
+          Extensions.postingsOf(docs.limit(0)).schema,
+          partitionBy = Seq("bucket" -> Transform.Identity))
+        val (batches, secs) = timed(
+          Extensions.keywordStreamIngest(spark, stage, docs.schema, t,
+            filesPerTrigger = 2))
+        // a doc never spans micro-batches, so (token, doc_id) postings are
+        // complete per batch and the streamed index must equal the
+        // one-shot build row for row
+        val cols = Seq("token", "doc_id", "tf", "bucket")
+        val oneShot = Extensions.postingsOf(docs).localCheckpoint()
+        val streamed = t.toDF(spark).select(cols.map(col): _*)
+        val parity = oneShot.join(streamed, cols, "left_anti").isEmpty &&
+          streamed.join(oneShot, cols, "left_anti").isEmpty
+        val (sc, _) = Extensions.probeTerm(spark, t, "merge")
+        (oneShot.count(), batches, t.meta.snapshots.size, parity,
+          sc.metrics.filesScanned < sc.metrics.filesTotal, secs)
+      }
+      // (vectors, batches, commits, parity, pruned, seconds)
+      def annStreamRow(emb: DataFrame): (Long, Int, Int, Boolean, Boolean, Double) = {
+        val stage = graft.queries.TableOps.newTempDir("graft-smoke-anns")
+        val vdf = emb.select(col("vec_id"), col("embedding").as("v"))
+        vdf.repartition(6).write.mode("overwrite").parquet(stage)
+        val cat = new graft.catalog.GraftCatalog(
+          java.nio.file.Files.createTempDirectory("graft-smoke-annsw").toString)
+        val t = cat.createTable("db.ann_stream_smoke",
+          vdf.schema.add("cell", LongType),
+          partitionBy = Seq("cell" -> Transform.Identity))
+        val cents = Extensions.shiftCentroids
+        val (batches, secs) = timed(
+          Extensions.annStreamIngest(spark, stage, vdf.schema, t, cents,
+            filesPerTrigger = 2))
+        // cell assignment is a pure per-row expression against frozen
+        // centroids: the streamed index's (vec_id, cell) set must equal
+        // the one-shot map-side assignment exactly
+        val oneShot = vdf
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.ivfCellExact(col("v"), cents).as("cell"))
+          .localCheckpoint()
+        val streamed = t.toDF(spark).select("vec_id", "cell")
+        val parity = oneShot.join(streamed, Seq("vec_id", "cell"), "left_anti").isEmpty &&
+          streamed.join(oneShot, Seq("vec_id", "cell"), "left_anti").isEmpty
+        val firstCell = oneShot.select("cell").head.getLong(0)
+        val sc = t.scan(Predicate.In("cell", Seq(firstCell)))
+        (oneShot.count(), batches, t.meta.snapshots.size, parity,
+          sc.metrics.filesScanned < sc.metrics.filesTotal, secs)
+      }
+      val (kwN1, kwB1, kwC1, kwPar1, kwPr1, tks1) = kwStreamRow(docs1)
+      val (anN1, anB1, anC1, anPar1, anPr1, tas1) = annStreamRow(emb1)
+      report(f"stream ingest 1x: postings=$kwN1 kw_batches=$kwB1/$kwC1 " +
+        f"parity=$kwPar1 pruned=$kwPr1 t=$tks1%.1fs | vectors=$anN1 " +
+        f"ann_batches=$anB1/$anC1 parity=$anPar1 pruned=$anPr1 t=$tas1%.1fs")
+      val (kwNM, kwBM, kwCM, kwParM, kwPrM, tksM) = kwStreamRow(docsM)
+      val (anNM, anBM, anCM, anParM, anPrM, tasM) = annStreamRow(embM)
+      val ingestBound = math.pow(mult, 1.5)
+      report(f"stream ingest at ${mult}x: postings=$kwNM kw_batches=$kwBM/$kwCM " +
+        f"parity=$kwParM pruned=$kwPrM t=$tksM%.1fs (${tksM / tks1}%.1fx, " +
+        f"bound $ingestBound%.0fx) | vectors=$anNM ann_batches=$anBM/$anCM " +
+        f"parity=$anParM pruned=$anPrM t=$tasM%.1fs (${tasM / tas1}%.1fx)")
+      for ((label, b, c) <- Seq(("kw 1x", kwB1, kwC1), ("kw Mx", kwBM, kwCM),
+          ("ann 1x", anB1, anC1), ("ann Mx", anBM, anCM)))
+        require(b == 3 && c == 3,
+          s"$label ingest commits not pinned to batches: $b batches, $c commits")
+      require(kwPar1 && kwParM && anPar1 && anParM,
+        "streamed index diverged from the one-shot build")
+      require(kwPr1 && kwPrM && anPr1 && anPrM,
+        "probes must prune the streamed indexes at every scale")
+      require(tksM / tks1 < ingestBound,
+        f"keyword stream ingest scaled super-linearly: ${tksM / tks1}%.1fx")
+      require(tasM / tas1 < ingestBound,
+        f"ann stream ingest scaled super-linearly: ${tasM / tas1}%.1fx")
+    }
+
     report("SCALE SMOKE OK")
     spark.stop()
   }
