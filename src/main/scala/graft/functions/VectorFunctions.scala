@@ -322,8 +322,12 @@ object VectorFunctions {
     *   - `codesCol = Some(name)` — the 100 TB shape: codes are STORED
     *     beside the floats, the coarse scan reads (id, codes) ONLY (the
     *     float column is column-pruned out of the read — a ReadSchema
-    *     fact, see PlanAuditSpec), and the re-rank joins the m candidate
-    *     ids back for their floats.
+    *     fact, see PlanAuditSpec), and the re-rank fetches floats for the
+    *     m winner ids by a PUSHED In filter (the ids are a bounded
+    *     driver collect — m is the API's candidate budget, like a probe
+    *     cell list), so the float read is row-group/bloom-prunable
+    *     instead of a broadcast join that scans the float column of the
+    *     whole corpus to keep m rows.
     *   - `codesCol = None` — parity/demo shape: codes are derived in-query
     *     from the float column, which is therefore read for every corpus
     *     row. Same answers, none of the I/O win — use stored codes when
@@ -349,11 +353,16 @@ object VectorFunctions {
     codesCol match {
       case Some(cc) =>
         // coarse pass sees (id, codes) only — nothing else survives into
-        // the scan's ReadSchema; the m winners (a broadcast-sized id set)
-        // join back for their float vectors
-        val winners = coarse(df.select(col(idCol), col(cc)), col(cc)).select(col(idCol))
+        // the scan's ReadSchema. The m winner ids collect to the driver
+        // (BOUNDED by contract: m is the candidate budget, the same
+        // shape as a probe-cell list) and push back as an In filter, so
+        // the float fetch reaches the scan as PushedFilters and
+        // row-group stats / bloom can skip — a broadcast join here would
+        // read the float column of every corpus row to keep m
+        val winnerIds = coarse(df.select(col(idCol), col(cc)), col(cc))
+          .select(col(idCol)).collect().map(_.get(0)).toSeq
         val rerank = df.select(col(idCol), col(vecCol))
-          .join(broadcast(winners), idCol)
+          .filter(if (winnerIds.isEmpty) lit(false) else col(idCol).isin(winnerIds: _*))
           .crossJoin(q)
           .withColumn("sim", cosineSimilarity(col(vecCol), col("_graft_q")))
         rankTopK(rerank, idCol, k)

@@ -275,14 +275,18 @@ object Extensions {
     * nprobe=2 In-predicate pruned scan, but the coarse pass ranks by
     * [[graft.functions.VectorFunctions.quantizedCosine]] over (vec_id,
     * codes) ONLY — the float column is column-pruned out of the coarse
-    * read, a 4× byte cut on the probe's dominant I/O, and the pin is a
-    * ReadSchema FACT checked on the very plan that executes (not a
-    * separate audit): `codes_only_scan` requires a codes-only FileScan
-    * and the absence of any scan reading codes and floats together. Only
-    * the m=50 coarse winners are re-ranked by exact float cosine for the
-    * top 10 (the x_sim_quantized reduction law, now against the durable
-    * index), hit-flagged vs exact brute force with the same ≥8/10 floor
-    * REQUIREd in-process as the float probe.
+    * read, a 4× byte cut on the probe's dominant I/O — and only the m=50
+    * coarse winners are re-ranked by exact float cosine for the top 10
+    * (the x_sim_quantized reduction law, now against the durable index),
+    * the winner ids PUSHED into the float fetch as an In filter so the
+    * re-rank never scans the cells' float column either (without the
+    * pushdown, codes + floats of the probed cells would read MORE bytes
+    * than floats alone — the cut would be fake). `codes_only_scan` pins
+    * both halves as ReadSchema/PushedFilters FACTS: the coarse
+    * projection's index scan reads codes and never floats, and the
+    * executing re-rank plan fetches floats under an In(vec_id) pushdown
+    * with codes absent. Hit-flagged vs exact brute force with the same
+    * ≥8/10 floor REQUIREd in-process as the float probe.
     * @return (rank, neighbor_id, hit, probe_pruned, cells_probed,
     *         codes_only_scan)
     */
@@ -296,19 +300,30 @@ object Extensions {
       .head.getSeq[Long](0)
     val scan = t.scan(Predicate.In("cell", probeCells))
     val corpus = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
+    // coarse-half pin, checked BEFORE the probe runs: quantizedTopK's
+    // coarse pass plans its scan from exactly this projection of exactly
+    // this corpus df (projection pruning is driven by the select), so
+    // its FileScan line is this one. ReadSchema is (vec_id, cell,
+    // codes): the 8-byte cell column rides along because the probe's
+    // In-filter re-checks it as a residual DataFilter — the byte cut
+    // being pinned is the FLOAT column's absence.
+    val coarseScans = corpus.select(col("vec_id"), col("codes"))
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toList
+    val coarseCodesOnly = coarseScans.nonEmpty && coarseScans.forall(l =>
+      l.contains("codes:array<int>") && !l.contains("v:array<double>"))
     val topk = VF.quantizedTopK(corpus, q, "vec_id", "v", 10, 50,
       codesCol = Some("codes"))
-    val fileScans = topk.queryExecution.executedPlan.toString
+    // re-rank-half pin, on the plan that executes below: the coarse
+    // winners collapsed to a driver-side id list inside quantizedTopK,
+    // so topk's lineage IS the re-rank — its index scan must fetch
+    // floats under the pushed In(vec_id) winner filter with codes absent
+    val rerankScans = topk.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("FileScan")).toList
-    // the coarse scan's ReadSchema is (vec_id, cell, codes): the 8-byte
-    // cell column rides along because the probe's In-filter re-checks it
-    // as a residual DataFilter. The byte cut being pinned is the FLOAT
-    // column's absence — no scan may read codes and floats together, and
-    // the codes scan must not read floats at all.
-    val codesOnly = fileScans.exists(l =>
-        l.contains("codes:array<int>") && !l.contains("v:array<double>")) &&
-      !fileScans.exists(l =>
-        l.contains("codes:array<int>") && l.contains("v:array<double>"))
+    val rerankPushed = rerankScans.exists(l =>
+        l.contains("v:array<double>") && l.contains("In(vec_id")) &&
+      !rerankScans.exists(_.contains("codes:array<int>"))
+    val codesOnly = coarseCodesOnly && rerankPushed
     val brute = VF.bruteForceTopK(
         clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
@@ -326,7 +341,9 @@ object Extensions {
     require(hits >= 8,
       s"quantized pruned-probe recall floor broken: $hits/10 from cells $probeCells")
     require(codesOnly,
-      s"coarse scan must read codes only; FileScans were:\n${fileScans.mkString("\n")}")
+      "coarse must read codes only and the re-rank must fetch floats under " +
+        s"the pushed winner filter; coarse scans:\n${coarseScans.mkString("\n")}\n" +
+        s"re-rank scans:\n${rerankScans.mkString("\n")}")
     out
   }
 

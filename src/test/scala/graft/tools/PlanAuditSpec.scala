@@ -309,10 +309,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(rerank.count() == 50)
   }
 
-  test("quantizedTopK(codesCol): the API's coarse scan column-prunes the float embedding") {
-    // the packaged stored-codes path must have the same ReadSchema fact the
-    // hand-rolled shape above proves: a coarse corpus scan reading codes
-    // only, and NO scan reading codes and embedding together
+  test("quantizedTopK(codesCol): coarse scan column-prunes floats; re-rank fetches by pushed In") {
+    // the packaged stored-codes path must have the same facts the
+    // hand-rolled shape above proves — and BOTH halves matter: without
+    // the re-rank pushdown, codes + floats of the corpus would read MORE
+    // bytes than floats alone, making the 4x cut fake. The coarse pass
+    // collapses to a driver-side winner-id list inside quantizedTopK, so
+    // its scan is pinned on the projection it plans from (identical
+    // FileScan — projection pruning is select-driven), and the returned
+    // df's lineage IS the re-rank.
     val d = "/root/testdata/sf0.001"
     val e = graft.queries.Tables.embeddings(spark, d)
       .withColumn("codes",
@@ -320,19 +325,22 @@ class PlanAuditSpec extends SparkSpec {
     val cat = new GraftCatalog(tempWarehouse())
     val t = cat.createTable("db.qapi", e.schema)
     t.append(spark, e)
+    val corpus = t.toDF(spark).filter(col("vec_id") =!= 0)
+    val coarseScans = planOf(corpus.select(col("vec_id"), col("codes")))
+      .linesIterator.filter(l => l.contains("FileScan") && l.contains("qapi")).toList
+    assert(coarseScans.nonEmpty && coarseScans.forall(_.contains(
+      "ReadSchema: struct<vec_id:bigint,codes:array<int>>")),
+      s"coarse projection must scan codes only:\n$coarseScans")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
     val topk = graft.functions.VectorFunctions.quantizedTopK(
-      t.toDF(spark).filter(col("vec_id") =!= 0), q, "vec_id", "embedding",
-      10, 50, codesCol = Some("codes"))
-    val plan = planOf(topk)
-    val corpusScans = plan.linesIterator.filter(l =>
+      corpus, q, "vec_id", "embedding", 10, 50, codesCol = Some("codes"))
+    val rerankScans = planOf(topk).linesIterator.filter(l =>
       l.contains("FileScan") && l.contains("qapi")).toList
-    assert(corpusScans.exists(_.contains(
-      "ReadSchema: struct<vec_id:bigint,codes:array<int>>")),
-      s"no codes-only coarse scan in the API plan:\n$corpusScans")
-    assert(!corpusScans.exists(l =>
-      l.contains("embedding") && l.contains("codes:array")),
-      s"a scan reads floats AND codes together — the prune is lost:\n$corpusScans")
+    assert(rerankScans.exists(l =>
+      l.contains("embedding:array<float>") && l.contains("In(vec_id")),
+      s"re-rank must fetch floats under the pushed winner-id In filter:\n$rerankScans")
+    assert(!rerankScans.exists(_.contains("codes:array")),
+      s"re-rank must not read codes:\n$rerankScans")
     assert(topk.count() == 10)
   }
 
