@@ -48,6 +48,24 @@ object Bench {
       t.compact(spark)
       t.toDF(spark).count()
     }
+    // Real-fixture warmup: the 2000-row toy table above warms the engine's
+    // code paths but not the EVENTS fixture the alphabetically-first g_*
+    // gates build — parquet nanos-reader codegen for the real schema, the
+    // events.parquet page cache, and the write path at real row counts.
+    // Measured (r12): attempts:1 captures recorded the first ~12 sorted
+    // gates 1.5-2.2x above an attempts:2 capture (whose measured pass runs
+    // in the fully-warm JVM) with ZERO code change — and r10/r11 baselines
+    // were attempts:2 captures, so first-pass rounds compared against them
+    // read as phantom regressions. One untimed real-fixture build + scan
+    // makes first-pass and retry-pass captures comparable.
+    locally {
+      val df = graft.queries.Tables.events(spark, sfDir)
+      val cat = new graft.catalog.GraftCatalog(
+        graft.queries.TableOps.newTempDir("graft-bench-warm-ev"))
+      val t = cat.createTable("db.warmev", df.schema)
+      t.append(spark, df)
+      t.toDF(spark).count(): Unit
+    }
     // Structured Streaming warmup: the first streaming gate used to absorb
     // the micro-batch subsystem's one-time cost (state-store provider,
     // streaming codegen, progress machinery — measured ~7s extra on

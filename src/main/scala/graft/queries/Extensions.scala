@@ -734,8 +734,19 @@ object Extensions {
     * already-committed rows are never nominated (their signatures are
     * not in the state yet), so they are dead rows in the verify corpus.
     *
-    * `filesPerTrigger` is the same batch-sizing knob as the exact loop's:
-    * each batch pays one signature-state scan for nomination.
+    * Honest 100 TB cost accounting, the exact loop's discipline applied
+    * here: each micro-batch pays (1) one SIGNATURE-state scan for the
+    * (band, sig) nomination join — md5-band keys defeat file skipping,
+    * same as fingerprints — and (2) one pass over the corpus TEXT
+    * (hist + results) to fetch the nominated candidates' documents:
+    * pairJaccard's id join is broadcast-bounded, but with the corpus as
+    * a plain DataFrame the fetch still reads every text row to probe the
+    * id set. `filesPerTrigger` is therefore the same batch-sizing knob
+    * as the exact loop's — both per-batch costs amortize over batch
+    * size — and at scale the corpus belongs in a doc_id-bloom-indexed
+    * Graft table (the x_incremental_dedup state shape) so the handful of
+    * nominated ids prunes the text fetch to a few files instead of a
+    * scan.
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalNeardup(s: SparkSession, stage: String,

@@ -186,6 +186,39 @@ object MaintenanceOps {
         |FROM events WHERE event_type <> 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // T1 × O3: statementId replay SURVIVES snapshot expiry — the
+    // crash-resume window of a streaming crawl (crash, downtime past the
+    // data-retention horizon, maintenance expires the micro-batch's
+    // snapshot, stream resumes and replays the batch). The statement log
+    // is a ledger on its OWN retention horizon (statement-log.retain-last;
+    // expiry used to prune it with the snapshots, making this replay a
+    // silent double-ingest), so the replayed append is a table-side NO-OP:
+    // no new rows, no new snapshot, the current snapshot returned as the
+    // stand-in result. Data retention semantics (docs/05:88-119) are
+    // untouched — only the ledger outlives the snapshot.
+    ("g_replay_after_expiry",
+      (s: SparkSession, d: String) => {
+        val df = Tables.events(s, d)
+        val cat = newCatalog()
+        val t = cat.createTable("db.ev_replay", df.schema)
+        val early = df.filter(col("ts") < lit(Split))
+        t.append(s, early, statementId = Some("crawl-batch-0"))
+        t.append(s, df.filter(col("ts") >= lit(Split)),
+          statementId = Some("crawl-batch-1"))
+        t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+        val entrySurvived = t.meta.statementLog.exists(_._1 == "crawl-batch-0")
+        val (rowsBefore, snapsBefore) = (t.toDF(s).count(), t.meta.snapshots.size)
+        val replayed = t.append(s, early, statementId = Some("crawl-batch-0"))
+        val noop = t.toDF(s).count() == rowsBefore &&
+          t.meta.snapshots.size == snapsBefore &&
+          replayed.snapshotId == t.meta.currentSnapshotId.get
+        aggByType(t.toDF(s))
+          .withColumn("entry_survived", lit(entrySurvived))
+          .withColumn("replay_noop", lit(noop))
+      },
+      aggByTypeSqlFrom.format("events").replace("AS sum_value",
+        "AS sum_value,\n  true AS entry_survived, true AS replay_noop")),
+
     // O4: REMOVE ORPHAN FILES (docs/10:97-111) — a planted unreferenced file
     // is removed, nothing referenced is touched (contents unchanged).
     ("g_remove_orphans",

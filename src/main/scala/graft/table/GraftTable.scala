@@ -161,6 +161,25 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     relPath
   }
 
+  /** The statement-log replay resolution: Some(snapshot to stand in for
+    * the already-committed statement), None if the statement is new. If
+    * the statement's snapshot has since been EXPIRED, its effect is still
+    * folded into current table state (expiry never unapplies commits — it
+    * only bounds time travel), so the replay resolves to the CURRENT
+    * snapshot as a no-op: re-applying would double-ingest, and erroring
+    * would wedge a stream that merely resumed after the data-retention
+    * window (the log entry outlives its snapshot for exactly this case —
+    * see TableProperties.StatementLogRetainLast).
+    */
+  private def replayedSnapshot(m: TableMetadata,
+      statementId: Option[String]): Option[Snapshot] =
+    statementId.flatMap(stmt => m.statementLog.find(_._1 == stmt).map {
+      case (_, sid) =>
+        m.snapshot(sid).orElse(m.currentSnapshot).getOrElse(
+          sys.error(s"statement $stmt: snapshot $sid expired and the " +
+            "table has no current snapshot to stand in as the no-op result"))
+    })
+
   /** Assemble + commit a snapshot from a full manifest set. Retries CAS
     * conflicts by re-running `manifestsFor` against the fresh base
     * (docs/08:55-69); `manifestsFor` may throw CommitConflictException to
@@ -180,20 +199,7 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
       // Idempotent replay: a statement that already committed (streaming
       // micro-batch retried by the checkpoint machinery, docs/08:154 "each
       // DML = one commit") returns its snapshot instead of double-applying.
-      // If that snapshot has since been EXPIRED, the statement's effect is
-      // still folded into current table state (expiry never unapplies
-      // commits — it only bounds time travel), so the replay is a NO-OP
-      // returning the current snapshot: re-applying would double-ingest,
-      // and erroring would wedge a stream that merely resumed after the
-      // data-retention window (the log entry outlives its snapshot for
-      // exactly this case — see TableProperties.StatementLogRetainLast).
-      statementId.foreach { stmt =>
-        m.statementLog.find(_._1 == stmt).foreach { case (_, sid) =>
-          return m.snapshot(sid).orElse(m.currentSnapshot).getOrElse(
-            sys.error(s"statement $stmt: snapshot $sid expired and the " +
-              "table has no current snapshot to stand in as the no-op result"))
-        }
-      }
+      replayedSnapshot(m, statementId).foreach(snap => return snap)
       val manifests = manifestsFor(m)
       val snapId = m.lastSequenceNumber + 1
       val dataMfs = manifests.filter(_.content == "data")
@@ -266,6 +272,14 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     */
   def append(spark: SparkSession, df: DataFrame, statementId: Option[String] = None): Snapshot = {
     val (_, m0) = load()
+    // replay short-circuit BEFORE the write, not just inside the commit:
+    // append is the streaming sink's path, and a replayed micro-batch
+    // would otherwise re-write its whole batch of data files only to
+    // orphan them when commitSnapshot no-ops on the statement log — a
+    // crash-looping stream would grind disk for nothing (commitSnapshot
+    // still re-checks against a FRESH load, so a statement committed by a
+    // concurrent writer between here and the CAS is caught there).
+    replayedSnapshot(m0, statementId).foreach(snap => return snap)
     val newFiles = GraftWriter.write(spark, df, m0, m0.currentSchemaId, m0.defaultSpecId)
     if (newFiles.isEmpty) {
       // empty input: still a (no-op) snapshot so the statement is recorded

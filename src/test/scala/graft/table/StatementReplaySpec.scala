@@ -41,6 +41,11 @@ class StatementReplaySpec extends SparkSpec {
     val again = t.append(spark, b, statementId = Some("crawl-batch-1"))
     assert(again.summary("statement-id") == "crawl-batch-1")
     assert(t.toDF(spark).count() == rowsBefore)
+    // and neither replay WROTE anything: append short-circuits on the
+    // ledger before the file write, so a crash-looping stream's replays
+    // don't grind disk with orphaned batch files
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000L).isEmpty,
+      "replays must not leave orphaned data files")
   }
 
   test("the retain-last knob bounds the expired-entry tail (0 = old pruning behavior)") {
