@@ -783,6 +783,65 @@ object Extensions {
       least(lit(w.toLong), (size(col("t")) - col("start") + 1).cast("long")).as("n_tok"),
       md5(array_join(slice(col("t"), col("start"), lit(w)), " ")).as("h"))
 
+  /** Keep-first ledger rows over a chunk stream — the ONE keep-first
+    * rule under every durable chunk-dedup state (x_incremental_chunk_dedup
+    * and the streaming crawl loop), so the rule cannot drift between the
+    * batch-refresh and streaming legs: min doc per hash, then min chunk
+    * within that doc, returned WITH the kept occurrence's (lang, n_tok)
+    * payload so a ledger doubles as the per-crawl keep rollup. Input is
+    * [[chunksOf]]-shaped (doc_id, lang, ci, n_tok, h); the input is
+    * PINNED here (read by both keep-first aggregates and the payload
+    * join — and streaming callers anti-join mutable state upstream, so
+    * the pin also fences the ledger from the state append that follows).
+    * @return (h, f_doc, f_ci, lang, n_tok) — one row per distinct h
+    */
+  private[graft] def chunkKeepFirstLedger(chunks: DataFrame): DataFrame = {
+    val hc = chunks.localCheckpoint()
+    val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
+    // keys derives from hc, so the payload join below is a self-join —
+    // its h is renamed so every column reference resolves to exactly one
+    // side (DetectAmbiguousSelfJoin rejects df("col") disambiguation)
+    val keys = hc.join(fd, "h").filter(col("doc_id") === col("f_doc"))
+      .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
+      .withColumnRenamed("h", "_graft_kh")
+    hc.join(keys, col("h") === col("_graft_kh") &&
+        col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
+      .select(col("h"), col("f_doc"), col("f_ci"), col("lang"), col("n_tok"))
+  }
+
+  /** The streaming chunk-level crawl loop — the
+    * x_stream_incremental_chunk_dedup pipeline body, shared with
+    * StreamChunkDedupSpec; the sub-document twin of
+    * [[streamIncrementalDedup]], completing the chunk-hash state's
+    * lifecycle matrix (batch / durable / streaming). Per micro-batch of
+    * documents: chunk via the ONE shared [[chunksOf]], anti-join the
+    * durable keep-first ledger AS OF ARRIVAL on the chunk hash — history
+    * chunks AND chunks first kept by EARLIER micro-batches both reject,
+    * the cross-batch distinction only durable state provides — then
+    * run the ONE shared [[chunkKeepFirstLedger]] keep-first over the
+    * unseen chunks and append the batch's first-occurrences as ONE
+    * atomic statementId-keyed commit. A single commit per batch makes
+    * the crash analysis trivial: a replayed batch either no-ops on its
+    * statementId or re-runs cleanly against the pre-batch state — there
+    * is no multi-commit window at all (the ledger IS both state and
+    * result; a downstream shard writer would key its own commits the
+    * same way).
+    *
+    * Honest 100 TB cost: each batch pays one ledger scan for the
+    * anti-join (md5-uniform hashes defeat file skipping) — the same
+    * sized knob as the exact loop's, exposed as `filesPerTrigger`.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalChunkDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, w: Int, filesPerTrigger: Int = 1): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val unseen = chunksOf(b, w)
+        .join(state.toDF(s).select(col("h")), Seq("h"), "left_anti")
+      state.append(s, chunkKeepFirstLedger(unseen),
+        statementId = Some(s"$stage-chunks-$batchId")): Unit
+    }
+
   /** Corpus-wide chunk-level keep-first dedup rollup — the x_chunk_dedup
     * pipeline body, shared with ScaleSmoke contract 11. Non-overlapping
     * `w`-token chunks keyed by md5 of the chunk text; keep-first is two
@@ -3538,19 +3597,13 @@ object Extensions {
           .unionByName(hist.filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text")))
         // the SHARED chunker (chunksOf member) — the durable state must
-        // chunk exactly like the batch gate it persists for
+        // chunk exactly like the batch gate it persists for; keep-first is
+        // the ONE shared chunkKeepFirstLedger (also under the streaming
+        // crawl loop), narrowed to this state's 3-column shape
         def chunked(df: DataFrame): DataFrame = chunksOf(df, W)
-        // keep-first over a chunk stream (min doc per hash, then min chunk
-        // within that doc) — used for the initial crawl, the second crawl's
-        // unseen slice, and the batch's unseen slice alike
-        def keepFirst(chunks: DataFrame): DataFrame = {
-          val hc = chunks.localCheckpoint() // both keep-first aggs read it
-          val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
-          hc.join(fd, "h").filter(col("doc_id") === col("f_doc"))
-            .groupBy("h", "f_doc").agg(min(col("ci")).as("f_ci"))
-        }
-        val hf1 = keepFirst(chunked(hist.filter(col("doc_id") % 4 === 0))
-          .select("h", "doc_id", "ci"))
+        def keepFirst(chunks: DataFrame): DataFrame =
+          chunkKeepFirstLedger(chunks).select("h", "f_doc", "f_ci")
+        val hf1 = keepFirst(chunked(hist.filter(col("doc_id") % 4 === 0)))
         val cat = TableOps.newCatalog()
         val t = cat.createTable("db.chunk_first", hf1.schema,
           partitionBy = Seq("h" -> Transform.Bucket(4)))
@@ -3558,13 +3611,13 @@ object Extensions {
         // second crawl extends the state through the SAME incremental path
         // the batch takes: probe, keep-first over unseen, append
         t.append(s, keepFirst(
-          chunked(hist.filter(col("doc_id") % 4 === 2)).select("h", "doc_id", "ci")
+          chunked(hist.filter(col("doc_id") % 4 === 2))
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti")))
         // mid-sequence maintenance on the live keep-first state
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val bc = chunked(batch).localCheckpoint() // probe + rollup read it
-        val bFirst = keepFirst(bc.select("h", "doc_id", "ci")
+        val bFirst = keepFirst(bc
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti"))
           .localCheckpoint() // read twice: the state append + the keep probe
         t.append(s, bFirst) // the batch extends the durable keep-first state
@@ -3644,6 +3697,136 @@ object Extensions {
         |  true AS compacted, true AS state_preserved,
         |  true AS append_only, CAST(4 AS BIGINT) AS incremental_commits,
         |  (SELECT n FROM state) AS state_chunks
+        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X1f: the STREAMING chunk-level crawl loop — completes the
+    // chunk-hash state's lifecycle matrix (batch: x_chunk_dedup; durable
+    // + compacted: x_incremental_chunk_dedup; now STREAMING), the
+    // sub-document twin of x_stream_incremental_dedup. Three
+    // doc_id-ordered slices (odds split at their midpoint, recrawls
+    // +1e9 last); per micro-batch the shared streamIncrementalChunkDedup
+    // chunks via the ONE chunksOf, anti-joins the durable keep-first
+    // ledger AS OF ARRIVAL — history chunks AND chunks first kept by
+    // EARLIER batches both reject, the cross-batch distinction — runs
+    // the ONE shared chunkKeepFirstLedger over the unseen chunks, and
+    // appends the batch's first-occurrences as ONE atomic
+    // statementId-keyed commit (single-commit batches: the crash window
+    // collapses — any replay no-ops on its statementId or re-runs
+    // cleanly; the ledger is both state and result). The oracle is the
+    // STATELESS global keep-first rule (min doc per unseen hash, min
+    // chunk within that doc) — it equals the streamed admissions because
+    // ANY doc_id-monotone slicing makes arrival-first == min-doc-first,
+    // so the midpoint cut never appears in the SQL. After the crawl:
+    // compactionProof on the live ledger, then a REPROBE — every batch
+    // chunk hash must be in the final ledger (its own keep, an earlier
+    // batch's, or history's), so a ledger row lost to the rewrite or a
+    // replayed commit fails loudly.
+    ("x_stream_incremental_chunk_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        val W = 16
+        val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+        val docs0 = Tables.documents(s, d).select("doc_id", "lang", "text")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+        val hist = docs0.filter(col("doc_id") % 2 === 0)
+        val batch = docs0.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"), col("text")))
+        val stage = TableOps.newTempDir("graft-sicd")
+        val t = FixtureClock.timed { // history ledger build + staging I/O
+          val cat = TableOps.newCatalog()
+          val ledger = chunkKeepFirstLedger(chunksOf(hist, W))
+          val tbl = cat.createTable("db.chunk_first_s", ledger.schema,
+            partitionBy = Seq("h" -> Transform.Bucket(4)))
+          tbl.append(s, ledger)
+          val ids = batch.agg(min(col("doc_id")),
+            max(when(col("doc_id") < 1000000000L, col("doc_id")))).head
+          val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+          stageOrderedSlices(batch, stage,
+            when(col("doc_id") <= mid, 0)
+              .when(col("doc_id") < 1000000000L, 1).otherwise(2), 3)
+          tbl
+        }
+        val batches = streamIncrementalChunkDedup(s, stage, batch.schema, t, W)
+        val commits = t.meta.snapshots.size // before the compaction commit
+        require(batches == 3 && commits == 4, // hist + one per micro-batch
+          s"chunk crawl must run micro-batched: $batches batches, $commits commits")
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val bcAll = chunksOf(batch, W).localCheckpoint() // rollup + reprobe
+        val reprobeClean = bcAll.select("h").distinct()
+          .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti").isEmpty
+        require(reprobeClean,
+          "compacted ledger must hold every already-crawled chunk hash")
+        bcAll
+          .join(t.toDF(s).select(col("h"), col("f_doc"), col("f_ci")), Seq("h"), "left")
+          .withColumn("keep", col("f_doc").isNotNull &&
+            col("doc_id") === col("f_doc") && col("ci") === col("f_ci"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("chunks"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
+            sum(col("n_tok")).as("tokens"),
+            sum(when(col("keep"), col("n_tok")).otherwise(lit(0L))).as("kept_tokens"))
+          .withColumn("dup_chunk_rate",
+            lit(1.0) - col("kept_chunks").cast("double") / col("chunks").cast("double"))
+          .withColumn("ingest_commits", lit(commits.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("reprobe_clean", lit(reprobeClean))
+          .orderBy("lang")
+      },
+      """WITH docs0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ||
+        |      ' subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs0 WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs0 WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, text FROM docs0
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0),
+        |toked_h AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM hist),
+        |chunks_h AS (
+        |  SELECT doc_id, (s - 1) // 16 AS ci,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_h WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |toked_b AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM batch),
+        |chunks_b AS (
+        |  SELECT doc_id, lang, (s - 1) // 16 AS ci,
+        |    CAST(len(t[s : s + 15]) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_b WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |unseen AS (
+        |  SELECT h, doc_id, ci FROM chunks_b c
+        |  WHERE NOT EXISTS (SELECT 1 FROM chunks_h x WHERE x.h = c.h)),
+        |bfd AS (SELECT h, min(doc_id) AS f_doc FROM unseen GROUP BY 1),
+        |bfirst AS (
+        |  SELECT u.h, f.f_doc, min(u.ci) AS f_ci
+        |  FROM unseen u JOIN bfd f ON u.h = f.h AND u.doc_id = f.f_doc
+        |  GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT c.lang, c.doc_id, c.n_tok,
+        |    (b.f_doc IS NOT NULL AND c.doc_id = b.f_doc AND c.ci = b.f_ci) AS keep
+        |  FROM chunks_b c LEFT JOIN bfirst b ON c.h = b.h)
+        |SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS chunks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS dup_chunk_rate,
+        |  CAST(4 AS BIGINT) AS ingest_commits, true AS compacted,
+        |  true AS state_preserved, true AS reprobe_clean
         |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // X2i: CONTAINMENT dedup — the ASYMMETRIC near-dup metric:
