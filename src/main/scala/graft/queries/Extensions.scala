@@ -762,6 +762,56 @@ object Extensions {
           statementId = Some(s"$stage-res-$batchId")): Unit): Unit
     }
 
+  /** The streaming LM-scoring crawl loop — the x_stream_incremental_lm
+    * pipeline body, shared with StreamLmSpec; the model-state twin of
+    * [[streamIncrementalDedup]], completing the LM count-log's lifecycle
+    * matrix (batch: x_lm_score; durable + compacted: x_incremental_lm;
+    * now STREAMING). Per micro-batch of documents: train the fixed-point
+    * bigram model from the count-delta log AS OF ARRIVAL (the one shared
+    * [[lmProbs]], which PINS the summed model at call time — each batch
+    * scores under a frozen model that includes every EARLIER batch's
+    * deltas, the cross-batch distinction), score the batch per-doc
+    * (floor-average of modeled fixed points, unmodeled bigrams read 0),
+    * commit the scores to `results` and THEN the batch's (bg, cnt)
+    * deltas to the state — results-BEFORE-state, both statementId-keyed.
+    * Crash between the commits: the replay retrains from a state without
+    * the batch's deltas, recomputes the identical scores, no-ops the
+    * results append, and completes the delta append. State-first would
+    * be WRONG twice over: a crash window would lose scores forever, and
+    * the replayed batch would score under a model polluted by its own
+    * counts.
+    *
+    * Honest 100 TB cost: each batch pays one count-log scan to sum the
+    * model (vocab-sized rows out, but a full log read — the same sized
+    * knob as every crawl loop, exposed as `filesPerTrigger`; compaction
+    * of the delta log, certified in-gate, is what keeps that scan from
+    * degrading as crawls accumulate).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalLm(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      // lmProbs pins the summed model internally at CALL time, so the
+      // state append below cannot leak this batch's deltas into its own
+      // model even under lazy recomputation
+      val probs = lmProbs(
+        state.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2")))
+      val bb = b.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        .localCheckpoint() // scoring join + delta append both read it
+      val perDoc = bb.join(probs, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(min(col("lang")).as("lang"),
+          expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
+          sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
+      results.append(s, perDoc,
+        statementId = Some(s"$stage-res-$batchId"))
+      state.append(s, bb.groupBy("bg").agg(count(lit(1)).as("cnt")),
+        statementId = Some(s"$stage-lm-$batchId")): Unit
+    }
+
   /** Non-overlapping `w`-token chunks of (doc_id, lang, text) keyed by
     * md5 of the chunk text — the ONE chunker under [[chunkDedupStats]]
     * (the x_chunk_dedup gate + ScaleSmoke contract 11) and
@@ -6815,6 +6865,114 @@ object Extensions {
         |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
         |  true AS compacted, true AS state_preserved, true AS append_only,
         |  CAST(4 AS BIGINT) AS incremental_commits,
+        |  (SELECT count(*) FROM bg) AS state_total
+        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4q: STREAMING LM scoring under an EVOLVING model — completes the
+    // LM count-log's lifecycle matrix (batch: x_lm_score; durable +
+    // compacted: x_incremental_lm; now STREAMING), and it is the first
+    // streaming gate whose per-batch ANSWER (not just its state) is
+    // order-dependent: each micro-batch scores under the model summed
+    // from the count-delta log AS OF ARRIVAL, then appends its own
+    // deltas, so a later batch's scores reflect every earlier batch's
+    // counts — the cross-batch distinction only durable model state
+    // provides (a bigram first seen by slice 0 scores nonzero for
+    // slice 1). Results commit BEFORE deltas, both statementId-keyed;
+    // the shared lmProbs pins the model at call time, so a replay
+    // retrains from the pre-batch state and recomputes the identical
+    // scores (state-first would lose scores AND pollute the replayed
+    // batch's model with its own counts — the crash analysis on the
+    // helper). The oracle replays the sequence as two CTE levels (slice
+    // 0 scored under HIST counts; slice 1 under HIST + slice 0) with no
+    // streams or state; slices are the %4 parity classes of the odd
+    // docs — a data-independent split both engines name identically.
+    // After the crawl: compactionProof on the live count log and COUNT
+    // CONSERVATION (state total == the whole corpus's bigram count, the
+    // x_incremental_lm integrity law surviving micro-batched appends).
+    ("x_stream_incremental_lm",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "text")
+        val stage = TableOps.newTempDir("graft-slm")
+        val (t, res) = FixtureClock.timed { // history counts + staging I/O
+          val cat = TableOps.newCatalog()
+          val tbl = cat.createTable("db.lm_counts_s", new StructType()
+            .add("bg", StringType).add("cnt", LongType),
+            partitionBy = Seq("bg" -> Transform.Bucket(4)))
+          tbl.append(s, hist
+            .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
+            .groupBy("bg").agg(count(lit(1)).as("cnt")))
+          val resT = cat.createTable("db.lm_scores_s", new StructType()
+            .add("doc_id", LongType).add("lang", StringType)
+            .add("score", LongType).add("modeled", LongType))
+          stageOrderedSlices(batch, stage,
+            when(pmod(col("doc_id"), lit(4L)) === 1L, 0).otherwise(1), 2)
+          (tbl, resT)
+        }
+        val batches = streamIncrementalLm(s, stage, batch.schema, t, res)
+        val stateCommits = t.meta.snapshots.size // before the compaction commit
+        require(batches == 2 && res.meta.snapshots.size == 2 &&
+            stateCommits == 3, // hist + one per micro-batch
+          s"LM crawl must run micro-batched: $batches batches, " +
+            s"${res.meta.snapshots.size}/$stateCommits commits")
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val stateTotal = t.toDF(s).agg(sum(col("cnt"))).head.getLong(0)
+        res.toDF(s).groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(when(col("modeled") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
+          .withColumn("ingest_commits", lit(res.meta.snapshots.size.toLong))
+          .withColumn("state_commits", lit(stateCommits.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("state_total", lit(stateTotal))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |hist AS (SELECT bg FROM bg WHERE doc_id % 2 = 0),
+        |s0 AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 4 = 1),
+        |s1 AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 4 = 3),
+        |c2_0 AS (SELECT bg, count(*) AS c2 FROM hist GROUP BY 1),
+        |c1_0 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |         FROM hist GROUP BY 1),
+        |p0 AS (
+        |  SELECT c2_0.bg, (c2 * 1000000) // c1 AS q
+        |  FROM c2_0 JOIN c1_0 ON split_part(c2_0.bg, ' ', 1) = c1_0.w1),
+        |d0 AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score,
+        |    count(p.q) AS modeled
+        |  FROM s0 b LEFT JOIN p0 p USING (bg) GROUP BY 1),
+        |h1 AS (SELECT bg FROM hist UNION ALL SELECT bg FROM s0),
+        |c2_1 AS (SELECT bg, count(*) AS c2 FROM h1 GROUP BY 1),
+        |c1_1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |         FROM h1 GROUP BY 1),
+        |p1 AS (
+        |  SELECT c2_1.bg, (c2 * 1000000) // c1 AS q
+        |  FROM c2_1 JOIN c1_1 ON split_part(c2_1.bg, ' ', 1) = c1_1.w1),
+        |d1 AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score,
+        |    count(p.q) AS modeled
+        |  FROM s1 b LEFT JOIN p1 p USING (bg) GROUP BY 1),
+        |ds AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
+        |  CAST(2 AS BIGINT) AS ingest_commits, CAST(3 AS BIGINT) AS state_commits,
+        |  true AS compacted, true AS state_preserved,
         |  (SELECT count(*) FROM bg) AS state_total
         |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin)
   )

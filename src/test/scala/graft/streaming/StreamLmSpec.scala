@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.{Extensions, TableOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Certifies the shipped streaming LM-scoring loop
+  * ([[graft.queries.Extensions.streamIncrementalLm]], the
+  * x_stream_incremental_lm pipeline) on a hand-computed corpus where the
+  * MODEL evolves across the batch boundary: a bigram first introduced by
+  * slice 0's delta append must score NONZERO for slice 1 — the
+  * cross-batch distinction only the durable count log provides — with
+  * every fixed point checked against pencil-and-paper arithmetic, plus
+  * the orphaned-results crash window and checkpoint idempotency.
+  */
+class StreamLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsSchema = new StructType()
+    .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+
+  // hist doc 100 "a b a b": c2 = {ab:2, ba:1}, c1 = {a:2, b:1} ->
+  // q(ab) = 2e6 div 2 = 1_000_000, q(ba) = 1_000_000.
+  // slice 0 = doc 1 (1 % 4 == 1) "a b c d": bigrams ab, bc, cd ->
+  //   score = (1_000_000 + 0 + 0) div 3 = 333_333, modeled = 1;
+  //   deltas ab+1, bc+1, cd+1 append to the log.
+  // slice 1 = doc 11 (11 % 4 == 3) "b c d e": bigrams bc, cd, de.
+  //   Model NOW: c2 = {ab:3, ba:1, bc:1, cd:1}, c1 = {a:3, b:2, c:1} ->
+  //   q(bc) = 1e6 div 2 = 500_000, q(cd) = 1e6 div 1 = 1_000_000, de
+  //   unmodeled -> score = 1_500_000 div 3 = 500_000, modeled = 2.
+  //   WITHOUT the cross-batch delta, bc and cd would be unmodeled and
+  //   doc 11 would score 0 — the distinction this spec pins.
+  private def histDf = Seq((100L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+  private def batchDf = Seq(
+    (1L, "en", "a b c d"),
+    (11L, "en", "b c d e")
+  ).toDF("doc_id", "lang", "text")
+
+  private def newTables() = {
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.lm_log_spec", new StructType()
+      .add("bg", StringType).add("cnt", LongType),
+      partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
+    state.append(spark, histDf
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt")))
+    val results = cat.createTable("db.lm_res_spec", new StructType()
+      .add("doc_id", LongType).add("lang", StringType)
+      .add("score", LongType).add("modeled", LongType))
+    (state, results)
+  }
+
+  private def stageSlices(): String = {
+    val stage = TableOps.newTempDir("graft-slmspec")
+    Extensions.stageOrderedSlices(batchDf, stage,
+      when(pmod(col("doc_id"), lit(4L)) === 1L, 0).otherwise(1), 2)
+    stage
+  }
+
+  test("later-slice docs score under the model the earlier slice's deltas grew") {
+    val (state, results) = newTables()
+    val batches = Extensions.streamIncrementalLm(
+      spark, stageSlices(), docsSchema, state, results)
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    val got = results.toDF(spark)
+      .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 333333L, 1L), (11L, 500000L, 2L)),
+      s"scores wrong: $got (doc 11 must score via bc/cd, which only exist " +
+        "in the model because batch 0's deltas committed to the log)")
+    // count conservation: 3 hist + 3 + 3 batch bigrams
+    assert(state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+    assert(state.meta.snapshots.size == 3, "hist append + one delta commit per batch")
+    assert(results.meta.snapshots.size == 2, "one results commit per batch")
+  }
+
+  test("crash between results and delta commits: replay rescoring is identical") {
+    val (state, results) = newTables()
+    val stage = stageSlices()
+    // batch 0's RESULTS landed, the process died before the delta commit —
+    // the replayed batch must retrain from the delta-free log, recompute
+    // the identical scores, no-op the results append, complete the deltas
+    results.append(spark, Seq((1L, "en", 333333L, 1L))
+      .toDF("doc_id", "lang", "score", "modeled"),
+      statementId = Some(s"$stage-res-0"))
+    val batches = Extensions.streamIncrementalLm(
+      spark, stage, docsSchema, state, results)
+    assert(batches == 2)
+    val got = results.toDF(spark)
+      .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toList
+    assert(got.sorted == List((1L, 333333L, 1L), (11L, 500000L, 2L)),
+      s"orphaned results commit duplicated or diverged on replay: $got")
+    assert(results.meta.snapshots.size == 2,
+      "pre-committed batch 0 + batch 1 — the replayed batch-0 append must no-op")
+    assert(state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+  }
+
+  test("re-running the finished crawl on the same checkpoint ingests nothing") {
+    val (state, results) = newTables()
+    val stage = stageSlices()
+    Extensions.streamIncrementalLm(spark, stage, docsSchema, state, results)
+    val again = Extensions.streamIncrementalLm(spark, stage, docsSchema, state, results)
+    assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
+    assert(results.toDF(spark).count() == 2 &&
+      state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+  }
+}
