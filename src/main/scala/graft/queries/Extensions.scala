@@ -812,6 +812,46 @@ object Extensions {
         statementId = Some(s"$stage-lm-$batchId")): Unit
     }
 
+  /** The streaming novelty-scoring crawl loop — the
+    * x_stream_incremental_novelty pipeline body, shared with
+    * StreamNoveltySpec; completes the first-seen gram state's lifecycle
+    * matrix (batch: x_ngram_novelty; durable + compacted:
+    * x_incremental_novelty; now STREAMING). Per micro-batch of
+    * documents: per-doc distinct 3-grams, anti-join the durable
+    * first-seen table AS OF ARRIVAL — grams seen in history AND grams
+    * first claimed by EARLIER batches both read as non-novel, the
+    * cross-batch distinction — min-doc-claims the unseen grams within
+    * the batch, commits per-doc novelty scores to `results` and THEN the
+    * batch's first-seen rows to the state, both statementId-keyed.
+    * Crash between the commits: the replay recomputes the unseen set
+    * against a state without the batch's claims — identical scores, the
+    * results append no-ops, the state append completes (state-first
+    * would zero the replayed batch's own novelty and lose the scores).
+    * Same per-batch state-scan cost knob as every crawl loop
+    * (`filesPerTrigger`).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalNovelty(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val bg = b.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        .localCheckpoint() // probe + rollup read it
+      val unseen = bg.select("doc_id", "g")
+        .join(state.toDF(s).select(col("g")), Seq("g"), "left_anti")
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        .localCheckpoint() // pinned BEFORE the state mutates; read twice
+      val perDoc = bg
+        .join(unseen.withColumnRenamed("first_doc", "fd"), Seq("g"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), lit(1L)).otherwise(lit(0L))).as("novel"))
+      results.append(s, perDoc, statementId = Some(s"$stage-res-$batchId"))
+      state.append(s, unseen, statementId = Some(s"$stage-fs-$batchId")): Unit
+    }
+
   /** Non-overlapping `w`-token chunks of (doc_id, lang, text) keyed by
     * md5 of the chunk text — the ONE chunker under [[chunkDedupStats]]
     * (the x_chunk_dedup gate + ScaleSmoke contract 11) and
@@ -6031,6 +6071,109 @@ object Extensions {
         |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate,
         |  true AS compacted, true AS state_preserved,
         |  true AS append_only, CAST(4 AS BIGINT) AS incremental_commits,
+        |  (SELECT count(DISTINCT g) FROM g) AS state_grams
+        |FROM per_lang ORDER BY lang""".stripMargin),
+
+    // X4r: the STREAMING novelty crawl loop — the last durable state's
+    // missing streaming leg (batch: x_ngram_novelty; durable + compacted:
+    // x_incremental_novelty): with this gate EVERY persisted state in the
+    // repo (fingerprints, band signatures, chunk ledger, postings, IVF
+    // index, LM counts, first-seen grams) carries the full batch /
+    // durable / compacted / streaming lifecycle. Two doc_id-ordered
+    // slices (odds split at their midpoint); per batch the shared
+    // streamIncrementalNovelty anti-joins the first-seen table AS OF
+    // ARRIVAL — a gram first claimed by slice 0 reads as non-novel for
+    // slice 1, the cross-batch distinction — and commits per-doc scores
+    // BEFORE the batch's first-seen claims, both statementId-keyed. The
+    // oracle is the STATELESS whole-batch rule (a gram's first_doc = the
+    // global min batch doc holding it, if unseen in history), valid
+    // because ANY doc_id-monotone slicing makes arrival-first ==
+    // min-doc-first — the in-gate midpoint cut never appears in the SQL.
+    // After the crawl: compactionProof on the live first-seen state, a
+    // full-batch REPROBE (every crawled gram must be first-seen by now —
+    // a state row lost to the rewrite or a replayed commit fails loudly),
+    // and the inventory law: state rows == the whole corpus's distinct
+    // gram count.
+    ("x_stream_incremental_novelty",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        def gramsOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "text")
+        val stage = TableOps.newTempDir("graft-snov")
+        val (t, res) = FixtureClock.timed { // history state + staging I/O
+          val cat = TableOps.newCatalog()
+          val fs = gramsOf(hist).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+          val tbl = cat.createTable("db.first_seen_s", fs.schema,
+            partitionBy = Seq("g" -> Transform.Bucket(4)))
+          tbl.append(s, fs)
+          val resT = cat.createTable("db.novelty_s",
+            new org.apache.spark.sql.types.StructType()
+              .add("doc_id", org.apache.spark.sql.types.LongType)
+              .add("lang", org.apache.spark.sql.types.StringType)
+              .add("n_grams", org.apache.spark.sql.types.LongType)
+              .add("novel", org.apache.spark.sql.types.LongType))
+          val ids = batch.agg(min(col("doc_id")), max(col("doc_id"))).head
+          val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+          stageOrderedSlices(batch, stage,
+            when(col("doc_id") <= mid, 0).otherwise(1), 2)
+          (tbl, resT)
+        }
+        val batches = streamIncrementalNovelty(s, stage, batch.schema, t, res)
+        val stateCommits = t.meta.snapshots.size // before the compaction commit
+        require(batches == 2 && res.meta.snapshots.size == 2 &&
+            stateCommits == 3, // hist + one per micro-batch
+          s"novelty crawl must run micro-batched: $batches batches, " +
+            s"${res.meta.snapshots.size}/$stateCommits commits")
+        val (compacted, statePreserved) = TableOps.compactionProof(s, t)
+        val reprobeClean = gramsOf(batch).select("g").distinct()
+          .join(t.toDF(s).select(col("g")), Seq("g"), "left_anti").isEmpty
+        require(reprobeClean,
+          "compacted first-seen state must hold every already-crawled gram")
+        val stateGrams = t.toDF(s).count()
+        res.toDF(s).groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum(col("n_grams")).as("grams"),
+            sum(col("novel")).as("novel"))
+          .withColumn("novelty_rate",
+            col("novel").cast("double") / col("grams").cast("double"))
+          .withColumn("ingest_commits", lit(res.meta.snapshots.size.toLong))
+          .withColumn("state_commits", lit(stateCommits.toLong))
+          .withColumn("compacted", lit(compacted))
+          .withColumn("state_preserved", lit(statePreserved))
+          .withColumn("reprobe_clean", lit(reprobeClean))
+          .withColumn("state_grams", lit(stateGrams))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)) AS g
+        |  FROM toks),
+        |hist AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+        |bg AS (SELECT doc_id, lang, g FROM g WHERE doc_id % 2 = 1),
+        |unseen AS (
+        |  SELECT g, min(doc_id) AS fd FROM bg
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.g = bg.g)
+        |  GROUP BY 1),
+        |per_doc AS (
+        |  SELECT b.doc_id, b.lang, count(*) AS n_grams,
+        |    sum(CASE WHEN u.fd = b.doc_id THEN 1 ELSE 0 END) AS novel
+        |  FROM bg b LEFT JOIN unseen u USING (g) GROUP BY 1, 2),
+        |per_lang AS (
+        |  SELECT lang, count(*) AS docs,
+        |    CAST(sum(n_grams) AS BIGINT) AS grams,
+        |    CAST(sum(novel) AS BIGINT) AS novel
+        |  FROM per_doc GROUP BY 1)
+        |SELECT lang, docs, grams, novel,
+        |  CAST(novel AS DOUBLE) / CAST(grams AS DOUBLE) AS novelty_rate,
+        |  CAST(2 AS BIGINT) AS ingest_commits, CAST(3 AS BIGINT) AS state_commits,
+        |  true AS compacted, true AS state_preserved, true AS reprobe_clean,
         |  (SELECT count(DISTINCT g) FROM g) AS state_grams
         |FROM per_lang ORDER BY lang""".stripMargin),
 
