@@ -168,10 +168,18 @@ trait GraftMaintenance { self: GraftTable =>
         // double-ingest (commitSnapshot replays such entries as no-ops).
         // Entries for retained snapshots always survive; expired-snapshot
         // entries survive within the newest `statement-log.retain-last`
-        // tail of the log (append order), so the ledger stays bounded.
+        // tail of the EXPIRED entries only (append order), so the ledger
+        // stays bounded. The tail must be computed over expired entries,
+        // not the whole log: on a table with more than retain-last
+        // statement commits inside the snapshot-retention window, a
+        // whole-log tail would be crowded out by retained-snapshot
+        // entries and every expired entry would be pruned immediately —
+        // silently reopening the replay double-ingest window this knob
+        // exists to close.
         val stmtRetain = m.property(TableProperties.StatementLogRetainLast,
           "10000").toInt
-        val stmtKeep = m.statementLog.takeRight(stmtRetain).toSet
+        val stmtKeep = m.statementLog
+          .filterNot(e => keepIds.contains(e._2)).takeRight(stmtRetain).toSet
         m.copy(snapshots = kept,
           statementLog = m.statementLog.filter { e =>
             keepIds.contains(e._2) || stmtKeep.contains(e) })

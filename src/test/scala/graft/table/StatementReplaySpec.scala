@@ -48,6 +48,28 @@ class StatementReplaySpec extends SparkSpec {
       "replays must not leave orphaned data files")
   }
 
+  test("retained-snapshot entries cannot crowd expired entries out of the retain-last tail") {
+    // retain-last counts EXPIRED entries only: with retain-last=1 and many
+    // retained-snapshot commits newer than the expired one, a whole-log
+    // tail would contain only retained entries and prune the expired entry
+    // immediately — reopening the double-ingest window. The survivor tail
+    // must be computed over expired entries alone.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val a = Seq(1L).toDF("id")
+    val t = cat.createTable("db.replaycrowd", a.schema,
+      properties = Map(TableProperties.StatementLogRetainLast -> "1"))
+    t.append(spark, a, statementId = Some("old-0"))
+    (1 to 5).foreach(i => t.append(spark, Seq(i.toLong).toDF("id"),
+      statementId = Some(s"new-$i")))
+    // expire only old-0's snapshot; the 5 newer snapshots stay retained
+    t.expireSnapshots(System.currentTimeMillis() + 60000L, retainLast = 5)
+    assert(t.meta.statementLog.exists(_._1 == "old-0"),
+      "expired entry must survive within the expired-only retain-last tail")
+    val rows = t.toDF(spark).count()
+    t.append(spark, a, statementId = Some("old-0"))
+    assert(t.toDF(spark).count() == rows, "replay after expiry double-ingested")
+  }
+
   test("the retain-last knob bounds the expired-entry tail (0 = old pruning behavior)") {
     val cat = new graft.catalog.GraftCatalog(tempWarehouse())
     val a = Seq(1L).toDF("id")
