@@ -47,8 +47,14 @@ class StreamIncrementalNeardupSpec extends SparkSpec {
     val state = cat.createTable("db.nd_sigs_spec", histSigs.schema,
       partitionBy = Seq("sig" -> graft.format.Transform.Bucket(4)))
     state.append(spark, histSigs)
-    val results = cat.createTable("db.nd_adm_spec", docsSchema)
-    (state, results)
+    // the corpus table doubles as the results ledger: history text
+    // pre-loaded, admitted rows appended per batch (the helper's
+    // candidate fetch In-probes it instead of scanning a corpus DF)
+    val corpus = cat.createTable("db.nd_corpus_spec", docsSchema,
+      partitionBy = Seq("doc_id" -> graft.format.Transform.Bucket(8)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "doc_id"))
+    corpus.append(spark, histDf)
+    (state, corpus)
   }
 
   private def stageSlices(): String = {
@@ -57,6 +63,10 @@ class StreamIncrementalNeardupSpec extends SparkSpec {
       when(col("doc_id") < 10L, 0).otherwise(1), 2)
     stage
   }
+
+  private def admittedIds(corpus: graft.table.GraftTable): Set[Long] =
+    corpus.toDF(spark).filter(col("doc_id") =!= 100L)
+      .select("doc_id").as[Long].collect().toSet
 
   test("later-slice near-dups of earlier ADMISSIONS reject via state") {
     // precondition, not assumption: the edited recrawl (3) actually
@@ -69,54 +79,63 @@ class StreamIncrementalNeardupSpec extends SparkSpec {
       .count()
     assert(nom > 0, "fixture broke: edited recrawl no longer shares a band signature")
 
-    val (state, results) = newTables()
+    val (state, corpus) = newTables()
+    val fetches = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
     val batches = Extensions.streamIncrementalNeardup(
-      spark, stageSlices(), docsSchema, state, histDf, results)
+      spark, stageSlices(), docsSchema, state, corpus, onFetchMetrics = fetches += _)
 
     assert(batches == 2, s"expected 2 micro-batches, got $batches")
-    val admitted = results.toDF(spark).select("doc_id").as[Long].collect().toSet
+    val admitted = admittedIds(corpus)
     assert(admitted == Set(1L, 5L, 13L),
       s"admissions wrong: $admitted (11 must reject via the STATE carrying " +
         "batch 0's admission of doc 1; 3/15 via history)")
     // state grew append-only: 2 hist sig rows + 2 per admitted doc
     assert(state.toDF(spark).count() == 2 + 3 * 2)
     assert(state.meta.snapshots.size == 3, "hist append + one per batch")
-    assert(results.meta.snapshots.size == 2, "one results commit per batch")
+    assert(corpus.meta.snapshots.size == 3, "hist load + one results commit per batch")
+    // the candidate-text fetch is a pruned In-probe scan: by batch 1 the
+    // corpus spans several files (hist + batch 0's admissions) and the
+    // probe of partner ids {1, 100} must skip the rest (batch 0's corpus
+    // is a single hist file, so pruning is only observable from batch 1)
+    assert(fetches.size == 2)
+    assert(fetches.last.filesScanned < fetches.last.filesTotal,
+      s"fetch must prune: ${fetches.map(m => s"${m.filesScanned}/${m.filesTotal}")}")
   }
 
   test("crash between results and state commits: replay no-ops the results, completes the state") {
-    val (state, results) = newTables()
+    val (state, corpus) = newTables()
     val stage = stageSlices()
     // simulate the crash window: batch 0's RESULTS commit landed (the
     // helper commits results first) but the process died before the state
     // commit and before the stream's own commit log recorded the batch —
     // on restart the file source redelivers batch 0 in full
-    results.append(spark, Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    corpus.append(spark, Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
         (5L, "one two three four five six seven eight nine ten"))
       .toDF("doc_id", "text"),
       statementId = Some(s"$stage-res-0"))
     val batches = Extensions.streamIncrementalNeardup(
-      spark, stage, docsSchema, state, histDf, results)
+      spark, stage, docsSchema, state, corpus)
     assert(batches == 2)
     // no double-admission: the replayed batch-0 results append no-ops on
     // its statementId, and the recomputed admitted set was identical
-    // because the state did NOT yet hold batch 0's signatures
-    val rows = results.toDF(spark).select("doc_id").as[Long].collect().toList
+    // because the state did NOT yet hold batch 0's signatures (the
+    // orphaned rows sit in the verify corpus but are never nominated)
+    val rows = admittedIds(corpus).toList
     assert(rows.sorted == List(1L, 5L, 13L),
       s"orphaned results commit double-admitted on replay: $rows")
-    assert(results.meta.snapshots.size == 2,
-      "pre-committed batch 0 + batch 1 — the replayed batch-0 append must no-op")
+    assert(corpus.meta.snapshots.size == 3,
+      "hist + pre-committed batch 0 + batch 1 — the replayed batch-0 append must no-op")
     assert(state.meta.snapshots.size == 3, "state completes normally on replay")
   }
 
   test("re-running the finished crawl on the same checkpoint ingests nothing") {
-    val (state, results) = newTables()
+    val (state, corpus) = newTables()
     val stage = stageSlices()
-    Extensions.streamIncrementalNeardup(spark, stage, docsSchema, state, histDf, results)
-    val (rows, stateRows) = (results.toDF(spark).count(), state.toDF(spark).count())
+    Extensions.streamIncrementalNeardup(spark, stage, docsSchema, state, corpus)
+    val (rows, stateRows) = (corpus.toDF(spark).count(), state.toDF(spark).count())
     val again = Extensions.streamIncrementalNeardup(
-      spark, stage, docsSchema, state, histDf, results)
+      spark, stage, docsSchema, state, corpus)
     assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
-    assert(results.toDF(spark).count() == rows && state.toDF(spark).count() == stateRows)
+    assert(corpus.toDF(spark).count() == rows && state.toDF(spark).count() == stateRows)
   }
 }
