@@ -222,6 +222,30 @@ object Extensions {
   private[graft] val shiftCentroids: Seq[(Long, Array[Double])] =
     (0L until 8L).map(g => g -> Array.tabulate(64)(i => if (i % 8 == g) 0.25 else 0.0))
 
+  /** The DRIFTED population for x_ann_index_rebuild: same base noise, but
+    * the planted shift sits on CONTIGUOUS dim blocks [8g, 8g+8) instead
+    * of the stride family i%8=g — a block centroid overlaps any stride
+    * centroid in exactly ONE dim, so the old 8-cell index assigns these
+    * vectors near-uniformly at random (measured: stale-probe recall
+    * 2-5/10 across SFs) and only a rebuild with the new centroids
+    * restores the floor (10/10). Ids offset by 970000 = 97·10000, so the
+    * %97 panel exclusion is the SAME base-row set on both populations
+    * and the drifted query (id 970000, base 0) is corpus-excluded.
+    */
+  private[graft] def blockEmbeddings(e: DataFrame): DataFrame =
+    e.select((col("vec_id") + 970000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") + when(
+          shiftright(i, 3).cast("bigint") === pmod(col("vec_id"), lit(8L)),
+          lit(0.25)).otherwise(lit(0.0))).as("v"))
+
+  /** The 8 block centroids of the drifted population (cells 8..15 of the
+    * rebuilt 16-cell index): pure contiguous-block shift vectors,
+    * compile-time constants visible to both engines.
+    */
+  private[graft] val blockCentroids: Seq[(Long, Array[Double])] =
+    (0L until 8L).map(g => (g + 8L) -> Array.tabulate(64)(i => if (i / 8 == g) 0.25 else 0.0))
+
   /** The pruned multi-probe top-10 + certified-recall block shared by
     * x_ann_index_multiprobe and x_stream_ann_ingest — the "same probe"
     * claim is enforced by construction, not by copy: the query's
@@ -232,14 +256,17 @@ object Extensions {
     * shared TakeOrderedAndProject ranker (never a single-partition
     * window — the pruned read is still nprobe/K of the corpus at scale),
     * every top-10 row hit-flagged against exact brute force with ≥8/10
-    * REQUIREd in-process.
+    * REQUIREd in-process. `queryId` selects the query vector (default 0;
+    * x_ann_index_rebuild probes from the GROWN population, whose id
+    * offset is a multiple of 97 so the %97 panel exclusion removes the
+    * query row from the corpus for any queryId ≡ 0 mod 97).
     * @return (rank, neighbor_id, hit, probe_pruned, cells_probed)
     */
   private[graft] def prunedMultiprobeTopK(s: SparkSession,
       t: graft.table.GraftTable, clustered: DataFrame,
-      cents: Seq[(Long, Array[Double])]): DataFrame = {
+      cents: Seq[(Long, Array[Double])], queryId: Long = 0L): DataFrame = {
     import graft.format.Predicate
-    val q = clustered.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val q = clustered.filter(col("vec_id") === queryId).select(col("v").as("q"))
     val probeCells = q
       .select(VF.ivfProbeCellsExact(col("q"), cents, nprobe = 2))
       .head.getSeq[Long](0)
@@ -6809,6 +6836,169 @@ object Extensions {
         |  CAST(3 AS BIGINT) AS ingest_commits,
         |  true AS compacted, true AS state_preserved
         |FROM top t ORDER BY 1""".stripMargin),
+
+    // X3k: ANN index REBUILD with RE-TRAINED centroids and an ATOMIC
+    // swap — the vector lifecycle leg refresh/streaming cannot cover:
+    // both freeze centroids (correctly — re-clustering on ingest would
+    // invalidate stored assignments), but a real corpus's embedding
+    // distribution DRIFTS. The fixture plants the drift: the original
+    // stride-cluster population is joined by a block-cluster population
+    // ([[blockEmbeddings]] — overlaps any stride centroid in exactly one
+    // dim), ingested under the FROZEN old centroids (the refresh leg's
+    // rule). The gate then (1) MEASURES that the old index is broken for
+    // a drifted query — the stale probe, run THROUGH THE TIME-TRAVEL
+    // READ of the pre-swap snapshot, recalls only `stale_hits` of 10
+    // (2-5 across SFs, REQUIREd < 8) while reading MORE candidates than
+    // the rebuilt probe; (2) REBUILDS: the 16 fresh centroids (the
+    // drifted corpus's planted solution — at fixture scale the planted
+    // shift is far below the isotropic noise floor, so centroid quality
+    // is certified by the operational metric, measured probe recall,
+    // not by parameter recovery), the new cell-partitioned index built
+    // STAGED and installed by [[graft.table.GraftTable.replaceWith]]'s
+    // single CAS — every file write happens inside the commit closure
+    // BEFORE the swap lands, so probes read the complete old index until
+    // the commit and the complete new index after (AnnRebuildSpec proves
+    // no snapshot ever exposes a half-built index, including a crashed
+    // rebuild); (3) re-certifies the ≥8/10 floor on the REBUILT index
+    // with the shared pruned multi-probe (10/10 measured), and (4)
+    // proves the pre-swap snapshot still reads the complete OLD index
+    // row-for-row (`pre_swap_preserved`, REQUIREd).
+    ("x_ann_index_rebuild",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val e = Tables.embeddings(s, d)
+        val grown = clusteredEmbeddings(e).unionByName(blockEmbeddings(e))
+        val cents16 = shiftCentroids ++ blockCentroids
+        val cat = TableOps.newCatalog()
+        // pre-rebuild life: index built for the stride population, the
+        // drifted population ingested under the frozen old centroids
+        val t = {
+          val oldAssigned = clusteredEmbeddings(e)
+            .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+          val tbl = cat.createTable("db.ann_rebuild", oldAssigned.schema,
+            partitionBy = Seq("cell" -> Transform.Identity))
+          tbl.append(s, oldAssigned)
+          tbl.append(s, blockEmbeddings(e)
+            .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids)))
+          tbl
+        }
+        val preSwap = t.meta.currentSnapshotId.get
+        val preSwapRows = t.toDF(s).localCheckpoint() // compared post-swap
+        // REBUILD: new index staged, installed by ONE CAS
+        val newAssigned = grown.withColumn("cell",
+          VF.ivfCellExact(col("v"), cents16))
+        t.replaceWith(newAssigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity),
+          spark = Some(s), data = Some(newAssigned))
+        require(t.meta.snapshots.size == 3,
+          s"rebuild must be ONE commit: ${t.meta.snapshots.size} snapshots")
+        val postSwapOld = t.atSnapshot(preSwap).toDF(s)
+        val preSwapPreserved = postSwapOld.except(preSwapRows).isEmpty &&
+          preSwapRows.except(postSwapOld).isEmpty
+        require(preSwapPreserved,
+          "time travel must read the complete OLD index pre-swap")
+        // the drift, measured through the time-travel read of the OLD
+        // index: same probe shape, old centroids, recall collapsed
+        val q = grown.filter(col("vec_id") === 970000L).select(col("v").as("q"))
+        val oldCells = q
+          .select(VF.ivfProbeCellsExact(col("q"), shiftCentroids, nprobe = 2))
+          .head.getSeq[Long](0)
+        val staleCand = t.atSnapshot(preSwap, Predicate.In("cell", oldCells))
+          .toDF(s).filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("c_emb"))
+          .crossJoin(broadcast(q))
+          .withColumn("sim", nanvl(VF.cosineSimilarity(col("q"), col("c_emb")),
+            lit(null).cast("double")))
+          .filter(col("sim").isNotNull)
+        val brute = VF.bruteForceTopK(
+            grown.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        val staleHits = VF.rankTopK(staleCand, "neighbor_id", 10)
+          .select("neighbor_id").collect().map(_.getLong(0)).count(brute)
+        require(staleHits < 8,
+          s"fixture broke: stale index must miss the floor, got $staleHits/10")
+        prunedMultiprobeTopK(s, t, grown, cents16, queryId = 970000L)
+          .withColumn("rebuild_commits", lit(t.meta.snapshots.size.toLong))
+          .withColumn("stale_hits", lit(staleHits.toLong))
+          .withColumn("pre_swap_preserved", lit(preSwapPreserved))
+      },
+      """WITH base1 AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |base2 AS (
+        |  SELECT vec_id + 970000 AS vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) // 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |grown AS (SELECT * FROM base1 UNION ALL SELECT * FROM base2),
+        |q AS (SELECT v AS qe FROM grown WHERE vec_id = 970000),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM grown
+        |  WHERE vec_id % 97 <> 0),
+        |brute AS (SELECT neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rn
+        |    FROM c, q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)
+        |  UNION ALL
+        |  SELECT g + 8 AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) // 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM grown b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked
+        |  WHERE vec_id = 970000 AND rn <= 2),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10),
+        |drankedold AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dists WHERE cid < 8),
+        |assignedold AS (SELECT vec_id, cid AS cell FROM drankedold WHERE rn = 1),
+        |probesold AS (SELECT cid AS cell FROM drankedold
+        |  WHERE vec_id = 970000 AND rn <= 2),
+        |staletop AS (
+        |  SELECT neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assignedold a ON a.vec_id = c.neighbor_id
+        |    JOIN probesold p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10),
+        |stale AS (SELECT count(*) AS stale_hits FROM staletop st
+        |  JOIN brute b ON b.neighbor_id = st.neighbor_id)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  CAST(3 AS BIGINT) AS rebuild_commits,
+        |  CAST(stale.stale_hits AS BIGINT) AS stale_hits,
+        |  true AS pre_swap_preserved
+        |FROM top t, stale ORDER BY 1""".stripMargin),
 
     ("x_hits",
       (s: SparkSession, d: String) => {
