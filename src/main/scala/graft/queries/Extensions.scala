@@ -479,24 +479,37 @@ object Extensions {
     * anti-join reject the batch's own fps before results ever committed.
     *
     * `filesPerTrigger` is THE batch-sizing knob the honest-cost note in
-    * the gate names: each micro-batch pays ONE full scan of the
-    * fingerprint state for its anti-join (md5-uniform keys defeat file
-    * skipping), so the per-corpus state-scan count equals the BATCH
-    * count, not the row count — size batches so that scan amortizes
-    * (StreamIncrementalDedupSpec measures: same staged corpus, 3 batches
-    * at the default vs 1 batch at filesPerTrigger=3, identical
-    * admissions, state-scan/commit count 3 vs 1).
+    * the gate names: each micro-batch pays ONE anti-join scan of the
+    * fingerprint state, so the per-corpus state-scan count equals the
+    * BATCH count, not the row count — size batches so that scan
+    * amortizes (StreamIncrementalDedupSpec measures: same staged corpus,
+    * 3 batches at the default vs 1 batch at filesPerTrigger=3, identical
+    * admissions, state-scan/commit count 3 vs 1). And the scan itself is
+    * a RUNTIME-FILTERED read: the batch's fp set is a bounded driver
+    * collect (it is the batch, already reduced to first-in-batch), pushed
+    * as an In probe so the state's fp-bloom and bucket planes skip files
+    * — sound for the anti-join because a pruned-away state row's fp is
+    * outside the batch set and could never reject anything. md5-uniform
+    * min/max bounds cannot prune, but the bloom plane can: on SMALL
+    * batches the probe reads only the files that plausibly hold the
+    * batch's fps (measured in StreamIncrementalDedupSpec); above
+    * `scanWithRuntimeFilter`'s key cap it degrades to the full scan —
+    * never wrong, just unpruned (the S15 discipline).
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalDedup(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
       state: graft.table.GraftTable, results: graft.table.GraftTable,
-      filesPerTrigger: Int = 1): Int =
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .localCheckpoint() // read twice: the In-probe collect + the anti-join
+      val stateScan = state.scanWithRuntimeFilter(first, "fp", "fp")
+      onStateScanMetrics(stateScan.metrics)
       val adm = first
-        .join(state.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+        .join(stateScan.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
         .localCheckpoint() // pinned BEFORE the state mutates below
       results.append(s, adm.select(col("doc_id")),
         statementId = Some(s"$stage-res-$batchId"))
@@ -827,48 +840,62 @@ object Extensions {
     * matrix (batch: x_lm_score; durable + compacted: x_incremental_lm;
     * now STREAMING). Per micro-batch of documents: train the fixed-point
     * bigram model from the count-delta log AS OF ARRIVAL (the one shared
-    * [[lmProbs]], which PINS the summed model at call time — each batch
-    * scores under a frozen model that includes every EARLIER batch's
-    * deltas, the cross-batch distinction), score the batch per-doc
+    * [[lmProbs]], which PINS the model at call time — each batch scores
+    * under a frozen model that includes every EARLIER batch's deltas,
+    * the cross-batch distinction), score the batch per-doc
     * (floor-average of modeled fixed points, unmodeled bigrams read 0),
-    * commit the scores to `results` and THEN the batch's (bg, cnt)
-    * deltas to the state — results-BEFORE-state, both statementId-keyed.
-    * Crash between the commits: the replay retrains from a state without
-    * the batch's deltas, recomputes the identical scores, no-ops the
-    * results append, and completes the delta append. State-first would
-    * be WRONG twice over: a crash window would lose scores forever, and
-    * the replayed batch would score under a model polluted by its own
-    * counts.
+    * then THREE statementId-keyed commits in fixed order: scores to
+    * `results`, the batch's (bg, cnt) deltas to the `state` log, and a
+    * MERGE folding the deltas into the compact `model` table (matched
+    * bg: c2 += cnt; unmatched: insert) — the W7 machinery keyed like
+    * every other crawl commit.
     *
-    * Honest 100 TB cost: each batch pays one count-log scan to sum the
-    * model (vocab-sized rows out, but a full log read — the same sized
-    * knob as every crawl loop, exposed as `filesPerTrigger`; compaction
-    * of the delta log, certified in-gate, is what keeps that scan from
-    * degrading as crawls accumulate).
+    * The MODEL table is what each batch READS (one vocab-bounded scan);
+    * the delta LOG stays the source of truth, and the gate REQUIREs
+    * model ≡ log-sum after the crawl. Before r13 each batch re-summed
+    * the whole delta log — a scan that grew with crawl COUNT; the model
+    * read is bounded by vocab regardless of how many crawls accumulated.
+    *
+    * Crash windows (results → log → merge, replay-idempotent at each):
+    * after results only — the replay scores under a model WITHOUT the
+    * batch's deltas (the merge is LAST), recomputes identical scores,
+    * no-ops the results append, completes log + merge. After log, before
+    * merge — same identical rescoring (the model still lacks the batch),
+    * results and log no-op, the merge completes. Merge-before-results
+    * would be WRONG the same two ways state-first always is: a crash
+    * would lose scores forever, and the replayed batch would score under
+    * a model polluted by its own counts.
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalLm(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
-      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      state: graft.table.GraftTable, model: graft.table.GraftTable,
+      results: graft.table.GraftTable,
       filesPerTrigger: Int = 1): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      // lmProbs pins the summed model internally at CALL time, so the
-      // state append below cannot leak this batch's deltas into its own
-      // model even under lazy recomputation
-      val probs = lmProbs(
-        state.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2")))
+      // lmProbs pins the model internally at CALL time, so the merge
+      // below cannot leak this batch's deltas into its own model even
+      // under lazy recomputation
+      val probs = lmProbs(model.toDF(s).select(col("bg"), col("c2")))
       val bb = b.select(col("doc_id"), col("lang"),
           explode(TF.shingles(col("text"), 2)).as("bg"))
-        .localCheckpoint() // scoring join + delta append both read it
+        .localCheckpoint() // scoring join + delta rollup both read it
       val perDoc = bb.join(probs, Seq("bg"), "left")
         .groupBy("doc_id")
         .agg(min(col("lang")).as("lang"),
           expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
           sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
+      val deltas = bb.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // read twice: the log append + the model MERGE
       results.append(s, perDoc,
         statementId = Some(s"$stage-res-$batchId"))
-      state.append(s, bb.groupBy("bg").agg(count(lit(1)).as("cnt")),
-        statementId = Some(s"$stage-lm-$batchId")): Unit
+      state.append(s, deltas,
+        statementId = Some(s"$stage-lm-$batchId"))
+      model.merge(s, deltas, Seq("bg" -> "bg"),
+        whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
+        whenNotMatchedInsert = Some(Map(
+          "bg" -> col("s.bg"), "c2" -> col("s.cnt"))),
+        statementId = Some(s"$stage-lmm-$batchId")): Unit
     }
 
   /** The streaming novelty-scoring crawl loop — the
@@ -7271,21 +7298,24 @@ object Extensions {
     // LM count-log's lifecycle matrix (batch: x_lm_score; durable +
     // compacted: x_incremental_lm; now STREAMING), and it is the first
     // streaming gate whose per-batch ANSWER (not just its state) is
-    // order-dependent: each micro-batch scores under the model summed
-    // from the count-delta log AS OF ARRIVAL, then appends its own
-    // deltas, so a later batch's scores reflect every earlier batch's
-    // counts — the cross-batch distinction only durable model state
-    // provides (a bigram first seen by slice 0 scores nonzero for
-    // slice 1). Results commit BEFORE deltas, both statementId-keyed;
-    // the shared lmProbs pins the model at call time, so a replay
-    // retrains from the pre-batch state and recomputes the identical
-    // scores (state-first would lose scores AND pollute the replayed
-    // batch's model with its own counts — the crash analysis on the
-    // helper). The oracle replays the sequence as two CTE levels (slice
-    // 0 scored under HIST counts; slice 1 under HIST + slice 0) with no
-    // streams or state; slices are the %4 parity classes of the odd
-    // docs — a data-independent split both engines name identically.
-    // After the crawl: compactionProof on the live count log and COUNT
+    // order-dependent: each micro-batch scores under the model AS OF
+    // ARRIVAL, then folds in its own deltas, so a later batch's scores
+    // reflect every earlier batch's counts — the cross-batch distinction
+    // only durable model state provides (a bigram first seen by slice 0
+    // scores nonzero for slice 1). Since r13 each batch READS the
+    // compact MODEL table (vocab-bounded, maintained by a per-batch
+    // MERGE — r12 verdict #4) instead of re-summing the whole delta log;
+    // the log stays the source of truth and `model_matches_log` REQUIREs
+    // model ≡ log-sum after the crawl. Three statementId-keyed commits
+    // per batch, results → delta log → model MERGE; a crash anywhere
+    // between them replays with identical scores because the merge is
+    // LAST, so the replayed batch never sees its own counts (the crash
+    // analysis on the helper; StreamLmSpec replays both windows). The
+    // oracle replays the sequence as two CTE levels (slice 0 scored
+    // under HIST counts; slice 1 under HIST + slice 0) with no streams
+    // or state; slices are the %4 parity classes of the odd docs — a
+    // data-independent split both engines name identically. After the
+    // crawl: compactionProof on the live count log and COUNT
     // CONSERVATION (state total == the whole corpus's bigram count, the
     // x_incremental_lm integrity law surviving micro-batched appends).
     ("x_stream_incremental_lm",
@@ -7297,29 +7327,46 @@ object Extensions {
         val batch = docs.filter(col("doc_id") % 2 === 1)
           .select("doc_id", "lang", "text")
         val stage = TableOps.newTempDir("graft-slm")
-        val (t, res) = FixtureClock.timed { // history counts + staging I/O
+        val (t, model, res) = FixtureClock.timed { // history counts + staging I/O
           val cat = TableOps.newCatalog()
+          val histCounts = hist
+            .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
+            .groupBy("bg").agg(count(lit(1)).as("cnt"))
+            .localCheckpoint() // seeds BOTH the delta log and the model
           val tbl = cat.createTable("db.lm_counts_s", new StructType()
             .add("bg", StringType).add("cnt", LongType),
             partitionBy = Seq("bg" -> Transform.Bucket(4)))
-          tbl.append(s, hist
-            .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
-            .groupBy("bg").agg(count(lit(1)).as("cnt")))
+          tbl.append(s, histCounts)
+          // the COMPACT model table each batch reads (bounded by vocab);
+          // the delta log above stays the source of truth
+          val mdl = cat.createTable("db.lm_model_s", new StructType()
+            .add("bg", StringType).add("c2", LongType),
+            partitionBy = Seq("bg" -> Transform.Bucket(4)))
+          mdl.append(s, histCounts.select(col("bg"), col("cnt").as("c2")))
           val resT = cat.createTable("db.lm_scores_s", new StructType()
             .add("doc_id", LongType).add("lang", StringType)
             .add("score", LongType).add("modeled", LongType))
           stageOrderedSlices(batch, stage,
             when(pmod(col("doc_id"), lit(4L)) === 1L, 0).otherwise(1), 2)
-          (tbl, resT)
+          (tbl, mdl, resT)
         }
-        val batches = streamIncrementalLm(s, stage, batch.schema, t, res)
+        val batches = streamIncrementalLm(s, stage, batch.schema, t, model, res)
         val stateCommits = t.meta.snapshots.size // before the compaction commit
         require(batches == 2 && res.meta.snapshots.size == 2 &&
-            stateCommits == 3, // hist + one per micro-batch
+            stateCommits == 3 && // hist + one per micro-batch
+            model.meta.snapshots.size == 3, // hist + one MERGE per batch
           s"LM crawl must run micro-batched: $batches batches, " +
-            s"${res.meta.snapshots.size}/$stateCommits commits")
+            s"${res.meta.snapshots.size}/$stateCommits/" +
+            s"${model.meta.snapshots.size} commits")
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val stateTotal = t.toDF(s).agg(sum(col("cnt"))).head.getLong(0)
+        // the model-maintenance invariant, REQUIREd: the merged-in-place
+        // model equals the delta log's sum, row for row
+        val logSum = t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
+        val modelDf = model.toDF(s)
+        val modelMatchesLog = modelDf.except(logSum).isEmpty &&
+          logSum.except(modelDf).isEmpty
+        require(modelMatchesLog, "model table must equal the delta-log sum")
         res.toDF(s).groupBy("lang")
           .agg(count(lit(1)).as("docs"),
             expr("sum(score) div count(1)").as("avg_score"),
@@ -7331,6 +7378,8 @@ object Extensions {
           .withColumn("compacted", lit(compacted))
           .withColumn("state_preserved", lit(statePreserved))
           .withColumn("state_total", lit(stateTotal))
+          .withColumn("model_commits", lit(model.meta.snapshots.size.toLong))
+          .withColumn("model_matches_log", lit(modelMatchesLog))
           .orderBy("lang")
       },
       s"""WITH toks AS (
@@ -7372,7 +7421,8 @@ object Extensions {
         |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
         |  CAST(2 AS BIGINT) AS ingest_commits, CAST(3 AS BIGINT) AS state_commits,
         |  true AS compacted, true AS state_preserved,
-        |  (SELECT count(*) FROM bg) AS state_total
+        |  (SELECT count(*) FROM bg) AS state_total,
+        |  CAST(3 AS BIGINT) AS model_commits, true AS model_matches_log
         |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

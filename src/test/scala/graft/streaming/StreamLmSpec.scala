@@ -39,16 +39,31 @@ class StreamLmSpec extends SparkSpec {
 
   private def newTables() = {
     val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val histCounts = histDf
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val state = cat.createTable("db.lm_log_spec", new StructType()
       .add("bg", StringType).add("cnt", LongType),
       partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
-    state.append(spark, histDf
-      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("cnt")))
+    state.append(spark, histCounts)
+    val model = cat.createTable("db.lm_model_spec", new StructType()
+      .add("bg", StringType).add("c2", LongType),
+      partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
+    model.append(spark, histCounts.select(col("bg"), col("cnt").as("c2")))
     val results = cat.createTable("db.lm_res_spec", new StructType()
       .add("doc_id", LongType).add("lang", StringType)
       .add("score", LongType).add("modeled", LongType))
-    (state, results)
+    (state, model, results)
+  }
+
+  /** The helper's REQUIREd invariant: the merged-in-place model table
+    * equals the delta log's sum, row for row. */
+  private def modelMatchesLog(state: graft.table.GraftTable,
+      model: graft.table.GraftTable): Boolean = {
+    val logSum = state.toDF(spark).groupBy("bg").agg(sum(col("cnt")).as("c2"))
+    val m = model.toDF(spark)
+    m.except(logSum).isEmpty && logSum.except(m).isEmpty
   }
 
   private def stageSlices(): String = {
@@ -59,32 +74,36 @@ class StreamLmSpec extends SparkSpec {
   }
 
   test("later-slice docs score under the model the earlier slice's deltas grew") {
-    val (state, results) = newTables()
+    val (state, model, results) = newTables()
     val batches = Extensions.streamIncrementalLm(
-      spark, stageSlices(), docsSchema, state, results)
+      spark, stageSlices(), docsSchema, state, model, results)
     assert(batches == 2, s"expected 2 micro-batches, got $batches")
     val got = results.toDF(spark)
       .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 333333L, 1L), (11L, 500000L, 2L)),
       s"scores wrong: $got (doc 11 must score via bc/cd, which only exist " +
-        "in the model because batch 0's deltas committed to the log)")
+        "in the model because batch 0's deltas committed)")
     // count conservation: 3 hist + 3 + 3 batch bigrams
     assert(state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
     assert(state.meta.snapshots.size == 3, "hist append + one delta commit per batch")
     assert(results.meta.snapshots.size == 2, "one results commit per batch")
+    assert(model.meta.snapshots.size == 3, "hist append + one MERGE per batch")
+    assert(modelMatchesLog(state, model),
+      "model table must equal the delta-log sum after the crawl")
   }
 
   test("crash between results and delta commits: replay rescoring is identical") {
-    val (state, results) = newTables()
+    val (state, model, results) = newTables()
     val stage = stageSlices()
     // batch 0's RESULTS landed, the process died before the delta commit —
-    // the replayed batch must retrain from the delta-free log, recompute
+    // the replayed batch must score under the delta-free model, recompute
     // the identical scores, no-op the results append, complete the deltas
+    // and the model merge
     results.append(spark, Seq((1L, "en", 333333L, 1L))
       .toDF("doc_id", "lang", "score", "modeled"),
       statementId = Some(s"$stage-res-0"))
     val batches = Extensions.streamIncrementalLm(
-      spark, stage, docsSchema, state, results)
+      spark, stage, docsSchema, state, model, results)
     assert(batches == 2)
     val got = results.toDF(spark)
       .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toList
@@ -93,15 +112,45 @@ class StreamLmSpec extends SparkSpec {
     assert(results.meta.snapshots.size == 2,
       "pre-committed batch 0 + batch 1 — the replayed batch-0 append must no-op")
     assert(state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+    assert(modelMatchesLog(state, model))
+  }
+
+  test("crash between delta and model-merge commits: replay completes the merge") {
+    val (state, model, results) = newTables()
+    val stage = stageSlices()
+    // batch 0's results AND deltas landed, the process died before the
+    // model MERGE — the replayed batch scores under the model WITHOUT
+    // the batch's counts (identical scores: the merge is LAST), no-ops
+    // results and deltas on their statementIds, and completes the merge
+    results.append(spark, Seq((1L, "en", 333333L, 1L))
+      .toDF("doc_id", "lang", "score", "modeled"),
+      statementId = Some(s"$stage-res-0"))
+    state.append(spark, Seq(("a b", 1L), ("b c", 1L), ("c d", 1L))
+      .toDF("bg", "cnt"),
+      statementId = Some(s"$stage-lm-0"))
+    val batches = Extensions.streamIncrementalLm(
+      spark, stage, docsSchema, state, model, results)
+    assert(batches == 2)
+    val got = results.toDF(spark)
+      .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toList
+    assert(got.sorted == List((1L, 333333L, 1L), (11L, 500000L, 2L)),
+      s"replay after the delta commit diverged: $got")
+    assert(state.meta.snapshots.size == 3,
+      "pre-committed deltas + batch 1 — the replayed delta append must no-op")
+    assert(state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+    assert(modelMatchesLog(state, model),
+      "the replayed batch must complete the orphaned model merge")
   }
 
   test("re-running the finished crawl on the same checkpoint ingests nothing") {
-    val (state, results) = newTables()
+    val (state, model, results) = newTables()
     val stage = stageSlices()
-    Extensions.streamIncrementalLm(spark, stage, docsSchema, state, results)
-    val again = Extensions.streamIncrementalLm(spark, stage, docsSchema, state, results)
+    Extensions.streamIncrementalLm(spark, stage, docsSchema, state, model, results)
+    val again = Extensions.streamIncrementalLm(
+      spark, stage, docsSchema, state, model, results)
     assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
     assert(results.toDF(spark).count() == 2 &&
       state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
+    assert(modelMatchesLog(state, model))
   }
 }
