@@ -338,40 +338,80 @@ object VectorFunctions {
     * stage is integer arithmetic plus one IEEE ratio (ties broken by id),
     * so both engines pick the same candidate set; the re-rank surfaces
     * ranks only, like [[bruteForceTopK]].
+    *
+    * EAGER in the stored-codes shape: the coarse pass EXECUTES at call
+    * time (the winner ids must exist to be pushed into the float fetch),
+    * so the returned DataFrame embeds the winners as of the CALL — build
+    * it after the corpus is final, not ahead of data arrival. `m` is the
+    * candidate budget and bounds that driver collect; it is require-
+    * capped at [[VectorFunctions.QuantizedCandidateBudgetMax]] (the same
+    * cost class as a runtime-filter key set).
     */
   def quantizedTopK(df: DataFrame, queryVec: DataFrame, idCol: String,
                     vecCol: String, k: Int, m: Int,
-                    codesCol: Option[String] = None): DataFrame = {
-    val q = broadcast(queryVec.select(col("q").as("_graft_q"),
-      quantizeInt8(col("q")).getField("codes").as("_graft_qcodes")))
-    def coarse(corpus: DataFrame, codes: Column): DataFrame = corpus
-      .withColumn("_graft_codes", codes)
-      .crossJoin(q)
-      .withColumn("_graft_qsim", quantizedCosine(col("_graft_codes"), col("_graft_qcodes")))
-      .orderBy(col("_graft_qsim").desc, col(idCol))
-      .limit(m)
+                    codesCol: Option[String] = None): DataFrame =
     codesCol match {
-      case Some(cc) =>
-        // coarse pass sees (id, codes) only — nothing else survives into
-        // the scan's ReadSchema. The m winner ids collect to the driver
-        // (BOUNDED by contract: m is the candidate budget, the same
-        // shape as a probe-cell list) and push back as an In filter, so
-        // the float fetch reaches the scan as PushedFilters and
-        // row-group stats / bloom can skip — a broadcast join here would
-        // read the float column of every corpus row to keep m
-        val winnerIds = coarse(df.select(col(idCol), col(cc)), col(cc))
-          .select(col(idCol)).collect().map(_.get(0)).toSeq
-        val rerank = df.select(col(idCol), col(vecCol))
-          .filter(if (winnerIds.isEmpty) lit(false) else col(idCol).isin(winnerIds: _*))
-          .crossJoin(q)
-          .withColumn("sim", cosineSimilarity(col(vecCol), col("_graft_q")))
-        rankTopK(rerank, idCol, k)
+      case Some(cc) => quantizedTopKStaged(df, queryVec, idCol, vecCol, k, m, cc)._2
       case None =>
-        val c = coarse(df, quantizeInt8(col(vecCol)).getField("codes"))
+        requireBudget(k, m)
+        val q = quantizedQuery(queryVec)
+        val c = coarseRank(df, quantizeInt8(col(vecCol)).getField("codes"),
+          idCol, m, q)
         rankTopK(c.withColumn("sim",
           cosineSimilarity(col(vecCol), col("_graft_q"))), idCol, k)
     }
+
+  /** [[quantizedTopK]]'s stored-codes path, returning BOTH the coarse
+    * DataFrame it executed and the re-rank result, so a caller can pin
+    * plan facts (ReadSchema, PushedFilters) on the ACTUAL executed scans
+    * rather than a reconstruction (the x_ann_index_quantized gate does).
+    * The coarse pass runs eagerly here — see the eager-execution note on
+    * [[quantizedTopK]].
+    */
+  private[graft] def quantizedTopKStaged(df: DataFrame, queryVec: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      cc: String): (DataFrame, DataFrame) = {
+    requireBudget(k, m)
+    val q = quantizedQuery(queryVec)
+    // coarse pass sees (id, codes) only — nothing else survives into
+    // the scan's ReadSchema. The m winner ids collect to the driver
+    // (BOUNDED: m is the require-capped candidate budget, the same
+    // shape as a probe-cell list) and push back as an In filter, so
+    // the float fetch reaches the scan as PushedFilters and
+    // row-group stats / bloom can skip — a broadcast join here would
+    // read the float column of every corpus row to keep m
+    val coarseExec = coarseRank(df.select(col(idCol), col(cc)), col(cc),
+      idCol, m, q).select(col(idCol))
+    val winnerIds = coarseExec.collect().map(_.get(0)).toSeq
+    val rerank = df.select(col(idCol), col(vecCol))
+      .filter(if (winnerIds.isEmpty) lit(false) else col(idCol).isin(winnerIds: _*))
+      .crossJoin(q)
+      .withColumn("sim", cosineSimilarity(col(vecCol), col("_graft_q")))
+    (coarseExec, rankTopK(rerank, idCol, k))
   }
+
+  /** Upper bound on [[quantizedTopK]]'s candidate budget `m`: it sizes a
+    * driver collect and an In expression, so it must stay in the
+    * runtime-filter cost class, never "most of the corpus".
+    */
+  val QuantizedCandidateBudgetMax: Int = 100000
+
+  private def requireBudget(k: Int, m: Int): Unit =
+    require(k >= 1 && m >= k && m <= QuantizedCandidateBudgetMax,
+      s"candidate budget out of range: k=$k, m=$m " +
+        s"(need 1 <= k <= m <= $QuantizedCandidateBudgetMax)")
+
+  private def quantizedQuery(queryVec: DataFrame): DataFrame =
+    broadcast(queryVec.select(col("q").as("_graft_q"),
+      quantizeInt8(col("q")).getField("codes").as("_graft_qcodes")))
+
+  private def coarseRank(corpus: DataFrame, codes: Column, idCol: String,
+                         m: Int, q: DataFrame): DataFrame = corpus
+    .withColumn("_graft_codes", codes)
+    .crossJoin(q)
+    .withColumn("_graft_qsim", quantizedCosine(col("_graft_codes"), col("_graft_qcodes")))
+    .orderBy(col("_graft_qsim").desc, col(idCol))
+    .limit(m)
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`
     * (a small broadcast list — at scale, k-means centroids; any fixed,

@@ -327,30 +327,43 @@ object Extensions {
       .head.getSeq[Long](0)
     val scan = t.scan(Predicate.In("cell", probeCells))
     val corpus = scan.toDF(s).filter(col("vec_id") % 97 =!= 0)
-    // coarse-half pin, checked BEFORE the probe runs: quantizedTopK's
-    // coarse pass plans its scan from exactly this projection of exactly
-    // this corpus df (projection pruning is driven by the select), so
-    // its FileScan line is this one. ReadSchema is (vec_id, cell,
-    // codes): the 8-byte cell column rides along because the probe's
-    // In-filter re-checks it as a residual DataFilter — the byte cut
-    // being pinned is the FLOAT column's absence.
-    val coarseScans = corpus.select(col("vec_id"), col("codes"))
-      .queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("FileScan")).toList
-    val coarseCodesOnly = coarseScans.nonEmpty && coarseScans.forall(l =>
-      l.contains("codes:array<int>") && !l.contains("v:array<double>"))
-    val topk = VF.quantizedTopK(corpus, q, "vec_id", "v", 10, 50,
-      codesCol = Some("codes"))
-    // re-rank-half pin, on the plan that executes below: the coarse
-    // winners collapsed to a driver-side id list inside quantizedTopK,
-    // so topk's lineage IS the re-rank — its index scan must fetch
-    // floats under the pushed In(vec_id) winner filter with codes absent
-    val rerankScans = topk.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("FileScan")).toList
-    val rerankPushed = rerankScans.exists(l =>
-        l.contains("v:array<double>") && l.contains("In(vec_id")) &&
-      !rerankScans.exists(_.contains("codes:array<int>"))
-    val codesOnly = coarseCodesOnly && rerankPushed
+    // plan-string facts below would silently weaken if Spark truncated
+    // the metadata (ReadSchema/PushedFilters) out of the dump — raise
+    // the limit for the pin, restore after
+    val metaLenKey = "spark.sql.maxMetadataStringLength"
+    val metaLenPrior = s.conf.get(metaLenKey)
+    s.conf.set(metaLenKey, "100000")
+    val (codesOnly, coarseScans, rerankScans, topk) = try {
+      // BOTH pins land on the plans quantizedTopK actually executed: the
+      // staged variant returns its coarse DataFrame (already run — the
+      // winner collect), so the coarse ReadSchema fact is the executing
+      // scan's, not a reconstruction that could drift from the
+      // implementation. ReadSchema there is (vec_id, cell, codes): the
+      // 8-byte cell column rides along because the probe's In-filter
+      // re-checks it as a residual DataFilter — the byte cut being
+      // pinned is the FLOAT column's absence.
+      val (coarseExec, tk) = VF.quantizedTopKStaged(corpus, q,
+        "vec_id", "v", 10, 50, "codes")
+      // the facts are about the INDEX TABLE's scans — the executed plans
+      // also contain the query vector's own (float) scan, filtered out
+      // here by table location
+      def indexScans(df: DataFrame): List[String] =
+        df.queryExecution.executedPlan.toString
+          .linesIterator.filter(l =>
+            l.contains("FileScan") && l.contains(t.location)).toList
+      val cs = indexScans(coarseExec)
+      val coarseCodesOnly = cs.nonEmpty && cs.forall(l =>
+        l.contains("codes:array<int>") && !l.contains("v:array<double>"))
+      // re-rank-half pin: the coarse winners collapsed to a driver-side
+      // id list, so tk's lineage IS the re-rank — its index scan must
+      // fetch floats under the pushed In(vec_id) winner filter with
+      // codes absent
+      val rs = indexScans(tk)
+      val rerankPushed = rs.nonEmpty && rs.forall(l =>
+          l.contains("v:array<double>") && l.contains("In(vec_id") &&
+          !l.contains("codes:array<int>"))
+      (coarseCodesOnly && rerankPushed, cs, rs, tk)
+    } finally s.conf.set(metaLenKey, metaLenPrior)
     val brute = VF.bruteForceTopK(
         clustered.filter(col("vec_id") % 97 =!= 0), q, "vec_id", "v", 10)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
