@@ -251,7 +251,21 @@ object Bench {
     val verdict =
       if (polluted) s""","verdict":"polluted — rerun","attempts":$attempt"""
       else s""","verdict":"clean","attempts":$attempt"""
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"sf":"$sfDir"$filter$verdict}"""
+    // captured_at + git_head stamp (ADVICE r12): the round-stamped archive
+    // below infers its round from directory state, which can mispair a
+    // late re-run with the wrong round; these two fields make every
+    // capture independently auditable (which commit, when) so a comparer
+    // can cross-check a suspect pairing instead of trusting the filename.
+    val capturedAt = java.time.Instant.now().toString
+    val gitHead = try {
+      val headRef = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+      if (headRef.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git", headRef.stripPrefix("ref: "))), "UTF-8").trim.take(12)
+      else headRef.take(12)
+    } catch { case _: java.io.IOException => "unknown" }
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"captured_at":"$capturedAt","git_head":"$gitHead","sf":"$sfDir"$filter$verdict}"""
     println(fullJson)
     // Persist the full line to a FILE as well (round-9 verdict #6): the
     // driver's log-tail capture truncates the ~165-query map (BENCH_r09
@@ -289,15 +303,37 @@ object Bench {
           // round, so cross-round compares could adjudicate only a dozen of
           // ~170 common queries. The archive pins the FULL per-query map
           // per round; bench_compare.py prefers it over the driver tail.
-          // Round = max existing BENCH_r{NN}.json + 1 — this run happens
-          // BEFORE the driver writes its artifact for the current round.
+          // Round: SPARK_GRAFT_ROUND wins when set (ADVICE r12 — the
+          // max+1 inference below is only correct when Bench runs
+          // strictly BEFORE the driver writes BENCH_r{N}.json; a clean
+          // re-run after that write would otherwise archive under N+1
+          // and silently mispair next round's compare). Without the
+          // override, infer max existing BENCH_r{NN}.json + 1.
           val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
             .flatMap(n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
               .map(_.group(1).toInt))
-          val round = (if (prior.isEmpty) 0 else prior.max) + 1
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
-            (fullJson + "\n").getBytes("UTF-8"))
+          val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim.toInt)
+            .getOrElse((if (prior.isEmpty) 0 else prior.max) + 1)
+          // Keep-quietest guard: the archive exists to give cross-round
+          // per-query compares the lowest noise floor available, so a
+          // noisier capture of the same round never clobbers a quieter
+          // one already archived (r12 verdict #6 — that round's baseline
+          // was captured at host_factor 1.562 and degraded every r13
+          // ratio). A quieter or first capture always writes.
+          // Captures at DIFFERENT scale factors are incomparable, so the
+          // guard only arbitrates same-sf pairs; across sf the driver
+          // scale (sf0.1) wins — a stray sf0.001 full run must neither
+          // become nor block the round's baseline.
+          val target = java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json")
+          val existing = if (java.nio.file.Files.exists(target))
+            Some(new String(java.nio.file.Files.readAllBytes(target), "UTF-8"))
+          else None
+          if (shouldArchive(existing, sfDir, hostFactor))
+            java.nio.file.Files.write(target, (fullJson + "\n").getBytes("UTF-8"))
+          else
+            System.err.println(s"[bench] NOT overwriting $target: existing " +
+              s"capture is quieter or at driver scale (this run: sf=$sfDir, " +
+              s"host_factor=${fmt(hostFactor)})")
         }
       } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     }
@@ -314,5 +350,26 @@ object Bench {
     // records the numbers, but a stalled capture can never again be
     // mistaken for a clean artifact.
     if (polluted) sys.exit(2)
+  }
+
+  /** Whether a fresh clean capture should (over)write the round's
+    * BENCH_full_r{NN}.json archive, given the existing archive's raw JSON
+    * (None = no archive yet). Rules: captures at DIFFERENT scale factors
+    * are incomparable, so across sf the driver scale (sf0.1) wins — a
+    * stray sf0.001 full run must neither become nor block the round's
+    * baseline; within the same sf the QUIETER capture (lower host_factor)
+    * wins, so a noisy re-run never clobbers the clean baseline it exists
+    * to provide (r12 verdict #6: a host_factor-1.562 capture as the
+    * round baseline degrades every next-round ratio).
+    */
+  private[graft] def shouldArchive(existing: Option[String], sfDir: String,
+                                   hostFactor: Double): Boolean = existing match {
+    case None => true
+    case Some(t) =>
+      val priorHf = """"host_factor":([0-9.]+)""".r.findFirstMatchIn(t)
+        .map(_.group(1).toDouble)
+      val priorSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1))
+      if (priorSf.exists(_ != sfDir)) sfDir.contains("sf0.1")
+      else priorHf.forall(_ >= hostFactor)
   }
 }

@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.Bench
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-archive overwrite decision (Bench.shouldArchive): the
+  * BENCH_full_r{NN}.json baseline must end up as the QUIETEST capture of
+  * the round at the driver's scale, never silently replaced by a noisier
+  * re-run or a stray small-sf full run (ADVICE r12 + verdict #6).
+  */
+class BenchArchiveSpec extends AnyFunSuite {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def archived(sf: String, hf: Double): Option[String] = Some(
+    s"""{"metric":"total","value":1.0,"host_factor":$hf,"sf":"$sf","verdict":"clean"}""")
+
+  test("first capture of a round always archives") {
+    assert(Bench.shouldArchive(None, sf01, 1.9))
+  }
+
+  test("same sf: quieter capture overwrites, noisier is refused") {
+    assert(Bench.shouldArchive(archived(sf01, 1.562), sf01, 1.1))
+    assert(!Bench.shouldArchive(archived(sf01, 1.1), sf01, 1.562))
+    assert(Bench.shouldArchive(archived(sf01, 1.2), sf01, 1.2)) // tie: fresher wins
+  }
+
+  test("cross sf: the driver scale (sf0.1) wins in both directions") {
+    // stray sf0.001 full run must not clobber the sf0.1 baseline...
+    assert(!Bench.shouldArchive(archived(sf01, 9.9), sf0001, 1.0))
+    // ...and must not block the driver's later sf0.1 capture either
+    assert(Bench.shouldArchive(archived(sf0001, 1.0), sf01, 9.9))
+  }
+
+  test("unparseable existing archive: same-sf rule degrades to overwrite") {
+    assert(Bench.shouldArchive(Some("not json"), sf01, 2.0))
+  }
+}
