@@ -761,10 +761,21 @@ object Extensions {
       t: graft.table.GraftTable, hist: DataFrame, batch: DataFrame,
       stateStatementId: Option[String] = None,
       commitResults: DataFrame => Unit = _ => (),
-      fetchCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
+      fetchCandidates: Option[DataFrame => DataFrame] = None,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
     val batchSigs = bandSigsOf(batch).localCheckpoint() // nominate AND re-append
+    // the nomination reads the signature state through a RUNTIME-FILTERED
+    // scan: the batch's sig set (2 narrow rows per doc — bounded by the
+    // batch) pushes as an In probe so a sig-bloom state skips files that
+    // cannot collide with this batch. Sound for the (band, sig) equi-join
+    // — a pruned-away state row's sig is outside the batch set and could
+    // never produce a candidate; the probe is a SUPERSET cut (sig only,
+    // band re-checked by the join). Above the key cap it degrades to the
+    // full scan (the S15 discipline).
+    val stateScan = t.scanWithRuntimeFilter(batchSigs, "sig", "sig")
+    onStateScanMetrics(stateScan.metrics)
     val cand0 = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      .join(t.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+      .join(stateScan.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))
       .select("doc_a", "doc_b").distinct()
     // with a pruned fetch installed, cand is read twice (the fetch
@@ -823,17 +834,21 @@ object Extensions {
     *
     * Honest 100 TB cost accounting, the exact loop's discipline applied
     * here: each micro-batch pays one SIGNATURE-state scan for the
-    * (band, sig) nomination join — md5-band keys defeat file skipping,
-    * same as fingerprints — so `filesPerTrigger` remains the batch-sizing
-    * knob that amortizes the state scan; the text fetch no longer scales
-    * with the corpus at all.
+    * (band, sig) nomination join — and that read too is RUNTIME-FILTERED
+    * (the batch's sig set as an In probe against a sig-bloom state, the
+    * superset-cut detail on [[neardupAdmitAndAppend]]): md5-uniform sig
+    * min/max bounds never prune, the bloom plane can on small batches,
+    * and above the key cap the read degrades to the full scan.
+    * `filesPerTrigger` remains the batch-sizing knob that amortizes the
+    * state scan; the text fetch no longer scales with the corpus at all.
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalNeardup(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
       state: graft.table.GraftTable, corpus: graft.table.GraftTable,
       filesPerTrigger: Int = 1,
-      onFetchMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+      onFetchMetrics: graft.table.ScanMetrics => Unit = _ => (),
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       neardupAdmitAndAppend(s, state, corpus.toDF(s), b,
         stateStatementId = Some(s"$stage-sig-$batchId"),
@@ -844,7 +859,8 @@ object Extensions {
             cand.select("doc_b"), "doc_b", "doc_id")
           onFetchMetrics(sc.metrics)
           sc.toDF(s).select("doc_id", "text")
-        }): Unit
+        },
+        onStateScanMetrics = onStateScanMetrics): Unit
     }
 
   /** The streaming LM-scoring crawl loop — the x_stream_incremental_lm
@@ -863,11 +879,14 @@ object Extensions {
     * bg: c2 += cnt; unmatched: insert) — the W7 machinery keyed like
     * every other crawl commit.
     *
-    * The MODEL table is what each batch READS (one vocab-bounded scan);
-    * the delta LOG stays the source of truth, and the gate REQUIREs
-    * model ≡ log-sum after the crawl. Before r13 each batch re-summed
-    * the whole delta log — a scan that grew with crawl COUNT; the model
-    * read is bounded by vocab regardless of how many crawls accumulated.
+    * The MODEL table is what each batch READS; the delta LOG stays the
+    * source of truth, and the gate REQUIREs model ≡ log-sum after the
+    * crawl. Before r13 each batch re-summed the whole delta log — a scan
+    * that grew with crawl COUNT; the model read is bounded by vocab
+    * regardless of how many crawls accumulated, and is further
+    * RUNTIME-FILTERED by the batch's head-word set (w1-bucketed,
+    * w1-bloom'd — the soundness argument for why head-pruning keeps the
+    * fixed point exact is at the probe site below).
     *
     * Crash windows (results → log → merge, replay-idempotent at each):
     * after results only — the replay scores under a model WITHOUT the
@@ -884,15 +903,29 @@ object Extensions {
       schema: org.apache.spark.sql.types.StructType,
       state: graft.table.GraftTable, model: graft.table.GraftTable,
       results: graft.table.GraftTable,
-      filesPerTrigger: Int = 1): Int =
+      filesPerTrigger: Int = 1,
+      onModelScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val bb = b.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        .localCheckpoint() // In-probe collect + scoring join + delta rollup
+      // the model read is RUNTIME-FILTERED by HEAD WORD, not bigram: the
+      // fixed point q = (c2·1e6) div c1 needs c1(w1) = Σ over ALL bigrams
+      // starting with w1, so pruning by bg would undercount c1 — pruning
+      // by the batch's distinct w1 set keeps every row of every probed
+      // head (bloom/min-max never drop a matching file), making the
+      // pruned-model scores BIT-EQUAL to the full read (extra rows from
+      // false-positive files carry unprobed heads only, and those bgs
+      // never join a batch bigram whose head is by construction probed).
+      // The model is w1-bucketed + w1-bloom'd for exactly this probe;
+      // above the key cap the read degrades to the full scan.
+      val modelScan = model.scanWithRuntimeFilter(
+        bb.select(substring_index(col("bg"), " ", 1).as("w1")), "w1", "w1")
+      onModelScanMetrics(modelScan.metrics)
       // lmProbs pins the model internally at CALL time, so the merge
       // below cannot leak this batch's deltas into its own model even
       // under lazy recomputation
-      val probs = lmProbs(model.toDF(s).select(col("bg"), col("c2")))
-      val bb = b.select(col("doc_id"), col("lang"),
-          explode(TF.shingles(col("text"), 2)).as("bg"))
-        .localCheckpoint() // scoring join + delta rollup both read it
+      val probs = lmProbs(modelScan.toDF(s).select(col("bg"), col("c2")))
       val perDoc = bb.join(probs, Seq("bg"), "left")
         .groupBy("doc_id")
         .agg(min(col("lang")).as("lang"),
@@ -904,10 +937,12 @@ object Extensions {
         statementId = Some(s"$stage-res-$batchId"))
       state.append(s, deltas,
         statementId = Some(s"$stage-lm-$batchId"))
-      model.merge(s, deltas, Seq("bg" -> "bg"),
+      model.merge(s,
+        deltas.withColumn("w1", substring_index(col("bg"), " ", 1)),
+        Seq("bg" -> "bg"),
         whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
         whenNotMatchedInsert = Some(Map(
-          "bg" -> col("s.bg"), "c2" -> col("s.cnt"))),
+          "bg" -> col("s.bg"), "c2" -> col("s.cnt"), "w1" -> col("s.w1"))),
         statementId = Some(s"$stage-lmm-$batchId")): Unit
     }
 
@@ -927,19 +962,30 @@ object Extensions {
     * results append no-ops, the state append completes (state-first
     * would zero the replayed batch's own novelty and lose the scores).
     * Same per-batch state-scan cost knob as every crawl loop
-    * (`filesPerTrigger`).
+    * (`filesPerTrigger`) — and like the exact loop's, the state scan is
+    * a RUNTIME-FILTERED read: the batch's distinct-gram set pushes as an
+    * In probe (bounded by the batch the knob sizes), so the first-seen
+    * table's g-bloom and bucket planes skip files that cannot hold any
+    * batch gram — sound for the anti-join because a pruned-away state
+    * row's gram is outside the batch set and could never mark anything
+    * non-novel. Natural-language grams are not md5-uniform, so the
+    * min/max plane can contribute here too; above the key cap the read
+    * degrades to the full scan (the S15 discipline).
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalNovelty(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
       state: graft.table.GraftTable, results: graft.table.GraftTable,
-      filesPerTrigger: Int = 1): Int =
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val bg = b.select(col("doc_id"), col("lang"),
           explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
-        .localCheckpoint() // probe + rollup read it
+        .localCheckpoint() // In-probe collect + anti-join + rollup read it
+      val stateScan = state.scanWithRuntimeFilter(bg, "g", "g")
+      onStateScanMetrics(stateScan.metrics)
       val unseen = bg.select("doc_id", "g")
-        .join(state.toDF(s).select(col("g")), Seq("g"), "left_anti")
+        .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
         .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
         .localCheckpoint() // pinned BEFORE the state mutates; read twice
       val perDoc = bg
@@ -1017,16 +1063,28 @@ object Extensions {
     * same way).
     *
     * Honest 100 TB cost: each batch pays one ledger scan for the
-    * anti-join (md5-uniform hashes defeat file skipping) — the same
-    * sized knob as the exact loop's, exposed as `filesPerTrigger`.
+    * anti-join — the same sized knob as the exact loop's, exposed as
+    * `filesPerTrigger`. And like the exact loop's, the scan is a
+    * RUNTIME-FILTERED read: the batch's chunk-hash set (bounded by the
+    * batch — `filesPerTrigger` sizes it) pushes as an In probe, so the
+    * ledger's h-bloom and bucket planes skip files on small batches —
+    * sound for the anti-join because a pruned-away ledger row's hash is
+    * outside the batch set and could never reject anything; md5-uniform
+    * min/max bounds can never prune this state, the bloom plane can.
+    * Above `scanWithRuntimeFilter`'s key cap it degrades to the full
+    * scan (the S15 discipline).
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalChunkDedup(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType,
-      state: graft.table.GraftTable, w: Int, filesPerTrigger: Int = 1): Int =
+      state: graft.table.GraftTable, w: Int, filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val unseen = chunksOf(b, w)
-        .join(state.toDF(s).select(col("h")), Seq("h"), "left_anti")
+      val bc = chunksOf(b, w)
+        .localCheckpoint() // read twice: the In-probe collect + the anti-join
+      val stateScan = state.scanWithRuntimeFilter(bc, "h", "h")
+      onStateScanMetrics(stateScan.metrics)
+      val unseen = bc.join(stateScan.toDF(s).select(col("h")), Seq("h"), "left_anti")
       state.append(s, chunkKeepFirstLedger(unseen),
         statementId = Some(s"$stage-chunks-$batchId")): Unit
     }
@@ -3926,8 +3984,11 @@ object Extensions {
         val t = FixtureClock.timed { // history ledger build + staging I/O
           val cat = TableOps.newCatalog()
           val ledger = chunkKeepFirstLedger(chunksOf(hist, W))
+          // h-bloom indexed so each batch's runtime-filtered anti-join
+          // probe can skip ledger files (md5 min/max never prunes)
           val tbl = cat.createTable("db.chunk_first_s", ledger.schema,
-            partitionBy = Seq("h" -> Transform.Bucket(4)))
+            partitionBy = Seq("h" -> Transform.Bucket(4)),
+            properties = Map(graft.format.TableProperties.BloomColumns -> "h"))
           tbl.append(s, ledger)
           val ids = batch.agg(min(col("doc_id")),
             max(when(col("doc_id") < 1000000000L, col("doc_id")))).head
@@ -5319,7 +5380,8 @@ object Extensions {
         val cat = TableOps.newCatalog()
         val histSigs = bandSigsOf(hist)
         val t = cat.createTable("db.neardup_sigs", histSigs.schema,
-          partitionBy = Seq("sig" -> Transform.Bucket(4)))
+          partitionBy = Seq("sig" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
         t.append(s, histSigs)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val admitted = neardupAdmitAndAppend(s, t, hist, batch)
@@ -5402,7 +5464,8 @@ object Extensions {
         val cat = TableOps.newCatalog()
         val sigs1 = bandSigsOf(hist.filter(col("doc_id") % 4 === 0))
         val t = cat.createTable("db.neardup_sigs_c", sigs1.schema,
-          partitionBy = Seq("sig" -> Transform.Bucket(4)))
+          partitionBy = Seq("sig" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
         t.append(s, sigs1)
         t.append(s, bandSigsOf(hist.filter(col("doc_id") % 4 === 2)))
         // mid-sequence maintenance on the live signature state; the crawl
@@ -5516,7 +5579,8 @@ object Extensions {
           val cat = TableOps.newCatalog()
           val histSigs = bandSigsOf(hist)
           val tbl = cat.createTable("db.neardup_sigs_s", histSigs.schema,
-            partitionBy = Seq("sig" -> Transform.Bucket(4)))
+            partitionBy = Seq("sig" -> Transform.Bucket(4)),
+            properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
           tbl.append(s, histSigs)
           // the crawl CORPUS — history pre-loaded, admitted rows appended
           // per batch: doc_id-bucketed AND bloom-indexed so each batch's
@@ -6240,8 +6304,11 @@ object Extensions {
         val (t, res) = FixtureClock.timed { // history state + staging I/O
           val cat = TableOps.newCatalog()
           val fs = gramsOf(hist).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+          // g-bloom indexed so each batch's runtime-filtered anti-join
+          // probe can skip first-seen files it cannot match
           val tbl = cat.createTable("db.first_seen_s", fs.schema,
-            partitionBy = Seq("g" -> Transform.Bucket(4)))
+            partitionBy = Seq("g" -> Transform.Bucket(4)),
+            properties = Map(graft.format.TableProperties.BloomColumns -> "g"))
           tbl.append(s, fs)
           val resT = cat.createTable("db.novelty_s",
             new org.apache.spark.sql.types.StructType()
@@ -7350,12 +7417,16 @@ object Extensions {
             .add("bg", StringType).add("cnt", LongType),
             partitionBy = Seq("bg" -> Transform.Bucket(4)))
           tbl.append(s, histCounts)
-          // the COMPACT model table each batch reads (bounded by vocab);
-          // the delta log above stays the source of truth
+          // the COMPACT model table each batch reads (bounded by vocab,
+          // runtime-filtered by the batch's head-word set — w1-bucketed
+          // and w1-bloom'd for that probe); the delta log above stays
+          // the source of truth
           val mdl = cat.createTable("db.lm_model_s", new StructType()
-            .add("bg", StringType).add("c2", LongType),
-            partitionBy = Seq("bg" -> Transform.Bucket(4)))
-          mdl.append(s, histCounts.select(col("bg"), col("cnt").as("c2")))
+            .add("bg", StringType).add("c2", LongType).add("w1", StringType),
+            partitionBy = Seq("w1" -> Transform.Bucket(4)),
+            properties = Map(graft.format.TableProperties.BloomColumns -> "w1"))
+          mdl.append(s, histCounts.select(col("bg"), col("cnt").as("c2"),
+            substring_index(col("bg"), " ", 1).as("w1")))
           val resT = cat.createTable("db.lm_scores_s", new StructType()
             .add("doc_id", LongType).add("lang", StringType)
             .add("score", LongType).add("modeled", LongType))
@@ -7376,7 +7447,7 @@ object Extensions {
         // the model-maintenance invariant, REQUIREd: the merged-in-place
         // model equals the delta log's sum, row for row
         val logSum = t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
-        val modelDf = model.toDF(s)
+        val modelDf = model.toDF(s).select("bg", "c2")
         val modelMatchesLog = modelDf.except(logSum).isEmpty &&
           logSum.except(modelDf).isEmpty
         require(modelMatchesLog, "model table must equal the delta-log sum")

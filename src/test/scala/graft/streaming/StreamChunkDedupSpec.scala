@@ -104,4 +104,40 @@ class StreamChunkDedupSpec extends SparkSpec {
     assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
     assert(t.toDF(spark).count() == rows)
   }
+
+  test("small batches probe the ledger with a pruned runtime-filtered scan") {
+    // the exact loop's discipline applied to the chunk ledger: the
+    // batch's chunk-hash set is a bounded driver collect pushed as an In
+    // probe, so the h-bloom plane skips ledger files that cannot hold any
+    // batch hash (md5-uniform min/max never prunes this state). A grown
+    // many-file ledger + a 2-doc batch must scan a small fraction.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.chunk_ledger_probe",
+      Extensions.chunkKeepFirstLedger(Extensions.chunksOf(histDf, W)).schema,
+      partitionBy = Seq("h" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "h"))
+    (0 until 3).foreach { c =>
+      val hist = (0 until 200).map(i =>
+          (1000L + c * 200 + i, "en", s"h${c}a$i h${c}b$i h${c}c$i h${c}d$i"))
+        .toDF("doc_id", "lang", "text")
+      t.append(spark, Extensions.chunkKeepFirstLedger(Extensions.chunksOf(hist, W)))
+    }
+    // doc 1 repeats a crawl-0 chunk (rejects via the ledger); doc 2 fresh
+    val batch = Seq((1L, "en", "h0a5 h0b5 h0c5 h0d5"), (2L, "en", "f1 f2 f3 f4"))
+      .toDF("doc_id", "lang", "text")
+    val stage = TableOps.newTempDir("graft-scdspec-probe")
+    Extensions.stageOrderedSlices(batch, stage, lit(0), 1)
+    val scans = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
+    Extensions.streamIncrementalChunkDedup(spark, stage, docsSchema, t, W,
+      onStateScanMetrics = scans += _)
+    val keeps = t.toDF(spark).filter(col("f_doc") < 100L)
+      .select("f_doc").as[Long].collect().toSet
+    assert(keeps == Set(2L), s"dup chunk must reject, fresh keep: $keeps")
+    assert(scans.size == 1)
+    val m = scans.head
+    assert(m.filesTotal >= 10,
+      s"fixture must spread the ledger over many files: ${m.filesTotal}")
+    assert(m.filesScanned * 2 < m.filesTotal,
+      s"small-batch ledger probe must prune: ${m.filesScanned}/${m.filesTotal}")
+  }
 }

@@ -138,4 +138,50 @@ class StreamIncrementalNeardupSpec extends SparkSpec {
     assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
     assert(corpus.toDF(spark).count() == rows && state.toDF(spark).count() == stateRows)
   }
+
+  test("small batches probe the signature state with a pruned runtime-filtered scan") {
+    // the exact loop's discipline applied to the NOMINATION read: the
+    // batch's sig set (2 narrow rows per doc) is a bounded driver collect
+    // pushed as an In probe, so a sig-bloom state skips files that cannot
+    // collide with this batch (md5-uniform sig min/max never prunes; the
+    // probe is a superset cut — band re-checked by the join). A grown
+    // many-file state + a 2-doc batch must scan a small fraction.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.nd_sigs_probe",
+      Extensions.bandSigsOf(histDf).schema,
+      partitionBy = Seq("sig" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
+    (0 until 3).foreach { c =>
+      val hist = (0 until 200).map(i =>
+          (1000L + c * 200 + i, s"w${c}a$i w${c}b$i w${c}c$i w${c}d$i w${c}e$i w${c}f$i w${c}g$i"))
+        .toDF("doc_id", "text")
+      state.append(spark, Extensions.bandSigsOf(hist))
+    }
+    val corpus = cat.createTable("db.nd_corpus_probe", docsSchema,
+      partitionBy = Seq("doc_id" -> graft.format.Transform.Bucket(8)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "doc_id"))
+    // doc 1 is an exact copy of a crawl-0 doc (nominates + rejects); doc
+    // 2 is fresh (admits)
+    val batch = Seq(
+      (1L, "w0a5 w0b5 w0c5 w0d5 w0e5 w0f5 w0g5"),
+      (2L, "fresh tokens nothing shared with any state doc")
+    ).toDF("doc_id", "text")
+    // the rejection needs doc_b's TEXT in the corpus ledger
+    corpus.append(spark, Seq((1005L, "w0a5 w0b5 w0c5 w0d5 w0e5 w0f5 w0g5"))
+      .toDF("doc_id", "text"))
+    val stage = TableOps.newTempDir("graft-sndspec-probe")
+    Extensions.stageOrderedSlices(batch, stage, lit(0), 1)
+    val scans = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
+    Extensions.streamIncrementalNeardup(spark, stage, docsSchema, state, corpus,
+      onStateScanMetrics = scans += _)
+    val admitted = corpus.toDF(spark).filter(col("doc_id") < 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L), s"state near-dup must reject, fresh admit: $admitted")
+    assert(scans.size == 1)
+    val m = scans.head
+    assert(m.filesTotal >= 10,
+      s"fixture must spread the state over many files: ${m.filesTotal}")
+    assert(m.filesScanned * 2 < m.filesTotal,
+      s"small-batch nomination probe must prune: ${m.filesScanned}/${m.filesTotal}")
+  }
 }

@@ -48,9 +48,11 @@ class StreamLmSpec extends SparkSpec {
       partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
     state.append(spark, histCounts)
     val model = cat.createTable("db.lm_model_spec", new StructType()
-      .add("bg", StringType).add("c2", LongType),
-      partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
-    model.append(spark, histCounts.select(col("bg"), col("cnt").as("c2")))
+      .add("bg", StringType).add("c2", LongType).add("w1", StringType),
+      partitionBy = Seq("w1" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "w1"))
+    model.append(spark, histCounts.select(col("bg"), col("cnt").as("c2"),
+      substring_index(col("bg"), " ", 1).as("w1")))
     val results = cat.createTable("db.lm_res_spec", new StructType()
       .add("doc_id", LongType).add("lang", StringType)
       .add("score", LongType).add("modeled", LongType))
@@ -62,7 +64,7 @@ class StreamLmSpec extends SparkSpec {
   private def modelMatchesLog(state: graft.table.GraftTable,
       model: graft.table.GraftTable): Boolean = {
     val logSum = state.toDF(spark).groupBy("bg").agg(sum(col("cnt")).as("c2"))
-    val m = model.toDF(spark)
+    val m = model.toDF(spark).select("bg", "c2")
     m.except(logSum).isEmpty && logSum.except(m).isEmpty
   }
 
@@ -152,5 +154,54 @@ class StreamLmSpec extends SparkSpec {
     assert(results.toDF(spark).count() == 2 &&
       state.toDF(spark).agg(sum(col("cnt"))).head.getLong(0) == 9L)
     assert(modelMatchesLog(state, model))
+  }
+
+  test("the model read is head-word pruned and bit-equal to full-model scores") {
+    // the fixed point q = (c2·1e6) div c1 needs c1(w1) over ALL of a
+    // head's bigrams, so the model read prunes by the batch's HEAD-WORD
+    // set, never by bigram: every probed head's rows all survive pruning
+    // (bloom/min-max never drop a matching file), making the pruned-read
+    // scores bit-equal to the full read. A grown many-file model + a
+    // 1-doc batch must also scan a small fraction of the model's files.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.lm_log_probe", new StructType()
+      .add("bg", StringType).add("cnt", LongType),
+      partitionBy = Seq("bg" -> graft.format.Transform.Bucket(4)))
+    val model = cat.createTable("db.lm_model_probe", new StructType()
+      .add("bg", StringType).add("c2", LongType).add("w1", StringType),
+      partitionBy = Seq("w1" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "w1"))
+    (0 until 3).foreach { c =>
+      // 50 heads per crawl, 4 tail bigrams each, c2 = 1..4 within a head
+      val counts = (0 until 200).map(i => (s"h${c}d${i / 4} tl$i", (i % 4 + 1).toLong))
+        .toDF("bg", "cnt")
+      state.append(spark, counts)
+      model.append(spark, counts.select(col("bg"), col("cnt").as("c2"),
+        substring_index(col("bg"), " ", 1).as("w1")))
+    }
+    val results = cat.createTable("db.lm_res_probe", new StructType()
+      .add("doc_id", LongType).add("lang", StringType)
+      .add("score", LongType).add("modeled", LongType))
+    val batch = Seq((1L, "en", "h0d5 tl20")).toDF("doc_id", "lang", "text")
+    // expected under the FULL pre-crawl model, via the shipped fixed point
+    val fullScore = Extensions.lmProbs(model.toDF(spark).select(col("bg"), col("c2")))
+      .filter(col("bg") === "h0d5 tl20").select("q").as[Long].head()
+    assert(fullScore == 100000L, // c2=1, c1(h0d5)=1+2+3+4 — pencil check
+      s"fixture arithmetic drifted: $fullScore")
+    val stage = TableOps.newTempDir("graft-slmspec-probe")
+    Extensions.stageOrderedSlices(batch, stage, lit(0), 1)
+    val scans = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
+    Extensions.streamIncrementalLm(spark, stage, docsSchema, state, model, results,
+      onModelScanMetrics = scans += _)
+    val got = results.toDF(spark)
+      .select("doc_id", "score", "modeled").as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, fullScore, 1L)),
+      s"pruned-model scoring diverged from the full model: $got vs $fullScore")
+    assert(scans.size == 1)
+    val m = scans.head
+    assert(m.filesTotal >= 10,
+      s"fixture must spread the model over many files: ${m.filesTotal}")
+    assert(m.filesScanned * 2 < m.filesTotal,
+      s"small-batch model probe must prune: ${m.filesScanned}/${m.filesTotal}")
   }
 }

@@ -98,4 +98,43 @@ class StreamNoveltySpec extends SparkSpec {
     assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
     assert(results.toDF(spark).count() == 4 && state.toDF(spark).count() == 6)
   }
+
+  test("small batches probe the first-seen state with a pruned runtime-filtered scan") {
+    // the exact loop's discipline applied to the first-seen table: the
+    // batch's distinct-gram set is a bounded driver collect pushed as an
+    // In probe, so the g-bloom (and, for natural-language grams, min/max)
+    // planes skip state files that cannot hold any batch gram. A grown
+    // many-file state + a 2-doc batch must scan a small fraction.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.fs_spec_probe",
+      new StructType().add("g", StringType).add("first_doc", LongType),
+      partitionBy = Seq("g" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "g"))
+    (0 until 3).foreach { c =>
+      state.append(spark, (0 until 200).map(i =>
+          (s"h${c}a$i h${c}b$i h${c}c$i", 1000L + c * 200 + i))
+        .toDF("g", "first_doc"))
+    }
+    val results = cat.createTable("db.nov_spec_probe", new StructType()
+      .add("doc_id", LongType).add("lang", StringType)
+      .add("n_grams", LongType).add("novel", LongType))
+    // doc 1's gram was claimed by crawl 0 (non-novel via state); doc 2 fresh
+    val batch = Seq((1L, "en", "h0a5 h0b5 h0c5"), (2L, "en", "f1 f2 f3"))
+      .toDF("doc_id", "lang", "text")
+    val stage = TableOps.newTempDir("graft-snovspec-probe")
+    Extensions.stageOrderedSlices(batch, stage, lit(0), 1)
+    val scans = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
+    Extensions.streamIncrementalNovelty(spark, stage, docsSchema, state, results,
+      onStateScanMetrics = scans += _)
+    val novel = results.toDF(spark).select("doc_id", "novel")
+      .as[(Long, Long)].collect().toMap
+    assert(novel == Map(1L -> 0L, 2L -> 1L),
+      s"state-claimed gram must read non-novel, fresh gram novel: $novel")
+    assert(scans.size == 1)
+    val m = scans.head
+    assert(m.filesTotal >= 10,
+      s"fixture must spread the state over many files: ${m.filesTotal}")
+    assert(m.filesScanned * 2 < m.filesTotal,
+      s"small-batch state probe must prune: ${m.filesScanned}/${m.filesTotal}")
+  }
 }
