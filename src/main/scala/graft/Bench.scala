@@ -328,7 +328,7 @@ object Bench {
           val existing = if (java.nio.file.Files.exists(target))
             Some(new String(java.nio.file.Files.readAllBytes(target), "UTF-8"))
           else None
-          if (shouldArchive(existing, sfDir, hostFactor))
+          if (shouldArchive(existing, sfDir, hostFactor, gitHead))
             java.nio.file.Files.write(target, (fullJson + "\n").getBytes("UTF-8"))
           else
             System.err.println(s"[bench] NOT overwriting $target: existing " +
@@ -354,22 +354,29 @@ object Bench {
 
   /** Whether a fresh clean capture should (over)write the round's
     * BENCH_full_r{NN}.json archive, given the existing archive's raw JSON
-    * (None = no archive yet). Rules: captures at DIFFERENT scale factors
-    * are incomparable, so across sf the driver scale (sf0.1) wins — a
-    * stray sf0.001 full run must neither become nor block the round's
-    * baseline; within the same sf the QUIETER capture (lower host_factor)
-    * wins, so a noisy re-run never clobbers the clean baseline it exists
-    * to provide (r12 verdict #6: a host_factor-1.562 capture as the
-    * round baseline degrades every next-round ratio).
+    * (None = no archive yet). Rules, most specific first: captures at
+    * DIFFERENT scale factors are incomparable, so across sf the driver
+    * scale (sf0.1) wins — a stray sf0.001 full run must neither become
+    * nor block the round's baseline. Captures of DIFFERENT code (git_head
+    * mismatch) are not re-measurements of each other, so the newer
+    * capture wins — an archive must reflect the code the round ships,
+    * never a quiet-but-stale mid-round snapshot. Only between same-sf
+    * same-code captures does the QUIETER one (lower host_factor) win, so
+    * a noisy re-run never clobbers the clean baseline it exists to
+    * provide (r12 verdict #6: a host_factor-1.562 capture as the round
+    * baseline degrades every next-round ratio).
     */
   private[graft] def shouldArchive(existing: Option[String], sfDir: String,
-                                   hostFactor: Double): Boolean = existing match {
+                                   hostFactor: Double,
+                                   gitHead: String = "unknown"): Boolean = existing match {
     case None => true
     case Some(t) =>
       val priorHf = """"host_factor":([0-9.]+)""".r.findFirstMatchIn(t)
         .map(_.group(1).toDouble)
       val priorSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1))
+      val priorHead = """"git_head":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1))
       if (priorSf.exists(_ != sfDir)) sfDir.contains("sf0.1")
+      else if (priorHead.exists(_ != gitHead)) true
       else priorHf.forall(_ >= hostFactor)
   }
 }

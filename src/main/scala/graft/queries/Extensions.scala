@@ -37,6 +37,24 @@ object Extensions {
     */
   val PairBroadcastMaxRows: Long = 1000000L
 
+  /** Key cap for the crawl loops' per-batch STATE probes (fp / chunk-hash
+    * / gram / sig / model-head runtime filters) — a COST-EFFECTIVENESS
+    * bound, deliberately far below [[graft.table.GraftTable
+    * .scanWithRuntimeFilter]]'s driver-safety default: a bloom plane's
+    * file-skip probability is ~(1-fpr)^k ≈ e^(-k·fpr), already ~0 at
+    * k=1000 keys with fpr=1%, and a ≤128-way bucket plane saturates even
+    * sooner — so probing with a mega-batch's 50k+ keys reads every file
+    * anyway and pays a per-batch distinct+collect plus a 50k-literal
+    * predicate for nothing (measured: +2x on the novelty gate's
+    * corpus-half batches). Below the cap the probe is the production
+    * small-batch win the specs measure; above it the loop reads the full
+    * state directly — the same answer, minus the pointless collect. The
+    * fuzzy loop's candidate-TEXT fetch keeps the wide default instead:
+    * its key set is candidate-sized by construction, and an In cut there
+    * bounds bytes read even when file skipping saturates.
+    */
+  val CrawlProbeMaxKeys: Int = 1024
+
   /** Materialize a candidate-pair set once (localCheckpoint — distributed,
     * lineage-cut, so the count below does NOT recompute the generation
     * pipeline and the verify joins reuse the same blocks) and measure it
@@ -519,7 +537,8 @@ object Extensions {
       val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
         .localCheckpoint() // read twice: the In-probe collect + the anti-join
-      val stateScan = state.scanWithRuntimeFilter(first, "fp", "fp")
+      val stateScan = state.scanWithRuntimeFilter(first, "fp", "fp",
+        maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
       val adm = first
         .join(stateScan.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
@@ -772,7 +791,8 @@ object Extensions {
     // never produce a candidate; the probe is a SUPERSET cut (sig only,
     // band re-checked by the join). Above the key cap it degrades to the
     // full scan (the S15 discipline).
-    val stateScan = t.scanWithRuntimeFilter(batchSigs, "sig", "sig")
+    val stateScan = t.scanWithRuntimeFilter(batchSigs, "sig", "sig",
+      maxKeys = CrawlProbeMaxKeys)
     onStateScanMetrics(stateScan.metrics)
     val cand0 = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(stateScan.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -920,7 +940,8 @@ object Extensions {
       // The model is w1-bucketed + w1-bloom'd for exactly this probe;
       // above the key cap the read degrades to the full scan.
       val modelScan = model.scanWithRuntimeFilter(
-        bb.select(substring_index(col("bg"), " ", 1).as("w1")), "w1", "w1")
+        bb.select(substring_index(col("bg"), " ", 1).as("w1")), "w1", "w1",
+        maxKeys = CrawlProbeMaxKeys)
       onModelScanMetrics(modelScan.metrics)
       // lmProbs pins the model internally at CALL time, so the merge
       // below cannot leak this batch's deltas into its own model even
@@ -982,7 +1003,8 @@ object Extensions {
       val bg = b.select(col("doc_id"), col("lang"),
           explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
         .localCheckpoint() // In-probe collect + anti-join + rollup read it
-      val stateScan = state.scanWithRuntimeFilter(bg, "g", "g")
+      val stateScan = state.scanWithRuntimeFilter(bg, "g", "g",
+        maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
       val unseen = bg.select("doc_id", "g")
         .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
@@ -1082,7 +1104,8 @@ object Extensions {
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val bc = chunksOf(b, w)
         .localCheckpoint() // read twice: the In-probe collect + the anti-join
-      val stateScan = state.scanWithRuntimeFilter(bc, "h", "h")
+      val stateScan = state.scanWithRuntimeFilter(bc, "h", "h",
+        maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
       val unseen = bc.join(stateScan.toDF(s).select(col("h")), Seq("h"), "left_anti")
       state.append(s, chunkKeepFirstLedger(unseen),
@@ -5585,9 +5608,16 @@ object Extensions {
           // the crawl CORPUS — history pre-loaded, admitted rows appended
           // per batch: doc_id-bucketed AND bloom-indexed so each batch's
           // candidate-text fetch prunes to the nominated ids' files (the
-          // x_incremental_dedup state shape, applied to TEXT)
+          // x_incremental_dedup state shape, applied to TEXT). Bucket
+          // count SIZED TO THE CORPUS: partitionBy writes one file per
+          // bucket value present per commit, so an oversized bucket count
+          // taxes every commit with file fanout (128 buckets on this
+          // sf-scale corpus doubled the gate's wall time) while 64 keeps
+          // the per-batch candidate probe (≤75 ids at sf0.1, hitting
+          // ~44/64 buckets) comfortably below a full read — at 100 TB
+          // you'd size this to data the same way.
           val corp = cat.createTable("db.neardup_corpus_s", batch.schema,
-            partitionBy = Seq("doc_id" -> Transform.Bucket(128)),
+            partitionBy = Seq("doc_id" -> Transform.Bucket(64)),
             properties = Map(graft.format.TableProperties.BloomColumns -> "doc_id"))
           corp.append(s, hist)
           stageOrderedSlices(batch, stage,

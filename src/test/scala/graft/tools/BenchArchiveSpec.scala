@@ -13,27 +13,35 @@ class BenchArchiveSpec extends AnyFunSuite {
   private val sf01 = "/root/testdata/sf0.1"
   private val sf0001 = "/root/testdata/sf0.001"
 
-  private def archived(sf: String, hf: Double): Option[String] = Some(
-    s"""{"metric":"total","value":1.0,"host_factor":$hf,"sf":"$sf","verdict":"clean"}""")
+  private def archived(sf: String, hf: Double, head: String = "aaaa11112222"): Option[String] = Some(
+    s"""{"metric":"total","value":1.0,"host_factor":$hf,"git_head":"$head","sf":"$sf","verdict":"clean"}""")
+
+  private val head = "aaaa11112222"
 
   test("first capture of a round always archives") {
-    assert(Bench.shouldArchive(None, sf01, 1.9))
+    assert(Bench.shouldArchive(None, sf01, 1.9, head))
   }
 
-  test("same sf: quieter capture overwrites, noisier is refused") {
-    assert(Bench.shouldArchive(archived(sf01, 1.562), sf01, 1.1))
-    assert(!Bench.shouldArchive(archived(sf01, 1.1), sf01, 1.562))
-    assert(Bench.shouldArchive(archived(sf01, 1.2), sf01, 1.2)) // tie: fresher wins
+  test("same sf + same code: quieter capture overwrites, noisier is refused") {
+    assert(Bench.shouldArchive(archived(sf01, 1.562), sf01, 1.1, head))
+    assert(!Bench.shouldArchive(archived(sf01, 1.1), sf01, 1.562, head))
+    assert(Bench.shouldArchive(archived(sf01, 1.2), sf01, 1.2, head)) // tie: fresher wins
+  }
+
+  test("different code: the newer capture always wins, however noisy") {
+    // a quiet-but-stale mid-round snapshot must never outlive the code
+    // the round actually ships
+    assert(Bench.shouldArchive(archived(sf01, 1.0, "oldcode00000"), sf01, 9.9, head))
   }
 
   test("cross sf: the driver scale (sf0.1) wins in both directions") {
     // stray sf0.001 full run must not clobber the sf0.1 baseline...
-    assert(!Bench.shouldArchive(archived(sf01, 9.9), sf0001, 1.0))
+    assert(!Bench.shouldArchive(archived(sf01, 9.9, head), sf0001, 1.0, head))
     // ...and must not block the driver's later sf0.1 capture either
-    assert(Bench.shouldArchive(archived(sf0001, 1.0), sf01, 9.9))
+    assert(Bench.shouldArchive(archived(sf0001, 1.0, head), sf01, 9.9, head))
   }
 
   test("unparseable existing archive: same-sf rule degrades to overwrite") {
-    assert(Bench.shouldArchive(Some("not json"), sf01, 2.0))
+    assert(Bench.shouldArchive(Some("not json"), sf01, 2.0, head))
   }
 }
