@@ -7537,6 +7537,229 @@ object Extensions {
         |  true AS compacted, true AS state_preserved,
         |  (SELECT count(*) FROM bg) AS state_total,
         |  CAST(3 AS BIGINT) AS model_commits, true AS model_matches_log
-        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X1r: RETRACTION from the durable fingerprint state — the
+    // right-to-be-forgotten leg of the dedup lifecycle (batch / durable
+    // / compacted / streaming / now RETRACT). A retraction request is a
+    // BOUNDED id list (the GDPR shape); its fingerprint set becomes a
+    // DELETE predicate whose In probe prunes the rewrite to the state
+    // files that plausibly hold a retracted fp (bucket + fp-bloom planes
+    // — the same planes the crawl probes use, now bounding a COW
+    // rewrite: at 100 TB a retraction touches the files it must, never
+    // the whole state). The recrawl then proves the SEMANTICS: exact
+    // copies of retracted docs ADMIT again (the state genuinely forgot),
+    // copies of surviving history still REJECT, and the state row counts
+    // before/after pin that exactly the retracted fps died. The oracle
+    // recomputes the post-retraction state from raw data.
+    ("x_dedup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val fps = hist.select(TF.fingerprint(col("text")).as("fp"))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.fp_retract", fps.schema,
+          partitionBy = Seq("fp" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
+        t.append(s, fps)
+        val rowsBefore = t.toDF(s).count()
+        // the bounded retraction request: every 20th history doc
+        val retractFps = hist.filter(col("doc_id") % 20 === 0)
+          .select(TF.fingerprint(col("text")).as("fp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        t.delete(s, Seq(Predicate.In("fp", retractFps)))
+        val rowsAfter = t.toDF(s).count()
+        // recrawl: copies of RETRACTED docs (+5e8) must admit now; copies
+        // of SURVIVING history (+6e8) must still reject; fresh odds admit
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 500000000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+          .unionByName(hist.filter(col("doc_id") % 20 === 2)
+            .select((col("doc_id") + 600000000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+        val firstIn = batch
+          .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val admitted = firstIn
+          .join(t.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+          .select("doc_id")
+        batch.join(broadcast(admitted), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("admitted"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(when(col("doc_id") >= 500000000L && col("doc_id") < 600000000L,
+              1L).otherwise(0L)).as("readmitted"))
+          .withColumn("state_rows_before", lit(rowsBefore))
+          .withColumn("state_rows_after", lit(rowsAfter))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
+        |retract AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0),
+        |state AS (
+        |  SELECT md5(text) AS fp FROM docs WHERE doc_id % 2 = 0
+        |    AND md5(text) NOT IN (SELECT fp FROM retract)),
+        |batch AS (
+        |  SELECT doc_id, lang, n_chars, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 2),
+        |first_in AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM batch GROUP BY 1),
+        |admitted AS (
+        |  SELECT f.doc_id FROM first_in f
+        |  WHERE NOT EXISTS (SELECT 1 FROM state h WHERE h.fp = f.fp))
+        |SELECT b.lang, count(*) AS admitted,
+        |  CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN b.doc_id >= 500000000 AND b.doc_id < 600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS readmitted,
+        |  (SELECT count(*) FROM docs WHERE doc_id % 2 = 0) AS state_rows_before,
+        |  (SELECT count(*) FROM state) AS state_rows_after
+        |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X7r: RETRACTION from the persisted inverted index — documents die,
+    // their postings die with them, and term probes must neither surface
+    // the retracted docs nor lose anyone else's rankings. The DELETE is
+    // keyed by the bounded retracted-id list against the token-bucketed
+    // postings table (COW here: doc_id cuts across every token bucket,
+    // so the rewrite legitimately visits candidate files — the
+    // under-approximating prunePreds rule); the probes after it must
+    // still partition-prune to the terms' buckets (retraction must not
+    // cost the index its read shape). postings_removed pins that exactly
+    // the retracted docs' (token, doc) rows died. Oracle: the
+    // x_keyword_search recomputation over the surviving docs only.
+    ("x_keyword_index_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.Predicate
+        val docs = Tables.documents(s, d)
+        val t = buildInvertedIndex(s, docs, TableOps.newCatalog())
+        val rowsBefore = t.toDF(s).count()
+        val ids = docs.filter(pmod(col("doc_id"), lit(5L)) === 2L)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        t.delete(s, Seq(Predicate.In("doc_id", ids)))
+        val rowsAfter = t.toDF(s).count()
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("pruned_a",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal))
+          .withColumn("pruned_b",
+            lit(scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .withColumn("postings_removed", lit(rowsBefore - rowsAfter))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf_all AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT * FROM tf_all WHERE doc_id % 5 <> 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS pruned_a, true AS pruned_b,
+        |  (SELECT count(*) FROM tf_all WHERE doc_id % 5 = 2) AS postings_removed
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // X3r: RETRACTION from the durable ANN index, MERGE-ON-READ — the
+    // 100 TB shape: a retraction must NOT rewrite a cell-partitioned
+    // vector index; it writes position-delete files (data file inventory
+    // pinned UNCHANGED, used_delete_files pinned true) and the very next
+    // probe reads through the merge while STILL partition-pruning to its
+    // nprobe cells (S4 composed with S2 on the vector store). The
+    // retracted ids are ranks 2/4/6 of the index's OWN pre-delete top-10
+    // — a retraction that verifiably changes answers, which both engines
+    // recompute deterministically — and the post-delete probe must match
+    // the oracle's recomputation over the surviving corpus, recall floor
+    // re-REQUIREd against the surviving brute force.
+    ("x_ann_index_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val assigned = clustered
+          .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+        val t = TableOps.newCatalog().createTable("db.ann_retract", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity),
+          properties = Map(graft.format.TableProperties.MergeOnRead -> "true"))
+        t.append(s, assigned)
+        val pre = prunedMultiprobeTopK(s, t, clustered, shiftCentroids)
+        val retractIds = pre.filter(col("rank").isin(2, 4, 6))
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+        val dataBefore = t.scan().dataFiles.size
+        t.delete(s, Seq(Predicate.In("vec_id", retractIds)))
+        val post = t.scan()
+        val survivors = clustered.filter(!col("vec_id").isInCollection(retractIds))
+        val out = prunedMultiprobeTopK(s, t, survivors, shiftCentroids)
+        require(out.filter(col("neighbor_id").isInCollection(retractIds)).isEmpty,
+          "retracted vectors must never surface from the post-delete probe")
+        out
+          .withColumn("used_delete_files", lit(post.deleteFiles.nonEmpty))
+          .withColumn("data_files_stable", lit(post.dataFiles.size == dataBefore))
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |top_pre AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10),
+        |retracted AS (SELECT neighbor_id FROM top_pre WHERE rank IN (2, 4, 6)),
+        |c2 AS (SELECT * FROM c
+        |  WHERE neighbor_id NOT IN (SELECT neighbor_id FROM retracted)),
+        |brute2 AS (SELECT neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rn
+        |    FROM c2, q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rank
+        |    FROM c2 JOIN assigned a ON a.vec_id = c2.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute2 b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  true AS used_delete_files, true AS data_files_stable
+        |FROM top t ORDER BY 1""".stripMargin)
   )
 }
