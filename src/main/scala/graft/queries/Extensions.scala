@@ -7760,6 +7760,191 @@ object Extensions {
         |    AS hit,
         |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
         |  true AS used_delete_files, true AS data_files_stable
-        |FROM top t ORDER BY 1""".stripMargin)
+        |FROM top t ORDER BY 1""".stripMargin),
+
+    // X2r: RETRACTION from the band-signature state — the fuzzy twin of
+    // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
+    // and its near-dups stop nominating against it, so lightly-edited
+    // recrawls of RETRACTED history ADMIT again while recrawls of
+    // surviving history keep rejecting (the fixture's %10 recrawl class
+    // splits exactly in half by the %20 retraction class). The oracle
+    // recomputes the whole banded-MinHash nomination + exact-Jaccard
+    // verify from raw text over the SURVIVING history only; state row
+    // counts pin that exactly the retracted docs' signatures died
+    // (2 narrow rows per doc — the deletion is as cheap as the state).
+    ("x_neardup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val (hist, batch) = neardupCrawlFixture(docs)
+        val cat = TableOps.newCatalog()
+        val histSigs = bandSigsOf(hist)
+        val t = cat.createTable("db.neardup_sigs_r", histSigs.schema,
+          partitionBy = Seq("sig" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
+        t.append(s, histSigs)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = hist.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        t.delete(s, Seq(Predicate.In("doc_id", retractIds)))
+        val rowsAfter = t.toDF(s).count()
+        val admitted = neardupAdmitAndAppend(s, t, hist, batch)
+        admitted.groupBy("lang").agg(count(lit(1)).as("admitted"),
+            sum(when(col("doc_id") >= 1000000000L &&
+              pmod(col("doc_id") - 1000000000L, lit(20L)) === 0L,
+              1L).otherwise(0L)).as("readmitted"))
+          .withColumn("state_rows_before", lit(rowsBefore))
+          .withColumn("state_rows_after", lit(rowsAfter))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM batch)),
+        |sh_h AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM hist)),
+        |b_b AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_b, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h_all AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_h, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h AS (SELECT * FROM b_h_all WHERE doc_id % 20 <> 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, h.doc_id AS doc_b
+        |  FROM b_b a JOIN b_h h ON a.b = h.b AND a.sig = h.sig),
+        |rej AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN sh_b x ON x.doc_id = c.doc_a
+        |  JOIN sh_h y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT b.lang, count(*) AS admitted,
+        |  CAST(SUM(CASE WHEN b.doc_id >= 1000000000
+        |    AND (b.doc_id - 1000000000) % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS readmitted,
+        |  (SELECT count(*) FROM b_h_all) AS state_rows_before,
+        |  (SELECT count(*) FROM b_h) AS state_rows_after
+        |FROM batch b LEFT JOIN rej r USING (doc_id)
+        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4s: UNLEARNING the LM model — retraction for a state whose rows
+    // are AGGREGATES, not memberships: a retracted doc's counts cannot be
+    // deleted row-wise, they must be SUBTRACTED. The retraction appends
+    // NEGATIVE (bg, cnt) deltas to the count log (the log stays a true
+    // append-only record — of additions and retractions alike) and one
+    // MERGE folds them into the model: matched heads decrement, and rows
+    // whose count reaches zero are DELETED by the merge's matched-delete
+    // branch (a zero-count bigram is not in the vocabulary — it must not
+    // score q=0-as-modeled where absence scores unmodeled). The
+    // model ≡ nonzero-log-sum invariant is REQUIREd across the
+    // unlearning, and the odd docs then score under the unlearned model —
+    // which the oracle reproduces by simply COUNTING over the surviving
+    // history (subtraction of counts ≡ recounting the survivors, the
+    // exactness retraction needs).
+    ("x_lm_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        def bgOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        val histCounts = bgOf(hist).groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // seeds BOTH the log and the model
+        val cat = TableOps.newCatalog()
+        val log = cat.createTable("db.lm_log_r", new StructType()
+          .add("bg", StringType).add("cnt", LongType),
+          partitionBy = Seq("bg" -> Transform.Bucket(4)))
+        log.append(s, histCounts)
+        val model = cat.createTable("db.lm_model_r", new StructType()
+          .add("bg", StringType).add("c2", LongType).add("w1", StringType),
+          partitionBy = Seq("w1" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "w1"))
+        model.append(s, histCounts.select(col("bg"), col("cnt").as("c2"),
+          substring_index(col("bg"), " ", 1).as("w1")))
+        val rowsBefore = model.toDF(s).count()
+        // unlearn every 20th history doc: negative deltas to the log, one
+        // decrement-or-delete MERGE into the model
+        val negDeltas = bgOf(hist.filter(col("doc_id") % 20 === 0))
+          .groupBy("bg").agg((-count(lit(1))).as("cnt"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .localCheckpoint() // log append + model merge both read it
+        log.append(s, negDeltas.select("bg", "cnt"))
+        model.merge(s, negDeltas, Seq("bg" -> "bg"),
+          whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
+          whenMatchedDelete = Some(col("t.c2") + col("s.cnt") === 0L),
+          insertWhenNotMatched = false)
+        val rowsAfter = model.toDF(s).count()
+        val logSum = log.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
+          .filter(col("c2") =!= 0L)
+        val modelDf = model.toDF(s).select("bg", "c2")
+        val modelMatchesLog = modelDf.except(logSum).isEmpty &&
+          logSum.except(modelDf).isEmpty
+        require(modelMatchesLog,
+          "unlearned model must equal the log's nonzero sums")
+        val probs = lmProbs(model.toDF(s).select(col("bg"), col("c2")))
+        bgOf(docs.filter(col("doc_id") % 2 === 1))
+          .join(probs, Seq("bg"), "left")
+          .groupBy("doc_id").agg(min(col("lang")).as("lang"),
+            expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
+            sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
+          .groupBy("lang").agg(count(lit(1)).as("docs"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(when(col("modeled") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
+          .withColumn("model_rows_before", lit(rowsBefore))
+          .withColumn("model_rows_after", lit(rowsAfter))
+          .withColumn("model_matches_log", lit(modelMatchesLog))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |hist AS (SELECT bg FROM bg WHERE doc_id % 2 = 0),
+        |surv AS (SELECT bg FROM bg WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM surv GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM surv GROUP BY 1),
+        |p AS (
+        |  SELECT c2.bg, (c2 * 1000000) // c1 AS q
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        |b AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 2 = 1),
+        |d AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score,
+        |    count(p.q) AS modeled
+        |  FROM b LEFT JOIN p USING (bg) GROUP BY 1)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
+        |  (SELECT count(DISTINCT bg) FROM hist) AS model_rows_before,
+        |  (SELECT count(*) FROM c2) AS model_rows_after,
+        |  true AS model_matches_log
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
