@@ -7945,6 +7945,161 @@ object Extensions {
         |  (SELECT count(DISTINCT bg) FROM hist) AS model_rows_before,
         |  (SELECT count(*) FROM c2) AS model_rows_after,
         |  true AS model_matches_log
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X1t: RETRACTION WITH RE-ELECTION from the chunk keep-first ledger —
+    // the hard retraction shape: a keep-first state doesn't just MEMBER a
+    // retracted doc, it may have elected it the canonical keeper of
+    // chunks that also live in surviving docs. Deleting the retracted
+    // rows alone would leave those chunks unclaimed and silently
+    // re-admittable; the repair RE-ELECTS keep-first over the SURVIVING
+    // corpus restricted to exactly the orphaned hashes (the shared
+    // [[chunkKeepFirstLedger]] rule — the re-election cannot drift from
+    // the original election), and hashes whose only occurrences were
+    // retracted rightly vanish. The gate REQUIREs the repaired ledger ≡
+    // the from-scratch keep-first over survivors, row for row — delete +
+    // re-elect must be indistinguishable from never having crawled the
+    // retracted docs — and the oracle recomputes that from-scratch state
+    // independently.
+    ("x_chunk_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val W = 16
+        val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+        val corpus = Tables.documents(s, d).select("doc_id", "lang", "text")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+        val cat = TableOps.newCatalog()
+        val ledger0 = chunkKeepFirstLedger(chunksOf(corpus, W))
+        val t = cat.createTable("db.chunk_ledger_r", ledger0.schema,
+          partitionBy = Seq("h" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "h"))
+        t.append(s, ledger0)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = corpus.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        // the orphaned hashes: chunks whose elected keeper dies — pinned
+        // BEFORE the delete mutates the table under them
+        val orphans = t.toDF(s)
+          .filter(col("f_doc").isInCollection(retractIds))
+          .select("h").localCheckpoint()
+        t.delete(s, Seq(Predicate.In("f_doc", retractIds)))
+        val survivors = corpus.filter(!col("doc_id").isInCollection(retractIds))
+        val reelected = chunkKeepFirstLedger(
+          chunksOf(survivors, W).join(orphans, Seq("h"))).localCheckpoint()
+        t.append(s, reelected)
+        val rowsAfter = t.toDF(s).count()
+        val scratch = chunkKeepFirstLedger(chunksOf(survivors, W))
+        val repaired = t.toDF(s)
+        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+          "repaired ledger must equal the from-scratch keep-first over survivors")
+        repaired.groupBy("lang")
+          .agg(count(lit(1)).as("kept_chunks"), sum(col("n_tok")).as("kept_tokens"))
+          .withColumn("rows_before", lit(rowsBefore))
+          .withColumn("rows_after", lit(rowsAfter))
+          .withColumn("reelected", lit(reelected.count()))
+          .orderBy("lang")
+      },
+      """WITH docs0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ||
+        |      ' subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |surv AS (SELECT * FROM docs0 WHERE doc_id % 20 <> 0),
+        |toked_f AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM docs0),
+        |chunks_f AS (
+        |  SELECT doc_id, lang, CAST((s - 1) // 16 AS BIGINT) AS ci,
+        |    CAST(least(16, len(t) - s + 1) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_f WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |fd_f AS (SELECT h, min(doc_id) AS f_doc FROM chunks_f GROUP BY 1),
+        |chunks_s AS (SELECT * FROM chunks_f WHERE doc_id % 20 <> 0),
+        |fd AS (SELECT h, min(doc_id) AS f_doc FROM chunks_s GROUP BY 1),
+        |fci AS (
+        |  SELECT c.h, f.f_doc, min(c.ci) AS f_ci
+        |  FROM chunks_s c JOIN fd f ON f.h = c.h AND c.doc_id = f.f_doc
+        |  GROUP BY 1, 2),
+        |ledger AS (
+        |  SELECT c.h, f.f_doc, f.f_ci, c.lang, c.n_tok
+        |  FROM chunks_s c JOIN fci f
+        |    ON c.h = f.h AND c.doc_id = f.f_doc AND c.ci = f.f_ci)
+        |SELECT lang, count(*) AS kept_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+        |  (SELECT count(*) FROM fd_f) AS rows_before,
+        |  (SELECT count(*) FROM ledger) AS rows_after,
+        |  (SELECT count(*) FROM ledger l JOIN fd_f f USING (h)
+        |   WHERE f.f_doc % 20 = 0) AS reelected
+        |FROM ledger GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // X4t: RETRACTION WITH RE-ELECTION from the first-seen gram state —
+    // the novelty twin of x_chunk_retract: a retracted doc may be the
+    // CLAIMANT of grams that also occur in surviving docs, so deleting
+    // its claims must re-elect each orphaned gram's first-seen to the
+    // earliest SURVIVING occurrence (grams only the retracted doc ever
+    // had rightly vanish — they are novel again for whoever says them
+    // next). Repaired state ≡ from-scratch first-seen over survivors
+    // REQUIREd row for row; the oracle recomputes it independently and
+    // rolls up claimed grams by the claimant's lang.
+    ("x_novelty_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        def gramsOf(df: DataFrame) = df.select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val cat = TableOps.newCatalog()
+        val fs0 = gramsOf(docs).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val t = cat.createTable("db.first_seen_r", fs0.schema,
+          partitionBy = Seq("g" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "g"))
+        t.append(s, fs0)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = docs.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val orphans = t.toDF(s)
+          .filter(col("first_doc").isInCollection(retractIds))
+          .select("g").localCheckpoint()
+        t.delete(s, Seq(Predicate.In("first_doc", retractIds)))
+        val survivors = docs.filter(!col("doc_id").isInCollection(retractIds))
+        val reelected = gramsOf(survivors).join(orphans, Seq("g"))
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+          .localCheckpoint()
+        t.append(s, reelected)
+        val rowsAfter = t.toDF(s).count()
+        val scratch = gramsOf(survivors)
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val repaired = t.toDF(s)
+        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+          "repaired first-seen state must equal the from-scratch election over survivors")
+        repaired.join(docs.select(col("doc_id").as("first_doc"), col("lang")),
+            Seq("first_doc"))
+          .groupBy("lang").agg(count(lit(1)).as("claimed_grams"))
+          .withColumn("rows_before", lit(rowsBefore))
+          .withColumn("rows_after", lit(rowsAfter))
+          .withColumn("reelected", lit(reelected.count()))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |g_f AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)) AS g
+        |  FROM toks),
+        |fs_f AS (SELECT g, min(doc_id) AS first_doc FROM g_f GROUP BY 1),
+        |g_s AS (SELECT * FROM g_f WHERE doc_id % 20 <> 0),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM g_s GROUP BY 1)
+        |SELECT d.lang, count(*) AS claimed_grams,
+        |  (SELECT count(*) FROM fs_f) AS rows_before,
+        |  (SELECT count(*) FROM fs) AS rows_after,
+        |  (SELECT count(*) FROM fs s JOIN fs_f f USING (g)
+        |   WHERE f.first_doc % 20 = 0) AS reelected
+        |FROM fs JOIN toks d ON d.doc_id = fs.first_doc
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
