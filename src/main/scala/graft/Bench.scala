@@ -260,10 +260,22 @@ object Bench {
     val gitHead = try {
       val headRef = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
-      if (headRef.startsWith("ref: "))
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(".git", headRef.stripPrefix("ref: "))), "UTF-8").trim.take(12)
-      else headRef.take(12)
+      if (headRef.startsWith("ref: ")) {
+        val ref = headRef.stripPrefix("ref: ")
+        val loose = java.nio.file.Paths.get(".git", ref)
+        if (java.nio.file.Files.exists(loose))
+          new String(java.nio.file.Files.readAllBytes(loose), "UTF-8").trim.take(12)
+        else {
+          // after git pack-refs the loose file is gone; the ref lives in
+          // .git/packed-refs ("<sha> <refname>" lines)
+          val packed = java.nio.file.Paths.get(".git/packed-refs")
+          if (java.nio.file.Files.exists(packed))
+            scala.io.Source.fromFile(packed.toFile).getLines()
+              .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+              .map(_.split(" ").head.take(12)).getOrElse("unknown")
+          else "unknown"
+        }
+      } else headRef.take(12)
     } catch { case _: java.io.IOException => "unknown" }
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"captured_at":"$capturedAt","git_head":"$gitHead","sf":"$sfDir"$filter$verdict}"""
     println(fullJson)
@@ -312,7 +324,13 @@ object Bench {
           val prior = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
             .flatMap(n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
               .map(_.group(1).toInt))
-          val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim.toInt)
+          val round = sys.env.get("SPARK_GRAFT_ROUND")
+            .flatMap(v => scala.util.Try(v.trim.toInt).toOption.orElse {
+              // a malformed override must not crash an otherwise-clean
+              // run after ~4 min of measurement — fall back to inference
+              System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_ROUND='$v'")
+              None
+            })
             .getOrElse((if (prior.isEmpty) 0 else prior.max) + 1)
           // Keep-quietest guard: the archive exists to give cross-round
           // per-query compares the lowest noise floor available, so a
@@ -366,6 +384,12 @@ object Bench {
     * provide (r12 verdict #6: a host_factor-1.562 capture as the round
     * baseline degrades every next-round ratio).
     */
+  /** The driver's benchmark scale, matched on the path's LAST sf segment
+    * exactly — a substring test would also match sf0.15/sf0.100 dirs.
+    */
+  private[graft] def isDriverScale(sfDir: String): Boolean =
+    """sf[0-9.]+""".r.findAllIn(sfDir).toSeq.lastOption.contains("sf0.1")
+
   private[graft] def shouldArchive(existing: Option[String], sfDir: String,
                                    hostFactor: Double,
                                    gitHead: String = "unknown"): Boolean = existing match {
@@ -375,8 +399,14 @@ object Bench {
         .map(_.group(1).toDouble)
       val priorSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1))
       val priorHead = """"git_head":"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1))
-      if (priorSf.exists(_ != sfDir)) sfDir.contains("sf0.1")
-      else if (priorHead.exists(_ != gitHead)) true
+      // "unknown" means the head could not be resolved (packed refs from
+      // a context the reader misses, non-repo cwd) — it must never count
+      // as a DIFFERENT head, or any noisy re-run would clobber the quiet
+      // baseline through the different-code branch
+      val headsDiffer = priorHead.exists(h =>
+        h != gitHead && h != "unknown" && gitHead != "unknown")
+      if (priorSf.exists(_ != sfDir)) isDriverScale(sfDir)
+      else if (headsDiffer) true
       else priorHf.forall(_ >= hostFactor)
   }
 }

@@ -62,10 +62,15 @@ object Extensions {
     *
     * @return the pinned pair frame and whether it fits the budget
     */
-  private[graft] def measuredPairs(pairs: DataFrame): (DataFrame, Boolean) = {
+  private[graft] def measuredPairs(pairs: DataFrame,
+      alreadyPinned: Boolean = false): (DataFrame, Boolean) = {
     val cap = pairs.sparkSession.conf.getOption("graft.pairs.broadcast-max-rows")
       .map(_.toLong).getOrElse(PairBroadcastMaxRows)
-    val pinned = pairs.localCheckpoint()
+    // callers that pinned `pairs` themselves (the streaming fuzzy loop
+    // checkpoints its candidate set for the fetch's driver collect) pass
+    // alreadyPinned — re-checkpointing a checkpointed frame re-materializes
+    // its blocks for nothing, on the per-micro-batch hot path
+    val pinned = if (alreadyPinned) pairs else pairs.localCheckpoint()
     (pinned, pinned.count() <= cap)
   }
 
@@ -807,7 +812,8 @@ object Extensions {
       case None =>
         batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text"))
     }
-    val rejected = pairJaccard(verifyText, cand)
+    val rejected = pairJaccard(verifyText, cand,
+        pairsPinned = fetchCandidates.isDefined)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint()
@@ -1298,8 +1304,9 @@ object Extensions {
     * exchange stays O(matched + |pairs|), never corpus-squared) instead of
     * dying on an oversized broadcast.
     */
-  private[graft] def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val (cand, fits) = measuredPairs(pairs)
+  private[graft] def pairJaccard(docs: DataFrame, pairs: DataFrame,
+      pairsPinned: Boolean = false): DataFrame = {
+    val (cand, fits) = measuredPairs(pairs, alreadyPinned = pairsPinned)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // pinned: both join sides below read it, and without the checkpoint

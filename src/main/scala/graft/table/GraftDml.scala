@@ -80,6 +80,12 @@ trait GraftDml { self: GraftTable =>
       spark: SparkSession, predicates: Seq[Predicate], operation: String,
       statementId: Option[String])(transform: DataFrame => DataFrame): Snapshot = {
     val (_, m0) = load()
+    // replay short-circuit BEFORE the candidate scan + rewrite, matching
+    // GraftTable.append: commitSnapshot would no-op anyway, but only after
+    // this path rewrote every candidate file for nothing and orphaned the
+    // output — a crash-looping stream replaying a committed DML statement
+    // must not grind disk (the statementId-keyed crawl-loop discipline)
+    replayedSnapshot(m0, statementId).foreach(snap => return snap)
     val scan0 = new GraftScan(this, m0, m0.currentSnapshot, predicates)
     val candidates = scan0.dataFiles
     if (candidates.isEmpty)
@@ -172,6 +178,9 @@ trait GraftDml { self: GraftTable =>
   private def deleteMor(spark: SparkSession, cond: Column, prunePreds: Seq[Predicate],
                         statementId: Option[String]): Snapshot = {
     val (_, m0) = load()
+    // replay short-circuit BEFORE writing position-delete files (see
+    // rewriteCandidates)
+    replayedSnapshot(m0, statementId).foreach(snap => return snap)
     val scan0 = new GraftScan(this, m0, m0.currentSnapshot, prunePreds)
     val candidates = scan0.dataFiles
     if (candidates.isEmpty)
@@ -299,6 +308,10 @@ trait GraftDml { self: GraftTable =>
       statementId: Option[String] = None): Snapshot = {
     require(onKeys.nonEmpty, "MERGE requires at least one ON key")
     val (_, m0) = load()
+    // replay short-circuit BEFORE the candidate scan + full rewrite (see
+    // rewriteCandidates) — the streaming LM loop replays its model MERGE
+    // under the checkpoint machinery exactly like its appends
+    replayedSnapshot(m0, statementId).foreach(snap => return snap)
     val schema = m0.currentSchema
 
     // Candidate detection. WHEN NOT MATCHED BY SOURCE actions touch target

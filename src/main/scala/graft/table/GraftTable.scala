@@ -171,7 +171,7 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     * window (the log entry outlives its snapshot for exactly this case —
     * see TableProperties.StatementLogRetainLast).
     */
-  private def replayedSnapshot(m: TableMetadata,
+  private[table] def replayedSnapshot(m: TableMetadata,
       statementId: Option[String]): Option[Snapshot] =
     statementId.flatMap(stmt => m.statementLog.find(_._1 == stmt).map {
       case (_, sid) =>

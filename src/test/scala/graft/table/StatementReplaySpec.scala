@@ -83,4 +83,35 @@ class StatementReplaySpec extends SparkSpec {
       "retain-last=0 must restore snapshot-coupled pruning")
     assert(t.meta.statementLog.exists(_._1 == "s-1"))
   }
+
+  test("replayed MERGE and DELETE short-circuit before writing, like append") {
+    // the streaming LM loop replays its model MERGE under the checkpoint
+    // machinery exactly like its appends; commitSnapshot would no-op the
+    // replay anyway, but only AFTER the candidate scan + full rewrite
+    // wrote (and then orphaned) every output file — crash-looping
+    // replays must not grind disk on any statementId-keyed DML path
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val base = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val t = cat.createTable("db.replay_dml", base.schema)
+    t.append(spark, base)
+    t.merge(spark, Seq(("a", 10L)).toDF("k", "n"), Seq("k" -> "k"),
+      whenMatchedUpdate = Map("n" -> col("t.n").plus(col("s.n"))),
+      insertWhenNotMatched = false, statementId = Some("m-0"))
+    t.delete(spark, Seq(graft.format.Predicate.Eq("k", "b")),
+      statementId = Some("d-0"))
+    val rows = t.toDF(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 11L)))
+    val snaps = t.meta.snapshots.size
+    // replays: no new snapshots, no row changes, and NO orphaned files
+    t.merge(spark, Seq(("a", 10L)).toDF("k", "n"), Seq("k" -> "k"),
+      whenMatchedUpdate = Map("n" -> col("t.n").plus(col("s.n"))),
+      insertWhenNotMatched = false, statementId = Some("m-0"))
+    t.delete(spark, Seq(graft.format.Predicate.Eq("k", "b")),
+      statementId = Some("d-0"))
+    assert(t.meta.snapshots.size == snaps, "replayed DML committed a new snapshot")
+    assert(t.toDF(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet == rows,
+      "replayed DML changed table contents")
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000L).isEmpty,
+      "replayed DML must not leave orphaned rewrite files")
+  }
 }

@@ -34,6 +34,21 @@ class BenchArchiveSpec extends AnyFunSuite {
     assert(Bench.shouldArchive(archived(sf01, 1.0, "oldcode00000"), sf01, 9.9, head))
   }
 
+  test("an unresolvable head never counts as different code") {
+    // packed refs / non-repo cwd resolve to "unknown" — treating that as
+    // a different head would let any noisy re-run clobber the baseline
+    assert(!Bench.shouldArchive(archived(sf01, 1.0, head), sf01, 9.9, "unknown"))
+    assert(!Bench.shouldArchive(archived(sf01, 1.0, "unknown"), sf01, 9.9, head))
+    assert(Bench.shouldArchive(archived(sf01, 9.9, "unknown"), sf01, 1.0, head))
+  }
+
+  test("driver scale matches the sf segment exactly, not as a substring") {
+    assert(Bench.isDriverScale("/root/testdata/sf0.1"))
+    assert(!Bench.isDriverScale("/root/testdata/sf0.15"))
+    assert(!Bench.isDriverScale("/root/testdata/sf0.100"))
+    assert(!Bench.isDriverScale("/root/testdata/sf0.01"))
+  }
+
   test("cross sf: the driver scale (sf0.1) wins in both directions") {
     // stray sf0.001 full run must not clobber the sf0.1 baseline...
     assert(!Bench.shouldArchive(archived(sf01, 9.9, head), sf0001, 1.0, head))
