@@ -269,14 +269,18 @@ object Bench {
           // after git pack-refs the loose file is gone; the ref lives in
           // .git/packed-refs ("<sha> <refname>" lines)
           val packed = java.nio.file.Paths.get(".git/packed-refs")
-          if (java.nio.file.Files.exists(packed))
-            scala.io.Source.fromFile(packed.toFile).getLines()
+          if (java.nio.file.Files.exists(packed)) {
+            // readAllLines (not Source.fromFile) — no handle left open in a
+            // long-lived driver, and the whole stamp is best-effort: ANY
+            // failure here must not abort an otherwise-clean ~4-min run
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(packed).asScala
               .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
               .map(_.split(" ").head.take(12)).getOrElse("unknown")
-          else "unknown"
+          } else "unknown"
         }
       } else headRef.take(12)
-    } catch { case _: java.io.IOException => "unknown" }
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"fixture_sec":$fx,"control_start_sec":${fmt(controls.head)},"control_end_sec":${fmt(controls.last)},"controls":$ctl,"host_factor":${fmt(hostFactor)},"stall_suspects":$sus,"captured_at":"$capturedAt","git_head":"$gitHead","sf":"$sfDir"$filter$verdict}"""
     println(fullJson)
     // Persist the full line to a FILE as well (round-9 verdict #6): the
@@ -384,11 +388,16 @@ object Bench {
     * provide (r12 verdict #6: a host_factor-1.562 capture as the round
     * baseline degrades every next-round ratio).
     */
-  /** The driver's benchmark scale, matched on the path's LAST sf segment
-    * exactly — a substring test would also match sf0.15/sf0.100 dirs.
+  /** The path's LAST sf segment (sf0.1 from /root/testdata/sf0.1[/]) — the
+    * canonical scale identity of a capture. Matched exactly, never by
+    * substring (sf0.15/sf0.100 dirs must not alias sf0.1).
     */
+  private[graft] def sfSegment(sfDir: String): Option[String] =
+    """sf[0-9.]+""".r.findAllIn(sfDir).toSeq.lastOption
+
+  /** The driver's benchmark scale. */
   private[graft] def isDriverScale(sfDir: String): Boolean =
-    """sf[0-9.]+""".r.findAllIn(sfDir).toSeq.lastOption.contains("sf0.1")
+    sfSegment(sfDir).contains("sf0.1")
 
   private[graft] def shouldArchive(existing: Option[String], sfDir: String,
                                    hostFactor: Double,
@@ -405,7 +414,18 @@ object Bench {
       // baseline through the different-code branch
       val headsDiffer = priorHead.exists(h =>
         h != gitHead && h != "unknown" && gitHead != "unknown")
-      if (priorSf.exists(_ != sfDir)) isDriverScale(sfDir)
+      // Same-scale is decided on the extracted sf SEGMENT, not the raw path
+      // string (ADVICE r13): /root/testdata/sf0.1 vs sf0.1/ vs a relative
+      // spelling are the SAME dataset, and routing them through the
+      // cross-sf branch would let a noisier same-code re-run bypass the
+      // keep-quietest guard. Segmentless paths fall back to raw equality.
+      val sfDiffers = priorSf.exists { p =>
+        (sfSegment(p), sfSegment(sfDir)) match {
+          case (Some(a), Some(b)) => a != b
+          case _                  => p != sfDir
+        }
+      }
+      if (sfDiffers) isDriverScale(sfDir)
       else if (headsDiffer) true
       else priorHf.forall(_ >= hostFactor)
   }

@@ -256,7 +256,15 @@ object Extensions {
     * and the drifted query (id 970000, base 0) is corpus-excluded.
     */
   private[graft] def blockEmbeddings(e: DataFrame): DataFrame =
-    e.select((col("vec_id") + 970000L).as("vec_id"),
+    // Loud guard (ADVICE r13): the fixed 970000 offset silently assumes the
+    // base fixture never reaches 970000 rows — a bigger future fixture would
+    // collide drifted ids with base ids (duplicate vec_ids in brute force
+    // AND the index) while engine/oracle parity masked it. raise_error keeps
+    // the builder lazy and fails the first action that materializes it.
+    e.select(when(col("vec_id") >= 970000L,
+        raise_error(concat(lit("blockEmbeddings: base vec_id "), col("vec_id"),
+          lit(" >= 970000 drift offset — grow the offset before the fixture"))))
+      .otherwise(col("vec_id") + 970000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         x.cast("double") + when(
           shiftright(i, 3).cast("bigint") === pmod(col("vec_id"), lit(8L)),

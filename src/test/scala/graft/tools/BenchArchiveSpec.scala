@@ -59,4 +59,16 @@ class BenchArchiveSpec extends AnyFunSuite {
   test("unparseable existing archive: same-sf rule degrades to overwrite") {
     assert(Bench.shouldArchive(Some("not json"), sf01, 2.0, head))
   }
+
+  test("same dataset under a different path spelling is SAME-sf (ADVICE r13)") {
+    // trailing slash / relative spelling of the same sf0.1 data must route
+    // through the keep-quietest branch, not the cross-sf driver-scale branch
+    // (which would let a noisier same-code re-run overwrite the baseline)
+    assert(!Bench.shouldArchive(archived(sf01, 1.0), sf01 + "/", 2.0, head))
+    assert(!Bench.shouldArchive(archived(sf01, 1.0), "testdata/sf0.1", 2.0, head))
+    assert(Bench.shouldArchive(archived(sf01 + "/", 1.5), sf01, 1.0, head))
+    // segmentless paths fall back to raw equality: a non-sf dir is never
+    // silently treated as the driver scale
+    assert(!Bench.shouldArchive(archived("/data/custom", 1.0), "/data/other", 2.0, head))
+  }
 }
