@@ -1,0 +1,459 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal gates: binary columns, container sniffing, real image/audio decode, resize, frame sampling, features (SURVEY §2.9 X5).
+  *
+  * One slice of [[Extensions.entries]] (split in r14 so no single file
+  * holds a third of the source); each tuple is (gate key, Spark query,
+  * DuckDB oracle SQL) and the semantics are unchanged from the monolith.
+  * Self-typed to the aggregator so gate bodies use its shared helpers.
+  */
+trait ExtensionsMultimodalGates { this: Extensions.type =>
+
+  private[queries] def multimodalGates: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+
+    // X5: multimodal columns — text treated as an opaque binary blob with
+    // typed metadata; "decode" is a deterministic byte-level feature
+    // (first-byte + length + content digest), the real pipeline shape for
+    // image/audio blobs (decode libs are stubbed; plumbing is real).
+    ("x_multimodal_blobs",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .withColumn("meta", struct(
+            octet_length(col("text")).cast("long").as("byte_len"),
+            sha2(col("text"), 256).as("digest"),
+            ascii(col("text")).cast("long").as("first_byte")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("meta.byte_len")).as("total_bytes"),
+            countDistinct(col("meta.digest")).as("distinct_blobs"),
+            sum(col("meta.first_byte")).as("first_byte_sum"))
+          .orderBy("source"),
+      """SELECT source, count(*) AS n_blobs,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT sha256(text)) AS distinct_blobs,
+        |  CAST(SUM(ascii(text)) AS BIGINT) AS first_byte_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X5b: container-format sniffing — REAL binary-column work (no codec
+    // stub): blobs get one of four magic-byte headers (doc_id % 5; one
+    // class unprefixed -> 'unknown'), and the classifier routes them by
+    // prefix compare. Map-side only; the shuffle carries (format, counts).
+    ("x_multimodal_sniff",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        val pfx = element_at(array(
+          lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+          lit(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+          lit("RIFF".getBytes("UTF-8")), lit("%PDF".getBytes("UTF-8")),
+          lit(Array.empty[Byte])), (col("doc_id") % 5 + 1).cast("int"))
+        Tables.documents(s, d)
+          .withColumn("blob", concat(pfx, encode(col("text"), "UTF-8")))
+          .withColumn("fmt", Multimodal.sniffFormat(col("blob")))
+          .groupBy("fmt")
+          .agg(count(lit(1)).as("n"),
+            sum(octet_length(col("blob")).cast("long")).as("total_bytes"))
+          .orderBy("fmt")
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 5 AS INTEGER)
+        |       WHEN 0 THEN '\x89PNG'::BLOB
+        |       WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+        |       WHEN 2 THEN 'RIFF'::BLOB
+        |       WHEN 3 THEN '%PDF'::BLOB
+        |       ELSE ''::BLOB END) || CAST(text AS BLOB) AS blob
+        |  FROM documents),
+        |f AS (
+        |  SELECT CASE
+        |    WHEN starts_with(hex(blob), '89504E47') THEN 'png'
+        |    WHEN starts_with(hex(blob), 'FFD8FF') THEN 'jpeg'
+        |    WHEN starts_with(hex(blob), '52494646') THEN 'riff'
+        |    WHEN starts_with(hex(blob), '25504446') THEN 'pdf'
+        |    WHEN starts_with(hex(blob), '494433') THEN 'mp3'
+        |    WHEN substr(hex(blob), 9, 8) = '66747970' THEN 'mp4'
+        |    ELSE 'unknown' END AS fmt, blob
+        |  FROM b)
+        |SELECT fmt, count(*) AS n,
+        |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X5c: REAL image decode (no stub): 48 JDK-encoded PNG/BMP/GIF blobs
+    // with known dimensions plus 8 undecodable byte strings, stored through
+    // a Graft table (binary through the full table stack), then header-
+    // decoded via javax.imageio ([[graft.operators.ImageCodec]]) on the
+    // scan side. Header-only parse — at 100 TB the cost is per-blob
+    // metadata sniffing inside whole-stage codegen, not pixel decode.
+    ("x_multimodal_decode",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 48).map { i =>
+          val fmt = Seq("png", "bmp", "gif")(i % 3)
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        } ++ (48 until 56).map(i => (i.toLong, s"not-an-image-$i".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeImage(col("blob")))
+          .groupBy(coalesce(col("dec.format"), lit("undecodable")).as("format"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dec.width")), lit(0)).cast("long").as("sum_width"),
+            coalesce(sum(col("dec.height")), lit(0)).cast("long").as("sum_height"),
+            max(col("dec.channels")).as("max_channels"))
+          .orderBy("format")
+      },
+      """WITH imgs AS (
+        |  SELECT CASE CAST(i % 3 AS INTEGER)
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+        |    16 + i AS width, 12 + (i % 7) AS height
+        |  FROM range(48) t(i))
+        |SELECT format, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height, 3 AS max_channels
+        |FROM imgs GROUP BY 1
+        |UNION ALL
+        |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER)
+        |ORDER BY 1""".stripMargin),
+
+
+    // X5e: REAL feature extraction — FULL pixel decode, not just headers:
+    // per-channel integer pixel sums over 30 JDK-encoded PNG/BMP gradients
+    // ([[graft.operators.ImageCodec.decodeStatsRow]]; channel means =
+    // sums / (w*h) in caller precision, the sums themselves exact BIGINTs).
+    // The encoder gradient is a closed-form function of (x, y), so DuckDB
+    // verifies the decoded sums WITHOUT any image library: it evaluates the
+    // same formula over a bounded pixel grid. Lossless containers only
+    // (PNG/BMP reproduce encoder pixels bit-exactly; JPEG/GIF sums are
+    // codec-defined). This is the step that pays bytes-DECODED cost — the
+    // honest shape of feature extraction at 100 TB; map-side, no shuffle.
+    ("x_multimodal_features",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 30).map { i =>
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.feat_images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.imageStats(col("blob")))
+          .select(col("img_id"), col("dec.format").as("format"),
+            col("dec.width").as("width"), col("dec.height").as("height"),
+            col("dec.sum_r").as("sum_r"), col("dec.sum_g").as("sum_g"),
+            col("dec.sum_b").as("sum_b"))
+          .orderBy("img_id")
+      },
+      // the encoder writes rgb = ((x*31 + y*17) & 0xFF) << 8 | (x & 0xFF):
+      // R = 0, G = (x*31 + y*17) mod 256, B = x mod 256 (x < 256 here)
+      """WITH px AS (
+        |  SELECT i,
+        |    CAST(sum(CASE WHEN x < 16+i AND y < 12+(i%7)
+        |      THEN (x*31 + y*17) % 256 END) AS BIGINT) AS sum_g,
+        |    CAST(sum(CASE WHEN x < 16+i AND y < 12+(i%7)
+        |      THEN x % 256 END) AS BIGINT) AS sum_b
+        |  FROM range(30) t(i), range(46) xs(x), range(19) ys(y)
+        |  GROUP BY i)
+        |SELECT i AS img_id,
+        |  CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(16 + i AS INTEGER) AS width,
+        |  CAST(12 + (i % 7) AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS sum_r, sum_g, sum_b
+        |FROM px ORDER BY 1""".stripMargin),
+
+
+    // X5f: REAL resize (no stub): nearest-neighbor downscale to width 10
+    // with PNG re-encode ([[graft.operators.ImageCodec.resizeRow]]).
+    // Nearest-neighbor = integer pixel PICKS (target (x,y) copies source
+    // (x*W/w', y*H/h') with floor division), so DuckDB verifies the
+    // resized raster's exact channel sums by evaluating the same pick
+    // formula over the encoder gradient — no image library, no
+    // interpolation arithmetic (which is implementation-defined and was
+    // why resize stayed a declared stub). roundtrip_ok re-decodes the
+    // re-encoded PNG blob in the same query and proves the blob output
+    // carries the identical raster (PNG is lossless). Map-side transform;
+    // at 100 TB the cost is bytes-decoded, shuffle-free.
+    ("x_multimodal_resize",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 24).map { i =>
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          (i.toLong, ImageCodec.encodeImage(fmt, 16 + i, 12 + (i % 7)))
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.resize_images", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("rz", Multimodal.resizeImage(col("blob"), 10))
+          .withColumn("rt", Multimodal.imageStats(col("rz.blob")))
+          .select(col("img_id"),
+            col("rz.width").as("width"), col("rz.height").as("height"),
+            col("rz.sum_r").as("sum_r"), col("rz.sum_g").as("sum_g"),
+            col("rz.sum_b").as("sum_b"),
+            (col("rt.width") === col("rz.width") &&
+              col("rt.height") === col("rz.height") &&
+              col("rt.sum_r") === col("rz.sum_r") &&
+              col("rt.sum_g") === col("rz.sum_g") &&
+              col("rt.sum_b") === col("rz.sum_b")).as("roundtrip_ok"))
+          .orderBy("img_id")
+      },
+      // source pixel (sx, sy): R = 0, G = (sx*31 + sy*17) mod 256,
+      // B = sx mod 256; target (x, y) picks sx = x*W//10, sy = y*H//dh
+      """WITH dims AS (
+        |  SELECT i, 16 + i AS w0, 12 + (i % 7) AS h0,
+        |    ((12 + (i % 7)) * 10) // (16 + i) AS dh
+        |  FROM range(24) t(i)),
+        |px AS (
+        |  SELECT i,
+        |    CAST(sum(((x * w0 // 10) * 31 + (y * h0 // dh) * 17) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((x * w0 // 10) % 256) AS BIGINT) AS sum_b
+        |  FROM dims, range(10) xs(x), range(12) ys(y)
+        |  WHERE y < dh
+        |  GROUP BY i)
+        |SELECT d.i AS img_id, CAST(10 AS INTEGER) AS width,
+        |  CAST(d.dh AS INTEGER) AS height, CAST(0 AS BIGINT) AS sum_r,
+        |  p.sum_g, p.sum_b, TRUE AS roundtrip_ok
+        |FROM dims d JOIN px p ON d.i = p.i ORDER BY 1""".stripMargin),
+
+
+    // X5g: REAL multi-frame sampling (no stub): every 2nd frame of 12
+    // animated GIFs ([[graft.operators.ImageCodec.frameSampleRow]]) —
+    // GIF is the multi-frame container the JDK ships a codec for, so it
+    // stands in for video (seek / decode / extract / skip is the same
+    // operator shape as an mp4 sampler). Frames are grayscale gradients
+    // (a 256-level gray palette survives GIF palettization bit-exactly),
+    // so DuckDB verifies each sampled frame's exact pixel sum in closed
+    // form. explode() of the per-blob array is row-local; the per-row
+    // output is bounded by frames/stride.
+    ("x_multimodal_frames",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 12).map { v =>
+          (v.toLong, ImageCodec.encodeAnimatedGif(8 + v, 6 + (v % 3), 4 + (v % 5)))
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videos", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("fr", explode(Multimodal.sampleFrames(col("blob"), 2)))
+          .select(col("vid_id"), col("fr.frame").as("frame"),
+            col("fr.width").as("width"), col("fr.height").as("height"),
+            col("fr.sum_g").as("sum_gray"))
+          .orderBy("vid_id", "frame")
+      },
+      // frame f pixel (x, y) = (x*31 + y*17 + f*7) mod 256, gray so
+      // sum_r = sum_g = sum_b; the query surfaces sum_g as sum_gray
+      """WITH vids AS (
+        |  SELECT v, 8 + v AS w0, 6 + (v % 3) AS h0, 4 + (v % 5) AS nf
+        |  FROM range(12) t(v)),
+        |fr AS (
+        |  SELECT v, w0, h0, f FROM vids, range(8) fs(f)
+        |  WHERE f < nf AND f % 2 = 0),
+        |px AS (
+        |  SELECT v, f, CAST(sum((x * 31 + y * 17 + f * 7) % 256) AS BIGINT) AS s
+        |  FROM fr, range(19) xs(x), range(8) ys(y)
+        |  WHERE x < w0 AND y < h0
+        |  GROUP BY v, f)
+        |SELECT fr.v AS vid_id, CAST(fr.f AS INTEGER) AS frame,
+        |  CAST(fr.w0 AS INTEGER) AS width, CAST(fr.h0 AS INTEGER) AS height,
+        |  px.s AS sum_gray
+        |FROM fr JOIN px ON fr.v = px.v AND fr.f = px.f
+        |ORDER BY 1, 2""".stripMargin),
+
+
+    // X5d: REAL audio decode (no stub), the audio sibling of
+    // x_multimodal_decode: 48 JDK-encoded WAV/AIFF/AU blobs with known
+    // sample rate / channels / frame count plus 8 undecodable byte strings,
+    // stored through a Graft table, then header-decoded via
+    // javax.sound.sampled ([[graft.operators.AudioCodec]]) on the scan
+    // side. Header-only parse — format chunk, no sample decode; the same
+    // map-side metadata-extraction shape as the image path at 100 TB.
+    ("x_multimodal_audio",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{AudioCodec, Multimodal}
+        val rows = (0 until 48).map { i =>
+          val fmt = Seq("wav", "aiff", "au")(i % 3)
+          (i.toLong, AudioCodec.encodeAudio(fmt, 8000 + i * 100, 1 + i % 2, 100 + i))
+        } ++ (48 until 56).map(i => (i.toLong, s"not-audio-$i".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeAudio(col("blob")))
+          .groupBy(coalesce(col("dec.format"), lit("undecodable")).as("format"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dec.sample_rate")), lit(0)).cast("long").as("sum_rate"),
+            coalesce(sum(col("dec.frames")), lit(0)).cast("long").as("sum_frames"),
+            max(col("dec.channels")).as("max_channels"),
+            max(col("dec.bits")).as("max_bits"))
+          .orderBy("format")
+      },
+      // JDK extension strings: WAVE -> 'wav', AIFF -> 'aif', AU -> 'au'
+      """WITH clips AS (
+        |  SELECT CASE CAST(i % 3 AS INTEGER)
+        |      WHEN 0 THEN 'wav' WHEN 1 THEN 'aif' ELSE 'au' END AS format,
+        |    8000 + i * 100 AS rate, 100 + i AS frames, 1 + i % 2 AS channels
+        |  FROM range(48) t(i))
+        |SELECT format, count(*) AS n, CAST(sum(rate) AS BIGINT) AS sum_rate,
+        |  CAST(sum(frames) AS BIGINT) AS sum_frames,
+        |  CAST(max(channels) AS INTEGER) AS max_channels, 16 AS max_bits
+        |FROM clips GROUP BY 1
+        |UNION ALL
+        |SELECT 'undecodable', 8, 0, 0, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+        |ORDER BY 1""".stripMargin),
+
+
+    // X5h: REAL mp3 header decode — the JDK ships no MPEG codec, but none
+    // is needed for metadata: the frame header is 4 bytes of public-spec
+    // bitfields (version / layer / bitrate index / sample-rate index /
+    // channel mode), parsed by pure integer arithmetic
+    // ([[graft.operators.MediaHeaders.decodeMp3Row]]), after skipping any
+    // leading ID3v2 tag via its syncsafe length. 42 hand-assembled frames
+    // sweep both version axes, all three layers, the full bitrate-index
+    // range and every channel mode (every 5th blob behind an ID3 tag);
+    // 8 undecodable byte strings (bad sync, free/bad bitrate index,
+    // truncated ID3, empty) must all yield NULL — strict single-position
+    // sync is what makes NULL a meaningful signal. DuckDB recomputes every
+    // field from the same public tables in closed form: the fixture
+    // parameters ARE the expected answer, so the oracle needs no codec
+    // either. Map-side metadata sniff; per-blob cost is 4 bytes read.
+    ("x_multimodal_mp3",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{MediaHeaders, Multimodal}
+        val rows = (0 until 42).map { i =>
+          val vb = Seq(3, 2, 0)(i % 3)
+          val lb = Seq(1, 1, 2, 3)(i % 4)
+          val id3 = if (i % 5 == 0) 17 + i else -1
+          (i.toLong, MediaHeaders.encodeMp3(vb, lb, 1 + (i % 14), (i / 3) % 3,
+            i % 4, i % 2, id3))
+        } ++ Seq[(Long, Array[Byte])](
+          (42L, "not-mp3-42".getBytes("UTF-8")),
+          (43L, "not-mp3-43".getBytes("UTF-8")),
+          (44L, "not-mp3-44".getBytes("UTF-8")),
+          (45L, Array(0xFF.toByte, 0x00.toByte, 0x00.toByte, 0x00.toByte)),
+          (46L, MediaHeaders.encodeMp3(3, 1, 0, 0, 0, 0, -1)), // free bitrate
+          (47L, MediaHeaders.encodeMp3(3, 1, 15, 0, 0, 0, -1)), // bad bitrate
+          (48L, "ID3".getBytes("UTF-8") ++ Array[Byte](4, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F)),
+          (49L, Array.empty[Byte]))
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.mp3_clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeMp3(col("blob")))
+          .select(col("clip_id"), col("dec.version").as("version"),
+            col("dec.layer").as("layer"),
+            col("dec.bitrate_kbps").as("bitrate_kbps"),
+            col("dec.sample_rate").as("sample_rate"),
+            col("dec.channels").as("channels"),
+            col("dec.frame_bytes").as("frame_bytes"))
+          .orderBy("clip_id")
+      },
+      // the public MPEG tables, re-stated as DuckDB lists; frame length is
+      // slot arithmetic (Layer I counts 4-byte slots; Layer III halves the
+      // coefficient for MPEG2/2.5)
+      """WITH p AS (
+        |  SELECT i, [3, 2, 0][CAST(i % 3 AS INTEGER) + 1] AS vb,
+        |    [1, 1, 2, 3][CAST(i % 4 AS INTEGER) + 1] AS lb,
+        |    1 + CAST(i % 14 AS INTEGER) AS br,
+        |    CAST((i // 3) % 3 AS INTEGER) AS sr,
+        |    CAST(i % 4 AS INTEGER) AS cm, CAST(i % 2 AS INTEGER) AS pad
+        |  FROM range(42) t(i)),
+        |d AS (
+        |  SELECT i, vb, 4 - lb AS layer, pad,
+        |    CASE vb WHEN 3 THEN 'mpeg1' WHEN 2 THEN 'mpeg2'
+        |      ELSE 'mpeg2.5' END AS version,
+        |    CASE WHEN vb = 3 AND lb = 3 THEN
+        |        [32,64,96,128,160,192,224,256,288,320,352,384,416,448][br]
+        |      WHEN vb = 3 AND lb = 2 THEN
+        |        [32,48,56,64,80,96,112,128,160,192,224,256,320,384][br]
+        |      WHEN vb = 3 THEN
+        |        [32,40,48,56,64,80,96,112,128,160,192,224,256,320][br]
+        |      WHEN lb = 3 THEN
+        |        [32,48,56,64,80,96,112,128,144,160,176,192,224,256][br]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][br]
+        |    END AS kbps,
+        |    CASE vb WHEN 3 THEN [44100,48000,32000][sr + 1]
+        |      WHEN 2 THEN [22050,24000,16000][sr + 1]
+        |      ELSE [11025,12000,8000][sr + 1] END AS rate,
+        |    CASE WHEN cm = 3 THEN 1 ELSE 2 END AS chans
+        |  FROM p)
+        |SELECT i AS clip_id, version, CAST(layer AS INTEGER) AS layer,
+        |  CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(chans AS INTEGER) AS channels,
+        |  CAST(CASE WHEN layer = 1 THEN (12 * kbps * 1000 // rate + pad) * 4
+        |    WHEN layer = 2 THEN 144 * kbps * 1000 // rate + pad
+        |    ELSE (CASE WHEN vb = 3 THEN 144 ELSE 72 END) * kbps * 1000 // rate + pad
+        |  END AS INTEGER) AS frame_bytes
+        |FROM d
+        |UNION ALL
+        |SELECT 42 + u, NULL, NULL, NULL, NULL, NULL, NULL FROM range(8) t(u)
+        |ORDER BY clip_id""".stripMargin),
+
+
+    // X5i: REAL mp4 header decode — again no codec needed for metadata:
+    // an MP4 file is a tree of length-prefixed boxes, walked by pure byte
+    // arithmetic ([[graft.operators.MediaHeaders.decodeMp4Row]]): ftyp's
+    // major brand, moov/mvhd's timescale + duration, the first video-sized
+    // trak/tkhd's 16.16 fixed-point dimensions, and the track count.
+    // 24 hand-assembled files sweep brands, timescales, durations and
+    // track layouts (none / one video / audio+video, where the 0x0 audio
+    // track must be skipped for dimensions); 6 undecodable byte strings
+    // (text, ftyp-only with no moov, a box whose size overruns the blob)
+    // must yield NULL. Oracle is closed-form from the constructor
+    // arguments — the box walk's answer IS the fixture's parameters.
+    ("x_multimodal_mp4",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{MediaHeaders, Multimodal}
+        val rows = (0 until 24).map { i =>
+          val brand = Seq("isom", "mp42", "avc1", "dash")(i % 4)
+          val tracks = (i % 3) match {
+            case 0 => Seq.empty[(Int, Int)]
+            case 1 => Seq((320 + i, 240 + i))
+            case _ => Seq((0, 0), (640 + i, 360 + i)) // audio track first
+          }
+          (i.toLong, MediaHeaders.encodeMp4(brand, 600 + 100L * i, 1200 + 750L * i, tracks))
+        } ++ Seq[(Long, Array[Byte])](
+          (24L, "definitely not an mp4 container".getBytes("UTF-8")),
+          (25L, MediaHeaders.encodeMp4("isom", 600, 1200, Nil).take(20)), // ftyp only, no moov
+          (26L, Array[Byte](0, 0, 0, 64) ++ "ftyp".getBytes("UTF-8")), // size overruns blob
+          (27L, Array[Byte](0, 0, 0, 2) ++ "ftyp".getBytes("UTF-8")), // size < header
+          (28L, Array.empty[Byte]),
+          (29L, "x".getBytes("UTF-8")))
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.mp4_clips", df.schema)
+        t.append(s, df)
+        t.toDF(s)
+          .withColumn("dec", Multimodal.decodeMp4(col("blob")))
+          .select(col("vid_id"), col("dec.brand").as("brand"),
+            col("dec.timescale").as("timescale"),
+            col("dec.duration").as("duration"),
+            expr("(dec.duration * 1000) div dec.timescale").as("duration_ms"),
+            col("dec.width").as("width"), col("dec.height").as("height"),
+            col("dec.n_tracks").as("n_tracks"))
+          .orderBy("vid_id")
+      },
+      """WITH p AS (
+        |  SELECT i, ['isom', 'mp42', 'avc1', 'dash'][CAST(i % 4 AS INTEGER) + 1] AS brand,
+        |    600 + 100 * i AS ts, 1200 + 750 * i AS dur, CAST(i % 3 AS INTEGER) AS m
+        |  FROM range(24) t(i))
+        |SELECT i AS vid_id, brand, CAST(ts AS BIGINT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration,
+        |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(CASE m WHEN 1 THEN 320 + i WHEN 2 THEN 640 + i END AS INTEGER) AS width,
+        |  CAST(CASE m WHEN 1 THEN 240 + i WHEN 2 THEN 360 + i END AS INTEGER) AS height,
+        |  CAST(m AS INTEGER) AS n_tracks
+        |FROM p
+        |UNION ALL
+        |SELECT 24 + u, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM range(6) t(u)
+        |ORDER BY vid_id""".stripMargin),
+
+  )
+}

@@ -1,0 +1,588 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** State-retraction (right-to-be-forgotten) gates: membership deletes, keep-first re-election, aggregate subtraction (SURVEY §2.9 X13).
+  *
+  * One slice of [[Extensions.entries]] (split in r14 so no single file
+  * holds a third of the source); each tuple is (gate key, Spark query,
+  * DuckDB oracle SQL) and the semantics are unchanged from the monolith.
+  * Self-typed to the aggregator so gate bodies use its shared helpers.
+  */
+trait ExtensionsRetractionGates { this: Extensions.type =>
+
+  private[queries] def retractionGates: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+
+    // X1r: RETRACTION from the durable fingerprint state — the
+    // right-to-be-forgotten leg of the dedup lifecycle (batch / durable
+    // / compacted / streaming / now RETRACT). A retraction request is a
+    // BOUNDED id list (the GDPR shape); its fingerprint set becomes a
+    // DELETE predicate whose In probe prunes the rewrite to the state
+    // files that plausibly hold a retracted fp (bucket + fp-bloom planes
+    // — the same planes the crawl probes use, now bounding a COW
+    // rewrite: at 100 TB a retraction touches the files it must, never
+    // the whole state). The recrawl then proves the SEMANTICS: exact
+    // copies of retracted docs ADMIT again (the state genuinely forgot),
+    // copies of surviving history still REJECT, and the state row counts
+    // before/after pin that exactly the retracted fps died. The oracle
+    // recomputes the post-retraction state from raw data.
+    ("x_dedup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val fps = hist.select(TF.fingerprint(col("text")).as("fp"))
+        val cat = TableOps.newCatalog()
+        val t = cat.createTable("db.fp_retract", fps.schema,
+          partitionBy = Seq("fp" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "fp"))
+        t.append(s, fps)
+        val rowsBefore = t.toDF(s).count()
+        // the bounded retraction request: every 20th history doc
+        val retractFps = hist.filter(col("doc_id") % 20 === 0)
+          .select(TF.fingerprint(col("text")).as("fp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        t.delete(s, Seq(Predicate.In("fp", retractFps)))
+        val rowsAfter = t.toDF(s).count()
+        // recrawl: copies of RETRACTED docs (+5e8) must admit now; copies
+        // of SURVIVING history (+6e8) must still reject; fresh odds admit
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 500000000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+          .unionByName(hist.filter(col("doc_id") % 20 === 2)
+            .select((col("doc_id") + 600000000L).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+        val firstIn = batch
+          .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val admitted = firstIn
+          .join(t.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
+          .select("doc_id")
+        batch.join(broadcast(admitted), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("admitted"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(when(col("doc_id") >= 500000000L && col("doc_id") < 600000000L,
+              1L).otherwise(0L)).as("readmitted"))
+          .withColumn("state_rows_before", lit(rowsBefore))
+          .withColumn("state_rows_after", lit(rowsAfter))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text FROM documents),
+        |retract AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0),
+        |state AS (
+        |  SELECT md5(text) AS fp FROM docs WHERE doc_id % 2 = 0
+        |    AND md5(text) NOT IN (SELECT fp FROM retract)),
+        |batch AS (
+        |  SELECT doc_id, lang, n_chars, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000000, lang, n_chars, text FROM docs
+        |  WHERE doc_id % 2 = 0 AND doc_id % 20 = 2),
+        |first_in AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM batch GROUP BY 1),
+        |admitted AS (
+        |  SELECT f.doc_id FROM first_in f
+        |  WHERE NOT EXISTS (SELECT 1 FROM state h WHERE h.fp = f.fp))
+        |SELECT b.lang, count(*) AS admitted,
+        |  CAST(sum(b.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN b.doc_id >= 500000000 AND b.doc_id < 600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS readmitted,
+        |  (SELECT count(*) FROM docs WHERE doc_id % 2 = 0) AS state_rows_before,
+        |  (SELECT count(*) FROM state) AS state_rows_after
+        |FROM batch b JOIN admitted a ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X7r: RETRACTION from the persisted inverted index — documents die,
+    // their postings die with them, and term probes must neither surface
+    // the retracted docs nor lose anyone else's rankings. The DELETE is
+    // keyed by the bounded retracted-id list against the token-bucketed
+    // postings table (COW here: doc_id cuts across every token bucket,
+    // so the rewrite legitimately visits candidate files — the
+    // under-approximating prunePreds rule); the probes after it must
+    // still partition-prune to the terms' buckets (retraction must not
+    // cost the index its read shape). postings_removed pins that exactly
+    // the retracted docs' (token, doc) rows died. Oracle: the
+    // x_keyword_search recomputation over the surviving docs only.
+    ("x_keyword_index_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.Predicate
+        val docs = Tables.documents(s, d)
+        val t = buildInvertedIndex(s, docs, TableOps.newCatalog())
+        val rowsBefore = t.toDF(s).count()
+        val ids = docs.filter(pmod(col("doc_id"), lit(5L)) === 2L)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        t.delete(s, Seq(Predicate.In("doc_id", ids)))
+        val rowsAfter = t.toDF(s).count()
+        val (scA, a) = probeTerm(s, t, "merge")
+        val (scB, b) = probeTerm(s, t, "window")
+        a.join(b.withColumnRenamed("tf", "tf_b"), "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf_b")).as("score"))
+          .withColumn("pruned_a",
+            lit(scA.metrics.filesScanned < scA.metrics.filesTotal))
+          .withColumn("pruned_b",
+            lit(scB.metrics.filesScanned < scB.metrics.filesTotal))
+          .withColumn("postings_removed", lit(rowsBefore - rowsAfter))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      s"""WITH tf_all AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT * FROM tf_all WHERE doc_id % 5 <> 2)
+        |SELECT a.doc_id, a.tf + b.tf AS score,
+        |  true AS pruned_a, true AS pruned_b,
+        |  (SELECT count(*) FROM tf_all WHERE doc_id % 5 = 2) AS postings_removed
+        |FROM tf a JOIN tf b USING (doc_id)
+        |WHERE a.token = 'merge' AND b.token = 'window'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+
+    // X3r: RETRACTION from the durable ANN index, MERGE-ON-READ — the
+    // 100 TB shape: a retraction must NOT rewrite a cell-partitioned
+    // vector index; it writes position-delete files (data file inventory
+    // pinned UNCHANGED, used_delete_files pinned true) and the very next
+    // probe reads through the merge while STILL partition-pruning to its
+    // nprobe cells (S4 composed with S2 on the vector store). The
+    // retracted ids are ranks 2/4/6 of the index's OWN pre-delete top-10
+    // — a retraction that verifiably changes answers, which both engines
+    // recompute deterministically — and the post-delete probe must match
+    // the oracle's recomputation over the surviving corpus, recall floor
+    // re-REQUIREd against the surviving brute force.
+    ("x_ann_index_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val assigned = clustered
+          .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+        val t = TableOps.newCatalog().createTable("db.ann_retract", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity),
+          properties = Map(graft.format.TableProperties.MergeOnRead -> "true"))
+        t.append(s, assigned)
+        val pre = prunedMultiprobeTopK(s, t, clustered, shiftCentroids)
+        val retractIds = pre.filter(col("rank").isin(2, 4, 6))
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+        val dataBefore = t.scan().dataFiles.size
+        t.delete(s, Seq(Predicate.In("vec_id", retractIds)))
+        val post = t.scan()
+        val survivors = clustered.filter(!col("vec_id").isInCollection(retractIds))
+        val out = prunedMultiprobeTopK(s, t, survivors, shiftCentroids)
+        require(out.filter(col("neighbor_id").isInCollection(retractIds)).isEmpty,
+          "retracted vectors must never surface from the post-delete probe")
+        out
+          .withColumn("used_delete_files", lit(post.deleteFiles.nonEmpty))
+          .withColumn("data_files_stable", lit(post.dataFiles.size == dataBefore))
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |top_pre AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10),
+        |retracted AS (SELECT neighbor_id FROM top_pre WHERE rank IN (2, 4, 6)),
+        |c2 AS (SELECT * FROM c
+        |  WHERE neighbor_id NOT IN (SELECT neighbor_id FROM retracted)),
+        |brute2 AS (SELECT neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rn
+        |    FROM c2, q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rank
+        |    FROM c2 JOIN assigned a ON a.vec_id = c2.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute2 b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  true AS used_delete_files, true AS data_files_stable
+        |FROM top t ORDER BY 1""".stripMargin),
+
+
+    // X2r: RETRACTION from the band-signature state — the fuzzy twin of
+    // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
+    // and its near-dups stop nominating against it, so lightly-edited
+    // recrawls of RETRACTED history ADMIT again while recrawls of
+    // surviving history keep rejecting (the fixture's %10 recrawl class
+    // splits exactly in half by the %20 retraction class). The oracle
+    // recomputes the whole banded-MinHash nomination + exact-Jaccard
+    // verify from raw text over the SURVIVING history only; state row
+    // counts pin that exactly the retracted docs' signatures died
+    // (2 narrow rows per doc — the deletion is as cheap as the state).
+    ("x_neardup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val (hist, batch) = neardupCrawlFixture(docs)
+        val cat = TableOps.newCatalog()
+        val histSigs = bandSigsOf(hist)
+        val t = cat.createTable("db.neardup_sigs_r", histSigs.schema,
+          partitionBy = Seq("sig" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "sig"))
+        t.append(s, histSigs)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = hist.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        t.delete(s, Seq(Predicate.In("doc_id", retractIds)))
+        val rowsAfter = t.toDF(s).count()
+        val admitted = neardupAdmitAndAppend(s, t, hist, batch)
+        admitted.groupBy("lang").agg(count(lit(1)).as("admitted"),
+            sum(when(col("doc_id") >= 1000000000L &&
+              pmod(col("doc_id") - 1000000000L, lit(20L)) === 0L,
+              1L).otherwise(0L)).as("readmitted"))
+          .withColumn("state_rows_before", lit(rowsBefore))
+          .withColumn("state_rows_after", lit(rowsAfter))
+          .orderBy("lang")
+      },
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |hist AS (SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM docs WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, lang, text || ' recrawl tail' AS text
+        |  FROM docs WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM batch)),
+        |sh_h AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |        FROM hist)),
+        |b_b AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_b, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h_all AS (
+        |  SELECT doc_id, b, md5(
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 0) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 1) * 8, 8))) ||
+        |    list_min(list_transform(sh, x -> substring(md5(x) || md5(x || '#'), 1 + (b * 3 + 2) * 8, 8)))) AS sig
+        |  FROM sh_h, (SELECT unnest([0, 1]) AS b) WHERE len(sh) > 0),
+        |b_h AS (SELECT * FROM b_h_all WHERE doc_id % 20 <> 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, h.doc_id AS doc_b
+        |  FROM b_b a JOIN b_h h ON a.b = h.b AND a.sig = h.sig),
+        |rej AS (
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN sh_b x ON x.doc_id = c.doc_a
+        |  JOIN sh_h y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        |SELECT b.lang, count(*) AS admitted,
+        |  CAST(SUM(CASE WHEN b.doc_id >= 1000000000
+        |    AND (b.doc_id - 1000000000) % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS readmitted,
+        |  (SELECT count(*) FROM b_h_all) AS state_rows_before,
+        |  (SELECT count(*) FROM b_h) AS state_rows_after
+        |FROM batch b LEFT JOIN rej r USING (doc_id)
+        |WHERE r.doc_id IS NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X4s: UNLEARNING the LM model — retraction for a state whose rows
+    // are AGGREGATES, not memberships: a retracted doc's counts cannot be
+    // deleted row-wise, they must be SUBTRACTED. The retraction appends
+    // NEGATIVE (bg, cnt) deltas to the count log (the log stays a true
+    // append-only record — of additions and retractions alike) and one
+    // MERGE folds them into the model: matched heads decrement, and rows
+    // whose count reaches zero are DELETED by the merge's matched-delete
+    // branch (a zero-count bigram is not in the vocabulary — it must not
+    // score q=0-as-modeled where absence scores unmodeled). The
+    // model ≡ nonzero-log-sum invariant is REQUIREd across the
+    // unlearning, and the odd docs then score under the unlearned model —
+    // which the oracle reproduces by simply COUNTING over the surviving
+    // history (subtraction of counts ≡ recounting the survivors, the
+    // exactness retraction needs).
+    ("x_lm_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.Transform
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        def bgOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        val histCounts = bgOf(hist).groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // seeds BOTH the log and the model
+        val cat = TableOps.newCatalog()
+        val log = cat.createTable("db.lm_log_r", new StructType()
+          .add("bg", StringType).add("cnt", LongType),
+          partitionBy = Seq("bg" -> Transform.Bucket(4)))
+        log.append(s, histCounts)
+        val model = cat.createTable("db.lm_model_r", new StructType()
+          .add("bg", StringType).add("c2", LongType).add("w1", StringType),
+          partitionBy = Seq("w1" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "w1"))
+        model.append(s, histCounts.select(col("bg"), col("cnt").as("c2"),
+          substring_index(col("bg"), " ", 1).as("w1")))
+        val rowsBefore = model.toDF(s).count()
+        // unlearn every 20th history doc: negative deltas to the log, one
+        // decrement-or-delete MERGE into the model
+        val negDeltas = bgOf(hist.filter(col("doc_id") % 20 === 0))
+          .groupBy("bg").agg((-count(lit(1))).as("cnt"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .localCheckpoint() // log append + model merge both read it
+        log.append(s, negDeltas.select("bg", "cnt"))
+        model.merge(s, negDeltas, Seq("bg" -> "bg"),
+          whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
+          whenMatchedDelete = Some(col("t.c2") + col("s.cnt") === 0L),
+          insertWhenNotMatched = false)
+        val rowsAfter = model.toDF(s).count()
+        val logSum = log.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
+          .filter(col("c2") =!= 0L)
+        val modelDf = model.toDF(s).select("bg", "c2")
+        val modelMatchesLog = modelDf.except(logSum).isEmpty &&
+          logSum.except(modelDf).isEmpty
+        require(modelMatchesLog,
+          "unlearned model must equal the log's nonzero sums")
+        val probs = lmProbs(model.toDF(s).select(col("bg"), col("c2")))
+        bgOf(docs.filter(col("doc_id") % 2 === 1))
+          .join(probs, Seq("bg"), "left")
+          .groupBy("doc_id").agg(min(col("lang")).as("lang"),
+            expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
+            sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
+          .groupBy("lang").agg(count(lit(1)).as("docs"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(when(col("modeled") === 0L, 1L).otherwise(0L)).as("n_unmodeled"))
+          .withColumn("model_rows_before", lit(rowsBefore))
+          .withColumn("model_rows_after", lit(rowsAfter))
+          .withColumn("model_matches_log", lit(modelMatchesLog))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |hist AS (SELECT bg FROM bg WHERE doc_id % 2 = 0),
+        |surv AS (SELECT bg FROM bg WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM surv GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM surv GROUP BY 1),
+        |p AS (
+        |  SELECT c2.bg, (c2 * 1000000) // c1 AS q
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        |b AS (SELECT doc_id, lang, bg FROM bg WHERE doc_id % 2 = 1),
+        |d AS (
+        |  SELECT b.doc_id, min(b.lang) AS lang,
+        |    CAST(sum(coalesce(p.q, 0)) AS BIGINT) // count(*) AS score,
+        |    count(p.q) AS modeled
+        |  FROM b LEFT JOIN p USING (bg) GROUP BY 1)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(score) AS BIGINT) // count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(SUM(CASE WHEN modeled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmodeled,
+        |  (SELECT count(DISTINCT bg) FROM hist) AS model_rows_before,
+        |  (SELECT count(*) FROM c2) AS model_rows_after,
+        |  true AS model_matches_log
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X1t: RETRACTION WITH RE-ELECTION from the chunk keep-first ledger —
+    // the hard retraction shape: a keep-first state doesn't just MEMBER a
+    // retracted doc, it may have elected it the canonical keeper of
+    // chunks that also live in surviving docs. Deleting the retracted
+    // rows alone would leave those chunks unclaimed and silently
+    // re-admittable; the repair RE-ELECTS keep-first over the SURVIVING
+    // corpus restricted to exactly the orphaned hashes (the shared
+    // [[chunkKeepFirstLedger]] rule — the re-election cannot drift from
+    // the original election), and hashes whose only occurrences were
+    // retracted rightly vanish. The gate REQUIREs the repaired ledger ≡
+    // the from-scratch keep-first over survivors, row for row — delete +
+    // re-elect must be indistinguishable from never having crawled the
+    // retracted docs — and the oracle recomputes that from-scratch state
+    // independently.
+    ("x_chunk_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val W = 16
+        val boiler = " subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice"
+        val corpus = Tables.documents(s, d).select("doc_id", "lang", "text")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+        val cat = TableOps.newCatalog()
+        val ledger0 = chunkKeepFirstLedger(chunksOf(corpus, W))
+        val t = cat.createTable("db.chunk_ledger_r", ledger0.schema,
+          partitionBy = Seq("h" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "h"))
+        t.append(s, ledger0)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = corpus.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        // the orphaned hashes: chunks whose elected keeper dies — pinned
+        // BEFORE the delete mutates the table under them
+        val orphans = t.toDF(s)
+          .filter(col("f_doc").isInCollection(retractIds))
+          .select("h").localCheckpoint()
+        t.delete(s, Seq(Predicate.In("f_doc", retractIds)))
+        val survivors = corpus.filter(!col("doc_id").isInCollection(retractIds))
+        val reelected = chunkKeepFirstLedger(
+          chunksOf(survivors, W).join(orphans, Seq("h"))).localCheckpoint()
+        t.append(s, reelected)
+        val rowsAfter = t.toDF(s).count()
+        val scratch = chunkKeepFirstLedger(chunksOf(survivors, W))
+        val repaired = t.toDF(s)
+        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+          "repaired ledger must equal the from-scratch keep-first over survivors")
+        repaired.groupBy("lang")
+          .agg(count(lit(1)).as("kept_chunks"), sum(col("n_tok")).as("kept_tokens"))
+          .withColumn("rows_before", lit(rowsBefore))
+          .withColumn("rows_after", lit(rowsAfter))
+          .withColumn("reelected", lit(reelected.count()))
+          .orderBy("lang")
+      },
+      """WITH docs0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ||
+        |      ' subscribe to our newsletter all rights reserved contact us privacy policy terms of service cookie notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |surv AS (SELECT * FROM docs0 WHERE doc_id % 20 <> 0),
+        |toked_f AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM docs0),
+        |chunks_f AS (
+        |  SELECT doc_id, lang, CAST((s - 1) // 16 AS BIGINT) AS ci,
+        |    CAST(least(16, len(t) - s + 1) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[s : s + 15], ' ')) AS h
+        |  FROM (SELECT * FROM toked_f WHERE len(t) > 0),
+        |    unnest(generate_series(1, len(t), 16)) AS u(s)),
+        |fd_f AS (SELECT h, min(doc_id) AS f_doc FROM chunks_f GROUP BY 1),
+        |chunks_s AS (SELECT * FROM chunks_f WHERE doc_id % 20 <> 0),
+        |fd AS (SELECT h, min(doc_id) AS f_doc FROM chunks_s GROUP BY 1),
+        |fci AS (
+        |  SELECT c.h, f.f_doc, min(c.ci) AS f_ci
+        |  FROM chunks_s c JOIN fd f ON f.h = c.h AND c.doc_id = f.f_doc
+        |  GROUP BY 1, 2),
+        |ledger AS (
+        |  SELECT c.h, f.f_doc, f.f_ci, c.lang, c.n_tok
+        |  FROM chunks_s c JOIN fci f
+        |    ON c.h = f.h AND c.doc_id = f.f_doc AND c.ci = f.f_ci)
+        |SELECT lang, count(*) AS kept_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+        |  (SELECT count(*) FROM fd_f) AS rows_before,
+        |  (SELECT count(*) FROM ledger) AS rows_after,
+        |  (SELECT count(*) FROM ledger l JOIN fd_f f USING (h)
+        |   WHERE f.f_doc % 20 = 0) AS reelected
+        |FROM ledger GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X4t: RETRACTION WITH RE-ELECTION from the first-seen gram state —
+    // the novelty twin of x_chunk_retract: a retracted doc may be the
+    // CLAIMANT of grams that also occur in surviving docs, so deleting
+    // its claims must re-elect each orphaned gram's first-seen to the
+    // earliest SURVIVING occurrence (grams only the retracted doc ever
+    // had rightly vanish — they are novel again for whoever says them
+    // next). Repaired state ≡ from-scratch first-seen over survivors
+    // REQUIREd row for row; the oracle recomputes it independently and
+    // rolls up claimed grams by the claimant's lang.
+    ("x_novelty_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        def gramsOf(df: DataFrame) = df.select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        val cat = TableOps.newCatalog()
+        val fs0 = gramsOf(docs).groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val t = cat.createTable("db.first_seen_r", fs0.schema,
+          partitionBy = Seq("g" -> Transform.Bucket(4)),
+          properties = Map(graft.format.TableProperties.BloomColumns -> "g"))
+        t.append(s, fs0)
+        val rowsBefore = t.toDF(s).count()
+        val retractIds = docs.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val orphans = t.toDF(s)
+          .filter(col("first_doc").isInCollection(retractIds))
+          .select("g").localCheckpoint()
+        t.delete(s, Seq(Predicate.In("first_doc", retractIds)))
+        val survivors = docs.filter(!col("doc_id").isInCollection(retractIds))
+        val reelected = gramsOf(survivors).join(orphans, Seq("g"))
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+          .localCheckpoint()
+        t.append(s, reelected)
+        val rowsAfter = t.toDF(s).count()
+        val scratch = gramsOf(survivors)
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val repaired = t.toDF(s)
+        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+          "repaired first-seen state must equal the from-scratch election over survivors")
+        repaired.join(docs.select(col("doc_id").as("first_doc"), col("lang")),
+            Seq("first_doc"))
+          .groupBy("lang").agg(count(lit(1)).as("claimed_grams"))
+          .withColumn("rows_before", lit(rowsBefore))
+          .withColumn("rows_after", lit(rowsAfter))
+          .withColumn("reelected", lit(reelected.count()))
+          .orderBy("lang")
+      },
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+        |g_f AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END)) AS g
+        |  FROM toks),
+        |fs_f AS (SELECT g, min(doc_id) AS first_doc FROM g_f GROUP BY 1),
+        |g_s AS (SELECT * FROM g_f WHERE doc_id % 20 <> 0),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM g_s GROUP BY 1)
+        |SELECT d.lang, count(*) AS claimed_grams,
+        |  (SELECT count(*) FROM fs_f) AS rows_before,
+        |  (SELECT count(*) FROM fs) AS rows_after,
+        |  (SELECT count(*) FROM fs s JOIN fs_f f USING (g)
+        |   WHERE f.first_doc % 20 = 0) AS reelected
+        |FROM fs JOIN toks d ON d.doc_id = fs.first_doc
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+}
