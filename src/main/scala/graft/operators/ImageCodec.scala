@@ -350,6 +350,93 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Fixture-side SEEDED encoder with an optional planted single-pixel
+    * edit — the near-clone generator for perceptual-hash dedup gates.
+    * Pixel (x, y): R = 0, G = (x·(31 + 11·seed) + y·(17 + 5·seed)) mod
+    * 256, B = x mod 256; when `editX >= 0` the single pixel (editX,
+    * editY) gets G' = (G + 128) mod 256 (a maximal, wraparound-safe gray
+    * flip). The seed scales the gradient's STEP, not its brightness — a
+    * constant-offset seed would be invisible to dHash, which (by design)
+    * only sees the sign of horizontal gray differences; changing the step
+    * moves every mod-256 wraparound, so different seeds hash far apart.
+    * Every channel is a closed-form function of (x, y, seed, edit), so
+    * DuckDB recomputes the decoded raster — and any integer hash of it —
+    * without an image library (the [[encodeImage]] discipline, seeded).
+    */
+  def encodeImageVariant(format: String, width: Int, height: Int, seed: Int,
+                         editX: Int = -1, editY: Int = -1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed)) % 256
+        val g = if (x == editX && y == editY) (g0 + 128) % 256 else g0
+        img.setRGB(x, y, g << 8 | (x & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, bos), s"no JDK writer for format $format")
+    bos.toByteArray
+  }
+
+  /** 56-bit difference hash (dHash) of the FULL decoded raster — the
+    * perceptual fingerprint for image near-dup dedup. Nearest-neighbor
+    * pick an 8×8 gray grid (source pixel (x·W/8, y·H/8), integer floor —
+    * the [[resizeRow]] pick discipline, so every sample is a deterministic
+    * integer choice, never an interpolation), gray = (r + g + b) / 3
+    * integer floor, then bit y·7+x is set iff gray(x+1, y) > gray(x, y):
+    * 7 horizontal comparisons per row × 8 rows = 56 bits. 56 on purpose —
+    * the classic 8×8 dHash is 64 bits, whose top bit would make the hash
+    * negative in a signed BIGINT and break the cross-engine band
+    * arithmetic ((h >> 14k) & 16383 must agree between Spark and the
+    * DuckDB oracle; both are signed-64 engines). A single-pixel edit can
+    * flip at most 2 bits (the two comparisons that touch the one grid
+    * cell that picks it), so near-clones sit at hamming ≤ 2 while
+    * unrelated gradients are ~28 apart. Null when no JDK reader claims
+    * the bytes, the raster is bomb-guarded, or either dimension is under
+    * the 8-px grid. Map-side, bytes-decoded cost — at 100 TB the hash is
+    * computed once at ingest and persisted, never re-decoded per query.
+    */
+  def dhashRow(bytes: Array[Byte]): java.lang.Long = withReader[java.lang.Long](bytes) { r =>
+    if (bombed(r, 0)) null
+    else {
+      val img = r.read(0)
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 8 || h < 8) null
+      else {
+        val gray = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val rgb = img.getRGB(x * w / 8, sy)
+            gray(y * 8 + x) =
+              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (gray(y * 8 + x + 1) > gray(y * 8 + x)) hash |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        java.lang.Long.valueOf(hash)
+      }
+    }
+  }
+
   /** Fixture-side multi-frame encoder: an animated GIF of `frames`
     * grayscale gradients (frame f pixel (x,y) = (x*31 + y*17 + f*7) mod
     * 256). Grayscale on purpose: a 256-level gray palette survives GIF's
@@ -552,5 +639,36 @@ case class SampleFrames(child: Expression, stride: Int) extends UnaryExpression 
     """)
 
   override protected def withNewChildInternal(newChild: Expression): SampleFrames =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> 56-bit perceptual dHash (BIGINT), null
+  * for undecodable or under-8px inputs. One static call in codegen, so the
+  * hash stays inside whole-stage codegen spans like the other decoders.
+  */
+case class ImageDhash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.dhashRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val boxed = ctx.freshName("dhash")
+      s"""
+      java.lang.Long $boxed = graft.operators.ImageCodec.dhashRow($b);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.longValue(); }
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDhash =
     copy(child = newChild)
 }

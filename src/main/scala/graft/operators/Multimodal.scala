@@ -95,6 +95,17 @@ object Multimodal {
     GraftSqlShim.column(ResizeImage(GraftSqlShim.expression(blob), maxWidth))
   }
 
+  /** REAL perceptual hash: binary -> 56-bit dHash (BIGINT), null for
+    * undecodable or under-8px inputs ([[ImageCodec.dhashRow]]). The image
+    * twin of the text MinHash signature: computed map-side at ingest,
+    * banded for candidate pairs, verified by hamming distance — image
+    * near-dup dedup without ever joining on pixels.
+    */
+  def imageDhash(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(ImageDhash(GraftSqlShim.expression(blob)))
+  }
+
   /** REAL frame sampling: binary -> array(struct(frame, width, height,
     * sum_r, sum_g, sum_b)) — decode every `stride`-th frame of a
     * multi-frame container. GIF is the JDK's multi-frame codec, standing

@@ -455,5 +455,99 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |SELECT 24 + u, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM range(6) t(u)
         |ORDER BY vid_id""".stripMargin),
 
+
+    // X5j × X2: PERCEPTUAL-HASH IMAGE NEAR-DUP — the dedup × multimodal
+    // intersection (r13 verdict #2): dHash-56 over the REAL decoded raster
+    // ([[graft.operators.ImageCodec.dhashRow]] — integer 8×8 grid picks,
+    // integer gray, horizontal comparisons), banded into 4 × 14-bit keys
+    // for candidate pairs (the MinHash band discipline applied to hash
+    // bits), verified by hamming ≤ 3 on the two BIGINTs. Pigeonhole makes
+    // the banding LOSSLESS at this threshold (≤ 3 differing bits across 4
+    // bands leave at least one band identical), so the oracle makes the
+    // stronger claim: brute-force ALL-PAIRS hamming over closed-form
+    // recomputed hashes — agreement proves the banded plan dropped no
+    // pair. Fixture: 18 seeded gradient images; i%3=0 bases get a
+    // near-clone with ONE pixel edited at exactly the grid-(3,3) pick
+    // (flips ≤ 2 hash bits), i%3=1 bases an exact duplicate (hamming 0),
+    // i%3=2 no clone. At 100 TB: hash once at ingest (map-side,
+    // bytes-decoded cost), the band self-join shuffles 4 narrow rows per
+    // image, verification compares two BIGINTs — pixels never shuffle.
+    ("x_image_neardup",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{ImageCodec, Multimodal}
+        val rows = (0 until 18).flatMap { i =>
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          val w = 24 + i
+          val h = 16 + (i % 5)
+          val base = (i.toLong, ImageCodec.encodeImageVariant(fmt, w, h, i))
+          val clone =
+            if (i % 3 == 0)
+              Some(((100 + i).toLong,
+                ImageCodec.encodeImageVariant(fmt, w, h, i, 3 * w / 8, 3 * h / 8)))
+            else if (i % 3 == 1)
+              Some(((100 + i).toLong, ImageCodec.encodeImageVariant(fmt, w, h, i)))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.imgdedup", df.schema)
+        t.append(s, df)
+        val hashed = t.toDF(s)
+          .select(col("img_id"), Multimodal.imageDhash(col("blob")).as("h"))
+        // 4 bands of 14 bits; band key = value·4 + band index (h is 56-bit
+        // nonnegative, so arithmetic shifts agree with the oracle's)
+        val bands = hashed.select(col("img_id"), col("h"), explode(array(
+          (0 until 4).map(k =>
+            shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band"))
+        val rhs = bands.select(col("band").as("band_b"),
+          col("img_id").as("img_b"), col("h").as("hb"))
+        val pairs = bands.select(col("band"), col("img_id").as("img_a"), col("h").as("ha"))
+          .join(rhs, col("band") === col("band_b") && col("img_a") < col("img_b"))
+          .select("img_a", "img_b", "ha", "hb").distinct()
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("img_a", "img_b", "hamming")
+        // recall floor REQUIREd in-gate: every planted clone pair must
+        // band-collide and verify
+        val found = pairs.select("img_a", "img_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 18).filter(_ % 3 != 2).foreach { i =>
+          require(found.contains((i.toLong, (100 + i).toLong)),
+            s"planted near-clone pair ($i, ${100 + i}) must band-collide and verify")
+        }
+        pairs.orderBy("img_a", "img_b")
+      },
+      // hashes recomputed in closed form from the encoder gradient: source
+      // pixel (sx, sy) has R = 0, G = (sx·(31+11·seed) + sy·(17+5·seed))
+      // mod 256 (+128 wraparound at the one edited pixel), B = sx mod 256;
+      // grid (x, y) picks sx = x·w//8, sy = y·h//8; gray = (G + B) // 3
+      """WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
+        |    -1 AS ex, -1 AS ey
+        |  FROM range(18) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 24 + i, 16 + (i % 5),
+        |    CASE WHEN i % 3 = 0 THEN (3 * (24 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 3 = 0 THEN (3 * (16 + (i % 5))) // 8 ELSE -1 END
+        |  FROM range(18) t(i) WHERE i % 3 IN (0, 1)),
+        |grid AS (
+        |  SELECT img_id, x, y,
+        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
+        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
+        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
+        |     + ((x * w) // 8) % 256) // 3 AS gray
+        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
+        |bits AS (
+        |  SELECT g1.img_id,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1)
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin),
   )
 }

@@ -305,4 +305,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getInt(0) <= 640)
     assert(out.getSeq[Float](1).length == 4) // every 2nd of 8
   }
+  test("dHash: planted single-pixel clones band-collide at hamming <= 2; unrelated gradients are far") {
+    import org.apache.spark.sql.DataFrame
+    def hashOf(bytes: Array[Byte]): java.lang.Long = ImageCodec.dhashRow(bytes)
+
+    // a clone with ONE pixel edited at exactly the grid-(3,3) pick flips
+    // at most the two comparisons that touch that cell
+    val w = 40; val h = 18
+    val base = hashOf(ImageCodec.encodeImageVariant("png", w, h, 5))
+    val clone = hashOf(ImageCodec.encodeImageVariant("png", w, h, 5, 3 * w / 8, 3 * h / 8))
+    assert(base != null && clone != null)
+    val d = java.lang.Long.bitCount(base.longValue() ^ clone.longValue())
+    assert(d <= 2, s"single-pixel clone drifted to hamming $d")
+    // ... so at threshold 3 with 4 bands, pigeonhole guarantees a shared band
+    val bandsOf = (v: Long) => (0 until 4).map(k => ((v >> (k * 14)) & 16383L, k)).toSet
+    assert(bandsOf(base.longValue()).intersect(bandsOf(clone.longValue())).nonEmpty)
+
+    // exact re-encode (even across containers: PNG and BMP are both
+    // lossless) hashes identically
+    val bmp = hashOf(ImageCodec.encodeImageVariant("bmp", w, h, 5))
+    assert(bmp == base)
+
+    // different seeds are unrelated gradients: far in hamming
+    val other = hashOf(ImageCodec.encodeImageVariant("png", w, h, 6))
+    assert(java.lang.Long.bitCount(base.longValue() ^ other.longValue()) > 3)
+
+    // 56-bit contract: nonnegative, so BIGINT band arithmetic is sign-safe
+    assert(base >= 0L && clone >= 0L && other >= 0L)
+    assert(base < (1L << 56))
+
+    // undecodable bytes and under-grid rasters refuse loudly with null
+    assert(ImageCodec.dhashRow("not an image".getBytes("UTF-8")) == null)
+    assert(ImageCodec.dhashRow(ImageCodec.encodeImage("png", 6, 6)) == null)
+
+    // the Catalyst expression matches the row kernel through codegen
+    val df: DataFrame = spark.createDataFrame(Seq(
+      (1L, ImageCodec.encodeImageVariant("png", w, h, 5)),
+      (2L, "garbage".getBytes("UTF-8")))).toDF("id", "blob")
+    val got = df.select(col("id"), Multimodal.imageDhash(col("blob")).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == base.longValue())
+    assert(got(1).isNullAt(1))
+  }
 }
