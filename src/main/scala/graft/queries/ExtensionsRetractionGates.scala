@@ -242,6 +242,113 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |FROM top t ORDER BY 1""".stripMargin),
 
 
+    // X3r2: RETRACTION × MAINTENANCE on the ANN index — the follow-on leg
+    // x_ann_index_retract leaves open (r13 verdict #3): the MOR position
+    // deletes accumulate until the delete-file ratio crosses the
+    // reference's 10% threshold (docs/10:123), and it is HEALTH — not the
+    // caller — that triggers the compaction (`maintain`, the docs/01:149
+    // auto-maintenance loop) which folds the deletes into the
+    // identity-partitioned index and drops the delete manifests. The gate
+    // REQUIREs the full composition: delete-ratio trigger fired, deletes
+    // folded AND dropped (zero delete files after), surviving rows
+    // preserved through the rewrite, the post-compaction probe still
+    // partition-prunes its nprobe cells, and the ≥8/10 recall floor
+    // re-certified against the surviving brute force (inside
+    // prunedMultiprobeTopK). At 100 TB this is the vector store's steady
+    // state: retract cheap (position deletes), pay the rewrite ONLY when
+    // health says the read-side merge burden is worth folding.
+    ("x_ann_index_retract_compacted",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, Transform}
+        val clustered = clusteredEmbeddings(Tables.embeddings(s, d))
+        val assigned = clustered
+          .withColumn("cell", VF.ivfCellExact(col("v"), shiftCentroids))
+        val t = TableOps.newCatalog().createTable("db.ann_retract_c", assigned.schema,
+          partitionBy = Seq("cell" -> Transform.Identity),
+          properties = Map(graft.format.TableProperties.MergeOnRead -> "true"))
+        t.append(s, assigned)
+        val pre = prunedMultiprobeTopK(s, t, clustered, shiftCentroids)
+        val retractIds = pre.filter(col("rank").isin(2, 4, 6))
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+        t.delete(s, Seq(Predicate.In("vec_id", retractIds)))
+        val survivorRows = t.toDF(s).count()
+        val h = t.health()
+        require(h.deleteFileCount > 0 && h.deleteRatio > 0.10 && h.needsCompaction,
+          s"MOR retraction must trip the docs/10:123 delete-ratio trigger, got $h")
+        t.maintain(s) // health-triggered: compacts BECAUSE needsCompaction
+        val post = t.scan()
+        require(post.deleteFiles.isEmpty,
+          "health-triggered compaction must fold position deletes and drop their manifests")
+        require(t.toDF(s).count() == survivorRows,
+          "compaction must preserve exactly the surviving rows")
+        val survivors = clustered.filter(!col("vec_id").isInCollection(retractIds))
+        val out = prunedMultiprobeTopK(s, t, survivors, shiftCentroids)
+        require(out.filter(col("neighbor_id").isInCollection(retractIds)).isEmpty,
+          "retracted vectors must never surface from the compacted index")
+        out
+          .withColumn("delete_ratio_triggered", lit(h.needsCompaction))
+          .withColumn("deletes_folded", lit(post.deleteFiles.isEmpty))
+      },
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(embedding[i] AS DOUBLE) +
+        |    CASE WHEN (i - 1) % 8 = vec_id % 8 THEN 0.25 ELSE 0.0 END) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS neighbor_id, v AS ce FROM base
+        |  WHERE vec_id % 97 <> 0),
+        |cents AS (
+        |  SELECT g AS cid, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN (i - 1) % 8 = g THEN 0.25 ELSE 0.0 END) AS cemb
+        |  FROM generate_series(0, 7) AS t(g)),
+        |dists AS (
+        |  SELECT b.vec_id, ct.cid,
+        |    list_dot_product(ct.cemb, ct.cemb)
+        |      - 2 * list_dot_product(b.v, ct.cemb) AS d2
+        |  FROM base b, cents ct),
+        |dranked AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dists),
+        |assigned AS (SELECT vec_id, cid AS cell FROM dranked WHERE rn = 1),
+        |probes AS (SELECT cid AS cell FROM dranked WHERE vec_id = 0 AND rn <= 2),
+        |top_pre AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.ce, q.qe) DESC, c.neighbor_id) AS rank
+        |    FROM c JOIN assigned a ON a.vec_id = c.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c.ce, q.qe)))
+        |  WHERE rank <= 10),
+        |retracted AS (SELECT neighbor_id FROM top_pre WHERE rank IN (2, 4, 6)),
+        |c2 AS (SELECT * FROM c
+        |  WHERE neighbor_id NOT IN (SELECT neighbor_id FROM retracted)),
+        |brute2 AS (SELECT neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rn
+        |    FROM c2, q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rn <= 10),
+        |top AS (
+        |  SELECT rank, neighbor_id FROM (
+        |    SELECT c2.neighbor_id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c2.ce, q.qe) DESC, c2.neighbor_id) AS rank
+        |    FROM c2 JOIN assigned a ON a.vec_id = c2.neighbor_id
+        |    JOIN probes p ON p.cell = a.cell
+        |    CROSS JOIN q
+        |    WHERE list_cosine_similarity(c2.ce, q.qe) IS NOT NULL
+        |      AND NOT isnan(list_cosine_similarity(c2.ce, q.qe)))
+        |  WHERE rank <= 10)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.neighbor_id,
+        |  EXISTS (SELECT 1 FROM brute2 b WHERE b.neighbor_id = t.neighbor_id)
+        |    AS hit,
+        |  true AS probe_pruned, CAST(2 AS BIGINT) AS cells_probed,
+        |  true AS delete_ratio_triggered, true AS deletes_folded
+        |FROM top t ORDER BY 1""".stripMargin),
+
+
     // X2r: RETRACTION from the band-signature state — the fuzzy twin of
     // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
     // and its near-dups stop nominating against it, so lightly-edited
