@@ -874,8 +874,124 @@ object ScaleSmoke {
     // [[crawlLoopsContract]].
     crawlLoopsContract(spark, sfDir, mult)
 
+    // contract 17: planning latency at high file count — see
+    // [[planningLatencyContract]].
+    planningLatencyContract()
+
     report("SCALE SMOKE OK")
     spark.stop()
+  }
+
+  /** Contract 17: driver-side PLANNING latency at high file count — the
+    * reference's headline planning claim ("read a small number of manifest
+    * files (few MBs)" instead of listing "potentially millions of objects",
+    * docs/03:10-17, docs/09:5-14) as recorded measurements instead of
+    * prose. The fixture is metadata-plane only
+    * ([[graft.table.PlanningFixture]]): 500 fabricated append commits × 100
+    * synthetic files = 50,000 files across 500 manifests over a
+    * 100-partition identity domain (values 100-199 so lexicographic
+    * manifest clustering equals numeric order), with partition values
+    * round-robin across commits — the WORST fragmentation shape, where
+    * every manifest spans the whole domain and phase-1 summaries can prune
+    * nothing. Certified, all plans COLD (ManifestCache cleared, best of 3):
+    *
+    *   a. planning never lists a directory: no data path exists on disk at
+    *      all, yet the unpruned plan enumerates all 50,000 files from
+    *      manifests alone — and on the fragmented table a single-partition
+    *      probe must read all 500 manifests (summaries span everything)
+    *      while phase-2 partition tuples still file-prune 99%;
+    *   b. `rewriteManifests` restores phase-1: the partition-clustered
+    *      10-manifest layout prunes the same probe to ≤2 manifests with an
+    *      IDENTICAL planned file set, and many-small-commit fragmentation
+    *      is thereby repaired without touching a data byte;
+    *   c. planning wall-time follows SURVIVING manifests: the post-rewrite
+    *      pruned plan beats both the fragmented pruned plan (it parses
+    *      ~5,000 manifest entries instead of ~50,000 across 500 JSON
+    *      opens; measured ~3.7×) and the post-rewrite unpruned plan
+    *      (~3.2×) — REQUIREd at ≥2× each, the noise-safe floor for a
+    *      stressed host, with the measured ratios recorded.
+    */
+  private[tools] def planningLatencyContract(): Unit = {
+    import graft.format.{Predicate, Transform}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def report(s: String): Unit = println(s"[scale-smoke] $s")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft-smoke-plan").toString
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("p", LongType)))
+    val t = cat.createTable("db.plan_smoke", schema,
+      partitionBy = Seq("p" -> Transform.Identity))
+    val nCommits = 500
+    val filesPer = 100
+    val m0 = t.meta
+    val (_, tBuild) = timed {
+      (0 until nCommits).foreach { c =>
+        val files = (0 until filesPer).map { i =>
+          graft.table.PlanningFixture.syntheticFile(
+            m0, part = 100L + i, id = c.toLong * filesPer + i)
+        }
+        graft.table.PlanningFixture.appendFabricated(t, files)
+      }
+    }
+    // cold plan, best of 3: every run re-reads and re-parses the manifest
+    // JSONs (the cache would otherwise make pruned and unpruned identical)
+    def coldPlan(preds: Predicate*): (graft.table.GraftScan, Double) = {
+      val runs = (1 to 3).map { _ =>
+        graft.format.ManifestCache.clear()
+        val sc = t.scan(preds: _*)
+        val (_, secs) = timed(sc.plan)
+        (sc, secs)
+      }
+      runs.minBy(_._2)
+    }
+    val probe = Predicate.Eq("p", 142L)
+
+    val (fullFrag, tFullFrag) = coldPlan()
+    val (prunedFrag, tPrunedFrag) = coldPlan(probe)
+    val mf = prunedFrag.metrics
+    report(f"planning fragmented: build(${nCommits}x$filesPer files)=$tBuild%.1fs " +
+      f"full_plan=${tFullFrag * 1000}%.0fms (files=${fullFrag.metrics.filesScanned}) " +
+      f"pruned_plan=${tPrunedFrag * 1000}%.0fms manifests=${mf.manifestsScanned}/${mf.manifestsTotal} " +
+      f"files=${mf.filesScanned}/${mf.filesTotal}")
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "db.plan_smoke", "data")),
+      "metadata-plane fixture must never materialize a data directory")
+    require(fullFrag.metrics.manifestsTotal == nCommits &&
+      fullFrag.metrics.filesTotal == nCommits.toLong * filesPer &&
+      fullFrag.metrics.filesScanned == nCommits.toLong * filesPer,
+      s"unpruned plan must enumerate every file from manifests alone: ${fullFrag.metrics}")
+    require(mf.manifestsScanned == nCommits,
+      s"fragmented manifests all span the domain — phase-1 must keep all: $mf")
+    require(mf.filesScanned == nCommits.toLong,
+      s"phase-2 partition tuples must prune to one file per commit: $mf")
+    val fragFiles = prunedFrag.dataFiles.map(_.path).toSet
+
+    val (_, tRewrite) = timed(t.rewriteManifests())
+    val (fullAfter, tFullAfter) = coldPlan()
+    val (prunedAfter, tPrunedAfter) = coldPlan(probe)
+    val ma = prunedAfter.metrics
+    report(f"planning rewritten: rewrite=$tRewrite%.1fs " +
+      f"full_plan=${tFullAfter * 1000}%.0fms (manifests=${fullAfter.metrics.manifestsTotal}) " +
+      f"pruned_plan=${tPrunedAfter * 1000}%.0fms manifests=${ma.manifestsScanned}/${ma.manifestsTotal} " +
+      f"files=${ma.filesScanned}/${ma.filesTotal} " +
+      f"speedup_vs_fragmented=${tPrunedFrag / tPrunedAfter}%.1fx " +
+      f"vs_unpruned=${tFullAfter / tPrunedAfter}%.1fx")
+    require(fullAfter.metrics.manifestsTotal == 10 &&
+      fullAfter.metrics.filesScanned == nCommits.toLong * filesPer,
+      s"rewriteManifests must regroup 50k entries into 10 manifests: ${fullAfter.metrics}")
+    require(ma.manifestsScanned <= 2,
+      s"phase-1 must prune the clustered layout to <=2 manifests: $ma")
+    require(ma.filesScanned == nCommits.toLong,
+      s"phase-2 answer must be unchanged by the rewrite: $ma")
+    require(prunedAfter.dataFiles.map(_.path).toSet == fragFiles,
+      "planned file SET must be invariant under rewriteManifests")
+    require(tPrunedAfter * 2 < tPrunedFrag,
+      f"post-rewrite pruned planning must beat the fragmented plan >=2x, " +
+        f"got ${tPrunedFrag / tPrunedAfter}%.1fx")
+    require(tPrunedAfter * 2 < tFullAfter,
+      f"pruned planning must beat unpruned >=2x on the clustered layout, " +
+        f"got ${tFullAfter / tPrunedAfter}%.1fx")
   }
 
   /** Contract 16: the five streaming CRAWL LOOPS at scale — the gates
@@ -1149,6 +1265,80 @@ object ScaleSmoke {
         val ratio = rM(name)._5 / r1(name)._5
         require(ratio < crawlBound,
           f"$name crawl scaled super-linearly: $ratio%.1fx (bound $crawlBound%.0fx)")
+      }
+
+      // retraction at scale (r13 verdict #7): RetractionSpec pins
+      // retract-between-micro-batches at fixture scale; here a bounded
+      // right-to-be-forgotten request lands mid-lifecycle on the Mx exact
+      // crawl's fp state. Certified: the DELETE's In probe prunes the COW
+      // rewrite through the state's bucket + fp-bloom planes (recorded
+      // from the delete's own candidate scan), exactly the retracted fps
+      // die, retracted texts ADMIT on recrawl while surviving history
+      // keeps rejecting — the x_dedup_retract semantics, at 30x.
+      locally {
+        import graft.format.{Predicate, TableProperties, Transform}
+        import graft.functions.{TextFunctions => TF}
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val fx = crawlFixture(mult).localCheckpoint()
+        val cat = newCrawlCat()
+        val state = cat.createTable("db.fp_retract16",
+          new StructType().add("fp", StringType),
+          partitionBy = Seq("fp" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "fp"))
+        val res = cat.createTable("db.adm_retract16",
+          new StructType().add("doc_id", LongType))
+        val stage = stageOf(fx, "retractM")
+        Extensions.streamIncrementalDedup(
+          spark, stage, fx.drop("_slice").schema, state, res)
+        val preAdmitted = res.toDF(spark).count()
+        val stateRows = state.toDF(spark).count()
+        // a bounded request: 16 crawled originals (boilers excluded — they
+        // all share one fp); production retractions are handfuls, and the
+        // bloom plane's skip probability needs a small key set to bite
+        val retractDocs = fx.filter(col("_slice") < 2 &&
+            col("doc_id") < 900000000L && pmod(col("doc_id"), lit(127L)) === 3L)
+          .orderBy("doc_id").limit(16)
+          .select("doc_id", "lang", "text").localCheckpoint()
+        val fps = retractDocs.select(TF.fingerprint(col("text")).as("fp"))
+          .collect().map(_.getString(0)).toSeq
+        val k = fps.size
+        require(k >= 4 && fps.distinct.size == k,
+          s"retraction fixture must pick >=4 distinct texts, got $k")
+        graft.table.QueryHistory.clear()
+        val (_, tDel) = timed(state.delete(spark, Seq(Predicate.In("fp", fps))))
+        val delScan = graft.table.QueryHistory.all
+          .filter(_.table == "db.fp_retract16").head
+        require(delScan.filesScanned < delScan.filesTotal,
+          s"the retraction DELETE must prune the state rewrite: " +
+            s"${delScan.filesScanned}/${delScan.filesTotal}")
+        require(state.toDF(spark).count() == stateRows - k,
+          "exactly the retracted fps must die")
+        // recrawl: the retracted texts under fresh ids must ADMIT again;
+        // surviving-history texts under fresh ids must keep REJECTING
+        val reRetract = retractDocs
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("lang"), col("text"))
+        val controls = fx.filter(col("_slice") < 2 &&
+            col("doc_id") < 900000000L && pmod(col("doc_id"), lit(127L)) === 4L)
+          .orderBy("doc_id").limit(16)
+          .select((col("doc_id") + 6000000000L).as("doc_id"), col("lang"), col("text"))
+        val refx = reRetract.unionByName(controls).withColumn("_slice", lit(0))
+        val stage2 = graft.queries.TableOps.newTempDir("graft-smoke-retractM2")
+        Extensions.stagePreSliced(refx, stage2, 1, 1)
+        Extensions.streamIncrementalDedup(
+          spark, stage2, refx.drop("_slice").schema, state, res)
+        val ctlN = controls.count()
+        val after = res.toDF(spark).localCheckpoint()
+        val readmitted = after.filter(col("doc_id") >= 5000000000L &&
+          col("doc_id") < 6000000000L).count()
+        val controlLeaks = after.filter(col("doc_id") >= 6000000000L).count()
+        report(f"exact retraction at ${mult}x: state=$stateRows rows, " +
+          f"del_scan=${delScan.filesScanned}/${delScan.filesTotal} t=$tDel%.1fs " +
+          f"readmitted=$readmitted/$k control_rejects=${ctlN - controlLeaks}/$ctlN")
+        require(readmitted == k, s"retracted texts must admit on recrawl: $readmitted/$k")
+        require(controlLeaks == 0,
+          s"surviving history must keep rejecting: $controlLeaks control admissions")
+        require(after.count() == preAdmitted + k,
+          "admissions delta must be exactly the retracted recrawls")
       }
     }
   }
