@@ -42,11 +42,25 @@ object Bench {
       val df = spark.range(0, 2000)
         .select(col("id"), expr("date_add(date'2024-01-01', cast(id % 7 as int))").as("d"))
       val t = cat.createTable("db.warm", df.schema,
-        partitionBy = Seq("d" -> graft.format.Transform.Identity))
-      t.append(spark, df)
+        partitionBy = Seq("d" -> graft.format.Transform.Identity),
+        properties = Map(graft.format.TableProperties.BloomColumns -> "id"))
+      val s1 = t.append(spark, df, statementId = Some("warm-1"))
       t.delete(spark, Seq(graft.format.Predicate.Eq("id", 7L)))
       t.compact(spark)
       t.toDF(spark).count()
+      // r14 (r13 verdict #5): the attempts:1-vs-attempts:2 incomparability
+      // concentrated on the alphabetically-FIRST gates' cold paths — r13's
+      // regression tail was exactly g_before_statement / g_bloom_skip /
+      // g_changelog / g_drop_column, each paying its family's one-time
+      // JIT on a first-pass capture that a retry pass measures warm. Warm
+      // each path once on the toy table so first-pass and retry-pass
+      // captures read the early gates comparably.
+      t.scan(graft.format.Predicate.Eq("id", 42L)).toDF(spark).count() // bloom probe
+      t.before("warm-1").toDF(spark).count() // statement-log + time travel
+      graft.streaming.GraftStreamSource.changelog(spark, t, Some(s1.snapshotId)).count()
+      t.addColumn("warm_extra", org.apache.spark.sql.types.LongType)
+      t.dropColumn("warm_extra")
+      t.toDF(spark).count(): Unit // evolved read resolution
     }
     // Real-fixture warmup: the 2000-row toy table above warms the engine's
     // code paths but not the EVENTS fixture the alphabetically-first g_*

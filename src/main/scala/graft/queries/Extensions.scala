@@ -976,17 +976,28 @@ object Extensions
           sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
       val deltas = bb.groupBy("bg").agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // read twice: the log append + the model MERGE
-      results.append(s, perDoc,
-        statementId = Some(s"$stage-res-$batchId"))
-      state.append(s, deltas,
-        statementId = Some(s"$stage-lm-$batchId"))
-      model.merge(s,
-        deltas.withColumn("w1", substring_index(col("bg"), " ", 1)),
-        Seq("bg" -> "bg"),
-        whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
-        whenNotMatchedInsert = Some(Map(
-          "bg" -> col("s.bg"), "c2" -> col("s.cnt"), "w1" -> col("s.w1"))),
-        statementId = Some(s"$stage-lmm-$batchId")): Unit
+      // Empty-delta short circuit (r13 verdict #6): a batch whose docs
+      // carry no bigram at all (every text under 2 tokens) has nothing to
+      // score (perDoc derives from the same empty bb), log, or fold — but
+      // without the guard it would still pay THREE full commit rounds for
+      // three no-ops. Skipping is replay-safe: a skipped batch writes
+      // nothing and claims no statementIds, so its replay skips
+      // identically; commit counts stay pinned to BIGRAM-BEARING batches
+      // (every gate/smoke fixture batch carries bigrams, so their pins
+      // read the same).
+      if (!deltas.isEmpty) {
+        results.append(s, perDoc,
+          statementId = Some(s"$stage-res-$batchId"))
+        state.append(s, deltas,
+          statementId = Some(s"$stage-lm-$batchId"))
+        model.merge(s,
+          deltas.withColumn("w1", substring_index(col("bg"), " ", 1)),
+          Seq("bg" -> "bg"),
+          whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
+          whenNotMatchedInsert = Some(Map(
+            "bg" -> col("s.bg"), "c2" -> col("s.cnt"), "w1" -> col("s.w1"))),
+          statementId = Some(s"$stage-lmm-$batchId")): Unit
+      }
     }
 
   /** The streaming novelty-scoring crawl loop — the

@@ -204,4 +204,28 @@ class StreamLmSpec extends SparkSpec {
     assert(m.filesScanned * 2 < m.filesTotal,
       s"small-batch model probe must prune: ${m.filesScanned}/${m.filesTotal}")
   }
+  test("a bigram-less batch commits nothing: the empty-delta short circuit") {
+    val (state, model, results) = newTables()
+    // slice 0 is a single 1-token doc (no bigrams): nothing to score, log,
+    // or fold — the loop must skip all three commits for it, not pay three
+    // no-op commit rounds. Slice 1 is a normal doc and commits as usual.
+    val fx = Seq((1L, "en", "solo"), (11L, "en", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+    val stage = TableOps.newTempDir("graft-slmspec-empty")
+    Extensions.stageOrderedSlices(fx, stage,
+      when(pmod(col("doc_id"), lit(4L)) === 1L, 0).otherwise(1), 2)
+    val preState = state.meta.snapshots.size
+    val preModel = model.meta.snapshots.size
+    val preRes = results.meta.snapshots.size
+    val batches = Extensions.streamIncrementalLm(
+      spark, stage, docsSchema, state, model, results)
+    assert(batches == 2) // both micro-batches ran ...
+    // ... but only the bigram-bearing one committed, on all three tables
+    assert(state.meta.snapshots.size == preState + 1)
+    assert(model.meta.snapshots.size == preModel + 1)
+    assert(results.meta.snapshots.size == preRes + 1)
+    assert(results.toDF(spark).count() == 1)
+    assert(results.toDF(spark).filter(col("doc_id") === 1L).isEmpty)
+    assert(modelMatchesLog(state, model))
+  }
 }

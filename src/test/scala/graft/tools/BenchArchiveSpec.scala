@@ -60,6 +60,17 @@ class BenchArchiveSpec extends AnyFunSuite {
     assert(Bench.shouldArchive(Some("not json"), sf01, 2.0, head))
   }
 
+  test("attempts stamp is measurement context, not an archive-arbitration key") {
+    // bench_compare.py reads "attempts" to mark the first sorted gates
+    // warmup-incomparable across attempts:1 vs attempts:2 captures; the
+    // ARCHIVE decision must keep ignoring it — an attempts:2 capture is not
+    // better or worse code, and the stamp must not break hf/sf/head parsing
+    val withAttempts = Some(
+      s"""{"metric":"total","value":1.0,"host_factor":1.5,"git_head":"$head","sf":"$sf01","attempts":2,"verdict":"clean"}""")
+    assert(Bench.shouldArchive(withAttempts, sf01, 1.1, head))
+    assert(!Bench.shouldArchive(withAttempts, sf01, 1.9, head))
+  }
+
   test("same dataset under a different path spelling is SAME-sf (ADVICE r13)") {
     // trailing slash / relative spelling of the same sf0.1 data must route
     // through the keep-quietest branch, not the cross-sf driver-scale branch

@@ -111,6 +111,9 @@ def load(path):
     mv = re.search(r'"verdict":"([^"]+)"', text)
     if mv:
         out["verdict"] = mv.group(1)
+    mat = re.search(r'"attempts":(\d+)', text)
+    if mat:
+        out["attempts"] = int(mat.group(1))
     mc = re.search(r'"controls":\[([0-9.,]+)\]', text)
     if mc:
         out["controls"] = [float(x) for x in mc.group(1).split(",")]
@@ -162,13 +165,27 @@ def main(old_path, new_path, band=1.5):
     if truncated:
         print(f"WARNING: stall_suspects list truncated ({', '.join(truncated)}) — "
               "unlisted REGRESSION flags below may also be stall noise")
-    flagged, noisy = [], []
+    # attempts-comparability (r13 verdict #5): a first-pass (attempts:1)
+    # capture measures the alphabetically-first gates in a colder JVM than
+    # a retry-pass (attempts:2) capture, whose measured pass runs fully
+    # warm — r13's "regression tail" was exactly this artifact on the first
+    # ~12 sorted gates. When the two captures' attempts differ, those
+    # gates' flags are warmup noise, not evidence; report them separately.
+    ao, an = old.get("attempts"), new.get("attempts")
+    warmup_gates = set()
+    if ao is not None and an is not None and ao != an:
+        warmup_gates = set(common[:12])
+        print(f"NOTE: attempts differ (old {ao}, new {an}) — the first "
+              f"{len(warmup_gates)} sorted gates measure under different JVM "
+              "warmth; their flags are reported as warmup-incomparable")
+    flagged, noisy, warm = [], [], []
     for k in common:
         if qo[k] <= 0 or qn[k] <= 0:
             continue
         norm = (qn[k] / qo[k]) / drift
         if norm > band or norm < 1 / band:
-            (noisy if k in suspect else flagged).append((norm, k, qo[k], qn[k]))
+            bucket = noisy if k in suspect else (warm if k in warmup_gates else flagged)
+            bucket.append((norm, k, qo[k], qn[k]))
     print(f"{len(common)} common queries, "
           f"old total {sum(qo[k] for k in common):.1f}s, "
           f"new total {sum(qn[k] for k in common):.1f}s, band {band}x")
@@ -180,7 +197,11 @@ def main(old_path, new_path, band=1.5):
         print(f"  stall-suspect {k}: {o:.2f}s -> {n:.2f}s "
               f"(normalized {norm:.2f}x; measured inside a spiked control segment"
               " — rerun before believing)")
-    if not flagged and not noisy:
+    for norm, k, o, n in sorted(warm, reverse=True):
+        print(f"  warmup-incomparable {k}: {o:.2f}s -> {n:.2f}s "
+              f"(normalized {norm:.2f}x; early-sorted gate across attempts:"
+              f"{ao} vs attempts:{an} captures — JVM warmth, not code)")
+    if not flagged and not noisy and not warm:
         print("  no per-query change outside the band after host normalization")
     added = sorted(set(qn) - set(qo))
     if added:
