@@ -60,7 +60,18 @@ object Bench {
       graft.streaming.GraftStreamSource.changelog(spark, t, Some(s1.snapshotId)).count()
       t.addColumn("warm_extra", org.apache.spark.sql.types.LongType)
       t.dropColumn("warm_extra")
-      t.toDF(spark).count(): Unit // evolved read resolution
+      t.toDF(spark).count() // evolved read resolution
+      // MERGE path: g_incremental_mv is the alphabetically-first
+      // MERGE-consuming gate and absorbed the whole path's one-time JIT on
+      // attempts:1 captures (3.9s cold vs 3.0s on a warm retry pass, with
+      // zero code change since the gate landed) — one toy merge takes the
+      // full-outer-join/branch-routing machinery out of its number
+      t.merge(spark,
+        spark.range(0, 50).select(col("id"),
+          expr("date_add(date'2024-01-01', cast(id % 7 as int))").as("d")),
+        Seq("id" -> "id"),
+        whenMatchedUpdate = Map("d" -> col("s.d")),
+        whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "d" -> col("s.d")))): Unit
     }
     // Real-fixture warmup: the 2000-row toy table above warms the engine's
     // code paths but not the EVENTS fixture the alphabetically-first g_*
