@@ -549,5 +549,132 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |FROM bits a JOIN bits b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY img_a, img_b""".stripMargin),
+
+
+    // X14b: INCREMENTAL image dedup vs a durable perceptual-hash state —
+    // the x_incremental_dedup discipline on the image family: the crawled
+    // corpus's dHash BANDS persist in a band_key-bucketed, bloom-indexed
+    // Graft table; a new crawl batch probes it through a runtime-filtered
+    // In read (batch band set — the S15 discipline), verifies banded
+    // candidates by hamming ≤ 3 (pigeonhole-lossless, so "banded
+    // candidates with hamming ≤ 3" ≡ "all history within hamming ≤ 3" and
+    // the oracle can use the pure-hamming rule), REJECTS single-pixel-
+    // edited and exact recrawls of crawled history, ADMITS fresh images,
+    // and appends only the admitted images' bands — the state stays
+    // O(corpus), 4 narrow rows per image, pixels never persist twice.
+    // Mid-sequence maintenance runs the shared compactionProof ritual and
+    // a full-batch REPROBE against the updated state REQUIREs every
+    // crawled image (admitted or rejected) to now read as seen. At
+    // 100 TB: the probe is batch-sized, the verify compares BIGINTs, and
+    // the only decoded bytes are the batch's own.
+    ("x_incremental_image_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.{ImageCodec, Multimodal}
+        def enc(id: Long, seed: Int, w: Int, h: Int, edit: Boolean) =
+          (id, ImageCodec.encodeImageVariant(if (seed % 2 == 0) "png" else "bmp",
+            w, h, seed, if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1))
+        val hist = (0 until 20).map(i => enc(i, i, 24 + i, 16 + i % 5, edit = false))
+        val batch =
+          (0 until 20 by 4).map(i => enc(200 + i, i, 24 + i, 16 + i % 5, edit = true)) ++
+          (1 until 20 by 4).map(i => enc(300 + i, i, 24 + i, 16 + i % 5, edit = false)) ++
+          (0 until 10).map(j => enc(400 + j, 50 + j, 24 + j, 16 + j % 5, edit = false))
+        def bandsOf(df: DataFrame): DataFrame = df
+          .select(col("img_id"), Multimodal.imageDhash(col("blob")).as("h"))
+          .select(col("img_id"), col("h"), explode(array(
+            (0 until 4).map(k =>
+              shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+        val histBands = bandsOf(s.createDataFrame(hist).toDF("img_id", "blob"))
+          .localCheckpoint() // split into two crawl commits below
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        // two history commits (the fragmentation compaction exists to fix:
+        // one file per bucket PER COMMIT), so compactionProof can halve them
+        state.append(s, histBands.filter(col("img_id") < 10))
+        state.append(s, histBands.filter(col("img_id") >= 10))
+        // mid-sequence maintenance, the shared ritual: files strictly down,
+        // rows preserved — and the probe below reads the COMPACTED state
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        val batchBands = bandsOf(s.createDataFrame(batch).toDF("img_id", "blob"))
+          .localCheckpoint() // In-probe collect + candidate join + admit rollup
+        val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+          maxKeys = Extensions.CrawlProbeMaxKeys)
+        val verdicts = batchBands.select("img_id").distinct()
+          .join(batchBands
+              .join(stateScan.toDF(s).select(col("band_key"),
+                col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
+              .filter(expr("bit_count(h ^ h_hist) <= 3"))
+              .groupBy("img_id")
+              .agg(countDistinct(col("hist_id")).as("matches")),
+            Seq("img_id"), "left")
+          .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+            col("matches").isNull.as("admitted"))
+          .localCheckpoint() // gates the state append AND the output
+        state.append(s,
+          batchBands.join(verdicts.filter(col("admitted")).select("img_id"), Seq("img_id"))
+            .select("img_id", "h", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        (0 until 20 by 4).foreach(i => require(rejected.contains(200L + i),
+          s"edited recrawl ${200 + i} must reject against the crawled history"))
+        (1 until 20 by 4).foreach(i => require(rejected.contains(300L + i),
+          s"exact recrawl ${300 + i} must reject against the crawled history"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        // full-batch reprobe: every crawled image — admitted (its own bands
+        // now in state) or rejected (its history still there) — reads seen
+        val reScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+          maxKeys = Extensions.CrawlProbeMaxKeys)
+        val reMatched = batchBands
+          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+          .filter(expr("bit_count(h ^ h2) <= 3"))
+          .select("img_id").distinct().count()
+        require(reMatched == batch.size.toLong,
+          s"full-batch reprobe must reject everything: $reMatched/${batch.size}")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      // the same closed-form hash recomputation as x_image_neardup, over
+      // history + the three batch classes; lossless banding lets the
+      // oracle use the pure-hamming admission rule directly
+      """WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
+        |    -1 AS ex, -1 AS ey, true AS is_hist
+        |  FROM range(20) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 24 + i, 16 + (i % 5),
+        |    (3 * (24 + i)) // 8, (3 * (16 + (i % 5))) // 8, false
+        |  FROM range(20) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, 24 + i, 16 + (i % 5), -1, -1, false
+        |  FROM range(20) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + j, 50 + j, 24 + j, 16 + (j % 5), -1, -1, false
+        |  FROM range(10) t(j)),
+        |grid AS (
+        |  SELECT img_id, x, y,
+        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
+        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
+        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
+        |     + ((x * w) // 8) % 256) // 3 AS gray
+        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
+        |bits AS (
+        |  SELECT g1.img_id,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1),
+        |bh AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND i.is_hist),
+        |bb AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND NOT i.is_hist),
+        |m AS (
+        |  SELECT bb.img_id, CAST(count(DISTINCT bh.img_id) AS BIGINT) AS matches
+        |  FROM bb JOIN bh ON bit_count(xor(bb.h, bh.h)) <= 3
+        |  GROUP BY 1)
+        |SELECT bb.img_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.img_id IS NULL AS admitted, true AS compacted
+        |FROM bb LEFT JOIN m USING (img_id) ORDER BY img_id""".stripMargin),
   )
 }

@@ -47,4 +47,19 @@ class SqlFunctionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT graft_minhash(text, id) FROM docs").collect())
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
+  test("graft_image_dhash: SQL twin matches the DataFrame expression and the row kernel") {
+    import graft.operators.{ImageCodec, Multimodal}
+    val blob = ImageCodec.encodeImageVariant("png", 40, 18, 5)
+    val want = ImageCodec.dhashRow(blob).longValue()
+    spark.createDataFrame(Seq((1L, blob))).toDF("id", "blob")
+      .createOrReplaceTempView("dhash_imgs")
+    val viaSql = spark.sql("SELECT graft_image_dhash(blob) AS h FROM dhash_imgs")
+      .head().getLong(0)
+    val viaDf = spark.createDataFrame(Seq((1L, blob))).toDF("id", "blob")
+      .select(Multimodal.imageDhash(org.apache.spark.sql.functions.col("blob")))
+      .head().getLong(0)
+    assert(viaSql == want && viaDf == want)
+    assert(spark.sql("SELECT graft_image_dhash(encode('junk', 'UTF-8')) AS h")
+      .head().isNullAt(0))
+  }
 }
