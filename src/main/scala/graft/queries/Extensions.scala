@@ -285,6 +285,31 @@ object Extensions
   private[graft] val blockCentroids: Seq[(Long, Array[Double])] =
     (0L until 8L).map(g => (g + 8L) -> Array.tabulate(64)(i => if (i / 8 == g) 0.25 else 0.0))
 
+  /** Fixture-side encoder row for the image-dedup gates: deterministic
+    * seeded gradient ([[graft.operators.ImageCodec.encodeImageVariant]]),
+    * PNG/BMP by seed parity (both lossless — the hash is container-
+    * independent, MultimodalSpec pins it), optional planted single-pixel
+    * edit at exactly the grid-(3,3) downscale pick (flips ≤ 2 hash bits).
+    */
+  private[queries] def imageFixtureRow(id: Long, seed: Int, w: Int, h: Int,
+      edit: Boolean): (Long, Array[Byte]) =
+    (id, graft.operators.ImageCodec.encodeImageVariant(
+      if (seed % 2 == 0) "png" else "bmp", w, h, seed,
+      if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1))
+
+  /** dHash + 4×14-bit band explosion of an (img_id, blob) frame — the ONE
+    * banding rule every image-dedup gate shares (band key = value·4 + k;
+    * the hash is 56-bit nonnegative so arithmetic shifts agree with the
+    * oracle's). Hamming ≤ 3 partners always share a band (pigeonhole), so
+    * banded candidate generation is LOSSLESS at the verify threshold.
+    */
+  private[queries] def imageBands(df: DataFrame): DataFrame = df
+    .select(col("img_id"),
+      graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
+    .select(col("img_id"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+
   /** The pruned multi-probe top-10 + certified-recall block shared by
     * x_ann_index_multiprobe and x_stream_ann_ingest — the "same probe"
     * claim is enforced by construction, not by copy: the query's

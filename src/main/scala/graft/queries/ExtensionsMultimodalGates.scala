@@ -570,21 +570,12 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
     ("x_incremental_image_dedup",
       (s: SparkSession, d: String) => {
         import graft.format.{TableProperties, Transform}
-        import graft.operators.{ImageCodec, Multimodal}
-        def enc(id: Long, seed: Int, w: Int, h: Int, edit: Boolean) =
-          (id, ImageCodec.encodeImageVariant(if (seed % 2 == 0) "png" else "bmp",
-            w, h, seed, if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1))
-        val hist = (0 until 20).map(i => enc(i, i, 24 + i, 16 + i % 5, edit = false))
+        val hist = (0 until 20).map(i => imageFixtureRow(i, i, 24 + i, 16 + i % 5, edit = false))
         val batch =
-          (0 until 20 by 4).map(i => enc(200 + i, i, 24 + i, 16 + i % 5, edit = true)) ++
-          (1 until 20 by 4).map(i => enc(300 + i, i, 24 + i, 16 + i % 5, edit = false)) ++
-          (0 until 10).map(j => enc(400 + j, 50 + j, 24 + j, 16 + j % 5, edit = false))
-        def bandsOf(df: DataFrame): DataFrame = df
-          .select(col("img_id"), Multimodal.imageDhash(col("blob")).as("h"))
-          .select(col("img_id"), col("h"), explode(array(
-            (0 until 4).map(k =>
-              shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
-        val histBands = bandsOf(s.createDataFrame(hist).toDF("img_id", "blob"))
+          (0 until 20 by 4).map(i => imageFixtureRow(200 + i, i, 24 + i, 16 + i % 5, edit = true)) ++
+          (1 until 20 by 4).map(i => imageFixtureRow(300 + i, i, 24 + i, 16 + i % 5, edit = false)) ++
+          (0 until 10).map(j => imageFixtureRow(400 + j, 50 + j, 24 + j, 16 + j % 5, edit = false))
+        val histBands = imageBands(s.createDataFrame(hist).toDF("img_id", "blob"))
           .localCheckpoint() // split into two crawl commits below
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs", histBands.schema,
@@ -597,7 +588,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // mid-sequence maintenance, the shared ritual: files strictly down,
         // rows preserved — and the probe below reads the COMPACTED state
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
-        val batchBands = bandsOf(s.createDataFrame(batch).toDF("img_id", "blob"))
+        val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
           .localCheckpoint() // In-probe collect + candidate join + admit rollup
         val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
           maxKeys = Extensions.CrawlProbeMaxKeys)

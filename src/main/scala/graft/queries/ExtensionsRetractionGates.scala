@@ -349,6 +349,110 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |FROM top t ORDER BY 1""".stripMargin),
 
 
+    // X14r: RETRACTION from the image perceptual-hash state — the
+    // membership-state discipline on the image family: a retracted image's
+    // 4 (img_id, h, band_key) rows are DELETEd from the durable dHash
+    // state (img_id cuts across every band bucket — the under-
+    // approximating COW shape x_keyword_index_retract pinned — but the
+    // per-commit img_id min/max bounds still prune the rewrite, recorded
+    // from the delete's own candidate scan), and the recrawl proves the
+    // semantics: single-pixel-edited clones of RETRACTED images ADMIT
+    // again while clones of surviving history keep REJECTING. Oracle =
+    // the pure-hamming admission rule over the SURVIVING history only
+    // (banding is pigeonhole-lossless at the ≤3 threshold).
+    ("x_image_dedup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, TableProperties, Transform}
+        val hist = (0 until 20).map(i => imageFixtureRow(i, i, 24 + i, 16 + i % 5, edit = false))
+        val histBands = imageBands(s.createDataFrame(hist).toDF("img_id", "blob"))
+          .localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_r", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        state.append(s, histBands.filter(col("img_id") < 10))
+        state.append(s, histBands.filter(col("img_id") >= 10))
+        val rowsBefore = state.toDF(s).count()
+        // both retracted ids live in the FIRST crawl commit, so the
+        // delete's In probe prunes the second commit's files via their
+        // img_id min/max bounds — the rewrite is O(affected commits)
+        val retractIds = Seq(0L, 5L)
+        graft.table.QueryHistory.clear()
+        state.delete(s, Seq(Predicate.In("img_id", retractIds)))
+        val delScan = graft.table.QueryHistory.all.filter(_.table == "db.img_sigs_r").head
+        val rowsAfter = state.toDF(s).count()
+        require(rowsAfter == rowsBefore - 4 * retractIds.size,
+          s"exactly the retracted images' band rows must die: $rowsBefore -> $rowsAfter")
+        // recrawl: edited clones of retracted imgs (must ADMIT now) +
+        // edited clones of surviving imgs i%5==1 (must keep REJECTING)
+        val batch =
+          retractIds.map(i => imageFixtureRow(200 + i, i.toInt, 24 + i.toInt, 16 + i.toInt % 5, edit = true)) ++
+          (1 until 20 by 5).map(i => imageFixtureRow(300 + i, i, 24 + i, 16 + i % 5, edit = true))
+        val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
+          .localCheckpoint()
+        val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+          maxKeys = CrawlProbeMaxKeys)
+        val verdicts = batchBands.select("img_id").distinct()
+          .join(batchBands
+              .join(stateScan.toDF(s).select(col("band_key"),
+                col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
+              .filter(expr("bit_count(h ^ h_hist) <= 3"))
+              .groupBy("img_id")
+              .agg(countDistinct(col("hist_id")).as("matches")),
+            Seq("img_id"), "left")
+          .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+            col("matches").isNull.as("admitted"))
+          .localCheckpoint()
+        val admitted = verdicts.filter(col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        retractIds.foreach(i => require(admitted.contains(200L + i),
+          s"a clone of retracted image $i must admit again"))
+        (1 until 20 by 5).foreach(i => require(!admitted.contains(300L + i),
+          s"a clone of surviving image $i must keep rejecting"))
+        verdicts
+          .withColumn("del_pruned",
+            lit(delScan.filesScanned < delScan.filesTotal))
+          .withColumn("rows_removed", lit(rowsBefore - rowsAfter))
+          .orderBy("img_id")
+      },
+      """WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
+        |    -1 AS ex, -1 AS ey, true AS is_hist
+        |  FROM range(20) t(i) WHERE i NOT IN (0, 5)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 24 + i, 16 + (i % 5),
+        |    (3 * (24 + i)) // 8, (3 * (16 + (i % 5))) // 8, false
+        |  FROM range(20) t(i) WHERE i IN (0, 5)
+        |  UNION ALL
+        |  SELECT 300 + i, i, 24 + i, 16 + (i % 5),
+        |    (3 * (24 + i)) // 8, (3 * (16 + (i % 5))) // 8, false
+        |  FROM range(20) t(i) WHERE i % 5 = 1),
+        |grid AS (
+        |  SELECT img_id, x, y,
+        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
+        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
+        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
+        |     + ((x * w) // 8) % 256) // 3 AS gray
+        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
+        |bits AS (
+        |  SELECT g1.img_id,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1),
+        |bh AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND i.is_hist),
+        |bb AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND NOT i.is_hist),
+        |m AS (
+        |  SELECT bb.img_id, CAST(count(DISTINCT bh.img_id) AS BIGINT) AS matches
+        |  FROM bb JOIN bh ON bit_count(xor(bb.h, bh.h)) <= 3
+        |  GROUP BY 1)
+        |SELECT bb.img_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.img_id IS NULL AS admitted, true AS del_pruned,
+        |  CAST(8 AS BIGINT) AS rows_removed
+        |FROM bb LEFT JOIN m USING (img_id) ORDER BY img_id""".stripMargin),
+
+
     // X2r: RETRACTION from the band-signature state — the fuzzy twin of
     // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
     // and its near-dups stop nominating against it, so lightly-edited
