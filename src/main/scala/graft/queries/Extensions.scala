@@ -291,7 +291,7 @@ object Extensions
     * independent, MultimodalSpec pins it), optional planted single-pixel
     * edit at exactly the grid-(3,3) downscale pick (flips ≤ 2 hash bits).
     */
-  private[queries] def imageFixtureRow(id: Long, seed: Int, w: Int, h: Int,
+  private[graft] def imageFixtureRow(id: Long, seed: Int, w: Int, h: Int,
       edit: Boolean): (Long, Array[Byte]) =
     (id, graft.operators.ImageCodec.encodeImageVariant(
       if (seed % 2 == 0) "png" else "bmp", w, h, seed,
@@ -303,7 +303,7 @@ object Extensions
     * oracle's). Hamming ≤ 3 partners always share a band (pigeonhole), so
     * banded candidate generation is LOSSLESS at the verify threshold.
     */
-  private[queries] def imageBands(df: DataFrame): DataFrame = df
+  private[graft] def imageBands(df: DataFrame): DataFrame = df
     .select(col("img_id"),
       graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
     .select(col("img_id"), col("h"), explode(array(
@@ -1023,6 +1023,51 @@ object Extensions
             "bg" -> col("s.bg"), "c2" -> col("s.cnt"), "w1" -> col("s.w1"))),
           statementId = Some(s"$stage-lmm-$batchId")): Unit
       }
+    }
+
+  /** The streaming IMAGE-dedup crawl loop — the
+    * x_stream_incremental_image_dedup pipeline body, shared with
+    * StreamImageDedupSpec; completes the image perceptual-hash state's
+    * lifecycle matrix (batch: x_image_neardup; durable + compacted:
+    * x_incremental_image_dedup; retraction: x_image_dedup_retract; now
+    * STREAMING). Per micro-batch of (img_id, blob): dHash + band the
+    * batch ([[imageBands]] — the ONE banding rule), probe the durable
+    * band state AS OF ARRIVAL through a runtime-filtered In read (batch
+    * band set vs the band_key-bucketed bloom'd state; full-scan fallback
+    * above the key cap), verify banded candidates by hamming ≤ 3
+    * (pigeonhole-lossless), append ADMITTED img ids to `results` and
+    * their band rows to `state` — results BEFORE state, statementId-keyed
+    * (crash between the commits: the replay recomputes admissions against
+    * a state without this batch's bands — identical verdicts, the results
+    * append no-ops on its ledger entry, the state append completes;
+    * state-first would let the batch's own bands reject its replay).
+    * Within-batch images never nominate each other — the stateless-oracle
+    * contract every crawl loop keeps. Decoded bytes per batch are the
+    * batch's own; the state carries 4 BIGINT rows per admitted image.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalImageDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val bands = imageBands(b)
+        .localCheckpoint() // In-probe collect + candidate join + admit rollup
+      val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
+        maxKeys = CrawlProbeMaxKeys)
+      onStateScanMetrics(sc.metrics)
+      val matched = bands
+        .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+        .filter(expr("bit_count(h ^ h2) <= 3"))
+        .select("img_id").distinct()
+      val admitted = bands.select("img_id").distinct()
+        .join(matched, Seq("img_id"), "left_anti")
+        .localCheckpoint() // gates the results append AND the state append
+      results.append(s, admitted, statementId = Some(s"$stage-imres-$batchId"))
+      state.append(s,
+        bands.join(admitted, Seq("img_id")).select("img_id", "h", "band_key"),
+        statementId = Some(s"$stage-imsig-$batchId")): Unit
     }
 
   /** The streaming novelty-scoring crawl loop — the

@@ -1521,5 +1521,111 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  (SELECT count(*) FROM bg) AS state_total,
         |  CAST(3 AS BIGINT) AS model_commits, true AS model_matches_log
         |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
+
+
+    // X14s: the STREAMING image-dedup crawl loop — the image family's
+    // last lifecycle leg ([[Extensions.streamIncrementalImageDedup]]):
+    // 3 mtime-ordered slices (slice == micro-batch) crawl through the
+    // durable band state. Slice 0 seeds 10 bases; slice 1 brings edited
+    // clones of slice-0 evens (cross-batch NEAR rejections) + 6 fresh
+    // images; slice 2 brings edited clones of slice-1's fresh admissions
+    // (the cross-batch distinction only the durable state provides —
+    // their partners were admitted ONE batch ago), exact re-encodes of
+    // slice-0 odds (cross-batch EXACT rejections through a different
+    // container), and 4 fresh images. Oracle: the pure-hamming
+    // history-first rule folded slice by slice over closed-form
+    // recomputed hashes (within-batch images never nominate each other,
+    // in engine or oracle). Commits pinned to batches on both tables;
+    // full-batch reprobe REQUIREd in-gate.
+    ("x_stream_incremental_image_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val rows =
+          (0 until 10).map(i => (imageFixtureRow(i, i, 24 + i, 16 + i % 5, edit = false), 0)) ++
+          (0 until 10 by 2).map(i => (imageFixtureRow(200 + i, i, 24 + i, 16 + i % 5, edit = true), 1)) ++
+          (0 until 6).map(j => (imageFixtureRow(100 + j, 30 + j, 24 + j, 16 + j % 5, edit = false), 1)) ++
+          (0 until 6 by 2).map(j => (imageFixtureRow(300 + j, 30 + j, 24 + j, 16 + j % 5, edit = true), 2)) ++
+          (1 until 10 by 2).map(i => (imageFixtureRow(400 + i, i, 24 + i, 16 + i % 5, edit = false), 2)) ++
+          (0 until 4).map(k => (imageFixtureRow(500 + k, 60 + k, 24 + k, 16 + k % 5, edit = false), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("img_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-imgstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_s", imageBands(docs.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val results = cat.createTable("db.img_adm_s",
+          new StructType().add("img_id", LongType))
+        val batches = streamIncrementalImageDedup(s, stage, docs.schema, state, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          state.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
+        // full-batch reprobe: every crawled image — admitted or rejected —
+        // must read as seen against the final state
+        val allBands = imageBands(docs).localCheckpoint()
+        val reScan = state.scanWithRuntimeFilter(allBands, "band_key", "band_key",
+          maxKeys = CrawlProbeMaxKeys)
+        val reMatched = allBands
+          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+          .filter(expr("bit_count(h ^ h2) <= 3"))
+          .select("img_id").distinct().count()
+        require(reMatched == rows.size.toLong,
+          s"full-batch reprobe must read everything as seen: $reMatched/${rows.size}")
+        results.toDF(s).select("img_id")
+          .withColumn("commits_pinned", lit(true))
+          .orderBy("img_id")
+      },
+      """WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
+        |    -1 AS ex, -1 AS ey, 0 AS sl
+        |  FROM range(10) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 24 + i, 16 + (i % 5),
+        |    (3 * (24 + i)) // 8, (3 * (16 + (i % 5))) // 8, 1
+        |  FROM range(10) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, 24 + j, 16 + (j % 5), -1, -1, 1
+        |  FROM range(6) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, 24 + j, 16 + (j % 5),
+        |    (3 * (24 + j)) // 8, (3 * (16 + (j % 5))) // 8, 2
+        |  FROM range(6) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, 24 + i, 16 + (i % 5), -1, -1, 2
+        |  FROM range(10) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, 24 + k, 16 + (k % 5), -1, -1, 2
+        |  FROM range(4) t(k)),
+        |grid AS (
+        |  SELECT img_id, x, y,
+        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
+        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
+        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
+        |     + ((x * w) // 8) % 256) // 3 AS gray
+        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
+        |bits AS (
+        |  SELECT g1.img_id,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1),
+        |b0 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 0),
+        |b1 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 1),
+        |b2 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 2),
+        |a0 AS (SELECT img_id, h FROM b0),
+        |a1 AS (SELECT b1.img_id, b1.h FROM b1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a0 WHERE bit_count(xor(a0.h, b1.h)) <= 3)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT b2.img_id, b2.h FROM b2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a01 x WHERE bit_count(xor(x.h, b2.h)) <= 3))
+        |SELECT img_id, true AS commits_pinned FROM (
+        |  SELECT img_id FROM a0 UNION ALL SELECT img_id FROM a1
+        |  UNION ALL SELECT img_id FROM a2)
+        |ORDER BY img_id""".stripMargin),
   )
 }
