@@ -64,6 +64,7 @@ object SqlFunctions {
     reg("graft_decode_audio") { e => graft.operators.Multimodal.decodeAudio(c(e.head)) }
     reg("graft_image_stats") { e => graft.operators.Multimodal.imageStats(c(e.head)) }
     reg("graft_image_dhash") { e => graft.operators.Multimodal.imageDhash(c(e.head)) }
+    reg("graft_audio_fingerprint") { e => graft.operators.Multimodal.audioFingerprint(c(e.head)) }
     reg("graft_quantize_int8") { e => VectorFunctions.quantizeInt8(c(e.head)) }
     reg("graft_dequantize_int8") { e => VectorFunctions.dequantizeInt8(c(e.head)) }
     reg("graft_sanitize_vector") { e => VectorFunctions.sanitizeVector(c(e.head)) }

@@ -51,6 +51,88 @@ object AudioCodec {
     } catch { case _: Exception => null } // no reader / corrupt header
   }
 
+  /** Frame ceiling for FULL-sample fingerprinting: a header claiming more
+    * is refused before allocation (the [[ImageCodec.MaxDecodePixels]]
+    * decode-bomb discipline on the audio plane).
+    */
+  val MaxFingerprintFrames: Long = 64L * 1024 * 1024
+
+  /** 32-bit windowed-energy fingerprint over the FULL decoded PCM — the
+    * audio twin of [[ImageCodec.dhashRow]]: split the clip into 33 windows
+    * (floor boundaries w·N/33 — when 33 | N these are exact equal windows,
+    * the closed-form-oracle shape), sum each window's unsigned 8-bit
+    * samples, set bit w iff sum(w+1) > sum(w). Like dHash it sees only the
+    * SIGN of adjacent-window differences, so it is volume-offset-blind by
+    * design, and a single-sample edit perturbs one window's sum — at most
+    * the 2 comparisons that touch it flip, so near-clones sit at hamming
+    * ≤ 2 while unrelated clips are ~16 apart (of 32). 8-bit mono only (the
+    * fixture-reproducible shape; wider PCM routes to an external
+    * fingerprinter at ingest); null for undecodable bytes, other PCM
+    * shapes, under-33-frame clips, or bomb-guarded frame counts. Map-side,
+    * bytes-decoded cost paid once at ingest.
+    */
+  def fingerprintRow(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        if (f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+            frames < 33 || frames > MaxFingerprintFrames) null
+        else {
+          val n = frames.toInt
+          val pcm = ais.readAllBytes()
+          if (pcm.length < n) null
+          else {
+            val sums = new Array[Long](33)
+            var w = 0
+            while (w < 33) {
+              val hi = (w + 1) * n / 33
+              var x = w * n / 33
+              var acc = 0L
+              while (x < hi) { acc += pcm(x) & 0xFF; x += 1 }
+              sums(w) = acc
+              w += 1
+            }
+            var h = 0L
+            w = 0
+            while (w < 32) {
+              if (sums(w + 1) > sums(w)) h |= 1L << w
+              w += 1
+            }
+            java.lang.Long.valueOf(h)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => null } // no reader / corrupt bytes
+  }
+
+  /** Fixture-side SEEDED 8-bit mono WAV with an optional planted
+    * single-sample edit — the near-clone generator for audio-dedup gates,
+    * the [[ImageCodec.encodeImageVariant]] discipline on the audio plane.
+    * Sample n = (n·(13 + 7·seed) + 31) mod 256 (the seed scales the STEP:
+    * the fingerprint is offset-blind, so an offset seed would alias every
+    * clip); the edit replaces sample `editAt` with (s + 128) mod 256.
+    * 8-bit unsigned PCM survives the WAV container byte-exactly, so every
+    * decoded sample — and the fingerprint — has a closed form DuckDB can
+    * evaluate without an audio library.
+    */
+  def encodeAudioVariant(frames: Int, seed: Int, editAt: Int = -1): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 8, 1, false, false)
+    val pcm = new Array[Byte](frames)
+    var n = 0
+    while (n < frames) {
+      val s0 = (n * (13 + 7 * seed) + 31) % 256
+      pcm(n) = (if (n == editAt) (s0 + 128) % 256 else s0).toByte
+      n += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Fixture-side encoder (tests + gate queries): deterministic 16-bit PCM
     * (a per-frame triangle ramp) written through the same JDK writer family
     * the decoder reads. Formats: "wav", "aiff", "au".
@@ -99,5 +181,36 @@ case class DecodeAudioHeader(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): DecodeAudioHeader =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> 32-bit windowed-energy audio fingerprint
+  * (BIGINT), null for undecodable or unsupported inputs. One static call in
+  * codegen, the [[ImageDhash]] shape on the audio plane.
+  */
+case class AudioFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.fingerprintRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val boxed = ctx.freshName("afp")
+      s"""
+      java.lang.Long $boxed = graft.operators.AudioCodec.fingerprintRow($b);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.longValue(); }
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
     copy(child = newChild)
 }

@@ -106,6 +106,17 @@ object Multimodal {
     GraftSqlShim.column(ImageDhash(GraftSqlShim.expression(blob)))
   }
 
+  /** REAL audio fingerprint: binary -> 32-bit windowed-energy hash
+    * (BIGINT), null for undecodable/unsupported inputs
+    * ([[AudioCodec.fingerprintRow]]). The audio twin of [[imageDhash]]:
+    * computed map-side at ingest, banded for candidate pairs, verified by
+    * hamming distance — audio near-dup dedup without shuffling samples.
+    */
+  def audioFingerprint(blob: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(AudioFingerprint(GraftSqlShim.expression(blob)))
+  }
+
   /** REAL frame sampling: binary -> array(struct(frame, width, height,
     * sum_r, sum_g, sum_b)) — decode every `stride`-th frame of a
     * multi-frame container. GIF is the JDK's multi-frame codec, standing

@@ -667,5 +667,85 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |SELECT bb.img_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
         |  m.img_id IS NULL AS admitted, true AS compacted
         |FROM bb LEFT JOIN m USING (img_id) ORDER BY img_id""".stripMargin),
+
+    // X14a: AUDIO near-dup dedup — the audio leg of the dedup × multimodal
+    // intersection: a 32-bit windowed-energy fingerprint over the REAL
+    // decoded PCM ([[graft.operators.AudioCodec.fingerprintRow]] — 33
+    // window sums of unsigned 8-bit samples, bit w = sum(w+1) > sum(w)),
+    // banded into 4 × 8-bit keys for candidates, hamming ≤ 3 verify —
+    // pigeonhole-lossless at that threshold, so the oracle brute-forces
+    // all pairs over closed-form recomputed fingerprints (the fixture
+    // clips are seeded sample gradients that survive the WAV container
+    // byte-exactly; clip lengths are multiples of 33 so the oracle's
+    // window-of-sample formula x·33//n matches the floor boundaries
+    // exactly). Single-sample edits flip ≤ 2 bits; exact re-encodes hash
+    // identically. At 100 TB: fingerprint once at ingest (bytes-decoded,
+    // map-side), band self-join shuffles 4 narrow rows per clip, samples
+    // never cross the wire.
+    ("x_audio_neardup",
+      (s: SparkSession, d: String) => {
+        import graft.operators.{AudioCodec, Multimodal}
+        val rows = (0 until 18).flatMap { i =>
+          val n = 33 * (10 + i)
+          val base = (i.toLong, AudioCodec.encodeAudioVariant(n, i))
+          val clone =
+            if (i % 3 == 0) Some(((100 + i).toLong,
+              AudioCodec.encodeAudioVariant(n, i, editAt = n / 2)))
+            else if (i % 3 == 1) Some(((100 + i).toLong,
+              AudioCodec.encodeAudioVariant(n, i)))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiodedup", df.schema)
+        t.append(s, df)
+        val hashed = t.toDF(s)
+          .select(col("clip_id"), Multimodal.audioFingerprint(col("blob")).as("h"))
+        val bands = hashed.select(col("clip_id"), col("h"), explode(array(
+          (0 until 4).map(k =>
+            shiftright(col("h"), k * 8).bitwiseAND(lit(255L)) * 4 + k): _*)).as("band"))
+        val rhs = bands.select(col("band").as("band_b"),
+          col("clip_id").as("clip_b"), col("h").as("hb"))
+        val pairs = bands.select(col("band"), col("clip_id").as("clip_a"), col("h").as("ha"))
+          .join(rhs, col("band") === col("band_b") && col("clip_a") < col("clip_b"))
+          .select("clip_a", "clip_b", "ha", "hb").distinct()
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("clip_a", "clip_b", "hamming")
+        val found = pairs.select("clip_a", "clip_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 18).filter(_ % 3 != 2).foreach { i =>
+          require(found.contains((i.toLong, (100 + i).toLong)),
+            s"planted near-clone clip pair ($i, ${100 + i}) must band-collide and verify")
+        }
+        pairs.orderBy("clip_a", "clip_b")
+      },
+      // fingerprints recomputed in closed form from the encoder gradient:
+      // sample x of clip (seed, n) = (x·(13+7·seed) + 31) mod 256, +128
+      // wraparound at the one edited sample; window of x = x·33 // n
+      """WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e
+        |  FROM range(18) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 33 * (10 + i),
+        |    CASE WHEN i % 3 = 0 THEN (33 * (10 + i)) // 2 ELSE -1 END
+        |  FROM range(18) t(i) WHERE i % 3 IN (0, 1)),
+        |smp AS (
+        |  SELECT clip_id, (x * 33) // n AS w,
+        |    CASE WHEN x = e THEN ((x * (13 + 7 * seed) + 31) % 256 + 128) % 256
+        |         ELSE (x * (13 + 7 * seed) + 31) % 256 END AS s
+        |  FROM clips, range(891) t(x) WHERE x < n),
+        |ws AS (SELECT clip_id, w, CAST(sum(s) AS BIGINT) AS sw FROM smp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.clip_id, CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+        |    THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.w = a.w + 1
+        |  GROUP BY 1)
+        |SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.clip_id < b.clip_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY clip_a, clip_b""".stripMargin),
+
   )
 }

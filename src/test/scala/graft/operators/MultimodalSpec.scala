@@ -347,4 +347,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == base.longValue())
     assert(got(1).isNullAt(1))
   }
+  test("audio fingerprint: single-sample clones land within hamming 2; exact re-encodes match") {
+    val n = 33 * 20
+    val base = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(n, 5))
+    val clone = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(n, 5, editAt = n / 2))
+    assert(base != null && clone != null)
+    assert(java.lang.Long.bitCount(base.longValue() ^ clone.longValue()) <= 2)
+    // exact re-encode is bit-identical; different seeds are far apart
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(n, 5)) == base)
+    val other = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(n, 6))
+    assert(java.lang.Long.bitCount(base.longValue() ^ other.longValue()) > 3)
+    // 32-bit contract: nonnegative, sign-safe band arithmetic
+    assert(base >= 0L && base < (1L << 32))
+    // refusals: garbage, 16-bit PCM (unsupported shape), under-33 frames
+    assert(AudioCodec.fingerprintRow("not audio".getBytes("UTF-8")) == null)
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudio("wav", 8000, 1, 100)) == null)
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(20, 1)) == null)
+    // the Catalyst expression matches the row kernel through codegen
+    val df = spark.createDataFrame(Seq(
+      (1L, AudioCodec.encodeAudioVariant(n, 5)),
+      (2L, "garbage".getBytes("UTF-8")))).toDF("id", "blob")
+    val got = df.select(col("id"), Multimodal.audioFingerprint(col("blob")).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == base.longValue())
+    assert(got(1).isNullAt(1))
+  }
 }
