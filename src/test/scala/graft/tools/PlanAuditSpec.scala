@@ -448,4 +448,14 @@ class PlanAuditSpec extends SparkSpec {
       s"resample joins must be equi:\n$plan")
     assert(!plan.contains("Window"), s"no window belongs in the resample:\n$plan")
   }
+  test("perceptual-hash dedup gates: band joins stay equi-keyed — never all-pairs over blobs") {
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("x_image_neardup", "x_audio_neardup")) {
+      val gate = graft.queries.Extensions.entries.find(_._1 == name).get._2
+      val plan = planOf(gate(spark, d))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: candidate generation degenerated to all-pairs:\n$plan")
+      assert(plan.contains("band"), s"$name: band join key missing:\n$plan")
+    }
+  }
 }
