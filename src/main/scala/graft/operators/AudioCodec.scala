@@ -78,7 +78,13 @@ object AudioCodec {
       try {
         val f = ais.getFormat
         val frames = ais.getFrameLength
-        if (f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+        // encoding must be UNSIGNED linear PCM: 8-bit mono ULAW (.au) and
+        // PCM_SIGNED (8-bit AIFF) also pass a bits/channels-only guard but
+        // their bytes are log-compressed / sign-wrapped — fingerprinting
+        // them as unsigned would make the hash CONTAINER-dependent (the
+        // same clip as WAV vs AIFF would stop matching)
+        if (f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED ||
+            f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
             frames < 33 || frames > MaxFingerprintFrames) null
         else {
           val n = frames.toInt

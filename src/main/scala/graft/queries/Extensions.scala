@@ -292,9 +292,9 @@ object Extensions
     * edit at exactly the grid-(3,3) downscale pick (flips ≤ 2 hash bits).
     */
   private[graft] def imageFixtureRow(id: Long, seed: Int, w: Int, h: Int,
-      edit: Boolean): (Long, Array[Byte]) =
+      edit: Boolean, flipContainer: Boolean = false): (Long, Array[Byte]) =
     (id, graft.operators.ImageCodec.encodeImageVariant(
-      if (seed % 2 == 0) "png" else "bmp", w, h, seed,
+      if ((seed % 2 == 0) != flipContainer) "png" else "bmp", w, h, seed,
       if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1))
 
   /** dHash + 4×14-bit band explosion of an (img_id, blob) frame — the ONE
@@ -302,13 +302,32 @@ object Extensions
     * the hash is 56-bit nonnegative so arithmetic shifts agree with the
     * oracle's). Hamming ≤ 3 partners always share a band (pigeonhole), so
     * banded candidate generation is LOSSLESS at the verify threshold.
+    * UNDECODABLE blobs (null hash) are DROPPED here — they can neither
+    * nominate nor be deduplicated, and letting their null rows through
+    * would admit the same corrupt blob on every recrawl and fill the
+    * durable state with unindexable null keys (production routes them to
+    * a quarantine path at ingest).
     */
   private[graft] def imageBands(df: DataFrame): DataFrame = df
     .select(col("img_id"),
       graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
+    .filter(col("h").isNotNull)
     .select(col("img_id"), col("h"), explode(array(
       (0 until 4).map(k =>
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+
+  /** The audio twin of [[imageBands]]: windowed-energy fingerprint +
+    * 4×8-bit band explosion of a (clip_id, blob) frame (band key =
+    * value·4 + k over a 32-bit nonnegative hash); same pigeonhole
+    * losslessness at hamming ≤ 3, same drop rule for undecodables.
+    */
+  private[graft] def audioBands(df: DataFrame): DataFrame = df
+    .select(col("clip_id"),
+      graft.operators.Multimodal.audioFingerprint(col("blob")).as("h"))
+    .filter(col("h").isNotNull)
+    .select(col("clip_id"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 8).bitwiseAND(lit(255L)) * 4 + k): _*)).as("band_key"))
 
   /** The pruned multi-probe top-10 + certified-recall block shared by
     * x_ann_index_multiprobe and x_stream_ann_ingest — the "same probe"

@@ -1546,7 +1546,11 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           (0 until 10 by 2).map(i => (imageFixtureRow(200 + i, i, 24 + i, 16 + i % 5, edit = true), 1)) ++
           (0 until 6).map(j => (imageFixtureRow(100 + j, 30 + j, 24 + j, 16 + j % 5, edit = false), 1)) ++
           (0 until 6 by 2).map(j => (imageFixtureRow(300 + j, 30 + j, 24 + j, 16 + j % 5, edit = true), 2)) ++
-          (1 until 10 by 2).map(i => (imageFixtureRow(400 + i, i, 24 + i, 16 + i % 5, edit = false), 2)) ++
+          // flipContainer: the SAME raster re-encoded through the OTHER
+          // lossless container (PNG↔BMP) — a genuinely cross-container
+          // exact rejection, not a byte-identical blob
+          (1 until 10 by 2).map(i => (imageFixtureRow(400 + i, i, 24 + i, 16 + i % 5,
+            edit = false, flipContainer = true), 2)) ++
           (0 until 4).map(k => (imageFixtureRow(500 + k, 60 + k, 24 + k, 16 + k % 5, edit = false), 2))
         val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
           .toDF("img_id", "blob", "_slice")

@@ -492,17 +492,13 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("img_id", "blob")
         val t = TableOps.newCatalog().createTable("db.imgdedup", df.schema)
         t.append(s, df)
-        val hashed = t.toDF(s)
-          .select(col("img_id"), Multimodal.imageDhash(col("blob")).as("h"))
-        // 4 bands of 14 bits; band key = value·4 + band index (h is 56-bit
-        // nonnegative, so arithmetic shifts agree with the oracle's)
-        val bands = hashed.select(col("img_id"), col("h"), explode(array(
-          (0 until 4).map(k =>
-            shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band"))
-        val rhs = bands.select(col("band").as("band_b"),
+        // the ONE shared banding rule ([[Extensions.imageBands]]) — every
+        // image-dedup gate nominates through the same key scheme
+        val bands = imageBands(t.toDF(s))
+        val rhs = bands.select(col("band_key").as("band_b"),
           col("img_id").as("img_b"), col("h").as("hb"))
-        val pairs = bands.select(col("band"), col("img_id").as("img_a"), col("h").as("ha"))
-          .join(rhs, col("band") === col("band_b") && col("img_a") < col("img_b"))
+        val pairs = bands.select(col("band_key"), col("img_id").as("img_a"), col("h").as("ha"))
+          .join(rhs, col("band_key") === col("band_b") && col("img_a") < col("img_b"))
           .select("img_a", "img_b", "ha", "hb").distinct()
           .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
           .filter(col("hamming") <= 3)
@@ -699,15 +695,12 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiodedup", df.schema)
         t.append(s, df)
-        val hashed = t.toDF(s)
-          .select(col("clip_id"), Multimodal.audioFingerprint(col("blob")).as("h"))
-        val bands = hashed.select(col("clip_id"), col("h"), explode(array(
-          (0 until 4).map(k =>
-            shiftright(col("h"), k * 8).bitwiseAND(lit(255L)) * 4 + k): _*)).as("band"))
-        val rhs = bands.select(col("band").as("band_b"),
+        // the shared audio banding rule ([[Extensions.audioBands]])
+        val bands = audioBands(t.toDF(s))
+        val rhs = bands.select(col("band_key").as("band_b"),
           col("clip_id").as("clip_b"), col("h").as("hb"))
-        val pairs = bands.select(col("band"), col("clip_id").as("clip_a"), col("h").as("ha"))
-          .join(rhs, col("band") === col("band_b") && col("clip_a") < col("clip_b"))
+        val pairs = bands.select(col("band_key"), col("clip_id").as("clip_a"), col("h").as("ha"))
+          .join(rhs, col("band_key") === col("band_b") && col("clip_a") < col("clip_b"))
           .select("clip_a", "clip_b", "ha", "hb").distinct()
           .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
           .filter(col("hamming") <= 3)

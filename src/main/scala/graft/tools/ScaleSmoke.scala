@@ -955,8 +955,13 @@ object ScaleSmoke {
       f"full_plan=${tFullFrag * 1000}%.0fms (files=${fullFrag.metrics.filesScanned}) " +
       f"pruned_plan=${tPrunedFrag * 1000}%.0fms manifests=${mf.manifestsScanned}/${mf.manifestsTotal} " +
       f"files=${mf.filesScanned}/${mf.filesTotal}")
-    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "db.plan_smoke", "data")),
-      "metadata-plane fixture must never materialize a data directory")
+    // the REAL table location (tableDir splits the dotted name), not a
+    // guessed path — a wrong path here made the guard vacuous once
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.location, "data")),
+      s"metadata-plane fixture must never materialize ${t.location}/data")
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t.location, "metadata")),
+      "guard self-check: the table's metadata dir must exist where we look")
     require(fullFrag.metrics.manifestsTotal == nCommits &&
       fullFrag.metrics.filesTotal == nCommits.toLong * filesPer &&
       fullFrag.metrics.filesScanned == nCommits.toLong * filesPer,

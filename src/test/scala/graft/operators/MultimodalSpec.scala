@@ -362,6 +362,19 @@ class MultimodalSpec extends SparkSpec {
     // refusals: garbage, 16-bit PCM (unsupported shape), under-33 frames
     assert(AudioCodec.fingerprintRow("not audio".getBytes("UTF-8")) == null)
     assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudio("wav", 8000, 1, 100)) == null)
+    // 8-bit mono but PCM_SIGNED (AIFF's 8-bit convention): same bits and
+    // channels, wrong ENCODING — fingerprinting its sign-wrapped bytes as
+    // unsigned would make the hash container-dependent, so it must refuse
+    locally {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val pcm = Array.tabulate[Byte](66)(n => ((n * 13 + 31) % 256).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 8, 1, true, true), 66L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      assert(AudioCodec.fingerprintRow(bos.toByteArray) == null)
+    }
     assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(20, 1)) == null)
     // the Catalyst expression matches the row kernel through codegen
     val df = spark.createDataFrame(Seq(

@@ -314,18 +314,17 @@ class StateMaintenanceSpec extends SparkSpec {
     // trigger, deletes folded, rows preserved, recall floor); here the
     // composition law: folding the position deletes must not change a
     // single probe answer vs the gate that leaves them outstanding
-    val compacted = gate("x_ann_index_retract_compacted")(spark, d)
-      .select("rank", "neighbor_id", "hit").collect()
+    val compactedRows = gate("x_ann_index_retract_compacted")(spark, d)
+      .select("rank", "neighbor_id", "hit", "delete_ratio_triggered", "deletes_folded")
+      .collect() // ONE run: the flags ride the same rows
     val outstanding = gate("x_ann_index_retract")(spark, d)
       .select("rank", "neighbor_id", "hit").collect()
-    assert(compacted.nonEmpty && compacted.length == outstanding.length)
-    compacted.zip(outstanding).foreach { case (c, o) =>
+    assert(compactedRows.nonEmpty && compactedRows.length == outstanding.length)
+    compactedRows.zip(outstanding).foreach { case (c, o) =>
       assert(c.getLong(0) == o.getLong(0) && c.getLong(1) == o.getLong(1)
         && c.getBoolean(2) == o.getBoolean(2),
         s"compaction changed a probe answer: $c vs $o")
     }
-    val flags = gate("x_ann_index_retract_compacted")(spark, d)
-      .select("delete_ratio_triggered", "deletes_folded").head
-    assert(flags.getBoolean(0) && flags.getBoolean(1))
+    assert(compactedRows.forall(r => r.getBoolean(3) && r.getBoolean(4)))
   }
 }

@@ -133,4 +133,25 @@ class StreamImageDedupSpec extends SparkSpec {
     assert(m.filesScanned * 2 < m.filesTotal,
       s"the In probe must prune the state read: ${m.filesScanned}/${m.filesTotal}")
   }
+  test("undecodable blobs are dropped: never admitted, never in the state") {
+    val (state, results) = newTables()
+    val fx = Seq(
+      Extensions.imageFixtureRow(1L, 1, 40, 18, edit = false),
+      (2L, "not an image at all".getBytes("UTF-8"))).toDF("img_id", "blob")
+    val stage = TableOps.newTempDir("graft-simgspec-junk")
+    Extensions.stageOrderedSlices(fx, stage, lit(0), 1)
+    Extensions.streamIncrementalImageDedup(spark, stage, docsSchema, state, results)
+    // the decodable image admits; the junk blob is quarantined (dropped),
+    // NOT admitted — and the state carries no null-keyed rows for it
+    assert(results.toDF(spark).select("img_id").as[Long].collect().toSet == Set(1L))
+    assert(state.toDF(spark).count() == 4L)
+    assert(state.toDF(spark).filter(col("h").isNull || col("band_key").isNull).isEmpty)
+    // a recrawl of the same junk is dropped again (no flip-flop admission)
+    val stage2 = TableOps.newTempDir("graft-simgspec-junk2")
+    Extensions.stageOrderedSlices(
+      Seq((12L, "not an image at all".getBytes("UTF-8"))).toDF("img_id", "blob"),
+      stage2, lit(0), 1)
+    Extensions.streamIncrementalImageDedup(spark, stage2, docsSchema, state, results)
+    assert(results.toDF(spark).count() == 1L)
+  }
 }
