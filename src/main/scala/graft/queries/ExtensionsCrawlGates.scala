@@ -1568,8 +1568,12 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           state.meta.snapshots.size == 3,
           s"commits must pin to batches: $batches batches, " +
             s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
-        // full-batch reprobe: every crawled image — admitted or rejected —
-        // must read as seen against the final state
+        // the new-durable-table ritual: mid-lifecycle maintenance must be
+        // invisible — compact the crawled state (files strictly down, rows
+        // preserved), THEN reprobe the whole crawl against the compacted
+        // state: every crawled image — admitted or rejected — reads seen
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        require(filesDown && rowsKept, "streamed state compaction flags")
         val allBands = imageBands(docs).localCheckpoint()
         val reScan = state.scanWithRuntimeFilter(allBands, "band_key", "band_key",
           maxKeys = CrawlProbeMaxKeys)
@@ -1581,6 +1585,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           s"full-batch reprobe must read everything as seen: $reMatched/${rows.size}")
         results.toDF(s).select("img_id")
           .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
           .orderBy("img_id")
       },
       """WITH imgs AS (
@@ -1627,7 +1632,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
         |a2 AS (SELECT b2.img_id, b2.h FROM b2 WHERE NOT EXISTS (
         |  SELECT 1 FROM a01 x WHERE bit_count(xor(x.h, b2.h)) <= 3))
-        |SELECT img_id, true AS commits_pinned FROM (
+        |SELECT img_id, true AS commits_pinned, true AS compacted FROM (
         |  SELECT img_id FROM a0 UNION ALL SELECT img_id FROM a1
         |  UNION ALL SELECT img_id FROM a2)
         |ORDER BY img_id""".stripMargin),
