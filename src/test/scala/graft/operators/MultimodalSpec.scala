@@ -385,4 +385,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == base.longValue())
     assert(got(1).isNullAt(1))
   }
+  test("dHash properties over random fixtures: pick-edits stay within 2 bits; hamming <= 3 always shares a band") {
+    val rnd = new scala.util.Random(20260815L) // seeded: deterministic run
+    (0 until 25).foreach { _ =>
+      val w = 9 + rnd.nextInt(120)
+      val h = 9 + rnd.nextInt(80)
+      val seed = rnd.nextInt(1000)
+      val gx = rnd.nextInt(8)
+      val gy = rnd.nextInt(8)
+      val base = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("png", w, h, seed))
+      // an edit at ANY grid pick flips at most the two comparisons that
+      // touch that cell — the near-clone bound the gates rely on
+      val clone = ImageCodec.dhashRow(
+        ImageCodec.encodeImageVariant("png", w, h, seed, gx * w / 8, gy * h / 8))
+      assert(base != null && clone != null)
+      val d = java.lang.Long.bitCount(base.longValue() ^ clone.longValue())
+      assert(d <= 2, s"pick-edit at ($gx,$gy) on ${w}x$h seed $seed drifted to hamming $d")
+      // pigeonhole, checked on the real key scheme: any pair within
+      // hamming 3 shares at least one of the 4 x 14-bit band keys
+      val bandsOf = (v: Long) => (0 until 4).map(k => ((v >> (k * 14)) & 16383L, k)).toSet
+      if (d <= 3)
+        assert(bandsOf(base.longValue()).intersect(bandsOf(clone.longValue())).nonEmpty)
+    }
+  }
 }
