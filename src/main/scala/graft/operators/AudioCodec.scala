@@ -94,8 +94,11 @@ object AudioCodec {
             val sums = new Array[Long](33)
             var w = 0
             while (w < 33) {
-              val hi = (w + 1) * n / 33
-              var x = w * n / 33
+              // boundary arithmetic in Long: (w+1)*n overflows Int from
+              // ~65M frames, INSIDE the 64Mi guard's admitted range —
+              // negative boundaries would zero the last window's sum
+              val hi = ((w + 1).toLong * n / 33).toInt
+              var x = (w.toLong * n / 33).toInt
               var acc = 0L
               while (x < hi) { acc += pcm(x) & 0xFF; x += 1 }
               sums(w) = acc

@@ -316,6 +316,54 @@ object Extensions
       (0 until 4).map(k =>
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
 
+  /** Runtime-filtered probe + hamming-verified admission verdicts — the
+    * ONE decision rule the durable and retraction image-dedup gates share:
+    * batch bands probe the band state through an In read, banded
+    * candidates verify at hamming ≤ 3, and each batch image gets its
+    * surviving-history match count (admitted ⇔ zero matches).
+    * localCheckpointed: callers read it for the state append AND the
+    * output.
+    * @return (img_id, matches, admitted)
+    */
+  private[queries] def imageAdmitVerdicts(s: SparkSession,
+      state: graft.table.GraftTable, batchBands: DataFrame): DataFrame = {
+    val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+      maxKeys = CrawlProbeMaxKeys)
+    batchBands.select("img_id").distinct()
+      .join(batchBands
+          .join(stateScan.toDF(s).select(col("band_key"),
+            col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
+          .filter(expr("bit_count(h ^ h_hist) <= 3"))
+          .groupBy("img_id")
+          .agg(countDistinct(col("hist_id")).as("matches")),
+        Seq("img_id"), "left")
+      .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+        col("matches").isNull.as("admitted"))
+      .localCheckpoint()
+  }
+
+  /** The closed-form dHash recomputation every image gate's DuckDB oracle
+    * shares — grid gray + bit packing over an `imgs(img_id, seed, w, h,
+    * ex, ey, ...)` CTE. ONE text interpolated into four gate oracles (the
+    * [[toksSql]] discipline): a formula tweak lands everywhere or
+    * nowhere.
+    */
+  private[queries] val imageOracleGridBits: String =
+    """grid AS (
+      |  SELECT img_id, x, y,
+      |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
+      |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
+      |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
+      |     + ((x * w) // 8) % 256) // 3 AS gray
+      |  FROM imgs, range(8) xs(x), range(8) ys(y)),
+      |bits AS (
+      |  SELECT g1.img_id,
+      |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+      |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM grid g1 JOIN grid g2
+      |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
+      |  GROUP BY 1)""".stripMargin
+
   /** The audio twin of [[imageBands]]: windowed-energy fingerprint +
     * 4×8-bit band explosion of a (clip_id, blob) frame (band key =
     * value·4 + k over a 32-bit nonnegative hash); same pigeonhole

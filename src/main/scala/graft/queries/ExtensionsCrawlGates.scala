@@ -1588,7 +1588,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           .withColumn("compacted", lit(filesDown && rowsKept))
           .orderBy("img_id")
       },
-      """WITH imgs AS (
+      s"""WITH imgs AS (
         |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
         |    -1 AS ex, -1 AS ey, 0 AS sl
         |  FROM range(10) t(i)
@@ -1609,20 +1609,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  UNION ALL
         |  SELECT 500 + k, 60 + k, 24 + k, 16 + (k % 5), -1, -1, 2
         |  FROM range(4) t(k)),
-        |grid AS (
-        |  SELECT img_id, x, y,
-        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
-        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
-        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
-        |     + ((x * w) // 8) % 256) // 3 AS gray
-        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
-        |bits AS (
-        |  SELECT g1.img_id,
-        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
-        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
-        |  GROUP BY 1),
+        |$imageOracleGridBits,
         |b0 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 0),
         |b1 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 1),
         |b2 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 2),

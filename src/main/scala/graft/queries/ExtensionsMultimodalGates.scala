@@ -493,8 +493,10 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val t = TableOps.newCatalog().createTable("db.imgdedup", df.schema)
         t.append(s, df)
         // the ONE shared banding rule ([[Extensions.imageBands]]) — every
-        // image-dedup gate nominates through the same key scheme
-        val bands = imageBands(t.toDF(s))
+        // image-dedup gate nominates through the same key scheme; PINNED:
+        // both join sides, the in-gate recall collect, and the returned
+        // frame would otherwise each re-decode and re-hash every blob
+        val bands = imageBands(t.toDF(s)).localCheckpoint()
         val rhs = bands.select(col("band_key").as("band_b"),
           col("img_id").as("img_b"), col("h").as("hb"))
         val pairs = bands.select(col("band_key"), col("img_id").as("img_a"), col("h").as("ha"))
@@ -517,7 +519,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
       // pixel (sx, sy) has R = 0, G = (sx·(31+11·seed) + sy·(17+5·seed))
       // mod 256 (+128 wraparound at the one edited pixel), B = sx mod 256;
       // grid (x, y) picks sx = x·w//8, sy = y·h//8; gray = (G + B) // 3
-      """WITH imgs AS (
+      s"""WITH imgs AS (
         |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
         |    -1 AS ex, -1 AS ey
         |  FROM range(18) t(i)
@@ -526,20 +528,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |    CASE WHEN i % 3 = 0 THEN (3 * (24 + i)) // 8 ELSE -1 END,
         |    CASE WHEN i % 3 = 0 THEN (3 * (16 + (i % 5))) // 8 ELSE -1 END
         |  FROM range(18) t(i) WHERE i % 3 IN (0, 1)),
-        |grid AS (
-        |  SELECT img_id, x, y,
-        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
-        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
-        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
-        |     + ((x * w) // 8) % 256) // 3 AS gray
-        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
-        |bits AS (
-        |  SELECT g1.img_id,
-        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
-        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
-        |  GROUP BY 1)
+        |$imageOracleGridBits
         |SELECT a.img_id AS img_a, b.img_id AS img_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.img_id < b.img_id
@@ -586,19 +575,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
           .localCheckpoint() // In-probe collect + candidate join + admit rollup
-        val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
-          maxKeys = Extensions.CrawlProbeMaxKeys)
-        val verdicts = batchBands.select("img_id").distinct()
-          .join(batchBands
-              .join(stateScan.toDF(s).select(col("band_key"),
-                col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
-              .filter(expr("bit_count(h ^ h_hist) <= 3"))
-              .groupBy("img_id")
-              .agg(countDistinct(col("hist_id")).as("matches")),
-            Seq("img_id"), "left")
-          .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
-            col("matches").isNull.as("admitted"))
-          .localCheckpoint() // gates the state append AND the output
+        val verdicts = imageAdmitVerdicts(s, state, batchBands)
         state.append(s,
           batchBands.join(verdicts.filter(col("admitted")).select("img_id"), Seq("img_id"))
             .select("img_id", "h", "band_key"))
@@ -626,7 +603,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
       // the same closed-form hash recomputation as x_image_neardup, over
       // history + the three batch classes; lossless banding lets the
       // oracle use the pure-hamming admission rule directly
-      """WITH imgs AS (
+      s"""WITH imgs AS (
         |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
         |    -1 AS ex, -1 AS ey, true AS is_hist
         |  FROM range(20) t(i)
@@ -640,20 +617,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  UNION ALL
         |  SELECT 400 + j, 50 + j, 24 + j, 16 + (j % 5), -1, -1, false
         |  FROM range(10) t(j)),
-        |grid AS (
-        |  SELECT img_id, x, y,
-        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
-        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
-        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
-        |     + ((x * w) // 8) % 256) // 3 AS gray
-        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
-        |bits AS (
-        |  SELECT g1.img_id,
-        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
-        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
-        |  GROUP BY 1),
+        |$imageOracleGridBits,
         |bh AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND i.is_hist),
         |bb AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND NOT i.is_hist),
         |m AS (
@@ -695,8 +659,9 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiodedup", df.schema)
         t.append(s, df)
-        // the shared audio banding rule ([[Extensions.audioBands]])
-        val bands = audioBands(t.toDF(s))
+        // the shared audio banding rule ([[Extensions.audioBands]]); pinned
+        // like the image gate — one decode pass, not four
+        val bands = audioBands(t.toDF(s)).localCheckpoint()
         val rhs = bands.select(col("band_key").as("band_b"),
           col("clip_id").as("clip_b"), col("h").as("hb"))
         val pairs = bands.select(col("band_key"), col("clip_id").as("clip_a"), col("h").as("ha"))

@@ -390,19 +390,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           (1 until 20 by 5).map(i => imageFixtureRow(300 + i, i, 24 + i, 16 + i % 5, edit = true))
         val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
           .localCheckpoint()
-        val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
-          maxKeys = CrawlProbeMaxKeys)
-        val verdicts = batchBands.select("img_id").distinct()
-          .join(batchBands
-              .join(stateScan.toDF(s).select(col("band_key"),
-                col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
-              .filter(expr("bit_count(h ^ h_hist) <= 3"))
-              .groupBy("img_id")
-              .agg(countDistinct(col("hist_id")).as("matches")),
-            Seq("img_id"), "left")
-          .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
-            col("matches").isNull.as("admitted"))
-          .localCheckpoint()
+        val verdicts = imageAdmitVerdicts(s, state, batchBands)
         val admitted = verdicts.filter(col("admitted"))
           .select("img_id").collect().map(_.getLong(0)).toSet
         retractIds.foreach(i => require(admitted.contains(200L + i),
@@ -415,7 +403,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           .withColumn("rows_removed", lit(rowsBefore - rowsAfter))
           .orderBy("img_id")
       },
-      """WITH imgs AS (
+      s"""WITH imgs AS (
         |  SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
         |    -1 AS ex, -1 AS ey, true AS is_hist
         |  FROM range(20) t(i) WHERE i NOT IN (0, 5)
@@ -427,20 +415,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |  SELECT 300 + i, i, 24 + i, 16 + (i % 5),
         |    (3 * (24 + i)) // 8, (3 * (16 + (i % 5))) // 8, false
         |  FROM range(20) t(i) WHERE i % 5 = 1),
-        |grid AS (
-        |  SELECT img_id, x, y,
-        |    (CASE WHEN (x * w) // 8 = ex AND (y * h) // 8 = ey
-        |       THEN ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 + 128) % 256
-        |       ELSE (((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)) % 256 END
-        |     + ((x * w) // 8) % 256) // 3 AS gray
-        |  FROM imgs, range(8) xs(x), range(8) ys(y)),
-        |bits AS (
-        |  SELECT g1.img_id,
-        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
-        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
-        |  GROUP BY 1),
+        |$imageOracleGridBits,
         |bh AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND i.is_hist),
         |bb AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND NOT i.is_hist),
         |m AS (
