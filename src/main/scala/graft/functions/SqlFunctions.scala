@@ -78,5 +78,8 @@ object SqlFunctions {
     reg("graft_sample_frames") { e =>
       graft.operators.Multimodal.sampleFrames(c(e.head), litInt(e(1), "stride"))
     }
+    reg("graft_frame_dhashes") { e =>
+      graft.operators.Multimodal.frameDhashes(c(e.head), litInt(e(1), "stride"))
+    }
   }
 }

@@ -282,49 +282,96 @@ object ImageCodec {
     if (stride <= 0) return null
     // seekForwardOnly=false: the frame count needs a container scan
     withReader[org.apache.spark.sql.catalyst.util.ArrayData](bytes, seekForwardOnly = false) { r =>
-      val n = r.getNumImages(true)
-      val (sw0, sh0) = gifScreen(r)
-      // canvas = declared logical screen, or frame-0 extent for containers
-      // without one; bomb-guard the CANVAS (it is the allocation) and every
-      // stored frame raster. One bombed frame refuses the WHOLE blob
-      // (null), matching decodeStatsRow/resizeRow — a silently-shorter
-      // frame array would be indistinguishable from a shorter animation.
-      val geom0 = gifFrameGeom(r, 0)
-      val cw = if (sw0 > 0) sw0 else geom0.x + r.getWidth(0)
-      val ch = if (sh0 > 0) sh0 else geom0.y + r.getHeight(0)
-      if (cw.toLong * ch.toLong > MaxDecodePixels) return null
-      var canvas = new java.awt.image.BufferedImage(
-        cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val out = Array.newBuilder[Any]
-      var f = 0
-      var refused = false
-      while (f < n && !refused) {
-        if (bombed(r, f)) refused = true
-        else {
-          val geom = gifFrameGeom(r, f)
-          val img = r.read(f)
-          val before =
-            if (geom.disposal == "restoreToPrevious") copyCanvas(canvas) else null
-          val g = canvas.createGraphics()
-          g.drawImage(img, geom.x, geom.y, null) // transparent pixels keep the canvas
-          g.dispose()
-          if (f % stride == 0) {
-            val (sr, sg, sb) = channelSums(canvas)
-            out += new GenericInternalRow(Array[Any](f, cw, ch, sr, sg, sb))
-          }
-          geom.disposal match {
-            case "restoreToBackgroundColor" =>
-              val gg = canvas.createGraphics()
-              gg.setColor(java.awt.Color.BLACK)
-              gg.fillRect(geom.x, geom.y, img.getWidth, img.getHeight)
-              gg.dispose()
-            case "restoreToPrevious" => canvas = before
-            case _ => // none / doNotDispose: keep the composited canvas
-          }
+      val ok = renderFrames(r) { (f, canvas) =>
+        if (f % stride == 0) {
+          val (sr, sg, sb) = channelSums(canvas)
+          out += new GenericInternalRow(
+            Array[Any](f, canvas.getWidth, canvas.getHeight, sr, sg, sb))
         }
-        f += 1
       }
-      if (refused) null
+      if (!ok) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+    }
+  }
+
+  /** The shared composite walk under [[frameSampleRow]] and
+    * [[frameDhashRow]]: render every frame onto the logical screen —
+    * per-frame offsets honored, GIF disposal methods applied (optimized
+    * GIFs store only the changed sub-raster, so the STORED image is not
+    * the rendered frame), undeclared screen pixels black — and hand each
+    * RENDERED canvas to `onFrame`. The canvas is the declared logical
+    * screen, or frame-0 extent for containers without one; the CANVAS (it
+    * is the allocation) and every stored frame raster are bomb-guarded.
+    * Returns false to refuse the WHOLE blob on any bombed frame, matching
+    * decodeStatsRow/resizeRow — a silently-shorter walk would be
+    * indistinguishable from a shorter animation.
+    */
+  private def renderFrames(r: javax.imageio.ImageReader)
+                          (onFrame: (Int, java.awt.image.BufferedImage) => Unit): Boolean = {
+    val n = r.getNumImages(true)
+    val (sw0, sh0) = gifScreen(r)
+    val geom0 = gifFrameGeom(r, 0)
+    val cw = if (sw0 > 0) sw0 else geom0.x + r.getWidth(0)
+    val ch = if (sh0 > 0) sh0 else geom0.y + r.getHeight(0)
+    if (cw.toLong * ch.toLong > MaxDecodePixels) return false
+    var canvas = new java.awt.image.BufferedImage(
+      cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var f = 0
+    while (f < n) {
+      if (bombed(r, f)) return false
+      val geom = gifFrameGeom(r, f)
+      val img = r.read(f)
+      val before =
+        if (geom.disposal == "restoreToPrevious") copyCanvas(canvas) else null
+      val g = canvas.createGraphics()
+      g.drawImage(img, geom.x, geom.y, null) // transparent pixels keep the canvas
+      g.dispose()
+      onFrame(f, canvas)
+      geom.disposal match {
+        case "restoreToBackgroundColor" =>
+          val gg = canvas.createGraphics()
+          gg.setColor(java.awt.Color.BLACK)
+          gg.fillRect(geom.x, geom.y, img.getWidth, img.getHeight)
+          gg.dispose()
+        case "restoreToPrevious" => canvas = before
+        case _ => // none / doNotDispose: keep the composited canvas
+      }
+      f += 1
+    }
+    true
+  }
+
+  /** Per-frame hash contract for [[frameDhashRow]]. */
+  val FrameHashSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType),
+    StructField("h", LongType)))
+
+  /** Per-frame PERCEPTUAL HASHES of a multi-frame container — the VIDEO
+    * fingerprint for near-dup dedup: composite each frame through the
+    * [[renderFrames]] walk (so optimized / delta-coded GIFs hash the
+    * RENDERED frame, never the stored sub-raster), then [[dhashRow]]'s
+    * 56-bit grid hash over every `stride`-th rendered canvas. A video
+    * near-clone (one frame touched, one pixel edited) differs in ≤ 2 bits
+    * of ONE frame's hash while every other frame hashes identically, so
+    * clip-level near-dup = small SUM of aligned per-frame hammings. Null
+    * for undecodable bytes, bomb-guarded frames, or a canvas under the
+    * 8-px grid (the canvas is shared, so one check covers every frame).
+    * Map-side, bytes-decoded cost paid once at ingest — downstream dedup
+    * joins carry only (frame, BIGINT) rows.
+    */
+  def frameDhashRow(bytes: Array[Byte], stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (stride <= 0) return null
+    withReader[org.apache.spark.sql.catalyst.util.ArrayData](bytes, seekForwardOnly = false) { r =>
+      val out = Array.newBuilder[Any]
+      var under = false
+      val ok = renderFrames(r) { (f, canvas) =>
+        if (f % stride == 0) {
+          if (canvas.getWidth < 8 || canvas.getHeight < 8) under = true
+          else out += new GenericInternalRow(Array[Any](f, dhashOfRaster(canvas)))
+        }
+      }
+      if (!ok || under) null
       else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
     }
   }
@@ -405,36 +452,42 @@ object ImageCodec {
     if (bombed(r, 0)) null
     else {
       val img = r.read(0)
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w < 8 || h < 8) null
-      else {
-        val gray = new Array[Int](64)
-        var y = 0
-        while (y < 8) {
-          val sy = y * h / 8
-          var x = 0
-          while (x < 8) {
-            val rgb = img.getRGB(x * w / 8, sy)
-            gray(y * 8 + x) =
-              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-            x += 1
-          }
-          y += 1
-        }
-        var hash = 0L
-        y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 7) {
-            if (gray(y * 8 + x + 1) > gray(y * 8 + x)) hash |= 1L << (y * 7 + x)
-            x += 1
-          }
-          y += 1
-        }
-        java.lang.Long.valueOf(hash)
-      }
+      if (img.getWidth < 8 || img.getHeight < 8) null
+      else java.lang.Long.valueOf(dhashOfRaster(img))
     }
+  }
+
+  /** The dHash grid core over a decoded raster — shared by [[dhashRow]]
+    * (frame 0 of a still) and [[frameDhashRow]] (every rendered frame of a
+    * multi-frame container). Caller guarantees width, height ≥ 8.
+    */
+  private def dhashOfRaster(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * w / 8, sy)
+        gray(y * 8 + x) =
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (gray(y * 8 + x + 1) > gray(y * 8 + x)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /** Fixture-side multi-frame encoder: an animated GIF of `frames`
@@ -461,6 +514,52 @@ object ImageCodec {
           var x = 0
           while (x < width) {
             raster.setSample(x, y, 0, (x * 31 + y * 17 + f * 7) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Fixture-side SEEDED multi-frame encoder with an optional planted
+    * single-pixel edit — the near-clone generator for VIDEO-dedup gates
+    * ([[encodeImageVariant]]'s discipline on the frame axis). Frame f
+    * pixel (x, y) = (x·(31 + 11·seed) + y·(17 + 5·seed) + f·7) mod 256,
+    * GRAYSCALE (a 256-level gray palette survives GIF palettization
+    * bit-exactly, the [[encodeAnimatedGif]] rationale); when
+    * `editFrame >= 0` the single pixel (editX, editY) of that one frame
+    * gets v' = (v + 128) mod 256 — a maximal wraparound-safe flip that
+    * perturbs ≤ 2 bits of one frame's dHash and zero bits of the rest.
+    * The seed scales the gradient STEP (dHash sees only difference signs,
+    * so an offset seed would alias every clip). Every sample is a closed
+    * form of (x, y, f, seed, edit), so DuckDB recomputes the rendered
+    * rasters — and any integer hash of them — without a codec.
+    */
+  def encodeAnimatedGifVariant(width: Int, height: Int, frames: Int, seed: Int,
+      editFrame: Int = -1, editX: Int = -1, editY: Int = -1): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed) + f * 7) % 256
+            val v = if (f == editFrame && x == editX && y == editY) (v0 + 128) % 256 else v0
+            raster.setSample(x, y, 0, v)
             x += 1
           }
           y += 1
@@ -639,6 +738,34 @@ case class SampleFrames(child: Expression, stride: Int) extends UnaryExpression 
     """)
 
   override protected def withNewChildInternal(newChild: Expression): SampleFrames =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> array(struct(frame, h)) — per-frame
+  * 56-bit dHashes of every `stride`-th RENDERED frame of a multi-frame
+  * container (GIF = the video stand-in): the video fingerprint for
+  * near-dup dedup. Null for undecodable / bomb-guarded / under-8px blobs.
+  */
+case class FrameDhashes(child: Expression, stride: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(ImageCodec.FrameHashSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_frame_dhashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.frameDhashRow(input.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.ImageCodec.frameDhashRow($b, $stride);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): FrameDhashes =
     copy(child = newChild)
 }
 

@@ -128,6 +128,19 @@ object Multimodal {
     GraftSqlShim.column(SampleFrames(GraftSqlShim.expression(blob), stride))
   }
 
+  /** REAL video fingerprint: binary -> array(struct(frame, h)) — the
+    * 56-bit dHash of every `stride`-th RENDERED frame of a multi-frame
+    * container ([[ImageCodec.frameDhashRow]]: the [[sampleFrames]]
+    * composite walk, so delta-coded GIFs hash the rendered frame, then
+    * [[imageDhash]]'s grid hash per canvas). Near-clone clips differ in
+    * ≤ 2 bits of one frame's hash; dedup joins carry only (frame, BIGINT)
+    * rows — pixels never shuffle.
+    */
+  def frameDhashes(blob: Column, stride: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(FrameDhashes(GraftSqlShim.expression(blob), stride))
+  }
+
   /** The typed metadata contract carried beside every blob. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),

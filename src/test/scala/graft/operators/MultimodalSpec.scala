@@ -408,4 +408,91 @@ class MultimodalSpec extends SparkSpec {
         assert(bandsOf(base.longValue()).intersect(bandsOf(clone.longValue())).nonEmpty)
     }
   }
+
+  test("frameDhashes: per-frame hashes match the closed form; a one-pixel edit touches one frame by <= 2 bits") {
+    // the exact recomputation the video gates' DuckDB oracles evaluate —
+    // pinning it here in Scala keeps the cross-engine formula honest
+    def expectedHash(w: Int, h: Int, f: Int, seed: Int,
+                     ef: Int = -1, ex: Int = -1, ey: Int = -1): Long = {
+      def v(x: Int, y: Int): Int = {
+        val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed) + f * 7) % 256
+        if (f == ef && x == ex && y == ey) (v0 + 128) % 256 else v0
+      }
+      val gray = Array.tabulate(8, 8)((y, x) => v(x * w / 8, y * h / 8))
+      var hh = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (gray(y)(x + 1) > gray(y)(x)) hh |= 1L << (y * 7 + x)
+      hh
+    }
+    val (w, h, nf, seed) = (19, 12, 4, 5)
+    val base = ImageCodec.frameDhashRow(ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed), 1)
+    assert(base != null && base.numElements() == nf)
+    (0 until nf).foreach { f =>
+      val r = base.getStruct(f, 2)
+      assert(r.getInt(0) == f)
+      assert(r.getLong(1) == expectedHash(w, h, f, seed),
+        s"frame $f hash must match the closed form the oracle recomputes")
+    }
+    // an exact re-encode hashes identically, frame for frame
+    val again = ImageCodec.frameDhashRow(ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed), 1)
+    assert((0 until nf).forall(f =>
+      again.getStruct(f, 2).getLong(1) == base.getStruct(f, 2).getLong(1)))
+    // a single-pixel edit at the grid-(3,3) pick of frame 2: that frame
+    // drifts by <= 2 bits, every other frame is bit-identical
+    val (ex, ey) = (3 * w / 8, 3 * h / 8)
+    val clone = ImageCodec.frameDhashRow(
+      ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed, 2, ex, ey), 1)
+    (0 until nf).foreach { f =>
+      val d = java.lang.Long.bitCount(
+        base.getStruct(f, 2).getLong(1) ^ clone.getStruct(f, 2).getLong(1))
+      if (f == 2) assert(d <= 2, s"edited frame drifted to hamming $d")
+      else assert(d == 0, s"untouched frame $f drifted to hamming $d")
+      assert(clone.getStruct(f, 2).getLong(1) ==
+        expectedHash(w, h, f, seed, 2, ex, ey))
+    }
+    // stride samples frames 0, 2; refusals: undecodable bytes, under-8px
+    // canvas (dHash needs the grid), non-positive stride
+    val strided = ImageCodec.frameDhashRow(ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed), 2)
+    assert(strided.numElements() == 2 &&
+      strided.getStruct(1, 2).getInt(0) == 2)
+    assert(ImageCodec.frameDhashRow("not a gif".getBytes, 1) == null)
+    assert(ImageCodec.frameDhashRow(ImageCodec.encodeAnimatedGifVariant(7, 12, 2, 1), 1) == null)
+    assert(ImageCodec.frameDhashRow(ImageCodec.encodeAnimatedGifVariant(19, 12, 2, 1), 0) == null)
+    // single-frame stills agree with dhashRow (one shared grid core)
+    val png = ImageCodec.encodeImageVariant("png", 24, 16, 3)
+    val one = ImageCodec.frameDhashRow(png, 1)
+    assert(one.numElements() == 1 &&
+      one.getStruct(0, 2).getLong(1) == ImageCodec.dhashRow(png).longValue())
+  }
+
+  test("frameDhashes hashes the RENDERED frame of optimized GIFs, not the stored delta") {
+    // delta-coded frames: hash must equal the dHash of the manually
+    // composited canvas (frame-0 gradient with the sub-rect replaced),
+    // which we pin by re-encoding that canvas losslessly and dhash-ing it
+    val (w, h, subW, subH, offX, offY) = (19, 9, 4, 3, 2, 1)
+    val blob = ImageCodec.encodeOptimizedGif(w, h, 3, subW, subH, offX, offY)
+    val hashes = ImageCodec.frameDhashRow(blob, 1)
+    assert(hashes != null && hashes.numElements() == 3)
+    def rendered(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xFF // frame-0 base
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      if (f > 0)
+        for (y <- 0 until subH; x <- 0 until subW) {
+          val v = (x * 31 + y * 17 + f * 7) & 0xFF // delta, sub-raster coords
+          img.setRGB(offX + x, offY + y, v << 16 | v << 8 | v)
+        }
+      img
+    }
+    (0 until 3).foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rendered(f), "png", bos)
+      val expected = ImageCodec.dhashRow(bos.toByteArray)
+      assert(hashes.getStruct(f, 2).getLong(1) == expected.longValue(),
+        s"frame $f must hash the composited canvas")
+    }
+  }
 }
