@@ -364,6 +364,55 @@ object Extensions
       |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
       |  GROUP BY 1)""".stripMargin
 
+  /** Per-frame dHash rows of a (vid_id, blob) frame — the ONE video
+    * fingerprint rule every video-dedup gate shares: EVERY rendered frame
+    * hashed (stride 1 — a skipped frame would blind the fingerprint to
+    * edits there), undecodable blobs dropped (the [[imageBands]]
+    * quarantine rule). nf rides along per row so aligned verification can
+    * insist on equal frame counts without a second pass over the blobs.
+    * @return (vid_id, nf, frame, h)
+    */
+  private[graft] def videoFrameHashes(df: DataFrame): DataFrame = df
+    .select(col("vid_id"),
+      graft.operators.Multimodal.frameDhashes(col("blob"), 1).as("fh"))
+    .filter(col("fh").isNotNull)
+    .select(col("vid_id"), size(col("fh")).as("nf"), explode(col("fh")).as("fr"))
+    .select(col("vid_id"), col("nf"), col("fr.frame").as("frame"), col("fr.h").as("h"))
+
+  /** The video twin of [[imageBands]]: per-frame 4×14-bit band explosion —
+    * candidates join on (frame, band_key). Pigeonhole keeps this LOSSLESS
+    * at the clip-level verify threshold: an aligned pair with TOTAL
+    * hamming ≤ 3 has frame-0 hamming ≤ 3, so at least one frame-0 band is
+    * identical and the pair must collide.
+    */
+  private[graft] def videoBands(fh: DataFrame): DataFrame = fh
+    .select(col("vid_id"), col("frame"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+
+  /** The closed-form per-frame dHash recomputation every video gate's
+    * DuckDB oracle shares — rendered-frame gray + bit packing over a
+    * `vids(vid_id, seed, w, h, nf, ef, ex, ey, ...)` CTE (the
+    * [[imageOracleGridBits]] discipline on the frame axis; gray = the
+    * grayscale sample itself, since the GIF palette round-trips it
+    * bit-exactly and (v+v+v)/3 = v). Covers nf ≤ 8.
+    */
+  private[queries] val videoOracleFrameBits: String =
+    """vgrid AS (
+      |  SELECT vid_id, f, x, y,
+      |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed) + f * 7)
+      |     + CASE WHEN f = ef AND (x * w) // 8 = ex AND (y * h) // 8 = ey
+      |        THEN 128 ELSE 0 END) % 256 AS gray
+      |  FROM vids, range(8) xs(x), range(8) ys(y), range(8) fs(f)
+      |  WHERE f < nf),
+      |vbits AS (
+      |  SELECT g1.vid_id, g1.f,
+      |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+      |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM vgrid g1 JOIN vgrid g2
+      |    ON g2.vid_id = g1.vid_id AND g2.f = g1.f AND g2.y = g1.y AND g2.x = g1.x + 1
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** The audio twin of [[imageBands]]: windowed-energy fingerprint +
     * 4×8-bit band explosion of a (clip_id, blob) frame (band key =
     * value·4 + k over a 32-bit nonnegative hash); same pigeonhole

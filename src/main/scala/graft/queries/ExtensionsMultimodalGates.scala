@@ -705,5 +705,93 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY clip_a, clip_b""".stripMargin),
 
+
+    // X14c: VIDEO near-dup dedup — the frame axis of the dedup ×
+    // multimodal intersection: per-frame dHash over the REAL RENDERED
+    // frames ([[graft.operators.ImageCodec.frameDhashRow]] — the
+    // frameSampleRow composite walk, so delta-coded containers hash what
+    // PLAYS, not what's stored), banded per (frame, 14-bit key) for
+    // candidates, verified by the SUM of aligned per-frame hammings ≤ 3
+    // between equal-length clips. Pigeonhole keeps the banding LOSSLESS
+    // at that threshold (total ≤ 3 ⇒ frame 0's hashes are within 3 ⇒ some
+    // frame-0 band identical), so the oracle makes the stronger all-pairs
+    // claim over closed-form recomputed per-frame hashes. Fixture: 14
+    // seeded animated GIFs; i%3=0 bases get a near-clone with ONE pixel
+    // edited at the grid-(3,3) pick of ONE frame (≤ 2 bits of that
+    // frame's hash), i%3=1 an exact re-encode (hamming 0), i%3=2 none.
+    // At 100 TB: hash once at ingest (bytes-decoded, map-side); the band
+    // self-join shuffles 4·frames narrow rows per clip; verification
+    // compares per-frame BIGINTs — pixels never shuffle.
+    ("x_video_neardup",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        val rows = (0 until 14).flatMap { i =>
+          val w = 16 + i; val h = 12 + (i % 5); val nf = 3 + (i % 4)
+          val base = (i.toLong, ImageCodec.encodeAnimatedGifVariant(w, h, nf, i))
+          val clone =
+            if (i % 3 == 0) Some(((100 + i).toLong,
+              ImageCodec.encodeAnimatedGifVariant(w, h, nf, i, i % nf, 3 * w / 8, 3 * h / 8)))
+            else if (i % 3 == 1) Some(((100 + i).toLong,
+              ImageCodec.encodeAnimatedGifVariant(w, h, nf, i)))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videodedup", df.schema)
+        t.append(s, df)
+        // ONE decode pass ([[Extensions.videoFrameHashes]], the shared
+        // fingerprint rule): both band sides and the aligned verify read
+        // the pinned hash frame, never the blobs again
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
+        val bands = videoBands(fh)
+        val cand = bands.select(col("frame"), col("band_key"), col("vid_id").as("vid_a"))
+          .join(bands.select(col("frame"), col("band_key"), col("vid_id").as("vid_b")),
+            Seq("frame", "band_key"))
+          .filter(col("vid_a") < col("vid_b"))
+          .select("vid_a", "vid_b").distinct()
+        val pairs = cand
+          .join(fh.select(col("vid_id").as("vid_a"), col("nf").as("nfa"),
+            col("frame"), col("h").as("ha")), Seq("vid_a"))
+          .join(fh.select(col("vid_id").as("vid_b"), col("nf").as("nfb"),
+            col("frame"), col("h").as("hb")), Seq("vid_b", "frame"))
+          .groupBy("vid_a", "vid_b")
+          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"),
+            max(when(col("nfa") =!= col("nfb"), lit(1)).otherwise(lit(0))).as("len_mismatch"))
+          .filter(col("len_mismatch") === 0 && col("hamming") <= 3)
+          .select("vid_a", "vid_b", "hamming")
+        // recall floor REQUIREd in-gate: every planted clone pair must
+        // band-collide and verify
+        val found = pairs.select("vid_a", "vid_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 14).filter(_ % 3 != 2).foreach { i =>
+          require(found.contains((i.toLong, (100 + i).toLong)),
+            s"planted near-clone video pair ($i, ${100 + i}) must band-collide and verify")
+        }
+        pairs.orderBy("vid_a", "vid_b")
+      },
+      // per-frame hashes recomputed in closed form from the encoder
+      // gradient (frame f pixel = (x·(31+11·seed) + y·(17+5·seed) + f·7)
+      // mod 256, +128 wraparound at the one edited pixel); equal frame
+      // counts enforced like the engine's len_mismatch filter
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    3 + (i % 4) AS nf, -1 AS ef, -1 AS ex, -1 AS ey
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |    CASE WHEN i % 3 = 0 THEN i % (3 + (i % 4)) ELSE -1 END,
+        |    CASE WHEN i % 3 = 0 THEN (3 * (16 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 3 = 0 THEN (3 * (12 + (i % 5))) // 8 ELSE -1 END
+        |  FROM range(14) t(i) WHERE i % 3 IN (0, 1)),
+        |$videoOracleFrameBits
+        |SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+        |  CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS hamming
+        |FROM vbits a JOIN vbits b ON a.vid_id < b.vid_id AND a.f = b.f
+        |JOIN vids va ON va.vid_id = a.vid_id
+        |JOIN vids vb ON vb.vid_id = b.vid_id AND vb.nf = va.nf
+        |GROUP BY 1, 2
+        |HAVING sum(bit_count(xor(a.h, b.h))) <= 3
+        |ORDER BY 1, 2""".stripMargin),
+
   )
 }
