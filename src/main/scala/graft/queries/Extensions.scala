@@ -317,30 +317,41 @@ object Extensions
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
 
   /** Runtime-filtered probe + hamming-verified admission verdicts — the
-    * ONE decision rule the durable and retraction image-dedup gates share:
-    * batch bands probe the band state through an In read, banded
-    * candidates verify at hamming ≤ 3, and each batch image gets its
-    * surviving-history match count (admitted ⇔ zero matches).
-    * localCheckpointed: callers read it for the state append AND the
-    * output.
-    * @return (img_id, matches, admitted)
+    * ONE decision rule the durable and retraction perceptual-hash dedup
+    * gates share, generic over the id column (img_id / clip_id): batch
+    * bands probe the band state through an In read, banded candidates
+    * verify at hamming ≤ 3, and each batch blob gets its surviving-history
+    * match count (admitted ⇔ zero matches). localCheckpointed: callers
+    * read it for the state append AND the output.
+    * @return (idCol, matches, admitted)
     */
-  private[queries] def imageAdmitVerdicts(s: SparkSession,
-      state: graft.table.GraftTable, batchBands: DataFrame): DataFrame = {
+  private[queries] def bandAdmitVerdicts(s: SparkSession,
+      state: graft.table.GraftTable, batchBands: DataFrame,
+      idCol: String): DataFrame = {
     val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
-    batchBands.select("img_id").distinct()
+    batchBands.select(idCol).distinct()
       .join(batchBands
           .join(stateScan.toDF(s).select(col("band_key"),
-            col("h").as("h_hist"), col("img_id").as("hist_id")), Seq("band_key"))
+            col("h").as("h_hist"), col(idCol).as("hist_id")), Seq("band_key"))
           .filter(expr("bit_count(h ^ h_hist) <= 3"))
-          .groupBy("img_id")
+          .groupBy(idCol)
           .agg(countDistinct(col("hist_id")).as("matches")),
-        Seq("img_id"), "left")
-      .select(col("img_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("matches"), lit(0L)).as("matches"),
         col("matches").isNull.as("admitted"))
       .localCheckpoint()
   }
+
+  /** [[bandAdmitVerdicts]] over the image dHash state. */
+  private[queries] def imageAdmitVerdicts(s: SparkSession,
+      state: graft.table.GraftTable, batchBands: DataFrame): DataFrame =
+    bandAdmitVerdicts(s, state, batchBands, "img_id")
+
+  /** [[bandAdmitVerdicts]] over the audio fingerprint state. */
+  private[queries] def audioAdmitVerdicts(s: SparkSession,
+      state: graft.table.GraftTable, batchBands: DataFrame): DataFrame =
+    bandAdmitVerdicts(s, state, batchBands, "clip_id")
 
   /** The closed-form dHash recomputation every image gate's DuckDB oracle
     * shares — grid gray + bit packing over an `imgs(img_id, seed, w, h,
@@ -425,6 +436,36 @@ object Extensions
     .select(col("clip_id"), col("h"), explode(array(
       (0 until 4).map(k =>
         shiftright(col("h"), k * 8).bitwiseAND(lit(255L)) * 4 + k): _*)).as("band_key"))
+
+  /** Fixture-side encoder row for the audio-dedup gates: deterministic
+    * seeded 8-bit mono WAV ([[graft.operators.AudioCodec
+    * .encodeAudioVariant]]), optional planted single-sample edit at the
+    * clip midpoint (perturbs one window sum — flips ≤ 2 fingerprint
+    * bits), the [[imageFixtureRow]] discipline on the audio plane.
+    */
+  private[graft] def audioFixtureRow(id: Long, seed: Int, n: Int,
+      edit: Boolean): (Long, Array[Byte]) =
+    (id, graft.operators.AudioCodec.encodeAudioVariant(n, seed,
+      if (edit) n / 2 else -1))
+
+  /** The closed-form windowed-energy fingerprint recomputation every audio
+    * gate's DuckDB oracle shares — window sums + bit packing over a
+    * `clips(clip_id, seed, n, e, ...)` CTE (the [[imageOracleGridBits]]
+    * discipline on the audio plane). `maxN` bounds the sample range (≥ the
+    * largest fixture clip; WHERE x < n trims per clip).
+    */
+  private[queries] def audioOracleBits(maxN: Int): String =
+    s"""smp AS (
+      |  SELECT clip_id, (x * 33) // n AS w,
+      |    CASE WHEN x = e THEN ((x * (13 + 7 * seed) + 31) % 256 + 128) % 256
+      |         ELSE (x * (13 + 7 * seed) + 31) % 256 END AS s
+      |  FROM clips, range($maxN) t(x) WHERE x < n),
+      |ws AS (SELECT clip_id, w, CAST(sum(s) AS BIGINT) AS sw FROM smp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.clip_id, CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+      |    THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.w = a.w + 1
+      |  GROUP BY 1)""".stripMargin
 
   /** The pruned multi-probe top-10 + certified-recall block shared by
     * x_ann_index_multiprobe and x_stream_ann_ingest — the "same probe"

@@ -644,15 +644,12 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
     // never cross the wire.
     ("x_audio_neardup",
       (s: SparkSession, d: String) => {
-        import graft.operators.{AudioCodec, Multimodal}
         val rows = (0 until 18).flatMap { i =>
           val n = 33 * (10 + i)
-          val base = (i.toLong, AudioCodec.encodeAudioVariant(n, i))
+          val base = audioFixtureRow(i, i, n, edit = false)
           val clone =
-            if (i % 3 == 0) Some(((100 + i).toLong,
-              AudioCodec.encodeAudioVariant(n, i, editAt = n / 2)))
-            else if (i % 3 == 1) Some(((100 + i).toLong,
-              AudioCodec.encodeAudioVariant(n, i)))
+            if (i % 3 == 0) Some(audioFixtureRow(100 + i, i, n, edit = true))
+            else if (i % 3 == 1) Some(audioFixtureRow(100 + i, i, n, edit = false))
             else None
           base :: clone.toList
         }
@@ -678,32 +675,113 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         }
         pairs.orderBy("clip_a", "clip_b")
       },
-      // fingerprints recomputed in closed form from the encoder gradient:
-      // sample x of clip (seed, n) = (x·(13+7·seed) + 31) mod 256, +128
-      // wraparound at the one edited sample; window of x = x·33 // n
-      """WITH clips AS (
+      // fingerprints recomputed in closed form from the encoder gradient
+      // via the ONE shared CTE ([[Extensions.audioOracleBits]]): sample x
+      // of clip (seed, n) = (x·(13+7·seed) + 31) mod 256, +128 wraparound
+      // at the one edited sample; window of x = x·33 // n
+      s"""WITH clips AS (
         |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e
         |  FROM range(18) t(i)
         |  UNION ALL
         |  SELECT 100 + i, i, 33 * (10 + i),
         |    CASE WHEN i % 3 = 0 THEN (33 * (10 + i)) // 2 ELSE -1 END
         |  FROM range(18) t(i) WHERE i % 3 IN (0, 1)),
-        |smp AS (
-        |  SELECT clip_id, (x * 33) // n AS w,
-        |    CASE WHEN x = e THEN ((x * (13 + 7 * seed) + 31) % 256 + 128) % 256
-        |         ELSE (x * (13 + 7 * seed) + 31) % 256 END AS s
-        |  FROM clips, range(891) t(x) WHERE x < n),
-        |ws AS (SELECT clip_id, w, CAST(sum(s) AS BIGINT) AS sw FROM smp GROUP BY 1, 2),
-        |bits AS (
-        |  SELECT a.clip_id, CAST(coalesce(sum(CASE WHEN b.sw > a.sw
-        |    THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.w = a.w + 1
-        |  GROUP BY 1)
+        |${audioOracleBits(891)}
         |SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.clip_id < b.clip_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY clip_a, clip_b""".stripMargin),
+
+
+    // X14d: INCREMENTAL audio dedup vs a durable fingerprint state — the
+    // x_incremental_image_dedup discipline on the audio family: the
+    // crawled corpus's fingerprint BANDS persist in a band_key-bucketed,
+    // bloom-indexed Graft table; a new crawl batch probes it through a
+    // runtime-filtered In read, verifies banded candidates by hamming ≤ 3
+    // (pigeonhole-lossless, so the oracle uses the pure-hamming admission
+    // rule), REJECTS single-sample-edited and exact recrawls of crawled
+    // history, ADMITS fresh clips, and appends only the admitted clips'
+    // bands — the state stays O(corpus), 4 narrow rows per clip, samples
+    // never persist twice. Mid-sequence maintenance runs the shared
+    // compactionProof ritual; a full-batch REPROBE against the updated
+    // state REQUIREs every crawled clip to now read as seen. At 100 TB:
+    // the probe is batch-sized, the verify compares BIGINTs, and the only
+    // decoded bytes are the batch's own.
+    ("x_incremental_audio_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        val hist = (0 until 20).map(i => audioFixtureRow(i, i, 33 * (10 + i), edit = false))
+        val batch =
+          (0 until 20 by 4).map(i => audioFixtureRow(200 + i, i, 33 * (10 + i), edit = true)) ++
+          (1 until 20 by 4).map(i => audioFixtureRow(300 + i, i, 33 * (10 + i), edit = false)) ++
+          (0 until 10).map(j => audioFixtureRow(400 + j, 50 + j, 33 * (10 + j), edit = false))
+        val histBands = audioBands(s.createDataFrame(hist).toDF("clip_id", "blob"))
+          .localCheckpoint() // split into two crawl commits below
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.audio_sigs", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        // two history commits (the fragmentation compaction exists to fix:
+        // one file per bucket PER COMMIT), so compactionProof can halve them
+        state.append(s, histBands.filter(col("clip_id") < 10))
+        state.append(s, histBands.filter(col("clip_id") >= 10))
+        // mid-sequence maintenance, the shared ritual: files strictly down,
+        // rows preserved — and the probe below reads the COMPACTED state
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        val batchBands = audioBands(s.createDataFrame(batch).toDF("clip_id", "blob"))
+          .localCheckpoint() // In-probe collect + candidate join + admit rollup
+        val verdicts = audioAdmitVerdicts(s, state, batchBands)
+        state.append(s,
+          batchBands.join(verdicts.filter(col("admitted")).select("clip_id"), Seq("clip_id"))
+            .select("clip_id", "h", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("clip_id").collect().map(_.getLong(0)).toSet
+        (0 until 20 by 4).foreach(i => require(rejected.contains(200L + i),
+          s"edited recrawl ${200 + i} must reject against the crawled history"))
+        (1 until 20 by 4).foreach(i => require(rejected.contains(300L + i),
+          s"exact recrawl ${300 + i} must reject against the crawled history"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        // full-batch reprobe: every crawled clip — admitted (its own bands
+        // now in state) or rejected (its history still there) — reads seen
+        val reScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+          maxKeys = Extensions.CrawlProbeMaxKeys)
+        val reMatched = batchBands
+          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+          .filter(expr("bit_count(h ^ h2) <= 3"))
+          .select("clip_id").distinct().count()
+        require(reMatched == batch.size.toLong,
+          s"full-batch reprobe must reject everything: $reMatched/${batch.size}")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      // the same closed-form fingerprint recomputation as x_audio_neardup,
+      // over history + the three batch classes; lossless banding lets the
+      // oracle use the pure-hamming admission rule directly
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e,
+        |    true AS is_hist
+        |  FROM range(20) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 33 * (10 + i), (33 * (10 + i)) // 2, false
+        |  FROM range(20) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, 33 * (10 + i), -1, false
+        |  FROM range(20) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + j, 50 + j, 33 * (10 + j), -1, false
+        |  FROM range(10) t(j)),
+        |${audioOracleBits(957)},
+        |bh AS (SELECT b.* FROM bits b JOIN clips c ON c.clip_id = b.clip_id AND c.is_hist),
+        |bb AS (SELECT b.* FROM bits b JOIN clips c ON c.clip_id = b.clip_id AND NOT c.is_hist),
+        |m AS (
+        |  SELECT bb.clip_id, CAST(count(DISTINCT bh.clip_id) AS BIGINT) AS matches
+        |  FROM bb JOIN bh ON bit_count(xor(bb.h, bh.h)) <= 3
+        |  GROUP BY 1)
+        |SELECT bb.clip_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.clip_id IS NULL AS admitted, true AS compacted
+        |FROM bb LEFT JOIN m USING (clip_id) ORDER BY clip_id""".stripMargin),
 
 
     // X14c: VIDEO near-dup dedup — the frame axis of the dedup ×

@@ -428,6 +428,83 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |FROM bb LEFT JOIN m USING (img_id) ORDER BY img_id""".stripMargin),
 
 
+    // X14r-a: RETRACTION from the audio fingerprint state — the
+    // x_image_dedup_retract discipline on the audio family: a retracted
+    // clip's 4 (clip_id, h, band_key) rows are DELETEd from the durable
+    // fingerprint state (clip_id cuts across every band bucket — the
+    // under-approximating COW shape — but the per-commit clip_id min/max
+    // bounds still prune the rewrite, recorded from the delete's own
+    // candidate scan), and the recrawl proves the semantics: single-
+    // sample-edited clones of RETRACTED clips ADMIT again while clones of
+    // surviving history keep REJECTING. Oracle = the pure-hamming
+    // admission rule over the SURVIVING history only (banding is
+    // pigeonhole-lossless at the ≤3 threshold).
+    ("x_audio_dedup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, TableProperties, Transform}
+        val hist = (0 until 20).map(i => audioFixtureRow(i, i, 33 * (10 + i), edit = false))
+        val histBands = audioBands(s.createDataFrame(hist).toDF("clip_id", "blob"))
+          .localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.audio_sigs_r", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        state.append(s, histBands.filter(col("clip_id") < 10))
+        state.append(s, histBands.filter(col("clip_id") >= 10))
+        val rowsBefore = state.toDF(s).count()
+        // both retracted ids live in the FIRST crawl commit, so the
+        // delete's In probe prunes the second commit's files via their
+        // clip_id min/max bounds — the rewrite is O(affected commits)
+        val retractIds = Seq(0L, 5L)
+        graft.table.QueryHistory.clear()
+        state.delete(s, Seq(Predicate.In("clip_id", retractIds)))
+        val delScan = graft.table.QueryHistory.all.filter(_.table == "db.audio_sigs_r").head
+        val rowsAfter = state.toDF(s).count()
+        require(rowsAfter == rowsBefore - 4 * retractIds.size,
+          s"exactly the retracted clips' band rows must die: $rowsBefore -> $rowsAfter")
+        // recrawl: edited clones of retracted clips (must ADMIT now) +
+        // edited clones of surviving clips i%5==1 (must keep REJECTING)
+        val batch =
+          retractIds.map(i => audioFixtureRow(200 + i, i.toInt, 33 * (10 + i.toInt), edit = true)) ++
+          (1 until 20 by 5).map(i => audioFixtureRow(300 + i, i, 33 * (10 + i), edit = true))
+        val batchBands = audioBands(s.createDataFrame(batch).toDF("clip_id", "blob"))
+          .localCheckpoint()
+        val verdicts = audioAdmitVerdicts(s, state, batchBands)
+        val admitted = verdicts.filter(col("admitted"))
+          .select("clip_id").collect().map(_.getLong(0)).toSet
+        retractIds.foreach(i => require(admitted.contains(200L + i),
+          s"a clone of retracted clip $i must admit again"))
+        (1 until 20 by 5).foreach(i => require(!admitted.contains(300L + i),
+          s"a clone of surviving clip $i must keep rejecting"))
+        verdicts
+          .withColumn("del_pruned",
+            lit(delScan.filesScanned < delScan.filesTotal))
+          .withColumn("rows_removed", lit(rowsBefore - rowsAfter))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e,
+        |    true AS is_hist
+        |  FROM range(20) t(i) WHERE i NOT IN (0, 5)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 33 * (10 + i), (33 * (10 + i)) // 2, false
+        |  FROM range(20) t(i) WHERE i IN (0, 5)
+        |  UNION ALL
+        |  SELECT 300 + i, i, 33 * (10 + i), (33 * (10 + i)) // 2, false
+        |  FROM range(20) t(i) WHERE i % 5 = 1),
+        |${audioOracleBits(957)},
+        |bh AS (SELECT b.* FROM bits b JOIN clips c ON c.clip_id = b.clip_id AND c.is_hist),
+        |bb AS (SELECT b.* FROM bits b JOIN clips c ON c.clip_id = b.clip_id AND NOT c.is_hist),
+        |m AS (
+        |  SELECT bb.clip_id, CAST(count(DISTINCT bh.clip_id) AS BIGINT) AS matches
+        |  FROM bb JOIN bh ON bit_count(xor(bb.h, bh.h)) <= 3
+        |  GROUP BY 1)
+        |SELECT bb.clip_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.clip_id IS NULL AS admitted, true AS del_pruned,
+        |  CAST(8 AS BIGINT) AS rows_removed
+        |FROM bb LEFT JOIN m USING (clip_id) ORDER BY clip_id""".stripMargin),
+
+
     // X2r: RETRACTION from the band-signature state — the fuzzy twin of
     // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
     // and its near-dups stop nominating against it, so lightly-edited
