@@ -1227,6 +1227,51 @@ object Extensions
         statementId = Some(s"$stage-imsig-$batchId")): Unit
     }
 
+  /** The streaming AUDIO-dedup crawl loop — the
+    * x_stream_incremental_audio_dedup pipeline body, shared with
+    * StreamAudioDedupSpec; completes the audio fingerprint state's
+    * lifecycle matrix (batch: x_audio_neardup; durable + compacted:
+    * x_incremental_audio_dedup; retraction: x_audio_dedup_retract; now
+    * STREAMING). Per micro-batch of (clip_id, blob): fingerprint + band
+    * the batch ([[audioBands]] — the ONE banding rule), probe the durable
+    * band state AS OF ARRIVAL through a runtime-filtered In read (batch
+    * band set vs the band_key-bucketed bloom'd state; full-scan fallback
+    * above the key cap), verify banded candidates by hamming ≤ 3
+    * (pigeonhole-lossless), append ADMITTED clip ids to `results` and
+    * their band rows to `state` — results BEFORE state, statementId-keyed
+    * (crash between the commits: the replay recomputes admissions against
+    * a state without this batch's bands — identical verdicts, the results
+    * append no-ops on its ledger entry, the state append completes;
+    * state-first would let the batch's own bands reject its replay).
+    * Within-batch clips never nominate each other — the stateless-oracle
+    * contract every crawl loop keeps. Decoded bytes per batch are the
+    * batch's own; the state carries 4 BIGINT rows per admitted clip.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalAudioDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val bands = audioBands(b)
+        .localCheckpoint() // In-probe collect + candidate join + admit rollup
+      val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
+        maxKeys = CrawlProbeMaxKeys)
+      onStateScanMetrics(sc.metrics)
+      val matched = bands
+        .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+        .filter(expr("bit_count(h ^ h2) <= 3"))
+        .select("clip_id").distinct()
+      val admitted = bands.select("clip_id").distinct()
+        .join(matched, Seq("clip_id"), "left_anti")
+        .localCheckpoint() // gates the results append AND the state append
+      results.append(s, admitted, statementId = Some(s"$stage-aures-$batchId"))
+      state.append(s,
+        bands.join(admitted, Seq("clip_id")).select("clip_id", "h", "band_key"),
+        statementId = Some(s"$stage-ausig-$batchId")): Unit
+    }
+
   /** The streaming novelty-scoring crawl loop — the
     * x_stream_incremental_novelty pipeline body, shared with
     * StreamNoveltySpec; completes the first-seen gram state's lifecycle

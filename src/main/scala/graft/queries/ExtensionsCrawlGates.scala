@@ -1623,5 +1623,98 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  SELECT img_id FROM a0 UNION ALL SELECT img_id FROM a1
         |  UNION ALL SELECT img_id FROM a2)
         |ORDER BY img_id""".stripMargin),
+
+
+    // X14s-a: the STREAMING audio-dedup crawl loop — completes the audio
+    // fingerprint state's lifecycle matrix (batch / durable+compacted /
+    // retraction / STREAMING), the x_stream_incremental_image_dedup
+    // discipline on the audio plane: per micro-batch, fingerprint + band,
+    // probe the durable band state AS OF ARRIVAL (runtime-filtered In
+    // read), admit on zero hamming-≤3 matches, append results THEN state
+    // bands, statementId-keyed. Slices: 10 bases crawl first; slice 1
+    // brings single-sample-edited recrawls of even bases (reject via the
+    // state slice 0 appended — the cross-batch distinction) + 6 fresh
+    // clips; slice 2 brings edited recrawls of slice-1's OWN admissions,
+    // exact recrawls of odd bases, and fresh clips. Post-crawl: the
+    // shared compactionProof ritual + a full-crawl reprobe REQUIREs every
+    // crawled clip to read as seen against the compacted state. Oracle =
+    // slice-by-slice pure-hamming admission over previously-ADMITTED
+    // history only (the state carries admitted clips' bands, nothing
+    // else; banding is pigeonhole-lossless at the ≤3 threshold).
+    ("x_stream_incremental_audio_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val rows =
+          (0 until 10).map(i => (audioFixtureRow(i, i, 33 * (10 + i), edit = false), 0)) ++
+          (0 until 10 by 2).map(i => (audioFixtureRow(200 + i, i, 33 * (10 + i), edit = true), 1)) ++
+          (0 until 6).map(j => (audioFixtureRow(100 + j, 30 + j, 33 * (10 + j), edit = false), 1)) ++
+          (0 until 6 by 2).map(j => (audioFixtureRow(300 + j, 30 + j, 33 * (10 + j), edit = true), 2)) ++
+          (1 until 10 by 2).map(i => (audioFixtureRow(400 + i, i, 33 * (10 + i), edit = false), 2)) ++
+          (0 until 4).map(k => (audioFixtureRow(500 + k, 60 + k, 33 * (10 + k), edit = false), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("clip_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-audiostream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.audio_sigs_s", audioBands(docs.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val results = cat.createTable("db.audio_adm_s",
+          new StructType().add("clip_id", LongType))
+        val batches = streamIncrementalAudioDedup(s, stage, docs.schema, state, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          state.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        require(filesDown && rowsKept, "streamed state compaction flags")
+        val allBands = audioBands(docs).localCheckpoint()
+        val reScan = state.scanWithRuntimeFilter(allBands, "band_key", "band_key",
+          maxKeys = CrawlProbeMaxKeys)
+        val reMatched = allBands
+          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
+          .filter(expr("bit_count(h ^ h2) <= 3"))
+          .select("clip_id").distinct().count()
+        require(reMatched == rows.size.toLong,
+          s"full-crawl reprobe must read everything as seen: $reMatched/${rows.size}")
+        results.toDF(s).select("clip_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e, 0 AS sl
+        |  FROM range(10) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 33 * (10 + i), (33 * (10 + i)) // 2, 1
+        |  FROM range(10) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, 33 * (10 + j), -1, 1
+        |  FROM range(6) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, 33 * (10 + j), (33 * (10 + j)) // 2, 2
+        |  FROM range(6) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, 33 * (10 + i), -1, 2
+        |  FROM range(10) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, 33 * (10 + k), -1, 2
+        |  FROM range(4) t(k)),
+        |${audioOracleBits(957)},
+        |b0 AS (SELECT b.* FROM bits b JOIN clips c USING (clip_id) WHERE c.sl = 0),
+        |b1 AS (SELECT b.* FROM bits b JOIN clips c USING (clip_id) WHERE c.sl = 1),
+        |b2 AS (SELECT b.* FROM bits b JOIN clips c USING (clip_id) WHERE c.sl = 2),
+        |a0 AS (SELECT clip_id, h FROM b0),
+        |a1 AS (SELECT b1.clip_id, b1.h FROM b1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a0 WHERE bit_count(xor(a0.h, b1.h)) <= 3)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT b2.clip_id, b2.h FROM b2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a01 x WHERE bit_count(xor(x.h, b2.h)) <= 3))
+        |SELECT clip_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
+        |  UNION ALL SELECT clip_id FROM a2)
+        |ORDER BY clip_id""".stripMargin),
   )
 }

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.{Extensions, TableOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+
+/** Certifies the shipped streaming audio-dedup crawl loop
+  * ([[graft.queries.Extensions.streamIncrementalAudioDedup]], the
+  * x_stream_incremental_audio_dedup pipeline) on planted clips where
+  * near-dup rejection crosses the micro-batch boundary — an edited clone
+  * of a clip ADMITTED by an earlier slice must reject via the band rows
+  * that slice appended — plus the results-before-state crash window,
+  * checkpoint idempotency, and the pruned runtime-filtered state probe.
+  */
+class StreamAudioDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsSchema = new StructType()
+    .add("clip_id", LongType).add("blob", BinaryType)
+
+  // slice 0 admits clips 1 and 3; slice 1 brings an edited clone of
+  // clip 1 (id 11 — must reject via the STATE batch 0 appended, the
+  // cross-batch distinction) and a fresh clip (id 13 — admits)
+  private def fixtureRows = Seq(
+    Extensions.audioFixtureRow(1L, 1, 33 * 12, edit = false),
+    Extensions.audioFixtureRow(3L, 3, 33 * 14, edit = false),
+    Extensions.audioFixtureRow(11L, 1, 33 * 12, edit = true),
+    Extensions.audioFixtureRow(13L, 7, 33 * 16, edit = false))
+
+  private def batchDf = fixtureRows.toDF("clip_id", "blob")
+
+  private def newTables() = {
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.audio_sigs_spec",
+      Extensions.audioBands(batchDf.limit(0)).schema,
+      partitionBy = Seq("band_key" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "band_key"))
+    val results = cat.createTable("db.audio_adm_spec",
+      new StructType().add("clip_id", LongType))
+    (state, results)
+  }
+
+  private def stageSlices(): String = {
+    val stage = TableOps.newTempDir("graft-saudspec")
+    Extensions.stageOrderedSlices(batchDf, stage,
+      when(col("clip_id") < 10L, 0).otherwise(1), 2)
+    stage
+  }
+
+  test("an edited clone of an earlier slice's admission rejects via the durable state") {
+    val (state, results) = newTables()
+    val batches = Extensions.streamIncrementalAudioDedup(
+      spark, stageSlices(), docsSchema, state, results)
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    val admitted = results.toDF(spark).select("clip_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L, 13L),
+      s"admissions wrong: $admitted (11 is an edited clone of slice-0's 1)")
+    // state carries exactly the admitted clips' 4 band rows each
+    assert(state.toDF(spark).count() == 12L)
+    assert(results.meta.snapshots.size == 2 && state.meta.snapshots.size == 2,
+      "one statementId-keyed commit per table per batch")
+  }
+
+  test("crash between the results and state commits: replay completes the state, results no-op") {
+    val (state, results) = newTables()
+    val stage = stageSlices()
+    // simulate the crash: batch 0's RESULTS commit landed (results are
+    // committed first), the stream died before the state append — the
+    // replay must recompute identical admissions (the state has no
+    // batch-0 bands yet), no-op the results append on its ledger entry,
+    // and complete the state append
+    results.append(spark, Seq(1L, 3L).toDF("clip_id"),
+      statementId = Some(s"$stage-aures-0"))
+    val batches = Extensions.streamIncrementalAudioDedup(
+      spark, stage, docsSchema, state, results)
+    assert(batches == 2)
+    val admitted = results.toDF(spark).select("clip_id").as[Long].collect().toSeq
+    assert(admitted.sorted == Seq(1L, 3L, 13L),
+      s"replay must not double-admit: $admitted")
+    assert(state.toDF(spark).count() == 12L,
+      "the replayed batch's state append must complete")
+    assert(results.meta.snapshots.size == 2,
+      "pre-applied batch-0 results + batch 1 — the replayed commit must no-op")
+  }
+
+  test("re-running the finished crawl on the same checkpoint ingests nothing") {
+    val (state, results) = newTables()
+    val stage = stageSlices()
+    Extensions.streamIncrementalAudioDedup(spark, stage, docsSchema, state, results)
+    val rows = state.toDF(spark).count()
+    val again = Extensions.streamIncrementalAudioDedup(
+      spark, stage, docsSchema, state, results)
+    assert(again == 0, s"finished checkpoint must deliver no batches, got $again")
+    assert(state.toDF(spark).count() == rows)
+  }
+
+  test("small batches probe the band state with a pruned runtime-filtered scan") {
+    // the crawl-loop probe discipline on the audio state — with one
+    // audio-specific twist: the fingerprint's band space is 10 bits
+    // (256 values x 4 bands), so at a grown corpus the per-file BLOOM
+    // plane saturates (most of the 1024 keys appear in every large
+    // file) and the BUCKET plane is what keeps pruning — a production
+    // audio state wants more band_key buckets than the image state
+    // needs. A 2-clip batch probes <= 8 band keys -> <= 8 of 32 buckets.
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val state = cat.createTable("db.audio_sigs_probe",
+      Extensions.audioBands(batchDf.limit(0)).schema,
+      partitionBy = Seq("band_key" -> graft.format.Transform.Bucket(32)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "band_key"))
+    val results = cat.createTable("db.audio_adm_probe",
+      new StructType().add("clip_id", LongType))
+    (0 until 3).foreach { c =>
+      val clips = (0 until 50).map(i =>
+        Extensions.audioFixtureRow(1000L + c * 50 + i, 100 + c * 50 + i,
+          33 * (10 + i % 20), edit = false))
+      state.append(spark, Extensions.audioBands(clips.toDF("clip_id", "blob")))
+    }
+    // clip 1 is an edited clone of a crawled clip (rejects); clip 2 fresh
+    val batch = Seq(
+      Extensions.audioFixtureRow(1L, 105, 33 * (10 + 5 % 20), edit = true),
+      Extensions.audioFixtureRow(2L, 999, 33 * 13, edit = false))
+      .toDF("clip_id", "blob")
+    val stage = TableOps.newTempDir("graft-saudspec-probe")
+    Extensions.stageOrderedSlices(batch, stage, lit(0), 1)
+    val scans = scala.collection.mutable.Buffer.empty[graft.table.ScanMetrics]
+    Extensions.streamIncrementalAudioDedup(spark, stage, docsSchema, state, results,
+      onStateScanMetrics = scans += _)
+    val admitted = results.toDF(spark).select("clip_id").as[Long].collect().toSet
+    assert(admitted == Set(2L), s"clone must reject, fresh must admit: $admitted")
+    assert(scans.size == 1)
+    val m = scans.head
+    assert(m.filesTotal >= 10,
+      s"fixture must spread the state over many files: ${m.filesTotal}")
+    assert(m.filesScanned * 2 < m.filesTotal,
+      s"the In probe must prune the state read: ${m.filesScanned}/${m.filesTotal}")
+  }
+
+  test("undecodable blobs are dropped: never admitted, never in the state") {
+    val (state, results) = newTables()
+    val fx = Seq(
+      Extensions.audioFixtureRow(1L, 1, 33 * 12, edit = false),
+      (2L, "not audio at all".getBytes("UTF-8"))).toDF("clip_id", "blob")
+    val stage = TableOps.newTempDir("graft-saudspec-junk")
+    Extensions.stageOrderedSlices(fx, stage, lit(0), 1)
+    Extensions.streamIncrementalAudioDedup(spark, stage, docsSchema, state, results)
+    // the decodable clip admits; the junk blob is quarantined (dropped),
+    // NOT admitted — and the state carries no null-keyed rows for it
+    assert(results.toDF(spark).select("clip_id").as[Long].collect().toSet == Set(1L))
+    assert(state.toDF(spark).count() == 4L)
+    assert(state.toDF(spark).filter(col("h").isNull || col("band_key").isNull).isEmpty)
+    // a recrawl of the same junk is dropped again (no flip-flop admission)
+    val stage2 = TableOps.newTempDir("graft-saudspec-junk2")
+    Extensions.stageOrderedSlices(
+      Seq((12L, "not audio at all".getBytes("UTF-8"))).toDF("clip_id", "blob"),
+      stage2, lit(0), 1)
+    Extensions.streamIncrementalAudioDedup(spark, stage2, docsSchema, state, results)
+    assert(results.toDF(spark).count() == 1L)
+  }
+}
