@@ -375,6 +375,19 @@ object Extensions
       |    ON g2.img_id = g1.img_id AND g2.y = g1.y AND g2.x = g1.x + 1
       |  GROUP BY 1)""".stripMargin
 
+  /** Fixture-side encoder row for the video-dedup gates: deterministic
+    * seeded animated GIF ([[graft.operators.ImageCodec
+    * .encodeAnimatedGifVariant]]), optional planted single-pixel edit in
+    * frame seed%nf at exactly the grid-(3,3) downscale pick (flips ≤ 2
+    * bits of that one frame's hash) — the [[imageFixtureRow]] discipline
+    * on the frame axis.
+    */
+  private[graft] def videoFixtureRow(id: Long, seed: Int, w: Int, h: Int,
+      nf: Int, edit: Boolean): (Long, Array[Byte]) =
+    (id, graft.operators.ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed,
+      if (edit) seed % nf else -1,
+      if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1))
+
   /** Per-frame dHash rows of a (vid_id, blob) frame — the ONE video
     * fingerprint rule every video-dedup gate shares: EVERY rendered frame
     * hashed (stride 1 — a skipped frame would blind the fingerprint to
@@ -400,6 +413,97 @@ object Extensions
     .select(col("vid_id"), col("frame"), col("h"), explode(array(
       (0 until 4).map(k =>
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+
+  /** Two-plane probe + aligned-sum admission verdicts — the video twin of
+    * [[bandAdmitVerdicts]], shaped like the fuzzy-text crawl (nominate on
+    * a narrow signature plane, fetch candidates through a pruned read):
+    * the batch's FRAME-0 bands probe the band plane through an In read
+    * (pigeonhole makes frame-0 nomination complete: total aligned hamming
+    * ≤ 3 ⇒ frame-0 hamming ≤ 3 ⇒ some frame-0 band collides), the
+    * nominated history vids' FULL hash sequences come from a vid_id-
+    * pruned read of the sequence plane, and the pair verifies on equal
+    * frame counts + SUM of aligned per-frame hammings ≤ 3. Admitted ⇔
+    * zero verified matches. localCheckpointed: callers read it for the
+    * state appends AND the output.
+    * @param bandState  (vid_id, band_key) — frame-0 bands, band_key-
+    *                   bucketed + bloom'd (the nomination plane)
+    * @param sigState   (vid_id, nf, frame, h) — vid_id-bucketed + bloom'd
+    *                   (the sequence plane the verify fetches from)
+    * @param batchFh    [[videoFrameHashes]] of the batch, pinned
+    * @return (vid_id, matches, admitted)
+    */
+  private[queries] def videoAdmitVerdicts(s: SparkSession,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      batchFh: DataFrame,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
+    val f0 = videoBands(batchFh.filter(col("frame") === 0))
+      .select(col("vid_id"), col("band_key"))
+    val bandScan = bandState.scanWithRuntimeFilter(f0, "band_key", "band_key",
+      maxKeys = CrawlProbeMaxKeys)
+    onBandScanMetrics(bandScan.metrics)
+    val cand = f0.join(bandScan.toDF(s).select(col("band_key"),
+        col("vid_id").as("hist_id")), Seq("band_key"))
+      .select(col("vid_id"), col("hist_id")).distinct()
+      .localCheckpoint() // bounds the vid_id fetch probe below
+    val histFh = sigState.scanWithRuntimeFilter(
+      cand.select(col("hist_id").as("vid_id")), "vid_id", "vid_id",
+      maxKeys = CrawlProbeMaxKeys).toDF(s)
+    val verified = cand
+      .join(batchFh.select(col("vid_id"), col("nf").as("nfa"),
+        col("frame"), col("h").as("ha")), Seq("vid_id"))
+      .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfb"),
+        col("frame"), col("h").as("hb")), Seq("hist_id", "frame"))
+      .groupBy("vid_id", "hist_id")
+      .agg(sum(expr("bit_count(ha ^ hb)")).as("hamming"),
+        max(when(col("nfa") =!= col("nfb"), lit(1)).otherwise(lit(0))).as("len_mismatch"))
+      .filter(col("len_mismatch") === 0 && col("hamming") <= 3)
+    batchFh.select("vid_id").distinct()
+      .join(verified.groupBy("vid_id")
+          .agg(countDistinct(col("hist_id")).as("matches")), Seq("vid_id"), "left")
+      .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+        col("matches").isNull.as("admitted"))
+      .localCheckpoint()
+  }
+
+  /** The streaming VIDEO-dedup crawl loop — the
+    * x_stream_incremental_video_dedup pipeline body, shared with
+    * StreamVideoDedupSpec; completes the video fingerprint's lifecycle
+    * matrix (batch: x_video_neardup; durable + compacted:
+    * x_incremental_video_dedup; retraction: x_video_dedup_retract; now
+    * STREAMING). Per micro-batch of (vid_id, blob): per-frame dHash the
+    * batch ([[videoFrameHashes]] — one decode pass), decide admissions
+    * via [[videoAdmitVerdicts]] (frame-0 band nomination + vid_id-pruned
+    * sequence fetch, both AS OF ARRIVAL), then THREE statementId-keyed
+    * commits in results → sequences → bands order. Crash between any
+    * two: the replay recomputes admissions against a band plane without
+    * this batch's bands — identical verdicts (nomination never reads the
+    * sequence plane's own batch rows) — and each landed append no-ops on
+    * its ledger entry while the rest complete; bands-last means a batch's
+    * own bands can never reject its replay. Within-batch videos never
+    * nominate each other. Decoded bytes per batch are the batch's own;
+    * the durable planes carry 4 + frames narrow rows per admitted video.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalVideoDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val fh = videoFrameHashes(b)
+        .localCheckpoint() // In-probe collects + candidate joins read it
+      val verdicts = videoAdmitVerdicts(s, bandState, sigState, fh, onBandScanMetrics)
+      val admitted = verdicts.filter(col("admitted")).select("vid_id")
+      results.append(s, admitted, statementId = Some(s"$stage-vres-$batchId"))
+      sigState.append(s, fh.join(admitted, Seq("vid_id"))
+          .select("vid_id", "nf", "frame", "h"),
+        statementId = Some(s"$stage-vsig-$batchId"))
+      bandState.append(s,
+        videoBands(fh.filter(col("frame") === 0)).join(admitted, Seq("vid_id"))
+          .select("vid_id", "band_key"),
+        statementId = Some(s"$stage-vband-$batchId")): Unit
+    }
 
   /** The closed-form per-frame dHash recomputation every video gate's
     * DuckDB oracle shares — rendered-frame gray + bit packing over a

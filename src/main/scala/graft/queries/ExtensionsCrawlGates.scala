@@ -1716,5 +1716,117 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
         |  UNION ALL SELECT clip_id FROM a2)
         |ORDER BY clip_id""".stripMargin),
+
+
+    // X14s-v: the STREAMING video-dedup crawl loop — completes the video
+    // lifecycle matrix (batch / durable+compacted / retraction /
+    // STREAMING) and stresses the TWO-PLANE shape under micro-batches:
+    // per batch, per-frame dHash once, nominate via the frame-0 band
+    // plane (In-pruned, AS OF ARRIVAL), fetch nominated sequences via a
+    // vid_id-pruned read, verify on equal counts + aligned-hamming ≤ 3,
+    // then THREE statementId-keyed commits in results → sequences →
+    // bands order (bands last: a batch's own bands can never reject its
+    // replay; nomination never reads the sequence plane, so a crash
+    // between the sig and band commits replays to identical verdicts).
+    // Slices: 8 bases crawl first; slice 1 brings one-frame-edited
+    // recrawls of even bases (reject via slice-0's planes — the
+    // cross-batch distinction) + 5 fresh; slice 2 edited recrawls of
+    // slice-1's OWN admissions, exact recrawls of odd bases, and fresh.
+    // Post-crawl: compactionProof on the sequence plane + a full-crawl
+    // REPROBE REQUIREs every crawled video to read as seen. Oracle =
+    // slice-by-slice pure aligned-hamming admission over previously-
+    // ADMITTED history only.
+    ("x_stream_incremental_video_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val rows =
+          (0 until 8).map(i =>
+            (videoFixtureRow(i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false), 0)) ++
+          (0 until 8 by 2).map(i =>
+            (videoFixtureRow(200 + i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = true), 1)) ++
+          (0 until 5).map(j =>
+            (videoFixtureRow(100 + j, 30 + j, 16 + j, 12 + j % 5, 3 + j % 4, edit = false), 1)) ++
+          (0 until 5 by 2).map(j =>
+            (videoFixtureRow(300 + j, 30 + j, 16 + j, 12 + j % 5, 3 + j % 4, edit = true), 2)) ++
+          (1 until 8 by 2).map(i =>
+            (videoFixtureRow(400 + i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false), 2)) ++
+          (0 until 3).map(k =>
+            (videoFixtureRow(500 + k, 60 + k, 16 + k, 12 + k % 5, 3 + k % 4, edit = false), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("vid_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-vidstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = videoFrameHashes(docs.limit(0))
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_s",
+          videoBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_s", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.vid_adm_s",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalVideoDedup(s, stage, docs.schema, bands, sigs, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        // full-crawl reprobe against the compacted planes: every crawled
+        // video — admitted or rejected — must now read as seen
+        val allFh = videoFrameHashes(docs).localCheckpoint()
+        val re = videoAdmitVerdicts(s, bands, sigs, allFh)
+        val reAdmitted = re.filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select("vid_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    3 + (i % 4) AS nf, -1 AS ef, -1 AS ex, -1 AS ey, 0 AS sl
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |    i % (3 + (i % 4)), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, 16 + j, 12 + (j % 5), 3 + (j % 4), -1, -1, -1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, 16 + j, 12 + (j % 5), 3 + (j % 4),
+        |    (30 + j) % (3 + (j % 4)), (3 * (16 + j)) // 8, (3 * (12 + (j % 5))) // 8, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4), -1, -1, -1, 2
+        |  FROM range(8) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, 16 + k, 12 + (k % 5), 3 + (k % 4), -1, -1, -1, 2
+        |  FROM range(3) t(k)),
+        |$videoOracleFrameBits,
+        |pt AS (
+        |  SELECT a.vid_id AS x, b.vid_id AS y
+        |  FROM vbits a JOIN vbits b ON a.f = b.f AND a.vid_id <> b.vid_id
+        |  JOIN vids va ON va.vid_id = a.vid_id
+        |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.nf = va.nf
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
+        |a0 AS (SELECT vid_id FROM vids WHERE sl = 0),
+        |a1 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.vid_id WHERE pt.x = v.vid_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.vid_id WHERE pt.x = v.vid_id))
+        |SELECT vid_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT vid_id FROM a0 UNION ALL SELECT vid_id FROM a1
+        |  UNION ALL SELECT vid_id FROM a2)
+        |ORDER BY vid_id""".stripMargin),
   )
 }

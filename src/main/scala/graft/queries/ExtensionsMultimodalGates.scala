@@ -871,5 +871,111 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |HAVING sum(bit_count(xor(a.h, b.h))) <= 3
         |ORDER BY 1, 2""".stripMargin),
 
+
+    // X14e: INCREMENTAL video dedup vs a durable TWO-PLANE state — the
+    // fuzzy-text crawl shape (narrow signature nomination + pruned
+    // candidate fetch) on the video family: frame-0 dHash BANDS persist
+    // in a band_key-bucketed bloom'd plane (nomination — complete by
+    // pigeonhole: total aligned hamming ≤ 3 ⇒ frame-0 bands collide) and
+    // the FULL per-frame hash sequences in a vid_id-bucketed bloom'd
+    // plane (verification fetch, In-pruned to the nominated ids); a pair
+    // verifies on equal frame counts + sum of aligned hammings ≤ 3. The
+    // batch REJECTS one-pixel-one-frame edits and exact re-encodes of
+    // crawled history, ADMITS fresh clips, and appends only admitted
+    // videos' rows — 4 + frames narrow rows per video, pixels never
+    // persist twice. Mid-sequence maintenance runs the shared
+    // compactionProof ritual; a full-batch REPROBE against the updated
+    // planes REQUIREs every crawled video to now read as seen. At 100 TB
+    // both probes are batch-bounded In reads and the verify compares
+    // BIGINT sequences.
+    ("x_incremental_video_dedup",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        val hist = (0 until 14).map(i =>
+          videoFixtureRow(i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false))
+        val batch =
+          (0 until 14 by 4).map(i =>
+            videoFixtureRow(200 + i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = true)) ++
+          (1 until 14 by 4).map(i =>
+            videoFixtureRow(300 + i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false)) ++
+          (0 until 8).map(j =>
+            videoFixtureRow(400 + j, 50 + j, 16 + j, 12 + j % 5, 3 + j % 4, edit = false))
+        val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands",
+          videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        // two history commits per plane (fragmentation for compactionProof)
+        Seq(histFh.filter(col("vid_id") < 7), histFh.filter(col("vid_id") >= 7))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s,
+              videoBands(part.filter(col("frame") === 0)).select("vid_id", "band_key"))
+          }
+        // mid-sequence maintenance on the sequence plane (the big one):
+        // files strictly down, rows preserved — the fetch reads COMPACTED
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, videoBands(batchFh.filter(col("frame") === 0))
+          .join(adm, Seq("vid_id")).select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 14 by 4).foreach(i => require(rejected.contains(200L + i),
+          s"one-frame-edited recrawl ${200 + i} must reject against the crawled history"))
+        (1 until 14 by 4).foreach(i => require(rejected.contains(300L + i),
+          s"exact recrawl ${300 + i} must reject against the crawled history"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        // full-batch reprobe: every crawled video — admitted (its own rows
+        // now in both planes) or rejected (its history still there) —
+        // reads seen
+        val re = videoAdmitVerdicts(s, bands, sigs, batchFh)
+        val reAdmitted = re.filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      // the same closed-form per-frame hash recomputation as
+      // x_video_neardup; two-plane nomination+verify collapses to the
+      // pure aligned-hamming rule (nomination is pigeonhole-complete)
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    3 + (i % 4) AS nf, -1 AS ef, -1 AS ex, -1 AS ey, true AS is_hist
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |    i % (3 + (i % 4)), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8, false
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4), -1, -1, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + j, 50 + j, 16 + j, 12 + (j % 5), 3 + (j % 4), -1, -1, -1, false
+        |  FROM range(8) t(j)),
+        |$videoOracleFrameBits,
+        |pm AS (
+        |  SELECT a.vid_id AS bvid, b.vid_id AS hvid
+        |  FROM vbits a JOIN vbits b ON a.f = b.f
+        |  JOIN vids va ON va.vid_id = a.vid_id AND NOT va.is_hist
+        |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.is_hist AND vb.nf = va.nf
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
+        |m AS (SELECT bvid AS vid_id, CAST(count(DISTINCT hvid) AS BIGINT) AS matches
+        |  FROM pm GROUP BY 1)
+        |SELECT b.vid_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.vid_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT vid_id FROM vids WHERE NOT is_hist) b LEFT JOIN m USING (vid_id)
+        |ORDER BY vid_id""".stripMargin),
+
   )
 }

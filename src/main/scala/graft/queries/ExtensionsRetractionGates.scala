@@ -505,6 +505,107 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |FROM bb LEFT JOIN m USING (clip_id) ORDER BY clip_id""".stripMargin),
 
 
+    // X14r-v: RETRACTION from the TWO-PLANE video state — the right-to-
+    // be-forgotten discipline where one video's rows live in BOTH planes:
+    // the retracted ids' full hash sequences DELETE from the vid_id-
+    // bucketed sequence plane (bucket + bloom + min/max prune the
+    // rewrite, recorded from the delete's own candidate scan) and their
+    // frame-0 bands from the band plane — exactly nf(id) + 4 rows each —
+    // and the recrawl proves the semantics: one-frame-edited clones of
+    // RETRACTED videos ADMIT again while clones of surviving history keep
+    // REJECTING. Oracle = the pure aligned-hamming admission rule over
+    // the SURVIVING history only.
+    ("x_video_dedup_retract",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, TableProperties, Transform}
+        val hist = (0 until 14).map(i =>
+          videoFixtureRow(i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false))
+        val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_r",
+          videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_r", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 7), histFh.filter(col("vid_id") >= 7))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s,
+              videoBands(part.filter(col("frame") === 0)).select("vid_id", "band_key"))
+          }
+        val sigRowsBefore = sigs.toDF(s).count()
+        val bandRowsBefore = bands.toDF(s).count()
+        // both retracted ids live in the FIRST crawl commit, so the
+        // sequence-plane delete's In probe prunes the second commit's
+        // files via their vid_id min/max + bloom planes
+        val retractIds = Seq(0L, 5L)
+        graft.table.QueryHistory.clear()
+        sigs.delete(s, Seq(Predicate.In("vid_id", retractIds)))
+        val delScan = graft.table.QueryHistory.all.filter(_.table == "db.vid_sigs_r").head
+        bands.delete(s, Seq(Predicate.In("vid_id", retractIds)))
+        val sigRowsAfter = sigs.toDF(s).count()
+        val bandRowsAfter = bands.toDF(s).count()
+        // nf(0) = 3, nf(5) = 4 sequence rows; 4 band rows per video
+        require(sigRowsAfter == sigRowsBefore - 7,
+          s"exactly the retracted videos' sequence rows must die: $sigRowsBefore -> $sigRowsAfter")
+        require(bandRowsAfter == bandRowsBefore - 8,
+          s"exactly the retracted videos' band rows must die: $bandRowsBefore -> $bandRowsAfter")
+        // recrawl: edited clones of retracted videos (must ADMIT now) +
+        // edited clones of surviving videos i%5==1 (must keep REJECTING)
+        val batch =
+          retractIds.map(i => videoFixtureRow(200 + i, i.toInt,
+            16 + i.toInt, 12 + i.toInt % 5, 3 + i.toInt % 4, edit = true)) ++
+          (1 until 14 by 5).map(i => videoFixtureRow(300 + i, i,
+            16 + i, 12 + i % 5, 3 + i % 4, edit = true))
+        val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        retractIds.foreach(i => require(admitted.contains(200L + i),
+          s"a clone of retracted video $i must admit again"))
+        (1 until 14 by 5).foreach(i => require(!admitted.contains(300L + i),
+          s"a clone of surviving video $i must keep rejecting"))
+        verdicts
+          .withColumn("del_pruned",
+            lit(delScan.filesScanned < delScan.filesTotal))
+          .withColumn("sig_rows_removed", lit(sigRowsBefore - sigRowsAfter))
+          .withColumn("band_rows_removed", lit(bandRowsBefore - bandRowsAfter))
+          .orderBy("vid_id")
+      },
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    3 + (i % 4) AS nf, -1 AS ef, -1 AS ex, -1 AS ey, true AS is_hist
+        |  FROM range(14) t(i) WHERE i NOT IN (0, 5)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |    i % (3 + (i % 4)), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8, false
+        |  FROM range(14) t(i) WHERE i IN (0, 5)
+        |  UNION ALL
+        |  SELECT 300 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |    i % (3 + (i % 4)), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8, false
+        |  FROM range(14) t(i) WHERE i % 5 = 1),
+        |$videoOracleFrameBits,
+        |pm AS (
+        |  SELECT a.vid_id AS bvid, b.vid_id AS hvid
+        |  FROM vbits a JOIN vbits b ON a.f = b.f
+        |  JOIN vids va ON va.vid_id = a.vid_id AND NOT va.is_hist
+        |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.is_hist AND vb.nf = va.nf
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
+        |m AS (SELECT bvid AS vid_id, CAST(count(DISTINCT hvid) AS BIGINT) AS matches
+        |  FROM pm GROUP BY 1)
+        |SELECT b.vid_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.vid_id IS NULL AS admitted, true AS del_pruned,
+        |  CAST(7 AS BIGINT) AS sig_rows_removed,
+        |  CAST(8 AS BIGINT) AS band_rows_removed
+        |FROM (SELECT vid_id FROM vids WHERE NOT is_hist) b LEFT JOIN m USING (vid_id)
+        |ORDER BY vid_id""".stripMargin),
+
+
     // X2r: RETRACTION from the band-signature state — the fuzzy twin of
     // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
     // and its near-dups stop nominating against it, so lightly-edited
