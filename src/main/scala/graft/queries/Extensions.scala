@@ -1291,20 +1291,9 @@ object Extensions
     * StreamImageDedupSpec; completes the image perceptual-hash state's
     * lifecycle matrix (batch: x_image_neardup; durable + compacted:
     * x_incremental_image_dedup; retraction: x_image_dedup_retract; now
-    * STREAMING). Per micro-batch of (img_id, blob): dHash + band the
-    * batch ([[imageBands]] — the ONE banding rule), probe the durable
-    * band state AS OF ARRIVAL through a runtime-filtered In read (batch
-    * band set vs the band_key-bucketed bloom'd state; full-scan fallback
-    * above the key cap), verify banded candidates by hamming ≤ 3
-    * (pigeonhole-lossless), append ADMITTED img ids to `results` and
-    * their band rows to `state` — results BEFORE state, statementId-keyed
-    * (crash between the commits: the replay recomputes admissions against
-    * a state without this batch's bands — identical verdicts, the results
-    * append no-ops on its ledger entry, the state append completes;
-    * state-first would let the batch's own bands reject its replay).
-    * Within-batch images never nominate each other — the stateless-oracle
-    * contract every crawl loop keeps. Decoded bytes per batch are the
-    * batch's own; the state carries 4 BIGINT rows per admitted image.
+    * STREAMING). One instantiation of [[streamIncrementalBandDedup]] over
+    * [[imageBands]] — see there for the per-batch probe/verify/commit
+    * machinery and the results-before-state crash-window argument.
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalImageDedup(s: SparkSession, stage: String,
@@ -1312,8 +1301,36 @@ object Extensions
       state: graft.table.GraftTable, results: graft.table.GraftTable,
       filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalBandDedup(s, stage, schema, state, results,
+      "img_id", imageBands, "im", filesPerTrigger, onStateScanMetrics)
+
+  /** The ONE streaming band-dedup loop body under
+    * [[streamIncrementalImageDedup]] and [[streamIncrementalAudioDedup]]
+    * — the single-plane perceptual-hash crawl, generic over the id column
+    * and banding rule exactly like [[bandAdmitVerdicts]] is for the batch
+    * gates. Per micro-batch of (idCol, blob): band the batch, probe the
+    * durable band state AS OF ARRIVAL through a runtime-filtered In read
+    * (full-scan fallback above the key cap), verify banded candidates by
+    * hamming ≤ 3 (pigeonhole-lossless), append ADMITTED ids to `results`
+    * and their band rows to `state` — results BEFORE state,
+    * statementId-keyed (crash between the commits: the replay recomputes
+    * admissions against a state without this batch's bands — identical
+    * verdicts, the results append no-ops on its ledger entry, the state
+    * append completes; state-first would let the batch's own bands reject
+    * its replay). Within-batch blobs never nominate each other — the
+    * stateless-oracle contract every crawl loop keeps. Decoded bytes per
+    * batch are the batch's own; the state carries 4 BIGINT rows per
+    * admitted blob.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalBandDedup(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      idCol: String, toBands: DataFrame => DataFrame, stmtPrefix: String,
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bands = imageBands(b)
+      val bands = toBands(b)
         .localCheckpoint() // In-probe collect + candidate join + admit rollup
       val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
         maxKeys = CrawlProbeMaxKeys)
@@ -1321,14 +1338,14 @@ object Extensions
       val matched = bands
         .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
         .filter(expr("bit_count(h ^ h2) <= 3"))
-        .select("img_id").distinct()
-      val admitted = bands.select("img_id").distinct()
-        .join(matched, Seq("img_id"), "left_anti")
+        .select(idCol).distinct()
+      val admitted = bands.select(idCol).distinct()
+        .join(matched, Seq(idCol), "left_anti")
         .localCheckpoint() // gates the results append AND the state append
-      results.append(s, admitted, statementId = Some(s"$stage-imres-$batchId"))
+      results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       state.append(s,
-        bands.join(admitted, Seq("img_id")).select("img_id", "h", "band_key"),
-        statementId = Some(s"$stage-imsig-$batchId")): Unit
+        bands.join(admitted, Seq(idCol)).select(idCol, "h", "band_key"),
+        statementId = Some(s"$stage-${stmtPrefix}sig-$batchId")): Unit
     }
 
   /** The streaming AUDIO-dedup crawl loop — the
@@ -1336,20 +1353,11 @@ object Extensions
     * StreamAudioDedupSpec; completes the audio fingerprint state's
     * lifecycle matrix (batch: x_audio_neardup; durable + compacted:
     * x_incremental_audio_dedup; retraction: x_audio_dedup_retract; now
-    * STREAMING). Per micro-batch of (clip_id, blob): fingerprint + band
-    * the batch ([[audioBands]] — the ONE banding rule), probe the durable
-    * band state AS OF ARRIVAL through a runtime-filtered In read (batch
-    * band set vs the band_key-bucketed bloom'd state; full-scan fallback
-    * above the key cap), verify banded candidates by hamming ≤ 3
-    * (pigeonhole-lossless), append ADMITTED clip ids to `results` and
-    * their band rows to `state` — results BEFORE state, statementId-keyed
-    * (crash between the commits: the replay recomputes admissions against
-    * a state without this batch's bands — identical verdicts, the results
-    * append no-ops on its ledger entry, the state append completes;
-    * state-first would let the batch's own bands reject its replay).
-    * Within-batch clips never nominate each other — the stateless-oracle
-    * contract every crawl loop keeps. Decoded bytes per batch are the
-    * batch's own; the state carries 4 BIGINT rows per admitted clip.
+    * STREAMING). One instantiation of [[streamIncrementalBandDedup]]
+    * over [[audioBands]] — the crawl machinery is modality-blind; what
+    * differs at scale is the PRUNING lever (the 10-bit audio band space
+    * saturates per-file blooms on a grown corpus, so the band_key bucket
+    * count carries the probe — StreamAudioDedupSpec measures it).
     * @return number of non-empty micro-batches
     */
   private[graft] def streamIncrementalAudioDedup(s: SparkSession, stage: String,
@@ -1357,24 +1365,8 @@ object Extensions
       state: graft.table.GraftTable, results: graft.table.GraftTable,
       filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
-    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bands = audioBands(b)
-        .localCheckpoint() // In-probe collect + candidate join + admit rollup
-      val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
-        maxKeys = CrawlProbeMaxKeys)
-      onStateScanMetrics(sc.metrics)
-      val matched = bands
-        .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-        .filter(expr("bit_count(h ^ h2) <= 3"))
-        .select("clip_id").distinct()
-      val admitted = bands.select("clip_id").distinct()
-        .join(matched, Seq("clip_id"), "left_anti")
-        .localCheckpoint() // gates the results append AND the state append
-      results.append(s, admitted, statementId = Some(s"$stage-aures-$batchId"))
-      state.append(s,
-        bands.join(admitted, Seq("clip_id")).select("clip_id", "h", "band_key"),
-        statementId = Some(s"$stage-ausig-$batchId")): Unit
-    }
+    streamIncrementalBandDedup(s, stage, schema, state, results,
+      "clip_id", audioBands, "au", filesPerTrigger, onStateScanMetrics)
 
   /** The streaming novelty-scoring crawl loop — the
     * x_stream_incremental_novelty pipeline body, shared with
