@@ -450,7 +450,11 @@ class PlanAuditSpec extends SparkSpec {
   }
   test("perceptual-hash dedup gates: band joins stay equi-keyed — never all-pairs over blobs") {
     val d = "/root/testdata/sf0.001"
-    for (name <- Seq("x_image_neardup", "x_audio_neardup")) {
+    // x_video_neardup included: its candidate join keys on (frame,
+    // band_key) and its aligned verify on (vid_id, frame) — both equi;
+    // a nested-loop anywhere would mean per-frame hashes (or worse,
+    // pixels) going all-pairs
+    for (name <- Seq("x_image_neardup", "x_audio_neardup", "x_video_neardup")) {
       val gate = graft.queries.Extensions.entries.find(_._1 == name).get._2
       val plan = planOf(gate(spark, d))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
