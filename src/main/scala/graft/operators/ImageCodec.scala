@@ -289,6 +289,7 @@ object ImageCodec {
           out += new GenericInternalRow(
             Array[Any](f, canvas.getWidth, canvas.getHeight, sr, sg, sb))
         }
+        true
       }
       if (!ok) null
       else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
@@ -305,10 +306,13 @@ object ImageCodec {
     * is the allocation) and every stored frame raster are bomb-guarded.
     * Returns false to refuse the WHOLE blob on any bombed frame, matching
     * decodeStatsRow/resizeRow — a silently-shorter walk would be
-    * indistinguishable from a shorter animation.
+    * indistinguishable from a shorter animation. `onFrame` returning
+    * false also refuses the blob AND stops the walk — the caller's own
+    * refusal rule (e.g. an under-grid canvas) must not pay to decode the
+    * remaining frames of a guaranteed-null result.
     */
   private def renderFrames(r: javax.imageio.ImageReader)
-                          (onFrame: (Int, java.awt.image.BufferedImage) => Unit): Boolean = {
+                          (onFrame: (Int, java.awt.image.BufferedImage) => Boolean): Boolean = {
     val n = r.getNumImages(true)
     val (sw0, sh0) = gifScreen(r)
     val geom0 = gifFrameGeom(r, 0)
@@ -327,7 +331,7 @@ object ImageCodec {
       val g = canvas.createGraphics()
       g.drawImage(img, geom.x, geom.y, null) // transparent pixels keep the canvas
       g.dispose()
-      onFrame(f, canvas)
+      if (!onFrame(f, canvas)) return false
       geom.disposal match {
         case "restoreToBackgroundColor" =>
           val gg = canvas.createGraphics()
@@ -364,14 +368,18 @@ object ImageCodec {
     if (stride <= 0) return null
     withReader[org.apache.spark.sql.catalyst.util.ArrayData](bytes, seekForwardOnly = false) { r =>
       val out = Array.newBuilder[Any]
-      var under = false
       val ok = renderFrames(r) { (f, canvas) =>
-        if (f % stride == 0) {
-          if (canvas.getWidth < 8 || canvas.getHeight < 8) under = true
-          else out += new GenericInternalRow(Array[Any](f, dhashOfRaster(canvas)))
+        // the canvas is shared by every frame, so an under-grid refusal
+        // trips on frame 0 and STOPS the walk — no decoding the rest of
+        // a long animation for a guaranteed-null result
+        if (canvas.getWidth < 8 || canvas.getHeight < 8) false
+        else {
+          if (f % stride == 0)
+            out += new GenericInternalRow(Array[Any](f, dhashOfRaster(canvas)))
+          true
         }
       }
-      if (!ok || under) null
+      if (!ok) null
       else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
     }
   }

@@ -448,15 +448,17 @@ object Extensions
     val histFh = sigState.scanWithRuntimeFilter(
       cand.select(col("hist_id").as("vid_id")), "vid_id", "vid_id",
       maxKeys = CrawlProbeMaxKeys).toDF(s)
+    // nf rides in the equi-join keys: unequal-length pairs produce zero
+    // aligned rows and can never verify — no post-hoc mismatch filter,
+    // and their overlap rows never shuffle
     val verified = cand
-      .join(batchFh.select(col("vid_id"), col("nf").as("nfa"),
+      .join(batchFh.select(col("vid_id"), col("nf"),
         col("frame"), col("h").as("ha")), Seq("vid_id"))
-      .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfb"),
-        col("frame"), col("h").as("hb")), Seq("hist_id", "frame"))
+      .join(histFh.select(col("vid_id").as("hist_id"), col("nf"),
+        col("frame"), col("h").as("hb")), Seq("hist_id", "frame", "nf"))
       .groupBy("vid_id", "hist_id")
-      .agg(sum(expr("bit_count(ha ^ hb)")).as("hamming"),
-        max(when(col("nfa") =!= col("nfb"), lit(1)).otherwise(lit(0))).as("len_mismatch"))
-      .filter(col("len_mismatch") === 0 && col("hamming") <= 3)
+      .agg(sum(expr("bit_count(ha ^ hb)")).as("hamming"))
+      .filter(col("hamming") <= 3)
     batchFh.select("vid_id").distinct()
       .join(verified.groupBy("vid_id")
           .agg(countDistinct(col("hist_id")).as("matches")), Seq("vid_id"), "left")

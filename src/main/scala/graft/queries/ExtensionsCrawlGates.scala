@@ -1575,14 +1575,10 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
         val allBands = imageBands(docs).localCheckpoint()
-        val reScan = state.scanWithRuntimeFilter(allBands, "band_key", "band_key",
-          maxKeys = CrawlProbeMaxKeys)
-        val reMatched = allBands
-          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-          .filter(expr("bit_count(h ^ h2) <= 3"))
-          .select("img_id").distinct().count()
-        require(reMatched == rows.size.toLong,
-          s"full-batch reprobe must read everything as seen: $reMatched/${rows.size}")
+        val reAdmitted = imageAdmitVerdicts(s, state, allBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
         results.toDF(s).select("img_id")
           .withColumn("commits_pinned", lit(true))
           .withColumn("compacted", lit(filesDown && rowsKept))
@@ -1671,14 +1667,10 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
         val allBands = audioBands(docs).localCheckpoint()
-        val reScan = state.scanWithRuntimeFilter(allBands, "band_key", "band_key",
-          maxKeys = CrawlProbeMaxKeys)
-        val reMatched = allBands
-          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-          .filter(expr("bit_count(h ^ h2) <= 3"))
-          .select("clip_id").distinct().count()
-        require(reMatched == rows.size.toLong,
-          s"full-crawl reprobe must read everything as seen: $reMatched/${rows.size}")
+        val reAdmitted = audioAdmitVerdicts(s, state, allBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
         results.toDF(s).select("clip_id")
           .withColumn("commits_pinned", lit(true))
           .withColumn("compacted", lit(filesDown && rowsKept))

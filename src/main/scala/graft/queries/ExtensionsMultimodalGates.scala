@@ -586,16 +586,13 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         (1 until 20 by 4).foreach(i => require(rejected.contains(300L + i),
           s"exact recrawl ${300 + i} must reject against the crawled history"))
         require(filesDown && rowsKept, "mid-sequence state compaction flags")
-        // full-batch reprobe: every crawled image — admitted (its own bands
-        // now in state) or rejected (its history still there) — reads seen
-        val reScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
-          maxKeys = Extensions.CrawlProbeMaxKeys)
-        val reMatched = batchBands
-          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-          .filter(expr("bit_count(h ^ h2) <= 3"))
-          .select("img_id").distinct().count()
-        require(reMatched == batch.size.toLong,
-          s"full-batch reprobe must reject everything: $reMatched/${batch.size}")
+        // full-batch reprobe THROUGH THE SHIPPED RULE: every crawled image
+        // — admitted (its own bands now in state) or rejected (its
+        // history still there) — reads seen
+        val reAdmitted = imageAdmitVerdicts(s, state, batchBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
         verdicts
           .withColumn("compacted", lit(filesDown && rowsKept))
           .orderBy("img_id")
@@ -742,16 +739,13 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         (1 until 20 by 4).foreach(i => require(rejected.contains(300L + i),
           s"exact recrawl ${300 + i} must reject against the crawled history"))
         require(filesDown && rowsKept, "mid-sequence state compaction flags")
-        // full-batch reprobe: every crawled clip — admitted (its own bands
-        // now in state) or rejected (its history still there) — reads seen
-        val reScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
-          maxKeys = Extensions.CrawlProbeMaxKeys)
-        val reMatched = batchBands
-          .join(reScan.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-          .filter(expr("bit_count(h ^ h2) <= 3"))
-          .select("clip_id").distinct().count()
-        require(reMatched == batch.size.toLong,
-          s"full-batch reprobe must reject everything: $reMatched/${batch.size}")
+        // full-batch reprobe THROUGH THE SHIPPED RULE: every crawled clip
+        // — admitted (its own bands now in state) or rejected (its
+        // history still there) — reads seen
+        val reAdmitted = audioAdmitVerdicts(s, state, batchBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
         verdicts
           .withColumn("compacted", lit(filesDown && rowsKept))
           .orderBy("clip_id")
@@ -827,15 +821,16 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             Seq("frame", "band_key"))
           .filter(col("vid_a") < col("vid_b"))
           .select("vid_a", "vid_b").distinct()
+        // nf in the equi-join keys: unequal-length pairs yield zero
+        // aligned rows and can never verify (no post-hoc length filter)
         val pairs = cand
-          .join(fh.select(col("vid_id").as("vid_a"), col("nf").as("nfa"),
+          .join(fh.select(col("vid_id").as("vid_a"), col("nf"),
             col("frame"), col("h").as("ha")), Seq("vid_a"))
-          .join(fh.select(col("vid_id").as("vid_b"), col("nf").as("nfb"),
-            col("frame"), col("h").as("hb")), Seq("vid_b", "frame"))
+          .join(fh.select(col("vid_id").as("vid_b"), col("nf"),
+            col("frame"), col("h").as("hb")), Seq("vid_b", "frame", "nf"))
           .groupBy("vid_a", "vid_b")
-          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"),
-            max(when(col("nfa") =!= col("nfb"), lit(1)).otherwise(lit(0))).as("len_mismatch"))
-          .filter(col("len_mismatch") === 0 && col("hamming") <= 3)
+          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
           .select("vid_a", "vid_b", "hamming")
         // recall floor REQUIREd in-gate: every planted clone pair must
         // band-collide and verify

@@ -1487,13 +1487,12 @@ object ScaleSmoke {
         val sl = fh.filter(col("_slice") === k).select("vid_id", "nf", "frame", "h")
         val adm = if (admitted == null) sl else {
           val rejected = sl
-            .select(col("vid_id"), col("nf").as("nfa"), col("frame"), col("h").as("ha"))
-            .join(admitted.select(col("vid_id").as("hist_id"), col("nf").as("nfb"),
-              col("frame"), col("h").as("hb")), Seq("frame"))
+            .select(col("vid_id"), col("nf"), col("frame"), col("h").as("ha"))
+            .join(admitted.select(col("vid_id").as("hist_id"), col("nf"),
+              col("frame"), col("h").as("hb")), Seq("frame", "nf"))
             .groupBy("vid_id", "hist_id")
-            .agg(sum(expr("bit_count(ha ^ hb)")).as("d"),
-              max(when(col("nfa") =!= col("nfb"), lit(1)).otherwise(lit(0))).as("lm"))
-            .filter(col("lm") === 0 && col("d") <= 3)
+            .agg(sum(expr("bit_count(ha ^ hb)")).as("d"))
+            .filter(col("d") <= 3)
             .select("vid_id").distinct()
           sl.join(rejected, Seq("vid_id"), "left_anti")
         }
