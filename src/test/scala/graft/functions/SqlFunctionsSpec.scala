@@ -62,4 +62,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_image_dhash(encode('junk', 'UTF-8')) AS h")
       .head().isNullAt(0))
   }
+
+  test("graft_frame_dhashes: SQL twin matches the row kernel, explodes row-locally, rejects non-literal stride") {
+    import graft.operators.ImageCodec
+    val blob = ImageCodec.encodeAnimatedGifVariant(19, 12, 4, 5)
+    val want = ImageCodec.frameDhashRow(blob, 2)
+    spark.createDataFrame(Seq((1L, blob))).toDF("id", "blob")
+      .createOrReplaceTempView("fdh_vids")
+    val rows = spark.sql(
+      """SELECT id, f.frame, f.h
+        |FROM fdh_vids LATERAL VIEW explode(graft_frame_dhashes(blob, 2)) AS f
+        |ORDER BY f.frame""".stripMargin).collect()
+    assert(rows.length == want.numElements())
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == want.getStruct(i, 2).getInt(0) &&
+        r.getLong(2) == want.getStruct(i, 2).getLong(1))
+    }
+    assert(spark.sql("SELECT graft_frame_dhashes(encode('junk', 'UTF-8'), 1) AS fh")
+      .head().isNullAt(0))
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_frame_dhashes(blob, id) FROM fdh_vids").collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }

@@ -409,6 +409,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameDhash properties over random fixtures: one-frame pick-edits stay within 2 bits of that frame; frame-0 nomination is complete") {
+    val rnd = new scala.util.Random(20260816L) // seeded: deterministic run
+    (0 until 15).foreach { _ =>
+      val w = 9 + rnd.nextInt(60)
+      val h = 9 + rnd.nextInt(40)
+      val nf = 2 + rnd.nextInt(6)
+      val seed = rnd.nextInt(1000)
+      val ef = rnd.nextInt(nf)
+      val gx = rnd.nextInt(8)
+      val gy = rnd.nextInt(8)
+      val base = ImageCodec.frameDhashRow(
+        ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed), 1)
+      val clone = ImageCodec.frameDhashRow(
+        ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed, ef, gx * w / 8, gy * h / 8), 1)
+      assert(base != null && clone != null && base.numElements() == nf)
+      val dists = (0 until nf).map(f => java.lang.Long.bitCount(
+        base.getStruct(f, 2).getLong(1) ^ clone.getStruct(f, 2).getLong(1)))
+      (0 until nf).foreach { f =>
+        if (f == ef) assert(dists(f) <= 2,
+          s"edited frame $f of ${w}x$h nf=$nf seed=$seed drifted to hamming ${dists(f)}")
+        else assert(dists(f) == 0,
+          s"untouched frame $f of ${w}x$h nf=$nf seed=$seed drifted to hamming ${dists(f)}")
+      }
+      // frame-0 nomination completeness on the real key scheme: a pair
+      // within TOTAL aligned hamming 3 shares a frame-0 band (the
+      // pigeonhole claim videoBands' two-plane state relies on)
+      if (dists.sum <= 3) {
+        val bandsOf = (v: Long) => (0 until 4).map(k => ((v >> (k * 14)) & 16383L, k)).toSet
+        assert(bandsOf(base.getStruct(0, 2).getLong(1))
+          .intersect(bandsOf(clone.getStruct(0, 2).getLong(1))).nonEmpty)
+      }
+    }
+  }
+
   test("frameDhashes: per-frame hashes match the closed form; a one-pixel edit touches one frame by <= 2 bits") {
     // the exact recomputation the video gates' DuckDB oracles evaluate —
     // pinning it here in Scala keeps the cross-engine formula honest
