@@ -867,6 +867,162 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14f: the MULTIMODAL DEDUP ROUTER — the composition a real ingest
+    // runs FIRST: one corpus table of mixed binary blobs, routed by
+    // container magic ([[graft.operators.Multimodal.sniffFormat]] — pure
+    // codegen'd prefix compares, the only operator that may touch a blob
+    // before a codec is chosen), each family then deduped by ITS OWN
+    // perceptual rule: png/bmp → dHash bands, riff(wav) → windowed-energy
+    // bands, gif → per-frame aligned-hamming. Routing correctness is
+    // REQUIREd (family counts == planted counts) and every planted clone
+    // pair in every family must band-collide and verify. The oracle
+    // recomputes all three families' closed-form hashes and unions the
+    // three admission rules — one mixed corpus, three losslessly-banded
+    // verdicts. At 100 TB the route is a map-side classify; nothing
+    // downstream ever decodes a blob with the wrong codec.
+    ("x_multimodal_dedup_router",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Multimodal
+        val imgs = (0 until 12).flatMap { i =>
+          val base = imageFixtureRow(i, i, 24 + i, 16 + i % 5, edit = false)
+          val clone =
+            if (i % 3 == 0) Some(imageFixtureRow(100 + i, i, 24 + i, 16 + i % 5, edit = true))
+            else if (i % 3 == 1) Some(imageFixtureRow(100 + i, i, 24 + i, 16 + i % 5, edit = false))
+            else None
+          base :: clone.toList
+        }
+        val clips = (0 until 12).flatMap { i =>
+          val n = 33 * (10 + i)
+          val base = audioFixtureRow(200 + i, i, n, edit = false)
+          val clone =
+            if (i % 3 == 0) Some(audioFixtureRow(300 + i, i, n, edit = true))
+            else if (i % 3 == 1) Some(audioFixtureRow(300 + i, i, n, edit = false))
+            else None
+          base :: clone.toList
+        }
+        val vids = (0 until 12).flatMap { i =>
+          val (w, h, nf) = (16 + i, 12 + i % 5, 3 + i % 4)
+          val base = videoFixtureRow(400 + i, i, w, h, nf, edit = false)
+          val clone =
+            if (i % 3 == 0) Some(videoFixtureRow(500 + i, i, w, h, nf, edit = true))
+            else if (i % 3 == 1) Some(videoFixtureRow(500 + i, i, w, h, nf, edit = false))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(imgs ++ clips ++ vids).toDF("blob_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.mixed_blobs", df.schema)
+        t.append(s, df)
+        val routed = t.toDF(s)
+          .withColumn("family",
+            when(Multimodal.sniffFormat(col("blob")).isin("png", "bmp"), "image")
+              .when(Multimodal.sniffFormat(col("blob")) === "riff", "audio")
+              .when(Multimodal.sniffFormat(col("blob")) === "gif", "video"))
+          .localCheckpoint()
+        // routing correctness REQUIREd: the magic-byte classify must split
+        // the mixed corpus exactly along the planted families
+        val fam = routed.groupBy("family").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(fam == Map("image" -> imgs.size.toLong,
+            "audio" -> clips.size.toLong, "video" -> vids.size.toLong),
+          s"router must split the corpus by container magic: $fam")
+        // single-plane families: the shared banding rules + hamming verify
+        def bandPairs(bands: DataFrame, idCol: String): DataFrame = {
+          val rhs = bands.select(col("band_key"), col(idCol).as("b"), col("h").as("hb"))
+          bands.select(col("band_key"), col(idCol).as("a"), col("h").as("ha"))
+            .join(rhs, Seq("band_key")).filter(col("a") < col("b"))
+            .select("a", "b", "ha", "hb").distinct()
+            .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+            .filter(col("hamming") <= 3).select("a", "b", "hamming")
+        }
+        val imgPairs = bandPairs(imageBands(routed.filter(col("family") === "image")
+            .select(col("blob_id").as("img_id"), col("blob"))), "img_id")
+          .withColumn("family", lit("image"))
+        val audPairs = bandPairs(audioBands(routed.filter(col("family") === "audio")
+            .select(col("blob_id").as("clip_id"), col("blob"))), "clip_id")
+          .withColumn("family", lit("audio"))
+        // the video family: frame-0-complete banding + aligned-sum verify
+        val vfh = videoFrameHashes(routed.filter(col("family") === "video")
+          .select(col("blob_id").as("vid_id"), col("blob"))).localCheckpoint()
+        val vb = videoBands(vfh)
+        val vcand = vb.select(col("frame"), col("band_key"), col("vid_id").as("a"))
+          .join(vb.select(col("frame"), col("band_key"), col("vid_id").as("b")),
+            Seq("frame", "band_key"))
+          .filter(col("a") < col("b")).select("a", "b").distinct()
+        val vidPairs = vcand
+          .join(vfh.select(col("vid_id").as("a"), col("nf"),
+            col("frame"), col("h").as("ha")), Seq("a"))
+          .join(vfh.select(col("vid_id").as("b"), col("nf"),
+            col("frame"), col("h").as("hb")), Seq("b", "frame", "nf"))
+          .groupBy("a", "b")
+          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .withColumn("family", lit("video"))
+        val out = imgPairs.unionByName(audPairs).unionByName(vidPairs)
+          .select("family", "a", "b", "hamming")
+        val found = out.select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 12).filter(_ % 3 != 2).foreach { i =>
+          require(found.contains((i.toLong, 100L + i)) &&
+            found.contains((200L + i, 300L + i)) &&
+            found.contains((400L + i, 500L + i)),
+            s"planted clone pairs for seed $i must verify in every family")
+        }
+        out.orderBy("family", "a", "b")
+      },
+      // three closed-form recomputations, one per family, unioned — each
+      // family's CTE block is the SAME shared text its dedicated gates use
+      s"""SELECT * FROM (
+        |  WITH imgs AS (
+        |    SELECT i AS img_id, i AS seed, 24 + i AS w, 16 + (i % 5) AS h,
+        |      -1 AS ex, -1 AS ey
+        |    FROM range(12) t(i)
+        |    UNION ALL
+        |    SELECT 100 + i, i, 24 + i, 16 + (i % 5),
+        |      CASE WHEN i % 3 = 0 THEN (3 * (24 + i)) // 8 ELSE -1 END,
+        |      CASE WHEN i % 3 = 0 THEN (3 * (16 + (i % 5))) // 8 ELSE -1 END
+        |    FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |  $imageOracleGridBits
+        |  SELECT 'image' AS family, a.img_id AS a, b.img_id AS b,
+        |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.img_id < b.img_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3) u1
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH clips AS (
+        |    SELECT 200 + i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e
+        |    FROM range(12) t(i)
+        |    UNION ALL
+        |    SELECT 300 + i, i, 33 * (10 + i),
+        |      CASE WHEN i % 3 = 0 THEN (33 * (10 + i)) // 2 ELSE -1 END
+        |    FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |  ${audioOracleBits(726)}
+        |  SELECT 'audio' AS family, a.clip_id AS a, b.clip_id AS b,
+        |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.clip_id < b.clip_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3) u2
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH vids AS (
+        |    SELECT 400 + i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |      3 + (i % 4) AS nf, -1 AS ef, -1 AS ex, -1 AS ey
+        |    FROM range(12) t(i)
+        |    UNION ALL
+        |    SELECT 500 + i, i, 16 + i, 12 + (i % 5), 3 + (i % 4),
+        |      CASE WHEN i % 3 = 0 THEN i % (3 + (i % 4)) ELSE -1 END,
+        |      CASE WHEN i % 3 = 0 THEN (3 * (16 + i)) // 8 ELSE -1 END,
+        |      CASE WHEN i % 3 = 0 THEN (3 * (12 + (i % 5))) // 8 ELSE -1 END
+        |    FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |  $videoOracleFrameBits
+        |  SELECT 'video' AS family, a.vid_id AS a, b.vid_id AS b,
+        |    CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS hamming
+        |  FROM vbits a JOIN vbits b ON a.vid_id < b.vid_id AND a.f = b.f
+        |  JOIN vids va ON va.vid_id = a.vid_id
+        |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.nf = va.nf
+        |  GROUP BY 1, 2, 3
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3) u3
+        |ORDER BY family, a, b""".stripMargin),
+
+
     // X14e: INCREMENTAL video dedup vs a durable TWO-PLANE state — the
     // fuzzy-text crawl shape (narrow signature nomination + pruned
     // candidate fetch) on the video family: frame-0 dHash BANDS persist
