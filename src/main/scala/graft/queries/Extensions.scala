@@ -414,6 +414,45 @@ object Extensions
       (0 until 4).map(k =>
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
 
+  /** Banded candidate pairs + hamming-≤3 verify over a single-plane band
+    * frame ([[imageBands]]/[[audioBands]] output) — the ONE pair rule the
+    * image/audio near-dup gates and the multimodal router share:
+    * self-join on band_key, dedup, verify on the two BIGINTs
+    * (pigeonhole-lossless at the threshold).
+    * @return (a, b, hamming) with a < b
+    */
+  private[queries] def bandPairsOf(bands: DataFrame, idCol: String): DataFrame = {
+    val rhs = bands.select(col("band_key"), col(idCol).as("b"), col("h").as("hb"))
+    bands.select(col("band_key"), col(idCol).as("a"), col("h").as("ha"))
+      .join(rhs, Seq("band_key")).filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+  }
+
+  /** Per-frame-banded candidate pairs + equal-length aligned-hamming-sum
+    * verify over a [[videoFrameHashes]] frame — the ONE video pair rule
+    * x_video_neardup and the multimodal router share (nf rides in the
+    * equi-join keys, so unequal-length pairs yield zero aligned rows).
+    * @return (a, b, hamming) with a < b
+    */
+  private[queries] def videoPairsOf(fh: DataFrame): DataFrame = {
+    val vb = videoBands(fh)
+    val cand = vb.select(col("frame"), col("band_key"), col("vid_id").as("a"))
+      .join(vb.select(col("frame"), col("band_key"), col("vid_id").as("b")),
+        Seq("frame", "band_key"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    cand
+      .join(fh.select(col("vid_id").as("a"), col("nf"),
+        col("frame"), col("h").as("ha")), Seq("a"))
+      .join(fh.select(col("vid_id").as("b"), col("nf"),
+        col("frame"), col("h").as("hb")), Seq("b", "frame", "nf"))
+      .groupBy("a", "b")
+      .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Two-plane probe + aligned-sum admission verdicts — the video twin of
     * [[bandAdmitVerdicts]], shaped like the fuzzy-text crawl (nominate on
     * a narrow signature plane, fetch candidates through a pruned read):

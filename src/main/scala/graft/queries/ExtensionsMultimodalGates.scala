@@ -492,19 +492,14 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("img_id", "blob")
         val t = TableOps.newCatalog().createTable("db.imgdedup", df.schema)
         t.append(s, df)
-        // the ONE shared banding rule ([[Extensions.imageBands]]) — every
-        // image-dedup gate nominates through the same key scheme; PINNED:
-        // both join sides, the in-gate recall collect, and the returned
-        // frame would otherwise each re-decode and re-hash every blob
+        // the ONE shared banding + pair rule ([[Extensions.imageBands]] +
+        // [[Extensions.bandPairsOf]]) — every image-dedup gate nominates
+        // and verifies through the same scheme; PINNED: both join sides,
+        // the in-gate recall collect, and the returned frame would
+        // otherwise each re-decode and re-hash every blob
         val bands = imageBands(t.toDF(s)).localCheckpoint()
-        val rhs = bands.select(col("band_key").as("band_b"),
-          col("img_id").as("img_b"), col("h").as("hb"))
-        val pairs = bands.select(col("band_key"), col("img_id").as("img_a"), col("h").as("ha"))
-          .join(rhs, col("band_key") === col("band_b") && col("img_a") < col("img_b"))
-          .select("img_a", "img_b", "ha", "hb").distinct()
-          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-          .filter(col("hamming") <= 3)
-          .select("img_a", "img_b", "hamming")
+        val pairs = bandPairsOf(bands, "img_id")
+          .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
         // recall floor REQUIREd in-gate: every planted clone pair must
         // band-collide and verify
         val found = pairs.select("img_a", "img_b").collect()
@@ -653,17 +648,12 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiodedup", df.schema)
         t.append(s, df)
-        // the shared audio banding rule ([[Extensions.audioBands]]); pinned
-        // like the image gate — one decode pass, not four
+        // the shared audio banding + pair rule ([[Extensions.audioBands]]
+        // + [[Extensions.bandPairsOf]]); pinned like the image gate —
+        // one decode pass, not four
         val bands = audioBands(t.toDF(s)).localCheckpoint()
-        val rhs = bands.select(col("band_key").as("band_b"),
-          col("clip_id").as("clip_b"), col("h").as("hb"))
-        val pairs = bands.select(col("band_key"), col("clip_id").as("clip_a"), col("h").as("ha"))
-          .join(rhs, col("band_key") === col("band_b") && col("clip_a") < col("clip_b"))
-          .select("clip_a", "clip_b", "ha", "hb").distinct()
-          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-          .filter(col("hamming") <= 3)
-          .select("clip_a", "clip_b", "hamming")
+        val pairs = bandPairsOf(bands, "clip_id")
+          .select(col("a").as("clip_a"), col("b").as("clip_b"), col("hamming"))
         val found = pairs.select("clip_a", "clip_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         (0 until 18).filter(_ % 3 != 2).foreach { i =>
@@ -811,27 +801,14 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("vid_id", "blob")
         val t = TableOps.newCatalog().createTable("db.videodedup", df.schema)
         t.append(s, df)
-        // ONE decode pass ([[Extensions.videoFrameHashes]], the shared
-        // fingerprint rule): both band sides and the aligned verify read
-        // the pinned hash frame, never the blobs again
+        // ONE decode pass ([[Extensions.videoFrameHashes]]) + the shared
+        // video pair rule ([[Extensions.videoPairsOf]] — per-frame band
+        // candidates, nf in the equi-join keys so unequal-length pairs
+        // yield zero aligned rows): the pinned hash frame is read
+        // everywhere, never the blobs again
         val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
-        val bands = videoBands(fh)
-        val cand = bands.select(col("frame"), col("band_key"), col("vid_id").as("vid_a"))
-          .join(bands.select(col("frame"), col("band_key"), col("vid_id").as("vid_b")),
-            Seq("frame", "band_key"))
-          .filter(col("vid_a") < col("vid_b"))
-          .select("vid_a", "vid_b").distinct()
-        // nf in the equi-join keys: unequal-length pairs yield zero
-        // aligned rows and can never verify (no post-hoc length filter)
-        val pairs = cand
-          .join(fh.select(col("vid_id").as("vid_a"), col("nf"),
-            col("frame"), col("h").as("ha")), Seq("vid_a"))
-          .join(fh.select(col("vid_id").as("vid_b"), col("nf"),
-            col("frame"), col("h").as("hb")), Seq("vid_b", "frame", "nf"))
-          .groupBy("vid_a", "vid_b")
-          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .select("vid_a", "vid_b", "hamming")
+        val pairs = videoPairsOf(fh)
+          .select(col("a").as("vid_a"), col("b").as("vid_b"), col("hamming"))
         // recall floor REQUIREd in-gate: every planted clone pair must
         // band-collide and verify
         val found = pairs.select("vid_a", "vid_b").collect()
@@ -912,11 +889,16 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(imgs ++ clips ++ vids).toDF("blob_id", "blob")
         val t = TableOps.newCatalog().createTable("db.mixed_blobs", df.schema)
         t.append(s, df)
+        // ONE sniff per row: materialize the prefix-compare cascade as a
+        // column and branch on IT, so the routing when-chain never
+        // re-evaluates the sniff (the 100 TB ingest models the cheap form)
         val routed = t.toDF(s)
+          .withColumn("fmt", Multimodal.sniffFormat(col("blob")))
           .withColumn("family",
-            when(Multimodal.sniffFormat(col("blob")).isin("png", "bmp"), "image")
-              .when(Multimodal.sniffFormat(col("blob")) === "riff", "audio")
-              .when(Multimodal.sniffFormat(col("blob")) === "gif", "video"))
+            when(col("fmt").isin("png", "bmp"), "image")
+              .when(col("fmt") === "riff", "audio")
+              .when(col("fmt") === "gif", "video"))
+          .drop("fmt")
           .localCheckpoint()
         // routing correctness REQUIREd: the magic-byte classify must split
         // the mixed corpus exactly along the planted families
@@ -925,37 +907,17 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         require(fam == Map("image" -> imgs.size.toLong,
             "audio" -> clips.size.toLong, "video" -> vids.size.toLong),
           s"router must split the corpus by container magic: $fam")
-        // single-plane families: the shared banding rules + hamming verify
-        def bandPairs(bands: DataFrame, idCol: String): DataFrame = {
-          val rhs = bands.select(col("band_key"), col(idCol).as("b"), col("h").as("hb"))
-          bands.select(col("band_key"), col(idCol).as("a"), col("h").as("ha"))
-            .join(rhs, Seq("band_key")).filter(col("a") < col("b"))
-            .select("a", "b", "ha", "hb").distinct()
-            .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-            .filter(col("hamming") <= 3).select("a", "b", "hamming")
-        }
-        val imgPairs = bandPairs(imageBands(routed.filter(col("family") === "image")
+        // per-family dedup through the SHARED pair rules — the same
+        // bandPairsOf/videoPairsOf the dedicated near-dup gates ship
+        val imgPairs = bandPairsOf(imageBands(routed.filter(col("family") === "image")
             .select(col("blob_id").as("img_id"), col("blob"))), "img_id")
           .withColumn("family", lit("image"))
-        val audPairs = bandPairs(audioBands(routed.filter(col("family") === "audio")
+        val audPairs = bandPairsOf(audioBands(routed.filter(col("family") === "audio")
             .select(col("blob_id").as("clip_id"), col("blob"))), "clip_id")
           .withColumn("family", lit("audio"))
-        // the video family: frame-0-complete banding + aligned-sum verify
-        val vfh = videoFrameHashes(routed.filter(col("family") === "video")
-          .select(col("blob_id").as("vid_id"), col("blob"))).localCheckpoint()
-        val vb = videoBands(vfh)
-        val vcand = vb.select(col("frame"), col("band_key"), col("vid_id").as("a"))
-          .join(vb.select(col("frame"), col("band_key"), col("vid_id").as("b")),
-            Seq("frame", "band_key"))
-          .filter(col("a") < col("b")).select("a", "b").distinct()
-        val vidPairs = vcand
-          .join(vfh.select(col("vid_id").as("a"), col("nf"),
-            col("frame"), col("h").as("ha")), Seq("a"))
-          .join(vfh.select(col("vid_id").as("b"), col("nf"),
-            col("frame"), col("h").as("hb")), Seq("b", "frame", "nf"))
-          .groupBy("a", "b")
-          .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
+        val vidPairs = videoPairsOf(
+            videoFrameHashes(routed.filter(col("family") === "video")
+              .select(col("blob_id").as("vid_id"), col("blob"))).localCheckpoint())
           .withColumn("family", lit("video"))
         val out = imgPairs.unionByName(audPairs).unionByName(vidPairs)
           .select("family", "a", "b", "hamming")

@@ -1022,9 +1022,21 @@ object ScaleSmoke {
         }
         graft.table.PlanningFixture.appendFabricated(t2, files)
       }
-      val (_, pf) = coldPlanOn(t2, probe)
-      val (_, pa) = coldPlanOn(t, probe)
-      val (_, fa) = coldPlanOn(t)
+      // TRULY interleaved: alternate single cold plans (frag, rewritten-
+      // pruned, rewritten-full) ×3 and take each side's min — drift
+      // inside the attempt hits all three series alike, not whichever
+      // side's best-of-3 block happened to land in the slow minute
+      def coldOnce(tbl: graft.table.GraftTable, preds: Predicate*): Double = {
+        graft.format.ManifestCache.clear()
+        val sc = tbl.scan(preds: _*)
+        timed(sc.plan)._2
+      }
+      val series = (1 to 3).map { _ =>
+        (coldOnce(t2, probe), coldOnce(t, probe), coldOnce(t))
+      }
+      val pf = series.map(_._1).min
+      val pa = series.map(_._2).min
+      val fa = series.map(_._3).min
       speedFrag = pf / pa
       speedFull = fa / pa
       report(f"planning retry $attempt (interleaved): pruned_frag=${pf * 1000}%.0fms " +
