@@ -580,6 +580,74 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Fixture-side DISPOSAL-METHOD encoder: frame 0 is a full gray
+    * gradient; frame 1 a `subW`×`subH` delta at (x1, y1) carrying the
+    * given GIF `disposalMethod`; frame 2 a delta at a DIFFERENT (x2, y2)
+    * — what frame 2's RENDERED canvas shows at frame 1's (now
+    * uncovered) rect IS the disposal semantics: `none`/`doNotDispose`
+    * keep frame 1's pixels, `restoreToBackgroundColor` blacks them,
+    * `restoreToPrevious` restores frame 0's. Gray values as in
+    * [[encodeOptimizedGif]] (sub-frame f pixel (x, y) = (x·31 + y·17 +
+    * f·7) mod 256 in SUB-raster coordinates), so every rendered canvas
+    * has a closed form.
+    */
+  def encodeDisposalGif(width: Int, height: Int, subW: Int, subH: Int,
+                        x1: Int, y1: Int, x2: Int, y2: Int,
+                        disposal: String): Array[Byte] = {
+    require(x1 + subW <= width && y1 + subH <= height &&
+      x2 + subW <= width && y2 + subH <= height, "sub-frames must fit the screen")
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < 3) {
+        val (w, h) = if (f == 0) (width, height) else (subW, subH)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (x * 31 + y * 17 + f * 7) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+        val root = meta.getAsTree(GifImageMeta).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = firstElem(root, "ImageDescriptor").get
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (f == 1) { desc.setAttribute("imageLeftPosition", x1.toString)
+                      desc.setAttribute("imageTopPosition", y1.toString) }
+        if (f == 2) { desc.setAttribute("imageLeftPosition", x2.toString)
+                      desc.setAttribute("imageTopPosition", y2.toString) }
+        desc.setAttribute("interlaceFlag", "FALSE") // see encodeOptimizedGif
+        if (f == 1) {
+          // the disposal bits live on the GraphicControlExtension node
+          val gce = firstElem(root, "GraphicControlExtension").getOrElse {
+            val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            n.setAttribute("userInputFlag", "FALSE")
+            n.setAttribute("transparentColorFlag", "FALSE")
+            n.setAttribute("delayTime", "0")
+            n.setAttribute("transparentColorIndex", "0")
+            root.appendChild(n); n
+          }.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          gce.setAttribute("disposalMethod", disposal)
+        }
+        meta.setFromTree(GifImageMeta, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Fixture-side OPTIMIZED-GIF encoder: frame 0 is a full `width`×`height`
     * gray gradient; each later frame stores ONLY a `subW`×`subH` sub-raster
     * placed at (`offX`, `offY`) — the inter-frame delta coding real GIF

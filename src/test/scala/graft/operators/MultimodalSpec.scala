@@ -499,6 +499,62 @@ class MultimodalSpec extends SparkSpec {
       one.getStruct(0, 2).getLong(1) == ImageCodec.dhashRow(png).longValue())
   }
 
+  test("frame sampling and hashing honor GIF disposal methods on the uncovered rect") {
+    // frame 1's delta carries a disposalMethod; frame 2 paints elsewhere,
+    // so frame 2's rendered canvas at frame 1's now-uncovered rect IS the
+    // disposal semantics: none/doNotDispose keep frame 1's pixels,
+    // restoreToBackgroundColor blacks them, restoreToPrevious restores
+    // frame 0's — the composite-walk branches the video hashes depend on
+    val (w, h, sw, sh) = (19, 9, 4, 3)
+    val (x1, y1, x2, y2) = (2, 1, 12, 5)
+    def g0(x: Int, y: Int): Int = (x * 31 + y * 17) & 0xFF
+    def d(f: Int)(x: Int, y: Int): Int = (x * 31 + y * 17 + f * 7) & 0xFF
+    def rendered2(disposal: String): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v =
+          if (x >= x2 && x < x2 + sw && y >= y2 && y < y2 + sh) d(2)(x - x2, y - y2)
+          else if (x >= x1 && x < x1 + sw && y >= y1 && y < y1 + sh) disposal match {
+            case "restoreToBackgroundColor" => 0
+            case "restoreToPrevious"        => g0(x, y)
+            case _                          => d(1)(x - x1, y - y1)
+          }
+          else g0(x, y)
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      img
+    }
+    for (disposal <- Seq("none", "doNotDispose",
+        "restoreToBackgroundColor", "restoreToPrevious")) {
+      val blob = ImageCodec.encodeDisposalGif(w, h, sw, sh, x1, y1, x2, y2, disposal)
+      val frames = ImageCodec.frameSampleRow(blob, 1)
+      assert(frames != null && frames.numElements() == 3, s"$disposal: 3 frames")
+      // frame 1 samples BEFORE its own disposal applies — identical across
+      // methods: base with frame 1's rect replaced by its delta
+      val exp1 = (0 until h).flatMap(y => (0 until w).map { x =>
+        if (x >= x1 && x < x1 + sw && y >= y1 && y < y1 + sh)
+          d(1)(x - x1, y - y1).toLong
+        else g0(x, y).toLong
+      }).sum
+      assert(frames.getStruct(1, 6).getLong(4) == exp1,
+        s"$disposal: frame-1 rendered sum")
+      val exp = rendered2(disposal)
+      var expSum = 0L
+      for (y <- 0 until h; x <- 0 until w) expSum += (exp.getRGB(x, y) >> 8) & 0xFF
+      assert(frames.getStruct(2, 6).getLong(4) == expSum,
+        s"$disposal: frame-2 rendered sum must follow the disposal rule")
+      // the hash path composites through the same walk: frame 2's dHash
+      // equals the dHash of the manually rendered canvas
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(exp, "png", bos)
+      val hashes = ImageCodec.frameDhashRow(blob, 1)
+      assert(hashes.getStruct(2, 2).getLong(1) ==
+        ImageCodec.dhashRow(bos.toByteArray).longValue(),
+        s"$disposal: frame-2 hash must be the rendered canvas's")
+    }
+  }
+
   test("frameDhashes hashes the RENDERED frame of optimized GIFs, not the stored delta") {
     // delta-coded frames: hash must equal the dHash of the manually
     // composited canvas (frame-0 gradient with the sub-rect replaced),
