@@ -589,15 +589,29 @@ object Extensions
     * bits), the [[imageFixtureRow]] discipline on the audio plane.
     */
   private[graft] def audioFixtureRow(id: Long, seed: Int, n: Int,
-      edit: Boolean): (Long, Array[Byte]) =
+      edit: Boolean): (Long, Array[Byte]) = {
+    // oracle-parity precondition (ADVICE r14): audioOracleBits assigns
+    // sample x to window (x·33)//n while the engine uses boundary windows
+    // [w·n/33, (w+1)·n/33) — identical ONLY when 33 | n, so every fixture
+    // clip length must be a multiple of 33 or the two silently diverge at
+    // window boundaries
+    require(n % 33 == 0, s"audio fixture clip length $n must be a multiple of 33")
     (id, graft.operators.AudioCodec.encodeAudioVariant(n, seed,
       if (edit) n / 2 else -1))
+  }
 
   /** The closed-form windowed-energy fingerprint recomputation every audio
     * gate's DuckDB oracle shares — window sums + bit packing over a
     * `clips(clip_id, seed, n, e, ...)` CTE (the [[imageOracleGridBits]]
     * discipline on the audio plane). `maxN` bounds the sample range (≥ the
     * largest fixture clip; WHERE x < n trims per clip).
+    *
+    * FIXTURE CONTRACT: every clip length must satisfy n % 33 == 0
+    * (enforced by [[audioFixtureRow]]). This CTE assigns sample x to
+    * window (x·33)//n; the engine ([[graft.operators.AudioCodec
+    * .fingerprintRow]]) uses boundary windows [w·n/33, (w+1)·n/33). The
+    * two agree exactly when 33 | n and silently diverge at window
+    * boundaries otherwise.
     */
   private[queries] def audioOracleBits(maxN: Int): String =
     s"""smp AS (

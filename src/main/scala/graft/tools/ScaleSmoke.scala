@@ -1592,15 +1592,19 @@ object ScaleSmoke {
 
     // retraction at scale on the PERCEPTUAL plane — the contract-16
     // discipline extended to the image band state: a bounded right-to-
-    // be-forgotten request lands on the Mx crawl's state. Exact recrawls
-    // make both verdicts THEOREMS of the crawl's own invariant (the
-    // admitted set is pairwise > hamming 3 — each admission had no
-    // partner within 3 at arrival): a byte-identical re-encode of a
-    // RETRACTED admission has no surviving partner within 3 and must
-    // ADMIT; one of a SURVIVING admission sits at distance 0 and must
-    // REJECT. The DELETE's In probe must prune the COW rewrite through
-    // the per-commit img_id bounds (originals and fresh ids live in
-    // disjoint ranges per slice), recorded from its own candidate scan.
+    // be-forgotten request lands on the Mx crawl's state. The recrawl
+    // verdicts rest on the FIXTURE's pairwise seed separation, not on a
+    // crawl invariant (the loop's stateless-oracle contract means two
+    // near-dup blobs landing in the SAME micro-batch both admit, so
+    // "admitted ⇒ pairwise > hamming 3" is not guaranteed in general;
+    // here distinct seeds scale the gradient STEP, keeping every
+    // distinct-seed pair far apart — asserted below before relying on
+    // it): a byte-identical re-encode of a RETRACTED admission then has
+    // no surviving partner within 3 and must ADMIT; one of a SURVIVING
+    // admission sits at distance 0 and must REJECT. The DELETE's In
+    // probe must prune the COW rewrite through the per-commit img_id
+    // bounds (originals and fresh ids live in disjoint ranges per
+    // slice), recorded from its own candidate scan.
     locally {
       import graft.format.Predicate
       val preAdmitted = imgResM.toDF(spark).count()
@@ -1609,6 +1613,21 @@ object ScaleSmoke {
         .orderBy("img_id").limit(16).collect().map(_.getLong(0)).toSeq
       require(admittedOriginals.size == 16, "fixture must admit >= 16 originals")
       val (retractIds, controls) = admittedOriginals.splitAt(8)
+      // the seed-separation precondition, ASSERTED before the verdicts
+      // rely on it (ADVICE r14): the 16 picked admissions must be
+      // pairwise > hamming 3 (read from the pre-delete band state, whose
+      // 4 rows per image carry the same h)
+      locally {
+        val pickedH = imgStateM.toDF(spark)
+          .filter(col("img_id").isInCollection(admittedOriginals))
+          .select("img_id", "h").distinct().localCheckpoint()
+        val close = pickedH.select(col("img_id").as("a"), col("h").as("ha"))
+          .join(pickedH.select(col("img_id").as("b"), col("h").as("hb")),
+            col("a") < col("b"))
+          .filter(expr("bit_count(ha ^ hb) <= 3")).count()
+        require(close == 0,
+          s"retraction precondition broken: $close picked pairs within hamming 3")
+      }
       graft.table.QueryHistory.clear()
       val (_, tDel) = timed(imgStateM.delete(spark,
         Seq(Predicate.In("img_id", retractIds))))
