@@ -60,16 +60,26 @@ object AudioCodec {
   /** 32-bit windowed-energy fingerprint over the FULL decoded PCM — the
     * audio twin of [[ImageCodec.dhashRow]]: split the clip into 33 windows
     * (floor boundaries w·N/33 — when 33 | N these are exact equal windows,
-    * the closed-form-oracle shape), sum each window's unsigned 8-bit
-    * samples, set bit w iff sum(w+1) > sum(w). Like dHash it sees only the
-    * SIGN of adjacent-window differences, so it is volume-offset-blind by
-    * design, and a single-sample edit perturbs one window's sum — at most
-    * the 2 comparisons that touch it flip, so near-clones sit at hamming
-    * ≤ 2 while unrelated clips are ~16 apart (of 32). 8-bit mono only (the
-    * fixture-reproducible shape; wider PCM routes to an external
-    * fingerprinter at ingest); null for undecodable bytes, other PCM
-    * shapes, under-33-frame clips, or bomb-guarded frame counts. Map-side,
-    * bytes-decoded cost paid once at ingest.
+    * the closed-form-oracle shape), sum each window's samples, set bit w
+    * iff sum(w+1) > sum(w). Like dHash it sees only the SIGN of
+    * adjacent-window differences, so it is volume-offset-blind by design,
+    * and a single-sample edit perturbs one window's sum — at most the 2
+    * comparisons that touch it flip, so near-clones sit at hamming ≤ 2
+    * while unrelated clips are ~16 apart (of 32).
+    *
+    * Two PCM shapes are accepted, both mono (r14 verdict #2 lifted the
+    * 8-bit-only guard): 8-bit UNSIGNED (the WAV convention; summed as
+    * 0..255) and 16-bit SIGNED (the real-world default; summed as signed
+    * shorts decoded per the container's declared byte order, so the SAME
+    * samples written as little-endian WAV and big-endian AIFF fingerprint
+    * identically — the hash stays container-independent). The two widths
+    * deliberately do NOT alias: they are different quantizations of
+    * different sample domains, and the gates pin same-seed 8↔16 pairs
+    * far apart. Everything else — other encodings (ULAW's log-compressed
+    * bytes, 8-bit PCM_SIGNED's sign-wrapped ones), stereo, under-33-frame
+    * clips, bomb-guarded frame counts, undecodable bytes — returns null
+    * and routes to quarantine / an external fingerprinter at ingest.
+    * Map-side, bytes-decoded cost paid once at ingest.
     */
   def fingerprintRow(bytes: Array[Byte]): java.lang.Long = {
     if (bytes == null || bytes.length == 0) return null
@@ -78,19 +88,21 @@ object AudioCodec {
       try {
         val f = ais.getFormat
         val frames = ais.getFrameLength
-        // encoding must be UNSIGNED linear PCM: 8-bit mono ULAW (.au) and
-        // PCM_SIGNED (8-bit AIFF) also pass a bits/channels-only guard but
-        // their bytes are log-compressed / sign-wrapped — fingerprinting
-        // them as unsigned would make the hash CONTAINER-dependent (the
-        // same clip as WAV vs AIFF would stop matching)
-        if (f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED ||
-            f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+        // encoding AND width must pair up: 8-bit must be PCM_UNSIGNED
+        // (8-bit AIFF is PCM_SIGNED with sign-wrapped bytes — fingerprinting
+        // those as unsigned would make the hash CONTAINER-dependent) and
+        // 16-bit must be PCM_SIGNED (the WAV/AIFF 16-bit convention)
+        val bits = f.getSampleSizeInBits
+        val wide = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
+        val narrow = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+        if (!(wide || narrow) || f.getChannels != 1 ||
             frames < 33 || frames > MaxFingerprintFrames) null
         else {
           val n = frames.toInt
           val pcm = ais.readAllBytes()
-          if (pcm.length < n) null
+          if (pcm.length < n * (if (wide) 2 else 1)) null
           else {
+            val big = f.isBigEndian
             val sums = new Array[Long](33)
             var w = 0
             while (w < 33) {
@@ -100,7 +112,20 @@ object AudioCodec {
               val hi = ((w + 1).toLong * n / 33).toInt
               var x = (w.toLong * n / 33).toInt
               var acc = 0L
-              while (x < hi) { acc += pcm(x) & 0xFF; x += 1 }
+              if (wide) {
+                // signed short per declared byte order: the high byte is
+                // sign-extended by the Byte→Int promotion before the shift
+                while (x < hi) {
+                  val lo = 2 * x
+                  val s =
+                    if (big) (pcm(lo) << 8) | (pcm(lo + 1) & 0xFF)
+                    else (pcm(lo + 1) << 8) | (pcm(lo) & 0xFF)
+                  acc += s
+                  x += 1
+                }
+              } else {
+                while (x < hi) { acc += pcm(x) & 0xFF; x += 1 }
+              }
               sums(w) = acc
               w += 1
             }
@@ -139,6 +164,43 @@ object AudioCodec {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
     val bos = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Fixture-side SEEDED 16-bit signed mono clip with an optional planted
+    * single-sample edit — [[encodeAudioVariant]]'s discipline on the wide
+    * PCM plane (r14 verdict #2). Sample n derives from the unsigned
+    * intermediate u(n) = (n·(13 + 7·seed)·193 + 31) mod 65536 as s = u −
+    * 32768; the edit replaces u with (u + 32768) mod 65536 (the maximal
+    * wraparound-safe half-range flip, scaled to 16 bits). The ·193 spread
+    * keeps mod-2^16 wraparounds frequent so different seeds hash far
+    * apart (the step-scaling rationale on the 8-bit encoder). 16-bit
+    * signed PCM survives both containers byte-exactly — WAV stores it
+    * little-endian, AIFF big-endian, SAME samples — so the cross-container
+    * fingerprint identity is testable and every decoded sample has a
+    * closed form DuckDB evaluates without an audio library.
+    */
+  def encodeAudioVariant16(format: String, frames: Int, seed: Int,
+      editAt: Int = -1): Array[Byte] = {
+    val (fileType, big) = format.toLowerCase match {
+      case "wav" => (AudioFileFormat.Type.WAVE, false)
+      case "aiff" => (AudioFileFormat.Type.AIFF, true)
+      case other => sys.error(s"no 16-bit fixture writer for audio format $other")
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, big)
+    val pcm = new Array[Byte](frames * 2)
+    var n = 0
+    while (n < frames) {
+      val u0 = ((n.toLong * (13 + 7 * seed) * 193 + 31) % 65536).toInt
+      val u = if (n == editAt) (u0 + 32768) % 65536 else u0
+      val s = u - 32768
+      if (big) { pcm(2 * n) = (s >> 8).toByte; pcm(2 * n + 1) = s.toByte }
+      else { pcm(2 * n) = s.toByte; pcm(2 * n + 1) = (s >> 8).toByte }
+      n += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, bos)
     bos.toByteArray
   }
 

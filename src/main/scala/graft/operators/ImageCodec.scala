@@ -547,9 +547,16 @@ object ImageCodec {
     * so an offset seed would alias every clip). Every sample is a closed
     * form of (x, y, f, seed, edit), so DuckDB recomputes the rendered
     * rasters — and any integer hash of them — without a codec.
+    *
+    * `frameBase` renders frames [frameBase, frameBase + frames) of the
+    * seed's infinite frame sequence instead of [0, frames) — the TRIMMED-
+    * CLONE generator (r15): a clip encoded with (frames − t, frameBase =
+    * t0) is the base clip with t0 leading and t − t0 trailing frames cut,
+    * frame-for-frame bit-identical to the base's frames t0.. on decode.
     */
   def encodeAnimatedGifVariant(width: Int, height: Int, frames: Int, seed: Int,
-      editFrame: Int = -1, editX: Int = -1, editY: Int = -1): Array[Byte] = {
+      editFrame: Int = -1, editX: Int = -1, editY: Int = -1,
+      frameBase: Int = 0): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -565,7 +572,7 @@ object ImageCodec {
         while (y < height) {
           var x = 0
           while (x < width) {
-            val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed) + f * 7) % 256
+            val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed) + (f + frameBase) * 7) % 256
             val v = if (f == editFrame && x == editX && y == editY) (v0 + 128) % 256 else v0
             raster.setSample(x, y, 0, v)
             x += 1

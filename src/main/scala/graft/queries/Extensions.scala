@@ -453,6 +453,92 @@ object Extensions
       .filter(col("hamming") <= 3)
   }
 
+  /** Fixture-side encoder row for TRIM/CONTAINMENT video gates (r14
+    * verdict #1/#6): frames [frameBase, frameBase + nf) of the seed's
+    * frame sequence ([[graft.operators.ImageCodec.encodeAnimatedGifVariant]]
+    * with a frame offset) — a clone with leading/trailing frames cut, or
+    * a short contiguous subsequence of a longer clip. Optional planted
+    * single-pixel edit in clip-local frame seed % nf at the grid-(3,3)
+    * pick (≤ 2 bits of that one frame's hash, so trimmed-plus-edited
+    * clones still verify at the aligned threshold).
+    */
+  private[graft] def videoTrimFixtureRow(id: Long, seed: Int, w: Int, h: Int,
+      nf: Int, frameBase: Int, edit: Boolean): (Long, Array[Byte]) =
+    (id, graft.operators.ImageCodec.encodeAnimatedGifVariant(w, h, nf, seed,
+      if (edit) seed % nf else -1,
+      if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1,
+      frameBase))
+
+  /** TRIM/OFFSET-TOLERANT video near-dup pairs over a [[videoFrameHashes]]
+    * frame — the bounded-containment rule (r14 verdict #1/#6): a pair
+    * matches when the SHORTER clip's frames sit fully inside the longer
+    * clip at some anchor p with the SUM of aligned per-frame hammings ≤ 3,
+    * reported at the best anchor (min hamming, ties to the smallest p).
+    * `maxLenDiff = Some(k)` is the TRIMMED regime (≤ k frames cut — the
+    * overwhelming real-video near-dup class; anchors sweep 0..k);
+    * `None` is full CONTAINMENT (a short clip anywhere inside a long one
+    * — intro/outro cuts beyond the trim window; anchors sweep the whole
+    * length difference).
+    *
+    * Nomination stays banded and LOSSLESS by pigeonhole PER OFFSET: an
+    * aligned sum ≤ 3 makes the short clip's frame 0 sit within hamming 3
+    * of the long clip's frame p, so one of frame 0's bands equals one of
+    * frame p's — candidates come from a frame-0-bands × candidate-frame-
+    * bands equi-join on band_key (first k+1 frames in the trimmed regime,
+    * all frames for containment), NEVER all-pairs; both directions are
+    * covered because length order is unknown before the length join.
+    * At 100 TB: the band join shuffles 4·frames narrow rows per clip,
+    * anchor sweep and verify compare BIGINTs over candidate pairs only —
+    * pixels never shuffle (the [[videoPairsOf]] economics, plus a ≤
+    * (k+1)× anchor factor on the candidate verify).
+    * @return (vid_long, vid_short, hamming, anchor) — vid_long is the
+    *         clip with more frames (ties: the smaller id)
+    */
+  private[queries] def videoContainmentPairsOf(fh: DataFrame,
+      maxLenDiff: Option[Int]): DataFrame = {
+    val vb = videoBands(fh)
+    val probe = maxLenDiff match {
+      case Some(k) => vb.filter(col("frame") <= k)
+      case None => vb
+    }
+    val cand0 = vb.filter(col("frame") === 0)
+      .select(col("band_key"), col("vid_id").as("u"))
+      .join(probe.select(col("band_key"), col("vid_id").as("v")), Seq("band_key"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+      .distinct()
+    val lens = fh.select("vid_id", "nf").distinct()
+    val oriented = cand0
+      .join(lens.select(col("vid_id").as("x"), col("nf").as("nfx")), Seq("x"))
+      .join(lens.select(col("vid_id").as("y"), col("nf").as("nfy")), Seq("y"))
+      .select(
+        when(col("nfx") >= col("nfy"), col("x")).otherwise(col("y")).as("l"),
+        when(col("nfx") >= col("nfy"), col("y")).otherwise(col("x")).as("s"),
+        greatest(col("nfx"), col("nfy")).as("nfl"),
+        least(col("nfx"), col("nfy")).as("nfs"))
+    val bounded = maxLenDiff match {
+      case Some(k) => oriented.filter(col("nfl") - col("nfs") <= k)
+      case None => oriented
+    }
+    // anchor sweep + aligned-sum verify: every short-side frame joins
+    // exactly one long-side frame per anchor (containment keeps f + p in
+    // range), so each (pair, p) group sums nfs aligned hammings
+    val scored = bounded
+      .withColumn("p", explode(sequence(lit(0L), (col("nfl") - col("nfs")).cast("long"))))
+      .join(fh.select(col("vid_id").as("s"), col("frame").as("f"),
+        col("h").as("hs")), Seq("s"))
+      .withColumn("lf", col("f") + col("p"))
+      .join(fh.select(col("vid_id").as("l"), col("frame").as("lf"),
+        col("h").as("hl")), Seq("l", "lf"))
+      .groupBy("l", "s", "p")
+      .agg(sum(expr("bit_count(hs ^ hl)")).cast("long").as("d"))
+      .filter(col("d") <= 3)
+    scored.groupBy("l", "s")
+      .agg(min(struct(col("d"), col("p"))).as("best"))
+      .select(col("l").as("vid_long"), col("s").as("vid_short"),
+        col("best.d").as("hamming"), col("best.p").cast("long").as("anchor"))
+  }
+
   /** Two-plane probe + aligned-sum admission verdicts — the video twin of
     * [[bandAdmitVerdicts]], shaped like the fuzzy-text crawl (nominate on
     * a narrow signature plane, fetch candidates through a pruned read):
@@ -506,6 +592,71 @@ object Extensions
       .localCheckpoint()
   }
 
+  /** The TRIM-TOLERANT twin of [[videoAdmitVerdicts]] (r14 verdict #1's
+    * durable leg): same two-plane shape, but the band plane carries the
+    * first maxLenDiff+1 frames' bands of each admitted video and the
+    * verify is the bounded-containment rule ([[videoContainmentPairsOf]]'s
+    * semantics against history): a batch video REJECTS when some history
+    * video within maxLenDiff frames of its length aligns fully-contained
+    * at some anchor with aligned-hamming sum ≤ 3 — so a recrawl with a
+    * frame or two trimmed (either direction: batch shorter OR longer) is
+    * caught. Nomination is complete by pigeonhole per offset: whichever
+    * side is shorter, its frame-0 bands collide with the other side's
+    * frame-p bands (p ≤ maxLenDiff), and BOTH live in the probe — the
+    * batch probes with its frames ≤ maxLenDiff, the plane stores history
+    * frames ≤ maxLenDiff. Probe and fetch stay batch-bounded In reads.
+    * @param bandState  (vid_id, band_key) — frames ≤ maxLenDiff bands
+    * @param sigState   (vid_id, nf, frame, h) — full sequences
+    * @return (vid_id, matches, admitted)
+    */
+  private[queries] def videoAdmitVerdictsTrimmed(s: SparkSession,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      batchFh: DataFrame, maxLenDiff: Int = 2,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
+    val fK = videoBands(batchFh.filter(col("frame") <= maxLenDiff))
+      .select(col("vid_id"), col("band_key"))
+    val bandScan = bandState.scanWithRuntimeFilter(fK, "band_key", "band_key",
+      maxKeys = CrawlProbeMaxKeys)
+    onBandScanMetrics(bandScan.metrics)
+    val cand = fK.join(bandScan.toDF(s).select(col("band_key"),
+        col("vid_id").as("hist_id")), Seq("band_key"))
+      .select(col("vid_id"), col("hist_id")).distinct()
+      .localCheckpoint() // bounds the vid_id fetch probe below
+    val histFh = sigState.scanWithRuntimeFilter(
+      cand.select(col("hist_id").as("vid_id")), "vid_id", "vid_id",
+      maxKeys = CrawlProbeMaxKeys).toDF(s)
+      .localCheckpoint() // read twice: the length join + the frame join
+    // orient by length, sweep anchors, verify containment: per (pair, p)
+    // every SHORT-side frame joins exactly one long-side frame (bf − hf =
+    // +p when the batch is longer, −p when history is), so each group
+    // sums nfs aligned hammings
+    val verified = cand
+      .join(batchFh.select(col("vid_id"), col("nf")).distinct(), Seq("vid_id"))
+      .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfh")).distinct(),
+        Seq("hist_id"))
+      .filter(abs(col("nf") - col("nfh")) <= maxLenDiff)
+      .withColumn("blonger", col("nf") >= col("nfh"))
+      .withColumn("p", explode(sequence(lit(0L),
+        abs(col("nf") - col("nfh")).cast("long"))))
+      .join(batchFh.select(col("vid_id"), col("frame").as("bf"),
+        col("h").as("ha")), Seq("vid_id"))
+      .join(histFh.select(col("vid_id").as("hist_id"), col("frame").as("hf"),
+          col("h").as("hb")),
+        Seq("hist_id"))
+      .filter(col("bf") - col("hf") ===
+        when(col("blonger"), col("p")).otherwise(-col("p")))
+      .groupBy("vid_id", "hist_id", "p")
+      .agg(sum(expr("bit_count(ha ^ hb)")).as("d"))
+      .filter(col("d") <= 3)
+      .select("vid_id", "hist_id").distinct()
+    batchFh.select("vid_id").distinct()
+      .join(verified.groupBy("vid_id")
+          .agg(countDistinct(col("hist_id")).as("matches")), Seq("vid_id"), "left")
+      .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
+        col("matches").isNull.as("admitted"))
+      .localCheckpoint()
+  }
+
   /** The streaming VIDEO-dedup crawl loop — the
     * x_stream_incremental_video_dedup pipeline body, shared with
     * StreamVideoDedupSpec; completes the video fingerprint's lifecycle
@@ -546,6 +697,42 @@ object Extensions
         statementId = Some(s"$stage-vband-$batchId")): Unit
     }
 
+  /** The TRIM-TOLERANT streaming video-dedup crawl loop (r14 verdict #1's
+    * streaming leg) — [[streamIncrementalVideoDedup]] with the bounded-
+    * containment admission rule: verdicts come from
+    * [[videoAdmitVerdictsTrimmed]] (anchor-swept aligned-hamming against
+    * nominated history, either side may be the longer), and the band
+    * plane stores the first maxLenDiff+1 frames' bands of each admitted
+    * video so future batches nominate trimmed recrawls in BOTH length
+    * directions. Same three statementId-keyed commits in results →
+    * sequences → bands order with the identical crash-window argument
+    * (nomination never reads the sequence plane's own batch rows; bands
+    * last so a batch's own bands can never reject its replay).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalVideoDedupTrimmed(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable, maxLenDiff: Int = 2,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
+      val fh = videoFrameHashes(b)
+        .localCheckpoint() // In-probe collects + candidate joins read it
+      val verdicts = videoAdmitVerdictsTrimmed(s, bandState, sigState, fh,
+        maxLenDiff, onBandScanMetrics)
+      val admitted = verdicts.filter(col("admitted")).select("vid_id")
+      results.append(s, admitted, statementId = Some(s"$stage-tvres-$batchId"))
+      sigState.append(s, fh.join(admitted, Seq("vid_id"))
+          .select("vid_id", "nf", "frame", "h"),
+        statementId = Some(s"$stage-tvsig-$batchId"))
+      bandState.append(s,
+        videoBands(fh.filter(col("frame") <= maxLenDiff))
+          .join(admitted, Seq("vid_id"))
+          .select("vid_id", "band_key").distinct(),
+        statementId = Some(s"$stage-tvband-$batchId")): Unit
+    }
+
   /** The closed-form per-frame dHash recomputation every video gate's
     * DuckDB oracle shares — rendered-frame gray + bit packing over a
     * `vids(vid_id, seed, w, h, nf, ef, ex, ey, ...)` CTE (the
@@ -557,6 +744,27 @@ object Extensions
     """vgrid AS (
       |  SELECT vid_id, f, x, y,
       |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed) + f * 7)
+      |     + CASE WHEN f = ef AND (x * w) // 8 = ex AND (y * h) // 8 = ey
+      |        THEN 128 ELSE 0 END) % 256 AS gray
+      |  FROM vids, range(8) xs(x), range(8) ys(y), range(8) fs(f)
+      |  WHERE f < nf),
+      |vbits AS (
+      |  SELECT g1.vid_id, g1.f,
+      |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+      |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM vgrid g1 JOIN vgrid g2
+      |    ON g2.vid_id = g1.vid_id AND g2.f = g1.f AND g2.y = g1.y AND g2.x = g1.x + 1
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[videoOracleFrameBits]] generalized with a FRAME OFFSET column: the
+    * `vids` CTE additionally carries `fb` (frameBase) and clip-local frame
+    * f renders gradient frame f + fb — the closed form of
+    * [[videoTrimFixtureRow]]'s trimmed/subsequence clips. Covers nf ≤ 8.
+    */
+  private[queries] val videoOracleFrameBitsOffset: String =
+    """vgrid AS (
+      |  SELECT vid_id, f, x, y,
+      |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed) + (f + fb) * 7)
       |     + CASE WHEN f = ef AND (x * w) // 8 = ex AND (y * h) // 8 = ey
       |        THEN 128 ELSE 0 END) % 256 AS gray
       |  FROM vids, range(8) xs(x), range(8) ys(y), range(8) fs(f)
@@ -600,6 +808,22 @@ object Extensions
       if (edit) n / 2 else -1))
   }
 
+  /** The 16-BIT twin of [[audioFixtureRow]] (r14 verdict #2): deterministic
+    * seeded 16-bit signed mono clip ([[graft.operators.AudioCodec
+    * .encodeAudioVariant16]]), container chosen by the caller (WAV stores
+    * the samples little-endian, AIFF big-endian — SAME samples, so
+    * cross-container pairs fingerprint identically), optional planted
+    * single-sample edit at the clip midpoint (perturbs one window sum —
+    * flips ≤ 2 fingerprint bits). Same n % 33 == 0 oracle-parity
+    * precondition as the 8-bit row.
+    */
+  private[graft] def audioFixtureRow16(id: Long, seed: Int, n: Int,
+      edit: Boolean, container: String = "wav"): (Long, Array[Byte]) = {
+    require(n % 33 == 0, s"audio fixture clip length $n must be a multiple of 33")
+    (id, graft.operators.AudioCodec.encodeAudioVariant16(container, n, seed,
+      if (edit) n / 2 else -1))
+  }
+
   /** The closed-form windowed-energy fingerprint recomputation every audio
     * gate's DuckDB oracle shares — window sums + bit packing over a
     * `clips(clip_id, seed, n, e, ...)` CTE (the [[imageOracleGridBits]]
@@ -618,6 +842,32 @@ object Extensions
       |  SELECT clip_id, (x * 33) // n AS w,
       |    CASE WHEN x = e THEN ((x * (13 + 7 * seed) + 31) % 256 + 128) % 256
       |         ELSE (x * (13 + 7 * seed) + 31) % 256 END AS s
+      |  FROM clips, range($maxN) t(x) WHERE x < n),
+      |ws AS (SELECT clip_id, w, CAST(sum(s) AS BIGINT) AS sw FROM smp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.clip_id, CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+      |    THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.w = a.w + 1
+      |  GROUP BY 1)""".stripMargin
+
+  /** The MIXED-WIDTH twin of [[audioOracleBits]] for gates whose `clips`
+    * CTE carries a `wide` flag: wide clips recompute the 16-bit encoder's
+    * closed form (u = (x·(13 + 7·seed)·193 + 31) mod 65536, sample =
+    * u − 32768, edit = half-range flip on u), narrow clips the 8-bit one
+    * — the two sample domains of [[graft.operators.AudioCodec
+    * .fingerprintRow]], in ONE shared CTE text so an 8↔16 cross pair is
+    * brute-forceable. Same n % 33 == 0 fixture contract as the narrow CTE.
+    */
+  private[queries] def audioOracleBitsMixed(maxN: Int): String =
+    s"""smp AS (
+      |  SELECT clip_id, (x * 33) // n AS w,
+      |    CASE WHEN wide THEN
+      |      (CASE WHEN x = e THEN ((x * (13 + 7 * seed) * 193 + 31) % 65536 + 32768) % 65536
+      |            ELSE (x * (13 + 7 * seed) * 193 + 31) % 65536 END) - 32768
+      |    ELSE
+      |      CASE WHEN x = e THEN ((x * (13 + 7 * seed) + 31) % 256 + 128) % 256
+      |           ELSE (x * (13 + 7 * seed) + 31) % 256 END
+      |    END AS s
       |  FROM clips, range($maxN) t(x) WHERE x < n),
       |ws AS (SELECT clip_id, w, CAST(sum(s) AS BIGINT) AS sw FROM smp GROUP BY 1, 2),
       |bits AS (

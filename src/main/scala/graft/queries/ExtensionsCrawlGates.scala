@@ -1820,5 +1820,117 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  SELECT vid_id FROM a0 UNION ALL SELECT vid_id FROM a1
         |  UNION ALL SELECT vid_id FROM a2)
         |ORDER BY vid_id""".stripMargin),
+
+
+    // X14s-v': the STREAMING TRIM-TOLERANT video-dedup crawl loop (r14
+    // verdict #1's streaming leg) — the two-plane micro-batch loop with
+    // the bounded-containment admission rule: the band plane carries the
+    // first THREE frames' bands of each admitted video, verdicts sweep
+    // anchors ≤ 2 in EITHER length direction, commits stay results →
+    // sequences → bands statementId-keyed. Slices: 8 bases crawl first;
+    // slice 1 brings lead-1-TRIMMED recrawls of even bases (reject via
+    // slice-0's planes — the cross-batch trimmed distinction) + 5 fresh;
+    // slice 2 trail-1 trims of slice-1's OWN admissions (reject against
+    // an earlier batch), one-frame-EXTENDED recrawls of odd bases
+    // (reject in the batch-longer direction), and fresh. Post-crawl:
+    // compactionProof on the sequence plane + full-crawl reprobe through
+    // the shipped trimmed rule. Oracle = slice-by-slice anchor-swept
+    // containment admission over previously-ADMITTED history only.
+    ("x_stream_incremental_video_dedup_trimmed",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import org.apache.spark.sql.types.{LongType, StructType}
+        def row(id: Long, seed: Int, nf: Int, fb: Int) =
+          videoTrimFixtureRow(id, seed, 16 + seed % 20, 12 + seed % 5, nf, fb,
+            edit = false)
+        val rows =
+          (0 until 8).map(i => (row(i, i, 4 + i % 4, 0), 0)) ++
+          (0 until 8 by 2).map(i => (row(200 + i, i, 3 + i % 4, 1), 1)) ++
+          (0 until 5).map(j => (row(100 + j, 30 + j, 4 + j % 4, 0), 1)) ++
+          (0 until 5 by 2).map(j => (row(300 + j, 30 + j, 3 + j % 4, 0), 2)) ++
+          (1 until 8 by 2).map(i => (row(400 + i, i, 5 + i % 4, 0), 2)) ++
+          (0 until 3).map(k => (row(500 + k, 60 + k, 4 + k % 4, 0), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("vid_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-vidtrimstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = videoFrameHashes(docs.limit(0))
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_ts",
+          videoBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_ts", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.vid_adm_ts",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalVideoDedupTrimmed(
+          s, stage, docs.schema, bands, sigs, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = videoFrameHashes(docs).localCheckpoint()
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select("vid_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + (i % 20) AS w, 12 + (i % 5) AS h,
+        |    4 + (i % 4) AS nf, 0 AS fb, -1 AS ef, -1 AS ex, -1 AS ey, 0 AS sl
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + (i % 20), 12 + (i % 5), 3 + (i % 4), 1,
+        |    -1, -1, -1, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, 16 + ((30 + j) % 20), 12 + ((30 + j) % 5),
+        |    4 + (j % 4), 0, -1, -1, -1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, 16 + ((30 + j) % 20), 12 + ((30 + j) % 5),
+        |    3 + (j % 4), 0, -1, -1, -1, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, 16 + (i % 20), 12 + (i % 5), 5 + (i % 4), 0,
+        |    -1, -1, -1, 2
+        |  FROM range(8) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, 16 + ((60 + k) % 20), 12 + ((60 + k) % 5),
+        |    4 + (k % 4), 0, -1, -1, -1, 2
+        |  FROM range(3) t(k)),
+        |$videoOracleFrameBitsOffset,
+        |pr AS (
+        |  SELECT x.vid_id AS x, x.nf AS xnf, y.vid_id AS y, y.nf AS ynf
+        |  FROM vids x JOIN vids y ON x.vid_id <> y.vid_id
+        |    AND abs(x.nf - y.nf) <= 2),
+        |sc AS (
+        |  SELECT pr.x, pr.y, pp.p, sum(bit_count(xor(bx.h, by.h))) AS d
+        |  FROM pr, range(3) pp(p), vbits bx, vbits by
+        |  WHERE pp.p <= abs(pr.xnf - pr.ynf)
+        |    AND bx.vid_id = pr.x AND by.vid_id = pr.y
+        |    AND bx.f - by.f = CASE WHEN pr.xnf >= pr.ynf THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT DISTINCT x, y FROM sc WHERE d <= 3),
+        |a0 AS (SELECT vid_id FROM vids WHERE sl = 0),
+        |a1 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.vid_id WHERE pt.x = v.vid_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.vid_id WHERE pt.x = v.vid_id))
+        |SELECT vid_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT vid_id FROM a0 UNION ALL SELECT vid_id FROM a1
+        |  UNION ALL SELECT vid_id FROM a2)
+        |ORDER BY vid_id""".stripMargin),
   )
 }

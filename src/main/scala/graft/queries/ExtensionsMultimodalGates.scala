@@ -681,6 +681,74 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY clip_a, clip_b""".stripMargin),
 
 
+    // X14a': 16-BIT audio near-dup (r14 verdict #2) — the same banded
+    // windowed-energy dedup over the REAL-WORLD PCM width: 16-bit signed
+    // mono, summed as signed shorts decoded per the container's declared
+    // byte order ([[graft.operators.AudioCodec.fingerprintRow]]'s wide
+    // branch). The fixture mixes CONTAINERS deliberately — bases
+    // alternate WAV (little-endian) / AIFF (big-endian), i%3=1 clones are
+    // exact re-encodes in the OTHER container — so the found hamming-0
+    // pairs prove byte-order/container independence in-gate, and 6
+    // same-seed 8-BIT clips ride along with the 8↔16 non-aliasing pinned
+    // (different quantizations must not alias — REQUIREd absent). The
+    // oracle brute-forces all pairs over the ONE mixed-width closed-form
+    // CTE ([[Extensions.audioOracleBitsMixed]]). Same 100 TB shape as
+    // the 8-bit gate: fingerprint once at ingest, band self-join
+    // shuffles 4 narrow rows per clip, samples never cross the wire.
+    ("x_audio_neardup_16bit",
+      (s: SparkSession, d: String) => {
+        val rows = (0 until 18).flatMap { i =>
+          val n = 33 * (10 + i)
+          val cont = if (i % 2 == 0) "wav" else "aiff"
+          val other = if (i % 2 == 0) "aiff" else "wav"
+          val base = audioFixtureRow16(i, i, n, edit = false, container = cont)
+          val clone =
+            if (i % 3 == 0) Some(audioFixtureRow16(100 + i, i, n, edit = true,
+              container = cont))
+            else if (i % 3 == 1) Some(audioFixtureRow16(100 + i, i, n, edit = false,
+              container = other))
+            else None
+          base :: clone.toList
+        } ++ (0 until 6).map(i => audioFixtureRow(200 + i, i, 33 * (10 + i), edit = false))
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiodedup16", df.schema)
+        t.append(s, df)
+        val bands = audioBands(t.toDF(s)).localCheckpoint()
+        val pairs = bandPairsOf(bands, "clip_id")
+          .select(col("a").as("clip_a"), col("b").as("clip_b"), col("hamming"))
+        val found = pairs.select("clip_a", "clip_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 18).filter(_ % 3 != 2).foreach { i =>
+          require(found.contains((i.toLong, (100 + i).toLong)),
+            s"planted 16-bit near-clone pair ($i, ${100 + i}) must band-collide and verify")
+        }
+        (0 until 6).foreach { i =>
+          require(!found.contains((i.toLong, (200 + i).toLong)),
+            s"same-seed 8-bit clip ${200 + i} must NOT alias 16-bit clip $i")
+        }
+        pairs.orderBy("clip_a", "clip_b")
+      },
+      // mixed-width closed form: wide clips u = (x·(13+7·seed)·193 + 31)
+      // mod 65536, sample u − 32768, half-range flip at the one edited
+      // sample; narrow clips the 8-bit formula — ONE shared CTE
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, 33 * (10 + i) AS n, -1 AS e, true AS wide
+        |  FROM range(18) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 33 * (10 + i),
+        |    CASE WHEN i % 3 = 0 THEN (33 * (10 + i)) // 2 ELSE -1 END, true
+        |  FROM range(18) t(i) WHERE i % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 33 * (10 + i), -1, false
+        |  FROM range(6) t(i)),
+        |${audioOracleBitsMixed(891)}
+        |SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.clip_id < b.clip_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY clip_a, clip_b""".stripMargin),
+
+
     // X14d: INCREMENTAL audio dedup vs a durable fingerprint state — the
     // x_incremental_image_dedup discipline on the audio family: the
     // crawled corpus's fingerprint BANDS persist in a band_key-bucketed,
@@ -844,19 +912,191 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14c': TRIM-TOLERANT video near-dup (r14 verdict #1) — the highest-
+    // leverage correctness edge of the video capability: real video
+    // near-dups are overwhelmingly TRIMS (a leading/trailing frame or two
+    // cut), invisible to the equal-length aligned rule. The bounded-
+    // containment rule ([[Extensions.videoContainmentPairsOf]] with
+    // maxLenDiff = 2): the shorter clip sits fully inside the longer at
+    // some anchor p ≤ 2 with the aligned-hamming SUM ≤ 3, reported at the
+    // best anchor. Nomination stays banded and lossless by pigeonhole PER
+    // OFFSET (frame-0 bands × first-3-frame bands). Fixture: i%4=0 bases
+    // get a 1-frame-LEADING-trimmed clone (anchor 1), i%4=1 a 2-frame-
+    // TRAILING-trimmed clone with a single-pixel edit (anchor 0, hamming
+    // ≤ 2 — trim plus perturbation together), i%4=2 a 2-frame-leading
+    // trim (anchor 2), i%4=3 an OVER-trimmed control (3 frames cut —
+    // beyond tolerance, must NOT pair). The oracle brute-forces ALL pairs
+    // × ALL anchors over the closed-form offset frame hashes. At 100 TB
+    // the anchor sweep multiplies candidate-verify rows by ≤ 3 — pixels
+    // still never shuffle.
+    ("x_video_neardup_trimmed",
+      (s: SparkSession, d: String) => {
+        val rows = (0 until 14).flatMap { i =>
+          val w = 16 + i; val h = 12 + (i % 5); val nf = 4 + (i % 4)
+          val base = videoTrimFixtureRow(i, i, w, h, nf, 0, edit = false)
+          val clone = (i % 4) match {
+            case 0 => videoTrimFixtureRow(100 + i, i, w, h, nf - 1, 1, edit = false)
+            case 1 => videoTrimFixtureRow(100 + i, i, w, h, nf - 2, 0, edit = true)
+            case 2 => videoTrimFixtureRow(100 + i, i, w, h, nf - 2, 2, edit = false)
+            case _ => videoTrimFixtureRow(300 + i, i, w, h, nf - 3, 0, edit = false)
+          }
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videotrim", df.schema)
+        t.append(s, df)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, maxLenDiff = Some(2))
+        // recall floor REQUIREd in-gate: every planted trimmed clone must
+        // nominate and verify AT ITS PLANTED ANCHOR; the over-trimmed
+        // controls must stay invisible (len diff 3 > tolerance 2)
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(found.get((i.toLong, 100L + i)).contains(1L),
+              s"lead-1 trimmed clone ($i, ${100 + i}) must verify at anchor 1")
+            case 1 => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"trail-2+edit clone ($i, ${100 + i}) must verify at anchor 0")
+            case 2 => require(found.get((i.toLong, 100L + i)).contains(2L),
+              s"lead-2 trimmed clone ($i, ${100 + i}) must verify at anchor 2")
+            case _ => require(!found.contains((i.toLong, 300L + i)),
+              s"over-trimmed control ($i, ${300 + i}) must NOT pair")
+          }
+        }
+        pairs.orderBy("vid_long", "vid_short")
+      },
+      // all pairs × all anchors over the closed-form OFFSET frame hashes
+      // ([[Extensions.videoOracleFrameBitsOffset]]): orient longer-first
+      // (ties by id), sweep p ≤ nfl − nfs ≤ 2, keep min-sum ≤ 3 with the
+      // smallest best anchor
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    4 + (i % 4) AS nf, 0 AS fb, -1 AS ef, -1 AS ex, -1 AS ey
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 1, 1, -1, -1, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 100 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 2, 0,
+        |    i % ((4 + (i % 4)) - 2), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 100 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 2, 2, -1, -1, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 300 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 3, 0, -1, -1, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 3),
+        |$videoOracleFrameBitsOffset,
+        |pr AS (
+        |  SELECT l.vid_id AS l, s.vid_id AS s, l.nf AS nfl, s.nf AS nfs
+        |  FROM vids l JOIN vids s ON l.vid_id <> s.vid_id
+        |    AND l.nf - s.nf BETWEEN 0 AND 2
+        |    AND (l.nf > s.nf OR l.vid_id < s.vid_id)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pp.p, CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), vbits bs, vbits bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.vid_id = pr.s
+        |    AND bl.vid_id = pr.l AND bl.f = bs.f + pp.p
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT l, s, min(d) AS hamming FROM sc WHERE d <= 3 GROUP BY 1, 2)
+        |SELECT b.l AS vid_long, b.s AS vid_short, b.hamming,
+        |  CAST(min(sc.p) AS BIGINT) AS anchor
+        |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
+    // X14c'': VIDEO CONTAINMENT (r14 verdict #6) — the frame-axis analog
+    // of x_containment: a SHORT clip whose frames are a contiguous
+    // subsequence of a longer clip at ANY anchor (intro/outro cuts beyond
+    // the trim window). Same bounded-containment rule with the length cap
+    // OFF ([[Extensions.videoContainmentPairsOf]](None)): nomination via
+    // ANY-frame band hits against the short side's frame-0 bands
+    // (pigeonhole per anchor keeps it lossless), verify = windowed
+    // alignment at the best anchor over the full anchor sweep. Fixture:
+    // 12 long bases (6-8 frames); i%3=0 bases get a 3-frame inner
+    // subsequence clone at a seed-derived anchor, i%3=1 the same plus a
+    // single-pixel edit, i%3=2 none. The oracle brute-forces the full
+    // anchor sweep per pair. At 100 TB the sweep is bounded by the length
+    // difference of NOMINATED pairs only — candidates still come from the
+    // band equi-join, never all-pairs.
+    ("x_video_containment",
+      (s: SparkSession, d: String) => {
+        val rows = (0 until 12).flatMap { i =>
+          val w = 16 + i; val h = 12 + (i % 5); val nf = 6 + (i % 3)
+          val a0 = i % (nf - 2)
+          val base = videoTrimFixtureRow(i, i, w, h, nf, 0, edit = false)
+          val clone =
+            if (i % 3 == 0) Some(videoTrimFixtureRow(100 + i, i, w, h, 3, a0, edit = false))
+            else if (i % 3 == 1) Some(videoTrimFixtureRow(100 + i, i, w, h, 3, a0, edit = true))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videocontain", df.schema)
+        t.append(s, df)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, maxLenDiff = None)
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        (0 until 12).filter(_ % 3 != 2).foreach { i =>
+          val a0 = (i % (6 + (i % 3) - 2)).toLong
+          require(found.get((i.toLong, 100L + i)).contains(a0),
+            s"planted 3-frame subsequence ($i, ${100 + i}) must verify at anchor $a0")
+        }
+        pairs.orderBy("vid_long", "vid_short")
+      },
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    6 + (i % 3) AS nf, 0 AS fb, -1 AS ef, -1 AS ex, -1 AS ey
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 16 + i, 12 + (i % 5), 3, i % ((6 + (i % 3)) - 2),
+        |    CASE WHEN i % 3 = 1 THEN i % 3 ELSE -1 END,
+        |    CASE WHEN i % 3 = 1 THEN (3 * (16 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 3 = 1 THEN (3 * (12 + (i % 5))) // 8 ELSE -1 END
+        |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |$videoOracleFrameBitsOffset,
+        |pr AS (
+        |  SELECT l.vid_id AS l, s.vid_id AS s, l.nf AS nfl, s.nf AS nfs
+        |  FROM vids l JOIN vids s ON l.vid_id <> s.vid_id
+        |    AND l.nf >= s.nf AND (l.nf > s.nf OR l.vid_id < s.vid_id)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pp.p, CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(8) pp(p), vbits bs, vbits bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.vid_id = pr.s
+        |    AND bl.vid_id = pr.l AND bl.f = bs.f + pp.p
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT l, s, min(d) AS hamming FROM sc WHERE d <= 3 GROUP BY 1, 2)
+        |SELECT b.l AS vid_long, b.s AS vid_short, b.hamming,
+        |  CAST(min(sc.p) AS BIGINT) AS anchor
+        |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
     // X14f: the MULTIMODAL DEDUP ROUTER — the composition a real ingest
     // runs FIRST: one corpus table of mixed binary blobs, routed by
     // container magic ([[graft.operators.Multimodal.sniffFormat]] — pure
     // codegen'd prefix compares, the only operator that may touch a blob
     // before a codec is chosen), each family then deduped by ITS OWN
-    // perceptual rule: png/bmp → dHash bands, riff(wav) → windowed-energy
-    // bands, gif → per-frame aligned-hamming. Routing correctness is
-    // REQUIREd (family counts == planted counts) and every planted clone
-    // pair in every family must band-collide and verify. The oracle
-    // recomputes all three families' closed-form hashes and unions the
-    // three admission rules — one mixed corpus, three losslessly-banded
-    // verdicts. At 100 TB the route is a map-side classify; nothing
-    // downstream ever decodes a blob with the wrong codec.
+    // rule: png/bmp → dHash bands, riff(wav) → windowed-energy bands,
+    // gif → per-frame aligned-hamming, and (r14 verdict #8) mp3/mp4 —
+    // header-decodable containers with no JDK sample codec — to an
+    // explicit EXACT family (md5-of-bytes dedup: no decoded samples, so
+    // no perceptual rule can exist; byte identity is the only sound
+    // dedup) while unrecognized bytes land in QUARANTINE (counted, never
+    // decoded, zero pairs) — the mixed corpus is thereby FULLY
+    // partitioned, no family falls out of the map silently. Routing
+    // correctness is REQUIREd (family counts == planted counts) and
+    // every planted clone pair in every family must verify. The oracle
+    // recomputes the three perceptual families' closed-form hashes and
+    // unions their admission rules with the exact family's fixture-
+    // determined byte-identical pairs (deterministic encoders: same
+    // constructor args ⇔ same bytes). At 100 TB the route is a map-side
+    // classify; nothing downstream ever decodes a blob with the wrong
+    // codec, and the exact family's md5 shuffles 1 narrow row per blob.
     ("x_multimodal_dedup_router",
       (s: SparkSession, d: String) => {
         import graft.operators.Multimodal
@@ -886,7 +1126,25 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             else None
           base :: clone.toList
         }
-        val df = s.createDataFrame(imgs ++ clips ++ vids).toDF("blob_id", "blob")
+        // the non-perceptual classes (r14 verdict #8): mp3/mp4 blobs are
+        // header-decodable only — i%2=0 seeds get a BYTE-IDENTICAL twin
+        // (same deterministic constructor args) that must exact-dedup;
+        // plus unrecognized bytes that must quarantine
+        val mp3s = (0 until 8).flatMap { i =>
+          def b() = graft.operators.MediaHeaders.encodeMp3(3, 1, 9, 0, 0, 0, 16 + i)
+          ((600 + i).toLong, b()) ::
+            (if (i % 2 == 0) List(((700 + i).toLong, b())) else Nil)
+        }
+        val mp4s = (0 until 8).flatMap { i =>
+          def b() = graft.operators.MediaHeaders.encodeMp4("isom", 1000L + i, 600L,
+            Seq((64 + i, 48)))
+          ((800 + i).toLong, b()) ::
+            (if (i % 2 == 0) List(((900 + i).toLong, b())) else Nil)
+        }
+        val unknowns = (0 until 4).map(i =>
+          ((950 + i).toLong, s"not a container $i".getBytes("UTF-8")))
+        val df = s.createDataFrame(imgs ++ clips ++ vids ++ mp3s ++ mp4s ++ unknowns)
+          .toDF("blob_id", "blob")
         val t = TableOps.newCatalog().createTable("db.mixed_blobs", df.schema)
         t.append(s, df)
         // ONE sniff per row: materialize the prefix-compare cascade as a
@@ -897,15 +1155,21 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           .withColumn("family",
             when(col("fmt").isin("png", "bmp"), "image")
               .when(col("fmt") === "riff", "audio")
-              .when(col("fmt") === "gif", "video"))
+              .when(col("fmt") === "gif", "video")
+              .when(col("fmt").isin("mp3", "mp4"), "exact")
+              .otherwise("quarantine"))
           .drop("fmt")
           .localCheckpoint()
         // routing correctness REQUIREd: the magic-byte classify must split
-        // the mixed corpus exactly along the planted families
+        // the mixed corpus exactly along the planted families — INCLUDING
+        // the exact and quarantine classes, so no blob class can fall out
+        // of the family map silently
         val fam = routed.groupBy("family").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         require(fam == Map("image" -> imgs.size.toLong,
-            "audio" -> clips.size.toLong, "video" -> vids.size.toLong),
+            "audio" -> clips.size.toLong, "video" -> vids.size.toLong,
+            "exact" -> (mp3s.size + mp4s.size).toLong,
+            "quarantine" -> unknowns.size.toLong),
           s"router must split the corpus by container magic: $fam")
         // per-family dedup through the SHARED pair rules — the same
         // bandPairsOf/videoPairsOf the dedicated near-dup gates ship
@@ -919,7 +1183,17 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             videoFrameHashes(routed.filter(col("family") === "video")
               .select(col("blob_id").as("vid_id"), col("blob"))).localCheckpoint())
           .withColumn("family", lit("video"))
+        // the exact family's rule: md5 of the raw bytes, equi-join on the
+        // digest — 1 narrow row per blob, never all-pairs, never a decode
+        val exactKeys = routed.filter(col("family") === "exact")
+          .select(col("blob_id"), md5(col("blob")).as("k"))
+        val exactPairs = exactKeys.select(col("k"), col("blob_id").as("a"))
+          .join(exactKeys.select(col("k"), col("blob_id").as("b")), Seq("k"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), lit(0L).as("hamming"))
+          .withColumn("family", lit("exact"))
         val out = imgPairs.unionByName(audPairs).unionByName(vidPairs)
+          .unionByName(exactPairs)
           .select("family", "a", "b", "hamming")
         val found = out.select("a", "b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -928,6 +1202,11 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             found.contains((200L + i, 300L + i)) &&
             found.contains((400L + i, 500L + i)),
             s"planted clone pairs for seed $i must verify in every family")
+        }
+        (0 until 8 by 2).foreach { i =>
+          require(found.contains((600L + i, 700L + i)) &&
+            found.contains((800L + i, 900L + i)),
+            s"planted byte-identical mp3/mp4 twins for seed $i must exact-dedup")
         }
         out.orderBy("family", "a", "b")
       },
@@ -982,6 +1261,14 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.nf = va.nf
         |  GROUP BY 1, 2, 3
         |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3) u3
+        |UNION ALL
+        |SELECT 'exact' AS family, CAST(600 + 2 * i AS BIGINT) AS a,
+        |  CAST(700 + 2 * i AS BIGINT) AS b, CAST(0 AS BIGINT) AS hamming
+        |FROM range(4) t(i)
+        |UNION ALL
+        |SELECT 'exact', CAST(800 + 2 * i AS BIGINT),
+        |  CAST(900 + 2 * i AS BIGINT), CAST(0 AS BIGINT)
+        |FROM range(4) t(i)
         |ORDER BY family, a, b""".stripMargin),
 
 
@@ -1085,6 +1372,136 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
         |m AS (SELECT bvid AS vid_id, CAST(count(DISTINCT hvid) AS BIGINT) AS matches
         |  FROM pm GROUP BY 1)
+        |SELECT b.vid_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.vid_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT vid_id FROM vids WHERE NOT is_hist) b LEFT JOIN m USING (vid_id)
+        |ORDER BY vid_id""".stripMargin),
+
+
+    // X14e': INCREMENTAL TRIM-TOLERANT video dedup (r14 verdict #1's
+    // durable leg) — the two-plane crawl with the bounded-containment
+    // admission rule: the band plane persists the first THREE frames'
+    // bands of each admitted video (complete nomination by pigeonhole per
+    // offset, EITHER length direction), the sequence plane the full
+    // per-frame hashes; a batch video rejects when a history video within
+    // 2 frames of its length aligns fully-contained at some anchor with
+    // aligned-hamming sum ≤ 3. The batch plants all four trim classes:
+    // lead-1-trimmed recrawls (REJECT), trail-2-trimmed + single-pixel-
+    // edited recrawls (REJECT — trim and perturbation together), 3-frame
+    // over-trims (ADMIT — beyond tolerance, the documented boundary), and
+    // one-frame-EXTENDED recrawls (REJECT — the batch-LONGER direction:
+    // history is a contained prefix), plus fresh videos (ADMIT).
+    // Mid-sequence compactionProof on the sequence plane + a full-batch
+    // reprobe through the shipped rule. Oracle = batch-vs-history
+    // anchor-swept containment over closed-form offset frame hashes.
+    ("x_incremental_video_dedup_trimmed",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        val hist = (0 until 14).map(i =>
+          videoTrimFixtureRow(i, i, 16 + i, 12 + i % 5, 4 + i % 4, 0, edit = false))
+        val batch = (0 until 14).flatMap { i =>
+          val w = 16 + i; val h = 12 + (i % 5); val nf = 4 + (i % 4)
+          (i % 4) match {
+            case 0 => Some(videoTrimFixtureRow(200 + i, i, w, h, nf - 1, 1, edit = false))
+            case 1 => Some(videoTrimFixtureRow(300 + i, i, w, h, nf - 2, 0, edit = true))
+            case 2 => Some(videoTrimFixtureRow(400 + i, i, w, h, nf - 3, 0, edit = false))
+            case _ => Some(videoTrimFixtureRow(600 + i, i, w, h, nf + 1, 0, edit = false))
+          }
+        } ++ (0 until 8).map(j =>
+          videoTrimFixtureRow(500 + j, 50 + j, 16 + j, 12 + j % 5, 4 + j % 4, 0,
+            edit = false))
+        val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        def bandsK(f: DataFrame) = videoBands(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_t",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_t", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 7), histFh.filter(col("vid_id") >= 7))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, bandsK(batchFh).join(adm, Seq("vid_id"))
+          .select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"lead-1-trimmed recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"trail-2+edit recrawl ${300 + i} must reject")
+            case 2 => require(admitted.contains(400L + i),
+              s"over-trimmed clip ${400 + i} must admit (beyond tolerance)")
+            case _ => require(rejected.contains(600L + i),
+              s"one-frame-extended recrawl ${600 + i} must reject (batch-longer direction)")
+          }
+        }
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      // batch-vs-history bounded containment over the closed-form OFFSET
+      // frame hashes: anchors sweep |Δnf| ≤ 2 with the engine's signed
+      // alignment (batch longer ⇒ ba.f = hb.f + p; history longer ⇒
+      // hb.f = ba.f + p)
+      s"""WITH vids AS (
+        |  SELECT i AS vid_id, i AS seed, 16 + i AS w, 12 + (i % 5) AS h,
+        |    4 + (i % 4) AS nf, 0 AS fb, -1 AS ef, -1 AS ex, -1 AS ey, true AS is_hist
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 1, 1,
+        |    -1, -1, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 2, 0,
+        |    i % ((4 + (i % 4)) - 2), (3 * (16 + i)) // 8, (3 * (12 + (i % 5))) // 8, false
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) - 3, 0,
+        |    -1, -1, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, 16 + i, 12 + (i % 5), (4 + (i % 4)) + 1, 0,
+        |    -1, -1, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, 16 + j, 12 + (j % 5), 4 + (j % 4), 0,
+        |    -1, -1, -1, false
+        |  FROM range(8) t(j)),
+        |$videoOracleFrameBitsOffset,
+        |pr AS (
+        |  SELECT b.vid_id AS bv, b.nf AS bnf, h.vid_id AS hv, h.nf AS hnf
+        |  FROM vids b JOIN vids h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.nf - h.nf) <= 2),
+        |sc AS (
+        |  SELECT pr.bv, pr.hv, pp.p, sum(bit_count(xor(ba.h, hb.h))) AS d
+        |  FROM pr, range(3) pp(p), vbits ba, vbits hb
+        |  WHERE pp.p <= abs(pr.bnf - pr.hnf)
+        |    AND ba.vid_id = pr.bv AND hb.vid_id = pr.hv
+        |    AND ba.f - hb.f = CASE WHEN pr.bnf >= pr.hnf THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT bv AS vid_id, CAST(count(DISTINCT hv) AS BIGINT) AS matches
+        |  FROM sc WHERE d <= 3 GROUP BY 1)
         |SELECT b.vid_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
         |  m.vid_id IS NULL AS admitted, true AS compacted
         |FROM (SELECT vid_id FROM vids WHERE NOT is_hist) b LEFT JOIN m USING (vid_id)

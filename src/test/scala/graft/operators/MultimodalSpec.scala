@@ -359,9 +359,10 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(base.longValue() ^ other.longValue()) > 3)
     // 32-bit contract: nonnegative, sign-safe band arithmetic
     assert(base >= 0L && base < (1L << 32))
-    // refusals: garbage, 16-bit PCM (unsupported shape), under-33 frames
+    // refusals: garbage, 16-bit STEREO (channels, not width — 16-bit mono
+    // is supported since r15), under-33 frames
     assert(AudioCodec.fingerprintRow("not audio".getBytes("UTF-8")) == null)
-    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudio("wav", 8000, 1, 100)) == null)
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudio("wav", 8000, 2, 100)) == null)
     // 8-bit mono but PCM_SIGNED (AIFF's 8-bit convention): same bits and
     // channels, wrong ENCODING — fingerprinting its sign-wrapped bytes as
     // unsigned would make the hash container-dependent, so it must refuse
@@ -384,6 +385,60 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(got(0).getLong(1) == base.longValue())
     assert(got(1).isNullAt(1))
+  }
+  test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
+    // the trimmed-clone contract videoTrimFixtureRow rests on: a clip
+    // encoded with (frames - t, frameBase = t0) hashes frame f exactly as
+    // the base hashes frame f + t0 — so the containment verify's aligned
+    // sums read 0 at the true anchor
+    val df = spark.createDataFrame(Seq(
+      (0L, ImageCodec.encodeAnimatedGifVariant(24, 16, 6, 9)),
+      (1L, ImageCodec.encodeAnimatedGifVariant(24, 16, 4, 9, frameBase = 2))))
+      .toDF("id", "blob")
+    val fh = df.select(col("id"),
+        explode(Multimodal.frameDhashes(col("blob"), 1)).as("fr"))
+      .select(col("id"), col("fr.frame").as("f"), col("fr.h").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { f =>
+      assert(fh((1L, f)) == fh((0L, f + 2)),
+        s"trimmed frame $f must hash as base frame ${f + 2}")
+    }
+  }
+
+  test("16-bit audio fingerprint: WAV == AIFF byte-order identity; edits within 2 bits; 8<->16 never aliases") {
+    val n = 33 * 20
+    // cross-container identity: SAME samples stored little-endian (WAV)
+    // and big-endian (AIFF) must fingerprint IDENTICALLY — the hash is a
+    // function of decoded samples, never of container byte order
+    val wav = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("wav", n, 5))
+    val aiff = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("aiff", n, 5))
+    assert(wav != null && aiff != null && wav == aiff)
+    // 32-bit contract: nonnegative, sign-safe band arithmetic
+    assert(wav >= 0L && wav < (1L << 32))
+    // single-sample edit perturbs one window sum: <= 2 bits, cross-container too
+    val edit = AudioCodec.fingerprintRow(
+      AudioCodec.encodeAudioVariant16("aiff", n, 5, editAt = n / 2))
+    assert(java.lang.Long.bitCount(wav.longValue() ^ edit.longValue()) <= 2)
+    // different seeds are far apart; exact re-encode is bit-identical
+    val other = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("wav", n, 6))
+    assert(java.lang.Long.bitCount(wav.longValue() ^ other.longValue()) > 3)
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("wav", n, 5)) == wav)
+    // 8<->16 non-aliasing: the two widths are different quantizations of
+    // different sample domains — same-seed clips must NOT sit within the
+    // hamming-3 verify threshold
+    (0 until 8).foreach { seed =>
+      val wide = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("wav", n, seed))
+      val narrow = AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant(n, seed))
+      assert(java.lang.Long.bitCount(wide.longValue() ^ narrow.longValue()) > 3,
+        s"8/16-bit fingerprints alias at seed $seed")
+    }
+    // refusal: under-33-frame wide clips
+    assert(AudioCodec.fingerprintRow(AudioCodec.encodeAudioVariant16("wav", 20, 1)) == null)
+    // the Catalyst expression matches the wide row kernel through codegen
+    val df = spark.createDataFrame(Seq(
+      (1L, AudioCodec.encodeAudioVariant16("aiff", n, 5)))).toDF("id", "blob")
+    val got = df.select(Multimodal.audioFingerprint(col("blob")).as("h")).head
+    assert(got.getLong(0) == wav.longValue())
   }
   test("dHash properties over random fixtures: pick-edits stay within 2 bits; hamming <= 3 always shares a band") {
     val rnd = new scala.util.Random(20260815L) // seeded: deterministic run

@@ -169,6 +169,70 @@ class StreamVideoDedupSpec extends SparkSpec {
       s"the In probe must prune the nomination read: ${m.filesScanned}/${m.filesTotal}")
   }
 
+  test("trimmed loop: cross-batch trim rejections in BOTH length directions") {
+    // slice 0 admits bases 1 (4 frames) and 3 (5 frames); slice 1 brings
+    // a lead-1-TRIMMED recrawl of 1 (id 11, 3 frames — batch SHORTER), a
+    // one-frame-EXTENDED recrawl of 3 (id 13, 6 frames — batch LONGER),
+    // and a fresh video (id 15). The equal-length loop would admit both
+    // recrawls; the trimmed loop must reject them.
+    val rows = Seq(
+      Extensions.videoTrimFixtureRow(1L, 1, 40, 18, 4, 0, edit = false),
+      Extensions.videoTrimFixtureRow(3L, 3, 32, 20, 5, 0, edit = false),
+      Extensions.videoTrimFixtureRow(11L, 1, 40, 18, 3, 1, edit = false),
+      Extensions.videoTrimFixtureRow(13L, 3, 32, 20, 6, 0, edit = false),
+      Extensions.videoTrimFixtureRow(15L, 7, 36, 17, 4, 0, edit = false))
+    val df = rows.toDF("vid_id", "blob")
+    val (bands, sigs, results) = newTables()
+    val stage = TableOps.newTempDir("graft-svidspec-trim")
+    Extensions.stageOrderedSlices(df, stage,
+      when(col("vid_id") < 10L, 0).otherwise(1), 2)
+    val batches = Extensions.streamIncrementalVideoDedupTrimmed(
+      spark, stage, docsSchema, bands, sigs, results)
+    assert(batches == 2)
+    val admitted = results.toDF(spark).select("vid_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L, 15L),
+      s"trimmed recrawls must reject in both directions: $admitted")
+    // sequence plane: one row per admitted frame; band plane: the
+    // admitted videos' DISTINCT first-3-frame bands (the trimmed loop's
+    // nomination-plane shape)
+    assert(sigs.toDF(spark).count() == (4 + 5 + 4).toLong)
+    val admFh = Extensions.videoFrameHashes(
+      rows.filter(r => admitted.contains(r._1)).toDF("vid_id", "blob"))
+    val expBands = Extensions.videoBands(admFh.filter(col("frame") <= 2))
+      .select("vid_id", "band_key").distinct().count()
+    assert(bands.toDF(spark).count() == expBands,
+      "band plane must hold exactly the admitted first-3-frame distinct bands")
+    assert(results.meta.snapshots.size == 2 && sigs.meta.snapshots.size == 2 &&
+      bands.meta.snapshots.size == 2,
+      "one statementId-keyed commit per table per batch")
+  }
+
+  test("trimmed loop: crash after the results commit replays to identical verdicts") {
+    val rows = Seq(
+      Extensions.videoTrimFixtureRow(1L, 1, 40, 18, 4, 0, edit = false),
+      Extensions.videoTrimFixtureRow(3L, 3, 32, 20, 5, 0, edit = false),
+      Extensions.videoTrimFixtureRow(11L, 1, 40, 18, 3, 1, edit = false),
+      Extensions.videoTrimFixtureRow(15L, 7, 36, 17, 4, 0, edit = false))
+    val df = rows.toDF("vid_id", "blob")
+    val (bands, sigs, results) = newTables()
+    val stage = TableOps.newTempDir("graft-svidspec-trimcrash")
+    Extensions.stageOrderedSlices(df, stage,
+      when(col("vid_id") < 10L, 0).otherwise(1), 2)
+    // batch 0's results landed, the stream died before either plane append
+    results.append(spark, Seq(1L, 3L).toDF("vid_id"),
+      statementId = Some(s"$stage-tvres-0"))
+    val batches = Extensions.streamIncrementalVideoDedupTrimmed(
+      spark, stage, docsSchema, bands, sigs, results)
+    assert(batches == 2)
+    val admitted = results.toDF(spark).select("vid_id").as[Long].collect().toSeq
+    assert(admitted.sorted == Seq(1L, 3L, 15L),
+      s"replay must not double-admit: $admitted")
+    assert(sigs.toDF(spark).count() == (4 + 5 + 4).toLong,
+      "the replayed batch's plane appends must complete")
+    assert(results.meta.snapshots.size == 2,
+      "the replayed results commit must no-op on its statementId")
+  }
+
   test("undecodable blobs are dropped: never admitted, never in either plane") {
     val (bands, sigs, results) = newTables()
     val fx = Seq(
