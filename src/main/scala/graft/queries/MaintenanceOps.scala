@@ -1133,6 +1133,64 @@ object MaintenanceOps {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // S15 at EXECUTION TIME (r14 verdict #3): DSv2 runtime filtering. The
+    // eager g_runtime_filter path collects dim keys in a driver job BEFORE
+    // planning the fact read; here the SAME prune happens INSIDE one
+    // executing SQL plan — Spark's dynamic-pruning subquery reuses the
+    // join's broadcast exchange, hands the collected o_orderkey set to the
+    // SPJ batch scan's SupportsRuntimeFiltering.filter, and the scan
+    // empties every bucket those keys cannot murmur3-hash into (the write
+    // path's own transform, so a pruned file provably holds no match).
+    // The dim's selective filter sits on a NON-join column (o_custkey), so
+    // nothing is statically inferrable onto the fact key — only the
+    // runtime filter can prune, which is exactly the 100 TB scenario: a
+    // selective dim join must not pay a full fact pass, and must not pay
+    // an extra driver job either. Flag certifies all three facts: the
+    // dynamic-pruning subquery in the EXECUTED plan, the DSv2 batch scan
+    // serving the fact, and the recorded runtime prune (QUERY_HISTORY
+    // `runtime-in` row with filesScanned < filesTotal).
+    ("g_dpp_join",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        registerSqlCatalog(s)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val sfx = java.util.UUID.randomUUID().toString.take(8)
+        val fact = s"dppf_$sfx"
+        FixtureClock.timed {
+          Tables.lineitem(s, d).createOrReplaceTempView("lineitem_src_dpp")
+          s.sql(s"""CREATE TABLE graft_sql.db.$fact (
+            |  l_orderkey BIGINT, l_extendedprice DOUBLE)
+            |PARTITIONED BY (bucket(16, l_orderkey))""".stripMargin)
+          s.sql(s"INSERT INTO graft_sql.db.$fact " +
+            "SELECT l_orderkey, l_extendedprice FROM lineitem_src_dpp")
+        }
+        Tables.orders(s, d).createOrReplaceTempView("orders_src_dpp")
+        graft.table.QueryHistory.clear()
+        val probe = s.sql(
+          s"""SELECT o.o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM graft_sql.db.$fact l JOIN orders_src_dpp o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey = 5
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+        probe.collect()
+        val top = probe.queryExecution.executedPlan
+        val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val dppInPlan = plans.exists(_.toString.contains("dynamicpruning"))
+        val spjScan = plans.exists(_.toString.contains("graft-spj"))
+        val rf = graft.table.QueryHistory.all.filter(m =>
+          m.table == s"db.$fact" && m.predicate.startsWith("runtime-in"))
+        val pruned = rf.nonEmpty &&
+          rf.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
+        probe.withColumn("dpp_pruned", lit(dppInPlan && spjScan && pruned))
+      },
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  true AS dpp_pruned
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // D16 completed: task SCHEDULING semantics (docs/10:174-183 CREATE TASK
     // ... SCHEDULE='USING CRON ...' + ALTER TASK RESUME; docs/12:174-186).
     // An hourly-cron ingest task and a 30-minute interval task fire under a

@@ -5,12 +5,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, Murmur3Hash}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.sources.{EqualTo, Filter, In => SourceIn}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, Metadata, StructType}
 
 import graft.format.{Canonical, DataFile, GraftSchema, GraftUtil, PartitionField, Transform}
@@ -79,12 +79,73 @@ class GraftSpjScan(
     val files: Seq[DataFile],
     val pushed: Array[Filter],
     val required: StructType,
-    location: String) extends Scan with Batch with SupportsReportPartitioning {
+    location: String) extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-spj ${tbl.name()} bucket(${info.numBuckets}, ${info.colName})"
+
+  /** DSv2 RUNTIME FILTERING (S15's execution-time form, r14 verdict #3):
+    * a broadcast join's dim-side key set reaches this scan INSIDE the
+    * executing plan — Spark's dynamic-pruning subquery collects the build
+    * side's join keys and calls [[filter]] before input partitions are
+    * planned — so the fact read prunes to the buckets those keys hash
+    * into with no extra driver job (the eager
+    * [[graft.table.GraftTable.scanWithRuntimeFilter]] collect is the
+    * API-level twin; this is the SQL-plan-native one, composing with AQE
+    * via the reused broadcast exchange). Bucket values come from the
+    * write path's own transform ([[GraftBucketFunction]] — murmur3 seed
+    * 42, pmod), so a pruned-away file provably holds no matching key.
+    *
+    * KeyGroupedPartitioning constraint: the filtered scan must not
+    * change the reported partition VALUES, so pruned buckets keep their
+    * group key and drop to zero files instead of disappearing. The null
+    * bucket also empties — an equi-join In filter matches no null key.
+    * Each prune records a QUERY_HISTORY row (predicate `runtime-in(...)`)
+    * with the file/byte cut, the same observability surface as the
+    * native scans.
+    */
+  @volatile private var allowedBuckets: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(info.colName))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keys = filters.collectFirst {
+      case SourceIn(c, vs) if c.equalsIgnoreCase(info.colName) => vs.toSeq
+      case EqualTo(c, v) if c.equalsIgnoreCase(info.colName) => Seq(v)
+    }
+    keys.foreach { vs =>
+      val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(info.srcType)
+      val fn = GraftBucketFunction(info.srcType)
+      val buckets = vs.filter(_ != null).flatMap { v =>
+        Option(fn.produceResult(new GenericInternalRow(
+          Array[Any](info.numBuckets, toCatalyst(v))))).map(_.longValue)
+      }.toSet
+      allowedBuckets = Some(buckets)
+      val kept = groups.collect {
+        case (k: java.lang.Long, fs) if buckets.contains(k.longValue) => fs
+      }.flatten
+      graft.table.QueryHistory.record(graft.table.ScanMetrics(
+        tbl.graftTable.name,
+        tbl.graftTable.meta.currentSnapshotId.getOrElse(-1L),
+        s"runtime-in(${info.colName}, ${vs.size} keys)",
+        manifestsTotal = 0, manifestsScanned = 0,
+        filesTotal = files.size.toLong, filesScanned = kept.size.toLong,
+        partitionsTotal = groups.size.toLong,
+        partitionsScanned = groups.count {
+          case (k: java.lang.Long, _) => buckets.contains(k.longValue)
+          case _ => false
+        }.toLong,
+        bytesTotal = files.map(_.fileSizeBytes).sum,
+        bytesScanned = kept.map(_.fileSizeBytes).sum,
+        rowsInScannedFiles = kept.map(_.recordCount).sum,
+        timestampMs = System.currentTimeMillis()))
+    }
+  }
 
   /** Files grouped by stored bucket value (null partition last, for a stable
     * display order; Spark re-groups by key itself).
@@ -100,12 +161,21 @@ class GraftSpjScan(
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(info.numBuckets, info.colName)), groups.size)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val allowed = allowedBuckets
     groups.map { case (key, fs) =>
+      val keep = allowed match {
+        case Some(set) => key match {
+          case k: java.lang.Long if set.contains(k.longValue) => fs
+          case _ => Seq.empty // pruned or null-key bucket: key kept, no files
+        }
+        case None => fs
+      }
       GraftBucketPartition(
         new GenericInternalRow(Array[Any](key)),
-        fs.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
+        keep.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

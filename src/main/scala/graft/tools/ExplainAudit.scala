@@ -67,6 +67,24 @@ object ExplainAudit {
       spark.sql("SELECT event_id, value FROM g_audit.db.ev WHERE event_type = 'click' AND value > 1.0")
     }
 
+    // r14 verdict #3: the runtime-filter subquery must sit ON the DSv2
+    // batch scan — the dim's selective filter is on a non-join column, so
+    // only dynamic pruning can cut the fact read
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      "CREATE TABLE g_audit.db.fact (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    spark.sql(
+      "INSERT INTO g_audit.db.fact SELECT id % 50 AS k, CAST(id AS DOUBLE) AS v " +
+        "FROM range(0, 5000)")
+    spark.range(0, 50).selectExpr("id AS k", "concat('d', id) AS name")
+      .createOrReplaceTempView("dim_src")
+    audit("DSv2 runtime filter (expect dynamicpruning subquery on the graft-spj scan)") {
+      spark.sql(
+        """SELECT f.k, sum(f.v) AS sv
+          |FROM g_audit.db.fact f JOIN dim_src d ON f.k = d.k
+          |WHERE d.name = 'd7' GROUP BY f.k""".stripMargin)
+    }
+
     spark.stop()
   }
 }
