@@ -24,6 +24,34 @@ private[graft] object PlanningFixture {
       existing :+ t.writeManifest(m, files)
     }
 
+  /** One fabricated commit appending MANY manifests at once — the BULK
+    * builder for order-of-magnitude planning contracts (contract 19's
+    * 5,000 manifests): planning reads the manifest list and manifests,
+    * never snapshot lineage, so one bulk commit plans identically to
+    * 5,000 single-manifest commits while costing O(n) instead of the
+    * O(n²) manifest-list rewrites those commits would pay to build.
+    */
+  def appendFabricatedMany(t: GraftTable, manifests: Seq[Seq[DataFile]]): Snapshot =
+    t.commitSnapshot("append", None) { m =>
+      val existing = m.currentSnapshot.map(t.readManifestList(m, _)).getOrElse(Nil)
+      existing ++ manifests.map(t.writeManifest(m, _))
+    }
+
+  /** (manifest-list bytes, per-manifest file bytes) of the CURRENT
+    * snapshot's metadata tree — the contract-19 planning READ-VOLUME
+    * probes: phase 1 reads exactly the manifest list; phase 2 reads the
+    * surviving manifests' files.
+    */
+  def metadataVolume(t: GraftTable): (Long, Seq[Long]) = {
+    val m = t.meta
+    val s = m.currentSnapshot.get
+    val manifests = t.readManifestList(m, s)
+    (java.nio.file.Files.size(java.nio.file.Paths.get(
+        GraftUtil.resolve(m.location, s.manifestListPath))),
+      manifests.map(mm => java.nio.file.Files.size(
+        java.nio.file.Paths.get(GraftUtil.resolve(m.location, mm.path)))))
+  }
+
   /** A synthetic data file in identity partition `p = part` carrying
     * honest stats (exact min = max = the single value) for both the `id`
     * and `p` columns, so phase-2 file pruning exercises the same bounds

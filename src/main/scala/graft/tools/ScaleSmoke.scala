@@ -878,9 +878,13 @@ object ScaleSmoke {
     // [[planningLatencyContract]].
     planningLatencyContract()
 
-    // contract 18: the perceptual (image + video) streaming crawl loops
-    // at scale — see [[perceptualCrawlContract]].
+    // contract 18: the perceptual (image + video + audio) streaming
+    // crawl loops at scale — see [[perceptualCrawlContract]].
     perceptualCrawlContract(spark, mult)
+
+    // contract 19: planning read volume + latency at 500k files — see
+    // [[planningVolumeContract]].
+    planningVolumeContract()
 
     report("SCALE SMOKE OK")
     spark.stop()
@@ -1049,6 +1053,142 @@ object ScaleSmoke {
     require(speedFull >= 2.0,
       f"pruned planning must beat unpruned >=2x on the clustered layout, " +
         f"got $speedFull%.1fx")
+  }
+
+  /** Contract 19: planning READ VOLUME and latency at 500,000 files —
+    * contract 17 one order up (r14 verdict #7), with docs/03:10-17's
+    * "read a small number of manifest files (few MBs)" claim pinned as
+    * RECORDED BYTES, not prose. TWO tables carry the SAME synthetic
+    * content (bulk-fabricated metadata plane: 5,000 manifests × 100
+    * files over the 100-partition identity domain, values round-robin —
+    * the worst fragmentation, every manifest spans the whole domain);
+    * one stays fragmented, the other is rewriteManifests'd, so the
+    * latency ratio is measured INTERLEAVED on live twins (host drift
+    * hits both sides alike) instead of contract 17's rebuild-retry.
+    * Certified, all plans COLD (ManifestCache cleared):
+    *
+    *   a. planning never lists a directory — no data path exists, yet
+    *      the unpruned plan enumerates all 500,000 files from manifests
+    *      alone, and the fragmented single-partition probe reads all
+    *      5,000 manifests while phase-2 still file-prunes 99%;
+    *   b. the READ-VOLUME ledger: phase 1 is exactly the manifest list
+    *      (REQUIREd < 16 MB even at 5,000 entries); the fragmented
+    *      probe's phase 2 opens every manifest (the recorded tens-of-MBs
+    *      cost rewriteManifests exists to repair), while the rewritten
+    *      layout's probe reads ≤ 2 of ~100 partition-clustered manifests
+    *      — list + surviving manifests REQUIREd < 16 MB total, the
+    *      docs' "few MBs" as a measured number at half a million files;
+    *   c. wall-time follows surviving-manifest bytes: the rewritten
+    *      pruned plan beats the fragmented pruned plan AND the rewritten
+    *      unpruned plan ≥ 2× each (interleaved best-of-3).
+    */
+  private[tools] def planningVolumeContract(): Unit = {
+    import graft.format.{Predicate, Transform}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def report(s: String): Unit = println(s"[scale-smoke] $s")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft-smoke-plan19").toString
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("p", LongType)))
+    val nManifests = 5000
+    val filesPer = 100
+    def build(name: String): graft.table.GraftTable = {
+      val t = cat.createTable(name, schema,
+        partitionBy = Seq("p" -> Transform.Identity))
+      val m0 = t.meta
+      (0 until 5).foreach { c =>
+        val manifests = (0 until nManifests / 5).map { g =>
+          val mIdx = c * (nManifests / 5) + g
+          (0 until filesPer).map { i =>
+            graft.table.PlanningFixture.syntheticFile(
+              m0, part = 100L + i, id = mIdx.toLong * filesPer + i)
+          }
+        }
+        graft.table.PlanningFixture.appendFabricatedMany(t, manifests)
+      }
+      t
+    }
+    val (tFrag, tBuild1) = timed(build("db.plan19_frag"))
+    val (tRw, tBuild2) = timed(build("db.plan19_rw"))
+    def coldOnce(tbl: graft.table.GraftTable,
+                 preds: Predicate*): (graft.table.GraftScan, Double) = {
+      graft.format.ManifestCache.clear()
+      val sc = tbl.scan(preds: _*)
+      val (_, secs) = timed(sc.plan)
+      (sc, secs)
+    }
+    val probe = Predicate.Eq("p", 142L)
+    val mb = 1.0 / (1024 * 1024)
+    // the invariance claim pins the SAME table across its rewrite (file
+    // paths are table-local UUIDs, so a cross-twin path compare would be
+    // vacuously false)
+    val preRewriteFiles = coldOnce(tRw, probe)._1.dataFiles.map(_.path).toSet
+    val (_, tRewrite) = timed(tRw.rewriteManifests())
+
+    // structural facts, one cold plan each (the latency series come after)
+    val (fullFrag, _) = coldOnce(tFrag)
+    val (prunedFrag, _) = coldOnce(tFrag, probe)
+    val (fullRw, _) = coldOnce(tRw)
+    val (prunedRw, _) = coldOnce(tRw, probe)
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(tFrag.location, "data")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(tRw.location, "data")),
+      "metadata-plane fixture must never materialize a data directory")
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tFrag.location, "metadata")),
+      "guard self-check: the table's metadata dir must exist where we look")
+    require(fullFrag.metrics.manifestsTotal == nManifests &&
+      fullFrag.metrics.filesScanned == nManifests.toLong * filesPer,
+      s"unpruned plan must enumerate 500k files from manifests alone: ${fullFrag.metrics}")
+    val mf = prunedFrag.metrics
+    require(mf.manifestsScanned == nManifests && mf.filesScanned == nManifests.toLong,
+      s"fragmented probe: phase-1 keeps all manifests, phase-2 prunes 99%: $mf")
+    val mr = prunedRw.metrics
+    require(fullRw.metrics.manifestsTotal == nManifests * filesPer / 5000,
+      s"rewriteManifests must regroup 500k entries into 100 manifests: ${fullRw.metrics}")
+    require(mr.manifestsScanned <= 2,
+      s"phase-1 must prune the clustered layout to <=2 manifests: $mr")
+    require(mr.filesScanned == mf.filesScanned &&
+      prunedRw.dataFiles.map(_.path).toSet == preRewriteFiles,
+      "planned file SET must be invariant under rewriteManifests")
+
+    // the read-volume ledger (docs/03:10-17 'few MBs', recorded)
+    val (mlFragB, mfsFragB) = graft.table.PlanningFixture.metadataVolume(tFrag)
+    val (mlRwB, mfsRwB) = graft.table.PlanningFixture.metadataVolume(tRw)
+    val fragProbeMB = (mlFragB + mfsFragB.sum) * mb // reads every manifest
+    val rwProbeMB = (mlRwB +
+      mfsRwB.sorted.takeRight(mr.manifestsScanned).sum) * mb // list + survivors
+    report(f"planning volume at ${nManifests}x$filesPer files: " +
+      f"build=${tBuild1 + tBuild2}%.1fs rewrite=$tRewrite%.1fs " +
+      f"phase1_frag=${mlFragB * mb}%.2fMB frag_probe_total=$fragProbeMB%.1fMB " +
+      f"phase1_rw=${mlRwB * mb}%.2fMB rw_probe_total<=$rwProbeMB%.2fMB " +
+      f"(manifests ${mr.manifestsScanned}/${fullRw.metrics.manifestsTotal})")
+    require(mlFragB * mb < 16.0 && mlRwB * mb < 16.0,
+      f"phase 1 must stay a few MBs: frag=${mlFragB * mb}%.1fMB rw=${mlRwB * mb}%.1fMB")
+    require(rwProbeMB < 16.0,
+      f"clustered probe must read a few MBs total, got $rwProbeMB%.1fMB")
+    require(fragProbeMB > rwProbeMB * 4,
+      f"the fragmented probe's volume is what the rewrite repairs: " +
+        f"$fragProbeMB%.1fMB vs $rwProbeMB%.1fMB")
+
+    // interleaved latency series on the live twins: (frag pruned,
+    // rewritten pruned, rewritten full) x3, min per side
+    val series = (1 to 3).map { _ =>
+      (coldOnce(tFrag, probe)._2, coldOnce(tRw, probe)._2, coldOnce(tRw)._2)
+    }
+    val pf = series.map(_._1).min
+    val pr = series.map(_._2).min
+    val fr = series.map(_._3).min
+    report(f"planning latency at 500k files (interleaved): pruned_frag=${pf * 1000}%.0fms " +
+      f"pruned_rewritten=${pr * 1000}%.0fms full_rewritten=${fr * 1000}%.0fms " +
+      f"speedup_vs_fragmented=${pf / pr}%.1fx vs_unpruned=${fr / pr}%.1fx")
+    require(pf / pr >= 2.0,
+      f"post-rewrite pruned planning must beat the fragmented plan >=2x at 500k " +
+        f"files, got ${pf / pr}%.1fx")
+    require(fr / pr >= 2.0,
+      f"pruned planning must beat unpruned >=2x on the clustered layout at 500k " +
+        f"files, got ${fr / pr}%.1fx")
   }
 
   /** Contract 16: the five streaming CRAWL LOOPS at scale — the gates
@@ -1468,6 +1608,66 @@ object ScaleSmoke {
         .toDF("vid_id", "blob", "_slice")
     }
 
+    def audFixture(m: Int): DataFrame = {
+      val n = 40 * m
+      def row(id: Long, seed: Int, edit: Boolean) =
+        Extensions.audioFixtureRow(id, seed, 33 * (10 + seed % 15), edit)
+      val rows =
+        (0 until n).map(k => (row(k, k, edit = false), k % 2)) ++
+        (0 until n).map(k => (row(1000000L + k, n + k, edit = false), 2 + k % 2)) ++
+        (0 until n by 10).map(k => (row(2000000L + k, k, edit = false), 2 + (k / 10) % 2)) ++
+        (5 until n by 10).map(k => (row(3000000L + k, k, edit = true), 4 + (k / 10) % 2))
+      spark.createDataFrame(rows.map { case ((id, b), sl) => (id, b, sl) })
+        .toDF("clip_id", "blob", "_slice")
+    }
+
+    // r14 verdict #4: the AUDIO instantiation of the generic single-plane
+    // loop, replayed at both scales alongside image and video. The
+    // audio-specific economics from StreamAudioDedupSpec re-measured at
+    // scale: the 10-bit band space saturates per-file blooms, so the
+    // band_key BUCKET COUNT carries the probe — the state is 32-way
+    // bucketed and the sparse-regime (1x, small-batch) reads prune
+    // through bucket selection where the image plane's 18-bit blooms
+    // would have.
+    def audioCrawl(fx: DataFrame, tag: String) = {
+      val cat = newCat()
+      val docs = fx.drop("_slice")
+      val state = cat.createTable("db.aud_crawl18",
+        Extensions.audioBands(docs.limit(0)).schema,
+        partitionBy = Seq("band_key" -> Transform.Bucket(32)),
+        properties = Map(TableProperties.BloomColumns -> "band_key"))
+      val res = cat.createTable("db.audadm_crawl18",
+        new StructType().add("clip_id", LongType))
+      val stage = TableOps.newTempDir(s"graft-smoke-aud$tag")
+      Extensions.stagePreSliced(fx, stage, S, 1)
+      val scans = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      val (batches, secs) = timed(Extensions.streamIncrementalAudioDedup(
+        spark, stage, docs.schema, state, res,
+        onStateScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal))))
+      // per-slice stateless oracle with NO banding: brute hamming
+      // against the admitted-so-far fingerprint set
+      val hashes = fx.select(col("clip_id"), col("_slice"),
+          graft.operators.Multimodal.audioFingerprint(col("blob")).as("h"))
+        .filter(col("h").isNotNull).localCheckpoint()
+      var admitted: DataFrame = null
+      for (k <- 0 until S) {
+        val sl = hashes.filter(col("_slice") === k).select("clip_id", "h")
+        val adm = if (admitted == null) sl else {
+          val rejected = sl.join(admitted.select(col("h").as("h2")),
+              expr("bit_count(h ^ h2) <= 3"), "left_semi")
+            .select("clip_id")
+          sl.join(rejected, Seq("clip_id"), "left_anti")
+        }
+        admitted = (if (admitted == null) adm else admitted.unionByName(adm))
+          .localCheckpoint()
+      }
+      val parity = sameRows(res.toDF(spark).select("clip_id"),
+          admitted.select("clip_id")) &&
+        state.toDF(spark).count() == 4L * admitted.count()
+      (batches, Seq(res.meta.snapshots.size, state.meta.snapshots.size),
+        parity, scans.toSeq, secs)
+    }
+
     def imageCrawl(fx: DataFrame, tag: String) = {
       val cat = newCat()
       val docs = fx.drop("_slice")
@@ -1558,9 +1758,11 @@ object ScaleSmoke {
     def runPerceptual(m: Int, tag: String) = {
       val imgs = imgFixture(m).localCheckpoint()
       val vids = vidFixture(m).localCheckpoint()
+      val auds = audFixture(m).localCheckpoint()
       val (ri, imgState, imgRes) = imageCrawl(imgs, tag)
       val rv = videoCrawl(vids, tag)
-      for ((name, r) <- Seq(("image", ri), ("video", rv))) {
+      val ra = audioCrawl(auds, tag)
+      for ((name, r) <- Seq(("image", ri), ("video", rv), ("audio", ra))) {
         require(r._1 == S && r._2.forall(_ == S),
           s"$name perceptual crawl at ${m}x: commits not pinned to batches: " +
             s"${r._1} batches, commits ${r._2.mkString("/")}")
@@ -1570,21 +1772,24 @@ object ScaleSmoke {
           s"$name perceptual crawl at ${m}x diverged from its stateless no-banding oracle")
       }
       report(f"perceptual crawl at ${m}x: imgs=${imgs.count()} vids=${vids.count()} " +
-        f"image=${ri._5}%.1fs[${fmtScans(ri._4)}] video=${rv._5}%.1fs[${fmtScans(rv._4)}]")
-      (ri, rv, imgState, imgRes)
+        f"clips=${auds.count()} image=${ri._5}%.1fs[${fmtScans(ri._4)}] " +
+        f"video=${rv._5}%.1fs[${fmtScans(rv._4)}] audio=${ra._5}%.1fs[${fmtScans(ra._4)}]")
+      (ri, rv, ra, imgState, imgRes)
     }
-    val (i1, v1, _, _) = runPerceptual(1, "1")
-    val (iM, vM, imgStateM, imgResM) = runPerceptual(mult, "M")
-    // sparse-regime pruning evidenced at 1x for both loops (at Mx both
-    // loops' batch key sets exceed the probe cap by design and fall back
-    // to full state scans — recorded above)
-    for ((name, r) <- Seq(("image", i1), ("video", v1))) {
+    val (i1, v1, a1, _, _) = runPerceptual(1, "1")
+    val (iM, vM, aM, imgStateM, imgResM) = runPerceptual(mult, "M")
+    // sparse-regime pruning evidenced at 1x for all three loops (at Mx
+    // the batch key sets exceed the probe cap by design and fall back to
+    // full state scans — recorded above). The audio plane's prune comes
+    // from its 32-way band_key bucketing, not blooms (the 10-bit band
+    // space saturates them) — the StreamAudioDedupSpec lever, at scale.
+    for ((name, r) <- Seq(("image", i1), ("video", v1), ("audio", a1))) {
       val probed = r._4.filter(_._2 > 1)
       require(probed.exists(f => f._1 < f._2),
         s"$name 1x crawl must show a pruned sparse-regime probe: ${fmtScans(r._4)}")
     }
     val bound = math.pow(mult, 1.5)
-    for ((name, a, b) <- Seq(("image", i1, iM), ("video", v1, vM))) {
+    for ((name, a, b) <- Seq(("image", i1, iM), ("video", v1, vM), ("audio", a1, aM))) {
       val ratio = b._5 / a._5
       require(ratio < bound,
         f"$name perceptual crawl scaled super-linearly: $ratio%.1fx (bound $bound%.0fx)")
