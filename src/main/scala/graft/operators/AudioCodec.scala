@@ -81,65 +81,126 @@ object AudioCodec {
     * and routes to quarantine / an external fingerprinter at ingest.
     * Map-side, bytes-decoded cost paid once at ingest.
     */
-  def fingerprintRow(bytes: Array[Byte]): java.lang.Long = {
+  /** Decoded mono PCM with a width/endianness-aware sample reader — the
+    * ONE decode rule under [[fingerprintRow]] and
+    * [[segmentFingerprintsRow]] (the guards cannot drift between the
+    * global and segment fingerprints).
+    */
+  private final case class MonoPcm(n: Int, wide: Boolean, big: Boolean,
+      pcm: Array[Byte]) {
+    /** Sample x: unsigned byte (narrow) or signed short per the declared
+      * byte order (wide — the high byte is sign-extended by the Byte→Int
+      * promotion before the shift).
+      */
+    def sample(x: Int): Int =
+      if (wide) {
+        val lo = 2 * x
+        if (big) (pcm(lo) << 8) | (pcm(lo + 1) & 0xFF)
+        else (pcm(lo + 1) << 8) | (pcm(lo) & 0xFF)
+      } else pcm(x) & 0xFF
+  }
+
+  /** Null unless the bytes decode to a supported mono PCM shape:
+    * encoding AND width must pair up — 8-bit must be PCM_UNSIGNED (8-bit
+    * AIFF is PCM_SIGNED with sign-wrapped bytes; fingerprinting those as
+    * unsigned would make the hash CONTAINER-dependent) and 16-bit must
+    * be PCM_SIGNED (the WAV/AIFF 16-bit convention). Bomb-guarded before
+    * allocation.
+    */
+  private def decodeMonoPcm(bytes: Array[Byte]): MonoPcm = {
     if (bytes == null || bytes.length == 0) return null
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val f = ais.getFormat
         val frames = ais.getFrameLength
-        // encoding AND width must pair up: 8-bit must be PCM_UNSIGNED
-        // (8-bit AIFF is PCM_SIGNED with sign-wrapped bytes — fingerprinting
-        // those as unsigned would make the hash CONTAINER-dependent) and
-        // 16-bit must be PCM_SIGNED (the WAV/AIFF 16-bit convention)
         val bits = f.getSampleSizeInBits
         val wide = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
         val narrow = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
         if (!(wide || narrow) || f.getChannels != 1 ||
-            frames < 33 || frames > MaxFingerprintFrames) null
+            frames < 1 || frames > MaxFingerprintFrames) null
         else {
           val n = frames.toInt
           val pcm = ais.readAllBytes()
           if (pcm.length < n * (if (wide) 2 else 1)) null
-          else {
-            val big = f.isBigEndian
-            val sums = new Array[Long](33)
-            var w = 0
-            while (w < 33) {
-              // boundary arithmetic in Long: (w+1)*n overflows Int from
-              // ~65M frames, INSIDE the 64Mi guard's admitted range —
-              // negative boundaries would zero the last window's sum
-              val hi = ((w + 1).toLong * n / 33).toInt
-              var x = (w.toLong * n / 33).toInt
-              var acc = 0L
-              if (wide) {
-                // signed short per declared byte order: the high byte is
-                // sign-extended by the Byte→Int promotion before the shift
-                while (x < hi) {
-                  val lo = 2 * x
-                  val s =
-                    if (big) (pcm(lo) << 8) | (pcm(lo + 1) & 0xFF)
-                    else (pcm(lo + 1) << 8) | (pcm(lo) & 0xFF)
-                  acc += s
-                  x += 1
-                }
-              } else {
-                while (x < hi) { acc += pcm(x) & 0xFF; x += 1 }
-              }
-              sums(w) = acc
-              w += 1
-            }
-            var h = 0L
-            w = 0
-            while (w < 32) {
-              if (sums(w + 1) > sums(w)) h |= 1L << w
-              w += 1
-            }
-            java.lang.Long.valueOf(h)
-          }
+          else MonoPcm(n, wide, f.isBigEndian, pcm)
         }
       } finally ais.close()
     } catch { case _: Exception => null } // no reader / corrupt bytes
+  }
+
+  /** The 32-bit windowed-energy pack over samples [start, start + len):
+    * 33 floor-boundary windows (w·len/33 — exact equal windows when
+    * 33 | len), bit w set iff sum(w+1) > sum(w). Shared by the global
+    * fingerprint (start 0, len n) and the per-segment fingerprints
+    * (start s·L, len L) so the window formula cannot drift.
+    */
+  private def packWindows(p: MonoPcm, start: Int, len: Int): Long = {
+    val sums = new Array[Long](33)
+    var w = 0
+    while (w < 33) {
+      // boundary arithmetic in Long: (w+1)*len overflows Int from ~65M
+      // samples, INSIDE the 64Mi guard's admitted range — negative
+      // boundaries would zero the last window's sum
+      val hi = start + ((w + 1).toLong * len / 33).toInt
+      var x = start + (w.toLong * len / 33).toInt
+      var acc = 0L
+      while (x < hi) { acc += p.sample(x); x += 1 }
+      sums(w) = acc
+      w += 1
+    }
+    var h = 0L
+    w = 0
+    while (w < 32) {
+      if (sums(w + 1) > sums(w)) h |= 1L << w
+      w += 1
+    }
+    h
+  }
+
+  def fingerprintRow(bytes: Array[Byte]): java.lang.Long = {
+    val p = decodeMonoPcm(bytes)
+    if (p == null || p.n < 33) null
+    else java.lang.Long.valueOf(packWindows(p, 0, p.n))
+  }
+
+  /** Per-segment hash contract for [[segmentFingerprintsRow]]. */
+  val SegmentHashSchema: StructType = StructType(Seq(
+    StructField("seg", IntegerType),
+    StructField("h", LongType)))
+
+  /** Per-SEGMENT windowed-energy fingerprints — the OFFSET-TOLERANT audio
+    * fingerprint (r15, beyond the r14 asks): the clip splits into fixed
+    * `segLen`-sample segments, each packed by the SAME 33-window rule as
+    * the global fingerprint, and the clip's identity becomes the hash
+    * SEQUENCE — exactly the video per-frame shape, so a clone with
+    * leading/trailing whole segments cut is the bounded-containment
+    * problem the trim machinery already solves on the segment axis (a
+    * segment-aligned trim shifts the sequence without perturbing any
+    * surviving segment's hash; sub-segment offsets need an overlapping/
+    * aligned front-end and stay out of scope, documented). `segLen` must
+    * be a positive multiple of 33 (exact equal windows — the closed-form
+    * oracle shape); the trailing partial segment is dropped (its window
+    * sums would depend on the trim remainder, breaking suffix identity).
+    * Null for undecodable/unsupported bytes or clips under one segment.
+    * Same decode rule and widths as [[fingerprintRow]] (shared
+    * [[decodeMonoPcm]]). Map-side, bytes-decoded cost paid once at
+    * ingest — downstream dedup joins carry (seg, BIGINT) rows only.
+    */
+  def segmentFingerprintsRow(bytes: Array[Byte],
+      segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (segLen < 33 || segLen % 33 != 0) return null
+    val p = decodeMonoPcm(bytes)
+    if (p == null || p.n < segLen) return null
+    val nSegs = p.n / segLen
+    val out = new Array[Any](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      out(s) = new GenericInternalRow(
+        Array[Any](s, packWindows(p, s * segLen, segLen)))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Fixture-side SEEDED 8-bit mono WAV with an optional planted
@@ -152,12 +213,23 @@ object AudioCodec {
     * decoded sample — and the fingerprint — has a closed form DuckDB can
     * evaluate without an audio library.
     */
-  def encodeAudioVariant(frames: Int, seed: Int, editAt: Int = -1): Array[Byte] = {
+  /** `sampleBase` renders samples [sampleBase, sampleBase + frames) of the
+    * seed's infinite sample sequence instead of [0, frames) — the
+    * TRIMMED-CLONE generator on the audio plane (r15, the
+    * [[ImageCodec.encodeAnimatedGifVariant]] frameBase discipline): a clip
+    * encoded with (frames − t·L, sampleBase = t0·L) is the base clip with
+    * t0·L leading and (t − t0)·L trailing samples cut, sample-for-sample
+    * byte-identical to the base's suffix on decode.
+    */
+  def encodeAudioVariant(frames: Int, seed: Int, editAt: Int = -1,
+      sampleBase: Int = 0): Array[Byte] = {
     val fmt = new AudioFormat(8000f, 8, 1, false, false)
     val pcm = new Array[Byte](frames)
     var n = 0
     while (n < frames) {
-      val s0 = (n * (13 + 7 * seed) + 31) % 256
+      // mod in Long BEFORE narrowing: the product overflows Int for large
+      // seeds/bases and a negative % would diverge from the oracle's
+      val s0 = (((n.toLong + sampleBase) * (13 + 7 * seed) + 31) % 256).toInt
       pcm(n) = (if (n == editAt) (s0 + 128) % 256 else s0).toByte
       n += 1
     }
@@ -283,5 +355,35 @@ case class AudioFingerprint(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: binary -> array<struct<seg int, h bigint>> of
+  * per-segment windowed-energy fingerprints, null for undecodable or
+  * under-one-segment inputs — the [[graft.operators.FrameDhashes]] shape
+  * on the audio plane. One static call in codegen.
+  */
+case class AudioSegmentFingerprints(child: Expression, segLen: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(AudioCodec.SegmentHashSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.segmentFingerprintsRow(input.asInstanceOf[Array[Byte]], segLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.AudioCodec.segmentFingerprintsRow($b, $segLen);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSegmentFingerprints =
     copy(child = newChild)
 }

@@ -117,6 +117,16 @@ object Multimodal {
     GraftSqlShim.column(AudioFingerprint(GraftSqlShim.expression(blob)))
   }
 
+  /** Per-segment windowed-energy fingerprints (array of (seg, h)) — the
+    * OFFSET-TOLERANT audio fingerprint ([[graft.operators.AudioCodec
+    * .segmentFingerprintsRow]]); `segLen` must be a positive multiple
+    * of 33.
+    */
+  def audioSegmentFingerprints(blob: Column, segLen: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(AudioSegmentFingerprints(GraftSqlShim.expression(blob), segLen))
+  }
+
   /** REAL frame sampling: binary -> array(struct(frame, width, height,
     * sum_r, sum_g, sum_b)) — decode every `stride`-th frame of a
     * multi-frame container. GIF is the JDK's multi-frame codec, standing

@@ -495,8 +495,9 @@ object Extensions
     *         clip with more frames (ties: the smaller id)
     */
   private[queries] def videoContainmentPairsOf(fh: DataFrame,
-      maxLenDiff: Option[Int]): DataFrame = {
-    val vb = videoBands(fh)
+      maxLenDiff: Option[Int],
+      toBands: DataFrame => DataFrame = videoBands): DataFrame = {
+    val vb = toBands(fh)
     val probe = maxLenDiff match {
       case Some(k) => vb.filter(col("frame") <= k)
       case None => vb
@@ -537,6 +538,49 @@ object Extensions
       .agg(min(struct(col("d"), col("p"))).as("best"))
       .select(col("l").as("vid_long"), col("s").as("vid_short"),
         col("best.d").as("hamming"), col("best.p").cast("long").as("anchor"))
+  }
+
+  /** Per-SEGMENT fingerprint rows of a (clip_id, blob) frame in the
+    * GENERIC sequence shape (vid_id, nf, frame, h) the video machinery
+    * speaks — [[videoFrameHashes]] on the audio plane (r15, beyond the
+    * r14 asks): the clip's identity is its segment-hash sequence
+    * ([[graft.operators.AudioCodec.segmentFingerprintsRow]]), so a clone
+    * with leading/trailing whole SEGMENTS cut is the same bounded-
+    * containment problem [[videoContainmentPairsOf]] already solves —
+    * one rule, two modalities — banded by the audio 4×8 split
+    * ([[audioSegBands]]; a 32-bit hash under the video 14-bit split
+    * would leave its top bands degenerate-zero and nominate all-pairs).
+    */
+  private[graft] def audioSegmentsOf(df: DataFrame, segLen: Int): DataFrame = df
+    .select(col("clip_id").as("vid_id"),
+      graft.operators.Multimodal.audioSegmentFingerprints(col("blob"), segLen).as("sh"))
+    .filter(col("sh").isNotNull)
+    .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
+    .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
+
+  /** The audio 4×8-bit band explosion over the generic sequence shape —
+    * the per-segment twin of [[audioBands]], fed to
+    * [[videoContainmentPairsOf]] as its banding rule.
+    */
+  private[graft] def audioSegBands(fh: DataFrame): DataFrame = fh
+    .select(col("vid_id"), col("frame"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 8).bitwiseAND(lit(255L)) * 4 + k): _*)).as("band_key"))
+
+  /** Fixture-side encoder row for the OFFSET-audio gates: seeded 8-bit
+    * WAV rendering samples [segBase·segLen, segBase·segLen +
+    * nSegs·segLen) of the seed's sample sequence ([[graft.operators
+    * .AudioCodec.encodeAudioVariant]] with a sample offset — the
+    * [[videoTrimFixtureRow]] discipline on the audio plane), optional
+    * planted single-sample edit at the clip midpoint (perturbs one
+    * window of one segment — ≤ 2 bits of that segment's hash).
+    */
+  private[graft] def audioOffsetFixtureRow(id: Long, seed: Int, nSegs: Int,
+      segLen: Int, segBase: Int, edit: Boolean): (Long, Array[Byte]) = {
+    require(segLen % 33 == 0, s"segment length $segLen must be a multiple of 33")
+    val n = nSegs * segLen
+    (id, graft.operators.AudioCodec.encodeAudioVariant(n, seed,
+      if (edit) n / 2 else -1, sampleBase = segBase * segLen))
   }
 
   /** Two-plane probe + aligned-sum admission verdicts — the video twin of

@@ -749,6 +749,118 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY clip_a, clip_b""".stripMargin),
 
 
+    // X14a'': OFFSET-TOLERANT audio near-dup (r15, beyond the r14 asks —
+    // the audio analog of the video trim work): the global 33-window
+    // fingerprint is offset-BLIND-BREAKING (trimming shifts every window
+    // boundary), so real time-shifted clips need a SEQUENCE identity.
+    // The clip splits into fixed 330-sample segments, each packed by the
+    // SAME 33-window rule ([[graft.operators.AudioCodec
+    // .segmentFingerprintsRow]] — shared packWindows core, shared decode
+    // guards), and a clone with up to 2 whole segments cut is EXACTLY
+    // the bounded-containment problem the video machinery solves — ONE
+    // rule ([[Extensions.videoContainmentPairsOf]]), two modalities,
+    // audio supplying its own 4×8 banding (a 32-bit hash under the
+    // video 14-bit split would leave top bands degenerate-zero and
+    // nominate all-pairs). Fixture: lead-1 trims (anchor 1), trail-2
+    // trims + a single-sample edit (anchor 0, hamming ≤ 2 — shift and
+    // perturbation together), lead-2 trims (anchor 2), and 3-segment
+    // over-trims that must stay invisible. The oracle brute-forces all
+    // pairs × all anchors over closed-form per-segment hashes.
+    // Sub-segment offsets are out of scope by design (they perturb every
+    // surviving segment; an aligning front-end owns that), documented on
+    // the kernel. At 100 TB: fingerprint once at ingest, 4·segments
+    // narrow rows shuffle, anchor sweep ≤ 3× on nominated pairs only.
+    ("x_audio_neardup_offset",
+      (s: SparkSession, d: String) => {
+        val L = 330
+        val rows = (0 until 14).flatMap { i =>
+          val ns = 4 + (i % 4)
+          val base = audioOffsetFixtureRow(i, i, ns, L, 0, edit = false)
+          val clone = (i % 4) match {
+            case 0 => audioOffsetFixtureRow(100 + i, i, ns - 1, L, 1, edit = false)
+            case 1 => audioOffsetFixtureRow(100 + i, i, ns - 2, L, 0, edit = true)
+            case 2 => audioOffsetFixtureRow(100 + i, i, ns - 2, L, 2, edit = false)
+            case _ => audioOffsetFixtureRow(300 + i, i, ns - 3, L, 0, edit = false)
+          }
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiooffset", df.schema)
+        t.append(s, df)
+        val fh = audioSegmentsOf(t.toDF(s), L).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
+          .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
+            col("hamming"), col("anchor"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(found.get((i.toLong, 100L + i)).contains(1L),
+              s"lead-1-segment trimmed clip ($i, ${100 + i}) must verify at anchor 1")
+            case 1 => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"trail-2+edit clip ($i, ${100 + i}) must verify at anchor 0")
+            case 2 => require(found.get((i.toLong, 100L + i)).contains(2L),
+              s"lead-2-segment trimmed clip ($i, ${100 + i}) must verify at anchor 2")
+            case _ => require(!found.contains((i.toLong, 300L + i)),
+              s"over-trimmed clip ($i, ${300 + i}) must NOT pair")
+          }
+        }
+        pairs.orderBy("clip_long", "clip_short")
+      },
+      // closed-form per-segment hashes: clip-local sample x carries the
+      // sample-base offset in its value ((x + sb)·step + 31 mod 256),
+      // seg = x // 330, window = (x mod 330) // 10; then the video
+      // trimmed oracle's pr/sc/best anchor sweep on the segment axis
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb, -1 AS e
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 1) * 330, 330, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 2) * 330, 0,
+        |    (((4 + (i % 4)) - 2) * 330) // 2
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 2) * 330, 660, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 300 + i, i, ((4 + (i % 4)) - 3) * 330, 0, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 3),
+        |smp AS (
+        |  SELECT clip_id, x // 330 AS seg, (x % 330) // 10 AS w,
+        |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
+        |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
+        |  FROM clips, range(2310) t(x) WHERE x < n),
+        |ws AS (SELECT clip_id, seg, w, CAST(sum(s) AS BIGINT) AS sw
+        |  FROM smp GROUP BY 1, 2, 3),
+        |sbits AS (
+        |  SELECT a.clip_id, a.seg,
+        |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+        |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.seg = a.seg
+        |    AND b.w = a.w + 1
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT clip_id, n // 330 AS ns FROM clips),
+        |pr AS (
+        |  SELECT l.clip_id AS l, s2.clip_id AS s, l.ns AS nfl, s2.ns AS nfs
+        |  FROM cl l JOIN cl s2 ON l.clip_id <> s2.clip_id
+        |    AND l.ns - s2.ns BETWEEN 0 AND 2
+        |    AND (l.ns > s2.ns OR l.clip_id < s2.clip_id)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pp.p, CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sbits bs, sbits bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.clip_id = pr.s
+        |    AND bl.clip_id = pr.l AND bl.seg = bs.seg + pp.p
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT l, s, min(d) AS hamming FROM sc WHERE d <= 3 GROUP BY 1, 2)
+        |SELECT b.l AS clip_long, b.s AS clip_short, b.hamming,
+        |  CAST(min(sc.p) AS BIGINT) AS anchor
+        |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
     // X14d: INCREMENTAL audio dedup vs a durable fingerprint state — the
     // x_incremental_image_dedup discipline on the audio family: the
     // crawled corpus's fingerprint BANDS persist in a band_key-bucketed,

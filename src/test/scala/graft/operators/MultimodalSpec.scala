@@ -405,6 +405,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("segment fingerprints: aligned trims shift the sequence; edits stay in one segment; partial tails drop") {
+    val L = 330
+    def segs(b: Array[Byte]) = AudioCodec.segmentFingerprintsRow(b, L)
+    val base = segs(AudioCodec.encodeAudioVariant(5 * L, 9))
+    assert(base != null && base.numElements() == 5)
+    // the suffix-identity contract the offset gates rest on: a clone
+    // rendering samples [2L, 5L) hashes segment s exactly as the base
+    // hashes segment s + 2
+    val trim = segs(AudioCodec.encodeAudioVariant(3 * L, 9, sampleBase = 2 * L))
+    assert(trim.numElements() == 3)
+    (0 until 3).foreach { s =>
+      assert(trim.getStruct(s, 2).getLong(1) == base.getStruct(s + 2, 2).getLong(1),
+        s"trimmed segment $s must hash as base segment ${s + 2}")
+    }
+    // a single-sample edit perturbs one window of ONE segment: <= 2 bits
+    // there, zero everywhere else
+    val edit = segs(AudioCodec.encodeAudioVariant(5 * L, 9, editAt = 5 * L / 2))
+    val dists = (0 until 5).map(s => java.lang.Long.bitCount(
+      base.getStruct(s, 2).getLong(1) ^ edit.getStruct(s, 2).getLong(1)))
+    assert(dists.count(_ > 0) <= 1 && dists.sum <= 2, s"edit spread: $dists")
+    // a trailing partial segment drops (its windows would depend on the
+    // trim remainder, breaking suffix identity)
+    val tail = segs(AudioCodec.encodeAudioVariant(5 * L + 100, 9))
+    assert(tail.numElements() == 5)
+    (0 until 5).foreach { s =>
+      assert(tail.getStruct(s, 2).getLong(1) == base.getStruct(s, 2).getLong(1))
+    }
+    // refusals: segLen not a multiple of 33; clip under one segment
+    assert(AudioCodec.segmentFingerprintsRow(
+      AudioCodec.encodeAudioVariant(5 * L, 9), 100) == null)
+    assert(segs(AudioCodec.encodeAudioVariant(200, 1)) == null)
+    // 16-bit clips segment too (shared decode rule with fingerprintRow)
+    val wide = AudioCodec.segmentFingerprintsRow(
+      AudioCodec.encodeAudioVariant16("wav", 3 * L, 9), L)
+    assert(wide != null && wide.numElements() == 3)
+    // the Catalyst expression matches the kernel through codegen
+    val df = spark.createDataFrame(Seq(
+      (1L, AudioCodec.encodeAudioVariant(5 * L, 9)),
+      (2L, "garbage".getBytes("UTF-8")))).toDF("id", "blob")
+    val got = df.select(col("id"),
+        Multimodal.audioSegmentFingerprints(col("blob"), L).as("sh"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) ==
+      (0 until 5).map(s => base.getStruct(s, 2).getLong(1)))
+    assert(got(1).isNullAt(1))
+  }
+
   test("16-bit audio fingerprint: WAV == AIFF byte-order identity; edits within 2 bits; 8<->16 never aliases") {
     val n = 33 * 20
     // cross-container identity: SAME samples stored little-endian (WAV)

@@ -455,7 +455,8 @@ class PlanAuditSpec extends SparkSpec {
     // a nested-loop anywhere would mean per-frame hashes (or worse,
     // pixels) going all-pairs
     for (name <- Seq("x_image_neardup", "x_audio_neardup", "x_video_neardup",
-        "x_audio_neardup_16bit", "x_video_neardup_trimmed", "x_video_containment")) {
+        "x_audio_neardup_16bit", "x_audio_neardup_offset",
+        "x_video_neardup_trimmed", "x_video_containment")) {
       val gate = graft.queries.Extensions.entries.find(_._1 == name).get._2
       val plan = planOf(gate(spark, d))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
