@@ -583,6 +583,30 @@ object Extensions
       if (edit) n / 2 else -1, sampleBase = segBase * segLen))
   }
 
+  /** The closed-form per-SEGMENT fingerprint recomputation every
+    * offset-audio gate's DuckDB oracle shares — segment/window sums + bit
+    * packing over a `clips(clip_id, seed, n, sb, e, ...)` CTE (the
+    * [[audioOracleBits]] discipline on the segment axis: 330-sample
+    * segments, 10-sample windows; `sb` is the SAMPLE base the clip's
+    * values carry, `e` the clip-local edited sample). `maxN` bounds the
+    * sample range (≥ the largest fixture clip).
+    */
+  private[queries] def audioOracleSegBits(maxN: Int): String =
+    s"""smp AS (
+      |  SELECT clip_id, x // 330 AS seg, (x % 330) // 10 AS w,
+      |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
+      |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
+      |  FROM clips, range($maxN) t(x) WHERE x < n),
+      |ws AS (SELECT clip_id, seg, w, CAST(sum(s) AS BIGINT) AS sw
+      |  FROM smp GROUP BY 1, 2, 3),
+      |sbits AS (
+      |  SELECT a.clip_id, a.seg,
+      |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+      |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.seg = a.seg
+      |    AND b.w = a.w + 1
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Two-plane probe + aligned-sum admission verdicts — the video twin of
     * [[bandAdmitVerdicts]], shaped like the fuzzy-text crawl (nominate on
     * a narrow signature plane, fetch candidates through a pruned read):
@@ -656,8 +680,9 @@ object Extensions
   private[queries] def videoAdmitVerdictsTrimmed(s: SparkSession,
       bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
       batchFh: DataFrame, maxLenDiff: Int = 2,
-      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
-    val fK = videoBands(batchFh.filter(col("frame") <= maxLenDiff))
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => (),
+      toBands: DataFrame => DataFrame = videoBands): DataFrame = {
+    val fK = toBands(batchFh.filter(col("frame") <= maxLenDiff))
       .select(col("vid_id"), col("band_key"))
     val bandScan = bandState.scanWithRuntimeFilter(fK, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
@@ -760,21 +785,63 @@ object Extensions
       results: graft.table.GraftTable, maxLenDiff: Int = 2,
       filesPerTrigger: Int = 1,
       onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalContainDedup(s, stage, schema, bandState, sigState,
+      results, videoFrameHashes, videoBands, "tv", maxLenDiff,
+      filesPerTrigger, onBandScanMetrics)
+
+  /** The streaming OFFSET-AUDIO dedup crawl loop — the audio
+    * instantiation of the generic containment loop: per-segment
+    * fingerprints ([[audioSegmentsOf]], 330-sample segments) as the
+    * sequence, the audio 4×8 banding as the nomination plane. Completes
+    * the offset-audio lifecycle (batch: x_audio_neardup_offset; durable:
+    * x_incremental_audio_dedup_offset; now STREAMING).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalAudioDedupOffset(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable, segLen: Int = 330, maxLenDiff: Int = 2,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalContainDedup(s, stage, schema, bandState, sigState,
+      results, audioSegmentsOf(_, segLen), audioSegBands, "ta", maxLenDiff,
+      filesPerTrigger, onBandScanMetrics)
+
+  /** The ONE streaming CONTAINMENT-dedup loop body under the trimmed
+    * video and offset-audio crawls — generic over the sequence extractor
+    * and banding rule exactly like [[streamIncrementalBandDedup]] is for
+    * the single-plane loops: per micro-batch, extract the (vid_id, nf,
+    * frame, h) sequence, decide admissions via the trim-tolerant
+    * two-plane rule ([[videoAdmitVerdictsTrimmed]] with the modality's
+    * banding), then THREE statementId-keyed commits in results →
+    * sequences → bands order — the [[streamIncrementalVideoDedup]]
+    * crash-window argument verbatim (nomination never reads the sequence
+    * plane's own batch rows; bands last so a batch's own bands can never
+    * reject its replay).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalContainDedup(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable,
+      toSeq: DataFrame => DataFrame, toBands: DataFrame => DataFrame,
+      stmtPrefix: String, maxLenDiff: Int, filesPerTrigger: Int,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val fh = videoFrameHashes(b)
+      val fh = toSeq(b)
         .localCheckpoint() // In-probe collects + candidate joins read it
       val verdicts = videoAdmitVerdictsTrimmed(s, bandState, sigState, fh,
-        maxLenDiff, onBandScanMetrics)
+        maxLenDiff, onBandScanMetrics, toBands)
       val admitted = verdicts.filter(col("admitted")).select("vid_id")
-      results.append(s, admitted, statementId = Some(s"$stage-tvres-$batchId"))
+      results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       sigState.append(s, fh.join(admitted, Seq("vid_id"))
           .select("vid_id", "nf", "frame", "h"),
-        statementId = Some(s"$stage-tvsig-$batchId"))
+        statementId = Some(s"$stage-${stmtPrefix}sig-$batchId"))
       bandState.append(s,
-        videoBands(fh.filter(col("frame") <= maxLenDiff))
+        toBands(fh.filter(col("frame") <= maxLenDiff))
           .join(admitted, Seq("vid_id"))
           .select("vid_id", "band_key").distinct(),
-        statementId = Some(s"$stage-tvband-$batchId")): Unit
+        statementId = Some(s"$stage-${stmtPrefix}band-$batchId")): Unit
     }
 
   /** The closed-form per-frame dHash recomputation every video gate's

@@ -1932,5 +1932,120 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  SELECT vid_id FROM a0 UNION ALL SELECT vid_id FROM a1
         |  UNION ALL SELECT vid_id FROM a2)
         |ORDER BY vid_id""".stripMargin),
+
+
+    // X14s-a': the STREAMING OFFSET-AUDIO dedup crawl loop — the audio
+    // instantiation of the generic two-plane containment loop
+    // ([[Extensions.streamIncrementalContainDedup]]: per-segment
+    // fingerprints as the sequence, the audio 4×8 banding as the
+    // nomination plane), completing the offset-audio lifecycle (batch:
+    // x_audio_neardup_offset; durable: x_incremental_audio_dedup_offset;
+    // now STREAMING). Slices: 8 bases crawl first; slice 1 brings
+    // lead-1-SEGMENT-trimmed recrawls of even bases (reject via
+    // slice-0's planes — the cross-batch shifted distinction) + 5 fresh;
+    // slice 2 trail-1 trims of slice-1's OWN admissions, one-segment-
+    // EXTENDED recrawls of odd bases (the batch-longer direction), and
+    // fresh. Post-crawl: compactionProof on the sequence plane +
+    // full-crawl reprobe through the shipped rule. Oracle =
+    // slice-by-slice anchor-swept containment admission over
+    // previously-ADMITTED history only, on the shared closed-form
+    // segment hashes.
+    ("x_stream_incremental_audio_dedup_offset",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val L = 330
+        val rows =
+          (0 until 8).map(i =>
+            (audioOffsetFixtureRow(i, i, 4 + i % 4, L, 0, edit = false), 0)) ++
+          (0 until 8 by 2).map(i =>
+            (audioOffsetFixtureRow(200 + i, i, 3 + i % 4, L, 1, edit = false), 1)) ++
+          (0 until 5).map(j =>
+            (audioOffsetFixtureRow(100 + j, 30 + j, 4 + j % 4, L, 0, edit = false), 1)) ++
+          (0 until 5 by 2).map(j =>
+            (audioOffsetFixtureRow(300 + j, 30 + j, 3 + j % 4, L, 0, edit = false), 2)) ++
+          (1 until 8 by 2).map(i =>
+            (audioOffsetFixtureRow(400 + i, i, 5 + i % 4, L, 0, edit = false), 2)) ++
+          (0 until 3).map(k =>
+            (audioOffsetFixtureRow(500 + k, 60 + k, 4 + k % 4, L, 0, edit = false), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("clip_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-audoffstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = audioSegmentsOf(docs.limit(0), L)
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_os",
+          audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_os", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.aud_adm_os",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalAudioDedupOffset(
+          s, stage, docs.schema, bands, sigs, results, segLen = L)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = audioSegmentsOf(docs, L).localCheckpoint()
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
+            toBands = audioSegBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select(col("vid_id").as("clip_id"))
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, 0 AS sl
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (3 + (i % 4)) * 330, 330, -1, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, (4 + (j % 4)) * 330, 0, -1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, (3 + (j % 4)) * 330, 0, -1, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, (5 + (i % 4)) * 330, 0, -1, 2
+        |  FROM range(8) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, (4 + (k % 4)) * 330, 0, -1, 2
+        |  FROM range(3) t(k)),
+        |${audioOracleSegBits(2640)},
+        |cl AS (SELECT clip_id, n // 330 AS ns, sl FROM clips),
+        |pr AS (
+        |  SELECT x.clip_id AS x, x.ns AS xns, y.clip_id AS y, y.ns AS yns
+        |  FROM cl x JOIN cl y ON x.clip_id <> y.clip_id
+        |    AND abs(x.ns - y.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.x, pr.y, pp.p, sum(bit_count(xor(bx.h, by.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits bx, sbits by
+        |  WHERE pp.p <= abs(pr.xns - pr.yns)
+        |    AND bx.clip_id = pr.x AND by.clip_id = pr.y
+        |    AND bx.seg - by.seg = CASE WHEN pr.xns >= pr.yns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT DISTINCT x, y FROM sc WHERE d <= 3),
+        |a0 AS (SELECT clip_id FROM cl WHERE sl = 0),
+        |a1 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.clip_id WHERE pt.x = c.clip_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.clip_id WHERE pt.x = c.clip_id))
+        |SELECT clip_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
+        |  UNION ALL SELECT clip_id FROM a2)
+        |ORDER BY clip_id""".stripMargin),
   )
 }

@@ -827,20 +827,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  UNION ALL
         |  SELECT 300 + i, i, ((4 + (i % 4)) - 3) * 330, 0, -1
         |  FROM range(14) t(i) WHERE i % 4 = 3),
-        |smp AS (
-        |  SELECT clip_id, x // 330 AS seg, (x % 330) // 10 AS w,
-        |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
-        |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
-        |  FROM clips, range(2310) t(x) WHERE x < n),
-        |ws AS (SELECT clip_id, seg, w, CAST(sum(s) AS BIGINT) AS sw
-        |  FROM smp GROUP BY 1, 2, 3),
-        |sbits AS (
-        |  SELECT a.clip_id, a.seg,
-        |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
-        |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.seg = a.seg
-        |    AND b.w = a.w + 1
-        |  GROUP BY 1, 2),
+        |${audioOracleSegBits(2310)},
         |cl AS (SELECT clip_id, n // 330 AS ns FROM clips),
         |pr AS (
         |  SELECT l.clip_id AS l, s2.clip_id AS s, l.ns AS nfl, s2.ns AS nfs
@@ -859,6 +846,130 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2""".stripMargin),
+
+
+    // X14a''': INCREMENTAL offset-audio dedup — the durable leg of the
+    // offset-tolerant audio family, the two-plane containment crawl on
+    // the segment axis: first-3-SEGMENT bands persist in the nomination
+    // plane, full segment-hash sequences in the fetch plane, and a batch
+    // clip rejects when a history clip within 2 segments of its length
+    // aligns fully-contained at some anchor with aligned-hamming sum ≤ 3
+    // — the x_incremental_video_dedup_trimmed machinery with the audio
+    // banding plugged in (ONE shared rule, two modalities). The batch
+    // plants lead-1-trimmed recrawls (REJECT), trail-2-trimmed +
+    // single-sample-edited recrawls (REJECT), 3-segment over-trims
+    // (ADMIT — beyond tolerance), one-segment-EXTENDED recrawls (REJECT
+    // — the batch-longer direction), and fresh clips (ADMIT).
+    // Mid-sequence compactionProof + full-batch reprobe through the
+    // shipped rule. Oracle = batch-vs-history anchor-swept containment
+    // over the shared closed-form segment hashes.
+    ("x_incremental_audio_dedup_offset",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        val L = 330
+        val hist = (0 until 14).map(i =>
+          audioOffsetFixtureRow(i, i, 4 + i % 4, L, 0, edit = false))
+        val batch = (0 until 14).map { i =>
+          val ns = 4 + (i % 4)
+          (i % 4) match {
+            case 0 => audioOffsetFixtureRow(200 + i, i, ns - 1, L, 1, edit = false)
+            case 1 => audioOffsetFixtureRow(300 + i, i, ns - 2, L, 0, edit = true)
+            case 2 => audioOffsetFixtureRow(400 + i, i, ns - 3, L, 0, edit = false)
+            case _ => audioOffsetFixtureRow(600 + i, i, ns + 1, L, 0, edit = false)
+          }
+        } ++ (0 until 8).map(j =>
+          audioOffsetFixtureRow(500 + j, 50 + j, 4 + j % 4, L, 0, edit = false))
+        val histFh = audioSegmentsOf(
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
+        def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_o",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_o", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 7), histFh.filter(col("vid_id") >= 7))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = audioSegmentsOf(
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
+        val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+          toBands = audioSegBands)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, bandsK(batchFh).join(adm, Seq("vid_id"))
+          .select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"lead-1-segment recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"trail-2+edit recrawl ${300 + i} must reject")
+            case 2 => require(admitted.contains(400L + i),
+              s"over-trimmed clip ${400 + i} must admit (beyond tolerance)")
+            case _ => require(rejected.contains(600L + i),
+              s"one-segment-extended recrawl ${600 + i} must reject (batch-longer direction)")
+          }
+        }
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+            toBands = audioSegBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts.select(col("vid_id").as("clip_id"), col("matches"), col("admitted"))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, true AS is_hist
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, ((4 + (i % 4)) - 1) * 330, 330, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, ((4 + (i % 4)) - 2) * 330, 0,
+        |    (((4 + (i % 4)) - 2) * 330) // 2, false
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, ((4 + (i % 4)) - 3) * 330, 0, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, ((4 + (i % 4)) + 1) * 330, 0, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, (4 + (j % 4)) * 330, 0, -1, false
+        |  FROM range(8) t(j)),
+        |${audioOracleSegBits(2640)},
+        |cl AS (SELECT clip_id, n // 330 AS ns, is_hist FROM clips),
+        |pr AS (
+        |  SELECT b.clip_id AS bv, b.ns AS bns, h.clip_id AS hv, h.ns AS hns
+        |  FROM cl b JOIN cl h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.ns - h.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.bv, pr.hv, pp.p, sum(bit_count(xor(ba.h, hb.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits ba, sbits hb
+        |  WHERE pp.p <= abs(pr.bns - pr.hns)
+        |    AND ba.clip_id = pr.bv AND hb.clip_id = pr.hv
+        |    AND ba.seg - hb.seg = CASE WHEN pr.bns >= pr.hns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT bv AS clip_id, CAST(count(DISTINCT hv) AS BIGINT) AS matches
+        |  FROM sc WHERE d <= 3 GROUP BY 1)
+        |SELECT b.clip_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.clip_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT clip_id FROM cl WHERE NOT is_hist) b LEFT JOIN m USING (clip_id)
+        |ORDER BY clip_id""".stripMargin),
 
 
     // X14d: INCREMENTAL audio dedup vs a durable fingerprint state — the

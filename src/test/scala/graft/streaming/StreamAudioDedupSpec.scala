@@ -157,4 +157,53 @@ class StreamAudioDedupSpec extends SparkSpec {
     Extensions.streamIncrementalAudioDedup(spark, stage2, docsSchema, state, results)
     assert(results.toDF(spark).count() == 1L)
   }
+
+  test("offset loop: segment-trimmed recrawls reject in BOTH length directions across batches") {
+    // slice 0 admits clips 1 (4 segments) and 3 (5 segments); slice 1
+    // brings a lead-1-SEGMENT-trimmed recrawl of 1 (id 11 — batch
+    // SHORTER), a one-segment-EXTENDED recrawl of 3 (id 13 — batch
+    // LONGER), and a fresh clip (id 15). The global-fingerprint loop
+    // would admit both recrawls (every window boundary moved); the
+    // containment loop must reject them.
+    val L = 330
+    val rows = Seq(
+      Extensions.audioOffsetFixtureRow(1L, 1, 4, L, 0, edit = false),
+      Extensions.audioOffsetFixtureRow(3L, 3, 5, L, 0, edit = false),
+      Extensions.audioOffsetFixtureRow(11L, 1, 3, L, 1, edit = false),
+      Extensions.audioOffsetFixtureRow(13L, 3, 6, L, 0, edit = false),
+      Extensions.audioOffsetFixtureRow(15L, 7, 4, L, 0, edit = false))
+    val df = rows.toDF("clip_id", "blob")
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val emptyFh = Extensions.audioSegmentsOf(df.limit(0), L)
+    val bands = cat.createTable("db.aud_bands_ospec",
+      Extensions.audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+      partitionBy = Seq("band_key" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "band_key"))
+    val sigs = cat.createTable("db.aud_sigs_ospec", emptyFh.schema,
+      partitionBy = Seq("vid_id" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "vid_id"))
+    val results = cat.createTable("db.aud_adm_ospec",
+      new StructType().add("vid_id", LongType))
+    val stage = TableOps.newTempDir("graft-saudspec-offset")
+    Extensions.stageOrderedSlices(df, stage,
+      when(col("clip_id") < 10L, 0).otherwise(1), 2)
+    val batches = Extensions.streamIncrementalAudioDedupOffset(
+      spark, stage, docsSchema, bands, sigs, results, segLen = L)
+    assert(batches == 2)
+    val admitted = results.toDF(spark).select("vid_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L, 15L),
+      s"trimmed recrawls must reject in both directions: $admitted")
+    // sequence plane: one row per admitted segment; band plane: the
+    // admitted clips' DISTINCT first-3-segment bands
+    assert(sigs.toDF(spark).count() == (4 + 5 + 4).toLong)
+    val admFh = Extensions.audioSegmentsOf(
+      rows.filter(r => admitted.contains(r._1)).toDF("clip_id", "blob"), L)
+    val expBands = Extensions.audioSegBands(admFh.filter(col("frame") <= 2))
+      .select("vid_id", "band_key").distinct().count()
+    assert(bands.toDF(spark).count() == expBands,
+      "band plane must hold exactly the admitted first-3-segment distinct bands")
+    assert(results.meta.snapshots.size == 2 && sigs.meta.snapshots.size == 2 &&
+      bands.meta.snapshots.size == 2,
+      "one statementId-keyed commit per table per batch")
+  }
 }
