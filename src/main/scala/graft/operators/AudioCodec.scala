@@ -51,11 +51,14 @@ object AudioCodec {
     } catch { case _: Exception => null } // no reader / corrupt header
   }
 
-  /** Frame ceiling for FULL-sample fingerprinting: a header claiming more
-    * is refused before allocation (the [[ImageCodec.MaxDecodePixels]]
-    * decode-bomb discipline on the audio plane).
+  /** PCM BYTE ceiling for FULL-sample fingerprinting: a header claiming
+    * more is refused before allocation (the [[ImageCodec.MaxDecodePixels]]
+    * decode-bomb discipline on the audio plane). A byte bound, not a
+    * frame bound (r15 self-review): once 16-bit PCM was accepted, a
+    * frame-count cap would have silently doubled the worst-case
+    * allocation — the guard must bound frames × frame size.
     */
-  val MaxFingerprintFrames: Long = 64L * 1024 * 1024
+  val MaxFingerprintBytes: Long = 64L * 1024 * 1024
 
   /** 32-bit windowed-energy fingerprint over the FULL decoded PCM — the
     * audio twin of [[ImageCodec.dhashRow]]: split the clip into 33 windows
@@ -117,8 +120,8 @@ object AudioCodec {
         val bits = f.getSampleSizeInBits
         val wide = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
         val narrow = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
-        if (!(wide || narrow) || f.getChannels != 1 ||
-            frames < 1 || frames > MaxFingerprintFrames) null
+        if (!(wide || narrow) || f.getChannels != 1 || frames < 1 ||
+            frames * (if (wide) 2L else 1L) > MaxFingerprintBytes) null
         else {
           val n = frames.toInt
           val pcm = ais.readAllBytes()

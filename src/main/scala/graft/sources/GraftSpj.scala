@@ -126,9 +126,8 @@ class GraftSpjScan(
           Array[Any](info.numBuckets, toCatalyst(v))))).map(_.longValue)
       }.toSet
       allowedBuckets = Some(buckets)
-      val kept = groups.collect {
-        case (k: java.lang.Long, fs) if buckets.contains(k.longValue) => fs
-      }.flatten
+      val fg = filteredGroups(Some(buckets))
+      val kept = fg.flatMap(_._2)
       graft.table.QueryHistory.record(graft.table.ScanMetrics(
         tbl.graftTable.name,
         tbl.graftTable.meta.currentSnapshotId.getOrElse(-1L),
@@ -136,16 +135,32 @@ class GraftSpjScan(
         manifestsTotal = 0, manifestsScanned = 0,
         filesTotal = files.size.toLong, filesScanned = kept.size.toLong,
         partitionsTotal = groups.size.toLong,
-        partitionsScanned = groups.count {
-          case (k: java.lang.Long, _) => buckets.contains(k.longValue)
-          case _ => false
-        }.toLong,
+        partitionsScanned = fg.count(_._2.nonEmpty).toLong,
         bytesTotal = files.map(_.fileSizeBytes).sum,
         bytesScanned = kept.map(_.fileSizeBytes).sum,
         rowsInScannedFiles = kept.map(_.recordCount).sum,
         timestampMs = System.currentTimeMillis()))
     }
   }
+
+  /** Bucket groups with the runtime filter applied — the ONE keep rule
+    * both the planned partitions and the recorded metrics derive from
+    * (r15 self-review: two independent copies of the keep decision could
+    * drift the observability ledger from what the scan actually reads).
+    * Group keys are always preserved; pruned and null-key buckets drop
+    * to zero files (an equi-join In filter matches no null key).
+    */
+  private def filteredGroups(allowed: Option[Set[Long]]): Seq[(Any, Seq[DataFile])] =
+    groups.map { case (key, fs) =>
+      val keep = allowed match {
+        case Some(set) => key match {
+          case k: java.lang.Long if set.contains(k.longValue) => fs
+          case _ => Seq.empty
+        }
+        case None => fs
+      }
+      (key, keep)
+    }
 
   /** Files grouped by stored bucket value (null partition last, for a stable
     * display order; Spark re-groups by key itself).
@@ -161,21 +176,12 @@ class GraftSpjScan(
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(info.numBuckets, info.colName)), groups.size)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val allowed = allowedBuckets
-    groups.map { case (key, fs) =>
-      val keep = allowed match {
-        case Some(set) => key match {
-          case k: java.lang.Long if set.contains(k.longValue) => fs
-          case _ => Seq.empty // pruned or null-key bucket: key kept, no files
-        }
-        case None => fs
-      }
+  override def planInputPartitions(): Array[InputPartition] =
+    filteredGroups(allowedBuckets).map { case (key, keep) =>
       GraftBucketPartition(
         new GenericInternalRow(Array[Any](key)),
         keep.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -18,7 +18,10 @@ class DppSpec extends SparkSpec {
     plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
       .flatMap(p => p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan })
 
-  private def setup(): Unit = {
+  // shared by both tests and evaluated on first use, so either test runs
+  // standalone (r15 self-review: the second test must not depend on the
+  // first's side effects)
+  private lazy val fixtureReady: Unit = {
     spark.conf.set("spark.sql.catalog.dpp", classOf[GraftTableCatalog].getName)
     spark.conf.set("spark.sql.catalog.dpp.warehouse", tempWarehouse())
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -32,7 +35,7 @@ class DppSpec extends SparkSpec {
   }
 
   test("broadcast-join dim keys prune the fact scan at execution time") {
-    setup()
+    fixtureReady
     graft.table.QueryHistory.clear()
     // the selective filter sits on a NON-join dim column: nothing is
     // statically inferrable onto the fact key, so only the runtime filter
@@ -66,7 +69,10 @@ class DppSpec extends SparkSpec {
   }
 
   test("runtime-filtered result matches the unfiltered plan row for row") {
-    // guard against over-pruning: disable DPP, re-run, compare
+    fixtureReady
+    // guard against over-pruning: disable DPP, re-run, compare — the
+    // conf restore sits in a finally so a failure cannot leak a
+    // DPP-disabled session into later suites
     val q =
       """SELECT f.k, count(*) AS n, sum(f.v) AS sv
         |FROM dpp.db.fact f JOIN dpp_dim d ON f.k = d.k
@@ -74,8 +80,9 @@ class DppSpec extends SparkSpec {
         |GROUP BY f.k ORDER BY f.k""".stripMargin
     val withDpp = spark.sql(q).collect()
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
-    val without = spark.sql(q).collect()
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val without =
+      try spark.sql(q).collect()
+      finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     assert(withDpp.toSeq == without.toSeq)
   }
 }
