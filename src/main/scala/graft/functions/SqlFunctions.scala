@@ -81,5 +81,8 @@ object SqlFunctions {
     reg("graft_frame_dhashes") { e =>
       graft.operators.Multimodal.frameDhashes(c(e.head), litInt(e(1), "stride"))
     }
+    reg("graft_audio_segments") { e =>
+      graft.operators.Multimodal.audioSegmentFingerprints(c(e.head), litInt(e(1), "segLen"))
+    }
   }
 }

@@ -438,6 +438,39 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Fixture-side NEAREST-NEIGHBOR-UPSCALED seeded variant (r15): pixel
+    * (x, y) of the (scale·w)×(scale·h) clone carries the base gradient's
+    * value at (x / scale, y / scale) — bit-exactly what a nearest-
+    * neighbor resize of [[encodeImageVariant]]'s image produces. The
+    * CROSS-RESOLUTION dedup claim rests on grid alignment: when 8 | w
+    * and 8 | h, the dHash grid pick of the clone ((gx·s·w) / 8, …)
+    * divides back to exactly the base's pick ((gx·s·w/8)/s = gx·w/8), so
+    * the upscaled clone's hash EQUALS the base's — no new operator, the
+    * existing dHash is scale-invariant on aligned grids and the gate
+    * pins it. `editX`/`editY` are CLONE-raster coordinates.
+    */
+  def encodeImageVariantScaled(format: String, width: Int, height: Int,
+      seed: Int, scale: Int, editX: Int = -1, editY: Int = -1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width * scale, height * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height * scale) {
+      val sy = y / scale
+      var x = 0
+      while (x < width * scale) {
+        val sx = x / scale
+        val g0 = (sx * (31 + 11 * seed) + sy * (17 + 5 * seed)) % 256
+        val g = if (x == editX && y == editY) (g0 + 128) % 256 else g0
+        img.setRGB(x, y, g << 8 | (sx & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, bos), s"no JDK writer for format $format")
+    bos.toByteArray
+  }
+
   /** 56-bit difference hash (dHash) of the FULL decoded raster — the
     * perceptual fingerprint for image near-dup dedup. Nearest-neighbor
     * pick an 8×8 gray grid (source pixel (x·W/8, y·H/8), integer floor —

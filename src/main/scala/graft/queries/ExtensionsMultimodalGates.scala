@@ -531,6 +531,77 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY img_a, img_b""".stripMargin),
 
 
+    // X14b': CROSS-RESOLUTION image near-dup (r15, beyond the asks) —
+    // real image near-dups are overwhelmingly RESIZES, and the existing
+    // dHash already catches the aligned class with ZERO new operator
+    // code: a nearest-neighbor ×s upscale of a base whose dimensions are
+    // multiples of 8 picks EXACTLY the base's grid pixels ((gx·s·w/8)/s
+    // = gx·w/8 when 8 | w), so the upscaled clone hashes IDENTICALLY and
+    // the standard banded pipeline pairs them at hamming 0 (≤ 2 with a
+    // planted pick-edit). This gate PINS that scale-invariance: the
+    // fixture plants ×2/×3 upscales (some edited) against their bases,
+    // the engine decodes the REAL upscaled PNGs/BMPs, and the oracle
+    // needs no scale column at all — an aligned upscale is
+    // indistinguishable from its base in closed form, which is precisely
+    // the claim. Non-multiple-of-8 dimensions or non-integer scales can
+    // drift picks by one source pixel (off-grid resizes route through
+    // graft_resize_image normalization at ingest); the gate pins the
+    // aligned contract. At 100 TB: cross-resolution dedup costs nothing
+    // beyond the hash already computed at ingest.
+    ("x_image_neardup_scaled",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        val rows = (0 until 12).flatMap { i =>
+          val w = 8 * (2 + i % 3); val h = 8 * (2 + i % 2)
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          val sc = 2 + i % 2
+          val base = (i.toLong, ImageCodec.encodeImageVariant(fmt, w, h, i))
+          val clone =
+            if (i % 3 == 0) Some(((100 + i).toLong,
+              ImageCodec.encodeImageVariantScaled(fmt, w, h, i, sc,
+                sc * (3 * w / 8), sc * (3 * h / 8))))
+            else if (i % 3 == 1) Some(((100 + i).toLong,
+              ImageCodec.encodeImageVariantScaled(fmt, w, h, i, sc)))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.imgscaled", df.schema)
+        t.append(s, df)
+        val bands = imageBands(t.toDF(s)).localCheckpoint()
+        val pairs = bandPairsOf(bands, "img_id")
+          .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (0 until 12).filter(_ % 3 != 2).foreach { i =>
+          val got = found.get((i.toLong, (100 + i).toLong))
+          require(got.isDefined,
+            s"planted x${2 + i % 2} upscale ($i, ${100 + i}) must band-collide and verify")
+          if (i % 3 == 1) require(got.contains(0L),
+            s"unedited aligned upscale must hash IDENTICALLY, got hamming ${got.get}")
+        }
+        pairs.orderBy("img_a", "img_b")
+      },
+      // no scale column: an aligned nearest-neighbor upscale picks the
+      // base's grid pixels exactly, so its closed-form hash IS the
+      // base's (with the edit at the base-space grid-(3,3) pick)
+      s"""WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 8 * (2 + i % 3) AS w, 8 * (2 + i % 2) AS h,
+        |    -1 AS ex, -1 AS ey
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 8 * (2 + i % 3), 8 * (2 + i % 2),
+        |    CASE WHEN i % 3 = 0 THEN (3 * (8 * (2 + i % 3))) // 8 ELSE -1 END,
+        |    CASE WHEN i % 3 = 0 THEN (3 * (8 * (2 + i % 2))) // 8 ELSE -1 END
+        |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |$imageOracleGridBits
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin),
+
+
     // X14b: INCREMENTAL image dedup vs a durable perceptual-hash state —
     // the x_incremental_dedup discipline on the image family: the crawled
     // corpus's dHash BANDS persist in a band_key-bucketed, bloom-indexed

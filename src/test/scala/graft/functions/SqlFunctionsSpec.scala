@@ -84,4 +84,26 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_frame_dhashes(blob, id) FROM fdh_vids").collect())
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
+
+  test("graft_audio_segments: SQL twin matches the row kernel, rejects non-literal segLen") {
+    import graft.operators.AudioCodec
+    val blob = AudioCodec.encodeAudioVariant(4 * 330, 7)
+    val want = AudioCodec.segmentFingerprintsRow(blob, 330)
+    spark.createDataFrame(Seq((1L, blob))).toDF("id", "blob")
+      .createOrReplaceTempView("aseg_clips")
+    val rows = spark.sql(
+      """SELECT g.seg, g.h
+        |FROM aseg_clips LATERAL VIEW explode(graft_audio_segments(blob, 330)) AS g
+        |ORDER BY g.seg""".stripMargin).collect()
+    assert(rows.length == want.numElements())
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == want.getStruct(i, 2).getInt(0) &&
+        r.getLong(1) == want.getStruct(i, 2).getLong(1))
+    }
+    assert(spark.sql("SELECT graft_audio_segments(encode('junk', 'UTF-8'), 330) AS sh")
+      .head().isNullAt(0))
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_audio_segments(blob, id) FROM aseg_clips").collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }

@@ -386,6 +386,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == base.longValue())
     assert(got(1).isNullAt(1))
   }
+  test("aligned nearest-neighbor upscales hash identically: dHash scale invariance") {
+    // 8 | w and 8 | h makes every clone grid pick divide back to exactly
+    // the base's pick — the cross-resolution gate's contract
+    val base = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("png", 24, 16, 9))
+    (2 to 4).foreach { s =>
+      val up = ImageCodec.dhashRow(
+        ImageCodec.encodeImageVariantScaled("png", 24, 16, 9, s))
+      assert(up.longValue() == base.longValue(), s"x$s upscale drifted from the base hash")
+    }
+    // a pick-edit on the upscaled raster flips <= 2 bits, like any clone
+    val edit = ImageCodec.dhashRow(ImageCodec.encodeImageVariantScaled(
+      "png", 24, 16, 9, 2, 2 * (3 * 24 / 8), 2 * (3 * 16 / 8)))
+    assert(java.lang.Long.bitCount(base.longValue() ^ edit.longValue()) <= 2)
+    // container independence holds across scales too
+    val bmp = ImageCodec.dhashRow(
+      ImageCodec.encodeImageVariantScaled("bmp", 24, 16, 9, 3))
+    assert(bmp.longValue() == base.longValue())
+  }
+
   test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
     // the trimmed-clone contract videoTrimFixtureRow rests on: a clip
     // encoded with (frames - t, frameBase = t0) hashes frame f exactly as

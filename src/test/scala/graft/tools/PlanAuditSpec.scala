@@ -454,7 +454,8 @@ class PlanAuditSpec extends SparkSpec {
     // band_key) and its aligned verify on (vid_id, frame) — both equi;
     // a nested-loop anywhere would mean per-frame hashes (or worse,
     // pixels) going all-pairs
-    for (name <- Seq("x_image_neardup", "x_audio_neardup", "x_video_neardup",
+    for (name <- Seq("x_image_neardup", "x_image_neardup_scaled",
+        "x_audio_neardup", "x_video_neardup",
         "x_audio_neardup_16bit", "x_audio_neardup_offset",
         "x_video_neardup_trimmed", "x_video_containment")) {
       val gate = graft.queries.Extensions.entries.find(_._1 == name).get._2
