@@ -80,7 +80,7 @@ object AudioCodec {
     * different sample domains, and the gates pin same-seed 8↔16 pairs
     * far apart. Everything else — other encodings (ULAW's log-compressed
     * bytes, 8-bit PCM_SIGNED's sign-wrapped ones), stereo, under-33-frame
-    * clips, bomb-guarded frame counts, undecodable bytes — returns null
+    * clips, byte-bomb-guarded PCM sizes, undecodable bytes — returns null
     * and routes to quarantine / an external fingerprinter at ingest.
     * Map-side, bytes-decoded cost paid once at ingest.
     */

@@ -419,24 +419,12 @@ object ImageCodec {
     * without an image library (the [[encodeImage]] discipline, seeded).
     */
   def encodeImageVariant(format: String, width: Int, height: Int, seed: Int,
-                         editX: Int = -1, editY: Int = -1): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val g0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed)) % 256
-        val g = if (x == editX && y == editY) (g0 + 128) % 256 else g0
-        img.setRGB(x, y, g << 8 | (x & 0xFF))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, format, bos), s"no JDK writer for format $format")
-    bos.toByteArray
-  }
+                         editX: Int = -1, editY: Int = -1): Array[Byte] =
+    // exactly the scale-1 case of the upscaled encoder — ONE home for the
+    // seeded gradient / edit rule / channel packing (r15 self-review: a
+    // second copy of the closed form would let the cross-resolution
+    // identity silently drift)
+    encodeImageVariantScaled(format, width, height, seed, 1, editX, editY)
 
   /** Fixture-side NEAREST-NEIGHBOR-UPSCALED seeded variant (r15): pixel
     * (x, y) of the (scale·w)×(scale·h) clone carries the base gradient's
