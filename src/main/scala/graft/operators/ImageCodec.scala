@@ -430,12 +430,13 @@ object ImageCodec {
     * (x, y) of the (scale·w)×(scale·h) clone carries the base gradient's
     * value at (x / scale, y / scale) — bit-exactly what a nearest-
     * neighbor resize of [[encodeImageVariant]]'s image produces. The
-    * CROSS-RESOLUTION dedup claim rests on grid alignment: when 8 | w
-    * and 8 | h, the dHash grid pick of the clone ((gx·s·w) / 8, …)
-    * divides back to exactly the base's pick ((gx·s·w/8)/s = gx·w/8), so
-    * the upscaled clone's hash EQUALS the base's — no new operator, the
-    * existing dHash is scale-invariant on aligned grids and the gate
-    * pins it. `editX`/`editY` are CLONE-raster coordinates.
+    * CROSS-RESOLUTION dedup claim is UNCONDITIONAL for integer upscales:
+    * the clone's dHash grid pick source is ⌊⌊gx·s·w/8⌋/s⌋, and the nested
+    * floor-division identity ⌊⌊x/m⌋/n⌋ = ⌊x/(mn)⌋ collapses it to
+    * ⌊gx·w/8⌋ — exactly the base's pick, for ANY w, h, s — so an integer
+    * upscale hashes IDENTICALLY to its base: no new operator, the
+    * existing dHash is scale-invariant by construction and the gate pins
+    * it. `editX`/`editY` are CLONE-raster coordinates.
     */
   def encodeImageVariantScaled(format: String, width: Int, height: Int,
       seed: Int, scale: Int, editX: Int = -1, editY: Int = -1): Array[Byte] = {

@@ -533,33 +533,34 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
 
     // X14b': CROSS-RESOLUTION image near-dup (r15, beyond the asks) —
     // real image near-dups are overwhelmingly RESIZES, and the existing
-    // dHash already catches the aligned class with ZERO new operator
-    // code: a nearest-neighbor ×s upscale of a base whose dimensions are
-    // multiples of 8 picks EXACTLY the base's grid pixels ((gx·s·w/8)/s
-    // = gx·w/8 when 8 | w), so the upscaled clone hashes IDENTICALLY and
-    // the standard banded pipeline pairs them at hamming 0 (≤ 2 with a
-    // planted pick-edit). This gate PINS that scale-invariance: the
-    // fixture plants ×2/×3 upscales (some edited) against their bases,
-    // the engine decodes the REAL upscaled PNGs/BMPs, and the oracle
-    // needs no scale column at all — an aligned upscale is
-    // indistinguishable from its base in closed form, which is precisely
-    // the claim. Non-multiple-of-8 dimensions or non-integer scales can
-    // drift picks by one source pixel (off-grid resizes route through
-    // graft_resize_image normalization at ingest); the gate pins the
-    // aligned contract. At 100 TB: cross-resolution dedup costs nothing
-    // beyond the hash already computed at ingest.
+    // dHash already catches every integer nearest-neighbor upscale with
+    // ZERO new operator code: the clone's grid pick source is
+    // ⌊⌊gx·s·w/8⌋/s⌋, which the nested floor-division identity
+    // ⌊⌊x/m⌋/n⌋ = ⌊x/(mn)⌋ collapses to ⌊gx·w/8⌋ — exactly the base's
+    // pick, for ANY dimensions and scale — so the upscaled clone hashes
+    // IDENTICALLY and the standard banded pipeline pairs them at
+    // hamming 0 (≤ 2 with a planted pick-edit). This gate PINS that
+    // scale-invariance on deliberately ARBITRARY (non-multiple-of-8)
+    // dimensions: the fixture plants ×2/×3 upscales (some edited)
+    // against their bases, the engine decodes the REAL upscaled
+    // PNGs/BMPs, and the oracle needs no scale column at all — an
+    // integer upscale is indistinguishable from its base in closed
+    // form, which is precisely the claim. (Non-integer resizes drift
+    // picks and stay out of scope; a normalizing resize front-end owns
+    // them.) At 100 TB: cross-resolution dedup costs nothing beyond the
+    // hash already computed at ingest.
     ("x_image_neardup_scaled",
       (s: SparkSession, d: String) => {
         import graft.operators.ImageCodec
         val rows = (0 until 12).flatMap { i =>
-          val w = 8 * (2 + i % 3); val h = 8 * (2 + i % 2)
+          val w = 17 + i; val h = 11 + (i % 7)
           val fmt = if (i % 2 == 0) "png" else "bmp"
           val sc = 2 + i % 2
           val base = (i.toLong, ImageCodec.encodeImageVariant(fmt, w, h, i))
           val clone =
             if (i % 3 == 0) Some(((100 + i).toLong,
               ImageCodec.encodeImageVariantScaled(fmt, w, h, i, sc,
-                sc * (3 * w / 8), sc * (3 * h / 8))))
+                (3 * sc * w) / 8, (3 * sc * h) / 8)))
             else if (i % 3 == 1) Some(((100 + i).toLong,
               ImageCodec.encodeImageVariantScaled(fmt, w, h, i, sc)))
             else None
@@ -582,17 +583,18 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         }
         pairs.orderBy("img_a", "img_b")
       },
-      // no scale column: an aligned nearest-neighbor upscale picks the
-      // base's grid pixels exactly, so its closed-form hash IS the
-      // base's (with the edit at the base-space grid-(3,3) pick)
+      // no scale column: an integer nearest-neighbor upscale picks the
+      // base's grid pixels exactly (the nested floor-division identity),
+      // so its closed-form hash IS the base's (with the edit at the
+      // base-space grid-(3,3) pick)
       s"""WITH imgs AS (
-        |  SELECT i AS img_id, i AS seed, 8 * (2 + i % 3) AS w, 8 * (2 + i % 2) AS h,
+        |  SELECT i AS img_id, i AS seed, 17 + i AS w, 11 + (i % 7) AS h,
         |    -1 AS ex, -1 AS ey
         |  FROM range(12) t(i)
         |  UNION ALL
-        |  SELECT 100 + i, i, 8 * (2 + i % 3), 8 * (2 + i % 2),
-        |    CASE WHEN i % 3 = 0 THEN (3 * (8 * (2 + i % 3))) // 8 ELSE -1 END,
-        |    CASE WHEN i % 3 = 0 THEN (3 * (8 * (2 + i % 2))) // 8 ELSE -1 END
+        |  SELECT 100 + i, i, 17 + i, 11 + (i % 7),
+        |    CASE WHEN i % 3 = 0 THEN (3 * (17 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 3 = 0 THEN (3 * (11 + (i % 7))) // 8 ELSE -1 END
         |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
         |$imageOracleGridBits
         |SELECT a.img_id AS img_a, b.img_id AS img_b,

@@ -386,22 +386,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == base.longValue())
     assert(got(1).isNullAt(1))
   }
-  test("aligned nearest-neighbor upscales hash identically: dHash scale invariance") {
-    // 8 | w and 8 | h makes every clone grid pick divide back to exactly
-    // the base's pick — the cross-resolution gate's contract
-    val base = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("png", 24, 16, 9))
-    (2 to 4).foreach { s =>
+  test("integer nearest-neighbor upscales hash identically: dHash scale invariance is unconditional") {
+    // the nested floor-division identity floor(floor(gx*s*w/8)/s) =
+    // floor(gx*w/8) makes every clone grid pick divide back to exactly
+    // the base's pick for ANY dimensions — the cross-resolution gate's
+    // contract, checked on deliberately awkward (non-multiple-of-8) sizes
+    for ((w, h) <- Seq((24, 16), (21, 13), (35, 23)); s <- 2 to 4) {
+      val base = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("png", w, h, 9))
       val up = ImageCodec.dhashRow(
-        ImageCodec.encodeImageVariantScaled("png", 24, 16, 9, s))
-      assert(up.longValue() == base.longValue(), s"x$s upscale drifted from the base hash")
+        ImageCodec.encodeImageVariantScaled("png", w, h, 9, s))
+      assert(up.longValue() == base.longValue(),
+        s"x$s upscale of ${w}x$h drifted from the base hash")
     }
     // a pick-edit on the upscaled raster flips <= 2 bits, like any clone
+    val base = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("png", 21, 13, 9))
     val edit = ImageCodec.dhashRow(ImageCodec.encodeImageVariantScaled(
-      "png", 24, 16, 9, 2, 2 * (3 * 24 / 8), 2 * (3 * 16 / 8)))
+      "png", 21, 13, 9, 2, (3 * 2 * 21) / 8, (3 * 2 * 13) / 8))
     assert(java.lang.Long.bitCount(base.longValue() ^ edit.longValue()) <= 2)
     // container independence holds across scales too
     val bmp = ImageCodec.dhashRow(
-      ImageCodec.encodeImageVariantScaled("bmp", 24, 16, 9, 3))
+      ImageCodec.encodeImageVariantScaled("bmp", 21, 13, 9, 3))
     assert(bmp.longValue() == base.longValue())
   }
 
