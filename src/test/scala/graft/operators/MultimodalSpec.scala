@@ -409,6 +409,29 @@ class MultimodalSpec extends SparkSpec {
     assert(bmp.longValue() == base.longValue())
   }
 
+  test("normalize-then-hash: resizing a base and its integer upscale to one maxWidth is pixel-identical") {
+    // the ingest-pipeline composition (resize front-end -> dHash): for a
+    // base and ANY integer nearest-neighbor upscale, resizing both to the
+    // same maxWidth picks the SAME base pixels (the nested floor-division
+    // identity applied twice — target dims agree because
+    // floor(s*h*m/(s*w)) = floor(h*m/w), and each pick composes
+    // floor(floor(x*s*w/m)/s) = floor(x*w/m)), so the normalized rasters
+    // are bit-identical and every downstream hash agrees
+    for ((w, h) <- Seq((21, 13), (35, 23)); s <- Seq(2, 3); m <- Seq(16, 20)) {
+      val nb = ImageCodec.resizeRow(ImageCodec.encodeImageVariant("png", w, h, 9), m)
+      val nu = ImageCodec.resizeRow(
+        ImageCodec.encodeImageVariantScaled("png", w, h, 9, s), m)
+      assert(nb.getInt(0) == nu.getInt(0) && nb.getInt(1) == nu.getInt(1),
+        s"normalized dims drifted for ${w}x$h x$s at m=$m")
+      assert((2 to 4).forall(i => nb.getLong(i) == nu.getLong(i)),
+        s"normalized channel sums drifted for ${w}x$h x$s at m=$m")
+      val hb = ImageCodec.dhashRow(nb.getBinary(5))
+      val hu = ImageCodec.dhashRow(nu.getBinary(5))
+      assert(hb != null && hb.longValue() == hu.longValue(),
+        s"normalized hashes drifted for ${w}x$h x$s at m=$m")
+    }
+  }
+
   test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
     // the trimmed-clone contract videoTrimFixtureRow rests on: a clip
     // encoded with (frames - t, frameBase = t0) hashes frame f exactly as
