@@ -1384,7 +1384,11 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
     // no perceptual rule can exist; byte identity is the only sound
     // dedup) while unrecognized bytes land in QUARANTINE (counted, never
     // decoded, zero pairs) — the mixed corpus is thereby FULLY
-    // partitioned, no family falls out of the map silently. Routing
+    // partitioned, no family falls out of the map silently. jpeg/pdf
+    // also quarantine HERE by deliberate choice: imageDhash decodes JPEG
+    // fine operationally, but JPEG is lossy — its decoded raster has no
+    // closed form, so a JPEG leg could never meet this gate's oracle
+    // discipline; a production map routes jpeg to the image family. Routing
     // correctness is REQUIREd (family counts == planted counts) and
     // every planted clone pair in every family must verify. The oracle
     // recomputes the three perceptual families' closed-form hashes and
