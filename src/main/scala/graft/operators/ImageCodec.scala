@@ -430,7 +430,12 @@ object ImageCodec {
     * (x, y) of the (scale·w)×(scale·h) clone carries the base gradient's
     * value at (x / scale, y / scale) — bit-exactly what a nearest-
     * neighbor resize of [[encodeImageVariant]]'s image produces. The
-    * CROSS-RESOLUTION dedup claim is UNCONDITIONAL for integer upscales:
+    * CROSS-RESOLUTION dedup claim is UNCONDITIONAL for integer
+    * NEAREST-NEIGHBOR upscales (r15 ADVICE: interpolating resizers —
+    * bilinear/bicubic, the common real-world resize — blend neighbor
+    * pixels and break hash identity even at integer scale factors;
+    * those, like non-integer scales, are owned by the normalizing
+    * resize front-end):
     * the clone's dHash grid pick source is ⌊⌊gx·s·w/8⌋/s⌋, and the nested
     * floor-division identity ⌊⌊x/m⌋/n⌋ = ⌊x/(mn)⌋ collapses it to
     * ⌊gx·w/8⌋ — exactly the base's pick, for ANY w, h, s — so an integer

@@ -491,6 +491,18 @@ object Extensions
     * anchor sweep and verify compare BIGINTs over candidate pairs only —
     * pixels never shuffle (the [[videoPairsOf]] economics, plus a ≤
     * (k+1)× anchor factor on the candidate verify).
+    *
+    * KEY CONTRACT (r15 ADVICE): `fh` must hold exactly ONE row per
+    * (vid_id, frame) — the verify SUMS bit_count over joined (f, f+p)
+    * rows, so a duplicated id/frame would inflate the aligned sum and
+    * silently turn true near-dups into false negatives. Both shipped
+    * producers satisfy it by construction ([[videoFrameHashes]] /
+    * [[audioSegmentsOf]] explode ONE per-blob array, whose `frame`/`seg`
+    * entries are unique), so a caller feeding user corpora owes the same
+    * uniqueness on (vid_id, frame) — dedup ids upstream, not here (a
+    * defensive distinct would re-shuffle every caller for a contract the
+    * shipped pipelines already meet). The same contract binds
+    * [[videoAdmitVerdictsTrimmed]] (the durable-state twin of this rule).
     * @return (vid_long, vid_short, hamming, anchor) — vid_long is the
     *         clip with more frames (ties: the smaller id)
     */
@@ -673,6 +685,9 @@ object Extensions
     * frame-p bands (p ≤ maxLenDiff), and BOTH live in the probe — the
     * batch probes with its frames ≤ maxLenDiff, the plane stores history
     * frames ≤ maxLenDiff. Probe and fetch stay batch-bounded In reads.
+    * KEY CONTRACT: one row per (vid_id, frame) in `batchFh` and in the
+    * sequence plane — see [[videoContainmentPairsOf]] (the aligned SUM
+    * inflates under duplicates, turning near-dups into false negatives).
     * @param bandState  (vid_id, band_key) — frames ≤ maxLenDiff bands
     * @param sigState   (vid_id, nf, frame, h) — full sequences
     * @return (vid_id, matches, admitted)

@@ -109,6 +109,14 @@ class GraftSpjScan(
     */
   @volatile private var allowedBuckets: Option[Set[Long]] = None
 
+  /** Metrics staged by [[filter]] and recorded by the FIRST
+    * [[planInputPartitions]] that follows it (r15 ADVICE: recording at
+    * filter time could ledger a prune for a read AQE then discards; the
+    * partitions-planned moment is when the pruned read is actually real).
+    */
+  private val pendingMetrics =
+    new java.util.concurrent.atomic.AtomicReference[graft.table.ScanMetrics](null)
+
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(info.colName))
 
@@ -128,7 +136,7 @@ class GraftSpjScan(
       allowedBuckets = Some(buckets)
       val fg = filteredGroups(Some(buckets))
       val kept = fg.flatMap(_._2)
-      graft.table.QueryHistory.record(graft.table.ScanMetrics(
+      pendingMetrics.set(graft.table.ScanMetrics(
         tbl.graftTable.name,
         tbl.graftTable.meta.currentSnapshotId.getOrElse(-1L),
         s"runtime-in(${info.colName}, ${vs.size} keys)",
@@ -154,7 +162,14 @@ class GraftSpjScan(
     groups.map { case (key, fs) =>
       val keep = allowed match {
         case Some(set) => key match {
-          case k: java.lang.Long if set.contains(k.longValue) => fs
+          // bucket values materialize via Canonical.fromJsonString(LongType)
+          // today; match the NUMBER contract (r15 ADVICE) and fail loudly on
+          // any non-numeric representation rather than silently over-pruning
+          case k: java.lang.Number if set.contains(k.longValue) => fs
+          case null => Seq.empty // an equi-join In filter matches no null key
+          case k if !k.isInstanceOf[java.lang.Number] =>
+            throw new IllegalStateException(
+              s"bucket group key must be numeric, got ${k.getClass.getName}")
           case _ => Seq.empty
         }
         case None => fs
@@ -176,12 +191,14 @@ class GraftSpjScan(
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(info.numBuckets, info.colName)), groups.size)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    Option(pendingMetrics.getAndSet(null)).foreach(graft.table.QueryHistory.record)
     filteredGroups(allowedBuckets).map { case (key, keep) =>
       GraftBucketPartition(
         new GenericInternalRow(Array[Any](key)),
         keep.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
