@@ -1191,6 +1191,76 @@ object MaintenanceOps {
         |WHERE o.o_custkey = 5
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // S15 GENERALIZED (r15 verdict #1): execution-time runtime filtering
+    // for NON-bucket partition layouts — the reference's flagship
+    // medallion shape (docs/12-lakehouse-patterns.md:107-126): a
+    // month-partitioned fact joined to a selective date dim. g_dpp_join
+    // covers the bucket-SPJ scan; here the fact is PARTITIONED BY
+    // months(o_orderdate), served by the generalized GraftDppScan
+    // (graft.dpp.enabled — conf restored in a finally so no later gate
+    // inherits the scan route), and the dim's selective filter sits on
+    // d_quarter, a DERIVED non-join column Catalyst cannot statically
+    // infer through — only the dynamic-pruning subquery's collected
+    // d_date keys can prune, mapped through the table's MONTH transform
+    // by the same phase-2 rule static predicates use (min/max + bloom
+    // planes included — DppSpec pins each plane separately). Flag
+    // certifies the dynamic-pruning subquery in the EXECUTED plan, the
+    // graft-dpp scan serving the fact, and the recorded runtime prune
+    // (~3 of ~80 month files read). At 100 TB this is THE star-join
+    // economics: a selective dim join pays 3 months of fact I/O, not a
+    // full-table pass, with no extra driver job.
+    ("g_dpp_partition_join",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        registerSqlCatalog(s)
+        s.conf.set("graft.dpp.enabled", "true")
+        try {
+          val sfx = java.util.UUID.randomUUID().toString.take(8)
+          val fact = s"dppm_$sfx"
+          FixtureClock.timed {
+            Tables.orders(s, d).createOrReplaceTempView("orders_src_dppm")
+            s.sql(s"""CREATE TABLE graft_sql.db.$fact (
+              |  o_orderdate DATE, o_totalprice DOUBLE)
+              |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+            s.sql(s"INSERT INTO graft_sql.db.$fact " +
+              "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders_src_dppm")
+          }
+          s.sql("""SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date,
+            |  concat(year(o_orderdate), 'Q', quarter(o_orderdate)) AS d_quarter
+            |FROM orders_src_dppm""".stripMargin)
+            .createOrReplaceTempView("dates_dim_dppm")
+          graft.table.QueryHistory.clear()
+          val probe = s.sql(
+            s"""SELECT d.d_quarter, count(*) AS n,
+               |  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+               |FROM graft_sql.db.$fact f JOIN dates_dim_dppm d
+               |  ON f.o_orderdate = d.d_date
+               |WHERE d.d_quarter = '1996Q2'
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
+          probe.collect()
+          val top = probe.queryExecution.executedPlan
+          val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          val dppInPlan = plans.exists(_.toString.contains("dynamicpruning"))
+          val dppScan = plans.exists(_.toString.contains("graft-dpp"))
+          val rf = graft.table.QueryHistory.all.filter(m =>
+            m.table == s"db.$fact" && m.predicate.startsWith("runtime-in"))
+          val pruned = rf.nonEmpty &&
+            rf.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
+          probe.withColumn("dpp_pruned", lit(dppInPlan && dppScan && pruned))
+        } finally s.conf.set("graft.dpp.enabled", "false")
+      },
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date,
+        |    concat(CAST(year(o_orderdate) AS VARCHAR), 'Q',
+        |      CAST(quarter(o_orderdate) AS VARCHAR)) AS d_quarter
+        |  FROM orders)
+        |SELECT d.d_quarter, count(*) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  true AS dpp_pruned
+        |FROM orders o JOIN dim d ON CAST(o.o_orderdate AS DATE) = d.d_date
+        |WHERE d.d_quarter = '1996Q2'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // D16 completed: task SCHEDULING semantics (docs/10:174-183 CREATE TASK
     // ... SCHEDULE='USING CRON ...' + ALTER TASK RESUME; docs/12:174-186).
     // An hourly-cron ingest task and a 30-minute interval task fire under a

@@ -452,8 +452,9 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
     required = Some(requiredSchema)
 
   /** SPJ batch scan when provably equivalent to the native path (see
-    * [[GraftSpj]]); otherwise the V1Scan whose relation the substitution
-    * rule replaces.
+    * [[GraftSpj]]); else the generalized runtime-filter scan when opted in
+    * and equally provably equivalent (see [[GraftDpp]]); otherwise the
+    * V1Scan whose relation the substitution rule replaces.
     */
   override def build(): Scan = {
     val spark = SparkSession.active
@@ -466,7 +467,16 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
             required.getOrElse(tbl.schema()), native.meta.location)
         }
       }
-    spj.getOrElse(new GraftV2Scan(tbl, preds))
+    def dpp =
+      if (!GraftDpp.enabled(spark) || tbl.travel != TimeTravel.None) None
+      else {
+        val native = tbl.nativeScan(preds)
+        GraftSpj.planEligible(native).map { files =>
+          new GraftDppScan(tbl, native, files, accepted,
+            required.getOrElse(tbl.schema()), native.meta.location)
+        }
+      }
+    spj.orElse(dpp).getOrElse(new GraftV2Scan(tbl, preds))
   }
 }
 
@@ -570,10 +580,12 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => plan.transformWithSubqueries {
       case agg: Aggregate if agg.groupingExpressions.isEmpty =>
         tryMetadataAggregate(agg).getOrElse(agg)
-      // SPJ batch scans stay v2: their KeyGroupedPartitioning is what lets
-      // EnsureRequirements drop the exchanges under co-bucketed joins.
+      // SPJ batch scans stay v2 (their KeyGroupedPartitioning is what lets
+      // EnsureRequirements drop the exchanges under co-bucketed joins), and
+      // so do the generalized runtime-filter scans (a substituted relation
+      // could never receive the dynamic-pruning subquery's keys).
       case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] &&
-          !r.scan.isInstanceOf[GraftSpjScan] =>
+          !r.scan.isInstanceOf[GraftSpjScan] && !r.scan.isInstanceOf[GraftDppScan] =>
         val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
         substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>

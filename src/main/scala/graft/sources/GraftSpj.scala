@@ -66,6 +66,28 @@ object GraftSpj {
         f.specId == scan.meta.defaultSpecId)
     if (ok) Some(files) else None
   }
+
+  /** Spark's own vectorized parquet reader behind the DSv2 row
+    * `PartitionReader` contract — shared by the SPJ and generalized-DPP
+    * batch scans. OPTION_RETURNING_BATCH=false: vectorized decode inside,
+    * row-at-a-time surface outside (the reader contract without giving up
+    * the columnar inner loop).
+    */
+  def readerFactory(dataSchema: StructType, pushed: Array[Filter],
+                    required: StructType): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val strip = (s: StructType) =>
+      StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = strip(dataSchema),
+      partitionSchema = new StructType(),
+      requiredSchema = strip(required),
+      filters = pushed.toSeq,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    GraftSpjReaderFactory(readFunc)
+  }
 }
 
 /** DSv2 Batch scan over one pinned Graft snapshot, grouped by bucket value.
@@ -200,37 +222,28 @@ class GraftSpjScan(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val strip = (s: StructType) =>
-      StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
-    // OPTION_RETURNING_BATCH=false: vectorized parquet decode, row-at-a-time
-    // surface — the DSv2 row PartitionReader contract without giving up the
-    // columnar inner loop.
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      sparkSession = spark,
-      dataSchema = strip(tbl.graftTable.schema),
-      partitionSchema = new StructType(),
-      requiredSchema = strip(required),
-      filters = pushed.toSeq,
-      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftSpjReaderFactory(readFunc)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftSpj.readerFactory(tbl.graftTable.schema, pushed, required)
 }
+
+/** An input partition that is a plain list of (path, size) parquet files —
+  * the shape [[GraftSpjReaderFactory]] reads; implemented by the SPJ bucket
+  * partitions and the generalized runtime-filter scan's file partitions.
+  */
+trait GraftFilesPartition extends InputPartition { def files: Seq[(String, Long)] }
 
 /** One bucket's files; `partitionKey` is the stored bucket value (nullable —
   * rows with a null bucket column land in the null partition).
   */
 case class GraftBucketPartition(key: GenericInternalRow, files: Seq[(String, Long)])
-    extends InputPartition with HasPartitionKey {
+    extends GraftFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
 case class GraftSpjReaderFactory(read: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftBucketPartition]
+    val p = partition.asInstanceOf[GraftFilesPartition]
     val rows = p.files.iterator.flatMap { case (path, size) =>
       read(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
         0L, size, Array.empty, 0L, size, Map.empty))

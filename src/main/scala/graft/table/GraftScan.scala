@@ -206,6 +206,16 @@ class GraftScan(
         })
   }
 
+  /** Sound per-file "may contain matching rows" test against this scan's
+    * FULL phase-2 context — partition transforms, column min/max/null
+    * stats AND the equality-probe blooms all participate (the same rule
+    * [[plan]] prunes with). The generalized DSv2 runtime-filter scan
+    * ([[graft.sources.GraftDppScan]]) re-prunes its planned file list
+    * through this when a join's build-side keys arrive at execution time.
+    */
+  private[graft] def fileMayMatch(f: DataFile, p: Predicate): Boolean =
+    Predicate.mayMatch(p, fileCtx(f))
+
   /** @return (surviving data files, all position-delete files, metrics) */
   lazy val plan: (Seq[DataFile], Seq[DataFile], ScanMetrics) = {
     snapshot match {
