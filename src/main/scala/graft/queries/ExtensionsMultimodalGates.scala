@@ -1384,11 +1384,16 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
     // no perceptual rule can exist; byte identity is the only sound
     // dedup) while unrecognized bytes land in QUARANTINE (counted, never
     // decoded, zero pairs) — the mixed corpus is thereby FULLY
-    // partitioned, no family falls out of the map silently. jpeg/pdf
-    // also quarantine HERE by deliberate choice: imageDhash decodes JPEG
-    // fine operationally, but JPEG is lossy — its decoded raster has no
-    // closed form, so a JPEG leg could never meet this gate's oracle
-    // discipline; a production map routes jpeg to the image family. Routing
+    // partitioned, no family falls out of the map silently. jpeg (r15
+    // verdict #2 — the dominant real-world image container, previously a
+    // deliberate quarantine) routes to its own IMAGE_LOSSY family: the
+    // same shared dHash band rule as the lossless image leg, but its
+    // oracle claim is scoped to what lossy decode leaves closed-form —
+    // byte-identical twins at hamming 0 (deterministic single-JDK
+    // encode/decode) — with an in-gate set-equality REQUIRE so any decode
+    // surprise fails loudly instead of hash-mismatching; near-clone
+    // tolerance through the DCT is MultimodalSpec's certification (pdf
+    // stays quarantined: no JDK decoder at all). Routing
     // correctness is REQUIREd (family counts == planted counts) and
     // every planted clone pair in every family must verify. The oracle
     // recomputes the three perceptual families' closed-form hashes and
@@ -1443,7 +1448,20 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         }
         val unknowns = (0 until 4).map(i =>
           ((950 + i).toLong, s"not a container $i".getBytes("UTF-8")))
-        val df = s.createDataFrame(imgs ++ clips ++ vids ++ mp3s ++ mp4s ++ unknowns)
+        // the LOSSY image family (r15 verdict #2): jpeg — previously a
+        // deliberate quarantine — now routes to its own perceptual leg.
+        // i%2=0 seeds get a BYTE-IDENTICAL twin that must verify at
+        // hamming 0 (deterministic JDK encode, deterministic single-JDK
+        // decode — the only closed-form jpeg claim; near-clone tolerance
+        // through the DCT is MultimodalSpec's certification)
+        val jpgs = (0 until 8).flatMap { i =>
+          def b() = graft.operators.ImageCodec.encodeImageVariant(
+            "jpeg", 24 + i, 16 + i % 5, 80 + i)
+          ((1000 + i).toLong, b()) ::
+            (if (i % 2 == 0) List(((1100 + i).toLong, b())) else Nil)
+        }
+        val df = s.createDataFrame(imgs ++ clips ++ vids ++ mp3s ++ mp4s ++
+            jpgs ++ unknowns)
           .toDF("blob_id", "blob")
         val t = TableOps.newCatalog().createTable("db.mixed_blobs", df.schema)
         t.append(s, df)
@@ -1457,6 +1475,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
               .when(col("fmt") === "riff", "audio")
               .when(col("fmt") === "gif", "video")
               .when(col("fmt").isin("mp3", "mp4"), "exact")
+              .when(col("fmt") === "jpeg", "image_lossy")
               .otherwise("quarantine"))
           .drop("fmt")
           .localCheckpoint()
@@ -1469,6 +1488,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         require(fam == Map("image" -> imgs.size.toLong,
             "audio" -> clips.size.toLong, "video" -> vids.size.toLong,
             "exact" -> (mp3s.size + mp4s.size).toLong,
+            "image_lossy" -> jpgs.size.toLong,
             "quarantine" -> unknowns.size.toLong),
           s"router must split the corpus by container magic: $fam")
         // per-family dedup through the SHARED pair rules — the same
@@ -1492,8 +1512,14 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           .filter(col("a") < col("b"))
           .select(col("a"), col("b"), lit(0L).as("hamming"))
           .withColumn("family", lit("exact"))
+        // the lossy family's dedup runs the SAME shared band rule as the
+        // lossless image family — one pipeline, two routes
+        val lossyPairs = bandPairsOf(imageBands(
+            routed.filter(col("family") === "image_lossy")
+              .select(col("blob_id").as("img_id"), col("blob"))), "img_id")
+          .withColumn("family", lit("image_lossy"))
         val out = imgPairs.unionByName(audPairs).unionByName(vidPairs)
-          .unionByName(exactPairs)
+          .unionByName(exactPairs).unionByName(lossyPairs)
           .select("family", "a", "b", "hamming")
         val found = out.select("a", "b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1508,6 +1534,15 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             found.contains((800L + i, 900L + i)),
             s"planted byte-identical mp3/mp4 twins for seed $i must exact-dedup")
         }
+        // oracle-parity guard: the jpeg leg must pair EXACTLY its planted
+        // byte-identical twins at hamming 0 (distinct seeds measured >= 17
+        // bits apart through the DCT round-trip) — a decode surprise fails
+        // HERE, loudly, instead of hash-mismatching the oracle
+        val lossyFound = out.filter(col("family") === "image_lossy")
+          .select("a", "b", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        require(lossyFound == (0 until 8 by 2).map(i => (1000L + i, 1100L + i, 0L)).toSet,
+          s"jpeg family must pair exactly its byte-identical twins at hamming 0: $lossyFound")
         out.orderBy("family", "a", "b")
       },
       // three closed-form recomputations, one per family, unioned — each
@@ -1568,6 +1603,10 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |UNION ALL
         |SELECT 'exact', CAST(800 + 2 * i AS BIGINT),
         |  CAST(900 + 2 * i AS BIGINT), CAST(0 AS BIGINT)
+        |FROM range(4) t(i)
+        |UNION ALL
+        |SELECT 'image_lossy', CAST(1000 + 2 * i AS BIGINT),
+        |  CAST(1100 + 2 * i AS BIGINT), CAST(0 AS BIGINT)
         |FROM range(4) t(i)
         |ORDER BY family, a, b""".stripMargin),
 

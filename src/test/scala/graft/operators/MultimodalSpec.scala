@@ -432,6 +432,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg dHash: deterministic decode, byte-identical twins at 0, pick-edits near, seeds far") {
+    // the LOSSY leg of the perceptual router (r15 verdict #2): jpeg has no
+    // closed-form decoded raster, so its near-dup certification lives HERE
+    // (single-JDK determinism) instead of a DuckDB oracle — the router
+    // gate only oracle-checks routing + byte-identical twins (hamming 0)
+    (0 until 8).foreach { i =>
+      val w = 24 + i; val h = 16 + i % 5
+      val a = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
+      val b = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
+      // deterministic encoder: same constructor args <=> same bytes (the
+      // fixture discipline the router gate's exact-twin oracle rests on)
+      assert(java.util.Arrays.equals(a, b), s"jpeg encoder must be deterministic (seed ${80 + i})")
+      val ha = ImageCodec.dhashRow(a)
+      assert(ha != null, "JDK must decode its own jpeg output")
+      assert(ha.longValue() == ImageCodec.dhashRow(b).longValue())
+      // a planted pick-edit survives the DCT as a NEAR clone — wider than
+      // the lossless <= 2 bound (block ringing bleeds into neighbor picks;
+      // measured max 5 across these seeds) but far under the seed distance
+      val e = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i, 3 * w / 8, 3 * h / 8)
+      val editHam = java.lang.Long.bitCount(ha.longValue() ^ ImageCodec.dhashRow(e).longValue())
+      assert(editHam <= 6, s"jpeg pick-edit drifted $editHam bits (seed ${80 + i})")
+    }
+    // unrelated seeds stay FAR through the lossy round-trip: the band
+    // nomination cannot accidentally pair them (measured min 17)
+    val hs = (0 until 8).map { i =>
+      ImageCodec.dhashRow(
+        ImageCodec.encodeImageVariant("jpeg", 24 + i, 16 + i % 5, 80 + i)).longValue
+    }
+    for (i <- 0 until 8; j <- i + 1 until 8)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
+        s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
+  }
+
   test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
     // the trimmed-clone contract videoTrimFixtureRow rests on: a clip
     // encoded with (frames - t, frameBase = t0) hashes frame f exactly as
