@@ -444,15 +444,32 @@ object ImageCodec {
     * it. `editX`/`editY` are CLONE-raster coordinates.
     */
   def encodeImageVariantScaled(format: String, width: Int, height: Int,
-      seed: Int, scale: Int, editX: Int = -1, editY: Int = -1): Array[Byte] = {
+      seed: Int, scale: Int, editX: Int = -1, editY: Int = -1): Array[Byte] =
+    // the outW = scale·w case of the general resample below — floor(x·w /
+    // (w·scale)) = floor(x / scale), so this is bit-exactly the old
+    // integer-upscale encoder (ONE home for the gradient/edit/packing rule)
+    encodeImageVariantResampled(format, width, height,
+      width * scale, height * scale, seed, editX, editY)
+
+  /** Fixture-side NEAREST-NEIGHBOR-RESAMPLED seeded variant at an ARBITRARY
+    * output resolution (r15 verdict #3): pixel (x, y) of the outW×outH
+    * raster carries the base gradient's value at (x·w/outW, y·h/outH),
+    * integer floor — bit-exactly what [[resizeRow]]'s pick rule produces
+    * from [[encodeImageVariant]]'s image, so NON-integer rescale clones
+    * (×1.5, ×2.7, ×4/3 …) are real resampled rasters, not re-gradients.
+    * The blue channel stays the BASE-space x index (`sx & 0xFF`) exactly as
+    * the resize would copy it. `editX`/`editY` are CLONE-raster coordinates.
+    */
+  def encodeImageVariantResampled(format: String, width: Int, height: Int,
+      outW: Int, outH: Int, seed: Int, editX: Int = -1, editY: Int = -1): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
-      width * scale, height * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
-    while (y < height * scale) {
-      val sy = y / scale
+    while (y < outH) {
+      val sy = y * height / outH
       var x = 0
-      while (x < width * scale) {
-        val sx = x / scale
+      while (x < outW) {
+        val sx = x * width / outW
         val g0 = (sx * (31 + 11 * seed) + sy * (17 + 5 * seed)) % 256
         val g = if (x == editX && y == editY) (g0 + 128) % 256 else g0
         img.setRGB(x, y, g << 8 | (sx & 0xFF))

@@ -316,6 +316,32 @@ object Extensions
       (0 until 4).map(k =>
         shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
 
+  /** The NORMALIZE-THEN-HASH twin of [[imageBands]] (r15 verdict #3): a
+    * canonical-resolution nearest-neighbor resize
+    * ([[graft.operators.ResizeImage]]) runs BEFORE the dHash, so images of
+    * ANY resolution — integer or non-integer rescales of one another —
+    * hash in one canonical space and the standard band rule pairs them.
+    * Both steps are codegen'd Catalyst expressions composed in one
+    * projection; the pipeline pays one extra decode+encode per blob at
+    * ingest (map-side, never shuffled), the price of resolution
+    * independence. Exactness domain: picks compose by nested floor
+    * division, so two rasters normalize IDENTICALLY whenever each one's
+    * width is a multiple of the canonical width (then every canonical
+    * pick divides back exactly — the x_image_neardup_normalized lattice);
+    * off-lattice sizes land within a few picks of each other, which real
+    * (band-limited) images absorb and the adversarial max-frequency
+    * fixture gradient does not, so the gate pins the exact lattice.
+    */
+  private[graft] def imageBandsNormalized(df: DataFrame, maxWidth: Int): DataFrame = df
+    .select(col("img_id"),
+      graft.operators.Multimodal.imageDhash(
+        graft.operators.Multimodal.resizeImage(col("blob"), maxWidth)
+          .getField("blob")).as("h"))
+    .filter(col("h").isNotNull)
+    .select(col("img_id"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 14).bitwiseAND(lit(16383L)) * 4 + k): _*)).as("band_key"))
+
   /** Runtime-filtered probe + hamming-verified admission verdicts — the
     * ONE decision rule the durable and retraction perceptual-hash dedup
     * gates share, generic over the id column (img_id / clip_id): batch

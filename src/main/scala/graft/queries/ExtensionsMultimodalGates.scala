@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 trait ExtensionsMultimodalGates { this: Extensions.type =>
 
+  /** Per-image base size parameter `t` of the x_image_neardup_normalized
+    * lattice (base = 4t × 3t), interpolated into both halves of its
+    * oracle's `imgs` CTE — MUST mirror the gate's `cfg` seq.
+    */
+  private val normOracleT: String =
+    "(CASE CAST(i AS INTEGER) WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 8 " +
+      "WHEN 3 THEN 40 WHEN 4 THEN 12 WHEN 5 THEN 8 WHEN 6 THEN 12 " +
+      "WHEN 7 THEN 40 WHEN 8 THEN 8 WHEN 9 THEN 8 WHEN 10 THEN 12 ELSE 40 END)"
+
   private[queries] def multimodalGates: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
 
@@ -597,6 +606,104 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |    CASE WHEN i % 3 = 0 THEN (3 * (11 + (i % 7))) // 8 ELSE -1 END
         |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
         |$imageOracleGridBits
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin),
+
+
+    // X14a-norm: NORMALIZE-THEN-HASH image dedup (r15 verdict #3) — the
+    // composed ingest pipeline for NON-integer rescales: every blob is
+    // nearest-neighbor-resized to one canonical resolution (ResizeImage,
+    // maxWidth 16) BEFORE the dHash, so a ×1.5 / ×2.7 / ×4/3 resampled
+    // clone and its base hash in ONE canonical space and the standard
+    // band rule pairs them ([[Extensions.imageBandsNormalized]]). The
+    // fixture's scale lattice makes the claim EXACT: each clone width is
+    // a multiple of the canonical width, so the composed picks divide
+    // back to the base's pixels (nested floor division) and an unedited
+    // resample normalizes to a BIT-IDENTICAL canonical raster — the
+    // oracle therefore needs no scale column at all, just the canonical
+    // 16×12 pick chain in closed form (both integer divisions explicit).
+    // Off-lattice sizes drift a few picks; real band-limited images
+    // absorb that, the adversarial max-frequency gradient does not —
+    // documented on the helper, with x_image_neardup_scaled pinning the
+    // orthogonal integer-upscale identity. Planted edits sit at exactly
+    // the canonical grid-(3,3) pick's clone pixel (3·sw/8, sh/3), so
+    // edited lattice clones still verify at ≤ 2 bits. At 100 TB: one
+    // extra map-side decode+encode per blob at ingest buys resolution
+    // independence; joins still carry only BIGINT hashes.
+    ("x_image_neardup_normalized",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        // (t, num, den): base (4t)×(3t), clone = ×(num/den) resample —
+        // lattice-exact (4t·num/den ≡ 0 mod 16 and 3t·num/den ≡ 0 mod 12)
+        val cfg = Seq((8, 3, 2), (12, 4, 3), (8, 5, 2), (40, 27, 10),
+          (12, 5, 3), (8, 3, 2), (12, 4, 3), (40, 27, 10), (8, 5, 2),
+          (8, 5, 2), (12, 5, 3), (40, 27, 10))
+        val rows = (0 until 12).flatMap { i =>
+          val (t, num, den) = cfg(i)
+          val (bw, bh) = (4 * t, 3 * t)
+          val (sw, sh) = (4 * t * num / den, 3 * t * num / den)
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          val base = (i.toLong, ImageCodec.encodeImageVariant(fmt, bw, bh, i))
+          val clone =
+            if (i % 3 == 0) Some(((100 + i).toLong,
+              ImageCodec.encodeImageVariantResampled(fmt, bw, bh, sw, sh, i,
+                3 * sw / 8, sh / 3)))
+            else if (i % 3 == 1) Some(((100 + i).toLong,
+              ImageCodec.encodeImageVariantResampled(fmt, bw, bh, sw, sh, i)))
+            else None
+          base :: clone.toList
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.imgnorm", df.schema)
+        t.append(s, df)
+        val bands = imageBandsNormalized(t.toDF(s), 16).localCheckpoint()
+        val pairs = bandPairsOf(bands, "img_id")
+          .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (0 until 12).filter(_ % 3 != 2).foreach { i =>
+          val (tt, num, den) = cfg(i)
+          val got = found.get((i.toLong, (100 + i).toLong))
+          require(got.isDefined,
+            s"x$num/$den resample ($i, ${100 + i}) must normalize, band-collide and verify")
+          if (i % 3 == 1) require(got.contains(0L),
+            s"unedited lattice resample (t=$tt x$num/$den) must normalize " +
+              s"to a BIT-IDENTICAL canonical raster, got hamming ${got.get}")
+        }
+        pairs.orderBy("img_a", "img_b")
+      },
+      // the canonical 16×12 pick chain in closed form: dHash grid (gx, gy)
+      // reads canonical pixel (2gx, (gy·12)//8), which picks base pixel
+      // ((gx·bw)//8, (((gy·12)//8)·bh)//12) — identical for base and every
+      // lattice clone, so (like the scaled gate) no scale column exists;
+      // the edit shows up only at grid (3,3) of edited clones
+      s"""WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 4 * $normOracleT AS bw,
+        |    3 * $normOracleT AS bh, 0 AS ed
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 4 * $normOracleT, 3 * $normOracleT,
+        |    CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+        |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
+        |grid AS (
+        |  SELECT img_id, gx, gy,
+        |    ((CASE WHEN ed = 1 AND gx = 3 AND gy = 3
+        |       THEN ((((gx * bw) // 8) * (31 + 11 * seed)
+        |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 + 128) % 256
+        |       ELSE (((gx * bw) // 8) * (31 + 11 * seed)
+        |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 END)
+        |     + ((gx * bw) // 8) % 256) // 3 AS gray
+        |  FROM imgs, range(8) xs(gx), range(8) ys(gy)),
+        |bits AS (
+        |  SELECT g1.img_id,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.gy * 7 + g1.gx AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+        |  GROUP BY 1)
         |SELECT a.img_id AS img_a, b.img_id AS img_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.img_id < b.img_id

@@ -432,6 +432,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("non-integer lattice resamples normalize to bit-identical canonical rasters") {
+    // the x_image_neardup_normalized contract at the kernel level (r15
+    // verdict #3): when the clone's width is a multiple of the canonical
+    // width, resize∘resample picks divide back to exactly the base's
+    // pixels (nested floor division), so base and ×num/den clone produce
+    // the SAME canonical PNG bytes — ×1.5, ×4/3, ×2.7, ×2.5 all exact
+    for ((t, num, den) <- Seq((8, 3, 2), (12, 4, 3), (40, 27, 10), (8, 5, 2))) {
+      val (bw, bh) = (4 * t, 3 * t)
+      val (sw, sh) = (4 * t * num / den, 3 * t * num / den)
+      val nb = ImageCodec.resizeRow(ImageCodec.encodeImageVariant("png", bw, bh, 7), 16)
+      val nc = ImageCodec.resizeRow(
+        ImageCodec.encodeImageVariantResampled("png", bw, bh, sw, sh, 7), 16)
+      assert(nb.getInt(0) == 16 && nb.getInt(1) == 12)
+      assert(java.util.Arrays.equals(nb.getBinary(5), nc.getBinary(5)),
+        s"x$num/$den lattice resample of ${bw}x$bh must normalize bit-identically")
+    }
+    // and the resampled encoder IS the scaled encoder at integer ratios
+    // (one home): x2 resample == x2 upscale, byte for byte
+    assert(java.util.Arrays.equals(
+      ImageCodec.encodeImageVariantResampled("png", 21, 13, 42, 26, 9),
+      ImageCodec.encodeImageVariantScaled("png", 21, 13, 9, 2)))
+  }
+
   test("jpeg dHash: deterministic decode, byte-identical twins at 0, pick-edits near, seeds far") {
     // the LOSSY leg of the perceptual router (r15 verdict #2): jpeg has no
     // closed-form decoded raster, so its near-dup certification lives HERE
