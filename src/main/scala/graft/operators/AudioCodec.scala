@@ -190,21 +190,36 @@ object AudioCodec {
     * [[decodeMonoPcm]]). Map-side, bytes-decoded cost paid once at
     * ingest — downstream dedup joins carry (seg, BIGINT) rows only.
     */
-  def segmentFingerprintsRow(bytes: Array[Byte],
-      segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (segLen < 33 || segLen % 33 != 0) return null
+  /** `phase` starts the segment grid at sample `phase` instead of 0 (the
+    * SUB-SEGMENT offset tool, r15 verdict #4): fingerprinting a stream on
+    * BOTH the 0-phase and the segLen/2-phase grids makes any trim that is
+    * a multiple of segLen/2 land segment-aligned on one of them — the
+    * containment rule then pairs the trimmed clone against the matching
+    * phase with zero perturbed segments. Residual (< segLen/2, off-grid)
+    * offsets still shift every window and stay a front-end's job,
+    * documented at the gate. Samples [0, phase) and the trailing partial
+    * segment are dropped (partial windows would depend on the remainder).
+    */
+  def segmentFingerprintsRow(bytes: Array[Byte], segLen: Int,
+      phase: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (segLen < 33 || segLen % 33 != 0 || phase < 0 || phase >= segLen) return null
     val p = decodeMonoPcm(bytes)
-    if (p == null || p.n < segLen) return null
-    val nSegs = p.n / segLen
+    if (p == null || p.n - phase < segLen) return null
+    val nSegs = (p.n - phase) / segLen
     val out = new Array[Any](nSegs)
     var s = 0
     while (s < nSegs) {
       out(s) = new GenericInternalRow(
-        Array[Any](s, packWindows(p, s * segLen, segLen)))
+        Array[Any](s, packWindows(p, phase + s * segLen, segLen)))
       s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** The phase-0 grid (the original single-grid surface). */
+  def segmentFingerprintsRow(bytes: Array[Byte],
+      segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    segmentFingerprintsRow(bytes, segLen, 0)
 
   /** Fixture-side SEEDED 8-bit mono WAV with an optional planted
     * single-sample edit — the near-clone generator for audio-dedup gates,
@@ -366,8 +381,8 @@ case class AudioFingerprint(child: Expression) extends UnaryExpression {
   * under-one-segment inputs — the [[graft.operators.FrameDhashes]] shape
   * on the audio plane. One static call in codegen.
   */
-case class AudioSegmentFingerprints(child: Expression, segLen: Int)
-    extends UnaryExpression {
+case class AudioSegmentFingerprints(child: Expression, segLen: Int,
+    phase: Int = 0) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -379,11 +394,11 @@ case class AudioSegmentFingerprints(child: Expression, segLen: Int)
   override def prettyName: String = "graft_audio_segments"
 
   override def nullSafeEval(input: Any): Any =
-    AudioCodec.segmentFingerprintsRow(input.asInstanceOf[Array[Byte]], segLen)
+    AudioCodec.segmentFingerprintsRow(input.asInstanceOf[Array[Byte]], segLen, phase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b => s"""
-      ${ev.value} = graft.operators.AudioCodec.segmentFingerprintsRow($b, $segLen);
+      ${ev.value} = graft.operators.AudioCodec.segmentFingerprintsRow($b, $segLen, $phase);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 

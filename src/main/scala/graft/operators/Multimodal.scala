@@ -122,9 +122,16 @@ object Multimodal {
     * .segmentFingerprintsRow]]); `segLen` must be a positive multiple
     * of 33.
     */
-  def audioSegmentFingerprints(blob: Column, segLen: Int): Column = {
+  def audioSegmentFingerprints(blob: Column, segLen: Int): Column =
+    audioSegmentFingerprints(blob, segLen, 0)
+
+  /** `phase` starts the grid at sample `phase` — the dual-phase
+    * sub-segment-offset surface ([[graft.operators.AudioCodec
+    * .segmentFingerprintsRow]]).
+    */
+  def audioSegmentFingerprints(blob: Column, segLen: Int, phase: Int): Column = {
     import org.apache.spark.sql.GraftSqlShim
-    GraftSqlShim.column(AudioSegmentFingerprints(GraftSqlShim.expression(blob), segLen))
+    GraftSqlShim.column(AudioSegmentFingerprints(GraftSqlShim.expression(blob), segLen, phase))
   }
 
   /** REAL frame sampling: binary -> array(struct(frame, width, height,

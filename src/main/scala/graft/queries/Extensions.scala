@@ -596,6 +596,30 @@ object Extensions
     .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
     .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
 
+  /** DUAL-PHASE segment fingerprints (r15 verdict #4): every clip is
+    * fingerprinted on TWO segment grids — phase 0 and phase segLen/2 —
+    * each becoming its own sequence identity (composite id = clip_id·2 +
+    * phase index), so a trim that is any multiple of segLen/2 lands
+    * segment-aligned on SOME grid of each side and the UNCHANGED
+    * containment rule pairs the matching phases. Halves the alignment
+    * granularity for 2× the (narrow, hash-only) sequence rows and 2×
+    * decode at ingest (a production kernel folds both grids into one
+    * decode pass; the two projections here keep the shipped kernel
+    * single-purpose). Residual offsets under segLen/2 still perturb every
+    * window — the documented front-end boundary, pinned by the gate's
+    * must-NOT-pair plant.
+    */
+  private[graft] def audioSegmentsDualPhase(df: DataFrame, segLen: Int): DataFrame = {
+    def onePhase(ph: Int) = df
+      .select((col("clip_id") * 2 + lit(ph)).as("vid_id"),
+        graft.operators.Multimodal.audioSegmentFingerprints(
+          col("blob"), segLen, ph * segLen / 2).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
+      .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
+    onePhase(0).unionByName(onePhase(1))
+  }
+
   /** The audio 4×8-bit band explosion over the generic sequence shape —
     * the per-segment twin of [[audioBands]], fed to
     * [[videoContainmentPairsOf]] as its banding rule.

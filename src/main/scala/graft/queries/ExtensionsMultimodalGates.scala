@@ -1028,6 +1028,133 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14a'''': SUB-SEGMENT audio offsets via DUAL-PHASE grids (r15
+    // verdict #4): x_audio_neardup_offset tolerates only 330-sample-
+    // aligned trims — a 165-sample trim shifts every segment boundary and
+    // fingerprints differently. Halving the alignment granularity needs
+    // NO new rule: every clip is fingerprinted on TWO phase grids (0 and
+    // 165 — [[Extensions.audioSegmentsDualPhase]], composite id =
+    // clip_id·2 + phase), and a trim that is any multiple of 165 lands
+    // segment-aligned between the trimmed clip's phase-0 grid and the
+    // base's matching phase — the UNCHANGED containment machinery
+    // ([[Extensions.videoContainmentPairsOf]], audio banding) pairs them;
+    // clip-level pairs take the min hamming over phase combinations.
+    // Fixture: 165-sample trims (half a segment — the sub-segment claim),
+    // 495-sample trims (1.5 segments — phase match AND anchor shift
+    // together), 165-trims + a single-sample edit (≤ 2 bits of one
+    // segment through the shift), and 100-sample OFF-GRID trims that must
+    // NOT pair — the documented residual: offsets under 165 samples
+    // perturb every window and remain an aligning front-end's job. The
+    // oracle brute-forces BOTH phase grids closed-form (segment/window
+    // sums per phase) and the same anchor sweep. At 100 TB: 2× the
+    // narrow hash rows and decode passes at ingest buy 165-sample
+    // alignment; joins still compare BIGINTs, bands still bound pairs.
+    ("x_audio_neardup_subsegment",
+      (s: SparkSession, d: String) => {
+        import graft.operators.AudioCodec
+        val L = 330
+        val rows = (0 until 12).flatMap { i =>
+          val n = (4 + (i % 4)) * L
+          val base = (i.toLong, AudioCodec.encodeAudioVariant(n, i))
+          val clone = (i % 4) match {
+            case 0 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 165, i, sampleBase = 165))
+            case 1 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 495, i, sampleBase = 495))
+            case 2 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 165, i, (n - 165) / 2, sampleBase = 165))
+            case _ => ((300 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 100, i, sampleBase = 100))
+          }
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiosubseg", df.schema)
+        t.append(s, df)
+        val fh = audioSegmentsDualPhase(t.toDF(s), L).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
+          .select((col("vid_long") / 2).cast("long").as("ca"),
+            (col("vid_short") / 2).cast("long").as("cb"), col("hamming"))
+          .filter(col("ca") =!= col("cb"))
+          .select(least(col("ca"), col("cb")).as("clip_a"),
+            greatest(col("ca"), col("cb")).as("clip_b"), col("hamming"))
+          .groupBy("clip_a", "clip_b")
+          .agg(min(col("hamming")).as("hamming"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 0 => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"165-sample (half-segment) trim ($i, ${100 + i}) must pair at hamming 0")
+            case 1 => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"495-sample (1.5-segment) trim ($i, ${100 + i}) must pair at hamming 0")
+            case 2 => require(found.get((i.toLong, 100L + i)).exists(_ <= 2L),
+              s"165-trim + edit ($i, ${100 + i}) must pair within 2 bits")
+            case _ => require(!found.contains((i.toLong, 300L + i)),
+              s"100-sample OFF-GRID trim ($i, ${300 + i}) must NOT pair (documented residual)")
+          }
+        }
+        pairs.orderBy("clip_a", "clip_b")
+      },
+      // both phase grids in closed form: phase p's segment grid starts at
+      // sample 165·p, keeps full segments only; composite sid = clip·2+p,
+      // then the standard orient/sweep/min containment with clip-level min
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb, -1 AS e
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330 - 165, 165, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330 - 495, 495, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330 - 165, 165,
+        |    ((4 + (i % 4)) * 330 - 165) // 2
+        |  FROM range(12) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 100, 100, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 3),
+        |smp AS (
+        |  SELECT clip_id, ph.p, (x - 165 * ph.p) // 330 AS seg,
+        |    ((x - 165 * ph.p) % 330) // 10 AS w,
+        |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
+        |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
+        |  FROM clips, range(2) ph(p), range(2310) t(x)
+        |  WHERE x >= 165 * ph.p
+        |    AND x - 165 * ph.p < ((n - 165 * ph.p) // 330) * 330 AND x < n),
+        |ws AS (SELECT clip_id, p, seg, w, CAST(sum(s) AS BIGINT) AS sw
+        |  FROM smp GROUP BY 1, 2, 3, 4),
+        |sbits AS (
+        |  SELECT a.clip_id, a.p, a.seg,
+        |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+        |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.p = a.p
+        |    AND b.seg = a.seg AND b.w = a.w + 1
+        |  GROUP BY 1, 2, 3),
+        |sb2 AS (SELECT clip_id * 2 + p AS sid, clip_id, seg, h FROM sbits),
+        |cl AS (SELECT clip_id, p, clip_id * 2 + p AS sid,
+        |  (n - 165 * p) // 330 AS ns FROM clips, range(2) ph(p)),
+        |pr AS (
+        |  SELECT l.sid AS l, s2.sid AS s, l.clip_id AS lc, s2.clip_id AS sc2,
+        |    l.ns AS nfl, s2.ns AS nfs
+        |  FROM cl l JOIN cl s2 ON l.clip_id <> s2.clip_id
+        |    AND l.ns - s2.ns BETWEEN 0 AND 2
+        |    AND (l.ns > s2.ns OR l.sid < s2.sid)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pr.lc, pr.sc2, pp.p,
+        |    CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sb2 bs, sb2 bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.sid = pr.s
+        |    AND bl.sid = pr.l AND bl.seg = bs.seg + pp.p
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT least(lc, sc2) AS clip_a, greatest(lc, sc2) AS clip_b,
+        |  min(d) AS hamming
+        |FROM sc WHERE d <= 3
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+
     // X14a''': INCREMENTAL offset-audio dedup — the durable leg of the
     // offset-tolerant audio family, the two-plane containment crawl on
     // the segment axis: first-3-SEGMENT bands persist in the nomination

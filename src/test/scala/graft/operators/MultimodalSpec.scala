@@ -554,6 +554,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(1))
   }
 
+  test("dual-phase segment grids: a phase grid equals the matching trim's zero-phase grid") {
+    val L = 330
+    val base = AudioCodec.encodeAudioVariant(6 * L, 5)
+    // the sub-segment contract (r15 verdict #4): the base's phase-165
+    // grid hashes segment-for-segment as its 165-sample-trimmed clone's
+    // phase-0 grid — so dual-phase fingerprinting makes half-segment
+    // trims a plain segment-aligned containment problem
+    val p1 = AudioCodec.segmentFingerprintsRow(base, L, 165)
+    val trimmed = AudioCodec.segmentFingerprintsRow(
+      AudioCodec.encodeAudioVariant(6 * L - 165, 5, sampleBase = 165), L, 0)
+    assert(p1 != null && trimmed != null)
+    assert(p1.numElements() == 5 && trimmed.numElements() == 5)
+    (0 until 5).foreach { s =>
+      assert(p1.getStruct(s, 2).getLong(1) == trimmed.getStruct(s, 2).getLong(1),
+        s"phase-165 segment $s must hash as the trimmed clone's phase-0 segment $s")
+    }
+    // phase 0 is the original surface, verbatim
+    val p0a = AudioCodec.segmentFingerprintsRow(base, L, 0)
+    val p0b = AudioCodec.segmentFingerprintsRow(base, L)
+    assert((0 until 6).forall(s =>
+      p0a.getStruct(s, 2).getLong(1) == p0b.getStruct(s, 2).getLong(1)))
+    // refusals: out-of-range phases; a clip too short for one full
+    // phase-shifted segment
+    assert(AudioCodec.segmentFingerprintsRow(base, L, -1) == null)
+    assert(AudioCodec.segmentFingerprintsRow(base, L, L) == null)
+    assert(AudioCodec.segmentFingerprintsRow(
+      AudioCodec.encodeAudioVariant(L + 100, 5), L, 165) == null)
+    // the Catalyst expression carries the phase through codegen
+    val df = spark.createDataFrame(Seq((1L, base))).toDF("id", "blob")
+    val got = df.select(
+      Multimodal.audioSegmentFingerprints(col("blob"), L, 165).as("sh")).collect()
+    assert(got(0).getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) ==
+      (0 until 5).map(s => p1.getStruct(s, 2).getLong(1)))
+  }
+
   test("16-bit audio fingerprint: WAV == AIFF byte-order identity; edits within 2 bits; 8<->16 never aliases") {
     val n = 33 * 20
     // cross-container identity: SAME samples stored little-endian (WAV)
