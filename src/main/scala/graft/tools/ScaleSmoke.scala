@@ -882,6 +882,10 @@ object ScaleSmoke {
     // crawl loops at scale — see [[perceptualCrawlContract]].
     perceptualCrawlContract(spark, mult)
 
+    // contract 18b: the CONTAINMENT streaming crawl loops (trimmed video
+    // + offset audio) at scale — see [[perceptualContainmentContract]].
+    perceptualContainmentContract(spark, mult)
+
     // contract 19: planning read volume + latency at 500k files — see
     // [[planningVolumeContract]].
     planningVolumeContract()
@@ -1868,6 +1872,194 @@ object ScaleSmoke {
         s"surviving history must keep rejecting: $controlLeaks control admissions")
       require(after.count() == preAdmitted + 8,
         "admissions delta must be exactly the retracted recrawls")
+    }
+  }
+
+  /** Contract 18b: the CONTAINMENT streaming crawl loops at scale (r15
+    * verdict #8) — the two r15 lifecycle legs the gates certify on sf
+    * fixtures, replayed through the SHIPPED generic containment loop
+    * ([[graft.queries.Extensions.streamIncrementalContainDedup]] via its
+    * trimmed-video and offset-audio instantiations) over a 6-slice staged
+    * crawl at 1x and Mx. The anchor-sweep verify is the one cost the
+    * plain perceptual contract does not exercise, so its scale behavior
+    * becomes RECORDED here: slices 0-1 crawl originals, slices 2-3 add
+    * fresh blobs plus LEAD-TRIMMED recrawls of every 10th original (one
+    * frame / one 330-sample segment cut — cross-batch containment
+    * rejections), slices 4-5 add TRAIL-2-trimmed + single-pixel/-sample
+    * EDITED recrawls of every 10th+5 (shift and perturbation together).
+    * Certified at both scales: commits pinned 3-per-batch (results →
+    * sequences → bands), ONE band-scan per batch, admissions
+    * ROW-IDENTICAL to a per-slice stateless BRUTE ANCHOR-SWEEP oracle
+    * (all pairs × all anchors, no banding, no two-plane split, no probe
+    * caps — agreement proves the nominate+fetch+sweep plan dropped
+    * nothing at scale), durable rows exactly the admitted sequences (and
+    * their ≤ maxLenDiff+1-frame bands), sparse-regime 1x probes pruned,
+    * and wall-time under data-ratio^1.5.
+    */
+  private[tools] def perceptualContainmentContract(spark: SparkSession, mult: Int): Unit = {
+    import graft.format.{TableProperties, Transform}
+    import graft.queries.{Extensions, TableOps}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def report(s: String): Unit = println(s"[scale-smoke] $s")
+    def sameRows(got: DataFrame, want: DataFrame): Boolean =
+      got.count() == want.count() &&
+        got.except(want).isEmpty && want.except(got).isEmpty
+    def fmtScans(b: Iterable[(Long, Long)]): String =
+      b.map { case (sc, tot) => s"$sc/$tot" }.mkString(",")
+    def newCat() = new graft.catalog.GraftCatalog(
+      java.nio.file.Files.createTempDirectory("graft-smoke-ccrawl").toString)
+    val S = 6
+    val K = 2 // maxLenDiff: frames (video) / segments (audio)
+
+    // lead-1 trims land in slices 2-3; trail-2 + edit trims in 4-5 —
+    // both directions of the bounded-containment rule get crawled
+    def vidFixture(m: Int): DataFrame = {
+      val n = 16 * m
+      def row(id: Long, seed: Int, nf: Int, base: Int, edit: Boolean) =
+        Extensions.videoTrimFixtureRow(id, seed, 16 + seed % 20, 12 + seed % 5,
+          nf, base, edit)
+      def nfOf(seed: Int) = 4 + seed % 4
+      val rows =
+        (0 until n).map(k => (row(k, k, nfOf(k), 0, edit = false), k % 2)) ++
+        (0 until n).map(k => (row(1000000L + k, n + k, nfOf(n + k), 0, edit = false), 2 + k % 2)) ++
+        (0 until n by 10).map(k =>
+          (row(2000000L + k, k, nfOf(k) - 1, 1, edit = false), 2 + (k / 10) % 2)) ++
+        (5 until n by 10).map(k =>
+          (row(3000000L + k, k, nfOf(k) - 2, 0, edit = true), 4 + (k / 10) % 2))
+      spark.createDataFrame(rows.map { case ((id, b), sl) => (id, b, sl) })
+        .toDF("vid_id", "blob", "_slice")
+    }
+
+    def audFixture(m: Int): DataFrame = {
+      val n = 32 * m
+      def nsOf(seed: Int) = 4 + seed % 4
+      def row(id: Long, seed: Int, ns: Int, segBase: Int, edit: Boolean) =
+        Extensions.audioOffsetFixtureRow(id, seed, ns, 330, segBase, edit)
+      val rows =
+        (0 until n).map(k => (row(k, k, nsOf(k), 0, edit = false), k % 2)) ++
+        (0 until n).map(k => (row(1000000L + k, n + k, nsOf(n + k), 0, edit = false), 2 + k % 2)) ++
+        (0 until n by 10).map(k =>
+          (row(2000000L + k, k, nsOf(k) - 1, 1, edit = false), 2 + (k / 10) % 2)) ++
+        (5 until n by 10).map(k =>
+          (row(3000000L + k, k, nsOf(k) - 2, 0, edit = true), 4 + (k / 10) % 2))
+      spark.createDataFrame(rows.map { case ((id, b), sl) => (id, b, sl) })
+        .toDF("clip_id", "blob", "_slice")
+    }
+
+    // the per-slice stateless BRUTE containment oracle: all pairs x all
+    // anchors over raw sequences, signed alignment, no banding, no caps
+    def bruteRejected(sl: DataFrame, admitted: DataFrame): DataFrame = {
+      val lens = sl.select("vid_id", "nf").distinct()
+      val hlens = admitted.select(col("vid_id").as("hist_id"),
+        col("nf").as("nfh")).distinct()
+      lens.crossJoin(hlens).filter(abs(col("nf") - col("nfh")) <= K)
+        .withColumn("blonger", col("nf") >= col("nfh"))
+        .withColumn("p", explode(sequence(lit(0L),
+          abs(col("nf") - col("nfh")).cast("long"))))
+        .join(sl.select(col("vid_id"), col("frame").as("bf"),
+          col("h").as("ha")), Seq("vid_id"))
+        .join(admitted.select(col("vid_id").as("hist_id"),
+          col("frame").as("hf"), col("h").as("hb")), Seq("hist_id"))
+        .filter(col("bf") - col("hf") ===
+          when(col("blonger"), col("p")).otherwise(-col("p")))
+        .groupBy("vid_id", "hist_id", "p")
+        .agg(sum(expr("bit_count(ha ^ hb)")).as("d"))
+        .filter(col("d") <= 3)
+        .select("vid_id").distinct()
+    }
+
+    def statelessAdmitted(fh: DataFrame, slices: DataFrame): DataFrame = {
+      val seq0 = fh.join(slices, Seq("vid_id")).localCheckpoint()
+      var admitted: DataFrame = null
+      for (k <- 0 until S) {
+        val sl = seq0.filter(col("_slice") === k).select("vid_id", "nf", "frame", "h")
+        val adm = if (admitted == null) sl
+          else sl.join(bruteRejected(sl, admitted), Seq("vid_id"), "left_anti")
+        admitted = (if (admitted == null) adm else admitted.unionByName(adm))
+          .localCheckpoint()
+      }
+      admitted
+    }
+
+    def containCrawl(fx: DataFrame, tag: String, isVideo: Boolean) = {
+      val cat = newCat()
+      val docs = fx.drop("_slice")
+      val emptyFh =
+        if (isVideo) Extensions.videoFrameHashes(docs.limit(0))
+        else Extensions.audioSegmentsOf(docs.limit(0), 330)
+      val toBands: DataFrame => DataFrame =
+        if (isVideo) Extensions.videoBands else Extensions.audioSegBands
+      val bands = cat.createTable(s"db.cband_$tag",
+        toBands(emptyFh).select("vid_id", "band_key").schema,
+        partitionBy = Seq("band_key" -> Transform.Bucket(if (isVideo) 4 else 32)),
+        properties = Map(TableProperties.BloomColumns -> "band_key"))
+      val sigs = cat.createTable(s"db.csig_$tag", emptyFh.schema,
+        partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+        properties = Map(TableProperties.BloomColumns -> "vid_id"))
+      val res = cat.createTable(s"db.cadm_$tag",
+        new StructType().add("vid_id", LongType))
+      val stage = TableOps.newTempDir(s"graft-smoke-ct$tag")
+      Extensions.stagePreSliced(fx, stage, S, 1)
+      val scans = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      val (batches, secs) = timed {
+        if (isVideo) Extensions.streamIncrementalVideoDedupTrimmed(
+          spark, stage, docs.schema, bands, sigs, res, K,
+          onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+        else Extensions.streamIncrementalAudioDedupOffset(
+          spark, stage, docs.schema, bands, sigs, res, 330, K,
+          onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+      }
+      val fh =
+        (if (isVideo) Extensions.videoFrameHashes(docs)
+         else Extensions.audioSegmentsOf(docs, 330)).localCheckpoint()
+      val idCol = if (isVideo) "vid_id" else "clip_id"
+      val admitted = statelessAdmitted(fh,
+        fx.select(col(idCol).as("vid_id"), col("_slice")))
+      val admIds = admitted.select("vid_id").distinct()
+      val wantBands = toBands(fh.filter(col("frame") <= K)
+          .join(admIds, Seq("vid_id")))
+        .select("vid_id", "band_key").distinct()
+      val parity = sameRows(res.toDF(spark).select("vid_id"), admIds) &&
+        sigs.toDF(spark).count() == admitted.count() &&
+        sameRows(bands.toDF(spark).select("vid_id", "band_key"), wantBands)
+      (batches, Seq(res.meta.snapshots.size, sigs.meta.snapshots.size,
+        bands.meta.snapshots.size), parity, scans.toSeq, secs)
+    }
+
+    def runContainment(m: Int, tag: String) = {
+      val vids = vidFixture(m).localCheckpoint()
+      val auds = audFixture(m).localCheckpoint()
+      val rv = containCrawl(vids, s"v$tag", isVideo = true)
+      val ra = containCrawl(auds, s"a$tag", isVideo = false)
+      for ((name, r) <- Seq(("video-trim", rv), ("audio-offset", ra))) {
+        require(r._1 == S && r._2.forall(_ == S),
+          s"$name containment crawl at ${m}x: commits not pinned to batches: " +
+            s"${r._1} batches, commits ${r._2.mkString("/")}")
+        require(r._4.size == S,
+          s"$name containment crawl at ${m}x: ${r._4.size} band scans for $S batches")
+        require(r._3,
+          s"$name containment crawl at ${m}x diverged from the brute anchor-sweep oracle")
+      }
+      report(f"containment crawl at ${m}x: vids=${vids.count()} clips=${auds.count()} " +
+        f"video_trim=${rv._5}%.1fs[${fmtScans(rv._4)}] " +
+        f"audio_offset=${ra._5}%.1fs[${fmtScans(ra._4)}]")
+      (rv, ra)
+    }
+    val (v1, a1) = runContainment(1, "1")
+    val (vM, aM) = runContainment(mult, "M")
+    for ((name, r) <- Seq(("video-trim", v1), ("audio-offset", a1))) {
+      val probed = r._4.filter(_._2 > 1)
+      require(probed.exists(f => f._1 < f._2),
+        s"$name 1x crawl must show a pruned sparse-regime probe: ${fmtScans(r._4)}")
+    }
+    val bound = math.pow(mult, 1.5)
+    for ((name, a, b) <- Seq(("video-trim", v1, vM), ("audio-offset", a1, aM))) {
+      val ratio = b._5 / a._5
+      require(ratio < bound,
+        f"$name containment crawl scaled super-linearly: $ratio%.1fx (bound $bound%.0fx)")
     }
   }
 }
