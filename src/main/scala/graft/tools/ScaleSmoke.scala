@@ -890,6 +890,10 @@ object ScaleSmoke {
     // [[planningVolumeContract]].
     planningVolumeContract()
 
+    // contract 20: WRITE-side latency + bytes at 500k files — see
+    // [[writeSideContract]].
+    writeSideContract()
+
     report("SCALE SMOKE OK")
     spark.stop()
   }
@@ -1193,6 +1197,149 @@ object ScaleSmoke {
     require(fr / pr >= 2.0,
       f"pruned planning must beat unpruned >=2x on the clustered layout at 500k " +
         f"files, got ${fr / pr}%.1fx")
+  }
+
+  /** Contract 20: WRITE-side latency and bytes at 500,000 files (r15
+    * verdict #5) — contract 19's read-planning twins, pointed at the three
+    * write paths whose cost the docs imply but never measure: COMMIT (every
+    * commit rewrites the manifest LIST, so its cost follows list entries,
+    * not file count), COW DELETE candidate planning (the write path pays
+    * the same two-phase manifest scan reads do), and COMPACTION planning
+    * (binpack candidate selection opens every surviving manifest). Same
+    * bulk-fabricated 5,000×100 twins as contract 19 (one fragmented, one
+    * rewriteManifests'd), all latency series interleaved best-of-3 on live
+    * twins, all plans COLD (ManifestCache cleared):
+    *
+    *   a. APPEND COMMIT: one fabricated single-file commit per side — the
+    *      fragmented side rewrites a ~5,000-entry manifest list, the
+    *      clustered side a ~100-entry one (REQUIREd ≥ 10× smaller in
+    *      bytes; latency recorded — small absolute numbers, so the bytes
+    *      floor is the stable claim, the interleaved wall the evidence);
+    *   b. COW DELETE candidate planning: Eq(p, 142) ∧ Eq(id, −1) — phase 2
+    *      prunes every file by id stats, so the DELETE is a zero-candidate
+    *      metadata commit whose cost is PURE planning + list rewrite: the
+    *      fragmented side opens all 5,000 manifests, the clustered side
+    *      phase-1-prunes to ≤ 2 (both REQUIREd from the delete's own scan
+    *      metrics), latency floor ≥ 2×;
+    *   c. COMPACTION planning: fabricated files report exactly the 128 MB
+    *      target, so binpack selects zero candidates and compact() is a
+    *      zero-rewrite commit that still paid the full candidate scan. An
+    *      UNPREDICATED compact reads every manifest entry on BOTH layouts
+    *      (~230 MB of manifest JSON either way — clustering re-groups
+    *      bytes, it cannot shrink them), so full-table planning is
+    *      REQUIREd ~invariant (ratio within [0.5, 2]); the scale lever is
+    *      PARTITION-SCOPED maintenance — compact(where = p) phase-1-prunes
+    *      the clustered layout to one manifest, floor ≥ 2× vs fragmented.
+    *
+    * Nothing here reads or writes a data file (no data directory exists,
+    * REQUIREd) — this is the write-side metadata plane in isolation, the
+    * contract-19 discipline.
+    */
+  private[tools] def writeSideContract(): Unit = {
+    import graft.format.{Predicate, Transform}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def report(s: String): Unit = println(s"[scale-smoke] $s")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val spark = SparkSession.active
+    val wh = java.nio.file.Files.createTempDirectory("graft-smoke-plan20").toString
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("p", LongType)))
+    val nManifests = 5000
+    val filesPer = 100
+    def build(name: String): graft.table.GraftTable = {
+      val t = cat.createTable(name, schema,
+        partitionBy = Seq("p" -> Transform.Identity))
+      val m0 = t.meta
+      (0 until 5).foreach { c =>
+        val manifests = (0 until nManifests / 5).map { g =>
+          val mIdx = c * (nManifests / 5) + g
+          (0 until filesPer).map { i =>
+            graft.table.PlanningFixture.syntheticFile(
+              m0, part = 100L + i, id = mIdx.toLong * filesPer + i)
+          }
+        }
+        graft.table.PlanningFixture.appendFabricatedMany(t, manifests)
+      }
+      t
+    }
+    val tFrag = build("db.plan20_frag")
+    val tRw = build("db.plan20_rw")
+    tRw.rewriteManifests(): Unit
+    val mb = 1.0 / (1024 * 1024)
+    def cold[A](f: => A): (A, Double) = {
+      graft.format.ManifestCache.clear()
+      timed(f)
+    }
+
+    // a. APPEND COMMIT: the list-rewrite cost per commit, interleaved
+    def appendOne(t: graft.table.GraftTable, id: Long): Double =
+      cold(graft.table.PlanningFixture.appendFabricated(t,
+        Seq(graft.table.PlanningFixture.syntheticFile(t.meta, 150L, 10000000L + id))))._2
+    val apSeries = (1 to 3).map(k => (appendOne(tFrag, k), appendOne(tRw, k)))
+    val (apF, apR) = (apSeries.map(_._1).min, apSeries.map(_._2).min)
+    val (mlFragB, _) = graft.table.PlanningFixture.metadataVolume(tFrag)
+    val (mlRwB, _) = graft.table.PlanningFixture.metadataVolume(tRw)
+    report(f"write commit at 500k files: list_frag=${mlFragB * mb}%.2fMB " +
+      f"list_rw=${mlRwB * mb}%.2fMB append_frag=${apF * 1000}%.0fms " +
+      f"append_rw=${apR * 1000}%.0fms ratio=${apF / apR}%.1fx")
+    require(mlFragB > 10 * mlRwB,
+      f"every fragmented commit rewrites a ≥10× larger manifest list: " +
+        f"${mlFragB * mb}%.2fMB vs ${mlRwB * mb}%.2fMB")
+
+    // b. COW DELETE candidate planning: zero candidates by id stats, so
+    // the commit is metadata-only — planning dominates
+    val delPreds = Seq(Predicate.Eq("p", 142L), Predicate.Eq("id", -1L))
+    def delOnce(t: graft.table.GraftTable, name: String): (Double, graft.table.ScanMetrics) = {
+      graft.table.QueryHistory.clear()
+      val (_, secs) = cold(t.delete(spark, delPreds))
+      val m = graft.table.QueryHistory.all.filter(_.table == name).head
+      (secs, m)
+    }
+    val delSeries = (1 to 3).map(_ =>
+      (delOnce(tFrag, "db.plan20_frag"), delOnce(tRw, "db.plan20_rw")))
+    val (dF, dmF) = delSeries.map(_._1).minBy(_._1)
+    val (dR, dmR) = delSeries.map(_._2).minBy(_._1)
+    require(dmF.filesScanned == 0 && dmR.filesScanned == 0,
+      s"the delete must plan ZERO candidates: ${dmF.filesScanned}/${dmR.filesScanned}")
+    require(dmF.manifestsScanned == nManifests,
+      s"fragmented delete planning must open every manifest: ${dmF.manifestsScanned}")
+    require(dmR.manifestsScanned <= 2,
+      s"clustered delete planning must open <=2 manifests: ${dmR.manifestsScanned}")
+    report(f"cow delete planning at 500k files: frag=${dF * 1000}%.0fms " +
+      f"(manifests ${dmF.manifestsScanned}/${dmF.manifestsTotal}) rw=${dR * 1000}%.0fms " +
+      f"(manifests ${dmR.manifestsScanned}/${dmR.manifestsTotal}) ratio=${dF / dR}%.1fx")
+    require(dF / dR >= 2.0,
+      f"clustered layout must speed DELETE planning >=2x, got ${dF / dR}%.1fx")
+
+    // c. COMPACTION planning: every file reports exactly the 128 MB
+    // target, so binpack selects nothing and the scan is the whole cost.
+    // Full-table planning follows TOTAL manifest bytes — invariant under
+    // clustering (the honest negative result, recorded); partition-scoped
+    // planning is where the clustered layout pays off.
+    def compactOnce(t: graft.table.GraftTable, where: Seq[Predicate]): Double =
+      cold(t.compact(spark, where = where))._2
+    val cpSeries = (1 to 3).map(_ =>
+      (compactOnce(tFrag, Nil), compactOnce(tRw, Nil),
+        compactOnce(tFrag, Seq(Predicate.Eq("p", 142L))),
+        compactOnce(tRw, Seq(Predicate.Eq("p", 142L)))))
+    val (cF, cR) = (cpSeries.map(_._1).min, cpSeries.map(_._2).min)
+    val (sF, sR) = (cpSeries.map(_._3).min, cpSeries.map(_._4).min)
+    report(f"compaction planning at 500k files: full_frag=${cF * 1000}%.0fms " +
+      f"full_rw=${cR * 1000}%.0fms full_ratio=${cF / cR}%.1fx " +
+      f"scoped_frag=${sF * 1000}%.0fms scoped_rw=${sR * 1000}%.0fms " +
+      f"scoped_ratio=${sF / sR}%.1fx")
+    require(cF / cR >= 0.5 && cF / cR <= 2.0,
+      f"full-table compaction planning follows total manifest bytes and must " +
+        f"be ~layout-invariant, got ${cF / cR}%.1fx")
+    require(sF / sR >= 2.0,
+      f"clustered layout must speed PARTITION-SCOPED compaction planning " +
+        f">=2x, got ${sF / sR}%.1fx")
+
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(tFrag.location, "data")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(tRw.location, "data")),
+      "the write-side contract must never materialize a data file")
   }
 
   /** Contract 16: the five streaming CRAWL LOOPS at scale — the gates
