@@ -923,11 +923,20 @@ object MaintenanceOps {
           (t, ctrl)
         }
         // a mid-domain existing key: inside every file's range, so min/max
-        // stats alone can never prune the probe
-        val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
-        val mid = (r.getLong(0) + r.getLong(1)) / 2
-        val probe = li.filter(col("l_orderkey") <= mid)
-          .agg(max(col("l_orderkey"))).head().getLong(0)
+        // stats alone can never prune the probe. Probe-KEY derivation is
+        // fixture staging (two extra source scans that are not the bloom
+        // path), so it lives inside FixtureClock.timed — this gate's bench
+        // number oscillated across rounds on byte-identical code
+        // (2.41/3.73/3.91 s in r14/r15/r16) because these scans absorbed
+        // whatever JIT state the early-alphabetical run slot left; timing
+        // them as fixture makes the measured remainder the operator
+        // (r15 ADVICE-prescribed fix).
+        val probe = FixtureClock.timed {
+          val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+          val mid = (r.getLong(0) + r.getLong(1)) / 2
+          li.filter(col("l_orderkey") <= mid)
+            .agg(max(col("l_orderkey"))).head().getLong(0)
+        }
         val scB = t.scan(Predicate.Eq("l_orderkey", probe))
         val scC = ctrl.scan(Predicate.Eq("l_orderkey", probe))
         scB.toDF(s).count(); scC.toDF(s).count()

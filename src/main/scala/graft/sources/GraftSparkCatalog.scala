@@ -464,7 +464,7 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
         val native = tbl.nativeScan(preds)
         GraftSpj.planEligible(native).map { files =>
           new GraftSpjScan(tbl, info, files, accepted,
-            required.getOrElse(tbl.schema()), native.meta.location)
+            required.getOrElse(tbl.schema()), native.meta.location, Some(native))
         }
       }
     def dpp =

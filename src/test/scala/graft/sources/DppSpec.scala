@@ -180,6 +180,41 @@ class DppSpec extends SparkSpec {
     }
   }
 
+  test("SPJ runtime filter refines WITHIN kept buckets through the stats plane") {
+    // r16 (closing the r15 verdict's "bucket membership only" edge): a
+    // bucket holds one file per commit; with disjoint per-commit key
+    // ranges, the In keys' min/max refinement keeps ~one file per kept
+    // bucket where bucket membership alone would read all four
+    spark.conf.set("spark.sql.catalog.dppr", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dppr.warehouse", tempWarehouse())
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      "CREATE TABLE dppr.db.fact (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    (0 until 4).foreach { c =>
+      spark.sql("INSERT INTO dppr.db.fact SELECT id AS k, CAST(id AS DOUBLE) AS v " +
+        s"FROM range(${c * 1000}, ${c * 1000 + 1000})")
+    }
+    spark.range(0, 4000).selectExpr("id AS k", "concat('n', id) AS name")
+      .createOrReplaceTempView("dppr_dim")
+    graft.table.QueryHistory.clear()
+    val q = spark.sql(
+      """SELECT count(*) AS n, sum(f.v) AS sv
+        |FROM dppr.db.fact f JOIN dppr_dim d ON f.k = d.k
+        |WHERE d.name IN ('n42', 'n2042')""".stripMargin)
+    val row = q.collect().head
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 42.0 + 2042.0)
+    val m = lastRuntimeIn("db.fact")
+    assert(m.filesTotal == 32, s"4 commits x 8 buckets: ${m.filesTotal}")
+    assert(m.partitionsScanned <= 2,
+      s"2 keys hash into <= 2 buckets: ${m.partitionsScanned}")
+    // the refinement claim: bucket-only keeping would read 4 files per
+    // kept bucket; the stats plane cuts each kept bucket to the one
+    // commit whose range holds the key
+    assert(m.filesScanned <= m.partitionsScanned,
+      s"stats refinement must keep ~1 file per kept bucket: " +
+        s"${m.filesScanned} files for ${m.partitionsScanned} buckets")
+  }
+
   test("generalized runtime filter never over-prunes: DPP on == DPP off") {
     dppGeneralReady
     val q =
