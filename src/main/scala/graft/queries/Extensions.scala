@@ -669,6 +669,34 @@ object Extensions
       |    AND b.w = a.w + 1
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The closed-form DUAL-PHASE per-segment fingerprint recomputation the
+    * sub-segment audio gates' oracles share — both phase grids (0 and
+    * 165) of every clip in a `clips(clip_id, seed, n, sb, e, ...)` CTE,
+    * full segments only, ending in `sb2(sid, clip_id, seg, h)` with the
+    * composite id sid = clip_id·2 + phase (the
+    * [[audioSegmentsDualPhase]] identity). `maxN` bounds the sample range
+    * (≥ the largest fixture clip).
+    */
+  private[queries] def audioOracleDualPhaseBits(maxN: Int): String =
+    s"""smp AS (
+      |  SELECT clip_id, ph.p, (x - 165 * ph.p) // 330 AS seg,
+      |    ((x - 165 * ph.p) % 330) // 10 AS w,
+      |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
+      |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
+      |  FROM clips, range(2) ph(p), range($maxN) t(x)
+      |  WHERE x >= 165 * ph.p
+      |    AND x - 165 * ph.p < ((n - 165 * ph.p) // 330) * 330 AND x < n),
+      |ws AS (SELECT clip_id, p, seg, w, CAST(sum(s) AS BIGINT) AS sw
+      |  FROM smp GROUP BY 1, 2, 3, 4),
+      |sbits AS (
+      |  SELECT a.clip_id, a.p, a.seg,
+      |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
+      |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.p = a.p
+      |    AND b.seg = a.seg AND b.w = a.w + 1
+      |  GROUP BY 1, 2, 3),
+      |sb2 AS (SELECT clip_id * 2 + p AS sid, clip_id, seg, h FROM sbits)""".stripMargin
+
   /** Two-plane probe + aligned-sum admission verdicts — the video twin of
     * [[bandAdmitVerdicts]], shaped like the fuzzy-text crawl (nominate on
     * a narrow signature plane, fetch candidates through a pruned read):

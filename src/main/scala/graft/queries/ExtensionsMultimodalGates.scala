@@ -22,6 +22,33 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
       "WHEN 3 THEN 40 WHEN 4 THEN 12 WHEN 5 THEN 8 WHEN 6 THEN 12 " +
       "WHEN 7 THEN 40 WHEN 8 THEN 8 WHEN 9 THEN 8 WHEN 10 THEN 12 ELSE 40 END)"
 
+  /** The closed-form NORMALIZED-pipeline hash recomputation shared by the
+    * normalize-then-hash gates' oracles — the canonical 16×12 pick chain
+    * (dHash grid (gx, gy) reads canonical pixel (2gx, (gy·12)//8), which
+    * picks base pixel ((gx·bw)//8, (((gy·12)//8)·bh)//12)) over an
+    * `imgs(img_id, seed, bw, bh, ed, ...)` CTE; `ed = 1` flips the
+    * canonical grid-(3,3) pick (the planted clone-raster edit lands
+    * there). ONE text, every normalized gate (the [[imageOracleGridBits]]
+    * discipline on the canonical plane).
+    */
+  private val normOracleGridBits: String =
+    """grid AS (
+      |  SELECT img_id, gx, gy,
+      |    ((CASE WHEN ed = 1 AND gx = 3 AND gy = 3
+      |       THEN ((((gx * bw) // 8) * (31 + 11 * seed)
+      |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 + 128) % 256
+      |       ELSE (((gx * bw) // 8) * (31 + 11 * seed)
+      |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 END)
+      |     + ((gx * bw) // 8) % 256) // 3 AS gray
+      |  FROM imgs, range(8) xs(gx), range(8) ys(gy)),
+      |bits AS (
+      |  SELECT g1.img_id,
+      |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+      |      THEN CAST(1 AS BIGINT) << CAST(g1.gy * 7 + g1.gx AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM grid g1 JOIN grid g2
+      |    ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+      |  GROUP BY 1)""".stripMargin
+
   private[queries] def multimodalGates: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
 
@@ -688,27 +715,127 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  SELECT 100 + i, i, 4 * $normOracleT, 3 * $normOracleT,
         |    CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
         |  FROM range(12) t(i) WHERE i % 3 IN (0, 1)),
-        |grid AS (
-        |  SELECT img_id, gx, gy,
-        |    ((CASE WHEN ed = 1 AND gx = 3 AND gy = 3
-        |       THEN ((((gx * bw) // 8) * (31 + 11 * seed)
-        |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 + 128) % 256
-        |       ELSE (((gx * bw) // 8) * (31 + 11 * seed)
-        |         + ((((gy * 12) // 8) * bh) // 12) * (17 + 5 * seed)) % 256 END)
-        |     + ((gx * bw) // 8) % 256) // 3 AS gray
-        |  FROM imgs, range(8) xs(gx), range(8) ys(gy)),
-        |bits AS (
-        |  SELECT g1.img_id,
-        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
-        |      THEN CAST(1 AS BIGINT) << CAST(g1.gy * 7 + g1.gx AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM grid g1 JOIN grid g2
-        |    ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
-        |  GROUP BY 1)
+        |$normOracleGridBits
         |SELECT a.img_id AS img_a, b.img_id AS img_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY img_a, img_b""".stripMargin),
+
+
+    // X14a-norm': the DURABLE leg of the normalized family — INCREMENTAL
+    // cross-resolution dedup (r16, beyond the asks): the crawl ingests
+    // history at MIXED resolutions (odd seeds stored as lattice resamples
+    // of their own gradient — ingest-at-any-resolution, and the oracle
+    // never sees a scale column because the canonical hash doesn't), the
+    // durable state persists NORMALIZED bands, and a recrawl batch of
+    // DIFFERENT-resolution resamples probes it through the SAME generic
+    // admission rule the plain image family uses (imageAdmitVerdicts —
+    // the normalizer is just a different banding plugged into unchanged
+    // machinery). Unedited resamples of crawled history REJECT at any
+    // lattice scale (identical canonical raster), edited resamples REJECT
+    // within 2 bits, fresh seeds ADMIT. Mid-sequence compactionProof +
+    // full-batch reprobe, the durable-gate ritual. At 100 TB: resolution
+    // independence costs one extra map-side decode+encode per blob at
+    // ingest; the durable state still carries 4 narrow rows per image.
+    ("x_incremental_image_dedup_normalized",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        val cfg = Seq((8, 3, 2), (12, 4, 3), (8, 5, 2), (40, 27, 10),
+          (12, 5, 3), (8, 3, 2), (12, 4, 3), (40, 27, 10), (8, 5, 2),
+          (8, 5, 2), (12, 5, 3), (40, 27, 10))
+        def dims(i: Int) = {
+          val (t, num, den) = cfg(i)
+          ((4 * t, 3 * t), (4 * t * num / den, 3 * t * num / den))
+        }
+        val hist = (0 until 12).map { i =>
+          val ((bw, bh), (sw, sh)) = dims(i)
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          // odd seeds crawled AS lattice resamples: the state is built
+          // from mixed-resolution originals, same canonical hashes
+          (i.toLong,
+            if (i % 2 == 0) ImageCodec.encodeImageVariant(fmt, bw, bh, i)
+            else ImageCodec.encodeImageVariantResampled(fmt, bw, bh, sw, sh, i))
+        }
+        val batch = (0 until 12).flatMap { i =>
+          val ((bw, bh), (sw, sh)) = dims(i)
+          val fmt = if (i % 2 == 0) "bmp" else "png" // container flip too
+          (i % 3) match {
+            // recrawl at the OTHER resolution than the crawled original
+            case 0 => Some(((200 + i).toLong, ImageCodec
+              .encodeImageVariantResampled(fmt, bw, bh, sw, sh, i, 3 * sw / 8, sh / 3)))
+            case 1 => Some(((300 + i).toLong,
+              if (i % 2 == 0) ImageCodec
+                .encodeImageVariantResampled(fmt, bw, bh, sw, sh, i)
+              else ImageCodec.encodeImageVariant(fmt, bw, bh, i)))
+            case _ => None
+          }
+        } ++ (0 until 8).map { j =>
+          val ((bw, bh), _) = dims(j)
+          ((400 + j).toLong, ImageCodec.encodeImageVariant("png", bw, bh, 50 + j))
+        }
+        val histBands = imageBandsNormalized(
+          s.createDataFrame(hist).toDF("img_id", "blob"), 16).localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_norm", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        state.append(s, histBands.filter(col("img_id") < 6))
+        state.append(s, histBands.filter(col("img_id") >= 6))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        val batchBands = imageBandsNormalized(
+          s.createDataFrame(batch).toDF("img_id", "blob"), 16).localCheckpoint()
+        val verdicts = imageAdmitVerdicts(s, state, batchBands)
+        state.append(s,
+          batchBands.join(verdicts.filter(col("admitted")).select("img_id"), Seq("img_id"))
+            .select("img_id", "h", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        (0 until 12).foreach { i =>
+          (i % 3) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"edited cross-resolution recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"cross-resolution recrawl ${300 + i} must reject (identical canonical)")
+            case _ => ()
+          }
+        }
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = imageAdmitVerdicts(s, state, batchBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      // history + batch through the ONE shared canonical pick chain —
+      // no scale column anywhere: the crawled resolution and the recrawl
+      // resolution both collapse to (seed, bw, bh, ed)
+      s"""WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 4 * $normOracleT AS bw,
+        |    3 * $normOracleT AS bh, 0 AS ed, true AS is_hist
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 4 * $normOracleT, 3 * $normOracleT, 1, false
+        |  FROM range(12) t(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, 4 * $normOracleT, 3 * $normOracleT, 0, false
+        |  FROM range(12) t(i) WHERE i % 3 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, 50 + i, 4 * $normOracleT, 3 * $normOracleT, 0, false
+        |  FROM range(8) t(i)),
+        |$normOracleGridBits,
+        |bh AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND i.is_hist),
+        |bb AS (SELECT b.* FROM bits b JOIN imgs i ON i.img_id = b.img_id AND NOT i.is_hist),
+        |m AS (
+        |  SELECT bb.img_id, CAST(count(DISTINCT bh.img_id) AS BIGINT) AS matches
+        |  FROM bb JOIN bh ON bit_count(xor(bb.h, bh.h)) <= 3
+        |  GROUP BY 1)
+        |SELECT bb.img_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.img_id IS NULL AS admitted, true AS compacted
+        |FROM bb LEFT JOIN m USING (img_id) ORDER BY img_id""".stripMargin),
 
 
     // X14b: INCREMENTAL image dedup vs a durable perceptual-hash state —
@@ -1115,24 +1242,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  UNION ALL
         |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 100, 100, -1
         |  FROM range(12) t(i) WHERE i % 4 = 3),
-        |smp AS (
-        |  SELECT clip_id, ph.p, (x - 165 * ph.p) // 330 AS seg,
-        |    ((x - 165 * ph.p) % 330) // 10 AS w,
-        |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
-        |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
-        |  FROM clips, range(2) ph(p), range(2310) t(x)
-        |  WHERE x >= 165 * ph.p
-        |    AND x - 165 * ph.p < ((n - 165 * ph.p) // 330) * 330 AND x < n),
-        |ws AS (SELECT clip_id, p, seg, w, CAST(sum(s) AS BIGINT) AS sw
-        |  FROM smp GROUP BY 1, 2, 3, 4),
-        |sbits AS (
-        |  SELECT a.clip_id, a.p, a.seg,
-        |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw
-        |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END), 0) AS BIGINT) AS h
-        |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.p = a.p
-        |    AND b.seg = a.seg AND b.w = a.w + 1
-        |  GROUP BY 1, 2, 3),
-        |sb2 AS (SELECT clip_id * 2 + p AS sid, clip_id, seg, h FROM sbits),
+        |${audioOracleDualPhaseBits(2310)},
         |cl AS (SELECT clip_id, p, clip_id * 2 + p AS sid,
         |  (n - 165 * p) // 330 AS ns FROM clips, range(2) ph(p)),
         |pr AS (
@@ -1153,6 +1263,144 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |FROM sc WHERE d <= 3
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+
+
+    // X14a''''': the DURABLE leg of the sub-segment audio family (r16,
+    // beyond the asks — completes the dual-phase lifecycle): the crawl
+    // persists BOTH phase grids of every admitted clip in the two-plane
+    // containment state (composite id = clip·2 + phase), a recrawl batch
+    // probes with both of ITS grids through the UNCHANGED
+    // videoAdmitVerdictsTrimmed rule, and a clip admits only when EVERY
+    // composite admits — so 165-multiple trims (half-segment, 1.5-segment
+    // + edit) and 495-sample EXTENSIONS of crawled history all reject
+    // while 100-sample OFF-GRID trims and fresh clips admit (the
+    // documented <165 residual, unchanged in the durable regime).
+    // Mid-sequence compactionProof + full-batch reprobe, the durable-gate
+    // ritual. At 100 TB: 2× the narrow sequence rows per admitted clip
+    // buy 165-sample alignment against the whole crawled history.
+    ("x_incremental_audio_dedup_subsegment",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        val L = 330
+        val hist = (0 until 12).map(i =>
+          (i.toLong, AudioCodec.encodeAudioVariant((4 + i % 4) * L, i)))
+        val batch = (0 until 12).map { i =>
+          val n = (4 + i % 4) * L
+          (i % 4) match {
+            case 0 => ((200 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 165, i, sampleBase = 165))
+            case 1 => ((300 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 495, i, (n - 495) / 2, sampleBase = 495))
+            case 2 => ((400 + i).toLong,
+              AudioCodec.encodeAudioVariant(n - 100, i, sampleBase = 100))
+            case _ => ((600 + i).toLong, AudioCodec.encodeAudioVariant(n + 495, i))
+          }
+        } ++ (0 until 8).map(j =>
+          ((500 + j).toLong, AudioCodec.encodeAudioVariant((4 + j % 4) * L, 50 + j)))
+        val histFh = audioSegmentsDualPhase(
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
+        def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_ss",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_ss", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        // composite ids: clips 0-5 land below 12 — two crawl commits
+        Seq(histFh.filter(col("vid_id") < 12), histFh.filter(col("vid_id") >= 12))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = audioSegmentsDualPhase(
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
+        def clipVerdicts() = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+            toBands = audioSegBands)
+          .select((col("vid_id") / 2).cast("long").as("clip_id"), col("admitted"))
+          .groupBy("clip_id")
+          .agg((min(col("admitted").cast("int")) === 1).as("admitted"))
+        val verdicts = clipVerdicts().localCheckpoint()
+        val adm = verdicts.filter(col("admitted")).select("clip_id")
+        val admFh = batchFh
+          .withColumn("clip_id", (col("vid_id") / 2).cast("long"))
+          .join(adm, Seq("clip_id"))
+          .select("vid_id", "nf", "frame", "h")
+          .localCheckpoint() // feeds both plane appends
+        sigs.append(s, admFh)
+        bands.append(s, bandsK(admFh))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("clip_id").collect().map(_.getLong(0)).toSet
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"165-sample (half-segment) recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"495-trim + edit recrawl ${300 + i} must reject")
+            case 2 => require(!rejected.contains(400L + i),
+              s"100-sample off-grid trim ${400 + i} must admit (documented residual)")
+            case _ => require(rejected.contains(600L + i),
+              s"495-sample extension ${600 + i} must reject (batch-longer direction)")
+          }
+        }
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = clipVerdicts().filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      // both phase grids of history + batch through the ONE shared
+      // dual-phase closed form; a batch clip rejects when ANY of its
+      // composites aligns fully-contained against ANY history composite
+      // at some anchor with d <= 3
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, true AS is_hist
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (4 + (i % 4)) * 330 - 165, 165, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 495, 495,
+        |    ((4 + (i % 4)) * 330 - 495) // 2, false
+        |  FROM range(12) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, (4 + (i % 4)) * 330 - 100, 100, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, (4 + (i % 4)) * 330 + 495, 0, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, (4 + (j % 4)) * 330, 0, -1, false
+        |  FROM range(8) t(j)),
+        |${audioOracleDualPhaseBits(2805)},
+        |cl AS (SELECT clip_id, p, clip_id * 2 + p AS sid,
+        |  (n - 165 * p) // 330 AS ns, is_hist FROM clips, range(2) ph(p)),
+        |pr AS (
+        |  SELECT b.clip_id AS bclip,
+        |    CASE WHEN b.ns >= h.ns THEN b.sid ELSE h.sid END AS l,
+        |    CASE WHEN b.ns >= h.ns THEN h.sid ELSE b.sid END AS s,
+        |    abs(b.ns - h.ns) AS df
+        |  FROM cl b JOIN cl h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.ns - h.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.bclip, pr.l, pr.s, pp.p,
+        |    CAST(sum(bit_count(xor(bl.h, bs2.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sb2 bs2, sb2 bl
+        |  WHERE pp.p <= pr.df AND bs2.sid = pr.s AND bl.sid = pr.l
+        |    AND bl.seg = bs2.seg + pp.p
+        |  GROUP BY 1, 2, 3, 4),
+        |rej AS (SELECT DISTINCT bclip FROM sc WHERE d <= 3)
+        |SELECT c.clip_id, c.clip_id NOT IN (SELECT bclip FROM rej) AS admitted,
+        |  true AS compacted
+        |FROM (SELECT DISTINCT clip_id FROM clips WHERE NOT is_hist) c
+        |ORDER BY 1""".stripMargin),
 
 
     // X14a''': INCREMENTAL offset-audio dedup — the durable leg of the
