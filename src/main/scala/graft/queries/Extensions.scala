@@ -900,6 +900,27 @@ object Extensions
       results, audioSegmentsOf(_, segLen), audioSegBands, "ta", maxLenDiff,
       filesPerTrigger, onBandScanMetrics)
 
+  /** The streaming SUB-SEGMENT audio dedup crawl loop — the dual-phase
+    * instantiation of the generic containment loop (r16): every clip
+    * fingerprints on BOTH phase grids ([[audioSegmentsDualPhase]],
+    * composite id = clip·2 + phase), admission is CLIP-atomic
+    * (idGroupDiv = 2), and both grids of each admitted clip persist — so
+    * 165-multiple trims of earlier batches reject while sub-half-grid
+    * offsets stay the documented front-end residual. Completes the
+    * sub-segment lifecycle (batch: x_audio_neardup_subsegment; durable:
+    * x_incremental_audio_dedup_subsegment; now STREAMING).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalAudioDedupSubsegment(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable, segLen: Int = 330, maxLenDiff: Int = 2,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalContainDedup(s, stage, schema, bandState, sigState,
+      results, audioSegmentsDualPhase(_, segLen), audioSegBands, "ts",
+      maxLenDiff, filesPerTrigger, onBandScanMetrics, idGroupDiv = Some(2))
+
   /** The ONE streaming CONTAINMENT-dedup loop body under the trimmed
     * video and offset-audio crawls — generic over the sequence extractor
     * and banding rule exactly like [[streamIncrementalBandDedup]] is for
@@ -919,13 +940,33 @@ object Extensions
       results: graft.table.GraftTable,
       toSeq: DataFrame => DataFrame, toBands: DataFrame => DataFrame,
       stmtPrefix: String, maxLenDiff: Int, filesPerTrigger: Int,
-      onBandScanMetrics: graft.table.ScanMetrics => Unit): Int =
+      onBandScanMetrics: graft.table.ScanMetrics => Unit,
+      /** When Some(g), sequence ids are COMPOSITES of g-sized groups
+        * (id = group·g + member — the [[audioSegmentsDualPhase]] identity
+        * with g = 2) and admission is GROUP-atomic: a group admits only
+        * when every member composite admits, and all member sequences
+        * persist together — half-admitted clips can never seed the state.
+        * The crash-window argument is unchanged (verdicts read state as
+        * of arrival; the rollup is a deterministic function of them).
+        */
+      idGroupDiv: Option[Int] = None): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val fh = toSeq(b)
         .localCheckpoint() // In-probe collects + candidate joins read it
       val verdicts = videoAdmitVerdictsTrimmed(s, bandState, sigState, fh,
         maxLenDiff, onBandScanMetrics, toBands)
-      val admitted = verdicts.filter(col("admitted")).select("vid_id")
+      val admitted = (idGroupDiv match {
+        case Some(g) =>
+          val grpAdm = verdicts
+            .select((col("vid_id") / g).cast("long").as("grp"), col("admitted"))
+            .groupBy("grp")
+            .agg((min(col("admitted").cast("int")) === 1).as("adm"))
+            .filter(col("adm")).select("grp")
+          fh.select("vid_id").distinct()
+            .join(grpAdm, (col("vid_id") / g).cast("long") === col("grp"))
+            .select("vid_id")
+        case None => verdicts.filter(col("admitted")).select("vid_id")
+      }).localCheckpoint() // gates the results append AND both state appends
       results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       sigState.append(s, fh.join(admitted, Seq("vid_id"))
           .select("vid_id", "nf", "frame", "h"),
@@ -1812,6 +1853,24 @@ object Extensions
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     streamIncrementalBandDedup(s, stage, schema, state, results,
       "img_id", imageBands, "im", filesPerTrigger, onStateScanMetrics)
+
+  /** The streaming NORMALIZED-image dedup crawl loop (r16) — the
+    * [[imageBandsNormalized]] instantiation of the generic band loop:
+    * every crawled blob normalizes to the canonical resolution before
+    * hashing, so recrawls at DIFFERENT resolutions (lattice resamples)
+    * reject against the durable state. Completes the normalized family's
+    * lifecycle (batch: x_image_neardup_normalized; durable:
+    * x_incremental_image_dedup_normalized; now STREAMING).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalImageDedupNormalized(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      maxWidth: Int = 16, filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalBandDedup(s, stage, schema, state, results,
+      "img_id", imageBandsNormalized(_, maxWidth), "nm", filesPerTrigger,
+      onStateScanMetrics)
 
   /** The ONE streaming band-dedup loop body under
     * [[streamIncrementalImageDedup]] and [[streamIncrementalAudioDedup]]

@@ -1403,6 +1403,242 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1""".stripMargin),
 
 
+    // X14s-norm: the STREAMING leg of the normalized family (r16) —
+    // [[Extensions.streamIncrementalImageDedupNormalized]]: the crawl
+    // ingests mixed-resolution originals in slice 0, slice 1 brings
+    // CROSS-RESOLUTION recrawls (the lattice resample of what slice 0
+    // crawled at base resolution, and vice versa — container flipped too)
+    // that must reject via the durable NORMALIZED band state, slice 2
+    // brings EDITED cross-resolution recrawls (≤ 2 canonical bits through
+    // the resample); fresh seeds admit in both. Post-crawl:
+    // compactionProof + full-crawl reprobe through the shipped rule.
+    // Oracle = the slice-by-slice admission chain over the ONE shared
+    // canonical pick chain — still no scale column anywhere.
+    ("x_stream_incremental_image_dedup_normalized",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val cfg = Seq((8, 3, 2), (12, 4, 3), (8, 5, 2), (40, 27, 10),
+          (12, 5, 3), (8, 3, 2), (12, 4, 3), (40, 27, 10), (8, 5, 2),
+          (8, 5, 2), (12, 5, 3), (40, 27, 10))
+        def dims(i: Int) = {
+          val (t, num, den) = cfg(i)
+          ((4 * t, 3 * t), (4 * t * num / den, 3 * t * num / den))
+        }
+        def base(id: Long, i: Int, seed: Int, fmt: String) = {
+          val ((bw, bh), _) = dims(i); (id, ImageCodec.encodeImageVariant(fmt, bw, bh, seed))
+        }
+        def resample(id: Long, i: Int, seed: Int, fmt: String, edit: Boolean) = {
+          val ((bw, bh), (sw, sh)) = dims(i)
+          (id, ImageCodec.encodeImageVariantResampled(fmt, bw, bh, sw, sh, seed,
+            if (edit) 3 * sw / 8 else -1, if (edit) sh / 3 else -1))
+        }
+        val rows =
+          (0 until 12).map { i => // mixed-resolution originals
+            (if (i % 2 == 0) base(i, i, i, "png")
+             else resample(i, i, i, "bmp", edit = false), 0)
+          } ++
+          (0 until 12).filter(_ % 3 == 1).map { i => // the OTHER resolution
+            (if (i % 2 == 0) resample(100 + i, i, i, "bmp", edit = false)
+             else base(100 + i, i, i, "png"), 1)
+          } ++
+          // fresh ids sit at 150+/250+ — the 100+i recrawl range reaches
+          // 110 (i = 10), so a 110+ fresh block would collide
+          (0 until 4).map(j => (base(150 + j, j, 30 + j, "png"), 1)) ++
+          (0 until 12).filter(_ % 3 == 0).map(i =>
+            (resample(200 + i, i, i, if (i % 2 == 0) "bmp" else "png", edit = true), 2)) ++
+          (0 until 4).map(k => (base(250 + k, k, 60 + k, "bmp"), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("img_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-imgnormstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_ns",
+          imageBandsNormalized(docs.limit(0), 16).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val results = cat.createTable("db.img_adm_ns",
+          new StructType().add("img_id", LongType))
+        val batches = streamIncrementalImageDedupNormalized(
+          s, stage, docs.schema, state, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          state.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        require(filesDown && rowsKept, "streamed state compaction flags")
+        val allBands = imageBandsNormalized(docs, 16).localCheckpoint()
+        val reAdmitted = imageAdmitVerdicts(s, state, allBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select("img_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      s"""WITH imgs AS (
+        |  SELECT i AS img_id, i AS seed, 4 * $normOracleT AS bw,
+        |    3 * $normOracleT AS bh, 0 AS ed, 0 AS sl
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, 4 * $normOracleT, 3 * $normOracleT, 0, 1
+        |  FROM range(12) t(i) WHERE i % 3 = 1
+        |  UNION ALL
+        |  SELECT 150 + i, 30 + i, 4 * $normOracleT, 3 * $normOracleT, 0, 1
+        |  FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 4 * $normOracleT, 3 * $normOracleT, 1, 2
+        |  FROM range(12) t(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT 250 + i, 60 + i, 4 * $normOracleT, 3 * $normOracleT, 0, 2
+        |  FROM range(4) t(i)),
+        |$normOracleGridBits,
+        |b0 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 0),
+        |b1 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 1),
+        |b2 AS (SELECT b.* FROM bits b JOIN imgs i USING (img_id) WHERE i.sl = 2),
+        |a0 AS (SELECT img_id, h FROM b0),
+        |a1 AS (SELECT b1.img_id, b1.h FROM b1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a0 WHERE bit_count(xor(a0.h, b1.h)) <= 3)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT b2.img_id, b2.h FROM b2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM a01 x WHERE bit_count(xor(x.h, b2.h)) <= 3))
+        |SELECT img_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT img_id FROM a0 UNION ALL SELECT img_id FROM a1
+        |  UNION ALL SELECT img_id FROM a2)
+        |ORDER BY img_id""".stripMargin),
+
+
+    // X14s-a''': the STREAMING leg of the SUB-SEGMENT audio family (r16)
+    // — [[Extensions.streamIncrementalAudioDedupSubsegment]]: dual-phase
+    // grids as composite sequence identities with CLIP-ATOMIC admission
+    // (idGroupDiv = 2 — a clip admits only when every phase composite
+    // admits, and both grids persist together). Slice 1 brings
+    // 165-sample (HALF-segment) trims of slice-0 clips — rejectable only
+    // because the durable state carries both grids; slice 2 brings
+    // 495-trim + edit recrawls, 100-sample OFF-GRID trims (ADMIT — the
+    // documented residual survives the streaming regime), and
+    // 495-sample EXTENSIONS (the batch-longer direction); fresh clips
+    // admit in both. Post-crawl: compactionProof + full-crawl reprobe.
+    // Oracle = the slice chain over the shared dual-phase closed form
+    // with clip-level containment hits.
+    ("x_stream_incremental_audio_dedup_subsegment",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val L = 330
+        def clip(id: Long, seed: Int, n: Int, sb: Int, editAt: Int = -1) =
+          (id, AudioCodec.encodeAudioVariant(n, seed, editAt, sampleBase = sb))
+        val rows =
+          (0 until 12).map(i => (clip(i, i, (4 + i % 4) * L, 0), 0)) ++
+          (0 until 12).filter(_ % 4 == 0).map { i =>
+            val n = (4 + i % 4) * L; (clip(200 + i, i, n - 165, 165), 1)
+          } ++
+          (0 until 4).map(j => (clip(110 + j, 30 + j, (4 + j % 4) * L, 0), 1)) ++
+          (0 until 12).filter(_ % 4 == 1).map { i =>
+            val n = (4 + i % 4) * L
+            (clip(300 + i, i, n - 495, 495, (n - 495) / 2), 2)
+          } ++
+          (0 until 12).filter(_ % 4 == 2).map { i =>
+            val n = (4 + i % 4) * L; (clip(400 + i, i, n - 100, 100), 2)
+          } ++
+          (0 until 12).filter(_ % 4 == 3).map { i =>
+            val n = (4 + i % 4) * L; (clip(600 + i, i, n + 495, 0), 2)
+          } ++
+          (0 until 4).map(k => (clip(210 + k, 60 + k, (4 + k % 4) * L, 0), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("clip_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-audsubstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = audioSegmentsDualPhase(docs.limit(0), L)
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_sss",
+          audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_sss", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.aud_adm_sss",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalAudioDedupSubsegment(
+          s, stage, docs.schema, bands, sigs, results, segLen = L)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = audioSegmentsDualPhase(docs, L).localCheckpoint()
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
+            toBands = audioSegBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s)
+          .select((col("vid_id") / 2).cast("long").as("clip_id")).distinct()
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, 0 AS sl
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (4 + (i % 4)) * 330 - 165, 165, -1, 1
+        |  FROM range(12) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 110 + i, 30 + i, (4 + (i % 4)) * 330, 0, -1, 1
+        |  FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 495, 495,
+        |    ((4 + (i % 4)) * 330 - 495) // 2, 2
+        |  FROM range(12) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, (4 + (i % 4)) * 330 - 100, 100, -1, 2
+        |  FROM range(12) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, (4 + (i % 4)) * 330 + 495, 0, -1, 2
+        |  FROM range(12) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 210 + i, 60 + i, (4 + (i % 4)) * 330, 0, -1, 2
+        |  FROM range(4) t(i)),
+        |${audioOracleDualPhaseBits(2805)},
+        |cl AS (SELECT clip_id, p, clip_id * 2 + p AS sid,
+        |  (n - 165 * p) // 330 AS ns, sl FROM clips, range(2) ph(p)),
+        |pr AS (
+        |  SELECT x.clip_id AS xc, y.clip_id AS yc, x.sid AS xs, y.sid AS ys,
+        |    x.ns AS xns, y.ns AS yns
+        |  FROM cl x JOIN cl y ON x.clip_id <> y.clip_id
+        |    AND abs(x.ns - y.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.xc, pr.yc, pr.xs, pr.ys, pp.p,
+        |    CAST(sum(bit_count(xor(bx.h, by.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sb2 bx, sb2 by
+        |  WHERE pp.p <= abs(pr.xns - pr.yns) AND bx.sid = pr.xs
+        |    AND by.sid = pr.ys
+        |    AND bx.seg - by.seg = CASE WHEN pr.xns >= pr.yns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |pt AS (SELECT DISTINCT xc AS x, yc AS y FROM sc WHERE d <= 3),
+        |clp AS (SELECT DISTINCT clip_id, sl FROM clips),
+        |a0 AS (SELECT clip_id FROM clp WHERE sl = 0),
+        |a1 AS (SELECT c.clip_id FROM clp c WHERE c.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.clip_id WHERE pt.x = c.clip_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT c.clip_id FROM clp c WHERE c.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.clip_id WHERE pt.x = c.clip_id))
+        |SELECT clip_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
+        |  UNION ALL SELECT clip_id FROM a2)
+        |ORDER BY clip_id""".stripMargin),
+
+
     // X14a''': INCREMENTAL offset-audio dedup — the durable leg of the
     // offset-tolerant audio family, the two-plane containment crawl on
     // the segment axis: first-3-SEGMENT bands persist in the nomination
