@@ -206,4 +206,94 @@ class StreamAudioDedupSpec extends SparkSpec {
       bands.meta.snapshots.size == 2,
       "one statementId-keyed commit per table per batch")
   }
+
+  test("subsegment loop: clip-atomic admission — one matching phase rejects the whole clip") {
+    // the idGroupDiv rollup (r16) pinned directly: synthetic dual-phase
+    // sequences keyed on clip_id alone (the loop is generic over toSeq),
+    // where batch clip 2's PHASE-0 duplicates history clip 1's phase-0
+    // hash sequence and its PHASE-1 is far. Without the rollup the far
+    // phase would admit ALONE (half a clip seeding the state); with
+    // idGroupDiv = 2 the whole clip rejects.
+    import org.apache.spark.sql.DataFrame
+    def toSeqSyn(df: DataFrame): DataFrame = df
+      .select(col("clip_id"), explode(array(lit(0), lit(1))).as("p"))
+      .withColumn("frame", explode(array(lit(0), lit(1), lit(2))))
+      .select((col("clip_id") * 2 + col("p")).as("vid_id"), lit(3).as("nf"),
+        col("frame"),
+        (when(col("p") === 0 && col("clip_id").isin(1L, 2L), lit(1000L))
+          .otherwise(col("clip_id") * 1000000L + col("p") * 4096L)
+          + col("frame") * 7L).as("h"))
+    def run(groupDiv: Option[Int]) = {
+      val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+      val df = Seq((1L, Array[Byte](1)), (2L, Array[Byte](2))).toDF("clip_id", "blob")
+      val emptyFh = toSeqSyn(df.limit(0))
+      val bands = cat.createTable("db.syn_bands",
+        Extensions.audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+        partitionBy = Seq("band_key" -> graft.format.Transform.Bucket(4)))
+      val sigs = cat.createTable("db.syn_sigs", emptyFh.schema,
+        partitionBy = Seq("vid_id" -> graft.format.Transform.Bucket(4)))
+      val results = cat.createTable("db.syn_adm",
+        new StructType().add("vid_id", LongType))
+      val stage = TableOps.newTempDir("graft-saudspec-syn")
+      Extensions.stageOrderedSlices(df, stage,
+        when(col("clip_id") === 1L, 0).otherwise(1), 2)
+      Extensions.streamIncrementalContainDedup(spark, stage, docsSchema,
+        bands, sigs, results, toSeqSyn, Extensions.audioSegBands, "syn", 2, 1,
+        _ => (), idGroupDiv = groupDiv)
+      (results.toDF(spark).select("vid_id").as[Long].collect().toSet,
+        sigs.toDF(spark).select("vid_id").as[Long].collect().toSet)
+    }
+    val (admGrouped, sigsGrouped) = run(Some(2))
+    assert(admGrouped == Set(2L, 3L),
+      s"clip 2 must reject WHOLLY when one phase matches history: $admGrouped")
+    assert(sigsGrouped == Set(2L, 3L),
+      s"no composite of a rejected clip may seed the state: $sigsGrouped")
+    // the contrast: per-composite admission would let the far phase in
+    val (admUngrouped, _) = run(None)
+    assert(admUngrouped == Set(2L, 3L, 5L),
+      s"without the rollup the far phase admits alone: $admUngrouped")
+  }
+
+  test("subsegment loop: crash after the results commit replays to identical verdicts") {
+    val L = 330
+    // slice 0: clips 1 (4 segs) and 3 (5 segs); slice 1: a 165-sample
+    // (HALF-segment) trim of clip 1 (id 11 — rejectable only through the
+    // dual-phase grids) and a fresh clip (id 13)
+    def clip(id: Long, seed: Int, n: Int, sb: Int) =
+      (id, graft.operators.AudioCodec.encodeAudioVariant(n, seed, sampleBase = sb))
+    val rows = Seq(clip(1L, 1, 4 * L, 0), clip(3L, 3, 5 * L, 0),
+      clip(11L, 1, 4 * L - 165, 165), clip(13L, 7, 4 * L, 0))
+    val df = rows.toDF("clip_id", "blob")
+    val cat = new graft.catalog.GraftCatalog(tempWarehouse())
+    val emptyFh = Extensions.audioSegmentsDualPhase(df.limit(0), L)
+    val bands = cat.createTable("db.aud_bands_sspec",
+      Extensions.audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+      partitionBy = Seq("band_key" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "band_key"))
+    val sigs = cat.createTable("db.aud_sigs_sspec", emptyFh.schema,
+      partitionBy = Seq("vid_id" -> graft.format.Transform.Bucket(4)),
+      properties = Map(graft.format.TableProperties.BloomColumns -> "vid_id"))
+    val results = cat.createTable("db.aud_adm_sspec",
+      new StructType().add("vid_id", LongType))
+    val stage = TableOps.newTempDir("graft-saudspec-sub")
+    Extensions.stageOrderedSlices(df, stage,
+      when(col("clip_id") < 10L, 0).otherwise(1), 2)
+    // simulate the crash: batch 0's RESULTS commit landed (composites of
+    // clips 1 and 3), the stream died before either state append
+    results.append(spark, Seq(2L, 3L, 6L, 7L).toDF("vid_id"),
+      statementId = Some(s"$stage-tsres-0"))
+    val batches = Extensions.streamIncrementalAudioDedupSubsegment(
+      spark, stage, docsSchema, bands, sigs, results, segLen = L)
+    assert(batches == 2)
+    val admitted = results.toDF(spark).select("vid_id").as[Long].collect().toSeq
+    assert(admitted.sorted == Seq(2L, 3L, 6L, 7L, 26L, 27L),
+      s"replay must not double-admit and the half-segment trim must reject: $admitted")
+    // both phases of every admitted clip persist — group-complete state
+    assert(sigs.toDF(spark).select("vid_id").distinct().as[Long].collect().toSet ==
+      Set(2L, 3L, 6L, 7L, 26L, 27L))
+    assert(results.meta.snapshots.size == 2 && sigs.meta.snapshots.size == 2 &&
+      bands.meta.snapshots.size == 2,
+      "the replayed results append must no-op on its ledger entry " +
+        "(no third snapshot — batch 0's commit is the pre-crash one)")
+  }
 }
