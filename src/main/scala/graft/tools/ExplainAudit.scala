@@ -85,6 +85,30 @@ object ExplainAudit {
           |WHERE d.name = 'd7' GROUP BY f.k""".stripMargin)
     }
 
+    // r15 verdict #1: GENERALIZED runtime filtering — a month-partitioned
+    // (non-bucket) fact joined to a dim filtered on a DERIVED non-join
+    // column; the dynamic-pruning subquery must sit on the graft-dpp scan
+    spark.conf.set("graft.dpp.enabled", "true")
+    try {
+      spark.sql(
+        "CREATE TABLE g_audit.db.factm (d DATE, v DOUBLE) PARTITIONED BY (months(d))")
+      spark.sql(
+        """INSERT INTO g_audit.db.factm
+          |SELECT date_add(DATE'2023-01-01', CAST(id % 360 AS INT)) AS d,
+          |  CAST(id AS DOUBLE) AS v FROM range(0, 3600)""".stripMargin)
+      spark.range(0, 360)
+        .selectExpr("date_add(DATE'2023-01-01', CAST(id AS INT)) AS d_date",
+          "concat(year(date_add(DATE'2023-01-01', CAST(id AS INT))), 'Q', " +
+            "quarter(date_add(DATE'2023-01-01', CAST(id AS INT)))) AS d_quarter")
+        .createOrReplaceTempView("dates_src")
+      audit("generalized DSv2 runtime filter (expect dynamicpruning subquery on the graft-dpp scan)") {
+        spark.sql(
+          """SELECT count(*) AS n, sum(f.v) AS sv
+            |FROM g_audit.db.factm f JOIN dates_src d ON f.d = d.d_date
+            |WHERE d.d_quarter = '2023Q2'""".stripMargin)
+      }
+    } finally spark.conf.set("graft.dpp.enabled", "false")
+
     spark.stop()
   }
 }
