@@ -606,6 +606,127 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         |ORDER BY vid_id""".stripMargin),
 
 
+    // X13 × dual-phase (r16): GROUP-ATOMIC retraction from the
+    // sub-segment audio state — a clip's membership in the two-plane
+    // state is BOTH its phase composites (clip·2 and clip·2+1), so a
+    // right-to-be-forgotten delete must remove both together: leaving one
+    // phase behind would keep rejecting the clip's trimmed recrawls —
+    // precisely the violation this gate pins. Retract clips {0, 5} (all
+    // four composites, both planes; the delete's In probe prunes the
+    // second crawl commit's files via vid_id bounds + blooms), then
+    // recrawl 165-sample-TRIMMED clones: clones of RETRACTED clips must
+    // ADMIT (no phase left to match either grid), clones of SURVIVORS
+    // must keep rejecting through the unchanged dual-phase containment
+    // rule. At 100 TB the retraction stays a bounded In-pruned delete —
+    // 2·(2ns−1) narrow rows per clip, never a state rebuild.
+    ("x_audio_dedup_retract_subsegment",
+      (s: SparkSession, d: String) => {
+        import graft.format.{Predicate, TableProperties, Transform}
+        import graft.operators.AudioCodec
+        val L = 330
+        val hist = (0 until 12).map(i =>
+          (i.toLong, AudioCodec.encodeAudioVariant((4 + i % 4) * L, i)))
+        val histFh = audioSegmentsDualPhase(
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
+        def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_rss",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_rss", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        // composites of clips 0-5 sit below 12 — two crawl commits, and
+        // the retracted composites all live in the FIRST
+        Seq(histFh.filter(col("vid_id") < 12), histFh.filter(col("vid_id") >= 12))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val sigRowsBefore = sigs.toDF(s).count()
+        // GROUP-ATOMIC retraction: every phase composite of clips 0 and 5
+        val retractClips = Seq(0L, 5L)
+        val composites = retractClips.flatMap(c => Seq(c * 2, c * 2 + 1))
+        graft.table.QueryHistory.clear()
+        sigs.delete(s, Seq(Predicate.In("vid_id", composites)))
+        val delScan = graft.table.QueryHistory.all
+          .filter(_.table == "db.aud_sigs_rss").head
+        bands.delete(s, Seq(Predicate.In("vid_id", composites)))
+        // 2ns−1 sequence rows per clip: ns(0)=4 → 7, ns(5)=5 → 9
+        val sigRowsAfter = sigs.toDF(s).count()
+        require(sigRowsAfter == sigRowsBefore - 16,
+          s"exactly both phases' rows must die: $sigRowsBefore -> $sigRowsAfter")
+        // no composite of a retracted clip may survive in EITHER plane
+        Seq(sigs, bands).foreach { t =>
+          require(t.toDF(s).filter(col("vid_id").isin(composites: _*)).count() == 0L,
+            s"retraction must be group-atomic on ${t.name}")
+        }
+        // recrawl: 165-TRIMMED clones — of retracted clips (ADMIT: with
+        // one phase left behind, the trim would still match it) and of
+        // surviving clips 2 and 7 (REJECT)
+        val batch =
+          retractClips.map(i => ((200 + i), AudioCodec.encodeAudioVariant(
+            (4 + i.toInt % 4) * L - 165, i.toInt, sampleBase = 165))) ++
+          Seq(2, 7).map(i => ((300 + i).toLong, AudioCodec.encodeAudioVariant(
+            (4 + i % 4) * L - 165, i, sampleBase = 165)))
+        val batchFh = audioSegmentsDualPhase(
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
+        val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+            toBands = audioSegBands)
+          .select((col("vid_id") / 2).cast("long").as("clip_id"), col("admitted"))
+          .groupBy("clip_id")
+          .agg((min(col("admitted").cast("int")) === 1).as("admitted"))
+          .localCheckpoint()
+        val admitted = verdicts.filter(col("admitted"))
+          .select("clip_id").collect().map(_.getLong(0)).toSet
+        retractClips.foreach(i => require(admitted.contains(200L + i),
+          s"a trimmed clone of retracted clip $i must admit again"))
+        Seq(2, 7).foreach(i => require(!admitted.contains(300L + i),
+          s"a trimmed clone of surviving clip $i must keep rejecting"))
+        verdicts
+          .withColumn("del_pruned",
+            lit(delScan.filesScanned < delScan.filesTotal))
+          .withColumn("sig_rows_removed", lit(sigRowsBefore - sigRowsAfter))
+          .orderBy("clip_id")
+      },
+      // surviving history + the trimmed recrawls through the shared
+      // dual-phase closed form; the retracted clips are simply ABSENT
+      // from the history side
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, true AS is_hist
+        |  FROM range(12) t(i) WHERE i NOT IN (0, 5)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (4 + (i % 4)) * 330 - 165, 165, -1, false
+        |  FROM range(12) t(i) WHERE i IN (0, 5)
+        |  UNION ALL
+        |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 165, 165, -1, false
+        |  FROM range(12) t(i) WHERE i IN (2, 7)),
+        |${audioOracleDualPhaseBits(2310)},
+        |cl AS (SELECT clip_id, p, clip_id * 2 + p AS sid,
+        |  (n - 165 * p) // 330 AS ns, is_hist FROM clips, range(2) ph(p)),
+        |pr AS (
+        |  SELECT b.clip_id AS bclip,
+        |    CASE WHEN b.ns >= h.ns THEN b.sid ELSE h.sid END AS l,
+        |    CASE WHEN b.ns >= h.ns THEN h.sid ELSE b.sid END AS s,
+        |    abs(b.ns - h.ns) AS df
+        |  FROM cl b JOIN cl h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.ns - h.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.bclip, pr.l, pr.s, pp.p,
+        |    CAST(sum(bit_count(xor(bl.h, bs2.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sb2 bs2, sb2 bl
+        |  WHERE pp.p <= pr.df AND bs2.sid = pr.s AND bl.sid = pr.l
+        |    AND bl.seg = bs2.seg + pp.p
+        |  GROUP BY 1, 2, 3, 4),
+        |rej AS (SELECT DISTINCT bclip FROM sc WHERE d <= 3)
+        |SELECT c.clip_id, c.clip_id NOT IN (SELECT bclip FROM rej) AS admitted,
+        |  true AS del_pruned, CAST(16 AS BIGINT) AS sig_rows_removed
+        |FROM (SELECT DISTINCT clip_id FROM clips WHERE NOT is_hist) c
+        |ORDER BY 1""".stripMargin),
+
     // X2r: RETRACTION from the band-signature state — the fuzzy twin of
     // x_dedup_retract: delete a retracted doc's (band, sig, doc_id) rows
     // and its near-dups stop nominating against it, so lightly-edited
