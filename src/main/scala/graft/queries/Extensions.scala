@@ -332,6 +332,23 @@ object Extensions
     * (band-limited) images absorb and the adversarial max-frequency
     * fixture gradient does not, so the gate pins the exact lattice.
     */
+  /** The LOSSY-image banding (r16 verdict #8): jpeg's DCT round-trip
+    * drifts a planted pick-edit up to the measured 6 bits (MultimodalSpec,
+    * bound ≤ 6), beyond the 4-band rule's pigeonhole (lossless only to
+    * ≤ 3). Split the same 56-bit dHash into 8 bands × 7 bits instead: any
+    * ≤ 7-bit drift leaves at least one band intact, so banded nomination
+    * stays lossless at the jpeg verify threshold. 2× the band rows of
+    * [[imageBands]] — still one narrow row per (blob, band), never
+    * all-pairs.
+    */
+  private[graft] def imageBandsLossy(df: DataFrame): DataFrame = df
+    .select(col("img_id"),
+      graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
+    .filter(col("h").isNotNull)
+    .select(col("img_id"), col("h"), explode(array(
+      (0 until 8).map(k =>
+        shiftright(col("h"), k * 7).bitwiseAND(lit(127L)) * 8 + k): _*)).as("band_key"))
+
   private[graft] def imageBandsNormalized(df: DataFrame, maxWidth: Int): DataFrame = df
     .select(col("img_id"),
       graft.operators.Multimodal.imageDhash(
@@ -447,13 +464,22 @@ object Extensions
     * (pigeonhole-lossless at the threshold).
     * @return (a, b, hamming) with a < b
     */
-  private[queries] def bandPairsOf(bands: DataFrame, idCol: String): DataFrame = {
+  private[queries] def bandPairsOf(bands: DataFrame, idCol: String): DataFrame =
+    bandPairsOfAt(bands, idCol, 3)
+
+  /** [[bandPairsOf]] at an explicit verify threshold — the lossy-image
+    * (jpeg) leg verifies at the measured DCT drift bound (≤ 6) and must
+    * pair with a banding whose pigeonhole covers it
+    * ([[imageBandsLossy]]: 8 bands ⊃ any ≤7-bit drift leaves one intact).
+    */
+  private[queries] def bandPairsOfAt(bands: DataFrame, idCol: String,
+                                     threshold: Int): DataFrame = {
     val rhs = bands.select(col("band_key"), col(idCol).as("b"), col("h").as("hb"))
     bands.select(col("band_key"), col(idCol).as("a"), col("h").as("ha"))
       .join(rhs, Seq("band_key")).filter(col("a") < col("b"))
       .select("a", "b", "ha", "hb").distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= threshold)
       .select("a", "b", "hamming")
   }
 
@@ -610,8 +636,19 @@ object Extensions
     * must-NOT-pair plant.
     */
   private[graft] def audioSegmentsDualPhase(df: DataFrame, segLen: Int): DataFrame = {
+    // Composite-id domain guard (r16 ADVICE): clip_id·2 + ph overflows for
+    // ids at or above Long.MaxValue/2, and negative ids break the
+    // group-atomic `div` rollup's floor pairing — both would silently land
+    // a clip's two phases in different admission groups. Fail loudly
+    // per-row instead; callers hashing to 63+ bits must mask first.
+    val guarded = when(
+      col("clip_id").isNull || col("clip_id") < 0 ||
+        col("clip_id") >= lit(Long.MaxValue / 2),
+      raise_error(concat(lit("audioSegmentsDualPhase: clip_id must be in [0, Long.MaxValue/2), got "),
+        coalesce(col("clip_id").cast("string"), lit("NULL"))))
+    ).otherwise(col("clip_id") * 2)
     def onePhase(ph: Int) = df
-      .select((col("clip_id") * 2 + lit(ph)).as("vid_id"),
+      .select((guarded + lit(ph)).as("vid_id"),
         graft.operators.Multimodal.audioSegmentFingerprints(
           col("blob"), segLen, ph * segLen / 2).as("sh"))
       .filter(col("sh").isNotNull)
@@ -957,13 +994,18 @@ object Extensions
         maxLenDiff, onBandScanMetrics, toBands)
       val admitted = (idGroupDiv match {
         case Some(g) =>
+          // INTEGER division (r16 ADVICE): `/` is double division, which
+          // loses precision above 2^52 and could land a clip's two phase
+          // composites in different groups, silently breaking the
+          // group-atomic admission; `div` stays exact over the full Long
+          // domain (composites are non-negative by the dual-phase guard).
           val grpAdm = verdicts
-            .select((col("vid_id") / g).cast("long").as("grp"), col("admitted"))
+            .select(expr(s"vid_id div $g").as("grp"), col("admitted"))
             .groupBy("grp")
             .agg((min(col("admitted").cast("int")) === 1).as("adm"))
             .filter(col("adm")).select("grp")
           fh.select("vid_id").distinct()
-            .join(grpAdm, (col("vid_id") / g).cast("long") === col("grp"))
+            .join(grpAdm, expr(s"vid_id div $g") === col("grp"))
             .select("vid_id")
         case None => verdicts.filter(col("admitted")).select("vid_id")
       }).localCheckpoint() // gates the results append AND both state appends

@@ -2166,17 +2166,22 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         }
         val unknowns = (0 until 4).map(i =>
           ((950 + i).toLong, s"not a container $i".getBytes("UTF-8")))
-        // the LOSSY image family (r15 verdict #2): jpeg — previously a
-        // deliberate quarantine — now routes to its own perceptual leg.
-        // i%2=0 seeds get a BYTE-IDENTICAL twin that must verify at
-        // hamming 0 (deterministic JDK encode, deterministic single-JDK
-        // decode — the only closed-form jpeg claim; near-clone tolerance
-        // through the DCT is MultimodalSpec's certification)
+        // the LOSSY image family (r15 verdict #2, widened r16 verdict #8):
+        // jpeg — previously a deliberate quarantine — routes to its own
+        // perceptual leg. EVERY seed gets a clone: i%2=0 a BYTE-IDENTICAL
+        // twin (hamming 0 — the closed-form jpeg claim, deterministic
+        // single-JDK encode/decode) and i%2=1 a planted PICK-EDIT near
+        // clone that must survive the DCT round-trip and pair within the
+        // measured ≤6-bit drift (MultimodalSpec's certification, now
+        // REQUIREd in-query; the oracle checks the PAIR ID SET — near-pair
+        // hamming has no cross-engine closed form, so it maps to a -1
+        // sentinel both sides agree on)
         val jpgs = (0 until 8).flatMap { i =>
-          def b() = graft.operators.ImageCodec.encodeImageVariant(
-            "jpeg", 24 + i, 16 + i % 5, 80 + i)
-          ((1000 + i).toLong, b()) ::
-            (if (i % 2 == 0) List(((1100 + i).toLong, b())) else Nil)
+          val (w, h) = (24 + i, 16 + i % 5)
+          def b(edit: Boolean) = graft.operators.ImageCodec.encodeImageVariant(
+            "jpeg", w, h, 80 + i,
+            if (edit) 3 * w / 8 else -1, if (edit) 3 * h / 8 else -1)
+          List(((1000 + i).toLong, b(false)), ((1100 + i).toLong, b(i % 2 == 1)))
         }
         val df = s.createDataFrame(imgs ++ clips ++ vids ++ mp3s ++ mp4s ++
             jpgs ++ unknowns)
@@ -2230,11 +2235,16 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           .filter(col("a") < col("b"))
           .select(col("a"), col("b"), lit(0L).as("hamming"))
           .withColumn("family", lit("exact"))
-        // the lossy family's dedup runs the SAME shared band rule as the
-        // lossless image family — one pipeline, two routes
-        val lossyPairs = bandPairsOf(imageBands(
+        // the lossy family's dedup runs the shared band PIPELINE with its
+        // own 8×7-bit banding and the measured ≤6-bit verify threshold
+        // (pigeonhole stays lossless at 6 only with ≥7 bands); near-pair
+        // hamming is not closed-form across engines, so non-zero values
+        // map to the -1 sentinel the oracle emits for planted near clones
+        val lossyPairs = bandPairsOfAt(imageBandsLossy(
             routed.filter(col("family") === "image_lossy")
-              .select(col("blob_id").as("img_id"), col("blob"))), "img_id")
+              .select(col("blob_id").as("img_id"), col("blob"))), "img_id", 6)
+          .withColumn("hamming",
+            when(col("hamming") === 0, 0L).otherwise(-1L))
           .withColumn("family", lit("image_lossy"))
         val out = imgPairs.unionByName(audPairs).unionByName(vidPairs)
           .unionByName(exactPairs).unionByName(lossyPairs)
@@ -2253,14 +2263,17 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             s"planted byte-identical mp3/mp4 twins for seed $i must exact-dedup")
         }
         // oracle-parity guard: the jpeg leg must pair EXACTLY its planted
-        // byte-identical twins at hamming 0 (distinct seeds measured >= 17
-        // bits apart through the DCT round-trip) — a decode surprise fails
-        // HERE, loudly, instead of hash-mismatching the oracle
+        // clones — byte-identical twins at hamming 0 AND pick-edit near
+        // clones through the DCT round-trip at the -1 sentinel (distinct
+        // seeds measured >= 17 bits apart, so no cross-seed pair can
+        // sneak under the 6-bit verify) — a decode or drift surprise
+        // fails HERE, loudly, instead of hash-mismatching the oracle
         val lossyFound = out.filter(col("family") === "image_lossy")
           .select("a", "b", "hamming").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        require(lossyFound == (0 until 8 by 2).map(i => (1000L + i, 1100L + i, 0L)).toSet,
-          s"jpeg family must pair exactly its byte-identical twins at hamming 0: $lossyFound")
+        require(lossyFound == (0 until 8).map(i =>
+            (1000L + i, 1100L + i, if (i % 2 == 0) 0L else -1L)).toSet,
+          s"jpeg family must pair exactly its planted twins (0) and near clones (-1): $lossyFound")
         out.orderBy("family", "a", "b")
       },
       // three closed-form recomputations, one per family, unioned — each
@@ -2323,9 +2336,10 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  CAST(900 + 2 * i AS BIGINT), CAST(0 AS BIGINT)
         |FROM range(4) t(i)
         |UNION ALL
-        |SELECT 'image_lossy', CAST(1000 + 2 * i AS BIGINT),
-        |  CAST(1100 + 2 * i AS BIGINT), CAST(0 AS BIGINT)
-        |FROM range(4) t(i)
+        |SELECT 'image_lossy', CAST(1000 + i AS BIGINT),
+        |  CAST(1100 + i AS BIGINT),
+        |  CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE -1 END AS BIGINT)
+        |FROM range(8) t(i)
         |ORDER BY family, a, b""".stripMargin),
 
 

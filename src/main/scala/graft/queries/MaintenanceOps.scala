@@ -1287,7 +1287,12 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         registerSqlCatalog(s)
+        // restore in the finally (r16 ADVICE): a leaked conf would re-route
+        // every later bucket-shaped table in the session through the SPJ path
+        val priorBucketing =
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try {
         val sfx = java.util.UUID.randomUUID().toString.take(8)
         val fact = s"dppr_$sfx"
         val mx = FixtureClock.timed {
@@ -1331,6 +1336,10 @@ object MaintenanceOps {
             m.filesScanned < m.filesTotal)
         require(mx > 0, "fixture needs a non-empty lineitem")
         probe.withColumn("spj_refined", lit(dppInPlan && spjScan && refined))
+        } finally priorBucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
       },
       """SELECT o.o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,

@@ -459,7 +459,14 @@ class MultimodalSpec extends SparkSpec {
     // the LOSSY leg of the perceptual router (r15 verdict #2): jpeg has no
     // closed-form decoded raster, so its near-dup certification lives HERE
     // (single-JDK determinism) instead of a DuckDB oracle — the router
-    // gate only oracle-checks routing + byte-identical twins (hamming 0)
+    // gate only oracle-checks routing + byte-identical twins (hamming 0).
+    // The <=6 / >=10 bit thresholds are EMPIRICAL measurements of THIS
+    // JDK's jpeg codec (r16 ADVICE): a different vendor/version can shift
+    // them with product behavior unchanged, so they apply only on the
+    // measured codec; determinism and hamming-0 twins (codec-independent
+    // theorems given a deterministic ImageIO) stay unconditional.
+    val measuredCodec =
+      System.getProperty("java.specification.version") == "17"
     (0 until 8).foreach { i =>
       val w = 24 + i; val h = 16 + i % 5
       val a = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
@@ -475,7 +482,8 @@ class MultimodalSpec extends SparkSpec {
       // measured max 5 across these seeds) but far under the seed distance
       val e = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i, 3 * w / 8, 3 * h / 8)
       val editHam = java.lang.Long.bitCount(ha.longValue() ^ ImageCodec.dhashRow(e).longValue())
-      assert(editHam <= 6, s"jpeg pick-edit drifted $editHam bits (seed ${80 + i})")
+      if (measuredCodec)
+        assert(editHam <= 6, s"jpeg pick-edit drifted $editHam bits (seed ${80 + i})")
     }
     // unrelated seeds stay FAR through the lossy round-trip: the band
     // nomination cannot accidentally pair them (measured min 17)
@@ -483,9 +491,10 @@ class MultimodalSpec extends SparkSpec {
       ImageCodec.dhashRow(
         ImageCodec.encodeImageVariant("jpeg", 24 + i, 16 + i % 5, 80 + i)).longValue
     }
-    for (i <- 0 until 8; j <- i + 1 until 8)
-      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
-        s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
+    if (measuredCodec)
+      for (i <- 0 until 8; j <- i + 1 until 8)
+        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
+          s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
   }
 
   test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
