@@ -106,12 +106,22 @@ object Bloom {
     java.util.Base64.getEncoder.encodeToString(bytes)
   }
 
+  /** Decoded bitmap, or None when the text is unusable (malformed/empty) —
+    * callers treat None as "maybe" (cannot prune). Split from the probe so
+    * a k-key runtime filter decodes each file's bitmap ONCE, not per key.
+    */
+  def decode(encoded: String): Option[Array[Byte]] =
+    try {
+      val b = java.util.Base64.getDecoder.decode(encoded)
+      if (b.isEmpty) None else Some(b)
+    } catch { case _: IllegalArgumentException => None }
+
   /** May the encoded filter contain a value with this hash pair? */
-  def mayContain(encoded: String, hashes: (Long, Long)): Boolean = {
-    val bytes =
-      try java.util.Base64.getDecoder.decode(encoded)
-      catch { case _: IllegalArgumentException => return true }
-    if (bytes.isEmpty) return true
+  def mayContain(encoded: String, hashes: (Long, Long)): Boolean =
+    decode(encoded).forall(mayContainBits(_, hashes))
+
+  /** [[mayContain]] over an already-decoded bitmap (never empty). */
+  def mayContainBits(bytes: Array[Byte], hashes: (Long, Long)): Boolean = {
     val bits = bytes.length * 8
     val (h1, h2) = hashes
     Seq(h1 % bits, (h1 + h2) % bits).forall { pl =>

@@ -1206,8 +1206,9 @@ object MaintenanceOps {
     // month-partitioned fact joined to a selective date dim. g_dpp_join
     // covers the bucket-SPJ scan; here the fact is PARTITIONED BY
     // months(o_orderdate), served by the generalized GraftDppScan
-    // (graft.dpp.enabled — conf restored in a finally so no later gate
-    // inherits the scan route), and the dim's selective filter sits on
+    // WITH NO CONF SET (r16 verdict #1: the shape-routed default read
+    // path — this gate is the proof the flag is gone), and the dim's
+    // selective filter sits on
     // d_quarter, a DERIVED non-join column Catalyst cannot statically
     // infer through — only the dynamic-pruning subquery's collected
     // d_date keys can prune, mapped through the table's MONTH transform
@@ -1222,8 +1223,9 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         registerSqlCatalog(s)
-        s.conf.set("graft.dpp.enabled", "true")
-        try {
+        require(s.conf.getOption("graft.dpp.enabled").isEmpty,
+          "g_dpp_partition_join certifies the DEFAULT route — no conf may be set");
+        {
           val sfx = java.util.UUID.randomUUID().toString.take(8)
           val fact = s"dppm_$sfx"
           FixtureClock.timed {
@@ -1256,7 +1258,7 @@ object MaintenanceOps {
           val pruned = rf.nonEmpty &&
             rf.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
           probe.withColumn("dpp_pruned", lit(dppInPlan && dppScan && pruned))
-        } finally s.conf.set("graft.dpp.enabled", "false")
+        }
       },
       """WITH dim AS (
         |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In => SourceIn}
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.util.OptionalLong
 
-import graft.format.{DataFile, GraftUtil, Predicate}
+import graft.format.{DataFile, GraftSchema, GraftUtil, TableProperties}
 import graft.table.GraftScan
 
 /** Generalized DSv2 runtime filtering (r15 verdict #1): execution-time
@@ -20,37 +20,61 @@ import graft.table.GraftScan
   * runtime filters at all (it is a plain parquet scan by execution time).
   *
   * This scan stays a real DSv2 Batch ([[GraftScanSubstitution]] leaves it
-  * in place), reports every prunable column through `filterAttributes`,
-  * and when Spark's dynamic-pruning subquery hands it the build side's
-  * `In`/`EqualTo` keys it re-prunes the planned file list through the
-  * native scan's OWN phase-2 rule ([[GraftScan.fileMayMatch]]) — so the
-  * hidden-partition transforms (identity/day/month/year/hour/bucket/
-  * truncate), the per-file min/max/null stats AND the equality-probe
-  * blooms all participate, exactly as they do for static predicates.
-  * Soundness never depends on the prune: Spark re-applies the join, and
-  * `mayMatch` is the sound may-contain test the 800-case seeded property
-  * pins (S3).
+  * in place), reports every PRUNABLE-plane column through
+  * `filterAttributes`, and when Spark's dynamic-pruning subquery hands it
+  * the build side's `In`/`EqualTo` keys it re-prunes the planned file list
+  * through the native scan's indexed per-key rule
+  * ([[GraftScan.keepForKeys]]) — so the hidden-partition transforms
+  * (identity/day/month/year/hour/bucket/truncate), the per-file
+  * min/max/null stats AND the equality-probe blooms all participate,
+  * exactly as they do for static predicates. Soundness never depends on
+  * the prune: Spark re-applies the join, and the keep rule is the sound
+  * may-contain test the 800-case seeded property pins (S3).
   *
-  * Opt-in via `graft.dpp.enabled` (the `v2.bucketing.enabled` posture):
-  * the default read path substitutes the native columnar plan, which is
-  * the faster scan when no runtime filter applies; a selective-dim star
-  * join flips the economics — at 100 TB, pruning 99% of a fact's files
-  * beats any per-file decode advantage. Engages only when provably
-  * equivalent to the native path (current snapshot, no position deletes,
-  * all files under the current schema + spec — [[GraftSpj.planEligible]]);
-  * everything else falls back to the substitution path. SPJ keeps
-  * precedence: a bucket-SPJ-shaped table still reports
-  * KeyGroupedPartitioning so co-bucketed joins stay exchange-free.
+  * DEFAULT-ON since r17 (r16 verdict #1 — previously opt-in): the scan now
+  * decodes COLUMNAR (`GraftSpj.readerFactory` reports batch reads wherever
+  * the native plan would), so there is no row-surface penalty left to
+  * protect the native substitution path from. Routing stays shape-aware:
+  * only tables that carry a prunable plane a runtime key set could
+  * actually cut — a partition spec, clustering (range-disjoint stats) or
+  * bloom columns, all metadata-only checks — are served; a plain
+  * unpartitioned, unclustered, bloomless table keeps the substituted
+  * native plan, where a runtime filter could never drop a file and the
+  * dynamic-pruning subquery would be pure overhead (the r16 ADVICE
+  * posture). Engages only when provably equivalent to the native path
+  * (current snapshot, no position deletes, all files under the current
+  * schema + spec — [[GraftSpj.planEligible]]); everything else falls back
+  * to the substitution path. SPJ keeps precedence: a bucket-SPJ-shaped
+  * table still reports KeyGroupedPartitioning so co-bucketed joins stay
+  * exchange-free. `graft.dpp.enabled=false` restores the old routing.
   */
 object GraftDpp {
-  def enabled(spark: SparkSession): Boolean =
-    spark.conf.get("graft.dpp.enabled", "false").toBoolean
+  /** Three-state routing conf: unset (the default) shape-routes — serve
+    * the runtime-filterable scan only where the table's METADATA shows a
+    * plane a runtime key set could prune on (partition spec, cluster-by's
+    * range-disjoint stats, declared bloom columns — never a per-file
+    * stats scan, so the routing decision cannot force a snapshot plan for
+    * tables that will be substituted anyway). An explicit `true` force-
+    * serves every eligible table (e.g. a table whose commits happen to be
+    * range-disjoint without a cluster-by declaration); `false` restores
+    * the pure native-substitution routing.
+    */
+  def route(spark: SparkSession, tbl: GraftSparkTable): Boolean =
+    spark.conf.getOption("graft.dpp.enabled") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        val meta = tbl.graftTable.meta
+        meta.defaultSpec.isPartitioned ||
+          meta.properties.get(TableProperties.ClusterBy).exists(_.nonEmpty) ||
+          meta.properties.get(TableProperties.BloomColumns).exists(_.nonEmpty)
+    }
 }
 
 /** DSv2 Batch scan over one pinned Graft snapshot with generalized
-  * execution-time runtime filtering — one [[GraftDppPartition]] per
-  * surviving file (Spark schedules them independently; at 100 TB each is
-  * one target-size parquet file).
+  * execution-time runtime filtering. Surviving files are range-split by
+  * `spark.sql.files.maxPartitionBytes` into [[GraftDppPartition]]s (the
+  * native plan's split rule — at 100 TB a 1 GB file must not become one
+  * task), each decoding columnar through Spark's own vectorized reader.
   */
 class GraftDppScan(
     val tbl: GraftSparkTable,
@@ -77,29 +101,58 @@ class GraftDppScan(
   private val pendingMetrics =
     new java.util.concurrent.atomic.AtomicReference[graft.table.ScanMetrics](null)
 
-  /** Every top-level non-nested column of the PRUNED read schema is a
-    * runtime-filter target (Spark resolves these against the scan
-    * relation's output, so a projected-away column would fail analysis):
-    * any of them may carry partition transforms, min/max stats or blooms
-    * in some file, and [[GraftScan.fileMayMatch]] is sound ("maybe")
-    * wherever a plane is absent — an unprunable column just keeps all
-    * files. A join key is always in the read schema, so the medallion
-    * fact-dim shapes are always served.
+  /** Read-schema columns that actually carry a prunable plane in the pinned
+    * snapshot (r16 ADVICE): partition-spec source columns plus columns with
+    * min/max stats or a bloom in SOME file. Reporting a plane-less column
+    * would make Spark plan a dynamic-pruning subquery (re-executing the
+    * build side when exchange reuse doesn't apply) whose filter() then
+    * keeps every file — pure overhead. One pass over the planned file
+    * list, computed only if Spark asks.
+    */
+  private lazy val prunableCols: Set[String] = {
+    val meta = tbl.graftTable.meta
+    val byId = meta.currentSchema.fields
+      .map(f => GraftSchema.fieldId(f) -> f.name).toMap
+    val partCols = meta.specs.values.flatMap(_.fields)
+      .flatMap(pf => byId.get(pf.sourceId)).toSet
+    val statIds = files.iterator.flatMap(_.stats.iterator.collect {
+      case (id, st) if st.min.isDefined || st.max.isDefined || st.bloom.isDefined => id
+    }).toSet
+    partCols ++ statIds.flatMap(byId.get)
+  }
+
+  /** Prunable-plane columns of the PRUNED read schema (Spark resolves these
+    * against the scan relation's output, so a projected-away column would
+    * fail analysis). A join key is always in the read schema, so the
+    * medallion fact-dim shapes are always served.
     */
   override def filterAttributes(): Array[NamedReference] =
     required.fields.collect {
       case f if !f.dataType.isInstanceOf[StructType] &&
         !f.dataType.isInstanceOf[ArrayType] &&
-        !f.dataType.isInstanceOf[MapType] => Expressions.column(f.name)
+        !f.dataType.isInstanceOf[MapType] &&
+        prunableCols(f.name) => Expressions.column(f.name)
     }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val preds = filters.flatMap(GraftRelation.toPredicate).toSeq
-    if (preds.nonEmpty) {
-      val p = Predicate.all(preds)
+    var kept = files
+    var applied = false
+    filters.foreach {
+      // equality-shaped runtime filters (the dynamic-pruning subquery's
+      // shape) go through the indexed per-key rule: partition-value hash
+      // lookups + per-candidate stats/bloom probes, O(files + keys +
+      // candidates) driver time (r16 verdict #2)
+      case SourceIn(c, vs) =>
+        kept = native.keepForKeys(kept, c, vs.toSeq); applied = true
+      case EqualTo(c, v) if v != null =>
+        kept = native.keepForKeys(kept, c, Seq(v)); applied = true
+      case other => GraftRelation.toPredicate(other).foreach { p =>
+        kept = kept.filter(f => native.fileMayMatch(f, p)); applied = true
+      }
+    }
+    if (applied) {
       // ONE keep rule: the planned partitions, the recorded metrics and the
       // reported statistics all derive from this list
-      val kept = files.filter(f => native.fileMayMatch(f, p))
       allowed = Some(kept)
       val keyCount = filters.collect {
         case SourceIn(_, vs) => vs.length
@@ -127,9 +180,16 @@ class GraftDppScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     Option(pendingMetrics.getAndSet(null)).foreach(graft.table.QueryHistory.record)
-    allowed.getOrElse(files).map(f =>
-      GraftDppPartition(Seq((GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
-    ).toArray
+    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    allowed.getOrElse(files).flatMap { f =>
+      val path = GraftUtil.resolve(location, f.path)
+      val slices = math.max(1L, (f.fileSizeBytes + maxBytes - 1) / maxBytes)
+      (0L until slices).map { i =>
+        val start = i * maxBytes
+        GraftDppPartition(Seq((path, start,
+          math.min(maxBytes, f.fileSizeBytes - start), f.fileSizeBytes)))
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -148,5 +208,6 @@ class GraftDppScan(
   }
 }
 
-/** One file of the runtime-filtered scan. */
-case class GraftDppPartition(files: Seq[(String, Long)]) extends GraftFilesPartition
+/** One range slice of a runtime-filtered scan file. */
+case class GraftDppPartition(files: Seq[(String, Long, Long, Long)])
+    extends GraftFilesPartition

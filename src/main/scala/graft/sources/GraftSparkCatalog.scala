@@ -452,31 +452,33 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
     required = Some(requiredSchema)
 
   /** SPJ batch scan when provably equivalent to the native path (see
-    * [[GraftSpj]]); else the generalized runtime-filter scan when opted in
-    * and equally provably equivalent (see [[GraftDpp]]); otherwise the
-    * V1Scan whose relation the substitution rule replaces.
+    * [[GraftSpj]]); else the generalized runtime-filter scan — DEFAULT
+    * since r17 for tables whose metadata shows a prunable plane
+    * (partition spec / cluster-by / bloom columns) and that are equally
+    * provably equivalent (see [[GraftDpp]]); otherwise the V1Scan whose
+    * relation the substitution rule replaces. ONE pinned native scan is
+    * shared by whichever route wins — the fallback V1Scan carries it too,
+    * so the substitution rule reuses the already-planned snapshot instead
+    * of planning (and QUERY_HISTORY-recording) a second one.
     */
   override def build(): Scan = {
     val spark = SparkSession.active
+    val native = tbl.nativeScan(preds) // cheap: planning is lazy inside
     val spj =
       if (!GraftSpj.enabled(spark)) None
       else GraftSpj.shapeOf(tbl).flatMap { info =>
-        val native = tbl.nativeScan(preds)
         GraftSpj.planEligible(native).map { files =>
           new GraftSpjScan(tbl, info, files, accepted,
             required.getOrElse(tbl.schema()), native.meta.location, Some(native))
         }
       }
     def dpp =
-      if (!GraftDpp.enabled(spark) || tbl.travel != TimeTravel.None) None
-      else {
-        val native = tbl.nativeScan(preds)
-        GraftSpj.planEligible(native).map { files =>
-          new GraftDppScan(tbl, native, files, accepted,
-            required.getOrElse(tbl.schema()), native.meta.location)
-        }
+      if (tbl.travel != TimeTravel.None || !GraftDpp.route(spark, tbl)) None
+      else GraftSpj.planEligible(native).map { files =>
+        new GraftDppScan(tbl, native, files, accepted,
+          required.getOrElse(tbl.schema()), native.meta.location)
       }
-    spj.orElse(dpp).getOrElse(new GraftV2Scan(tbl, preds))
+    spj.orElse(dpp).getOrElse(new GraftV2Scan(tbl, preds, Some(native)))
   }
 }
 
@@ -485,7 +487,12 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
   * the correctness fallback for sessions without the rule (row-based, no
   * codegen — same profile as the plain DSv1 path).
   */
-class GraftV2Scan(val tbl: GraftSparkTable, val preds: Seq[Predicate]) extends Scan with V1Scan {
+class GraftV2Scan(val tbl: GraftSparkTable, val preds: Seq[Predicate],
+                  /** The ScanBuilder's pinned native scan, reused by the
+                    * substitution rule so one query plans (and records) the
+                    * snapshot once even when a DSv2 route was probed first. */
+                  val pinned: Option[_root_.graft.table.GraftScan] = None)
+    extends Scan with V1Scan {
   override def readSchema(): StructType = tbl.schema()
   override def description(): String =
     s"graft ${tbl.name()} [${preds.mkString(", ")}]"
@@ -586,8 +593,10 @@ case class GraftScanSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
       // could never receive the dynamic-pruning subquery's keys).
       case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftSparkTable] &&
           !r.scan.isInstanceOf[GraftSpjScan] && !r.scan.isInstanceOf[GraftDppScan] =>
-        val preds = unwrap(r.scan).map(_.preds).getOrElse(Nil)
-        substitute(r.output, r.relation.table.asInstanceOf[GraftSparkTable].nativeScan(preds))
+        val g = unwrap(r.scan)
+        substitute(r.output, g.flatMap(_.pinned).getOrElse(
+          r.relation.table.asInstanceOf[GraftSparkTable]
+            .nativeScan(g.map(_.preds).getOrElse(Nil))))
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
         substitute(r.output, r.table.asInstanceOf[GraftSparkTable].nativeScan(Nil))
       case f @ LFilter(cond, lr @ LogicalRelation(gr: GraftRelation, _, _, _, _)) =>

@@ -75,26 +75,33 @@ object GraftSpj {
     if (ok) Some(files) else None
   }
 
-  /** Spark's own vectorized parquet reader behind the DSv2 row
-    * `PartitionReader` contract — shared by the SPJ and generalized-DPP
-    * batch scans. OPTION_RETURNING_BATCH=false: vectorized decode inside,
-    * row-at-a-time surface outside (the reader contract without giving up
-    * the columnar inner loop).
+  /** Spark's own vectorized parquet reader behind the DSv2 reader
+    * contract — shared by the SPJ and generalized-DPP batch scans. When the
+    * required schema supports batch decode (all-atomic columns, vectorized
+    * reader on — `ParquetFileFormat.supportBatch`'s own rule), the factory
+    * reports COLUMNAR reads and hands Spark whole `ColumnarBatch`es, so the
+    * DSv2 scans decode exactly like the substituted native plan
+    * (vectorized + whole-stage codegen above a ColumnarToRow) — closing the
+    * row-surface decode gap that kept generalized DPP opt-in (r16 verdict
+    * #1). Nested schemas keep the row surface (vectorized decode inside,
+    * row-at-a-time outside).
     */
   def readerFactory(dataSchema: StructType, pushed: Array[Filter],
                     required: StructType): PartitionReaderFactory = {
     val spark = SparkSession.active
     val strip = (s: StructType) =>
       StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+    val fmt = new ParquetFileFormat()
+    val columnar = fmt.supportBatch(spark, strip(required))
+    val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = strip(dataSchema),
       partitionSchema = new StructType(),
       requiredSchema = strip(required),
       filters = pushed.toSeq,
-      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftSpjReaderFactory(readFunc)
+    GraftSpjReaderFactory(readFunc, columnar)
   }
 }
 
@@ -175,14 +182,13 @@ class GraftSpjScan(
       // per-key Eq probes, not one In: mayMatch evaluates an In's planes
       // independently (a file whose RANGE holds key A and whose BUCKET
       // holds key B would survive), while Eq ties bucket + stats + bloom
-      // to the SAME value — same number of leaf evaluations (the In's
-      // exists short-circuits identically), strictly sharper keep set
+      // to the SAME value — strictly sharper keep set. keepForKeys (r16
+      // verdict #2) hash-indexes the files by stored bucket value and
+      // derives each key ONCE, so the refinement costs O(files + keys +
+      // candidates) driver time instead of the O(files × keys) sweep.
       val refined: Option[Set[String]] =
         native.filter(_ => vs.size <= GraftSpj.RefineMaxKeys).map { sc =>
-          val nonNull = vs.filter(_ != null)
-          files.filter(f => nonNull.exists(v =>
-            sc.fileMayMatch(f, graft.format.Predicate.Eq(info.colName, v)))
-          ).map(_.path).toSet
+          sc.keepForKeys(files, info.colName, vs).map(_.path).toSet
         }
       val keep = RuntimeKeep(buckets, refined)
       allowedKeep = Some(keep)
@@ -252,7 +258,8 @@ class GraftSpjScan(
     filteredGroups(allowedKeep).map { case (key, keep) =>
       GraftBucketPartition(
         new GenericInternalRow(Array[Any](key)),
-        keep.map(f => (GraftUtil.resolve(location, f.path), f.fileSizeBytes)))
+        keep.map(f => (GraftUtil.resolve(location, f.path),
+          0L, f.fileSizeBytes, f.fileSizeBytes)))
     }.toArray
   }
 
@@ -260,33 +267,70 @@ class GraftSpjScan(
     GraftSpj.readerFactory(tbl.graftTable.schema, pushed, required)
 }
 
-/** An input partition that is a plain list of (path, size) parquet files —
-  * the shape [[GraftSpjReaderFactory]] reads; implemented by the SPJ bucket
-  * partitions and the generalized runtime-filter scan's file partitions.
+/** An input partition that is a plain list of parquet slices
+  * (path, start, length, fileSize) — the shape [[GraftSpjReaderFactory]]
+  * reads; implemented by the SPJ bucket partitions (whole files: a bucket
+  * group must stay one partition) and the generalized runtime-filter
+  * scan's range-split file partitions.
   */
-trait GraftFilesPartition extends InputPartition { def files: Seq[(String, Long)] }
+trait GraftFilesPartition extends InputPartition {
+  def files: Seq[(String, Long, Long, Long)]
+}
 
 /** One bucket's files; `partitionKey` is the stored bucket value (nullable —
   * rows with a null bucket column land in the null partition).
   */
-case class GraftBucketPartition(key: GenericInternalRow, files: Seq[(String, Long)])
+case class GraftBucketPartition(key: GenericInternalRow,
+                                files: Seq[(String, Long, Long, Long)])
     extends GraftFilesPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
-case class GraftSpjReaderFactory(read: PartitionedFile => Iterator[InternalRow])
+case class GraftSpjReaderFactory(read: PartitionedFile => Iterator[InternalRow],
+                                 columnar: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilesPartition]
-    val rows = p.files.iterator.flatMap { case (path, size) =>
-      read(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
-        0L, size, Array.empty, 0L, size, Map.empty))
+
+  private def raw(partition: InputPartition): Iterator[InternalRow] =
+    partition.asInstanceOf[GraftFilesPartition].files.iterator.flatMap {
+      case (path, start, len, total) =>
+        read(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+          start, len, Array.empty, 0L, total, Map.empty))
     }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // row surface even under a batch-decoding readFunc (Spark won't call
+    // this when supportColumnarReads, but stay total): flatten the batches.
+    // Whole-iterator cast, not per-element lambda — a typed lambda param
+    // would make scalac cast each ColumnarBatch to InternalRow first.
+    val rows =
+      if (columnar) {
+        import scala.jdk.CollectionConverters._
+        raw(partition)
+          .asInstanceOf[Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]
+          .flatMap(_.rowIterator().asScala)
+      }
+      else raw(partition)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { cur = rows.next(); true } else false
       override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnar, "columnar reads not supported for this schema")
+    val batches = raw(partition)
+      .asInstanceOf[Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { cur = batches.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
       override def close(): Unit = ()
     }
   }

@@ -155,6 +155,16 @@ class GraftScan(
   private def cachedHashPair(dt: DataType, value: Any): Option[(Long, Long)] =
     hashPairCache.getOrElseUpdate((dt, value), graft.io.Bloom.hashPair(dt, value))
 
+  /** Per-(file, column) decoded bloom bitmaps: a k-key runtime filter probes
+    * the same file's bitmap k times — base64-decoding per probe would be the
+    * dominant planning cost at contract-19 scale. None = unusable ("maybe").
+    */
+  private val bloomBitsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Option[Array[Byte]]]
+  private def cachedBloomBits(path: String, fieldId: Int,
+                              enc: String): Option[Array[Byte]] =
+    bloomBitsCache.getOrElseUpdate((path, fieldId), graft.io.Bloom.decode(enc))
+
   /** Phase-2 context from one file's partition tuple + column stats. */
   private def fileCtx(f: DataFile): Predicate.PruneContext = {
     val spec = meta.specs.getOrElse(f.specId, PartitionSpec.unpartitioned)
@@ -200,7 +210,9 @@ class GraftScan(
             .find(wf => GraftSchema.fieldId(wf) == id).forall(_.dataType == cur.dataType)
           !sameType || (f.stats.get(id).flatMap(_.bloom) match {
             case Some(enc) =>
-              cachedHashPair(dt, value).forall(hp => graft.io.Bloom.mayContain(enc, hp))
+              cachedHashPair(dt, value).forall(hp =>
+                cachedBloomBits(f.path, id, enc)
+                  .forall(graft.io.Bloom.mayContainBits(_, hp)))
             case None => true
           })
         })
@@ -215,6 +227,120 @@ class GraftScan(
     */
   private[graft] def fileMayMatch(f: DataFile, p: Predicate): Boolean =
     Predicate.mayMatch(p, fileCtx(f))
+
+  /** Indexed per-key equality keep rule (r16 verdict #2): the files that may
+    * contain ANY of `rawKeys` in `colName` — set-equal to the brute rule
+    *
+    *   files.filter(f => keys.exists(k => fileMayMatch(f, Predicate.Eq(colName, k))))
+    *
+    * (KeepForKeysSpec pins the equivalence property-style) but built so
+    * runtime-filter planning cost is O(files + keys + candidates) when the
+    * column carries a partition transform, instead of the O(files × keys)
+    * sweep the DSv2 scans' `filter` used to do — at contract-19 scale
+    * (500k files × 1024 collected join keys) the sweep is ~5·10⁸ driver-side
+    * leaf evaluations. Files are hashed ONCE by their stored partition value
+    * for the first partition field sourced from the column; each key derives
+    * through the transform ONCE (the per-(transform, key) memoization the
+    * r16 ADVICE prescribes — not per (file, key)) and looks up its candidate
+    * files O(1); only candidates pay the full phase-2 plane check (which
+    * re-ties stats + bloom + any further partition fields to the SAME key).
+    * Derived probe values round-trip through the manifest JSON codec so the
+    * hash key lives in exactly the representation the stored values parse
+    * to. Columns with no partition plane (stats/bloom only) keep a key-major
+    * sweep — the range-shaped planes are inherently linear — with the bloom
+    * hash pair still memoized scan-wide. Null keys are dropped: an
+    * equality/join probe matches no null (the SPJ null-bucket rule).
+    */
+  private[graft] def keepForKeys(files: Seq[DataFile], colName: String,
+                                 rawKeys: Seq[Any]): Seq[DataFile] = {
+    val keys = rawKeys.filter(_ != null).distinct
+    if (keys.isEmpty) return Nil
+    val field = scanSchema.fields.find(_.name == colName).getOrElse(return files)
+    val dt = field.dataType
+    val preds = keys.map(k => Predicate.Eq(colName, k))
+    val keep = new scala.collection.mutable.BitSet(files.size)
+
+    // (specId, schemaId) fixes the indexable partition field and its value
+    // space; mixed groups only appear outside the planEligible scans
+    files.indices.groupBy(i => (files(i).specId, files(i).schemaId)).foreach {
+      case ((specId, schemaId), idxs) =>
+        val spec = meta.specs.getOrElse(specId, PartitionSpec.unpartitioned)
+        // mirror fileCtx's plane rule: the write-schema source must carry the
+        // scanned NAME; same TYPE additionally guards the index's value space
+        // (a widened column re-renders values — those groups stay linear)
+        val pfOpt = spec.fields.find(pf => sourceField(pf.sourceId, schemaId)
+          .exists(src => src.name == colName && src.dataType == dt))
+        pfOpt match {
+          case Some(pf) =>
+            val outDt = pf.transform.resultType(dt)
+            val index = scala.collection.mutable.HashMap
+              .empty[Any, scala.collection.mutable.ArrayBuffer[Int]]
+            // no partition entry recorded -> no plane -> every key's candidate
+            val unindexed = scala.collection.mutable.ArrayBuffer.empty[Int]
+            idxs.foreach { i =>
+              files(i).partition.get(pf.name) match {
+                case Some(Some(s)) =>
+                  index.getOrElseUpdate(Canonical.fromJsonString(outDt, s),
+                    scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+                // null partition value: every row null -> Eq never matches
+                case Some(None) => ()
+                case None => unindexed += i
+              }
+            }
+            keys.zip(preds).foreach { case (k, p) =>
+              val derived: Option[Any] = (pf.transform match {
+                case Transform.Identity => Canonical.of(dt, k)
+                case tr => Canonical.of(dt, k).flatMap(c => tr(dt, c))
+              }).map(d => // normalize into the stored values' parse space
+                Canonical.fromJsonString(outDt, Canonical.toJsonString(outDt, d)))
+              val cands = derived match {
+                case Some(d) => index.getOrElse(d, Nil)
+                // underivable key cannot prune on this plane: check them all
+                case None => idxs
+              }
+              (cands.iterator ++ unindexed.iterator).foreach { i =>
+                if (!keep(i) && fileMayMatch(files(i), p)) keep += i
+              }
+            }
+          case None =>
+            // stats/bloom-only column: the range-shaped stats plane is
+            // inherently linear in files, but the per-pair allocations are
+            // not — canonicalize each key ONCE, parse each file's bounds
+            // ONCE, then the inner loop is two raw compares with an
+            // early-exit on first hit (bloom bitmaps and hash pairs are
+            // memoized scan-wide). This restates fileMayMatch(f, Eq) with
+            // the per-(file, key) work hoisted; KeepForKeysSpec pins the
+            // set-equivalence. Files whose write-type-drifted partition
+            // plane still references the column (the widened-column edge
+            // the index refuses) fall back to the exact rule per key.
+            val canonKeys = keys.zip(preds)
+              .map { case (k, p) => (k, p, Canonical.of(dt, k)) }
+            idxs.foreach { i =>
+              val f = files(i)
+              val ctx = fileCtx(f)
+              val sb = ctx.statBounds(colName)
+              val drifted = ctx.transformedBounds(colName).nonEmpty
+              val hit = canonKeys.exists { case (k, p, ck) =>
+                if (drifted) fileMayMatch(f, p)
+                else {
+                  val statsOk = sb.forall { b =>
+                    if (b.allNull) false
+                    else ck match {
+                      case None => true
+                      case Some(v) =>
+                        b.lower.forall(lo => Canonical.compare(lo, v) <= 0) &&
+                          b.upper.forall(hi => Canonical.compare(hi, v) >= 0)
+                    }
+                  }
+                  statsOk && ctx.bloomMayContain(colName, dt, k)
+                }
+              }
+              if (hit) keep += i
+            }
+        }
+    }
+    files.indices.collect { case i if keep(i) => files(i) }
+  }
 
   /** @return (surviving data files, all position-delete files, metrics) */
   lazy val plan: (Seq[DataFile], Seq[DataFile], ScanMetrics) = {

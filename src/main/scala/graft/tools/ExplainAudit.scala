@@ -85,11 +85,12 @@ object ExplainAudit {
           |WHERE d.name = 'd7' GROUP BY f.k""".stripMargin)
     }
 
-    // r15 verdict #1: GENERALIZED runtime filtering — a month-partitioned
-    // (non-bucket) fact joined to a dim filtered on a DERIVED non-join
-    // column; the dynamic-pruning subquery must sit on the graft-dpp scan
-    spark.conf.set("graft.dpp.enabled", "true")
-    try {
+    // r15 verdict #1 / r16 #1: GENERALIZED runtime filtering — a
+    // month-partitioned (non-bucket) fact joined to a dim filtered on a
+    // DERIVED non-join column; the dynamic-pruning subquery must sit on
+    // the graft-dpp scan, and since r17 that route is the DEFAULT (no
+    // conf set here — this audit exercises the out-of-the-box path)
+    {
       spark.sql(
         "CREATE TABLE g_audit.db.factm (d DATE, v DOUBLE) PARTITIONED BY (months(d))")
       spark.sql(
@@ -107,7 +108,7 @@ object ExplainAudit {
             |FROM g_audit.db.factm f JOIN dates_src d ON f.d = d.d_date
             |WHERE d.d_quarter = '2023Q2'""".stripMargin)
       }
-    } finally spark.conf.set("graft.dpp.enabled", "false")
+    }
 
     spark.stop()
   }

@@ -894,8 +894,113 @@ object ScaleSmoke {
     // [[writeSideContract]].
     writeSideContract()
 
+    // contract 21: RUNTIME-FILTER planning cost at 500k files × 1024 keys
+    // — see [[runtimeFilterPlanningContract]].
+    runtimeFilterPlanningContract()
+
     report("SCALE SMOKE OK")
     spark.stop()
+  }
+
+  /** Contract 21 (r16 verdict #2): driver-side RUNTIME-FILTER planning cost
+    * at contract-19 scale. The DSv2 scans' `filter(runtime keys)` used to
+    * be an O(files × keys) linear sweep — unmeasured above a few hundred
+    * files; at 500,000 files × 1024 collected join keys that is ~5·10⁸
+    * driver-side leaf evaluations, a planning-budget blowout no contract
+    * covered. r17 replaced it with [[graft.table.GraftScan.keepForKeys]]:
+    * a hash index on the stored partition values (one pass over the file
+    * list) + one derivation per key + full plane checks on the O(keys)
+    * candidates only. This contract records, on the contract-19 fixture
+    * shape (500k fabricated identity-partitioned files over a 100k-value
+    * domain, metadata plane only — no data file ever exists):
+    *
+    *   a. INDEXED partition-plane probe: keepForKeys("p", 1024 keys) wall
+    *      time, REQUIREd under a 5 s absolute planning budget and ≥10×
+    *      faster than the replaced per-key sweep (measured on a 2,000-file
+    *      live subset of the same list and extrapolated ×250 — the sweep's
+    *      cost is linear in files by construction, so the extrapolation is
+    *      exact in shape), with the keep set REQUIREd set-equal to the
+    *      sweep's on that subset and exactly the planted key files overall;
+    *   b. STATS-plane probe (no partition field on `id`): the documented
+    *      linear residual — per-key canonicalization and per-file bound
+    *      parses hoisted, inner loop two raw compares with early exit —
+    *      recorded, with its own generous floor (≤ 60 s) so a regression
+    *      back to per-pair allocation shows up as a hard failure.
+    */
+  private[tools] def runtimeFilterPlanningContract(): Unit = {
+    import graft.format.{Predicate, Transform}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def report(s: String): Unit = println(s"[scale-smoke] $s")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft-smoke-rtf").toString
+    val cat = new graft.catalog.GraftCatalog(wh)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("p", LongType)))
+    val t = cat.createTable("db.rtf_smoke", schema,
+      partitionBy = Seq("p" -> Transform.Identity))
+    val nManifests = 5000
+    val filesPer = 100
+    val nFiles = nManifests * filesPer // 500,000
+    val nParts = 100000L // ~5 files per partition value
+    val m0 = t.meta
+    val (_, tBuild) = timed {
+      val manifests = (0 until nManifests).map { c =>
+        (0 until filesPer).map { i =>
+          val g = c.toLong * filesPer + i
+          graft.table.PlanningFixture.syntheticFile(m0, part = g % nParts, id = g)
+        }
+      }
+      graft.table.PlanningFixture.appendFabricatedMany(t, manifests)
+    }
+    val sc = t.scan()
+    val (files, tPlan) = timed(sc.dataFiles)
+    require(files.size == nFiles, s"fixture must plan $nFiles files: ${files.size}")
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.location, "data")),
+      "metadata-plane fixture must never materialize a data directory")
+
+    val rnd = new scala.util.Random(21L)
+    val keys: Seq[Any] = (0 until 1024).map(_ => rnd.nextLong(nParts)).distinct
+    // a. the indexed partition-plane probe
+    val (keptP, tIndexed) = timed(sc.keepForKeys(files, "p", keys))
+    val keySet = keys.map(_.asInstanceOf[Long]).toSet
+    // identity partition with exact per-file stats: the keep set is exactly
+    // the planted files whose partition value is a probed key
+    require(keptP.forall(f =>
+      keySet(f.partition("p").get.toLong)) &&
+      keptP.size == files.count(f => keySet(f.partition("p").get.toLong)),
+      s"indexed keep set must be exactly the planted key files: ${keptP.size}")
+
+    // the replaced O(files × keys) per-key sweep, timed live on a 2,000-file
+    // subset of the same list (linear in files by construction → ×250)
+    val subset = files.take(2000)
+    val (bruteKept, tBrute) = timed {
+      subset.filter(f => keys.exists(k => sc.fileMayMatch(f, Predicate.Eq("p", k))))
+    }
+    val scaleUp = nFiles.toDouble / subset.size
+    require(sc.keepForKeys(subset, "p", keys).map(_.path).toSet ==
+      bruteKept.map(_.path).toSet,
+      "keepForKeys must be set-equal to the per-key sweep it replaced")
+    val extrapolated = tBrute * scaleUp
+
+    // b. the stats-plane linear residual (id carries no partition field)
+    val idKeys: Seq[Any] = (0 until 1024).map(_ => rnd.nextLong(nFiles.toLong)).distinct
+    val (keptI, tSweep) = timed(sc.keepForKeys(files, "id", idKeys))
+    require(keptI.size == idKeys.size,
+      s"unique-id stats must keep exactly the probed files: ${keptI.size}/${idKeys.size}")
+
+    report(f"runtime-filter planning at ${nFiles} files x ${keys.size} keys: " +
+      f"build=$tBuild%.1fs plan=$tPlan%.1fs indexed=${tIndexed * 1000}%.0fms " +
+      f"(kept=${keptP.size}) replaced_sweep~=$extrapolated%.1fs " +
+      f"(measured ${tBrute * 1000}%.0fms on ${subset.size} files, x$scaleUp%.0f) " +
+      f"speedup=${extrapolated / tIndexed}%.0fx | stats-plane sweep=" +
+      f"$tSweep%.1fs (kept=${keptI.size})")
+    require(tIndexed < 5.0,
+      f"indexed runtime-filter planning blew the 5s budget: $tIndexed%.1fs")
+    require(extrapolated / tIndexed >= 10.0,
+      f"index must beat the replaced sweep >=10x: ${extrapolated / tIndexed}%.1fx")
+    require(tSweep < 60.0,
+      f"stats-plane sweep regressed past its 60s floor: $tSweep%.1fs")
   }
 
   /** Contract 17: driver-side PLANNING latency at high file count — the

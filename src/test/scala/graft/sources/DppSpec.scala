@@ -109,9 +109,23 @@ class DppSpec extends SparkSpec {
       .createOrReplaceTempView("dppg_dim")
   }
 
-  private def withDppEnabled[A](f: => A): A = {
+  /** Explicit FORCE-serve (r17: the conf is three-state — unset shape-
+    * routes by metadata, true serves any eligible table): the stats-plane
+    * fixture below is range-disjoint only by commit accident, with no
+    * cluster-by declaration the default route could see. Restores by
+    * UNSET, never by writing "false" (that would leak the opt-out).
+    */
+  private def withDppForced[A](f: => A): A = {
     spark.conf.set("graft.dpp.enabled", "true")
-    try f finally spark.conf.set("graft.dpp.enabled", "false")
+    try f finally spark.conf.unset("graft.dpp.enabled")
+  }
+
+  /** Explicit opt-out: the pure native-substitution routing (the pre-r17
+    * default), used as the no-DPP-scan control leg.
+    */
+  private def withDppDisabled[A](f: => A): A = {
+    spark.conf.set("graft.dpp.enabled", "false")
+    try f finally spark.conf.unset("graft.dpp.enabled")
   }
 
   private def lastRuntimeIn(table: String): graft.table.ScanMetrics = {
@@ -123,7 +137,9 @@ class DppSpec extends SparkSpec {
 
   test("month transform: dim keys prune a date-partitioned fact at execution time") {
     dppGeneralReady
-    withDppEnabled {
+    // NO conf set (r16 verdict #1): a partitioned table shape-routes to the
+    // generalized scan by DEFAULT — this leg certifies the out-of-the-box path
+    locally {
       graft.table.QueryHistory.clear()
       // selective filter on a NON-join dim column (quarter), so nothing is
       // statically inferrable onto the fact's date — only DPP can prune
@@ -148,7 +164,10 @@ class DppSpec extends SparkSpec {
 
   test("min/max stats plane: dim keys prune an unpartitioned fact's files") {
     dppGeneralReady
-    withDppEnabled {
+    // unpartitioned, no cluster-by, no blooms: the metadata route cannot
+    // see the per-commit range disjointness, so this plane needs the
+    // explicit force (the documented three-state conf)
+    withDppForced {
       graft.table.QueryHistory.clear()
       val q = spark.sql(
         """SELECT count(*) AS n
@@ -164,7 +183,9 @@ class DppSpec extends SparkSpec {
 
   test("bloom plane: dim keys prune files whose min/max ranges all overlap") {
     dppGeneralReady
-    withDppEnabled {
+    // bloom-columns is a table property: the DEFAULT route serves this
+    // table with no conf set
+    locally {
       graft.table.QueryHistory.clear()
       // key 402 = 4*100 + 2 lives only in the residue-2 file; every file
       // spans [residue, ~4000), so min/max admits all four — only the
@@ -222,14 +243,46 @@ class DppSpec extends SparkSpec {
         |FROM dppg.db.factm f JOIN dppg_dates d ON f.d = d.d_date
         |WHERE d.d_quarter IN ('2023Q4', '2024Q1')
         |GROUP BY f.d ORDER BY f.d""".stripMargin
-    val withDpp = withDppEnabled { spark.sql(q).collect() }
+    val withDpp = spark.sql(q).collect() // default route: the DPP scan
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
     val without =
-      try withDppEnabled { spark.sql(q).collect() }
+      try spark.sql(q).collect()
       finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-    val native = spark.sql(q).collect() // substituted path, no DPP scan at all
+    val native = withDppDisabled { spark.sql(q).collect() } // substituted path, no DPP scan at all
     assert(withDpp.toSeq == without.toSeq)
     assert(withDpp.toSeq == native.toSeq)
+  }
+
+  test("route choice per shape: partitioned serves dpp, bare stays native, bucket keeps spj") {
+    // r16 verdict #1's done-condition: the generalized scan is the DEFAULT
+    // read path exactly where a runtime filter could prune, with no conf
+    // set anywhere in this test
+    dppGeneralReady
+    fixtureReady
+    assert(spark.conf.getOption("graft.dpp.enabled").isEmpty,
+      "route test certifies the conf-free default")
+    def executed(sqlText: String): String = {
+      val q = spark.sql(sqlText)
+      q.collect()
+      allPlans(q.queryExecution.executedPlan).map(_.toString).mkString("\n")
+    }
+    // partitioned table: shape-routes to the generalized DSv2 scan
+    val part = executed(
+      "SELECT sum(v) AS s FROM dppg.db.factm WHERE d >= DATE'2023-02-03'")
+    assert(part.contains("graft-dpp"), s"partitioned table must serve graft-dpp:\n$part")
+    // bloom-declared table: the property alone shape-routes it
+    val bloomed = executed("SELECT sum(v) AS s FROM dppg.db.factb WHERE k = 402")
+    assert(bloomed.contains("graft-dpp"), s"bloom'd table must serve graft-dpp:\n$bloomed")
+    // bare unpartitioned/unclustered/bloomless: nothing a runtime key set
+    // could prune — the substituted native plan stays the route
+    val bare = executed("SELECT sum(v) AS s FROM dppg.db.facts WHERE k >= 17")
+    assert(!bare.contains("graft-dpp") && !bare.contains("graft-spj"),
+      s"bare table must keep the native substitution:\n$bare")
+    // bucket-SPJ shape keeps precedence (KeyGroupedPartitioning must
+    // survive for exchange-free co-bucketed joins)
+    val bucketed = executed("SELECT sum(v) AS s FROM dpp.db.fact WHERE k >= 17")
+    assert(bucketed.contains("graft-spj"),
+      s"bucket table under the bucketing conf must keep graft-spj:\n$bucketed")
   }
 
   test("runtime-filtered result matches the unfiltered plan row for row") {

@@ -97,6 +97,9 @@ class GraftSparkCatalogSpec extends SparkSpec {
 
   test("substituted read path: native parquet scan with pushed filters, no row fallback") {
     registerCatalog("gfast")
+    // PARTITIONED table: since r17 the default route is the columnar DSv2
+    // runtime-filterable scan (graft-dpp) — vectorized decode under a
+    // ColumnarToRow, static filters pushed, manifest pruning recorded
     spark.sql("CREATE TABLE gfast.db.p (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
     spark.sql("INSERT INTO gfast.db.p VALUES (1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0), (4, 'c', 4.0)")
 
@@ -105,14 +108,26 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
 
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("FileScan parquet"), s"expected native parquet scan:\n$plan")
+    assert(plan.contains("graft-dpp"), s"partitioned table must serve the DSv2 scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"DSv2 scan must decode columnar:\n$plan")
     assert(!plan.contains("RowDataSourceScan"), s"read fell back to the V1 row path:\n$plan")
-    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,0.5)]")
-      || plan.contains("GreaterThan(v,0.5)"), s"no parquet pushdown:\n$plan")
+    assert(plan.contains("GreaterThan(v,0.5)"), s"no parquet pushdown:\n$plan")
 
     // the pushed predicates drove Graft's own manifest pruning too
     val m = graft.table.QueryHistory.all.filter(_.table == "db.p").last
     assert(m.filesScanned < m.filesTotal, s"no manifest pruning: ${m.filesScanned}/${m.filesTotal}")
+
+    // BARE table (no partition spec / cluster-by / blooms): the substituted
+    // native parquet plan stays the route — nothing to runtime-prune
+    spark.sql("CREATE TABLE gfast.db.q (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gfast.db.q VALUES (1, 1.0), (2, 2.0)")
+    val dfq = spark.sql("SELECT id FROM gfast.db.q WHERE v > 0.5")
+    assert(dfq.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val planQ = dfq.queryExecution.executedPlan.toString
+    assert(planQ.contains("FileScan parquet"), s"expected native parquet scan:\n$planQ")
+    assert(!planQ.contains("RowDataSourceScan") && !planQ.contains("graft-dpp"),
+      s"bare table must keep the substitution:\n$planQ")
+    assert(planQ.contains("GreaterThan(v,0.5)"), s"no parquet pushdown:\n$planQ")
   }
 
   test("ALTER TABLE: add/rename/widen/drop column + properties through SQL") {

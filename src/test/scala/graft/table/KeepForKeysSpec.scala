@@ -1,0 +1,138 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.format.{Predicate, TableProperties, Transform}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** The indexed per-key keep rule ([[GraftScan.keepForKeys]], r16 verdict #2)
+  * must be SET-EQUAL to the brute per-key Eq sweep it replaces — the hash
+  * index and the per-(transform, key) derivation memo are pure planning
+  * optimizations, never a semantic change. Pinned property-style over
+  * seeded random key sets against every plane shape: identity / bucket /
+  * month / truncate transforms, stats-only disjoint ranges, interleaved
+  * blooms, null partition values, missing keys, null keys, and type-widened
+  * probe literals (Int probes against Long columns).
+  */
+class KeepForKeysSpec extends SparkSpec {
+
+  private def brute(sc: GraftScan, col: String, keys: Seq[Any]) = {
+    val files = sc.dataFiles
+    val nonNull = keys.filter(_ != null).distinct
+    files.filter(f => nonNull.exists(k => sc.fileMayMatch(f, Predicate.Eq(col, k))))
+      .map(_.path).toSet
+  }
+
+  private def check(sc: GraftScan, col: String, keys: Seq[Any]): Unit = {
+    val fast = sc.keepForKeys(sc.dataFiles, col, keys).map(_.path).toSet
+    val slow = brute(sc, col, keys)
+    assert(fast == slow,
+      s"keepForKeys diverged from the brute per-key rule for $col keys=$keys:\n" +
+        s"  fast-only: ${(fast -- slow).take(5)}\n  slow-only: ${(slow -- fast).take(5)}")
+  }
+
+  private val rnd = new scala.util.Random(20250816L)
+
+  test("long column: identity / bucket / stats-only / bloom layouts all agree with brute") {
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val layouts = Seq(
+      "ident" -> Seq("k" -> (Transform.Identity: Transform)),
+      "bucket" -> Seq("k" -> (Transform.Bucket(8): Transform)),
+      "plain" -> Nil)
+    layouts.foreach { case (name, partBy) =>
+      val t = cat.createTable(s"db.t_$name", schema, partitionBy = partBy)
+      if (name == "plain") t.setProperty(TableProperties.BloomColumns, "k")
+      // 4 commits: disjoint ranges for 2, interleaved for 2 (so stats prune
+      // some files and blooms the others), plus null keys in one commit
+      (0 until 4).foreach { c =>
+        val rows = (0 until 100).map { i =>
+          val k: java.lang.Long =
+            if (c == 3 && i % 10 == 0) null
+            else if (c < 2) (c * 1000 + i).toLong // disjoint ranges
+            else (i * 4 + c).toLong // interleaved
+          Row(k, (c * 100 + i).toLong)
+        }
+        t.append(spark, spark.createDataFrame(rows.asJava, schema)
+          .repartition(4, col("k")))
+      }
+      val sc = t.scan()
+      // seeded sweeps: hits, misses, nulls, Int-typed probes, duplicates
+      (0 until 20).foreach { _ =>
+        val n = 1 + rnd.nextInt(12)
+        val keys: Seq[Any] = (0 until n).map { _ =>
+          rnd.nextInt(5) match {
+            case 0 => null
+            case 1 => rnd.nextInt(5000).toLong - 500L // misses + hits
+            case 2 => java.lang.Integer.valueOf(rnd.nextInt(1200)) // Int probe
+            case 3 => (rnd.nextInt(4) * 1000 + rnd.nextInt(100)).toLong
+            case _ => (rnd.nextInt(100) * 4 + rnd.nextInt(4)).toLong
+          }
+        }
+        check(sc, "k", keys)
+      }
+      // degenerate key sets
+      check(sc, "k", Seq(null))
+      check(sc, "k", Seq(42L, 42L, 42L))
+      assert(sc.keepForKeys(sc.dataFiles, "k", Seq(null)).isEmpty,
+        "a null-only probe set keeps nothing (equality matches no null)")
+    }
+  }
+
+  test("date column through month transform + string column through truncate agree with brute") {
+    val cat = new GraftCatalog(tempWarehouse())
+    val dSchema = StructType(Seq(StructField("d", DateType), StructField("v", LongType)))
+    val td = cat.createTable("db.t_month", dSchema,
+      partitionBy = Seq("d" -> Transform.Month))
+    (0 until 3).foreach { c =>
+      val rows = (0 until 120).map { i =>
+        Row(java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+          .plusDays(c * 120 + i)), i.toLong)
+      }
+      td.append(spark, spark.createDataFrame(rows.asJava, dSchema))
+    }
+    val scd = td.scan()
+    (0 until 12).foreach { _ =>
+      val keys: Seq[Any] = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        if (rnd.nextInt(6) == 0) null
+        else java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+          .plusDays(rnd.nextInt(500) - 30))
+      }
+      check(scd, "d", keys)
+    }
+    // string probes against a DateType column derive through Canonical.of
+    check(scd, "d", Seq("2023-03-05", "not-a-date", null))
+
+    val sSchema = StructType(Seq(StructField("s", StringType), StructField("v", LongType)))
+    val ts = cat.createTable("db.t_trunc", sSchema,
+      partitionBy = Seq("s" -> Transform.Truncate(2)))
+    val words = Seq("alpha", "alder", "beta", "bess", "gamma", "go", "", "a")
+    ts.append(spark, spark.createDataFrame(
+      words.zipWithIndex.map { case (w, i) => Row(w, i.toLong) }.asJava, sSchema)
+      .repartition(3, col("s")))
+    val scs = ts.scan()
+    (0 until 12).foreach { _ =>
+      val keys: Seq[Any] = (0 until 1 + rnd.nextInt(5)).map { _ =>
+        if (rnd.nextInt(6) == 0) null
+        else rnd.shuffle(words ++ Seq("alxx", "zeta", "b")).head
+      }
+      check(scs, "s", keys)
+    }
+  }
+
+  test("unknown column and empty key set behave like the brute rule's edges") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_edge", schema)
+    t.append(spark, spark.createDataFrame(
+      Seq(Row(1L), Row(2L)).asJava, schema))
+    val sc = t.scan()
+    // unknown column: conservative keep-all (mayMatch's own posture)
+    assert(sc.keepForKeys(sc.dataFiles, "nope", Seq(1L)).size == sc.dataFiles.size)
+    // empty / all-null key set: nothing can match an equality probe
+    assert(sc.keepForKeys(sc.dataFiles, "k", Nil).isEmpty)
+  }
+}
