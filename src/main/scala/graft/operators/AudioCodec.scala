@@ -221,6 +221,42 @@ object AudioCodec {
       segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     segmentFingerprintsRow(bytes, segLen, 0)
 
+  /** ONSET-ALIGNED per-segment fingerprints (r16 verdict #4 — the
+    * energy-alignment front-end for sub-half-grid trims): the segment grid
+    * is anchored at the signal's ONSET — the first sample deviating from
+    * the leading value by more than `tol` — instead of at index 0, so the
+    * grid is a function of CONTENT, not of container position. A trim
+    * that cuts only leading silence (or any uniform lead) moves the onset
+    * by exactly the trimmed length and every segment boundary lands on
+    * the SAME content positions: arbitrary off-grid lead trims (and any
+    * trailing trim, which only drops tail segments) pair at hamming 0
+    * through the unchanged containment rule. Trims that cut INTO the
+    * signal body move the anchor with them and fall back to the
+    * dual-phase 165-sample floor — the re-documented residual. Integer
+    * arithmetic end to end, so the oracle recomputes the onset and every
+    * window sum in closed form. Null when the signal never deviates
+    * (nothing alignable) or no full segment follows the onset.
+    */
+  def segmentFingerprintsOnsetRow(bytes: Array[Byte], segLen: Int,
+      tol: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (segLen < 33 || segLen % 33 != 0 || tol < 0) return null
+    val p = decodeMonoPcm(bytes)
+    if (p == null) return null
+    val lead = p.sample(0)
+    var onset = 1
+    while (onset < p.n && math.abs(p.sample(onset) - lead) <= tol) onset += 1
+    if (onset >= p.n || p.n - onset < segLen) return null
+    val nSegs = (p.n - onset) / segLen
+    val out = new Array[Any](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      out(s) = new GenericInternalRow(
+        Array[Any](s, packWindows(p, onset + s * segLen, segLen)))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Fixture-side SEEDED 8-bit mono WAV with an optional planted
     * single-sample edit — the near-clone generator for audio-dedup gates,
     * the [[ImageCodec.encodeImageVariant]] discipline on the audio plane.
@@ -239,6 +275,33 @@ object AudioCodec {
     * t0·L leading and (t − t0)·L trailing samples cut, sample-for-sample
     * byte-identical to the base's suffix on decode.
     */
+  /** Fixture-side LEAD-SILENCE variant for the onset-aligned family: `lead`
+    * samples of exact silence (128 — the 8-bit unsigned midpoint) followed
+    * by samples [bodyBase, bodyBase + body) of the seed's gradient, with an
+    * optional planted single-sample edit at BODY index `editAtBody`. The
+    * gradient's first value is 31 (|31 − 128| = 97 clears any small onset
+    * tolerance), so the onset sits exactly at index `lead` and every
+    * decoded sample — and the onset itself — has a closed form.
+    */
+  def encodeAudioVariantLead(lead: Int, body: Int, seed: Int,
+      editAtBody: Int = -1, bodyBase: Int = 0): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 8, 1, false, false)
+    val pcm = new Array[Byte](lead + body)
+    var x = 0
+    while (x < lead) { pcm(x) = 128.toByte; x += 1 }
+    var n = 0
+    while (n < body) {
+      val s0 = (((n.toLong + bodyBase) * (13 + 7 * seed) + 31) % 256).toInt
+      pcm(lead + n) = (if (n == editAtBody) (s0 + 128) % 256 else s0).toByte
+      n += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, (lead + body).toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def encodeAudioVariant(frames: Int, seed: Int, editAt: Int = -1,
       sampleBase: Int = 0): Array[Byte] = {
     val fmt = new AudioFormat(8000f, 8, 1, false, false)
@@ -403,5 +466,34 @@ case class AudioSegmentFingerprints(child: Expression, segLen: Int,
     """)
 
   override protected def withNewChildInternal(newChild: Expression): AudioSegmentFingerprints =
+    copy(child = newChild)
+}
+
+/** Onset-aligned per-segment fingerprints
+  * ([[AudioCodec.segmentFingerprintsOnsetRow]]) — codegen'd like its
+  * fixed-grid sibling; `tol` is the onset deviation threshold.
+  */
+case class AudioSegmentFingerprintsOnset(child: Expression, segLen: Int,
+    tol: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(AudioCodec.SegmentHashSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segments_onset"
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.segmentFingerprintsOnsetRow(input.asInstanceOf[Array[Byte]], segLen, tol)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.AudioCodec.segmentFingerprintsOnsetRow($b, $segLen, $tol);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSegmentFingerprintsOnset =
     copy(child = newChild)
 }

@@ -600,7 +600,12 @@ object ImageCodec {
     */
   def encodeAnimatedGifVariant(width: Int, height: Int, frames: Int, seed: Int,
       editFrame: Int = -1, editX: Int = -1, editY: Int = -1,
-      frameBase: Int = 0): Array[Byte] = {
+      frameBase: Int = 0,
+      /** Frame f renders gradient frame f·frameStride + frameBase — the
+        * FRAME-RATE-RESAMPLED clone generator (every-`frameStride`-th
+        * frame of the base), the temporal twin of
+        * [[encodeImageVariantResampled]]. */
+      frameStride: Int = 1): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -616,7 +621,8 @@ object ImageCodec {
         while (y < height) {
           var x = 0
           while (x < width) {
-            val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed) + (f + frameBase) * 7) % 256
+            val v0 = (x * (31 + 11 * seed) + y * (17 + 5 * seed)
+              + (f * frameStride + frameBase) * 7) % 256
             val v = if (f == editFrame && x == editX && y == editY) (v0 + 128) % 256 else v0
             raster.setSample(x, y, 0, v)
             x += 1

@@ -134,6 +134,16 @@ object Multimodal {
     GraftSqlShim.column(AudioSegmentFingerprints(GraftSqlShim.expression(blob), segLen, phase))
   }
 
+  /** ONSET-ALIGNED per-segment fingerprints — the segment grid anchors at
+    * the first sample deviating from the leading value by more than `tol`,
+    * so off-grid trims confined to a uniform lead pair exactly
+    * ([[graft.operators.AudioCodec.segmentFingerprintsOnsetRow]]).
+    */
+  def audioSegmentFingerprintsOnset(blob: Column, segLen: Int, tol: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(AudioSegmentFingerprintsOnset(GraftSqlShim.expression(blob), segLen, tol))
+  }
+
   /** REAL frame sampling: binary -> array(struct(frame, width, height,
     * sum_r, sum_g, sum_b)) — decode every `stride`-th frame of a
     * multi-frame container. GIF is the JDK's multi-frame codec, standing

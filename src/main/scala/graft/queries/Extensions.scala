@@ -622,6 +622,24 @@ object Extensions
     .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
     .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
 
+  /** ONSET-ALIGNED segment fingerprints (r16 verdict #4): the
+    * [[audioSegmentsOf]] shape over the content-anchored grid —
+    * [[graft.operators.Multimodal.audioSegmentFingerprintsOnset]] anchors
+    * segment 0 at the first sample deviating from the leading value by
+    * more than `tol`, so ANY off-grid trim confined to a uniform lead
+    * (plus any trailing trim) pairs at hamming 0 through the unchanged
+    * containment rule. Body-cutting trims move the anchor and fall back
+    * to the dual-phase 165-sample floor — the re-documented residual.
+    */
+  private[graft] def audioSegmentsOnsetAligned(df: DataFrame, segLen: Int,
+      tol: Int = 4): DataFrame = df
+    .select(col("clip_id").as("vid_id"),
+      graft.operators.Multimodal.audioSegmentFingerprintsOnset(
+        col("blob"), segLen, tol).as("sh"))
+    .filter(col("sh").isNotNull)
+    .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
+    .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
+
   /** DUAL-PHASE segment fingerprints (r15 verdict #4): every clip is
     * fingerprinted on TWO segment grids — phase 0 and phase segLen/2 —
     * each becoming its own sequence identity (composite id = clip_id·2 +
@@ -656,6 +674,25 @@ object Extensions
       .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
     onePhase(0).unionByName(onePhase(1))
   }
+
+  /** TEMPORAL NORMALIZATION (r16 verdict #5 — the frame-axis twin of the
+    * normalize-then-hash image resize): re-sample every clip's hash
+    * sequence onto a canonical `c`-frame grid — canonical slot k carries
+    * clip frame (k·nf) div c — so a frame-rate-resampled clone (every
+    * s-th frame of its base) and the base land on the SAME content frames
+    * whenever both frame counts are multiples of c (k·(nf/c) composes
+    * exactly; the image lattice argument on the time axis), and the
+    * UNCHANGED equal-length pair rule compares them. Off-lattice frame
+    * counts drift picks — the same documented residual class as
+    * off-lattice image sizes. Pure column algebra over the already-
+    * extracted (vid_id, nf, frame, h) rows: no second decode, map-side.
+    */
+  private[graft] def videoFramesCanonical(fh: DataFrame, c: Int): DataFrame = fh
+    .filter(col("nf") >= c)
+    .select(col("vid_id"), col("nf"), col("frame"), col("h"),
+      explode(sequence(lit(0), lit(c - 1))).as("k"))
+    .filter(col("frame") === expr(s"(k * nf) div $c"))
+    .select(col("vid_id"), lit(c).as("nf"), col("k").as("frame"), col("h"))
 
   /** The audio 4×8-bit band explosion over the generic sequence shape —
     * the per-segment twin of [[audioBands]], fed to

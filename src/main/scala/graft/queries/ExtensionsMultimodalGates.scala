@@ -49,7 +49,117 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
       |    ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
       |  GROUP BY 1)""".stripMargin
 
+  /** (t, pct) per seed of x_image_neardup_offlattice: base = 4t × 3t,
+    * clone = ⌊·pct/100⌋ resample with sw NOT a multiple of the canonical
+    * width 16 — genuinely OFF the exactness lattice. The drift class per
+    * seed is the MEASURED composed-pick hamming (MultimodalSpec's sweep):
+    * seeds 3/5/9 (t=12 ×1.5 — 72 = 4.5·16) and 10 (t=40 ×1.71) land at
+    * 0/0/3/3 bits (small gradient steps absorb the ±1 pick drift, the
+    * band-limited-content analogue) and MUST pair; the rest land at
+    * 14–42 bits and must NOT. MUST mirror the gate's fixture.
+    */
+  private val offLatticeCfg: Seq[(Int, Int)] = Seq(
+    (8, 110), (12, 137), (40, 213), (12, 150), (12, 110), (12, 150),
+    (8, 171), (40, 137), (12, 130), (12, 150), (40, 171), (8, 333))
+  private val offLatticeMustPair = Set(3, 5, 9, 10)
+
+  /** The FULLY GENERAL normalized-pipeline hash recomputation (r16 verdict
+    * #3): unlike [[normOracleGridBits]] (which needs the lattice identity
+    * to elide the clone scale), this CTE composes the ENTIRE engine chain
+    * for an ARBITRARY clone size — resize target height dh = (sh·16)//sw,
+    * dHash pick (gx, gy) → canonical pixel (2gx, (gy·dh)//8) → clone
+    * pixel (((2gx)·sw)//16, (((gy·dh)//8)·sh)//dh) → base gradient pick
+    * ((px·bw)//sw, (py·bh)//sh) → gray (g + sx mod 256)//3 — every step an
+    * integer floor, so DuckDB reproduces the engine hash EXACTLY at any
+    * scale, on or off the lattice. Over an
+    * `imgs(img_id, seed, bw, bh, sw, sh)` CTE (bases carry sw=bw, sh=bh).
+    */
+  private val offLatticeOracleBits: String =
+    """grid AS (
+      |  SELECT img_id, gx, gy,
+      |    ((sx * (31 + 11 * seed) + sy * (17 + 5 * seed)) % 256 + sx % 256) // 3 AS gray
+      |  FROM (
+      |    SELECT img_id, seed, gx, gy, (px * bw) // sw AS sx, (py * bh) // sh AS sy
+      |    FROM (
+      |      SELECT img_id, seed, bw, bh, sw, sh, gx, gy,
+      |        ((2 * gx) * sw) // 16 AS px,
+      |        (((gy * ((sh * 16) // sw)) // 8) * sh) // ((sh * 16) // sw) AS py
+      |      FROM imgs, range(8) xs(gx), range(8) ys(gy)) p) q),
+      |bits AS (
+      |  SELECT g1.img_id,
+      |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+      |      THEN CAST(1 AS BIGINT) << CAST(g1.gy * 7 + g1.gx AS INTEGER) END), 0) AS BIGINT) AS h
+      |  FROM grid g1 JOIN grid g2
+      |    ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+      |  GROUP BY 1)""".stripMargin
+
+  /** The `imgs` VALUES rows of the off-lattice oracle, generated from the
+    * SAME [[offLatticeCfg]] the gate's fixture uses — one source of truth
+    * for every (seed, size) parameter on both sides of the compare.
+    */
+  private def offLatticeOracleImgs: String =
+    (0 until 12).flatMap { i =>
+      val (t, pct) = offLatticeCfg(i)
+      val (bw, bh) = (4 * t, 3 * t)
+      val (sw, sh) = (bw * pct / 100, bh * pct / 100)
+      Seq(s"($i, $i, $bw, $bh, $bw, $bh)", s"(${100 + i}, $i, $bw, $bh, $sw, $sh)")
+    }.mkString(", ")
+
   private[queries] def multimodalGates: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // X14a-norm'': the OFF-LATTICE leg of the normalized family (r16
+    // verdict #3): x_image_neardup_normalized pins bit-identity on the
+    // exactness lattice (clone width a multiple of the canonical width);
+    // here the clones are genuinely OFF it (×1.1 … ×3.33 with sw mod 16
+    // ≠ 0), where the composed picks drift by ±1 source pixel and the
+    // adversarial max-frequency gradient turns each drifted pick into a
+    // potential bit flip. The behavior is not hand-waved as a residual:
+    // the oracle composes the ENTIRE resize→dHash pick chain in closed
+    // form at each clone's true scale ([[offLatticeOracleBits]]), so
+    // DuckDB decides every pairing exactly as the engine does — planted
+    // small-step seeds (measured drift ≤ 3) MUST pair, max-frequency
+    // seeds (measured 14–42 bits) must NOT, and any accidental cross-seed
+    // collision would have to agree on both sides. At 100 TB this prices
+    // the normalize front-end honestly: off-lattice rescales of real
+    // (band-limited) content pair; content at the sampling limit does
+    // not, and no tolerance widening can fix that without false pairs.
+    ("x_image_neardup_offlattice",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        val rows = (0 until 12).flatMap { i =>
+          val (t, pct) = offLatticeCfg(i)
+          val (bw, bh) = (4 * t, 3 * t)
+          val (sw, sh) = (bw * pct / 100, bh * pct / 100)
+          require(sw % 16 != 0, s"seed $i clone width $sw sits ON the lattice")
+          val fmt = if (i % 2 == 0) "png" else "bmp"
+          Seq((i.toLong, ImageCodec.encodeImageVariant(fmt, bw, bh, i)),
+            ((100 + i).toLong,
+              ImageCodec.encodeImageVariantResampled(fmt, bw, bh, sw, sh, i)))
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.imgoff", df.schema)
+        t.append(s, df)
+        val bands = imageBandsNormalized(t.toDF(s), 16).localCheckpoint()
+        val pairs = bandPairsOf(bands, "img_id")
+          .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (0 until 12).foreach { i =>
+          val expect = offLatticeMustPair(i)
+          require(found.contains((i.toLong, 100L + i)) == expect,
+            s"off-lattice seed $i (cfg ${offLatticeCfg(i)}) must " +
+              s"${if (expect) "pair (measured drift <= 3)" else "NOT pair (max-frequency drift)"}")
+        }
+        pairs.orderBy("img_a", "img_b")
+      },
+      s"""WITH imgs(img_id, seed, bw, bh, sw, sh) AS (
+        |  VALUES $offLatticeOracleImgs),
+        |$offLatticeOracleBits
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin),
 
 
     // X5: multimodal columns — text treated as an opaque binary blob with
@@ -1155,6 +1265,112 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14a''''+: FINE (sub-half-grid) audio trims via the ONSET-ALIGNED
+    // front-end (r16 verdict #4): the dual-phase grids cover 165-multiple
+    // trims; finer trims perturb every window because the grid anchors at
+    // container index 0. The energy-alignment front-end
+    // ([[graft.operators.AudioCodec.segmentFingerprintsOnsetRow]]) anchors
+    // the grid at the signal's ONSET — the first sample deviating from the
+    // leading value beyond a tolerance — so the grid is a function of
+    // CONTENT: any off-grid trim confined to the leading silence (37, 71,
+    // 100 samples here) and any trailing trim (40) keeps every segment
+    // boundary on the same content positions and pairs at hamming 0
+    // through the UNCHANGED containment rule; a planted single-sample edit
+    // still reads ≤ 2 bits through the alignment. The residual moves to a
+    // new floor, pinned by the must-NOT plant: a trim that cuts INTO the
+    // signal body re-anchors the grid mid-content and falls back to the
+    // dual-phase 165-sample machinery. Deterministic integer arithmetic
+    // end to end — the oracle recomputes the onset and every window sum
+    // closed-form (a body-cut clone is exactly the gradient at sample base
+    // cut+1, full segments only). At 100 TB: same narrow rows and banding
+    // as the offset family; the onset scan is one map-side pass per blob.
+    ("x_audio_neardup_finetrim",
+      (s: SparkSession, d: String) => {
+        import graft.operators.AudioCodec
+        val L = 330
+        val rows = (0 until 12).flatMap { i =>
+          val lead = 200 + 13 * i
+          val nb = (4 + i % 4) * L
+          val base = (i.toLong, AudioCodec.encodeAudioVariantLead(lead, nb, i))
+          val clone = (i % 4) match {
+            case 0 => ((100 + i).toLong, // 37-sample lead trim: off every grid
+              AudioCodec.encodeAudioVariantLead(lead - 37, nb, i))
+            case 1 => ((100 + i).toLong, // lead 100 + trailing 40, both off-grid
+              AudioCodec.encodeAudioVariantLead(lead - 100, nb - 40, i))
+            case 2 => ((100 + i).toLong, // lead 71 + single-sample edit
+              AudioCodec.encodeAudioVariantLead(lead - 71, nb, i, editAtBody = nb / 2))
+            case _ => ((300 + i).toLong, // cuts INTO the body: re-anchors, must NOT pair
+              AudioCodec.encodeAudioVariant(nb - 100, i, sampleBase = 100))
+          }
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiofinetrim", df.schema)
+        t.append(s, df)
+        val fh = audioSegmentsOnsetAligned(t.toDF(s), L).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
+          .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
+            col("hamming"), col("anchor"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 0 => require(found.get((i.toLong, 100L + i)).contains((0L, 0L)),
+              s"37-sample lead trim ($i, ${100 + i}) must align and pair at hamming 0")
+            case 1 => require(found.get((i.toLong, 100L + i)).contains((0L, 0L)),
+              s"lead-100 + trail-40 trim ($i, ${100 + i}) must align and pair at hamming 0")
+            case 2 => require(found.get((i.toLong, 100L + i)).exists(_._1 <= 2L),
+              s"71-sample trim + edit ($i, ${100 + i}) must pair within 2 bits")
+            case _ => require(!found.contains((i.toLong, 300L + i)) &&
+              !found.contains((300L + i, i.toLong)),
+              s"body-cutting trim ($i, ${300 + i}) must NOT pair (the new residual floor)")
+          }
+        }
+        pairs.orderBy("clip_long", "clip_short")
+      },
+      // onset-aligned fingerprints have a closed form because the onset
+      // does: lead-silence clips anchor at the body start, so their
+      // sequences are EXACTLY the plain gradient's (sb = 0, full segments
+      // of the surviving body); the body-cut clone anchors one sample past
+      // its own start (neighboring gradient samples always deviate), so it
+      // is the gradient at sb = 101 — then the standard anchor sweep
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb, -1 AS e
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330, 0, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330 - 330, 0, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 100 + i, i, (4 + (i % 4)) * 330, 0, ((4 + (i % 4)) * 330) // 2
+        |  FROM range(12) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 300 + i, i,
+        |    ((((4 + (i % 4)) * 330) - 101) // 330) * 330, 101, -1
+        |  FROM range(12) t(i) WHERE i % 4 = 3),
+        |${audioOracleSegBits(2310)},
+        |cl AS (SELECT clip_id, n // 330 AS ns FROM clips),
+        |pr AS (
+        |  SELECT l.clip_id AS l, s2.clip_id AS s, l.ns AS nfl, s2.ns AS nfs
+        |  FROM cl l JOIN cl s2 ON l.clip_id <> s2.clip_id
+        |    AND l.ns - s2.ns BETWEEN 0 AND 2
+        |    AND (l.ns > s2.ns OR l.clip_id < s2.clip_id)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pp.p, CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sbits bs, sbits bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.clip_id = pr.s
+        |    AND bl.clip_id = pr.l AND bl.seg = bs.seg + pp.p
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT l, s, min(d) AS hamming FROM sc WHERE d <= 3 GROUP BY 1, 2)
+        |SELECT b.l AS clip_long, b.s AS clip_short, b.hamming,
+        |  CAST(min(sc.p) AS BIGINT) AS anchor
+        |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
     // X14a'''': SUB-SEGMENT audio offsets via DUAL-PHASE grids (r15
     // verdict #4): x_audio_neardup_offset tolerates only 330-sample-
     // aligned trims — a 165-sample trim shifts every segment boundary and
@@ -1921,6 +2137,105 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |FROM vbits a JOIN vbits b ON a.vid_id < b.vid_id AND a.f = b.f
         |JOIN vids va ON va.vid_id = a.vid_id
         |JOIN vids vb ON vb.vid_id = b.vid_id AND vb.nf = va.nf
+        |GROUP BY 1, 2
+        |HAVING sum(bit_count(xor(a.h, b.h))) <= 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
+    // X14c'': FRAME-RATE-RESAMPLED video near-dup (r16 verdict #5 — the
+    // temporal twin of normalize-then-hash): an every-s-th-frame clone has
+    // a different sequence LENGTH, so neither the equal-length rule nor
+    // containment (which needs equal/contained grids) can pair it. The
+    // front-end is TEMPORAL NORMALIZATION ([[Extensions
+    // .videoFramesCanonical]]): every clip's hash sequence re-samples onto
+    // a canonical 4-slot frame grid (slot k ← clip frame (k·nf) div 4 —
+    // the image resize pick rule on the time axis), and the UNCHANGED
+    // equal-length pair rule compares canonical sequences. Exactness
+    // lattice, same as the image front: when base and clone frame counts
+    // are BOTH multiples of 4 the picks compose exactly (k·(nf/4) has no
+    // floor drift) and the pair reads hamming 0 — planted ×2 of 8, ×3 of
+    // 12, ×2 of 16 all exact, a slot-picked single-pixel edit reads ≤ 2
+    // bits; an off-lattice count (10 → every-2nd = 5 frames) drifts picks
+    // onto DIFFERENT content frames and must NOT pair (the residual, same
+    // class as off-lattice image sizes). Oracle: the canonical grid's
+    // closed form — slot k of a stride-s clip renders gradient frame
+    // s·((k·nf) div 4). At 100 TB: pure column algebra over the hash rows
+    // already extracted — no second decode, no new shuffle shape.
+    ("x_video_neardup_resampled",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        val rows = (0 until 12).flatMap { i =>
+          val w = 16 + i; val h = 12 + (i % 5)
+          val (nf, stride) = (i % 4) match {
+            case 0 => (8, 2)
+            case 1 => (12, 3)
+            case 2 => (16, 2)
+            case _ => (10, 2) // clone = 5 frames: off the canonical lattice
+          }
+          val base = (i.toLong, ImageCodec.encodeAnimatedGifVariant(w, h, nf, i))
+          val cid = if (i % 4 == 3) (300 + i).toLong else (100 + i).toLong
+          // i%4=1 plants an edit at CLONE frame 3 = canonical slot 3 pick
+          val (ef, ex, ey) =
+            if (i % 4 == 1) (3, 3 * w / 8, 3 * h / 8) else (-1, -1, -1)
+          val clone = (cid, ImageCodec.encodeAnimatedGifVariant(
+            w, h, nf / stride, i, ef, ex, ey, frameBase = 0, frameStride = stride))
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("vid_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.videoresampled", df.schema)
+        t.append(s, df)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
+        val pairs = videoPairsOf(videoFramesCanonical(fh, 4))
+          .select(col("a").as("vid_a"), col("b").as("vid_b"), col("hamming"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 1 => require(found.get((i.toLong, 100L + i)).exists(_ <= 2L),
+              s"x1/3 resample + edit ($i, ${100 + i}) must pair within 2 bits")
+            case 3 => require(!found.contains((i.toLong, 300L + i)),
+              s"off-lattice resample ($i, ${300 + i}) must NOT pair (pick drift)")
+            case _ => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"lattice frame-rate resample ($i, ${100 + i}) must normalize to hamming 0")
+          }
+        }
+        pairs.orderBy("vid_a", "vid_b")
+      },
+      // the canonical grid's closed form: slot k of a clip with nf frames
+      // at stride s renders gradient frame s·((k·nf)//4); the edit applies
+      // where the slot's CLIP frame equals the planted frame
+      s"""WITH vids(vid_id, seed, w, h, nf, stride, ef, ex, ey) AS (
+        |  SELECT i, i, 16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 16 ELSE 10 END,
+        |    1, -1, -1, -1
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT CASE WHEN i % 4 = 3 THEN 300 + i ELSE 100 + i END, i,
+        |    16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 5 END,
+        |    CASE i % 4 WHEN 1 THEN 3 ELSE 2 END,
+        |    CASE WHEN i % 4 = 1 THEN 3 ELSE -1 END,
+        |    CASE WHEN i % 4 = 1 THEN (3 * (16 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 4 = 1 THEN (3 * (12 + (i % 5))) // 8 ELSE -1 END
+        |  FROM range(12) t(i)),
+        |vgrid AS (
+        |  SELECT vid_id, k, x, y,
+        |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)
+        |      + (stride * ((k * nf) // 4)) * 7)
+        |     + CASE WHEN (k * nf) // 4 = ef AND (x * w) // 8 = ex
+        |          AND (y * h) // 8 = ey
+        |        THEN 128 ELSE 0 END) % 256 AS gray
+        |  FROM vids, range(8) xs(x), range(8) ys(y), range(4) ks(k)),
+        |vbits AS (
+        |  SELECT g1.vid_id, g1.k,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM vgrid g1 JOIN vgrid g2
+        |    ON g2.vid_id = g1.vid_id AND g2.k = g1.k AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1, 2)
+        |SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+        |  CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS hamming
+        |FROM vbits a JOIN vbits b ON a.vid_id < b.vid_id AND a.k = b.k
         |GROUP BY 1, 2
         |HAVING sum(bit_count(xor(a.h, b.h))) <= 3
         |ORDER BY 1, 2""".stripMargin),

@@ -2277,8 +2277,13 @@ object ScaleSmoke {
       val parity = sameRows(res.toDF(spark).select("vid_id"), admIds) &&
         sigs.toDF(spark).count() == admitted.count() &&
         sameRows(bands.toDF(spark).select("vid_id", "band_key"), wantBands)
+      // band-space census (r16 verdict #7): how much of the modality's
+      // band-key space the durable state actually covers — the saturation
+      // measurement behind the bulk-regime probe fractions
+      val bandKeys = bands.toDF(spark).select("band_key").distinct().count()
+      val bandRows = bands.toDF(spark).count()
       (batches, Seq(res.meta.snapshots.size, sigs.meta.snapshots.size,
-        bands.meta.snapshots.size), parity, scans.toSeq, secs)
+        bands.meta.snapshots.size), parity, scans.toSeq, secs, bandKeys, bandRows)
     }
 
     def runContainment(m: Int, tag: String) = {
@@ -2313,5 +2318,21 @@ object ScaleSmoke {
       require(ratio < bound,
         f"$name containment crawl scaled super-linearly: $ratio%.1fx (bound $bound%.0fx)")
     }
+    // r16 verdict #7: the audio bulk-regime band saturation, measured and
+    // explained. The audio band-key space is 4 bands × 8 bits = 1,024 keys
+    // — and that bound is INFORMATION-THEORETIC, not a tuning choice: the
+    // segment fingerprint is 32 bits (33 windows → 32 sign comparisons)
+    // and the ≤3-bit verify threshold forces ≥ 4 bands by pigeonhole, so
+    // no banding of this hash can exceed 8 bits per band. The census below
+    // records how much of that space the durable state covers at each
+    // scale; once coverage → 1, every probe key set keeps ~every file and
+    // the probe fraction saturates (the recorded bulk regime). Restoring
+    // bulk selectivity requires a WIDER SEGMENT HASH (≥ 64 windows), not a
+    // different split of this one.
+    report(f"audio band-space census: 1x distinct_keys=${a1._6}/1024 rows=${a1._7} | " +
+      f"${mult}x distinct_keys=${aM._6}/1024 rows=${aM._7} " +
+      f"(video, for contrast — 56-bit hash, 4x16384-key space: " +
+      f"1x ${v1._6} keys, ${mult}x ${vM._6} keys)")
+    require(aM._6 <= 1024, "audio band keys must live in the 4x256 space")
   }
 }

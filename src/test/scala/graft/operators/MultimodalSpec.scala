@@ -455,6 +455,49 @@ class MultimodalSpec extends SparkSpec {
       ImageCodec.encodeImageVariantScaled("png", 21, 13, 9, 2)))
   }
 
+  test("off-lattice resamples: normalized-hash drift swept and pinned per scale class") {
+    // the r16 verdict-#3 sweep: for clone widths NOT a multiple of the
+    // canonical width 16, the composed resize∘resample picks drift by ±1
+    // source pixel; the adversarial max-frequency gradient turns drifted
+    // picks into bit flips while small-step seeds absorb them. Pinned:
+    // (a) lattice sizes stay BIT-identical at every seed, (b) the
+    // x_image_neardup_offlattice must-pair combos measure ≤ 3 bits,
+    // (c) its must-not combos measure > 3, and (d) the observed worst
+    // case stays under 50 of 56 bits (measured max 48 — drift never
+    // reaches hash-independence levels, it's pick noise, not decode
+    // corruption).
+    def nh(b: Array[Byte]) = ImageCodec.dhashRow(
+      ImageCodec.resizeRow(b, 16).getBinary(5)).longValue
+    def drift(t: Int, pct: Int, seed: Int): Int = {
+      val (bw, bh) = (4 * t, 3 * t)
+      val (sw, sh) = (bw * pct / 100, bh * pct / 100)
+      val base = nh(ImageCodec.encodeImageVariant("png", bw, bh, seed))
+      val clone = nh(ImageCodec.encodeImageVariantResampled("png", bw, bh, sw, sh, seed))
+      java.lang.Long.bitCount(base ^ clone)
+    }
+    // (a) lattice: x2 (t=8), x1.5 on t=8 (48 = 3·16), x2.5 (t=40 ×110 = 176)
+    for (seed <- 0 until 12) {
+      assert(drift(8, 200, seed) == 0, s"x2 lattice drifted at seed $seed")
+      assert(drift(8, 150, seed) == 0, s"x1.5 t=8 lattice drifted at seed $seed")
+      assert(drift(40, 110, seed) == 0, s"x1.1 t=40 lattice drifted at seed $seed")
+    }
+    // (b) the gate's must-pair combos (small-step seeds off-lattice)
+    assert(drift(12, 150, 3) <= 3 && drift(12, 150, 5) <= 3 &&
+      drift(12, 150, 9) <= 3 && drift(40, 171, 10) <= 3,
+      "gate must-pair combos drifted past the verify threshold")
+    // (c) the gate's must-not combos (max-frequency seeds off-lattice)
+    val mustNot = Seq((8, 110, 0), (12, 137, 1), (40, 213, 2), (12, 110, 4),
+      (8, 171, 6), (40, 137, 7), (12, 130, 8), (8, 333, 11))
+    mustNot.foreach { case (t, p, s) =>
+      assert(drift(t, p, s) > 3, s"must-not combo (t=$t, $p%, seed $s) paired")
+    }
+    // (d) worst case over the swept grid stays pick-noise-sized
+    val worst = (for (t <- Seq(8, 12, 40); s <- 0 until 12;
+                      p <- Seq(110, 130, 137, 150, 171, 190, 213, 333))
+      yield drift(t, p, s)).max
+    assert(worst <= 50, s"off-lattice drift reached hash-independence: $worst bits")
+  }
+
   test("jpeg dHash: deterministic decode, byte-identical twins at 0, pick-edits near, seeds far") {
     // the LOSSY leg of the perceptual router (r15 verdict #2): jpeg has no
     // closed-form decoded raster, so its near-dup certification lives HERE
@@ -495,6 +538,77 @@ class MultimodalSpec extends SparkSpec {
       for (i <- 0 until 8; j <- i + 1 until 8)
         assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
           s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
+  }
+
+  test("onset-aligned fingerprints: grid anchors at content, so off-grid lead trims are invisible") {
+    // the r16 verdict-#4 front-end at the kernel level: the segment grid
+    // starts at the first sample deviating from the leading value beyond
+    // tol, so a trim confined to the uniform lead moves the onset by
+    // exactly the trimmed length and every window sum is unchanged
+    val L = 330
+    def segs(b: Array[Byte]) = AudioCodec.segmentFingerprintsOnsetRow(b, L, 4)
+    val base = segs(AudioCodec.encodeAudioVariantLead(257, 5 * L, 9))
+    assert(base != null && base.numElements() == 5)
+    // 1) arbitrary off-grid lead trims: identical sequences
+    for (t <- Seq(1, 37, 100, 164, 256)) {
+      val trimmed = segs(AudioCodec.encodeAudioVariantLead(257 - t, 5 * L, 9))
+      assert(trimmed.numElements() == 5, s"lead trim $t changed the segment count")
+      (0 until 5).foreach { s =>
+        assert(trimmed.getStruct(s, 2).getLong(1) == base.getStruct(s, 2).getLong(1),
+          s"lead trim $t drifted segment $s")
+      }
+    }
+    // 2) trailing trims only drop tail segments; surviving ones unchanged
+    val tail = segs(AudioCodec.encodeAudioVariantLead(257, 5 * L - 40, 9))
+    assert(tail.numElements() == 4)
+    (0 until 4).foreach { s =>
+      assert(tail.getStruct(s, 2).getLong(1) == base.getStruct(s, 2).getLong(1))
+    }
+    // 3) a trim INTO the body re-anchors one sample past the cut: the
+    // sequence equals the plain grid over the gradient at base 101
+    val bodyCut = segs(AudioCodec.encodeAudioVariant(5 * L - 100, 9, sampleBase = 100))
+    val expected = AudioCodec.segmentFingerprintsRow(
+      AudioCodec.encodeAudioVariant(5 * L - 101, 9, sampleBase = 101), L)
+    assert(bodyCut.numElements() == expected.numElements())
+    (0 until bodyCut.numElements()).foreach { s =>
+      assert(bodyCut.getStruct(s, 2).getLong(1) == expected.getStruct(s, 2).getLong(1),
+        s"body-cut re-anchor drifted segment $s")
+    }
+    // 4) degenerate inputs: all-silence (no onset) and a too-short body
+    assert(segs(AudioCodec.encodeAudioVariantLead(2 * L, 0, 9)) == null)
+    assert(segs(AudioCodec.encodeAudioVariantLead(50, L - 1, 9)) == null)
+  }
+
+  test("canonical frame grid: lattice frame-rate resamples pick identical content frames") {
+    import graft.queries.Extensions
+    val df = spark.createDataFrame(Seq(
+      (0L, ImageCodec.encodeAnimatedGifVariant(24, 16, 8, 9)),
+      (1L, ImageCodec.encodeAnimatedGifVariant(24, 16, 4, 9, frameStride = 2)),
+      (10L, ImageCodec.encodeAnimatedGifVariant(24, 16, 10, 9)),
+      (11L, ImageCodec.encodeAnimatedGifVariant(24, 16, 5, 9, frameStride = 2))))
+      .toDF("vid_id", "blob")
+    val fh = Extensions.videoFrameHashes(df)
+    val canon = Extensions.videoFramesCanonical(fh, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    // x2 of 8 frames: slots pick content frames 0,2,4,6 on both — identical
+    (0 until 4).foreach { k =>
+      assert(canon((0L, k)) == canon((1L, k)), s"lattice resample drifted slot $k")
+    }
+    // 10 frames is OFF the canonical lattice: the base picks clip frames
+    // (k*10)//4 = 0,2,5,7 while its every-2nd clone (5 frames) picks
+    // (k*5)//4 = 0,1,2,3 -> content 0,2,4,6 — slots 2/3 land on DIFFERENT
+    // content frames. Pin the PICK RULE itself (adjacent gradient frames
+    // differ by a uniform +7, which the sign hash may alias — the r15
+    // lesson — so hash inequality is not the invariant; the pick is):
+    // each canonical slot's hash equals the picked clip frame's raw hash
+    val raw = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    for ((vid, nf) <- Seq((10L, 10), (11L, 5)); k <- 0 until 4) {
+      assert(canon((vid, k)) == raw((vid, k * nf / 4)),
+        s"slot $k of clip $vid must carry clip frame ${k * nf / 4}'s hash")
+    }
+    assert(canon((10L, 0)) == canon((11L, 0)) && canon((10L, 1)) == canon((11L, 1)),
+      "off-lattice slots 0/1 still agree (picks 0,2 compose exactly)")
   }
 
   test("trimmed GIF clones render frame-for-frame identical to the base's offset frames") {
