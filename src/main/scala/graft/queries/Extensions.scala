@@ -974,6 +974,26 @@ object Extensions
       results, audioSegmentsOf(_, segLen), audioSegBands, "ta", maxLenDiff,
       filesPerTrigger, onBandScanMetrics)
 
+  /** The streaming FINE-TRIM audio dedup crawl loop — the ONSET-ALIGNED
+    * instantiation of the generic containment loop (r17): sequences come
+    * from [[audioSegmentsOnsetAligned]] (content-anchored grids), so
+    * arbitrary off-grid trims confined to a clip's uniform lead — and any
+    * trailing trim — reject against earlier batches at hamming 0 through
+    * the unchanged two-plane machinery. Completes the fine-trim lifecycle
+    * (batch: x_audio_neardup_finetrim; durable:
+    * x_incremental_audio_dedup_finetrim; now STREAMING).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalAudioDedupFinetrim(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable, segLen: Int = 330, maxLenDiff: Int = 2,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalContainDedup(s, stage, schema, bandState, sigState,
+      results, audioSegmentsOnsetAligned(_, segLen), audioSegBands, "tg",
+      maxLenDiff, filesPerTrigger, onBandScanMetrics)
+
   /** The streaming SUB-SEGMENT audio dedup crawl loop — the dual-phase
     * instantiation of the generic containment loop (r16): every clip
     * fingerprints on BOTH phase grids ([[audioSegmentsDualPhase]],

@@ -2047,5 +2047,135 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
         |  UNION ALL SELECT clip_id FROM a2)
         |ORDER BY clip_id""".stripMargin),
+
+
+    // X14s-a'': the STREAMING FINE-TRIM audio dedup crawl loop (r17,
+    // beyond the ask — completes the onset-aligned lifecycle: batch
+    // x_audio_neardup_finetrim, durable x_incremental_audio_dedup_finetrim,
+    // now streaming). Sequences come from the ONSET-ALIGNED grids, so
+    // slice 1's 37-sample lead-trimmed recrawls of even slice-0 bases
+    // reject at content alignment (an OFF-GRID cross-batch rejection —
+    // impossible on fixed or dual-phase grids), slice 2's lead-100 +
+    // trail-40 trims of slice-1's own admissions reject via slice-1's
+    // planes, body-cutting recrawls of odd bases ADMIT (re-anchored — the
+    // family's pinned residual, unchanged in the streaming regime), and
+    // fresh clips admit. Commits pinned 3-per-batch in results →
+    // sequences → bands order; post-crawl compactionProof + full-crawl
+    // reprobe. Oracle = slice-by-slice anchor-swept containment over the
+    // onset-reduced closed-form sequences.
+    ("x_stream_incremental_audio_dedup_finetrim",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val L = 330
+        def lead(i: Int) = 200 + 13 * i
+        def nb(i: Int) = (4 + i % 4) * L
+        val rows =
+          (0 until 8).map(i =>
+            ((i.toLong, AudioCodec.encodeAudioVariantLead(lead(i), nb(i), i)), 0)) ++
+          (0 until 8 by 2).map(i =>
+            (((200 + i).toLong,
+              AudioCodec.encodeAudioVariantLead(lead(i) - 37, nb(i), i)), 1)) ++
+          (0 until 5).map(j =>
+            (((100 + j).toLong, AudioCodec.encodeAudioVariantLead(
+              150 + 11 * j, (4 + j % 4) * L, 30 + j)), 1)) ++
+          (0 until 5 by 2).map(j =>
+            (((300 + j).toLong, AudioCodec.encodeAudioVariantLead(
+              150 + 11 * j - 100, (4 + j % 4) * L - 40, 30 + j)), 2)) ++
+          (1 until 8 by 2).map(i =>
+            (((600 + i).toLong,
+              AudioCodec.encodeAudioVariant(nb(i) - 100, i, sampleBase = 100)), 2)) ++
+          (0 until 3).map(k =>
+            (((500 + k).toLong, AudioCodec.encodeAudioVariantLead(
+              120 + 9 * k, (4 + k % 4) * L, 60 + k)), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("clip_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-audftstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = audioSegmentsOnsetAligned(docs.limit(0), L)
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_fts",
+          audioSegBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_fts", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.aud_adm_fts",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalAudioDedupFinetrim(
+          s, stage, docs.schema, bands, sigs, results, segLen = L)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val admittedIds = results.toDF(s).select("vid_id")
+          .collect().map(_.getLong(0)).toSet
+        (0 until 8 by 2).foreach(i => require(!admittedIds.contains(200L + i),
+          s"off-grid lead-trimmed recrawl ${200 + i} must reject cross-batch"))
+        (0 until 5 by 2).foreach(j => require(!admittedIds.contains(300L + j),
+          s"trimmed recrawl of slice-1 admission ${300 + j} must reject"))
+        (1 until 8 by 2).foreach(i => require(admittedIds.contains(600L + i),
+          s"body-cutting recrawl ${600 + i} must admit (the pinned residual)"))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = audioSegmentsOnsetAligned(docs, L).localCheckpoint()
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
+            toBands = audioSegBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select(col("vid_id").as("clip_id"))
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, 0 AS sl
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (4 + (i % 4)) * 330, 0, -1, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, (4 + (j % 4)) * 330, 0, -1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, (4 + (j % 4)) * 330 - 330, 0, -1, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 600 + i, i,
+        |    ((((4 + (i % 4)) * 330) - 101) // 330) * 330, 101, -1, 2
+        |  FROM range(8) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, (4 + (k % 4)) * 330, 0, -1, 2
+        |  FROM range(3) t(k)),
+        |${audioOracleSegBits(2310)},
+        |cl AS (SELECT clip_id, n // 330 AS ns, sl FROM clips),
+        |pr AS (
+        |  SELECT x.clip_id AS x, x.ns AS xns, y.clip_id AS y, y.ns AS yns
+        |  FROM cl x JOIN cl y ON x.clip_id <> y.clip_id
+        |    AND abs(x.ns - y.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.x, pr.y, pp.p, sum(bit_count(xor(bx.h, by.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits bx, sbits by
+        |  WHERE pp.p <= abs(pr.xns - pr.yns)
+        |    AND bx.clip_id = pr.x AND by.clip_id = pr.y
+        |    AND bx.seg - by.seg = CASE WHEN pr.xns >= pr.yns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT DISTINCT x, y FROM sc WHERE d <= 3),
+        |a0 AS (SELECT clip_id FROM cl WHERE sl = 0),
+        |a1 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.clip_id WHERE pt.x = c.clip_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.clip_id WHERE pt.x = c.clip_id))
+        |SELECT clip_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
+        |  UNION ALL SELECT clip_id FROM a2)
+        |ORDER BY clip_id""".stripMargin),
   )
 }

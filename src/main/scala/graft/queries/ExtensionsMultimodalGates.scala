@@ -1371,6 +1371,139 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14a''''+d: the DURABLE leg of the fine-trim family (r17, beyond
+    // the ask — the lifecycle ritual): the crawl persists ONSET-ALIGNED
+    // sequences in the two-plane containment state, and a recrawl batch
+    // probes through the UNCHANGED videoAdmitVerdictsTrimmed rule — so
+    // arbitrary off-grid lead trims (37/100 samples), lead+trailing trims
+    // and lead-trimmed-plus-edited recrawls of crawled history all REJECT
+    // at content alignment, while body-cutting trims ADMIT (they re-anchor
+    // mid-content — the family's pinned residual, honest in the durable
+    // regime too) and fresh clips ADMIT. Mid-sequence compactionProof +
+    // full-batch reprobe. At 100 TB: the onset scan is one map-side pass
+    // at ingest; state rows and probes are the offset family's unchanged.
+    ("x_incremental_audio_dedup_finetrim",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        val L = 330
+        def lead(i: Int) = 200 + 13 * i
+        def nb(i: Int) = (4 + i % 4) * L
+        val hist = (0 until 12).map(i =>
+          (i.toLong, AudioCodec.encodeAudioVariantLead(lead(i), nb(i), i)))
+        val batch = (0 until 12).map { i =>
+          (i % 4) match {
+            case 0 => ((200 + i).toLong,
+              AudioCodec.encodeAudioVariantLead(lead(i) - 37, nb(i), i))
+            case 1 => ((300 + i).toLong,
+              AudioCodec.encodeAudioVariantLead(lead(i) - 100, nb(i) - 40, i))
+            case 2 => ((400 + i).toLong,
+              AudioCodec.encodeAudioVariantLead(lead(i) - 71, nb(i), i,
+                editAtBody = nb(i) / 2))
+            case _ => ((600 + i).toLong,
+              AudioCodec.encodeAudioVariant(nb(i) - 100, i, sampleBase = 100))
+          }
+        } ++ (0 until 8).map(j =>
+          ((500 + j).toLong,
+            AudioCodec.encodeAudioVariantLead(100 + 7 * j, (4 + j % 4) * L, 50 + j)))
+        val histFh = audioSegmentsOnsetAligned(
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
+        def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_ft",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_ft", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 6), histFh.filter(col("vid_id") >= 6))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = audioSegmentsOnsetAligned(
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
+        val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+          toBands = audioSegBands)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, bandsK(batchFh).join(adm, Seq("vid_id"))
+          .select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"37-sample lead-trimmed recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"lead-100 + trail-40 recrawl ${300 + i} must reject")
+            case 2 => require(rejected.contains(400L + i),
+              s"71-sample-trimmed + edited recrawl ${400 + i} must reject")
+            case _ => require(admitted.contains(600L + i),
+              s"body-cutting recrawl ${600 + i} must admit (the pinned residual)")
+          }
+        }
+        (0 until 8).foreach(j => require(admitted.contains(500L + j),
+          s"fresh clip ${500 + j} must admit"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+            toBands = audioSegBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts.select(col("vid_id").as("clip_id"), col("matches"), col("admitted"))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      // onset-aligned sequences reduce to plain gradient grids (the batch
+      // gate's closed form): lead-silence clips are the gradient at sb=0
+      // over the surviving body's full segments, the body-cut clone is the
+      // gradient at sb=101 — then batch-vs-history anchor-swept containment
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 330 AS n, 0 AS sb,
+        |    -1 AS e, true AS is_hist
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (4 + (i % 4)) * 330, 0, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, (4 + (i % 4)) * 330 - 330, 0, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, (4 + (i % 4)) * 330, 0, ((4 + (i % 4)) * 330) // 2, false
+        |  FROM range(12) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, ((((4 + (i % 4)) * 330) - 101) // 330) * 330, 101, -1, false
+        |  FROM range(12) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, (4 + (j % 4)) * 330, 0, -1, false
+        |  FROM range(8) t(j)),
+        |${audioOracleSegBits(2310)},
+        |cl AS (SELECT clip_id, n // 330 AS ns, is_hist FROM clips),
+        |pr AS (
+        |  SELECT b.clip_id AS bv, b.ns AS bns, h.clip_id AS hv, h.ns AS hns
+        |  FROM cl b JOIN cl h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.ns - h.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.bv, pr.hv, pp.p, sum(bit_count(xor(ba.h, hb.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits ba, sbits hb
+        |  WHERE pp.p <= abs(pr.bns - pr.hns)
+        |    AND ba.clip_id = pr.bv AND hb.clip_id = pr.hv
+        |    AND ba.seg - hb.seg = CASE WHEN pr.bns >= pr.hns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT bv AS clip_id, CAST(count(DISTINCT hv) AS BIGINT) AS matches
+        |  FROM sc WHERE d <= 3 GROUP BY 1)
+        |SELECT b.clip_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.clip_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT clip_id FROM cl WHERE NOT is_hist) b LEFT JOIN m USING (clip_id)
+        |ORDER BY clip_id""".stripMargin),
+
+
     // X14a'''': SUB-SEGMENT audio offsets via DUAL-PHASE grids (r15
     // verdict #4): x_audio_neardup_offset tolerates only 330-sample-
     // aligned trims — a 165-sample trim shifts every segment boundary and
