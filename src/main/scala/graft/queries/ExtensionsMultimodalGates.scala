@@ -2897,6 +2897,145 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY vid_id""".stripMargin),
 
 
+    // X14e'': INCREMENTAL FRAME-RATE-RESAMPLED video dedup (r17, beyond
+    // the ask — the durable leg of the temporal-normalization front): the
+    // two-plane state persists CANONICAL 4-slot sequences
+    // ([[Extensions.videoFramesCanonical]] in front of the unchanged
+    // equal-length machinery), so recrawls at OTHER frame rates —
+    // every-2nd of 8/16, every-3rd of 12, with or without a slot-picked
+    // edit — all REJECT against the crawled history, an off-lattice count
+    // (10 → 5 frames) ADMITS (pick drift, the family's pinned residual),
+    // and fresh clips admit. Mid-sequence compactionProof + full-batch
+    // reprobe. At 100 TB: the canonical re-sample is column algebra over
+    // rows already extracted; state rows per clip drop to 4 + 4 bands.
+    ("x_incremental_video_dedup_resampled",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        def nfOf(i: Int) = (i % 4) match {
+          case 0 => 8; case 1 => 12; case 2 => 16; case _ => 10
+        }
+        val hist = (0 until 12).map(i =>
+          (i.toLong, ImageCodec.encodeAnimatedGifVariant(16 + i, 12 + i % 5, nfOf(i), i)))
+        val batch = (0 until 12).map { i =>
+          val (w, h) = (16 + i, 12 + i % 5)
+          (i % 4) match {
+            case 0 => ((200 + i).toLong, ImageCodec.encodeAnimatedGifVariant(
+              w, h, 4, i, frameStride = 2))
+            case 1 => ((300 + i).toLong, ImageCodec.encodeAnimatedGifVariant(
+              w, h, 4, i, 3, 3 * w / 8, 3 * h / 8, frameStride = 3))
+            case 2 => ((400 + i).toLong, ImageCodec.encodeAnimatedGifVariant(
+              w, h, 8, i, frameStride = 2))
+            case _ => ((600 + i).toLong, ImageCodec.encodeAnimatedGifVariant(
+              w, h, 5, i, frameStride = 2))
+          }
+        } ++ (0 until 8).map(j =>
+          ((500 + j).toLong, ImageCodec.encodeAnimatedGifVariant(
+            16 + j, 12 + j % 5, 8, 50 + j)))
+        def canon(df: DataFrame) =
+          videoFramesCanonical(videoFrameHashes(df), 4)
+        val histFh = canon(s.createDataFrame(hist).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_rs",
+          videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_rs", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 6), histFh.filter(col("vid_id") >= 6))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s,
+              videoBands(part.filter(col("frame") === 0)).select("vid_id", "band_key"))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = canon(s.createDataFrame(batch).toDF("vid_id", "blob"))
+          .localCheckpoint()
+        val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, videoBands(batchFh.filter(col("frame") === 0))
+          .join(adm, Seq("vid_id")).select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 12).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"every-2nd-frame recrawl ${200 + i} must reject at the canonical grid")
+            case 1 => require(rejected.contains(300L + i),
+              s"every-3rd-frame + edited recrawl ${300 + i} must reject within 2 bits")
+            case 2 => require(rejected.contains(400L + i),
+              s"every-2nd-of-16 recrawl ${400 + i} must reject at the canonical grid")
+            case _ => require(admitted.contains(600L + i),
+              s"off-lattice recrawl ${600 + i} must admit (pick drift, the residual)")
+          }
+        }
+        (0 until 8).foreach(j => require(admitted.contains(500L + j),
+          s"fresh clip ${500 + j} must admit"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = videoAdmitVerdicts(s, bands, sigs, batchFh)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      // the canonical grid's closed form (the batch resampled gate's
+      // vgrid), batch-vs-history equal-length admission over 4 slots
+      s"""WITH vids(vid_id, seed, w, h, nf, stride, ef, ex, ey, is_hist) AS (
+        |  SELECT i, i, 16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 16 ELSE 10 END,
+        |    1, -1, -1, -1, true
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT CASE i % 4 WHEN 0 THEN 200 + i WHEN 1 THEN 300 + i
+        |      WHEN 2 THEN 400 + i ELSE 600 + i END, i,
+        |    16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 5 END,
+        |    CASE i % 4 WHEN 1 THEN 3 ELSE 2 END,
+        |    CASE WHEN i % 4 = 1 THEN 3 ELSE -1 END,
+        |    CASE WHEN i % 4 = 1 THEN (3 * (16 + i)) // 8 ELSE -1 END,
+        |    CASE WHEN i % 4 = 1 THEN (3 * (12 + (i % 5))) // 8 ELSE -1 END,
+        |    false
+        |  FROM range(12) t(i)
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, 16 + j, 12 + (j % 5), 8, 1, -1, -1, -1, false
+        |  FROM range(8) t(j)),
+        |vgrid AS (
+        |  SELECT vid_id, k, x, y,
+        |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)
+        |      + (stride * ((k * nf) // 4)) * 7)
+        |     + CASE WHEN (k * nf) // 4 = ef AND (x * w) // 8 = ex
+        |          AND (y * h) // 8 = ey
+        |        THEN 128 ELSE 0 END) % 256 AS gray
+        |  FROM vids, range(8) xs(x), range(8) ys(y), range(4) ks(k)),
+        |vbits AS (
+        |  SELECT g1.vid_id, g1.k,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM vgrid g1 JOIN vgrid g2
+        |    ON g2.vid_id = g1.vid_id AND g2.k = g1.k AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT a.vid_id AS bvid, b.vid_id AS hvid
+        |  FROM vbits a JOIN vbits b ON a.k = b.k
+        |  JOIN vids va ON va.vid_id = a.vid_id AND NOT va.is_hist
+        |  JOIN vids vb ON vb.vid_id = b.vid_id AND vb.is_hist
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
+        |m AS (SELECT bvid AS vid_id, CAST(count(DISTINCT hvid) AS BIGINT) AS matches
+        |  FROM pm GROUP BY 1)
+        |SELECT b.vid_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.vid_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT vid_id FROM vids WHERE NOT is_hist) b LEFT JOIN m USING (vid_id)
+        |ORDER BY vid_id""".stripMargin),
+
+
     // X14e': INCREMENTAL TRIM-TOLERANT video dedup (r14 verdict #1's
     // durable leg) — the two-plane crawl with the bounded-containment
     // admission rule: the band plane persists the first THREE frames'

@@ -113,7 +113,10 @@ class GraftDppScan(
     val meta = tbl.graftTable.meta
     val byId = meta.currentSchema.fields
       .map(f => GraftSchema.fieldId(f) -> f.name).toMap
-    val partCols = meta.specs.values.flatMap(_.fields)
+    // DEFAULT spec only: planEligible pins every planned file under it, so
+    // an older spec's source column carries no transform plane in any
+    // planned file — reporting it would invite a no-op pruning subquery
+    val partCols = meta.defaultSpec.fields
       .flatMap(pf => byId.get(pf.sourceId)).toSet
     val statIds = files.iterator.flatMap(_.stats.iterator.collect {
       case (id, st) if st.min.isDefined || st.max.isDefined || st.bloom.isDefined => id
