@@ -138,15 +138,26 @@ object AudioCodec {
     * fingerprint (start 0, len n) and the per-segment fingerprints
     * (start s·L, len L) so the window formula cannot drift.
     */
-  private def packWindows(p: MonoPcm, start: Int, len: Int): Long = {
-    val sums = new Array[Long](33)
+  private def packWindows(p: MonoPcm, start: Int, len: Int): Long =
+    packWindowsN(p, start, len, 33)
+
+  /** [[packWindows]] generalized over the window count: nWin floor-boundary
+    * window sums → nWin − 1 adjacent-sign bits. 33 windows is the classic
+    * 32-bit fingerprint; 65 windows is the WIDE 64-bit segment fingerprint
+    * (r17 — the band-space widening the contract-18b census priced: a
+    * 64-bit hash splits into 4×16-bit bands, a 262,144-key space, so
+    * bulk-regime per-file blooms stay selective where the 32-bit hash's
+    * 1,024-key space saturates them). ONE window formula for every width.
+    */
+  private def packWindowsN(p: MonoPcm, start: Int, len: Int, nWin: Int): Long = {
+    val sums = new Array[Long](nWin)
     var w = 0
-    while (w < 33) {
+    while (w < nWin) {
       // boundary arithmetic in Long: (w+1)*len overflows Int from ~65M
       // samples, INSIDE the 64Mi guard's admitted range — negative
       // boundaries would zero the last window's sum
-      val hi = start + ((w + 1).toLong * len / 33).toInt
-      var x = start + (w.toLong * len / 33).toInt
+      val hi = start + ((w + 1).toLong * len / nWin).toInt
+      var x = start + (w.toLong * len / nWin).toInt
       var acc = 0L
       while (x < hi) { acc += p.sample(x); x += 1 }
       sums(w) = acc
@@ -154,7 +165,7 @@ object AudioCodec {
     }
     var h = 0L
     w = 0
-    while (w < 32) {
+    while (w < nWin - 1) {
       if (sums(w + 1) > sums(w)) h |= 1L << w
       w += 1
     }
@@ -220,6 +231,33 @@ object AudioCodec {
   def segmentFingerprintsRow(bytes: Array[Byte],
       segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     segmentFingerprintsRow(bytes, segLen, 0)
+
+  /** WIDE (64-bit) per-segment fingerprints (r17 — the contract-18b
+    * band-space fix): each segment packs 65 windows into 64 adjacent-sign
+    * bits via the SAME window formula ([[packWindowsN]]), so a 4×16-bit
+    * banding gets a 262,144-key space and bulk-regime per-file blooms stay
+    * selective where the 32-bit hash's 1,024-key ceiling saturates them.
+    * `segLen` must be a positive multiple of 65 (exact 5-sample windows at
+    * the canonical 325 — the closed-form-oracle shape); the narrow kernel
+    * keeps its 33-window contract untouched, so every existing gate and
+    * oracle is unaffected. Edits still flip ≤ 2 bits of one segment
+    * (one window sum perturbed → its two comparisons).
+    */
+  def segmentFingerprintsWideRow(bytes: Array[Byte],
+      segLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (segLen < 65 || segLen % 65 != 0) return null
+    val p = decodeMonoPcm(bytes)
+    if (p == null || p.n < segLen) return null
+    val nSegs = p.n / segLen
+    val out = new Array[Any](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      out(s) = new GenericInternalRow(
+        Array[Any](s, packWindowsN(p, s * segLen, segLen, 65)))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** ONSET-ALIGNED per-segment fingerprints (r16 verdict #4 — the
     * energy-alignment front-end for sub-half-grid trims): the segment grid
@@ -466,6 +504,35 @@ case class AudioSegmentFingerprints(child: Expression, segLen: Int,
     """)
 
   override protected def withNewChildInternal(newChild: Expression): AudioSegmentFingerprints =
+    copy(child = newChild)
+}
+
+/** Wide (64-bit, 65-window) per-segment fingerprints
+  * ([[AudioCodec.segmentFingerprintsWideRow]]) — codegen'd like its
+  * 32-bit sibling.
+  */
+case class AudioSegmentFingerprintsWide(child: Expression, segLen: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(AudioCodec.SegmentHashSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_segments_wide"
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.segmentFingerprintsWideRow(input.asInstanceOf[Array[Byte]], segLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.operators.AudioCodec.segmentFingerprintsWideRow($b, $segLen);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSegmentFingerprintsWide =
     copy(child = newChild)
 }
 

@@ -134,6 +134,16 @@ object Multimodal {
     GraftSqlShim.column(AudioSegmentFingerprints(GraftSqlShim.expression(blob), segLen, phase))
   }
 
+  /** WIDE (64-bit, 65-window) per-segment fingerprints — the band-space
+    * widening for bulk-regime probe selectivity
+    * ([[graft.operators.AudioCodec.segmentFingerprintsWideRow]]); `segLen`
+    * must be a positive multiple of 65.
+    */
+  def audioSegmentFingerprintsWide(blob: Column, segLen: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(AudioSegmentFingerprintsWide(GraftSqlShim.expression(blob), segLen))
+  }
+
   /** ONSET-ALIGNED per-segment fingerprints — the segment grid anchors at
     * the first sample deviating from the leading value by more than `tol`,
     * so off-grid trims confined to a uniform lead pair exactly

@@ -622,6 +622,51 @@ object Extensions
     .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
     .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
 
+  /** WIDE (64-bit) segment fingerprints over the generic sequence shape
+    * (r17 — the contract-18b band-space fix): the [[audioSegmentsOf]]
+    * projection over [[graft.operators.Multimodal
+    * .audioSegmentFingerprintsWide]]. `segLen` must be a multiple of 65
+    * (canonical 325 → exact 5-sample windows, closed-form-oracle shape).
+    */
+  private[graft] def audioSegmentsWideOf(df: DataFrame, segLen: Int): DataFrame = df
+    .select(col("clip_id").as("vid_id"),
+      graft.operators.Multimodal.audioSegmentFingerprintsWide(
+        col("blob"), segLen).as("sh"))
+    .filter(col("sh").isNotNull)
+    .select(col("vid_id"), size(col("sh")).as("nf"), explode(col("sh")).as("sg"))
+    .select(col("vid_id"), col("nf"), col("sg.seg").as("frame"), col("sg.h").as("h"))
+
+  /** The WIDE audio banding: 4 bands × 16 bits over the 64-bit segment
+    * hash — a 262,144-key space (vs the 32-bit hash's 1,024), so at bulk
+    * scale each (commit, bucket) state file holds a sparse key slice and
+    * its bloom keeps pruning (the saturation mechanism the contract-18b
+    * census records). Pigeonhole-lossless at the ≤3 verify, like every
+    * 4-way banding. Arithmetic shiftright is safe: the 16-bit mask drops
+    * the sign extension.
+    */
+  private[graft] def audioSegBandsWide(fh: DataFrame): DataFrame = fh
+    .select(col("vid_id"), col("frame"), col("h"), explode(array(
+      (0 until 4).map(k =>
+        shiftright(col("h"), k * 16).bitwiseAND(lit(65535L)) * 4 + k): _*)).as("band_key"))
+
+  /** The streaming WIDE-fingerprint offset-audio dedup crawl loop — the
+    * 64-bit instantiation of the generic containment loop (r17): the SAME
+    * machinery as [[streamIncrementalAudioDedupOffset]] with the wide
+    * sequence and the 4×16 banding plugged in. Contract 18b runs it at
+    * 30× and REQUIREs the bulk-regime band probes to PRUNE where the
+    * 32-bit loop's saturate.
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalAudioDedupWide(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
+      results: graft.table.GraftTable, segLen: Int = 325, maxLenDiff: Int = 2,
+      filesPerTrigger: Int = 1,
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalContainDedup(s, stage, schema, bandState, sigState,
+      results, audioSegmentsWideOf(_, segLen), audioSegBandsWide, "tw",
+      maxLenDiff, filesPerTrigger, onBandScanMetrics)
+
   /** ONSET-ALIGNED segment fingerprints (r16 verdict #4): the
     * [[audioSegmentsOf]] shape over the content-anchored grid —
     * [[graft.operators.Multimodal.audioSegmentFingerprintsOnset]] anchors
@@ -742,6 +787,35 @@ object Extensions
       |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.seg = a.seg
       |    AND b.w = a.w + 1
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The closed-form WIDE-fingerprint recomputation (r17): 325-sample
+    * segments × 65 exact 5-sample windows → 64 adjacent-sign bits per
+    * segment, over the same `clips(clip_id, seed, n, sb, e, ...)` CTE
+    * shape as [[audioOracleSegBits]]. Bit 63 shifts into the BIGINT sign —
+    * identical two's-complement semantics on both engines, and only
+    * xor/bit_count ever touch the value.
+    */
+  private[queries] def audioOracleSegBitsWide(maxN: Int): String =
+    s"""smp AS (
+      |  SELECT clip_id, x // 325 AS seg, (x % 325) // 5 AS w,
+      |    CASE WHEN x = e THEN (((x + sb) * (13 + 7 * seed) + 31) % 256 + 128) % 256
+      |         ELSE ((x + sb) * (13 + 7 * seed) + 31) % 256 END AS s
+      |  FROM clips, range($maxN) t(x) WHERE x < n),
+      |ws AS (SELECT clip_id, seg, w, CAST(sum(s) AS BIGINT) AS sw
+      |  FROM smp GROUP BY 1, 2, 3),
+      |sbits AS (
+      |  SELECT a.clip_id, a.seg,
+      |    CAST(coalesce(sum(CASE WHEN b.sw > a.sw THEN
+      |      CASE WHEN a.w = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+      |           ELSE CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) END
+      |      END), 0) AS BIGINT) AS h
+      |  FROM ws a JOIN ws b ON b.clip_id = a.clip_id AND b.seg = a.seg
+      |    AND b.w = a.w + 1
+      |  GROUP BY 1, 2)""".stripMargin
+  // bit 63 of the wide hash is the BIGINT sign: DuckDB range-checks
+  // 1 << 63, so the oracle adds the two's-complement constant instead —
+  // any subset sum of {2^0..2^62, -2^63} stays in the BIGINT domain, and
+  // the total IS the signed long whose bit 63 is set.
 
   /** The closed-form DUAL-PHASE per-segment fingerprint recomputation the
     * sub-segment audio gates' oracles share — both phase grids (0 and

@@ -1265,6 +1265,98 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14a''w: WIDE-FINGERPRINT offset-tolerant audio near-dup (r17 — the
+    // contract-18b band-space fix, shipped rather than left priced): each
+    // 325-sample segment packs 65 exact 5-sample windows into a 64-bit
+    // adjacent-sign hash ([[graft.operators.AudioCodec
+    // .segmentFingerprintsWideRow]] — the SAME packWindowsN formula as the
+    // 32-bit kernel, one home), banded 4×16 bits into a 262,144-key space
+    // so bulk-regime per-file blooms stay selective where the 32-bit
+    // hash's 1,024-key ceiling saturates them (the census's mechanism;
+    // 18b runs this loop at 30× and REQUIREs its probes to prune).
+    // Semantics are the offset family's verbatim: segment-aligned trims
+    // pair via the unchanged containment rule, edits flip ≤ 2 bits of one
+    // segment, over-trims stay invisible. Bit 63 lives in the BIGINT sign
+    // on both engines — only xor/bit_count touch it.
+    ("x_audio_neardup_wideband",
+      (s: SparkSession, d: String) => {
+        import graft.operators.AudioCodec
+        val L = 325
+        val rows = (0 until 14).flatMap { i =>
+          val ns = 4 + (i % 4)
+          val base = (i.toLong, AudioCodec.encodeAudioVariant(ns * L, i))
+          val clone = (i % 4) match {
+            case 0 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant((ns - 1) * L, i, sampleBase = L))
+            case 1 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant((ns - 2) * L, i, ((ns - 2) * L) / 2))
+            case 2 => ((100 + i).toLong,
+              AudioCodec.encodeAudioVariant((ns - 2) * L, i, sampleBase = 2 * L))
+            case _ => ((300 + i).toLong,
+              AudioCodec.encodeAudioVariant((ns - 3) * L, i))
+          }
+          Seq(base, clone)
+        }
+        val df = s.createDataFrame(rows).toDF("clip_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.audiowide", df.schema)
+        t.append(s, df)
+        val fh = audioSegmentsWideOf(t.toDF(s), L).localCheckpoint()
+        val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBandsWide)
+          .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
+            col("hamming"), col("anchor"))
+        val found = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(found.get((i.toLong, 100L + i)).contains(1L),
+              s"lead-1-segment trimmed clip ($i, ${100 + i}) must verify at anchor 1")
+            case 1 => require(found.get((i.toLong, 100L + i)).contains(0L),
+              s"trail-2+edit clip ($i, ${100 + i}) must verify at anchor 0")
+            case 2 => require(found.get((i.toLong, 100L + i)).contains(2L),
+              s"lead-2-segment trimmed clip ($i, ${100 + i}) must verify at anchor 2")
+            case _ => require(!found.contains((i.toLong, 300L + i)),
+              s"over-trimmed clip ($i, ${300 + i}) must NOT pair")
+          }
+        }
+        pairs.orderBy("clip_long", "clip_short")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 325 AS n, 0 AS sb, -1 AS e
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 1) * 325, 325, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 2) * 325, 0,
+        |    (((4 + (i % 4)) - 2) * 325) // 2
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 100 + i, i, ((4 + (i % 4)) - 2) * 325, 650, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 300 + i, i, ((4 + (i % 4)) - 3) * 325, 0, -1
+        |  FROM range(14) t(i) WHERE i % 4 = 3),
+        |${audioOracleSegBitsWide(2275)},
+        |cl AS (SELECT clip_id, n // 325 AS ns FROM clips),
+        |pr AS (
+        |  SELECT l.clip_id AS l, s2.clip_id AS s, l.ns AS nfl, s2.ns AS nfs
+        |  FROM cl l JOIN cl s2 ON l.clip_id <> s2.clip_id
+        |    AND l.ns - s2.ns BETWEEN 0 AND 2
+        |    AND (l.ns > s2.ns OR l.clip_id < s2.clip_id)),
+        |sc AS (
+        |  SELECT pr.l, pr.s, pp.p, CAST(sum(bit_count(xor(bl.h, bs.h))) AS BIGINT) AS d
+        |  FROM pr, range(3) pp(p), sbits bs, sbits bl
+        |  WHERE pp.p <= pr.nfl - pr.nfs AND bs.clip_id = pr.s
+        |    AND bl.clip_id = pr.l AND bl.seg = bs.seg + pp.p
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT l, s, min(d) AS hamming FROM sc WHERE d <= 3 GROUP BY 1, 2)
+        |SELECT b.l AS clip_long, b.s AS clip_short, b.hamming,
+        |  CAST(min(sc.p) AS BIGINT) AS anchor
+        |FROM best b JOIN sc ON sc.l = b.l AND sc.s = b.s AND sc.d = b.hamming
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin),
+
+
     // X14a''''+: FINE (sub-half-grid) audio trims via the ONSET-ALIGNED
     // front-end (r16 verdict #4): the dual-phase grids cover 165-multiple
     // trims; finer trims perturb every window because the grid anchors at

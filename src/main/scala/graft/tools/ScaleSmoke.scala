@@ -2201,6 +2201,25 @@ object ScaleSmoke {
         .toDF("clip_id", "blob", "_slice")
     }
 
+    // the WIDE-fingerprint audio fixture: 325-sample segments (65 exact
+    // 5-sample windows -> 64-bit hashes), same slice shape as audFixture
+    def audWideFixture(m: Int): DataFrame = {
+      val n = 32 * m
+      def nsOf(seed: Int) = 4 + seed % 4
+      def row(id: Long, seed: Int, ns: Int, segBase: Int, edit: Boolean) =
+        (id, graft.operators.AudioCodec.encodeAudioVariant(ns * 325, seed,
+          if (edit) ns * 325 / 2 else -1, sampleBase = segBase * 325))
+      val rows =
+        (0 until n).map(k => (row(k, k, nsOf(k), 0, edit = false), k % 2)) ++
+        (0 until n).map(k => (row(1000000L + k, n + k, nsOf(n + k), 0, edit = false), 2 + k % 2)) ++
+        (0 until n by 10).map(k =>
+          (row(2000000L + k, k, nsOf(k) - 1, 1, edit = false), 2 + (k / 10) % 2)) ++
+        (5 until n by 10).map(k =>
+          (row(3000000L + k, k, nsOf(k) - 2, 0, edit = true), 4 + (k / 10) % 2))
+      spark.createDataFrame(rows.map { case ((id, b), sl) => (id, b, sl) })
+        .toDF("clip_id", "blob", "_slice")
+    }
+
     // the per-slice stateless BRUTE containment oracle: all pairs x all
     // anchors over raw sequences, signed alignment, no banding, no caps
     def bruteRejected(sl: DataFrame, admitted: DataFrame): DataFrame = {
@@ -2236,14 +2255,21 @@ object ScaleSmoke {
       admitted
     }
 
-    def containCrawl(fx: DataFrame, tag: String, isVideo: Boolean) = {
+    def containCrawl(fx: DataFrame, tag: String, variant: String) = {
+      val isVideo = variant == "video"
       val cat = newCat()
       val docs = fx.drop("_slice")
-      val emptyFh =
-        if (isVideo) Extensions.videoFrameHashes(docs.limit(0))
-        else Extensions.audioSegmentsOf(docs.limit(0), 330)
-      val toBands: DataFrame => DataFrame =
-        if (isVideo) Extensions.videoBands else Extensions.audioSegBands
+      val toFh: DataFrame => DataFrame = variant match {
+        case "video" => Extensions.videoFrameHashes
+        case "audio" => Extensions.audioSegmentsOf(_, 330)
+        case _ => Extensions.audioSegmentsWideOf(_, 325)
+      }
+      val emptyFh = toFh(docs.limit(0))
+      val toBands: DataFrame => DataFrame = variant match {
+        case "video" => Extensions.videoBands
+        case "audio" => Extensions.audioSegBands
+        case _ => Extensions.audioSegBandsWide
+      }
       val bands = cat.createTable(s"db.cband_$tag",
         toBands(emptyFh).select("vid_id", "band_key").schema,
         partitionBy = Seq("band_key" -> Transform.Bucket(if (isVideo) 4 else 32)),
@@ -2257,16 +2283,19 @@ object ScaleSmoke {
       Extensions.stagePreSliced(fx, stage, S, 1)
       val scans = scala.collection.mutable.Buffer.empty[(Long, Long)]
       val (batches, secs) = timed {
-        if (isVideo) Extensions.streamIncrementalVideoDedupTrimmed(
-          spark, stage, docs.schema, bands, sigs, res, K,
-          onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
-        else Extensions.streamIncrementalAudioDedupOffset(
-          spark, stage, docs.schema, bands, sigs, res, 330, K,
-          onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+        variant match {
+          case "video" => Extensions.streamIncrementalVideoDedupTrimmed(
+            spark, stage, docs.schema, bands, sigs, res, K,
+            onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+          case "audio" => Extensions.streamIncrementalAudioDedupOffset(
+            spark, stage, docs.schema, bands, sigs, res, 330, K,
+            onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+          case _ => Extensions.streamIncrementalAudioDedupWide(
+            spark, stage, docs.schema, bands, sigs, res, 325, K,
+            onBandScanMetrics = sm => scans += ((sm.filesScanned, sm.filesTotal)))
+        }
       }
-      val fh =
-        (if (isVideo) Extensions.videoFrameHashes(docs)
-         else Extensions.audioSegmentsOf(docs, 330)).localCheckpoint()
+      val fh = toFh(docs).localCheckpoint()
       val idCol = if (isVideo) "vid_id" else "clip_id"
       val admitted = statelessAdmitted(fh,
         fx.select(col(idCol).as("vid_id"), col("_slice")))
@@ -2289,8 +2318,8 @@ object ScaleSmoke {
     def runContainment(m: Int, tag: String) = {
       val vids = vidFixture(m).localCheckpoint()
       val auds = audFixture(m).localCheckpoint()
-      val rv = containCrawl(vids, s"v$tag", isVideo = true)
-      val ra = containCrawl(auds, s"a$tag", isVideo = false)
+      val rv = containCrawl(vids, s"v$tag", "video")
+      val ra = containCrawl(auds, s"a$tag", "audio")
       for ((name, r) <- Seq(("video-trim", rv), ("audio-offset", ra))) {
         require(r._1 == S && r._2.forall(_ == S),
           s"$name containment crawl at ${m}x: commits not pinned to batches: " +
@@ -2334,5 +2363,37 @@ object ScaleSmoke {
       f"(video, for contrast — 56-bit hash, 4x16384-key space: " +
       f"1x ${v1._6} keys, ${mult}x ${vM._6} keys)")
     require(aM._6 <= 1024, "audio band keys must live in the 4x256 space")
+
+    // the WIDENING, measured at both scales (r17): the WIDE 64-bit segment
+    // fingerprint's 4×16-bit banding (262,144-key space) moves the
+    // saturation LAW. 32-bit: the STATE alone covers the 1,024-key space,
+    // so every probe keeps every file regardless of batch size. 64-bit:
+    // a k-key probe against an m-key state file keeps it with
+    // P ≈ 1 − e^(−km/S) — TRUE band overlaps, not bloom noise — so
+    // sparse-regime probes (k·m ≪ S) prune sharply while BULK batches
+    // (k ≈ m ≈ 2,000 → km/S ≈ 15) legitimately keep nearly every file.
+    // REQUIREd: admissions stay brute-oracle-identical at 30×, every 1×
+    // probe prunes, and at 30× pruning re-appears where the 32-bit loop
+    // shows none — the boundary of the law, not a magic fix (no banding
+    // of ANY hash width prunes a probe whose true overlap is ~15 keys;
+    // the bulk lever is batch size / partition-scoped probes, recorded).
+    val rw1 = containCrawl(audWideFixture(1).localCheckpoint(), "aw1", "audio_wide")
+    val wideAuds = audWideFixture(mult).localCheckpoint()
+    val rwM = containCrawl(wideAuds, "awM", "audio_wide")
+    for ((lbl, r) <- Seq(("1x", rw1), (s"${mult}x", rwM))) {
+      require(r._1 == S && r._2.forall(_ == S),
+        s"wide audio crawl at $lbl: commits not pinned: ${r._1}/${r._2.mkString("/")}")
+      require(r._3,
+        s"wide audio crawl at $lbl diverged from the brute anchor-sweep oracle")
+    }
+    val wideSparse = rw1._4.filter(_._2 > 1)
+    require(wideSparse.nonEmpty && wideSparse.forall(f => f._1 < f._2),
+      s"wide banding must prune EVERY sparse-regime probe: ${fmtScans(rw1._4)}")
+    require(rwM._4.filter(_._2 > 1).exists(f => f._1 < f._2),
+      s"wide banding must re-surface pruning at ${mult}x: ${fmtScans(rwM._4)}")
+    report(f"wide-band audio crawl: 1x t=${rw1._5}%.1fs[${fmtScans(rw1._4)}] " +
+      f"keys=${rw1._6}/262144 | ${mult}x clips=${wideAuds.count()} " +
+      f"t=${rwM._5}%.1fs[${fmtScans(rwM._4)}] keys=${rwM._6}/262144 rows=${rwM._7} " +
+      "(sparse probes prune fully; bulk keeps ~all by TRUE overlap, km/S ~ 15)")
   }
 }

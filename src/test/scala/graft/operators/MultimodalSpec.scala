@@ -540,6 +540,43 @@ class MultimodalSpec extends SparkSpec {
           s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
   }
 
+  test("wide segment fingerprints: 64-bit hashes, aligned trims shift, edits stay local, 65-grid enforced") {
+    // the band-space widening (contract 18b's census fix): same window
+    // formula as the 32-bit kernel at 65 windows over 325-sample segments
+    val L = 325
+    def segs(b: Array[Byte]) = AudioCodec.segmentFingerprintsWideRow(b, L)
+    val base = segs(AudioCodec.encodeAudioVariant(5 * L, 9))
+    assert(base != null && base.numElements() == 5)
+    // aligned trims shift the sequence exactly like the narrow kernel
+    val trim = segs(AudioCodec.encodeAudioVariant(3 * L, 9, sampleBase = 2 * L))
+    assert(trim.numElements() == 3)
+    (0 until 3).foreach { s =>
+      assert(trim.getStruct(s, 2).getLong(1) == base.getStruct(s + 2, 2).getLong(1),
+        s"trimmed wide segment $s must hash as base segment ${s + 2}")
+    }
+    // a single-sample edit perturbs one 5-sample window: <= 2 bits of ONE segment
+    val edit = segs(AudioCodec.encodeAudioVariant(5 * L, 9, editAt = 2 * L + 100))
+    (0 until 5).foreach { s =>
+      val d = java.lang.Long.bitCount(
+        base.getStruct(s, 2).getLong(1) ^ edit.getStruct(s, 2).getLong(1))
+      assert(if (s == 2) d <= 2 && d >= 1 else d == 0,
+        s"edit must stay in segment 2: segment $s drifted $d bits")
+    }
+    // the 64th bit is reachable (sign-safe BIGINT semantics on both
+    // engines): some seed/length in this sweep must set bit 63
+    val anyTop = (0 until 24).exists { sd =>
+      val r = segs(AudioCodec.encodeAudioVariant(4 * L, sd))
+      r != null && (0 until r.numElements).exists(s =>
+        (r.getStruct(s, 2).getLong(1) >>> 63) == 1L)
+    }
+    assert(anyTop, "bit 63 never set across the sweep — wide pack suspect")
+    // guard: segLen must be a positive multiple of 65
+    assert(AudioCodec.segmentFingerprintsWideRow(
+      AudioCodec.encodeAudioVariant(5 * L, 9), 330) == null)
+    assert(AudioCodec.segmentFingerprintsWideRow(
+      AudioCodec.encodeAudioVariant(5 * L, 9), 0) == null)
+  }
+
   test("onset-aligned fingerprints: grid anchors at content, so off-grid lead trims are invisible") {
     // the r16 verdict-#4 front-end at the kernel level: the segment grid
     // starts at the first sample deviating from the leading value beyond
