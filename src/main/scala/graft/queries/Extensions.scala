@@ -991,9 +991,13 @@ object Extensions
       bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
       results: graft.table.GraftTable,
       filesPerTrigger: Int = 1,
-      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+      onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => (),
+      /** Sequence extractor — the default is the raw per-frame hash walk;
+        * the frame-rate-resampled leg plugs the canonical re-sample in
+        * front ([[videoFramesCanonical]]) and changes NOTHING else. */
+      toSeq: DataFrame => DataFrame = videoFrameHashes): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val fh = videoFrameHashes(b)
+      val fh = toSeq(b)
         .localCheckpoint() // In-probe collects + candidate joins read it
       val verdicts = videoAdmitVerdicts(s, bandState, sigState, fh, onBandScanMetrics)
       val admitted = verdicts.filter(col("admitted")).select("vid_id")

@@ -1822,6 +1822,136 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |ORDER BY vid_id""".stripMargin),
 
 
+    // X14s-v'': the STREAMING FRAME-RATE-RESAMPLED video-dedup crawl loop
+    // (r17, beyond the ask — completes the temporal-normalization
+    // lifecycle: batch x_video_neardup_resampled, durable
+    // x_incremental_video_dedup_resampled, now streaming): the SAME
+    // single-plane micro-batch loop with the canonical 4-slot re-sample
+    // plugged in as its sequence extractor — slice 1's every-2nd-frame
+    // recrawls of even slice-0 bases reject via slice-0's planes (a
+    // CROSS-FRAME-RATE cross-batch rejection), slice 2's every-2nd/3rd
+    // resamples of slice-1's OWN admissions reject against an earlier
+    // batch, fresh clips admit. Commits pinned 3-per-batch, post-crawl
+    // compactionProof + full-crawl reprobe. Oracle = slice-by-slice
+    // equal-slot admission over the canonical grid's closed form.
+    ("x_stream_incremental_video_dedup_resampled",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        def nfOf(i: Int) = (i % 4) match {
+          case 0 => 8; case 1 => 12; case 2 => 16; case _ => 8
+        }
+        def strideOf(i: Int) = if (i % 4 == 1) 3 else 2
+        val rows =
+          (0 until 8).map(i =>
+            ((i.toLong, ImageCodec.encodeAnimatedGifVariant(
+              16 + i, 12 + i % 5, nfOf(i), i)), 0)) ++
+          (0 until 8 by 2).map(i =>
+            (((200 + i).toLong, ImageCodec.encodeAnimatedGifVariant(
+              16 + i, 12 + i % 5, nfOf(i) / strideOf(i), i,
+              frameStride = strideOf(i))), 1)) ++
+          (0 until 5).map(j =>
+            (((100 + j).toLong, ImageCodec.encodeAnimatedGifVariant(
+              16 + j, 12 + j % 5, 8, 30 + j)), 1)) ++
+          (0 until 5 by 2).map(j =>
+            (((300 + j).toLong, ImageCodec.encodeAnimatedGifVariant(
+              16 + j, 12 + j % 5, 4, 30 + j, frameStride = 2)), 2)) ++
+          (0 until 3).map(k =>
+            (((500 + k).toLong, ImageCodec.encodeAnimatedGifVariant(
+              16 + k, 12 + k % 5, 8, 60 + k)), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("vid_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-vidrsstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        def canon(df: DataFrame) = videoFramesCanonical(videoFrameHashes(df), 4)
+        val emptyFh = canon(docs.limit(0))
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.vid_bands_rss",
+          videoBands(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.vid_sigs_rss", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.vid_adm_rss",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalVideoDedup(s, stage, docs.schema,
+          bands, sigs, results, toSeq = canon)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val admittedIds = results.toDF(s).select("vid_id")
+          .collect().map(_.getLong(0)).toSet
+        (0 until 8 by 2).foreach(i => require(!admittedIds.contains(200L + i),
+          s"frame-rate-resampled recrawl ${200 + i} must reject cross-batch"))
+        (0 until 5 by 2).foreach(j => require(!admittedIds.contains(300L + j),
+          s"resample of slice-1 admission ${300 + j} must reject"))
+        (0 until 3).foreach(k => require(admittedIds.contains(500L + k),
+          s"fresh clip ${500 + k} must admit"))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = canon(docs).localCheckpoint()
+        val reAdmitted = videoAdmitVerdicts(s, bands, sigs, allFh)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select("vid_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("vid_id")
+      },
+      s"""WITH vids(vid_id, seed, w, h, nf, stride, sl) AS (
+        |  SELECT i, i, 16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 16 ELSE 8 END,
+        |    1, 0
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, 16 + i, 12 + (i % 5),
+        |    CASE i % 4 WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 4 END,
+        |    CASE i % 4 WHEN 1 THEN 3 ELSE 2 END, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, 16 + j, 12 + (j % 5), 8, 1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, 16 + j, 12 + (j % 5), 4, 2, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, 16 + k, 12 + (k % 5), 8, 1, 2
+        |  FROM range(3) t(k)),
+        |vgrid AS (
+        |  SELECT vid_id, k, x, y,
+        |    ((((x * w) // 8) * (31 + 11 * seed) + ((y * h) // 8) * (17 + 5 * seed)
+        |      + (stride * ((k * nf) // 4)) * 7)) % 256 AS gray
+        |  FROM vids, range(8) xs(x), range(8) ys(y), range(4) ks(k)),
+        |vbits AS (
+        |  SELECT g1.vid_id, g1.k,
+        |    CAST(coalesce(sum(CASE WHEN g2.gray > g1.gray
+        |      THEN CAST(1 AS BIGINT) << CAST(g1.y * 7 + g1.x AS INTEGER) END), 0) AS BIGINT) AS h
+        |  FROM vgrid g1 JOIN vgrid g2
+        |    ON g2.vid_id = g1.vid_id AND g2.k = g1.k AND g2.y = g1.y AND g2.x = g1.x + 1
+        |  GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT a.vid_id AS x, b.vid_id AS y
+        |  FROM vbits a JOIN vbits b ON a.k = b.k AND a.vid_id <> b.vid_id
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.h, b.h))) <= 3),
+        |a0 AS (SELECT vid_id FROM vids WHERE sl = 0),
+        |a1 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.vid_id WHERE pt.x = v.vid_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT v.vid_id FROM vids v WHERE v.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.vid_id WHERE pt.x = v.vid_id))
+        |SELECT vid_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT vid_id FROM a0 UNION ALL SELECT vid_id FROM a1
+        |  UNION ALL SELECT vid_id FROM a2)
+        |ORDER BY vid_id""".stripMargin),
+
+
     // X14s-v': the STREAMING TRIM-TOLERANT video-dedup crawl loop (r14
     // verdict #1's streaming leg) — the two-plane micro-batch loop with
     // the bounded-containment admission rule: the band plane carries the
