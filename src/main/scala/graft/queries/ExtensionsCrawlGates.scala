@@ -2179,6 +2179,120 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         |ORDER BY clip_id""".stripMargin),
 
 
+    // X14s-aw: the STREAMING WIDE-FINGERPRINT audio dedup crawl loop
+    // (r17 — completes the wideband lifecycle; contract 18b additionally
+    // replays this exact loop at 30× against the brute anchor-sweep
+    // oracle and measures its restored probe selectivity): the generic
+    // containment loop with the 64-bit sequences and 4×16 banding.
+    // Slices mirror the offset family: lead-1-segment trims of even
+    // bases reject cross-batch, trail-1 trims of slice-1's own
+    // admissions and one-segment EXTENSIONS of odd bases reject, fresh
+    // clips admit; commits pinned, compactionProof + full-crawl reprobe.
+    ("x_stream_incremental_audio_dedup_wideband",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val L = 325
+        def clip(id: Long, seed: Int, ns: Int, segBase: Int) =
+          (id, AudioCodec.encodeAudioVariant(ns * L, seed, -1, sampleBase = segBase * L))
+        def nsOf(seed: Int) = 4 + seed % 4
+        val rows =
+          (0 until 8).map(i => (clip(i, i, nsOf(i), 0), 0)) ++
+          (0 until 8 by 2).map(i => (clip(200 + i, i, nsOf(i) - 1, 1), 1)) ++
+          (0 until 5).map(j => (clip(100 + j, 30 + j, nsOf(30 + j), 0), 1)) ++
+          (0 until 5 by 2).map(j => (clip(300 + j, 30 + j, nsOf(30 + j) - 1, 0), 2)) ++
+          (1 until 8 by 2).map(i => (clip(400 + i, i, nsOf(i) + 1, 0), 2)) ++
+          (0 until 3).map(k => (clip(500 + k, 60 + k, nsOf(60 + k), 0), 2))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("clip_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-audwstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val emptyFh = audioSegmentsWideOf(docs.limit(0), L)
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_ws",
+          audioSegBandsWide(emptyFh).select("vid_id", "band_key").schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_ws", emptyFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        val results = cat.createTable("db.aud_adm_ws",
+          new StructType().add("vid_id", LongType))
+        val batches = streamIncrementalAudioDedupWide(
+          s, stage, docs.schema, bands, sigs, results, segLen = L)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          sigs.meta.snapshots.size == 3 && bands.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${sigs.meta.snapshots.size}/" +
+            s"${bands.meta.snapshots.size} commits")
+        val admittedIds = results.toDF(s).select("vid_id")
+          .collect().map(_.getLong(0)).toSet
+        (0 until 8 by 2).foreach(i => require(!admittedIds.contains(200L + i),
+          s"wide lead-1 recrawl ${200 + i} must reject cross-batch"))
+        (0 until 5 by 2).foreach(j => require(!admittedIds.contains(300L + j),
+          s"wide trim of slice-1 admission ${300 + j} must reject"))
+        (1 until 8 by 2).foreach(i => require(!admittedIds.contains(400L + i),
+          s"wide one-segment extension ${400 + i} must reject (batch-longer)"))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
+        val allFh = audioSegmentsWideOf(docs, L).localCheckpoint()
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
+            toBands = audioSegBandsWide)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select(col("vid_id").as("clip_id"))
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 325 AS n, 0 AS sb,
+        |    -1 AS e, 0 AS sl
+        |  FROM range(8) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, (3 + (i % 4)) * 325, 325, -1, 1
+        |  FROM range(8) t(i) WHERE i % 2 = 0
+        |  UNION ALL
+        |  SELECT 100 + j, 30 + j, (4 + ((30 + j) % 4)) * 325, 0, -1, 1
+        |  FROM range(5) t(j)
+        |  UNION ALL
+        |  SELECT 300 + j, 30 + j, (3 + ((30 + j) % 4)) * 325, 0, -1, 2
+        |  FROM range(5) t(j) WHERE j % 2 = 0
+        |  UNION ALL
+        |  SELECT 400 + i, i, (5 + (i % 4)) * 325, 0, -1, 2
+        |  FROM range(8) t(i) WHERE i % 2 = 1
+        |  UNION ALL
+        |  SELECT 500 + k, 60 + k, (4 + ((60 + k) % 4)) * 325, 0, -1, 2
+        |  FROM range(3) t(k)),
+        |${audioOracleSegBitsWide(2600)},
+        |cl AS (SELECT clip_id, n // 325 AS ns, sl FROM clips),
+        |pr AS (
+        |  SELECT x.clip_id AS x, x.ns AS xns, y.clip_id AS y, y.ns AS yns
+        |  FROM cl x JOIN cl y ON x.clip_id <> y.clip_id
+        |    AND abs(x.ns - y.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.x, pr.y, pp.p, sum(bit_count(xor(bx.h, by.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits bx, sbits by
+        |  WHERE pp.p <= abs(pr.xns - pr.yns)
+        |    AND bx.clip_id = pr.x AND by.clip_id = pr.y
+        |    AND bx.seg - by.seg = CASE WHEN pr.xns >= pr.yns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT DISTINCT x, y FROM sc WHERE d <= 3),
+        |a0 AS (SELECT clip_id FROM cl WHERE sl = 0),
+        |a1 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a0 ON pt.y = a0.clip_id WHERE pt.x = c.clip_id)),
+        |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+        |a2 AS (SELECT c.clip_id FROM cl c WHERE c.sl = 2 AND NOT EXISTS (
+        |  SELECT 1 FROM pt JOIN a01 q ON pt.y = q.clip_id WHERE pt.x = c.clip_id))
+        |SELECT clip_id, true AS commits_pinned, true AS compacted FROM (
+        |  SELECT clip_id FROM a0 UNION ALL SELECT clip_id FROM a1
+        |  UNION ALL SELECT clip_id FROM a2)
+        |ORDER BY clip_id""".stripMargin),
+
+
     // X14s-a'': the STREAMING FINE-TRIM audio dedup crawl loop (r17,
     // beyond the ask — completes the onset-aligned lifecycle: batch
     // x_audio_neardup_finetrim, durable x_incremental_audio_dedup_finetrim,

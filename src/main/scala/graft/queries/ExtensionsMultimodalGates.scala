@@ -1357,6 +1357,125 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY 1, 2""".stripMargin),
 
 
+    // X14a''wd: the DURABLE leg of the wide-fingerprint family (r17 —
+    // the lifecycle ritual): the two-plane containment state persists
+    // WIDE 64-bit segment sequences with the 4×16 banding, recrawls probe
+    // through the UNCHANGED videoAdmitVerdictsTrimmed rule — lead-1,
+    // trail-2 + edited and one-segment-EXTENDED recrawls of crawled
+    // history REJECT, over-trims and fresh clips ADMIT. compactionProof +
+    // full-batch reprobe. At 100 TB the wide keys are what keep these
+    // probes pruning on a grown corpus (the contract-18b measurement).
+    ("x_incremental_audio_dedup_wideband",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.AudioCodec
+        val L = 325
+        def clip(id: Long, seed: Int, ns: Int, segBase: Int, edit: Boolean) =
+          (id, AudioCodec.encodeAudioVariant(ns * L, seed,
+            if (edit) ns * L / 2 else -1, sampleBase = segBase * L))
+        val hist = (0 until 14).map(i => clip(i, i, 4 + i % 4, 0, edit = false))
+        val batch = (0 until 14).map { i =>
+          val ns = 4 + (i % 4)
+          (i % 4) match {
+            case 0 => clip(200 + i, i, ns - 1, 1, edit = false)
+            case 1 => clip(300 + i, i, ns - 2, 0, edit = true)
+            case 2 => clip(400 + i, i, ns - 3, 0, edit = false)
+            case _ => clip(600 + i, i, ns + 1, 0, edit = false)
+          }
+        } ++ (0 until 8).map(j => clip(500 + j, 50 + j, 4 + j % 4, 0, edit = false))
+        val histFh = audioSegmentsWideOf(
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
+        def bandsK(f: DataFrame) = audioSegBandsWide(f.filter(col("frame") <= 2))
+          .select("vid_id", "band_key").distinct()
+        val cat = TableOps.newCatalog()
+        val bands = cat.createTable("db.aud_bands_w",
+          bandsK(histFh.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val sigs = cat.createTable("db.aud_sigs_w", histFh.schema,
+          partitionBy = Seq("vid_id" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "vid_id"))
+        Seq(histFh.filter(col("vid_id") < 7), histFh.filter(col("vid_id") >= 7))
+          .foreach { part =>
+            sigs.append(s, part.select("vid_id", "nf", "frame", "h"))
+            bands.append(s, bandsK(part))
+          }
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
+        val batchFh = audioSegmentsWideOf(
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
+        val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+          toBands = audioSegBandsWide)
+        val adm = verdicts.filter(col("admitted")).select("vid_id")
+        sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
+        bands.append(s, bandsK(batchFh).join(adm, Seq("vid_id"))
+          .select("vid_id", "band_key"))
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("vid_id").collect().map(_.getLong(0)).toSet
+        (0 until 14).foreach { i =>
+          (i % 4) match {
+            case 0 => require(rejected.contains(200L + i),
+              s"lead-1-segment wide recrawl ${200 + i} must reject")
+            case 1 => require(rejected.contains(300L + i),
+              s"trail-2+edit wide recrawl ${300 + i} must reject")
+            case 2 => require(admitted.contains(400L + i),
+              s"over-trimmed wide clip ${400 + i} must admit (beyond tolerance)")
+            case _ => require(rejected.contains(600L + i),
+              s"one-segment-extended wide recrawl ${600 + i} must reject")
+          }
+        }
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
+            toBands = audioSegBandsWide)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts.select(col("vid_id").as("clip_id"), col("matches"), col("admitted"))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("clip_id")
+      },
+      s"""WITH clips AS (
+        |  SELECT i AS clip_id, i AS seed, (4 + (i % 4)) * 325 AS n, 0 AS sb,
+        |    -1 AS e, true AS is_hist
+        |  FROM range(14) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, i, ((4 + (i % 4)) - 1) * 325, 325, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 0
+        |  UNION ALL
+        |  SELECT 300 + i, i, ((4 + (i % 4)) - 2) * 325, 0,
+        |    (((4 + (i % 4)) - 2) * 325) // 2, false
+        |  FROM range(14) t(i) WHERE i % 4 = 1
+        |  UNION ALL
+        |  SELECT 400 + i, i, ((4 + (i % 4)) - 3) * 325, 0, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 2
+        |  UNION ALL
+        |  SELECT 600 + i, i, ((4 + (i % 4)) + 1) * 325, 0, -1, false
+        |  FROM range(14) t(i) WHERE i % 4 = 3
+        |  UNION ALL
+        |  SELECT 500 + j, 50 + j, (4 + (j % 4)) * 325, 0, -1, false
+        |  FROM range(8) t(j)),
+        |${audioOracleSegBitsWide(2600)},
+        |cl AS (SELECT clip_id, n // 325 AS ns, is_hist FROM clips),
+        |pr AS (
+        |  SELECT b.clip_id AS bv, b.ns AS bns, h.clip_id AS hv, h.ns AS hns
+        |  FROM cl b JOIN cl h ON NOT b.is_hist AND h.is_hist
+        |    AND abs(b.ns - h.ns) <= 2),
+        |sc AS (
+        |  SELECT pr.bv, pr.hv, pp.p, sum(bit_count(xor(ba.h, hb.h))) AS d
+        |  FROM pr, range(3) pp(p), sbits ba, sbits hb
+        |  WHERE pp.p <= abs(pr.bns - pr.hns)
+        |    AND ba.clip_id = pr.bv AND hb.clip_id = pr.hv
+        |    AND ba.seg - hb.seg = CASE WHEN pr.bns >= pr.hns THEN pp.p ELSE -pp.p END
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT bv AS clip_id, CAST(count(DISTINCT hv) AS BIGINT) AS matches
+        |  FROM sc WHERE d <= 3 GROUP BY 1)
+        |SELECT b.clip_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.clip_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT clip_id FROM cl WHERE NOT is_hist) b LEFT JOIN m USING (clip_id)
+        |ORDER BY clip_id""".stripMargin),
+
+
     // X14a''''+: FINE (sub-half-grid) audio trims via the ONSET-ALIGNED
     // front-end (r16 verdict #4): the dual-phase grids cover 165-multiple
     // trims; finer trims perturb every window because the grid anchors at
