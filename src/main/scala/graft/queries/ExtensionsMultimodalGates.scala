@@ -63,6 +63,13 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
     (8, 171), (40, 137), (12, 130), (12, 150), (40, 171), (8, 333))
   private val offLatticeMustPair = Set(3, 5, 9, 10)
 
+  /** Fresh seeds of the durable off-lattice leg, alias-audited: each sits
+    * > 6 normalized-hash bits from every base seed's hash (measured —
+    * adjacent gradient values can alias under the sign hash, so
+    * "fresh admits" must be a checked property, not an assumption).
+    */
+  private val offLatticeFreshSeeds = Seq(61, 62, 63, 64, 66, 68)
+
   /** The FULLY GENERAL normalized-pipeline hash recomputation (r16 verdict
     * #3): unlike [[normOracleGridBits]] (which needs the lattice identity
     * to elide the clone scale), this CTE composes the ENTIRE engine chain
@@ -831,6 +838,109 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |FROM bits a JOIN bits b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY img_a, img_b""".stripMargin),
+
+
+    // X14a-norm''+d: the DURABLE leg of the OFF-LATTICE front (r17,
+    // beyond the ask): the normalized band state is crawled from the
+    // bases, and a recrawl batch of genuinely off-lattice resamples
+    // probes it through the UNCHANGED admission rule — small-step seeds
+    // (measured composed-pick drift ≤ 3) REJECT against crawled history,
+    // max-frequency seeds ADMIT (their drift exceeds the verify
+    // threshold: the honest residual, now pinned in the durable regime
+    // too), fresh seeds admit. The oracle decides every verdict with the
+    // fully general composed pick chain ([[offLatticeOracleBits]]) — no
+    // drift class is assumed, each is computed. compactionProof +
+    // full-batch reprobe, the durable ritual.
+    ("x_incremental_image_dedup_offlattice",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        val hist = (0 until 12).map { i =>
+          val (t, _) = offLatticeCfg(i)
+          (i.toLong, ImageCodec.encodeImageVariant(
+            if (i % 2 == 0) "png" else "bmp", 4 * t, 3 * t, i))
+        }
+        val batch = (0 until 12).map { i =>
+          val (t, pct) = offLatticeCfg(i)
+          val (bw, bh) = (4 * t, 3 * t)
+          val (sw, sh) = (bw * pct / 100, bh * pct / 100)
+          ((200 + i).toLong, ImageCodec.encodeImageVariantResampled(
+            if (i % 2 == 0) "bmp" else "png", bw, bh, sw, sh, i))
+        } ++ (0 until 6).map { j =>
+          val (t, _) = offLatticeCfg(j)
+          // alias-audited fresh seeds (the r15 gradient-aliasing lesson):
+          // each measured > 6 bits from EVERY crawled base's normalized
+          // hash, so "fresh must admit" is a theorem of the fixture
+          ((500 + j).toLong, ImageCodec.encodeImageVariant(
+            "png", 4 * t, 3 * t, offLatticeFreshSeeds(j)))
+        }
+        val histBands = imageBandsNormalized(
+          s.createDataFrame(hist).toDF("img_id", "blob"), 16).localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_off", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        state.append(s, histBands.filter(col("img_id") < 6))
+        state.append(s, histBands.filter(col("img_id") >= 6))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        val batchBands = imageBandsNormalized(
+          s.createDataFrame(batch).toDF("img_id", "blob"), 16).localCheckpoint()
+        val verdicts = imageAdmitVerdicts(s, state, batchBands)
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        val admitted = verdicts.filter(col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        (0 until 12).foreach { i =>
+          if (offLatticeMustPair(i))
+            require(rejected.contains(200L + i),
+              s"small-step off-lattice recrawl ${200 + i} must reject (drift <= 3)")
+          else
+            require(admitted.contains(200L + i),
+              s"max-frequency off-lattice recrawl ${200 + i} must admit (the residual)")
+        }
+        (0 until 6).foreach(j => require(admitted.contains(500L + j),
+          s"fresh image ${500 + j} must admit"))
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val adm = verdicts.filter(col("admitted")).select(col("img_id"))
+        state.append(s, batchBands.join(adm, Seq("img_id")))
+        val reAdmitted = imageAdmitVerdicts(s, state, batchBands)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts.select(col("img_id"), col("matches"), col("admitted"))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      // batch-vs-history admission over the fully general composed chain:
+      // a batch image rejects iff SOME history hash sits within hamming 3
+      s"""WITH imgs(img_id, seed, bw, bh, sw, sh, is_hist) AS (
+        |  VALUES ${(0 until 12).map { i =>
+            val (t, _) = offLatticeCfg(i)
+            val (bw, bh) = (4 * t, 3 * t)
+            s"($i, $i, $bw, $bh, $bw, $bh, true)"
+          }.mkString(", ")},
+        |  ${(0 until 12).map { i =>
+            val (t, pct) = offLatticeCfg(i)
+            val (bw, bh) = (4 * t, 3 * t)
+            val (sw, sh) = (bw * pct / 100, bh * pct / 100)
+            s"(${200 + i}, $i, $bw, $bh, $sw, $sh, false)"
+          }.mkString(", ")},
+        |  ${(0 until 6).map { j =>
+            val (t, _) = offLatticeCfg(j)
+            val (bw, bh) = (4 * t, 3 * t)
+            s"(${500 + j}, ${offLatticeFreshSeeds(j)}, $bw, $bh, $bw, $bh, false)"
+          }.mkString(", ")}),
+        |$offLatticeOracleBits,
+        |m AS (
+        |  SELECT b.img_id, CAST(count(DISTINCT h.img_id) AS BIGINT) AS matches
+        |  FROM bits b JOIN imgs vb ON vb.img_id = b.img_id AND NOT vb.is_hist
+        |  JOIN bits h ON bit_count(xor(b.h, h.h)) <= 3
+        |  JOIN imgs vh ON vh.img_id = h.img_id AND vh.is_hist
+        |  GROUP BY 1)
+        |SELECT b.img_id, coalesce(m.matches, CAST(0 AS BIGINT)) AS matches,
+        |  m.img_id IS NULL AS admitted, true AS compacted
+        |FROM (SELECT img_id FROM imgs WHERE NOT is_hist) b LEFT JOIN m USING (img_id)
+        |ORDER BY img_id""".stripMargin),
 
 
     // X14a-norm': the DURABLE leg of the normalized family — INCREMENTAL
