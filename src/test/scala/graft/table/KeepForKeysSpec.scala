@@ -123,6 +123,32 @@ class KeepForKeysSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: mixed specIds index per spec and stay brute-equal") {
+    // files written before and after evolvePartitionSpec carry DIFFERENT
+    // specIds — keepForKeys groups by (specId, schemaId), indexes each
+    // group on its own partition field (old files: none on k; new files:
+    // bucket(k)), and must stay set-equal to the brute per-key rule
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_evo", schema)
+    t.append(spark, spark.createDataFrame(
+      (0 until 200).map(i => Row(i.toLong, i.toLong)).asJava, schema)
+      .repartition(3))
+    t.evolvePartitionSpec(Seq("k" -> Transform.Bucket(8)))
+    t.append(spark, spark.createDataFrame(
+      (200 until 400).map(i => Row(i.toLong, i.toLong)).asJava, schema)
+      .repartition(3, col("k")))
+    val sc = t.scan()
+    assert(sc.dataFiles.map(_.specId).distinct.size == 2,
+      "fixture must span two partition specs")
+    (0 until 10).foreach { _ =>
+      val keys: Seq[Any] = (0 until 1 + rnd.nextInt(8)).map { _ =>
+        if (rnd.nextInt(6) == 0) null else rnd.nextInt(500).toLong
+      }
+      check(sc, "k", keys)
+    }
+  }
+
   test("unknown column and empty key set behave like the brute rule's edges") {
     val schema = StructType(Seq(StructField("k", LongType)))
     val cat = new GraftCatalog(tempWarehouse())
