@@ -523,6 +523,17 @@ object IcebergExport {
     val files = readExportedFiles(metadataJsonPath, snapshotId)
     val dataPaths = files.collect { case (0, p, _) => p }
     val deletePaths = files.collect { case (1, p, _) => p }
+    // Equality deletes (content=2): REFUSE, loudly. The reference marks them
+    // unsupported (docs/08-dml.md:179-186) and Graft never writes them, but
+    // an EXTERNAL v2 writer (Flink, notably) routinely does — silently
+    // collecting only content 0/1 would RESURRECT the rows those files
+    // delete, a silent wrong answer. Failing beats lying (r17 verdict #1).
+    val eqDeletes = files.collect { case (2, p, _) => p }
+    if (eqDeletes.nonEmpty) sys.error(
+      s"equality-delete files (content=2) are not supported; reading this " +
+        s"snapshot without applying them would resurrect deleted rows: " +
+        s"${eqDeletes.take(3).mkString(", ")}" +
+        (if (eqDeletes.size > 3) s" (+${eqDeletes.size - 3} more)" else ""))
     require(dataPaths.nonEmpty, "exported snapshot has no data files")
     val schema = metadataSchema(metadataJsonPath, snapshotId)
     // read under the METADATA schema, not footer inference: files from

@@ -66,6 +66,48 @@ class IcebergExportSpec extends SparkSpec {
     assert(metaText.contains(s"\"current-snapshot-id\":${t.meta.currentSnapshotId.get}"))
   }
 
+  test("external equality-delete files (content=2) are refused loudly, not ignored") {
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.ice_eqdel", schema,
+      properties = Map("enable-iceberg-merge-on-read" -> "true"))
+    t.append(spark, mk(Seq(
+      (1L, "a", "2024-01-01", 1.0), (2L, "a", "2024-01-02", 2.0),
+      (3L, "b", "2024-01-01", 3.0))))
+    t.delete(spark, Seq(Predicate.Eq("id", 3L))) // MOR -> position-delete manifest
+    val metaPath = IcebergExport.exportCurrent(spark, t)
+
+    // stage what an EXTERNAL v2 writer (e.g. Flink) would leave: flip the
+    // position-delete manifest's per-entry content field from 1 (position
+    // deletes) to 2 (equality deletes), schema and list untouched
+    val dir = java.nio.file.Paths.get(metaPath).getParent
+    val manifest = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-deletes")).toSeq.head
+    val reader = new DataFileReader[GenericRecord](
+      manifest.toFile, new GenericDatumReader[GenericRecord]())
+    val avroSchema = reader.getSchema
+    val entries = reader.iterator().asScala.toVector
+    reader.close()
+    entries.foreach(_.get("data_file").asInstanceOf[GenericRecord].put("content", 2))
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.create(avroSchema, manifest.toFile)
+    entries.foreach(writer.append)
+    writer.close()
+
+    // the inventory reader surfaces the content=2 entry faithfully...
+    val exported = IcebergExport.readExportedFiles(metaPath)
+    assert(exported.exists(_._1 == 2), "staged equality-delete entry must be visible")
+    // ...and the DataFrame read path REFUSES rather than resurrecting row 3
+    val ex = intercept[RuntimeException] {
+      IcebergExport.readAsDataFrame(spark, metaPath).collect()
+    }
+    assert(ex.getMessage.contains("equality-delete") && ex.getMessage.contains("content=2"),
+      s"refusal must name the unsupported shape, got: ${ex.getMessage}")
+  }
+
   test("data manifests carry spec-serialized column stats maps") {
     import org.apache.avro.file.DataFileReader
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
