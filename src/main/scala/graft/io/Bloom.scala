@@ -120,8 +120,13 @@ object Bloom {
   def mayContain(encoded: String, hashes: (Long, Long)): Boolean =
     decode(encoded).forall(mayContainBits(_, hashes))
 
-  /** [[mayContain]] over an already-decoded bitmap (never empty). */
+  /** [[mayContain]] over an already-decoded bitmap. [[decode]] never returns
+    * an empty array, but this is callable on its own (e.g. a future caller
+    * bypassing the scan-wide decode memo) — an empty bitmap answers the
+    * sound "maybe" instead of dividing by zero (r17 ADVICE).
+    */
   def mayContainBits(bytes: Array[Byte], hashes: (Long, Long)): Boolean = {
+    if (bytes.isEmpty) return true
     val bits = bytes.length * 8
     val (h1, h2) = hashes
     Seq(h1 % bits, (h1 + h2) % bits).forall { pl =>
