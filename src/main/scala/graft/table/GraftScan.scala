@@ -119,7 +119,7 @@ class GraftScan(
     if (timeTraveled) meta.schemas.getOrElse(snapshot.get.schemaId, meta.currentSchema)
     else meta.currentSchema
   }
-  private def scanSchemaId: Int = schemaOverrideId getOrElse {
+  private[graft] def scanSchemaId: Int = schemaOverrideId getOrElse {
     if (timeTraveled) snapshot.get.schemaId else meta.currentSchemaId
   }
 
@@ -228,6 +228,36 @@ class GraftScan(
   private[graft] def fileMayMatch(f: DataFile, p: Predicate): Boolean =
     Predicate.mayMatch(p, fileCtx(f))
 
+  /** Positions 0..n-1 sorted ascending by `key(_)` — bottom-up mergesort on
+    * a primitive key array (guaranteed O(n log n), no comparator boxing):
+    * the ranged stats index sorts up to the whole planned file list on the
+    * driver, where a boxed comparator sort measured ~2 s at 500k files.
+    */
+  private def sortedIndicesByLongKey(n: Int, key: Array[Long]): Array[Int] = {
+    var src = Array.range(0, n)
+    var dst = new Array[Int](n)
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (key(src(i)) <= key(src(j))) { dst(k) = src(i); i += 1 }
+          else { dst(k) = src(j); j += 1 }
+          k += 1
+        }
+        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    src
+  }
+
   /** Indexed per-key equality keep rule (r16 verdict #2): the files that may
     * contain ANY of `rawKeys` in `colName` — set-equal to the brute rule
     *
@@ -303,39 +333,186 @@ class GraftScan(
               }
             }
           case None =>
-            // stats/bloom-only column: the range-shaped stats plane is
-            // inherently linear in files, but the per-pair allocations are
-            // not — canonicalize each key ONCE, parse each file's bounds
-            // ONCE, then the inner loop is two raw compares with an
-            // early-exit on first hit (bloom bitmaps and hash pairs are
-            // memoized scan-wide). This restates fileMayMatch(f, Eq) with
-            // the per-(file, key) work hoisted; KeepForKeysSpec pins the
-            // set-equivalence. Files whose write-type-drifted partition
-            // plane still references the column (the widened-column edge
-            // the index refuses) fall back to the exact rule per key.
-            val canonKeys = keys.zip(preds)
-              .map { case (k, p) => (k, p, Canonical.of(dt, k)) }
+            // stats/bloom-only column, INDEXED (r17 verdict #2 — the last
+            // linear plane): one bounds parse per file classifies it into
+            //   point    — lower == upper, hash-indexed by the value (the
+            //              dominant unique-key / commit-sorted shape);
+            //   ranged   — lower < upper, sorted by lower with a prefix-max
+            //              of uppers, so a key's stabbing set enumerates by
+            //              binary search + a backward walk that stops the
+            //              moment no earlier interval can still reach the
+            //              key (O(log files + candidates) for disjoint or
+            //              mildly overlapping commit ranges; degenerates
+            //              only when nearly every file genuinely contains
+            //              the key — i.e. when the answer itself is large);
+            //   partial  — exactly one bound present: the old hoisted
+            //              per-key rule (rare — Graft writes both or
+            //              neither), kept linear to preserve exact
+            //              semantics on the present bound;
+            //   unbounded— no stats: statsOk for every key, bloom decides;
+            //   exact    — a write-type-drifted partition plane still
+            //              references the column: per-key fileMayMatch.
+            // Candidates pay the memoized bloom probe only; KeepForKeysSpec
+            // pins set-equivalence to the brute per-key rule across all
+            // five classes. Probe values normalize through the manifest
+            // JSON codec so hash equality lives in the parsed bounds'
+            // representation (the partition-plane index's rule).
+            val canonKeys = keys.zip(preds).map { case (k, p) =>
+              val ck = Canonical.of(dt, k).map(c =>
+                Canonical.fromJsonString(dt, Canonical.toJsonString(dt, c)))
+              (k, p, ck)
+            }
+            val ctxs = scala.collection.mutable.HashMap.empty[Int, Predicate.PruneContext]
+            val pointIdx = scala.collection.mutable.HashMap
+              .empty[Any, scala.collection.mutable.ArrayBuffer[Int]]
+            val ranged = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Int)]
+            val partial = scala.collection.mutable.ArrayBuffer
+              .empty[(Predicate.Bounds, Int)]
+            val unbounded = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val exact = scala.collection.mutable.ArrayBuffer.empty[Int]
             idxs.foreach { i =>
-              val f = files(i)
-              val ctx = fileCtx(f)
-              val sb = ctx.statBounds(colName)
-              val drifted = ctx.transformedBounds(colName).nonEmpty
-              val hit = canonKeys.exists { case (k, p, ck) =>
-                if (drifted) fileMayMatch(f, p)
-                else {
-                  val statsOk = sb.forall { b =>
-                    if (b.allNull) false
-                    else ck match {
-                      case None => true
-                      case Some(v) =>
-                        b.lower.forall(lo => Canonical.compare(lo, v) <= 0) &&
-                          b.upper.forall(hi => Canonical.compare(hi, v) >= 0)
-                    }
-                  }
-                  statsOk && ctx.bloomMayContain(colName, dt, k)
+              val ctx = fileCtx(files(i))
+              ctxs(i) = ctx
+              if (ctx.transformedBounds(colName).nonEmpty) exact += i
+              else ctx.statBounds(colName) match {
+                case None => unbounded += i
+                case Some(b) if b.allNull => () // Eq never matches an all-null file
+                case Some(b) => (b.lower, b.upper) match {
+                  case (Some(lo), Some(hi)) =>
+                    if (Canonical.compare(lo, hi) == 0)
+                      pointIdx.getOrElseUpdate(lo,
+                        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+                    else ranged += ((lo, hi, i))
+                  case (None, None) => unbounded += i
+                  case _ => partial += ((b, i))
                 }
               }
-              if (hit) keep += i
+            }
+            // Ranged-files stabbing index: lower-sorted with a prefix-max
+            // of uppers, so a key's candidates enumerate by binary search
+            // + a backward walk that stops the moment no earlier interval
+            // can still reach the key. PRIMITIVE fast path when the
+            // canonical space embeds order-isomorphically in Long
+            // (integral/date/timestamp directly; float/double via IEEE
+            // sortable bits — the exact order java.lang.Double.compare
+            // uses, so parity with Canonical.compare holds): a 500k-file
+            // boxed comparator sort alone costs ~2 s of driver planning,
+            // the primitive index sort ~100 ms. Strings/decimals keep the
+            // generic comparator path.
+            val asLong: Option[Any => Long] = dt match {
+              case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+                   _: TimestampType | _: TimestampNTZType =>
+                Some(v => v.asInstanceOf[Long])
+              case _: DateType => Some(v => v.asInstanceOf[Int].toLong)
+              case _: FloatType | _: DoubleType => Some { v =>
+                val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+                b ^ ((b >> 63) | Long.MinValue)
+              }
+              case _ => None
+            }
+            val rn = ranged.length
+            // (candidate enumerator for one derivable key, all-files visitor)
+            val (visitCandidates, visitAllRanged): (Any => (Int => Unit) => Unit,
+                (Int => Unit) => Unit) =
+              asLong match {
+                case Some(f) if rn > 0 =>
+                  val rawLos = new Array[Long](rn)
+                  val his = new Array[Long](rn)
+                  val ids = new Array[Int](rn)
+                  var i = 0
+                  while (i < rn) {
+                    rawLos(i) = f(ranged(i)._1); his(i) = f(ranged(i)._2)
+                    i += 1
+                  }
+                  val order = sortedIndicesByLongKey(rn, rawLos)
+                  val los = new Array[Long](rn)
+                  val prefMax = new Array[Long](rn)
+                  var run = Long.MinValue
+                  i = 0
+                  while (i < rn) {
+                    val o = order(i)
+                    los(i) = rawLos(o); ids(i) = ranged(o)._3
+                    val up = his(o)
+                    if (up > run) run = up
+                    prefMax(i) = run
+                    i += 1
+                  }
+                  (v => visit => {
+                    val vl = f(v)
+                    var lo = 0; var hi = rn
+                    while (lo < hi) {
+                      val mid = (lo + hi) >>> 1
+                      if (los(mid) <= vl) lo = mid + 1 else hi = mid
+                    }
+                    var p = lo - 1
+                    var more = p >= 0
+                    while (more) {
+                      if (prefMax(p) < vl) more = false
+                      else {
+                        if (his(order(p)) >= vl) visit(ids(p))
+                        p -= 1
+                        more = p >= 0
+                      }
+                    }
+                  }, visit => ids.foreach(visit))
+                case _ =>
+                  val sortedRanges =
+                    ranged.sortWith((a, b) => Canonical.compare(a._1, b._1) < 0)
+                  val prefixMaxUpper = new Array[Any](rn)
+                  var runMax: Any = null
+                  var j = 0
+                  while (j < rn) {
+                    val up = sortedRanges(j)._2
+                    if (runMax == null || Canonical.compare(up, runMax) > 0) runMax = up
+                    prefixMaxUpper(j) = runMax
+                    j += 1
+                  }
+                  (v => visit => {
+                    var lo = 0; var hi = rn
+                    while (lo < hi) {
+                      val mid = (lo + hi) >>> 1
+                      if (Canonical.compare(sortedRanges(mid)._1, v) <= 0) lo = mid + 1
+                      else hi = mid
+                    }
+                    var p = lo - 1
+                    var more = p >= 0
+                    while (more) {
+                      if (Canonical.compare(prefixMaxUpper(p), v) < 0) more = false
+                      else {
+                        if (Canonical.compare(sortedRanges(p)._2, v) >= 0)
+                          visit(sortedRanges(p)._3)
+                        p -= 1
+                        more = p >= 0
+                      }
+                    }
+                  }, visit => sortedRanges.foreach(t => visit(t._3)))
+              }
+            def bloomKeep(i: Int, k: Any): Unit =
+              if (!keep(i) && ctxs(i).bloomMayContain(colName, dt, k)) keep += i
+            canonKeys.foreach { case (k, _, ck) =>
+              ck match {
+                case Some(v) =>
+                  pointIdx.get(v).foreach(_.foreach(bloomKeep(_, k)))
+                  visitCandidates(v)(bloomKeep(_, k))
+                  partial.foreach { case (b, i) =>
+                    val ok = b.lower.forall(l => Canonical.compare(l, v) <= 0) &&
+                      b.upper.forall(h => Canonical.compare(h, v) >= 0)
+                    if (ok) bloomKeep(i, k)
+                  }
+                case None =>
+                  // underivable key cannot prune on the stats plane: every
+                  // non-all-null file is a candidate (the old rule), bloom
+                  // still gets its say
+                  pointIdx.valuesIterator.foreach(_.foreach(bloomKeep(_, k)))
+                  visitAllRanged(bloomKeep(_, k))
+                  partial.foreach { case (_, i) => bloomKeep(i, k) }
+              }
+              unbounded.foreach(bloomKeep(_, k))
+            }
+            exact.foreach { i =>
+              if (!keep(i) &&
+                canonKeys.exists { case (_, p, _) => fileMayMatch(files(i), p) })
+                keep += i
             }
         }
     }

@@ -53,17 +53,20 @@ private[graft] object PlanningFixture {
   }
 
   /** A synthetic data file in identity partition `p = part` carrying
-    * honest stats (exact min = max = the single value) for both the `id`
-    * and `p` columns, so phase-2 file pruning exercises the same bounds
-    * logic real writes produce. The path is unique but never created.
+    * honest stats for both the `id` and `p` columns — `id` spans
+    * [id, idMax] (point stats when idMax defaults to id; a RANGE for the
+    * contract-21 ranged-stats shape) — so phase-2 file pruning exercises
+    * the same bounds logic real writes produce. The path is unique but
+    * never created.
     */
   def syntheticFile(m: TableMetadata, part: Long, id: Long,
-                    rows: Long = 1000L, bytes: Long = 128L * 1024 * 1024): DataFile = {
+                    rows: Long = 1000L, bytes: Long = 128L * 1024 * 1024,
+                    idMax: Option[Long] = None): DataFile = {
     val schema = m.schemas(m.currentSchemaId)
     val idField = schema.fields.find(_.name == "id").get
     val pField = schema.fields.find(_.name == "p").get
-    def stat(dt: org.apache.spark.sql.types.DataType, v: Long) =
-      ColStats(Some(Canonical.toJsonString(dt, v)), Some(Canonical.toJsonString(dt, v)), Some(0L))
+    def stat(dt: org.apache.spark.sql.types.DataType, lo: Long, hi: Long) =
+      ColStats(Some(Canonical.toJsonString(dt, lo)), Some(Canonical.toJsonString(dt, hi)), Some(0L))
     DataFile(
       path = s"data/p=$part/fabricated-${java.util.UUID.randomUUID()}.parquet",
       content = "data",
@@ -73,7 +76,7 @@ private[graft] object PlanningFixture {
       schemaId = m.currentSchemaId,
       specId = m.defaultSpecId,
       stats = Map(
-        GraftSchema.fieldId(idField) -> stat(idField.dataType, id),
-        GraftSchema.fieldId(pField) -> stat(pField.dataType, part)))
+        GraftSchema.fieldId(idField) -> stat(idField.dataType, id, idMax.getOrElse(id)),
+        GraftSchema.fieldId(pField) -> stat(pField.dataType, part, part)))
   }
 }

@@ -149,6 +149,69 @@ class KeepForKeysSpec extends SparkSpec {
     }
   }
 
+  test("stats-plane index classes: point / ranged / partial / unbounded / all-null stay brute-equal") {
+    // r17 verdict #2 (the indexed stats plane): fabricated metadata-plane
+    // files hit every classification the index routes — point (min==max,
+    // hash), ranged (sorted lower + prefix-max-upper walk), PARTIAL bounds
+    // (one side only — a shape real writes never produce but the manifest
+    // format admits), unbounded (no stats / empty bounds), all-null, and
+    // bloom'd files — all REQUIREd set-equal to the brute per-key rule.
+    import graft.format.{ColStats, DataFile, GraftSchema}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val cat = new GraftCatalog(tempWarehouse())
+    val t = cat.createTable("db.t_statsidx", schema)
+    val fid = GraftSchema.fieldId(t.meta.currentSchema.fields.head)
+    def mkFile(tag: String, stats: Map[Int, ColStats], rows: Long = 10L) = DataFile(
+      path = s"data/fab-$tag.parquet", content = "data", partition = Map.empty,
+      recordCount = rows, fileSizeBytes = 1024L,
+      schemaId = t.meta.currentSchemaId, specId = t.meta.defaultSpecId, stats = stats)
+    def cs(lo: Option[Long], hi: Option[Long], nulls: Long = 0L,
+           bloomOf: Seq[Long] = Nil): ColStats = {
+      val bloom =
+        if (bloomOf.isEmpty) None
+        else Some(graft.io.Bloom.encode(bloomOf.flatMap { v =>
+          graft.io.Bloom.hashPair(LongType, v).toSeq.flatMap { case (h1, h2) =>
+            Seq((h1 % 512).toInt, ((h1 + h2) % 512).toInt)
+          }
+        }, 512))
+      ColStats(lo.map(_.toString), hi.map(_.toString), Some(nulls), bloom)
+    }
+    val files = Seq(
+      mkFile("p10", Map(fid -> cs(Some(10L), Some(10L)))), // point
+      mkFile("p10b", Map(fid -> cs(Some(10L), Some(10L)))), // duplicate point
+      mkFile("p20", Map(fid -> cs(Some(20L), Some(20L)))),
+      mkFile("r0", Map(fid -> cs(Some(0L), Some(100L)))), // ranged, overlapping
+      mkFile("r1", Map(fid -> cs(Some(50L), Some(150L)))),
+      mkFile("r2", Map(fid -> cs(Some(120L), Some(200L)))),
+      mkFile("r3", Map(fid -> cs(Some(5L), Some(300L)))), // wide span dominates
+      mkFile("half_lo", Map(fid -> cs(Some(40L), None))), // partial: lower only
+      mkFile("half_hi", Map(fid -> cs(None, Some(25L)))), // partial: upper only
+      mkFile("nostats", Map.empty), // unbounded: no stats at all
+      mkFile("nobounds", Map(fid -> cs(None, None))), // unbounded: empty bounds
+      mkFile("allnull", Map(fid -> ColStats(None, None, Some(10L))), rows = 10L),
+      mkFile("bloomed", Map(fid -> cs(Some(0L), Some(400L), bloomOf = Seq(7L, 399L)))))
+    PlanningFixture.appendFabricated(t, files)
+    val sc = t.scan()
+    assert(sc.dataFiles.size == files.size)
+    // targeted probes: point hit, range-interior, partial boundary both
+    // sides, bloom member + non-member, misses far out both directions
+    Seq[Seq[Any]](
+      Seq(10L), Seq(20L), Seq(60L), Seq(130L), Seq(250L), Seq(39L), Seq(40L),
+      Seq(25L), Seq(26L), Seq(7L), Seq(8L), Seq(399L), Seq(-5L), Seq(1000L),
+      Seq(10L, 130L, 399L, null), Seq("not-a-long", 60L)
+    ).foreach(check(sc, "id", _))
+    // seeded sweeps across the whole domain
+    (0 until 25).foreach { _ =>
+      val keys: Seq[Any] = (0 until 1 + rnd.nextInt(10)).map { _ =>
+        if (rnd.nextInt(7) == 0) null else (rnd.nextInt(460) - 30).toLong
+      }
+      check(sc, "id", keys)
+    }
+    // the all-null file never matches an equality probe
+    assert(!sc.keepForKeys(sc.dataFiles, "id", Seq(0L, 500L))
+      .exists(_.path.contains("allnull")))
+  }
+
   test("unknown column and empty key set behave like the brute rule's edges") {
     val schema = StructType(Seq(StructField("k", LongType)))
     val cat = new GraftCatalog(tempWarehouse())
