@@ -1099,8 +1099,14 @@ object MaintenanceOps {
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
         registerSqlCatalog(s)
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // restore in the finally (r17 verdict #2): a leaked conf would
+        // re-route every later bucket-shaped table through the SPJ path
+        val priorConfs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+          .map(k => k -> s.conf.getOption(k))
+        priorConfs.foreach { case (k, _) => s.conf.set(k, "true") }
+        try {
         val sfx = java.util.UUID.randomUUID().toString.take(8)
         val fact = s"spjo_$sfx"; val dim = s"spjc_$sfx"
         FixtureClock.timed {
@@ -1135,6 +1141,10 @@ object MaintenanceOps {
              |  ON o.o_custkey = c.c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)
           .withColumn("shuffle_free_join", lit(shuffles == 0 && spjScan))
+        } finally priorConfs.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       },
       """SELECT c.c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
@@ -1162,7 +1172,12 @@ object MaintenanceOps {
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         registerSqlCatalog(s)
+        // restore in the finally (r17 verdict #2): a leaked conf would
+        // re-route every later bucket-shaped table through the SPJ path
+        val priorBucketing =
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try {
         val sfx = java.util.UUID.randomUUID().toString.take(8)
         val fact = s"dppf_$sfx"
         FixtureClock.timed {
@@ -1192,6 +1207,10 @@ object MaintenanceOps {
         val pruned = rf.nonEmpty &&
           rf.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
         probe.withColumn("dpp_pruned", lit(dppInPlan && spjScan && pruned))
+        } finally priorBucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
       },
       """SELECT o.o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
@@ -1257,7 +1276,45 @@ object MaintenanceOps {
             m.table == s"db.$fact" && m.predicate.startsWith("runtime-in"))
           val pruned = rf.nonEmpty &&
             rf.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
-          probe.withColumn("dpp_pruned", lit(dppInPlan && dppScan && pruned))
+
+          // AS-OF leg (r17 verdict #5): the docs/05 audit-then-join pattern —
+          // a star join over VERSION AS OF keeps execution-time pruning.
+          // Decoy rows land AFTER the pinned snapshot, so a travel-broken
+          // read (serving the head) would surface them and fail the oracle;
+          // the traveled probe must still route graft-dpp, prune, and stay
+          // row-identical to the substitution path (triple equality).
+          val snap = s.sql(s"SELECT max(snapshot_id) FROM graft_sql.db.$fact.snapshots")
+            .head().getLong(0)
+          s.sql(s"INSERT INTO graft_sql.db.$fact " +
+            "SELECT date_add(DATE'1990-01-01', CAST(id * 31 AS INT)), CAST(0.0 AS DOUBLE) " +
+            "FROM range(0, 12)")
+          graft.table.QueryHistory.clear()
+          val asofSql =
+            s"""SELECT d.d_quarter, count(*) AS n,
+               |  CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+               |FROM graft_sql.db.$fact VERSION AS OF $snap f JOIN dates_dim_dppm d
+               |  ON f.o_orderdate = d.d_date
+               |WHERE d.d_quarter = '1996Q2'
+               |GROUP BY 1 ORDER BY 1""".stripMargin
+          val probeAsof = s.sql(asofSql)
+          val asofRows = probeAsof.collect()
+          val topA = probeAsof.queryExecution.executedPlan
+          val plansA = topA +: topA.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          val dppAsof = plansA.exists(_.toString.contains("dynamicpruning")) &&
+            plansA.exists(_.toString.contains("graft-dpp"))
+          val rfA = graft.table.QueryHistory.all.filter(m =>
+            m.table == s"db.$fact" && m.predicate.startsWith("runtime-in"))
+          val prunedAsof = rfA.nonEmpty &&
+            rfA.forall(m => m.filesTotal > 1 && m.filesScanned < m.filesTotal)
+          s.conf.set("graft.dpp.enabled", "false")
+          val nativeRows =
+            try s.sql(asofSql).collect()
+            finally s.conf.unset("graft.dpp.enabled")
+          val tripleEqual = asofRows.toSeq == nativeRows.toSeq
+
+          probeAsof
+            .withColumn("dpp_pruned", lit(dppInPlan && dppScan && pruned))
+            .withColumn("dpp_pruned_asof", lit(dppAsof && prunedAsof && tripleEqual))
         }
       },
       """WITH dim AS (
@@ -1267,7 +1324,7 @@ object MaintenanceOps {
         |  FROM orders)
         |SELECT d.d_quarter, count(*) AS n,
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
-        |  true AS dpp_pruned
+        |  true AS dpp_pruned, true AS dpp_pruned_asof
         |FROM orders o JOIN dim d ON CAST(o.o_orderdate AS DATE) = d.d_date
         |WHERE d.d_quarter = '1996Q2'
         |GROUP BY 1 ORDER BY 1""".stripMargin),

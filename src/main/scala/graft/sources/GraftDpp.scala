@@ -42,11 +42,13 @@ import graft.table.GraftScan
   * native plan, where a runtime filter could never drop a file and the
   * dynamic-pruning subquery would be pure overhead (the r16 ADVICE
   * posture). Engages only when provably equivalent to the native path
-  * (current snapshot, no position deletes, all files under the current
-  * schema + spec — [[GraftSpj.planEligible]]); everything else falls back
-  * to the substitution path. SPJ keeps precedence: a bucket-SPJ-shaped
-  * table still reports KeyGroupedPartitioning so co-bucketed joins stay
-  * exchange-free. `graft.dpp.enabled=false` restores the old routing.
+  * (no position deletes, every file readable verbatim under the scan's
+  * OWN resolved schema and one spec — [[GraftDpp.planEligible]], which
+  * since r18 also serves TIME-TRAVELED scans under the snapshot's
+  * schema/spec); everything else falls back to the substitution path.
+  * SPJ keeps precedence: a bucket-SPJ-shaped table still reports
+  * KeyGroupedPartitioning so co-bucketed joins stay exchange-free.
+  * `graft.dpp.enabled=false` restores the old routing.
   */
 object GraftDpp {
   /** Three-state routing conf: unset (the default) shape-routes — serve
@@ -68,6 +70,23 @@ object GraftDpp {
           meta.properties.get(TableProperties.ClusterBy).exists(_.nonEmpty) ||
           meta.properties.get(TableProperties.BloomColumns).exists(_.nonEmpty)
     }
+
+  /** DPP-route eligibility, generalized past [[GraftSpj.planEligible]] to
+    * TIME-TRAVELED scans (r17 verdict #5 — the docs/05 audit-then-join
+    * pattern joins over `VERSION AS OF`, which used to fall back to the
+    * substitution path and lose execution-time pruning): the planned files
+    * must be readable VERBATIM under the scan's OWN resolved schema (the
+    * snapshot's schema for travel, the current schema otherwise), carry no
+    * position deletes, and sit under ONE partition spec — the scan derives
+    * its prunable plane from that spec, so it need not be the default one.
+    */
+  def planEligible(scan: graft.table.GraftScan): Option[Seq[DataFile]] = {
+    val (files, deletes, _) = scan.plan
+    val ok = deletes.isEmpty && files.nonEmpty &&
+      files.forall(_.schemaId == scan.scanSchemaId) &&
+      files.map(_.specId).distinct.size == 1
+    if (ok) Some(files) else None
+  }
 }
 
 /** DSv2 Batch scan over one pinned Graft snapshot with generalized
@@ -107,17 +126,22 @@ class GraftDppScan(
     * would make Spark plan a dynamic-pruning subquery (re-executing the
     * build side when exchange reuse doesn't apply) whose filter() then
     * keeps every file — pure overhead. One pass over the planned file
-    * list, computed only if Spark asks.
+    * list, computed only if Spark asks. Resolution uses the SCAN's own
+    * schema and the planned files' (eligibility-pinned single) spec, not
+    * the table head's — a time-traveled scan prunes under the snapshot's
+    * schema/spec (r17 verdict #5).
     */
   private lazy val prunableCols: Set[String] = {
     val meta = tbl.graftTable.meta
-    val byId = meta.currentSchema.fields
+    val byId = native.scanSchema.fields
       .map(f => GraftSchema.fieldId(f) -> f.name).toMap
-    // DEFAULT spec only: planEligible pins every planned file under it, so
-    // an older spec's source column carries no transform plane in any
-    // planned file — reporting it would invite a no-op pruning subquery
-    val partCols = meta.defaultSpec.fields
-      .flatMap(pf => byId.get(pf.sourceId)).toSet
+    // the files' ONE spec ([[GraftDpp.planEligible]]): a source column of
+    // any OTHER spec carries no transform plane in any planned file —
+    // reporting it would invite a no-op pruning subquery
+    val spec = files.headOption.map(f =>
+        meta.specs.getOrElse(f.specId, graft.format.PartitionSpec.unpartitioned))
+      .getOrElse(meta.defaultSpec)
+    val partCols = spec.fields.flatMap(pf => byId.get(pf.sourceId)).toSet
     val statIds = files.iterator.flatMap(_.stats.iterator.collect {
       case (id, st) if st.min.isDefined || st.max.isDefined || st.bloom.isDefined => id
     }).toSet
@@ -168,7 +192,9 @@ class GraftDppScan(
       val partsOf = (fs: Seq[DataFile]) => fs.map(_.partition).distinct.size.toLong
       pendingMetrics.set(graft.table.ScanMetrics(
         tbl.graftTable.name,
-        tbl.graftTable.meta.currentSnapshotId.getOrElse(-1L),
+        // the scan's PINNED snapshot (r18: travel is served — the ledger
+        // must attribute the prune to the snapshot actually read)
+        native.snapshot.map(_.snapshotId).getOrElse(-1L),
         s"runtime-in($cols, $keyCount keys)",
         manifestsTotal = 0, manifestsScanned = 0,
         filesTotal = files.size.toLong, filesScanned = kept.size.toLong,
@@ -181,22 +207,57 @@ class GraftDppScan(
     }
   }
 
+  /** The native plan's split-and-pack rule (FileSourceScanExec /
+    * FilePartition semantics), re-derived for this scan's slice shape:
+    * maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * totalBytes/defaultParallelism)), big files range-split at it, then
+    * slices BIN-PACKED (largest-first, openCost charged per slice) into
+    * shared partitions. Without the packing this default read path would
+    * hand Spark one task per file — a table of 500k small files becomes
+    * 500k tasks of scheduling overhead exactly where the substituted
+    * native scan used to pack them (r17 ADVICE). SPJ bucket partitions
+    * keep whole-file-per-bucket semantics; only this scan packs.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     Option(pendingMetrics.getAndSet(null)).foreach(graft.table.QueryHistory.record)
-    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
-    allowed.getOrElse(files).flatMap { f =>
+    val spark = SparkSession.active
+    val conf = spark.sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val read = allowed.getOrElse(files)
+    val minPartitionNum = conf.filesMinPartitionNum.map(_.toLong)
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+      .max(1L)
+    val totalBytes = read.map(_.fileSizeBytes + openCost).sum
+    val maxSplit = math.min(maxBytes,
+      math.max(openCost, totalBytes / minPartitionNum)).max(1L)
+    val slices = read.flatMap { f =>
       val path = GraftUtil.resolve(location, f.path)
-      val slices = math.max(1L, (f.fileSizeBytes + maxBytes - 1) / maxBytes)
-      (0L until slices).map { i =>
-        val start = i * maxBytes
-        GraftDppPartition(Seq((path, start,
-          math.min(maxBytes, f.fileSizeBytes - start), f.fileSizeBytes)))
+      val n = math.max(1L, (f.fileSizeBytes + maxSplit - 1) / maxSplit)
+      (0L until n).map { i =>
+        val start = i * maxSplit
+        (path, start, math.min(maxSplit, f.fileSizeBytes - start), f.fileSizeBytes)
       }
-    }.toArray
+    }.sortBy(-_._3)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    var curSize = 0L
+    def close(): Unit = if (cur.nonEmpty) {
+      out += GraftDppPartition(cur.toSeq); cur.clear(); curSize = 0L
+    }
+    slices.foreach { s =>
+      if (curSize + s._3 > maxSplit) close()
+      cur += s; curSize += s._3 + openCost
+    }
+    close()
+    out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftSpj.readerFactory(tbl.graftTable.schema, pushed, required)
+    // the SCAN's resolved schema: a time-traveled read decodes under the
+    // snapshot's schema, which eligibility pinned as every file's write
+    // schema (the current schema for a head read — same value as before)
+    GraftSpj.readerFactory(native.scanSchema, pushed, required)
 
   /** Post-filter size/rows from the manifests' own accounting — after a
     * runtime prune AQE sees the PRUNED size, so a fact cut to broadcast

@@ -472,9 +472,12 @@ class GraftV2ScanBuilder(val tbl: GraftSparkTable) extends ScanBuilder
             required.getOrElse(tbl.schema()), native.meta.location, Some(native))
         }
       }
+    // time travel is SERVED since r18 (r17 verdict #5): the docs/05
+    // audit-then-join pattern keeps execution-time pruning — eligibility
+    // and plane resolution pin the snapshot's own schema/spec
     def dpp =
-      if (tbl.travel != TimeTravel.None || !GraftDpp.route(spark, tbl)) None
-      else GraftSpj.planEligible(native).map { files =>
+      if (!GraftDpp.route(spark, tbl)) None
+      else GraftDpp.planEligible(native).map { files =>
         new GraftDppScan(tbl, native, files, accepted,
           required.getOrElse(tbl.schema()), native.meta.location)
       }

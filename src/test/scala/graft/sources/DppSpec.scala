@@ -285,6 +285,97 @@ class DppSpec extends SparkSpec {
       s"bucket table under the bucketing conf must keep graft-spj:\n$bucketed")
   }
 
+  test("time travel: VERSION AS OF keeps execution-time pruning under the snapshot's schema") {
+    // r17 verdict #5: the docs/05 audit-then-join pattern — a star join
+    // over VERSION AS OF must not silently lose DPP. Decoy rows (and a
+    // schema evolution) land AFTER the pinned snapshot: a travel-broken
+    // read would surface the decoys or the evolved column.
+    dppGeneralReady
+    spark.conf.set("spark.sql.catalog.dppt", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dppt.warehouse", tempWarehouse())
+    spark.sql(
+      "CREATE TABLE dppt.db.factt (d DATE, v DOUBLE) PARTITIONED BY (months(d))")
+    spark.sql(
+      """INSERT INTO dppt.db.factt
+        |SELECT date_add(DATE'2023-01-01', CAST(id % 720 AS INT)) AS d,
+        |  CAST(id AS DOUBLE) AS v
+        |FROM range(0, 14400)""".stripMargin)
+    val snap = spark.sql("SELECT max(snapshot_id) FROM dppt.db.factt.snapshots")
+      .head().getLong(0)
+    spark.sql("ALTER TABLE dppt.db.factt ADD COLUMN note STRING")
+    spark.sql("INSERT INTO dppt.db.factt " +
+      "SELECT date_add(DATE'2023-04-15', 0), CAST(-1.0 AS DOUBLE), 'decoy'")
+    val sql =
+      s"""SELECT count(*) AS n, sum(f.v) AS sv
+         |FROM dppt.db.factt VERSION AS OF $snap f JOIN dppg_dates d
+         |  ON f.d = d.d_date
+         |WHERE d.d_quarter = '2023Q2'""".stripMargin
+    graft.table.QueryHistory.clear()
+    val q = spark.sql(sql)
+    val row = q.collect().head
+    assert(row.getLong(0) == 1820L, s"AS-OF read must exclude the decoy: $row")
+    val plans = allPlans(q.queryExecution.executedPlan)
+    assert(plans.exists(_.toString.contains("dynamicpruning")),
+      s"no dynamic-pruning subquery under AS OF:\n${q.queryExecution.executedPlan}")
+    assert(plans.exists(_.toString.contains("graft-dpp")),
+      s"traveled fact scan must serve graft-dpp:\n${q.queryExecution.executedPlan}")
+    val m = lastRuntimeIn("db.factt")
+    assert(m.filesTotal > 1 && m.filesScanned < m.filesTotal,
+      s"AS-OF runtime filter must prune files: ${m.filesScanned}/${m.filesTotal}")
+    assert(m.partitionsScanned <= 3,
+      s"Q2 dates land in 3 months: ${m.partitionsScanned}/${m.partitionsTotal}")
+    // triple equality: DPP route == DPP-subquery off == native substitution
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val noSubquery =
+      try spark.sql(sql).collect()
+      finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val native = withDppDisabled { spark.sql(sql).collect() }
+    assert(Seq(row) == noSubquery.toSeq && Seq(row) == native.toSeq)
+    // and the head read still sees the decoy (travel is a pin, not a mask)
+    assert(spark.sql("SELECT count(*) FROM dppt.db.factt WHERE v < 0").head().getLong(0) == 1L)
+  }
+
+  test("small files bin-pack into shared input partitions (native split rule)") {
+    // r17 ADVICE (medium): the DPP scan is the DEFAULT read path for every
+    // partitioned table, so one-task-per-file would regress a small-file
+    // table (500k files -> 500k tasks) vs the substituted native scan's
+    // FilePartition packing. factm holds 24 tiny month files; under
+    // minPartitionNum=2 the split rule yields maxSplit ~ totalBytes/2, so
+    // the 24 slices (openCost-charged) must pack into FAR fewer partitions.
+    dppGeneralReady
+    val prior = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    spark.conf.set("spark.sql.files.minPartitionNum", "2")
+    try {
+      val df = spark.sql("SELECT * FROM dppg.db.factm")
+      val parts = df.rdd.getNumPartitions
+      val fileCount = spark.sql(
+        "SELECT count(*) FROM dppg.db.factm.files").head().getLong(0)
+      assert(fileCount >= 24, s"fixture must hold many small files: $fileCount")
+      assert(parts < fileCount / 2,
+        s"small files must bin-pack: $parts partitions for $fileCount files")
+      // packing must neither drop nor duplicate a slice
+      assert(df.count() == 14400L)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.files.minPartitionNum", v)
+      case None => spark.conf.unset("spark.sql.files.minPartitionNum")
+    }
+    // and a file LARGER than maxSplitBytes still range-splits: shrink the
+    // split ceiling so each month file spans several slices
+    val priors = Seq("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = spark.sql("SELECT * FROM dppg.db.factm")
+      assert(df.rdd.getNumPartitions > 24,
+        s"files larger than maxSplitBytes must range-split: ${df.rdd.getNumPartitions}")
+      assert(df.count() == 14400L, "range splits must neither drop nor duplicate rows")
+    } finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime-filtered result matches the unfiltered plan row for row") {
     fixtureReady
     // guard against over-pruning: disable DPP, re-run, compare — the
