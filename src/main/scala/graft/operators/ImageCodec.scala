@@ -482,6 +482,37 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Fixture-side JPEG RE-ENCODE at an explicit quality factor (r17 verdict
+    * #4): decode `bytes` with the JDK reader and write them back as jpeg at
+    * `quality` ∈ (0, 1] — the dominant real-world jpeg near-dup (the SAME
+    * image saved again at a different quality setting). Deterministic on
+    * one JDK (same bytes + quality ⇔ same output), so gates can plant
+    * re-encoded clones whose PAIRING the oracle checks by id set (the -1
+    * sentinel discipline — re-encoded rasters have no cross-engine closed
+    * form). Null-intolerant by design: a fixture must re-encode what it
+    * just encoded.
+    */
+  def reencodeJpeg(bytes: Array[Byte], quality: Float): Array[Byte] = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "reencodeJpeg: JDK reader rejected the input bytes")
+    // strip any alpha: the JDK jpeg writer refuses TYPE_INT_ARGB
+    val rgb = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = rgb.createGraphics()
+    try g2.drawImage(img, 0, 0, null) finally g2.dispose()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
   /** 56-bit difference hash (dHash) of the FULL decoded raster — the
     * perceptual fingerprint for image near-dup dedup. Nearest-neighbor
     * pick an 8×8 gray grid (source pixel (x·W/8, y·H/8), integer floor —

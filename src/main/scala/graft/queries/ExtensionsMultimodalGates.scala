@@ -684,6 +684,54 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |ORDER BY img_a, img_b""".stripMargin),
 
 
+    // X14: JPEG RE-QUALITY near-dup (r17 verdict #4) — the dominant
+    // real-world jpeg near-dup is the SAME image saved again at a
+    // different quality factor. MultimodalSpec measures the JDK codec's
+    // dHash drift across the re-encode quality sweep: q ≥ 0.8 stays
+    // within the measured ≤6-bit jpeg verify threshold (max 5 across the
+    // seeds), while deep re-quality (q = 0.3) drifts 10-21 bits — past
+    // the banding's admission and approaching unrelated-seed distances
+    // (≥ 15), the honest residual of a 56-bit dHash under heavy DCT
+    // requantization. The corpus plants a mild re-encode (q ∈ {0.95,
+    // 0.9, 0.8} rotating) for EVERY seed — all must pair — and deep
+    // q=0.3 re-encodes for the seeds whose measured drift ≥ 10 — none
+    // may pair (nearest rejected distance 9, measured over the full
+    // corpus). Re-encoded rasters are codec-owned (no cross-engine
+    // closed form), so every admitted pair maps to the -1 sentinel and
+    // the oracle checks the planted ID SET; the in-gate REQUIRE pins
+    // set-exactness loudly first. At 100 TB: re-quality dedup costs
+    // nothing beyond the hash already computed at ingest — the same
+    // 8×7-bit banded pipeline, same admission threshold as image_lossy.
+    ("x_image_neardup_requality",
+      (s: SparkSession, d: String) => {
+        import graft.operators.ImageCodec
+        val mild = Seq(0.95f, 0.9f, 0.8f)
+        val rows = (0 until 8).flatMap { i =>
+          val (w, h) = (24 + i, 16 + i % 5)
+          val base = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
+          val out = List((2000L + i, base),
+            (2100L + i, ImageCodec.reencodeJpeg(base, mild(i % 3))))
+          if (i >= 1 && i <= 5) (2200L + i, ImageCodec.reencodeJpeg(base, 0.3f)) :: out
+          else out
+        }
+        val df = s.createDataFrame(rows).toDF("img_id", "blob")
+        val t = TableOps.newCatalog().createTable("db.img_requal", df.schema)
+        t.append(s, df)
+        val pairs = bandPairsOfAt(imageBandsLossy(
+            t.toDF(s).select(col("img_id"), col("blob"))), "img_id", 6)
+          .select(col("a").as("img_a"), col("b").as("img_b"),
+            lit(-1L).as("hamming"))
+        val found = pairs.select("img_a", "img_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(found == (0 until 8).map(i => (2000L + i, 2100L + i)).toSet,
+          s"re-quality leg must pair exactly the mild re-encodes " +
+            s"(and never the deep q=0.3 plants): $found")
+        pairs.orderBy("img_a", "img_b")
+      },
+      """SELECT CAST(2000 + i AS BIGINT) AS img_a,
+        |  CAST(2100 + i AS BIGINT) AS img_b, CAST(-1 AS BIGINT) AS hamming
+        |FROM range(8) t(i) ORDER BY img_a, img_b""".stripMargin),
+
     // X14b': CROSS-RESOLUTION image near-dup (r15, beyond the asks) —
     // real image near-dups are overwhelmingly RESIZES, and the existing
     // dHash already catches every integer nearest-neighbor upscale with

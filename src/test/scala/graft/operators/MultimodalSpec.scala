@@ -503,13 +503,9 @@ class MultimodalSpec extends SparkSpec {
     // closed-form decoded raster, so its near-dup certification lives HERE
     // (single-JDK determinism) instead of a DuckDB oracle — the router
     // gate only oracle-checks routing + byte-identical twins (hamming 0).
-    // The <=6 / >=10 bit thresholds are EMPIRICAL measurements of THIS
-    // JDK's jpeg codec (r16 ADVICE): a different vendor/version can shift
-    // them with product behavior unchanged, so they apply only on the
-    // measured codec; determinism and hamming-0 twins (codec-independent
-    // theorems given a deterministic ImageIO) stay unconditional.
-    val measuredCodec =
-      System.getProperty("java.specification.version") == "17"
+    // Determinism and hamming-0 twins are codec-independent theorems given
+    // a deterministic ImageIO — unconditional. The EMPIRICAL <=6 / >=10
+    // thresholds live in the next test, assume()-gated to the measured JDK.
     (0 until 8).foreach { i =>
       val w = 24 + i; val h = 16 + i % 5
       val a = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
@@ -520,13 +516,26 @@ class MultimodalSpec extends SparkSpec {
       val ha = ImageCodec.dhashRow(a)
       assert(ha != null, "JDK must decode its own jpeg output")
       assert(ha.longValue() == ImageCodec.dhashRow(b).longValue())
+    }
+  }
+
+  test("jpeg dHash empirical thresholds: pick-edits <=6 bits, seeds >=10 (measured JDK only)") {
+    // The <=6 / >=10 bit thresholds are EMPIRICAL measurements of THIS
+    // JDK's jpeg codec (r16 ADVICE): a different vendor/version can shift
+    // them with product behavior unchanged, so they apply only on the
+    // measured codec. assume() (r17 ADVICE): on any other JDK this test
+    // reports CANCELED — a visible skip — instead of a vacuous green pass.
+    assume(System.getProperty("java.specification.version") == "17",
+      "jpeg drift thresholds were measured on the JDK 17 codec")
+    (0 until 8).foreach { i =>
+      val w = 24 + i; val h = 16 + i % 5
+      val ha = ImageCodec.dhashRow(ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i))
       // a planted pick-edit survives the DCT as a NEAR clone — wider than
       // the lossless <= 2 bound (block ringing bleeds into neighbor picks;
       // measured max 5 across these seeds) but far under the seed distance
       val e = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i, 3 * w / 8, 3 * h / 8)
       val editHam = java.lang.Long.bitCount(ha.longValue() ^ ImageCodec.dhashRow(e).longValue())
-      if (measuredCodec)
-        assert(editHam <= 6, s"jpeg pick-edit drifted $editHam bits (seed ${80 + i})")
+      assert(editHam <= 6, s"jpeg pick-edit drifted $editHam bits (seed ${80 + i})")
     }
     // unrelated seeds stay FAR through the lossy round-trip: the band
     // nomination cannot accidentally pair them (measured min 17)
@@ -534,10 +543,53 @@ class MultimodalSpec extends SparkSpec {
       ImageCodec.dhashRow(
         ImageCodec.encodeImageVariant("jpeg", 24 + i, 16 + i % 5, 80 + i)).longValue
     }
-    if (measuredCodec)
-      for (i <- 0 until 8; j <- i + 1 until 8)
-        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
-          s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
+    for (i <- 0 until 8; j <- i + 1 until 8)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) >= 10,
+        s"jpeg seeds ${80 + i}/${80 + j} aliased within 10 bits")
+  }
+
+  test("jpeg re-quality: re-encode is deterministic; mild q stays <=6 bits, deep q drifts past banding") {
+    // r17 verdict #4: the x_image_neardup_requality corpus certification.
+    // Determinism (same bytes + quality <=> same output) is unconditional;
+    // the drift bounds are empirical measurements of THIS JDK's codec.
+    val base = ImageCodec.encodeImageVariant("jpeg", 30, 20, 85)
+    assert(java.util.Arrays.equals(
+      ImageCodec.reencodeJpeg(base, 0.5f), ImageCodec.reencodeJpeg(base, 0.5f)),
+      "jpeg re-encode must be deterministic on one JDK")
+    assume(System.getProperty("java.specification.version") == "17",
+      "re-quality drift bounds were measured on the JDK 17 codec")
+    val mild = Seq(0.95f, 0.9f, 0.8f)
+    val deepSeeds = 1 to 5
+    val hashes = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    (0 until 8).foreach { i =>
+      val (w, h) = (24 + i, 16 + i % 5)
+      val b = ImageCodec.encodeImageVariant("jpeg", w, h, 80 + i)
+      hashes(2000L + i) = ImageCodec.dhashRow(b).longValue
+      hashes(2100L + i) = ImageCodec.dhashRow(
+        ImageCodec.reencodeJpeg(b, mild(i % 3))).longValue
+      if (deepSeeds.contains(i))
+        hashes(2200L + i) = ImageCodec.dhashRow(
+          ImageCodec.reencodeJpeg(b, 0.3f)).longValue
+    }
+    // mild re-encodes stay within the jpeg verify threshold (measured max 5)
+    (0 until 8).foreach { i =>
+      val d = java.lang.Long.bitCount(hashes(2000L + i) ^ hashes(2100L + i))
+      assert(d <= 6, s"mild re-encode drifted $d bits (seed ${80 + i})")
+    }
+    // deep re-encodes drift past the banding's admission (measured 10-21)
+    deepSeeds.foreach { i =>
+      val d = java.lang.Long.bitCount(hashes(2000L + i) ^ hashes(2200L + i))
+      assert(d > 6, s"deep q=0.3 re-encode must NOT pair (seed ${80 + i}): $d bits")
+    }
+    // the gate's exact claim: over the FULL corpus the <=6 admission keeps
+    // exactly the 8 (base, mild) pairs — nearest rejected measured at 9
+    val ids = hashes.keys.toSeq
+    val admitted = for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <= 6
+    } yield (i, j)
+    assert(admitted.toSet == (0 until 8).map(i => (2000L + i, 2100L + i)).toSet,
+      s"admission must be exactly the planted mild pairs: $admitted")
   }
 
   test("wide segment fingerprints: 64-bit hashes, aligned trims shift, edits stay local, 65-grid enforced") {
@@ -614,6 +666,53 @@ class MultimodalSpec extends SparkSpec {
     // 4) degenerate inputs: all-silence (no onset) and a too-short body
     assert(segs(AudioCodec.encodeAudioVariantLead(2 * L, 0, 9)) == null)
     assert(segs(AudioCodec.encodeAudioVariantLead(50, L - 1, 9)) == null)
+  }
+
+  test("temporal lattice is structural: no per-clip pick rule commutes with off-lattice resampling") {
+    // r17 verdict #6, evaluated and PINNED as impossible rather than fixed:
+    // a canonical-grid pick rule f(k, nf) that commuted with EVERY stride s
+    // (f(k, s*m) == s*f(k, m), so a resampled clone lands on its base's
+    // content frames) would at m=1 force f(k, s) = s*f(k, 1) = 0 for all s
+    // (a 1-frame clip's only frame is 0) — the degenerate all-slots-frame-0
+    // grid. So commutation can only hold on a LATTICE, and the shipped rule
+    // floor(k*nf/c) owns exactly the c-divides-nf one. Exhaustively pinned
+    // for the shipped c=4 and the two candidate rules (floor and the
+    // round-to-nearest the verdict proposed):
+    val c = 4
+    def floorPick(k: Int, nf: Int): Int = k * nf / c
+    def roundPick(k: Int, nf: Int): Int =
+      math.min(nf - 1, (2 * k * nf + c) / (2 * c)) // round half up, clamped
+    // (a) ON-lattice: floor commutes with every stride — the gate's claim
+    for (m <- c to 48 by c; s <- 2 to 6; k <- 0 until c)
+      assert(floorPick(k, s * m) == s * floorPick(k, m),
+        s"lattice commutation broke at m=$m s=$s k=$k")
+    // (b) OFF-lattice: EVERY non-multiple m violates commutation for some
+    // (s, k) under BOTH rules — the residual is structural, not a rule choice
+    for (m <- 2 to 48 if m % c != 0) {
+      val combos = for (s <- 2 to 6; k <- 0 until c) yield (s, k)
+      assert(combos.exists { case (s, k) => floorPick(k, s * m) != s * floorPick(k, m) },
+        s"floor rule unexpectedly commutes off-lattice at m=$m")
+      assert(combos.exists { case (s, k) => roundPick(k, s * m) != s * roundPick(k, m) },
+        s"round rule unexpectedly commutes off-lattice at m=$m")
+    }
+    // (c) the gate's concrete 10->5 shape: both rules mispick slot 2+
+    assert(floorPick(2, 10) == 5 && 2 * floorPick(2, 5) == 4)
+    assert(roundPick(2, 10) != 2 * roundPick(2, 5) ||
+      roundPick(3, 10) != 2 * roundPick(3, 5))
+    // (d) and the mispicks are FATAL on the gate's off-lattice seeds
+    // (x_video_neardup_resampled i%4=3: nf=10, stride-2 clone): canonical
+    // slots 2,3 read base frames {5,7} against clone content {4,6}, and
+    // the SUMMED drift across those misaligned frames exceeds the <=3
+    // verify on every planted seed — the must-NOT is measured, not assumed
+    Seq(3, 7, 11).foreach { i =>
+      val fh = ImageCodec.frameDhashRow(
+        ImageCodec.encodeAnimatedGifVariant(16 + i, 12 + i % 5, 10, i), 1)
+      def h(f: Int) = fh.getStruct(f, 2).getLong(1)
+      val drift = java.lang.Long.bitCount(h(5) ^ h(4)) +
+        java.lang.Long.bitCount(h(7) ^ h(6))
+      assert(drift > 3,
+        s"mispicked slots must exceed the verify threshold (seed $i): $drift")
+    }
   }
 
   test("canonical frame grid: lattice frame-rate resamples pick identical content frames") {
