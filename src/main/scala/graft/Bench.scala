@@ -142,6 +142,24 @@ object Bench {
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=x_dedup_minhash,q14_variant_type
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // Fixed warmup pass (r17 verdict #8): run the first 12 sorted gates
+    // once, untimed, before the measured loop. The rotating sub-second
+    // flags across same-code captures (x_sim_quantized 0.28→1.00→0.26 on
+    // byte-identical trees) are run-order JIT noise the targeted warmups
+    // above don't fully absorb — the opening gates still JIT the shared
+    // gate-harness paths (oracle fixture builders, catalog registration,
+    // metric plumbing) on the clock. Full runs only: a SPARK_GRAFT_QUERIES
+    // iteration must stay fast, and its numbers are never a baseline.
+    if (only.isEmpty) {
+      SparkEntry.queries.toSeq.sortBy(_._1).take(12).foreach { case (_, fn) =>
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        graft.queries.TableOps.reclaimTempDirs()
+        graft.queries.FixtureClock.reset()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+      graft.queries.TableOps.reclaimTempDirs()
+    }
     // One full measurement pass: times every query with the mid-run control
     // series interleaved. A pass is self-contained (its own start/mid/end
     // probes) so a retry's artifact has one coherent measurement context.
