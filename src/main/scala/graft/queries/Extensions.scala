@@ -1155,6 +1155,36 @@ object Extensions
         statementId = Some(s"$stage-${stmtPrefix}band-$batchId")): Unit
     }
 
+  /** BULK-REGIME BATCH SIZING (r17 verdict #7) — the km/S true-overlap
+    * law's operating rule. Contract 18b measured that a probe of k
+    * distinct band keys keeps a state file holding m keys with
+    * P ≈ 1 − e^(−km/S) through TRUE band overlaps (S = the modality's
+    * band-key space), so once state files and batches are both corpus-
+    * fraction-sized every probe keeps ~every file regardless of hash
+    * width — BATCH SIZE is the bulk lever. When state files are
+    * themselves batch-sized (the crawl loops' shape: one state file per
+    * micro-batch commit), k ≈ c·b and m ≈ c·b for a batch of b ids
+    * contributing c band keys each, so the largest batch whose expected
+    * per-file keep fraction stays below `keepFraction` is
+    *
+    *   b* = sqrt(S · ln(1/(1−f))) / c
+    *
+    * (c²·b²/S < ln(1/(1−f)) ⇔ 1 − e^(−km/S) < f). `keysPerId` is the
+    * MEASURED c — state band rows / state ids, metadata a caller already
+    * has — so the rule adapts to the modality's real density instead of
+    * assuming one. Contract 18b's derived-batch leg REQUIREs that the
+    * 30× bulk regime, re-staged at b*, records probe fractions < 1 where
+    * the corpus-sized batches saturate.
+    */
+  private[graft] def bulkBatchCap(bandSpace: Long, keysPerId: Double,
+      keepFraction: Double): Long = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1): $keepFraction")
+    require(keysPerId > 0.0, s"keysPerId must be positive: $keysPerId")
+    math.max(1L,
+      (math.sqrt(bandSpace * math.log(1.0 / (1.0 - keepFraction))) / keysPerId).toLong)
+  }
+
   /** The closed-form per-frame dHash recomputation every video gate's
     * DuckDB oracle shares — rendered-frame gray + bit packing over a
     * `vids(vid_id, seed, w, h, nf, ef, ex, ey, ...)` CTE (the

@@ -921,11 +921,17 @@ object ScaleSmoke {
     *      cost is linear in files by construction, so the extrapolation is
     *      exact in shape), with the keep set REQUIREd set-equal to the
     *      sweep's on that subset and exactly the planted key files overall;
-    *   b. STATS-plane probe (no partition field on `id`): the documented
-    *      linear residual — per-key canonicalization and per-file bound
-    *      parses hoisted, inner loop two raw compares with early exit —
-    *      recorded, with its own generous floor (≤ 60 s) so a regression
-    *      back to per-pair allocation shows up as a hard failure.
+    *   b. STATS-plane probe (no partition field on `id`), INDEXED since
+    *      r18 (r17 verdict #2 — previously the documented linear residual
+    *      at 4.9–7.2 s): point stats (min = max) hash-index like the
+    *      partition plane, so the probe is one classification pass over
+    *      the file list + O(1) lookups per key — REQUIREd under 2 s (vs
+    *      the 60 s floor the linear sweep carried) and set-equal to the
+    *      brute per-key rule on a live subset;
+    *   c. RANGED stats shape (files spanning [g·1000, g·1000+999], the
+    *      commit-sorted range layout): per-key binary search into the
+    *      lower-sorted ranges + the prefix-max-upper backward walk —
+    *      REQUIREd under 2 s with exactly one file kept per probed range.
     */
   private[tools] def runtimeFilterPlanningContract(): Unit = {
     import graft.format.{Predicate, Transform}
@@ -983,24 +989,60 @@ object ScaleSmoke {
       "keepForKeys must be set-equal to the per-key sweep it replaced")
     val extrapolated = tBrute * scaleUp
 
-    // b. the stats-plane linear residual (id carries no partition field)
+    // b. the stats-plane probe (id carries no partition field) — indexed
+    // since r18: point stats hash like the partition plane
     val idKeys: Seq[Any] = (0 until 1024).map(_ => rnd.nextLong(nFiles.toLong)).distinct
-    val (keptI, tSweep) = timed(sc.keepForKeys(files, "id", idKeys))
+    val (keptI, tStats) = timed(sc.keepForKeys(files, "id", idKeys))
     require(keptI.size == idKeys.size,
       s"unique-id stats must keep exactly the probed files: ${keptI.size}/${idKeys.size}")
+    // set-equality to the brute per-key rule on the live subset (the
+    // index is a planning optimization, never a semantic change)
+    require(sc.keepForKeys(subset, "id", idKeys).map(_.path).toSet ==
+      subset.filter(f => idKeys.exists(k =>
+        sc.fileMayMatch(f, Predicate.Eq("id", k)))).map(_.path).toSet,
+      "stats-plane keepForKeys must be set-equal to the brute per-key rule")
+
+    // c. the RANGED stats shape: a second 500k-file fixture whose id stats
+    // span disjoint [g*1000, g*1000+999] ranges — the sorted-lower binary
+    // search + prefix-max-upper walk must keep exactly one file per key
+    val tr = cat.createTable("db.rtf_ranges", schema,
+      partitionBy = Seq("p" -> Transform.Identity))
+    val mr = tr.meta
+    val (_, tBuildR) = timed {
+      val manifests = (0 until nManifests).map { c =>
+        (0 until filesPer).map { i =>
+          val g = c.toLong * filesPer + i
+          graft.table.PlanningFixture.syntheticFile(mr, part = g % nParts,
+            id = g * 1000L, idMax = Some(g * 1000L + 999L))
+        }
+      }
+      graft.table.PlanningFixture.appendFabricatedMany(tr, manifests)
+    }
+    val scr = tr.scan()
+    val filesR = scr.dataFiles
+    require(filesR.size == nFiles, s"ranged fixture must plan $nFiles files")
+    val rangeKeys: Seq[Any] =
+      (0 until 1024).map(_ => rnd.nextLong(nFiles.toLong * 1000L)).distinct
+    val (keptR, tRanged) = timed(scr.keepForKeys(filesR, "id", rangeKeys))
+    val wantR = rangeKeys.map(_.asInstanceOf[Long] / 1000L).distinct.size
+    require(keptR.size == wantR,
+      s"disjoint ranges must keep one file per probed range: ${keptR.size}/$wantR")
 
     report(f"runtime-filter planning at ${nFiles} files x ${keys.size} keys: " +
       f"build=$tBuild%.1fs plan=$tPlan%.1fs indexed=${tIndexed * 1000}%.0fms " +
       f"(kept=${keptP.size}) replaced_sweep~=$extrapolated%.1fs " +
       f"(measured ${tBrute * 1000}%.0fms on ${subset.size} files, x$scaleUp%.0f) " +
-      f"speedup=${extrapolated / tIndexed}%.0fx | stats-plane sweep=" +
-      f"$tSweep%.1fs (kept=${keptI.size})")
+      f"speedup=${extrapolated / tIndexed}%.0fx | stats-plane point=" +
+      f"${tStats * 1000}%.0fms (kept=${keptI.size}) ranged=${tRanged * 1000}%.0fms " +
+      f"(kept=${keptR.size}, build=$tBuildR%.1fs)")
     require(tIndexed < 5.0,
       f"indexed runtime-filter planning blew the 5s budget: $tIndexed%.1fs")
     require(extrapolated / tIndexed >= 10.0,
       f"index must beat the replaced sweep >=10x: ${extrapolated / tIndexed}%.1fx")
-    require(tSweep < 60.0,
-      f"stats-plane sweep regressed past its 60s floor: $tSweep%.1fs")
+    require(tStats < 2.0,
+      f"stats-plane point probe must stay indexed (<2s): $tStats%.1fs")
+    require(tRanged < 2.0,
+      f"stats-plane ranged probe must stay indexed (<2s): $tRanged%.1fs")
   }
 
   /** Contract 17: driver-side PLANNING latency at high file count — the
@@ -2242,10 +2284,10 @@ object ScaleSmoke {
         .select("vid_id").distinct()
     }
 
-    def statelessAdmitted(fh: DataFrame, slices: DataFrame): DataFrame = {
+    def statelessAdmitted(fh: DataFrame, slices: DataFrame, nSlices: Int): DataFrame = {
       val seq0 = fh.join(slices, Seq("vid_id")).localCheckpoint()
       var admitted: DataFrame = null
-      for (k <- 0 until S) {
+      for (k <- 0 until nSlices) {
         val sl = seq0.filter(col("_slice") === k).select("vid_id", "nf", "frame", "h")
         val adm = if (admitted == null) sl
           else sl.join(bruteRejected(sl, admitted), Seq("vid_id"), "left_anti")
@@ -2255,7 +2297,7 @@ object ScaleSmoke {
       admitted
     }
 
-    def containCrawl(fx: DataFrame, tag: String, variant: String) = {
+    def containCrawl(fx: DataFrame, tag: String, variant: String, nSlices: Int = S) = {
       val isVideo = variant == "video"
       val cat = newCat()
       val docs = fx.drop("_slice")
@@ -2280,7 +2322,7 @@ object ScaleSmoke {
       val res = cat.createTable(s"db.cadm_$tag",
         new StructType().add("vid_id", LongType))
       val stage = TableOps.newTempDir(s"graft-smoke-ct$tag")
-      Extensions.stagePreSliced(fx, stage, S, 1)
+      Extensions.stagePreSliced(fx, stage, nSlices, 1)
       val scans = scala.collection.mutable.Buffer.empty[(Long, Long)]
       val (batches, secs) = timed {
         variant match {
@@ -2298,7 +2340,7 @@ object ScaleSmoke {
       val fh = toFh(docs).localCheckpoint()
       val idCol = if (isVideo) "vid_id" else "clip_id"
       val admitted = statelessAdmitted(fh,
-        fx.select(col(idCol).as("vid_id"), col("_slice")))
+        fx.select(col(idCol).as("vid_id"), col("_slice")), nSlices)
       val admIds = admitted.select("vid_id").distinct()
       val wantBands = toBands(fh.filter(col("frame") <= K)
           .join(admIds, Seq("vid_id")))
@@ -2311,8 +2353,10 @@ object ScaleSmoke {
       // measurement behind the bulk-regime probe fractions
       val bandKeys = bands.toDF(spark).select("band_key").distinct().count()
       val bandRows = bands.toDF(spark).count()
+      val stateIds = res.toDF(spark).count()
       (batches, Seq(res.meta.snapshots.size, sigs.meta.snapshots.size,
-        bands.meta.snapshots.size), parity, scans.toSeq, secs, bandKeys, bandRows)
+        bands.meta.snapshots.size), parity, scans.toSeq, secs, bandKeys, bandRows,
+        stateIds)
     }
 
     def runContainment(m: Int, tag: String) = {
@@ -2395,5 +2439,40 @@ object ScaleSmoke {
       f"keys=${rw1._6}/262144 | ${mult}x clips=${wideAuds.count()} " +
       f"t=${rwM._5}%.1fs[${fmtScans(rwM._4)}] keys=${rwM._6}/262144 rows=${rwM._7} " +
       "(sparse probes prune fully; bulk keeps ~all by TRUE overlap, km/S ~ 15)")
+
+    // r17 verdict #7: the km/S law's OPERATING RULE, applied — derive the
+    // bulk batch size from the 30x run's own measured state density
+    // (keysPerId = band rows / state ids) via [[Extensions.bulkBatchCap]]
+    // (b* = sqrt(S·ln(1/(1−f)))/c, f = 0.4), re-stage the SAME corpus at
+    // b*-id batches, and re-crawl through the SHIPPED loop. REQUIREd:
+    // admissions stay brute-oracle-identical under the new slicing, and
+    // every established-state probe (filesTotal ≥ 8) records fraction < 1
+    // — pruning re-appears exactly where the corpus-fraction batches
+    // saturated above. Batch size, not hash width, is the bulk lever;
+    // this leg records the lever's setting and its measured effect.
+    val keysPerId = rwM._7.toDouble / math.max(1L, rwM._8)
+    val bStar = graft.queries.Extensions.bulkBatchCap(262144L, keysPerId, 0.4)
+    val wideRowCount = wideAuds.count()
+    val sDerived = math.max(S, math.ceil(wideRowCount.toDouble / bStar).toInt)
+    val resliced = wideAuds.drop("_slice")
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy("clip_id")))
+      .withColumn("_slice", org.apache.spark.sql.functions.floor(
+        (col("_rn") - 1) / bStar).cast("int"))
+      .drop("_rn")
+      .localCheckpoint()
+    val rwB = containCrawl(resliced, "awB", "audio_wide", sDerived)
+    require(rwB._1 == sDerived && rwB._2.forall(_ == sDerived),
+      s"derived-batch crawl: commits not pinned to $sDerived batches: " +
+        s"${rwB._1}/${rwB._2.mkString("/")}")
+    require(rwB._3,
+      "derived-batch crawl diverged from the brute anchor-sweep oracle")
+    val bulkProbes = rwB._4.filter(_._2 >= 8)
+    require(bulkProbes.nonEmpty && bulkProbes.forall(f => f._1 < f._2),
+      s"derived batch size b*=$bStar must keep every established-state " +
+        s"probe fraction < 1: ${fmtScans(rwB._4)}")
+    report(f"wide-band DERIVED-BATCH crawl: keysPerId=$keysPerId%.1f " +
+      f"b*=$bStar batches=$sDerived t=${rwB._5}%.1fs " +
+      f"probes[established]=${fmtScans(bulkProbes)}")
   }
 }
