@@ -394,8 +394,15 @@ class GraftScan(
             // can still reach the key. PRIMITIVE fast path when the
             // canonical space embeds order-isomorphically in Long
             // (integral/date/timestamp directly; float/double via IEEE
-            // sortable bits — the exact order java.lang.Double.compare
-            // uses, so parity with Canonical.compare holds): a 500k-file
+            // sortable bits in the SIGNED-comparable form `b ^ ((b >> 63)
+            // & Long.MaxValue)` — positives stay positive and increasing,
+            // negatives flip all bits but the sign so they stay below,
+            // -0.0 → -1 < +0.0 → 0, canonical NaN maps greatest: the exact
+            // order java.lang.Double.compare uses, so parity with
+            // Canonical.compare holds. The unsigned-comparable variant
+            // `(b >> 63) | Long.MinValue` would invert the sign halves
+            // under the signed compares below and DROP ranged files whose
+            // bounds straddle zero): a 500k-file
             // boxed comparator sort alone costs ~2 s of driver planning,
             // the primitive index sort ~100 ms. Strings/decimals keep the
             // generic comparator path.
@@ -406,7 +413,7 @@ class GraftScan(
               case _: DateType => Some(v => v.asInstanceOf[Int].toLong)
               case _: FloatType | _: DoubleType => Some { v =>
                 val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
-                b ^ ((b >> 63) | Long.MinValue)
+                b ^ ((b >> 63) & Long.MaxValue)
               }
               case _ => None
             }

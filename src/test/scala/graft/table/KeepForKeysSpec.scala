@@ -212,6 +212,60 @@ class KeepForKeysSpec extends SparkSpec {
       .exists(_.path.contains("allnull")))
   }
 
+  test("double / string / timestamp ranged stats stay brute-equal (signed sortable-bits order)") {
+    // The ranged index's primitive fast path maps float/double bounds to
+    // IEEE sortable longs; the SIGNED-comparable form is load-bearing —
+    // the unsigned variant inverts the sign halves under signed compares
+    // and silently DROPS any ranged file whose bounds straddle zero (a
+    // file [-5.0, 2.0] probed at 0.5 vanished). These legs pin the double
+    // order across the zero boundary, the -0.0/+0.0 edge, float columns,
+    // the generic comparator path (strings), and timestamps.
+    import graft.format.{ColStats, DataFile, GraftSchema}
+    def fabricate(dt: DataType, bounds: Seq[(String, String)]) = {
+      val schema = StructType(Seq(StructField("c", dt)))
+      val cat = new GraftCatalog(tempWarehouse())
+      val t = cat.createTable(s"db.t_${dt.typeName.replace("(", "_").replace(")", "")}", schema)
+      val fid = GraftSchema.fieldId(t.meta.currentSchema.fields.head)
+      val files = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+        DataFile(path = s"data/fab-$i.parquet", content = "data",
+          partition = Map.empty, recordCount = 10L, fileSizeBytes = 1024L,
+          schemaId = t.meta.currentSchemaId, specId = t.meta.defaultSpecId,
+          stats = Map(fid -> ColStats(Some(lo), Some(hi), Some(0L))))
+      }
+      PlanningFixture.appendFabricated(t, files)
+      t.scan()
+    }
+
+    // doubles: sign-straddling, all-negative, all-positive, point, ±0.0
+    val scd = fabricate(DoubleType, Seq(
+      ("-5.0", "2.0"), ("-100.5", "-10.25"), ("0.5", "7.5"),
+      ("-0.0", "0.0"), ("3.25", "3.25"), ("-2.0", "-2.0")))
+    Seq[Any](0.5, -0.5, -50.0, -10.25, -5.0, 2.0, 0.0, -0.0, 3.25, -2.0,
+      7.5, 100.0, -1000.0, 1.9999).foreach(k => check(scd, "c", Seq(k)))
+    (0 until 25).foreach { _ =>
+      val keys: Seq[Any] = (0 until 1 + rnd.nextInt(6))
+        .map(_ => (rnd.nextDouble() - 0.5) * 250.0)
+      check(scd, "c", keys)
+    }
+
+    // floats take the same path through the Double canonical space
+    val scf = fabricate(FloatType, Seq(("-1.5", "1.5"), ("-8.0", "-4.0"), ("2.0", "9.0")))
+    Seq[Any](0.25f, -5.0f, -1.5f, 1.5f, 3.0f, -9.0f)
+      .foreach(k => check(scf, "c", Seq(k)))
+
+    // strings: the generic comparator path (no primitive embedding)
+    val scs = fabricate(StringType, Seq(
+      ("apple", "cherry"), ("banana", "fig"), ("kiwi", "kiwi"), ("melon", "plum")))
+    Seq[Any]("berry", "apple", "fig", "grape", "kiwi", "aaa", "zzz", "plum")
+      .foreach(k => check(scs, "c", Seq(k)))
+
+    // timestamps: canonical micros includes pre-epoch (negative) values
+    val sct = fabricate(TimestampType, Seq(
+      ("-5000000", "2000000"), ("1000000", "9000000"), ("-9000000", "-6000000")))
+    Seq[Any](0L, -7000000L, 1500000L, -5000000L, 2000000L, 99999999L)
+      .foreach(k => check(sct, "c", Seq(k)))
+  }
+
   test("unknown column and empty key set behave like the brute rule's edges") {
     val schema = StructType(Seq(StructField("k", LongType)))
     val cat = new GraftCatalog(tempWarehouse())
