@@ -363,21 +363,24 @@ object Extensions
     * ONE decision rule the durable and retraction perceptual-hash dedup
     * gates share, generic over the id column (img_id / clip_id): batch
     * bands probe the band state through an In read, banded candidates
-    * verify at hamming ≤ 3, and each batch blob gets its surviving-history
-    * match count (admitted ⇔ zero matches). localCheckpointed: callers
-    * read it for the state append AND the output.
+    * verify at hamming ≤ `threshold` (default 3; the lossy-jpeg family
+    * verifies at its measured ≤ 6-bit DCT drift under [[imageBandsLossy]],
+    * whose 8-band split keeps nomination pigeonhole-lossless there), and
+    * each batch blob gets its surviving-history match count (admitted ⇔
+    * zero matches). localCheckpointed: callers read it for the state
+    * append AND the output.
     * @return (idCol, matches, admitted)
     */
   private[queries] def bandAdmitVerdicts(s: SparkSession,
       state: graft.table.GraftTable, batchBands: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, threshold: Int = 3): DataFrame = {
     val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
     batchBands.select(idCol).distinct()
       .join(batchBands
           .join(stateScan.toDF(s).select(col("band_key"),
             col("h").as("h_hist"), col(idCol).as("hist_id")), Seq("band_key"))
-          .filter(expr("bit_count(h ^ h_hist) <= 3"))
+          .filter(expr(s"bit_count(h ^ h_hist) <= $threshold"))
           .groupBy(idCol)
           .agg(countDistinct(col("hist_id")).as("matches")),
         Seq(idCol), "left")
@@ -2079,6 +2082,24 @@ object Extensions
       "img_id", imageBandsNormalized(_, maxWidth), "nm", filesPerTrigger,
       onStateScanMetrics)
 
+  /** The streaming LOSSY-image (jpeg) dedup crawl loop (r18) — the
+    * [[imageBandsLossy]] instantiation of the generic band loop at the
+    * measured jpeg verify threshold (≤ 6 bits of DCT/re-quality drift;
+    * the 8×7-bit banding keeps nomination pigeonhole-lossless there).
+    * Completes the re-quality family's lifecycle (batch:
+    * x_image_neardup_requality; durable:
+    * x_incremental_image_dedup_requality; now STREAMING).
+    * @return number of non-empty micro-batches
+    */
+  private[graft] def streamIncrementalImageDedupLossy(s: SparkSession,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      state: graft.table.GraftTable, results: graft.table.GraftTable,
+      filesPerTrigger: Int = 1,
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+    streamIncrementalBandDedup(s, stage, schema, state, results,
+      "img_id", imageBandsLossy, "rq", filesPerTrigger,
+      onStateScanMetrics, threshold = 6)
+
   /** The ONE streaming band-dedup loop body under
     * [[streamIncrementalImageDedup]] and [[streamIncrementalAudioDedup]]
     * — the single-plane perceptual-hash crawl, generic over the id column
@@ -2086,7 +2107,9 @@ object Extensions
     * gates. Per micro-batch of (idCol, blob): band the batch, probe the
     * durable band state AS OF ARRIVAL through a runtime-filtered In read
     * (full-scan fallback above the key cap), verify banded candidates by
-    * hamming ≤ 3 (pigeonhole-lossless), append ADMITTED ids to `results`
+    * hamming ≤ `threshold` (default 3; pigeonhole-lossless under the
+    * paired banding — the lossy-jpeg instantiation verifies at ≤ 6 under
+    * [[imageBandsLossy]]'s 8-band split), append ADMITTED ids to `results`
     * and their band rows to `state` — results BEFORE state,
     * statementId-keyed (crash between the commits: the replay recomputes
     * admissions against a state without this batch's bands — identical
@@ -2103,7 +2126,8 @@ object Extensions
       state: graft.table.GraftTable, results: graft.table.GraftTable,
       idCol: String, toBands: DataFrame => DataFrame, stmtPrefix: String,
       filesPerTrigger: Int = 1,
-      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
+      onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => (),
+      threshold: Int = 3): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val bands = toBands(b)
         .localCheckpoint() // In-probe collect + candidate join + admit rollup
@@ -2112,7 +2136,7 @@ object Extensions
       onStateScanMetrics(sc.metrics)
       val matched = bands
         .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
-        .filter(expr("bit_count(h ^ h2) <= 3"))
+        .filter(expr(s"bit_count(h ^ h2) <= $threshold"))
         .select(idCol).distinct()
       val admitted = bands.select(idCol).distinct()
         .join(matched, Seq(idCol), "left_anti")

@@ -732,6 +732,203 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         |  CAST(2100 + i AS BIGINT) AS img_b, CAST(-1 AS BIGINT) AS hamming
         |FROM range(8) t(i) ORDER BY img_a, img_b""".stripMargin),
 
+
+    // X14rq': the DURABLE leg of the RE-QUALITY front (r18, beyond the
+    // ask): the lossy band state is crawled from jpeg bases, and a
+    // recrawl batch of RE-ENCODES probes it through the generic admission
+    // rule at the measured jpeg threshold (bandAdmitVerdicts at ≤ 6 over
+    // imageBandsLossy — a different (banding, threshold) pair plugged
+    // into unchanged machinery). Mild re-encodes (q ≥ 0.8, measured
+    // drift ≤ 5) REJECT against crawled history; deep q = 0.3 re-encodes
+    // ADMIT (measured drift 10-21 — the honest DCT-requantization
+    // residual, pinned in the durable regime too); fresh jpegs admit.
+    // Re-encoded rasters are codec-owned (no cross-engine closed form),
+    // so the gate AUDITS every batch-vs-history hamming driver-side and
+    // REQUIREs the planted relationships — the oracle's verdict table is
+    // then a theorem of the audited fixture, the batch gate's -1-sentinel
+    // discipline extended to verdicts. compactionProof + full-batch
+    // reprobe, the durable ritual.
+    ("x_incremental_image_dedup_requality",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        val mild = Seq(0.95f, 0.9f, 0.8f)
+        val hist = (0 until 8).map { i =>
+          (2000L + i, ImageCodec.encodeImageVariant("jpeg", 24 + i, 16 + i % 5, 80 + i))
+        }
+        val histBlob = hist.toMap
+        val batch =
+          (0 until 8).map(i =>
+            (2100L + i, ImageCodec.reencodeJpeg(histBlob(2000L + i), mild(i % 3)))) ++
+          (1 to 5).map(i =>
+            (2200L + i, ImageCodec.reencodeJpeg(histBlob(2000L + i), 0.3f))) ++
+          (0 until 4).map(j =>
+            (2300L + j, ImageCodec.encodeImageVariant("jpeg", 30 + j, 20 + j, 95 + j)))
+        // fixture audit: the measured hamming relationships every verdict
+        // below is a theorem of
+        val hs = s.createDataFrame(hist ++ batch).toDF("img_id", "blob")
+          .select(col("img_id"),
+            graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def dist(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+        (0 until 8).foreach { i =>
+          require(dist(2100L + i, 2000L + i) <= 6,
+            s"mild re-encode ${2100 + i} must stay within the 6-bit jpeg " +
+              s"threshold of its base: ${dist(2100L + i, 2000L + i)}")
+          (0 until 8).filter(_ != i).foreach(j => require(dist(2100L + i, 2000L + j) > 6,
+            s"mild re-encode ${2100 + i} aliases foreign base ${2000 + j}"))
+        }
+        (1 to 5).foreach(i => (0 until 8).foreach(j =>
+          require(dist(2200L + i, 2000L + j) > 6,
+            s"deep q=0.3 re-encode ${2200 + i} must drift past the " +
+              s"threshold from every base; base ${2000 + j} reads " +
+              s"${dist(2200L + i, 2000L + j)}")))
+        (0 until 4).foreach(j => (0 until 8).foreach(k =>
+          require(dist(2300L + j, 2000L + k) > 6,
+            s"fresh jpeg ${2300 + j} aliases base ${2000 + k}")))
+        val histBands = imageBandsLossy(
+          s.createDataFrame(hist).toDF("img_id", "blob")).localCheckpoint()
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_rq", histBands.schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        state.append(s, histBands.filter(col("img_id") < 2004L))
+        state.append(s, histBands.filter(col("img_id") >= 2004L))
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        val batchBands = imageBandsLossy(
+          s.createDataFrame(batch).toDF("img_id", "blob")).localCheckpoint()
+        val verdicts = bandAdmitVerdicts(s, state, batchBands, "img_id", threshold = 6)
+        val admitted = verdicts.filter(col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        val rejected = verdicts.filter(!col("admitted"))
+          .select("img_id").collect().map(_.getLong(0)).toSet
+        require(rejected == (0 until 8).map(2100L + _).toSet,
+          s"exactly the mild re-encodes must reject: $rejected")
+        require(admitted == ((1 to 5).map(2200L + _) ++ (0 until 4).map(2300L + _)).toSet,
+          s"exactly the deep re-encodes and fresh jpegs must admit: $admitted")
+        require(filesDown && rowsKept, "mid-sequence state compaction flags")
+        val adm = verdicts.filter(col("admitted")).select(col("img_id"))
+        state.append(s, batchBands.join(adm, Seq("img_id")))
+        val reAdmitted = bandAdmitVerdicts(s, state, batchBands, "img_id", threshold = 6)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-batch reprobe must reject everything: $reAdmitted still admit")
+        verdicts.select(col("img_id"), col("matches"), col("admitted"))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      // the audited fixture's verdict table: each mild re-encode matches
+      // exactly its own base (the audit pins every foreign base > 6
+      // away), deep and fresh match nothing
+      """SELECT CAST(2100 + i AS BIGINT) AS img_id, CAST(1 AS BIGINT) AS matches,
+        |  false AS admitted, true AS compacted FROM range(8) t(i)
+        |UNION ALL
+        |SELECT CAST(2200 + i AS BIGINT), CAST(0 AS BIGINT), true, true
+        |FROM range(1, 6) t(i)
+        |UNION ALL
+        |SELECT CAST(2300 + i AS BIGINT), CAST(0 AS BIGINT), true, true
+        |FROM range(4) t(i)
+        |ORDER BY img_id""".stripMargin),
+
+
+    // X14rq'': the STREAMING leg of the RE-QUALITY front (r18) —
+    // [[Extensions.streamIncrementalImageDedupLossy]]: the generic band
+    // loop over imageBandsLossy at the ≤ 6-bit jpeg threshold. Slice 1
+    // brings mild re-encodes of slice-0 bases (cross-batch rejection
+    // through the durable state) plus fresh jpegs; slice 2 brings mild
+    // re-encodes OF SLICE 1's OWN fresh admissions (the
+    // prior-slice-admission rejection every streaming leg pins), deep
+    // q=0.3 re-encodes (ADMIT — the residual survives the streaming
+    // regime), and one more fresh. Driver-side hamming audits make the
+    // admission chain a theorem of the fixture (re-encoded rasters have
+    // no cross-engine closed form — the -1-sentinel discipline on the
+    // slice chain). Post-crawl: compactionProof + full-crawl reprobe.
+    ("x_stream_incremental_image_dedup_requality",
+      (s: SparkSession, d: String) => {
+        import graft.format.{TableProperties, Transform}
+        import graft.operators.ImageCodec
+        import org.apache.spark.sql.types.{LongType, StructType}
+        val mild = Seq(0.95f, 0.9f, 0.8f)
+        val baseBlob = (0 until 8).map(i =>
+          i.toLong -> ImageCodec.encodeImageVariant("jpeg", 24 + i, 16 + i % 5, 80 + i)).toMap
+        val freshBlob = (0 to 3).map(j =>
+          j -> ImageCodec.encodeImageVariant("jpeg", 30 + j, 20 + j, 95 + j)).toMap
+        val rows =
+          (0 until 8).map(i => ((i.toLong, baseBlob(i.toLong)), 0)) ++
+          (0 until 8).filter(_ % 2 == 0).map(i =>
+            ((100L + i, ImageCodec.reencodeJpeg(baseBlob(i.toLong), mild(i % 3))), 1)) ++
+          (0 until 3).map(j => ((150L + j, freshBlob(j)), 1)) ++
+          Seq(1, 3).map(i =>
+            ((200L + i, ImageCodec.reencodeJpeg(baseBlob(i.toLong), 0.3f)), 2)) ++
+          (0 until 3).map(j =>
+            ((250L + j, ImageCodec.reencodeJpeg(freshBlob(j), 0.95f)), 2)) ++
+          Seq(((260L, freshBlob(3)), 2))
+        // audit: cross-batch rejections and admissions below are theorems
+        // of these measured distances
+        val hs = s.createDataFrame(rows.map { case ((id, b), _) => (id, b) })
+          .toDF("img_id", "blob")
+          .select(col("img_id"),
+            graft.operators.Multimodal.imageDhash(col("blob")).as("h"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def dist(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+        (0 until 8).filter(_ % 2 == 0).foreach(i => require(dist(100L + i, i.toLong) <= 6,
+          s"mild re-encode ${100 + i} must sit within 6 bits of base $i: " +
+            s"${dist(100L + i, i.toLong)}"))
+        (0 until 3).foreach { j =>
+          (0 until 8).foreach(k => require(dist(150L + j, k.toLong) > 6,
+            s"fresh jpeg ${150 + j} aliases base $k"))
+          require(dist(250L + j, 150L + j) <= 6,
+            s"mild re-encode ${250 + j} must sit within 6 bits of fresh " +
+              s"${150 + j}: ${dist(250L + j, 150L + j)}")
+        }
+        Seq(1, 3).foreach(i => ((0 until 8).map(_.toLong) ++ (0 until 3).map(150L + _))
+          .foreach(k => require(dist(200L + i, k) > 6,
+            s"deep re-encode ${200 + i} must drift past the threshold from " +
+              s"state blob $k: ${dist(200L + i, k)}")))
+        ((0 until 8).map(_.toLong) ++ (0 until 3).map(150L + _)).foreach(k =>
+          require(dist(260L, k) > 6, s"fresh jpeg 260 aliases state blob $k"))
+        val fx = s.createDataFrame(rows.map { case ((id, blob), sl) => (id, blob, sl) })
+          .toDF("img_id", "blob", "_slice")
+        val stage = TableOps.newTempDir("graft-imgrqstream")
+        stagePreSliced(fx, stage, 3, 1)
+        val docs = fx.drop("_slice")
+        val cat = TableOps.newCatalog()
+        val state = cat.createTable("db.img_sigs_rqs",
+          imageBandsLossy(docs.limit(0)).schema,
+          partitionBy = Seq("band_key" -> Transform.Bucket(4)),
+          properties = Map(TableProperties.BloomColumns -> "band_key"))
+        val results = cat.createTable("db.img_adm_rqs",
+          new StructType().add("img_id", LongType))
+        val batches = Extensions.streamIncrementalImageDedupLossy(
+          s, stage, docs.schema, state, results)
+        require(batches == 3 && results.meta.snapshots.size == 3 &&
+          state.meta.snapshots.size == 3,
+          s"commits must pin to batches: $batches batches, " +
+            s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
+        val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
+        require(filesDown && rowsKept, "streamed state compaction flags")
+        val allBands = imageBandsLossy(docs).localCheckpoint()
+        val reAdmitted = bandAdmitVerdicts(s, state, allBands, "img_id", threshold = 6)
+          .filter(col("admitted")).count()
+        require(reAdmitted == 0L,
+          s"full-crawl reprobe must read everything as seen: $reAdmitted still admit")
+        results.toDF(s).select("img_id")
+          .withColumn("commits_pinned", lit(true))
+          .withColumn("compacted", lit(filesDown && rowsKept))
+          .orderBy("img_id")
+      },
+      // the audited fixture's admission chain: bases, slice-1 fresh, the
+      // deep-re-encode residual, the slice-2 fresh
+      """SELECT CAST(i AS BIGINT) AS img_id, true AS commits_pinned,
+        |  true AS compacted FROM range(8) t(i)
+        |UNION ALL
+        |SELECT CAST(150 + i AS BIGINT), true, true FROM range(3) t(i)
+        |UNION ALL
+        |SELECT CAST(200 + i AS BIGINT), true, true FROM (VALUES (1), (3)) t(i)
+        |UNION ALL
+        |SELECT CAST(260 AS BIGINT), true, true
+        |ORDER BY img_id""".stripMargin),
+
     // X14b': CROSS-RESOLUTION image near-dup (r15, beyond the asks) —
     // real image near-dups are overwhelmingly RESIZES, and the existing
     // dHash already catches every integer nearest-neighbor upscale with
