@@ -931,7 +931,11 @@ object ScaleSmoke {
     *   c. RANGED stats shape (files spanning [g·1000, g·1000+999], the
     *      commit-sorted range layout): per-key binary search into the
     *      lower-sorted ranges + the prefix-max-upper backward walk —
-    *      REQUIREd under 2 s with exactly one file kept per probed range.
+    *      REQUIREd under 2 s with exactly one file kept per probed range;
+    *   d. DPP BIN-PACKING (r17 ADVICE, r18): 500k 64 KB files read
+    *      through the SQL catalog's default DSv2 route must plan into
+    *      ≥ 20× fewer packed input partitions than files (the native
+    *      FilePartition split rule), REQUIREd under a 10 s plan floor.
     */
   private[tools] def runtimeFilterPlanningContract(): Unit = {
     import graft.format.{Predicate, Transform}
@@ -1043,6 +1047,50 @@ object ScaleSmoke {
       f"stats-plane point probe must stay indexed (<2s): $tStats%.1fs")
     require(tRanged < 2.0,
       f"stats-plane ranged probe must stay indexed (<2s): $tRanged%.1fs")
+
+    // d. DPP BIN-PACKING at 500k SMALL files (r17 ADVICE medium): the DSv2
+    // scan is the DEFAULT read path for every partitioned table, so its
+    // planInputPartitions must hand Spark PACKED partitions by the native
+    // FilePartition rule, not one scheduled task per file. A third 500k
+    // fixture of 64 KB files read through the SQL catalog over the same
+    // warehouse: with default maxPartitionBytes (128 MB) and
+    // openCostInBytes (4 MB) each packed partition absorbs ~32 slices, so
+    // the plan must carry ≥ 20x fewer partitions than files (the
+    // substituted native scan's own shape), derived in well under the
+    // plan-time floor. DppSpec pins the rule's row-parity at small scale;
+    // this leg records the scheduling-overhead math at contract-19 scale.
+    val ws = cat.createTable("db.rtf_small", schema,
+      partitionBy = Seq("p" -> Transform.Identity))
+    val msm = ws.meta
+    val (_, tBuildS) = timed {
+      val manifests = (0 until nManifests).map { c =>
+        (0 until filesPer).map { i =>
+          val g = c.toLong * filesPer + i
+          graft.table.PlanningFixture.syntheticFile(msm, part = g % nParts,
+            id = g, bytes = 64L * 1024)
+        }
+      }
+      graft.table.PlanningFixture.appendFabricatedMany(ws, manifests)
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.conf.set("spark.sql.catalog.rtfsm",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rtfsm.warehouse", wh)
+    try {
+      val dfS = spark.sql("SELECT * FROM rtfsm.db.rtf_small")
+      val (partsS, tPack) = timed(dfS.rdd.getNumPartitions)
+      require(dfS.queryExecution.executedPlan.toString.contains("graft-dpp"),
+        "the small-file fixture must route the default DSv2 scan")
+      require(partsS > 0 && partsS.toLong * 20 < nFiles,
+        s"small files must bin-pack >=20x: $partsS partitions for $nFiles files")
+      require(tPack < 10.0,
+        f"bin-packed partition planning blew its 10s budget: $tPack%.1fs")
+      report(f"dpp bin-packing at $nFiles small files: build=$tBuildS%.1fs " +
+        f"partitions=$partsS (${nFiles / partsS}x packed) plan=${tPack}%.1fs")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rtfsm.warehouse")
+      spark.conf.unset("spark.sql.catalog.rtfsm")
+    }
   }
 
   /** Contract 17: driver-side PLANNING latency at high file count — the
