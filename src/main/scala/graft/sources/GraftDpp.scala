@@ -43,9 +43,10 @@ import graft.table.GraftScan
   * dynamic-pruning subquery would be pure overhead (the r16 ADVICE
   * posture). Engages only when provably equivalent to the native path
   * (no position deletes, every file readable verbatim under the scan's
-  * OWN resolved schema and one spec — [[GraftDpp.planEligible]], which
-  * since r18 also serves TIME-TRAVELED scans under the snapshot's
-  * schema/spec); everything else falls back to the substitution path.
+  * OWN resolved schema — [[GraftDpp.planEligible]], which since r18 also
+  * serves TIME-TRAVELED scans under the snapshot's schema and
+  * PARTITION-EVOLVED tables with mixed spec IDs); everything else falls
+  * back to the substitution path.
   * SPJ keeps precedence: a bucket-SPJ-shaped table still reports
   * KeyGroupedPartitioning so co-bucketed joins stay exchange-free.
   * `graft.dpp.enabled=false` restores the old routing.
@@ -74,17 +75,22 @@ object GraftDpp {
   /** DPP-route eligibility, generalized past [[GraftSpj.planEligible]] to
     * TIME-TRAVELED scans (r17 verdict #5 — the docs/05 audit-then-join
     * pattern joins over `VERSION AS OF`, which used to fall back to the
-    * substitution path and lose execution-time pruning): the planned files
+    * substitution path and lose execution-time pruning) and to
+    * PARTITION-EVOLVED tables (r18 — files under MIXED spec IDs are fine:
+    * partition specs are metadata-plane only, every data file physically
+    * carries all its columns, and the runtime-filter keep rule
+    * [[graft.table.GraftScan.keepForKeys]] already prunes each file under
+    * the spec it was written with, so a table that moved from months() to
+    * days() keeps execution-time pruning across BOTH epochs instead of
+    * silently falling back to the substitution path). The planned files
     * must be readable VERBATIM under the scan's OWN resolved schema (the
-    * snapshot's schema for travel, the current schema otherwise), carry no
-    * position deletes, and sit under ONE partition spec — the scan derives
-    * its prunable plane from that spec, so it need not be the default one.
+    * snapshot's schema for travel, the current schema otherwise) and
+    * carry no position deletes.
     */
   def planEligible(scan: graft.table.GraftScan): Option[Seq[DataFile]] = {
     val (files, deletes, _) = scan.plan
     val ok = deletes.isEmpty && files.nonEmpty &&
-      files.forall(_.schemaId == scan.scanSchemaId) &&
-      files.map(_.specId).distinct.size == 1
+      files.forall(_.schemaId == scan.scanSchemaId)
     if (ok) Some(files) else None
   }
 }
@@ -135,13 +141,16 @@ class GraftDppScan(
     val meta = tbl.graftTable.meta
     val byId = native.scanSchema.fields
       .map(f => GraftSchema.fieldId(f) -> f.name).toMap
-    // the files' ONE spec ([[GraftDpp.planEligible]]): a source column of
-    // any OTHER spec carries no transform plane in any planned file —
-    // reporting it would invite a no-op pruning subquery
-    val spec = files.headOption.map(f =>
-        meta.specs.getOrElse(f.specId, graft.format.PartitionSpec.unpartitioned))
-      .getOrElse(meta.defaultSpec)
-    val partCols = spec.fields.flatMap(pf => byId.get(pf.sourceId)).toSet
+    // the UNION over the planned files' specs (r18: partition-evolved
+    // tables serve mixed spec IDs — a column carrying a transform plane
+    // in ANY epoch's files is worth a runtime filter there; files under
+    // a spec without it simply keep, the conservative default of
+    // keepForKeys' per-file-spec rule). A source column of NO planned
+    // spec stays unreported — it would invite a no-op pruning subquery.
+    val partCols = files.iterator.map(_.specId).toSet
+      .flatMap((sid: Int) => meta.specs.getOrElse(sid,
+        graft.format.PartitionSpec.unpartitioned).fields)
+      .flatMap(pf => byId.get(pf.sourceId))
     val statIds = files.iterator.flatMap(_.stats.iterator.collect {
       case (id, st) if st.min.isDefined || st.max.isDefined || st.bloom.isDefined => id
     }).toSet

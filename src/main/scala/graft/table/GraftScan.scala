@@ -291,7 +291,9 @@ class GraftScan(
     val keep = new scala.collection.mutable.BitSet(files.size)
 
     // (specId, schemaId) fixes the indexable partition field and its value
-    // space; mixed groups only appear outside the planEligible scans
+    // space; partition-evolved tables probe one group per epoch (r18:
+    // the DPP route serves mixed spec IDs, so this per-spec grouping IS
+    // the rule that prunes each epoch under its own transform)
     files.indices.groupBy(i => (files(i).specId, files(i).schemaId)).foreach {
       case ((specId, schemaId), idxs) =>
         val spec = meta.specs.getOrElse(specId, PartitionSpec.unpartitioned)

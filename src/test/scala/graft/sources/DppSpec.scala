@@ -335,6 +335,55 @@ class DppSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dppt.db.factt WHERE v < 0").head().getLong(0) == 1L)
   }
 
+  test("partition evolution: mixed-spec files keep execution-time pruning on the default route") {
+    // r18: a long-lived table that moved from months() to days() used to
+    // fall back to the substitution path (planEligible required ONE spec)
+    // and silently lose DPP. Specs are metadata-plane only — data files
+    // carry all columns and keepForKeys prunes each file under the spec it
+    // was written with — so the DPP route now serves both epochs: the 2023
+    // epoch's files prune through the months() plane, the 2024 epoch's
+    // through days(), in one star join.
+    dppGeneralReady
+    spark.conf.set("spark.sql.catalog.dppe", classOf[GraftTableCatalog].getName)
+    val wh = tempWarehouse()
+    spark.conf.set("spark.sql.catalog.dppe.warehouse", wh)
+    spark.sql(
+      "CREATE TABLE dppe.db.factpe (d DATE, v DOUBLE) PARTITIONED BY (months(d))")
+    spark.sql(
+      """INSERT INTO dppe.db.factpe
+        |SELECT date_add(DATE'2023-01-01', CAST(id % 360 AS INT)) AS d,
+        |  CAST(id AS DOUBLE) AS v
+        |FROM range(0, 7200)""".stripMargin)
+    new graft.catalog.GraftCatalog(wh).loadTable("db.factpe")
+      .evolvePartitionSpec(Seq("d" -> graft.format.Transform.Day))
+    spark.sql(
+      """INSERT INTO dppe.db.factpe
+        |SELECT date_add(DATE'2024-01-01', CAST(id % 360 AS INT)) AS d,
+        |  CAST(id AS DOUBLE) AS v
+        |FROM range(0, 7200)""".stripMargin)
+    val sql =
+      """SELECT count(*) AS n, sum(f.v) AS sv
+        |FROM dppe.db.factpe f JOIN dppg_dates d ON f.d = d.d_date
+        |WHERE d.d_quarter IN ('2023Q2', '2024Q2')""".stripMargin
+    graft.table.QueryHistory.clear()
+    val q = spark.sql(sql)
+    val row = q.collect().head
+    // 20 copies of each of the 91 Q2 dates per epoch
+    assert(row.getLong(0) == 3640L, s"both epochs must contribute: $row")
+    val plans = allPlans(q.queryExecution.executedPlan)
+    assert(plans.exists(_.toString.contains("dynamicpruning")),
+      s"no dynamic-pruning subquery over the evolved table:\n${q.queryExecution.executedPlan}")
+    assert(plans.exists(_.toString.contains("graft-dpp")),
+      s"the evolved fact scan must serve graft-dpp:\n${q.queryExecution.executedPlan}")
+    val m = lastRuntimeIn("db.factpe")
+    assert(m.filesTotal > 1 && m.filesScanned < m.filesTotal,
+      s"mixed-spec runtime filter must prune files: ${m.filesScanned}/${m.filesTotal}")
+    // no over-pruning: row-identical to the substitution path
+    val native = withDppDisabled { spark.sql(sql).collect() }
+    assert(Seq(row) == native.toSeq,
+      s"mixed-spec DPP route diverged from the native path: $row vs ${native.toSeq}")
+  }
+
   test("small files bin-pack into shared input partitions (native split rule)") {
     // r17 ADVICE (medium): the DPP scan is the DEFAULT read path for every
     // partitioned table, so one-task-per-file would regress a small-file
