@@ -266,6 +266,70 @@ class KeepForKeysSpec extends SparkSpec {
       .foreach(k => check(sct, "c", Seq(k)))
   }
 
+  test("seeded fuzz: random stat-class mixes stay brute-equal across long / double / string") {
+    // The class-specific legs above enumerate each index route once; this
+    // leg drives RANDOM file populations (random class mix, random bounds
+    // with duplicate lowers, nested and disjoint ranges, empty classes)
+    // through random probe sweeps — the shapes a future index change is
+    // most likely to get subtly wrong (it is exactly the missing-leg gap
+    // that let the unsigned sortable-bits variant ship).
+    import graft.format.{ColStats, DataFile, GraftSchema}
+    def fuzzOne(dt: DataType, renderKey: () => Any, renderBound: () => Any): Unit = {
+      val schema = StructType(Seq(StructField("c", dt)))
+      val cat = new GraftCatalog(tempWarehouse())
+      val t = cat.createTable("db.t_fuzz", schema)
+      val fid = GraftSchema.fieldId(t.meta.currentSchema.fields.head)
+      val nFiles = 40 + rnd.nextInt(40)
+      val files = (0 until nFiles).map { i =>
+        val stats = rnd.nextInt(6) match {
+          case 0 => // point
+            val v = renderBound().toString
+            Map(fid -> ColStats(Some(v), Some(v), Some(0L)))
+          case 1 | 2 => // ranged (ordered pair; duplicates likely)
+            val (a, b) = (renderBound(), renderBound())
+            val (lo, hi) =
+              if (graft.format.Canonical.compare(
+                graft.format.Canonical.fromJsonString(dt, a.toString),
+                graft.format.Canonical.fromJsonString(dt, b.toString)) <= 0) (a, b)
+              else (b, a)
+            Map(fid -> ColStats(Some(lo.toString), Some(hi.toString), Some(0L)))
+          case 3 => // partial (one bound)
+            val v = renderBound().toString
+            if (rnd.nextBoolean()) Map(fid -> ColStats(Some(v), None, Some(0L)))
+            else Map(fid -> ColStats(None, Some(v), Some(0L)))
+          case 4 => // unbounded / no stats
+            if (rnd.nextBoolean()) Map.empty[Int, ColStats]
+            else Map(fid -> ColStats(None, None, Some(0L)))
+          case _ => // all-null
+            Map(fid -> ColStats(None, None, Some(10L)))
+        }
+        DataFile(path = s"data/fz-$i.parquet", content = "data",
+          partition = Map.empty, recordCount = 10L, fileSizeBytes = 1024L,
+          schemaId = t.meta.currentSchemaId, specId = t.meta.defaultSpecId,
+          stats = stats)
+      }
+      PlanningFixture.appendFabricated(t, files)
+      val sc = t.scan()
+      (0 until 12).foreach { _ =>
+        val keys: Seq[Any] = (0 until 1 + rnd.nextInt(8)).map { _ =>
+          if (rnd.nextInt(9) == 0) null else renderKey()
+        }
+        check(sc, "c", keys)
+      }
+    }
+    (0 until 6).foreach { _ =>
+      fuzzOne(LongType,
+        () => (rnd.nextInt(2000) - 1000).toLong,
+        () => (rnd.nextInt(2000) - 1000).toLong)
+      fuzzOne(DoubleType,
+        () => (rnd.nextDouble() - 0.5) * 500.0,
+        () => (rnd.nextDouble() - 0.5) * 500.0)
+      fuzzOne(StringType,
+        () => ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)),
+        () => ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+    }
+  }
+
   test("unknown column and empty key set behave like the brute rule's edges") {
     val schema = StructType(Seq(StructField("k", LongType)))
     val cat = new GraftCatalog(tempWarehouse())
