@@ -335,6 +335,52 @@ class DppSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dppt.db.factt WHERE v < 0").head().getLong(0) == 1L)
   }
 
+  test("MOR position deletes route the substitution path (the documented DPP fallback)") {
+    // The one structural fallback left on the default DSv2 route (r18):
+    // planEligible refuses scans with position deletes because the DPP
+    // reader decodes files verbatim — applying deletes belongs to the
+    // substitution path's merge-read anti-join. This leg makes the
+    // fallback DELIBERATE: a MOR star join must (a) not serve graft-dpp,
+    // (b) return delete-correct rows, (c) stay on the substitution path
+    // even under force-serve (eligibility is a correctness gate the conf
+    // cannot override).
+    dppGeneralReady
+    spark.sql(
+      "CREATE TABLE dppg.db.factmor (d DATE, v DOUBLE) PARTITIONED BY (months(d)) " +
+        "TBLPROPERTIES ('enable-iceberg-merge-on-read'='true')")
+    spark.sql(
+      """INSERT INTO dppg.db.factmor
+        |SELECT date_add(DATE'2023-01-01', CAST(id % 720 AS INT)) AS d,
+        |  CAST(id AS DOUBLE) AS v
+        |FROM range(0, 14400)""".stripMargin)
+    spark.sql("DELETE FROM dppg.db.factmor WHERE v < 100")
+    val deleteFiles = spark.sql(
+      "SELECT count(*) FROM dppg.db.factmor.files WHERE content <> 'data'")
+      .head().getLong(0)
+    assert(deleteFiles > 0, "the DELETE must have written position-delete files")
+    val sql =
+      """SELECT count(*) AS n
+        |FROM dppg.db.factmor f JOIN dppg_dates d ON f.d = d.d_date
+        |WHERE d.d_quarter = '2023Q2'""".stripMargin
+    // ids 0..99 delete one copy of each of the first 100 dates; Q2 loses
+    // Apr 1-10 once each: 1820 - 10
+    val q = spark.sql(sql)
+    assert(q.collect().head.getLong(0) == 1810L,
+      "the MOR read must apply position deletes")
+    assert(!allPlans(q.queryExecution.executedPlan)
+        .exists(_.toString.contains("graft-dpp")),
+      s"MOR scans must fall back to substitution:\n${q.queryExecution.executedPlan}")
+    spark.conf.set("graft.dpp.enabled", "true")
+    try {
+      val qf = spark.sql(sql)
+      assert(qf.collect().head.getLong(0) == 1810L,
+        "force-served MOR read must stay delete-correct")
+      assert(!allPlans(qf.queryExecution.executedPlan)
+          .exists(_.toString.contains("graft-dpp")),
+        "force-serve must not override the position-delete eligibility gate")
+    } finally spark.conf.unset("graft.dpp.enabled")
+  }
+
   test("partition evolution: mixed-spec files keep execution-time pruning on the default route") {
     // r18: a long-lived table that moved from months() to days() used to
     // fall back to the substitution path (planEligible required ONE spec)
