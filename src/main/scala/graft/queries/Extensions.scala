@@ -374,16 +374,27 @@ object Extensions
   private[queries] def bandAdmitVerdicts(s: SparkSession,
       state: graft.table.GraftTable, batchBands: DataFrame,
       idCol: String, threshold: Int = 3): DataFrame = {
-    val stateScan = state.scanWithRuntimeFilter(batchBands, "band_key", "band_key",
+    // Pin + measure the batch bands once: they are read three times below
+    // (the In-probe collect, the nomination join, the id spine), and a
+    // checkpointed batch frame carries NO size stats, so the planner
+    // otherwise plans this batch-bounded side into shuffled joins against
+    // the state scan (opt guide §3.1: size estimates are wrong after
+    // RDD-backed lineage cuts — hint explicitly when a side is known
+    // small). Within the measured budget the nomination join and the
+    // verdict join both run broadcast-side — the per-batch hot path loses
+    // its exchanges; past the budget (a corpus-sized reprobe) the joins
+    // keep their shuffled shape.
+    val (bands, fits) = measuredPairs(batchBands)
+    val stateScan = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
-    batchBands.select(idCol).distinct()
-      .join(batchBands
-          .join(stateScan.toDF(s).select(col("band_key"),
-            col("h").as("h_hist"), col(idCol).as("hist_id")), Seq("band_key"))
-          .filter(expr(s"bit_count(h ^ h_hist) <= $threshold"))
-          .groupBy(idCol)
-          .agg(countDistinct(col("hist_id")).as("matches")),
-        Seq(idCol), "left")
+    val matches = maybeBroadcast(bands, fits)
+      .join(stateScan.toDF(s).select(col("band_key"),
+        col("h").as("h_hist"), col(idCol).as("hist_id")), Seq("band_key"))
+      .filter(expr(s"bit_count(h ^ h_hist) <= $threshold"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("hist_id")).as("matches"))
+    bands.select(idCol).distinct()
+      .join(maybeBroadcast(matches, fits), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("matches"), lit(0L)).as("matches"),
         col("matches").isNull.as("admitted"))
       .localCheckpoint()
@@ -870,12 +881,26 @@ object Extensions
       bandState: graft.table.GraftTable, sigState: graft.table.GraftTable,
       batchFh: DataFrame,
       onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
+    // Measured broadcast discipline (opt guide §3.1), as in
+    // [[bandAdmitVerdicts]]: the probe bands, the candidate pair set and
+    // the verdict aggregate are all batch-bounded but RDD-backed (no size
+    // stats), so without explicit hints every join below plans shuffled.
+    // The budget is measured on the batch's FRAME rows (callers pin
+    // batchFh, so the count is one cheap job) — every hinted side below
+    // is bounded by them: f0 ≤ 4·clips, cand ≤ clips·matches,
+    // cand ⋈ batchFh ≤ frame rows · matches. Within the budget the whole
+    // nominate→fetch→verify chain runs broadcast-side with the batch /
+    // candidate side as the build side and the state scans streaming —
+    // the shape that is also right at 100 TB, where the pruned state
+    // read dwarfs the batch; past it the joins keep their shuffled shape.
+    val (_, fits) = measuredPairs(batchFh, alreadyPinned = true)
     val f0 = videoBands(batchFh.filter(col("frame") === 0))
       .select(col("vid_id"), col("band_key"))
     val bandScan = bandState.scanWithRuntimeFilter(f0, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
     onBandScanMetrics(bandScan.metrics)
-    val cand = f0.join(bandScan.toDF(s).select(col("band_key"),
+    val cand = maybeBroadcast(f0, fits)
+      .join(bandScan.toDF(s).select(col("band_key"),
         col("vid_id").as("hist_id")), Seq("band_key"))
       .select(col("vid_id"), col("hist_id")).distinct()
       .localCheckpoint() // bounds the vid_id fetch probe below
@@ -885,17 +910,18 @@ object Extensions
     // nf rides in the equi-join keys: unequal-length pairs produce zero
     // aligned rows and can never verify — no post-hoc mismatch filter,
     // and their overlap rows never shuffle
-    val verified = cand
-      .join(batchFh.select(col("vid_id"), col("nf"),
-        col("frame"), col("h").as("ha")), Seq("vid_id"))
+    val verified = maybeBroadcast(cand
+        .join(batchFh.select(col("vid_id"), col("nf"),
+          col("frame"), col("h").as("ha")), Seq("vid_id")), fits)
       .join(histFh.select(col("vid_id").as("hist_id"), col("nf"),
         col("frame"), col("h").as("hb")), Seq("hist_id", "frame", "nf"))
       .groupBy("vid_id", "hist_id")
       .agg(sum(expr("bit_count(ha ^ hb)")).as("hamming"))
       .filter(col("hamming") <= 3)
     batchFh.select("vid_id").distinct()
-      .join(verified.groupBy("vid_id")
-          .agg(countDistinct(col("hist_id")).as("matches")), Seq("vid_id"), "left")
+      .join(maybeBroadcast(verified.groupBy("vid_id")
+          .agg(countDistinct(col("hist_id")).as("matches")), fits),
+        Seq("vid_id"), "left")
       .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
         col("matches").isNull.as("admitted"))
       .localCheckpoint()
@@ -926,36 +952,49 @@ object Extensions
       batchFh: DataFrame, maxLenDiff: Int = 2,
       onBandScanMetrics: graft.table.ScanMetrics => Unit = _ => (),
       toBands: DataFrame => DataFrame = videoBands): DataFrame = {
+    // Measured broadcast discipline (opt guide §3.1) — the
+    // [[videoAdmitVerdicts]] rationale verbatim: every hinted side below
+    // is bounded by the batch's frame rows (probe bands ≤ (maxLenDiff+1)·
+    // 4·clips, cand ≤ clips·matches, the anchor-swept frame join ≤ frame
+    // rows · matches · (maxLenDiff+1)), so one cheap count on the pinned
+    // batchFh decides every hint; past the budget the shuffled shapes
+    // are kept.
+    val (_, fits) = measuredPairs(batchFh, alreadyPinned = true)
     val fK = toBands(batchFh.filter(col("frame") <= maxLenDiff))
       .select(col("vid_id"), col("band_key"))
     val bandScan = bandState.scanWithRuntimeFilter(fK, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
     onBandScanMetrics(bandScan.metrics)
-    val cand = fK.join(bandScan.toDF(s).select(col("band_key"),
+    val cand = maybeBroadcast(fK, fits)
+      .join(bandScan.toDF(s).select(col("band_key"),
         col("vid_id").as("hist_id")), Seq("band_key"))
       .select(col("vid_id"), col("hist_id")).distinct()
       .localCheckpoint() // bounds the vid_id fetch probe below
+    // NOT checkpointed: since the length columns ride the frame join below
+    // the fetch is read exactly once, so inlining it keeps the In-filter
+    // pushed down to the parquet scan inside the verify plan and drops a
+    // whole materialize-execution from the per-batch hot path
     val histFh = sigState.scanWithRuntimeFilter(
       cand.select(col("hist_id").as("vid_id")), "vid_id", "vid_id",
       maxKeys = CrawlProbeMaxKeys).toDF(s)
-      .localCheckpoint() // read twice: the length join + the frame join
     // orient by length, sweep anchors, verify containment: per (pair, p)
     // every SHORT-side frame joins exactly one long-side frame (bf − hf =
     // +p when the batch is longer, −p when history is), so each group
-    // sums nfs aligned hammings
-    val verified = cand
-      .join(batchFh.select(col("vid_id"), col("nf")).distinct(), Seq("vid_id"))
-      .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfh")).distinct(),
+    // sums nfs aligned hammings. nf/nfh ride on EVERY frame row already,
+    // so the pair lengths need no separate dims joins (the previous shape
+    // paid two distinct()-exchanges + two joins to learn them); exploding
+    // the anchor sweep after the frame join is row-for-row identical —
+    // p's sequence depends only on (nf, nfh), constant per pair.
+    val verified = maybeBroadcast(cand
+        .join(batchFh.select(col("vid_id"), col("nf"),
+          col("frame").as("bf"), col("h").as("ha")), Seq("vid_id")), fits)
+      .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfh"),
+          col("frame").as("hf"), col("h").as("hb")),
         Seq("hist_id"))
       .filter(abs(col("nf") - col("nfh")) <= maxLenDiff)
       .withColumn("blonger", col("nf") >= col("nfh"))
       .withColumn("p", explode(sequence(lit(0L),
         abs(col("nf") - col("nfh")).cast("long"))))
-      .join(batchFh.select(col("vid_id"), col("frame").as("bf"),
-        col("h").as("ha")), Seq("vid_id"))
-      .join(histFh.select(col("vid_id").as("hist_id"), col("frame").as("hf"),
-          col("h").as("hb")),
-        Seq("hist_id"))
       .filter(col("bf") - col("hf") ===
         when(col("blonger"), col("p")).otherwise(-col("p")))
       .groupBy("vid_id", "hist_id", "p")
@@ -963,8 +1002,9 @@ object Extensions
       .filter(col("d") <= 3)
       .select("vid_id", "hist_id").distinct()
     batchFh.select("vid_id").distinct()
-      .join(verified.groupBy("vid_id")
-          .agg(countDistinct(col("hist_id")).as("matches")), Seq("vid_id"), "left")
+      .join(maybeBroadcast(verified.groupBy("vid_id")
+          .agg(countDistinct(col("hist_id")).as("matches")), fits),
+        Seq("vid_id"), "left")
       .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
         col("matches").isNull.as("admitted"))
       .localCheckpoint()
@@ -1861,7 +1901,14 @@ object Extensions
     val stateScan = t.scanWithRuntimeFilter(batchSigs, "sig", "sig",
       maxKeys = CrawlProbeMaxKeys)
     onStateScanMetrics(stateScan.metrics)
-    val cand0 = batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    // measured broadcast (opt guide §3.1, the bandAdmitVerdicts
+    // discipline): the batch's signatures are 2 narrow rows per doc but
+    // RDD-backed (no size stats), so the nomination join otherwise plans
+    // shuffled against the pruned state scan; within the budget the
+    // batch side builds and the state scan streams — right at 100 TB too
+    val (_, sigsFit) = measuredPairs(batchSigs, alreadyPinned = true)
+    val cand0 = maybeBroadcast(
+        batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig")), sigsFit)
       .join(stateScan.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))
       .select("doc_a", "doc_b").distinct()
