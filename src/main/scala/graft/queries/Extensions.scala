@@ -85,6 +85,27 @@ object Extensions
   private[queries] def maybeBroadcast(df: DataFrame, fits: Boolean): DataFrame =
     if (fits) broadcast(df) else df
 
+  /** Multiset equality of two same-schema frames in ONE action: signed
+    * union + one grouped sum, zero rows ⇔ equal. The gates' repaired ≡
+    * from-scratch REQUIREs previously ran `a.except(b).isEmpty &&
+    * b.except(a).isEmpty` — two full actions of two-sided
+    * distinct+anti-join exchanges each, on corpus-scale frames (opt guide
+    * §2.4: don't shuffle the same data twice for one answer). On the
+    * unique-keyed states these gates compare, multiset equality is
+    * exactly set equality — and on a frame with duplicate rows it is
+    * STRICTER, never weaker, so a passing gate proves no less than
+    * before. NULL group keys compare equal in GROUP BY, matching
+    * except()'s null-safe semantics.
+    */
+  private[queries] def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.map(col).toSeq
+    a.withColumn("_graft_side", lit(1L))
+      .unionByName(b.withColumn("_graft_side", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_graft_side")).as("_graft_d"))
+      .filter(col("_graft_d") =!= 0L)
+      .isEmpty
+  }
+
   /** The keyword-search inverted index: postings (token, doc_id, tf) in a
     * Graft table identity-partitioned on a 16-way md5 bucket of the token.
     * One pass over text + one (token, doc) hash aggregate — shared by the
@@ -2178,19 +2199,25 @@ object Extensions
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
       val bands = toBands(b)
         .localCheckpoint() // In-probe collect + candidate join + admit rollup
+      // measured broadcast (opt guide §3.1, the bandAdmitVerdicts
+      // discipline): the pinned batch bands carry no size stats, so the
+      // candidate join, the admit anti-join and the state-append join all
+      // otherwise plan shuffled; within the budget the batch side builds
+      // and the state scan streams
+      val (_, fits) = measuredPairs(bands, alreadyPinned = true)
       val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(sc.metrics)
-      val matched = bands
+      val matched = maybeBroadcast(bands, fits)
         .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
         .filter(expr(s"bit_count(h ^ h2) <= $threshold"))
         .select(idCol).distinct()
       val admitted = bands.select(idCol).distinct()
-        .join(matched, Seq(idCol), "left_anti")
+        .join(maybeBroadcast(matched, fits), Seq(idCol), "left_anti")
         .localCheckpoint() // gates the results append AND the state append
       results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       state.append(s,
-        bands.join(admitted, Seq(idCol)).select(idCol, "h", "band_key"),
+        bands.join(maybeBroadcast(admitted, fits), Seq(idCol)).select(idCol, "h", "band_key"),
         statementId = Some(s"$stage-${stmtPrefix}sig-$batchId")): Unit
     }
 
@@ -2258,7 +2285,11 @@ object Extensions
         .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
         .localCheckpoint() // pinned BEFORE the state mutates; read twice
       val perDoc = bg
-        .join(unseen.withColumnRenamed("first_doc", "fd"), Seq("g"), "left")
+        // unseen is batch-bounded and pinned: broadcast it as the build
+        // side of the rollup's left join within the measured budget
+        // (opt guide §3.1) rather than shuffling both sides on g
+        .join(maybeBroadcast(unseen.withColumnRenamed("first_doc", "fd"),
+          measuredPairs(unseen, alreadyPinned = true)._2), Seq("g"), "left")
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("fd") === col("doc_id"), lit(1L)).otherwise(lit(0L))).as("novel"))
@@ -2424,11 +2455,18 @@ object Extensions
     if (nN == 0) return outdeg.select(col("u").as("node"), lit(0L).as("p"))
     val p0 = 1000000000000L / nN
     val base = (15L * p0) / 100L
+    // the rank vector is exactly node-sized (one row per node, ≤ nN every
+    // round), and nN is already on the driver — broadcast it through each
+    // round's edge join within the budget (opt guide §3.1/§2.4: the
+    // edge-sized side then never shuffles; the one unavoidable exchange
+    // per round is the in_sum aggregate). A graph too big for the budget
+    // keeps the shuffled join.
+    val fits = nN <= PairBroadcastMaxRows
     val edgesW = edges.join(outdeg, "u").localCheckpoint()
     var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
     for (_ <- 1 to iters) {
       p = edgesW
-        .join(p.select(col("node").as("u"), col("p")), "u")
+        .join(maybeBroadcast(p.select(col("node").as("u"), col("p")), fits), "u")
         .select(col("v").as("node"), expr("p div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
         .select(col("node"),
@@ -2455,16 +2493,26 @@ object Extensions
     if (edges.isEmpty)
       return edges.select(col("p"), lit(0L).as("a"))
     var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
+      .localCheckpoint()
+    // hub/authority vectors are node-sided (one row per c / per p) and
+    // only shrink across rounds — measure the initial hub once and
+    // broadcast the vector side of every half-round's edge join within
+    // the budget (the pagerankScores rationale: the edge-sized side then
+    // never shuffles; past the budget the joins keep their shuffled
+    // shape). Hub is pinned anyway now, so the count is one cheap job.
+    val fits = hub.count() <= PairBroadcastMaxRows
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      val aRaw = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
+      val aRaw = edges.join(maybeBroadcast(hub, fits), "c")
+        .groupBy("p").agg(sum(col("h")).as("a"))
         .localCheckpoint()
       val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
       auth = aRaw.select(col("p"),
           expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
         .localCheckpoint()
       if (i < iters) { // the final hub update would feed an unused pass
-        val hRaw = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
+        val hRaw = edges.join(maybeBroadcast(auth, fits), "p")
+          .groupBy("c").agg(sum(col("a")).as("h"))
           .localCheckpoint()
         val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
         hub = hRaw.select(col("c"),
@@ -2477,12 +2525,21 @@ object Extensions
 
   private[graft] def triangleStats(s: SparkSession, items: DataFrame): DataFrame = {
     val edges = basketEdges(items).localCheckpoint()
+    // the edge list is pinned and the degree/oriented planes derive from
+    // it, so one count prices every broadcast below (opt guide §3.1):
+    // within the budget the degree joins, the wedge self-join and the
+    // closing probe all stream the BIG side (wedges, Σ C(deg,2)) past a
+    // built edge-sized side instead of shuffling it; past the budget the
+    // shuffled shapes are kept.
+    val nE = edges.count()
+    val fits = nE <= PairBroadcastMaxRows
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // read three times: two degree joins + n_paths2
     val withDeg = edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du")), fits), "u")
+      .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv")), fits), "v")
     val oriented = withDeg.select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("u")).otherwise(col("v")).as("src"),
@@ -2496,11 +2553,12 @@ object Extensions
     // pin the wedge set: it is the pipeline's dominant volume (the
     // Σ C(outdeg, 2) join), and both its own count and the closing probe
     // read it — without the checkpoint the self-join would run twice
-    val wedges = w1.join(w2, Seq("src"))
+    val wedges = w1.join(maybeBroadcast(w2, fits), Seq("src"))
       .filter(col("r1") < col("r2") || (col("r1") === col("r2") && col("d1") < col("d2")))
       .select("src", "d1", "d2").localCheckpoint()
     val closed = wedges.join(
-      oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+      maybeBroadcast(oriented.select(col("src").as("d1"), col("dst").as("d2")), fits),
+      Seq("d1", "d2"))
     // unoriented 2-paths Σ C(deg, 2) — exact BIGINT from the degree
     // table, the transitivity denominator (each triangle closes 3 of
     // them; the ORIENTED wedge set above each triangle closes exactly 1,
@@ -2509,7 +2567,6 @@ object Extensions
     // not NPE
     val nP = deg.agg(coalesce(sum(col("deg") * (col("deg") - lit(1L))), lit(0L)).as("p"))
       .head.getLong(0) / 2 // Σ deg·(deg−1) is even; halve exactly
-    val nE = edges.count()
     val nW = wedges.count()
     val nT = closed.count()
     import s.implicits._

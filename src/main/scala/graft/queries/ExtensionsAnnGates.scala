@@ -992,8 +992,7 @@ trait ExtensionsAnnGates { this: Extensions.type =>
         require(t.meta.snapshots.size == 3,
           s"rebuild must be ONE commit: ${t.meta.snapshots.size} snapshots")
         val postSwapOld = t.atSnapshot(preSwap).toDF(s)
-        val preSwapPreserved = postSwapOld.except(preSwapRows).isEmpty &&
-          preSwapRows.except(postSwapOld).isEmpty
+        val preSwapPreserved = setEqual(postSwapOld, preSwapRows)
         require(preSwapPreserved,
           "time travel must read the complete OLD index pre-swap")
         // the drift, measured through the time-travel read of the OLD

@@ -1461,8 +1461,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         // model equals the delta log's sum, row for row
         val logSum = t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
         val modelDf = model.toDF(s).select("bg", "c2")
-        val modelMatchesLog = modelDf.except(logSum).isEmpty &&
-          logSum.except(modelDf).isEmpty
+        val modelMatchesLog = setEqual(modelDf, logSum)
         require(modelMatchesLog, "model table must equal the delta-log sum")
         res.toDF(s).groupBy("lang")
           .agg(count(lit(1)).as("docs"),

@@ -864,8 +864,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val logSum = log.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2"))
           .filter(col("c2") =!= 0L)
         val modelDf = model.toDF(s).select("bg", "c2")
-        val modelMatchesLog = modelDf.except(logSum).isEmpty &&
-          logSum.except(modelDf).isEmpty
+        val modelMatchesLog = setEqual(modelDf, logSum)
         require(modelMatchesLog,
           "unlearned model must equal the log's nonzero sums")
         val probs = lmProbs(model.toDF(s).select(col("bg"), col("c2")))
@@ -958,7 +957,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val rowsAfter = t.toDF(s).count()
         val scratch = chunkKeepFirstLedger(chunksOf(survivors, W))
         val repaired = t.toDF(s)
-        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+        require(setEqual(repaired, scratch),
           "repaired ledger must equal the from-scratch keep-first over survivors")
         repaired.groupBy("lang")
           .agg(count(lit(1)).as("kept_chunks"), sum(col("n_tok")).as("kept_tokens"))
@@ -1041,7 +1040,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val scratch = gramsOf(survivors)
           .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
         val repaired = t.toDF(s)
-        require(repaired.except(scratch).isEmpty && scratch.except(repaired).isEmpty,
+        require(setEqual(repaired, scratch),
           "repaired first-seen state must equal the from-scratch election over survivors")
         repaired.join(docs.select(col("doc_id").as("first_doc"), col("lang")),
             Seq("first_doc"))

@@ -260,6 +260,40 @@ object GraftWriter {
     val bits = meta.property(TableProperties.BloomBits, graft.io.Bloom.DefaultBits.toString).toInt
     require(bits >= 64 && bits % 8 == 0, s"${TableProperties.BloomBits}=$bits (need >=64, /8)")
 
+    // Small writes build their blooms ON THE DRIVER (opt guide §1.2: the
+    // per-append bloom pass was a whole extra Spark job whose fixed cost —
+    // plan + schedule + stage — dwarfs the KBs it reads on a micro-batch
+    // append; a streaming state commit paid it per batch). The driver path
+    // reads back just the bloom columns via parquet-hadoop and hashes each
+    // value through [[graft.io.Bloom.hashPair]] — the SAME Cast+XxHash64
+    // catalyst evaluation [[graft.io.Bloom.positionColumns]] codegens on
+    // executors, so the bitmaps are bit-identical by construction
+    // (BloomDriverParitySpec pins it per type). Scale-adaptive, not
+    // core-count-tuned: the cutover is on BYTES WRITTEN (default 64 MB,
+    // `graft.write.bloom-driver-max-bytes`), so production-sized appends
+    // keep the distributed column-pruned pass. Types outside the exact
+    // driver read set (timestamps, decimals, booleans) also fall back.
+    val driverMaxBytes = spark.conf
+      .getOption("graft.write.bloom-driver-max-bytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    val driverReadable = cols.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _ => false
+    })
+    if (driverReadable && files.map(_.fileSizeBytes).sum <= driverMaxBytes) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      import scala.collection.parallel.CollectionConverters._
+      return files.par.map { df =>
+        val p = GraftUtil.resolve(meta.location, df.path)
+        val blooms = driverBlooms(p, cols, bits, conf)
+        val merged = blooms.foldLeft(df.stats) { case (st, (id, b)) =>
+          st.updated(id, st.getOrElse(id, ColStats(None, None, None)).copy(bloom = Some(b)))
+        }
+        df.copy(stats = merged)
+      }.seq
+    }
+
     val paths = files.map(f => GraftUtil.resolve(meta.location, f.path))
     val aggs = cols.flatMap { f =>
       val (p1, p2) = graft.io.Bloom.positionColumns(Cols.q(f.name), bits)
@@ -288,5 +322,65 @@ object GraftWriter {
           df.copy(stats = merged)
       }
     }
+  }
+
+  /** One file's bloom bitmaps, built on the driver: a column-pruned
+    * parquet-hadoop read of exactly the bloom columns, each non-null
+    * value hashed through [[graft.io.Bloom.hashPair]] — the catalyst
+    * Cast+XxHash64 evaluation shared with the executor write path and
+    * the probe side, so driver- and job-built bitmaps cannot diverge.
+    * Callers restrict to the exactly-representable driver read set
+    * (integrals, float/double, string).
+    */
+  private def driverBlooms(path: String, cols: Seq[StructField], bits: Int,
+      conf: org.apache.hadoop.conf.Configuration): Map[Int, String] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.api.ReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hp = new HPath(path)
+    // projection: just the bloom columns, from the file's own schema
+    val footerReader = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
+    val fileSchema = try footerReader.getFooter.getFileMetaData.getSchema
+      finally footerReader.close()
+    val wanted = cols.map(_.name).filter(fileSchema.containsField)
+    val projection = new org.apache.parquet.schema.MessageType("graft_bloom",
+      wanted.map(n => fileSchema.getType(Seq(n): _*)): _*)
+    val readConf = new org.apache.hadoop.conf.Configuration(conf)
+    readConf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val positions: Map[String, scala.collection.mutable.BitSet] =
+      wanted.map(_ -> scala.collection.mutable.BitSet.empty).toMap
+    val byName = cols.map(f => f.name -> f).toMap
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), hp).withConf(readConf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        wanted.foreach { n =>
+          if (g.getFieldRepetitionCount(n) > 0) {
+            val raw: Any = byName(n).dataType match {
+              case LongType => g.getLong(n, 0)
+              case IntegerType => g.getInteger(n, 0)
+              case ShortType => g.getInteger(n, 0)
+              case ByteType => g.getInteger(n, 0)
+              case FloatType => g.getFloat(n, 0)
+              case DoubleType => g.getDouble(n, 0)
+              case _ => g.getString(n, 0)
+            }
+            graft.io.Bloom.hashPair(byName(n).dataType, raw).foreach {
+              case (h1, h2) =>
+                positions(n) += (h1 % bits).toInt
+                positions(n) += ((h1 + h2) % bits).toInt
+            }
+          }
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    wanted.map { n =>
+      GraftSchema.fieldId(byName(n)) -> graft.io.Bloom.encode(positions(n), bits)
+    }.toMap
   }
 }
