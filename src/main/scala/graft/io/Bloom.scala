@@ -69,6 +69,46 @@ object Bloom {
     }
   }
 
+  /** Reusable per-column hash evaluator for the DRIVER bloom-build hot
+    * loop (r18 ADVICE): [[hashPair]] constructs and interpreted-evaluates
+    * a fresh Literal+Cast+XxHash64 tree PER VALUE — near the driver-build
+    * cutover (millions of values) the tree construction dominates the
+    * hashing itself. This builds the SAME Cast→XxHash64 evaluation ONCE
+    * over a bound one-slot row and feeds values through it, so each value
+    * pays only the evaluation. Restricted to the exactly-representable
+    * driver read set (GraftWriter.driverReadable — integrals, float,
+    * double, string); bit-identity with [[hashPair]] and the executor
+    * path is pinned by BloomDriverParitySpec. NOT thread-safe (mutable
+    * row): build one per worker thread.
+    */
+  def hashPairEvaluator(dt: DataType): Any => Option[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, GenericInternalRow, XxHash64}
+    val toInternal: Any => Any = dt match {
+      case ByteType => v => v.asInstanceOf[Number].byteValue()
+      case ShortType => v => v.asInstanceOf[Number].shortValue()
+      case IntegerType => v => v.asInstanceOf[Number].intValue()
+      case LongType => v => v.asInstanceOf[Number].longValue()
+      case FloatType => v => v.asInstanceOf[Number].floatValue()
+      case DoubleType => v => v.asInstanceOf[Number].doubleValue()
+      case StringType =>
+        v => org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      case other => sys.error(s"hashPairEvaluator: unsupported type $other")
+    }
+    val hash = XxHash64(
+      Seq(Cast(BoundReference(0, dt, nullable = false), StringType, Some("UTC"))), 42L)
+    val row = new GenericInternalRow(1)
+    (v: Any) => {
+      row.update(0, toInternal(v))
+      hash.eval(row) match {
+        case l: java.lang.Long =>
+          val h = l.longValue()
+          Some((java.lang.Long.remainderUnsigned(h, 0x100000000L),
+            java.lang.Long.remainderUnsigned(h >>> 32, 0x100000000L)))
+        case _ => None
+      }
+    }
+  }
+
   /** Convert a raw predicate literal to the external JVM type
     * `Literal.create` expects for `dt`, via the canonical space (so e.g. an
     * Int probe against a LongType column still hashes as a long). Narrowing

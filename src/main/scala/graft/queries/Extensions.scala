@@ -63,23 +63,56 @@ object Extensions
     */
   val CrawlProbeMaxKeys: Int = 1024
 
-  /** Materialize a candidate-pair set once (localCheckpoint — distributed,
-    * lineage-cut, so the count below does NOT recompute the generation
-    * pipeline and the verify joins reuse the same blocks) and measure it
-    * against the broadcast budget.
-    *
+  private def broadcastCap(s: SparkSession): Long =
+    s.conf.getOption("graft.pairs.broadcast-max-rows")
+      .map(_.toLong).getOrElse(PairBroadcastMaxRows)
+
+  /** Is this frame already pinned as a driver-local relation (a
+    * [[pinMeasured]] fast-path result, possibly under folded
+    * projections/filters)? Local frames carry EXACT size statistics and
+    * are by construction within the broadcast budget.
+    */
+  private[graft] def isDriverLocal(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+
+  /** Pin a batch-bounded frame and measure it against the broadcast budget
+    * in ONE bounded probe (`limit(cap+1)` + collect). Within the budget the
+    * pin is a DRIVER-LOCAL relation (LocalRelation): exact size statistics
+    * at plan time, so joins against it broadcast without AQE shuffle
+    * round-trips; In-probe collects and emptiness checks fold to driver
+    * array walks (zero Spark jobs); and the driver-memory exposure is the
+    * SAME class the budget already allows — a broadcast of the frame
+    * collects those rows to the driver anyway (opt guide §3.1, §5). Past
+    * the budget the frame pins DISTRIBUTED (localCheckpoint — the pre-r19
+    * shape, shuffled joins kept) and the probe's partial rows are
+    * discarded; over-budget frames are the corpus-sized reprobes, where
+    * the bounded probe's cost is a partition-limited take, not a full
+    * second pass.
+    * @return (pinned frame, fits-the-broadcast-budget)
+    */
+  private[graft] def pinMeasured(df: DataFrame): (DataFrame, Boolean) = {
+    val cap = broadcastCap(df.sparkSession)
+    val probeCap = math.min(cap, Int.MaxValue - 2L).toInt
+    val probe = df.limit(probeCap + 1).collect()
+    if (probe.length <= probeCap)
+      (df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(probe: _*), df.schema), true)
+    else (df.localCheckpoint(), false)
+  }
+
+  /** Measure a candidate-pair set against the broadcast budget, pinning it
+    * first ([[pinMeasured]]). Callers that pinned `pairs` themselves pass
+    * alreadyPinned — a driver-local pin answers from its exact plan-time
+    * statistics (zero jobs); a distributed pin pays one count on its
+    * materialized blocks.
     * @return the pinned pair frame and whether it fits the budget
     */
   private[graft] def measuredPairs(pairs: DataFrame,
       alreadyPinned: Boolean = false): (DataFrame, Boolean) = {
-    val cap = pairs.sparkSession.conf.getOption("graft.pairs.broadcast-max-rows")
-      .map(_.toLong).getOrElse(PairBroadcastMaxRows)
-    // callers that pinned `pairs` themselves (the streaming fuzzy loop
-    // checkpoints its candidate set for the fetch's driver collect) pass
-    // alreadyPinned — re-checkpointing a checkpointed frame re-materializes
-    // its blocks for nothing, on the per-micro-batch hot path
-    val pinned = if (alreadyPinned) pairs else pairs.localCheckpoint()
-    (pinned, pinned.count() <= cap)
+    if (!alreadyPinned) pinMeasured(pairs)
+    else if (isDriverLocal(pairs)) (pairs, true)
+    else (pairs, pairs.count() <= broadcastCap(pairs.sparkSession))
   }
 
   private[queries] def maybeBroadcast(df: DataFrame, fits: Boolean): DataFrame =
@@ -920,32 +953,38 @@ object Extensions
     val bandScan = bandState.scanWithRuntimeFilter(f0, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
     onBandScanMetrics(bandScan.metrics)
-    val cand = maybeBroadcast(f0, fits)
-      .join(bandScan.toDF(s).select(col("band_key"),
-        col("vid_id").as("hist_id")), Seq("band_key"))
-      .select(col("vid_id"), col("hist_id")).distinct()
-      .localCheckpoint() // bounds the vid_id fetch probe below
+    val (cand, _) = pinMeasured( // bounds the vid_id fetch probe below
+      maybeBroadcast(f0, fits)
+        .join(bandScan.toDF(s).select(col("band_key"),
+          col("vid_id").as("hist_id")), Seq("band_key"))
+        .select(col("vid_id"), col("hist_id")).distinct())
     val histFh = sigState.scanWithRuntimeFilter(
       cand.select(col("hist_id").as("vid_id")), "vid_id", "vid_id",
       maxKeys = CrawlProbeMaxKeys).toDF(s)
+    // the verify side is frame rows × matches-per-clip — a near-budget
+    // batch whose clips collide with many history ids can exceed the
+    // batchFh-derived budget, so it is measured ON ITS OWN (r18 ADVICE):
+    // within the budget it pins driver-local and broadcasts; past it the
+    // join keeps its shuffled shape instead of force-broadcasting an
+    // unbounded side
+    val (verifyIn, vFits) = pinMeasured(cand
+      .join(batchFh.select(col("vid_id"), col("nf"),
+        col("frame"), col("h").as("ha")), Seq("vid_id")))
     // nf rides in the equi-join keys: unequal-length pairs produce zero
     // aligned rows and can never verify — no post-hoc mismatch filter,
     // and their overlap rows never shuffle
-    val verified = maybeBroadcast(cand
-        .join(batchFh.select(col("vid_id"), col("nf"),
-          col("frame"), col("h").as("ha")), Seq("vid_id")), fits)
+    val verified = maybeBroadcast(verifyIn, vFits)
       .join(histFh.select(col("vid_id").as("hist_id"), col("nf"),
         col("frame"), col("h").as("hb")), Seq("hist_id", "frame", "nf"))
       .groupBy("vid_id", "hist_id")
       .agg(sum(expr("bit_count(ha ^ hb)")).as("hamming"))
       .filter(col("hamming") <= 3)
-    batchFh.select("vid_id").distinct()
+    pinMeasured(batchFh.select("vid_id").distinct()
       .join(maybeBroadcast(verified.groupBy("vid_id")
           .agg(countDistinct(col("hist_id")).as("matches")), fits),
         Seq("vid_id"), "left")
       .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
-        col("matches").isNull.as("admitted"))
-      .localCheckpoint()
+        col("matches").isNull.as("admitted")))._1
   }
 
   /** The TRIM-TOLERANT twin of [[videoAdmitVerdicts]] (r14 verdict #1's
@@ -986,11 +1025,11 @@ object Extensions
     val bandScan = bandState.scanWithRuntimeFilter(fK, "band_key", "band_key",
       maxKeys = CrawlProbeMaxKeys)
     onBandScanMetrics(bandScan.metrics)
-    val cand = maybeBroadcast(fK, fits)
-      .join(bandScan.toDF(s).select(col("band_key"),
-        col("vid_id").as("hist_id")), Seq("band_key"))
-      .select(col("vid_id"), col("hist_id")).distinct()
-      .localCheckpoint() // bounds the vid_id fetch probe below
+    val (cand, _) = pinMeasured( // bounds the vid_id fetch probe below
+      maybeBroadcast(fK, fits)
+        .join(bandScan.toDF(s).select(col("band_key"),
+          col("vid_id").as("hist_id")), Seq("band_key"))
+        .select(col("vid_id"), col("hist_id")).distinct())
     // NOT checkpointed: since the length columns ride the frame join below
     // the fetch is read exactly once, so inlining it keeps the In-filter
     // pushed down to the parquet scan inside the verify plan and drops a
@@ -1006,9 +1045,15 @@ object Extensions
     // paid two distinct()-exchanges + two joins to learn them); exploding
     // the anchor sweep after the frame join is row-for-row identical —
     // p's sequence depends only on (nf, nfh), constant per pair.
-    val verified = maybeBroadcast(cand
-        .join(batchFh.select(col("vid_id"), col("nf"),
-          col("frame").as("bf"), col("h").as("ha")), Seq("vid_id")), fits)
+    // the anchor-swept verify side is frame rows × matches-per-clip —
+    // measured ON ITS OWN (r18 ADVICE), not inferred from batchFh: within
+    // the budget it pins driver-local and broadcasts; past it the join
+    // keeps its shuffled shape instead of force-broadcasting an unbounded
+    // side
+    val (verifyIn, vFits) = pinMeasured(cand
+      .join(batchFh.select(col("vid_id"), col("nf"),
+        col("frame").as("bf"), col("h").as("ha")), Seq("vid_id")))
+    val verified = maybeBroadcast(verifyIn, vFits)
       .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfh"),
           col("frame").as("hf"), col("h").as("hb")),
         Seq("hist_id"))
@@ -1022,13 +1067,12 @@ object Extensions
       .agg(sum(expr("bit_count(ha ^ hb)")).as("d"))
       .filter(col("d") <= 3)
       .select("vid_id", "hist_id").distinct()
-    batchFh.select("vid_id").distinct()
+    pinMeasured(batchFh.select("vid_id").distinct()
       .join(maybeBroadcast(verified.groupBy("vid_id")
           .agg(countDistinct(col("hist_id")).as("matches")), fits),
         Seq("vid_id"), "left")
       .select(col("vid_id"), coalesce(col("matches"), lit(0L)).as("matches"),
-        col("matches").isNull.as("admitted"))
-      .localCheckpoint()
+        col("matches").isNull.as("admitted")))._1
   }
 
   /** The streaming VIDEO-dedup crawl loop — the
@@ -1061,8 +1105,9 @@ object Extensions
         * front ([[videoFramesCanonical]]) and changes NOTHING else. */
       toSeq: DataFrame => DataFrame = videoFrameHashes): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val fh = toSeq(b)
-        .localCheckpoint() // In-probe collects + candidate joins read it
+      // measured driver-local pin (opt guide §3.1): In-probe collects and
+      // candidate joins read the batch sequence job-free within the budget
+      val (fh, _) = pinMeasured(toSeq(b))
       val verdicts = videoAdmitVerdicts(s, bandState, sigState, fh, onBandScanMetrics)
       val admitted = verdicts.filter(col("admitted")).select("vid_id")
       results.append(s, admitted, statementId = Some(s"$stage-vres-$batchId"))
@@ -1187,11 +1232,12 @@ object Extensions
         */
       idGroupDiv: Option[Int] = None): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val fh = toSeq(b)
-        .localCheckpoint() // In-probe collects + candidate joins read it
+      // measured driver-local pin (opt guide §3.1): In-probe collects and
+      // candidate joins read the batch sequence job-free within the budget
+      val (fh, _) = pinMeasured(toSeq(b))
       val verdicts = videoAdmitVerdictsTrimmed(s, bandState, sigState, fh,
         maxLenDiff, onBandScanMetrics, toBands)
-      val admitted = (idGroupDiv match {
+      val admittedRaw = idGroupDiv match {
         case Some(g) =>
           // INTEGER division (r16 ADVICE): `/` is double division, which
           // loses precision above 2^52 and could land a clip's two phase
@@ -1207,7 +1253,9 @@ object Extensions
             .join(grpAdm, expr(s"vid_id div $g") === col("grp"))
             .select("vid_id")
         case None => verdicts.filter(col("admitted")).select("vid_id")
-      }).localCheckpoint() // gates the results append AND both state appends
+      }
+      // gates the results append AND both state appends
+      val (admitted, _) = pinMeasured(admittedRaw)
       results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       sigState.append(s, fh.join(admitted, Seq("vid_id"))
           .select("vid_id", "nf", "frame", "h"),
@@ -1662,15 +1710,16 @@ object Extensions
       filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val first = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .localCheckpoint() // read twice: the In-probe collect + the anti-join
+      // pinned driver-local within the budget (pinMeasured): the In-probe
+      // collect and the anti-join's build side then cost zero extra jobs
+      val (first, _) = pinMeasured(
+        b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id")))
       val stateScan = state.scanWithRuntimeFilter(first, "fp", "fp",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
-      val adm = first
-        .join(stateScan.toDF(s).select(col("fp")), Seq("fp"), "left_anti")
-        .localCheckpoint() // pinned BEFORE the state mutates below
+      val (adm, _) = pinMeasured(first // pinned BEFORE the state mutates below
+        .join(stateScan.toDF(s).select(col("fp")), Seq("fp"), "left_anti"))
       results.append(s, adm.select(col("doc_id")),
         statementId = Some(s"$stage-res-$batchId"))
       state.append(s, adm.select(col("fp")),
@@ -1910,7 +1959,8 @@ object Extensions
       commitResults: DataFrame => Unit = _ => (),
       fetchCandidates: Option[DataFrame => DataFrame] = None,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): DataFrame = {
-    val batchSigs = bandSigsOf(batch).localCheckpoint() // nominate AND re-append
+    // measured driver-local pin: nominate AND re-append read it job-free
+    val (batchSigs, sigsFit) = pinMeasured(bandSigsOf(batch))
     // the nomination reads the signature state through a RUNTIME-FILTERED
     // scan: the batch's sig set (2 narrow rows per doc — bounded by the
     // batch) pushes as an In probe so a sig-bloom state skips files that
@@ -1923,11 +1973,8 @@ object Extensions
       maxKeys = CrawlProbeMaxKeys)
     onStateScanMetrics(stateScan.metrics)
     // measured broadcast (opt guide §3.1, the bandAdmitVerdicts
-    // discipline): the batch's signatures are 2 narrow rows per doc but
-    // RDD-backed (no size stats), so the nomination join otherwise plans
-    // shuffled against the pruned state scan; within the budget the
-    // batch side builds and the state scan streams — right at 100 TB too
-    val (_, sigsFit) = measuredPairs(batchSigs, alreadyPinned = true)
+    // discipline): within the budget the batch side builds and the state
+    // scan streams — right at 100 TB too
     val cand0 = maybeBroadcast(
         batchSigs.select(col("doc_id").as("doc_a"), col("band"), col("sig")), sigsFit)
       .join(stateScan.toDF(s).select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -1936,17 +1983,16 @@ object Extensions
     // with a pruned fetch installed, cand is read twice (the fetch
     // collects its doc_b ids for the In probe; pairJaccard joins it) —
     // pin it so the state nomination join runs once
-    val cand = if (fetchCandidates.isDefined) cand0.localCheckpoint() else cand0
+    val cand = if (fetchCandidates.isDefined) pinMeasured(cand0)._1 else cand0
     val verifyText = fetchCandidates match {
       case Some(fetch) => batch.select("doc_id", "text").unionByName(fetch(cand))
       case None =>
         batch.select("doc_id", "text").unionByName(hist.select("doc_id", "text"))
     }
-    val rejected = pairJaccard(verifyText, cand,
+    val rejected = pinMeasured(pairJaccard(verifyText, cand,
         pairsPinned = fetchCandidates.isDefined)
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("doc_id")).distinct()
-      .localCheckpoint()
+      .select(col("doc_a").as("doc_id")).distinct())._1
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
     commitResults(admitted) // results BEFORE state — the crash ordering
     t.append(s, batchSigs.join(admitted.select("doc_id"), "doc_id")
@@ -2062,9 +2108,12 @@ object Extensions
       filesPerTrigger: Int = 1,
       onModelScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bb = b.select(col("doc_id"), col("lang"),
-          explode(TF.shingles(col("text"), 2)).as("bg"))
-        .localCheckpoint() // In-probe collect + scoring join + delta rollup
+      // measured driver-local pin (opt guide §3.1): the w1 In-probe
+      // collect, the scoring join's spine and the delta rollup all read
+      // the batch bigrams job-free within the budget
+      val (bb, _) = pinMeasured(
+        b.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg")))
       // the model read is RUNTIME-FILTERED by HEAD WORD, not bigram: the
       // fixed point q = (c2·1e6) div c1 needs c1(w1) = Σ over ALL bigrams
       // starting with w1, so pruning by bg would undercount c1 — pruning
@@ -2088,8 +2137,10 @@ object Extensions
         .agg(min(col("lang")).as("lang"),
           expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
           sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
-      val deltas = bb.groupBy("bg").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // read twice: the log append + the model MERGE
+      // driver-local within the budget: the emptiness check below and the
+      // MERGE's candidate-key probe then cost zero extra jobs
+      val (deltas, _) = pinMeasured(
+        bb.groupBy("bg").agg(count(lit(1)).as("cnt")))
       // Empty-delta short circuit (r13 verdict #6): a batch whose docs
       // carry no bigram at all (every text under 2 tokens) has nothing to
       // score (perDoc derives from the same empty bb), log, or fold — but
@@ -2197,14 +2248,12 @@ object Extensions
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => (),
       threshold: Int = 3): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bands = toBands(b)
-        .localCheckpoint() // In-probe collect + candidate join + admit rollup
-      // measured broadcast (opt guide §3.1, the bandAdmitVerdicts
-      // discipline): the pinned batch bands carry no size stats, so the
-      // candidate join, the admit anti-join and the state-append join all
-      // otherwise plan shuffled; within the budget the batch side builds
-      // and the state scan streams
-      val (_, fits) = measuredPairs(bands, alreadyPinned = true)
+      // measured driver-local pin (opt guide §3.1): within the budget the
+      // batch bands become a LocalRelation — the In-probe collect is a
+      // driver array walk, and the candidate join, admit anti-join and
+      // state-append join all see exact build-side sizes; past the budget
+      // the distributed pin keeps today's shuffled shapes
+      val (bands, fits) = pinMeasured(toBands(b))
       val sc = state.scanWithRuntimeFilter(bands, "band_key", "band_key",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(sc.metrics)
@@ -2212,9 +2261,9 @@ object Extensions
         .join(sc.toDF(s).select(col("band_key"), col("h").as("h2")), Seq("band_key"))
         .filter(expr(s"bit_count(h ^ h2) <= $threshold"))
         .select(idCol).distinct()
-      val admitted = bands.select(idCol).distinct()
-        .join(maybeBroadcast(matched, fits), Seq(idCol), "left_anti")
-        .localCheckpoint() // gates the results append AND the state append
+      val (admitted, _) = pinMeasured( // gates the results append AND the state append
+        bands.select(idCol).distinct()
+          .join(maybeBroadcast(matched, fits), Seq(idCol), "left_anti"))
       results.append(s, admitted, statementId = Some(s"$stage-${stmtPrefix}res-$batchId"))
       state.append(s,
         bands.join(maybeBroadcast(admitted, fits), Seq(idCol)).select(idCol, "h", "band_key"),
@@ -2274,22 +2323,24 @@ object Extensions
       filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bg = b.select(col("doc_id"), col("lang"),
-          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
-        .localCheckpoint() // In-probe collect + anti-join + rollup read it
+      // measured driver-local pin (opt guide §3.1): In-probe collect,
+      // anti-join and the rollup all read the batch grams job-free
+      val (bg, _) = pinMeasured(
+        b.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g")))
       val stateScan = state.scanWithRuntimeFilter(bg, "g", "g",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
-      val unseen = bg.select("doc_id", "g")
-        .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
-        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-        .localCheckpoint() // pinned BEFORE the state mutates; read twice
+      val (unseen, unseenFits) = pinMeasured( // pinned BEFORE the state mutates
+        bg.select("doc_id", "g")
+          .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
+          .groupBy("g").agg(min(col("doc_id")).as("first_doc")))
       val perDoc = bg
         // unseen is batch-bounded and pinned: broadcast it as the build
         // side of the rollup's left join within the measured budget
         // (opt guide §3.1) rather than shuffling both sides on g
         .join(maybeBroadcast(unseen.withColumnRenamed("first_doc", "fd"),
-          measuredPairs(unseen, alreadyPinned = true)._2), Seq("g"), "left")
+          unseenFits), Seq("g"), "left")
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("fd") === col("doc_id"), lit(1L)).otherwise(lit(0L))).as("novel"))
@@ -2331,7 +2382,10 @@ object Extensions
     * @return (h, f_doc, f_ci, lang, n_tok) — one row per distinct h
     */
   private[graft] def chunkKeepFirstLedger(chunks: DataFrame): DataFrame = {
-    val hc = chunks.localCheckpoint()
+    // crawl-batch-bounded by every caller: driver-local within the budget
+    // (both keep-first aggregates and the payload self-join read it), the
+    // distributed pin past it
+    val (hc, _) = pinMeasured(chunks)
     val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
     // keys derives from hc, so the payload join below is a self-join —
     // its h is renamed so every column reference resolves to exactly one
@@ -2380,8 +2434,9 @@ object Extensions
       state: graft.table.GraftTable, w: Int, filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      val bc = chunksOf(b, w)
-        .localCheckpoint() // read twice: the In-probe collect + the anti-join
+      // measured driver-local pin (opt guide §3.1): the In-probe collect
+      // reads the batch chunks job-free within the budget
+      val (bc, _) = pinMeasured(chunksOf(b, w))
       val stateScan = state.scanWithRuntimeFilter(bc, "h", "h",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
@@ -2495,23 +2550,29 @@ object Extensions
     var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
       .localCheckpoint()
     // hub/authority vectors are node-sided (one row per c / per p) and
-    // only shrink across rounds — measure the initial hub once and
-    // broadcast the vector side of every half-round's edge join within
-    // the budget (the pagerankScores rationale: the edge-sized side then
-    // never shuffles; past the budget the joins keep their shuffled
-    // shape). Hub is pinned anyway now, so the count is one cheap job.
+    // only shrink across rounds — measure each side ONCE on its first
+    // pinned vector and broadcast that side of every later half-round's
+    // edge join within the budget (the pagerankScores rationale: the
+    // edge-sized side then never shuffles; past the budget the joins keep
+    // their shuffled shape). The two sides are gated SEPARATELY (r18
+    // ADVICE): on a bipartite graph with few citing docs and many cited
+    // pages, hub fits while auth is arbitrarily large, and a hub-derived
+    // hint on the auth side would force-broadcast past the budget.
+    // Both counts are cheap jobs on already-pinned frames.
     val fits = hub.count() <= PairBroadcastMaxRows
     var auth: DataFrame = null
+    var authFits = false
     for (i <- 1 to iters) {
       val aRaw = edges.join(maybeBroadcast(hub, fits), "c")
         .groupBy("p").agg(sum(col("h")).as("a"))
         .localCheckpoint()
+      if (i == 1) authFits = aRaw.count() <= PairBroadcastMaxRows
       val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
       auth = aRaw.select(col("p"),
           expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
         .localCheckpoint()
       if (i < iters) { // the final hub update would feed an unused pass
-        val hRaw = edges.join(maybeBroadcast(auth, fits), "p")
+        val hRaw = edges.join(maybeBroadcast(auth, authFits), "p")
           .groupBy("c").agg(sum(col("a")).as("h"))
           .localCheckpoint()
         val hMax = hRaw.agg(max(col("h"))).head.getLong(0)

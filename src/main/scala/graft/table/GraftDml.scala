@@ -319,7 +319,12 @@ trait GraftDml { self: GraftTable =>
     // skip exactly the files those actions must rewrite — disable it.
     val hasBySource = whenNotMatchedBySourceUpdate.nonEmpty ||
       whenNotMatchedBySourceDelete.isDefined
-    val srcCached = source.cache()
+    // a driver-local source (the streaming LM loop's pinned deltas) is
+    // already materialized — caching it would only add an InMemoryRelation
+    // materialize job to the per-batch hot path
+    val srcIsLocal = source.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val srcCached = if (srcIsLocal) source else source.cache()
     val keyPreds: Seq[Predicate] =
       if (hasBySource) Nil else mergeCandidatePreds(srcCached, onKeys, schema)
 

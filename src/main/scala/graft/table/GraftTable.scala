@@ -45,10 +45,23 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     */
   def scanWithRuntimeFilter(dim: DataFrame, dimCol: String, factCol: String,
                             maxKeys: Int = 100000, preds: Seq[Predicate] = Nil): GraftScan = {
-    val rows = dim.select(Cols.q(dimCol)).distinct().limit(maxKeys + 1).collect()
-    if (rows.length > maxKeys) scan(preds: _*)
+    val proj = dim.select(Cols.q(dimCol))
+    // Driver-local dims (the pinned batch plane) read their keys WITHOUT a
+    // Spark job: a projection over a LocalRelation folds at optimization
+    // time, so collect() is a driver-side array walk and the distinct is
+    // done here — the per-micro-batch state probe previously paid one
+    // distinct+limit job per read. Distributed dims keep the bounded
+    // distinct+limit job.
+    val isLocal = proj.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val keys0: Seq[Any] =
+      if (isLocal)
+        proj.collect().iterator.map(_.get(0)).toSeq.distinct.take(maxKeys + 1)
+      else
+        proj.distinct().limit(maxKeys + 1).collect().iterator.map(_.get(0)).toSeq
+    if (keys0.length > maxKeys) scan(preds: _*)
     else {
-      val keys = rows.map(_.get(0)).filter(_ != null).toSeq
+      val keys = keys0.filter(_ != null)
       scan((preds :+ Predicate.In(factCol, keys)): _*)
     }
   }

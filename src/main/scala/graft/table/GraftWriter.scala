@@ -353,6 +353,12 @@ object GraftWriter {
     val positions: Map[String, scala.collection.mutable.BitSet] =
       wanted.map(_ -> scala.collection.mutable.BitSet.empty).toMap
     val byName = cols.map(f => f.name -> f).toMap
+    // ONE Cast→XxHash64 evaluator per column for the whole file (r18
+    // ADVICE): hashPair rebuilt the expression tree per VALUE, which
+    // dominates near the bytes cutover; parity with the executor path is
+    // pinned by BloomDriverParitySpec
+    val evaluator: Map[String, Any => Option[(Long, Long)]] =
+      wanted.map(n => n -> graft.io.Bloom.hashPairEvaluator(byName(n).dataType)).toMap
     val reader = ParquetReader
       .builder(new GroupReadSupport(), hp).withConf(readConf).build()
     try {
@@ -369,7 +375,7 @@ object GraftWriter {
               case DoubleType => g.getDouble(n, 0)
               case _ => g.getString(n, 0)
             }
-            graft.io.Bloom.hashPair(byName(n).dataType, raw).foreach {
+            evaluator(n)(raw).foreach {
               case (h1, h2) =>
                 positions(n) += (h1 % bits).toInt
                 positions(n) += ((h1 + h2) % bits).toInt

@@ -15,13 +15,15 @@ class BloomDriverParitySpec extends SparkSpec {
 
   test("driver-built blooms are bit-identical to job-built blooms per type") {
     import spark.implicits._
-    val rows = Seq[(java.lang.Long, java.lang.Integer, String, java.lang.Double, java.lang.Float)](
-      (1L, 7, "alpha", 1.5, 2.5f),
-      (-42L, -1, "", -0.0, Float.NaN),
-      (Long.MaxValue, Int.MinValue, "üñïçødé nul\u0000tab\t", Double.NaN, -3.25f),
-      (null, null, null, null, null),
-      (0L, 0, "alpha", 1.5, 2.5f) // duplicates must not change the bitmap set
-    ).toDF("l", "i", "s", "d", "f").coalesce(1)
+    // byte/short ride along (r18 ADVICE: they were in the driverReadable
+    // set with no parity leg pinning the parquet getInteger round-trip)
+    val rows = Seq[(java.lang.Long, java.lang.Integer, String, java.lang.Double, java.lang.Float, java.lang.Byte, java.lang.Short)](
+      (1L, 7, "alpha", 1.5, 2.5f, 1.toByte, 3.toShort),
+      (-42L, -1, "", -0.0, Float.NaN, java.lang.Byte.MIN_VALUE, java.lang.Short.MIN_VALUE),
+      (Long.MaxValue, Int.MinValue, "üñïçødé nul\u0000tab\t", Double.NaN, -3.25f, java.lang.Byte.MAX_VALUE, java.lang.Short.MAX_VALUE),
+      (null, null, null, null, null, null, null),
+      (0L, 0, "alpha", 1.5, 2.5f, 0.toByte, 0.toShort) // duplicates must not change the bitmap set
+    ).toDF("l", "i", "s", "d", "f", "b", "h").coalesce(1)
 
     def bloomsOf(maxBytes: Long): Map[String, Map[Int, String]] = {
       val prev = spark.conf.getOption("graft.write.bloom-driver-max-bytes")
@@ -30,7 +32,7 @@ class BloomDriverParitySpec extends SparkSpec {
         val cat = new GraftCatalog(
           java.nio.file.Files.createTempDirectory("graft-bloompar").toString)
         val t = cat.createTable("db.bp", rows.schema,
-          properties = Map(TableProperties.BloomColumns -> "l,i,s,d,f"))
+          properties = Map(TableProperties.BloomColumns -> "l,i,s,d,f,b,h"))
         t.append(spark, rows)
         val files = t.scan().dataFiles
         assert(files.size == 1, s"expected one file, got ${files.size}")
