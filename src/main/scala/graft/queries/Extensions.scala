@@ -101,6 +101,21 @@ object Extensions
     else (df.localCheckpoint(), false)
   }
 
+  /** [[pinMeasured]] for callers that only need the pinned frame — the
+    * gate-body idiom for NARROW fixture/batch-bounded frames (bands,
+    * segment fingerprints, verdicts). Frames carrying blob columns keep
+    * localCheckpoint: the row budget does not bound their bytes.
+    */
+  private[queries] def pinned(df: DataFrame): DataFrame = pinMeasured(df)._1
+
+  /** Pin driver-local only when the caller ALREADY measured the frame
+    * within the budget (the graph loops' per-iteration vectors, whose
+    * fits is decided once up front) — a known-over-budget frame skips the
+    * bounded probe entirely and pins distributed.
+    */
+  private[queries] def pinIf(fits: Boolean, df: DataFrame): DataFrame =
+    if (fits) pinned(df) else df.localCheckpoint()
+
   /** Measure a candidate-pair set against the broadcast budget, pinning it
     * first ([[pinMeasured]]). Callers that pinned `pairs` themselves pass
     * alreadyPinned — a driver-local pin answers from its exact plan-time
@@ -219,8 +234,7 @@ object Extensions
     // onto candidates); pin it once so the whole-index scan+aggregate runs
     // a single time per query — the same pinning discipline as
     // containmentNomination / triangleStats / pairJaccard.
-    val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
+    val doclen = pinned(idx.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
     val (scA, a) = probeTerm(s, t, termA)
@@ -260,7 +274,7 @@ object Extensions
       .localCheckpoint()
     val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 8)).select("g")
-    val inv = nom.join(rare, "g").localCheckpoint()
+    val inv = pinned(nom.join(rare, "g")) // df∈[2,8] bounds it nomination-sized
     val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
       .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
@@ -447,11 +461,10 @@ object Extensions
       .filter(expr(s"bit_count(h ^ h_hist) <= $threshold"))
       .groupBy(idCol)
       .agg(countDistinct(col("hist_id")).as("matches"))
-    bands.select(idCol).distinct()
+    pinned(bands.select(idCol).distinct()
       .join(maybeBroadcast(matches, fits), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("matches"), lit(0L)).as("matches"),
-        col("matches").isNull.as("admitted"))
-      .localCheckpoint()
+        col("matches").isNull.as("admitted")))
   }
 
   /** [[bandAdmitVerdicts]] over the image dHash state. */
@@ -1483,7 +1496,7 @@ object Extensions
       .withColumn("probe_pruned", lit(pruned))
       .withColumn("cells_probed", lit(probeCells.length.toLong))
       .orderBy("rank")
-      .localCheckpoint() // certified below, then returned as-is
+      .transform(pinned) // certified below, then returned as-is
     val hits = out.collect().count(_.getAs[Boolean]("hit"))
     require(hits >= 8,
       s"pruned-probe recall floor broken: $hits/10 from cells $probeCells")
@@ -1570,7 +1583,7 @@ object Extensions
       .withColumn("cells_probed", lit(probeCells.length.toLong))
       .withColumn("codes_only_scan", lit(codesOnly))
       .orderBy("rank")
-      .localCheckpoint() // certified below, then returned as-is
+      .transform(pinned) // certified below, then returned as-is
     val hits = out.collect().count(_.getAs[Boolean]("hit"))
     require(hits >= 8,
       s"quantized pruned-probe recall floor broken: $hits/10 from cells $probeCells")
@@ -1878,10 +1891,10 @@ object Extensions
     // plans twice unless ReuseExchange happens to canonicalize the
     // branches identically. The pin makes the callers' one-scan claims
     // true by construction; the materialized rows are vocab-sized.
-    val pinned = c2.localCheckpoint()
-    val c1 = pinned.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+    val pc2 = pinned(c2) // vocab-sized: driver-local within the budget
+    val c1 = pc2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    pinned.join(c1, substring_index(pinned("bg"), " ", 1) === c1("w1"))
+    pc2.join(c1, substring_index(pc2("bg"), " ", 1) === c1("w1"))
       .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
   }
 
@@ -2501,8 +2514,10 @@ object Extensions
     */
   private[graft] def pagerankScores(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     val edges = edgesIn.localCheckpoint()
-    val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    // the degree table is node-sized: driver-local within the budget (its
+    // fits then also prices every rank-vector broadcast below)
+    val (outdeg, outdegFits) = pinMeasured(
+      edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg")))
     val nN = outdeg.count()
     // a degenerate corpus (no order with 2+ distinct parts survives the
     // sample) has no graph: return the empty ranking rather than
@@ -2516,17 +2531,16 @@ object Extensions
     // edge-sized side then never shuffles; the one unavoidable exchange
     // per round is the in_sum aggregate). A graph too big for the budget
     // keeps the shuffled join.
-    val fits = nN <= PairBroadcastMaxRows
+    val fits = outdegFits && nN <= PairBroadcastMaxRows
     val edgesW = edges.join(outdeg, "u").localCheckpoint()
     var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
     for (_ <- 1 to iters) {
-      p = edgesW
+      p = pinIf(fits, edgesW
         .join(maybeBroadcast(p.select(col("node").as("u"), col("p")), fits), "u")
         .select(col("v").as("node"), expr("p div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
         .select(col("node"),
-          (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
-        .localCheckpoint()
+          (lit(base) + expr("(85 * in_sum) div 100")).as("p")))
     }
     p
   }
@@ -2547,8 +2561,9 @@ object Extensions
     // first iteration (the pagerankScores guard, mirrored)
     if (edges.isEmpty)
       return edges.select(col("p"), lit(0L).as("a"))
-    var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
-      .localCheckpoint()
+    val (hub0, hubFits) = pinMeasured(
+      edges.select(col("c")).distinct().withColumn("h", lit(S)))
+    var hub = hub0
     // hub/authority vectors are node-sided (one row per c / per p) and
     // only shrink across rounds — measure each side ONCE on its first
     // pinned vector and broadcast that side of every later half-round's
@@ -2559,26 +2574,22 @@ object Extensions
     // pages, hub fits while auth is arbitrarily large, and a hub-derived
     // hint on the auth side would force-broadcast past the budget.
     // Both counts are cheap jobs on already-pinned frames.
-    val fits = hub.count() <= PairBroadcastMaxRows
+    val fits = hubFits
     var auth: DataFrame = null
     var authFits = false
     for (i <- 1 to iters) {
-      val aRaw = edges.join(maybeBroadcast(hub, fits), "c")
-        .groupBy("p").agg(sum(col("h")).as("a"))
-        .localCheckpoint()
-      if (i == 1) authFits = aRaw.count() <= PairBroadcastMaxRows
+      val (aRaw, aFits) = pinMeasured(edges.join(maybeBroadcast(hub, fits), "c")
+        .groupBy("p").agg(sum(col("h")).as("a")))
+      if (i == 1) authFits = aFits
       val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
-      auth = aRaw.select(col("p"),
-          expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
-        .localCheckpoint()
+      auth = pinIf(authFits, aRaw.select(col("p"),
+        expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a")))
       if (i < iters) { // the final hub update would feed an unused pass
-        val hRaw = edges.join(maybeBroadcast(auth, authFits), "p")
-          .groupBy("c").agg(sum(col("a")).as("h"))
-          .localCheckpoint()
+        val (hRaw, _) = pinMeasured(edges.join(maybeBroadcast(auth, authFits), "p")
+          .groupBy("c").agg(sum(col("a")).as("h")))
         val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
-        hub = hRaw.select(col("c"),
-            expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h"))
-          .localCheckpoint()
+        hub = pinIf(fits, hRaw.select(col("c"),
+          expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h")))
       }
     }
     auth
@@ -2594,10 +2605,10 @@ object Extensions
     // shuffled shapes are kept.
     val nE = edges.count()
     val fits = nE <= PairBroadcastMaxRows
-    val deg = edges.select(col("u").as("node"))
+    val deg = pinIf(fits, edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // read three times: two degree joins + n_paths2
+    ) // read three times: two degree joins + n_paths2; node-sized ≤ 2·nE
     val withDeg = edges
       .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du")), fits), "u")
       .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv")), fits), "v")
@@ -2608,7 +2619,7 @@ object Extensions
           col("v")).otherwise(col("u")).as("dst"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("dv")).otherwise(col("du")).as("ddst"))
-      .localCheckpoint()
+      .transform(pinIf(fits, _)) // edge-sized: local ⇔ within the budget
     val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
     val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
     // pin the wedge set: it is the pipeline's dominant volume (the
