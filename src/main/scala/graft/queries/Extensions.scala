@@ -63,6 +63,15 @@ object Extensions
     */
   val CrawlProbeMaxKeys: Int = 1024
 
+  /** Row cap for DRIVER-LOCAL pins ([[pinMeasured]]'s fast path) —
+    * deliberately far below [[PairBroadcastMaxRows]]: past ~10k rows a
+    * LocalRelation's per-execution driver copies, per-task parallelize
+    * slices and GC pressure cost more than the jobs it saves (measured:
+    * x_triangles' 303k-row pinned frame ran 3× the executor time of the
+    * checkpointed shape). Conf `graft.pins.driver-max-rows`.
+    */
+  val DriverPinMaxRows: Long = 8192L
+
   private def broadcastCap(s: SparkSession): Long =
     s.conf.getOption("graft.pairs.broadcast-max-rows")
       .map(_.toLong).getOrElse(PairBroadcastMaxRows)
@@ -72,9 +81,15 @@ object Extensions
     * projections/filters)? Local frames carry EXACT size statistics and
     * are by construction within the broadcast budget.
     */
-  private[graft] def isDriverLocal(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan
-      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+  private[graft] def isDriverLocal(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Repartition}
+    df.queryExecution.optimizedPlan match {
+      case _: LocalRelation => true
+      // the pinMeasured fast path: coalesce(1) over the local rows
+      case r: Repartition => r.child.isInstanceOf[LocalRelation]
+      case _ => false
+    }
+  }
 
   /** Pin a batch-bounded frame and measure it against the broadcast budget
     * in ONE bounded probe (`limit(cap+1)` + collect). Within the budget the
@@ -92,29 +107,53 @@ object Extensions
     * @return (pinned frame, fits-the-broadcast-budget)
     */
   private[graft] def pinMeasured(df: DataFrame): (DataFrame, Boolean) = {
-    val cap = broadcastCap(df.sparkSession)
-    val probeCap = math.min(cap, Int.MaxValue - 2L).toInt
-    val probe = df.limit(probeCap + 1).collect()
-    if (probe.length <= probeCap)
-      (df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(probe: _*), df.schema), true)
-    else (df.localCheckpoint(), false)
+    val s = df.sparkSession
+    val cap = broadcastCap(s)
+    // The driver-pin cap is MUCH smaller than the broadcast budget:
+    // LocalRelation costs scale with ROW COUNT per downstream execution
+    // (a driver-side external→unsafe copy per plan, a parallelize slice
+    // shipped per task, GC on the held objects) — measured on
+    // x_triangles, pinning the 303k-row oriented-edge frame tripled the
+    // gate's executor run time and GC versus localCheckpoint, while
+    // sub-10k batch frames cut the per-batch execution count ~25 %.
+    // Frames between the two caps keep the distributed pin + one count,
+    // exactly the r18 shape.
+    val pinCap = math.min(
+      s.conf.getOption("graft.pins.driver-max-rows").map(_.toLong)
+        .getOrElse(DriverPinMaxRows),
+      math.min(cap, Int.MaxValue - 2L))
+    val probe = df.limit(pinCap.toInt + 1).collect()
+    if (probe.length <= pinCap)
+      // coalesce(1): a bare LocalRelation parallelizes into
+      // defaultParallelism slices, so every downstream aggregate/write map
+      // stage pays per-task shuffle-writer setup ×32 (measured ~100-200 ms
+      // PER TASK on 8 KB of shuffle bytes) and an unpartitioned append
+      // writes one file per slice; one narrow-dependency partition keeps
+      // the exact plan-time statistics and restores the pre-pin task and
+      // file counts
+      (s.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+        .coalesce(1), true)
+    else {
+      val pinned = df.localCheckpoint()
+      (pinned, pinned.count() <= cap)
+    }
   }
 
-  /** [[pinMeasured]] for callers that only need the pinned frame — the
-    * gate-body idiom for NARROW fixture/batch-bounded frames (bands,
-    * segment fingerprints, verdicts). Frames carrying blob columns keep
-    * localCheckpoint: the row budget does not bound their bytes.
-    */
-  private[queries] def pinned(df: DataFrame): DataFrame = pinMeasured(df)._1
 
-  /** Pin driver-local only when the caller ALREADY measured the frame
-    * within the budget (the graph loops' per-iteration vectors, whose
-    * fits is decided once up front) — a known-over-budget frame skips the
-    * bounded probe entirely and pins distributed.
+  /** Exact row count of a driver-local pin, read off its plan (zero jobs);
+    * None for distributed frames.
     */
-  private[queries] def pinIf(fits: Boolean, df: DataFrame): DataFrame =
-    if (fits) pinned(df) else df.localCheckpoint()
+  private[queries] def localRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Repartition}
+    df.queryExecution.optimizedPlan match {
+      case lr: LocalRelation => Some(lr.data.length.toLong)
+      case r: Repartition => r.child match {
+        case lr: LocalRelation => Some(lr.data.length.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   /** Measure a candidate-pair set against the broadcast budget, pinning it
     * first ([[pinMeasured]]). Callers that pinned `pairs` themselves pass
@@ -234,7 +273,8 @@ object Extensions
     // onto candidates); pin it once so the whole-index scan+aggregate runs
     // a single time per query — the same pinning discipline as
     // containmentNomination / triangleStats / pairJaccard.
-    val doclen = pinned(idx.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    val doclen = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
     val (scA, a) = probeTerm(s, t, termA)
@@ -274,7 +314,7 @@ object Extensions
       .localCheckpoint()
     val rare = nom.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 8)).select("g")
-    val inv = pinned(nom.join(rare, "g")) // df∈[2,8] bounds it nomination-sized
+    val inv = nom.join(rare, "g").localCheckpoint()
     val cand = inv.select(col("g"), col("doc_id").as("doc_a"))
       .join(inv.select(col("g"), col("doc_id").as("doc_b")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
@@ -461,10 +501,10 @@ object Extensions
       .filter(expr(s"bit_count(h ^ h_hist) <= $threshold"))
       .groupBy(idCol)
       .agg(countDistinct(col("hist_id")).as("matches"))
-    pinned(bands.select(idCol).distinct()
+    pinMeasured(bands.select(idCol).distinct()
       .join(maybeBroadcast(matches, fits), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("matches"), lit(0L)).as("matches"),
-        col("matches").isNull.as("admitted")))
+        col("matches").isNull.as("admitted")))._1
   }
 
   /** [[bandAdmitVerdicts]] over the image dHash state. */
@@ -976,17 +1016,22 @@ object Extensions
       maxKeys = CrawlProbeMaxKeys).toDF(s)
     // the verify side is frame rows × matches-per-clip — a near-budget
     // batch whose clips collide with many history ids can exceed the
-    // batchFh-derived budget, so it is measured ON ITS OWN (r18 ADVICE):
-    // within the budget it pins driver-local and broadcasts; past it the
-    // join keeps its shuffled shape instead of force-broadcasting an
-    // unbounded side
-    val (verifyIn, vFits) = pinMeasured(cand
-      .join(batchFh.select(col("vid_id"), col("nf"),
-        col("frame"), col("h").as("ha")), Seq("vid_id")))
+    // batchFh-derived budget, so its hint is bounded ON ITS OWN (r18
+    // ADVICE): |cand| × max frames-per-clip upper-bounds the joined side,
+    // from the pinned cand's plan-time row count and one tiny max() on
+    // the pinned batchFh; past the bound the join keeps its shuffled
+    // shape instead of force-broadcasting an unbounded side
+    val vFits = fits && localRowCount(cand).exists { nc =>
+      val nfMax = Option(batchFh.agg(max(col("nf"))).head.get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      nc * math.max(1L, nfMax) <= broadcastCap(s)
+    }
     // nf rides in the equi-join keys: unequal-length pairs produce zero
     // aligned rows and can never verify — no post-hoc mismatch filter,
     // and their overlap rows never shuffle
-    val verified = maybeBroadcast(verifyIn, vFits)
+    val verified = maybeBroadcast(cand
+        .join(batchFh.select(col("vid_id"), col("nf"),
+          col("frame"), col("h").as("ha")), Seq("vid_id")), vFits)
       .join(histFh.select(col("vid_id").as("hist_id"), col("nf"),
         col("frame"), col("h").as("hb")), Seq("hist_id", "frame", "nf"))
       .groupBy("vid_id", "hist_id")
@@ -1058,15 +1103,20 @@ object Extensions
     // paid two distinct()-exchanges + two joins to learn them); exploding
     // the anchor sweep after the frame join is row-for-row identical —
     // p's sequence depends only on (nf, nfh), constant per pair.
-    // the anchor-swept verify side is frame rows × matches-per-clip —
-    // measured ON ITS OWN (r18 ADVICE), not inferred from batchFh: within
-    // the budget it pins driver-local and broadcasts; past it the join
-    // keeps its shuffled shape instead of force-broadcasting an unbounded
-    // side
-    val (verifyIn, vFits) = pinMeasured(cand
-      .join(batchFh.select(col("vid_id"), col("nf"),
-        col("frame").as("bf"), col("h").as("ha")), Seq("vid_id")))
-    val verified = maybeBroadcast(verifyIn, vFits)
+    // the anchor-swept verify side is frame rows × matches-per-clip — its
+    // hint is bounded ON ITS OWN (r18 ADVICE), not inferred from batchFh:
+    // |cand| × max frames-per-clip upper-bounds the joined side, from the
+    // pinned cand's plan-time row count and one tiny max() on the pinned
+    // batchFh; past the bound the join keeps its shuffled shape instead
+    // of force-broadcasting an unbounded side
+    val vFits = fits && localRowCount(cand).exists { nc =>
+      val nfMax = Option(batchFh.agg(max(col("nf"))).head.get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      nc * math.max(1L, nfMax) <= broadcastCap(s)
+    }
+    val verified = maybeBroadcast(cand
+        .join(batchFh.select(col("vid_id"), col("nf"),
+          col("frame").as("bf"), col("h").as("ha")), Seq("vid_id")), vFits)
       .join(histFh.select(col("vid_id").as("hist_id"), col("nf").as("nfh"),
           col("frame").as("hf"), col("h").as("hb")),
         Seq("hist_id"))
@@ -1496,7 +1546,7 @@ object Extensions
       .withColumn("probe_pruned", lit(pruned))
       .withColumn("cells_probed", lit(probeCells.length.toLong))
       .orderBy("rank")
-      .transform(pinned) // certified below, then returned as-is
+      .localCheckpoint() // certified below, then returned as-is
     val hits = out.collect().count(_.getAs[Boolean]("hit"))
     require(hits >= 8,
       s"pruned-probe recall floor broken: $hits/10 from cells $probeCells")
@@ -1583,7 +1633,7 @@ object Extensions
       .withColumn("cells_probed", lit(probeCells.length.toLong))
       .withColumn("codes_only_scan", lit(codesOnly))
       .orderBy("rank")
-      .transform(pinned) // certified below, then returned as-is
+      .localCheckpoint() // certified below, then returned as-is
     val hits = out.collect().count(_.getAs[Boolean]("hit"))
     require(hits >= 8,
       s"quantized pruned-probe recall floor broken: $hits/10 from cells $probeCells")
@@ -1891,7 +1941,7 @@ object Extensions
     // plans twice unless ReuseExchange happens to canonicalize the
     // branches identically. The pin makes the callers' one-scan claims
     // true by construction; the materialized rows are vocab-sized.
-    val pc2 = pinned(c2) // vocab-sized: driver-local within the budget
+    val pc2 = c2.localCheckpoint()
     val c1 = pc2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
     pc2.join(c1, substring_index(pc2("bg"), " ", 1) === c1("w1"))
@@ -2121,12 +2171,9 @@ object Extensions
       filesPerTrigger: Int = 1,
       onModelScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      // measured driver-local pin (opt guide §3.1): the w1 In-probe
-      // collect, the scoring join's spine and the delta rollup all read
-      // the batch bigrams job-free within the budget
-      val (bb, _) = pinMeasured(
-        b.select(col("doc_id"), col("lang"),
-          explode(TF.shingles(col("text"), 2)).as("bg")))
+      val bb = b.select(col("doc_id"), col("lang"),
+          explode(TF.shingles(col("text"), 2)).as("bg"))
+        .localCheckpoint() // In-probe collect + scoring join + delta rollup
       // the model read is RUNTIME-FILTERED by HEAD WORD, not bigram: the
       // fixed point q = (c2·1e6) div c1 needs c1(w1) = Σ over ALL bigrams
       // starting with w1, so pruning by bg would undercount c1 — pruning
@@ -2150,10 +2197,8 @@ object Extensions
         .agg(min(col("lang")).as("lang"),
           expr("sum(coalesce(q, cast(0 as bigint))) div count(1)").as("score"),
           sum(when(col("q").isNotNull, 1L).otherwise(0L)).as("modeled"))
-      // driver-local within the budget: the emptiness check below and the
-      // MERGE's candidate-key probe then cost zero extra jobs
-      val (deltas, _) = pinMeasured(
-        bb.groupBy("bg").agg(count(lit(1)).as("cnt")))
+      val deltas = bb.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // read twice: the log append + the model MERGE
       // Empty-delta short circuit (r13 verdict #6): a batch whose docs
       // carry no bigram at all (every text under 2 tokens) has nothing to
       // score (perDoc derives from the same empty bb), log, or fold — but
@@ -2336,18 +2381,18 @@ object Extensions
       filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      // measured driver-local pin (opt guide §3.1): In-probe collect,
-      // anti-join and the rollup all read the batch grams job-free
-      val (bg, _) = pinMeasured(
-        b.select(col("doc_id"), col("lang"),
-          explode(array_distinct(TF.shingles(col("text"), 3))).as("g")))
+      val bg = b.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TF.shingles(col("text"), 3))).as("g"))
+        .localCheckpoint() // In-probe collect + anti-join + rollup read it
       val stateScan = state.scanWithRuntimeFilter(bg, "g", "g",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
-      val (unseen, unseenFits) = pinMeasured( // pinned BEFORE the state mutates
-        bg.select("doc_id", "g")
-          .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
-          .groupBy("g").agg(min(col("doc_id")).as("first_doc")))
+      val unseen = bg.select("doc_id", "g")
+        .join(stateScan.toDF(s).select(col("g")), Seq("g"), "left_anti")
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        .localCheckpoint() // pinned BEFORE the state mutates; read twice
+      val unseenFits = unseen.count() <=
+        broadcastCap(s) // the rollup's broadcast measure, as in r18
       val perDoc = bg
         // unseen is batch-bounded and pinned: broadcast it as the build
         // side of the rollup's left join within the measured budget
@@ -2395,10 +2440,7 @@ object Extensions
     * @return (h, f_doc, f_ci, lang, n_tok) — one row per distinct h
     */
   private[graft] def chunkKeepFirstLedger(chunks: DataFrame): DataFrame = {
-    // crawl-batch-bounded by every caller: driver-local within the budget
-    // (both keep-first aggregates and the payload self-join read it), the
-    // distributed pin past it
-    val (hc, _) = pinMeasured(chunks)
+    val hc = chunks.localCheckpoint()
     val fd = hc.groupBy("h").agg(min(col("doc_id")).as("f_doc"))
     // keys derives from hc, so the payload join below is a self-join —
     // its h is renamed so every column reference resolves to exactly one
@@ -2447,9 +2489,8 @@ object Extensions
       state: graft.table.GraftTable, w: Int, filesPerTrigger: Int = 1,
       onStateScanMetrics: graft.table.ScanMetrics => Unit = _ => ()): Int =
     runMicroBatched(s, stage, schema, filesPerTrigger) { (b, batchId) =>
-      // measured driver-local pin (opt guide §3.1): the In-probe collect
-      // reads the batch chunks job-free within the budget
-      val (bc, _) = pinMeasured(chunksOf(b, w))
+      val bc = chunksOf(b, w)
+        .localCheckpoint() // read twice: the In-probe collect + the anti-join
       val stateScan = state.scanWithRuntimeFilter(bc, "h", "h",
         maxKeys = CrawlProbeMaxKeys)
       onStateScanMetrics(stateScan.metrics)
@@ -2514,10 +2555,8 @@ object Extensions
     */
   private[graft] def pagerankScores(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     val edges = edgesIn.localCheckpoint()
-    // the degree table is node-sized: driver-local within the budget (its
-    // fits then also prices every rank-vector broadcast below)
-    val (outdeg, outdegFits) = pinMeasured(
-      edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg")))
+    val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nN = outdeg.count()
     // a degenerate corpus (no order with 2+ distinct parts survives the
     // sample) has no graph: return the empty ranking rather than
@@ -2531,16 +2570,17 @@ object Extensions
     // edge-sized side then never shuffles; the one unavoidable exchange
     // per round is the in_sum aggregate). A graph too big for the budget
     // keeps the shuffled join.
-    val fits = outdegFits && nN <= PairBroadcastMaxRows
+    val fits = nN <= PairBroadcastMaxRows
     val edgesW = edges.join(outdeg, "u").localCheckpoint()
     var p = outdeg.select(col("u").as("node"), lit(p0).as("p"))
     for (_ <- 1 to iters) {
-      p = pinIf(fits, edgesW
+      p = edgesW
         .join(maybeBroadcast(p.select(col("node").as("u"), col("p")), fits), "u")
         .select(col("v").as("node"), expr("p div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
         .select(col("node"),
-          (lit(base) + expr("(85 * in_sum) div 100")).as("p")))
+          (lit(base) + expr("(85 * in_sum) div 100")).as("p"))
+        .localCheckpoint()
     }
     p
   }
@@ -2561,9 +2601,8 @@ object Extensions
     // first iteration (the pagerankScores guard, mirrored)
     if (edges.isEmpty)
       return edges.select(col("p"), lit(0L).as("a"))
-    val (hub0, hubFits) = pinMeasured(
-      edges.select(col("c")).distinct().withColumn("h", lit(S)))
-    var hub = hub0
+    var hub = edges.select(col("c")).distinct().withColumn("h", lit(S))
+      .localCheckpoint()
     // hub/authority vectors are node-sided (one row per c / per p) and
     // only shrink across rounds — measure each side ONCE on its first
     // pinned vector and broadcast that side of every later half-round's
@@ -2574,22 +2613,26 @@ object Extensions
     // pages, hub fits while auth is arbitrarily large, and a hub-derived
     // hint on the auth side would force-broadcast past the budget.
     // Both counts are cheap jobs on already-pinned frames.
-    val fits = hubFits
+    val fits = hub.count() <= PairBroadcastMaxRows
     var auth: DataFrame = null
     var authFits = false
     for (i <- 1 to iters) {
-      val (aRaw, aFits) = pinMeasured(edges.join(maybeBroadcast(hub, fits), "c")
-        .groupBy("p").agg(sum(col("h")).as("a")))
-      if (i == 1) authFits = aFits
+      val aRaw = edges.join(maybeBroadcast(hub, fits), "c")
+        .groupBy("p").agg(sum(col("h")).as("a"))
+        .localCheckpoint()
+      if (i == 1) authFits = aRaw.count() <= PairBroadcastMaxRows
       val aMax = aRaw.agg(max(col("a"))).head.getLong(0)
-      auth = pinIf(authFits, aRaw.select(col("p"),
-        expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a")))
+      auth = aRaw.select(col("p"),
+          expr(s"cast((cast(a as decimal(38,0)) * $S) div $aMax as bigint)").as("a"))
+        .localCheckpoint()
       if (i < iters) { // the final hub update would feed an unused pass
-        val (hRaw, _) = pinMeasured(edges.join(maybeBroadcast(auth, authFits), "p")
-          .groupBy("c").agg(sum(col("a")).as("h")))
+        val hRaw = edges.join(maybeBroadcast(auth, authFits), "p")
+          .groupBy("c").agg(sum(col("a")).as("h"))
+          .localCheckpoint()
         val hMax = hRaw.agg(max(col("h"))).head.getLong(0)
-        hub = pinIf(fits, hRaw.select(col("c"),
-          expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h")))
+        hub = hRaw.select(col("c"),
+            expr(s"cast((cast(h as decimal(38,0)) * $S) div $hMax as bigint)").as("h"))
+          .localCheckpoint()
       }
     }
     auth
@@ -2605,10 +2648,10 @@ object Extensions
     // shuffled shapes are kept.
     val nE = edges.count()
     val fits = nE <= PairBroadcastMaxRows
-    val deg = pinIf(fits, edges.select(col("u").as("node"))
+    val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    ) // read three times: two degree joins + n_paths2; node-sized ≤ 2·nE
+      .localCheckpoint() // read three times: two degree joins + n_paths2
     val withDeg = edges
       .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du")), fits), "u")
       .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv")), fits), "v")
@@ -2619,7 +2662,7 @@ object Extensions
           col("v")).otherwise(col("u")).as("dst"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("dv")).otherwise(col("du")).as("ddst"))
-      .transform(pinIf(fits, _)) // edge-sized: local ⇔ within the budget
+      .localCheckpoint()
     val w1 = oriented.select(col("src"), col("dst").as("d1"), col("ddst").as("r1"))
     val w2 = oriented.select(col("src"), col("dst").as("d2"), col("ddst").as("r2"))
     // pin the wedge set: it is the pipeline's dominant volume (the

@@ -499,7 +499,7 @@ trait ExtensionsAnnGates { this: Extensions.type =>
         val brute = VF.knnJoin(corpus, queries, "vec_id", "embedding",
             "query_id", "q_emb", k = 10)
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
-          .transform(pinned) // ground truth is read five times below
+          .localCheckpoint() // ground truth is read five times below
         def top10(probe: DataFrame): DataFrame = {
           val w = Window.partitionBy(col("query_id"))
             .orderBy(col("sim").desc, col("neighbor_id"))
@@ -688,7 +688,7 @@ trait ExtensionsAnnGates { this: Extensions.type =>
         val brute = VF.knnJoin(corpus, queries, "vec_id", "v",
             "query_id", "q_emb", k = 10)
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
-          .transform(pinned) // read twice: brute_k + the hit intersection
+          .localCheckpoint() // read twice: brute_k + the hit intersection
         val cents = shiftCentroids
         val cIvf = corpus.select(col("vec_id").as("neighbor_id"),
             col("v").as("c_emb"))
@@ -715,7 +715,7 @@ trait ExtensionsAnnGates { this: Extensions.type =>
             coalesce(col("cand_rows"), lit(0L)).as("cand_rows"),
             coalesce(col("mp_hits"), lit(0L)).as("mp_hits"))
           .orderBy("query_id")
-          .transform(pinned) // certified below, then returned as-is
+          .localCheckpoint() // certified below, then returned as-is
         val rows = out.collect()
         require(rows.nonEmpty && rows.forall(_.getAs[Long]("mp_hits") >= 8L),
           s"multi-probe recall floor broken: " + rows.map(r =>

@@ -73,10 +73,10 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         // mid-sequence maintenance on the live keep-first state
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
-        val bc = chunked(batch).transform(pinned) // probe + rollup read it
+        val bc = chunked(batch).localCheckpoint() // probe + rollup read it
         val bFirst = keepFirst(bc
             .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti"))
-          .transform(pinned) // read twice: the state append + the keep probe
+          .localCheckpoint() // read twice: the state append + the keep probe
         t.append(s, bFirst) // the batch extends the durable keep-first state
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val stateChunks = t.toDF(s).count()
@@ -214,7 +214,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         require(batches == 3 && commits == 4, // hist + one per micro-batch
           s"chunk crawl must run micro-batched: $batches batches, $commits commits")
         val (compacted, statePreserved) = TableOps.compactionProof(s, t)
-        val bcAll = chunksOf(batch, W).transform(pinned) // rollup + reprobe
+        val bcAll = chunksOf(batch, W).localCheckpoint() // rollup + reprobe
         val reprobeClean = bcAll.select("h").distinct()
           .join(t.toDF(s).select(col("h")), Seq("h"), "left_anti").isEmpty
         require(reprobeClean,
@@ -1027,11 +1027,11 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         val filesBefore = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         // pinned: the batch gram stream feeds both the unseen-gram probe
         // and the per-doc novelty rollup
-        val bg = gramsOf(batch).transform(pinned)
+        val bg = gramsOf(batch).localCheckpoint()
         val unseen = bg.select("doc_id", "g")
           .join(t.toDF(s).select(col("g")), Seq("g"), "left_anti")
           .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-          .transform(pinned) // read twice: the state append + the rollup join
+          .localCheckpoint() // read twice: the state append + the rollup join
         t.append(s, unseen) // the batch extends the durable first-seen state
         val filesAfter = t.scan().dataFiles.map(f => (f.path, f.fileSizeBytes)).toSet
         val stateGrams = t.toDF(s).count()
@@ -1333,7 +1333,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           t.toDF(s).groupBy("bg").agg(sum(col("cnt")).as("c2")))
         // pinned: the batch bigram stream feeds both the scoring join
         // and the state append
-        val bb = bgOf(batch).transform(pinned)
+        val bb = bgOf(batch).localCheckpoint()
         val perDoc = bb.join(probs, Seq("bg"), "left")
           .groupBy("doc_id")
           .agg(min(col("lang")).as("lang"),
@@ -1425,7 +1425,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           val histCounts = hist
             .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
             .groupBy("bg").agg(count(lit(1)).as("cnt"))
-            .transform(pinned) // seeds BOTH the delta log and the model
+            .localCheckpoint() // seeds BOTH the delta log and the model
           val tbl = cat.createTable("db.lm_counts_s", new StructType()
             .add("bg", StringType).add("cnt", LongType),
             partitionBy = Seq("bg" -> Transform.Bucket(4)))
@@ -1573,7 +1573,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         // state: every crawled image — admitted or rejected — reads seen
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
-        val allBands = imageBands(docs).transform(pinned)
+        val allBands = imageBands(docs).localCheckpoint()
         val reAdmitted = imageAdmitVerdicts(s, state, allBands)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -1665,7 +1665,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
             s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
-        val allBands = audioBands(docs).transform(pinned)
+        val allBands = audioBands(docs).localCheckpoint()
         val reAdmitted = audioAdmitVerdicts(s, state, allBands)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -1770,7 +1770,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
         // full-crawl reprobe against the compacted planes: every crawled
         // video — admitted or rejected — must now read as seen
-        val allFh = videoFrameHashes(docs).transform(pinned)
+        val allFh = videoFrameHashes(docs).localCheckpoint()
         val re = videoAdmitVerdicts(s, bands, sigs, allFh)
         val reAdmitted = re.filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -1893,7 +1893,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           s"fresh clip ${500 + k} must admit"))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = canon(docs).transform(pinned)
+        val allFh = canon(docs).localCheckpoint()
         val reAdmitted = videoAdmitVerdicts(s, bands, sigs, allFh)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -2004,7 +2004,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
             s"${bands.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = videoFrameHashes(docs).transform(pinned)
+        val allFh = videoFrameHashes(docs).localCheckpoint()
         val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -2122,7 +2122,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
             s"${bands.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = audioSegmentsOf(docs, L).transform(pinned)
+        val allFh = audioSegmentsOf(docs, L).localCheckpoint()
         val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
             toBands = audioSegBands)
           .filter(col("admitted")).count()
@@ -2236,7 +2236,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           s"wide one-segment extension ${400 + i} must reject (batch-longer)"))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = audioSegmentsWideOf(docs, L).transform(pinned)
+        val allFh = audioSegmentsWideOf(docs, L).localCheckpoint()
         val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
             toBands = audioSegBandsWide)
           .filter(col("admitted")).count()
@@ -2365,7 +2365,7 @@ trait ExtensionsCrawlGates { this: Extensions.type =>
           s"body-cutting recrawl ${600 + i} must admit (the pinned residual)"))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = audioSegmentsOnsetAligned(docs, L).transform(pinned)
+        val allFh = audioSegmentsOnsetAligned(docs, L).localCheckpoint()
         val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
             toBands = audioSegBands)
           .filter(col("admitted")).count()

@@ -682,7 +682,7 @@ trait ExtensionsDedupGates { this: Extensions.type =>
         val matched = docs.join(maybeBroadcast(ids, fits), "doc_id")
           .withColumn("sh", array_distinct(TF.shingles(col("text"), 3)))
           .select(col("doc_id"), col("sh"))
-          .transform(pinned) // both verify sides read it (see pairJaccard)
+          .localCheckpoint() // both verify sides read it (see pairJaccard)
         val withA = matched.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
           .join(maybeBroadcast(cand, fits), "doc_a")
         val both = matched.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -146,7 +146,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("img_id", "blob")
         val t = TableOps.newCatalog().createTable("db.imgoff", df.schema)
         t.append(s, df)
-        val bands = imageBandsNormalized(t.toDF(s), 16).transform(pinned)
+        val bands = imageBandsNormalized(t.toDF(s), 16).localCheckpoint()
         val pairs = bandPairsOf(bands, "img_id")
           .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
         val found = pairs.collect()
@@ -650,7 +650,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // and verifies through the same scheme; PINNED: both join sides,
         // the in-gate recall collect, and the returned frame would
         // otherwise each re-decode and re-hash every blob
-        val bands = imageBands(t.toDF(s)).transform(pinned)
+        val bands = imageBands(t.toDF(s)).localCheckpoint()
         val pairs = bandPairsOf(bands, "img_id")
           .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
         // recall floor REQUIREd in-gate: every planted clone pair must
@@ -787,7 +787,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           require(dist(2300L + j, 2000L + k) > 6,
             s"fresh jpeg ${2300 + j} aliases base ${2000 + k}")))
         val histBands = imageBandsLossy(
-          s.createDataFrame(hist).toDF("img_id", "blob")).transform(pinned)
+          s.createDataFrame(hist).toDF("img_id", "blob")).localCheckpoint()
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs_rq", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -796,7 +796,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         state.append(s, histBands.filter(col("img_id") >= 2004L))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = imageBandsLossy(
-          s.createDataFrame(batch).toDF("img_id", "blob")).transform(pinned)
+          s.createDataFrame(batch).toDF("img_id", "blob")).localCheckpoint()
         val verdicts = bandAdmitVerdicts(s, state, batchBands, "img_id", threshold = 6)
         val admitted = verdicts.filter(col("admitted"))
           .select("img_id").collect().map(_.getLong(0)).toSet
@@ -907,7 +907,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
-        val allBands = imageBandsLossy(docs).transform(pinned)
+        val allBands = imageBandsLossy(docs).localCheckpoint()
         val reAdmitted = bandAdmitVerdicts(s, state, allBands, "img_id", threshold = 6)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -967,7 +967,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("img_id", "blob")
         val t = TableOps.newCatalog().createTable("db.imgscaled", df.schema)
         t.append(s, df)
-        val bands = imageBands(t.toDF(s)).transform(pinned)
+        val bands = imageBands(t.toDF(s)).localCheckpoint()
         val pairs = bandPairsOf(bands, "img_id")
           .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
         val found = pairs.collect()
@@ -1048,7 +1048,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("img_id", "blob")
         val t = TableOps.newCatalog().createTable("db.imgnorm", df.schema)
         t.append(s, df)
-        val bands = imageBandsNormalized(t.toDF(s), 16).transform(pinned)
+        val bands = imageBandsNormalized(t.toDF(s), 16).localCheckpoint()
         val pairs = bandPairsOf(bands, "img_id")
           .select(col("a").as("img_a"), col("b").as("img_b"), col("hamming"))
         val found = pairs.collect()
@@ -1120,7 +1120,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             "png", 4 * t, 3 * t, offLatticeFreshSeeds(j)))
         }
         val histBands = imageBandsNormalized(
-          s.createDataFrame(hist).toDF("img_id", "blob"), 16).transform(pinned)
+          s.createDataFrame(hist).toDF("img_id", "blob"), 16).localCheckpoint()
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs_off", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -1129,7 +1129,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         state.append(s, histBands.filter(col("img_id") >= 6))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = imageBandsNormalized(
-          s.createDataFrame(batch).toDF("img_id", "blob"), 16).transform(pinned)
+          s.createDataFrame(batch).toDF("img_id", "blob"), 16).localCheckpoint()
         val verdicts = imageAdmitVerdicts(s, state, batchBands)
         val rejected = verdicts.filter(!col("admitted"))
           .select("img_id").collect().map(_.getLong(0)).toSet
@@ -1241,7 +1241,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           ((400 + j).toLong, ImageCodec.encodeImageVariant("png", bw, bh, 50 + j))
         }
         val histBands = imageBandsNormalized(
-          s.createDataFrame(hist).toDF("img_id", "blob"), 16).transform(pinned)
+          s.createDataFrame(hist).toDF("img_id", "blob"), 16).localCheckpoint()
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs_norm", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -1250,7 +1250,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         state.append(s, histBands.filter(col("img_id") >= 6))
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = imageBandsNormalized(
-          s.createDataFrame(batch).toDF("img_id", "blob"), 16).transform(pinned)
+          s.createDataFrame(batch).toDF("img_id", "blob"), 16).localCheckpoint()
         val verdicts = imageAdmitVerdicts(s, state, batchBands)
         state.append(s,
           batchBands.join(verdicts.filter(col("admitted")).select("img_id"), Seq("img_id"))
@@ -1328,7 +1328,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           (1 until 20 by 4).map(i => imageFixtureRow(300 + i, i, 24 + i, 16 + i % 5, edit = false)) ++
           (0 until 10).map(j => imageFixtureRow(400 + j, 50 + j, 24 + j, 16 + j % 5, edit = false))
         val histBands = imageBands(s.createDataFrame(hist).toDF("img_id", "blob"))
-          .transform(pinned) // split into two crawl commits below
+          .localCheckpoint() // split into two crawl commits below
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -1341,7 +1341,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // rows preserved — and the probe below reads the COMPACTED state
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
-          .transform(pinned) // In-probe collect + candidate join + admit rollup
+          .localCheckpoint() // In-probe collect + candidate join + admit rollup
         val verdicts = imageAdmitVerdicts(s, state, batchBands)
         state.append(s,
           batchBands.join(verdicts.filter(col("admitted")).select("img_id"), Seq("img_id"))
@@ -1423,7 +1423,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // the shared audio banding + pair rule ([[Extensions.audioBands]]
         // + [[Extensions.bandPairsOf]]); pinned like the image gate —
         // one decode pass, not four
-        val bands = audioBands(t.toDF(s)).transform(pinned)
+        val bands = audioBands(t.toDF(s)).localCheckpoint()
         val pairs = bandPairsOf(bands, "clip_id")
           .select(col("a").as("clip_a"), col("b").as("clip_b"), col("hamming"))
         val found = pairs.select("clip_a", "clip_b").collect()
@@ -1485,7 +1485,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiodedup16", df.schema)
         t.append(s, df)
-        val bands = audioBands(t.toDF(s)).transform(pinned)
+        val bands = audioBands(t.toDF(s)).localCheckpoint()
         val pairs = bandPairsOf(bands, "clip_id")
           .select(col("a").as("clip_a"), col("b").as("clip_b"), col("hamming"))
         val found = pairs.select("clip_a", "clip_b").collect()
@@ -1559,7 +1559,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiooffset", df.schema)
         t.append(s, df)
-        val fh = audioSegmentsOf(t.toDF(s), L).transform(pinned)
+        val fh = audioSegmentsOf(t.toDF(s), L).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
           .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
             col("hamming"), col("anchor"))
@@ -1655,7 +1655,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiowide", df.schema)
         t.append(s, df)
-        val fh = audioSegmentsWideOf(t.toDF(s), L).transform(pinned)
+        val fh = audioSegmentsWideOf(t.toDF(s), L).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBandsWide)
           .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
             col("hamming"), col("anchor"))
@@ -1739,7 +1739,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         } ++ (0 until 8).map(j => clip(500 + j, 50 + j, 4 + j % 4, 0, edit = false))
         val histFh = audioSegmentsWideOf(
-          s.createDataFrame(hist).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
         def bandsK(f: DataFrame) = audioSegBandsWide(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -1757,7 +1757,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = audioSegmentsWideOf(
-          s.createDataFrame(batch).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
         val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
           toBands = audioSegBandsWide)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
@@ -1873,7 +1873,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiofinetrim", df.schema)
         t.append(s, df)
-        val fh = audioSegmentsOnsetAligned(t.toDF(s), L).transform(pinned)
+        val fh = audioSegmentsOnsetAligned(t.toDF(s), L).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
           .select(col("vid_long").as("clip_long"), col("vid_short").as("clip_short"),
             col("hamming"), col("anchor"))
@@ -1973,7 +1973,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           ((500 + j).toLong,
             AudioCodec.encodeAudioVariantLead(100 + 7 * j, (4 + j % 4) * L, 50 + j)))
         val histFh = audioSegmentsOnsetAligned(
-          s.createDataFrame(hist).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
         def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -1991,7 +1991,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = audioSegmentsOnsetAligned(
-          s.createDataFrame(batch).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
         val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
           toBands = audioSegBands)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
@@ -2113,7 +2113,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("clip_id", "blob")
         val t = TableOps.newCatalog().createTable("db.audiosubseg", df.schema)
         t.append(s, df)
-        val fh = audioSegmentsDualPhase(t.toDF(s), L).transform(pinned)
+        val fh = audioSegmentsDualPhase(t.toDF(s), L).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, Some(2), audioSegBands)
           .select((col("vid_long") / 2).cast("long").as("ca"),
             (col("vid_short") / 2).cast("long").as("cb"), col("hamming"))
@@ -2214,7 +2214,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         } ++ (0 until 8).map(j =>
           ((500 + j).toLong, AudioCodec.encodeAudioVariant((4 + j % 4) * L, 50 + j)))
         val histFh = audioSegmentsDualPhase(
-          s.createDataFrame(hist).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
         def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -2233,19 +2233,19 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = audioSegmentsDualPhase(
-          s.createDataFrame(batch).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
         def clipVerdicts() = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
             toBands = audioSegBands)
           .select((col("vid_id") / 2).cast("long").as("clip_id"), col("admitted"))
           .groupBy("clip_id")
           .agg((min(col("admitted").cast("int")) === 1).as("admitted"))
-        val verdicts = clipVerdicts().transform(pinned)
+        val verdicts = clipVerdicts().localCheckpoint()
         val adm = verdicts.filter(col("admitted")).select("clip_id")
         val admFh = batchFh
           .withColumn("clip_id", (col("vid_id") / 2).cast("long"))
           .join(adm, Seq("clip_id"))
           .select("vid_id", "nf", "frame", "h")
-          .transform(pinned) // feeds both plane appends
+          .localCheckpoint() // feeds both plane appends
         sigs.append(s, admFh)
         bands.append(s, bandsK(admFh))
         val rejected = verdicts.filter(!col("admitted"))
@@ -2384,7 +2384,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             s"${results.meta.snapshots.size}/${state.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         require(filesDown && rowsKept, "streamed state compaction flags")
-        val allBands = imageBandsNormalized(docs, 16).transform(pinned)
+        val allBands = imageBandsNormalized(docs, 16).localCheckpoint()
         val reAdmitted = imageAdmitVerdicts(s, state, allBands)
           .filter(col("admitted")).count()
         require(reAdmitted == 0L,
@@ -2489,7 +2489,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
             s"${bands.meta.snapshots.size} commits")
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         require(filesDown && rowsKept, "streamed sequence-plane compaction flags")
-        val allFh = audioSegmentsDualPhase(docs, L).transform(pinned)
+        val allFh = audioSegmentsDualPhase(docs, L).localCheckpoint()
         val reAdmitted = videoAdmitVerdictsTrimmed(s, bands, sigs, allFh,
             toBands = audioSegBands)
           .filter(col("admitted")).count()
@@ -2586,7 +2586,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         } ++ (0 until 8).map(j =>
           audioOffsetFixtureRow(500 + j, 50 + j, 4 + j % 4, L, 0, edit = false))
         val histFh = audioSegmentsOf(
-          s.createDataFrame(hist).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
         def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -2604,7 +2604,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = audioSegmentsOf(
-          s.createDataFrame(batch).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
         val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
           toBands = audioSegBands)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
@@ -2701,7 +2701,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           (1 until 20 by 4).map(i => audioFixtureRow(300 + i, i, 33 * (10 + i), edit = false)) ++
           (0 until 10).map(j => audioFixtureRow(400 + j, 50 + j, 33 * (10 + j), edit = false))
         val histBands = audioBands(s.createDataFrame(hist).toDF("clip_id", "blob"))
-          .transform(pinned) // split into two crawl commits below
+          .localCheckpoint() // split into two crawl commits below
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.audio_sigs", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -2714,7 +2714,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // rows preserved — and the probe below reads the COMPACTED state
         val (filesDown, rowsKept) = TableOps.compactionProof(s, state)
         val batchBands = audioBands(s.createDataFrame(batch).toDF("clip_id", "blob"))
-          .transform(pinned) // In-probe collect + candidate join + admit rollup
+          .localCheckpoint() // In-probe collect + candidate join + admit rollup
         val verdicts = audioAdmitVerdicts(s, state, batchBands)
         state.append(s,
           batchBands.join(verdicts.filter(col("admitted")).select("clip_id"), Seq("clip_id"))
@@ -2803,7 +2803,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // candidates, nf in the equi-join keys so unequal-length pairs
         // yield zero aligned rows): the pinned hash frame is read
         // everywhere, never the blobs again
-        val fh = videoFrameHashes(t.toDF(s)).transform(pinned)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
         val pairs = videoPairsOf(fh)
           .select(col("a").as("vid_a"), col("b").as("vid_b"), col("hamming"))
         // recall floor REQUIREd in-gate: every planted clone pair must
@@ -2883,7 +2883,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("vid_id", "blob")
         val t = TableOps.newCatalog().createTable("db.videoresampled", df.schema)
         t.append(s, df)
-        val fh = videoFrameHashes(t.toDF(s)).transform(pinned)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
         val pairs = videoPairsOf(videoFramesCanonical(fh, 4))
           .select(col("a").as("vid_a"), col("b").as("vid_b"), col("hamming"))
         val found = pairs.collect()
@@ -2973,7 +2973,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("vid_id", "blob")
         val t = TableOps.newCatalog().createTable("db.videotrim", df.schema)
         t.append(s, df)
-        val fh = videoFrameHashes(t.toDF(s)).transform(pinned)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, maxLenDiff = Some(2))
         // recall floor REQUIREd in-gate: every planted trimmed clone must
         // nominate and verify AT ITS PLANTED ANCHOR; the over-trimmed
@@ -3064,7 +3064,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         val df = s.createDataFrame(rows).toDF("vid_id", "blob")
         val t = TableOps.newCatalog().createTable("db.videocontain", df.schema)
         t.append(s, df)
-        val fh = videoFrameHashes(t.toDF(s)).transform(pinned)
+        val fh = videoFrameHashes(t.toDF(s)).localCheckpoint()
         val pairs = videoContainmentPairsOf(fh, maxLenDiff = None)
         val found = pairs.collect()
           .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
@@ -3238,7 +3238,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           .withColumn("family", lit("audio"))
         val vidPairs = videoPairsOf(
             videoFrameHashes(routed.filter(col("family") === "video")
-              .select(col("blob_id").as("vid_id"), col("blob"))).transform(pinned))
+              .select(col("blob_id").as("vid_id"), col("blob"))).localCheckpoint())
           .withColumn("family", lit("video"))
         // the exact family's rule: md5 of the raw bytes, equi-join on the
         // digest — 1 narrow row per blob, never all-pairs, never a decode
@@ -3386,7 +3386,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           (0 until 8).map(j =>
             videoFixtureRow(400 + j, 50 + j, 16 + j, 12 + j % 5, 3 + j % 4, edit = false))
         val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val cat = TableOps.newCatalog()
         val bands = cat.createTable("db.vid_bands",
           videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
@@ -3406,7 +3406,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         // files strictly down, rows preserved — the fetch reads COMPACTED
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
         sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
@@ -3501,7 +3501,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
         def canon(df: DataFrame) =
           videoFramesCanonical(videoFrameHashes(df), 4)
         val histFh = canon(s.createDataFrame(hist).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val cat = TableOps.newCatalog()
         val bands = cat.createTable("db.vid_bands_rs",
           videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
@@ -3518,7 +3518,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = canon(s.createDataFrame(batch).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
         sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))
@@ -3635,7 +3635,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           videoTrimFixtureRow(500 + j, 50 + j, 16 + j, 12 + j % 5, 4 + j % 4, 0,
             edit = false))
         val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         def bandsK(f: DataFrame) = videoBands(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -3653,7 +3653,7 @@ trait ExtensionsMultimodalGates { this: Extensions.type =>
           }
         val (filesDown, rowsKept) = TableOps.compactionProof(s, sigs)
         val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh)
         val adm = verdicts.filter(col("admitted")).select("vid_id")
         sigs.append(s, batchFh.join(adm, Seq("vid_id")).select("vid_id", "nf", "frame", "h"))

@@ -365,7 +365,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         import graft.format.{Predicate, TableProperties, Transform}
         val hist = (0 until 20).map(i => imageFixtureRow(i, i, 24 + i, 16 + i % 5, edit = false))
         val histBands = imageBands(s.createDataFrame(hist).toDF("img_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.img_sigs_r", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -389,7 +389,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           retractIds.map(i => imageFixtureRow(200 + i, i.toInt, 24 + i.toInt, 16 + i.toInt % 5, edit = true)) ++
           (1 until 20 by 5).map(i => imageFixtureRow(300 + i, i, 24 + i, 16 + i % 5, edit = true))
         val batchBands = imageBands(s.createDataFrame(batch).toDF("img_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = imageAdmitVerdicts(s, state, batchBands)
         val admitted = verdicts.filter(col("admitted"))
           .select("img_id").collect().map(_.getLong(0)).toSet
@@ -444,7 +444,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         import graft.format.{Predicate, TableProperties, Transform}
         val hist = (0 until 20).map(i => audioFixtureRow(i, i, 33 * (10 + i), edit = false))
         val histBands = audioBands(s.createDataFrame(hist).toDF("clip_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val cat = TableOps.newCatalog()
         val state = cat.createTable("db.audio_sigs_r", histBands.schema,
           partitionBy = Seq("band_key" -> Transform.Bucket(4)),
@@ -468,7 +468,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           retractIds.map(i => audioFixtureRow(200 + i, i.toInt, 33 * (10 + i.toInt), edit = true)) ++
           (1 until 20 by 5).map(i => audioFixtureRow(300 + i, i, 33 * (10 + i), edit = true))
         val batchBands = audioBands(s.createDataFrame(batch).toDF("clip_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = audioAdmitVerdicts(s, state, batchBands)
         val admitted = verdicts.filter(col("admitted"))
           .select("clip_id").collect().map(_.getLong(0)).toSet
@@ -521,7 +521,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val hist = (0 until 14).map(i =>
           videoFixtureRow(i, i, 16 + i, 12 + i % 5, 3 + i % 4, edit = false))
         val histFh = videoFrameHashes(s.createDataFrame(hist).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val cat = TableOps.newCatalog()
         val bands = cat.createTable("db.vid_bands_r",
           videoBands(histFh.limit(0)).select("vid_id", "band_key").schema,
@@ -561,7 +561,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           (1 until 14 by 5).map(i => videoFixtureRow(300 + i, i,
             16 + i, 12 + i % 5, 3 + i % 4, edit = true))
         val batchFh = videoFrameHashes(s.createDataFrame(batch).toDF("vid_id", "blob"))
-          .transform(pinned)
+          .localCheckpoint()
         val verdicts = videoAdmitVerdicts(s, bands, sigs, batchFh)
         val admitted = verdicts.filter(col("admitted"))
           .select("vid_id").collect().map(_.getLong(0)).toSet
@@ -627,7 +627,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val hist = (0 until 12).map(i =>
           (i.toLong, AudioCodec.encodeAudioVariant((4 + i % 4) * L, i)))
         val histFh = audioSegmentsDualPhase(
-          s.createDataFrame(hist).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(hist).toDF("clip_id", "blob"), L).localCheckpoint()
         def bandsK(f: DataFrame) = audioSegBands(f.filter(col("frame") <= 2))
           .select("vid_id", "band_key").distinct()
         val cat = TableOps.newCatalog()
@@ -672,13 +672,13 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           Seq(2, 7).map(i => ((300 + i).toLong, AudioCodec.encodeAudioVariant(
             (4 + i % 4) * L - 165, i, sampleBase = 165)))
         val batchFh = audioSegmentsDualPhase(
-          s.createDataFrame(batch).toDF("clip_id", "blob"), L).transform(pinned)
+          s.createDataFrame(batch).toDF("clip_id", "blob"), L).localCheckpoint()
         val verdicts = videoAdmitVerdictsTrimmed(s, bands, sigs, batchFh,
             toBands = audioSegBands)
           .select((col("vid_id") / 2).cast("long").as("clip_id"), col("admitted"))
           .groupBy("clip_id")
           .agg((min(col("admitted").cast("int")) === 1).as("admitted"))
-          .transform(pinned)
+          .localCheckpoint()
         val admitted = verdicts.filter(col("admitted"))
           .select("clip_id").collect().map(_.getLong(0)).toSet
         retractClips.foreach(i => require(admitted.contains(200L + i),
@@ -836,7 +836,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         def bgOf(df: DataFrame) = df.select(col("doc_id"), col("lang"),
           explode(TF.shingles(col("text"), 2)).as("bg"))
         val histCounts = bgOf(hist).groupBy("bg").agg(count(lit(1)).as("cnt"))
-          .transform(pinned) // seeds BOTH the log and the model
+          .localCheckpoint() // seeds BOTH the log and the model
         val cat = TableOps.newCatalog()
         val log = cat.createTable("db.lm_log_r", new StructType()
           .add("bg", StringType).add("cnt", LongType),
@@ -854,7 +854,7 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         val negDeltas = bgOf(hist.filter(col("doc_id") % 20 === 0))
           .groupBy("bg").agg((-count(lit(1))).as("cnt"))
           .withColumn("w1", substring_index(col("bg"), " ", 1))
-          .transform(pinned) // log append + model merge both read it
+          .localCheckpoint() // log append + model merge both read it
         log.append(s, negDeltas.select("bg", "cnt"))
         model.merge(s, negDeltas, Seq("bg" -> "bg"),
           whenMatchedUpdate = Map("c2" -> (col("t.c2") + col("s.cnt"))),
@@ -948,11 +948,11 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
         // BEFORE the delete mutates the table under them
         val orphans = t.toDF(s)
           .filter(col("f_doc").isInCollection(retractIds))
-          .select("h").transform(pinned)
+          .select("h").localCheckpoint()
         t.delete(s, Seq(Predicate.In("f_doc", retractIds)))
         val survivors = corpus.filter(!col("doc_id").isInCollection(retractIds))
         val reelected = chunkKeepFirstLedger(
-          chunksOf(survivors, W).join(orphans, Seq("h"))).transform(pinned)
+          chunksOf(survivors, W).join(orphans, Seq("h"))).localCheckpoint()
         t.append(s, reelected)
         val rowsAfter = t.toDF(s).count()
         val scratch = chunkKeepFirstLedger(chunksOf(survivors, W))
@@ -1029,12 +1029,12 @@ trait ExtensionsRetractionGates { this: Extensions.type =>
           .select("doc_id").collect().map(_.getLong(0)).toSeq
         val orphans = t.toDF(s)
           .filter(col("first_doc").isInCollection(retractIds))
-          .select("g").transform(pinned)
+          .select("g").localCheckpoint()
         t.delete(s, Seq(Predicate.In("first_doc", retractIds)))
         val survivors = docs.filter(!col("doc_id").isInCollection(retractIds))
         val reelected = gramsOf(survivors).join(orphans, Seq("g"))
           .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-          .transform(pinned)
+          .localCheckpoint()
         t.append(s, reelected)
         val rowsAfter = t.toDF(s).count()
         val scratch = gramsOf(survivors)

@@ -45,24 +45,56 @@ class GraftTable(val catalog: GraftCatalog, val name: String)
     */
   def scanWithRuntimeFilter(dim: DataFrame, dimCol: String, factCol: String,
                             maxKeys: Int = 100000, preds: Seq[Predicate] = Nil): GraftScan = {
-    val proj = dim.select(Cols.q(dimCol))
     // Driver-local dims (the pinned batch plane) read their keys WITHOUT a
-    // Spark job: a projection over a LocalRelation folds at optimization
-    // time, so collect() is a driver-side array walk and the distinct is
-    // done here — the per-micro-batch state probe previously paid one
-    // distinct+limit job per read. Distributed dims keep the bounded
-    // distinct+limit job.
-    val isLocal = proj.queryExecution.optimizedPlan
-      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
-    val keys0: Seq[Any] =
-      if (isLocal)
-        proj.collect().iterator.map(_.get(0)).toSeq.distinct.take(maxKeys + 1)
-      else
-        proj.distinct().limit(maxKeys + 1).collect().iterator.map(_.get(0)).toSeq
+    // Spark job: the LocalRelation's rows are walked on the driver and the
+    // distinct/cap applied here — the per-micro-batch state probe
+    // previously paid one distinct+limit job per read. Distributed dims
+    // (and local dims of non-extractable shape/type) keep the bounded
+    // distinct+limit job. The key SET is identical either way.
+    val keys0: Seq[Any] = localKeysOf(dim, dimCol, maxKeys).getOrElse {
+      dim.select(Cols.q(dimCol)).distinct().limit(maxKeys + 1)
+        .collect().iterator.map(_.get(0)).toSeq
+    }
     if (keys0.length > maxKeys) scan(preds: _*)
     else {
       val keys = keys0.filter(_ != null)
       scan((preds :+ Predicate.In(factCol, keys)): _*)
+    }
+  }
+
+  /** Distinct `dimCol` values straight off a driver-local dim's plan
+    * (LocalRelation, possibly under the pin's coalesce(1) — matched as
+    * Repartition), converted to the same external types the collect path
+    * yields. None when the plan is distributed, the column is computed
+    * rather than stored, or the type is outside the simple set.
+    */
+  private def localKeysOf(dim: DataFrame, dimCol: String,
+                          maxKeys: Int): Option[Seq[Any]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Repartition}
+    import org.apache.spark.sql.types._
+    val lr = dim.queryExecution.optimizedPlan match {
+      case l: LocalRelation => Some(l)
+      case r: Repartition => r.child match {
+        case l: LocalRelation => Some(l)
+        case _ => None
+      }
+      case _ => None
+    }
+    lr.flatMap { l =>
+      val idx = l.output.indexWhere(_.name == dimCol)
+      if (idx < 0) None
+      else {
+        val dt = l.output(idx).dataType
+        val conv: Any => Any = dt match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType | BooleanType => identity
+          case StringType => v => v.toString // UTF8String -> String
+          case _ => return None
+        }
+        Some(l.data.iterator
+          .map(r => if (r.isNullAt(idx)) null else conv(r.get(idx, dt)))
+          .toSeq.distinct.take(maxKeys + 1))
+      }
     }
   }
 
