@@ -89,6 +89,23 @@ class DriverWriteParitySpec extends SparkSpec {
     check(partitioned = true)
   }
 
+  test("driver writes go through NIO: no Hadoop .crc sidecars, files still readable") {
+    // The driver path writes via parquet's LocalOutputFile (measured ~10x
+    // cheaper per small file than Hadoop's ChecksumFileSystem), so no .crc
+    // sidecar may appear next to driver-written files; readers and manifest
+    // stats are unaffected (the parity legs above prove that on the same rows).
+    val (driver, _) = buildBoth(partitioned = true)
+    val dataDir = java.nio.file.Paths.get(driver.meta.location)
+    val walk = java.nio.file.Files.walk(dataDir)
+    val (crcs, parquets) = try {
+      import scala.jdk.CollectionConverters._
+      val names = walk.iterator().asScala.map(_.getFileName.toString).toVector
+      (names.count(_.endsWith(".crc")), names.count(_.endsWith(".parquet")))
+    } finally walk.close()
+    assert(parquets > 0, "expected driver-written parquet files under the table location")
+    assert(crcs == 0, s"driver-written table carries $crcs Hadoop .crc sidecars")
+  }
+
   test("non-local plans and oversize appends keep the job path") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
